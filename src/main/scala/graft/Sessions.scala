@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the engine.
+  *
+  * Local harness runs single-JVM `local[32]`; on a real cluster the same
+  * settings (AQE on, shuffle partitions sized to parallelism, broadcast
+  * threshold) are what you'd set per-job. The reference
+  * (`/root/reference/index.js:9-17`) initializes its AWS clients here-ish;
+  * our analog is the SparkSession.
+  */
+object Sessions {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def local(app: String = "graft", cores: String = cpus): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(app)
+      // Size shuffle parallelism to actual cores, not the 200 default.
+      .config("spark.sql.shuffle.partitions", cores)
+      // AQE: runtime coalescing + skew-join handling — the scale story.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Dim tables (region/nation/customer/supplier/part at test SFs) are
+      // broadcast-able; keep the threshold generous.
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
+      // read as long and convert (truncate) to micros in Tables, matching
+      // DuckDB's ns→us truncation.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
