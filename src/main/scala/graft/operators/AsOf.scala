@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the newest right row with equal keys and
+  * `right.ts <= left.ts` — the reference's latest-price read
+  * (`Id = :id AND Timestamp <= :t`, DESC, Limit 1;
+  * /root/reference/index.js:301-321) generalized from point lookup to join
+  * (SURVEY A9 → B13).
+  *
+  * Implementation is union + ordered window (sort-merge style): both sides
+  * shuffle ONCE on the keys and are sorted together; the carried right
+  * payload propagates via `last(_, ignoreNulls)` over the ordered frame.
+  * This is O(n log n) per key group and scales linearly with executors —
+  * unlike the naive inequality join, which Spark plans as a nested loop.
+  * At equal timestamps the right row sorts first, so `<=` is inclusive.
+  *
+  * Right rows must be unique per (keys, ts) for full determinism —
+  * pre-dedup with [[Dedup.lastWins]] otherwise.
+  */
+object AsOf {
+
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPrefix: String = "r_"): DataFrame = {
+    val rightPayload = right.columns.filterNot(keys.contains(_))
+    val rStructCols = rightPayload.map(c => col(c).as(c))
+    val rStructType = right.select(rStructCols: _*).schema
+
+    val keyCols: Seq[Column] = keys.map(col)
+    val lTagged = left.select(
+      keyCols ++ Seq(
+        col(leftTs).cast("timestamp").as("__ts"),
+        lit(1).as("__side"),
+        struct(left.columns.map(col): _*).as("__l"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(rStructType)).as("__r")): _*)
+    val rTagged = right.select(
+      keyCols ++ Seq(
+        col(rightTs).cast("timestamp").as("__ts"),
+        lit(0).as("__side"),
+        lit(null).cast(lTagged.schema("__l").dataType).as("__l"),
+        struct(rStructCols: _*).as("__r")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val joined = lTagged.unionByName(rTagged)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val leftOut = left.columns.map(c => col(s"__l.$c").as(c))
+    val rightOut = rightPayload.map(c => col(s"__match.$c").as(rightPrefix + c))
+    joined.select(leftOut ++ rightOut: _*)
+  }
+
+  /** A9 point form: latest row per key as of time `t`. */
+  def latestAsOf(df: DataFrame, keys: Seq[String], tsCol: String, t: String,
+      tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val order = col(tsCol).desc +: tieBreak.map(col(_).desc)
+    Dedup.keepOne(df.filter(col(tsCol) <= lit(t).cast("timestamp")), keys, order)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, Dedup, Upsert}
+import graft.sources.Tables
+
+/** Library-operator queries: the tier-A semantics (upsert A7, dedup A10,
+  * as-of A9/B13) exercised through [[graft.operators]] and oracled with
+  * plain SQL equivalents. */
+object OpsQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** A7 insert-if-absent: target = orders with key % 3 != 0; incoming =
+    * all orders re-priced. Existing keys keep their original price. */
+  private val q36 = Q(
+    "q36_upsert_insert_absent",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      val target = base.filter($"o_orderkey" % 3 =!= 0)
+      val incoming = base.select(
+        $"o_orderkey", ($"o_totalprice" + 1000.0).as("o_totalprice"), $"o_orderstatus")
+      Upsert.insertIfAbsent(target, incoming, Seq("o_orderkey"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""WITH target AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0),
+      incoming AS (
+        SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, o_orderstatus FROM orders)
+      SELECT * FROM target
+      UNION ALL
+      SELECT * FROM incoming WHERE o_orderkey NOT IN (SELECT o_orderkey FROM target)
+      ORDER BY o_orderkey"""))
+
+  /** Type-1 upsert: incoming wins on conflict. */
+  private val q37 = Q(
+    "q37_upsert_last_wins",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      val target = base
+      val incoming = base.filter($"o_orderkey" % 5 === 0).select(
+        $"o_orderkey", ($"o_totalprice" * 2.0).as("o_totalprice"), lit("U").as("o_orderstatus"))
+      Upsert.lastWins(target, incoming, Seq("o_orderkey"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""WITH incoming AS (
+        SELECT o_orderkey, o_totalprice * 2.0 AS o_totalprice, 'U' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 5 = 0)
+      SELECT * FROM incoming
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)
+      ORDER BY o_orderkey"""))
+
+  /** A10/C1 deterministic last-wins dedup: latest event per
+    * (user_id, event_type). */
+  private val q38 = Q(
+    "q38_dedup_last_wins",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.lastWins(t(s, dir, "events"),
+          Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""SELECT user_id, event_type, event_id, ts, value FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+      ORDER BY user_id, event_type"""))
+
+  /** B13 as-of join (sort-merge union+window impl): each purchase event
+    * picks up the user's latest click at-or-before it. Oracle uses
+    * DuckDB's native ASOF JOIN. */
+  private val q39 = Q(
+    "q39_asof_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_event_id"))
+      AsOf.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts", "click_")
+        .select($"event_id", $"user_id", $"ts", $"value",
+          $"click_ts", $"click_click_event_id".as("click_event_id"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT l.event_id, l.user_id, l.ts, l.value,
+        r.ts AS click_ts, r.event_id AS click_event_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        ON l.user_id = r.user_id AND r.ts <= l.ts
+      ORDER BY l.event_id"""))
+
+  /** A9 point as-of: latest event per user at-or-before a fixed t
+    * (the reference's DESC+Limit-1 read, /root/reference/index.js:305-314). */
+  private val q40 = Q(
+    "q40_asof_point",
+    (s, dir) => {
+      import s.implicits._
+      AsOf.latestAsOf(t(s, dir, "events"), Seq("user_id"), "ts",
+          "2024-01-15 00:00:00", tieBreak = Seq("event_id"))
+        .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, event_id, ts, event_type, value FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1
+      ORDER BY user_id"""))
+
+  def qs: Seq[Q] = Seq(q36, q37, q38, q39, q40)
+}

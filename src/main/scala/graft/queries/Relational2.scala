@@ -1,0 +1,419 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** SURVEY §2.B continued: multi-dim aggregation, set ops, join-type
+  * closure, scalar-function batteries (string/date/math/array/json).
+  * Determinism rules as in [[Relational]]. */
+object Relational2 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** B6 rollup over region→nation customer stats. Nulls-first ordering is
+    * spelled out on the DuckDB side (its default is NULLS LAST). */
+  private val q13 = Q(
+    "q13_rollup",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec($"c_acctbal")).cast("double").as("acctbal_sum"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    },
+    Some("""SELECT r_name, n_name, COUNT(*) AS n_cust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""))
+
+  /** B6 cube over lineitem status flags. */
+  private val q14 = Q(
+    "q14_cube",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"l_quantity")).cast("double").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  /** B6 grouping sets (SQL surface: the engine also accepts Spark SQL). */
+  private val q15 = Q(
+    "q15_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  /** B9 intersect + except (distinct set semantics in both engines). */
+  private val q16 = Q(
+    "q16_setops",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val open = o.filter($"o_orderstatus" === "O").select($"o_custkey")
+      val closed = o.filter($"o_orderstatus" === "F").select($"o_custkey")
+      val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+      open.intersect(closed).except(urgent).orderBy($"o_custkey")
+    },
+    Some("""(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      ORDER BY o_custkey"""))
+
+  /** B9 union + distinct: nations that have customers or suppliers. */
+  private val q17 = Q(
+    "q17_union_distinct",
+    (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+      val su = t(s, dir, "supplier").select($"s_nationkey".as("nationkey"))
+      c.union(su).distinct()
+        .join(broadcast(t(s, dir, "nation")), $"nationkey" === $"n_nationkey")
+        .select($"n_name")
+        .orderBy($"n_name")
+    },
+    Some("""SELECT n_name FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey FROM supplier) u
+      JOIN nation ON nationkey = n_nationkey
+      ORDER BY n_name"""))
+
+  /** B5 cross join: every region × order-status pair. */
+  private val q18 = Q(
+    "q18_cross_join",
+    (s, dir) => {
+      import s.implicits._
+      val statuses = t(s, dir, "orders").select($"o_orderstatus").distinct()
+      t(s, dir, "region").crossJoin(statuses)
+        .select($"r_name", $"o_orderstatus")
+        .orderBy($"r_name", $"o_orderstatus")
+    },
+    Some("""SELECT r_name, o_orderstatus
+      FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+      ORDER BY r_name, o_orderstatus"""))
+
+  /** B5 theta/range join: lineitem banded by quantity against an inline
+    * band dimension (broadcast nested-loop on a 3-row side — the right
+    * plan for a tiny theta dim). */
+  private val q19 = Q(
+    "q19_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val bands = s.createDataFrame(Seq(
+        ("low", 1.0, 17.0), ("mid", 18.0, 34.0), ("high", 35.0, 50.0)))
+        .toDF("band", "lo", "hi")
+      t(s, dir, "lineitem")
+        .join(broadcast(bands), $"l_quantity".between($"lo", $"hi"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"l_extendedprice")).cast("double").as("sum_price"))
+        .orderBy($"band")
+    },
+    Some("""SELECT band, COUNT(*) AS n,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem JOIN (VALUES ('low',1.0,17.0),('mid',18.0,34.0),('high',35.0,50.0)) b(band,lo,hi)
+      ON l_quantity BETWEEN lo AND hi
+      GROUP BY band ORDER BY band"""))
+
+  /** B5 full outer join: per-nation customer vs supplier counts. */
+  private val q25 = Q(
+    "q25_full_outer",
+    (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer").groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier").groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, $"c_nationkey" === $"s_nationkey", "full")
+        .select(
+          coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+          coalesce($"n_cust", lit(0L)).as("n_cust"),
+          coalesce($"n_supp", lit(0L)).as("n_supp"))
+        .orderBy($"nationkey")
+    },
+    Some("""SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+      COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+      FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+      ON c_nationkey = s_nationkey
+      ORDER BY nationkey"""))
+
+  /** B10 string battery (Portuguese-address-normalization class of ops,
+    * /root/reference field shapes). */
+  private val q26 = Q(
+    "q26_string_fns",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "part").select(
+        $"p_partkey",
+        lower($"p_name").as("lname"),
+        upper($"p_brand").as("ubrand"),
+        length($"p_name").cast("long").as("name_len"),
+        substring($"p_name", 1, 5).as("prefix5"),
+        expr("split_part(p_name, ' ', 1)").as("first_tok"),
+        regexp_extract($"p_name", "([a-z]+)$", 1).as("last_word"),
+        expr("replace(p_name, ' ', '_')").as("snake"),
+        concat_ws("/", $"p_brand", $"p_type").as("brand_type"),
+        instr($"p_name", "bolt").cast("long").as("bolt_pos"),
+        trim(lit("  pad  ")).as("trimmed"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
+      CAST(length(p_name) AS BIGINT) AS name_len,
+      substring(p_name, 1, 5) AS prefix5,
+      split_part(p_name, ' ', 1) AS first_tok,
+      regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      replace(p_name, ' ', '_') AS snake,
+      concat_ws('/', p_brand, p_type) AS brand_type,
+      CAST(strpos(p_name, 'bolt') AS BIGINT) AS bolt_pos,
+      trim('  pad  ') AS trimmed
+      FROM part ORDER BY p_partkey"""))
+
+  /** B11 date/time battery (A11/A12 timestamp formatting + diff,
+    * /root/reference/index.js:311,336,27,55-56). */
+  private val q27 = Q(
+    "q27_date_fns",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").select(
+        $"o_orderkey",
+        year($"o_orderdate").cast("long").as("yr"),
+        month($"o_orderdate").cast("long").as("mo"),
+        dayofmonth($"o_orderdate").cast("long").as("dom"),
+        date_trunc("month", $"o_orderdate").as("month_start"),
+        date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("iso_ts"),
+        datediff(lit("2002-01-01").cast("date"), $"o_orderdate").cast("long").as("days_to_ref"),
+        expr("timestampdiff(MINUTE, o_orderdate, timestamp'2002-01-01 00:00:00')")
+          .cast("long").as("minutes_to_ref"),
+        unix_timestamp($"o_orderdate").as("epoch_s"),
+        add_months($"o_orderdate", 1).cast("timestamp").as("next_month"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+      CAST(year(o_orderdate) AS BIGINT) AS yr,
+      CAST(month(o_orderdate) AS BIGINT) AS mo,
+      CAST(day(o_orderdate) AS BIGINT) AS dom,
+      date_trunc('month', o_orderdate) AS month_start,
+      strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso_ts,
+      CAST(datediff('day', o_orderdate, DATE '2002-01-01') AS BIGINT) AS days_to_ref,
+      CAST(datediff('minute', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS BIGINT) AS minutes_to_ref,
+      CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+      o_orderdate + INTERVAL 1 MONTH AS next_month
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** B12 math battery — only IEEE-exact ops (abs/floor/ceil/sqrt/mod/
+    * greatest); no libm transcendentals whose last bits differ by engine. */
+  private val q28 = Q(
+    "q28_math_fns",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" <= 200)
+        .select(
+          $"l_orderkey", $"l_linenumber", $"l_partkey",
+          abs($"l_discount" - 0.05).as("abs_disc_dev"),
+          floor($"l_extendedprice").cast("long").as("price_floor"),
+          ceil($"l_extendedprice").cast("long").as("price_ceil"),
+          sqrt($"l_quantity").as("qty_sqrt"),
+          ($"l_quantity" % 7.0).as("qty_mod7"),
+          greatest($"l_tax", $"l_discount").as("max_rate"),
+          least($"l_tax", $"l_discount").as("min_rate"),
+          (-$"l_extendedprice").as("neg_price"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey,
+      abs(l_discount - 0.05) AS abs_disc_dev,
+      CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+      sqrt(l_quantity) AS qty_sqrt,
+      fmod(l_quantity, 7.0) AS qty_mod7,
+      greatest(l_tax, l_discount) AS max_rate,
+      least(l_tax, l_discount) AS min_rate,
+      -l_extendedprice AS neg_price
+      FROM lineitem WHERE l_orderkey <= 200
+      ORDER BY l_orderkey, l_linenumber, l_partkey"""))
+
+  /** B12 array + higher-order battery over documents (integer-exact
+    * aggregate lambda). */
+  private val q29 = Q(
+    "q29_array_fns",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("words", split($"text", " "))
+        .select(
+          $"doc_id",
+          size($"words").cast("long").as("n_words"),
+          element_at($"words", 1).as("first_word"),
+          element_at($"words", -1).as("last_word"),
+          array_contains($"words", "spark").as("has_spark"),
+          size(array_distinct($"words")).cast("long").as("n_unique"),
+          concat_ws(" ", slice($"words", 1, 3)).as("first3"),
+          aggregate(transform($"words", w => length(w)), lit(0), (acc, x) => acc + x)
+            .cast("long").as("total_chars"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      (string_split(text, ' '))[1] AS first_word,
+      (string_split(text, ' '))[-1] AS last_word,
+      list_contains(string_split(text, ' '), 'spark') AS has_spark,
+      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+      array_to_string((string_split(text, ' '))[1:3], ' ') AS first3,
+      CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS total_chars
+      FROM documents ORDER BY doc_id"""))
+
+  /** B12 explode/generator: global word count, top 20. */
+  private val q30 = Q(
+    "q30_explode_wordcount",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(split(lower($"text"), " ")).as("word"))
+        .filter(length($"word") > 0)
+        .groupBy($"word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"word")
+        .limit(20)
+    },
+    Some("""SELECT word, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+      WHERE length(word) > 0
+      GROUP BY word ORDER BY n DESC, word LIMIT 20"""))
+
+  /** B12 JSON: extract from the events.props JSON column, then aggregate.
+    * Also exercises the map path (from_json to map). */
+  private val q31 = Q(
+    "q31_json_fns",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .withColumn("k_map", element_at(
+          from_json($"props", org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)), "k"))
+        .groupBy($"event_type")
+        .agg(
+          sum($"k").as("sum_k"),
+          sum($"k_map").as("sum_k_map"),
+          min($"k").as("min_k"),
+          max($"k").as("max_k"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k_map,
+      MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** B6 aggregate battery: count_distinct, min/max, exact-decimal avg and
+    * sample variance assembled from exact sums in double space. */
+  private val q32 = Q(
+    "q32_agg_battery",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(
+          countDistinct($"c_nationkey").as("n_nations"),
+          count(lit(1)).as("n_cust"),
+          min($"c_acctbal").as("min_bal"),
+          max($"c_acctbal").as("max_bal"),
+          sum(dec($"c_acctbal")).cast("double").as("sum_bal"),
+          sum(dec($"c_acctbal") * dec($"c_acctbal")).cast("double").as("sumsq_bal"))
+        .withColumn("avg_bal", $"sum_bal" / $"n_cust")
+        .withColumn("var_bal",
+          ($"sumsq_bal" - $"sum_bal" * $"sum_bal" / $"n_cust") / ($"n_cust" - 1))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+      COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_cust,
+      MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sumsq_bal,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal,
+      (CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        / (COUNT(*) - 1) AS var_bal
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** B6 collect_list/collect_set, canonicalized by sorting. */
+  private val q33 = Q(
+    "q33_collect_sorted",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(
+          array_sort(collect_set($"event_type")).as("types"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id,
+      list_sort(list_distinct(list(event_type))) AS types,
+      COUNT(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** B6 exact distinct counts per group. */
+  private val q34 = Q(
+    "q34_count_distinct",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          countDistinct($"o_custkey").as("n_cust"),
+          countDistinct($"o_orderpriority").as("n_prio"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus,
+      COUNT(DISTINCT o_custkey) AS n_cust,
+      COUNT(DISTINCT o_orderpriority) AS n_prio,
+      COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** B6 approx_count_distinct (HLL) — engine-specific sketch, so no SQL
+    * oracle; driver records rows-only. Exact counterpart is q34. */
+  private val q35 = Q(
+    "q35_approx_distinct",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_orderkey").as("approx_orders"),
+          approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+        .orderBy($"l_returnflag")
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18, q19, q25, q26, q27,
+    q28, q29, q30, q31, q32, q33, q34, q35)
+}

@@ -1,7 +1,6 @@
 package graft.queries
 
 /** Placeholders — filled in as each SURVEY §2 tier lands. */
-object Ops { def qs: Seq[Q] = Seq() }
 object TextQueries { def qs: Seq[Q] = Seq() }
 object VectorQueries { def qs: Seq[Q] = Seq() }
 object StreamingQueries { def qs: Seq[Q] = Seq() }
