@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks (SURVEY §2.C C5): tokenization, shingling,
+  * language-ID heuristics, quality metrics, fingerprints. All pure column
+  * expressions (codegen'd, no UDFs) so they stay inside whole-stage codegen
+  * and scale to 100 TB document tables.
+  */
+object TextFunctions {
+
+  /** Tiny in-engine stopword lists for the language-ID heuristic. */
+  val EN_STOP: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+  val ES_STOP: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no")
+
+  /** Whitespace tokens, lower-cased. */
+  def words(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct word n-grams ("shingles"). Short docs (< n words) yield one
+    * partial shingle — the whole doc. */
+  def wordNGrams(ws: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(ws) - n, lit(0))),
+        i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
+
+  /** How many tokens appear in `stops`. */
+  def stopwordHits(ws: Column, stops: Seq[String]): Column =
+    size(filter(ws, w => array_contains(typedlit(stops), w))).cast("long")
+
+  /** BPE-ish regex token count: letter runs, digit runs, single symbols. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Whole-document md5 fingerprint. */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** Canonical ("key collapsing") fingerprint: md5 over the sorted distinct
+    * word set — equal for word-order permutations and duplications. */
+  def canonicalFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+
+  /** Polynomial rolling hash (base 31, mod 1e9+7) over characters — kept
+    * under the modulus so it is exactly reproducible in any engine with
+    * 64-bit integers (no overflow wraparound semantics needed). */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Jaccard similarity of two pre-deduplicated arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** SURVEY §2 B14: streaming capability, batch-oracled. Each query runs the
+  * exact aggregation a Structured Streaming job would run (same window
+  * functions, same output schema) in batch mode over events — the oracle
+  * checks semantics; StreamingSpec runs the same plans through
+  * readStream/writeStream and asserts batch ≡ stream. */
+object StreamingQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Tumbling 1-hour window per event type. */
+  private val q60 = Q(
+    "q60_tumbling_window",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum(dec($"value")).cast("double").as("sum_value"))
+        .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
+  /** Sliding 1-hour window, 30-minute step (each event lands in 2 windows). */
+  private val q61 = Q(
+    "q61_sliding_window",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(window($"ts", "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select($"w.start".as("window_start"), $"n")
+        .orderBy($"window_start")
+    },
+    Some("""SELECT window_start, COUNT(*) AS n FROM (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE]) AS window_start
+      FROM events)
+      GROUP BY window_start ORDER BY window_start"""))
+
+  /** Session windows (30-minute gap) per user; oracle is the classic
+    * gaps-and-islands rewrite. */
+  private val q62 = Q(
+    "q62_session_window",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec($"value")).cast("double").as("sum_value"))
+        .select($"user_id", $"w.start".as("session_start"), $"n_events", $"sum_value")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""WITH m AS (
+        SELECT user_id, ts, value,
+          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+            OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
+            THEN 1 ELSE 0 END AS brk
+        FROM events),
+      sess AS (SELECT user_id, ts, value,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM m)
+      SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
+  /** Streaming dropDuplicates semantics (first occurrence wins by event
+    * time) in batch form. */
+  private val q63 = Q(
+    "q63_stream_dedup_first",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.firstWins(t(s, dir, "events"),
+          Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        .select($"user_id", $"event_type", $"event_id", $"ts")
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""SELECT user_id, event_type, event_id, ts FROM (
+      SELECT user_id, event_type, event_id, ts,
+        ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+      ORDER BY user_id, event_type"""))
+
+  def qs: Seq[Q] = Seq(q60, q61, q62, q63)
+}

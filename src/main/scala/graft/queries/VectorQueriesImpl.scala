@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity}
+import graft.sources.Tables
+
+/** SURVEY §2.C vector-similarity (C3) + multimodal (C4) queries. */
+object VectorQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** C3 exact brute-force cosine top-5 for 8 query vectors. DuckDB's
+    * list_cosine_similarity over DOUBLE[] is bit-identical to our
+    * sequential-fold HOF cosine (verified empirically). */
+  private val q49 = Q(
+    "q49_cosine_topk",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          emb.filter($"vec_id" < 8), emb, "vec_id", "vec_id", "embedding", 5)
+        .orderBy($"q_id", $"rank")
+    },
+    Some("""SELECT q_id, rank, c_id, cosine FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
+      FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+      JOIN embeddings c ON c.vec_id <> q.vec_id)
+      WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  /** C3 scale path: random-hyperplane LSH bucketed approximate top-3.
+    * Engine-seeded hyperplanes → rows-only check; recall vs brute force
+    * is asserted in SimilaritySpec. */
+  private val q50 = Q(
+    "q50_cosine_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val planes = Similarity.hyperplanes(nPlanes = 4, dim = 64)
+      Similarity.lshTopK(
+          emb.filter($"vec_id" < 50), emb, "vec_id", "vec_id", "embedding", 3, planes)
+        .orderBy($"q_id", $"rank")
+    },
+    None)
+
+  /** C4 multimodal join: relational metadata ⋈ embedding vectors sharing
+    * an id space, plus binary payload length. */
+  private val q51 = Q(
+    "q51_multimodal_join",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .join(t(s, dir, "embeddings"), $"doc_id" === $"vec_id")
+        .select(
+          $"doc_id", $"lang", $"source", $"label",
+          $"n_chars",
+          octet_length($"text").cast("long").as("byte_len"),
+          size($"embedding").cast("long").as("dim"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, label, n_chars,
+      CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      CAST(len(embedding) AS BIGINT) AS dim
+      FROM documents JOIN embeddings ON doc_id = vec_id
+      ORDER BY doc_id"""))
+
+  /** C4 blob feature extraction: binary column → partition-parallel
+    * mapPartitions "decode" (stubbed byte histogram; see Multimodal).
+    * Engine-side imperative stage → rows-only check + MultimodalSpec. */
+  private val q52 = Q(
+    "q52_blob_features",
+    (s, dir) => {
+      import s.implicits._
+      val blobs = Multimodal.withBlob(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(blobs, "doc_id", bins = 16)
+        .orderBy($"doc_id")
+    },
+    None)
+
+  /** B15 scalar UDF surface: extract the numeric id from c_name. (The
+    * codegen'd-expression preference is demonstrated by SimHash64; this
+    * query pins the plain-UDF path.) */
+  private val q53 = Q(
+    "q53_udf_scalar",
+    (s, dir) => {
+      import s.implicits._
+      val custId = udf((name: String) =>
+        "([0-9]+)$".r.findFirstIn(name).map(_.toLong).getOrElse(-1L))
+      t(s, dir, "customer")
+        .select($"c_custkey", $"c_name", custId($"c_name").as("parsed_id"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name,
+      CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS parsed_id
+      FROM customer ORDER BY c_custkey"""))
+
+  def qs: Seq[Q] = Seq(q49, q50, q51, q52, q53)
+}
