@@ -53,6 +53,13 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** L independent hyperplane sets — multi-table LSH. Recall compounds as
+    * 1-(1-p^bits)^L, which is what makes random-projection LSH usable on
+    * weakly-correlated (e.g. near-orthogonal random) embeddings. */
+  def hyperplaneTables(tables: Int, bitsPerTable: Int, dim: Int,
+      seed: Long = 42L): Array[Array[Array[Double]]] =
+    Array.tabulate(tables)(l => hyperplanes(bitsPerTable, dim, seed + l))
+
   /** Sign-pattern LSH bucket id: bit j set iff dot(vec, plane_j) > 0. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val vd = toDouble(vec)
@@ -65,15 +72,31 @@ object Similarity {
       bucketCol: String = "bucket"): DataFrame =
     df.withColumn(bucketCol, lshBucket(col(vecCol), planes))
 
-  /** Approximate top-k: probe only the query's own bucket. */
+  /** Multi-table bucket ids: one (table, bucket) row per input row per
+    * table — candidates are any pair colliding in ANY table. */
+  private def withLshTables(df: DataFrame, vecCol: String,
+      tables: Array[Array[Array[Double]]]): DataFrame =
+    df.withColumn("__tb", explode(array(tables.zipWithIndex.map {
+      case (planes, l) =>
+        struct(lit(l).as("table"), lshBucket(col(vecCol), planes).as("bucket"))
+    }: _*))).select(col("*"), col("__tb.table"), col("__tb.bucket")).drop("__tb")
+
+  /** Approximate top-k via multi-table LSH: candidates = bucket collisions
+    * in any of the L tables, then exact cosine + window top-k. Candidate
+    * volume per query shrinks ~2^bits-fold per table; recall compounds
+    * across tables. */
   def lshTopK(queries: DataFrame, candidates: DataFrame,
       qId: String, cId: String, vecCol: String, k: Int,
-      planes: Array[Array[Double]]): DataFrame = {
-    val q = withLshBucket(queries.select(col(qId).as("q_id"), col(vecCol).as("__qv")), "__qv", planes)
-    val c = withLshBucket(candidates.select(col(cId).as("c_id"), col(vecCol).as("__cv")), "__cv", planes)
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      tables: Array[Array[Array[Double]]]): DataFrame = {
+    val q = withLshTables(
+      queries.select(col(qId).as("q_id"), col(vecCol).as("__qv")), "__qv", tables)
+    val c = withLshTables(
+      candidates.select(col(cId).as("c_id"), col(vecCol).as("__cv")), "__cv", tables)
+    val pairs = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .select(col("q_id"), col("c_id"), col("__qv"), col("__cv"))
+      .dropDuplicates("q_id", "c_id")
+    val scored = pairs.withColumn("cosine", cosine(col("__qv"), col("__cv")))
     Dedup.topKPerGroup(scored, Seq("q_id"),
         Seq(col("cosine").desc, col("c_id")), k, "rank")
       .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))

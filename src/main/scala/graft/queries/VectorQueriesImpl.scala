@@ -40,9 +40,9 @@ object VectorQueries {
     (s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      val planes = Similarity.hyperplanes(nPlanes = 4, dim = 64)
+      val tables = Similarity.hyperplaneTables(tables = 10, bitsPerTable = 4, dim = 64)
       Similarity.lshTopK(
-          emb.filter($"vec_id" < 50), emb, "vec_id", "vec_id", "embedding", 3, planes)
+          emb.filter($"vec_id" < 50), emb, "vec_id", "vec_id", "embedding", 3, tables)
         .orderBy($"q_id", $"rank")
     },
     None)

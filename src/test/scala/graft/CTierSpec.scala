@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{SimHash64, TextFunctions}
+import graft.operators.{Multimodal, NearDup, Similarity}
+import graft.sources.Tables
+
+/** §2.C correctness beyond the DuckDB oracle: LSH recall vs exact
+  * baselines, SimHash behavior, multimodal plumbing. */
+class CTierSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sfDir, "documents").cache()
+
+  test("minhash LSH (xxhash production path) finds every exact-Jaccard pair") {
+    // exact ground truth at tau=0.5
+    val grams = docs.select($"doc_id",
+      TextFunctions.wordNGrams(TextFunctions.words($"text"), 3).as("grams"))
+    val exact = grams.as("a").join(grams.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+        TextFunctions.jaccard($"a.grams", $"b.grams").as("j"))
+      .filter($"j" >= 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+
+    val lsh = NearDup.nearDupPairs(docs, "doc_id", "text",
+        mode = NearDup.XxHash)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // LSH verifies candidates with exact Jaccard, so no false positives;
+    // with j≈0.95 planted dups and 4 bands × r=2, recall is ~1
+    assert(lsh.subsetOf(exact))
+    assert(lsh === exact, s"LSH missed pairs: ${exact -- lsh}")
+  }
+
+  test("simhash64: deterministic, permutation-robust, discriminative") {
+    SimHash64.register(spark)
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "dog lazy the over jumps fox brown quick the"), // permutation
+      (4L, "completely different words about spark engines and shuffles"))
+      .toDF("id", "text")
+      .withColumn("sh", expr("simhash64(split(lower(text), ' '))"))
+    val m = df.select("id", "sh").as[(Long, Long)].collect().toMap
+    assert(m(1L) === m(2L)) // deterministic
+    assert(m(1L) === m(3L)) // bag-of-words: order-invariant
+    val hamming = java.lang.Long.bitCount(m(1L) ^ m(4L))
+    assert(hamming > 10, s"unrelated docs should differ, hamming=$hamming")
+  }
+
+  test("simhash codegen and interpreted paths agree") {
+    SimHash64.register(spark)
+    val tokens = Seq("alpha", "beta", "gamma")
+    val viaSql = Seq(tokens.mkString(" ")).toDF("t")
+      .selectExpr("simhash64(split(t, ' ')) AS sh").head.getLong(0)
+    val direct = SimHash64.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        tokens.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray))
+    assert(viaSql === direct)
+  }
+
+  test("multi-table cosine LSH recall vs brute force (>= 0.4 top-3)") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 30)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id", "embedding", 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val tables = Similarity.hyperplaneTables(10, 4, 64)
+    val approx = Similarity.lshTopK(queries, emb, "vec_id", "vec_id", "embedding", 3, tables)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // random gaussian embeddings are LSH's worst case (neighbors are only
+    // weakly correlated); multi-table still has to beat chance soundly
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
+  test("cosine of identical vectors is 1") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val c = df.select(Similarity.cosine($"v", $"v")).head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("multimodal blob features: real schema, deterministic stub decode") {
+    val blobs = Multimodal.withBlob(docs.limit(10), "doc_id", "text")
+    assert(blobs.schema("blob").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(blobs, "doc_id", bins = 16)
+    val rows = feats.orderBy("doc_id").collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val hist = r.getSeq[Double](2)
+      assert(hist.length === 16)
+      assert(math.abs(hist.sum - 1.0) < 1e-9) // normalized histogram
+    }
+    // deterministic: run twice, same result
+    val again = Multimodal.extractFeatures(blobs, "doc_id", bins = 16)
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+}

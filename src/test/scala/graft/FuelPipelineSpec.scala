@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.pipeline.{FileBackedSource, FuelIngest}
+
+/** End-to-end fuel pipeline on the hand-written fixtures (FIXTURES.md §2):
+  * exercises A2-A14 — list scan, fan-out enrichment, null filter, wide
+  * projection, upsert, snapshot append, as-of read, in-array dedup,
+  * quarantine counting. */
+class FuelPipelineSpec extends SparkSpecBase {
+
+  private lazy val source = new FileBackedSource(
+    resource("/fuel/stations_raw.json"),
+    resource("/fuel/station_details.jsonl"))
+
+  test("two-run ingest: upsert keeps first-run stations, appends snapshots") {
+    val base = Files.createTempDirectory("fuel").toString
+    val stationsPath = s"$base/stations"
+    val pricesPath = s"$base/prices"
+
+    val r1 = FuelIngest.run(spark, source, stationsPath, pricesPath,
+      java.sql.Timestamp.valueOf("2023-01-12 06:00:00"))
+    // 7 stubs; id=7 has no detail (quarantined, A14); ids 3,4,5 fail the
+    // null filter (A5) → 3 stations/snapshots survive (1, 2, 6)
+    assert(r1.nStubs === 7)
+    assert(r1.nFetched === 6)
+    assert(r1.nQuarantined === 1)
+    assert(r1.nFiltered === 3)
+    assert(r1.nStationsBefore === 0)
+    assert(r1.nStationsAfter === 3)
+    assert(r1.nPriceSnapshots === 3)
+
+    val stations1 = spark.read.parquet(stationsPath)
+      .select("Id", "Nome", "CreateTimestamp").orderBy("Id").collect()
+    assert(stations1.map(_.getLong(0)).toSeq === Seq(1L, 2L, 6L))
+    // Utilizacao must be dropped (A6)
+    assert(!spark.read.parquet(stationsPath).columns.contains("Utilizacao"))
+
+    // run 2, later timestamp: station rows must NOT change (A7 conflict
+    // branch), prices must append again (A8)
+    val r2 = FuelIngest.run(spark, source, stationsPath, pricesPath,
+      java.sql.Timestamp.valueOf("2023-01-13 06:00:00"))
+    assert(r2.nStationsBefore === 3)
+    assert(r2.nStationsAfter === 3)
+    val stations2 = spark.read.parquet(stationsPath)
+      .select("Id", "Nome", "CreateTimestamp").orderBy("Id").collect()
+    assert(stations2.map(_.getTimestamp(2)).toSeq ===
+      stations1.map(_.getTimestamp(2)).toSeq) // create ts from run 1 kept
+
+    val prices = spark.read.parquet(pricesPath)
+    assert(prices.count() === 6) // 3 snapshots × 2 runs
+
+    // A9: as-of read — at 2023-01-12 23:00 only run-1 snapshots qualify
+    val asOf = FuelIngest.latestPricesAsOf(spark, pricesPath, "2023-01-12 23:00:00")
+    assert(asOf.count() === 3)
+    assert(asOf.select(max("Timestamp")).head.getTimestamp(0) ===
+      java.sql.Timestamp.valueOf("2023-01-12 06:00:00"))
+
+    // A10: station 1's duplicate (DataAtualizacao, Combustivel) entry was
+    // deduped last-wins: 2 entries remain, Gasoleo price = 1.625 (the
+    // later array occurrence), not 1.619
+    val c1 = asOf.filter(col("Id") === 1)
+      .select(explode(col("Combustiveis")).as("f"))
+      .select("f.Combustivel", "f.Preco").orderBy("f.Combustivel").collect()
+    assert(c1.length === 2)
+    assert(c1.head.getDecimal(1).doubleValue() === 1.625)
+  }
+
+  test("config loader filters by prefix (A1)") {
+    val f = Files.createTempFile("cfg", ".properties")
+    Files.writeString(f,
+      "fuelpriceguide.endpoint01=http://a\nfuelpriceguide.table=stations\nother.x=1\n")
+    val cfg = graft.pipeline.Config.load(f.toString, "fuelpriceguide.")
+    assert(cfg === Map("endpoint01" -> "http://a", "table" -> "stations"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, Dedup, Upsert}
+
+/** Unit + randomized-property tests for the tier-A library operators
+  * (SURVEY §5.4). Randomized cases use a fixed seed → deterministic. */
+class OperatorsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def kv(rows: Seq[(Long, String)]) = rows.toDF("k", "v")
+
+  test("upsert insertIfAbsent: existing rows win, new keys appended") {
+    val target = kv(Seq(1L -> "old1", 2L -> "old2"))
+    val incoming = kv(Seq(2L -> "new2", 3L -> "new3"))
+    val got = Upsert.insertIfAbsent(target, incoming, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got === Seq(1L -> "old1", 2L -> "old2", 3L -> "new3"))
+  }
+
+  test("upsert lastWins: incoming rows replace, others survive") {
+    val target = kv(Seq(1L -> "old1", 2L -> "old2"))
+    val incoming = kv(Seq(2L -> "new2", 3L -> "new3"))
+    val got = Upsert.lastWins(target, incoming, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got === Seq(1L -> "old1", 2L -> "new2", 3L -> "new3"))
+  }
+
+  test("upsert idempotence property: upsert(upsert(T,x),x) == upsert(T,x)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val t = Seq.fill(20)((rnd.nextLong(10), rnd.alphanumeric.take(4).mkString))
+        .distinctBy(_._1)
+      val x = Seq.fill(20)((rnd.nextLong(10), rnd.alphanumeric.take(4).mkString))
+        .distinctBy(_._1)
+      val once = Upsert.insertIfAbsent(kv(t), kv(x), Seq("k"))
+      val twice = Upsert.insertIfAbsent(once, kv(x), Seq("k"))
+      assert(once.orderBy("k", "v").collect().toSeq ===
+        twice.orderBy("k", "v").collect().toSeq)
+    }
+  }
+
+  test("dedup keeps exactly one row per key, deterministically") {
+    val df = Seq((1L, "a", 10), (1L, "b", 20), (2L, "c", 5), (2L, "d", 5))
+      .toDF("k", "v", "ord")
+    val last = Dedup.lastWins(df, Seq("k"), Seq("ord", "v"))
+      .orderBy("k").as[(Long, String, Int)].collect().toSeq
+    assert(last === Seq((1L, "b", 20), (2L, "d", 5)))
+    val first = Dedup.firstWins(df, Seq("k"), Seq("ord", "v"))
+      .orderBy("k").as[(Long, String, Int)].collect().toSeq
+    assert(first === Seq((1L, "a", 10), (2L, "c", 5)))
+  }
+
+  test("asofJoin matches brute-force nested-loop reference (randomized)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val lRows = (0 until 50).map { i =>
+        (rnd.nextLong(5), new java.sql.Timestamp(rnd.nextLong(1000) * 1000), i.toLong)
+      }
+      val rRows = Seq.fill(50)(
+          (rnd.nextLong(5), new java.sql.Timestamp(rnd.nextLong(1000) * 1000), rnd.nextInt(999)))
+        .distinctBy(r => (r._1, r._2)) // unique (key, ts) per contract
+      val left = lRows.toDF("k", "ts", "lid")
+      val right = rRows.toDF("k", "ts", "rv")
+      val got = AsOf.asofJoin(left, right, Seq("k"), "ts", "ts", "r_")
+        .select("lid", "r_ts", "r_rv")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      val want = lRows.map { case (k, lts, lid) =>
+        val best = rRows.filter(r => r._1 == k && !r._2.after(lts))
+          .sortBy(_._2.getTime).lastOption
+        (lid, best.map(_._2: Any), best.map(_._3: Any))
+      }.toSet
+      assert(got === want)
+    }
+  }
+
+  test("asofJoin inclusive at equal timestamps") {
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "L"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "R"))
+      .toDF("k", "ts", "rv")
+    val got = AsOf.asofJoin(left, right, Seq("k"), "ts", "ts")
+      .select("r_rv").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("R"))
+  }
+
+  test("topKPerGroup returns k ranked rows per group") {
+    val df = Seq((1, 5), (1, 3), (1, 9), (2, 1)).toDF("g", "x")
+    val got = Dedup.topKPerGroup(df, Seq("g"), Seq($"x".desc), 2)
+      .orderBy("g", "rk").as[(Int, Int, Int)].collect().toSeq
+    assert(got === Seq((1, 9, 1), (1, 5, 2), (2, 1, 1)))
+  }
+}

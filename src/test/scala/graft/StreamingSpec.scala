@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** B14: the streaming slice runs the SAME aggregation as batch q60 through
+  * Structured Streaming (file source → watermark → tumbling window →
+  * memory sink) and must produce identical results — the batch-oracle
+  * pattern from SURVEY §5. */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  test("streaming tumbling-window agg equals batch result") {
+    // stage the events file into a streaming source dir
+    val dir: Path = Files.createTempDirectory("stream-src")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
+
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_out")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = graft.queries.Registry.queries("q60_tumbling_window")(spark, sfDir)
+        .collect().toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops duplicate keys") {
+    val dir: Path = Files.createTempDirectory("stream-src2")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      val distinct = spark.read.parquet(s"$sfDir/events.parquet")
+        .select("user_id", "event_type").distinct().count()
+      assert(n === distinct)
+    } finally q.stop()
+  }
+}
