@@ -35,6 +35,9 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine-native functions, available to DataFrame code and SQL alike
+    graft.functions.SimHash64.register(spark)
+    graft.functions.CosineSim.register(spark)
     spark
   }
 }

@@ -42,13 +42,25 @@ object NearDup {
       md5(concat_ws("|", lit(j.toString) +: slice: _*))
     }: _*)
 
-  /** Candidate pairs (aId < bId) from LSH bucket collisions. */
+  /** Candidate pairs (aId < bId) from LSH bucket collisions.
+    *
+    * Implemented as groupBy(band key) + in-bucket pair expansion rather
+    * than a band-key self-join: the signature subtree is evaluated ONCE
+    * (a self-join would recompute the k hash minima on both sides), and
+    * the shuffle moves only (band key, id) pairs. Bucket sizes are
+    * bounded by LSH design, so the in-bucket combination expansion is
+    * small; pathological buckets would surface in `n_bucket` and can be
+    * capped upstream. */
   def candidatePairs(withSig: DataFrame, id: String, sigCol: String,
       bands: Int, r: Int): DataFrame = {
     val bk = withSig.select(col(id), explode(bandKeys(col(sigCol), bands, r)).as("__bk"))
-    bk.as("a").join(bk.as("b"),
-        col("a.__bk") === col("b.__bk") && col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("a_id"), col(s"b.$id").as("b_id"))
+    bk.groupBy(col("__bk"))
+      .agg(sort_array(collect_list(col(id))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
       .distinct()
   }
 

@@ -27,11 +27,21 @@ object Similarity {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** HOF reference formulation — kept as the readable spec of the fold
+    * semantics. HigherOrderFunction is CodegenFallback in Spark, so this
+    * interprets its lambdas per element. */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = toDouble(a)
     val bd = toDouble(b)
     dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
   }
+
+  /** Production cosine: the fused codegen'd native expression
+    * ([[graft.functions.CosineSim]]) — bit-identical to [[cosineHof]]
+    * (same sequential fold), ~one typed loop per row instead of three
+    * interpreted HOF passes. */
+  def cosine(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 
   /** Exact top-k: for each query row, the k nearest candidates by cosine
     * (ties broken by candidate id). Queries are broadcast. */

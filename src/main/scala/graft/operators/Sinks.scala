@@ -36,6 +36,18 @@ object Sinks {
       .withColumn("snapshot_date", to_date(col(tsCol)))
       .write.mode("append").partitionBy("snapshot_date").parquet(path)
 
+  /** Bucketed table write: pre-shuffles once at write time so future
+    * equi-joins/aggregations on `keys` read co-located buckets with NO
+    * shuffle — the right layout for repeatedly-joined 100 TB fact tables.
+    * (Bucketing requires the catalog, hence saveAsTable.) */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** A7 as a storage op: merge incoming into the parquet table at `path`
     * with insert-if-absent semantics. */
   def upsertParquet(spark: SparkSession, path: String, incoming: DataFrame,

@@ -79,6 +79,18 @@ class CTierSpec extends SparkSpecBase {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("codegen'd cosine_sim is bit-identical to the HOF reference fold") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val pairs = emb.as("a").join(emb.as("b"),
+        $"a.vec_id" < $"b.vec_id" && $"b.vec_id" < 40)
+      .select(
+        Similarity.cosine($"a.embedding", $"b.embedding").as("fast"),
+        Similarity.cosineHof($"a.embedding", $"b.embedding").as("ref"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("multimodal blob features: real schema, deterministic stub decode") {
     val blobs = Multimodal.withBlob(docs.limit(10), "doc_id", "text")
     assert(blobs.schema("blob").dataType ===

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sinks, Skew}
+import graft.sources.Tables
+
+/** Scale-path utilities: salting equivalence and bucketed no-shuffle
+  * joins. Equivalence is asserted against the unsalted/unbucketed plans —
+  * same results, different physical distribution. */
+class ScaleOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey")).count()
+    val salted = Skew.saltedJoin(li, o, Seq("l_orderkey"), salt = 8).count()
+    assert(salted === plain)
+  }
+
+  test("saltedAgg equals plain aggregation") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val plain = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), max($"l_quantity").as("mx"))
+      .orderBy("l_returnflag").collect().toSeq
+    val salted = Skew.saltedAgg(li, Seq("l_returnflag"),
+        Map("n" -> ("count", "l_orderkey"), "mx" -> ("max", "l_quantity")), salt = 8)
+      .orderBy("l_returnflag").collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    // warehouse dir is a static conf; tables land in ./spark-warehouse
+    // (gitignored) and are dropped below
+    val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables(spark, sfDir, "orders")
+      .select($"o_orderkey".as("l_orderkey"), $"o_totalprice")
+    Sinks.writeBucketed(li, "li_bucketed", Seq("l_orderkey"), 8)
+    Sinks.writeBucketed(o, "o_bucketed", Seq("l_orderkey"), 8)
+    // disable broadcast so the join would otherwise shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed").join(spark.table("o_bucketed"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() ===
+        li.join(o, "l_orderkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
+  test("CSV and JSONL round-trip with explicit schema (B1)") {
+    val dir = java.nio.file.Files.createTempDirectory("io").toString
+    val df = Tables(spark, sfDir, "nation")
+    df.write.mode("overwrite").option("header", "true").csv(s"$dir/nation_csv")
+    df.write.mode("overwrite").json(s"$dir/nation_jsonl")
+    val viaCsv = spark.read.schema(df.schema).option("header", "true")
+      .csv(s"$dir/nation_csv")
+    val viaJson = spark.read.schema(df.schema).json(s"$dir/nation_jsonl")
+    val want = df.orderBy("n_nationkey").collect().toSeq
+    assert(viaCsv.orderBy("n_nationkey").collect().toSeq === want)
+    assert(viaJson.orderBy("n_nationkey").collect().toSeq === want)
+  }
+}

@@ -47,6 +47,46 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState carries per-user state across micro-batches") {
+    import graft.streaming.StatefulStats
+    import graft.streaming.StatefulStats.{UserEvent, UserStats}
+    val dir: Path = Files.createTempDirectory("stream-state")
+    val all = spark.read.parquet(s"$sfDir/events.parquet")
+
+    // batch 1: even event_ids
+    all.filter($"event_id" % 2 === 0).write.mode("overwrite")
+      .parquet(dir.resolve("b1").toString)
+    Files.move(dir.resolve("b1").toFile.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath,
+      dir.resolve("drop1.parquet"))
+
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir.toString + "/drop*.parquet")
+      .select($"user_id", $"value").as[UserEvent]
+    val q = StatefulStats.runningStats(stream).writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("state_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: odd event_ids — state must accumulate, not reset
+      all.filter($"event_id" % 2 === 1).write.mode("overwrite")
+        .parquet(dir.resolve("b2").toString)
+      Files.move(dir.resolve("b2").toFile.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath,
+        dir.resolve("drop2.parquet"))
+      q.processAllAvailable()
+
+      // latest emitted state per user == full batch aggregate
+      val latest = spark.table("state_out").as[UserStats]
+        .groupByKey(_.user_id).reduceGroups((a, b) => if (a.n >= b.n) a else b)
+        .map(_._2).collect().map(s => s.user_id -> s.n).toMap
+      val want = all.groupBy("user_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(latest === want)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate keys") {
     val dir: Path = Files.createTempDirectory("stream-src2")
     Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
