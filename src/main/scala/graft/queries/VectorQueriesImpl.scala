@@ -98,5 +98,22 @@ object VectorQueries {
       CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS parsed_id
       FROM customer ORDER BY c_custkey"""))
 
-  def qs: Seq[Q] = Seq(q49, q50, q51, q52, q53)
+  /** B15/B8: custom bounded-heap top-k AGGREGATE (map-side combine, no
+    * window sort) — same result as the window formulation, different
+    * (shuffle-light) physical plan. */
+  private val q54 = Q(
+    "q54_topk_agg",
+    (s, dir) => {
+      import s.implicits._
+      val fn = graft.functions.TopKAgg.register(s, 3)
+      t(s, dir, "part")
+        .groupBy($"p_brand")
+        .agg(expr(s"$fn(p_retailprice)").as("top_prices"))
+        .orderBy($"p_brand")
+    },
+    Some("""SELECT p_brand,
+      (list(p_retailprice ORDER BY p_retailprice DESC, p_partkey))[1:3] AS top_prices
+      FROM part GROUP BY p_brand ORDER BY p_brand"""))
+
+  def qs: Seq[Q] = Seq(q49, q50, q51, q52, q53, q54)
 }

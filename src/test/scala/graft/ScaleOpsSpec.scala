@@ -55,6 +55,26 @@ class ScaleOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("topk aggregate equals the window top-k formulation") {
+    val fn = graft.functions.TopKAgg.register(spark, 3)
+    val part = Tables(spark, sfDir, "part")
+    val viaAgg = part.groupBy("p_brand")
+      .agg(expr(s"$fn(p_retailprice)").as("tp"))
+      .orderBy("p_brand")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val viaWindow = graft.operators.Dedup.topKPerGroup(part, Seq("p_brand"),
+        Seq($"p_retailprice".desc, $"p_partkey"), 3)
+      .groupBy("p_brand").agg(sort_array(collect_list("p_retailprice"), asc = false).as("tp"))
+      .orderBy("p_brand")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(viaAgg === viaWindow)
+    // partial-aggregate shape: plan must NOT contain a window
+    val plan = part.groupBy("p_brand").agg(expr(s"$fn(p_retailprice)"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial"), plan) // map-side combine present
+  }
+
   test("CSV and JSONL round-trip with explicit schema (B1)") {
     val dir = java.nio.file.Files.createTempDirectory("io").toString
     val df = Tables(spark, sfDir, "nation")
