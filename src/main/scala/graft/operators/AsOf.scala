@@ -60,6 +60,37 @@ object AsOf {
     joined.select(leftOut ++ rightOut: _*)
   }
 
+  /** Merge-based as-of join through the engine's custom operator
+    * ([[graft.plans.AsOfJoinNode]] → [[graft.plans.AsOfJoinMergeExec]]):
+    * same semantics and output shape as [[asofJoin]], but executed as a
+    * single forward merge over co-partitioned sorted children — O(n+m)
+    * per partition with one buffered right row, no window state.
+    * `leftTs`/`rightTs` must be TimestampType. */
+  def asofJoinMerge(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPrefix: String = "r_"): DataFrame = {
+    val spark = left.sparkSession
+    org.apache.spark.sql.graft.Bridge.registerStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val rightPrefixed = right.toDF(right.columns.map(rightPrefix + _): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rightPrefixed.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)),
+      keys.map(k => attr(rPlan, rightPrefix + k)),
+      attr(lPlan, leftTs),
+      attr(rPlan, rightPrefix + rightTs))
+    org.apache.spark.sql.graft.Bridge.ofRows(spark, node)
+      .drop(keys.map(rightPrefix + _): _*)
+  }
+
   /** A9 point form: latest row per key as of time `t`. */
   def latestAsOf(df: DataFrame, keys: Seq[String], tsCol: String, t: String,
       tieBreak: Seq[String] = Seq.empty): DataFrame = {

@@ -75,9 +75,11 @@ object OpsQueries {
       FROM events) WHERE rn = 1
       ORDER BY user_id, event_type"""))
 
-  /** B13 as-of join (sort-merge union+window impl): each purchase event
-    * picks up the user's latest click at-or-before it. Oracle uses
-    * DuckDB's native ASOF JOIN. */
+  /** B13 as-of join through the engine's custom whole-operator plan
+    * (AsOfJoinNode → AsOfJoinMergeExec: co-partitioned sorted children +
+    * single forward merge; see graft/plans). The union+window library
+    * formulation is equality-tested against it in OperatorsSpec. Oracle
+    * uses DuckDB's native ASOF JOIN. */
   private val q39 = Q(
     "q39_asof_join",
     (s, dir) => {
@@ -87,7 +89,7 @@ object OpsQueries {
         .select($"event_id", $"user_id", $"ts", $"value")
       val clicks = ev.filter($"event_type" === "click")
         .select($"user_id", $"ts", $"event_id".as("click_event_id"))
-      AsOf.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts", "click_")
+      AsOf.asofJoinMerge(purchases, clicks, Seq("user_id"), "ts", "ts", "click_")
         .select($"event_id", $"user_id", $"ts", $"value",
           $"click_ts", $"click_click_event_id".as("click_event_id"))
         .orderBy($"event_id")

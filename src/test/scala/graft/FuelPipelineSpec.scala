@@ -67,6 +67,22 @@ class FuelPipelineSpec extends SparkSpecBase {
     assert(c1.head.getDecimal(1).doubleValue() === 1.625)
   }
 
+  test("as-of read prunes snapshot_date partitions (the DynamoDB-sort-key replacement)") {
+    val base = Files.createTempDirectory("fuel-prune").toString
+    FuelIngest.run(spark, source, s"$base/st", s"$base/pr",
+      java.sql.Timestamp.valueOf("2023-01-12 06:00:00"))
+    FuelIngest.run(spark, source, s"$base/st", s"$base/pr",
+      java.sql.Timestamp.valueOf("2023-01-13 06:00:00"))
+    val asOf = FuelIngest.latestPricesAsOf(spark, s"$base/pr", "2023-01-12 23:00:00")
+    val plan = asOf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("snapshot_date"), plan)
+    // only the 01-12 partition qualifies → scan reads 1 of 2 partitions
+    val scanned = asOf.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanned.contains("snapshot_date"), scanned)
+  }
+
   test("config loader filters by prefix (A1)") {
     val f = Files.createTempFile("cfg", ".properties")
     Files.writeString(f,

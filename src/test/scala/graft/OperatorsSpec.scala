@@ -85,6 +85,47 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got.map(_.getString(0)).toSeq === Seq("R"))
   }
 
+  test("asofJoinMerge (custom exec) matches the union+window implementation") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val lRows = (0 until 80).map { i =>
+        (rnd.nextLong(6), new java.sql.Timestamp(rnd.nextLong(500) * 1000), i.toLong)
+      }
+      val rRows = Seq.fill(80)(
+          (rnd.nextLong(6), new java.sql.Timestamp(rnd.nextLong(500) * 1000), rnd.nextInt(999)))
+        .distinctBy(r => (r._1, r._2))
+      val left = lRows.toDF("k", "ts", "lid")
+      val right = rRows.toDF("k", "ts", "rv")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("lid", "r_ts", "r_rv").collect()
+          .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      val viaWindow = canon(AsOf.asofJoin(left, right, Seq("k"), "ts", "ts"))
+      val viaMerge = canon(AsOf.asofJoinMerge(left, right, Seq("k"), "ts", "ts"))
+      assert(viaMerge === viaWindow)
+    }
+  }
+
+  test("asofJoinMerge plans as the custom merge exec with co-partitioned sorts") {
+    val ev = graft.sources.Tables(spark, sfDir, "events")
+    import org.apache.spark.sql.functions.col
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val merged = AsOf.asofJoinMerge(purchases, clicks, Seq("user_id"), "ts", "ts", "click_")
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoinMerge"), plan) // nodeName strips "Exec"
+    // equality with the window implementation on real data
+    val viaWindow = AsOf.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts", "click_")
+      .select("event_id", "click_ts", "click_event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val viaMerge = merged
+      .select("event_id", "click_ts", "click_event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(viaMerge === viaWindow)
+    assert(viaMerge.nonEmpty)
+  }
+
   test("topKPerGroup returns k ranked rows per group") {
     val df = Seq((1, 5), (1, 3), (1, 9), (2, 1)).toDF("g", "x")
     val got = Dedup.topKPerGroup(df, Seq("g"), Seq($"x".desc), 2)
