@@ -7,8 +7,10 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** 64-bit SimHash over a token array — a native Catalyst expression with
-  * codegen (SURVEY §2.C C2; custom-Expression tier of the build plan §4).
+/** 64-bit SimHash (Charikar, "Similarity estimation techniques from
+  * rounding algorithms", STOC 2002) over a token array — a native
+  * Catalyst expression with codegen (SURVEY §2.C C2; custom-Expression
+  * tier of the build plan §4).
   *
   * SimHash folds every token's 64-bit hash into one signed bit-count
   * vector; near-duplicate documents land within a small Hamming distance.

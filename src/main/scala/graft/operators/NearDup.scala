@@ -4,8 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
-/** Near-duplicate detection via MinHash + LSH banding (SURVEY §2.C C2) —
-  * the scale path for fuzzy dedup over billions of documents.
+/** Near-duplicate detection via MinHash + LSH banding (SURVEY §2.C C2;
+  * Broder, "On the resemblance and containment of documents", 1997; the
+  * banding analysis follows Leskovec/Rajaraman/Ullman, Mining of Massive
+  * Datasets ch. 3) — the scale path for fuzzy dedup over billions of
+  * documents.
   *
   * Pipeline: shingle (word n-grams) → k minhashes → band keys → bucket
   * self-join on band key (candidate generation — the only join, and it

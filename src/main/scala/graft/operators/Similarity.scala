@@ -63,9 +63,11 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** L independent hyperplane sets — multi-table LSH. Recall compounds as
-    * 1-(1-p^bits)^L, which is what makes random-projection LSH usable on
-    * weakly-correlated (e.g. near-orthogonal random) embeddings. */
+  /** L independent hyperplane sets — multi-table LSH (random-hyperplane
+    * hashing per Charikar 2002; multi-table amplification per
+    * Indyk/Motwani 1998). Recall compounds as 1-(1-p^bits)^L, which is
+    * what makes random-projection LSH usable on weakly-correlated (e.g.
+    * near-orthogonal random) embeddings. */
   def hyperplaneTables(tables: Int, bitsPerTable: Int, dim: Int,
       seed: Long = 42L): Array[Array[Array[Double]]] =
     Array.tabulate(tables)(l => hyperplanes(bitsPerTable, dim, seed + l))

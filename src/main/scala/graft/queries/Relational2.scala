@@ -414,6 +414,68 @@ object Relational2 {
     },
     None)
 
+  /** B5 right outer join: all nations kept, suppliers optional. */
+  private val q55 = Q(
+    "q55_right_join",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), $"s_nationkey" === $"n_nationkey", "right")
+        .groupBy($"n_nationkey", $"n_name")
+        .agg(count($"s_suppkey").as("n_supp"))
+        .orderBy($"n_nationkey")
+    },
+    Some("""SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_supp
+      FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_nationkey, n_name ORDER BY n_nationkey"""))
+
+  /** B6 min_by/max_by: order key with the extreme price per status. The
+    * ordering value folds in the key (prices are 2-decimal integers under
+    * 1e6 when scaled, so the combined double is exact) → tie-free. */
+  private val q56 = Q(
+    "q56_minmax_by",
+    (s, dir) => {
+      import s.implicits._
+      val rank = $"o_totalprice" * 1000000.0 + $"o_orderkey"
+      t(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          max_by($"o_orderkey", rank).as("priciest_order"),
+          min_by($"o_orderkey", rank).as("cheapest_order"),
+          max($"o_totalprice").as("max_price"),
+          min($"o_totalprice").as("min_price"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus,
+      arg_max(o_orderkey, o_totalprice * 1000000.0 + o_orderkey) AS priciest_order,
+      arg_min(o_orderkey, o_totalprice * 1000000.0 + o_orderkey) AS cheapest_order,
+      MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** B12 map functions over the parsed JSON props. */
+  private val q57 = Q(
+    "q57_map_fns",
+    (s, dir) => {
+      import s.implicits._
+      val m = from_json($"props", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+      t(s, dir, "events")
+        .filter($"event_id" < 500)
+        .select(
+          $"event_id",
+          map_keys(m).as("ks"),
+          map_values(m).as("vs"),
+          size(m).cast("long").as("n_entries"),
+          element_at(m, "k").as("k_val"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id,
+      ['k'] AS ks,
+      [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS vs,
+      CAST(1 AS BIGINT) AS n_entries,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      FROM events WHERE event_id < 500 ORDER BY event_id"""))
+
   def qs: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18, q19, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q35)
+    q28, q29, q30, q31, q32, q33, q34, q35, q55, q56, q57)
 }
