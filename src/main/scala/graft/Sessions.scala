@@ -38,6 +38,9 @@ object Sessions {
     // engine-native functions, available to DataFrame code and SQL alike
     graft.functions.SimHash64.register(spark)
     graft.functions.CosineSim.register(spark)
+    graft.operators.NearDup.registerMd5Sig(spark, 8)
+    graft.functions.TextFunctions.registerNGrams(spark, 3)
+    graft.functions.JaccardSim.register(spark)
     spark
   }
 }

@@ -18,12 +18,23 @@ object TextFunctions {
   def words(text: Column): Column = split(lower(text), " ")
 
   /** Distinct word n-grams ("shingles"). Short docs (< n words) yield one
-    * partial shingle — the whole doc. */
+    * partial shingle — the whole doc. Fused native expression
+    * ([[WordNGrams]]); [[wordNGramsHof]] is the column-formulation spec. */
   def wordNGrams(ws: Column, n: Int): Column =
+    call_function(s"word_ngrams_$n", ws)
+
+  /** Reference HOF formulation of [[wordNGrams]] (interpreted; kept as
+    * the executable spec the native expression is tested against). */
+  def wordNGramsHof(ws: Column, n: Int): Column =
     array_distinct(
       transform(
         sequence(lit(0), greatest(size(ws) - n, lit(0))),
         i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
+
+  /** Register `word_ngrams_<n>` (done by Sessions.local for n=3). */
+  def registerNGrams(spark: org.apache.spark.sql.SparkSession, n: Int): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      s"word_ngrams_$n", exprs => WordNGrams(exprs.head, n), "built-in")
 
   /** How many tokens appear in `stops`. */
   def stopwordHits(ws: Column, stops: Seq[String]): Column =
@@ -50,7 +61,14 @@ object TextFunctions {
       lit(0L),
       (acc, x) => (acc * 31 + x) % 1000000007L)
 
-  /** Jaccard similarity of two pre-deduplicated arrays. */
+  /** Jaccard similarity of two string arrays (fused native expression;
+    * [[jaccardHof]] is the column-formulation spec). */
   def jaccard(a: Column, b: Column): Column =
+    call_function("jaccard_sim", a, b)
+
+  /** Reference formulation of [[jaccard]]. One caveat vs the native form:
+    * returns 0/0 = null for two empty arrays (native yields NaN); shingle
+    * arrays are never empty. */
+  def jaccardHof(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 }

@@ -33,9 +33,21 @@ object NearDup {
   }
 
   /** k-element MinHash signature of a shingle array (elementwise minima of
-    * k hash families — strings compare lexicographically for Md5Hash). */
-  def minhashSignature(grams: Column, k: Int, mode: HashMode): Column =
-    array((0 until k).map(i => array_min(transform(grams, g => hashOne(g, i, mode)))): _*)
+    * k hash families — strings compare lexicographically for Md5Hash).
+    * Md5Hash uses the fused native [[graft.functions.MinHashMd5Sig]]
+    * expression (bit-identical to the per-seed HOF formulation). */
+  def minhashSignature(grams: Column, k: Int, mode: HashMode): Column = mode match {
+    case Md5Hash =>
+      org.apache.spark.sql.functions.call_function("minhash_md5_" + k, grams)
+    case XxHash =>
+      array((0 until k).map(i => array_min(transform(grams, g => hashOne(g, i, mode)))): _*)
+  }
+
+  /** Register `minhash_md5_<k>` for a session (done by Sessions.local for
+    * the default k). */
+  def registerMd5Sig(spark: org.apache.spark.sql.SparkSession, k: Int): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      s"minhash_md5_$k", exprs => graft.functions.MinHashMd5Sig(exprs.head, k), "built-in")
 
   /** One key per band: hash of the band's signature slice (+ band index so
     * keys never collide across bands). */

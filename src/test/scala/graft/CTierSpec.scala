@@ -32,6 +32,47 @@ class CTierSpec extends SparkSpecBase {
     assert(lsh === exact, s"LSH missed pairs: ${exact -- lsh}")
   }
 
+  test("native word_ngrams and minhash_md5 match their HOF reference formulations") {
+    import graft.functions.TextFunctions
+    val sample = docs.limit(100)
+    val viaNative = sample.select($"doc_id",
+        TextFunctions.wordNGrams(TextFunctions.words($"text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaHof = sample.select($"doc_id",
+        TextFunctions.wordNGramsHof(TextFunctions.words($"text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaNative === viaHof)
+    // short-doc edges
+    val edge = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"), (5L, "x x x x"))
+      .toDF("id", "t")
+    val en = edge.select($"id", TextFunctions.wordNGrams(split($"t", " "), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val eh = edge.select($"id", TextFunctions.wordNGramsHof(split($"t", " "), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(en === eh)
+    assert(en(1L) === Seq("a") && en(5L) === Seq("x x x"))
+
+    // minhash_md5 fused expression vs per-seed HOF minima
+    import org.apache.spark.sql.functions.{array, array_min, transform, md5, concat, lit}
+    val g = sample.select($"doc_id",
+      TextFunctions.wordNGrams(TextFunctions.words($"text"), 3).as("grams"))
+    val fused = g.select($"doc_id",
+        graft.operators.NearDup.minhashSignature($"grams", 8, graft.operators.NearDup.Md5Hash).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val hof = g.select($"doc_id", array((0 until 8).map(i =>
+        array_min(transform($"grams", x => md5(concat(lit(s"$i:"), x))))): _*).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fused === hof)
+
+    // jaccard_sim fused expression vs intersect/union formulation
+    val jp = g.as("a").join(g.as("b"), $"a.doc_id" < $"b.doc_id" && $"b.doc_id" < 40)
+      .select(TextFunctions.jaccard($"a.grams", $"b.grams").as("n"),
+        TextFunctions.jaccardHof($"a.grams", $"b.grams").as("h"))
+      .collect()
+    assert(jp.nonEmpty)
+    jp.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("simhash64: deterministic, permutation-robust, discriminative") {
     SimHash64.register(spark)
     val df = Seq(
