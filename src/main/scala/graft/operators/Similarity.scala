@@ -84,6 +84,45 @@ object Similarity {
       bucketCol: String = "bucket"): DataFrame =
     df.withColumn(bucketCol, lshBucket(col(vecCol), planes))
 
+  /** IVF (inverted-file) approximate top-k: a seeded KMeans coarse
+    * quantizer assigns every candidate to one of `nlist` cells ONCE; each
+    * query probes only its `nprobe` nearest cells. The classic
+    * Voronoi-partition ANN layout (IVFADC family, Jégou et al. 2011,
+    * minus the PQ compression) — candidate volume per query drops
+    * nlist/nprobe-fold. Deterministic via fixed seed. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+      qId: String, cId: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val c = candidates
+      .select(col(cId).as("c_id"), col(vecCol).as("__cv"))
+      .withColumn("features", toVec(col("__cv")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(c)
+    val cells = model.clusterCenters.map(_.toArray)
+    val cAssigned = model.transform(c)
+      .select(col("c_id"), col("__cv"), col("prediction").as("cell"))
+    val nearestCells = udf { (v: Seq[Float]) =>
+      cells.zipWithIndex.map { case (ctr, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < ctr.length && j < v.length) {
+          val diff = v(j) - ctr(j); d += diff * diff; j += 1
+        }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val q = queries.select(col(qId).as("q_id"), col(vecCol).as("__qv"))
+      .withColumn("cell", explode(nearestCells(col("__qv"))))
+    val scored = cAssigned.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    Dedup.topKPerGroup(scored, Seq("q_id"),
+        Seq(col("cosine").desc, col("c_id")), k, "rank")
+      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+  }
+
   /** Multi-table bucket ids: one (table, bucket) row per input row per
     * table — candidates are any pair colliding in ANY table. */
   private def withLshTables(df: DataFrame, vecCol: String,

@@ -205,5 +205,38 @@ object TextQueries {
     },
     None)
 
-  def qs: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47, q48)
+  /** C5 composite quality score: length band + stopword ratio + punct
+    * ratio folded into one deterministic [0,1] score (the LLM-pipeline
+    * "keep or drop this document" signal). */
+  private val q58 = Q(
+    "q58_quality_score",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .withColumn("words", TF.words($"text"))
+        .withColumn("n_words", size($"words").cast("double"))
+        .withColumn("sw_ratio",
+          TF.stopwordHits($"words", TF.EN_STOP).cast("double") / $"n_words")
+        .withColumn("punct_ratio",
+          size(regexp_extract_all($"text", lit("[^a-z0-9 ]"), lit(0))).cast("double")
+            / length($"text").cast("double"))
+      docs.select(
+          $"doc_id", $"lang",
+          $"sw_ratio", $"punct_ratio",
+          (when($"n_words".between(20.0, 2000.0), 0.4).otherwise(0.0) +
+            least($"sw_ratio" * 4.0, lit(0.4)) +
+            when($"punct_ratio" <= 0.1, 0.2).otherwise(0.0)).as("quality"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, lang,
+      CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('the','and','of','to','a','in','is','it','for','on'))) AS DOUBLE)
+        / CAST(len(string_split(lower(text),' ')) AS DOUBLE) AS sw_ratio,
+      CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      (CASE WHEN len(string_split(lower(text),' ')) BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
+        + least(CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('the','and','of','to','a','in','is','it','for','on'))) AS DOUBLE)
+            / CAST(len(string_split(lower(text),' ')) AS DOUBLE) * 4.0, 0.4)
+        + CASE WHEN CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) <= 0.1 THEN 0.2 ELSE 0.0 END) AS quality
+      FROM documents ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47, q48, q58)
 }

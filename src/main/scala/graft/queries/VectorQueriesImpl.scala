@@ -115,5 +115,20 @@ object VectorQueries {
       (list(p_retailprice ORDER BY p_retailprice DESC, p_partkey))[1:3] AS top_prices
       FROM part GROUP BY p_brand ORDER BY p_brand"""))
 
-  def qs: Seq[Q] = Seq(q49, q50, q51, q52, q53, q54)
+  /** C3 IVF approximate top-k (seeded KMeans coarse quantizer, nprobe
+    * cell probing). Engine-trained centroids → rows-only check; recall
+    * vs brute force asserted in CTierSpec. */
+  private val q59 = Q(
+    "q59_cosine_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+          emb.filter($"vec_id" < 50), emb, "vec_id", "vec_id", "embedding",
+          k = 3, nlist = 16, nprobe = 4)
+        .orderBy($"q_id", $"rank")
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(q49, q50, q51, q52, q53, q54, q59)
 }

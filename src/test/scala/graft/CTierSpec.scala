@@ -114,6 +114,23 @@ class CTierSpec extends SparkSpecBase {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("IVF cosine recall vs brute force (>= 0.5 top-3 at nprobe=4/16)") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 30)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id", "embedding", 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 4)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+    // determinism: same seed, same result
+    val again = Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 4)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(approx === again)
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     val c = df.select(Similarity.cosine($"v", $"v")).head.getDouble(0)
