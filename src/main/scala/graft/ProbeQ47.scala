@@ -16,10 +16,10 @@ object ProbeQ47 {
     val grams = docs.select($"doc_id",
       graft.functions.TextFunctions.wordNGrams(
         graft.functions.TextFunctions.words($"text"), 3).as("__grams"))
-    time("grams only")(grams.select(sum(size($"__grams"))).head.getLong(0))
+    time("grams only")(grams.select(sum(size($"__grams"))).head().getLong(0))
     val sig = grams.withColumn("__sig",
       graft.operators.NearDup.minhashSignature($"__grams", 8, graft.operators.NearDup.Md5Hash))
-    time("grams+sig")(sig.select(count($"__sig")).head.getLong(0))
+    time("grams+sig")(sig.select(count($"__sig")).head().getLong(0))
     val cands = graft.operators.NearDup.candidatePairs(sig, "doc_id", "__sig", 4, 2)
     time("cands")(cands.count())
     time("full")(graft.operators.NearDup.nearDupPairs(docs, "doc_id", "text",

@@ -29,7 +29,7 @@ object AsOf {
       leftTs: String,
       rightTs: String,
       rightPrefix: String = "r_"): DataFrame = {
-    val rightPayload = right.columns.filterNot(keys.contains(_))
+    val rightPayload = right.columns.filterNot(keys.contains(_)).toIndexedSeq
     val rStructCols = rightPayload.map(c => col(c).as(c))
     val rStructType = right.select(rStructCols: _*).schema
 
@@ -38,7 +38,7 @@ object AsOf {
       keyCols ++ Seq(
         col(leftTs).cast("timestamp").as("__ts"),
         lit(1).as("__side"),
-        struct(left.columns.map(col): _*).as("__l"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
         lit(null).cast(org.apache.spark.sql.types.StructType(rStructType)).as("__r")): _*)
     val rTagged = right.select(
       keyCols ++ Seq(
@@ -55,7 +55,7 @@ object AsOf {
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
 
-    val leftOut = left.columns.map(c => col(s"__l.$c").as(c))
+    val leftOut = left.columns.toIndexedSeq.map(c => col(s"__l.$c").as(c))
     val rightOut = rightPayload.map(c => col(s"__match.$c").as(rightPrefix + c))
     joined.select(leftOut ++ rightOut: _*)
   }

@@ -30,7 +30,8 @@ object FuelIngest {
       source: StationSource,
       stationsPath: String,
       pricesPath: String,
-      runTs: java.sql.Timestamp): RunReport = {
+      runTs: java.sql.Timestamp,
+      quarantinePath: Option[String] = None): RunReport = {
     val t0 = System.nanoTime()
 
     // A2/A3: list endpoint → stubs
@@ -40,7 +41,14 @@ object FuelIngest {
     // A4: fan-out lookup enrichment (partition-parallel)
     val enriched = LookupEnricher.enrich(stubs, "id", source).cache()
     val nFetched = enriched.filter(col("detail").isNotNull).count()
-    val nQuarantined = enriched.filter(col("detail").isNull).count() // A14
+    // A14: failed/missing lookups are routed to a quarantine output (not
+    // silently dropped) — the reference only log-and-continues
+    val quarantined = enriched.filter(col("detail").isNull)
+      .select(col("id"), col("nome"), lit("detail_fetch_failed").as("reason"),
+        lit(runTs).cast("timestamp").as("quarantined_at"))
+    val nQuarantined = quarantined.count()
+    quarantinePath.foreach(p =>
+      quarantined.write.mode("append").parquet(p))
 
     // A5: null-rejecting filter (index.js:118-120)
     val filtered = enriched.filter(

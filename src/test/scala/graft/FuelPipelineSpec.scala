@@ -20,7 +20,8 @@ class FuelPipelineSpec extends SparkSpecBase {
     val pricesPath = s"$base/prices"
 
     val r1 = FuelIngest.run(spark, source, stationsPath, pricesPath,
-      java.sql.Timestamp.valueOf("2023-01-12 06:00:00"))
+      java.sql.Timestamp.valueOf("2023-01-12 06:00:00"),
+      quarantinePath = Some(s"$base/quarantine"))
     // 7 stubs; id=7 has no detail (quarantined, A14); ids 3,4,5 fail the
     // null filter (A5) → 3 stations/snapshots survive (1, 2, 6)
     assert(r1.nStubs === 7)
@@ -30,6 +31,21 @@ class FuelPipelineSpec extends SparkSpecBase {
     assert(r1.nStationsBefore === 0)
     assert(r1.nStationsAfter === 3)
     assert(r1.nPriceSnapshots === 3)
+
+    // A14: quarantine output carries the failed lookup with a reason
+    val quar = spark.read.parquet(s"$base/quarantine").collect()
+    assert(quar.length === 1)
+    assert(quar.head.getAs[Long]("id") === 7L)
+    assert(quar.head.getAs[String]("reason") === "detail_fetch_failed")
+
+    // typed Dataset surface reads the sink schemas
+    val typedStations = graft.pipeline.FuelModel.stations(spark, stationsPath)
+      .collect().sortBy(_.Id)
+    assert(typedStations.map(_.Id).toSeq === Seq(1L, 2L, 6L))
+    assert(typedStations.head.Morada.Localidade === "Lisboa")
+    val typedPrices = graft.pipeline.FuelModel.prices(spark, pricesPath).collect()
+    assert(typedPrices.length === 3)
+    assert(typedPrices.flatMap(_.Combustiveis).forall(_.Preco != null))
 
     val stations1 = spark.read.parquet(stationsPath)
       .select("Id", "Nome", "CreateTimestamp").orderBy("Id").collect()
