@@ -84,6 +84,21 @@ object Similarity {
       bucketCol: String = "bucket"): DataFrame =
     df.withColumn(bucketCol, lshBucket(col(vecCol), planes))
 
+  /** Embedding-cosine near-dup pairs (the last dedup flavor in §2.C:
+    * semantic near-dups that share no surface text). Exact all-pairs form
+    * — O(n²/2) cosines, tractable thanks to the fused native expression;
+    * at corpus scale feed LSH/IVF candidates through the same `tau`
+    * filter instead (compose [[lshTopK]]/[[ivfTopK]] with a threshold). */
+  def cosineNearDupPairs(df: DataFrame, id: String, vecCol: String,
+      tau: Double): DataFrame = {
+    val a = df.select(col(id).as("a_id"), col(vecCol).as("__av"))
+    val b = df.select(col(id).as("b_id"), col(vecCol).as("__bv"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cosine", cosine(col("__av"), col("__bv")))
+      .filter(col("cosine") >= tau)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
   /** IVF (inverted-file) approximate top-k: a seeded KMeans coarse
     * quantizer assigns every candidate to one of `nlist` cells ONCE; each
     * query probes only its `nprobe` nearest cells. The classic

@@ -130,5 +130,22 @@ object VectorQueries {
     },
     None)
 
-  def qs: Seq[Q] = Seq(q49, q50, q51, q52, q53, q54, q59)
+  /** C2/C3 embedding-cosine near-dup: semantic duplicate pairs at
+    * tau=0.45 (exact all-pairs; the scale path reuses LSH/IVF candidate
+    * generation — see Similarity.cosineNearDupPairs). */
+  private val q65 = Q(
+    "q65_cosine_neardup",
+    (s, dir) => {
+      import s.implicits._
+      Similarity.cosineNearDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some("""SELECT a_id, b_id, cosine FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      WHERE cosine >= 0.45 ORDER BY a_id, b_id"""))
+
+  def qs: Seq[Q] = Seq(q49, q50, q51, q52, q53, q54, q59, q65)
 }

@@ -9,7 +9,7 @@ class QueriesSmokeSpec extends SparkSpecBase {
   // empty-at-tiny-sf is legitimate for these (near-dup pairs may not
   // survive tau at a 500-doc sample, etc.) — run-without-error only
   private val mayBeEmpty = Set("q46_ngram_jaccard", "q47_minhash_lsh",
-    "q48_simhash_neardup", "q06_anti_join", "q16_setops")
+    "q48_simhash_neardup", "q06_anti_join", "q16_setops", "q65_cosine_neardup")
 
   Registry.all.foreach { q =>
     test(s"${q.name} runs at sf0.001${if (q.oracle.isEmpty) " (rows-only)" else ""}") {
