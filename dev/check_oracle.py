@@ -14,13 +14,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the driver's canonicalization EXACTLY: columns sorted by
+    name, then a raw-column lexsort. The driver's sort_values crashes on
+    ndarray/list cells ('unhashable type: numpy.ndarray'), so we check for
+    those up front and raise the same class of failure loudly — a query
+    whose output has array/map cells can never pass the driver's gate."""
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df) == 0 or len(df.columns) == 0:
         return df.reset_index(drop=True)
-    # stringify for a total order incl. lists/structs/NaN
-    key = df.astype(str).apply(lambda r: "\x00".join(r.values), axis=1)
-    df = df.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
-    return df
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, (list, dict)) or hasattr(v, "__array__")).any():
+            raise TypeError(
+                f"column {c!r} holds array/struct cells — driver-incompatible "
+                "output type; flatten to scalars (concat_ws/element_at/explode)")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()

@@ -1,14 +1,21 @@
-// temp probe (not committed)
 package graft
+
+/** Dev utility: time one declared query in isolation (3 runs after a
+  * warm-up table read). `runMain graft.BenchOne <sfDir> <queryName>` —
+  * used because single full-suite bench runs have ~±30% ambient variance
+  * on a shared box. Writes to the `noop` sink so the whole plan executes
+  * without materialization cost. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0); val name = args(1)
+    require(args.length == 2, "usage: BenchOne <sfDir> <queryName>")
+    val sfDir = args(0)
+    val name = args(1)
     val spark = Sessions.local("bench-one")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[probe] $name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      println(f"[bench-one] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -24,7 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinHashMd5Sig(child: Expression, k: Int)
     extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // containsNull: compute() yields null per-seed entries when the token
+  // array is empty or all-null (array_min-of-empty HOF semantics), so the
+  // declared element type must admit nulls.
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "minhash_md5"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

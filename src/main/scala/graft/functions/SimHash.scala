@@ -79,3 +79,84 @@ object SimHash64 {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
 }
+
+/** 60-bit SimHash whose token hash is the top 60 bits of md5 — i.e. the
+  * BIGINT value of the first 15 hex chars of `md5(token)`. Same algorithm
+  * as [[SimHash64]], different hash primitive: md5 is replicable in ANSI
+  * SQL (`('0x' || substr(md5(t), 1, 15))::BIGINT` in DuckDB), which makes
+  * the full simhash near-dup pipeline oracle-checkable end to end. The
+  * xxh64-based [[SimHash64]] stays the production fingerprint (faster,
+  * 64 bits); this is its verification twin, same pattern as
+  * [[MinHashMd5Sig]] vs the xxhash64 MinHash mode. */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_md5 requires array<string>, got $other")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashMd5.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashMd5.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
+object SimHashMd5 {
+
+  val Bits = 60
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(tokens: ArrayData): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = new Array[Int](Bits)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash60(md, tokens.getUTF8String(i))
+        var b = 0
+        while (b < Bits) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < Bits) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** BIGINT of the first 15 hex chars of md5(token): digest bytes 0..6
+    * in full plus the high nibble of byte 7 (15 nibbles = 60 bits). */
+  def hash60(md: java.security.MessageDigest, s: UTF8String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) {
+      v = (v << 8) | (d(i) & 0xffL)
+      i += 1
+    }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  /** Register `simhash_md5(array<string>) -> bigint` for SQL/expr use. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_md5", exprs => SimHashMd5(exprs.head), "built-in")
+}

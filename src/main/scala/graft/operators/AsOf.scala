@@ -19,8 +19,18 @@ import org.apache.spark.sql.functions._
   *
   * Right rows must be unique per (keys, ts) for full determinism —
   * pre-dedup with [[Dedup.lastWins]] otherwise.
+  *
+  * NULL join keys follow SQL equi-join semantics: a NULL key never
+  * matches, so null-keyed right rows are dropped before the merge and
+  * null-keyed left rows come back with a null match (left-join shape).
   */
 object AsOf {
+
+  /** Drop right rows whose join key (any component) is null — NULL never
+    * matches in an equi-join, but window partitionBy / groupBy treat
+    * nulls as equal, so they must be excluded up front. */
+  private def nonNullKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
 
   def asofJoin(
       left: DataFrame,
@@ -29,6 +39,7 @@ object AsOf {
       leftTs: String,
       rightTs: String,
       rightPrefix: String = "r_"): DataFrame = {
+    val rightNN = nonNullKeys(right, keys)
     val rightPayload = right.columns.filterNot(keys.contains(_)).toIndexedSeq
     val rStructCols = rightPayload.map(c => col(c).as(c))
     val rStructType = right.select(rStructCols: _*).schema
@@ -40,7 +51,7 @@ object AsOf {
         lit(1).as("__side"),
         struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
         lit(null).cast(org.apache.spark.sql.types.StructType(rStructType)).as("__r")): _*)
-    val rTagged = right.select(
+    val rTagged = rightNN.select(
       keyCols ++ Seq(
         col(rightTs).cast("timestamp").as("__ts"),
         lit(0).as("__side"),
@@ -75,7 +86,8 @@ object AsOf {
       rightPrefix: String = "r_"): DataFrame = {
     val spark = left.sparkSession
     org.apache.spark.sql.graft.Bridge.registerStrategy(spark, graft.plans.AsOfJoinStrategy)
-    val rightPrefixed = right.toDF(right.columns.map(rightPrefix + _): _*)
+    val rightPrefixed = nonNullKeys(right, keys)
+      .toDF(right.columns.toIndexedSeq.map(rightPrefix + _): _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = rightPrefixed.queryExecution.analyzed
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =

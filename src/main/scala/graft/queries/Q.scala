@@ -17,8 +17,8 @@ final case class Q(
     oracle: Option[String])
 
 object Registry {
-  def all: Seq[Q] = Relational.qs ++ Relational2.qs ++ OpsQueries.qs ++
-    TextQueries.qs ++ VectorQueries.qs ++ StreamingQueries.qs
+  def all: Seq[Q] = Relational.qs ++ Relational2.qs ++ Relational3.qs ++
+    OpsQueries.qs ++ TextQueries.qs ++ VectorQueries.qs ++ StreamingQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

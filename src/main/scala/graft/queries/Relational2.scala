@@ -363,7 +363,9 @@ object Relational2 {
         / (COUNT(*) - 1) AS var_bal
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
-  /** B6 collect_list/collect_set, canonicalized by sorting. */
+  /** B6 collect_list/collect_set, canonicalized by sorting. The array is
+    * flattened to a joined string at the output boundary — the harness
+    * compare needs scalar (hashable/sortable) cells. */
   private val q33 = Q(
     "q33_collect_sorted",
     (s, dir) => {
@@ -371,12 +373,12 @@ object Relational2 {
       t(s, dir, "events")
         .groupBy($"user_id")
         .agg(
-          array_sort(collect_set($"event_type")).as("types"),
+          concat_ws("|", array_sort(collect_set($"event_type"))).as("types"),
           count(lit(1)).as("n_events"))
         .orderBy($"user_id")
     },
     Some("""SELECT user_id,
-      list_sort(list_distinct(list(event_type))) AS types,
+      array_to_string(list_sort(list_distinct(list(event_type))), '|') AS types,
       COUNT(*) AS n_events
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
@@ -399,8 +401,13 @@ object Relational2 {
       COUNT(*) AS n
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
-  /** B6 approx_count_distinct (HLL) — engine-specific sketch, so no SQL
-    * oracle; driver records rows-only. Exact counterpart is q34. */
+  /** B6 approx_count_distinct (HLL). The raw sketch estimate is
+    * engine-specific (Spark HLL++ vs DuckDB HLL differ), so the hashed
+    * output is the exact count plus a bounded-relative-error check of the
+    * approx value against it: Spark emits `|approx-exact|/exact <= 0.10`
+    * (deterministic — HLL++ is deterministic for fixed data), the oracle
+    * emits the exact count and literal TRUE. Tolerance is 2× the default
+    * rsd=0.05 / the requested rsd=0.02. */
   private val q35 = Q(
     "q35_approx_distinct",
     (s, dir) => {
@@ -408,11 +415,21 @@ object Relational2 {
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          approx_count_distinct($"l_orderkey").as("approx_orders"),
-          approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+          countDistinct($"l_orderkey").as("exact_orders"),
+          countDistinct($"l_partkey").as("exact_parts"),
+          approx_count_distinct($"l_orderkey").as("__ao"),
+          approx_count_distinct($"l_partkey", 0.02).as("__ap"))
+        .select(
+          $"l_returnflag", $"exact_orders", $"exact_parts",
+          (abs($"__ao" - $"exact_orders") <= $"exact_orders" * 0.10).as("orders_ok"),
+          (abs($"__ap" - $"exact_parts") <= $"exact_parts" * 0.04).as("parts_ok"))
         .orderBy($"l_returnflag")
     },
-    None)
+    Some("""SELECT l_returnflag,
+      COUNT(DISTINCT l_orderkey) AS exact_orders,
+      COUNT(DISTINCT l_partkey) AS exact_parts,
+      TRUE AS orders_ok, TRUE AS parts_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** B5 right outer join: all nations kept, suppliers optional. */
   private val q55 = Q(
@@ -430,13 +447,15 @@ object Relational2 {
       GROUP BY n_nationkey, n_name ORDER BY n_nationkey"""))
 
   /** B6 min_by/max_by: order key with the extreme price per status. The
-    * ordering value folds in the key (prices are 2-decimal integers under
-    * 1e6 when scaled, so the combined double is exact) → tie-free. */
+    * ordering value is a (price, orderkey) struct — lexicographic struct
+    * comparison is collision-free at any scale, unlike a scaled-double
+    * rank. DuckDB's arg_max can't order by struct, so the oracle uses the
+    * equivalent row_number formulation. */
   private val q56 = Q(
     "q56_minmax_by",
     (s, dir) => {
       import s.implicits._
-      val rank = $"o_totalprice" * 1000000.0 + $"o_orderkey"
+      val rank = struct($"o_totalprice", $"o_orderkey")
       t(s, dir, "orders")
         .groupBy($"o_orderstatus")
         .agg(
@@ -446,13 +465,22 @@ object Relational2 {
           min($"o_totalprice").as("min_price"))
         .orderBy($"o_orderstatus")
     },
-    Some("""SELECT o_orderstatus,
-      arg_max(o_orderkey, o_totalprice * 1000000.0 + o_orderkey) AS priciest_order,
-      arg_min(o_orderkey, o_totalprice * 1000000.0 + o_orderkey) AS cheapest_order,
-      MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
-      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+    Some("""WITH r AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rd,
+        ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+          ORDER BY o_totalprice ASC, o_orderkey ASC) AS ra
+      FROM orders)
+      SELECT o_orderstatus,
+        MAX(CASE WHEN rd = 1 THEN o_orderkey END) AS priciest_order,
+        MIN(CASE WHEN ra = 1 THEN o_orderkey END) AS cheapest_order,
+        MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+      FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
-  /** B12 map functions over the parsed JSON props. */
+  /** B12 map functions over the parsed JSON props. Key/value arrays are
+    * flattened to joined strings at the output boundary (scalar cells for
+    * the harness compare). */
   private val q57 = Q(
     "q57_map_fns",
     (s, dir) => {
@@ -463,15 +491,15 @@ object Relational2 {
         .filter($"event_id" < 500)
         .select(
           $"event_id",
-          map_keys(m).as("ks"),
-          map_values(m).as("vs"),
+          concat_ws(",", map_keys(m)).as("ks"),
+          concat_ws(",", transform(map_values(m), _.cast("string"))).as("vs"),
           size(m).cast("long").as("n_entries"),
           element_at(m, "k").as("k_val"))
         .orderBy($"event_id")
     },
     Some("""SELECT event_id,
-      ['k'] AS ks,
-      [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS vs,
+      'k' AS ks,
+      CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) AS vs,
       CAST(1 AS BIGINT) AS n_entries,
       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
       FROM events WHERE event_id < 500 ORDER BY event_id"""))

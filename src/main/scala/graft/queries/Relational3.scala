@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** SURVEY §2 B6/B10 extensions added in round 2: exact percentiles,
+  * bivariate statistics, edit-distance fuzzy matching, pivot/unpivot
+  * reshaping. All DuckDB-oracled.
+  *
+  * Numeric policy (same as Relational/Relational2): aggregates whose FP
+  * accumulation order differs between engines are either computed over
+  * small-magnitude columns (so double error stays far below the rounding
+  * grain) and rounded, or kept exact via decimal internals.
+  */
+object Relational3 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** B6 exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, both the classic (n-1)·q linear interpolation). */
+  private val q20 = Q(
+    "q20_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          percentile($"l_quantity", lit(0.5)).as("med_qty"),
+          percentile($"l_extendedprice", lit(0.25)).as("p25_price"),
+          percentile($"l_extendedprice", lit(0.75)).as("p75_price"),
+          percentile($"l_extendedprice", lit(0.95)).as("p95_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS med_qty,
+      CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE) AS p25_price,
+      CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE) AS p75_price,
+      CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS p95_price,
+      COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** B6 bivariate/second-moment statistics. Columns are small-magnitude
+    * (quantity ≤ 50, discount/tax ≤ 0.1) so the engines' differing
+    * accumulation orders agree to ~1e-12 abs; outputs are rounded to 6 dp
+    * — far above the FP noise, far below the signal. */
+  private val q21 = Q(
+    "q21_corr_stats",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_linestatus")
+        .agg(
+          round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+          round(covar_samp($"l_quantity", $"l_discount"), 6).as("covar_qty_disc"),
+          round(covar_pop($"l_quantity", $"l_discount"), 6).as("covarp_qty_disc"),
+          round(stddev_samp($"l_discount"), 6).as("sd_disc"),
+          round(stddev_pop($"l_discount"), 6).as("sdp_disc"),
+          round(var_samp($"l_tax"), 6).as("var_tax"),
+          round(var_pop($"l_tax"), 6).as("varp_tax"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_linestatus")
+    },
+    Some("""SELECT l_linestatus,
+      ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+      ROUND(covar_pop(l_quantity, l_discount), 6) AS covarp_qty_disc,
+      ROUND(stddev_samp(l_discount), 6) AS sd_disc,
+      ROUND(stddev_pop(l_discount), 6) AS sdp_disc,
+      ROUND(var_samp(l_tax), 6) AS var_tax,
+      ROUND(var_pop(l_tax), 6) AS varp_tax,
+      COUNT(*) AS n
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** B10/C2 edit-distance fuzzy matching: all part-name pairs in a fixed
+    * id window within Levenshtein ≤ 3 (0 = identical names) — the string-similarity dedup
+    * flavor (complements token-set Jaccard q46 / MinHash q47). The id
+    * window keeps the pair count bounded at every SF. */
+  private val q22 = Q(
+    "q22_edit_distance",
+    (s, dir) => {
+      import s.implicits._
+      val p = t(s, dir, "part")
+        .filter($"p_partkey" <= 100)
+        .select($"p_partkey", lower($"p_name").as("nm"))
+      p.as("a").join(p.as("b"), $"a.p_partkey" < $"b.p_partkey")
+        .select(
+          $"a.p_partkey".as("a_id"), $"b.p_partkey".as("b_id"),
+          levenshtein($"a.nm", $"b.nm").cast("long").as("dist"))
+        .filter($"dist" <= 3)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some("""SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+        CAST(levenshtein(lower(a.p_name), lower(b.p_name)) AS BIGINT) AS dist
+      FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      WHERE a.p_partkey <= 100 AND b.p_partkey <= 100
+        AND levenshtein(lower(a.p_name), lower(b.p_name)) <= 3
+      ORDER BY a_id, b_id"""))
+
+  /** B6 PIVOT: order counts by priority × status, statuses as columns. */
+  private val q23 = Q(
+    "q23_pivot",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select($"o_orderpriority",
+          coalesce($"F", lit(0L)).as("n_f"),
+          coalesce($"O", lit(0L)).as("n_o"),
+          coalesce($"P", lit(0L)).as("n_p"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+      COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** B3 UNPIVOT (melt): wide part metrics → long (id, metric, value). */
+  private val q24 = Q(
+    "q24_unpivot",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select($"p_partkey",
+          $"p_size".cast("double").as("p_size"), $"p_retailprice")
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")),
+          "metric", "value")
+        .orderBy($"p_partkey", $"metric")
+    },
+    Some("""SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+      ORDER BY p_partkey, metric"""))
+
+  def qs: Seq[Q] = Seq(q20, q21, q22, q23, q24)
+}

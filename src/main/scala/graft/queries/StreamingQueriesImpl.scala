@@ -93,5 +93,29 @@ object StreamingQueries {
       FROM events) WHERE rn = 1
       ORDER BY user_id, event_type"""))
 
-  def qs: Seq[Q] = Seq(q60, q61, q62, q63)
+  /** B14/B15 custom streaming state: per-user running stats via
+    * `mapGroupsWithState` ([[graft.streaming.StatefulStats]]). Spark
+    * executes the same stateful plan in batch mode (empty initial state),
+    * so the Verify path exercises the real operator; StreamingSpec runs
+    * it through readStream and asserts stream ≡ batch. Values ride as
+    * integer cents — the accumulator must commute because group-iterator
+    * order is unspecified. */
+  private val q64 = Q(
+    "q64_stateful_stats",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id",
+          ($"value".cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        .as[graft.streaming.StatefulStats.UserEventC]
+      graft.streaming.StatefulStats.runningStatsCents(ev)
+        .toDF()
+        .select($"user_id", $"n", ($"sum_cents" / 100.0).as("sum_value"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, COUNT(*) AS n,
+      CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  def qs: Seq[Q] = Seq(q60, q61, q62, q63, q64)
 }

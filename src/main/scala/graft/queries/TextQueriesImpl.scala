@@ -178,21 +178,24 @@ object TextQueries {
         FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id)
       WHERE jaccard >= 0.5 ORDER BY a_id, b_id"""))
 
-  /** C2 SimHash near-dup: native codegen'd simhash64 expression, 16-bit
-    * chunk banding (pigeonhole: hamming ≤ 3 guarantees a shared chunk),
-    * Hamming-distance verify. Engine-native hashing → rows-only check;
-    * correctness is covered by SimHashSpec against q46/q47's pairs. */
+  /** C2 SimHash near-dup: native codegen'd simhash expression, 15-bit
+    * chunk banding (pigeonhole: hamming ≤ 3 over 4 chunks guarantees a
+    * shared chunk), Hamming-distance verify. Runs the md5-mode 60-bit
+    * simhash ([[graft.functions.SimHashMd5]]) so the ENTIRE pipeline —
+    * token hash, bit votes, banding, xor/bit_count Hamming — is replicated
+    * in the DuckDB oracle; the xxh64 production mode (simhash64) is parity
+    * /recall-tested in CTierSpec. */
   private val q48 = Q(
     "q48_simhash_neardup",
     (s, dir) => {
       import s.implicits._
-      SimHash64.register(s)
+      graft.functions.SimHashMd5.register(s)
       val docs = t(s, dir, "documents")
-        .withColumn("sh", expr("simhash64(split(lower(text), ' '))"))
+        .withColumn("sh", expr("simhash_md5(split(lower(text), ' '))"))
       val chunks = docs.select($"doc_id", $"sh",
           explode(array((0 until 4).map(j =>
             struct(lit(j).as("chunk_idx"),
-              shiftright($"sh", j * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("c"))
+              shiftright($"sh", j * 15).bitwiseAND(lit(0x7fffL)).as("chunk"))): _*)).as("c"))
         .select($"doc_id", $"sh", $"c.chunk_idx", $"c.chunk")
       chunks.as("a").join(chunks.as("b"),
           $"a.chunk_idx" === $"b.chunk_idx" && $"a.chunk" === $"b.chunk" &&
@@ -203,7 +206,28 @@ object TextQueries {
         .filter($"hamming" <= 3)
         .orderBy($"a_id", $"b_id")
     },
-    None)
+    Some("""WITH th AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)),
+      bits AS (
+        SELECT doc_id, b,
+          SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        FROM th, (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b),
+      sh AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN acc > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS sh
+        FROM bits GROUP BY doc_id),
+      chunks AS (
+        SELECT doc_id, sh, j, (sh >> CAST(15 * j AS INT)) & 32767 AS chunk
+        FROM sh, (SELECT unnest(range(4)) AS j)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id, hamming FROM pairs
+      WHERE hamming <= 3 ORDER BY a_id, b_id"""))
 
   /** C5 composite quality score: length band + stopword ratio + punct
     * ratio folded into one deterministic [0,1] score (the LLM-pipeline

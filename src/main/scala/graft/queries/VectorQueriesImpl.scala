@@ -70,16 +70,36 @@ object VectorQueries {
 
   /** C4 blob feature extraction: binary column → partition-parallel
     * mapPartitions "decode" (stubbed byte histogram; see Multimodal).
-    * Engine-side imperative stage → rows-only check + MultimodalSpec. */
+    * The feature array is exploded to one (doc, bin) row per bucket so
+    * every cell is scalar, and the histogram itself is oracled: DuckDB
+    * recomputes it byte-by-byte from hex(encode(text)). count/n double
+    * division is exact-parity on both engines. */
   private val q52 = Q(
     "q52_blob_features",
     (s, dir) => {
       import s.implicits._
       val blobs = Multimodal.withBlob(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(blobs, "doc_id", bins = 16)
-        .orderBy($"doc_id")
+        .select($"doc_id", $"byte_len",
+          posexplode($"features").as(Seq("bin", "feature")))
+        .withColumn("bin", $"bin".cast("long"))
+        .orderBy($"doc_id", $"bin")
     },
-    None)
+    Some("""WITH d AS (
+        SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+        FROM documents),
+      bytes AS (
+        SELECT doc_id, ('0x' || substr(h, 2 * CAST(i AS INT) + 1, 2))::INT AS b
+        FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM d)),
+      cnt AS (
+        SELECT doc_id, (b * 16) // 256 AS bin, COUNT(*)::DOUBLE AS c
+        FROM bytes GROUP BY 1, 2),
+      grid AS (
+        SELECT doc_id, n, unnest(range(16)) AS bin FROM d)
+      SELECT g.doc_id, CAST(g.n AS BIGINT) AS byte_len, CAST(g.bin AS BIGINT) AS bin,
+        COALESCE(c.c, 0.0) / GREATEST(g.n, 1) AS feature
+      FROM grid g LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.bin = c.bin
+      ORDER BY g.doc_id, g.bin"""))
 
   /** B15 scalar UDF surface: extract the numeric id from c_name. (The
     * codegen'd-expression preference is demonstrated by SimHash64; this
@@ -108,12 +128,18 @@ object VectorQueries {
       val fn = graft.functions.TopKAgg.register(s, 3)
       t(s, dir, "part")
         .groupBy($"p_brand")
-        .agg(expr(s"$fn(p_retailprice)").as("top_prices"))
+        .agg(expr(s"$fn(p_retailprice)").as("__top"))
+        .select($"p_brand",
+          element_at($"__top", 1).as("top1"),
+          element_at($"__top", 2).as("top2"),
+          element_at($"__top", 3).as("top3"))
         .orderBy($"p_brand")
     },
-    Some("""SELECT p_brand,
-      (list(p_retailprice ORDER BY p_retailprice DESC, p_partkey))[1:3] AS top_prices
-      FROM part GROUP BY p_brand ORDER BY p_brand"""))
+    Some("""SELECT p_brand, lst[1] AS top1, lst[2] AS top2, lst[3] AS top3
+      FROM (SELECT p_brand,
+        (list(p_retailprice ORDER BY p_retailprice DESC, p_partkey))[1:3] AS lst
+        FROM part GROUP BY p_brand)
+      ORDER BY p_brand"""))
 
   /** C3 IVF approximate top-k (seeded KMeans coarse quantizer, nprobe
     * cell probing). Engine-trained centroids → rows-only check; recall

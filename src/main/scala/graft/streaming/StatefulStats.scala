@@ -31,4 +31,32 @@ object StatefulStats {
     ds.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** Deterministic variant for the oracle gate: values carried as integer
+    * cents so the accumulator is order-independent (long addition
+    * commutes; double addition does not, and neither batch nor streaming
+    * group iterators guarantee an order). */
+  case class UserEventC(user_id: Long, cents: Long)
+  case class UserStatsC(user_id: Long, n: Long, sum_cents: Long)
+
+  def updateCents(key: Long, events: Iterator[UserEventC],
+      state: GroupState[UserStatsC]): UserStatsC = {
+    val prev = state.getOption.getOrElse(UserStatsC(key, 0L, 0L))
+    var n = prev.n
+    var s = prev.sum_cents
+    events.foreach { e => n += 1; s += e.cents }
+    val next = UserStatsC(key, n, s)
+    state.update(next)
+    next
+  }
+
+  /** Works in batch too (Spark runs mapGroupsWithState over batch
+    * Datasets with empty initial state) — q64 runs this exact plan in
+    * Verify; StreamingSpec runs it through readStream and asserts the
+    * final state matches. */
+  def runningStatsCents(ds: Dataset[UserEventC]): Dataset[UserStatsC] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateCents)
+  }
 }

@@ -89,6 +89,29 @@ class CTierSpec extends SparkSpecBase {
     assert(hamming > 10, s"unrelated docs should differ, hamming=$hamming")
   }
 
+  test("simhash_md5: token hash matches the first 15 hex chars of md5 (oracle contract)") {
+    import graft.functions.SimHashMd5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (tok <- Seq("alpha", "", "fuel", "42:x", "ação")) {
+      val got = SimHashMd5.hash60(md,
+        org.apache.spark.unsafe.types.UTF8String.fromString(tok))
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(15)
+      assert(got === java.lang.Long.parseLong(hex, 16), s"token=$tok")
+    }
+    // same algebra as simhash64, just a different hash primitive
+    SimHashMd5.register(spark)
+    val df = Seq(
+        (1L, "the quick brown fox"), (2L, "fox brown quick the"),
+        (3L, "entirely unrelated content here"))
+      .toDF("id", "text")
+      .withColumn("sh", expr("simhash_md5(split(lower(text), ' '))"))
+    val m = df.select("id", "sh").as[(Long, Long)].collect().toMap
+    assert(m(1L) === m(2L))
+    assert((m(1L) >>> 60) === 0L) // 60-bit range
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 8)
+  }
+
   test("simhash codegen and interpreted paths agree") {
     SimHash64.register(spark)
     val tokens = Seq("alpha", "beta", "gamma")

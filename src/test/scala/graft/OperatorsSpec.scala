@@ -85,6 +85,25 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got.map(_.getString(0)).toSeq === Seq("R"))
   }
 
+  test("asofJoin/asofJoinMerge: NULL keys never match (SQL equi-join semantics)") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+        (Some(1L), ts("2024-01-01 10:00:00"), "l1"),
+        (None: Option[Long], ts("2024-01-01 10:00:00"), "lnull"))
+      .toDF("k", "ts", "lv")
+    val right = Seq(
+        (Some(1L), ts("2024-01-01 09:00:00"), "r1"),
+        (None: Option[Long], ts("2024-01-01 09:00:00"), "rnull"))
+      .toDF("k", "ts", "rv")
+    for (impl <- Seq(
+        AsOf.asofJoin(left, right, Seq("k"), "ts", "ts"),
+        AsOf.asofJoinMerge(left, right, Seq("k"), "ts", "ts"))) {
+      val got = impl.select("lv", "r_rv").collect()
+        .map(r => (r.getString(0), Option(r.get(1)))).toMap
+      assert(got === Map("l1" -> Some("r1"), "lnull" -> None))
+    }
+  }
+
   test("asofJoinMerge (custom exec) matches the union+window implementation") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 3) {

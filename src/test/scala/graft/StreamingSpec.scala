@@ -87,6 +87,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("q64 stateful cents stats: streaming final state equals batch plan") {
+    import graft.streaming.StatefulStats
+    import graft.streaming.StatefulStats.{UserEventC, UserStatsC}
+    val dir: Path = Files.createTempDirectory("stream-cents")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir.toString)
+      .select($"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[UserEventC]
+    val q = StatefulStats.runningStatsCents(stream).writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("cents_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cents_out").as[UserStatsC]
+        .groupByKey(_.user_id).reduceGroups((a, b) => if (a.n >= b.n) a else b)
+        .map(_._2).collect().map(s => s.user_id -> ((s.n, s.sum_cents))).toMap
+      val batch = graft.queries.Registry.queries("q64_stateful_stats")(spark, sfDir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), math.round(r.getDouble(2) * 100)))).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate keys") {
     val dir: Path = Files.createTempDirectory("stream-src2")
     Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
