@@ -85,11 +85,53 @@ object Similarity {
     df.withColumn(bucketCol, lshBucket(col(vecCol), planes))
 
   /** Embedding-cosine near-dup pairs (the last dedup flavor in §2.C:
-    * semantic near-dups that share no surface text). Exact all-pairs form
-    * — O(n²/2) cosines, tractable thanks to the fused native expression;
-    * at corpus scale feed LSH/IVF candidates through the same `tau`
-    * filter instead (compose [[lshTopK]]/[[ivfTopK]] with a threshold). */
+    * semantic near-dups that share no surface text). Exact all-pairs form.
+    *
+    * Physical strategy: broadcast the whole (id-sorted) index and stream
+    * the rows through `mapPartitions`, each row scoring only higher-id
+    * vectors — a hand-blocked broadcast nested loop that never
+    * materializes the O(n²) pair rows the declarative self-join would
+    * (the join copies both 64-float arrays into every pair row before the
+    * filter can drop it). The broadcast side is the same size Spark's own
+    * BroadcastNestedLoopJoin would ship. Exact all-pairs is inherently
+    * O(n²) — at corpus scale feed LSH/IVF candidates through the same
+    * `tau` filter instead (compose [[lshTopK]]/[[ivfTopK]]). */
   def cosineNearDupPairs(df: DataFrame, id: String, vecCol: String,
+      tau: Double): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val isFloat = df.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (!isFloat) return cosineNearDupPairsJoin(df, id, vecCol, tau)
+    import df.sparkSession.implicits._
+    val typed = df
+      .select(col(id).cast("long").as("a"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+    val index = typed.collect().sortBy(_._1)
+    val bc = df.sparkSession.sparkContext.broadcast(index)
+    typed.mapPartitions { it =>
+      val arr = bc.value
+      it.flatMap { case (aId, av) =>
+        // first index with id > aId (ids unique, ascending)
+        var lo = 0
+        var hi = arr.length
+        while (lo < hi) {
+          val m = (lo + hi) >>> 1
+          if (arr(m)._1 <= aId) lo = m + 1 else hi = m
+        }
+        Iterator.range(lo, arr.length).flatMap { j =>
+          val (bId, bv) = arr(j)
+          val c = cosineArrays(av, bv)
+          if (c >= tau) Some((aId, bId, c)) else None
+        }
+      }
+    }.toDF("a_id", "b_id", "cosine")
+  }
+
+  /** Declarative self-join formulation — the readable spec of
+    * [[cosineNearDupPairs]] (identical output; parity-tested). */
+  def cosineNearDupPairsJoin(df: DataFrame, id: String, vecCol: String,
       tau: Double): DataFrame = {
     val a = df.select(col(id).as("a_id"), col(vecCol).as("__av"))
     val b = df.select(col(id).as("b_id"), col(vecCol).as("__bv"))
@@ -97,6 +139,29 @@ object Similarity {
       .withColumn("cosine", cosine(col("__av"), col("__bv")))
       .filter(col("cosine") >= tau)
       .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
+  /** Same sequential fold as [[graft.functions.CosineSim]].compute over
+    * raw float arrays — bit-identical to the cosine column expression. */
+  private def cosineArrays(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    var j = n
+    while (j < a.length) { val x = a(j).toDouble; na += x * x; j += 1 }
+    var k = n
+    while (k < b.length) { val y = b(k).toDouble; nb += y * y; k += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** IVF (inverted-file) approximate top-k: a seeded KMeans coarse
@@ -114,7 +179,11 @@ object Similarity {
     val c = candidates
       .select(col(cId).as("c_id"), col(vecCol).as("__cv"))
       .withColumn("features", toVec(col("__cv")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(c)
+    // Random init + few Lloyd iterations: a coarse quantizer only needs
+    // rough Voronoi cells (recall comes from nprobe), and k-means|| init
+    // alone costs more scheduler round-trips than the whole refinement.
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setInitMode("random").setMaxIter(5).fit(c)
     val cells = model.clusterCenters.map(_.toArray)
     val cAssigned = model.transform(c)
       .select(col("c_id"), col("__cv"), col("prediction").as("cell"))
@@ -138,14 +207,21 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
   }
 
+  /** All L bucket ids in one fused native pass (the production form of
+    * per-table [[lshBucket]] HOF columns; parity-tested). */
+  def lshBucketsAll(vec: Column, tables: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.LshBuckets(
+        org.apache.spark.sql.graft.Bridge.expression(vec),
+        tables.flatten.flatten.toIndexedSeq,
+        tables.length, tables(0).length, tables(0)(0).length))
+
   /** Multi-table bucket ids: one (table, bucket) row per input row per
     * table — candidates are any pair colliding in ANY table. */
   private def withLshTables(df: DataFrame, vecCol: String,
       tables: Array[Array[Array[Double]]]): DataFrame =
-    df.withColumn("__tb", explode(array(tables.zipWithIndex.map {
-      case (planes, l) =>
-        struct(lit(l).as("table"), lshBucket(col(vecCol), planes).as("bucket"))
-    }: _*))).select(col("*"), col("__tb.table"), col("__tb.bucket")).drop("__tb")
+    df.select(col("*"),
+      posexplode(lshBucketsAll(col(vecCol), tables)).as(Seq("table", "bucket")))
 
   /** Approximate top-k via multi-table LSH: candidates = bucket collisions
     * in any of the L tables, then exact cosine + window top-k. Candidate

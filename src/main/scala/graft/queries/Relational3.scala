@@ -28,10 +28,16 @@ object Relational3 {
         .groupBy($"l_returnflag")
         .agg(
           percentile($"l_quantity", lit(0.5)).as("med_qty"),
-          percentile($"l_extendedprice", lit(0.25)).as("p25_price"),
-          percentile($"l_extendedprice", lit(0.75)).as("p75_price"),
-          percentile($"l_extendedprice", lit(0.95)).as("p95_price"),
+          // one shared value buffer for all three price percentiles, not
+          // three independent 600k-value buffers
+          percentile($"l_extendedprice",
+            typedLit(Seq(0.25, 0.75, 0.95))).as("__ps"),
           count(lit(1)).as("n"))
+        .select($"l_returnflag", $"med_qty",
+          element_at($"__ps", 1).as("p25_price"),
+          element_at($"__ps", 2).as("p75_price"),
+          element_at($"__ps", 3).as("p95_price"),
+          $"n")
         .orderBy($"l_returnflag")
     },
     Some("""SELECT l_returnflag,

@@ -123,6 +123,28 @@ class CTierSpec extends SparkSpecBase {
     assert(viaSql === direct)
   }
 
+  test("fused lsh_buckets expression matches the per-table HOF bucket columns") {
+    val emb = Tables(spark, sfDir, "embeddings").limit(100)
+    val tables = Similarity.hyperplaneTables(6, 4, 64)
+    val viaNative = emb.select($"vec_id",
+        Similarity.lshBucketsAll($"embedding", tables).as("bs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val hofCols = tables.toSeq.map(p => Similarity.lshBucket($"embedding", p))
+    val viaHof = emb.select($"vec_id", array(hofCols: _*).as("bs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaNative === viaHof)
+  }
+
+  test("blocked cosineNearDupPairs matches the declarative self-join (bit-exact)") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect().toSet
+    val blocked = canon(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45))
+    val joined = canon(Similarity.cosineNearDupPairsJoin(emb, "vec_id", "embedding", 0.45))
+    assert(blocked === joined)
+    assert(blocked.nonEmpty)
+  }
+
   test("multi-table cosine LSH recall vs brute force (>= 0.4 top-3)") {
     val emb = Tables(spark, sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 30)
