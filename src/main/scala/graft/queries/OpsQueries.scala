@@ -118,5 +118,34 @@ object OpsQueries {
       FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1
       ORDER BY user_id"""))
 
-  def qs: Seq[Q] = Seq(q36, q37, q38, q39, q40)
+  /** Skew-mitigated two-stage aggregation ([[graft.operators.Skew]]
+    * — the 100 TB hot-key path): partial combine on (key, salt), final
+    * combine on key. Result must equal the plain GROUP BY, which is what
+    * the oracle checks. The price sum rides as integer cents so the
+    * two-stage recombination is order-independent and exact. */
+  private val q66 = Q(
+    "q66_salted_agg",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val li = t(s, dir, "lineitem")
+        .withColumn("cents",
+          ($"l_extendedprice".cast(DecimalType(18, 2)) * 100).cast("long"))
+      graft.operators.Skew.saltedAgg(li, Seq("l_returnflag"),
+          Map(
+            "sum_cents" -> (("sum", "cents")),
+            "n" -> (("count", "cents")),
+            "min_qty" -> (("min", "l_quantity")),
+            "max_qty" -> (("max", "l_quantity"))),
+          salt = 16)
+        .select($"l_returnflag", ($"sum_cents" / 100.0).as("sum_price"),
+          $"n", $"min_qty", $"max_qty")
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) / 100.0 AS sum_price,
+      COUNT(*) AS n, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  def qs: Seq[Q] = Seq(q36, q37, q38, q39, q40, q66)
 }
