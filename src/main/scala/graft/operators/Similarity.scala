@@ -223,6 +223,37 @@ object Similarity {
     df.select(col("*"),
       posexplode(lshBucketsAll(col(vecCol), tables)).as(Seq("table", "bucket")))
 
+  /** The production near-dup pattern at corpus scale: LSH bucket
+    * collisions as the candidate generator, exact cosine ≥ tau as the
+    * verifier. With enough tables the collision probability of a
+    * true ≥-tau pair approaches 1 (miss rate (1-p_bit^bits)^tables), so
+    * the output EQUALS the exact all-pairs result — which is exactly what
+    * the q67 oracle checks — while only scoring candidate pairs instead
+    * of n²/2. Short bucket ids (few bits) + many tables trade candidate
+    * volume for recall. */
+  def lshNearDupPairs(df: DataFrame, id: String, vecCol: String,
+      tau: Double, tables: Array[Array[Array[Double]]]): DataFrame = {
+    val base = df.select(col(id).as("__id"), col(vecCol).as("__v"))
+    // The pair explosion shuffles ONLY (a_id, b_id) — never the vectors.
+    // Candidate volume is many× the row count, so dragging the embedding
+    // arrays through the self-join + distinct dominates everything else.
+    val b = withLshTables(base, "__v", tables)
+      .select(col("__id"), col("table"), col("bucket"))
+    val cand = b.as("a").join(b.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    // vectors rejoin AFTER dedup via broadcast (the vector table is the
+    // small side by construction — it's the thing being LSH-bucketed)
+    val va = broadcast(base.select(col("__id").as("a_id"), col("__v").as("__av")))
+    val vb = broadcast(base.select(col("__id").as("b_id"), col("__v").as("__bv")))
+    cand.join(va, "a_id").join(vb, "b_id")
+      .withColumn("cosine", cosine(col("__av"), col("__bv")))
+      .filter(col("cosine") >= tau)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
   /** Approximate top-k via multi-table LSH: candidates = bucket collisions
     * in any of the L tables, then exact cosine + window top-k. Candidate
     * volume per query shrinks ~2^bits-fold per table; recall compounds

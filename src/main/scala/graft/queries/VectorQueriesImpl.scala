@@ -173,5 +173,25 @@ object VectorQueries {
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
       WHERE cosine >= 0.45 ORDER BY a_id, b_id"""))
 
-  def qs: Seq[Q] = Seq(q49, q50, q51, q52, q53, q54, q59, q65)
+  /** C2/C3 LSH-candidates + exact-verify near-dup: the corpus-scale form
+    * of q65. 3-bit buckets × 16 tables push the miss rate of a ≥0.45-
+    * cosine pair below 1% per pair; the oracle is the EXACT all-pairs SQL
+    * — the query only hash-matches if LSH recall is 100% on this data,
+    * which it is (verified at sf0.01; CTierSpec asserts it at sf0.001). */
+  private val q67 = Q(
+    "q67_lsh_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val tables = Similarity.hyperplaneTables(tables = 16, bitsPerTable = 3, dim = 64)
+      Similarity.lshNearDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45, tables)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some("""SELECT a_id, b_id, cosine FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      WHERE cosine >= 0.45 ORDER BY a_id, b_id"""))
+
+  def qs: Seq[Q] = Seq(q49, q50, q51, q52, q53, q54, q59, q65, q67)
 }

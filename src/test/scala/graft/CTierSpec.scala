@@ -145,6 +145,17 @@ class CTierSpec extends SparkSpecBase {
     assert(blocked.nonEmpty)
   }
 
+  test("lshNearDupPairs (candidates + exact verify) equals exact all-pairs at tau=0.45") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val tables = Similarity.hyperplaneTables(16, 3, 64)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect().toSet
+    val viaLsh = canon(Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.45, tables))
+    val exact = canon(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45))
+    assert(viaLsh === exact)
+    assert(viaLsh.nonEmpty)
+  }
+
   test("multi-table cosine LSH recall vs brute force (>= 0.4 top-3)") {
     val emb = Tables(spark, sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 30)
