@@ -117,5 +117,35 @@ object StreamingQueries {
       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
-  def qs: Seq[Q] = Seq(q60, q61, q62, q63, q64)
+  /** B14 change detection (`flatMapGroupsWithState`,
+    * [[graft.streaming.ChangeDetect]]): emit an event only when the
+    * user's value changed — the reference's change-before-write TODO
+    * (index.js:272 / checkClientPrices index.js:63-79) as a stateful
+    * streaming operator, batch-executed for the gate. Oracle = the LAG
+    * window formulation. */
+  private val q68 = Q(
+    "q68_change_detect",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_id", $"ts",
+          ($"value".cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        .as[graft.streaming.ChangeDetect.Ev]
+      graft.streaming.ChangeDetect.changes(ev)
+        .toDF()
+        .orderBy($"user_id", $"ts", $"event_id")
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_id, ts,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      w AS (
+        SELECT user_id, event_id, ts, cents,
+          LAG(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM e)
+      SELECT user_id, event_id, ts, cents, prev AS prev_cents
+      FROM w WHERE prev IS NULL OR prev <> cents
+      ORDER BY user_id, ts, event_id"""))
+
+  def qs: Seq[Q] = Seq(q60, q61, q62, q63, q64, q68)
 }

@@ -118,6 +118,47 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("change detection: two time-ordered micro-batches equal the batch LAG result") {
+    import graft.streaming.ChangeDetect
+    import graft.streaming.ChangeDetect.{Change, Ev}
+    val dir: Path = Files.createTempDirectory("stream-chg")
+    val all = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select($"user_id", $"event_id", $"ts",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    // split by event TIME, not id — cross-batch suppression only works if
+    // batches arrive in event-time order (the watermark contract)
+    val cut = all.selectExpr("percentile(unix_micros(ts), 0.5)").head.getDouble(0).toLong
+    def drop(name: String, part: org.apache.spark.sql.DataFrame): Unit = {
+      part.coalesce(1).write.mode("overwrite").parquet(dir.resolve("tmp").toString)
+      Files.move(
+        dir.resolve("tmp").toFile.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath,
+        dir.resolve(name))
+    }
+    drop("b1.parquet", all.filter(expr(s"unix_micros(ts) <= $cut")))
+
+    val chgSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", LongType),
+      org.apache.spark.sql.types.StructField("event_id", LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("cents", LongType)))
+    val stream = spark.readStream.schema(chgSchema)
+      .parquet(dir.toString + "/b*.parquet").as[Ev]
+    val q = ChangeDetect.changes(stream).writeStream
+      .outputMode("append").format("memory").queryName("chg_out").start()
+    try {
+      q.processAllAvailable()
+      drop("b2.parquet", all.filter(expr(s"unix_micros(ts) > $cut")))
+      q.processAllAvailable()
+      val streamed = spark.table("chg_out").as[Change].collect()
+        .map(c => (c.user_id, c.event_id, c.cents, c.prev_cents)).toSet
+      val batch = ChangeDetect.changes(all.as[Ev]).collect()
+        .map(c => (c.user_id, c.event_id, c.cents, c.prev_cents)).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate keys") {
     val dir: Path = Files.createTempDirectory("stream-src2")
     Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
