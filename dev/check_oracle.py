@@ -47,6 +47,11 @@ def main(sf_dir, out_dir):
             continue
         try:
             got = canon(con.sql(f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')").df())
+        except Exception as e:
+            print(f"FAIL {name}: spark output error: {e}")
+            n_fail += 1
+            continue
+        try:
             exp = canon(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")

@@ -59,6 +59,15 @@ object LshBuckets {
   def compute(v: ArrayData, planes: Array[Double], tables: Int, bits: Int,
       dim: Int, isFloat: Boolean): ArrayData = {
     val n = math.min(dim, v.numElements())
+    // HOF parity for null elements: zip_with yields a null product, the
+    // fold poisons the dot to null, and `when(null > 0).otherwise(0)`
+    // zeroes every bit — so any null element means bucket 0 in all tables.
+    var z = 0
+    while (z < n) {
+      if (v.isNullAt(z))
+        return new GenericArrayData(new Array[Long](tables))
+      z += 1
+    }
     val out = new Array[Long](tables)
     var l = 0
     while (l < tables) {

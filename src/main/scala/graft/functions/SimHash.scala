@@ -115,9 +115,15 @@ object SimHashMd5 {
 
   val Bits = 60
 
+  // JCA provider lookup is synchronized — never per row in a hot path
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Static entry point shared by interpreted eval and generated code. */
   def compute(tokens: ArrayData): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val acc = new Array[Int](Bits)
     val n = tokens.numElements()
     var i = 0

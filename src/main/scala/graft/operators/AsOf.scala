@@ -30,7 +30,8 @@ object AsOf {
     * matches in an equi-join, but window partitionBy / groupBy treat
     * nulls as equal, so they must be excluded up front. */
   private def nonNullKeys(df: DataFrame, keys: Seq[String]): DataFrame =
-    df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    if (keys.isEmpty) df // keyless (global single-series) as-of join
+    else df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
 
   def asofJoin(
       left: DataFrame,

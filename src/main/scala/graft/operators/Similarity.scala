@@ -123,7 +123,10 @@ object Similarity {
         Iterator.range(lo, arr.length).flatMap { j =>
           val (bId, bv) = arr(j)
           val c = cosineArrays(av, bv)
-          if (c >= tau) Some((aId, bId, c)) else None
+          // Spark SQL's total order puts NaN above every double, so the
+          // declarative `cosine >= tau` KEEPS NaN (zero-norm vectors);
+          // Java's >= would drop it — match Spark semantics for parity.
+          if (c >= tau || c.isNaN) Some((aId, bId, c)) else None
         }
       }
     }.toDF("a_id", "b_id", "cosine")
@@ -245,11 +248,13 @@ object Similarity {
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     // vectors rejoin AFTER dedup via broadcast (the vector table is the
-    // small side by construction — it's the thing being LSH-bucketed)
-    val va = broadcast(base.select(col("__id").as("a_id"), col("__v").as("__av")))
-    val vb = broadcast(base.select(col("__id").as("b_id"), col("__v").as("__bv")))
-    cand.join(va, "a_id").join(vb, "b_id")
-      .withColumn("cosine", cosine(col("__av"), col("__bv")))
+    // small side by construction — it's the thing being LSH-bucketed).
+    // Both joins broadcast the IDENTICAL relation so ReuseExchange ships
+    // one copy, not two.
+    val vecs = broadcast(base)
+    cand.join(vecs.as("va"), col("a_id") === col("va.__id"))
+      .join(vecs.as("vb"), col("b_id") === col("vb.__id"))
+      .withColumn("cosine", cosine(col("va.__v"), col("vb.__v")))
       .filter(col("cosine") >= tau)
       .select(col("a_id"), col("b_id"), col("cosine"))
   }

@@ -147,7 +147,7 @@ class CTierSpec extends SparkSpecBase {
 
   test("lshNearDupPairs (candidates + exact verify) equals exact all-pairs at tau=0.45") {
     val emb = Tables(spark, sfDir, "embeddings")
-    val tables = Similarity.hyperplaneTables(16, 3, 64)
+    val tables = Similarity.hyperplaneTables(24, 3, 64)
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect().toSet
     val viaLsh = canon(Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.45, tables))
