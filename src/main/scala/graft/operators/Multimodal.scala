@@ -54,4 +54,57 @@ object Multimodal {
       }
     }(encoder)
   }
+
+  /** Frame sampling over blobs: fixed-size windows at a fixed stride —
+    * the video/audio frame-extraction shape (one row per sampled frame,
+    * offset + length + a per-frame feature), partition-parallel.
+    *
+    * STUB decode as above: the per-frame "feature" is the byte mean; a
+    * real pipeline would decode the window (video frame, audio chunk)
+    * here. Frames start at offsets 0, stride, 2·stride… while the offset
+    * is inside the payload; the tail frame may be short. */
+  def sampleFrames(blobs: DataFrame, idCol: String,
+      frameSize: Int = 64, stride: Int = 128): DataFrame = {
+    require(frameSize > 0 && stride > 0)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("frame_off", LongType, nullable = false),
+      StructField("frame_len", LongType, nullable = false),
+      StructField("frame_mean", DoubleType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = blobs.schema.fieldIndex(idCol)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    blobs.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        Iterator.range(0, math.max(bytes.length, 1), stride).map { off =>
+          val len = math.min(frameSize, bytes.length - off)
+          var sum = 0L
+          var i = off
+          while (i < off + len) { sum += bytes(i) & 0xff; i += 1 }
+          Row(id, (off / stride).toLong, off.toLong, len.toLong,
+            sum.toDouble / math.max(len, 1))
+        }
+      }
+    }(encoder)
+  }
+
+  /** Feature resize: re-bin an m-bucket feature vector to k buckets by
+    * summing adjacent groups (m must be a multiple of k) — the cheap
+    * "downsample the representation" stage between extract and model. */
+  def resizeFeatures(features: DataFrame, featCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    features.schema(featCol).dataType match {
+      case ArrayType(DoubleType, _) => ()
+      case other => throw new IllegalArgumentException(s"array<double> expected, got $other")
+    }
+    features.withColumn(featCol,
+      transform(
+        sequence(lit(0), lit(k - 1)),
+        g => aggregate(
+          slice(col(featCol), g * (size(col(featCol)) / k) + 1, size(col(featCol)) / k),
+          lit(0.0), (acc, x) => acc + x)))
+  }
 }

@@ -101,6 +101,40 @@ object VectorQueries {
       FROM grid g LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.bin = c.bin
       ORDER BY g.doc_id, g.bin"""))
 
+  /** C4 frame sampling: fixed-size windows at a fixed stride over the
+    * blob (the video/audio frame-extraction shape), one row per frame
+    * with offset/length/feature. The per-frame byte mean is recomputed
+    * byte-by-byte by the DuckDB oracle — integer sum over double
+    * division, exact parity. Stride (128) > frame size (64) keeps frames
+    * disjoint so the oracle's i//stride bucketing is exact. */
+  private val q69 = Q(
+    "q69_blob_frames",
+    (s, dir) => {
+      import s.implicits._
+      val blobs = Multimodal.withBlob(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(blobs, "doc_id", frameSize = 64, stride = 128)
+        .orderBy($"doc_id", $"frame_idx")
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+        FROM documents),
+      bytes AS (
+        SELECT doc_id, CAST(i AS INT) AS i,
+          ('0x' || substr(h, 2 * CAST(i AS INT) + 1, 2))::INT AS b
+        FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM d)),
+      fb AS (
+        SELECT doc_id, i // 128 AS f, SUM(b) AS s, COUNT(*) AS c
+        FROM bytes WHERE i % 128 < 64 GROUP BY 1, 2),
+      grid AS (
+        SELECT doc_id, unnest(range(GREATEST((n + 127) // 128, 1))) AS f FROM d)
+      SELECT g.doc_id,
+        CAST(g.f AS BIGINT) AS frame_idx,
+        CAST(g.f * 128 AS BIGINT) AS frame_off,
+        CAST(COALESCE(fb.c, 0) AS BIGINT) AS frame_len,
+        COALESCE(fb.s, 0)::DOUBLE / GREATEST(COALESCE(fb.c, 0), 1) AS frame_mean
+      FROM grid g LEFT JOIN fb ON g.doc_id = fb.doc_id AND g.f = fb.f
+      ORDER BY g.doc_id, frame_idx"""))
+
   /** B15 scalar UDF surface: extract the numeric id from c_name. (The
     * codegen'd-expression preference is demonstrated by SimHash64; this
     * query pins the plain-UDF path.) */
@@ -196,5 +230,5 @@ object VectorQueries {
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
       WHERE cosine >= 0.45 ORDER BY a_id, b_id"""))
 
-  def qs: Seq[Q] = Seq(q49, q50, q51, q52, q53, q54, q59, q65, q67)
+  def qs: Seq[Q] = Seq(q49, q50, q51, q52, q53, q54, q59, q65, q67, q69)
 }

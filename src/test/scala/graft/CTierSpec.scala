@@ -222,4 +222,25 @@ class CTierSpec extends SparkSpecBase {
       .orderBy("doc_id").collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("multimodal frame sampling covers exactly the in-frame bytes; resize re-bins exactly") {
+    val blobs = Multimodal.withBlob(docs.limit(50), "doc_id", "text").cache()
+    val frames = Multimodal.sampleFrames(blobs, "doc_id", frameSize = 64, stride = 128)
+    val got = frames.groupBy("doc_id").agg(sum("frame_len").as("covered"))
+      .as[(Long, Long)].collect().toMap
+    val want = blobs.select($"doc_id", $"byte_len").as[(Long, Long)].collect()
+      .map { case (id, n) =>
+        id -> (0L until math.max(n, 1L) by 128L).map(off => math.min(64L, n - off)).sum
+      }.toMap
+    assert(got === want)
+
+    // resize 16 -> 4: each output bin is the left-fold sum of its 4 inputs
+    val feats = Multimodal.extractFeatures(blobs, "doc_id", bins = 16)
+    val resized = Multimodal.resizeFeatures(feats, "features", 4)
+      .select("doc_id", "features").as[(Long, Seq[Double])].collect().toMap
+    val expect = feats.select("doc_id", "features").as[(Long, Seq[Double])].collect()
+      .map { case (id, h) => id -> h.grouped(4).map(_.foldLeft(0.0)(_ + _)).toSeq }.toMap
+    assert(resized === expect)
+    resized.values.foreach(h => assert(h.length === 4))
+  }
 }
