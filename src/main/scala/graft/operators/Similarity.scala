@@ -72,6 +72,23 @@ object Similarity {
       seed: Long = 42L): Array[Array[Array[Double]]] =
     Array.tabulate(tables)(l => hyperplanes(bitsPerTable, dim, seed + l))
 
+  /** md5-derived hyperplanes, exactly replicable in ANSI SQL:
+    * w(l,j,d) = bigint(first 15 hex chars of md5("l:j:d")) / 2^59 − 1,
+    * uniform in [−1, 1). Uniform (not Gaussian) components lose strict
+    * rotation invariance but sign-LSH only needs symmetric directions;
+    * the payoff is that a DuckDB oracle can regenerate the planes and
+    * replay the whole pipeline (see q50). Bit-parity holds because both
+    * engines do IEEE BIGINT→DOUBLE rounding and the 2^59 divisor is a
+    * power of two (exact). */
+  def hashPlanes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables, bits, dim) { (l, j, d) =>
+      val hex = md.digest(s"$l:$j:$d".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 576460752303423488.0 - 1.0
+    }
+  }
+
   /** Sign-pattern LSH bucket id: bit j set iff dot(vec, plane_j) > 0. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val vd = toDouble(vec)

@@ -33,19 +33,52 @@ object VectorQueries {
       WHERE rank <= 5 ORDER BY q_id, rank"""))
 
   /** C3 scale path: random-hyperplane LSH bucketed approximate top-3.
-    * Engine-seeded hyperplanes → rows-only check; recall vs brute force
-    * is asserted in SimilaritySpec. */
+    * Planes are md5-derived ([[Similarity.hashPlanes]]) so the oracle
+    * regenerates them in SQL and replays the ENTIRE approximate pipeline
+    * — plane weights, sign-bit buckets, multi-table candidate union,
+    * exact re-rank — making even the approximate answer hash-checked
+    * (not just recall-bounded). */
   private val q50 = Q(
     "q50_cosine_lsh",
     (s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      val tables = Similarity.hyperplaneTables(tables = 10, bitsPerTable = 4, dim = 64)
+      val tables = Similarity.hashPlanes(tables = 10, bits = 4, dim = 64)
       Similarity.lshTopK(
           emb.filter($"vec_id" < 50), emb, "vec_id", "vec_id", "embedding", 3, tables)
         .orderBy($"q_id", $"rank")
     },
-    None)
+    Some("""WITH planes AS (
+        SELECT l, j, d,
+          (('0x' || substr(md5(l || ':' || j || ':' || d), 1, 15))::BIGINT)::DOUBLE
+            / 576460752303423488.0 - 1.0 AS w
+        FROM (SELECT unnest(range(10)) AS l),
+             (SELECT unnest(range(4)) AS j),
+             (SELECT unnest(range(64)) AS d)),
+      dots AS (
+        SELECT e.vec_id, p.l, p.j,
+          SUM(e.embedding[CAST(p.d AS INT) + 1]::DOUBLE * p.w) AS dp
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY 1, 2, 3),
+      buckets AS (
+        SELECT vec_id, l,
+          CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        FROM buckets q JOIN buckets c ON q.l = c.l AND q.bucket = c.bucket
+        WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id),
+      scored AS (
+        SELECT cand.q_id, cand.c_id,
+          list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine,
+          ROW_NUMBER() OVER (PARTITION BY cand.q_id
+            ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+              cand.c_id) AS rank
+        FROM cand
+        JOIN embeddings a ON a.vec_id = cand.q_id
+        JOIN embeddings b ON b.vec_id = cand.c_id)
+      SELECT q_id, rank, c_id, cosine FROM scored
+      WHERE rank <= 3 ORDER BY q_id, rank"""))
 
   /** C4 multimodal join: relational metadata ⋈ embedding vectors sharing
     * an id space, plus binary payload length. */
