@@ -236,6 +236,42 @@ object Similarity {
         tables.flatten.flatten.toIndexedSeq,
         tables.length, tables(0).length, tables(0)(0).length))
 
+  /** IVF with a FIXED sampled codebook: the coarse quantizer's centroids
+    * are the `nlist` lowest-id candidate vectors instead of KMeans means.
+    * Same inverted-file structure and nprobe search as [[ivfTopK]] —
+    * codebook choice is orthogonal to the IVF idea (at corpus scale the
+    * codebook is trained offline anyway; data-point codebooks are the
+    * classic bootstrap) — but every step is deterministic relational
+    * algebra, so the DuckDB oracle replays assignment, probing, and
+    * re-ranking exactly (q59). Ties break on (distance, cell id). */
+  def ivfTopKFixedCodebook(queries: DataFrame, candidates: DataFrame,
+      qId: String, cId: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = candidates.select(col(cId).as("c_id"), col(vecCol).as("__cv"))
+    val cb = broadcast(
+      c.orderBy(col("c_id")).limit(nlist)
+        .select(col("c_id").as("cell"), col("__cv").as("__cb")))
+    // squared L2 as the same sequential fold on both engines
+    def d2(v: Column, w: Column): Column =
+      aggregate(zip_with(toDouble(v), toDouble(w), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def nearestCells(vecs: DataFrame, id: String, vc: String, n: Int): DataFrame = {
+      val scored = vecs.crossJoin(cb)
+        .withColumn("__d2", d2(col(vc), col("__cb")))
+      Dedup.topKPerGroup(scored, Seq(id), Seq(col("__d2"), col("cell")), n, "__rn")
+        .select(col(id), col("cell"))
+    }
+    val cAssigned = nearestCells(c, "c_id", "__cv", 1).join(c, "c_id")
+    val q = queries.select(col(qId).as("q_id"), col(vecCol).as("__qv"))
+    val qProbes = nearestCells(q, "q_id", "__qv", nprobe).join(q, "q_id")
+    val scored = cAssigned.join(broadcast(qProbes), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    Dedup.topKPerGroup(scored, Seq("q_id"),
+        Seq(col("cosine").desc, col("c_id")), k, "rank")
+      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+  }
+
   /** Multi-table bucket ids: one (table, bucket) row per input row per
     * table — candidates are any pair colliding in ANY table. */
   private def withLshTables(df: DataFrame, vecCol: String,

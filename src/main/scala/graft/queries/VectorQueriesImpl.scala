@@ -210,20 +210,56 @@ object VectorQueries {
         FROM part GROUP BY p_brand)
       ORDER BY p_brand"""))
 
-  /** C3 IVF approximate top-k (seeded KMeans coarse quantizer, nprobe
-    * cell probing). Engine-trained centroids → rows-only check; recall
-    * vs brute force asserted in CTierSpec. */
+  /** C3 IVF approximate top-k with a fixed sampled codebook (the 16
+    * lowest-id vectors): inverted-file assignment, nprobe=4 probing,
+    * exact re-rank — every step deterministic relational algebra, so the
+    * DuckDB oracle replays the WHOLE approximate search (assignment
+    * argmin, probe ranking, cosine top-3) and hash-matches it. The
+    * KMeans-trained codebook variant ([[Similarity.ivfTopK]]) is the
+    * production quantizer, recall-tested in CTierSpec. */
   private val q59 = Q(
     "q59_cosine_ivf",
     (s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(
+      Similarity.ivfTopKFixedCodebook(
           emb.filter($"vec_id" < 50), emb, "vec_id", "vec_id", "embedding",
           k = 3, nlist = 16, nprobe = 4)
         .orderBy($"q_id", $"rank")
     },
-    None)
+    Some("""WITH cb AS (
+        SELECT vec_id AS cell, embedding AS cbv
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+      d2 AS (
+        SELECT e.vec_id, cb.cell,
+          SUM((e.embedding[CAST(i AS INT) + 1]::DOUBLE - cb.cbv[CAST(i AS INT) + 1]::DOUBLE)
+            * (e.embedding[CAST(i AS INT) + 1]::DOUBLE - cb.cbv[CAST(i AS INT) + 1]::DOUBLE)) AS d2
+        FROM embeddings e CROSS JOIN cb, (SELECT unnest(range(64)) AS i)
+        GROUP BY 1, 2),
+      asg AS (
+        SELECT vec_id AS c_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM d2)
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS q_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM d2 WHERE vec_id < 50)
+        WHERE rn <= 4),
+      scored AS (
+        SELECT p.q_id, a.c_id,
+          list_cosine_similarity(qa.embedding::DOUBLE[], ca.embedding::DOUBLE[]) AS cosine,
+          ROW_NUMBER() OVER (PARTITION BY p.q_id
+            ORDER BY list_cosine_similarity(qa.embedding::DOUBLE[], ca.embedding::DOUBLE[]) DESC,
+              a.c_id) AS rank
+        FROM probes p
+        JOIN asg a ON a.cell = p.cell AND a.c_id <> p.q_id
+        JOIN embeddings qa ON qa.vec_id = p.q_id
+        JOIN embeddings ca ON ca.vec_id = a.c_id)
+      SELECT q_id, rank, c_id, cosine FROM scored
+      WHERE rank <= 3 ORDER BY q_id, rank"""))
 
   /** C2/C3 embedding-cosine near-dup: semantic duplicate pairs at
     * tau=0.45 (exact all-pairs; the scale path reuses LSH/IVF candidate

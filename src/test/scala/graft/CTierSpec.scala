@@ -187,6 +187,23 @@ class CTierSpec extends SparkSpecBase {
     assert(approx === again)
   }
 
+  test("fixed-codebook IVF: deterministic, candidates subset of brute force, sane recall") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 30)
+    val run1 = Similarity.ivfTopKFixedCodebook(queries, emb, "vec_id", "vec_id",
+        "embedding", k = 3, nlist = 16, nprobe = 4)
+      .select("q_id", "rank", "c_id").as[(Long, Long, Long)].collect().toSet
+    val run2 = Similarity.ivfTopKFixedCodebook(queries, emb, "vec_id", "vec_id",
+        "embedding", k = 3, nlist = 16, nprobe = 4)
+      .select("q_id", "rank", "c_id").as[(Long, Long, Long)].collect().toSet
+    assert(run1 === run2) // fully deterministic, no training
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id", "embedding", 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = run1.map { case (q, _, c) => (q, c) }
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall") // 4/16 cells probed, sampled codebook
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     val c = df.select(Similarity.cosine($"v", $"v")).head.getDouble(0)
