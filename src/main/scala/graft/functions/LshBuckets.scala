@@ -58,16 +58,19 @@ object LshBuckets {
   /** Static entry point shared by interpreted eval and generated code. */
   def compute(v: ArrayData, planes: Array[Double], tables: Int, bits: Int,
       dim: Int, isFloat: Boolean): ArrayData = {
-    val n = math.min(dim, v.numElements())
-    // HOF parity for null elements: zip_with yields a null product, the
-    // fold poisons the dot to null, and `when(null > 0).otherwise(0)`
-    // zeroes every bit — so any null element means bucket 0 in all tables.
+    // HOF parity for degenerate rows: zip_with pads a length mismatch
+    // with nulls and a null product poisons the fold to null, so both a
+    // wrong-length vector and one containing a null element make every
+    // `when(dot > 0)` false → bucket 0 in all tables.
+    if (v.numElements() != dim)
+      return new GenericArrayData(new Array[Long](tables))
     var z = 0
-    while (z < n) {
+    while (z < dim) {
       if (v.isNullAt(z))
         return new GenericArrayData(new Array[Long](tables))
       z += 1
     }
+    val n = dim
     val out = new Array[Long](tables)
     var l = 0
     while (l < tables) {

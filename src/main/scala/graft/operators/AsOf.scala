@@ -85,6 +85,10 @@ object AsOf {
       leftTs: String,
       rightTs: String,
       rightPrefix: String = "r_"): DataFrame = {
+    // Keyless merge would need AllTuples distribution (single partition);
+    // the window form already handles that shape — delegate rather than
+    // fail inside the planner with ClusteredDistribution(Nil).
+    if (keys.isEmpty) return asofJoin(left, right, keys, leftTs, rightTs, rightPrefix)
     val spark = left.sparkSession
     org.apache.spark.sql.graft.Bridge.registerStrategy(spark, graft.plans.AsOfJoinStrategy)
     val rightPrefixed = nonNullKeys(right, keys)

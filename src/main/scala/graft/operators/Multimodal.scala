@@ -100,11 +100,16 @@ object Multimodal {
       case ArrayType(DoubleType, _) => ()
       case other => throw new IllegalArgumentException(s"array<double> expected, got $other")
     }
+    // fail fast (not silently drop elements) when m is not a multiple of k
+    val checked = when(size(col(featCol)) % k === 0, col(featCol))
+      .otherwise(raise_error(concat(
+        lit(s"resizeFeatures: feature length "), size(col(featCol)).cast("string"),
+        lit(s" is not a multiple of k=$k"))))
     features.withColumn(featCol,
       transform(
         sequence(lit(0), lit(k - 1)),
         g => aggregate(
-          slice(col(featCol), g * (size(col(featCol)) / k) + 1, size(col(featCol)) / k),
+          slice(checked, g * (size(checked) / k) + 1, size(checked) / k),
           lit(0.0), (acc, x) => acc + x)))
   }
 }

@@ -43,18 +43,24 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
+  /** Shared tail of every top-k searcher: drop self-matches, score with
+    * the fused cosine, keep k per query with the (cosine desc, c_id)
+    * tie-break. Expects columns q_id, c_id, __qv, __cv. */
+  private def rerankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val scored = pairs.filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    Dedup.topKPerGroup(scored, Seq("q_id"),
+        Seq(col("cosine").desc, col("c_id")), k, "rank")
+      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+  }
+
   /** Exact top-k: for each query row, the k nearest candidates by cosine
     * (ties broken by candidate id). Queries are broadcast. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
       qId: String, cId: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(qId).as("q_id"), col(vecCol).as("__qv"))
     val c = candidates.select(col(cId).as("c_id"), col(vecCol).as("__cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    Dedup.topKPerGroup(scored, Seq("q_id"),
-        Seq(col("cosine").desc, col("c_id")), k, "rank")
-      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+    rerankTopK(c.crossJoin(broadcast(q)), k)
   }
 
   /** Deterministic pseudo-random hyperplanes (seeded), as literal columns. */
@@ -219,12 +225,7 @@ object Similarity {
     }
     val q = queries.select(col(qId).as("q_id"), col(vecCol).as("__qv"))
       .withColumn("cell", explode(nearestCells(col("__qv"))))
-    val scored = cAssigned.join(broadcast(q), Seq("cell"))
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    Dedup.topKPerGroup(scored, Seq("q_id"),
-        Seq(col("cosine").desc, col("c_id")), k, "rank")
-      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+    rerankTopK(cAssigned.join(broadcast(q), Seq("cell")), k)
   }
 
   /** All L bucket ids in one fused native pass (the production form of
@@ -243,7 +244,10 @@ object Similarity {
     * codebook is trained offline anyway; data-point codebooks are the
     * classic bootstrap) — but every step is deterministic relational
     * algebra, so the DuckDB oracle replays assignment, probing, and
-    * re-ranking exactly (q59). Ties break on (distance, cell id). */
+    * re-ranking exactly (q59). Ties break on (distance, cell id).
+    * Precondition: fixed-length vectors with no null elements (a null
+    * element would null-poison the engine's d2 fold while SQL SUM skips
+    * nulls — the oracle assumes well-formed vectors). */
   def ivfTopKFixedCodebook(queries: DataFrame, candidates: DataFrame,
       qId: String, cId: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
@@ -264,12 +268,7 @@ object Similarity {
     val cAssigned = nearestCells(c, "c_id", "__cv", 1).join(c, "c_id")
     val q = queries.select(col(qId).as("q_id"), col(vecCol).as("__qv"))
     val qProbes = nearestCells(q, "q_id", "__qv", nprobe).join(q, "q_id")
-    val scored = cAssigned.join(broadcast(qProbes), Seq("cell"))
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    Dedup.topKPerGroup(scored, Seq("q_id"),
-        Seq(col("cosine").desc, col("c_id")), k, "rank")
-      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+    rerankTopK(cAssigned.join(broadcast(qProbes), Seq("cell")), k)
   }
 
   /** Multi-table bucket ids: one (table, bucket) row per input row per
@@ -327,9 +326,6 @@ object Similarity {
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), col("__qv"), col("__cv"))
       .dropDuplicates("q_id", "c_id")
-    val scored = pairs.withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    Dedup.topKPerGroup(scored, Seq("q_id"),
-        Seq(col("cosine").desc, col("c_id")), k, "rank")
-      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+    rerankTopK(pairs, k)
   }
 }

@@ -55,15 +55,26 @@ object VectorQueries {
         FROM (SELECT unnest(range(10)) AS l),
              (SELECT unnest(range(4)) AS j),
              (SELECT unnest(range(64)) AS d)),
+      nv AS (
+        -- engine parity: a wrong-length vector or a null element zeroes
+        -- every bucket (LshBuckets' HOF null-poisoning semantics)
+        SELECT e.vec_id,
+          (len(e.embedding) <> 64)
+            OR BOOL_OR(e.embedding[CAST(i.i AS INT) + 1] IS NULL) AS bad
+        FROM embeddings e, (SELECT unnest(range(64)) AS i) i
+        GROUP BY e.vec_id, len(e.embedding)),
       dots AS (
         SELECT e.vec_id, p.l, p.j,
           SUM(e.embedding[CAST(p.d AS INT) + 1]::DOUBLE * p.w) AS dp
         FROM embeddings e CROSS JOIN planes p
         GROUP BY 1, 2, 3),
       buckets AS (
-        SELECT vec_id, l,
-          CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
-        FROM dots GROUP BY 1, 2),
+        SELECT dots.vec_id, l,
+          CAST(CASE WHEN MAX(nv.bad::INT) = 1 THEN 0
+            ELSE SUM(CASE WHEN dp > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END)
+          END AS BIGINT) AS bucket
+        FROM dots JOIN nv ON nv.vec_id = dots.vec_id
+        GROUP BY 1, 2),
       cand AS (
         SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
         FROM buckets q JOIN buckets c ON q.l = c.l AND q.bucket = c.bucket
