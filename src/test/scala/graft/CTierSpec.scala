@@ -259,5 +259,14 @@ class CTierSpec extends SparkSpecBase {
       .map { case (id, h) => id -> h.grouped(4).map(_.foldLeft(0.0)(_ + _)).toSeq }.toMap
     assert(resized === expect)
     resized.values.foreach(h => assert(h.length === 4))
+
+    // fail fast when the length is not a multiple of k (never silently
+    // drop trailing elements)
+    val bad = Seq((1L, Seq.fill(18)(0.5))).toDF("doc_id", "features")
+    val ex = intercept[Exception] {
+      Multimodal.resizeFeatures(bad, "features", 4).collect()
+    }
+    assert(ex.getMessage.contains("not a multiple") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not a multiple")))
   }
 }

@@ -104,6 +104,21 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("keyless (global single-series) as-of join works in both implementations") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq((ts("2024-01-01 10:00:00"), "l1"), (ts("2024-01-01 08:00:00"), "l0"))
+      .toDF("ts", "lv")
+    val right = Seq((ts("2024-01-01 09:00:00"), "r9"), (ts("2024-01-01 07:00:00"), "r7"))
+      .toDF("ts", "rv")
+    for (impl <- Seq(
+        AsOf.asofJoin(left, right, Seq.empty, "ts", "ts"),
+        AsOf.asofJoinMerge(left, right, Seq.empty, "ts", "ts"))) {
+      val got = impl.select("lv", "r_rv").collect()
+        .map(r => (r.getString(0), Option(r.get(1)))).toMap
+      assert(got === Map("l1" -> Some("r9"), "l0" -> Some("r7")))
+    }
+  }
+
   test("asofJoinMerge (custom exec) matches the union+window implementation") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 3) {
