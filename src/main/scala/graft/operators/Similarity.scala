@@ -292,6 +292,10 @@ object Similarity {
     // The pair explosion shuffles ONLY (a_id, b_id) — never the vectors.
     // Candidate volume is many× the row count, so dragging the embedding
     // arrays through the self-join + distinct dominates everything else.
+    // (A groupBy+collect_list+HOF pair expansion — NearDup's pattern —
+    // was measured 2.5× slower here: the bucket table is small enough to
+    // broadcast, and codegen'd hash-join probing beats interpreted
+    // nested-transform struct construction.)
     val b = withLshTables(base, "__v", tables)
       .select(col("__id"), col("table"), col("bucket"))
     val cand = b.as("a").join(b.as("b"),
