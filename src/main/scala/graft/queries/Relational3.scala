@@ -145,5 +145,60 @@ object Relational3 {
       SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
       ORDER BY p_partkey, metric"""))
 
-  def qs: Seq[Q] = Seq(q20, q21, q22, q23, q24)
+  /** B6 approx_percentile (Greenwald-Khanna sketch) — like q35's HLL,
+    * the raw sketch value is engine-specific, so the hashed output is the
+    * exact percentile plus a bounded-error check of the sketch against
+    * it: rank error ≤ n/accuracy ⇒ with accuracy=10000 the approx p50
+    * must land well inside the exact [p25, p75] band; we assert it lands
+    * within 10% of the IQR around the exact median. Deterministic — the
+    * sketch is deterministic for fixed data. */
+  private val q70 = Q(
+    "q70_approx_percentile",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          percentile($"l_extendedprice",
+            typedLit(Seq(0.25, 0.5, 0.75))).as("__ex"),
+          approx_percentile($"l_extendedprice", lit(0.5), lit(10000)).as("__ap"),
+          count(lit(1)).as("n"))
+        .select($"l_returnflag",
+          element_at($"__ex", 2).as("exact_p50"),
+          (abs($"__ap" - element_at($"__ex", 2)) <=
+            (element_at($"__ex", 3) - element_at($"__ex", 1)) * 0.1).as("approx_ok"),
+          $"n")
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS exact_p50,
+      TRUE AS approx_ok, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Training-pipeline subsampling: seeded stratified sample
+    * (`sampleBy` per document source). Per-row membership is
+    * engine-internal (seeded Bernoulli), so the oracle checks the
+    * deterministic *properties*: stratum totals, and the sampled count
+    * landing inside a generous Chernoff band around fraction·total (the
+    * sample is deterministic for a fixed seed, so the band check is
+    * stable, not flaky). */
+  private val q71 = Q(
+    "q71_stratified_sample",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val fractions = (0 until 20).map(i => s"src$i" -> 0.5).toMap
+      val sampled = docs.stat.sampleBy("source", fractions, seed = 42L)
+        .groupBy($"source").agg(count(lit(1)).as("n_sampled"))
+      docs.groupBy($"source").agg(count(lit(1)).as("n_total"))
+        .join(sampled, Seq("source"), "left")
+        .select($"source", $"n_total",
+          (coalesce($"n_sampled", lit(0L)) >= $"n_total" * 0.15 &&
+            coalesce($"n_sampled", lit(0L)) <= $"n_total" * 0.85).as("in_band"))
+        .orderBy($"source")
+    },
+    Some("""SELECT source, COUNT(*) AS n_total, TRUE AS in_band
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  def qs: Seq[Q] = Seq(q20, q21, q22, q23, q24, q70, q71)
 }
