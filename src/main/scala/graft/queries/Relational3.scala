@@ -200,5 +200,60 @@ object Relational3 {
     Some("""SELECT source, COUNT(*) AS n_total, TRUE AS in_band
       FROM documents GROUP BY source ORDER BY source"""))
 
-  def qs: Seq[Q] = Seq(q20, q21, q22, q23, q24, q70, q71)
+  /** B7 ranking-window battery: ntile, percent_rank, cume_dist,
+    * nth_value — identical definitions in DuckDB. The (price, key) order
+    * is collision-free, so every rank is deterministic. */
+  private val q72 = Q(
+    "q72_rank_windows",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      t(s, dir, "orders")
+        .filter($"o_orderkey" <= 2000)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 9).as("pct_rank"),
+          round(cume_dist().over(w), 9).as("cume"),
+          nth_value($"o_orderkey", 2).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("second_cheapest"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      ROUND(percent_rank() OVER w, 9) AS pct_rank,
+      ROUND(cume_dist() OVER w, 9) AS cume,
+      nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        AND UNBOUNDED FOLLOWING) AS second_cheapest
+      FROM orders WHERE o_orderkey <= 2000
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey"""))
+
+  /** B6 boolean/conditional aggregates: bool_and, bool_or, count_if —
+    * same names and semantics in DuckDB. */
+  private val q73 = Q(
+    "q73_bool_aggs",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          bool_and($"l_discount" <= 0.1).as("all_small_disc"),
+          bool_or($"l_quantity" >= 50).as("any_bulk"),
+          count_if($"l_tax" === 0.0).as("n_taxfree"),
+          count_if($"l_quantity" > 25).as("n_large"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      bool_and(l_discount <= 0.1) AS all_small_disc,
+      bool_or(l_quantity >= 50) AS any_bulk,
+      CAST(count_if(l_tax = 0.0) AS BIGINT) AS n_taxfree,
+      CAST(count_if(l_quantity > 25) AS BIGINT) AS n_large,
+      COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  def qs: Seq[Q] = Seq(q20, q21, q22, q23, q24, q70, q71, q72, q73)
 }
