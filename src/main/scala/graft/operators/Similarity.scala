@@ -110,17 +110,44 @@ object Similarity {
   /** Embedding-cosine near-dup pairs (the last dedup flavor in §2.C:
     * semantic near-dups that share no surface text). Exact all-pairs form.
     *
-    * Physical strategy: broadcast the whole (id-sorted) index and stream
-    * the rows through `mapPartitions`, each row scoring only higher-id
-    * vectors — a hand-blocked broadcast nested loop that never
-    * materializes the O(n²) pair rows the declarative self-join would
-    * (the join copies both 64-float arrays into every pair row before the
-    * filter can drop it). The broadcast side is the same size Spark's own
-    * BroadcastNestedLoopJoin would ship. Exact all-pairs is inherently
-    * O(n²) — at corpus scale feed LSH/IVF candidates through the same
-    * `tau` filter instead (compose [[lshTopK]]/[[ivfTopK]]). */
+    * Physical strategy: a BroadcastNestedLoopJoin — Spark's own broadcast
+    * machinery ships one copy of the vector relation and every executor
+    * streams its rows through the codegen'd pair pipeline; the O(n²) pair
+    * rows are never shuffled or materialized, and no driver-side collect
+    * happens in this code (the engine builds the broadcast with its usual
+    * memory accounting). Exact all-pairs is inherently O(n²) — at corpus
+    * scale feed LSH/IVF candidates through the same `tau` filter instead
+    * (compose [[lshNearDupPairs]]/[[lshTopK]]/[[ivfTopK]]). */
   def cosineNearDupPairs(df: DataFrame, id: String, vecCol: String,
-      tau: Double): DataFrame = {
+      tau: Double): DataFrame =
+    cosineNearDupPairsJoin(df, id, vecCol, tau, hintBroadcast = true)
+
+  /** Declarative self-join formulation — the readable spec of
+    * [[cosineNearDupPairs]] (identical output; parity-tested).
+    * `hintBroadcast` pins the build side to a broadcast nested loop; left
+    * unhinted Spark may pick a cartesian product instead. */
+  def cosineNearDupPairsJoin(df: DataFrame, id: String, vecCol: String,
+      tau: Double, hintBroadcast: Boolean = false): DataFrame = {
+    val a = df.select(col(id).as("a_id"), col(vecCol).as("__av"))
+    val b0 = df.select(col(id).as("b_id"), col(vecCol).as("__bv"))
+    val b = if (hintBroadcast) broadcast(b0) else b0
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cosine", cosine(col("__av"), col("__bv")))
+      .filter(col("cosine") >= tau)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
+  /** Hand-blocked broadcast nested loop — an opt-in micro-optimization of
+    * [[cosineNearDupPairs]] (bit-identical output; parity-tested in
+    * CTierSpec). Each row binary-searches the id-sorted broadcast index
+    * and scores only higher-id vectors, halving the flops of the
+    * declarative join. The index is materialized on the driver, so this
+    * variant fails fast past `maxIndexRows` instead of OOMing the driver
+    * at plan time, and null ids / null vector arrays are dropped up front
+    * to match the join form's null-drop semantics. Not the default: the
+    * driver materialization makes it a single-node tool, not a 100 TB one. */
+  def cosineNearDupPairsBlocked(df: DataFrame, id: String, vecCol: String,
+      tau: Double, maxIndexRows: Int = 1 << 20): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val isFloat = df.schema(vecCol).dataType match {
       case ArrayType(FloatType, _) => true
@@ -129,9 +156,16 @@ object Similarity {
     if (!isFloat) return cosineNearDupPairsJoin(df, id, vecCol, tau)
     import df.sparkSession.implicits._
     val typed = df
+      .filter(col(id).isNotNull && col(vecCol).isNotNull)
       .select(col(id).cast("long").as("a"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
-    val index = typed.collect().sortBy(_._1)
+    // take(max+1), not collect(): stops reading once the cap is proven
+    // exceeded, so oversized inputs error before driver memory fills.
+    val taken = typed.take(maxIndexRows + 1)
+    require(taken.length <= maxIndexRows,
+      s"cosineNearDupPairsBlocked: input exceeds maxIndexRows=$maxIndexRows; " +
+        "use cosineNearDupPairs (distributed) or LSH candidates at this scale")
+    val index = taken.sortBy(_._1)
     val bc = df.sparkSession.sparkContext.broadcast(index)
     typed.mapPartitions { it =>
       val arr = bc.value
@@ -153,18 +187,6 @@ object Similarity {
         }
       }
     }.toDF("a_id", "b_id", "cosine")
-  }
-
-  /** Declarative self-join formulation — the readable spec of
-    * [[cosineNearDupPairs]] (identical output; parity-tested). */
-  def cosineNearDupPairsJoin(df: DataFrame, id: String, vecCol: String,
-      tau: Double): DataFrame = {
-    val a = df.select(col(id).as("a_id"), col(vecCol).as("__av"))
-    val b = df.select(col(id).as("b_id"), col(vecCol).as("__bv"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cosine", cosine(col("__av"), col("__bv")))
-      .filter(col("cosine") >= tau)
-      .select(col("a_id"), col("b_id"), col("cosine"))
   }
 
   /** Same sequential fold as [[graft.functions.CosineSim]].compute over
@@ -287,7 +309,8 @@ object Similarity {
     * of n²/2. Short bucket ids (few bits) + many tables trade candidate
     * volume for recall. */
   def lshNearDupPairs(df: DataFrame, id: String, vecCol: String,
-      tau: Double, tables: Array[Array[Array[Double]]]): DataFrame = {
+      tau: Double, tables: Array[Array[Array[Double]]],
+      broadcastThresholdBytes: Long = 64L << 20): DataFrame = {
     val base = df.select(col(id).as("__id"), col(vecCol).as("__v"))
     // The pair explosion shuffles ONLY (a_id, b_id) — never the vectors.
     // Candidate volume is many× the row count, so dragging the embedding
@@ -303,11 +326,20 @@ object Similarity {
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    // vectors rejoin AFTER dedup via broadcast (the vector table is the
-    // small side by construction — it's the thing being LSH-bucketed).
-    // Both joins broadcast the IDENTICAL relation so ReuseExchange ships
-    // one copy, not two.
-    val vecs = broadcast(base)
+    // Vectors rejoin AFTER dedup, so the rejoin is proportional to
+    // distinct candidates, not collision multiplicity (deduping after
+    // the tau filter instead was measured ~20% slower here: with ~3×
+    // mean multiplicity the extra cosine work outweighs the saved
+    // shuffle of 16-byte id pairs). Size-aware: under the threshold the
+    // vector relation broadcasts (both joins broadcast the IDENTICAL
+    // relation so ReuseExchange ships one copy, not two); above it — a
+    // real corpus won't fit any executor's broadcast budget — fall back
+    // to shuffle-hash joins on id. The estimate comes from Catalyst's
+    // plan statistics (parquet file stats × selectivity), so no extra
+    // job runs to make the decision.
+    val vecBytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    val smallEnough = vecBytes <= BigInt(broadcastThresholdBytes)
+    val vecs = if (smallEnough) broadcast(base) else base.hint("shuffle_hash")
     cand.join(vecs.as("va"), col("a_id") === col("va.__id"))
       .join(vecs.as("vb"), col("b_id") === col("vb.__id"))
       .withColumn("cosine", cosine(col("va.__v"), col("vb.__v")))

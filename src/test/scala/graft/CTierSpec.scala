@@ -139,10 +139,34 @@ class CTierSpec extends SparkSpecBase {
     val emb = Tables(spark, sfDir, "embeddings")
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect().toSet
-    val blocked = canon(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45))
+    val default = canon(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45))
+    val blocked = canon(Similarity.cosineNearDupPairsBlocked(emb, "vec_id", "embedding", 0.45))
     val joined = canon(Similarity.cosineNearDupPairsJoin(emb, "vec_id", "embedding", 0.45))
+    assert(default === joined)
     assert(blocked === joined)
     assert(blocked.nonEmpty)
+  }
+
+  test("blocked variant: null rows dropped like the join form; oversized input fails fast") {
+    val withNulls = Seq(
+        (java.lang.Long.valueOf(1L), Array(1.0f, 0.0f)),
+        (java.lang.Long.valueOf(2L), Array(1.0f, 0.1f)),
+        (null.asInstanceOf[java.lang.Long], Array(1.0f, 0.2f)),
+        (java.lang.Long.valueOf(4L), null.asInstanceOf[Array[Float]]))
+      .toDF("id", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val blocked = canon(Similarity.cosineNearDupPairsBlocked(withNulls, "id", "v", 0.9))
+    val joined = canon(Similarity.cosineNearDupPairsJoin(withNulls, "id", "v", 0.9))
+    assert(blocked === joined)
+    assert(blocked === Set((1L, 2L)))
+
+    val emb = Tables(spark, sfDir, "embeddings")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairsBlocked(emb, "vec_id", "embedding", 0.45,
+        maxIndexRows = 10)
+    }
+    assert(ex.getMessage.contains("maxIndexRows"))
   }
 
   test("lshNearDupPairs (candidates + exact verify) equals exact all-pairs at tau=0.45") {

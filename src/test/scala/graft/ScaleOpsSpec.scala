@@ -55,6 +55,25 @@ class ScaleOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("lshNearDupPairs vector rejoin is size-aware: shuffle-hash above the broadcast threshold") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sfDir, "embeddings")
+    val tables = Similarity.hyperplaneTables(6, 3, 64)
+    // threshold 0 forces the over-threshold path: the vector rejoin must
+    // plan as shuffled joins on id, with no broadcast of the vector relation
+    val big = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.45, tables,
+      broadcastThresholdBytes = 0L)
+    val plan = big.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"over-threshold rejoin should shuffle-hash join on id:\n$plan")
+    // and it still computes exactly what the broadcast variant computes
+    val small = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.45, tables)
+    assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(canon(big) === canon(small))
+  }
+
   test("topk aggregate equals the window top-k formulation") {
     val fn = graft.functions.TopKAgg.register(spark, 3)
     val part = Tables(spark, sfDir, "part")
