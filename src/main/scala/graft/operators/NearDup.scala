@@ -57,21 +57,42 @@ object NearDup {
       md5(concat_ws("|", lit(j.toString) +: slice: _*))
     }: _*)
 
+  /** Default in-bucket size cap: a band bucket larger than this is a
+    * degenerate LSH key (empty shingles, constant text, hash pileup) —
+    * its O(n_bucket²) pair expansion would dominate the job while
+    * contributing pairs that are almost never true near-dups of each
+    * OTHER bucket member specifically. 10k² = 50M pairs per bucket is
+    * already past the point where one hot key stalls a 1000-executor
+    * job on a single task. */
+  val DefaultMaxBucket: Int = 10000
+
+  /** Observation name under which capped operators report overflow —
+    * readable from any action via `df.queryExecution.observedMetrics`
+    * (or a QueryExecutionListener on a cluster): `dropped_buckets`,
+    * `dropped_rows`, `largest_bucket`. No silent caps. */
+  val BucketCapMetric = "graft.lsh.bucket_cap"
+
   /** Candidate pairs (aId < bId) from LSH bucket collisions.
     *
     * Implemented as groupBy(band key) + in-bucket pair expansion rather
     * than a band-key self-join: the signature subtree is evaluated ONCE
     * (a self-join would recompute the k hash minima on both sides), and
     * the shuffle moves only (band key, id) pairs. Bucket sizes are
-    * bounded by LSH design, so the in-bucket combination expansion is
-    * small; pathological buckets would surface in `n_bucket` and can be
-    * capped upstream. */
+    * bounded by LSH design for well-behaved inputs; pathological buckets
+    * (all-identical or empty shingle sets) are dropped at `maxBucket`
+    * with the overflow reported on [[BucketCapMetric]] — never silently. */
   def candidatePairs(withSig: DataFrame, id: String, sigCol: String,
-      bands: Int, r: Int): DataFrame = {
+      bands: Int, r: Int, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bk = withSig.select(col(id), explode(bandKeys(col(sigCol), bands, r)).as("__bk"))
+    val n = size(col("__ids"))
     bk.groupBy(col("__bk"))
       .agg(sort_array(collect_list(col(id))).as("__ids"))
-      .filter(size(col("__ids")) > 1)
+      .filter(n > 1)
+      .observe(BucketCapMetric,
+        sum(when(n > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(n > maxBucket, n.cast("long")).otherwise(0L)).as("dropped_rows"),
+        coalesce(max(n.cast("long")), lit(0L)).as("largest_bucket"))
+      .filter(n <= maxBucket)
       .select(explode(flatten(transform(col("__ids"), (x, i) =>
         transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
           y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
@@ -79,16 +100,41 @@ object NearDup {
       .distinct()
   }
 
+  /** Shared head of the pipeline: (id, __grams, __sig) — shingles plus
+    * the k-element MinHash signature. Public so overflow accounting
+    * ([[overflowBuckets]]) and custom candidate policies can reuse the
+    * exact signature the pipeline computes. */
+  def withSignature(docs: DataFrame, id: String, textCol: String,
+      n: Int = 3, k: Int = 8, mode: HashMode = XxHash): DataFrame =
+    docs.select(
+        col(id),
+        TextFunctions.wordNGrams(TextFunctions.words(col(textCol)), n).as("__grams"))
+      .withColumn("__sig", minhashSignature(col("__grams"), k, mode))
+
+  /** Standalone overflow accounting: the band buckets `candidatePairs`
+    * would drop at `maxBucket`, as (band_key, n_ids) rows. Unlike the
+    * in-plan [[BucketCapMetric]] observation — which AQE erases when
+    * empty-relation propagation collapses the query (e.g. every bucket
+    * was degenerate) — this is an independent query that can be counted,
+    * logged, or sunk next to the dedup output for audit. */
+  def overflowBuckets(withSig: DataFrame, id: String, sigCol: String,
+      bands: Int, r: Int, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    withSig.select(col(id), explode(bandKeys(col(sigCol), bands, r)).as("band_key"))
+      .groupBy(col("band_key"))
+      .agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") > maxBucket)
+
   /** Full near-dup pipeline over (id, text): LSH candidates, then exact
     * Jaccard ≥ tau verification. Returns (a_id, b_id, jaccard). */
   def nearDupPairs(docs: DataFrame, id: String, textCol: String,
       n: Int = 3, k: Int = 8, bands: Int = 4, r: Int = 2,
-      tau: Double = 0.5, mode: HashMode = XxHash): DataFrame = {
+      tau: Double = 0.5, mode: HashMode = XxHash,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val grams = docs.select(
       col(id),
       TextFunctions.wordNGrams(TextFunctions.words(col(textCol)), n).as("__grams"))
-    val withSig = grams.withColumn("__sig", minhashSignature(col("__grams"), k, mode))
-    val cands = candidatePairs(withSig, id, "__sig", bands, r)
+    val withSig = withSignature(docs, id, textCol, n, k, mode)
+    val cands = candidatePairs(withSig, id, "__sig", bands, r, maxBucket)
     cands
       .join(grams.select(col(id).as("a_id"), col("__grams").as("__ga")), "a_id")
       .join(grams.select(col(id).as("b_id"), col("__grams").as("__gb")), "b_id")

@@ -310,7 +310,8 @@ object Similarity {
     * volume for recall. */
   def lshNearDupPairs(df: DataFrame, id: String, vecCol: String,
       tau: Double, tables: Array[Array[Array[Double]]],
-      broadcastThresholdBytes: Long = 64L << 20): DataFrame = {
+      broadcastThresholdBytes: Long = 64L << 20,
+      maxBucket: Int = NearDup.DefaultMaxBucket): DataFrame = {
     val base = df.select(col(id).as("__id"), col(vecCol).as("__v"))
     // The pair explosion shuffles ONLY (a_id, b_id) — never the vectors.
     // Candidate volume is many× the row count, so dragging the embedding
@@ -319,8 +320,25 @@ object Similarity {
     // was measured 2.5× slower here: the bucket table is small enough to
     // broadcast, and codegen'd hash-join probing beats interpreted
     // nested-transform struct construction.)
-    val b = withLshTables(base, "__v", tables)
+    val b0 = withLshTables(base, "__v", tables)
       .select(col("__id"), col("table"), col("bucket"))
+    // Hot-bucket guard: one degenerate (table, bucket) key (all-zero
+    // vectors, constant embeddings) would make the self-join below emit
+    // O(n_bucket²) pairs in a single task. Bucket sizes aggregate to at
+    // most tables × 2^bits keys — a trivially broadcastable relation —
+    // and oversized buckets are dropped with the overflow reported on
+    // [[NearDup.BucketCapMetric]] (never silently).
+    val b = if (maxBucket == Int.MaxValue) b0 else {
+      val n = col("__n")
+      val sizes = b0.groupBy(col("table"), col("bucket"))
+        .agg(count(lit(1)).as("__n"))
+        .observe(NearDup.BucketCapMetric,
+          sum(when(n > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+          sum(when(n > maxBucket, n).otherwise(0L)).as("dropped_rows"),
+          coalesce(max(n), lit(0L)).as("largest_bucket"))
+      b0.join(broadcast(sizes.filter(n <= maxBucket).select(col("table"), col("bucket"))),
+        Seq("table", "bucket"))
+    }
     val cand = b.as("a").join(b.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.__id") < col("b.__id"))
@@ -346,6 +364,20 @@ object Similarity {
       .filter(col("cosine") >= tau)
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
+
+  /** Standalone overflow accounting for [[lshNearDupPairs]]: the
+    * (table, bucket) keys whose population exceeds `maxBucket`, with
+    * sizes. Independent of the main query plan, so it survives the AQE
+    * empty-relation collapse that can erase the in-plan
+    * [[NearDup.BucketCapMetric]] observation when the capped result is
+    * empty — count, log, or sink it next to the dedup output. */
+  def lshOverflowBuckets(df: DataFrame, id: String, vecCol: String,
+      tables: Array[Array[Array[Double]]],
+      maxBucket: Int = NearDup.DefaultMaxBucket): DataFrame =
+    withLshTables(df.select(col(id).as("__id"), col(vecCol).as("__v")), "__v", tables)
+      .groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") > maxBucket)
 
   /** Approximate top-k via multi-table LSH: candidates = bucket collisions
     * in any of the L tables, then exact cosine + window top-k. Candidate

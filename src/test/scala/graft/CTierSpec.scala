@@ -180,6 +180,64 @@ class CTierSpec extends SparkSpecBase {
     assert(viaLsh.nonEmpty)
   }
 
+  test("minhash LSH hot bucket is capped with overflow reported, never silently") {
+    // 200 identical texts: every band key collides for all of them — the
+    // classic degenerate bucket whose pair expansion is O(n²). Two more
+    // identical docs form a small, legitimate dup cluster that must
+    // survive the cap.
+    val hot = (0 until 200).map(i => (i.toLong, "same exact text repeated for every document here"))
+    val pairDup = Seq((900L, "one completely unrelated document about spark shuffles"),
+      (901L, "one completely unrelated document about spark shuffles"))
+    val docs = (hot ++ pairDup).toDF("doc_id", "text")
+    val capped = NearDup.nearDupPairs(docs, "doc_id", "text", maxBucket = 50)
+    // only the small cluster's pair survives; the hot cluster is dropped.
+    // NOTE: the action must run on `capped` itself — a derived Dataset
+    // would execute its own QueryExecution and leave this one's observed
+    // metrics unset.
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((900L, 901L)))
+    val metrics = capped.queryExecution.observedMetrics(NearDup.BucketCapMetric)
+    assert(metrics.getAs[Long]("dropped_buckets") >= 1L)
+    assert(metrics.getAs[Long]("dropped_rows") >= 200L)
+    assert(metrics.getAs[Long]("largest_bucket") === 200L)
+    // the standalone accounting query reports the same dropped buckets
+    // (it survives even the full-drop case, where AQE empty-relation
+    // propagation erases the in-plan observation)
+    val sig = NearDup.withSignature(docs, "doc_id", "text")
+    val overflow = NearDup.overflowBuckets(sig, "doc_id", "__sig", 4, 2, maxBucket = 50)
+      .as[(String, Long)].collect()
+    assert(overflow.nonEmpty)
+    overflow.foreach { case (_, n) => assert(n === 200L) }
+    // uncapped the same input explodes into all the hot pairs too
+    val uncapped = NearDup.nearDupPairs(docs, "doc_id", "text", maxBucket = Int.MaxValue)
+    assert(uncapped.count() === 200L * 199 / 2 + 1)
+  }
+
+  test("hyperplane LSH hot bucket is capped with overflow reported") {
+    // 100 identical vectors (one degenerate bucket per table) plus one
+    // small genuine near-dup pair in a different direction
+    val vec = Seq.fill(64)(0.5f)
+    val other = Seq.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val emb = ((0 until 100).map(i => (i.toLong, vec)) ++
+      Seq((900L, other), (901L, other))).toDF("vec_id", "embedding")
+    val tables = Similarity.hyperplaneTables(4, 3, 64)
+    val capped = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.9, tables,
+      maxBucket = 10)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((900L, 901L)))
+    val metrics = capped.queryExecution.observedMetrics(NearDup.BucketCapMetric)
+    assert(metrics.getAs[Long]("dropped_buckets") >= 1L)
+    assert(metrics.getAs[Long]("largest_bucket") >= 100L)
+    val overflow = Similarity.lshOverflowBuckets(emb, "vec_id", "embedding", tables,
+      maxBucket = 10).as[(Int, Long, Long)].collect()
+    assert(overflow.nonEmpty)
+    overflow.foreach { case (_, _, n) => assert(n >= 100L) }
+    // default cap leaves well-behaved buckets alone: identical vectors
+    // are cosine-1 pairs and all survive
+    val default = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.9, tables)
+    assert(default.count() === 100L * 99 / 2 + 1)
+  }
+
   test("multi-table cosine LSH recall vs brute force (>= 0.4 top-3)") {
     val emb = Tables(spark, sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 30)
