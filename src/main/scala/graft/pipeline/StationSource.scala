@@ -52,24 +52,103 @@ final class FileBackedSource(rawListPath: String, detailsJsonlPath: String)
   override def detailFetcher(): Long => Option[String] = detailMap.get _
 }
 
+/** Operational envelope for the per-key fan-out: the semantics a
+  * production HTTP fan-out needs that the reference's sequential
+  * one-request-at-a-time loop (index.js:112-141) lacks.
+  *
+  * @param maxInFlight  bounded concurrent fetches per partition (the
+  *                     "connection pool size"); total cluster concurrency
+  *                     is partitions × maxInFlight — size both together
+  * @param maxAttempts  total tries per key (1 initial + retries); only
+  *                     thrown errors are retried — a clean `None` from
+  *                     the service means "missing", not "transient"
+  * @param backoffMs    base exponential backoff: sleep backoffMs << (attempt-1)
+  * @param maxRatePerSec per-partition token-bucket rate limit; 0 = off */
+final case class EnrichConfig(
+    maxInFlight: Int = 8,
+    maxAttempts: Int = 3,
+    backoffMs: Long = 50,
+    maxRatePerSec: Double = 0.0)
+
+/** Blocking token bucket (one per partition, shared by that partition's
+  * fetch threads). Spacing-based: at most one permit per 1/rate seconds. */
+final class RateLimiter(permitsPerSec: Double) extends Serializable {
+  private val intervalNanos =
+    if (permitsPerSec <= 0) 0L else (1e9 / permitsPerSec).toLong
+  private var nextFreeNanos = 0L
+  def acquire(): Unit = if (intervalNanos > 0) {
+    val waitNanos = synchronized {
+      val now = System.nanoTime()
+      val at = math.max(now, nextFreeNanos)
+      nextFreeNanos = at + intervalNanos
+      at - now
+    }
+    if (waitNanos > 0)
+      Thread.sleep(waitNanos / 1000000, (waitNanos % 1000000).toInt)
+  }
+}
+
 /** A4 as an operator: fan-out lookup join of a keyed DataFrame against a
   * remote per-key service. `mapPartitions` gives partition-parallel I/O
-  * with one fetcher (connection pool) per partition; failures yield null
-  * payloads that flow to a quarantine count instead of killing the run. */
+  * with one fetcher (connection pool) per partition; within a partition a
+  * bounded pipeline keeps up to [[EnrichConfig.maxInFlight]] fetches in
+  * flight (ordered, so memory stays O(maxInFlight)); thrown fetch errors
+  * retry with exponential backoff, and keys still failing after
+  * [[EnrichConfig.maxAttempts]] yield null payloads that flow to the
+  * quarantine count (A14) instead of killing the run. */
 object LookupEnricher {
 
-  def enrich(stubs: DataFrame, idCol: String, source: StationSource): DataFrame = {
+  def enrich(stubs: DataFrame, idCol: String, source: StationSource,
+      cfg: EnrichConfig = EnrichConfig()): DataFrame = {
     import stubs.sparkSession.implicits._
     val withPayload = stubs
       .select(col(idCol).cast("long").as("id"), col("nome"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val fetch = source.detailFetcher() // one "client" per partition
-        it.map { case (id, nome) =>
-          val payload =
-            try fetch(id).orNull
-            catch { case scala.util.control.NonFatal(_) => null } // A14
-          (id, nome, payload)
+        val limiter = new RateLimiter(cfg.maxRatePerSec)
+        def fetchWithRetry(id: Long): String = {
+          var attempt = 1
+          while (true) {
+            limiter.acquire()
+            try return fetch(id).orNull
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                if (attempt >= cfg.maxAttempts) return null // A14 quarantine
+                Thread.sleep(cfg.backoffMs << (attempt - 1))
+                attempt += 1
+            }
+          }
+          null // unreachable
+        }
+        if (cfg.maxInFlight <= 1) {
+          it.map { case (id, nome) => (id, nome, fetchWithRetry(id)) }
+        } else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(cfg.maxInFlight)
+          // kill the pool when the task ends, even on abort mid-iterator
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
+          val pending =
+            new java.util.ArrayDeque[(Long, String, java.util.concurrent.Future[String])]()
+          new Iterator[(Long, String, String)] {
+            private def fill(): Unit =
+              while (pending.size < cfg.maxInFlight && it.hasNext) {
+                val (id, nome) = it.next()
+                pending.add((id, nome,
+                  pool.submit(() => fetchWithRetry(id))))
+              }
+            override def hasNext: Boolean = {
+              fill()
+              val more = !pending.isEmpty
+              if (!more) pool.shutdown()
+              more
+            }
+            override def next(): (Long, String, String) = {
+              fill()
+              val (id, nome, f) = pending.poll()
+              (id, nome, f.get())
+            }
+          }
         }
       }
       .toDF("id", "nome", "__payload")

@@ -8,6 +8,38 @@ import graft.pipeline.{FileBackedSource, FuelIngest}
   * exercises A2-A14 — list scan, fan-out enrichment, null filter, wide
   * projection, upsert, snapshot append, as-of read, in-array dedup,
   * quarantine counting. */
+/** Shared-JVM probe state for the enricher tests (local mode: executor
+  * threads live in the test JVM, so statics are visible). */
+object EnricherProbe {
+  import java.util.concurrent.atomic.AtomicInteger
+  val attempts = new java.util.concurrent.ConcurrentHashMap[Long, AtomicInteger]()
+  val inFlight = new AtomicInteger(0)
+  val maxObserved = new AtomicInteger(0)
+  def reset(): Unit = { attempts.clear(); inFlight.set(0); maxObserved.set(0) }
+}
+
+/** Injected flaky/slow fetcher: throws `transientFailures` times per key
+  * (then succeeds), always throws for `alwaysFail` keys, and sleeps
+  * `sleepMs` per call to make concurrency observable. */
+final class FlakyProbeSource(transientFailures: Int, sleepMs: Long,
+    alwaysFail: Set[Long] = Set.empty) extends graft.pipeline.StationSource {
+  override def stationStubs(spark: org.apache.spark.sql.SparkSession) =
+    sys.error("not used")
+  override def detailFetcher(): Long => Option[String] = id => {
+    val cur = EnricherProbe.inFlight.incrementAndGet()
+    EnricherProbe.maxObserved.getAndAccumulate(cur, Math.max(_, _))
+    try {
+      if (sleepMs > 0) Thread.sleep(sleepMs)
+      val n = EnricherProbe.attempts
+        .computeIfAbsent(id, _ => new java.util.concurrent.atomic.AtomicInteger)
+        .incrementAndGet()
+      if (alwaysFail(id)) throw new RuntimeException(s"permanent failure for $id")
+      if (n <= transientFailures) throw new RuntimeException(s"transient failure $n for $id")
+      Some(s"""{"id": $id, "resultado": {"Nome": "station $id"}}""")
+    } finally EnricherProbe.inFlight.decrementAndGet()
+  }
+}
+
 class FuelPipelineSpec extends SparkSpecBase {
 
   private lazy val source = new FileBackedSource(
@@ -97,6 +129,56 @@ class FuelPipelineSpec extends SparkSpecBase {
     val scanned = asOf.queryExecution.executedPlan.collectLeaves()
       .map(_.toString).mkString
     assert(scanned.contains("snapshot_date"), scanned)
+  }
+
+  test("enricher retries transient failures and bounds in-flight concurrency") {
+    import graft.pipeline.{EnrichConfig, LookupEnricher}
+    import spark.implicits._
+    EnricherProbe.reset()
+    val stubs = (1L to 40L).map(i => (i, s"station $i")).toDF("id", "nome")
+      .repartition(1) // one partition: the per-partition pool is the only parallelism
+    val cfg = EnrichConfig(maxInFlight = 4, maxAttempts = 3, backoffMs = 1)
+    val out = LookupEnricher.enrich(stubs,
+      "id", new FlakyProbeSource(transientFailures = 2, sleepMs = 10), cfg)
+    val rows = out.collect()
+    assert(rows.length === 40)
+    // every key failed twice, succeeded on attempt 3 → detail present
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("detail"))))
+    import scala.jdk.CollectionConverters._
+    EnricherProbe.attempts.asScala.foreach { case (id, n) =>
+      assert(n.get === 3, s"id=$id should take exactly maxAttempts tries")
+    }
+    // the pool never exceeded the bound, and concurrency was actually used
+    assert(EnricherProbe.maxObserved.get <= 4,
+      s"in-flight exceeded bound: ${EnricherProbe.maxObserved.get}")
+    assert(EnricherProbe.maxObserved.get >= 2,
+      "bounded pipeline should overlap fetches")
+  }
+
+  test("enricher quarantines keys that still fail after maxAttempts; rate limit spaces calls") {
+    import graft.pipeline.{EnrichConfig, LookupEnricher}
+    import spark.implicits._
+    EnricherProbe.reset()
+    val stubs = (1L to 10L).map(i => (i, s"station $i")).toDF("id", "nome")
+      .repartition(1)
+    val cfg = EnrichConfig(maxInFlight = 2, maxAttempts = 3, backoffMs = 1)
+    val out = LookupEnricher.enrich(stubs,
+      "id", new FlakyProbeSource(transientFailures = 0, sleepMs = 0,
+        alwaysFail = Set(5L)), cfg)
+    val rows = out.collect().map(r => r.getLong(0) -> !r.isNullAt(2)).toMap
+    assert(rows(5L) === false) // permanent failure → null detail (A14 path)
+    assert((rows - 5L).values.forall(identity))
+    assert(EnricherProbe.attempts.get(5L).get === 3) // retried to the cap
+
+    // rate limit: 20 keys at 200/s must take >= 19/200 s by construction
+    EnricherProbe.reset()
+    val stubs2 = (1L to 20L).map(i => (i, s"s$i")).toDF("id", "nome").repartition(1)
+    val t0 = System.nanoTime()
+    LookupEnricher.enrich(stubs2, "id",
+      new FlakyProbeSource(0, 0), EnrichConfig(maxInFlight = 4, maxRatePerSec = 200.0))
+      .collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs >= 90.0, s"rate limiter should space 20 calls over >=95ms, took $elapsedMs")
   }
 
   test("config loader filters by prefix (A1)") {
