@@ -27,14 +27,12 @@ trait StationSource extends Serializable {
 final class FileBackedSource(rawListPath: String, detailsJsonlPath: String)
     extends StationSource {
 
+  /** The A2 list endpoint as a real scan node: the DSv2 `rest-json`
+    * source ([[graft.sources.RestJsonSource]]) does the A3
+    * projection+rename (index.js:88-91) inside the reader, with id
+    * pushdown and column pruning available to the engine. */
   override def stationStubs(spark: SparkSession): DataFrame =
-    spark.read
-      .option("multiLine", "true")
-      .schema(FuelSchemas.rawList)
-      .json(rawListPath)
-      .select(explode(col("resultado")).as("r"))
-      // A3 projection + rename (index.js:88-91)
-      .select(col("r.Id").as("id"), col("r.Nome").as("nome"))
+    spark.read.format("rest-json").option("path", rawListPath).load()
 
   // Loaded once per executor lazily; a live impl would open an HTTP client.
   @transient private lazy val detailMap: Map[Long, String] = {
