@@ -159,6 +159,109 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  /** One parquet "micro-batch" file of synthetic events; ts in minutes. */
+  private def dropBatch(dir: Path, name: String,
+      rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+    val df = rows.map { case (id, tsMin, uid, typ, v) =>
+      (id, tsMin * 60L * 1000000000L, uid, typ, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.coalesce(1).write.mode("overwrite").parquet(dir.resolve("tmp").toString)
+    Files.move(
+      dir.resolve("tmp").toFile.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath,
+      dir.resolve(name))
+  }
+
+  test("late rows beyond the watermark are dropped from the windowed aggregation") {
+    // append-mode tumbling 1h windows, 10-minute watermark: a window is
+    // emitted once the watermark passes its end, after which genuinely
+    // late rows for it must be discarded — the eviction contract the
+    // reference's append-only prices feed would hit in production
+    val dir: Path = Files.createTempDirectory("stream-late")
+    dropBatch(dir, "b1.parquet", Seq(
+      (1L, 10L, 1L, "click", 1.0),   // window [0h,1h)
+      (2L, 20L, 2L, "click", 1.0),   // window [0h,1h)
+      (3L, 120L, 3L, "click", 1.0))) // window [2h,3h); watermark -> 1:50
+
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir.toString + "/b*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("ws"), $"n")
+
+    val q = stream.writeStream
+      .outputMode("append").format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 1 closed [0h,1h): emitted with n=2
+      val after1 = spark.table("late_out").as[(java.sql.Timestamp, Long)]
+        .collect().map { case (ts, n) => ts.toLocalDateTime.getHour -> n }.toMap
+      assert(after1 === Map(0 -> 2L))
+
+      dropBatch(dir, "b2.parquet", Seq(
+        (4L, 30L, 4L, "click", 1.0),   // LATE: [0h,1h) closed at wm 1:50 — dropped
+        (5L, 115L, 5L, "click", 1.0),  // [1h,2h): within watermark — kept
+        (6L, 200L, 6L, "click", 1.0))) // [3h,4h); watermark -> 3:10 closes [1h,2h) and [2h,3h)
+      q.processAllAvailable()
+
+      val after2 = spark.table("late_out").as[(java.sql.Timestamp, Long)]
+        .collect().map { case (ts, n) => ts.toLocalDateTime.getHour -> n }.toMap
+      // the late id=4 row contributes NOWHERE: hour 0 stays 2, and the
+      // total over emitted windows is 4 of the 6 rows (id=4 evicted,
+      // id=6's window still open)
+      assert(after2 === Map(0 -> 2L, 1 -> 1L, 2 -> 1L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup state lifecycle: plain dropDuplicates never evicts; withinWatermark does") {
+    // The two documented dedup contracts, pinned side by side:
+    //  (a) dropDuplicates(keys) WITHOUT the event-time column in the keys
+    //      keeps state forever — duplicates are dropped even long after
+    //      the watermark passed the first occurrence (and state grows
+    //      unboundedly; that is WHY dropDuplicatesWithinWatermark exists);
+    //  (b) dropDuplicatesWithinWatermark(keys) expires a key once the
+    //      watermark passes firstSeen + delay, so a later duplicate is
+    //      re-admitted, while in-flight duplicates still dedup.
+    def run(name: String, withinWatermark: Boolean): Seq[Long] = {
+      val dir: Path = Files.createTempDirectory(s"stream-$name")
+      // start at minute 100, not 0: a row whose event time equals the
+      // initial epoch watermark is dropped as late by the
+      // withinWatermark operator (ts <= watermark)
+      dropBatch(dir, "b1.parquet", Seq((1L, 100L, 1L, "click", 1.0)))
+      val base = spark.readStream
+        .schema(eventsSchema)
+        .parquet(dir.toString + "/b*.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "10 minutes")
+      val deduped =
+        if (withinWatermark) base.dropDuplicatesWithinWatermark("user_id", "event_type")
+        else base.dropDuplicates("user_id", "event_type")
+      val q = deduped.select($"event_id", $"user_id", $"event_type")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        // (u1, click)@1:40 state expires at 1:50; this batch advances the
+        // watermark to 2:30, past the expiry, evicting it at commit
+        dropBatch(dir, "b2.parquet", Seq((2L, 160L, 9L, "other", 1.0)))
+        q.processAllAvailable()
+        // id=3 re-admits iff the key expired; id=4 dedups against id=3's
+        // fresh state (withinWatermark) or the immortal original (plain)
+        dropBatch(dir, "b3.parquet", Seq((3L, 155L, 1L, "click", 1.0)))
+        q.processAllAvailable()
+        dropBatch(dir, "b4.parquet", Seq((4L, 158L, 1L, "click", 1.0)))
+        q.processAllAvailable()
+        spark.table(name).filter($"user_id" === 1L && $"event_type" === "click")
+          .select("event_id").as[Long].collect().sorted.toSeq
+      } finally q.stop()
+    }
+    assert(run("dedup_plain", withinWatermark = false) === Seq(1L),
+      "plain dropDuplicates: key state is never evicted")
+    assert(run("dedup_within", withinWatermark = true) === Seq(1L, 3L),
+      "withinWatermark: expired key re-admits id=3, id=4 dedups against it")
+  }
+
   test("streaming dedup within watermark drops duplicate keys") {
     val dir: Path = Files.createTempDirectory("stream-src2")
     Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
