@@ -18,13 +18,40 @@ class TopKDoubles(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
 
   override def zero: Seq[Double] = Vector.empty
 
-  /** Insert keeping the buffer sorted descending and bounded at k. */
-  override def reduce(buf: Seq[Double], x: Double): Seq[Double] =
+  /** Bounded insert: rejected values (x ≤ current k-th) cost O(1) — the
+    * common case once the buffer fills; accepted values binary-search the
+    * slot and splice, O(k) worst-case on the array copy, never a re-sort. */
+  override def reduce(buf: Seq[Double], x: Double): Seq[Double] = {
     if (buf.size >= k && x <= buf.last) buf
-    else ((buf :+ x).sortBy(-_)).take(k)
+    else {
+      val v = buf.toIndexedSeq
+      // first index whose value < x (buffer sorted descending)
+      var lo = 0
+      var hi = v.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (v(m) >= x) lo = m + 1 else hi = m
+      }
+      ((v.take(lo) :+ x) ++ v.drop(lo)).take(k)
+    }
+  }
 
-  override def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] =
-    (a ++ b).sortBy(-_).take(k)
+  /** Linear merge of two sorted-descending buffers, stopping at k. */
+  override def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] = {
+    val av = a.toIndexedSeq
+    val bv = b.toIndexedSeq
+    val out = Vector.newBuilder[Double]
+    var i = 0
+    var j = 0
+    var n = 0
+    val limit = math.min(k, av.length + bv.length)
+    while (n < limit) {
+      if (j >= bv.length || (i < av.length && av(i) >= bv(j))) { out += av(i); i += 1 }
+      else { out += bv(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
 
   override def finish(r: Seq[Double]): Seq[Double] = r
 

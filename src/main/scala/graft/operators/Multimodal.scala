@@ -15,6 +15,35 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Fail-fast schema checks shared by the blob consumers (mirrors
+    * [[resizeFeatures]]'s up-front validation): the id must be an integral
+    * type and the blob column must exist as binary. Returns a Row→Long id
+    * getter so Integer and Long ids both work. */
+  private def validateBlobInput(df: DataFrame, idCol: String): (Int, Int, Row => Long) = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex("blob")
+    df.schema(blobIdx).dataType match {
+      case BinaryType => ()
+      case other => throw new IllegalArgumentException(
+        s"Multimodal: blob column must be binary, got $other")
+    }
+    val getId: Row => Long = df.schema(idIdx).dataType match {
+      case LongType => r => r.getLong(idIdx)
+      case IntegerType => r => r.getInt(idIdx).toLong
+      case other => throw new IllegalArgumentException(
+        s"Multimodal: id column '$idCol' must be integral (int/bigint), got $other")
+    }
+    (idIdx, blobIdx, getId)
+  }
+
+  /** Null blobs error clearly (with the offending id) instead of NPEing
+    * mid-task — attach blobs with [[withBlob]] or filter nulls upstream. */
+  private def requireBlob(bytes: Array[Byte], id: Long): Array[Byte] = {
+    if (bytes == null) throw new IllegalArgumentException(
+      s"Multimodal: null blob for id=$id; filter null payloads upstream")
+    bytes
+  }
+
   /** Attach an opaque blob column + metadata (here: utf-8 bytes of `text`
     * standing in for an image/audio payload). */
   def withBlob(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -37,12 +66,11 @@ object Multimodal {
       StructField("byte_len", LongType, nullable = false),
       StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    val idIdx = blobs.schema.fieldIndex(idCol)
-    val blobIdx = blobs.schema.fieldIndex("blob")
+    val (_, blobIdx, getId) = validateBlobInput(blobs, idCol)
     blobs.mapPartitions { rows =>
       rows.map { r =>
-        val id = r.getLong(idIdx)
-        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val id = getId(r)
+        val bytes = requireBlob(r.getAs[Array[Byte]](blobIdx), id)
         val hist = new Array[Double](bins)
         var i = 0
         while (i < bytes.length) {
@@ -73,12 +101,11 @@ object Multimodal {
       StructField("frame_len", LongType, nullable = false),
       StructField("frame_mean", DoubleType, nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    val idIdx = blobs.schema.fieldIndex(idCol)
-    val blobIdx = blobs.schema.fieldIndex("blob")
+    val (_, blobIdx, getId) = validateBlobInput(blobs, idCol)
     blobs.mapPartitions { rows =>
       rows.flatMap { r =>
-        val id = r.getLong(idIdx)
-        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val id = getId(r)
+        val bytes = requireBlob(r.getAs[Array[Byte]](blobIdx), id)
         Iterator.range(0, math.max(bytes.length, 1), stride).map { off =>
           val len = math.min(frameSize, bytes.length - off)
           var sum = 0L

@@ -181,13 +181,17 @@ object Relational3 {
     * deterministic *properties*: stratum totals, and the sampled count
     * landing inside a generous Chernoff band around fraction·total (the
     * sample is deterministic for a fixed seed, so the band check is
-    * stable, not flaky). */
+    * stable, not flaky). Strata are derived from the data — `sampleBy`
+    * needs a driver-side fractions map, and the stratum domain is small
+    * by definition (it's a grouping key), so the distinct-collect is a
+    * metadata-sized read, not a data read. */
   private val q71 = Q(
     "q71_stratified_sample",
     (s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val fractions = (0 until 20).map(i => s"src$i" -> 0.5).toMap
+      val fractions = docs.select($"source").distinct()
+        .as[String].collect().map(_ -> 0.5).toMap
       val sampled = docs.stat.sampleBy("source", fractions, seed = 42L)
         .groupBy($"source").agg(count(lit(1)).as("n_sampled"))
       docs.groupBy($"source").agg(count(lit(1)).as("n_total"))

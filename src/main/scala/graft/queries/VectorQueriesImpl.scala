@@ -5,7 +5,18 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Multimodal, Similarity}
 import graft.sources.Tables
 
-/** SURVEY §2.C vector-similarity (C3) + multimodal (C4) queries. */
+/** SURVEY §2.C vector-similarity (C3) + multimodal (C4) queries.
+  *
+  * Oracle-parity caveat (applies to every FP oracle below — q49/q50/q59's
+  * dots, d2 argmins, and sign tests): "replays bit-identically" is an
+  * EMPIRICAL guarantee, not an algebraic one. The engine computes each
+  * dot/norm/d2 as a left-to-right sequential fold; SQL `SUM` has
+  * unspecified accumulation order, so a near-zero dot (the `dp > 0` sign
+  * test) or a near-tied argmin could in principle flip under a different
+  * DuckDB version, thread count, or data draw. Validated bit-exact at
+  * sf0.01 and sf0.1 on DuckDB as shipped here; a future mismatch on one
+  * of these queries should be triaged as possible summation-order skew
+  * before being treated as an engine bug. */
 object VectorQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
@@ -294,7 +305,14 @@ object VectorQueries {
     * cosine pair to ~5e-4 (16 tables measurably missed 1/144 pairs at
     * sf0.1); the oracle is the EXACT all-pairs SQL — the query only
     * hash-matches if LSH recall is 100% on this data, which it is
-    * (verified at sf0.01 AND sf0.1; CTierSpec asserts it at sf0.001). */
+    * (verified at sf0.01 AND sf0.1; CTierSpec asserts it at sf0.001).
+    *
+    * Data-coupled gate: 100% recall is a probabilistic property of THIS
+    * fixture, not of the algorithm — a regenerated embeddings table or a
+    * new SF could legitimately miss a pair (expected ~5e-4 of true pairs)
+    * with no code bug. If this query ever hash-mismatches, first diff the
+    * engine output against the oracle rows: missing pairs only ⇒ recall
+    * loss (retune tables/bits or accept), anything else ⇒ real bug. */
   private val q67 = Q(
     "q67_lsh_neardup",
     (s, dir) => {
