@@ -312,43 +312,71 @@ object Similarity {
       tau: Double, tables: Array[Array[Array[Double]]],
       broadcastThresholdBytes: Long = 64L << 20,
       maxBucket: Int = NearDup.DefaultMaxBucket): DataFrame = {
+    val spark = df.sparkSession
     val base = df.select(col(id).as("__id"), col(vecCol).as("__v"))
-    // The pair explosion shuffles ONLY (a_id, b_id) — never the vectors.
-    // Candidate volume is many× the row count, so dragging the embedding
-    // arrays through the self-join + distinct dominates everything else.
-    // (A groupBy+collect_list+HOF pair expansion — NearDup's pattern —
-    // was measured 2.5× slower here: the bucket table is small enough to
-    // broadcast, and codegen'd hash-join probing beats interpreted
-    // nested-transform struct construction.)
-    val b0 = withLshTables(base, "__v", tables)
-      .select(col("__id"), col("table"), col("bucket"))
+    // The signature table (id + L bucket ids, ~8·L bytes/row) is computed
+    // ONCE and localCheckpointed: a self-join would otherwise re-evaluate
+    // the L·bits·dim signature expression (and re-compile its generated
+    // code) on every side. The checkpoint is linear in input rows — the
+    // one relation this operator is allowed to materialize. Inputs
+    // narrower than the cluster are widened to defaultParallelism first
+    // so the bucket probe fans out; already-wide inputs keep their layout.
+    val sig0 = base
+      .withColumn("__bkts", lshBucketsAll(col("__v"), tables))
+      .select(col("__id"), col("__bkts"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val sig = sig0.localCheckpoint()
     // Hot-bucket guard: one degenerate (table, bucket) key (all-zero
     // vectors, constant embeddings) would make the self-join below emit
-    // O(n_bucket²) pairs in a single task. Bucket sizes aggregate to at
-    // most tables × 2^bits keys — a trivially broadcastable relation —
-    // and oversized buckets are dropped with the overflow reported on
-    // [[NearDup.BucketCapMetric]] (never silently).
-    val b = if (maxBucket == Int.MaxValue) b0 else {
+    // O(n_bucket²) pairs in a single task. Oversized buckets are NULLED
+    // OUT of the signature arrays — a null slot neither joins nor counts
+    // as a collision — with the overflow reported on
+    // [[NearDup.BucketCapMetric]] (never silently; AQE can erase the
+    // in-plan observation when nothing was dropped — use
+    // [[lshOverflowBuckets]] for standalone audit). Hot keys are bounded
+    // by rows/maxBucket per table, so table → hot-bucket-set aggregates
+    // to a tiny single-row map joined in by broadcast; nulling is then a
+    // narrow per-row transform over the checkpointed signatures — no
+    // re-shuffle of the signature relation.
+    val pruned = if (maxBucket == Int.MaxValue) sig else {
       val n = col("__n")
-      val sizes = b0.groupBy(col("table"), col("bucket"))
+      val hotMap = sig
+        .select(posexplode(col("__bkts")).as(Seq("table", "bucket")))
+        .groupBy(col("table"), col("bucket"))
         .agg(count(lit(1)).as("__n"))
         .observe(NearDup.BucketCapMetric,
           sum(when(n > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
           sum(when(n > maxBucket, n).otherwise(0L)).as("dropped_rows"),
           coalesce(max(n), lit(0L)).as("largest_bucket"))
-      b0.join(broadcast(sizes.filter(n <= maxBucket).select(col("table"), col("bucket"))),
-        Seq("table", "bucket"))
+        .filter(n > maxBucket)
+        .groupBy(col("table")).agg(collect_set(col("bucket")).as("__hb"))
+        .agg(map_from_entries(collect_list(struct(col("table"), col("__hb"))))
+          .as("__hot"))
+      sig.crossJoin(broadcast(hotMap))
+        .select(col("__id"), transform(col("__bkts"), (b, i) =>
+          when(array_contains(element_at(col("__hot"), i), b),
+            lit(null).cast("long")).otherwise(b)).as("__bkts"))
     }
+    // Pair generation: equi-join on (table, bucket), then keep each pair
+    // only at its FIRST shared live bucket ([[graft.functions.FirstCollision]])
+    // — unique by construction, so no O(candidates × collision
+    // multiplicity) dropDuplicates shuffle exists at all. Only ids +
+    // signatures ride the join — never the vectors.
+    val b = pruned.select(col("__id"), col("__bkts"),
+        posexplode(col("__bkts")).as(Seq("table", "bucket")))
+      .filter(col("bucket").isNotNull)
+    val firstCollision = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.FirstCollision(
+        org.apache.spark.sql.graft.Bridge.expression(col("a.__bkts")),
+        org.apache.spark.sql.graft.Bridge.expression(col("b.__bkts"))))
     val cand = b.as("a").join(b.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.__id") < col("b.__id"))
+      .filter(firstCollision === col("a.table"))
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
-    // Vectors rejoin AFTER dedup, so the rejoin is proportional to
-    // distinct candidates, not collision multiplicity (deduping after
-    // the tau filter instead was measured ~20% slower here: with ~3×
-    // mean multiplicity the extra cosine work outweighs the saved
-    // shuffle of 16-byte id pairs). Size-aware: under the threshold the
+    // Vectors rejoin the already-unique candidates, so the rejoin is
+    // proportional to distinct pairs, not collision multiplicity.
+    // Size-aware: under the threshold the
     // vector relation broadcasts (both joins broadcast the IDENTICAL
     // relation so ReuseExchange ships one copy, not two); above it — a
     // real corpus won't fit any executor's broadcast budget — fall back
