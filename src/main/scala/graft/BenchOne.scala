@@ -12,6 +12,12 @@ object BenchOne {
     val name = args(1)
     val spark = Sessions.local("bench-one")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    locally { // one-time ICU case-mapping table init (see Bench warmup)
+      import org.apache.spark.sql.functions._
+      spark.range(1).select(lower(lit("Warm")), upper(lit("warm")),
+          initcap(lit("warm up")), levenshtein(lit("warm"), lit("worm")))
+        .write.format("noop").mode("overwrite").save()
+    }
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()

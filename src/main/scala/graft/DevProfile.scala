@@ -1,0 +1,65 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+/** Dev harness: run declared queries (a list, or `upto <name>` for the
+  * alphabetical prefix) with per-job/stage/task timing and a stack dump
+  * 3s into the last query — for root-causing in-suite slowdowns that
+  * BenchOne's isolated runs can't reproduce (e.g. the one-time ICU
+  * case-mapping init that Bench's warmup now absorbs). */
+object DevProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1) match {
+      case Array("upto", last) =>
+        SparkEntry.queries.keys.toSeq.sorted.takeWhile(_ <= last)
+      case other => other.toSeq
+    }
+    val spark = Sessions.local("dev-profile")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        t0.put(js.jobId, System.nanoTime())
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val dt = (System.nanoTime() - t0.getOrDefault(je.jobId, System.nanoTime())) / 1e9
+        if (dt > 0.3) println(f"[profile]   job ${je.jobId}: $dt%.2f s")
+      }
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val ti = te.taskInfo
+        val tm = te.taskMetrics
+        val dur = ti.duration / 1e3
+        if (dur > 0.3 && tm != null)
+          println(f"[profile]     task stage=${te.stageId} dur=$dur%.2f s " +
+            f"run=${tm.executorRunTime / 1e3}%.2f deser=${tm.executorDeserializeTime / 1e3}%.2f " +
+            f"gc=${tm.jvmGCTime / 1e3}%.2f launchDelay=${(ti.launchTime)}")
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dt = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+        if (dt > 0.3)
+          println(f"[profile]   stage ${si.stageId} (${si.numTasks} tasks): $dt%.2f s  ${si.name.take(80)}")
+      }
+    })
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    for (name <- names) {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (name == names.last) {
+        val dumper = new Thread(() => {
+          Thread.sleep(3000)
+          for ((t, st) <- Thread.getAllStackTraces.asScala
+               if st.nonEmpty && t.getName.startsWith("Executor task launch")) {
+            println(s"[stack] === ${t.getName} state=${t.getState}")
+            st.take(25).foreach(f => println(s"[stack]   $f"))
+          }
+        })
+        dumper.setDaemon(true)
+        dumper.start()
+      }
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
