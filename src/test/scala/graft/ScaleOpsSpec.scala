@@ -94,6 +94,49 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(plan.contains("partial"), plan) // map-side combine present
   }
 
+  test("binned range join equals the naive theta join, as an equi-join plan") {
+    import graft.operators.RangeJoin
+    val li = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val bands = spark.range(0, 211).select(
+      concat(lit("b"), $"id".cast("string")).as("band"),
+      ($"id" * 500.0).as("lo"), ($"id" * 500.0 + 999.0).as("hi"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_orderkey", "l_linenumber", "band")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val binned = RangeJoin.pointInInterval(li, bands, "l_extendedprice", "lo", "hi", 500.0)
+    val naive = li.join(bands, $"l_extendedprice".between($"lo", $"hi"))
+    assert(canon(binned) === canon(naive))
+    assert(canon(binned).nonEmpty)
+    // scale shape: with broadcast off, the bin join is a shuffled
+    // equi-join — never a nested loop or cartesian product
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = RangeJoin.pointInInterval(li, bands, "l_extendedprice", "lo", "hi", 500.0)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // null points and null/inverted bounds never match, like BETWEEN
+    val pts = Seq((1L, java.lang.Double.valueOf(5.0)), (2L, null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "x")
+    val ivs = Seq(("ok", java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(10.0)),
+      ("nul", null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(10.0)),
+      ("inv", java.lang.Double.valueOf(10.0), java.lang.Double.valueOf(0.0)))
+      .toDF("band", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, ivs, "x", "lo", "hi", 1.0)
+      .select("id", "band").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "ok")))
+    // an interval wider than maxBinsPerInterval bins fails fast
+    val wide = Seq(("w", 0.0, 1e9)).toDF("band", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, wide, "x", "lo", "hi", 1.0, maxBinsPerInterval = 100).count()
+    }
+    assert(ex.getMessage.contains("RangeJoin") ||
+      (ex.getCause != null && ex.getCause.getMessage.contains("RangeJoin")))
+  }
+
   test("CSV and JSONL round-trip with explicit schema (B1)") {
     val dir = java.nio.file.Files.createTempDirectory("io").toString
     val df = Tables(spark, sfDir, "nation")
