@@ -66,11 +66,28 @@ object NearDup {
     * job on a single task. */
   val DefaultMaxBucket: Int = 10000
 
-  /** Observation name under which capped operators report overflow —
-    * readable from any action via `df.queryExecution.observedMetrics`
-    * (or a QueryExecutionListener on a cluster): `dropped_buckets`,
-    * `dropped_rows`, `largest_bucket`. No silent caps. */
+  /** Observation-name PREFIX under which capped operators report
+    * overflow: `dropped_buckets`, `dropped_rows`, `largest_bucket`. No
+    * silent caps. Each operator instance appends a unique suffix —
+    * Spark rejects two CollectMetrics nodes with the same name but
+    * different subtrees in one plan (DUPLICATED_METRICS_NAME), and
+    * composed pipelines (e.g. CleanCorpus feeding another dedup) nest
+    * several capped stages in one query. Read results back with
+    * [[bucketCapMetrics]] (or match the prefix in a
+    * QueryExecutionListener on a cluster). */
   val BucketCapMetric = "graft.lsh.bucket_cap"
+
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Fresh instance-unique observation name under [[BucketCapMetric]]. */
+  def nextBucketCapMetricName(): String =
+    s"$BucketCapMetric.${metricSeq.incrementAndGet()}"
+
+  /** All bucket-cap observations recorded by `df`'s last execution, in
+    * name order (one per capped LSH stage in the plan). */
+  def bucketCapMetrics(df: DataFrame): Seq[org.apache.spark.sql.Row] =
+    df.queryExecution.observedMetrics.toSeq
+      .filter(_._1.startsWith(BucketCapMetric)).sortBy(_._1).map(_._2)
 
   /** Candidate pairs (aId < bId) from LSH bucket collisions.
     *
@@ -88,7 +105,7 @@ object NearDup {
     bk.groupBy(col("__bk"))
       .agg(sort_array(collect_list(col(id))).as("__ids"))
       .filter(n > 1)
-      .observe(BucketCapMetric,
+      .observe(nextBucketCapMetricName(),
         sum(when(n > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
         sum(when(n > maxBucket, n.cast("long")).otherwise(0L)).as("dropped_rows"),
         coalesce(max(n.cast("long")), lit(0L)).as("largest_bucket"))

@@ -344,7 +344,7 @@ object Similarity {
         .select(posexplode(col("__bkts")).as(Seq("table", "bucket")))
         .groupBy(col("table"), col("bucket"))
         .agg(count(lit(1)).as("__n"))
-        .observe(NearDup.BucketCapMetric,
+        .observe(NearDup.nextBucketCapMetricName(),
           sum(when(n > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
           sum(when(n > maxBucket, n).otherwise(0L)).as("dropped_rows"),
           coalesce(max(n), lit(0L)).as("largest_bucket"))

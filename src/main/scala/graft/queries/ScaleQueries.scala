@@ -48,5 +48,69 @@ object ScaleQueries {
       FROM lineitem JOIN bands ON l_extendedprice BETWEEN lo AND hi
       GROUP BY band ORDER BY band"""))
 
-  def qs: Seq[Q] = Seq(q74)
+  /** C-tier composition: the full corpus-cleaning chain (lang filter →
+    * quality filter → exact dedup → greedy near-dup dedup) as ONE
+    * operator ([[graft.operators.CleanCorpus.clean]]), run in md5 mode so
+    * the DuckDB oracle replays every stage — including the MinHash
+    * signatures and LSH banding — bit-for-bit. The oracle IS the
+    * pipeline, restated in SQL. */
+  private val q75 = Q(
+    "q75_clean_corpus",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.CleanCorpus.clean(
+          t(s, dir, "documents"), "doc_id", "text",
+          targetLang = "en", minQuality = 0.5,
+          mode = graft.operators.NearDup.Md5Hash)
+        .select($"doc_id", $"source", $"lang", $"n_chars")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val en = graft.functions.TextFunctions.EN_STOP.map(w => s"'$w'").mkString(",")
+      val es = graft.functions.TextFunctions.ES_STOP.map(w => s"'$w'").mkString(",")
+      s"""WITH ann AS (SELECT doc_id, source, lang, n_chars, text,
+        len(list_filter(string_split(lower(text),' '), w -> w IN ($en))) AS en_hits,
+        len(list_filter(string_split(lower(text),' '), w -> w IN ($es))) AS es_hits,
+        (CASE WHEN len(string_split(lower(text),' ')) BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
+          + least(CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ($en))) AS DOUBLE)
+              / CAST(len(string_split(lower(text),' ')) AS DOUBLE) * 4.0, 0.4)
+          + CASE WHEN CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) <= 0.1 THEN 0.2 ELSE 0.0 END) AS quality
+        FROM documents),
+      kept AS (SELECT doc_id, source, lang, n_chars, text FROM ann
+        WHERE (CASE WHEN en_hits >= es_hits THEN 'en' ELSE 'es' END) = 'en'
+          AND quality >= 0.5),
+      exact AS (SELECT doc_id, source, lang, n_chars, text FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))), ' '))
+          ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1),
+      w AS (SELECT doc_id, string_split(lower(text),' ') AS words FROM exact),
+      g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words)-1, 2)), i -> array_to_string(words[i:i+2],' '))) AS grams FROM w),
+      sig AS (SELECT doc_id, grams, [
+        list_min(list_transform(grams, x -> md5('0:' || x))),
+        list_min(list_transform(grams, x -> md5('1:' || x))),
+        list_min(list_transform(grams, x -> md5('2:' || x))),
+        list_min(list_transform(grams, x -> md5('3:' || x))),
+        list_min(list_transform(grams, x -> md5('4:' || x))),
+        list_min(list_transform(grams, x -> md5('5:' || x))),
+        list_min(list_transform(grams, x -> md5('6:' || x))),
+        list_min(list_transform(grams, x -> md5('7:' || x)))] AS sig FROM g),
+      bk AS (SELECT doc_id, unnest([
+        md5('0|' || sig[1] || '|' || sig[2]),
+        md5('1|' || sig[3] || '|' || sig[4]),
+        md5('2|' || sig[5] || '|' || sig[6]),
+        md5('3|' || sig[7] || '|' || sig[8])]) AS bk FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      dup AS (SELECT DISTINCT b_id FROM (
+        SELECT a_id, b_id,
+          CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE) AS jaccard
+        FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id)
+        WHERE jaccard >= 0.5)
+      SELECT doc_id, source, lang, n_chars FROM exact
+      WHERE doc_id NOT IN (SELECT b_id FROM dup) ORDER BY doc_id"""
+    })
+
+  def qs: Seq[Q] = Seq(q74, q75)
 }

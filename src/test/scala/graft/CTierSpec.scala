@@ -196,7 +196,7 @@ class CTierSpec extends SparkSpecBase {
     // metrics unset.
     assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
       Set((900L, 901L)))
-    val metrics = capped.queryExecution.observedMetrics(NearDup.BucketCapMetric)
+    val metrics = NearDup.bucketCapMetrics(capped).head
     assert(metrics.getAs[Long]("dropped_buckets") >= 1L)
     assert(metrics.getAs[Long]("dropped_rows") >= 200L)
     assert(metrics.getAs[Long]("largest_bucket") === 200L)
@@ -225,7 +225,7 @@ class CTierSpec extends SparkSpecBase {
       maxBucket = 10)
     assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
       Set((900L, 901L)))
-    val metrics = capped.queryExecution.observedMetrics(NearDup.BucketCapMetric)
+    val metrics = NearDup.bucketCapMetrics(capped).head
     assert(metrics.getAs[Long]("dropped_buckets") >= 1L)
     assert(metrics.getAs[Long]("largest_bucket") >= 100L)
     val overflow = Similarity.lshOverflowBuckets(emb, "vec_id", "embedding", tables,
