@@ -112,5 +112,49 @@ object ScaleQueries {
       WHERE doc_id NOT IN (SELECT b_id FROM dup) ORDER BY doc_id"""
     })
 
-  def qs: Seq[Q] = Seq(q74, q75)
+  /** C5 corpus statistics at scale: smoothed tf-idf top-3 terms per
+    * source (sources as the "documents" of the idf; sklearn's
+    * idf = ln((1+N)/(1+df)) + 1). The whole query is two hash
+    * aggregations plus a broadcast of the (term, df) side — no windows
+    * over raw tokens, and the only window runs over the already-
+    * aggregated (source, term) relation.
+    *
+    * FP caveat (same class as the vector-oracle caveat in
+    * VectorQueries): ln() may differ by 1 ulp between engines; both
+    * sides rank on the round(·, 6) score so a flip would need a
+    * boundary-straddling value — validated empirically at both SFs. */
+  private val q76 = Q(
+    "q76_tfidf_top_terms",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val terms = docs.select($"source",
+          explode(split(lower($"text"), " ")).as("term"))
+        .filter(length($"term") > 0)
+      val tf = terms.groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(countDistinct($"source").as("n_sources"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("score", round($"tf" *
+          (log((lit(1.0) + $"n_sources") / (lit(1.0) + $"df")) + 1.0), 6))
+      graft.operators.Dedup.topKPerGroup(scored, Seq("source"),
+          Seq($"score".desc, $"term".asc), 3, "rk")
+        .select($"source", $"rk".cast("long").as("rk"), $"term", $"tf", $"df", $"score")
+        .orderBy($"source", $"rk")
+    },
+    Some("""WITH terms AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      tf AS (SELECT source, term, COUNT(*) AS tf FROM terms
+        WHERE length(term) > 0 GROUP BY source, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+      scored AS (SELECT source, term, tf, df,
+        round(tf * (ln((1.0 + n_sources) / (1.0 + df)) + 1.0), 6) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY score DESC, term) AS rk FROM scored)
+      SELECT source, rk, term, tf, df, score FROM ranked
+      WHERE rk <= 3 ORDER BY source, rk"""))
+
+  def qs: Seq[Q] = Seq(q74, q75, q76)
 }

@@ -147,5 +147,35 @@ object StreamingQueries {
       FROM w WHERE prev IS NULL OR prev <> cents
       ORDER BY user_id, ts, event_id"""))
 
-  def qs: Seq[Q] = Seq(q60, q61, q62, q63, q64, q68)
+  /** B14 stream-stream interval join: attribute each purchase to every
+    * click by the same user in the preceding hour — the canonical
+    * two-stream event-time join. Batch executes the identical plan (an
+    * equi-join on user_id with the time-range residual, NOT a nested
+    * loop); StreamingSpec runs the same join through two readStreams
+    * with watermarks, where the two-sided time bound is what lets Spark
+    * evict join state. */
+  private val q77 = Q(
+    "q77_stream_interval_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"))
+      purchases.join(clicks, Seq("user_id"))
+        .filter($"purchase_ts" >= $"click_ts" &&
+          $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"))
+        .select($"user_id", $"purchase_id", $"click_id", $"purchase_ts", $"click_ts")
+        .orderBy($"user_id", $"purchase_id", $"click_id")
+    },
+    Some("""SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        p.ts AS purchase_ts, c.ts AS click_ts
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+        AND p.event_type = 'purchase' AND c.event_type = 'click'
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY p.user_id, purchase_id, click_id"""))
+
+  def qs: Seq[Q] = Seq(q60, q61, q62, q63, q64, q68, q77)
 }

@@ -262,6 +262,55 @@ class StreamingSpec extends SparkSpecBase {
       "withinWatermark: expired key re-admits id=3, id=4 dedups against it")
   }
 
+  test("stream-stream interval join equals batch q77 and evicts state via watermarks") {
+    val dir: Path = Files.createTempDirectory("stream-join")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    def side(tpe: String, idCol: String, tsCol: String) = spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .filter($"event_type" === tpe)
+      .select($"user_id", $"event_id".as(idCol), $"ts".as(tsCol))
+      .withWatermark(tsCol, "1 hour")
+
+    val purchases = side("purchase", "purchase_id", "purchase_ts")
+    val clicks = side("click", "click_id", "click_ts")
+    // the two-sided range bound on event time is what makes the join
+    // state bounded: clicks older than watermark - 1h can never match a
+    // future purchase and are evicted
+    val joined = purchases.as("p").join(clicks.as("c"),
+      $"p.user_id" === $"c.user_id" &&
+        $"purchase_ts" >= $"click_ts" &&
+        $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"p.user_id".as("user_id"), $"purchase_id", $"click_id",
+        $"purchase_ts", $"click_ts")
+
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("join_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("join_out")
+        .orderBy("user_id", "purchase_id", "click_id").collect().toSeq
+      val batch = graft.queries.Registry.queries("q77_stream_interval_join")(spark, sfDir)
+        .collect().toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // watermark-driven state cleanup actually ran: state rows remaining
+      // at the end are far fewer than total click+purchase events
+      val progress = q.lastProgress
+      val stateRows = progress.stateOperators.map(_.numRowsTotal).sum
+      val totalSideRows = spark.read.parquet(s"$sfDir/events.parquet")
+        .filter($"event_type".isin("click", "purchase")).count()
+      assert(stateRows < totalSideRows,
+        s"join state ($stateRows) should be bounded below side inputs ($totalSideRows)")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate keys") {
     val dir: Path = Files.createTempDirectory("stream-src2")
     Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
