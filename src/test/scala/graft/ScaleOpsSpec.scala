@@ -137,6 +137,34 @@ class ScaleOpsSpec extends SparkSpecBase {
       (ex.getCause != null && ex.getCause.getMessage.contains("RangeJoin")))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At cluster scale a selectively-filtered dim joined to a huge fact
+    // should semi-reduce the fact scan before the shuffle. Spark's
+    // InjectRuntimeFilter does exactly that; the size thresholds that
+    // gate it (10GB fact scan) never trigger at test SF, so lower them
+    // to prove the capability and the config knobs.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+      val o = Tables(spark, sfDir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select("o_orderkey")
+      val joined = li.join(o, $"l_orderkey" === $"o_orderkey")
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") || optimized.contains("bloom_filter"),
+        s"expected an injected runtime bloom filter:\n$optimized")
+      // and the filter is transparent: same result as with it disabled
+      val n = joined.count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      try assert(n === li.join(o, $"l_orderkey" === $"o_orderkey").count())
+      finally spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("CSV and JSONL round-trip with explicit schema (B1)") {
     val dir = java.nio.file.Files.createTempDirectory("io").toString
     val df = Tables(spark, sfDir, "nation")
