@@ -156,5 +156,29 @@ object ScaleQueries {
       SELECT source, rk, term, tf, df, score FROM ranked
       WHERE rk <= 3 ORDER BY source, rk"""))
 
-  def qs: Seq[Q] = Seq(q74, q75, q76)
+  /** A7/A9 extension: SCD2 validity-interval history rebuilt from the
+    * events change log ([[graft.operators.Scd2.fromChangeLog]]) — what
+    * the reference's append-only price snapshots become when consumers
+    * need "value between t1 and t2" instead of "latest as of t". Values
+    * ride as integer cents (exact). One shuffle: both windows share the
+    * (user_id × ts, event_id) partitioning. */
+  private val q78 = Q(
+    "q78_scd2_history",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"user_id", $"event_id", $"ts",
+        ($"value".cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      graft.operators.Scd2.fromChangeLog(ev, Seq("user_id"), "ts", "cents",
+          tieBreak = Seq("event_id"))
+        .orderBy($"user_id", $"valid_from")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, ts,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+      w AS (SELECT *, LAG(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+      chg AS (SELECT user_id, event_id, ts, cents FROM w WHERE prev IS NULL OR prev <> cents)
+      SELECT user_id, cents, ts AS valid_from,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM chg ORDER BY user_id, valid_from"""))
+
+  def qs: Seq[Q] = Seq(q74, q75, q76, q78)
 }
