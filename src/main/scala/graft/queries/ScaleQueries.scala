@@ -180,5 +180,29 @@ object ScaleQueries {
         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
       FROM chg ORDER BY user_id, valid_from"""))
 
-  def qs: Seq[Q] = Seq(q74, q75, q76, q78)
+  /** B6 at fleet scale: MERGEABLE distinct-count sketches (DataSketches
+    * HLL). Unlike a plain approx_count_distinct (q35), the sketch is a
+    * first-class value: built per group (here per event_type), shippable
+    * and re-aggregable with hll_union_agg without touching raw data —
+    * the pattern for maintaining distinct-user counts across 100 TB of
+    * daily partitions. Property-oracled like every approximate op: the
+    * unioned estimate must land within 5% of the exact distinct count
+    * (deterministic for fixed input — DataSketches HLL has no RNG). */
+  private val q79 = Q(
+    "q79_hll_sketch_union",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val perType = ev.groupBy($"event_type")
+        .agg(hll_sketch_agg($"user_id").as("sk"))
+      val approx = perType.agg(
+        hll_sketch_estimate(hll_union_agg($"sk")).as("approx"))
+      ev.agg(countDistinct($"user_id").as("n_exact")).crossJoin(approx)
+        .select($"n_exact",
+          ($"approx" >= $"n_exact" * 0.95 && $"approx" <= $"n_exact" * 1.05)
+            .as("approx_ok"))
+    },
+    Some("SELECT COUNT(DISTINCT user_id) AS n_exact, TRUE AS approx_ok FROM events"))
+
+  def qs: Seq[Q] = Seq(q74, q75, q76, q78, q79)
 }
