@@ -165,6 +165,34 @@ class ScaleOpsSpec extends SparkSpecBase {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // one hot key holding most rows — the pathology salting handles
+    // manually (Skew.scala); AQE's skew-join handles it at runtime by
+    // splitting the oversized partition. Thresholds lowered to trigger
+    // at test scale.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.shuffle.partitions" -> "8")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(0, 200000)
+        .select(when($"id" % 100 === 0, $"id" % 7).otherwise(lit(0L)).as("k"),
+          $"id".as("payload"))
+      val right = spark.range(0, 16).select($"id".as("k"), ($"id" * 10).as("r"))
+      val joined = left.join(right, "k")
+      // execute THIS Dataset's queryExecution (count() would spawn its
+      // own) so the adaptive plan finalizes on it
+      assert(joined.collect().nonEmpty)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE to mark the hot partition as skewed:\n$finalPlan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("CSV and JSONL round-trip with explicit schema (B1)") {
     val dir = java.nio.file.Files.createTempDirectory("io").toString
     val df = Tables(spark, sfDir, "nation")

@@ -311,6 +311,65 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("foreachBatch streaming upsert sink converges to the batch last-wins table") {
+    // The reference's DynamoDB put-per-row sink (index.js:249) as a
+    // streaming upsert: each micro-batch merges last-wins into a parquet
+    // target via the engine's own Upsert operator — the A7 + B14
+    // composition a production ingest runs.
+    val srcDir: Path = Files.createTempDirectory("stream-upsert-src")
+    val target = Files.createTempDirectory("stream-upsert-tgt").toString + "/t"
+    val all = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    // batch the stream by event_id ranges so later batches overwrite
+    // earlier keys (same user_id+event_type key, later ts)
+    val stream = spark.readStream.schema(eventsSchema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val incoming = graft.operators.Dedup.lastWins(
+          batch, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        val merged =
+          if (new java.io.File(target).exists()) {
+            val cur = spark.read.parquet(target)
+            graft.operators.Dedup.lastWins(cur.unionByName(incoming),
+              Seq("user_id", "event_type"), Seq("ts", "event_id"))
+          } else incoming
+        graft.operators.Sinks.writeAtomic(merged, target)
+    }.start()
+    try {
+      val half = all.agg(percentile_approx($"event_id", lit(0.5), lit(100)))
+        .collect()(0).getLong(0)
+      // feed two real micro-batches: first half, then the rest
+      spark.read.parquet(s"$sfDir/events.parquet").filter($"event_id" <= half)
+        .write.mode("overwrite").parquet(srcDir.resolve("b1").toString)
+      Files.move(
+        srcDir.resolve("b1").toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath,
+        srcDir.resolve("batch1.parquet"))
+      q.processAllAvailable()
+      spark.read.parquet(s"$sfDir/events.parquet").filter($"event_id" > half)
+        .write.mode("overwrite").parquet(srcDir.resolve("b2").toString)
+      Files.move(
+        srcDir.resolve("b2").toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath,
+        srcDir.resolve("batch2.parquet"))
+      q.processAllAvailable()
+
+      val streamed = spark.read.parquet(target)
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type").collect().toSeq
+      val batchWant = graft.operators.Dedup.lastWins(all,
+          Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type").collect().toSeq
+      assert(streamed === batchWant)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate keys") {
     val dir: Path = Files.createTempDirectory("stream-src2")
     Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
