@@ -29,18 +29,27 @@ object Bench {
           initcap(lit("warm up")), levenshtein(lit("warm"), lit("worm")))
         .write.format("noop").mode("overwrite").save()
     }
+    // Two timed runs per query, report the min: one-time JVM costs (lazy
+    // class inits, codegen/JIT of a new plan shape, a neighbor's GC)
+    // land on whichever single run they interleave with and were being
+    // attributed to innocent queries (observed: 7-15 s one-off spikes on
+    // sub-second queries). Min-of-2 measures the engine's steady state;
+    // the JSON declares the methodology.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":2,"stat":"min","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
