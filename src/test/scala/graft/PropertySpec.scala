@@ -1,0 +1,81 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.functions.TopKDoubles
+import graft.operators.{RangeJoin, Scd2}
+
+/** Generative equivalence properties for the round-3 operators: random
+  * inputs (including negatives, duplicates, empty sides) must match the
+  * naive reference formulation exactly. */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def checkProp(prop: Prop, minTests: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("binned range join equals the naive theta join on random data (incl. negatives)") {
+    val points = Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 1000L),
+      Gen.chooseNum(-50.0, 50.0)))
+    val intervals = Gen.listOfN(15, Gen.zip(Gen.chooseNum(0L, 1000L),
+      Gen.chooseNum(-60.0, 60.0), Gen.chooseNum(0.0, 25.0)))
+    checkProp(Prop.forAllNoShrink(points, intervals, Gen.chooseNum(0.5, 20.0)) {
+      (ps, ivs, w) =>
+        val p = ps.toDF("pid", "x")
+        val iv = ivs.map { case (id, lo, span) => (id, lo, lo + span) }
+          .toDF("iid", "lo", "hi")
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.select("pid", "iid").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        val binned = canon(RangeJoin.pointInInterval(p, iv, "x", "lo", "hi", w))
+        val naive = canon(p.join(iv, $"x".between($"lo", $"hi")))
+        binned == naive
+    }, minTests = 15)
+  }
+
+  test("TopKDoubles reduce+merge equals sort-take-k on random streams") {
+    val agg = new TopKDoubles(5)
+    val values = Gen.listOf(Gen.chooseNum(-1e6, 1e6))
+    checkProp(Prop.forAllNoShrink(values, values) { (xs, ys) =>
+      val viaAgg = agg.merge(
+        xs.foldLeft(agg.zero)(agg.reduce),
+        ys.foldLeft(agg.zero)(agg.reduce))
+      val want = (xs ++ ys).sorted(Ordering[Double].reverse).take(5)
+      viaAgg == want
+    }, minTests = 200)
+  }
+
+  test("SCD2 rebuild partitions each key's timeline: versions chain, last is open") {
+    val logs = Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.chooseNum(0, 999), Gen.chooseNum(0L, 3L)))
+    checkProp(Prop.forAllNoShrink(logs) { rows =>
+      // unique (key, ts) pairs so ordering is total without tie-breaks
+      val distinctRows = rows.distinctBy(r => (r._1, r._2))
+      val log = distinctRows
+        .map { case (k, t, v) => (k, java.sql.Timestamp.valueOf(
+          f"2024-01-01 00:00:${t / 60}%02d.${t % 60}%03d"), v) }
+        .toDF("k", "t", "v")
+      val hist = Scd2.fromChangeLog(log, Seq("k"), "t", "v")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3))))
+        .groupBy(_._1)
+      hist.forall { case (_, versions) =>
+        val sorted = versions.sortBy(_._3)
+        val chained = sorted.sliding(2).forall {
+          case Array(a, b) => a._4.contains(b._3)
+          case _ => true
+        }
+        val lastOpen = sorted.last._4.isEmpty
+        val noAdjacentDup = sorted.sliding(2).forall {
+          case Array(a, b) => a._2 != b._2
+          case _ => true
+        }
+        chained && lastOpen && noAdjacentDup
+      }
+    }, minTests = 15)
+  }
+}
