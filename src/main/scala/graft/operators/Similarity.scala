@@ -122,17 +122,39 @@ object Similarity {
       tau: Double): DataFrame =
     cosineNearDupPairsJoin(df, id, vecCol, tau, hintBroadcast = true)
 
+  /** Codegen'd dot product ([[graft.functions.DotProduct]] — the dot
+    * fold of [[cosine]], alone). */
+  def dotNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.DotProduct(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
   /** Declarative self-join formulation — the readable spec of
     * [[cosineNearDupPairs]] (identical output; parity-tested).
     * `hintBroadcast` pins the build side to a broadcast nested loop; left
-    * unhinted Spark may pick a cartesian product instead. */
+    * unhinted Spark may pick a cartesian product instead.
+    *
+    * Norms are computed once per ROW before the join; each of the O(n²)
+    * pairs pays only the dot. `dot/(an·bn)` is bit-identical to the
+    * fused [[cosine]]: every factor comes from the same sequential fold,
+    * only the evaluation site moves off the quadratic path. Same
+    * precondition as the other vector ops: no null ELEMENTS inside
+    * vectors (a null element null-poisons the norm fold and drops the
+    * row; whole-null vectors are dropped either way). */
   def cosineNearDupPairsJoin(df: DataFrame, id: String, vecCol: String,
       tau: Double, hintBroadcast: Boolean = false): DataFrame = {
-    val a = df.select(col(id).as("a_id"), col(vecCol).as("__av"))
-    val b0 = df.select(col(id).as("b_id"), col(vecCol).as("__bv"))
+    def norm(v: Column): Column =
+      sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+    val a = df.select(col(id).as("a_id"), col(vecCol).as("__av"),
+      norm(col(vecCol)).as("__an"))
+    val b0 = df.select(col(id).as("b_id"), col(vecCol).as("__bv"),
+      norm(col(vecCol)).as("__bn"))
     val b = if (hintBroadcast) broadcast(b0) else b0
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cosine", cosine(col("__av"), col("__bv")))
+      .withColumn("cosine",
+        dotNative(col("__av"), col("__bv")) / (col("__an") * col("__bn")))
       .filter(col("cosine") >= tau)
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
