@@ -43,12 +43,28 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
+  /** Per-row L2 norm with the exact element fold of [[cosine]]'s norm
+    * accumulators (cast-to-double, ascending index, sequential adds) —
+    * computed ONCE per row so the O(pairs) scorers pay only the dot. */
+  private def normD(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** (q_id, __qv, __qn) / (c_id, __cv, __cn) projections shared by the
+    * top-k searchers. */
+  private def qSide(df: DataFrame, id: String, vec: String): DataFrame =
+    df.select(col(id).as("q_id"), col(vec).as("__qv"), normD(col(vec)).as("__qn"))
+  private def cSide(df: DataFrame, id: String, vec: String): DataFrame =
+    df.select(col(id).as("c_id"), col(vec).as("__cv"), normD(col(vec)).as("__cn"))
+
   /** Shared tail of every top-k searcher: drop self-matches, score with
-    * the fused cosine, keep k per query with the (cosine desc, c_id)
-    * tie-break. Expects columns q_id, c_id, __qv, __cv. */
+    * dot/(‖q‖·‖c‖) — bit-identical to the fused cosine, with the norms
+    * precomputed per row — keep k per query with the (cosine desc, c_id)
+    * tie-break. Expects columns q_id, c_id, __qv, __cv, __qn, __cn. */
   private def rerankTopK(pairs: DataFrame, k: Int): DataFrame = {
     val scored = pairs.filter(col("q_id") =!= col("c_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine",
+        dotNative(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     Dedup.topKPerGroup(scored, Seq("q_id"),
         Seq(col("cosine").desc, col("c_id")), k, "rank")
       .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
@@ -57,11 +73,9 @@ object Similarity {
   /** Exact top-k: for each query row, the k nearest candidates by cosine
     * (ties broken by candidate id). Queries are broadcast. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
-      qId: String, cId: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(qId).as("q_id"), col(vecCol).as("__qv"))
-    val c = candidates.select(col(cId).as("c_id"), col(vecCol).as("__cv"))
-    rerankTopK(c.crossJoin(broadcast(q)), k)
-  }
+      qId: String, cId: String, vecCol: String, k: Int): DataFrame =
+    rerankTopK(cSide(candidates, cId, vecCol)
+      .crossJoin(broadcast(qSide(queries, qId, vecCol))), k)
 
   /** Deterministic pseudo-random hyperplanes (seeded), as literal columns. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
@@ -246,8 +260,7 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val c = candidates
-      .select(col(cId).as("c_id"), col(vecCol).as("__cv"))
+    val c = cSide(candidates, cId, vecCol)
       .withColumn("features", toVec(col("__cv")))
     // Random init + few Lloyd iterations: a coarse quantizer only needs
     // rough Voronoi cells (recall comes from nprobe), and k-means|| init
@@ -256,7 +269,7 @@ object Similarity {
       .setInitMode("random").setMaxIter(5).fit(c)
     val cells = model.clusterCenters.map(_.toArray)
     val cAssigned = model.transform(c)
-      .select(col("c_id"), col("__cv"), col("prediction").as("cell"))
+      .select(col("c_id"), col("__cv"), col("__cn"), col("prediction").as("cell"))
     val nearestCells = udf { (v: Seq[Float]) =>
       cells.zipWithIndex.map { case (ctr, i) =>
         var d = 0.0
@@ -267,7 +280,7 @@ object Similarity {
         (d, i)
       }.sortBy(_._1).take(nprobe).map(_._2)
     }
-    val q = queries.select(col(qId).as("q_id"), col(vecCol).as("__qv"))
+    val q = qSide(queries, qId, vecCol)
       .withColumn("cell", explode(nearestCells(col("__qv"))))
     rerankTopK(cAssigned.join(broadcast(q), Seq("cell")), k)
   }
@@ -295,7 +308,7 @@ object Similarity {
   def ivfTopKFixedCodebook(queries: DataFrame, candidates: DataFrame,
       qId: String, cId: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val c = candidates.select(col(cId).as("c_id"), col(vecCol).as("__cv"))
+    val c = cSide(candidates, cId, vecCol)
     val cb = broadcast(
       c.orderBy(col("c_id")).limit(nlist)
         .select(col("c_id").as("cell"), col("__cv").as("__cb")))
@@ -310,7 +323,7 @@ object Similarity {
         .select(col(id), col("cell"))
     }
     val cAssigned = nearestCells(c, "c_id", "__cv", 1).join(c, "c_id")
-    val q = queries.select(col(qId).as("q_id"), col(vecCol).as("__qv"))
+    val q = qSide(queries, qId, vecCol)
     val qProbes = nearestCells(q, "q_id", "__qv", nprobe).join(q, "q_id")
     rerankTopK(cAssigned.join(broadcast(qProbes), Seq("cell")), k)
   }
@@ -436,13 +449,12 @@ object Similarity {
   def lshTopK(queries: DataFrame, candidates: DataFrame,
       qId: String, cId: String, vecCol: String, k: Int,
       tables: Array[Array[Array[Double]]]): DataFrame = {
-    val q = withLshTables(
-      queries.select(col(qId).as("q_id"), col(vecCol).as("__qv")), "__qv", tables)
-    val c = withLshTables(
-      candidates.select(col(cId).as("c_id"), col(vecCol).as("__cv")), "__cv", tables)
+    val q = withLshTables(qSide(queries, qId, vecCol), "__qv", tables)
+    val c = withLshTables(cSide(candidates, cId, vecCol), "__cv", tables)
     val pairs = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), col("__qv"), col("__cv"))
+      .select(col("q_id"), col("c_id"), col("__qv"), col("__cv"),
+        col("__qn"), col("__cn"))
       .dropDuplicates("q_id", "c_id")
     rerankTopK(pairs, k)
   }
