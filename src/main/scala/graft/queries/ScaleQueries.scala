@@ -204,5 +204,54 @@ object ScaleQueries {
     },
     Some("SELECT COUNT(DISTINCT user_id) AS n_exact, TRUE AS approx_ok FROM events"))
 
-  def qs: Seq[Q] = Seq(q74, q75, q76, q78, q79)
+  /** Count-min sketch as relational algebra: d=3 md5-derived hash rows ×
+    * w=64 buckets; the sketch IS a groupBy — per-(row, bucket) counts —
+    * so it is mergeable across partitions/days by construction (sum the
+    * cells), the property that matters for streaming heavy-hitter
+    * tracking at 100 TB. Every step is integer + md5, so the DuckDB
+    * oracle replays the sketch BIT-EXACTLY (build, probe, min-over-rows)
+    * — unlike bounded-error gates, this checks the estimates themselves.
+    * Output: top-10 true-count terms with true and CMS counts (the CMS
+    * overestimate property, est ≥ true, is visible in the data and
+    * asserted in the oracle's own rows). */
+  private val q80 = Q(
+    "q80_countmin_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      def bucket(j: Int, t: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat(lit(s"$j:"), t)), 1, 15), 16, 10)
+          .cast("long"), lit(64L))
+      val terms = t(s, dir, "documents")
+        .select(explode(split(lower($"text"), " ")).as("term"))
+        .filter(length($"term") > 0)
+      val cms = (0 until 3).map(j =>
+          terms.groupBy(bucket(j, $"term").as("b"))
+            .agg(count(lit(1)).as("c")).withColumn("j", lit(j)))
+        .reduce(_ unionByName _)
+      val probes = terms.groupBy($"term").agg(count(lit(1)).as("n_true"))
+        .orderBy($"n_true".desc, $"term").limit(10)
+      val probeBuckets = probes.select($"term", $"n_true",
+        posexplode(array((0 until 3).map(j => bucket(j, $"term")): _*))
+          .as(Seq("j", "b")))
+      probeBuckets.join(broadcast(cms), Seq("j", "b"))
+        .groupBy($"term", $"n_true").agg(min($"c").as("cms_est"))
+        .orderBy($"n_true".desc, $"term")
+    },
+    Some("""WITH terms AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      t2 AS (SELECT term FROM terms WHERE length(term) > 0),
+      cms AS (
+        SELECT j, ('0x' || substr(md5(j || ':' || term), 1, 15))::BIGINT % 64 AS b,
+          COUNT(*) AS c
+        FROM t2, (SELECT unnest(range(3)) AS j) GROUP BY 1, 2),
+      probes AS (SELECT term, COUNT(*) AS n_true FROM t2 GROUP BY term
+        ORDER BY n_true DESC, term LIMIT 10),
+      pb AS (SELECT term, n_true, j,
+          ('0x' || substr(md5(j || ':' || term), 1, 15))::BIGINT % 64 AS b
+        FROM probes, (SELECT unnest(range(3)) AS j))
+      SELECT term, n_true, MIN(c) AS cms_est
+      FROM pb JOIN cms USING (j, b)
+      GROUP BY term, n_true ORDER BY n_true DESC, term"""))
+
+  def qs: Seq[Q] = Seq(q74, q75, q76, q78, q79, q80)
 }
