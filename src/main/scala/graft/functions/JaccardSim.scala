@@ -12,9 +12,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * identical set semantics (distinct elements; integer sizes divided in
   * double space ⇒ bit-identical results). Sits in the verify stage of
   * every near-dup pipeline, O(pairs × shingles) — worth a native loop.
-  */
-case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+  *
+  * `sortedInputs = true` (use via [[graft.functions.TextFunctions.jaccardSorted]])
+  * switches to an allocation-free merge count. PRECONDITION: both arrays
+  * sorted ascending (binary string order, i.e. `array_sort`) and
+  * duplicate-free — sort once per ROW upstream, save the two HashSet
+  * builds on every PAIR of the O(n²)/O(candidates) verify stage. Same
+  * value as the unsorted form on inputs meeting the precondition. */
+case class JaccardSim(left: Expression, right: Expression,
+    sortedInputs: Boolean = false) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
@@ -30,10 +36,15 @@ case class JaccardSim(left: Expression, right: Expression)
       s"jaccard_sim requires array<string>, got ${left.dataType}, ${right.dataType}")
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    JaccardSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (sortedInputs)
+      JaccardSim.computeSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      JaccardSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaccardSim.compute($a, $b)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (sortedInputs) "computeSorted" else "compute"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaccardSim.$fn($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardSim =
@@ -59,6 +70,28 @@ object JaccardSim {
     val it = setA.iterator()
     while (it.hasNext) if (setB.contains(it.next())) inter += 1
     val union = setA.size + setB.size - inter
+    if (union == 0) Double.NaN else inter.toDouble / union.toDouble
+  }
+
+  /** Merge count over sorted-distinct arrays (nulls sort last in
+    * `array_sort` and are treated as absent, like [[compute]]). */
+  def computeSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    var sizeA = 0
+    var sizeB = 0
+    while (i < na && j < nb && !a.isNullAt(i) && !b.isNullAt(j)) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { inter += 1; sizeA += 1; sizeB += 1; i += 1; j += 1 }
+      else if (cmp < 0) { sizeA += 1; i += 1 }
+      else { sizeB += 1; j += 1 }
+    }
+    while (i < na && !a.isNullAt(i)) { sizeA += 1; i += 1 }
+    while (j < nb && !b.isNullAt(j)) { sizeB += 1; j += 1 }
+    val union = sizeA + sizeB - inter
     if (union == 0) Double.NaN else inter.toDouble / union.toDouble
   }
 

@@ -66,6 +66,16 @@ object TextFunctions {
   def jaccard(a: Column, b: Column): Column =
     call_function("jaccard_sim", a, b)
 
+  /** Allocation-free Jaccard for SORTED-distinct arrays (`array_sort`
+    * upstream, once per row): merge count instead of per-pair HashSets —
+    * same value, built for the O(pairs) verify stage. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      JaccardSim(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b),
+        sortedInputs = true))
+
   /** Reference formulation of [[jaccard]]. One caveat vs the native form:
     * returns 0/0 = null for two empty arrays (native yields NaN); shingle
     * arrays are never empty. */

@@ -147,15 +147,18 @@ object NearDup {
       n: Int = 3, k: Int = 8, bands: Int = 4, r: Int = 2,
       tau: Double = 0.5, mode: HashMode = XxHash,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // grams sorted once per ROW: the ≥-tau verify then merge-counts each
+    // candidate pair with zero allocation (same jaccard value)
     val grams = docs.select(
       col(id),
-      TextFunctions.wordNGrams(TextFunctions.words(col(textCol)), n).as("__grams"))
+      array_sort(
+        TextFunctions.wordNGrams(TextFunctions.words(col(textCol)), n)).as("__grams"))
     val withSig = withSignature(docs, id, textCol, n, k, mode)
     val cands = candidatePairs(withSig, id, "__sig", bands, r, maxBucket)
     cands
       .join(grams.select(col(id).as("a_id"), col("__grams").as("__ga")), "a_id")
       .join(grams.select(col(id).as("b_id"), col("__grams").as("__gb")), "b_id")
-      .withColumn("jaccard", TextFunctions.jaccard(col("__ga"), col("__gb")))
+      .withColumn("jaccard", TextFunctions.jaccardSorted(col("__ga"), col("__gb")))
       .filter(col("jaccard") >= tau)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }

@@ -124,14 +124,16 @@ object TextQueries {
     "q46_ngram_jaccard",
     (s, dir) => {
       import s.implicits._
+      // grams sorted once per ROW so the O(n²) verify pays a merge
+      // count, not two per-pair HashSet builds (same jaccard value)
       val grams = t(s, dir, "documents")
         .filter($"doc_id" < 300)
         .select($"doc_id",
-          TF.wordNGrams(TF.words($"text"), 3).as("grams"))
+          array_sort(TF.wordNGrams(TF.words($"text"), 3)).as("grams"))
       grams.as("a").join(grams.as("b"), $"a.doc_id" < $"b.doc_id")
         .select(
           $"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
-          TF.jaccard($"a.grams", $"b.grams").as("jaccard"))
+          TF.jaccardSorted($"a.grams", $"b.grams").as("jaccard"))
         .filter($"jaccard" >= 0.5)
         .orderBy($"a_id", $"b_id")
     },

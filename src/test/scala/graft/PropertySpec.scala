@@ -48,6 +48,22 @@ class PropertySpec extends SparkSpecBase {
     }, minTests = 200)
   }
 
+  test("jaccardSorted equals hash-set jaccard on random token sets") {
+    val tokens = Gen.listOf(Gen.oneOf("a", "b", "cc", "dd", "e1", "f2", "gg3", "h", "ii", "j"))
+    checkProp(Prop.forAllNoShrink(tokens, tokens) { (xs, ys) =>
+      val df = Seq((xs, ys)).toDF("x", "y")
+        .select(
+          graft.functions.TextFunctions.jaccard(
+            array_distinct($"x"), array_distinct($"y")).as("viaSet"),
+          graft.functions.TextFunctions.jaccardSorted(
+            array_sort(array_distinct($"x")), array_sort(array_distinct($"y"))).as("viaMerge"))
+      val r = df.collect()(0)
+      val a = r.getDouble(0)
+      val m = r.getDouble(1)
+      (a.isNaN && m.isNaN) || a == m
+    }, minTests = 30)
+  }
+
   test("SCD2 rebuild partitions each key's timeline: versions chain, last is open") {
     val logs = Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b", "c"),
       Gen.chooseNum(0, 999), Gen.chooseNum(0L, 3L)))
