@@ -73,5 +73,36 @@ object CorpusQueries {
       SELECT doc_id, cluster_id, cluster_size, doc_id = cluster_id AS is_canonical
       FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(q81)
+  /** Benchmark-decontamination check ([[graft.operators.Contamination]]):
+    * docs with doc_id % 5 == 3 play the eval set, the rest the training
+    * corpus; score = fraction of each eval doc's distinct 3-grams found
+    * anywhere in train. Grams cross the shuffle as 60-bit md5-derived
+    * longs (never strings); the oracle replays the hashing bit-exactly. */
+  private val q82 = Q(
+    "q82_contamination",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val test = docs.filter($"doc_id" % 5 === 3)
+      val train = docs.filter($"doc_id" % 5 =!= 3)
+      graft.operators.Contamination
+        .overlapScores(test, train, "doc_id", "text", n = 3)
+        .withColumn("flagged", $"contamination" >= 0.8)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS words FROM documents),
+      g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words)-1, 2)), i -> array_to_string(words[i:i+2],' '))) AS grams FROM w),
+      te AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 5 = 3)),
+      tr AS (SELECT DISTINCT ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 5 <> 3)),
+      tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM te GROUP BY doc_id),
+      hit AS (SELECT doc_id, COUNT(*) AS n_overlap FROM te
+        WHERE h IN (SELECT h FROM tr) GROUP BY doc_id)
+      SELECT doc_id, n_grams, COALESCE(n_overlap, 0) AS n_overlap,
+        CAST(COALESCE(n_overlap, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination,
+        CAST(COALESCE(n_overlap, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.8 AS flagged
+      FROM tot LEFT JOIN hit USING (doc_id) ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(q81, q82)
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Contamination
+
+/** Unit coverage for the round-3 corpus-pipeline operators (the q81+
+  * family) beyond their DuckDB oracles. */
+class CorpusOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("contamination: contained doc scores 1.0, disjoint doc 0.0, partial in between") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("id", "text")
+    val test = Seq(
+      (10L, "alpha beta gamma delta"),        // every 3-gram in train doc 1
+      (11L, "qq ww ee rr tt yy"),             // no gram in train
+      (12L, "alpha beta gamma qq ww ee")      // mixed
+    ).toDF("id", "text")
+    val got = Contamination.overlapScores(test, train, "id", "text")
+      .select($"id", $"n_grams", $"n_overlap", $"contamination")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) === ((10L, 2L, 2L, 1.0)))
+    assert(got(1)._3 === 0L && got(1)._4 === 0.0)
+    assert(got(2)._3 > 0L && got(2)._4 > 0.0 && got(2)._4 < 1.0)
+  }
+
+  test("contamination: hashed-gram join matches raw string-gram join") {
+    val docs = sfDocs.limit(200)
+    val test = docs.filter($"doc_id" % 3 === 0)
+    val train = docs.filter($"doc_id" % 3 =!= 0)
+    val hashed = Contamination.overlapScores(test, train, "doc_id", "text")
+      .select($"doc_id", $"n_overlap").as[(Long, Long)].collect().toMap
+    // reference: join on the gram STRINGS
+    import graft.functions.TextFunctions
+    val tg = test.select($"doc_id",
+      explode(TextFunctions.wordNGrams(TextFunctions.words($"text"), 3)).as("g"))
+    val vocab = train.select(
+      explode(TextFunctions.wordNGrams(TextFunctions.words($"text"), 3)).as("g")).distinct()
+    val raw = tg.join(vocab, Seq("g"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    hashed.foreach { case (id, n) => assert(raw.getOrElse(id, 0L) === n, s"doc $id") }
+  }
+
+  private lazy val sfDocs = graft.sources.Tables(spark, sfDir, "documents")
+}
