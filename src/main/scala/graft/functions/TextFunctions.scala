@@ -81,4 +81,25 @@ object TextFunctions {
     * arrays are never empty. */
   def jaccardHof(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  // --- PII redaction (C5; the pre-training scrub pass) -----------------
+  // Patterns restricted to syntax with identical semantics in Java regex
+  // (Spark codegen) and RE2 (DuckDB oracle): no backreferences, no
+  // lookaround, \b and \d behave the same in both.
+
+  /** (pattern, replacement) battery, applied in order. Email before the
+    * digit-run rule so an address's digits are consumed as <EMAIL>. */
+  val PII_PATTERNS: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "\\d{3}-\\d{3}-\\d{4}" -> "<PHONE>",
+    "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b" -> "<IP>",
+    "\\d{9,}" -> "<NUM>")
+
+  /** Count of matches for one battery pattern (pre-redaction). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Text with every battery pattern replaced, in declaration order. */
+  def redactPii(text: Column): Column =
+    PII_PATTERNS.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, lit(p), lit(r)) }
 }

@@ -104,5 +104,55 @@ object CorpusQueries {
         CAST(COALESCE(n_overlap, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.8 AS flagged
       FROM tot LEFT JOIN hit USING (doc_id) ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(q81, q82)
+  /** C5 PII scrub ([[graft.functions.TextFunctions.redactPii]]): the
+    * pre-training redaction pass. The corpus is synthetic (no real PII),
+    * so deterministic doc_id-derived emails/phones/IPs/account numbers
+    * are appended to two-thirds of the docs first — both engines replay
+    * the injection, the per-pattern counts, and the ordered
+    * regexp_replace battery identically (patterns restricted to the
+    * Java-regex ∩ RE2 dialect). */
+  private val q83 = Q(
+    "q83_pii_redaction",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{TextFunctions => TF}
+      val str = (c: org.apache.spark.sql.Column) => c.cast("string")
+      val withPii = t(s, dir, "documents").withColumn("text2",
+        when($"doc_id" % 3 === 2, $"text").otherwise(concat(
+          $"text",
+          lit(" contact user"), str($"doc_id"), lit("@mail.example.org"),
+          lit(" phone 555-"), lpad(str($"doc_id" % 1000), 3, "0"),
+          lit("-"), lpad(str(($"doc_id" * 7) % 10000), 4, "0"),
+          lit(" ip 10."), str($"doc_id" % 256), lit(".0."), str(($"doc_id" * 13) % 256),
+          lit(" acct "), lpad(str(($"doc_id" * 99991) % 1000000000), 10, "0"))))
+      withPii.select(
+          $"doc_id",
+          TF.piiCount($"text2", TF.PII_PATTERNS(0)._1).as("n_emails"),
+          TF.piiCount($"text2", TF.PII_PATTERNS(1)._1).as("n_phones"),
+          TF.piiCount($"text2", TF.PII_PATTERNS(2)._1).as("n_ips"),
+          TF.piiCount($"text2", TF.PII_PATTERNS(3)._1).as("n_nums"),
+          md5(TF.redactPii($"text2")).as("redacted_fp"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 2 THEN text ELSE text
+          || ' contact user' || doc_id || '@mail.example.org'
+          || ' phone 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+          || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+          || ' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 13) % 256)
+          || ' acct ' || lpad(CAST((doc_id * 99991) % 1000000000 AS VARCHAR), 10, '0')
+        END AS text2 FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text2, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text2, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(text2, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(text2, '\d{9,}')) AS BIGINT) AS n_nums,
+        md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text2,
+          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+          '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+          '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+          '\d{9,}', '<NUM>', 'g')) AS redacted_fp
+      FROM p ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(q81, q82, q83)
 }

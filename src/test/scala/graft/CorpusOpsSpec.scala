@@ -42,5 +42,27 @@ class CorpusOpsSpec extends SparkSpecBase {
     hashed.foreach { case (id, n) => assert(raw.getOrElse(id, 0L) === n, s"doc $id") }
   }
 
+  test("redactPii scrubs emails, phones, IPs, long digit runs; leaves clean text alone") {
+    import graft.functions.{TextFunctions => TF}
+    val rows = Seq(
+      (1L, "mail bob.smith+x@corp.example.com and a@b.io now"),
+      (2L, "call 555-123-4567 twice 555-123-4567"),
+      (3L, "host 192.168.1.100 and 10.0.0.1"),
+      (4L, "card 4111111111111111 ok"),
+      (5L, "perfectly clean text with digits 42 and 1-2-3")
+    ).toDF("id", "text")
+    val got = rows.select($"id", TF.redactPii($"text").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "mail <EMAIL> and <EMAIL> now")
+    assert(got(2L) === "call <PHONE> twice <PHONE>")
+    assert(got(3L) === "host <IP> and <IP>")
+    assert(got(4L) === "card <NUM> ok")
+    assert(got(5L) === "perfectly clean text with digits 42 and 1-2-3")
+    // counts see the same matches the replacement consumes
+    val counts = rows.select($"id",
+      TF.piiCount($"text", TF.PII_PATTERNS(0)._1).as("e")).as[(Long, Long)].collect().toMap
+    assert(counts(1L) === 2L && counts(5L) === 0L)
+  }
+
   private lazy val sfDocs = graft.sources.Tables(spark, sfDir, "documents")
 }
