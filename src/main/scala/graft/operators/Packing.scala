@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget sequence packing (the pre-training batch-prep step):
+  * concatenate the corpus in a deterministic document order and chunk
+  * it into fixed-budget token blocks — each document lands at a global
+  * token offset and spans one or more blocks.
+  *
+  * The core is a DISTRIBUTED PREFIX SUM. A naive
+  * `Window.orderBy(id)` with no partition key funnels the whole table
+  * through one task — the classic global-window anti-pattern — so the
+  * scan runs in two phases instead (the textbook scan decomposition):
+  *
+  *   1. range-partition by the order key; per-partition totals (one
+  *      map-side-combinable agg over P rows);
+  *   2. exclusive offsets across the P totals (a window over P rows,
+  *      trivially small), broadcast back; within-partition running sum
+  *      via a window PARTITIONED by the range bucket.
+  *
+  * Every stage is bounded per-partition; the result is independent of P
+  * (asserted in spec) because prefix sums compose exactly.
+  */
+object Packing {
+
+  /** `df` plus `outCol` = exclusive running sum of `valCol` in ascending
+    * `orderCol` order (global, exact, partition-count-independent).
+    * `orderCol` must be unique — it is the total order. */
+  def exclusivePrefixSum(df: DataFrame, orderCol: String, valCol: String,
+      outCol: String, numParts: Int = 0): DataFrame = {
+    val p = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(p, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(sum(col(valCol)).as("__tot"))
+      .withColumn("__off",
+        coalesce(sum(col("__tot")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted.join(broadcast(offsets), "__pid")
+      .withColumn(outCol,
+        col("__off") + coalesce(sum(col(valCol)).over(w), lit(0L)))
+      .drop("__pid", "__off")
+  }
+
+  /** Block assignment under `budget` tokens per block: each doc's token
+    * span [start_tok, start_tok + n_tok) maps to blocks
+    * first_block..last_block; `straddles` marks docs crossing a block
+    * boundary (the ones a loader must split). */
+  def packBlocks(docs: DataFrame, idCol: String, tokCol: String,
+      budget: Long, numParts: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val b = lit(budget)
+    exclusivePrefixSum(docs, idCol, tokCol, "start_tok", numParts)
+      .select(col(idCol), col(tokCol), col("start_tok"),
+        expr(s"start_tok div $budget").as("first_block"),
+        ((col("start_tok") + col(tokCol) - 1).cast("long")).as("__end"))
+      .withColumn("last_block", expr(s"__end div $budget"))
+      .drop("__end")
+      .withColumn("straddles", col("first_block") =!= col("last_block"))
+  }
+}

@@ -154,5 +154,32 @@ object CorpusQueries {
           '\d{9,}', '<NUM>', 'g')) AS redacted_fp
       FROM p ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(q81, q82, q83)
+  /** Token-budget sequence packing ([[graft.operators.Packing]]):
+    * concat-and-chunk block assignment at budget=512 whitespace tokens,
+    * built on the two-phase distributed prefix sum (NOT a global
+    * single-partition window). The oracle states the same thing as one
+    * flat window — the two formulations must agree exactly, which is
+    * precisely the partition-independence property the operator
+    * guarantees. */
+  private val q84 = Q(
+    "q84_sequence_packing",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .select($"doc_id", size(split(lower($"text"), " ")).cast("long").as("n_tok"))
+      graft.operators.Packing.packBlocks(d, "doc_id", "n_tok", budget = 512L)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        CAST(len(string_split(lower(text),' ')) AS BIGINT) AS n_tok FROM documents),
+      c AS (SELECT doc_id, n_tok,
+        CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM d)
+      SELECT doc_id, n_tok, start_tok,
+        CAST(start_tok // 512 AS BIGINT) AS first_block,
+        CAST((start_tok + n_tok - 1) // 512 AS BIGINT) AS last_block,
+        (start_tok // 512) <> ((start_tok + n_tok - 1) // 512) AS straddles
+      FROM c ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(q81, q82, q83, q84)
 }

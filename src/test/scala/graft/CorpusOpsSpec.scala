@@ -64,5 +64,28 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(counts(1L) === 2L && counts(5L) === 0L)
   }
 
+  test("prefix-sum packing is exact and independent of partition count") {
+    import graft.operators.Packing
+    val docs = (1L to 97L).map(i => (i, (i % 7) + 1)).toDF("id", "n")
+    // ground truth on the driver
+    var acc = 0L
+    val want = (1L to 97L).map { i =>
+      val n = (i % 7) + 1; val s = acc; acc += n; (i, s)
+    }.toMap
+    for (p <- Seq(1, 3, 13)) {
+      val got = Packing.exclusivePrefixSum(docs, "id", "n", "s", numParts = p)
+        .select($"id", $"s").as[(Long, Long)].collect().toMap
+      assert(got === want, s"numParts=$p")
+    }
+    val packed = Packing.packBlocks(docs, "id", "n", budget = 10L, numParts = 5)
+      .select($"id", $"start_tok", $"first_block", $"last_block", $"straddles")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    packed.foreach { case (id, s, fb, lb, st) =>
+      assert(s === want(id))
+      val n = (id % 7) + 1
+      assert(fb === s / 10 && lb === (s + n - 1) / 10 && st === (fb != lb), s"id=$id")
+    }
+  }
+
   private lazy val sfDocs = graft.sources.Tables(spark, sfDir, "documents")
 }
