@@ -181,5 +181,45 @@ object CorpusQueries {
         (start_tok // 512) <> ((start_tok + n_tok - 1) // 512) AS straddles
       FROM c ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(q81, q82, q83, q84)
+  /** C5 repetition / boilerplate scoring: per-doc duplicate-gram ratio
+    * (1 - distinct/total 3-grams) and the modal gram's share — the
+    * compression-proxy signals used to drop template/boilerplate pages.
+    * Shape: explode NON-distinct grams → (doc, gram) count → per-doc
+    * agg; two map-side-combinable shuffles, no per-row O(d·t) HOF mode
+    * search. */
+  private val q85 = Q(
+    "q85_repetition_score",
+    (s, dir) => {
+      import s.implicits._
+      val ws = split(lower($"text"), " ")
+      val rawGrams = transform(
+        sequence(lit(0), greatest(size(ws) - 3, lit(0))),
+        i => concat_ws(" ", slice(ws, i + lit(1), lit(3))))
+      val perGram = t(s, dir, "documents")
+        .select($"doc_id", explode(rawGrams).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      perGram.groupBy($"doc_id")
+        .agg(sum($"c").as("n_grams"), count(lit(1)).as("n_distinct"),
+          max($"c").as("max_gram_n"))
+        .select($"doc_id", $"n_grams", $"n_distinct", $"max_gram_n",
+          (lit(1.0) - $"n_distinct".cast("double") / $"n_grams".cast("double"))
+            .as("dup_ratio"),
+          ($"max_gram_n".cast("double") / $"n_grams".cast("double"))
+            .as("rep_score"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS words FROM documents),
+      raw AS (SELECT doc_id, unnest(list_transform(
+        range(1, greatest(len(words) - 1, 2)),
+        i -> array_to_string(words[i:i+2], ' '))) AS g FROM w),
+      pg AS (SELECT doc_id, g, COUNT(*) AS c FROM raw GROUP BY doc_id, g)
+      SELECT doc_id,
+        CAST(SUM(c) AS BIGINT) AS n_grams,
+        COUNT(*) AS n_distinct,
+        CAST(MAX(c) AS BIGINT) AS max_gram_n,
+        1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_ratio,
+        CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_score
+      FROM pg GROUP BY doc_id ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(q81, q82, q83, q84, q85)
 }

@@ -87,5 +87,28 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("repetition score separates boilerplate from unique text") {
+    // run q85's logic through the registry on a tiny in-memory table is
+    // not possible (it reads the documents table), so exercise the same
+    // expressions directly
+    val ws = split(lower($"text"), " ")
+    val rawGrams = transform(
+      sequence(lit(0), greatest(size(ws) - 3, lit(0))),
+      i => concat_ws(" ", slice(ws, i + lit(1), lit(3))))
+    val rows = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "all words here are fully distinct tokens friend")
+    ).toDF("doc_id", "text")
+    val perGram = rows.select($"doc_id", explode(rawGrams).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+    val got = perGram.groupBy($"doc_id")
+      .agg(sum($"c").as("t"), count(lit(1)).as("d"), max($"c").as("m"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // "spam"×8 → 6 trigrams, all identical
+    assert(got(1L) === ((1L, 6L, 1L, 6L)))
+    // 8 distinct words → 6 trigrams, all distinct
+    assert(got(2L) === ((2L, 6L, 6L, 1L)))
+  }
+
   private lazy val sfDocs = graft.sources.Tables(spark, sfDir, "documents")
 }
