@@ -221,5 +221,30 @@ object CorpusQueries {
         CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_score
       FROM pg GROUP BY doc_id ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(q81, q82, q83, q84, q85)
+  /** Deterministic weighted sampling
+    * ([[graft.operators.WeightedSample]]): 5 docs per source, weighted
+    * by n_chars, via Efraimidis-Spirakis exponential keys over
+    * md5-derived uniforms — reruns and the DuckDB oracle pick the SAME
+    * rows (ranks compare on round(key,9) + id tie-break; q76-class FP
+    * caveat, validated at both SFs). */
+  private val q86 = Q(
+    "q86_weighted_sample",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.WeightedSample.samplePerGroup(
+          t(s, dir, "documents").select($"doc_id", $"source", $"n_chars"),
+          "doc_id", "n_chars", Seq("source"), k = 5, seed = "wsamp")
+        .select($"source", $"rk".cast("long").as("rk"), $"doc_id", $"n_chars", $"skey")
+        .orderBy($"source", $"rk")
+    },
+    Some("""WITH keyed AS (SELECT source, doc_id, n_chars,
+        round(-ln((('0x' || substr(md5('wsamp:' || doc_id), 1, 15))::BIGINT + 1.0)
+          / 1152921504606846976.0) / n_chars, 9) AS skey
+        FROM documents),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY skey, doc_id) AS rk FROM keyed)
+      SELECT source, rk, doc_id, n_chars, skey FROM ranked
+      WHERE rk <= 5 ORDER BY source, rk"""))
+
+  def qs: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86)
 }

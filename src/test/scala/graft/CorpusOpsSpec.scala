@@ -110,5 +110,23 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got(2L) === ((2L, 6L, 6L, 1L)))
   }
 
+  test("weighted sampling is deterministic and weight-biased") {
+    import graft.operators.WeightedSample
+    val rows = (1L to 40L).map(i => (i, if (i <= 4) 1000L else 1L, "g")).toDF("id", "w", "grp")
+    // determinism across physical layouts
+    val a = WeightedSample.samplePerGroup(rows, "id", "w", Seq("grp"), 3, "s1")
+      .select($"id").as[Long].collect().toSet
+    val b = WeightedSample.samplePerGroup(rows.repartition(7), "id", "w", Seq("grp"), 3, "s1")
+      .select($"id").as[Long].collect().toSet
+    assert(a === b)
+    // bias: 4 rows carry 1000x the weight of the other 36; across seeds
+    // the top-3 sample should overwhelmingly come from the heavy rows
+    val heavyHits = (0 until 20).map { s =>
+      WeightedSample.samplePerGroup(rows, "id", "w", Seq("grp"), 3, s"seed$s")
+        .select($"id").as[Long].collect().count(_ <= 4L)
+    }.sum
+    assert(heavyHits >= 50, s"expected heavy rows to dominate, got $heavyHits/60")
+  }
+
   private lazy val sfDocs = graft.sources.Tables(spark, sfDir, "documents")
 }
