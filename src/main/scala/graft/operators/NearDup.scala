@@ -141,6 +141,44 @@ object NearDup {
       .agg(count(lit(1)).as("n_ids"))
       .filter(col("n_ids") > maxBucket)
 
+  /** Incremental (cross-corpus) near-dup: match an incoming BATCH
+    * against the retained corpus without self-joining either side — the
+    * op an ingestion pipeline runs on every new crawl before appending.
+    * Band keys of both sides equi-join (batch side is typically small
+    * enough to broadcast; Spark picks that up from size estimates, or
+    * hint the caller's `incoming`), so corpus text/signatures never
+    * shuffle — only (band key, id) pairs and the candidate ids do.
+    * Degenerate corpus buckets are dropped at `maxBucket` via an
+    * anti-join against the (tiny) hot-bucket list — audit them with
+    * [[overflowBuckets]]. Returns (inc_id, corp_id, jaccard) for every
+    * verified pair ≥ tau. */
+  def crossDupPairs(incoming: DataFrame, corpus: DataFrame, id: String,
+      textCol: String, n: Int = 3, k: Int = 8, bands: Int = 4, r: Int = 2,
+      tau: Double = 0.5, mode: HashMode = XxHash,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    def grams(df: DataFrame, as: String) = df.select(
+      col(id).as(as),
+      array_sort(
+        TextFunctions.wordNGrams(TextFunctions.words(col(textCol)), n)).as(s"__g_$as"))
+    def bk(df: DataFrame, as: String) =
+      withSignature(df, id, textCol, n, k, mode)
+        .select(col(id).as(as), explode(bandKeys(col("__sig"), bands, r)).as("__bk"))
+    val incBk = bk(incoming, "inc_id")
+    val corpBk = bk(corpus, "corp_id")
+    val hot = corpBk.groupBy(col("__bk")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select(col("__bk"))
+    val cands = incBk.join(broadcast(hot), Seq("__bk"), "left_anti")
+      .join(corpBk, "__bk")
+      .select(col("inc_id"), col("corp_id")).distinct()
+    cands
+      .join(grams(incoming, "inc_id"), "inc_id")
+      .join(grams(corpus, "corp_id"), "corp_id")
+      .withColumn("jaccard",
+        TextFunctions.jaccardSorted(col("__g_inc_id"), col("__g_corp_id")))
+      .filter(col("jaccard") >= tau)
+      .select(col("inc_id"), col("corp_id"), col("jaccard"))
+  }
+
   /** Full near-dup pipeline over (id, text): LSH candidates, then exact
     * Jaccard ≥ tau verification. Returns (a_id, b_id, jaccard). */
   def nearDupPairs(docs: DataFrame, id: String, textCol: String,

@@ -14,9 +14,9 @@ object CorpusQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
-  /** Shared md5-mode MinHash-LSH pair SQL (bit-identical to q47's
-    * pipeline — n=3, k=8, bands=4, r=2, tau=0.5). */
-  private val pairsCte =
+  /** Shared md5-mode MinHash-LSH signature SQL (bit-identical to q47's
+    * pipeline — n=3, k=8, bands=4, r=2). */
+  private val sigCte =
     """w AS (SELECT doc_id, string_split(lower(text),' ') AS words FROM documents),
       g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words)-1, 2)), i -> array_to_string(words[i:i+2],' '))) AS grams FROM w),
       sig AS (SELECT doc_id, grams, [
@@ -32,7 +32,11 @@ object CorpusQueries {
         md5('0|' || sig[1] || '|' || sig[2]),
         md5('1|' || sig[3] || '|' || sig[4]),
         md5('2|' || sig[5] || '|' || sig[6]),
-        md5('3|' || sig[7] || '|' || sig[8])]) AS bk FROM sig),
+        md5('3|' || sig[7] || '|' || sig[8])]) AS bk FROM sig)"""
+
+  /** Self-join pair CTEs (tau=0.5) on top of [[sigCte]]. */
+  private val pairsCte =
+    s"""$sigCte,
       cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
       pairs AS (SELECT a_id, b_id FROM (
@@ -40,6 +44,20 @@ object CorpusQueries {
           CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE) AS jaccard
         FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id)
+        WHERE jaccard >= 0.5)"""
+
+  /** Cross-corpus (batch vs corpus) verified-pair CTEs on [[sigCte]]:
+    * incoming = doc_id % 7 == 1, corpus = the rest. */
+  private val pairsCte2 =
+    s"""$sigCte,
+      ibk AS (SELECT doc_id AS inc_id, bk FROM bk WHERE doc_id % 7 = 1),
+      cbk AS (SELECT doc_id AS corp_id, bk FROM bk WHERE doc_id % 7 <> 1),
+      cand AS (SELECT DISTINCT inc_id, corp_id FROM ibk JOIN cbk USING (bk)),
+      ver AS (SELECT inc_id, corp_id, jaccard FROM (
+        SELECT inc_id, corp_id,
+          CAST(len(list_intersect(gi.grams, gc.grams)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(gi.grams, gc.grams))) AS DOUBLE) AS jaccard
+        FROM cand JOIN g gi ON gi.doc_id = inc_id JOIN g gc ON gc.doc_id = corp_id)
         WHERE jaccard >= 0.5)"""
 
   /** C2 completion: near-dup PAIRS → dedup CLUSTERS via connected
@@ -246,5 +264,36 @@ object CorpusQueries {
       SELECT source, rk, doc_id, n_chars, skey FROM ranked
       WHERE rk <= 5 ORDER BY source, rk"""))
 
-  def qs: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86)
+  /** Incremental ingestion dedup ([[NearDup.crossDupPairs]]): docs with
+    * doc_id % 7 == 1 play the incoming crawl batch, the rest the
+    * retained corpus; every batch doc gets its keep/drop decision with
+    * the best corpus match (max jaccard, id tie-break). No self-join on
+    * either side; the md5 oracle replays signatures, banding, the
+    * cross-join candidates, and the verify. */
+  private val q87 = Q(
+    "q87_incremental_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val inc = docs.filter($"doc_id" % 7 === 1)
+      val corp = docs.filter($"doc_id" % 7 =!= 1)
+      val pairs = NearDup.crossDupPairs(inc, corp, "doc_id", "text",
+        n = 3, k = 8, bands = 4, r = 2, tau = 0.5, mode = NearDup.Md5Hash)
+      val best = graft.operators.Dedup.keepOne(pairs, Seq("inc_id"),
+        Seq($"jaccard".desc, $"corp_id".asc))
+      inc.select($"doc_id".as("inc_id")).join(best, Seq("inc_id"), "left")
+        .select($"inc_id", $"corp_id".isNotNull.as("is_dup"),
+          $"corp_id", $"jaccard")
+        .orderBy($"inc_id")
+    },
+    Some(s"""WITH $pairsCte2
+      SELECT inc_id, corp_id IS NOT NULL AS is_dup, corp_id, jaccard
+      FROM (SELECT doc_id AS inc_id FROM documents WHERE doc_id % 7 = 1) d
+      LEFT JOIN (SELECT inc_id AS m_id, corp_id, jaccard FROM (
+          SELECT inc_id, corp_id, jaccard, ROW_NUMBER() OVER (
+            PARTITION BY inc_id ORDER BY jaccard DESC, corp_id) AS rn FROM ver)
+        WHERE rn = 1) b ON d.inc_id = b.m_id
+      ORDER BY inc_id"""))
+
+  def qs: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87)
 }

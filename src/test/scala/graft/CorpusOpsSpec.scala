@@ -128,5 +128,24 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(heavyHits >= 50, s"expected heavy rows to dominate, got $heavyHits/60")
   }
 
+  test("crossDupPairs (production xxhash) finds every exact cross-corpus pair") {
+    import graft.functions.TextFunctions
+    import graft.operators.NearDup
+    val inc = sfDocs.filter($"doc_id" % 7 === 1)
+    val corp = sfDocs.filter($"doc_id" % 7 =!= 1)
+    def grams(df: org.apache.spark.sql.DataFrame, as: String) = df.select(
+      $"doc_id".as(as),
+      TextFunctions.wordNGrams(TextFunctions.words($"text"), 3).as(s"g_$as"))
+    val exact = grams(inc, "i").join(grams(corp, "c"))
+      .select($"i", $"c", TextFunctions.jaccard($"g_i", $"g_c").as("j"))
+      .filter($"j" >= 0.5)
+      .select($"i", $"c").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain cross-split near-dups")
+    val got = NearDup.crossDupPairs(inc, corp, "doc_id", "text",
+        mode = NearDup.XxHash)
+      .select($"inc_id", $"corp_id").as[(Long, Long)].collect().toSet
+    assert(got === exact, s"missed=${exact -- got} extra=${got -- exact}")
+  }
+
   private lazy val sfDocs = graft.sources.Tables(spark, sfDir, "documents")
 }
