@@ -253,5 +253,42 @@ object ScaleQueries {
       FROM pb JOIN cms USING (j, b)
       GROUP BY term, n_true ORDER BY n_true DESC, term"""))
 
-  def qs: Seq[Q] = Seq(q74, q75, q76, q78, q79, q80)
+  /** Per-event gap-sessionization ([[graft.operators.Sessionize]]):
+    * the gaps-and-islands labeling that turns a raw event log into
+    * ordered training sequences (q62's session_window collapses each
+    * session to one row; this keeps every event with its session
+    * ordinal, position, and offset). One shuffle on user_id — all four
+    * window computations share the exchange. 30-minute gap. */
+  private val q88 = Q(
+    "q88_sessionize_events",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Sessionize.assignSessions(
+          t(s, dir, "events"), "user_id", "ts", "event_id", gapSeconds = 1800L)
+        .select($"user_id", $"session_seq", $"event_seq".cast("long").as("event_seq"),
+          $"event_id", $"ts", $"session_start", $"session_events",
+          $"micros_into_session")
+        .orderBy($"user_id", $"session_seq", $"event_seq")
+    },
+    Some("""WITH m AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN LAG(ts) OVER w IS NULL
+            OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+            THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sid AS (SELECT user_id, event_id, ts,
+          CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM m)
+      SELECT user_id, session_seq,
+        ROW_NUMBER() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS event_seq,
+        event_id, ts,
+        MIN(ts) OVER (PARTITION BY user_id, session_seq) AS session_start,
+        COUNT(*) OVER (PARTITION BY user_id, session_seq) AS session_events,
+        epoch_us(ts) - epoch_us(MIN(ts) OVER (PARTITION BY user_id, session_seq))
+          AS micros_into_session
+      FROM sid ORDER BY user_id, session_seq, event_seq"""))
+
+  def qs: Seq[Q] = Seq(q74, q75, q76, q78, q79, q80, q88)
 }

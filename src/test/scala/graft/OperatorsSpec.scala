@@ -166,4 +166,29 @@ class OperatorsSpec extends SparkSpecBase {
       .orderBy("g", "rk").as[(Int, Int, Int)].collect().toSeq
     assert(got === Seq((1, 9, 1), (1, 5, 2), (2, 1, 1)))
   }
+
+  test("assignSessions splits on gap, labels positions, one exchange total") {
+    import org.apache.spark.sql.functions._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Long) = new java.sql.Timestamp(ts0.getTime + min * 60000L)
+    // user 1: events at 0,10,20 | gap | 60,65; user 2: one event
+    val ev = Seq(
+      (1L, 1L, at(0)), (2L, 1L, at(10)), (3L, 1L, at(20)),
+      (4L, 1L, at(60)), (5L, 1L, at(65)), (6L, 2L, at(0)))
+      .toDF("event_id", "user_id", "ts")
+    val got = graft.operators.Sessionize
+      .assignSessions(ev, "user_id", "ts", "event_id", gapSeconds = 1800L)
+      .select($"event_id", $"session_seq", $"event_seq",
+        $"session_events", $"micros_into_session")
+      .orderBy($"event_id")
+      .as[(Long, Long, Int, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 1, 3L, 0L), (2L, 1L, 2, 3L, 600000000L), (3L, 1L, 3, 3L, 1200000000L),
+      (4L, 2L, 1, 2L, 0L), (5L, 2L, 2, 2L, 300000000L), (6L, 1L, 1, 1L, 0L)))
+    // scale shape: every window reuses the single hash(user_id) exchange
+    val plan = graft.operators.Sessionize
+      .assignSessions(ev, "user_id", "ts", "event_id", 1800L)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan)
+  }
 }
