@@ -295,5 +295,49 @@ object CorpusQueries {
         WHERE rn = 1) b ON d.inc_id = b.m_id
       ORDER BY inc_id"""))
 
-  def qs: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87)
+  /** Corpus mixture balancing ([[graft.operators.Mixture]]): hit a
+    * global token budget at declared per-source proportions — the "data
+    * mixture" step of training-set assembly. Weights are derived from
+    * the live source domain (no hardcoded strata — the q71 advisory),
+    * integer-valued so every FP quantity in the keep-decision chain is
+    * exact and the md5-Bernoulli fractional copy replays bit-identically
+    * in DuckDB. Per-doc output: how many copies of each doc the mixture
+    * takes (0 = dropped, ≥2 = upsampled). */
+  private val q89 = Q(
+    "q89_mixture_balance",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .select($"doc_id", $"source",
+          size(split(lower($"text"), " ")).cast("long").as("n_tok"))
+      // Driver-side distinct over the tiny source domain (the mixture
+      // config is per-source by definition; |sources| ~ dozens).
+      val weights = d.select($"source").distinct().collect()
+        .map(_.getString(0))
+        .map(src => src -> (("""\d+""".r.findFirstIn(src).map(_.toInt).getOrElse(0) % 4) + 1).toDouble)
+        .toMap
+      graft.operators.Mixture
+        .balance(d, "doc_id", "source", "n_tok", weights,
+          budget = 100000L, seed = "mix")
+        .select($"doc_id", $"source", $"n_tok", $"n_copies")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+        CAST(len(string_split(lower(text),' ')) AS BIGINT) AS n_tok FROM documents),
+      w AS (SELECT source,
+          CAST((COALESCE(TRY_CAST(regexp_extract(source, '[0-9]+') AS INT), 0) % 4) + 1 AS DOUBLE) AS wt,
+          SUM(n_tok) AS avail_tok
+        FROM d GROUP BY source),
+      tw AS (SELECT SUM(wt) AS total_w FROM w),
+      r AS (SELECT source, wt, avail_tok,
+          ((100000.0 * wt) / (SELECT total_w FROM tw)) / CAST(avail_tok AS DOUBLE) AS rate
+        FROM w)
+      SELECT doc_id, source, n_tok,
+        CAST(FLOOR(rate) + CASE WHEN
+            CAST(('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT AS DOUBLE)
+              / 1152921504606846976.0 < rate - FLOOR(rate)
+          THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+      FROM d JOIN r USING (source) ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q89)
 }

@@ -147,5 +147,55 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got === exact, s"missed=${exact -- got} extra=${got -- exact}")
   }
 
+  test("mixture: integer rate gives exactly rate copies per doc") {
+    import graft.operators.Mixture
+    // one source, 20 docs x 10 tokens = 200 avail; budget 600 -> rate 3.0
+    val d = (1L to 20L).map(i => (i, "s", 10L)).toDF("id", "src", "tok")
+    val got = Mixture.balance(d, "id", "src", "tok",
+        Map("s" -> 1.0), budget = 600L, seed = "t")
+      .select($"id", $"n_copies").as[(Long, Long)].collect()
+    assert(got.length === 20 && got.forall(_._2 === 3L))
+  }
+
+  test("mixture: fractional rate keeps copies in {floor, ceil} and lands near target") {
+    import graft.operators.Mixture
+    // 100 docs x 10 tok; budget 500 -> rate 0.5: each doc 0 or 1 copies
+    val d = (1L to 100L).map(i => (i, "s", 10L)).toDF("id", "src", "tok")
+    val got = Mixture.balance(d, "id", "src", "tok",
+        Map("s" -> 2.0), budget = 500L, seed = "t")
+      .select($"n_copies").as[Long].collect()
+    assert(got.forall(c => c == 0L || c == 1L))
+    val tokens = got.sum * 10
+    assert(tokens >= 300 && tokens <= 700, s"got $tokens tokens for target 500")
+  }
+
+  test("mixture: weights skew allocation; absent source dropped; deterministic") {
+    import graft.operators.Mixture
+    val d = ((1L to 50L).map(i => (i, "a", 10L)) ++
+      (51L to 100L).map(i => (i, "b", 10L)) ++
+      (101L to 110L).map(i => (i, "zzz", 10L))).toDF("id", "src", "tok")
+    def run() = Mixture.balance(d, "id", "src", "tok",
+        Map("a" -> 3.0, "b" -> 1.0), budget = 400L, seed = "t")
+      .select($"id", $"src", $"n_copies").as[(Long, String, Long)].collect()
+    val r1 = run(); val r2 = run()
+    assert(r1.sortBy(_._1).toSeq === r2.sortBy(_._1).toSeq, "rerun must pick same docs")
+    val bySrc = r1.groupBy(_._2).view.mapValues(_.map(_._3).sum * 10).toMap
+    assert(bySrc.getOrElse("zzz", 0L) === 0L, "unweighted source must be dropped")
+    // targets: a = 400*3/4 = 300, b = 400*1/4 = 100 (of 500 avail each)
+    assert(bySrc("a") > bySrc("b") * 2,
+      s"3:1 weights should skew tokens, got a=${bySrc("a")} b=${bySrc("b")}")
+  }
+
+  test("mixture: per-source aggregate rides a broadcast join, no shuffle of the corpus") {
+    import graft.operators.Mixture
+    val d = sfDocs.select($"doc_id", $"source", $"n_chars".cast("long").as("tok"))
+    val srcs = d.select($"source").distinct().as[String].collect()
+    val out = Mixture.balance(d, "doc_id", "source", "tok",
+      srcs.map(_ -> 1.0).toMap, budget = 10000L, seed = "t")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source rates must broadcast, plan:\n$plan")
+  }
+
   private lazy val sfDocs = graft.sources.Tables(spark, sfDir, "documents")
 }
