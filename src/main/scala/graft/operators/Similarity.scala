@@ -328,6 +328,59 @@ object Similarity {
     rerankTopK(cAssigned.join(broadcast(qProbes), Seq("cell")), k)
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * partition the embedding space with a coarse codebook and hunt
+    * near-duplicates ONLY within each cell — all-pairs O(n²) work drops
+    * to Σ|cell|². A row is dropped iff a LOWER-id row in its own cell
+    * has cosine ≥ tau (the keep-first rule; pairwise, not transitive, so
+    * every decision is local and replayable as relational algebra).
+    * Emits every input id with its cell, the keep bit, and — for dropped
+    * rows — the best (highest-cosine, lowest-id) in-cell duplicate.
+    *
+    * Codebook: the nlist lowest-id vectors (the same deterministic
+    * bootstrap as [[ivfTopKFixedCodebook]]; offline-trained centroids
+    * slot in unchanged). Scale shape: the codebook collapses to ONE
+    * broadcast row of (cell, vec) structs, so assignment is a single
+    * codegen'd projection over the corpus — argmin over an array of
+    * (d2, cell) structs, NO shuffle, no per-row row explosion. The only
+    * corpus shuffles are the in-cell self-join (keyed by cell) and the
+    * bounded best-dup window. Cell skew is the operational knob: grow
+    * nlist with the corpus to bound max |cell| (and cap hot cells like
+    * NearDup's buckets if the embedding space collapses). */
+  def semanticDedup(df: DataFrame, id: String, vecCol: String, tau: Double,
+      nlist: Int = 16): DataFrame = {
+    val c = cSide(df, id, vecCol)
+    val cb = broadcast(
+      c.orderBy(col("c_id")).limit(nlist)
+        .agg(sort_array(collect_list(struct(col("c_id").as("cell"), col("__cv").as("v"))))
+          .as("__cb")))
+    def d2(v: Column, w: Column): Column =
+      aggregate(zip_with(toDouble(v), toDouble(w), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val assigned = c.crossJoin(cb)
+      .withColumn("cell",
+        array_min(transform(col("__cb"),
+          e => struct(d2(col("__cv"), e("v")).as("d2"), e("cell").as("cell"))))("cell"))
+      .drop("__cb")
+    val left = assigned.select(col("cell"), col("c_id").as("a_id"),
+      col("__cv").as("__av"), col("__cn").as("__an"))
+    val right = assigned.select(col("cell"), col("c_id").as("b_id"),
+      col("__cv").as("__bv"), col("__cn").as("__bn"))
+    val dups = left.join(right, Seq("cell"))
+      .filter(col("a_id") > col("b_id"))
+      .withColumn("cosine",
+        dotNative(col("__av"), col("__bv")) / (col("__an") * col("__bn")))
+      .filter(col("cosine") >= tau)
+    val best = Dedup.keepOne(dups, Seq("a_id"),
+        Seq(col("cosine").desc, col("b_id").asc))
+      .select(col("a_id"), col("b_id").as("dup_of"), col("cosine"))
+    assigned.select(col("c_id").as(id), col("cell"))
+      .join(best, col(id) === col("a_id"), "left")
+      .select(col(id), col("cell"), col("dup_of").isNull.as("is_kept"),
+        col("dup_of"), col("cosine"))
+  }
+
   /** Multi-table bucket ids: one (table, bucket) row per input row per
     * table — candidates are any pair colliding in ANY table. */
   private def withLshTables(df: DataFrame, vecCol: String,

@@ -328,5 +328,53 @@ object VectorQueries {
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
       WHERE cosine >= 0.45 ORDER BY a_id, b_id"""))
 
-  def qs: Seq[Q] = Seq(q49, q50, q51, q52, q53, q54, q59, q65, q67, q69)
+  /** C2/C3 semantic dedup ([[Similarity.semanticDedup]], SemDeDup):
+    * coarse-quantize the embedding space (fixed 16-vector codebook, the
+    * q59 bootstrap), then near-dup ONLY within each Voronoi cell — the
+    * corpus-scale shape where all-pairs work drops to Σ|cell|². The
+    * oracle replays assignment argmin, in-cell pairs, the keep-first
+    * rule, and the best-duplicate choice exactly. */
+  private val q90 = Q(
+    "q90_semantic_dedup",
+    (s, dir) => {
+      import s.implicits._
+      Similarity.semanticDedup(
+          t(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45, nlist = 16)
+        .orderBy($"vec_id")
+    },
+    Some("""WITH cb AS (
+        SELECT vec_id AS cell, embedding AS cbv
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+      d2 AS (
+        SELECT e.vec_id, cb.cell,
+          SUM((e.embedding[CAST(i AS INT) + 1]::DOUBLE - cb.cbv[CAST(i AS INT) + 1]::DOUBLE)
+            * (e.embedding[CAST(i AS INT) + 1]::DOUBLE - cb.cbv[CAST(i AS INT) + 1]::DOUBLE)) AS d2
+        FROM embeddings e CROSS JOIN cb, (SELECT unnest(range(64)) AS i)
+        GROUP BY 1, 2),
+      asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM d2)
+        WHERE rn = 1),
+      pairs AS (
+        SELECT aa.vec_id AS a_id, bb.vec_id AS b_id,
+          list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cosine
+        FROM asg aa JOIN asg bb ON aa.cell = bb.cell AND aa.vec_id > bb.vec_id
+        JOIN embeddings ea ON ea.vec_id = aa.vec_id
+        JOIN embeddings eb ON eb.vec_id = bb.vec_id),
+      best AS (
+        SELECT a_id, b_id AS dup_of, cosine FROM (
+          SELECT a_id, b_id, cosine,
+            ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+          FROM pairs WHERE cosine >= 0.45)
+        WHERE rn = 1)
+      SELECT e.vec_id, asg.cell, best.dup_of IS NULL AS is_kept,
+        best.dup_of, best.cosine
+      FROM embeddings e
+      JOIN asg ON asg.vec_id = e.vec_id
+      LEFT JOIN best ON best.a_id = e.vec_id
+      ORDER BY e.vec_id"""))
+
+  def qs: Seq[Q] = Seq(q49, q50, q51, q52, q53, q54, q59, q65, q67, q69, q90)
 }

@@ -351,4 +351,42 @@ class CTierSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("not a multiple") ||
       Option(ex.getCause).exists(_.getMessage.contains("not a multiple")))
   }
+
+  test("semanticDedup with one cell equals exact all-pairs keep-first dedup") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val exactPairs = Similarity
+      .cosineNearDupPairsJoin(emb, "vec_id", "embedding", tau = 0.45)
+      .select($"b_id").as[Long].collect().toSet // b_id = the higher, dropped id
+    val got = Similarity
+      .semanticDedup(emb, "vec_id", "embedding", tau = 0.45, nlist = 1)
+      .select($"vec_id", $"is_kept").as[(Long, Boolean)].collect()
+    assert(got.length === emb.count())
+    val dropped = got.filter(!_._2).map(_._1).toSet
+    assert(dropped === exactPairs,
+      s"missed=${exactPairs -- dropped} extra=${dropped -- exactPairs}")
+  }
+
+  test("semanticDedup: dup_of is in the same cell, lower id, and cosine >= tau") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val out = Similarity
+      .semanticDedup(emb, "vec_id", "embedding", tau = 0.45, nlist = 16)
+      .collect()
+    val cellOf = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.filter(!_.getBoolean(2)).foreach { r =>
+      val (id, dupOf, cos) = (r.getLong(0), r.getLong(3), r.getDouble(4))
+      assert(dupOf < id, s"$id kept-first violated")
+      assert(cellOf(dupOf) === cellOf(id), s"$id matched across cells")
+      assert(cos >= 0.45)
+    }
+    out.filter(_.getBoolean(2)).foreach(r => assert(r.isNullAt(3) && r.isNullAt(4)))
+  }
+
+  test("semanticDedup assignment rides a one-row broadcast, not a shuffle") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val plan = Similarity
+      .semanticDedup(emb, "vec_id", "embedding", tau = 0.45, nlist = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"codebook must broadcast:\n$plan")
+  }
 }
