@@ -339,5 +339,28 @@ object CorpusQueries {
           THEN 1 ELSE 0 END AS BIGINT) AS n_copies
       FROM d JOIN r USING (source) ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q89)
+  /** Sliding-window chunking ([[graft.operators.Chunking]]): 64-token
+    * chunks, 16-token overlap — the context-window prep step. Pure
+    * integer layout arithmetic + md5 chunk fingerprints, so the oracle
+    * replays every chunk boundary and hash exactly. No shuffle: one
+    * projection + generator per row. */
+  private val q91 = Q(
+    "q91_chunk_overlap",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Chunking.chunk(
+          t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS words FROM documents),
+      c AS (SELECT doc_id, words,
+          GREATEST(1, (CAST(len(words) AS BIGINT) - 16 + 47) // 48) AS n_chunks FROM w),
+      x AS (SELECT doc_id, words, unnest(range(n_chunks)) AS chunk_idx FROM c)
+      SELECT doc_id, chunk_idx, chunk_idx * 48 AS start_tok,
+        CAST(len(words[CAST(chunk_idx*48+1 AS INT):CAST(chunk_idx*48+64 AS INT)]) AS BIGINT) AS chunk_tok,
+        md5(array_to_string(words[CAST(chunk_idx*48+1 AS INT):CAST(chunk_idx*48+64 AS INT)], ' ')) AS chunk_fp
+      FROM x ORDER BY doc_id, chunk_idx"""))
+
+  def qs: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q89, q91)
 }

@@ -197,5 +197,38 @@ class CorpusOpsSpec extends SparkSpecBase {
       s"per-source rates must broadcast, plan:\n$plan")
   }
 
+  test("chunking: exact layout for a 10-token doc at size 5 / overlap 2") {
+    import graft.operators.Chunking
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val got = Chunking.chunk(d, "id", "text", chunkTokens = 5, overlap = 2)
+      .select($"chunk_idx", $"start_tok", $"chunk_tok")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // stride 3, ceil((10-2)/3) = 3 chunks; last one short
+    assert(got.toSeq === Seq((0L, 0L, 5L), (1L, 3L, 5L), (2L, 6L, 4L)))
+  }
+
+  test("chunking: tiny docs yield one whole-doc chunk; corpus fully covered") {
+    import graft.operators.Chunking
+    val tiny = Seq((1L, "x"), (2L, "a b")).toDF("id", "text")
+    val t = Chunking.chunk(tiny, "id", "text", 64, 16)
+      .select($"id", $"chunk_idx", $"chunk_tok").as[(Long, Long, Long)].collect()
+    assert(t.toSet === Set((1L, 0L, 1L), (2L, 0L, 2L)))
+    // coverage on the real corpus: last chunk must reach the doc's end,
+    // and every non-final chunk is full-size
+    val docs = sfDocs.select($"doc_id", $"text")
+    val byDoc = Chunking.chunk(docs, "doc_id", "text", 64, 16)
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"chunk_tok")
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    val nTok = docs.select($"doc_id", size(split(lower($"text"), " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    byDoc.foreach { case (id, chunks) =>
+      val last = chunks.maxBy(_._2)
+      assert(last._3 + last._4 === nTok(id), s"doc $id not covered to the end")
+      chunks.filter(_._2 < last._2).foreach(c =>
+        assert(c._4 === 64L, s"doc $id chunk ${c._2} not full"))
+      assert(chunks.map(_._2).sorted.toSeq === (0L until chunks.length).toSeq)
+    }
+  }
+
   private lazy val sfDocs = graft.sources.Tables(spark, sfDir, "documents")
 }
