@@ -362,5 +362,30 @@ object CorpusQueries {
         md5(array_to_string(words[CAST(chunk_idx*48+1 AS INT):CAST(chunk_idx*48+64 AS INT)], ' ')) AS chunk_fp
       FROM x ORDER BY doc_id, chunk_idx"""))
 
-  def qs: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q89, q91)
+  /** Per-source hard token cap ([[graft.operators.Caps]]): each source
+    * keeps its docs in doc_id priority order until 5000 tokens, drops
+    * the rest — the "domain cap" curation stage. Exact integer window
+    * arithmetic; one shuffle. */
+  private val q92 = Q(
+    "q92_source_token_cap",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .select($"doc_id", $"source",
+          size(split(lower($"text"), " ")).cast("long").as("n_tok"))
+      graft.operators.Caps.capPerGroup(d, Seq("source"), Seq($"doc_id"),
+          "n_tok", cap = 5000L)
+        .select($"doc_id", $"source", $"n_tok", $"cum_tok", $"is_kept")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+        CAST(len(string_split(lower(text),' ')) AS BIGINT) AS n_tok FROM documents)
+      SELECT doc_id, source, n_tok,
+        CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok,
+        CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) <= 5000 AS is_kept
+      FROM d ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q89, q91, q92)
 }

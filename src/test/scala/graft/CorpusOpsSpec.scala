@@ -230,5 +230,24 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("caps: prefix keep-rule honors priority order and the exact budget") {
+    import graft.operators.Caps
+    val d = Seq(
+      (1L, "a", 3L), (2L, "a", 3L), (3L, "a", 3L),  // cum 3,6,9 -> third over
+      (4L, "b", 7L), (5L, "b", 1L),                 // cum 7,8   -> second over
+      (6L, "c", 9L)                                  // single over-budget row: dropped
+    ).toDF("id", "src", "tok")
+    val got = Caps.capPerGroup(d, Seq("src"), Seq($"id"), "tok", cap = 7L)
+      .select($"id", $"cum_tok", $"is_kept").as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((3L, true)) && got(2L) === ((6L, true)) && got(3L) === ((9L, false)))
+    assert(got(4L) === ((7L, true)) && got(5L) === ((8L, false)))
+    assert(got(6L) === ((9L, false)))
+    // priority flips the cut when the order reverses
+    val rev = Caps.capPerGroup(d, Seq("src"), Seq($"id".desc), "tok", cap = 7L)
+      .filter($"src" === "a" && $"is_kept").select($"id").as[Long].collect().toSet
+    assert(rev === Set(3L, 2L))
+  }
+
   private lazy val sfDocs = graft.sources.Tables(spark, sfDir, "documents")
 }
