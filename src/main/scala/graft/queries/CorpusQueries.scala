@@ -387,5 +387,52 @@ object CorpusQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) <= 5000 AS is_kept
       FROM d ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q89, q91, q92)
+  /** Unigram-LM surprisal scoring: each doc's average negative
+    * log-likelihood under the corpus's own unigram distribution — the
+    * perplexity-proxy quality signal (KenLM-style filtering, CCNet /
+    * Wenzek et al. 2020, with the n-gram LM reduced to its unigram
+    * backbone so the score is pure relational algebra). High avg_nll =
+    * rare-token soup (OCR noise, gibberish); low = repetitive boilerplate.
+    *
+    * Scale shape: two hash aggregations (doc×term, then term) — the
+    * (term → count) model relation is built once and joined back on the
+    * already-aggregated term key; the global token total rides a one-row
+    * broadcast. No windows over raw tokens.
+    *
+    * FP caveat (q76 class): ln() and double-SUM accumulation order may
+    * differ between engines by ulps; both sides round the final score to
+    * 6 decimals — a flip needs a boundary-straddling sum. Validated
+    * empirically at both SFs. */
+  private val q93 = Q(
+    "q93_unigram_surprisal",
+    (s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+        .filter(length($"term") > 0)
+      val dt = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("c_dt"))
+      val ct = dt.groupBy($"term").agg(sum($"c_dt").cast("long").as("c_t"))
+      val tot = ct.agg(sum($"c_t").cast("long").as("t_tok"))
+      dt.join(ct, "term").crossJoin(broadcast(tot))
+        .groupBy($"doc_id")
+        .agg(sum($"c_dt").cast("long").as("n_tok"),
+          count(lit(1)).as("n_terms"),
+          sum($"c_dt" * (log($"t_tok".cast("double")) - log($"c_t".cast("double"))))
+            .as("__nll"))
+        .select($"doc_id", $"n_tok", $"n_terms",
+          round($"__nll" / $"n_tok".cast("double"), 6).as("avg_nll"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term FROM documents),
+      dt AS (SELECT doc_id, term, COUNT(*) AS c_dt FROM toks
+        WHERE length(term) > 0 GROUP BY doc_id, term),
+      ct AS (SELECT term, CAST(SUM(c_dt) AS BIGINT) AS c_t FROM dt GROUP BY term),
+      tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t_tok FROM ct)
+      SELECT doc_id, CAST(SUM(c_dt) AS BIGINT) AS n_tok, COUNT(*) AS n_terms,
+        round(SUM(c_dt * (ln(CAST(t_tok AS DOUBLE)) - ln(CAST(c_t AS DOUBLE))))
+          / CAST(SUM(c_dt) AS DOUBLE), 6) AS avg_nll
+      FROM dt JOIN ct USING (term) CROSS JOIN tot
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q89, q91, q92, q93)
 }
