@@ -290,5 +290,63 @@ object ScaleQueries {
           AS micros_into_session
       FROM sid ORDER BY user_id, session_seq, event_seq"""))
 
-  def qs: Seq[Q] = Seq(q74, q75, q76, q78, q79, q80, q88)
+  /** B6/C sketch family completion: a Bloom filter as a first-class
+    * MERGEABLE relational value — (word, bits) rows built with
+    * md5-derived positions and a bit_or aggregate. bit_or IS the merge:
+    * per-partition (and per-day, per-source…) filters union without
+    * touching raw data, the same fleet pattern as the HLL (q79) and
+    * count-min (q80) sketches. Probes AND together their k bit tests;
+    * known-present ids must hit (no false negatives — asserted by the
+    * oracle being exact), absent ids measure the FPR. m=1024 bits
+    * (32 x 32-bit words - shifts stay under DuckDB's signed-shift cap), k=3: every step is integer relational algebra, so the
+    * whole sketch replays bit-exactly in SQL. */
+  private val q94 = Q(
+    "q94_bloom_membership",
+    (s, dir) => {
+      import s.implicits._
+      def h(j: Int, c: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat(lit(s"$j:"), c.cast("string"))), 1, 15), 16, 10)
+          .cast("long"), lit(1024L))
+      def positions(df: DataFrame) = df.select($"user_id",
+          posexplode(array((0 until 3).map(j => h(j, $"user_id")): _*))
+            .as(Seq("j", "pos")))
+        .select($"user_id", floor($"pos" / 32).cast("long").as("word"),
+          expr("shiftleft(1L, cast(pos % 32 as int))").as("mask"))
+      val users = t(s, dir, "events").select($"user_id").distinct()
+      val bloom = positions(users).groupBy($"word")
+        .agg(expr("bit_or(mask)").as("bits"))
+      val probes = users.orderBy($"user_id").limit(10)
+        .unionByName(s.range(1, 11).select(($"id" + 1000000L).as("user_id")))
+      val hits = positions(probes).join(broadcast(bloom), Seq("word"), "left")
+        .select($"user_id",
+          (coalesce($"bits", lit(0L)).bitwiseAND($"mask") =!= 0L).as("bit_set"))
+        .groupBy($"user_id").agg(expr("bool_and(bit_set)").as("bloom_hit"))
+      hits.join(users.withColumn("actual", lit(true)), Seq("user_id"), "left")
+        .select($"user_id", $"bloom_hit", coalesce($"actual", lit(false)).as("actual"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH users AS (SELECT DISTINCT user_id FROM events),
+      pos AS (SELECT user_id,
+          ('0x' || substr(md5(j || ':' || user_id), 1, 15))::BIGINT % 1024 AS pos
+        FROM users, (SELECT unnest(range(3)) AS j)),
+      bloom AS (SELECT pos // 32 AS word,
+          bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+        FROM pos GROUP BY 1),
+      probes AS (
+        SELECT user_id FROM (SELECT user_id FROM users ORDER BY user_id LIMIT 10)
+        UNION ALL
+        SELECT 1000000 + r FROM (SELECT unnest(range(1, 11)) AS r)),
+      pb AS (SELECT user_id,
+          ('0x' || substr(md5(j || ':' || user_id), 1, 15))::BIGINT % 1024 AS pos
+        FROM probes, (SELECT unnest(range(3)) AS j)),
+      pbw AS (SELECT user_id, pos // 32 AS word,
+          1::BIGINT << CAST(pos % 32 AS INT) AS mask FROM pb),
+      hits AS (SELECT user_id,
+          bool_and((COALESCE(bits, 0) & mask) <> 0) AS bloom_hit
+        FROM pbw LEFT JOIN bloom USING (word) GROUP BY user_id)
+      SELECT h.user_id, h.bloom_hit, u.user_id IS NOT NULL AS actual
+      FROM hits h LEFT JOIN users u ON u.user_id = h.user_id
+      ORDER BY h.user_id"""))
+
+  def qs: Seq[Q] = Seq(q74, q75, q76, q78, q79, q80, q88, q94)
 }

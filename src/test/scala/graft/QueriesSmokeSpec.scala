@@ -22,4 +22,14 @@ class QueriesSmokeSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("q94 bloom filter admits every present key (no false negatives)") {
+    import spark.implicits._
+    val rows = Registry.queries("q94_bloom_membership")(spark, sfDir)
+      .as[(Long, Boolean, Boolean)].collect()
+    rows.filter(_._3).foreach { case (id, hit, _) =>
+      assert(hit, s"present key $id missed — bloom false negative")
+    }
+    assert(rows.count(_._3) === 10 && rows.length === 20)
+  }
 }
