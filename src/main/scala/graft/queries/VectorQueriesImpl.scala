@@ -376,5 +376,73 @@ object VectorQueries {
       LEFT JOIN best ON best.a_id = e.vec_id
       ORDER BY e.vec_id"""))
 
-  def qs: Seq[Q] = Seq(q49, q50, q51, q52, q53, q54, q59, q65, q67, q69, q90)
+  /** C3 dimensionality reduction: mean-center the corpus, then
+    * Johnson-Lindenstrauss-project 64 → 16 dims with the md5-derived
+    * matrix trick of q50 (uniform [−1,1) entries any engine can
+    * regenerate), and run top-5 search IN THE PROJECTED SPACE with the
+    * centered full-space cosine beside it — the memory/compute trade of
+    * vector search (4× smaller vectors, approximately preserved
+    * geometry). Centering matters: these embeddings have a nonzero mean,
+    * and without it every projection shares one dominant common
+    * component and all projected cosines collapse toward 1.
+    *
+    * Scale shape: the per-dim mean is one tiny aggregate broadcast as a
+    * single 64-value row; centering + projection are then one
+    * projection pass per row — no shuffle; search reuses the
+    * brute-force top-k shape. Oracle replays matrix, means, centering,
+    * projection, ranking, and both cosines (q50-class empirical FP
+    * parity, validated at both SFs). */
+  private val q95 = Q(
+    "q95_jl_projection",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val matR = Similarity.hashPlanes(tables = 1, bits = 16, dim = 64)(0)
+      val means = emb.agg(array((0 until 64).map(d =>
+        avg($"embedding"(d).cast("double"))): _*).as("__m"))
+      val centered = emb.crossJoin(broadcast(means))
+        .select($"vec_id",
+          zip_with($"embedding", $"__m", (x, m) => x.cast("double") - m).as("cvec"))
+      val proj = centered.select($"vec_id",
+        array(matR.map(row => Similarity.dot($"cvec", typedlit(row.toSeq))): _*).as("pvec"))
+      val topk = Similarity.bruteForceTopK(proj.filter($"vec_id" < 8), proj,
+        "vec_id", "vec_id", "pvec", 5)
+      topk.join(centered.select($"vec_id".as("q_id"), $"cvec".as("__qe")), "q_id")
+        .join(centered.select($"vec_id".as("c_id"), $"cvec".as("__ce")), "c_id")
+        .select($"q_id", $"rank", $"c_id",
+          round($"cosine", 6).as("cosine_proj"),
+          round(Similarity.cosineHof($"__qe", $"__ce"), 6).as("cosine_full"))
+        .orderBy($"q_id", $"rank")
+    },
+    Some("""WITH r AS (
+        SELECT j AS k, d,
+          (('0x' || substr(md5('0:' || j || ':' || d), 1, 15))::BIGINT)::DOUBLE
+            / 576460752303423488.0 - 1.0 AS w
+        FROM (SELECT unnest(range(16)) AS j), (SELECT unnest(range(64)) AS d)),
+      m AS (
+        SELECT d, AVG(embedding[CAST(d AS INT) + 1]::DOUBLE) AS mu
+        FROM embeddings, (SELECT unnest(range(64)) AS d) GROUP BY d),
+      cv AS (
+        SELECT e.vec_id, m.d,
+          e.embedding[CAST(m.d AS INT) + 1]::DOUBLE - m.mu AS x
+        FROM embeddings e CROSS JOIN m),
+      cvl AS (SELECT vec_id, list(x ORDER BY d) AS cvec FROM cv GROUP BY vec_id),
+      p AS (
+        SELECT cv.vec_id, r.k, SUM(cv.x * r.w) AS y
+        FROM cv JOIN r ON r.d = cv.d GROUP BY 1, 2),
+      pv AS (SELECT vec_id, list(y ORDER BY k) AS pvec FROM p GROUP BY vec_id),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          list_cosine_similarity(q.pvec, c.pvec) AS cp,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.pvec, c.pvec) DESC, c.vec_id) AS rank
+        FROM pv q JOIN pv c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+      SELECT q_id, rank, c_id, round(cp, 6) AS cosine_proj,
+        round(list_cosine_similarity(a.cvec, b.cvec), 6) AS cosine_full
+      FROM scored
+      JOIN cvl a ON a.vec_id = q_id
+      JOIN cvl b ON b.vec_id = c_id
+      WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  def qs: Seq[Q] = Seq(q49, q50, q51, q52, q53, q54, q59, q65, q67, q69, q90, q95)
 }
