@@ -338,23 +338,38 @@ object Similarity {
     * Emits every input id with its cell, the keep bit, and — for dropped
     * rows — the best (highest-cosine, lowest-id) in-cell duplicate.
     *
-    * Codebook: the nlist lowest-id vectors (the same deterministic
-    * bootstrap as [[ivfTopKFixedCodebook]]; offline-trained centroids
-    * slot in unchanged). Scale shape: the codebook collapses to ONE
-    * broadcast row of (cell, vec) structs, so assignment is a single
-    * codegen'd projection over the corpus — argmin over an array of
-    * (d2, cell) structs, NO shuffle, no per-row row explosion. The only
-    * corpus shuffles are the in-cell self-join (keyed by cell) and the
-    * bounded best-dup window. Cell skew is the operational knob: grow
-    * nlist with the corpus to bound max |cell| (and cap hot cells like
-    * NearDup's buckets if the embedding space collapses). */
+    * Codebook: the nlist lowest-id vectors by default (the same
+    * deterministic bootstrap as [[ivfTopKFixedCodebook]]); pass
+    * `codebook` — a (cell: LONG, vec: ARRAY) DataFrame — to use
+    * offline-trained centroids instead (at corpus scale the codebook IS
+    * trained offline; the bootstrap is the self-contained default).
+    * Scale shape: the codebook collapses to ONE broadcast row of
+    * (cell, vec) structs, so assignment is a single codegen'd projection
+    * over the corpus — argmin over an array of (d2, cell) structs, NO
+    * shuffle, no per-row row explosion. The only corpus shuffles are the
+    * in-cell self-join (keyed by cell) and the bounded best-dup window.
+    *
+    * Cell skew is bounded the same way as [[NearDup.candidatePairs]]'s
+    * band buckets: a cell larger than `maxCell` would make the in-cell
+    * self-join emit O(|cell|²) pairs in one task (a collapsed embedding
+    * space, or a fixed nlist left at its default against a grown
+    * corpus), so oversized cells are EXCLUDED from pair generation —
+    * their rows come back `is_kept = true`, undeduped — with the
+    * overflow reported on [[NearDup.BucketCapMetric]], never silently
+    * (standalone audit: [[semanticOverflowCells]]). The non-degenerate
+    * fix is a finer codebook: grow nlist with the corpus ([[nlistFor]])
+    * or train one offline and pass it in. */
   def semanticDedup(df: DataFrame, id: String, vecCol: String, tau: Double,
-      nlist: Int = 16): DataFrame = {
+      nlist: Int = 16, maxCell: Int = NearDup.DefaultMaxBucket,
+      codebook: Option[DataFrame] = None): DataFrame = {
     val c = cSide(df, id, vecCol)
+    val cbRows = codebook match {
+      case Some(k) => k.select(col("cell").cast("long").as("cell"), col("vec").as("v"))
+      case None => c.orderBy(col("c_id")).limit(nlist)
+        .select(col("c_id").as("cell"), col("__cv").as("v"))
+    }
     val cb = broadcast(
-      c.orderBy(col("c_id")).limit(nlist)
-        .agg(sort_array(collect_list(struct(col("c_id").as("cell"), col("__cv").as("v"))))
-          .as("__cb")))
+      cbRows.agg(sort_array(collect_list(struct(col("cell"), col("v")))).as("__cb")))
     def d2(v: Column, w: Column): Column =
       aggregate(zip_with(toDouble(v), toDouble(w), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
@@ -363,9 +378,34 @@ object Similarity {
         array_min(transform(col("__cb"),
           e => struct(d2(col("__cv"), e("v")).as("d2"), e("cell").as("cell"))))("cell"))
       .drop("__cb")
-    val left = assigned.select(col("cell"), col("c_id").as("a_id"),
+    // Hot-cell guard: cell populations are a tiny aggregate (the shuffle
+    // moves only cell longs; ≤ nlist groups) broadcast-joined back onto
+    // the corpus rows — no corpus shuffle. Rows in overflowing cells
+    // skip the quadratic join entirely. The overflow observation rides
+    // the OUTPUT lineage (every row flows through it at action time),
+    // not the broadcast subtree, where CollectMetrics can be erased;
+    // `__rep` (the cell's min id) lets dropped_buckets count each hot
+    // cell exactly once without a distinct aggregate (observe forbids
+    // those).
+    val (outLeft, inCell) = if (maxCell == Int.MaxValue) {
+      (assigned.select(col("c_id"), col("cell")), assigned)
+    } else {
+      val counts = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("__n"), min(col("c_id")).as("__rep"))
+      val withN = assigned.join(broadcast(counts), Seq("cell"))
+      val n = col("__n")
+      val observed = withN
+        .observe(NearDup.nextBucketCapMetricName(),
+          sum(when(n > maxCell && col("c_id") === col("__rep"), 1L)
+            .otherwise(0L)).as("dropped_buckets"),
+          sum(when(n > maxCell, 1L).otherwise(0L)).as("dropped_rows"),
+          coalesce(max(n), lit(0L)).as("largest_bucket"))
+        .select(col("c_id"), col("cell"))
+      (observed, withN.filter(n <= maxCell).drop("__n", "__rep"))
+    }
+    val left = inCell.select(col("cell"), col("c_id").as("a_id"),
       col("__cv").as("__av"), col("__cn").as("__an"))
-    val right = assigned.select(col("cell"), col("c_id").as("b_id"),
+    val right = inCell.select(col("cell"), col("c_id").as("b_id"),
       col("__cv").as("__bv"), col("__cn").as("__bn"))
     val dups = left.join(right, Seq("cell"))
       .filter(col("a_id") > col("b_id"))
@@ -375,10 +415,43 @@ object Similarity {
     val best = Dedup.keepOne(dups, Seq("a_id"),
         Seq(col("cosine").desc, col("b_id").asc))
       .select(col("a_id"), col("b_id").as("dup_of"), col("cosine"))
-    assigned.select(col("c_id").as(id), col("cell"))
+    outLeft.select(col("c_id").as(id), col("cell"))
       .join(best, col(id) === col("a_id"), "left")
       .select(col(id), col("cell"), col("dup_of").isNull.as("is_kept"),
         col("dup_of"), col("cosine"))
+  }
+
+  /** nlist that bounds the EXPECTED cell population of [[semanticDedup]]
+    * at `targetCell` rows — the "grow nlist with the corpus" knob. The
+    * cap ([[NearDup.DefaultMaxBucket]]) still guards the worst case;
+    * this sizes the average so the cap rarely fires. */
+  def nlistFor(rows: Long, targetCell: Int = 4096): Int =
+    math.max(16L, math.min(1L << 20, (rows + targetCell - 1) / targetCell)).toInt
+
+  /** Standalone overflow accounting for [[semanticDedup]]: the cells
+    * whose population exceeds `maxCell` (whose rows the capped operator
+    * returns undeduped), with sizes. Independent of the main plan — same
+    * audit role as [[lshOverflowBuckets]] / [[NearDup.overflowBuckets]]. */
+  def semanticOverflowCells(df: DataFrame, id: String, vecCol: String,
+      nlist: Int = 16, maxCell: Int = NearDup.DefaultMaxBucket,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val c = cSide(df, id, vecCol)
+    val cbRows = codebook match {
+      case Some(k) => k.select(col("cell").cast("long").as("cell"), col("vec").as("v"))
+      case None => c.orderBy(col("c_id")).limit(nlist)
+        .select(col("c_id").as("cell"), col("__cv").as("v"))
+    }
+    val cb = broadcast(
+      cbRows.agg(sort_array(collect_list(struct(col("cell"), col("v")))).as("__cb")))
+    def d2(v: Column, w: Column): Column =
+      aggregate(zip_with(toDouble(v), toDouble(w), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    c.crossJoin(cb)
+      .select(array_min(transform(col("__cb"),
+        e => struct(d2(col("__cv"), e("v")).as("d2"), e("cell").as("cell"))))("cell")
+        .as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") > maxCell)
   }
 
   /** Multi-table bucket ids: one (table, bucket) row per input row per

@@ -381,6 +381,59 @@ class CTierSpec extends SparkSpecBase {
     out.filter(_.getBoolean(2)).foreach(r => assert(r.isNullAt(3) && r.isNullAt(4)))
   }
 
+  test("semanticDedup caps hot cells: bounded pairs + observed overflow") {
+    // Adversarial collapsed embedding space: every vector identical, so
+    // the whole corpus lands in ONE cell and the uncapped in-cell
+    // self-join would emit n(n-1)/2 pairs. With maxCell below n the cell
+    // must be excluded (rows come back kept, undeduped) and the overflow
+    // must be reported — never silent.
+    val n = 500
+    val collapsed = spark.range(n)
+      .select($"id".as("vec_id"),
+        typedlit(Seq.fill(8)(1.0f)).as("embedding"))
+    val out = Similarity.semanticDedup(
+      collapsed, "vec_id", "embedding", tau = 0.9, nlist = 4, maxCell = 100)
+    val rows = out.collect()
+    assert(rows.length === n)
+    assert(rows.forall(_.getBoolean(2)), "capped cells must return rows undeduped")
+    val metrics = NearDup.bucketCapMetrics(out)
+    assert(metrics.nonEmpty, "overflow must be observed")
+    val m = metrics.head
+    assert(m.getAs[Long]("dropped_buckets") === 1L)
+    assert(m.getAs[Long]("dropped_rows") === n.toLong)
+    assert(m.getAs[Long]("largest_bucket") === n.toLong)
+    // standalone audit agrees
+    val audit = Similarity.semanticOverflowCells(
+      collapsed, "vec_id", "embedding", nlist = 4, maxCell = 100).collect()
+    assert(audit.length === 1 && audit.head.getAs[Long]("n_ids") === n.toLong)
+    // same input under the cap dedups normally (keep-first: only id 0 kept)
+    val uncapped = Similarity.semanticDedup(
+        collapsed, "vec_id", "embedding", tau = 0.9, nlist = 4, maxCell = n)
+      .collect()
+    assert(uncapped.count(_.getBoolean(2)) === 1)
+  }
+
+  test("semanticDedup accepts an offline-trained codebook") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    // the bootstrap codebook, handed in as an explicit (cell, vec) frame
+    val cb = emb.orderBy($"vec_id").limit(16)
+      .select($"vec_id".as("cell"), $"embedding".as("vec"))
+    val viaParam = Similarity.semanticDedup(
+        emb, "vec_id", "embedding", tau = 0.45, codebook = Some(cb))
+      .orderBy($"vec_id").collect()
+    val viaBootstrap = Similarity.semanticDedup(
+        emb, "vec_id", "embedding", tau = 0.45, nlist = 16)
+      .orderBy($"vec_id").collect()
+    assert(viaParam === viaBootstrap)
+  }
+
+  test("nlistFor grows with the corpus and stays bounded") {
+    assert(Similarity.nlistFor(1000) === 16)         // floor
+    assert(Similarity.nlistFor(40960) === 16)        // 10 cells < floor
+    assert(Similarity.nlistFor(4096L * 1000) === 1000)
+    assert(Similarity.nlistFor(Long.MaxValue / 4) === (1 << 20)) // ceiling
+  }
+
   test("semanticDedup assignment rides a one-row broadcast, not a shuffle") {
     val emb = Tables(spark, sfDir, "embeddings")
     val plan = Similarity
