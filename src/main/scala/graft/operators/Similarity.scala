@@ -362,22 +362,7 @@ object Similarity {
   def semanticDedup(df: DataFrame, id: String, vecCol: String, tau: Double,
       nlist: Int = 16, maxCell: Int = NearDup.DefaultMaxBucket,
       codebook: Option[DataFrame] = None): DataFrame = {
-    val c = cSide(df, id, vecCol)
-    val cbRows = codebook match {
-      case Some(k) => k.select(col("cell").cast("long").as("cell"), col("vec").as("v"))
-      case None => c.orderBy(col("c_id")).limit(nlist)
-        .select(col("c_id").as("cell"), col("__cv").as("v"))
-    }
-    val cb = broadcast(
-      cbRows.agg(sort_array(collect_list(struct(col("cell"), col("v")))).as("__cb")))
-    def d2(v: Column, w: Column): Column =
-      aggregate(zip_with(toDouble(v), toDouble(w), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    val assigned = c.crossJoin(cb)
-      .withColumn("cell",
-        array_min(transform(col("__cb"),
-          e => struct(d2(col("__cv"), e("v")).as("d2"), e("cell").as("cell"))))("cell"))
-      .drop("__cb")
+    val assigned = assignCells(df, id, vecCol, nlist, codebook)
     // Hot-cell guard: cell populations are a tiny aggregate (the shuffle
     // moves only cell longs; ≤ nlist groups) broadcast-joined back onto
     // the corpus rows — no corpus shuffle. Rows in overflowing cells
@@ -390,9 +375,17 @@ object Similarity {
     val (outLeft, inCell) = if (maxCell == Int.MaxValue) {
       (assigned.select(col("c_id"), col("cell")), assigned)
     } else {
+      // Null-SAFE count join: a degenerate codebook (empty DataFrame, or
+      // cell ids that cast to null) assigns rows a null cell; an equi-join
+      // here would silently drop them from the output, violating the
+      // "emits every input id" contract. <=> keeps them — they count as
+      // one group, never match in the in-cell equi-join below, and come
+      // back `is_kept = true` (undeduped), same as hot-cell rows.
       val counts = assigned.groupBy(col("cell"))
         .agg(count(lit(1)).as("__n"), min(col("c_id")).as("__rep"))
-      val withN = assigned.join(broadcast(counts), Seq("cell"))
+        .withColumnRenamed("cell", "__ccell")
+      val withN = assigned.join(broadcast(counts), col("cell") <=> col("__ccell"))
+        .drop("__ccell")
       val n = col("__n")
       val observed = withN
         .observe(NearDup.nextBucketCapMetricName(),
