@@ -248,41 +248,73 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Squared L2 as the same deterministic sequential fold on both
+    * engines (cast-to-double, ascending index, sequential adds) —
+    * shared by every coarse-quantizer assignment/probe so the oracle
+    * can replay cell boundaries bit-exactly. */
+  private def sqDist(v: Column, w: Column): Column =
+    aggregate(zip_with(toDouble(v), toDouble(w), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The n nearest codebook cells per row, RELATIONALLY: `cb` is a
+    * one-row broadcast of sorted (cell, v) structs, so this is a
+    * BroadcastNestedLoopJoin row-attach plus ONE projection —
+    * `array_sort` over (d2, cell) structs gives the exact
+    * (distance, cell-id) tie-break, `slice` keeps n, explode emits one
+    * row per probed cell. No per-row closure, no window shuffle: the
+    * corpus-sized side never shuffles at all for assignment (n = 1
+    * explodes to exactly one row). */
+  private def probeCells(vecs: DataFrame, vc: String, cb: DataFrame,
+      n: Int): DataFrame =
+    vecs.crossJoin(cb)
+      .withColumn("cell", explode(transform(
+        slice(array_sort(transform(col("__cb"),
+          e => struct(sqDist(col(vc), e("v")).as("d2"), e("cell").as("cell")))),
+          1, n),
+        s => s("cell"))))
+      .drop("__cb")
+
+  /** One-row broadcast codebook from (cell, v) rows — the shape
+    * [[probeCells]]/[[assignCells]] consume. */
+  private def broadcastCodebook(cbRows: DataFrame): DataFrame =
+    broadcast(
+      cbRows.agg(sort_array(collect_list(struct(col("cell"), col("v")))).as("__cb")))
+
   /** IVF (inverted-file) approximate top-k: a seeded KMeans coarse
     * quantizer assigns every candidate to one of `nlist` cells ONCE; each
     * query probes only its `nprobe` nearest cells. The classic
     * Voronoi-partition ANN layout (IVFADC family, Jégou et al. 2011,
     * minus the PQ compression) — candidate volume per query drops
-    * nlist/nprobe-fold. Deterministic via fixed seed. */
+    * nlist/nprobe-fold. Deterministic via fixed seed.
+    *
+    * Scale shape: the ONLY per-row closure is the ml-Vector conversion
+    * feeding KMeans.fit (the ML API's required input type); the trained
+    * centroids then become an ordinary broadcast codebook and both the
+    * corpus assignment and the query probe run through the relational
+    * argmin of [[probeCells]] — codegen'd projections, no UDF on the
+    * corpus-sized path, no shuffle for assignment. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
       qId: String, cId: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    import org.apache.spark.ml.linalg.Vectors
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val c = cSide(candidates, cId, vecCol)
-      .withColumn("features", toVec(col("__cv")))
     // Random init + few Lloyd iterations: a coarse quantizer only needs
     // rough Voronoi cells (recall comes from nprobe), and k-means|| init
     // alone costs more scheduler round-trips than the whole refinement.
     val model = new KMeans().setK(nlist).setSeed(seed)
-      .setInitMode("random").setMaxIter(5).fit(c)
-    val cells = model.clusterCenters.map(_.toArray)
-    val cAssigned = model.transform(c)
-      .select(col("c_id"), col("__cv"), col("__cn"), col("prediction").as("cell"))
-    val nearestCells = udf { (v: Seq[Float]) =>
-      cells.zipWithIndex.map { case (ctr, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < ctr.length && j < v.length) {
-          val diff = v(j) - ctr(j); d += diff * diff; j += 1
-        }
-        (d, i)
-      }.sortBy(_._1).take(nprobe).map(_._2)
-    }
-    val q = qSide(queries, qId, vecCol)
-      .withColumn("cell", explode(nearestCells(col("__qv"))))
-    rerankTopK(cAssigned.join(broadcast(q), Seq("cell")), k)
+      .setInitMode("random").setMaxIter(5)
+      .fit(c.withColumn("features", toVec(col("__cv"))))
+    val s = candidates.sparkSession
+    import s.implicits._
+    val cb = broadcastCodebook(
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (ctr, i) => (i.toLong, ctr.toArray.toSeq) }
+        .toDF("cell", "v"))
+    val cAssigned = probeCells(c, "__cv", cb, 1)
+    val qProbes = probeCells(qSide(queries, qId, vecCol), "__qv", cb, nprobe)
+    rerankTopK(cAssigned.join(broadcast(qProbes), Seq("cell")), k)
   }
 
   /** All L bucket ids in one fused native pass (the production form of
@@ -309,22 +341,15 @@ object Similarity {
       qId: String, cId: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = cSide(candidates, cId, vecCol)
-    val cb = broadcast(
+    val cb = broadcastCodebook(
       c.orderBy(col("c_id")).limit(nlist)
-        .select(col("c_id").as("cell"), col("__cv").as("__cb")))
-    // squared L2 as the same sequential fold on both engines
-    def d2(v: Column, w: Column): Column =
-      aggregate(zip_with(toDouble(v), toDouble(w), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    def nearestCells(vecs: DataFrame, id: String, vc: String, n: Int): DataFrame = {
-      val scored = vecs.crossJoin(cb)
-        .withColumn("__d2", d2(col(vc), col("__cb")))
-      Dedup.topKPerGroup(scored, Seq(id), Seq(col("__d2"), col("cell")), n, "__rn")
-        .select(col(id), col("cell"))
-    }
-    val cAssigned = nearestCells(c, "c_id", "__cv", 1).join(c, "c_id")
-    val q = qSide(queries, qId, vecCol)
-    val qProbes = nearestCells(q, "q_id", "__qv", nprobe).join(q, "q_id")
+        .select(col("c_id").as("cell"), col("__cv").as("v")))
+    // Assignment and probing are [[probeCells]] projections — the old
+    // form ranked cells with a per-id window (a corpus-wide shuffle)
+    // and joined the assignment back onto the corpus (a second one);
+    // both are gone, with the identical (d2, cell) tie-break.
+    val cAssigned = probeCells(c, "__cv", cb, 1)
+    val qProbes = probeCells(qSide(queries, qId, vecCol), "__qv", cb, nprobe)
     rerankTopK(cAssigned.join(broadcast(qProbes), Seq("cell")), k)
   }
 
@@ -359,6 +384,34 @@ object Similarity {
     * (standalone audit: [[semanticOverflowCells]]). The non-degenerate
     * fix is a finer codebook: grow nlist with the corpus ([[nlistFor]])
     * or train one offline and pass it in. */
+  /** Voronoi-cell assignment shared by [[semanticDedup]] and
+    * [[semanticOverflowCells]] (so the operator and its audit can never
+    * diverge on assignment semantics): projects `df` to
+    * (c_id, __cv, __cn) and adds `cell` — the nearest codebook entry by
+    * squared L2, ties on lowest cell id. The codebook collapses to ONE
+    * broadcast row of (cell, vec) structs, so assignment is a single
+    * codegen'd argmin projection over the corpus: NO shuffle, no row
+    * explosion. `cell` is LONG in BOTH modes (the offline-codebook path
+    * casts, the bootstrap path casts the id-derived label the same way)
+    * so downstream schemas don't depend on which mode produced them. */
+  private[graft] def assignCells(df: DataFrame, id: String, vecCol: String,
+      nlist: Int, codebook: Option[DataFrame]): DataFrame = {
+    val c = cSide(df, id, vecCol)
+    val cbRows = codebook match {
+      case Some(k) => k.select(col("cell").cast("long").as("cell"), col("vec").as("v"))
+      case None => c.orderBy(col("c_id")).limit(nlist)
+        .select(col("c_id").cast("long").as("cell"), col("__cv").as("v"))
+    }
+    val cb = broadcastCodebook(cbRows)
+    // argmin (not probeCells' sort-and-slice): array_min over the same
+    // (d2, cell) structs is one pass, and n is always 1 here.
+    c.crossJoin(cb)
+      .withColumn("cell",
+        array_min(transform(col("__cb"),
+          e => struct(sqDist(col("__cv"), e("v")).as("d2"), e("cell").as("cell"))))("cell"))
+      .drop("__cb")
+  }
+
   def semanticDedup(df: DataFrame, id: String, vecCol: String, tau: Double,
       nlist: Int = 16, maxCell: Int = NearDup.DefaultMaxBucket,
       codebook: Option[DataFrame] = None): DataFrame = {
@@ -418,8 +471,14 @@ object Similarity {
     * at `targetCell` rows — the "grow nlist with the corpus" knob. The
     * cap ([[NearDup.DefaultMaxBucket]]) still guards the worst case;
     * this sizes the average so the cap rarely fires. */
-  def nlistFor(rows: Long, targetCell: Int = 4096): Int =
-    math.max(16L, math.min(1L << 20, (rows + targetCell - 1) / targetCell)).toInt
+  def nlistFor(rows: Long, targetCell: Int = 4096): Int = {
+    require(rows >= 0, s"rows must be non-negative, got $rows")
+    require(targetCell > 0, s"targetCell must be positive, got $targetCell")
+    // non-overflowing ceiling division: rows + targetCell - 1 would wrap
+    // near Long.MaxValue
+    val cells = rows / targetCell + (if (rows % targetCell == 0) 0L else 1L)
+    math.max(16L, math.min(1L << 20, cells)).toInt
+  }
 
   /** Standalone overflow accounting for [[semanticDedup]]: the cells
     * whose population exceeds `maxCell` (whose rows the capped operator
@@ -427,25 +486,10 @@ object Similarity {
     * audit role as [[lshOverflowBuckets]] / [[NearDup.overflowBuckets]]. */
   def semanticOverflowCells(df: DataFrame, id: String, vecCol: String,
       nlist: Int = 16, maxCell: Int = NearDup.DefaultMaxBucket,
-      codebook: Option[DataFrame] = None): DataFrame = {
-    val c = cSide(df, id, vecCol)
-    val cbRows = codebook match {
-      case Some(k) => k.select(col("cell").cast("long").as("cell"), col("vec").as("v"))
-      case None => c.orderBy(col("c_id")).limit(nlist)
-        .select(col("c_id").as("cell"), col("__cv").as("v"))
-    }
-    val cb = broadcast(
-      cbRows.agg(sort_array(collect_list(struct(col("cell"), col("v")))).as("__cb")))
-    def d2(v: Column, w: Column): Column =
-      aggregate(zip_with(toDouble(v), toDouble(w), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    c.crossJoin(cb)
-      .select(array_min(transform(col("__cb"),
-        e => struct(d2(col("__cv"), e("v")).as("d2"), e("cell").as("cell"))))("cell")
-        .as("cell"))
+      codebook: Option[DataFrame] = None): DataFrame =
+    assignCells(df, id, vecCol, nlist, codebook)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_ids"))
       .filter(col("n_ids") > maxCell)
-  }
 
   /** Multi-table bucket ids: one (table, bucket) row per input row per
     * table — candidates are any pair colliding in ANY table. */

@@ -204,7 +204,12 @@ object CorpusQueries {
     * compression-proxy signals used to drop template/boilerplate pages.
     * Shape: explode NON-distinct grams → (doc, gram) count → per-doc
     * agg; two map-side-combinable shuffles, no per-row O(d·t) HOF mode
-    * search. */
+    * search. Grams ride the shuffle as 60-bit
+    * [[graft.operators.Contamination.gramHash]] longs, never strings —
+    * at corpus scale the (doc, gram) aggregation is the dominant
+    * shuffle, and fixed-width keys make it ~10× narrower; a 2^-60
+    * collision could only merge two gram counts, deterministically and
+    * identically in the oracle, which replays the same md5 hash. */
   private val q85 = Q(
     "q85_repetition_score",
     (s, dir) => {
@@ -212,10 +217,11 @@ object CorpusQueries {
       val ws = split(lower($"text"), " ")
       val rawGrams = transform(
         sequence(lit(0), greatest(size(ws) - 3, lit(0))),
-        i => concat_ws(" ", slice(ws, i + lit(1), lit(3))))
+        i => graft.operators.Contamination.gramHash(
+          concat_ws(" ", slice(ws, i + lit(1), lit(3)))))
       val perGram = t(s, dir, "documents")
-        .select($"doc_id", explode(rawGrams).as("g"))
-        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .select($"doc_id", explode(rawGrams).as("h"))
+        .groupBy($"doc_id", $"h").agg(count(lit(1)).as("c"))
       perGram.groupBy($"doc_id")
         .agg(sum($"c").as("n_grams"), count(lit(1)).as("n_distinct"),
           max($"c").as("max_gram_n"))
@@ -227,10 +233,11 @@ object CorpusQueries {
         .orderBy($"doc_id")
     },
     Some("""WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS words FROM documents),
-      raw AS (SELECT doc_id, unnest(list_transform(
-        range(1, greatest(len(words) - 1, 2)),
-        i -> array_to_string(words[i:i+2], ' '))) AS g FROM w),
-      pg AS (SELECT doc_id, g, COUNT(*) AS c FROM raw GROUP BY doc_id, g)
+      raw AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM
+        (SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(words) - 1, 2)),
+          i -> array_to_string(words[i:i+2], ' '))) AS g FROM w)),
+      pg AS (SELECT doc_id, h, COUNT(*) AS c FROM raw GROUP BY doc_id, h)
       SELECT doc_id,
         CAST(SUM(c) AS BIGINT) AS n_grams,
         COUNT(*) AS n_distinct,

@@ -434,6 +434,29 @@ class CTierSpec extends SparkSpecBase {
     assert(Similarity.nlistFor(Long.MaxValue / 4) === (1 << 20)) // ceiling
   }
 
+  test("nlistFor rejects bad inputs and never overflows") {
+    intercept[IllegalArgumentException](Similarity.nlistFor(100, targetCell = 0))
+    intercept[IllegalArgumentException](Similarity.nlistFor(100, targetCell = -7))
+    intercept[IllegalArgumentException](Similarity.nlistFor(-1))
+    // rows + targetCell - 1 would wrap negative here; the ceiling must hold
+    assert(Similarity.nlistFor(Long.MaxValue, targetCell = 1) === (1 << 20))
+    assert(Similarity.nlistFor(0) === 16)
+  }
+
+  test("semanticDedup output schema is identical across bootstrap and codebook modes") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cb = emb.orderBy($"vec_id").limit(16)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("vec")) // non-long cell on purpose
+    val viaParam = Similarity.semanticDedup(
+      emb, "vec_id", "embedding", tau = 0.45, codebook = Some(cb))
+    val viaBootstrap = Similarity.semanticDedup(
+      emb, "vec_id", "embedding", tau = 0.45, nlist = 16)
+    assert(viaParam.schema === viaBootstrap.schema,
+      s"cell type must not depend on codebook mode:\n${viaParam.schema}\n${viaBootstrap.schema}")
+    assert(viaBootstrap.schema("cell").dataType ===
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("semanticDedup assignment rides a one-row broadcast, not a shuffle") {
     val emb = Tables(spark, sfDir, "embeddings")
     val plan = Similarity
