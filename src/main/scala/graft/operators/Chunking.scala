@@ -25,13 +25,16 @@ import org.apache.spark.sql.functions._
 object Chunking {
 
   /** One row per (doc, chunk): doc id, chunk_idx, start_tok, chunk_tok
-    * (actual token count — short for the final chunk), chunk_fp. */
+    * (actual token count — short for the final chunk), chunk_fp.
+    * Tokenization is the shared [[Tokenize]] model so chunk budgets mean
+    * the same tokens as [[Caps]]/[[Mixture]]/[[Packing]] budgets. */
   def chunk(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int, overlap: Int): DataFrame = {
+      chunkTokens: Int, overlap: Int,
+      model: Tokenize.Model = Tokenize.Whitespace): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap $overlap must be in [0, $chunkTokens)")
     val stride = chunkTokens - overlap
-    val ws = graft.functions.TextFunctions.words(col(textCol))
+    val ws = Tokenize.tokens(col(textCol), model)
     val nTok = size(ws).cast("long")
     // Spark's `/` on longs is double division; floor+cast restores the
     // integer ceil-div. Token counts are far under 2^53 so the double

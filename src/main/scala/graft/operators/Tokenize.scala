@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The engine's single token model (SURVEY §2.C C5): every operator that
+  * budgets or counts tokens — [[Caps]], [[Mixture]], [[Packing]],
+  * [[Chunking]], the corpus queries' `n_tok` columns — tokenizes through
+  * here, so "N tokens" means the same thing everywhere (the reference
+  * normalizes its fields through one mapping the same way,
+  * `/root/reference/index.js:123-133`; a training pipeline's token
+  * budgets are meaningless unless the tokenizer is shared).
+  *
+  * A [[Model]] is a pure column expression (codegen'd, no UDF): the
+  * whitespace default is the replayable baseline, [[Regex]] is the
+  * BPE-style pre-tokenizer (letter runs / digit runs / single symbols —
+  * the GPT-2-family pre-split shape). A real BPE merge table would slot
+  * in as one more Model whose `tokens` maps pre-tokens through a merge
+  * expression; everything downstream (counts, budgets, ids) is already
+  * agnostic to it.
+  *
+  * Token IDS come in two forms, both shuffle-friendly fixed-width longs:
+  * [[hashIds]] is vocab-free (the 60-bit md5 of [[Contamination.gramHash]],
+  * replayable in any engine); [[idsWithVocab]] looks up a (token, id)
+  * vocabulary via broadcast join — OOV tokens get the NEGATED hash id, so
+  * they stay distinguishable from in-vocab ids (all ≥ 0) without a
+  * sentinel collision.
+  */
+object Tokenize {
+
+  /** A tokenizer: text column → array<string> of tokens. */
+  sealed trait Model {
+    def tokens(text: Column): Column
+  }
+
+  /** Lower-cased whitespace split — the corpus default (the one
+    * definition; [[graft.functions.TextFunctions.words]] is it). */
+  case object Whitespace extends Model {
+    def tokens(text: Column): Column =
+      graft.functions.TextFunctions.words(text)
+  }
+
+  /** Regex pre-tokenizer: maximal letter runs, digit runs, and single
+    * non-space symbols, lower-cased. The pattern is restricted to the
+    * Java-regex ∩ RE2 dialect so a SQL oracle replays it verbatim. */
+  final case class Regex(
+      pattern: String = "[a-z]+|[0-9]+|[^a-z0-9\\s]") extends Model {
+    def tokens(text: Column): Column =
+      regexp_extract_all(lower(text), lit(pattern), lit(0))
+  }
+
+  def tokens(text: Column, model: Model = Whitespace): Column =
+    model.tokens(text)
+
+  /** The shared `n_tok`: LONG token count under `model`. */
+  def count(text: Column, model: Model = Whitespace): Column =
+    size(model.tokens(text)).cast("long")
+
+  /** Vocab-free 60-bit token ids (one per token, order kept):
+    * md5-derived like q82's gram keys, so ids are identical in every
+    * engine with md5 and ride shuffles as fixed-width longs. */
+  def hashIds(text: Column, model: Model = Whitespace): Column =
+    transform(model.tokens(text), t => Contamination.gramHash(t))
+
+  /** Adds `outCol` = array<long> of vocabulary ids for `textCol` under
+    * `model`. `vocab` is a (token: STRING, id: LONG) relation, assumed
+    * vocabulary-sized (≤ a few hundred thousand rows — it is broadcast);
+    * OOV tokens map to -hashId (always < 0, never colliding with vocab
+    * ids, which must be ≥ 0).
+    *
+    * Scale shape: explode to (doc, pos, token), ONE broadcast hash join
+    * against the vocab (no shuffle of the corpus side beyond the
+    * re-collect), then re-assemble in position order. The groupBy is the
+    * one unavoidable shuffle — it moves (id, pos, long) triples, never
+    * token strings. */
+  def idsWithVocab(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, outCol: String,
+      model: Model = Whitespace): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(model.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val v = broadcast(vocab.select(col("token").as("__tok"), col("id").as("__vid")))
+    val ids = toks.join(v, Seq("__tok"), "left")
+      .select(col(idCol), col("__pos"),
+        coalesce(col("__vid"), -Contamination.gramHash(col("__tok"))).as("__tid"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("__pos"), col("__tid")))),
+        s => s("__tid")).as(outCol))
+    df.join(ids, Seq(idCol), "left")
+  }
+}

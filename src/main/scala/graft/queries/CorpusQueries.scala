@@ -184,7 +184,7 @@ object CorpusQueries {
     (s, dir) => {
       import s.implicits._
       val d = t(s, dir, "documents")
-        .select($"doc_id", size(split(lower($"text"), " ")).cast("long").as("n_tok"))
+        .select($"doc_id", graft.operators.Tokenize.count($"text").as("n_tok"))
       graft.operators.Packing.packBlocks(d, "doc_id", "n_tok", budget = 512L)
         .orderBy($"doc_id")
     },
@@ -316,7 +316,7 @@ object CorpusQueries {
       import s.implicits._
       val d = t(s, dir, "documents")
         .select($"doc_id", $"source",
-          size(split(lower($"text"), " ")).cast("long").as("n_tok"))
+          graft.operators.Tokenize.count($"text").as("n_tok"))
       // Driver-side distinct over the tiny source domain (the mixture
       // config is per-source by definition; |sources| ~ dozens).
       val weights = d.select($"source").distinct().collect()
@@ -379,7 +379,7 @@ object CorpusQueries {
       import s.implicits._
       val d = t(s, dir, "documents")
         .select($"doc_id", $"source",
-          size(split(lower($"text"), " ")).cast("long").as("n_tok"))
+          graft.operators.Tokenize.count($"text").as("n_tok"))
       graft.operators.Caps.capPerGroup(d, Seq("source"), Seq($"doc_id"),
           "n_tok", cap = 5000L)
         .select($"doc_id", $"source", $"n_tok", $"cum_tok", $"is_kept")
@@ -415,7 +415,7 @@ object CorpusQueries {
     (s, dir) => {
       import s.implicits._
       val toks = t(s, dir, "documents")
-        .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+        .select($"doc_id", explode(graft.operators.Tokenize.tokens($"text")).as("term"))
         .filter(length($"term") > 0)
       val dt = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("c_dt"))
       val ct = dt.groupBy($"term").agg(sum($"c_dt").cast("long").as("c_t"))
@@ -441,5 +441,84 @@ object CorpusQueries {
       FROM dt JOIN ct USING (term) CROSS JOIN tot
       GROUP BY doc_id ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q89, q91, q92, q93)
+  /** C5 shared tokenizer, regex (BPE-style pre-split) model
+    * ([[graft.operators.Tokenize.Regex]]): per-doc token count, distinct
+    * count, and an order-free xor checksum over the 60-bit md5 token ids
+    * (q82's hash construction) — the id stream itself, verified without
+    * shuffling a single token string. The xor fold is a per-row codegen'd
+    * HOF, not an aggregate: the only shuffle is the final orderBy. */
+  private val q96 = Q(
+    "q96_regex_tokenize",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Tokenize
+      val m = Tokenize.Regex()
+      t(s, dir, "documents").select(
+          $"doc_id",
+          Tokenize.count($"text", m).as("n_tok"),
+          size(array_distinct(Tokenize.tokens($"text", m))).cast("long")
+            .as("n_unique"),
+          aggregate(Tokenize.hashIds($"text", m), lit(0L),
+            (acc, x) => acc.bitwiseXOR(x)).as("tok_xor"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH tk AS (SELECT doc_id,
+        unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+        FROM documents),
+      h AS (SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hid FROM tk),
+      agg AS (SELECT doc_id, COUNT(*) AS n_tok,
+        CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_unique,
+        bit_xor(hid) AS tok_xor FROM h GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(n_tok, 0) AS n_tok,
+        COALESCE(n_unique, 0) AS n_unique, COALESCE(tok_xor, 0) AS tok_xor
+      FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"""))
+
+  /** C5 vocabulary token ids ([[graft.operators.Tokenize.idsWithVocab]]):
+    * rank the corpus's 256 most frequent whitespace tokens into a
+    * (token, id) vocabulary — count desc, token asc, exactly replayable —
+    * then map every doc through it; OOV tokens get the negated 60-bit
+    * hash id. Output: per-doc token count, OOV count, and the xor
+    * checksum of the full id sequence.
+    *
+    * Scale shape: vocab build is one token-count aggregate (the ranking
+    * window runs over vocab-sized data, not the corpus); the doc→id
+    * mapping is [[graft.operators.Tokenize.idsWithVocab]]'s broadcast
+    * join. The checksum xor is a per-row fold over the id array. */
+  private val q97 = Q(
+    "q97_vocab_token_ids",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Tokenize
+      val docs = t(s, dir, "documents")
+      val counts = docs
+        .select(explode(Tokenize.tokens($"text")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("c"))
+      val vocab = counts
+        .withColumn("id",
+          (row_number().over(Window.orderBy($"c".desc, $"token")) - 1).cast("long"))
+        .filter($"id" < 256).select($"token", $"id")
+      Tokenize.idsWithVocab(docs.select($"doc_id", $"text"), "doc_id", "text",
+          vocab, "tids")
+        .select($"doc_id",
+          size($"tids").cast("long").as("n_tok"),
+          size(filter($"tids", t => t < 0L)).cast("long").as("n_oov"),
+          aggregate($"tids", lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("tok_xor"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents),
+      vocab AS (SELECT tok AS token,
+        CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) - 1 AS BIGINT) AS id
+        FROM tk GROUP BY tok QUALIFY id < 256),
+      ids AS (SELECT doc_id,
+        COALESCE(v.id, -(('0x' || substr(md5(tok), 1, 15))::BIGINT)) AS tid
+        FROM tk LEFT JOIN vocab v ON v.token = tk.tok)
+      SELECT doc_id, COUNT(*) AS n_tok,
+        CAST(COUNT(*) FILTER (WHERE tid < 0) AS BIGINT) AS n_oov,
+        bit_xor(tid) AS tok_xor
+      FROM ids GROUP BY doc_id ORDER BY doc_id"""))
+
+  def qs: Seq[Q] =
+    Seq(q81, q82, q83, q84, q85, q86, q87, q89, q91, q92, q93, q96, q97)
 }

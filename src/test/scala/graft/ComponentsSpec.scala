@@ -54,6 +54,42 @@ class ComponentsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("star contraction matches union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 60
+      val edges = (0 until 80).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      val got = Components.connectedComponentsStar(
+          edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got === ufComponents(edges), s"trial $trial")
+    }
+  }
+
+  test("star contraction converges on a 10k-node chain in O(log n) rounds") {
+    // The adversarial case for propagation: diameter 9999, which would
+    // need 9999 label-prop rounds. Star contraction must close it inside
+    // a logarithmic budget (2·log2(10k) ≈ 27; maxIter 30 fails fast
+    // if the bound doesn't hold).
+    val n = 10000L
+    val edges = spark.range(n - 1).select($"id".as("a"), ($"id" + 1).as("b"))
+    val cc = Components.connectedComponentsStar(edges, "a", "b", maxIter = 30)
+    assert(cc.filter($"component" =!= 0L).isEmpty)
+    assert(cc.count() === n)
+  }
+
+  test("star contraction handles self-loops, isolated-by-loop nodes, empty input") {
+    val withLoops = Seq((3L, 3L), (1L, 2L)).toDF("a", "b")
+    val cc = Components.connectedComponentsStar(withLoops, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    val empty = Components.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(empty.isEmpty)
+  }
+
   test("clusterDedup labels every doc, keeps exactly one canonical per cluster") {
     val docs = (0L until 12L).toDF("id")
     // two clusters {0,1,2}, {5,6}; rest singletons

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Contamination, Tokenize}
+import graft.sources.Tables
+
+/** The shared token model: every n_tok in the engine must mean the same
+  * tokens ([[Tokenize]]), with pluggable models and vocab ids. */
+class TokenizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sfDir, "documents")
+
+  test("whitespace model IS TextFunctions.words — one token definition") {
+    val viaModel = docs.select(Tokenize.tokens($"text").as("t"))
+    val viaWords = docs.select(graft.functions.TextFunctions.words($"text").as("t"))
+    assert(viaModel.exceptAll(viaWords).isEmpty &&
+      viaWords.exceptAll(viaModel).isEmpty)
+  }
+
+  test("regex model splits letter runs, digit runs, single symbols") {
+    val got = spark.range(1)
+      .select(Tokenize.tokens(lit("Ab12 c-d, 3x!"), Tokenize.Regex()).as("t"))
+      .as[Seq[String]].head()
+    assert(got === Seq("ab", "12", "c", "-", "d", ",", "3", "x", "!"))
+  }
+
+  test("count agrees with tokens.size for both models") {
+    Seq[Tokenize.Model](Tokenize.Whitespace, Tokenize.Regex()).foreach { m =>
+      val mismatches = docs.select(
+          Tokenize.count($"text", m).as("n"),
+          size(Tokenize.tokens($"text", m)).cast("long").as("s"))
+        .filter($"n" =!= $"s").count()
+      assert(mismatches === 0L)
+    }
+  }
+
+  test("hashIds are positionally aligned 60-bit gram hashes") {
+    val row = spark.range(1)
+      .select(Tokenize.hashIds(lit("the cat the")).as("ids"),
+        Contamination.gramHash(lit("the")).as("h_the"),
+        Contamination.gramHash(lit("cat")).as("h_cat"))
+      .head()
+    val ids = row.getSeq[Long](0)
+    assert(ids === Seq(row.getLong(1), row.getLong(2), row.getLong(1)))
+  }
+
+  test("idsWithVocab maps in-vocab to ids, OOV to negated hash, in order") {
+    val df = Seq((1L, "a b zz a"), (2L, "zz"), (3L, "b")).toDF("id", "text")
+    val vocab = Seq(("a", 0L), ("b", 1L)).toDF("token", "id")
+    val out = Tokenize.idsWithVocab(df, "id", "text", vocab, "tids")
+      .orderBy($"id").select($"tids").as[Seq[Long]].collect()
+    val hZz = spark.range(1)
+      .select(Contamination.gramHash(lit("zz"))).as[Long].head()
+    assert(out(0) === Seq(0L, 1L, -hZz, 0L))
+    assert(out(1) === Seq(-hZz))
+    assert(out(2) === Seq(1L))
+  }
+
+  test("idsWithVocab keeps docs whose token array is empty") {
+    val df = Seq((1L, "a"), (2L, "")).toDF("id", "text")
+    val vocab = Seq(("a", 0L)).toDF("token", "id")
+    val out = Tokenize.idsWithVocab(df, "id", "text", vocab, "tids",
+        Tokenize.Regex())
+      .orderBy($"id").collect()
+    assert(out.length === 2)
+    assert(out(1).isNullAt(out(1).fieldIndex("tids")) ||
+      out(1).getSeq[Long](out(1).fieldIndex("tids")).isEmpty)
+  }
+
+  test("vocab lookup rides a broadcast join, not a shuffle join") {
+    val vocab = docs.select(explode(Tokenize.tokens($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("c"))
+      .select($"token", monotonically_increasing_id().as("id"))
+    val plan = Tokenize.idsWithVocab(docs.select($"doc_id", $"text"),
+        "doc_id", "text", vocab, "tids")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$plan")
+  }
+}
