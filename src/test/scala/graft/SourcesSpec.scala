@@ -54,6 +54,69 @@ class SourcesSpec extends SparkSpecBase {
       canon(viaDriver).map(_._2))
   }
 
+  test("graft catalog DSv2 write: writeTo round-trips with insert-if-absent merge") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "nome")
+      .writeTo("graft.stations")
+      .tableProperty("merge.keys", "id")
+      .create()
+    // conflict on id=2 keeps the existing row (reference
+    // attribute_not_exists semantics); id=3 is new
+    Seq((2L, "CHANGED"), (3L, "c")).toDF("id", "nome")
+      .writeTo("graft.stations").append()
+    def rows = graft.sources.GraftMergeTable.read(spark, wh, "stations")
+      .as[(Long, String)].collect().toSet
+    assert(rows === Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // createOrReplace truncates to exactly the new content
+    Seq((9L, "z")).toDF("id", "nome")
+      .writeTo("graft.stations")
+      .tableProperty("merge.keys", "id")
+      .createOrReplace()
+    assert(rows === Set((9L, "z")))
+  }
+
+  test("graft catalog DSv2 write: last-wins mode and plain append") {
+    val wh = Files.createTempDirectory("graft-wh2").toString
+    spark.conf.set("spark.sql.catalog.graft2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft2.warehouse", wh)
+
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price")
+      .writeTo("graft2.prices")
+      .tableProperty("merge.keys", "id")
+      .tableProperty("merge.mode", "last-wins")
+      .create()
+    Seq((2L, 21.0), (3L, 30.0)).toDF("id", "price")
+      .writeTo("graft2.prices").append()
+    val got = graft.sources.GraftMergeTable.read(spark, wh, "prices")
+      .as[(Long, Double)].collect().toSet
+    assert(got === Set((1L, 10.0), (2L, 21.0), (3L, 30.0)))
+
+    // no merge.keys => plain append keeps duplicates
+    Seq((1L, "x")).toDF("id", "v").writeTo("graft2.log").create()
+    Seq((1L, "x")).toDF("id", "v").writeTo("graft2.log").append()
+    assert(graft.sources.GraftMergeTable.read(spark, wh, "log").count() === 2L)
+  }
+
+  test("graft catalog rejects appends to missing tables and bad modes") {
+    val wh = Files.createTempDirectory("graft-wh3").toString
+    spark.conf.set("spark.sql.catalog.graft3", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft3.warehouse", wh)
+    intercept[Exception] {
+      Seq((1L, "a")).toDF("id", "nome").writeTo("graft3.nope").append()
+    }
+    Seq((1L, "a")).toDF("id", "nome")
+      .writeTo("graft3.bad").tableProperty("merge.mode", "bogus").create()
+    val e = intercept[Exception] {
+      Seq((2L, "b")).toDF("id", "nome").writeTo("graft3.bad").append()
+    }
+    assert(e.getMessage.contains("bogus") ||
+      Option(e.getCause).exists(_.getMessage.contains("bogus")))
+  }
+
   test("CSV sink + explicit-schema scan round-trips lineitem columns") {
     val dir = Files.createTempDirectory("csv-src").toString
     val src = graft.sources.Tables(spark, sfDir, "lineitem")
