@@ -494,10 +494,15 @@ object CorpusQueries {
       val counts = docs
         .select(explode(Tokenize.tokens($"text")).as("token"))
         .groupBy($"token").agg(count(lit(1)).as("c"))
+      // orderBy+limit plans as TakeOrderedAndProject — a DISTRIBUTED
+      // top-k over the token-count relation (per-partition heaps, driver
+      // merge of 256-row tops) — so the only global window ranks the 256
+      // survivors, not every distinct token in the corpus.
       val vocab = counts
+        .orderBy($"c".desc, $"token").limit(256)
         .withColumn("id",
           (row_number().over(Window.orderBy($"c".desc, $"token")) - 1).cast("long"))
-        .filter($"id" < 256).select($"token", $"id")
+        .select($"token", $"id")
       Tokenize.idsWithVocab(docs.select($"doc_id", $"text"), "doc_id", "text",
           vocab, "tids")
         .select($"doc_id",
