@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sub-document (block-level) exact dedup — the C4 "deduplicate at the
+  * line level" operator generalized to fixed-size token blocks: split
+  * each document into consecutive `blockTokens`-token blocks (final
+  * partial block included), keep the globally FIRST occurrence of every
+  * distinct block (ordered by (id, position)), drop repeats everywhere
+  * else. Catches boilerplate shared across documents that document-level
+  * dedup ([[Dedup]], [[NearDup]]) cannot, because the containing docs
+  * differ.
+  *
+  * Scale shape: blocks ride every shuffle as 60-bit md5 longs
+  * ([[Contamination.gramHash]]); the winner election is one
+  * map-side-combinable `min(struct(id, pos))` per block hash, and
+  * membership comes back via a long-key join — no window over the
+  * corpus, no strings, no driver state. Reconstruction
+  * ([[dropDuplicateBlocks]]) re-reads block text from the original row
+  * (a second scan of the input, not a shuffle of block strings).
+  * Collisions (2^-60 per pair) can only merge two block identities,
+  * deterministically and identically in the md5-replaying oracle.
+  */
+object BlockDedup {
+
+  /** array<struct<pos int, block string>> of consecutive
+    * `blockTokens`-token blocks of `ws` (0-based pos). */
+  private def blockArr(ws: Column, blockTokens: Int): Column =
+    transform(
+      sequence(lit(0),
+        greatest(ceil(size(ws).cast("double") / blockTokens).cast("int") - 1,
+          lit(0))),
+      p => struct(p.as("pos"),
+        concat_ws(" ", slice(ws, p * blockTokens + 1, lit(blockTokens))).as("block")))
+
+  /** One row per block: (idCol, pos, __h). */
+  private def blocks(df: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int, model: Tokenize.Model): DataFrame = {
+    val ws = model.tokens(col(textCol))
+    df.filter(size(model.tokens(col(textCol))) > 0)
+      .select(col(idCol), explode(blockArr(ws, blockTokens)).as("b"))
+      .select(col(idCol), col("b.pos").as("pos"),
+        Contamination.gramHash(col("b.block")).as("__h"))
+  }
+
+  /** First-occurrence winner per distinct block hash:
+    * (__h, __wid, __wpos). */
+  private def winners(bl: DataFrame, idCol: String): DataFrame =
+    bl.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+      .select(col("__h"), col(s"w.$idCol").as("__wid"), col("w.pos").as("__wpos"))
+
+  /** Per-doc block-dedup stats:
+    * (idCol, n_blocks, n_kept, dup_block_ratio) — `n_kept` counts the
+    * blocks for which this doc holds the global first occurrence. Docs
+    * whose text tokenizes to nothing get (0, 0, NULL). */
+  def blockStats(df: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 10,
+      model: Tokenize.Model = Tokenize.Whitespace): DataFrame = {
+    val bl = blocks(df, idCol, textCol, blockTokens, model)
+    val stats = bl.join(winners(bl, idCol), Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum((col(idCol) === col("__wid") && col("pos") === col("__wpos"))
+          .cast("long")).as("n_kept"))
+      .select(col(idCol), col("n_blocks"), col("n_kept"),
+        round(lit(1.0) - col("n_kept").cast("double")
+          / col("n_blocks").cast("double"), 6).as("dup_block_ratio"))
+    df.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("dup_block_ratio"))
+  }
+
+  /** The dedup itself: rewrite `textCol` keeping only first-occurrence
+    * blocks (in original position order); other columns pass through.
+    * Documents left with zero kept blocks keep an empty string. */
+  def dropDuplicateBlocks(df: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 10,
+      model: Tokenize.Model = Tokenize.Whitespace): DataFrame = {
+    val bl = blocks(df, idCol, textCol, blockTokens, model)
+    val keptAgg = bl.join(winners(bl, idCol), Seq("__h"))
+      .filter(col(idCol) === col("__wid") && col("pos") === col("__wpos"))
+      .select(col(idCol), col("pos"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__keepAgg"))
+    // a doc can have blocks yet keep none (all first-occur elsewhere):
+    // distinguish "no blocks" (NULL → original text) from "kept none"
+    // (empty array → empty text)
+    val kept = bl.select(col(idCol)).distinct()
+      .join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__keepAgg"), array().cast("array<int>")).as("__keep"))
+    val ws = model.tokens(col(textCol))
+    df.join(kept, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__keep").isNull, col(textCol)).otherwise(
+          concat_ws(" ", transform(col("__keep"),
+            p => concat_ws(" ", slice(ws, p * blockTokens + 1, lit(blockTokens)))))))
+      .drop("__keep")
+  }
+}

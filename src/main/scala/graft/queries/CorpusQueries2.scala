@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{BlockDedup, LangModel, Quantize}
+import graft.sources.Tables
+
+/** Round-6 additions to the LLM training-data pipeline family (SURVEY
+  * §2.C): bigram-LM quality scoring, sub-document block dedup, and
+  * embedding int8 quantization. Each is a scale-shaped operator AND
+  * fully DuckDB-oracled. */
+object CorpusQueries2 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** C5 bigram-LM surprisal ([[graft.operators.LangModel]]): per-doc
+    * NLL under the corpus's own MLE bigram model — the LM-perplexity
+    * quality filter with real left-context (q93 is the unigram
+    * degenerate case). Bigrams ride every shuffle as 60-bit md5 longs;
+    * the oracle replays the hash. */
+  private val q98 = Q(
+    "q98_bigram_surprisal",
+    (s, dir) =>
+      LangModel.bigramSurprisal(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS ws FROM documents),
+      b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+          i -> struct_pack(hc := ('0x' || substr(md5(ws[i]), 1, 15))::BIGINT,
+                           hb := ('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15))::BIGINT))) AS g
+        FROM w),
+      dt AS (SELECT doc_id, g.hc AS h_ctx, g.hb AS h_bi, COUNT(*) AS c
+        FROM b GROUP BY doc_id, g.hc, g.hb),
+      cb AS (SELECT h_bi, CAST(SUM(c) AS BIGINT) AS c_bi FROM dt GROUP BY h_bi),
+      cc AS (SELECT h_ctx, CAST(SUM(c) AS BIGINT) AS c_ctx FROM dt GROUP BY h_ctx),
+      agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bi,
+          COUNT(*) AS n_distinct_bi,
+          round(SUM(c * (ln(CAST(c_ctx AS DOUBLE)) - ln(CAST(c_bi AS DOUBLE))))
+            / CAST(SUM(c) AS DOUBLE), 6) AS avg_nll
+        FROM dt JOIN cb USING (h_bi) JOIN cc USING (h_ctx) GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(n_bi, 0) AS BIGINT) AS n_bi,
+        CAST(coalesce(n_distinct_bi, 0) AS BIGINT) AS n_distinct_bi,
+        avg_nll
+      FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
+
+  /** C2 sub-document block dedup ([[graft.operators.BlockDedup]]): C4's
+    * line-level dedup over fixed 10-token blocks — per doc, how many of
+    * its blocks are the global first occurrence (kept) vs boilerplate
+    * seen earlier (dropped). Winner election is min(struct) per 60-bit
+    * block hash; the oracle replays the hash and elects with a window. */
+  private val q99 = Q(
+    "q99_block_dedup",
+    (s, dir) =>
+      BlockDedup.blockStats(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", blockTokens = 10)
+        .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS ws FROM documents),
+      bl AS (SELECT doc_id, p,
+          ('0x' || substr(md5(array_to_string(ws[(p*10+1):(p*10+10)], ' ')), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS p
+              FROM w WHERE len(ws) > 0)),
+      k AS (SELECT doc_id, p, h,
+          ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn FROM bl),
+      st AS (SELECT doc_id, COUNT(*) AS n_blocks,
+          CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM k GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(n_blocks, 0) AS BIGINT) AS n_blocks,
+        CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        round(1.0 - CAST(n_kept AS DOUBLE) / CAST(n_blocks AS DOUBLE), 6)
+          AS dup_block_ratio
+      FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id"""))
+
+  /** C3/C4 embedding int8 quantization ([[graft.operators.Quantize]]):
+    * per-vector scale, code checksum, and reconstruction MSE — a pure
+    * codegen-resident projection (no shuffle). The oracle recomputes
+    * the same double-math per element; the half-up rounding is
+    * floor(v + 0.5) on both sides, so no engine rounding-mode leaks in. */
+  private val q100 = Q(
+    "q100_int8_quantize",
+    (s, dir) =>
+      Quantize.int8Report(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id")),
+    Some("""WITH s AS (SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s0
+        FROM embeddings),
+      q AS (SELECT vec_id, embedding, s0,
+          list_transform(embedding, x -> CASE WHEN s0 = 0 THEN 0
+            ELSE CAST(floor(CAST(x AS DOUBLE) / s0 + 0.5) AS BIGINT) END) AS qs
+        FROM s)
+      SELECT vec_id,
+        CAST(len(embedding) AS BIGINT) AS dim,
+        round(sqrt(list_sum(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm,
+        round(s0, 9) AS scale,
+        CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        round(list_sum(list_transform(range(1, len(embedding) + 1),
+            i -> (CAST(embedding[i] AS DOUBLE) - qs[i] * s0)
+               * (CAST(embedding[i] AS DOUBLE) - qs[i] * s0)))
+          / CAST(len(embedding) AS DOUBLE), 12) AS mse
+      FROM q ORDER BY vec_id"""))
+
+  val qs: Seq[Q] = Seq(q98, q99, q100)
+}

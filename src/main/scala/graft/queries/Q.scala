@@ -19,7 +19,8 @@ final case class Q(
 object Registry {
   def all: Seq[Q] = Relational.qs ++ Relational2.qs ++ Relational3.qs ++
     OpsQueries.qs ++ TextQueries.qs ++ VectorQueries.qs ++
-    StreamingQueries.qs ++ ScaleQueries.qs ++ CorpusQueries.qs
+    StreamingQueries.qs ++ ScaleQueries.qs ++ CorpusQueries.qs ++
+    CorpusQueries2.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

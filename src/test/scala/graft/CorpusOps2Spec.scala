@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{BlockDedup, LangModel, Quantize}
+
+/** Unit coverage for the round-6 pipeline operators (q98-q100) beyond
+  * their DuckDB oracles. */
+class CorpusOps2Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ---- LangModel.bigramSurprisal ----
+
+  test("bigram surprisal: hand-computed MLE NLL on a 3-doc corpus") {
+    // corpus: "a b", "a b", "a c" → c(a·)=3, c(a b)=2, c(a c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("id", "text")
+    val got = LangModel.bigramSurprisal(docs, "id", "text")
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    val nllAB = math.log(3.0) - math.log(2.0) // -ln P(b|a) = ln c(a·) - ln c(ab)
+    val nllAC = math.log(3.0) - math.log(1.0)
+    assert(got(0) === ((1L, 1L, 1L, Some(BigDecimal(nllAB)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))))
+    assert(got(2)._4.get === BigDecimal(nllAC)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("bigram surprisal: docs with < 2 tokens get n_bi=0 and NULL nll") {
+    val docs = Seq((1L, "solo"), (2L, "two tokens here")).toDF("id", "text")
+    val got = LangModel.bigramSurprisal(docs, "id", "text")
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 0L, 0L, None)))
+    assert(got(1)._2 === 2L && got(1)._4.isDefined)
+  }
+
+  test("bigram surprisal: self-trained corpus NLL is non-negative everywhere") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents").limit(100)
+    val bad = LangModel.bigramSurprisal(docs, "doc_id", "text")
+      .filter($"avg_nll" < -1e-9).count()
+    assert(bad === 0L)
+  }
+
+  // ---- BlockDedup ----
+
+  test("blockStats: duplicated block across docs is kept only at first (id,pos)") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, ten + " " + "x1 x2 x3"),   // block0 = ten (first), block1 = partial
+      (2L, ten),                      // block0 duplicates doc1's block0
+      (3L, "y1 y2 y3")                // unique partial block
+    ).toDF("id", "text")
+    val got = BlockDedup.blockStats(docs, "id", "text", blockTokens = 10)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 2L, 2L, Some(0.0))))
+    assert(got(1) === ((2L, 1L, 0L, Some(1.0))))
+    assert(got(2) === ((3L, 1L, 1L, Some(0.0))))
+  }
+
+  test("dropDuplicateBlocks rewrites dup blocks away; fully-dup doc becomes empty") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, ten + " tail one"),
+      (2L, ten),                 // every block a dup → empty
+      (3L, "fresh text")
+    ).toDF("id", "text")
+    val got = BlockDedup.dropDuplicateBlocks(docs, "id", "text", blockTokens = 10)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got(0)._2 === ten + " tail one")
+    assert(got(1)._2 === "")
+    assert(got(2)._2 === "fresh text")
+  }
+
+  test("blockStats totals: sum(n_kept) == count of distinct block hashes") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents").limit(200)
+    val stats = BlockDedup.blockStats(docs, "doc_id", "text", blockTokens = 10)
+    val kept = stats.agg(sum($"n_kept")).as[Long].head()
+    val distinctBlocks = docs
+      .select(explode(split(lower($"text"), " ")).as("w")) // token count sanity only
+      .count()
+    assert(kept > 0 && kept <= distinctBlocks)
+    // exact invariant: every distinct hash elects exactly one winner
+    val nDistinct = {
+      val ws = split(lower($"text"), " ")
+      docs.select($"doc_id", posexplode(
+          transform(sequence(lit(0),
+            greatest(ceil(size(ws) / lit(10.0)).cast("int") - 1, lit(0))),
+            p => concat_ws(" ", slice(ws, p * 10 + 1, lit(10))))).as(Seq("p", "b")))
+        .select(graft.operators.Contamination.gramHash($"b")).distinct().count()
+    }
+    assert(kept === nDistinct)
+  }
+
+  // ---- Quantize ----
+
+  test("int8 report: extremes map to ±127-bounded codes, mse within (scale/2)^2") {
+    val docs = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f, 2.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // zero vector
+      (3L, Array(127.0f))
+    ).toDF("vec_id", "embedding")
+    val rep = Quantize.int8Report(docs, "vec_id", "embedding")
+      .as[(Long, Long, Double, Double, Long, Double)].collect().sortBy(_._1)
+    val (_, dim1, _, s1, _, mse1) = rep(0)
+    assert(dim1 === 4L && math.abs(s1 - 2.0 / 127) < 1e-9)
+    assert(mse1 <= (s1 / 2) * (s1 / 2) + 1e-12)
+    assert(rep(1) === ((2L, 4L, 0.0, 0.0, 0L, 0.0)))  // zero vector guard
+    assert(rep(2)._5 === 127L)                         // max element → code 127
+  }
+
+  test("int8 codes round-trip: codes within [-127,127], dequantized error < scale") {
+    val df = Quantize.int8(
+      graft.sources.Tables(spark, sfDir, "embeddings").limit(200),
+      "embedding", "q8")
+    val bad = df.select(
+      exists($"q8_codes", q => abs(q) > 127).as("oob"),
+      aggregate(zip_with($"embedding", $"q8_codes",
+        (x, q) => abs(x.cast("double") - q.cast("double") * $"q8_scale")),
+        lit(0.0), (a, e) => greatest(a, e)).as("maxerr"),
+      $"q8_scale")
+      .filter($"oob" || $"maxerr" > $"q8_scale")
+      .count()
+    assert(bad === 0L)
+  }
+}
