@@ -34,7 +34,10 @@ object BlockDedup {
       p => struct(p.as("pos"),
         concat_ws(" ", slice(ws, p * blockTokens + 1, lit(blockTokens))).as("block")))
 
-  /** One row per block: (idCol, pos, __h). */
+  /** One row per block: (idCol, pos, __h) — materialized once
+    * (localCheckpoint), since every caller feeds it to both the winner
+    * election and the membership join and would otherwise re-scan and
+    * re-hash the corpus per consumer. */
   private def blocks(df: DataFrame, idCol: String, textCol: String,
       blockTokens: Int, model: Tokenize.Model): DataFrame = {
     val ws = model.tokens(col(textCol))
@@ -42,6 +45,7 @@ object BlockDedup {
       .select(col(idCol), explode(blockArr(ws, blockTokens)).as("b"))
       .select(col(idCol), col("b.pos").as("pos"),
         Contamination.gramHash(col("b.block")).as("__h"))
+      .localCheckpoint()
   }
 
   /** First-occurrence winner per distinct block hash:

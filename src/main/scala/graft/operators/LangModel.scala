@@ -16,12 +16,13 @@ import org.apache.spark.sql.functions._
   * Scale shape: tokens and bigrams never ride a shuffle as strings —
   * each bigram occurrence is reduced to two 60-bit md5 longs
   * ([[Contamination.gramHash]]): the bigram key and its context key.
-  * From there everything is map-side-combinable aggregation and long-key
-  * joins: per-(doc, bigram) counts, global bigram counts, global context
-  * counts, one final per-doc aggregate. No broadcast of anything
-  * corpus-sized, no driver state; collisions (2^-60) merge two counts
-  * deterministically and identically in the oracle, which replays the
-  * same hash.
+  * From there the corpus is passed ONCE: per-(doc, bigram) counts are
+  * materialized (lineage-truncated), the model itself is a vocab-sized
+  * aggregate + window over that table (context counts never touch the
+  * corpus again), and scoring is one long-key join back. No broadcast of
+  * anything corpus-sized, no driver state; collisions (2^-60) merge two
+  * counts deterministically and identically in the oracle, which replays
+  * the same hash.
   */
 object LangModel {
 
@@ -42,13 +43,23 @@ object LangModel {
           Contamination.gramHash(element_at(ws, i)).as("h_ctx"),
           Contamination.gramHash(
             concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))).as("h_bi"))))
+    // Per-(doc, bigram) counts, materialized once: dt feeds both the
+    // model counts and the scoring join — without the checkpoint Spark
+    // would re-scan and re-explode the corpus for each consumer (the
+    // Components/NearDup lineage-truncation pattern).
     val dt = df
       .select(col(idCol), explode(bigrams).as("b"))
       .groupBy(col(idCol), col("b.h_ctx").as("h_ctx"), col("b.h_bi").as("h_bi"))
       .agg(count(lit(1)).as("c"))
-    val cb = dt.groupBy(col("h_bi")).agg(sum(col("c")).as("c_bi"))
-    val cc = dt.groupBy(col("h_ctx")).agg(sum(col("c")).as("c_ctx"))
-    val scored = dt.join(cb, "h_bi").join(cc, "h_ctx")
+      .localCheckpoint()
+    // h_bi determines h_ctx (same bigram string ⇒ same first token), so
+    // the model collapses to ONE vocab-sized aggregate; context counts
+    // are a window over that vocab, not a second pass over the corpus.
+    val cb = dt.groupBy(col("h_ctx"), col("h_bi")).agg(sum(col("c")).as("c_bi"))
+    val cv = cb.withColumn("c_ctx",
+      sum(col("c_bi")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h_ctx"))))
+    val scored = dt.join(cv, Seq("h_ctx", "h_bi"))
       .groupBy(col(idCol))
       .agg(sum(col("c")).cast("long").as("n_bi"),
         count(lit(1)).as("n_distinct_bi"),
