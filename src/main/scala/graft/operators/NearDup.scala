@@ -155,26 +155,64 @@ object NearDup {
   def crossDupPairs(incoming: DataFrame, corpus: DataFrame, id: String,
       textCol: String, n: Int = 3, k: Int = 8, bands: Int = 4, r: Int = 2,
       tau: Double = 0.5, mode: HashMode = XxHash,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    def grams(df: DataFrame, as: String) = df.select(
-      col(id).as(as),
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    crossDupPairsIndexed(incoming,
+      buildCorpusIndex(corpus, id, textCol, n, k, bands, r, mode, maxBucket),
+      id, textCol, n, k, bands, r, tau, mode)
+
+  /** The prebuilt (materialized) corpus side of the incremental
+    * near-dup: band keys, sorted gram sets, and the hot-bucket list.
+    * Build it ONCE per retained corpus and run every incoming batch (or
+    * every streaming micro-batch — [[graft.streaming.StreamNearDup]])
+    * against it; rebuilding per batch would re-shingle and re-sign the
+    * full corpus each time, which at corpus scale dwarfs the batch work
+    * itself. */
+  final case class CorpusIndex private[operators] (
+      bk: DataFrame, grams: DataFrame, hot: DataFrame)
+
+  /** Shingle, sign, band, and hot-bucket-scan `corpus` once, lineage
+    * truncated ([[CorpusIndex]]). */
+  def buildCorpusIndex(corpus: DataFrame, id: String, textCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 4, r: Int = 2,
+      mode: HashMode = XxHash,
+      maxBucket: Int = DefaultMaxBucket): CorpusIndex = {
+    val bk = withSignature(corpus, id, textCol, n, k, mode)
+      .select(col(id).as("corp_id"),
+        explode(bandKeys(col("__sig"), bands, r)).as("__bk"))
+      .localCheckpoint()
+    val grams = corpus.select(
+      col(id).as("corp_id"),
       array_sort(
-        TextFunctions.wordNGrams(TextFunctions.words(col(textCol)), n)).as(s"__g_$as"))
-    def bk(df: DataFrame, as: String) =
-      withSignature(df, id, textCol, n, k, mode)
-        .select(col(id).as(as), explode(bandKeys(col("__sig"), bands, r)).as("__bk"))
-    val incBk = bk(incoming, "inc_id")
-    val corpBk = bk(corpus, "corp_id")
-    val hot = corpBk.groupBy(col("__bk")).agg(count(lit(1)).as("__n"))
+        TextFunctions.wordNGrams(TextFunctions.words(col(textCol)), n))
+        .as("__g_corp")).localCheckpoint()
+    val hot = bk.groupBy(col("__bk")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket).select(col("__bk"))
-    val cands = incBk.join(broadcast(hot), Seq("__bk"), "left_anti")
-      .join(corpBk, "__bk")
+      .localCheckpoint()
+    CorpusIndex(bk, grams, hot)
+  }
+
+  /** [[crossDupPairs]] against a prebuilt [[CorpusIndex]]: only the
+    * incoming side is shingled/signed here, so per-batch cost is
+    * proportional to the batch, not the corpus. */
+  def crossDupPairsIndexed(incoming: DataFrame, ix: CorpusIndex,
+      id: String, textCol: String, n: Int = 3, k: Int = 8, bands: Int = 4,
+      r: Int = 2, tau: Double = 0.5, mode: HashMode = XxHash): DataFrame = {
+    val incBk = withSignature(incoming, id, textCol, n, k, mode)
+      .select(col(id).as("inc_id"),
+        explode(bandKeys(col("__sig"), bands, r)).as("__bk"))
+    val incGrams = incoming.select(
+      col(id).as("inc_id"),
+      array_sort(
+        TextFunctions.wordNGrams(TextFunctions.words(col(textCol)), n))
+        .as("__g_inc"))
+    val cands = incBk.join(broadcast(ix.hot), Seq("__bk"), "left_anti")
+      .join(ix.bk, "__bk")
       .select(col("inc_id"), col("corp_id")).distinct()
     cands
-      .join(grams(incoming, "inc_id"), "inc_id")
-      .join(grams(corpus, "corp_id"), "corp_id")
+      .join(incGrams, "inc_id")
+      .join(ix.grams, "corp_id")
       .withColumn("jaccard",
-        TextFunctions.jaccardSorted(col("__g_inc_id"), col("__g_corp_id")))
+        TextFunctions.jaccardSorted(col("__g_inc"), col("__g_corp")))
       .filter(col("jaccard") >= tau)
       .select(col("inc_id"), col("corp_id"), col("jaccard"))
   }

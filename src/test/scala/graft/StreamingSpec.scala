@@ -370,6 +370,52 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming incremental near-dup equals per-batch crossDupPairs vs static corpus") {
+    import graft.operators.NearDup
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    // corpus = doc_id % 7 != 1 (q87's split); incoming stream = the rest,
+    // fed as two micro-batches
+    val corpus = docs.filter($"doc_id" % 7 =!= 1)
+    val inc = docs.filter($"doc_id" % 7 === 1)
+    val ix = NearDup.buildCorpusIndex(corpus, "doc_id", "text")
+
+    val dir: Path = Files.createTempDirectory("stream-neardup-src")
+    val ckpt = Files.createTempDirectory("stream-neardup-ckpt").toString
+    def stage(batch: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = dir.resolve(name + ".tmp")
+      batch.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.move(tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath,
+        dir.resolve(s"$name.parquet"))
+    }
+    stage(inc.filter($"doc_id" % 2 === 0), "b1")
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val stream = spark.readStream.schema(docsSchema)
+      .parquet(dir.toString + "/b*.parquet")
+    val q = graft.streaming.StreamNearDup.start(
+      stream, ix, "doc_id", "text", ckpt) { (pairs, _) =>
+      got.synchronized {
+        got ++= pairs.select($"inc_id", $"corp_id", $"jaccard")
+          .as[(Long, Long, Double)].collect()
+      }
+    }
+    try {
+      q.processAllAvailable()
+      stage(inc.filter($"doc_id" % 2 === 1), "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val want = NearDup.crossDupPairs(inc, corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    // each element of `inc` meets the corpus in exactly one micro-batch,
+    // so the union of per-batch pairs is the batch result exactly
+    assert(got.sorted === want.toSeq.sorted)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup within watermark drops duplicate keys") {
     val dir: Path = Files.createTempDirectory("stream-src2")
     Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
