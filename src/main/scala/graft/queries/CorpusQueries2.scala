@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{BlockDedup, LangModel, Quantize}
+import graft.operators.{BlockDedup, FuzzyJoin, LangModel, Quantize}
 import graft.sources.Tables
 
 /** Round-6 additions to the LLM training-data pipeline family (SURVEY
@@ -104,5 +104,24 @@ object CorpusQueries2 {
           / CAST(len(embedding) AS DOUBLE), 12) AS mse
       FROM q ORDER BY vec_id"""))
 
-  val qs: Seq[Q] = Seq(q98, q99, q100)
+  /** B5/B10 fuzzy self-join ([[graft.operators.FuzzyJoin]]): every
+    * customer-name pair within levenshtein distance 1, via FastSS
+    * deletion-neighborhood candidates + exact verify. The oracle is the
+    * BRUTE-FORCE all-pairs join — hash equality proves the neighborhood
+    * method has 100% recall on this corpus, the q47 pattern. */
+  private val q101 = Q(
+    "q101_fuzzy_join",
+    (s, dir) =>
+      FuzzyJoin.selfPairs(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", maxDist = 1)
+        .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+        .orderBy(col("a_id"), col("b_id")),
+    Some("""SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+        levenshtein(a.c_name, b.c_name) AS dist
+      FROM customer a JOIN customer b
+        ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY a_id, b_id"""))
+
+  val qs: Seq[Q] = Seq(q98, q99, q100, q101)
 }

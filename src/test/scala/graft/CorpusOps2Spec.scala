@@ -88,6 +88,46 @@ class CorpusOps2Spec extends SparkSpecBase {
     assert(kept === nDistinct)
   }
 
+  // ---- FuzzyJoin ----
+
+  test("fuzzy join d=1: substitution, insertion, deletion pairs; no false dismissals") {
+    val words = Seq((1L, "cat"), (2L, "cart"), (3L, "hat"), (4L, "dog"),
+      (5L, "at"), (6L, "cat")).toDF("id", "s")
+    val got = graft.operators.FuzzyJoin.selfPairs(words, "id", "s", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force reference
+    val rows = Seq((1L, "cat"), (2L, "cart"), (3L, "hat"), (4L, "dog"),
+      (5L, "at"), (6L, "cat"))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      dd = lev(sa, sb) if dd <= 1
+    } yield (ia, ib, dd)).toSet
+    assert(got === want)
+    assert(got.contains((1L, 6L, 0)))  // exact duplicates surface at dist 0
+  }
+
+  test("fuzzy join d=2 equals brute force on 300 customer names") {
+    val cust = graft.sources.Tables(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_name").limit(300)
+    val got = graft.operators.FuzzyJoin.selfPairs(cust, "c_custkey", "c_name", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val a = cust.select($"c_custkey".as("a_id"), $"c_name".as("sa"))
+    val b = cust.select($"c_custkey".as("b_id"), $"c_name".as("sb"))
+    val want = a.join(b, $"a_id" < $"b_id")
+      .select($"a_id", $"b_id", levenshtein($"sa", $"sb").as("d"))
+      .filter($"d" <= 2).as[(Long, Long, Int)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   // ---- Quantize ----
 
   test("int8 report: extremes map to ±127-bounded codes, mse within (scale/2)^2") {
