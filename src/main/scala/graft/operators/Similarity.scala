@@ -77,6 +77,38 @@ object Similarity {
     rerankTopK(cSide(candidates, cId, vecCol)
       .crossJoin(broadcast(qSide(queries, qId, vecCol))), k)
 
+  /** Approximate top-k over int8-QUANTIZED candidates — asymmetric
+    * distance computation: the float query scores directly against the
+    * candidate's integer codes ([[Quantize.int8Codes]]); for symmetric
+    * quantization the scale cancels out of the cosine entirely, so
+    * cos(q, ĉ) = Σ q_i·code_i / (‖q‖·√Σ code_i²) needs no
+    * dequantization. The point at 100 TB: the candidate side shuffles /
+    * caches 4× smaller than float32 (codes are small ints; the float
+    * vectors never leave their scan), which is what makes a
+    * billion-vector index fit executor memory. Ranking ties break on
+    * (approx_cosine desc, c_id) like every other searcher. */
+  def quantizedTopK(queries: DataFrame, candidates: DataFrame,
+      qId: String, cId: String, vecCol: String, k: Int): DataFrame = {
+    val cq = candidates
+      .select(col(cId).as("c_id"), col(vecCol).as("__v0"),
+        Quantize.int8Scale(col(vecCol)).as("__s"))
+      .select(col("c_id"),
+        Quantize.int8Codes(col("__v0"), col("__s")).as("__cc"))
+      .withColumn("__cn",
+        sqrt(aggregate(col("__cc"), lit(0.0),
+          (a, q) => a + (q * q).cast("double"))))
+      .filter(col("__cn") > 0)
+    val scored = cq.crossJoin(broadcast(qSide(queries, qId, vecCol)))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("approx_cosine",
+        aggregate(zip_with(col("__qv"), col("__cc"),
+            (x, q) => x.cast("double") * q.cast("double")),
+          lit(0.0), (a, x) => a + x) / (col("__qn") * col("__cn")))
+    Dedup.topKPerGroup(scored, Seq("q_id"),
+        Seq(col("approx_cosine").desc, col("c_id")), k, "rank")
+      .select(col("q_id"), col("rank"), col("c_id"), col("approx_cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded), as literal columns. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

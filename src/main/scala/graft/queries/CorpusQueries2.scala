@@ -123,5 +123,45 @@ object CorpusQueries2 {
         ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
       ORDER BY a_id, b_id"""))
 
-  val qs: Seq[Q] = Seq(q98, q99, q100, q101)
+  /** C3 quantized similarity search
+    * ([[graft.operators.Similarity.quantizedTopK]]): top-5 cosine over
+    * int8 codes via asymmetric distance — the scale cancels, so the
+    * oracle replays code generation (q100's arithmetic) and the scoring
+    * exactly; like q49/q50, even the approximate answer is
+    * hash-checked, not recall-bounded. */
+  private val q102 = Q(
+    "q102_quantized_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.quantizedTopK(
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "vec_id",
+          "embedding", 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH cq AS (SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s0
+        FROM embeddings),
+      codes AS (SELECT vec_id,
+          list_transform(embedding, x -> CASE WHEN s0 = 0 THEN 0
+            ELSE CAST(floor(CAST(x AS DOUBLE) / s0 + 0.5) AS BIGINT) END) AS cc
+        FROM cq),
+      cn AS (SELECT vec_id, cc,
+          sqrt(list_sum(list_transform(cc, q -> CAST(q AS DOUBLE) * CAST(q AS DOUBLE)))) AS cnorm
+        FROM codes),
+      qn AS (SELECT vec_id, embedding,
+          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm
+        FROM embeddings WHERE vec_id < 8),
+      scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          list_sum(list_transform(range(1, len(q.embedding) + 1),
+            i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.cc[i] AS DOUBLE)))
+            / (q.qnorm * c.cnorm) AS approx_cosine
+        FROM qn q JOIN cn c ON c.vec_id <> q.vec_id AND c.cnorm > 0)
+      SELECT q_id, rank, c_id, approx_cosine FROM (
+        SELECT q_id, c_id, approx_cosine,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY approx_cosine DESC, c_id) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  val qs: Seq[Q] = Seq(q98, q99, q100, q101, q102)
 }

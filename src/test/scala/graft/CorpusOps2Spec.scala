@@ -145,6 +145,27 @@ class CorpusOps2Spec extends SparkSpecBase {
     assert(rep(2)._5 === 127L)                         // max element → code 127
   }
 
+  test("quantized top-k: recall@5 vs exact brute force >= 0.9 on sf embeddings") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id", "embedding", 5)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.quantizedTopK(queries, emb, "vec_id", "vec_id", "embedding", 5)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@5 = $recall")
+    // int8 on 64-dim vectors: approx cosine within 2% of exact for shared pairs
+    val ex = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id", "embedding", 5)
+      .select($"q_id", $"c_id", $"cosine").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val ap = Similarity.quantizedTopK(queries, emb, "vec_id", "vec_id", "embedding", 5)
+      .select($"q_id", $"c_id", $"approx_cosine").as[(Long, Long, Double)].collect()
+    ap.foreach { case (q, c, a) =>
+      ex.get((q, c)).foreach(e => assert(math.abs(a - e) < 0.02, s"($q,$c): $a vs $e"))
+    }
+  }
+
   test("int8 codes round-trip: codes within [-127,127], dequantized error < scale") {
     val df = Quantize.int8(
       graft.sources.Tables(spark, sfDir, "embeddings").limit(200),
