@@ -128,6 +128,19 @@ class CorpusOps2Spec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("entity resolution: fuzzy pairs + connected components pick canonical ids") {
+    // typo cluster {color, colour, colors}, {grey, gray}, singleton {red}
+    val names = Seq((1L, "color"), (2L, "colour"), (3L, "colors"),
+      (4L, "grey"), (5L, "gray"), (6L, "red")).toDF("id", "s")
+    val pairs = graft.operators.FuzzyJoin.selfPairs(names, "id", "s", maxDist = 1)
+    val clusters = graft.operators.Components.clusterDedup(
+      names.select($"id"), "id", pairs, "a_id", "b_id")
+    val got = clusters.select($"id", $"cluster_id", $"is_canonical")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq === Seq(1L, 1L, 1L, 4L, 4L, 6L))
+    assert(got.filter(_._3).map(_._1).toSeq === Seq(1L, 4L, 6L))
+  }
+
   // ---- Quantize ----
 
   test("int8 report: extremes map to ±127-bounded codes, mse within (scale/2)^2") {
