@@ -40,9 +40,11 @@ object BlockDedup {
     * re-hash the corpus per consumer. */
   private def blocks(df: DataFrame, idCol: String, textCol: String,
       blockTokens: Int, model: Tokenize.Model): DataFrame = {
-    val ws = model.tokens(col(textCol))
-    df.filter(size(model.tokens(col(textCol))) > 0)
-      .select(col(idCol), explode(blockArr(ws, blockTokens)).as("b"))
+    // tokens staged into a column: the slice lambda would otherwise
+    // re-tokenize the doc once per block (no CSE inside interpreted HOFs)
+    df.select(col(idCol), model.tokens(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .select(col(idCol), explode(blockArr(col("__ws"), blockTokens)).as("b"))
       .select(col(idCol), col("b.pos").as("pos"),
         Contamination.gramHash(col("b.block")).as("__h"))
       .localCheckpoint()
@@ -97,12 +99,13 @@ object BlockDedup {
       .join(keptAgg, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__keepAgg"), array().cast("array<int>")).as("__keep"))
-    val ws = model.tokens(col(textCol))
     df.join(kept, Seq(idCol), "left")
+      .withColumn("__ws", model.tokens(col(textCol)))
       .withColumn(textCol,
         when(col("__keep").isNull, col(textCol)).otherwise(
           concat_ws(" ", transform(col("__keep"),
-            p => concat_ws(" ", slice(ws, p * blockTokens + 1, lit(blockTokens)))))))
-      .drop("__keep")
+            p => concat_ws(" ",
+              slice(col("__ws"), p * blockTokens + 1, lit(blockTokens)))))))
+      .drop("__keep", "__ws")
   }
 }

@@ -31,7 +31,12 @@ object LangModel {
     * (NULL for docs with < 2 tokens, which have no bigrams). */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
       model: Tokenize.Model = Tokenize.Whitespace): DataFrame = {
-    val ws = model.tokens(col(textCol))
+    // Tokenization is STAGED into its own column before the lambda:
+    // higher-order-function lambdas are interpreted without common
+    // subexpression elimination, so referencing the raw split expression
+    // would re-tokenize the document once per element_at — O(tokens ×
+    // doc_len) per row instead of O(doc_len).
+    val ws = col("__ws")
     // one struct per bigram occurrence: (h_ctx, h_bi) as 60-bit longs.
     // The size guard matters: sequence(1, 0) would count DOWN in Spark,
     // so a 1-token doc must yield NULL (explodes to zero rows), not a
@@ -48,6 +53,7 @@ object LangModel {
     // would re-scan and re-explode the corpus for each consumer (the
     // Components/NearDup lineage-truncation pattern).
     val dt = df
+      .select(col(idCol), model.tokens(col(textCol)).as("__ws"))
       .select(col(idCol), explode(bigrams).as("b"))
       .groupBy(col(idCol), col("b.h_ctx").as("h_ctx"), col("b.h_bi").as("h_bi"))
       .agg(count(lit(1)).as("c"))
