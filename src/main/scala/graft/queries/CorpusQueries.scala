@@ -214,12 +214,15 @@ object CorpusQueries {
     "q85_repetition_score",
     (s, dir) => {
       import s.implicits._
-      val ws = split(lower($"text"), " ")
+      // tokens staged into a column: the slice lambda gets no CSE in
+      // interpreted HOFs and would re-split the doc once per gram
+      val ws = $"__ws"
       val rawGrams = transform(
         sequence(lit(0), greatest(size(ws) - 3, lit(0))),
         i => graft.operators.Contamination.gramHash(
           concat_ws(" ", slice(ws, i + lit(1), lit(3)))))
       val perGram = t(s, dir, "documents")
+        .select($"doc_id", split(lower($"text"), " ").as("__ws"))
         .select($"doc_id", explode(rawGrams).as("h"))
         .groupBy($"doc_id", $"h").agg(count(lit(1)).as("c"))
       perGram.groupBy($"doc_id")
