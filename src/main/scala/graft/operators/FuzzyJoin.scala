@@ -65,6 +65,31 @@ object FuzzyJoin {
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 
+  /** Two-table form (entity linking): all (l_id, r_id, dist) with
+    * levenshtein(left.strCol, right.strCol) ≤ maxDist. Same candidate
+    * machinery as [[selfPairs]]; variant keys whose side exceeds
+    * `maxBucket` are dropped on that side. */
+  def pairs(left: DataFrame, right: DataFrame, idCol: String,
+      strCol: String, maxDist: Int = 1, maxBucket: Int = 4096): DataFrame = {
+    def side(df: DataFrame, as: String): DataFrame = {
+      val v = df.select(col(idCol).as(as),
+          explode(deletionVariants(col(strCol), maxDist)).as("__v"))
+        .select(col(as), xxhash64(col("__v")).as("__vk"))
+        .distinct()
+      val hot = v.groupBy(col("__vk")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket).select(col("__vk"))
+      v.join(broadcast(hot), Seq("__vk"), "left_anti")
+    }
+    val cands = side(left, "l_id").join(side(right, "r_id"), "__vk")
+      .select(col("l_id"), col("r_id")).distinct()
+    cands
+      .join(left.select(col(idCol).as("l_id"), col(strCol).as("__sl")), "l_id")
+      .join(right.select(col(idCol).as("r_id"), col(strCol).as("__sr")), "r_id")
+      .withColumn("dist", levenshtein(col("__sl"), col("__sr")))
+      .filter(col("dist") <= maxDist)
+      .select(col("l_id"), col("r_id"), col("dist"))
+  }
+
   /** The variant buckets [[selfPairs]] would drop at `maxBucket`, for
     * audit (same role as [[NearDup.overflowBuckets]]). */
   def overflowVariants(df: DataFrame, idCol: String, strCol: String,

@@ -163,5 +163,35 @@ object CorpusQueries2 {
         FROM scored)
       WHERE rank <= 5 ORDER BY q_id, rank"""))
 
-  val qs: Seq[Q] = Seq(q98, q99, q100, q101, q102)
+  /** C2 block-dedup RECONSTRUCTION ([[BlockDedup.dropDuplicateBlocks]]):
+    * q99 hash-checks the stats; this hash-checks the rewritten corpus
+    * itself — md5 of each doc's deduped text (kept blocks, original
+    * order). The oracle rebuilds with an ordered filtered string_agg. */
+  private val q103 = Q(
+    "q103_block_dedup_rewrite",
+    (s, dir) =>
+      BlockDedup.dropDuplicateBlocks(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", blockTokens = 10)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_after"),
+          md5(col("text")).as("text_fp"))
+        .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS ws FROM documents),
+      bl AS (SELECT doc_id, p,
+          array_to_string(ws[(p*10+1):(p*10+10)], ' ') AS b,
+          ('0x' || substr(md5(array_to_string(ws[(p*10+1):(p*10+10)], ' ')), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS p
+              FROM w WHERE len(ws) > 0)),
+      k AS (SELECT doc_id, p, b,
+          ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn FROM bl),
+      rec AS (SELECT doc_id,
+          coalesce(string_agg(b, ' ' ORDER BY p) FILTER (WHERE rn = 1), '') AS t2
+        FROM k GROUP BY doc_id)
+      SELECT d.doc_id,
+        length(coalesce(t2, d.text)) AS n_chars_after,
+        md5(coalesce(t2, d.text)) AS text_fp
+      FROM documents d LEFT JOIN rec USING (doc_id) ORDER BY doc_id"""))
+
+  val qs: Seq[Q] = Seq(q98, q99, q100, q101, q102, q103)
 }

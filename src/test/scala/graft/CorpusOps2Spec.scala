@@ -128,6 +128,21 @@ class CorpusOps2Spec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("fuzzy two-table join equals brute force (entity linking shape)") {
+    val cust = graft.sources.Tables(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_name")
+    val left = cust.filter($"c_custkey" % 2 === 0).limit(150)
+    val right = cust.filter($"c_custkey" % 2 === 1).limit(150)
+    val got = graft.operators.FuzzyJoin.pairs(left, right, "c_custkey", "c_name", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = left.select($"c_custkey".as("l_id"), $"c_name".as("sl"))
+      .crossJoin(right.select($"c_custkey".as("r_id"), $"c_name".as("sr")))
+      .select($"l_id", $"r_id", levenshtein($"sl", $"sr").as("d"))
+      .filter($"d" <= 1).as[(Long, Long, Int)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("entity resolution: fuzzy pairs + connected components pick canonical ids") {
     // typo cluster {color, colour, colors}, {grey, gray}, singleton {red}
     val names = Seq((1L, "color"), (2L, "colour"), (3L, "colors"),

@@ -17,6 +17,74 @@ class PropertySpec extends SparkSpecBase {
     assert(res.passed, res.status.toString)
   }
 
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("fuzzy self-join equals brute-force levenshtein on random short strings") {
+    // small alphabet forces collisions, near-misses, exact dups, empties
+    val word = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val rows = Gen.listOfN(25, word).map(_.zipWithIndex.map {
+      case (w, i) => (i.toLong, w) })
+    checkProp(Prop.forAllNoShrink(rows, Gen.oneOf(1, 2)) { (ws, d) =>
+      val df = ws.toDF("id", "s")
+      val got = graft.operators.FuzzyJoin.selfPairs(df, "id", "s", maxDist = d)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (ia, sa) <- ws; (ib, sb) <- ws
+        if ia < ib && lev(sa, sb) <= d
+      } yield (ia, ib)).toSet
+      got == want
+    }, minTests = 12)
+  }
+
+  test("block dedup: reconstruction keeps exactly the first-occurrence blocks") {
+    // tiny token alphabet + short docs → heavy cross-doc block collisions
+    val doc = Gen.chooseNum(0, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y")).map(_.mkString(" ")))
+    val corpus = Gen.listOfN(12, doc).map(_.zipWithIndex.map {
+      case (t, i) => (i.toLong, t) })
+    checkProp(Prop.forAllNoShrink(corpus, Gen.oneOf(2, 3)) { (docs, bt) =>
+      val df = docs.toDF("id", "text")
+      val out = graft.operators.BlockDedup
+        .dropDuplicateBlocks(df, "id", "text", blockTokens = bt)
+        .as[(Long, String)].collect().toMap
+      // reference: global first-occurrence election over (id, pos).
+      // NB "".split(" ") is Array("") — one empty-token block, exactly
+      // like Spark's split, so no empty special case.
+      def blks(t: String): Seq[String] =
+        t.split(" ").grouped(bt).map(_.mkString(" ")).toSeq
+      val seen = scala.collection.mutable.Set.empty[String]
+      val want = docs.sortBy(_._1).map { case (id, t) =>
+        id -> blks(t).filter(b => seen.add(b)).mkString(" ")
+      }.toMap
+      out == want
+    }, minTests = 12)
+  }
+
+  test("int8 quantization: round-trip error <= scale/2 + eps on random vectors") {
+    val vec = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100.0f, 100.0f)))
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(10, vec)) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("id", "v")
+      val out = graft.operators.Quantize.int8(df, "v", "q")
+        .select($"id", $"v", $"q_scale", $"q_codes")
+        .as[(Long, Array[Float], Double, Array[Long])].collect()
+      out.forall { case (_, v, s, codes) =>
+        codes.forall(c => math.abs(c) <= 127) &&
+        v.zip(codes).forall { case (x, c) =>
+          math.abs(x.toDouble - c * s) <= s / 2 + 1e-9 }
+      }
+    }, minTests = 12)
+  }
+
   test("binned range join equals the naive theta join on random data (incl. negatives)") {
     val points = Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 1000L),
       Gen.chooseNum(-50.0, 50.0)))
