@@ -456,13 +456,19 @@ object CorpusQueries {
       import s.implicits._
       import graft.operators.Tokenize
       val m = Tokenize.Regex()
-      t(s, dir, "documents").select(
+      // token array staged once: the three consumers would otherwise
+      // each run the regex extraction per row (no CSE across the
+      // codegen/interpreted-HOF boundary)
+      t(s, dir, "documents")
+        .select($"doc_id", Tokenize.tokens($"text", m).as("__tk"))
+        .select(
           $"doc_id",
-          Tokenize.count($"text", m).as("n_tok"),
-          size(array_distinct(Tokenize.tokens($"text", m))).cast("long")
-            .as("n_unique"),
-          aggregate(Tokenize.hashIds($"text", m), lit(0L),
-            (acc, x) => acc.bitwiseXOR(x)).as("tok_xor"))
+          size($"__tk").cast("long").as("n_tok"),
+          size(array_distinct($"__tk")).cast("long").as("n_unique"),
+          aggregate(
+            transform($"__tk",
+              tok => graft.operators.Contamination.gramHash(tok)),
+            lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("tok_xor"))
         .orderBy($"doc_id")
     },
     Some("""WITH tk AS (SELECT doc_id,
