@@ -193,5 +193,27 @@ object CorpusQueries2 {
         md5(coalesce(t2, d.text)) AS text_fp
       FROM documents d LEFT JOIN rec USING (doc_id) ORDER BY doc_id"""))
 
-  val qs: Seq[Q] = Seq(q98, q99, q100, q101, q102, q103)
+  /** B6 at scale: EXACT global quantiles via multi-pass histogram
+    * narrowing ([[graft.operators.ExactQuantile]]) — no per-group value
+    * buffer, O(bins) task memory, ~3 levels at this SF. The driver holds
+    * only the 3 results; the selection itself is distributed. */
+  private val q104 = Q(
+    "q104_exact_global_quantiles",
+    (s, dir) => {
+      val qs = graft.operators.ExactQuantile.quantiles(
+        t(s, dir, "lineitem"), "l_extendedprice", Seq(0.5, 0.9, 0.99))
+      import s.implicits._
+      qs.toDF("p", "value")
+        .select(col("p"), round(col("value"), 6).as("value"))
+        .orderBy(col("p"))
+    },
+    Some("""SELECT CAST(0.5 AS DOUBLE) AS p,
+        round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6) AS value FROM lineitem
+      UNION ALL SELECT CAST(0.9 AS DOUBLE),
+        round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 6) FROM lineitem
+      UNION ALL SELECT CAST(0.99 AS DOUBLE),
+        round(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 6) FROM lineitem
+      ORDER BY p"""))
+
+  val qs: Seq[Q] = Seq(q98, q99, q100, q101, q102, q103, q104)
 }

@@ -156,6 +156,41 @@ class CorpusOps2Spec extends SparkSpecBase {
     assert(got.filter(_._3).map(_._1).toSeq === Seq(1L, 4L, 6L))
   }
 
+  // ---- ExactQuantile ----
+
+  test("exact quantile narrowing equals sorted-array selection, incl. forced multi-level") {
+    import graft.operators.ExactQuantile
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(2000)(rnd.nextDouble() * 1000 - 500)
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val sorted = xs.sorted
+    def want(p: Double): Double = {
+      val pos = p * (xs.size - 1) + 1
+      val lo = math.floor(pos).toInt
+      val frac = pos - lo
+      if (frac == 0) sorted(lo - 1)
+      else sorted(lo - 1) + frac * (sorted(lo) - sorted(lo - 1))
+    }
+    // tiny threshold + few bins forces several narrowing levels
+    val got = ExactQuantile.quantiles(df, "v", Seq(0.0, 0.25, 0.5, 0.9, 1.0),
+      bins = 16, collectThreshold = 8)
+    got.foreach { case (p, v) =>
+      assert(math.abs(v - want(p)) < 1e-12, s"p=$p: $v vs ${want(p)}") }
+  }
+
+  test("exact quantile handles duplicate-heavy plateaus and matches built-in percentile") {
+    import graft.operators.ExactQuantile
+    val xs = Seq.fill(5000)(42.0) ++ Seq.fill(100)(7.0) ++ Seq.fill(100)(99.0)
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = ExactQuantile.quantiles(df, "v", Seq(0.5, 0.01, 0.999),
+      bins = 8, collectThreshold = 16).toMap
+    assert(got(0.5) === 42.0)
+    val builtin = df.agg(percentile($"v", typedLit(Seq(0.01, 0.999))))
+      .as[Seq[Double]].head()
+    assert(math.abs(got(0.01) - builtin(0)) < 1e-9)
+    assert(math.abs(got(0.999) - builtin(1)) < 1e-9)
+  }
+
   // ---- Quantize ----
 
   test("int8 report: extremes map to ±127-bounded codes, mse within (scale/2)^2") {
