@@ -68,6 +68,44 @@ class PropertySpec extends SparkSpecBase {
     }, minTests = 12)
   }
 
+  test("bigram surprisal equals sequential MLE reference on random corpora") {
+    val doc = Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    val corpus = Gen.listOfN(10, doc).map(_.zipWithIndex.map {
+      case (t, i) => (i.toLong, t) })
+    checkProp(Prop.forAllNoShrink(corpus) { docs =>
+      val df = docs.toDF("id", "text")
+      val got = graft.operators.LangModel.bigramSurprisal(df, "id", "text")
+        .as[(Long, Long, Long, Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // sequential reference. NB "".split(" ") = Array("") — one empty
+      // token, exactly like Spark's split
+      def bigrams(t: String): Seq[(String, String)] = {
+        val ws = t.split(" ")
+        if (ws.length < 2) Seq.empty else ws.init.zip(ws.tail).toSeq
+      }
+      val all = docs.flatMap { case (_, t) => bigrams(t) }
+      val cBi = all.groupBy(identity).map { case (k, v) => k -> v.size }
+      val cCtx = all.groupBy(_._1).map { case (k, v) => k -> v.size }
+      docs.forall { case (id, t) =>
+        val bs = bigrams(t)
+        val (nBi, nDist, nll) = got(id)
+        val wantNll =
+          if (bs.isEmpty) None
+          else Some(BigDecimal(
+            bs.map(b => math.log(cCtx(b._1).toDouble) - math.log(cBi(b).toDouble)).sum
+              / bs.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        nBi == bs.size && nDist == bs.distinct.size &&
+          ((nll, wantNll) match {
+            case (None, None) => true
+            case (Some(a), Some(b)) => math.abs(a - b) <= 1e-6
+            case _ => false
+          })
+      }
+    }, minTests = 12)
+  }
+
   test("int8 quantization: round-trip error <= scale/2 + eps on random vectors") {
     val vec = Gen.chooseNum(1, 8).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(-100.0f, 100.0f)))
