@@ -385,6 +385,42 @@ object Similarity {
     rerankTopK(cAssigned.join(broadcast(qProbes), Seq("cell")), k)
   }
 
+  /** IVF-SQ: inverted-file probing + int8 asymmetric scoring — the two
+    * scale levers composed (the scalar-quantization member of the
+    * IVFADC family, Jégou et al. 2011: cells bound how MANY candidates
+    * a query touches, quantization bounds how WIDE each candidate is).
+    * Fixed sampled codebook as in [[ivfTopKFixedCodebook]], so every
+    * step — assignment, probing, code generation, ADC scoring — is
+    * deterministic relational algebra the oracle replays exactly.
+    * Candidate float vectors are dropped right after assignment; only
+    * (cell, id, codes) survive onto the probe join. */
+  def ivfTopKQuantizedFixedCodebook(queries: DataFrame, candidates: DataFrame,
+      qId: String, cId: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = cSide(candidates, cId, vecCol)
+    val cb = broadcastCodebook(
+      c.orderBy(col("c_id")).limit(nlist)
+        .select(col("c_id").as("cell"), col("__cv").as("v")))
+    val cAssigned = probeCells(c, "__cv", cb, 1)
+      .withColumn("__s", Quantize.int8Scale(col("__cv")))
+      .select(col("c_id"), col("cell"),
+        Quantize.int8Codes(col("__cv"), col("__s")).as("__cc"))
+      .withColumn("__cn8",
+        sqrt(aggregate(col("__cc"), lit(0.0),
+          (a, q) => a + (q * q).cast("double"))))
+      .filter(col("__cn8") > 0)
+    val qProbes = probeCells(qSide(queries, qId, vecCol), "__qv", cb, nprobe)
+    val scored = cAssigned.join(broadcast(qProbes), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("approx_cosine",
+        aggregate(zip_with(col("__qv"), col("__cc"),
+            (x, q) => x.cast("double") * q.cast("double")),
+          lit(0.0), (a, x) => a + x) / (col("__qn") * col("__cn8")))
+    Dedup.topKPerGroup(scored, Seq("q_id"),
+        Seq(col("approx_cosine").desc, col("c_id")), k, "rank")
+      .select(col("q_id"), col("rank"), col("c_id"), col("approx_cosine"))
+  }
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv:2303.09540):
     * partition the embedding space with a coarse codebook and hunt

@@ -215,5 +215,70 @@ object CorpusQueries2 {
         round(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 6) FROM lineitem
       ORDER BY p"""))
 
-  val qs: Seq[Q] = Seq(q98, q99, q100, q101, q102, q103, q104)
+  /** C3 IVF-SQ ([[graft.operators.Similarity.ivfTopKQuantizedFixedCodebook]]):
+    * inverted-file probe (q59's fixed codebook) + int8 ADC scoring
+    * (q102's arithmetic) — both scale levers in one plan, and the
+    * oracle replays assignment, probing, quantization, and scoring
+    * exactly, so the composed approximate pipeline is hash-checked. */
+  private val q105 = Q(
+    "q105_ivf_quantized",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.ivfTopKQuantizedFixedCodebook(
+          emb.filter(col("vec_id") < 50), emb, "vec_id", "vec_id",
+          "embedding", k = 3, nlist = 16, nprobe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH cb AS (
+        SELECT vec_id AS cell, embedding AS cbv
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+      d2 AS (
+        SELECT e.vec_id, cb.cell,
+          SUM((e.embedding[CAST(i AS INT) + 1]::DOUBLE - cb.cbv[CAST(i AS INT) + 1]::DOUBLE)
+            * (e.embedding[CAST(i AS INT) + 1]::DOUBLE - cb.cbv[CAST(i AS INT) + 1]::DOUBLE)) AS d2
+        FROM embeddings e CROSS JOIN cb, (SELECT unnest(range(64)) AS i)
+        GROUP BY 1, 2),
+      asg AS (
+        SELECT vec_id AS c_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM d2)
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS q_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM d2 WHERE vec_id < 50)
+        WHERE rn <= 4),
+      cq AS (SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s0
+        FROM embeddings),
+      cn AS (SELECT vec_id, cc,
+          sqrt(list_sum(list_transform(cc, q -> CAST(q AS DOUBLE) * CAST(q AS DOUBLE)))) AS cnorm
+        FROM (SELECT vec_id,
+            list_transform(embedding, x -> CASE WHEN s0 = 0 THEN 0
+              ELSE CAST(floor(CAST(x AS DOUBLE) / s0 + 0.5) AS BIGINT) END) AS cc
+          FROM cq)),
+      qn AS (SELECT vec_id, embedding,
+          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm
+        FROM embeddings WHERE vec_id < 50),
+      scored0 AS (
+        SELECT p.q_id, a.c_id,
+          list_sum(list_transform(range(1, len(q.embedding) + 1),
+            i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.cc[i] AS DOUBLE)))
+            / (q.qnorm * c.cnorm) AS approx_cosine
+        FROM probes p
+        JOIN asg a ON a.cell = p.cell AND a.c_id <> p.q_id
+        JOIN qn q ON q.vec_id = p.q_id
+        JOIN cn c ON c.vec_id = a.c_id
+        WHERE c.cnorm > 0),
+      scored AS (
+        SELECT q_id, c_id, approx_cosine,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY approx_cosine DESC, c_id) AS rank
+        FROM scored0)
+      SELECT q_id, rank, c_id, approx_cosine FROM scored
+      WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+  val qs: Seq[Q] = Seq(q98, q99, q100, q101, q102, q103, q104, q105)
 }

@@ -156,6 +156,27 @@ class CorpusOps2Spec extends SparkSpecBase {
     assert(got.filter(_._3).map(_._1).toSeq === Seq(1L, 4L, 6L))
   }
 
+  test("IVF-SQ matches float IVF's candidates cell-for-cell; scores within 2%") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables(spark, sfDir, "embeddings")
+    val qs = emb.filter($"vec_id" % 25 === 0)
+    val float = Similarity.ivfTopKFixedCodebook(qs, emb, "vec_id", "vec_id",
+        "embedding", k = 5, nlist = 16, nprobe = 4)
+      .select($"q_id", $"c_id", $"cosine").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val sq = Similarity.ivfTopKQuantizedFixedCodebook(qs, emb, "vec_id", "vec_id",
+        "embedding", k = 5, nlist = 16, nprobe = 4)
+      .select($"q_id", $"c_id", $"approx_cosine").as[(Long, Long, Double)].collect()
+    // same cells are probed, so overlap should be near-total; shared
+    // pairs score within int8 error
+    val overlap = sq.count(p => float.contains((p._1, p._2))).toDouble / sq.length
+    assert(overlap >= 0.8, s"overlap = $overlap")
+    sq.foreach { case (q, c, a) =>
+      float.get((q, c)).foreach(e =>
+        assert(math.abs(a - e) < 0.02, s"($q,$c): $a vs $e"))
+    }
+  }
+
   // ---- ExactQuantile ----
 
   test("exact quantile narrowing equals sorted-array selection, incl. forced multi-level") {
