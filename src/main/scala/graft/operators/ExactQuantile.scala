@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   * buffered built-in (bounded by group size); this operator is for the
   * column-wide case where that buffer would be the dataset.
   *
+  * All requested ranks narrow TOGETHER: ranks whose candidate sets are
+  * still identical (always true at level 1, and usually true at every
+  * level for an interpolation pair k, k+1) share one histogram pass, so
+  * p50/p90/p99 cost ~one narrowing each, not one per rank.
+  *
   * FP discipline: candidate membership is tracked as the CONJUNCTION of
   * the exact bin expressions already applied (never as a recomputed
   * range compare, which can disagree with floor-binning at bin edges by
@@ -42,54 +47,75 @@ object ExactQuantile {
       .localCheckpoint()
     val n = vals.count()
     require(n > 0, "exact quantile of an empty column")
-    ps.map { p =>
+    val wanted = ps.map { p =>
       val pos = p * (n - 1) + 1
-      val lo = math.floor(pos).toLong
-      val frac = pos - lo
-      val vLo = rankValue(vals, lo, bins, collectThreshold)
-      val v = if (frac == 0) vLo
-        else vLo + frac * (rankValue(vals, lo + 1, bins, collectThreshold) - vLo)
-      p -> v
+      (p, math.floor(pos).toLong, pos - math.floor(pos))
+    }
+    val ranks = wanted.flatMap { case (_, lo, frac) =>
+      if (frac == 0) Seq(lo) else Seq(lo, lo + 1) }.distinct
+    val byRank = rankValues(vals, ranks, bins, collectThreshold)
+    wanted.map { case (p, lo, frac) =>
+      val vLo = byRank(lo)
+      p -> (if (frac == 0) vLo else vLo + frac * (byRank(lo + 1) - vLo))
     }
   }
 
-  /** The value at 1-based rank `k` of column `v` (ascending). */
-  private def rankValue(vals: DataFrame, k: Long, bins: Int,
-      collectThreshold: Int): Double = {
-    var cond: Column = lit(true) // exact candidate-set membership
-    var kRem = k                 // target rank within the candidate set
+  /** One in-flight selection: the original rank, its candidate-set
+    * predicate (exact conjunction of applied bin tests), and the
+    * target's rank within that set. */
+  private final case class Pending(k: Long, cond: Column, kRem: Long)
+
+  /** Values at 1-based ranks `ks` of column `v` (ascending), narrowing
+    * all ranks level by level; pendings with literally identical
+    * predicate lineage (tracked by group key) share each level's
+    * aggregate + histogram. */
+  private def rankValues(vals: DataFrame, ks: Seq[Long], bins: Int,
+      collectThreshold: Int): Map[Long, Double] = {
+    val done = scala.collection.mutable.Map.empty[Long, Double]
+    // group key = sequence of (level bin) choices made so far; pendings
+    // sharing it have the same cond by construction
+    var groups: Map[List[Int], Seq[Pending]] =
+      Map(List.empty[Int] -> ks.map(k => Pending(k, lit(true), k)))
     var level = 0
-    while (true) {
+    while (groups.nonEmpty) {
       level += 1
       require(level <= 64, "histogram narrowing failed to converge")
-      val row = vals.filter(cond)
-        .agg(count(lit(1)), min(col("v")), max(col("v"))).head()
-      val (cnt, mn, mx) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
-      require(cnt >= kRem && kRem >= 1, s"rank $kRem outside candidate set ($cnt)")
-      if (mn == mx) return mn // all survivors equal (also the n==1 case)
-      if (cnt <= collectThreshold) {
-        val arr = vals.filter(cond).sort(col("v")).collect().map(_.getDouble(0))
-        return arr(kRem.toInt - 1)
+      groups = groups.flatMap { case (path, pending) =>
+        val cond = pending.head.cond
+        val row = vals.filter(cond)
+          .agg(count(lit(1)), min(col("v")), max(col("v"))).head()
+        val (cnt, mn, mx) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+        pending.foreach(p => require(cnt >= p.kRem && p.kRem >= 1,
+          s"rank ${p.kRem} outside candidate set ($cnt)"))
+        if (mn == mx) { // all survivors equal (also the n==1 case)
+          pending.foreach(p => done(p.k) = mn)
+          Nil
+        } else if (cnt <= collectThreshold) {
+          val arr = vals.filter(cond).sort(col("v")).collect().map(_.getDouble(0))
+          pending.foreach(p => done(p.k) = arr(p.kRem.toInt - 1))
+          Nil
+        } else {
+          val w = (mx - mn) / bins
+          // clamp: v == mx lands in the last bin; FP edges stay in range
+          val bin = greatest(lit(0),
+            least(floor((col("v") - mn) / w).cast("int"), lit(bins - 1)))
+          val hist = vals.filter(cond)
+            .groupBy(bin.as("b")).agg(count(lit(1)).as("c"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val cum = new Array[Long](bins + 1) // cum(b) = rows in bins < b
+          for (b <- 0 until bins) cum(b + 1) = cum(b) + hist.getOrElse(b, 0L)
+          pending.groupBy { p =>
+            val t = (0 until bins).find(b => cum(b + 1) >= p.kRem)
+            require(t.isDefined, s"rank ${p.kRem} not covered (cum=${cum(bins)})")
+            t.get
+          }.map { case (target, ps) =>
+            // exact same bin expression extends the predicate → no drift
+            (target :: path) -> ps.map(p =>
+              p.copy(cond = p.cond && (bin === target), kRem = p.kRem - cum(target)))
+          }
+        }
       }
-      val w = (mx - mn) / bins
-      // clamp: v == mx lands in the last bin; FP edge cases stay in range
-      val bin = greatest(lit(0),
-        least(floor((col("v") - mn) / w).cast("int"), lit(bins - 1)))
-      val hist = vals.filter(cond)
-        .groupBy(bin.as("b")).agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      var cum = 0L
-      var target = -1
-      var below = 0L
-      for (b <- 0 until bins if target < 0) {
-        val c = hist.getOrElse(b, 0L)
-        if (cum + c >= kRem) { target = b; below = cum }
-        cum += c
-      }
-      require(target >= 0, s"rank $kRem not covered by histogram (cum=$cum)")
-      cond = cond && (bin === target) // exact same expression → no edge drift
-      kRem -= below
     }
-    0.0 // unreachable
+    done.toMap
   }
 }
