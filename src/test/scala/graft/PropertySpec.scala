@@ -106,6 +106,29 @@ class PropertySpec extends SparkSpecBase {
     }, minTests = 12)
   }
 
+  test("exact quantiles equal sorted-array interpolation on random data") {
+    // mixture of continuous values and heavy duplicates, incl. negatives
+    val value = Gen.oneOf(
+      Gen.chooseNum(-1000.0, 1000.0),
+      Gen.oneOf(-5.0, 0.0, 42.0))
+    val data = Gen.chooseNum(1, 400).flatMap(n => Gen.listOfN(n, value))
+    val fracs = Gen.listOfN(3, Gen.chooseNum(0.0, 1.0))
+    checkProp(Prop.forAllNoShrink(data, fracs) { (xs, ps) =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val sorted = xs.sorted
+      def want(p: Double): Double = {
+        val pos = p * (xs.size - 1) + 1
+        val lo = math.floor(pos).toInt
+        val frac = pos - lo
+        if (frac == 0) sorted(lo - 1)
+        else sorted(lo - 1) + frac * (sorted(lo) - sorted(lo - 1))
+      }
+      val got = graft.operators.ExactQuantile.quantiles(df, "v", ps.distinct,
+        bins = 8, collectThreshold = 4) // force many shared-narrowing levels
+      got.forall { case (p, v) => math.abs(v - want(p)) <= 1e-9 }
+    }, minTests = 10)
+  }
+
   test("int8 quantization: round-trip error <= scale/2 + eps on random vectors") {
     val vec = Gen.chooseNum(1, 8).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(-100.0f, 100.0f)))
