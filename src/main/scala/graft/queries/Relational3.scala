@@ -18,27 +18,26 @@ object Relational3 {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
-  /** B6 exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`, both the classic (n-1)·q linear interpolation). */
+  /** B6 exact interpolated percentiles, computed by GROUPED histogram
+    * narrowing ([[graft.operators.ExactQuantile.quantilesByGroup]]) —
+    * bit-identical to Spark `percentile` ≡ DuckDB `quantile_cont` (same
+    * (n-1)·q interpolation) but with O(bins) task memory instead of the
+    * built-in's per-group value buffer, which at 100× data would hold
+    * ~10⁸ doubles for one `l_returnflag` group. `n` counts non-null
+    * prices (none are null, matching the oracle's COUNT(*)). */
   private val q20 = Q(
     "q20_percentiles",
     (s, dir) => {
-      import s.implicits._
-      t(s, dir, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(
-          percentile($"l_quantity", lit(0.5)).as("med_qty"),
-          // one shared value buffer for all three price percentiles, not
-          // three independent 600k-value buffers
-          percentile($"l_extendedprice",
-            typedLit(Seq(0.25, 0.75, 0.95))).as("__ps"),
-          count(lit(1)).as("n"))
-        .select($"l_returnflag", $"med_qty",
-          element_at($"__ps", 1).as("p25_price"),
-          element_at($"__ps", 2).as("p75_price"),
-          element_at($"__ps", 3).as("p95_price"),
-          $"n")
-        .orderBy($"l_returnflag")
+      val li = t(s, dir, "lineitem")
+      val qty = graft.operators.ExactQuantile.quantilesByGroup(
+        li, Seq("l_returnflag"), "l_quantity", Seq(0.5), Seq("med_qty"))
+      val price = graft.operators.ExactQuantile.quantilesByGroup(
+        li, Seq("l_returnflag"), "l_extendedprice", Seq(0.25, 0.75, 0.95),
+        Seq("p25_price", "p75_price", "p95_price"), countCol = Some("n"))
+      qty.join(price, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("med_qty"), col("p25_price"),
+          col("p75_price"), col("p95_price"), col("n"))
+        .orderBy(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag,
       CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS med_qty,

@@ -212,6 +212,45 @@ class CorpusOps2Spec extends SparkSpecBase {
     assert(math.abs(got(0.999) - builtin(1)) < 1e-9)
   }
 
+  test("grouped exact quantiles bit-match built-in percentile per group") {
+    import graft.operators.ExactQuantile
+    val rnd = new scala.util.Random(11)
+    // uneven group sizes incl. a singleton group and heavy duplicates
+    val rows = (0 until 3000).map { i =>
+      val g = if (i == 0) "solo" else s"g${i % 5}"
+      val v = if (i % 7 == 0) 42.0 else rnd.nextDouble() * 1000 - 500
+      (g, v)
+    }
+    val df = rows.toDF("k", "v")
+    val got = ExactQuantile.quantilesByGroup(df, Seq("k"), "v",
+        Seq(0.25, 0.5, 0.95), Seq("p25", "p50", "p95"), countCol = Some("n"),
+        bins = 16, collectThreshold = 32) // forces several narrowing levels
+      .as[(String, Double, Double, Double, Long)].collect().sortBy(_._1)
+    val want = df.groupBy($"k")
+      .agg(percentile($"v", typedLit(Seq(0.25, 0.5, 0.95))).as("ps"),
+        count(lit(1)).as("n"))
+      .as[(String, Seq[Double], Long)].collect().sortBy(_._1)
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((k, p25, p50, p95, n), (k2, ps, n2)) =>
+      assert(k === k2 && n === n2)
+      // bit-identical, not approximately equal: the interpolation replays
+      // Spark's percentile formula exactly
+      assert(p25 === ps(0) && p50 === ps(1) && p95 === ps(2), s"group $k")
+    }
+  }
+
+  test("grouped exact quantiles ignore null/NaN values and absent groups") {
+    import graft.operators.ExactQuantile
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+      ("b", Some(Double.NaN)), ("b", Some(5.0)), ("c", None))
+      .toDF("k", "v")
+    val got = ExactQuantile.quantilesByGroup(df, Seq("k"), "v",
+        Seq(0.5), Seq("p50"), countCol = Some("n"))
+      .as[(String, Double, Long)].collect().sortBy(_._1)
+    // c has no non-null values -> absent; NaN ignored like null
+    assert(got.toSeq === Seq(("a", 2.0, 2L), ("b", 5.0, 1L)))
+  }
+
   // ---- Quantize ----
 
   test("int8 report: extremes map to ±127-bounded codes, mse within (scale/2)^2") {
