@@ -37,16 +37,19 @@ object BlockDedup {
   /** One row per block: (idCol, pos, __h) — materialized once
     * (localCheckpoint), since every caller feeds it to both the winner
     * election and the membership join and would otherwise re-scan and
-    * re-hash the corpus per consumer. */
+    * re-hash the corpus per consumer. Block IDENTITY is the hash of the
+    * lower-cased block (same keys the normalized oracle replays), built
+    * from raw tokens so [[dropDuplicateBlocks]] can reconstruct the
+    * surviving text case-preserved from the same positions. */
   private def blocks(df: DataFrame, idCol: String, textCol: String,
       blockTokens: Int, model: Tokenize.Model): DataFrame = {
     // tokens staged into a column: the slice lambda would otherwise
     // re-tokenize the doc once per block (no CSE inside interpreted HOFs)
-    df.select(col(idCol), model.tokens(col(textCol)).as("__ws"))
+    df.select(col(idCol), model.rawTokens(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) > 0)
       .select(col(idCol), explode(blockArr(col("__ws"), blockTokens)).as("b"))
       .select(col(idCol), col("b.pos").as("pos"),
-        Contamination.gramHash(col("b.block")).as("__h"))
+        Contamination.gramHash(lower(col("b.block"))).as("__h"))
       .localCheckpoint()
   }
 
@@ -82,30 +85,34 @@ object BlockDedup {
 
   /** The dedup itself: rewrite `textCol` keeping only first-occurrence
     * blocks (in original position order); other columns pass through.
-    * Documents left with zero kept blocks keep an empty string. */
+    * Documents left with zero kept blocks keep an empty string; a doc
+    * that keeps EVERY block keeps its text verbatim (original case and
+    * spacing). Rewritten docs are rebuilt from raw (case-preserving)
+    * tokens, single-spaced — block identity is case-insensitive but the
+    * surviving text is not case-folded. */
   def dropDuplicateBlocks(df: DataFrame, idCol: String, textCol: String,
       blockTokens: Int = 10,
       model: Tokenize.Model = Tokenize.Whitespace): DataFrame = {
     val bl = blocks(df, idCol, textCol, blockTokens, model)
-    val keptAgg = bl.join(winners(bl, idCol), Seq("__h"))
-      .filter(col(idCol) === col("__wid") && col("pos") === col("__wpos"))
-      .select(col(idCol), col("pos"))
+    // per doc in ONE pass over its blocks: total count + kept positions
+    // (collect_list drops the nulls of non-winning blocks); a doc can
+    // have blocks yet keep none (all first-occur elsewhere), so
+    // "no blocks" (no row → NULL) must stay distinct from "kept none"
+    // (empty array)
+    val kept = bl.join(winners(bl, idCol), Seq("__h"))
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("pos"))).as("__keepAgg"))
-    // a doc can have blocks yet keep none (all first-occur elsewhere):
-    // distinguish "no blocks" (NULL → original text) from "kept none"
-    // (empty array → empty text)
-    val kept = bl.select(col(idCol)).distinct()
-      .join(keptAgg, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("__keepAgg"), array().cast("array<int>")).as("__keep"))
+      .agg(count(lit(1)).as("__nb"),
+        sort_array(collect_list(
+          when(col(idCol) === col("__wid") && col("pos") === col("__wpos"),
+            col("pos")))).as("__keep"))
     df.join(kept, Seq(idCol), "left")
-      .withColumn("__ws", model.tokens(col(textCol)))
+      .withColumn("__ws", model.rawTokens(col(textCol)))
       .withColumn(textCol,
-        when(col("__keep").isNull, col(textCol)).otherwise(
-          concat_ws(" ", transform(col("__keep"),
+        when(col("__keep").isNull, col(textCol))                // no blocks
+          .when(size(col("__keep")) === col("__nb"), col(textCol)) // kept all → verbatim
+          .otherwise(concat_ws(" ", transform(col("__keep"),
             p => concat_ws(" ",
               slice(col("__ws"), p * blockTokens + 1, lit(blockTokens)))))))
-      .drop("__keep", "__ws")
+      .drop("__keep", "__nb", "__ws")
   }
 }

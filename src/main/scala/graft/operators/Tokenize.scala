@@ -31,6 +31,15 @@ object Tokenize {
   /** A tokenizer: text column → array<string> of tokens. */
   sealed trait Model {
     def tokens(text: Column): Column
+
+    /** The same tokens with ORIGINAL character forms preserved, aligned
+      * 1:1 with `tokens` (position i of both is the same token, one
+      * normalized, one raw). Callers that rewrite text (e.g.
+      * [[BlockDedup.dropDuplicateBlocks]]) hash the normalized form for
+      * identity but reconstruct from these, so dedup does not silently
+      * case-fold the corpus. Defaults to the normalized tokens for
+      * models with no raw/normalized distinction. */
+    def rawTokens(text: Column): Column = tokens(text)
   }
 
   /** Lower-cased whitespace split — the corpus default (the one
@@ -38,6 +47,7 @@ object Tokenize {
   case object Whitespace extends Model {
     def tokens(text: Column): Column =
       graft.functions.TextFunctions.words(text)
+    override def rawTokens(text: Column): Column = split(text, " ")
   }
 
   /** Regex pre-tokenizer: maximal letter runs, digit runs, and single
@@ -47,6 +57,10 @@ object Tokenize {
       pattern: String = "[a-z]+|[0-9]+|[^a-z0-9\\s]") extends Model {
     def tokens(text: Column): Column =
       regexp_extract_all(lower(text), lit(pattern), lit(0))
+    // (?i) makes letter classes (incl. negated ones) case-blind, so run
+    // boundaries match the lowered extraction position for position
+    override def rawTokens(text: Column): Column =
+      regexp_extract_all(text, lit("(?i)" + pattern), lit(0))
   }
 
   def tokens(text: Column, model: Model = Whitespace): Column =

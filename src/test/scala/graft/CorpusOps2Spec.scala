@@ -68,6 +68,21 @@ class CorpusOps2Spec extends SparkSpecBase {
     assert(got(2)._2 === "fresh text")
   }
 
+  test("dropDuplicateBlocks preserves case and spacing of non-rewritten docs") {
+    val ten = (1 to 10).map(i => s"W$i").mkString(" ") // mixed-case tokens
+    val docs = Seq(
+      (1L, "The QUICK  Brown Fox"),            // unique → verbatim (incl. double space)
+      (2L, ten + " Tail ONE"),                 // all blocks kept → verbatim
+      (3L, ten.toLowerCase + " Extra Words")   // block0 dups doc2's case-blind
+    ).toDF("id", "text")
+    val got = BlockDedup.dropDuplicateBlocks(docs, "id", "text", blockTokens = 10)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got(0)._2 === "The QUICK  Brown Fox")
+    assert(got(1)._2 === ten + " Tail ONE")
+    // rewritten doc keeps the ORIGINAL case of its surviving tokens
+    assert(got(2)._2 === "Extra Words")
+  }
+
   test("blockStats totals: sum(n_kept) == count of distinct block hashes") {
     val docs = graft.sources.Tables(spark, sfDir, "documents").limit(200)
     val stats = BlockDedup.blockStats(docs, "doc_id", "text", blockTokens = 10)
@@ -249,6 +264,48 @@ class CorpusOps2Spec extends SparkSpecBase {
       .as[(String, Double, Long)].collect().sortBy(_._1)
     // c has no non-null values -> absent; NaN ignored like null
     assert(got.toSeq === Seq(("a", 2.0, 2L), ("b", 5.0, 1L)))
+  }
+
+  // ---- Containment / novelty ----
+
+  test("containment: short doc quoted inside long doc scores 1.0 one-sided") {
+    val quoted = "p q r s t"
+    val docs = Seq(
+      (1L, quoted),                                           // 3 trigrams
+      (2L, "lead in text then " + quoted + " and much more trailing text here"),
+      (3L, "completely different content about other things entirely")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Containment
+      .containmentPairs(docs, "doc_id", "text", n = 3, tau = 0.9, maxDf = 50)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got.length === 1)
+    val (a, b, shared, contA, contB) = got(0)
+    assert((a, b, shared) === ((1L, 2L, 3L)))
+    assert(contA === 1.0)       // all of doc1's grams appear in doc2
+    assert(contB < 0.5)         // but doc2 is mostly other text (low jaccard case)
+  }
+
+  test("containment: df cap excludes stopword grams from the similarity") {
+    // the shared gram appears in ALL 4 docs -> df=4 > maxDf=3 -> no pairs
+    val docs = (1L to 4L).map(i => (i, s"common shingle here unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Containment
+      .containmentPairs(docs, "doc_id", "text", n = 3, tau = 0.1, maxDf = 3)
+    assert(got.count() === 0L)
+  }
+
+  test("novelty: exact duplicate of an earlier doc scores 0, first copy 1") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // dup of doc 1
+      (3L, "epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Containment
+      .noveltyScores(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(got(0)._4 === Some(1.0))
+    assert(got(1)._4 === Some(0.0))
+    assert(got(2)._4 === Some(1.0))
   }
 
   // ---- Quantize ----
