@@ -58,9 +58,13 @@ object LangModel {
       .groupBy(col(idCol), col("b.h_ctx").as("h_ctx"), col("b.h_bi").as("h_bi"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    // h_bi determines h_ctx (same bigram string ⇒ same first token), so
-    // the model collapses to ONE vocab-sized aggregate; context counts
-    // are a window over that vocab, not a second pass over the corpus.
+    // h_bi determines h_ctx absent collisions (same bigram string ⇒
+    // same first token), so the model collapses to ONE vocab-sized
+    // aggregate; context counts are a window over that vocab, not a
+    // second pass over the corpus. The model key is the PAIR
+    // (h_ctx, h_bi) — the oracle must group by the same pair so that a
+    // bigram-hash collision across different contexts (p ≈ 2^-60)
+    // still merges identically on both sides.
     val cb = dt.groupBy(col("h_ctx"), col("h_bi")).agg(sum(col("c")).as("c_bi"))
     val cv = cb.withColumn("c_ctx",
       sum(col("c_bi")).over(

@@ -157,7 +157,13 @@ object NearDup {
       tau: Double = 0.5, mode: HashMode = XxHash,
       maxBucket: Int = DefaultMaxBucket): DataFrame =
     crossDupPairsIndexed(incoming,
-      buildCorpusIndex(corpus, id, textCol, n, k, bands, r, mode, maxBucket),
+      // one-shot: LAZY index (no localCheckpoint) — a single batch reads
+      // each corpus-side plan once, so eager materialization would only
+      // add three blocking jobs and pin corpus-sized arrays in executor
+      // storage; repeated callers build the index once via
+      // [[buildCorpusIndex]] instead
+      corpusIndex(corpus, id, textCol, n, k, bands, r, mode, maxBucket,
+        materialize = false),
       id, textCol, n, k, bands, r, tau, mode)
 
   /** The prebuilt (materialized) corpus side of the incremental
@@ -171,23 +177,39 @@ object NearDup {
       bk: DataFrame, grams: DataFrame, hot: DataFrame)
 
   /** Shingle, sign, band, and hot-bucket-scan `corpus` once, lineage
-    * truncated ([[CorpusIndex]]). */
+    * truncated ([[CorpusIndex]]).
+    *
+    * Materialization is `localCheckpoint`, i.e. executor-local storage:
+    * right for a batch session that runs many batches against one
+    * index, but NON-RELIABLE — losing an executor invalidates the
+    * index, and a long-running streaming query
+    * ([[graft.streaming.StreamNearDup]]) holding it would fail
+    * mid-stream and need a restart (which rebuilds the index). For a
+    * 100 TB corpus on a real cluster, persist the three frames to a
+    * reliable store (parquet/`spark.checkpoint`) instead and read them
+    * back — same shape, restartable. */
   def buildCorpusIndex(corpus: DataFrame, id: String, textCol: String,
       n: Int = 3, k: Int = 8, bands: Int = 4, r: Int = 2,
       mode: HashMode = XxHash,
-      maxBucket: Int = DefaultMaxBucket): CorpusIndex = {
-    val bk = withSignature(corpus, id, textCol, n, k, mode)
+      maxBucket: Int = DefaultMaxBucket): CorpusIndex =
+    corpusIndex(corpus, id, textCol, n, k, bands, r, mode, maxBucket,
+      materialize = true)
+
+  private def corpusIndex(corpus: DataFrame, id: String, textCol: String,
+      n: Int, k: Int, bands: Int, r: Int, mode: HashMode, maxBucket: Int,
+      materialize: Boolean): CorpusIndex = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint() else df
+    val bk = mat(withSignature(corpus, id, textCol, n, k, mode)
       .select(col(id).as("corp_id"),
-        explode(bandKeys(col("__sig"), bands, r)).as("__bk"))
-      .localCheckpoint()
-    val grams = corpus.select(
+        explode(bandKeys(col("__sig"), bands, r)).as("__bk")))
+    val grams = mat(corpus.select(
       col(id).as("corp_id"),
       array_sort(
         TextFunctions.wordNGrams(TextFunctions.words(col(textCol)), n))
-        .as("__g_corp")).localCheckpoint()
-    val hot = bk.groupBy(col("__bk")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucket).select(col("__bk"))
-      .localCheckpoint()
+        .as("__g_corp")))
+    val hot = mat(bk.groupBy(col("__bk")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select(col("__bk")))
     CorpusIndex(bk, grams, hot)
   }
 

@@ -27,26 +27,37 @@ object Packing {
 
   /** `df` plus `outCol` = exclusive running sum of `valCol` in ascending
     * `orderCol` order (global, exact, partition-count-independent).
-    * `orderCol` must be unique — it is the total order. */
+    * `orderCol` must be unique — it is the total order.
+    *
+    * The cross-partition offsets are cumulated on the DRIVER from the P
+    * per-partition totals (≤ numShufflePartitions rows — metadata-sized
+    * by construction) and attached as a map literal: a partition-less
+    * `Window.orderBy(__pid)` over the same P rows would be equally safe
+    * but indistinguishable in logs from a real global-window scale bug.
+    * The range-partitioned input is localCheckpoint'ed once so the
+    * totals job and the running-sum job see the SAME partition
+    * assignment (range boundaries come from sampling). */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, valCol: String,
       outCol: String, numParts: Int = 0): DataFrame = {
     val p = if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val parted = df.repartitionByRange(p, col(orderCol))
       .withColumn("__pid", spark_partition_id())
-    val offsets = parted.groupBy(col("__pid"))
-      .agg(sum(col(valCol)).as("__tot"))
-      .withColumn("__off",
-        coalesce(sum(col("__tot")).over(
-          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("__pid"), col("__off"))
+      .localCheckpoint()
+    val tot = parted.groupBy(col("__pid"))
+      .agg(coalesce(sum(col(valCol)), lit(0L)).as("__tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (tot.isEmpty) return parted.withColumn(outCol, lit(0L)).drop("__pid")
+    val pids = tot.keys.toSeq.sorted
+    val offs = pids.scanLeft(0L)((acc, pid) => acc + tot(pid)).init
+    val offMap = map(pids.zip(offs).flatMap {
+      case (pid, off) => Seq(lit(pid), lit(off)) }: _*)
     val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    parted.join(broadcast(offsets), "__pid")
-      .withColumn(outCol,
-        col("__off") + coalesce(sum(col(valCol)).over(w), lit(0L)))
-      .drop("__pid", "__off")
+    parted.withColumn(outCol,
+        element_at(offMap, col("__pid"))
+          + coalesce(sum(col(valCol)).over(w), lit(0L)))
+      .drop("__pid")
   }
 
   /** Block assignment under `budget` tokens per block: each doc's token

@@ -497,7 +497,6 @@ object CorpusQueries {
     "q97_vocab_token_ids",
     (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       import graft.operators.Tokenize
       val docs = t(s, dir, "documents")
       val counts = docs
@@ -505,13 +504,15 @@ object CorpusQueries {
         .groupBy($"token").agg(count(lit(1)).as("c"))
       // orderBy+limit plans as TakeOrderedAndProject — a DISTRIBUTED
       // top-k over the token-count relation (per-partition heaps, driver
-      // merge of 256-row tops) — so the only global window ranks the 256
-      // survivors, not every distinct token in the corpus.
+      // merge of 256-row tops); ids are then assigned on the driver from
+      // the already-sorted 256 survivors (no partition-less rank window,
+      // whose WARN would be indistinguishable from a real scale bug).
       val vocab = counts
         .orderBy($"c".desc, $"token").limit(256)
-        .withColumn("id",
-          (row_number().over(Window.orderBy($"c".desc, $"token")) - 1).cast("long"))
-        .select($"token", $"id")
+        .select($"token").as[String].collect()
+        .zipWithIndex.toSeq
+        .toDF("token", "__i")
+        .select($"token", $"__i".cast("long").as("id"))
       Tokenize.idsWithVocab(docs.select($"doc_id", $"text"), "doc_id", "text",
           vocab, "tids")
         .select($"doc_id",

@@ -33,13 +33,14 @@ object CorpusQueries2 {
         FROM w),
       dt AS (SELECT doc_id, g.hc AS h_ctx, g.hb AS h_bi, COUNT(*) AS c
         FROM b GROUP BY doc_id, g.hc, g.hb),
-      cb AS (SELECT h_bi, CAST(SUM(c) AS BIGINT) AS c_bi FROM dt GROUP BY h_bi),
+      cb AS (SELECT h_ctx, h_bi, CAST(SUM(c) AS BIGINT) AS c_bi
+        FROM dt GROUP BY h_ctx, h_bi),
       cc AS (SELECT h_ctx, CAST(SUM(c) AS BIGINT) AS c_ctx FROM dt GROUP BY h_ctx),
       agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bi,
           COUNT(*) AS n_distinct_bi,
           round(SUM(c * (ln(CAST(c_ctx AS DOUBLE)) - ln(CAST(c_bi AS DOUBLE))))
             / CAST(SUM(c) AS DOUBLE), 6) AS avg_nll
-        FROM dt JOIN cb USING (h_bi) JOIN cc USING (h_ctx) GROUP BY doc_id)
+        FROM dt JOIN cb USING (h_ctx, h_bi) JOIN cc USING (h_ctx) GROUP BY doc_id)
       SELECT d.doc_id,
         CAST(coalesce(n_bi, 0) AS BIGINT) AS n_bi,
         CAST(coalesce(n_distinct_bi, 0) AS BIGINT) AS n_distinct_bi,
