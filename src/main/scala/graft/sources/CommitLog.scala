@@ -1,0 +1,279 @@
+package graft.sources
+
+import java.nio.file.{Files, FileAlreadyExistsException, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Versioned manifest log for a parquet table — the multi-writer commit
+  * protocol the reference gets from DynamoDB's conditional put
+  * (`attribute_not_exists(Id)`, /root/reference/index.js:352-375): each
+  * write is an all-or-nothing version, CONCURRENT writers serialize via
+  * an atomic create-if-absent on the next version file, and the loser
+  * re-reads the winner's state and retries (optimistic concurrency, the
+  * same shape as a Delta/Iceberg commit log, reduced to the minimum the
+  * engine needs).
+  *
+  * Layout under the table root:
+  * {{{
+  *   _graft_log/00000000000000000000.json   // {version, action, files, schema, txn}
+  *   data/<uuid>-part-*.parquet             // immutable once referenced
+  * }}}
+  * A manifest's `action` is `add` (its files join the live set) or
+  * `replace` (its files BECOME the live set — how a merge rewrite
+  * retires old files without deleting them under a concurrent reader).
+  * Readers list the log, fold actions in version order, and scan exactly
+  * the live files — a stale directory listing can never leak retired or
+  * uncommitted data files into a query, because data files are never
+  * the source of truth.
+  *
+  * The commit primitive is filesystem-dependent: on `file:` it is a
+  * hard-link create (POSIX `link(2)` fails with EEXIST — atomic
+  * create-if-absent); elsewhere it is rename-without-overwrite, atomic
+  * on HDFS. An object store with no atomic namespace op would need a
+  * CAS service (the role DynamoDB plays for Delta on S3) behind the
+  * same `tryCommit`.
+  *
+  * Writer idempotency (the streaming sink's restart story,
+  * [[graft.streaming.StreamMergeSink]]): a commit may carry a
+  * `txn = (writerId, epoch)`; the snapshot folds the highest epoch per
+  * writer, and a write whose epoch is ≤ the recorded one is skipped —
+  * exactly-once table contents over at-least-once micro-batch replays.
+  *
+  * Scale notes: manifests are metadata-sized (file lists, not rows);
+  * the fold is O(versions) driver work (a production log would add
+  * checkpoint manifests every N versions — same read path, fewer
+  * files). `upsert` rewrites the full live set like the directory-swap
+  * sink it replaces ([[graft.operators.Sinks.writeAtomic]]); at 100 TB
+  * the table would be key-partitioned so a merge rewrites only the
+  * partitions the anti-join touches, each as its own `replace` of that
+  * partition's files — the protocol is unchanged.
+  */
+final class CommitLog private (spark: SparkSession, tableRoot: String) {
+
+  private val rootPath = new Path(tableRoot)
+  private val logDir = new Path(rootPath, "_graft_log")
+  private val dataDir = new Path(rootPath, "data")
+  private def fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def mapper = new ObjectMapper()
+
+  /** The folded state of the log at one version. */
+  final case class Snapshot(version: Long, files: Seq[String],
+      schema: Option[StructType], txns: Map[String, Long])
+
+  private def manifestPath(v: Long): Path = new Path(logDir, f"$v%020d.json")
+
+  def snapshot(): Snapshot = {
+    if (!fs.exists(logDir)) return Snapshot(-1L, Nil, None, Map.empty)
+    val manifests = fs.listStatus(logDir)
+      // dot-prefixed names are IN-FLIGHT tmp manifests (mid-write);
+      // only the atomically-published versioned files are the log
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json")
+        && !s.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+    var files = Vector.empty[String]
+    var schema: Option[StructType] = None
+    var txns = Map.empty[String, Long]
+    var version = -1L
+    manifests.foreach { m =>
+      val in = fs.open(m.getPath)
+      val raw = try {
+        val bytes = new Array[Byte](m.getLen.toInt)
+        in.readFully(bytes); new String(bytes, "UTF-8")
+      } finally in.close()
+      val node = mapper.readTree(raw)
+      version = node.get("version").asLong()
+      val fl = node.get("files").elements().asScala.map(_.asText()).toVector
+      node.get("action").asText() match {
+        case "add"     => files = files ++ fl
+        case "replace" => files = fl
+        case other => throw new IllegalStateException(
+          s"$tableRoot: unknown log action '$other' at version $version")
+      }
+      Option(node.get("schema")).foreach(s =>
+        schema = Some(DataType.fromJson(s.asText()).asInstanceOf[StructType]))
+      Option(node.get("txn")).foreach { t =>
+        val id = t.get("id").asText()
+        val epoch = t.get("epoch").asLong()
+        txns = txns.updated(id, math.max(epoch, txns.getOrElse(id, Long.MinValue)))
+      }
+    }
+    Snapshot(version, files, schema, txns)
+  }
+
+  /** The table at the latest version (explicit file-list scan — full
+    * parquet pushdown/pruning, no directory listing). */
+  def read(): DataFrame = readAt(snapshot())
+
+  private def readAt(s: Snapshot): DataFrame = {
+    val reader = s.schema.fold(spark.read)(spark.read.schema)
+    if (s.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        s.schema.getOrElse(new StructType()))
+    else reader.parquet(s.files.map(f => s"$tableRoot/$f"): _*)
+  }
+
+  /** Append `df` as a new version. Safe under concurrent writers: the
+    * data files are version-independent, so losing the version race
+    * only re-attempts the (tiny) manifest commit. Returns the committed
+    * version, or the already-recorded one if `txn` makes it a replay. */
+  def append(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
+    val s0 = snapshot()
+    if (replayOf(s0, txn)) return s0.version
+    val files = writeData(df)
+    var v = s0.version + 1
+    var attempts = 0
+    while (!tryCommit(v, manifestJson(v, "add", files, df.schema, txn))) {
+      attempts += 1
+      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+      val s = snapshot()
+      if (replayOf(s, txn)) { files.foreach(deleteData); return s.version }
+      v = s.version + 1
+    }
+    v
+  }
+
+  /** Merge `incoming` (unique per `keys` — [[graft.operators.Dedup]]
+    * first if not) into the live table and commit the rewrite as a
+    * `replace`. On a lost race the merge RECOMPUTES against the
+    * winner's table, so concurrent upserts serialize like the
+    * reference's conditional puts instead of overwriting each other. */
+  def upsert(incoming: DataFrame, keys: Seq[String], mode: CommitLog.MergeMode,
+      txn: Option[(String, Long)] = None): Long = {
+    import graft.operators.Upsert
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      if (replayOf(s, txn)) return s.version
+      val target = readAt(s)
+      val merged =
+        if (s.version < 0) incoming
+        else mode match {
+          case CommitLog.InsertIfAbsent => Upsert.insertIfAbsent(target, incoming, keys)
+          case CommitLog.LastWins       => Upsert.lastWins(target, incoming, keys)
+        }
+      val files = writeData(merged)
+      if (tryCommit(s.version + 1,
+          manifestJson(s.version + 1, "replace", files, incoming.schema, txn)))
+        return s.version + 1
+      // lost the race: our rewrite is stale (it merged against an old
+      // table) — drop its files and redo the merge on the new snapshot
+      files.foreach(deleteData)
+      attempts += 1
+      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+    }
+    -1L // unreachable
+  }
+
+  /** Replace the live file set with `df` (TRUNCATE-and-load). */
+  def replaceAll(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
+    val s0 = snapshot()
+    if (replayOf(s0, txn)) return s0.version
+    val files = writeData(df)
+    var v = s0.version + 1
+    var attempts = 0
+    while (!tryCommit(v, manifestJson(v, "replace", files, df.schema, txn))) {
+      attempts += 1
+      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+      val s = snapshot()
+      if (replayOf(s, txn)) { files.foreach(deleteData); return s.version }
+      v = s.version + 1
+    }
+    v
+  }
+
+  /** Delete data files no manifest references (lost-race leftovers).
+    * Only safe when no writer is mid-commit; returns the count. */
+  def vacuum(): Int = {
+    if (!fs.exists(dataDir)) return 0
+    val live = snapshot().files.map(f => new Path(rootPath, f).getName).toSet
+    val dead = fs.listStatus(dataDir).filter(s => s.isFile && !live(s.getPath.getName))
+    dead.foreach(s => fs.delete(s.getPath, false))
+    dead.length
+  }
+
+  private val MaxAttempts = 50
+
+  private def replayOf(s: Snapshot, txn: Option[(String, Long)]): Boolean =
+    txn.exists { case (id, epoch) => s.txns.get(id).exists(_ >= epoch) }
+
+  /** Write `df` under data/ with globally-unique names (write to a tmp
+    * dir, move the parts in); returns table-root-relative paths. The
+    * files are INVISIBLE until a manifest references them. */
+  private def writeData(df: DataFrame): Seq[String] = {
+    val tmp = new Path(rootPath, s".tmp-${UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.mkdirs(dataDir)
+    val parts = fs.listStatus(tmp).filter { s =>
+      s.isFile && s.getPath.getName.startsWith("part-")
+    }
+    val moved = parts.map { p =>
+      val name = s"${UUID.randomUUID()}-${p.getPath.getName}"
+      if (!fs.rename(p.getPath, new Path(dataDir, name)))
+        throw new java.io.IOException(s"move ${p.getPath} -> data/$name failed")
+      s"data/$name"
+    }.toSeq
+    fs.delete(tmp, true)
+    moved
+  }
+
+  private def deleteData(relPath: String): Unit =
+    fs.delete(new Path(rootPath, relPath), false)
+
+  private def manifestJson(v: Long, action: String, files: Seq[String],
+      schema: StructType, txn: Option[(String, Long)]): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", v)
+    root.put("action", action)
+    val arr = root.putArray("files")
+    files.foreach(arr.add)
+    root.put("schema", schema.json)
+    txn.foreach { case (id, epoch) =>
+      val t = root.putObject("txn"); t.put("id", id); t.put("epoch", epoch)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** Atomically publish `json` as version `v`; false = version taken. */
+  private def tryCommit(v: Long, json: String): Boolean = {
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}.json")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val dst = manifestPath(v)
+    val won =
+      if ("file" == dst.toUri.getScheme || dst.toUri.getScheme == null) {
+        // local FS: POSIX rename REPLACES an existing destination, so
+        // rename is not a safe CAS here — hard-link create is (EEXIST)
+        val tmpNio = Paths.get(fs.makeQualified(tmp).toUri)
+        val dstNio = Paths.get(fs.makeQualified(dst).toUri)
+        try { Files.createLink(dstNio, tmpNio); true }
+        catch { case _: FileAlreadyExistsException => false }
+      } else {
+        // HDFS-like: rename fails (returns false) when dst exists
+        !fs.exists(dst) && fs.rename(tmp, dst)
+      }
+    fs.delete(tmp, false)
+    won
+  }
+}
+
+object CommitLog {
+  sealed trait MergeMode
+  case object InsertIfAbsent extends MergeMode
+  case object LastWins extends MergeMode
+
+  def apply(spark: SparkSession, tableRoot: String): CommitLog =
+    new CommitLog(spark, tableRoot)
+
+  /** Does `tableRoot` hold a commit-log table? */
+  def exists(spark: SparkSession, tableRoot: String): Boolean = {
+    val p = new Path(tableRoot, "_graft_log")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

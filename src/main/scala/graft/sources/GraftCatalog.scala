@@ -25,6 +25,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - `merge.keys` = comma-separated key columns
   *  - `merge.mode` = `insert-if-absent` (reference semantics, default
   *    when keys are set) | `last-wins` | `append` (plain)
+  *  - `merge.log` = `true` routes writes through the versioned
+  *    [[CommitLog]] — per-item-atomic under CONCURRENT writers like the
+  *    reference's conditional put; the default directory-swap path is
+  *    documented single-writer
   *
   * The write plugs in through the public `V1Write` bridge (the same
   * bridge Spark's own JDBC V2 connector writes through): Catalyst
@@ -166,12 +170,35 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
     fs.exists(new Path(dataPath))
   }
 
+  private def logged: Boolean = props.get("merge.log").contains("true")
+
   private def insert(data: DataFrame, overwrite: Boolean): Unit = {
     import graft.operators.{Sinks, Upsert}
     // Catalyst has already matched `data` to the declared schema (that
     // is what the catalog buys over a path write); column order is
     // normalized here only so parquet files stay field-order stable.
     val aligned = data.select(schema0.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    if (logged) {
+      // merge.log=true: writes go through the versioned commit log —
+      // per-table serialization under CONCURRENT writers (the
+      // reference's conditional-put guarantee, which the plain
+      // directory-swap path below does not give)
+      val log = CommitLog(data.sparkSession, path)
+      if (overwrite) log.replaceAll(aligned)
+      else mode match {
+        case "append" => log.append(aligned)
+        case "insert-if-absent" =>
+          require(keys.nonEmpty, s"$ident: merge.mode=$mode requires merge.keys")
+          log.upsert(aligned, keys, CommitLog.InsertIfAbsent)
+        case "last-wins" =>
+          require(keys.nonEmpty, s"$ident: merge.mode=$mode requires merge.keys")
+          log.upsert(aligned, keys, CommitLog.LastWins)
+        case other =>
+          throw new IllegalArgumentException(
+            s"$ident: unknown merge.mode '$other' (append | insert-if-absent | last-wins)")
+      }
+      return
+    }
     val target = if (overwrite || !exists(data)) None
       else Some(data.sparkSession.read.schema(schema0).parquet(dataPath))
     (mode, target) match {
@@ -193,7 +220,13 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
 
 object GraftMergeTable {
   /** Read a graft-catalog table's data (the V1 read side of the V1Write
-    * bridge — parquet scan with full pushdown/pruning). */
-  def read(spark: SparkSession, warehouse: String, table: String): DataFrame =
-    spark.read.parquet(s"$warehouse/$table/data")
+    * bridge — parquet scan with full pushdown/pruning). Commit-log
+    * tables (`merge.log=true`) are read at their latest committed
+    * version — NEVER by directory listing, which would see retired and
+    * in-flight files. */
+  def read(spark: SparkSession, warehouse: String, table: String): DataFrame = {
+    val root = s"$warehouse/$table"
+    if (CommitLog.exists(spark, root)) CommitLog(spark, root).read()
+    else spark.read.parquet(s"$root/data")
+  }
 }

@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CommitLog, GraftMergeTable}
+import graft.streaming.StreamMergeSink
+
+/** CommitLog: versioned manifests, optimistic multi-writer commits,
+  * txn idempotency; plus the catalog (`merge.log=true`) and streaming
+  * (StreamMergeSink) bindings on top of it. */
+class CommitLogSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmpTable(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  test("append + read round-trip; replace retires old files; empty read keeps schema") {
+    val t = tmpTable("clog-rt")
+    val log = CommitLog(spark, t)
+    assert(log.snapshot().version === -1L)
+
+    assert(log.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) === 0L)
+    assert(log.append(Seq((3L, "c")).toDF("id", "v")) === 1L)
+    assert(log.read().as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    assert(log.replaceAll(Seq((9L, "z")).toDF("id", "v")) === 2L)
+    assert(log.read().as[(Long, String)].collect().toSet === Set((9L, "z")))
+
+    // truncate to empty: schema survives in the manifest
+    assert(log.replaceAll(Seq.empty[(Long, String)].toDF("id", "v")) === 3L)
+    val empty = log.read()
+    assert(empty.count() === 0L)
+    assert(empty.schema.fieldNames.toSeq === Seq("id", "v"))
+  }
+
+  test("upsert merges per mode and recomputes against the committed table") {
+    val t = tmpTable("clog-merge")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    log.upsert(Seq((2L, "CHANGED"), (3L, "c")).toDF("id", "v"),
+      Seq("id"), CommitLog.InsertIfAbsent)
+    assert(log.read().as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    log.upsert(Seq((3L, "c2"), (4L, "d")).toDF("id", "v"),
+      Seq("id"), CommitLog.LastWins)
+    assert(log.read().as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c2"), (4L, "d")))
+  }
+
+  test("txn epochs make replays no-ops (streaming restart contract)") {
+    val t = tmpTable("clog-txn")
+    val log = CommitLog(spark, t)
+    val v1 = log.upsert(Seq((1L, "a")).toDF("id", "v"), Seq("id"),
+      CommitLog.InsertIfAbsent, txn = Some("q" -> 0L))
+    // same (writer, epoch) again — even with different data — is skipped
+    val v2 = log.upsert(Seq((1L, "SHOULD NOT LAND")).toDF("id", "v"), Seq("id"),
+      CommitLog.LastWins, txn = Some("q" -> 0L))
+    assert(v2 === v1)
+    // a LOWER epoch (late replay of an old batch) is also skipped
+    val v3 = log.append(Seq((7L, "late")).toDF("id", "v"), txn = Some("q" -> -1L))
+    assert(v3 === v1)
+    // the next epoch lands
+    log.upsert(Seq((2L, "b")).toDF("id", "v"), Seq("id"),
+      CommitLog.InsertIfAbsent, txn = Some("q" -> 1L))
+    assert(log.read().as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("concurrent appends from 8 writers all land; versions are contiguous") {
+    val t = tmpTable("clog-conc-app")
+    val pool = Executors.newFixedThreadPool(8)
+    val start = new CountDownLatch(1)
+    val futures = (0 until 8).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          start.await()
+          CommitLog(spark, t).append(
+            Seq((w.toLong, s"writer-$w")).toDF("id", "v"))
+        }
+      })
+    }
+    start.countDown()
+    val versions = futures.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    // every writer won SOME version, versions are exactly 0..7
+    assert(versions.sorted === (0L until 8L))
+    val log = CommitLog(spark, t)
+    assert(log.snapshot().version === 7L)
+    assert(log.read().as[(Long, String)].collect().toSet
+      === (0 until 8).map(w => (w.toLong, s"writer-$w")).toSet)
+  }
+
+  test("concurrent upserts serialize: disjoint key sets merge losslessly") {
+    val t = tmpTable("clog-conc-ups")
+    CommitLog(spark, t).append(Seq((-1L, "seed")).toDF("id", "v"))
+    val pool = Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    val futures = (0 until 4).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          start.await()
+          CommitLog(spark, t).upsert(
+            Seq((w.toLong, s"w$w")).toDF("id", "v"),
+            Seq("id"), CommitLog.InsertIfAbsent)
+        }
+      })
+    }
+    start.countDown()
+    futures.foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    // a lost-and-retried merge must not drop the winner's rows
+    assert(CommitLog(spark, t).read().as[(Long, String)].collect().toSet
+      === Set((-1L, "seed"), (0L, "w0"), (1L, "w1"), (2L, "w2"), (3L, "w3")))
+  }
+
+  test("vacuum deletes only unreferenced data files") {
+    val t = tmpTable("clog-vac")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a")).toDF("id", "v"))
+    log.replaceAll(Seq((2L, "b")).toDF("id", "v"))
+    // v0's files are retired by the replace → vacuum reclaims them
+    assert(log.vacuum() > 0)
+    assert(log.read().as[(Long, String)].collect().toSet === Set((2L, "b")))
+    assert(log.vacuum() === 0)
+  }
+
+  test("catalog merge.log=true: concurrent-writer-safe writeTo path + log read") {
+    val wh = Files.createTempDirectory("graft-wh-log").toString
+    spark.conf.set("spark.sql.catalog.glog", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.glog.warehouse", wh)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "nome")
+      .writeTo("glog.stations")
+      .tableProperty("merge.keys", "id")
+      .tableProperty("merge.log", "true")
+      .create()
+    Seq((2L, "CHANGED"), (3L, "c")).toDF("id", "nome")
+      .writeTo("glog.stations").append()
+    assert(GraftMergeTable.read(spark, wh, "stations")
+      .as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // two committed versions in the log
+    assert(CommitLog(spark, s"$wh/stations").snapshot().version === 1L)
+  }
+
+  test("StreamMergeSink: micro-batches merge insert-if-absent into the log table") {
+    val t = tmpTable("clog-stream")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("id", "v", "seq")
+    val q = StreamMergeSink.mergeInto(stream, t, Seq("id"),
+      CommitLog.InsertIfAbsent, queryName = "sms-test", orderCol = Some("seq"))
+      .start()
+    try {
+      mem.addData((1L, "a", 1L), (2L, "b", 1L), (2L, "b2", 2L)) // in-batch dup on id=2
+      q.processAllAvailable()
+      mem.addData((2L, "NEW", 3L), (3L, "c", 1L)) // id=2 exists → kept as-is
+      q.processAllAvailable()
+      val got = CommitLog(spark, t).read()
+        .select($"id", $"v").as[(Long, String)].collect().toSet
+      assert(got === Set((1L, "a"), (2L, "b2"), (3L, "c")))
+      // txn record carries the (query, batch) watermark for restarts
+      val txns = CommitLog(spark, t).snapshot().txns
+      assert(txns.get("sms-test").exists(_ >= 1L))
+    } finally q.stop()
+  }
+}
