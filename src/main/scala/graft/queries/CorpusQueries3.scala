@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Containment
+import graft.sources.Tables
+
+/** Round-7 additions: asymmetric (containment) near-dup and n-gram
+  * novelty — the one-sided dup classes Jaccard dedup misses. Both
+  * DuckDB-oracled via the shared md5 gram-hash discipline. */
+object CorpusQueries3 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** C2 containment pairs ([[graft.operators.Containment]]): shared
+    * df-capped trigram counts + both one-sided containments, pairs
+    * where either direction ≥ 0.6. The df ≤ 50 cap bounds the gram
+    * join (stopword shingles are excluded from the declared
+    * similarity, not silently dropped from candidates). */
+  private val q106 = Q(
+    "q106_containment_pairs",
+    (s, dir) =>
+      Containment.containmentPairs(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3, tau = 0.6, maxDf = 50)
+        .orderBy(col("a_id"), col("b_id")),
+    Some("""WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS words FROM documents),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(words)-1, 2)),
+          i -> array_to_string(words[i:i+2],' ')))) AS gram FROM w),
+      h AS (SELECT doc_id, ('0x' || substr(md5(gram),1,15))::BIGINT AS hg FROM g),
+      freq AS (SELECT hg, COUNT(*) AS df FROM h GROUP BY hg),
+      live AS (SELECT doc_id, hg FROM h JOIN freq USING (hg) WHERE df <= 50),
+      tot AS (SELECT doc_id, COUNT(*) AS n FROM live GROUP BY doc_id),
+      sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+        FROM live a JOIN live b ON a.hg = b.hg AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT a_id, b_id, shared,
+        round(shared / CAST(ta.n AS DOUBLE), 6) AS cont_a,
+        round(shared / CAST(tb.n AS DOUBLE), 6) AS cont_b
+      FROM sh
+      JOIN tot ta ON ta.doc_id = a_id
+      JOIN tot tb ON tb.doc_id = b_id
+      WHERE greatest(shared / CAST(ta.n AS DOUBLE),
+                     shared / CAST(tb.n AS DOUBLE)) >= 0.6
+      ORDER BY a_id, b_id"""))
+
+  /** C2/C5 n-gram novelty ([[Containment.noveltyScores]]): fraction of
+    * each doc's distinct trigrams first seen in THIS doc under
+    * ascending doc_id — the no-pair-enumeration "mostly restates
+    * earlier text" filter. */
+  private val q107 = Q(
+    "q107_ngram_novelty",
+    (s, dir) =>
+      Containment.noveltyScores(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3)
+        .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS words FROM documents),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(words)-1, 2)),
+          i -> array_to_string(words[i:i+2],' ')))) AS gram FROM w),
+      h AS (SELECT doc_id, ('0x' || substr(md5(gram),1,15))::BIGINT AS hg FROM g),
+      f AS (SELECT hg, MIN(doc_id) AS first_doc FROM h GROUP BY hg),
+      per AS (SELECT doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM h JOIN f USING (hg) GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+        CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+        round(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS novelty
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
+
+  val qs: Seq[Q] = Seq(q106, q107)
+}
