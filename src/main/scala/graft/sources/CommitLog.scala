@@ -46,9 +46,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * exactly-once table contents over at-least-once micro-batch replays.
   *
   * Scale notes: manifests are metadata-sized (file lists, not rows);
-  * the fold is O(versions) driver work (a production log would add
-  * checkpoint manifests every N versions — same read path, fewer
-  * files). `upsert` rewrites the full live set like the directory-swap
+  * the fold is O(versions since the last checkpoint) — [[compact]]
+  * writes a checkpoint manifest restating the full state (live files,
+  * schema, txn table) and [[prune]] deletes the now-redundant prefix,
+  * the standard log-compaction move. `upsert` rewrites the full live
+  * set like the directory-swap
   * sink it replaces ([[graft.operators.Sinks.writeAtomic]]); at 100 TB
   * the table would be key-partitioned so a merge rewrites only the
   * partitions the anti-join touches, each as its own `replace` of that
@@ -102,6 +104,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         val epoch = t.get("epoch").asLong()
         txns = txns.updated(id, math.max(epoch, txns.getOrElse(id, Long.MinValue)))
       }
+      // a checkpoint manifest carries the FULL folded txn table, so the
+      // fold stays correct when pre-checkpoint manifests are pruned
+      Option(node.get("txns")).foreach(_.properties().asScala.foreach { e =>
+        txns = txns.updated(e.getKey,
+          math.max(e.getValue.asLong(), txns.getOrElse(e.getKey, Long.MinValue)))
+      })
     }
     Snapshot(version, files, schema, txns)
   }
@@ -185,6 +193,60 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       v = s.version + 1
     }
     v
+  }
+
+  /** Fold the whole log into ONE checkpoint manifest at the next
+    * version: a `replace` that restates the live file set, the schema,
+    * and the complete per-writer txn table. Everything a reader needs
+    * is then in the tail of the log, so [[prune]] can delete the
+    * manifests before it — the O(versions) snapshot fold becomes
+    * O(versions since last checkpoint), the standard log-compaction
+    * move at scale. Data files are untouched (no rewrite). Returns the
+    * checkpoint version. */
+  def compact(): Long = {
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      require(s.version >= 0, s"$tableRoot: nothing to compact")
+      val root = mapper.createObjectNode()
+      root.put("version", s.version + 1)
+      root.put("action", "replace")
+      root.put("checkpoint", true)
+      val arr = root.putArray("files")
+      s.files.foreach(arr.add)
+      s.schema.foreach(sc => root.put("schema", sc.json))
+      val tn = root.putObject("txns")
+      s.txns.foreach { case (id, epoch) => tn.put(id, epoch) }
+      if (tryCommit(s.version + 1, mapper.writeValueAsString(root)))
+        return s.version + 1
+      attempts += 1
+      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+    }
+    -1L // unreachable
+  }
+
+  /** Delete every manifest strictly older than the LATEST checkpoint
+    * (the checkpoint restates the full state, so they are redundant
+    * for any new reader; an in-flight reader that already listed them
+    * still reads them — manifests are immutable). No-op without a
+    * checkpoint. Returns the number pruned. */
+  def prune(): Int = {
+    if (!fs.exists(logDir)) return 0
+    val manifests = fs.listStatus(logDir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json")
+        && !s.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+    val lastCk = manifests.lastIndexWhere { m =>
+      val in = fs.open(m.getPath)
+      val raw = try {
+        val bytes = new Array[Byte](m.getLen.toInt)
+        in.readFully(bytes); new String(bytes, "UTF-8")
+      } finally in.close()
+      Option(mapper.readTree(raw).get("checkpoint")).exists(_.asBoolean())
+    }
+    if (lastCk <= 0) return 0
+    manifests.take(lastCk).foreach(m => fs.delete(m.getPath, false))
+    lastCk
   }
 
   /** Delete data files no manifest references (lost-race leftovers).

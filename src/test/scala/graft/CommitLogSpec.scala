@@ -120,6 +120,26 @@ class CommitLogSpec extends SparkSpecBase {
       === Set((-1L, "seed"), (0L, "w0"), (1L, "w1"), (2L, "w2"), (3L, "w3")))
   }
 
+  test("compact + prune: checkpoint restates state; pruned log reads identically") {
+    val t = tmpTable("clog-compact")
+    val log = CommitLog(spark, t)
+    (0 until 6).foreach(i =>
+      log.append(Seq((i.toLong, s"v$i")).toDF("id", "v"), txn = Some("w" -> i.toLong)))
+    val before = log.read().as[(Long, String)].collect().toSet
+    val ck = log.compact()
+    assert(ck === 6L)
+    assert(log.prune() === 6) // versions 0..5 are redundant now
+    val after = CommitLog(spark, t)
+    assert(after.read().as[(Long, String)].collect().toSet === before)
+    // txn table survives pruning via the checkpoint's txns field:
+    // an old-epoch replay is still recognized as a no-op
+    val v = after.append(Seq((99L, "replay")).toDF("id", "v"), txn = Some("w" -> 3L))
+    assert(v === ck)
+    assert(!after.read().as[(Long, String)].collect().toSet.contains((99L, "replay")))
+    // and writes continue from the checkpoint version
+    assert(after.append(Seq((7L, "v7")).toDF("id", "v"), txn = Some("w" -> 6L)) === 7L)
+  }
+
   test("vacuum deletes only unreferenced data files") {
     val t = tmpTable("clog-vac")
     val log = CommitLog(spark, t)
