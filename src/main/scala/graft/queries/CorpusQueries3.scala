@@ -72,5 +72,27 @@ object CorpusQueries3 {
         round(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS novelty
       FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
 
-  val qs: Seq[Q] = Seq(q106, q107)
+  /** B6 grouped exact quantiles at MANY groups
+    * ([[graft.operators.ExactQuantile.quantilesByGroup]]): per-supplier
+    * exact p50/p99 over ~100 (sf0.01) to ~1000 (sf0.1) groups — q20's
+    * operator at realistic group counts, still O(levels) jobs total.
+    * `collectThreshold` is forced low so the distributed narrowing
+    * (not the small-group collect shortcut) is what the oracle checks;
+    * the driver never holds more than (active groups × bins) histogram
+    * cells. */
+  private val q108 = Q(
+    "q108_grouped_quantiles_scale",
+    (s, dir) =>
+      graft.operators.ExactQuantile.quantilesByGroup(
+        t(s, dir, "lineitem"), Seq("l_suppkey"), "l_extendedprice",
+        Seq(0.5, 0.99), Seq("p50_price", "p99_price"), countCol = Some("n"),
+        bins = 128, collectThreshold = 64)
+        .orderBy(col("l_suppkey")),
+    Some("""SELECT l_suppkey,
+        CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50_price,
+        CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE) AS p99_price,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""))
+
+  val qs: Seq[Q] = Seq(q106, q107, q108)
 }
