@@ -94,5 +94,36 @@ object CorpusQueries3 {
         COUNT(*) AS n
       FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""))
 
-  val qs: Seq[Q] = Seq(q106, q107, q108)
+  /** C3 per-dimension embedding statistics — the normalization input
+    * every ANN/quantization pipeline computes before indexing (center/
+    * scale, dead-dimension detection). One posexplode + one 64-group
+    * aggregate: the shuffle carries (dim, partial moments), map-side
+    * combined, never vectors. Values are O(1) magnitude and outputs
+    * round to 6 dp, so the engines' differing accumulation orders stay
+    * far below the hash grain (the q21 numeric policy). */
+  private val q109 = Q(
+    "q109_embedding_dim_stats",
+    (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "__x")))
+        .select(col("dim"), col("__x").cast("double").as("__x"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("__x")), 6).as("mean"),
+          round(stddev_pop(col("__x")), 6).as("std"),
+          round(min(col("__x")), 6).as("min_x"),
+          round(max(col("__x")), 6).as("max_x"))
+        .orderBy(col("dim")),
+    Some("""WITH u AS (SELECT unnest(list_transform(range(1, len(embedding) + 1),
+          i -> struct_pack(d := CAST(i - 1 AS INT),
+                           x := CAST(embedding[i] AS DOUBLE)))) AS e
+        FROM embeddings)
+      SELECT e.d AS dim, COUNT(*) AS n,
+        round(avg(e.x), 6) AS mean,
+        round(stddev_pop(e.x), 6) AS std,
+        round(min(e.x), 6) AS min_x,
+        round(max(e.x), 6) AS max_x
+      FROM u GROUP BY e.d ORDER BY dim"""))
+
+  val qs: Seq[Q] = Seq(q106, q107, q108, q109)
 }

@@ -70,13 +70,21 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
 
   private def manifestPath(v: Long): Path = new Path(logDir, f"$v%020d.json")
 
-  def snapshot(): Snapshot = {
+  def snapshot(): Snapshot = snapshotAt(Long.MaxValue)
+
+  /** The log folded up to version `asOf` (inclusive) — TIME TRAVEL.
+    * Versions older than the last [[prune]]d checkpoint are gone (the
+    * fold then starts at that checkpoint); data files of retired
+    * versions survive until [[vacuum]], which is what makes old
+    * snapshots readable at all. */
+  def snapshotAt(asOf: Long): Snapshot = {
     if (!fs.exists(logDir)) return Snapshot(-1L, Nil, None, Map.empty)
     val manifests = fs.listStatus(logDir)
       // dot-prefixed names are IN-FLIGHT tmp manifests (mid-write);
       // only the atomically-published versioned files are the log
       .filter(s => s.isFile && s.getPath.getName.endsWith(".json")
-        && !s.getPath.getName.startsWith("."))
+        && !s.getPath.getName.startsWith(".")
+        && s.getPath.getName.takeWhile(_ != '.').toLong <= asOf)
       .sortBy(_.getPath.getName)
     var files = Vector.empty[String]
     var schema: Option[StructType] = None
@@ -117,6 +125,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   /** The table at the latest version (explicit file-list scan — full
     * parquet pushdown/pruning, no directory listing). */
   def read(): DataFrame = readAt(snapshot())
+
+  /** The table as of version `v` — every committed version stays
+    * readable until [[prune]]/[[vacuum]] retire it, because a merge
+    * RETIRES files by writing a new manifest, never by deleting. */
+  def readVersion(v: Long): DataFrame = {
+    val s = snapshotAt(v)
+    require(s.version == v, s"$tableRoot: version $v not in the log " +
+      s"(earliest retained fold reaches ${s.version})")
+    readAt(s)
+  }
 
   private def readAt(s: Snapshot): DataFrame = {
     val reader = s.schema.fold(spark.read)(spark.read.schema)

@@ -140,6 +140,23 @@ class CommitLogSpec extends SparkSpecBase {
     assert(after.append(Seq((7L, "v7")).toDF("id", "v"), txn = Some("w" -> 6L)) === 7L)
   }
 
+  test("time travel: every committed version stays readable until retired") {
+    val t = tmpTable("clog-tt")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a")).toDF("id", "v"))                       // v0
+    log.upsert(Seq((1L, "A2"), (2L, "b")).toDF("id", "v"),
+      Seq("id"), CommitLog.LastWins)                                 // v1
+    log.replaceAll(Seq((9L, "z")).toDF("id", "v"))                   // v2
+    assert(log.readVersion(0).as[(Long, String)].collect().toSet === Set((1L, "a")))
+    assert(log.readVersion(1).as[(Long, String)].collect().toSet
+      === Set((1L, "A2"), (2L, "b")))
+    assert(log.readVersion(2).as[(Long, String)].collect().toSet === Set((9L, "z")))
+    assertThrows[IllegalArgumentException](log.readVersion(3))
+    // vacuum retires the files old versions point at; latest still reads
+    log.vacuum()
+    assert(log.read().as[(Long, String)].collect().toSet === Set((9L, "z")))
+  }
+
   test("vacuum deletes only unreferenced data files") {
     val t = tmpTable("clog-vac")
     val log = CommitLog(spark, t)
