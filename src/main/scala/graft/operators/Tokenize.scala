@@ -63,6 +63,62 @@ object Tokenize {
       regexp_extract_all(text, lit("(?i)" + pattern), lit(0))
   }
 
+  /** Byte-pair-encoding model: pre-tokenize with `pre` (the GPT-2-style
+    * regex pre-split), then greedily apply `merges` per pre-token —
+    * canonical BPE: repeatedly find the lowest-rank adjacent symbol
+    * pair and merge ALL its non-overlapping occurrences left-to-right.
+    * The merge table is vocabulary-sized and ships in the UDF closure
+    * (broadcast with the task), so tokenization is a per-row map with
+    * no shuffle — the one Model that genuinely needs a UDF (iterative
+    * data-dependent merging has no built-in column form; SURVEY B15
+    * declares the UDF surface). Everything downstream (counts, budgets,
+    * ids) composes unchanged, which is the point of the shared Model.
+    *
+    * No SQL oracle can replay the merge loop, so BPE queries get the
+    * driver's rows-only check; the ScalaTest spec pins exact merges. */
+  final case class Bpe(merges: Seq[(String, String)],
+      pre: Model = Regex()) extends Model {
+    private val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+    def tokens(text: Column): Column = {
+      val r = ranks  // avoid capturing `this` in the closure
+      val m = merges.toIndexedSeq
+      val f = org.apache.spark.sql.functions.udf { (toks: Seq[String]) =>
+        if (toks == null) null else toks.flatMap(Tokenize.bpeWord(_, r, m))
+      }
+      f(pre.tokens(text))
+    }
+  }
+
+  /** Greedy BPE of one pre-token: chars → symbols, merge best-ranked
+    * pair everywhere, repeat until no merge applies. */
+  private[operators] def bpeWord(w: String,
+      ranks: Map[(String, String), Int],
+      merges: IndexedSeq[(String, String)]): Seq[String] = {
+    var parts: Vector[String] = w.map(_.toString).toVector
+    var continue = parts.size > 1
+    while (continue) {
+      val best = parts.iterator.zip(parts.iterator.drop(1))
+        .flatMap(p => ranks.get(p))
+        .minOption
+      best match {
+        case None => continue = false
+        case Some(rank) =>
+          val (a, b) = merges(rank)
+          val buf = Vector.newBuilder[String]
+          var i = 0
+          while (i < parts.size) {
+            if (i < parts.size - 1 && parts(i) == a && parts(i + 1) == b) {
+              buf += (a + b); i += 2
+            } else { buf += parts(i); i += 1 }
+          }
+          parts = buf.result()
+          continue = parts.size > 1
+      }
+    }
+    parts
+  }
+
   def tokens(text: Column, model: Model = Whitespace): Column =
     model.tokens(text)
 

@@ -125,5 +125,59 @@ object CorpusQueries3 {
         round(max(e.x), 6) AS max_x
       FROM u GROUP BY e.d ORDER BY dim"""))
 
-  val qs: Seq[Q] = Seq(q106, q107, q108, q109)
+  /** C5 deterministic corpus split — train/val/test by hash bucket of
+    * the doc id (98/1/1 over 1000 buckets): the standard leakage-safe
+    * split (membership is a pure function of the id — stable across
+    * reruns, engines, and corpus growth; no sampling state). Pure
+    * projection + 3-group aggregate; the oracle replays the md5
+    * bucket. */
+  private val q110 = Q(
+    "q110_deterministic_split",
+    (s, dir) => {
+      val bucket = pmod(
+        graft.operators.Contamination.gramHash(col("doc_id").cast("string")),
+        lit(1000))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(bucket < 980, "train").when(bucket < 990, "val")
+            .otherwise("test").as("split"),
+          graft.operators.Tokenize.count(col("text")).as("__nt"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("n_tok"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .orderBy(col("split"))
+    },
+    Some("""WITH b AS (SELECT doc_id,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS bk,
+          len(string_split(lower(text), ' ')) AS nt
+        FROM documents)
+      SELECT CASE WHEN bk < 980 THEN 'train' WHEN bk < 990 THEN 'val'
+               ELSE 'test' END AS split,
+        COUNT(*) AS n_docs,
+        CAST(SUM(nt) AS BIGINT) AS n_tok,
+        bit_xor(doc_id) AS id_xor
+      FROM b GROUP BY 1 ORDER BY split"""))
+
+  /** C5 BPE tokenization ([[graft.operators.Tokenize.Bpe]]): a real
+    * merge-table tokenizer over the regex pre-split, with a corpus-
+    * derived merge list. The merge loop has no SQL form, so this is a
+    * rows-only query (oracle = None — the driver's weaker check); the
+    * exact merge semantics are pinned by TokenizeSpec instead. */
+  private val q111 = Q(
+    "q111_bpe_tokenize",
+    (s, dir) => {
+      val model = graft.operators.Tokenize.Bpe(Seq(
+        "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "o" -> "n",
+        "e" -> "r", "an" -> "d", "in" -> "g", "o" -> "u", "s" -> "t"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), model.tokens(col("text")).as("__bpe"))
+        .select(col("doc_id"),
+          size(col("__bpe")).cast("long").as("n_bpe"),
+          md5(concat_ws("", col("__bpe"))).as("bpe_fp"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111)
 }

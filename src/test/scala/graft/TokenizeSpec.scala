@@ -77,4 +77,31 @@ class TokenizeSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$plan")
   }
+
+  test("BPE: canonical greedy merge - lowest rank first, all occurrences") {
+    // merges: (a,b) rank 0, (ab,c) rank 1
+    val m = Tokenize.Bpe(Seq("a" -> "b", "ab" -> "c"))
+    val out = Seq((1L, "abc abab zq"))
+      .toDF("id", "text")
+      .select(m.tokens($"text").as("t")).as[Seq[String]].head()
+    // "abc" -> ab c -> abc; "abab" -> ab ab; "zq" has no merges -> z q
+    assert(out === Seq("abc", "ab", "ab", "z", "q"))
+  }
+
+  test("BPE: merge order is by rank, not by position") {
+    // rank 0 = (n,a) fires before rank 1 = (b,a) even though (b,a)
+    // occurs first in the string: b a n a n a -> b a na na -> ba na na
+    val m = Tokenize.Bpe(Seq("n" -> "a", "b" -> "a"))
+    val out = Seq((1L, "banana")).toDF("id", "text")
+      .select(m.tokens($"text").as("t")).as[Seq[String]].head()
+    assert(out === Seq("ba", "na", "na"))
+  }
+
+  test("BPE composes with the shared count/n_tok surface") {
+    val m = Tokenize.Bpe(Seq("a" -> "b"))
+    val n = Seq((1L, "ab ab cd")).toDF("id", "text")
+      .select(Tokenize.count($"text", m)).as[Long].head()
+    // "ab"->1 symbol twice, "cd"->2 symbols: 4 BPE tokens
+    assert(n === 4L)
+  }
 }
