@@ -33,15 +33,32 @@ object AsOf {
     if (keys.isEmpty) df // keyless (global single-series) as-of join
     else df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
 
+  /** `direction` extends the reference's backward lookup to the full
+    * merge_asof family:
+    *  - `backward` (default): newest right with `rts <= lts`;
+    *  - `forward`: earliest right with `rts >= lts` (the symmetric
+    *    window over descending time — still one shuffle, the second
+    *    sort reuses the key exchange);
+    *  - `nearest`: whichever of the two is closer in time, ties to the
+    *    backward match (pandas semantics).
+    * `tolerance` (an INTERVAL column, e.g. `expr("INTERVAL 1 HOUR")`)
+    * nulls out matches farther than the interval from the left
+    * timestamp — applied per direction BEFORE the nearest choice. */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      rightPrefix: String = "r_"): DataFrame = {
+      rightPrefix: String = "r_",
+      direction: String = "backward",
+      tolerance: Option[Column] = None): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward | forward | nearest, got '$direction'")
     val rightNN = nonNullKeys(right, keys)
     val rightPayload = right.columns.filterNot(keys.contains(_)).toIndexedSeq
+    require(rightPayload.contains(rightTs),
+      s"right ts column $rightTs must not be a join key")
     val rStructCols = rightPayload.map(c => col(c).as(c))
     val rStructType = right.select(rStructCols: _*).schema
 
@@ -59,14 +76,43 @@ object AsOf {
         lit(null).cast(lTagged.schema("__l").dataType).as("__l"),
         struct(rStructCols: _*).as("__r")): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+    // at equal timestamps the right row sorts first in BOTH orderings
+    // (side 0 < 1 ascending on the tie column), so <= / >= stay inclusive
+    def w(order: Column) = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def mts(m: Column) = m.getField(rightTs).cast("timestamp")
+    // tolerance nulls out a directional match farther than tol from lts
+    def tolB(m: Column): Column = tolerance.fold(m)(tol =>
+      when(m.isNotNull && mts(m) >= col("__ts") - tol, m))
+    def tolF(m: Column): Column = tolerance.fold(m)(tol =>
+      when(m.isNotNull && mts(m) <= col("__ts") + tol, m))
+    val mBack = last(col("__r"), ignoreNulls = true).over(w(col("__ts").asc))
+    val mFwd = last(col("__r"), ignoreNulls = true).over(w(col("__ts").desc))
 
-    val joined = lTagged.unionByName(rTagged)
-      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-
+    val union = lTagged.unionByName(rTagged)
+    val matched = direction match {
+      case "backward" =>
+        union.withColumn("__mb", mBack)
+          .withColumn("__match", tolB(col("__mb")))
+      case "forward" =>
+        union.withColumn("__mf", mFwd)
+          .withColumn("__match", tolF(col("__mf")))
+      case "nearest" =>
+        union
+          .withColumn("__mb", mBack).withColumn("__mf", mFwd)
+          .withColumn("__mb", tolB(col("__mb")))
+          .withColumn("__mf", tolF(col("__mf")))
+          .withColumn("__match",
+            when(col("__mb").isNull, col("__mf"))
+              .when(col("__mf").isNull, col("__mb"))
+              // strict <: a tie in distance keeps the backward match
+              .when(unix_micros(mts(col("__mf"))) - unix_micros(col("__ts"))
+                  < unix_micros(col("__ts")) - unix_micros(mts(col("__mb"))),
+                col("__mf"))
+              .otherwise(col("__mb")))
+    }
+    val joined = matched.filter(col("__side") === 1)
     val leftOut = left.columns.toIndexedSeq.map(c => col(s"__l.$c").as(c))
     val rightOut = rightPayload.map(c => col(s"__match.$c").as(rightPrefix + c))
     joined.select(leftOut ++ rightOut: _*)

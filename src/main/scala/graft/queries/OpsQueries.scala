@@ -147,5 +147,77 @@ object OpsQueries {
       COUNT(*) AS n, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  def qs: Seq[Q] = Seq(q36, q37, q38, q39, q40, q66)
+  /** B13 forward as-of with tolerance ([[AsOf.asofJoin]] direction =
+    * forward): for each purchase, the EARLIEST click at-or-after it,
+    * nulled when more than 30 minutes later — the merge_asof surface
+    * beyond the reference's backward lookup. Right side pre-deduped to
+    * one row per (user, ts) so both engines pick the same row at ties. */
+  private val q112 = Q(
+    "q112_asof_forward_tolerance",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val clicks = Dedup.lastWins(
+        ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id".as("click_event_id")),
+        Seq("user_id", "ts"), Seq("click_event_id"))
+      AsOf.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts", "next_",
+          direction = "forward",
+          tolerance = Some(expr("INTERVAL 30 MINUTES")))
+        .select($"event_id", $"user_id", $"ts", $"value",
+          $"next_ts", $"next_click_event_id".as("next_click_id"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH c AS (SELECT user_id, ts, MAX(event_id) AS click_event_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      j AS (SELECT l.event_id, l.user_id, l.ts, l.value,
+          r.ts AS rts, r.click_event_id AS rid
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN c r ON l.user_id = r.user_id AND l.ts <= r.ts)
+      SELECT event_id, user_id, ts, value,
+        CASE WHEN rts <= ts + INTERVAL 30 MINUTE THEN rts END AS next_ts,
+        CASE WHEN rts <= ts + INTERVAL 30 MINUTE THEN rid END AS next_click_id
+      FROM j ORDER BY event_id"""))
+
+  /** B13 nearest as-of ([[AsOf.asofJoin]] direction = nearest): the
+    * closer of the backward and forward matches, ties to backward
+    * (pandas merge_asof semantics). The oracle composes two DuckDB
+    * ASOF joins and replays the strict-< choice. */
+  private val q113 = Q(
+    "q113_asof_nearest",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val clicks = Dedup.lastWins(
+        ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id".as("click_event_id")),
+        Seq("user_id", "ts"), Seq("click_event_id"))
+      AsOf.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts", "near_",
+          direction = "nearest")
+        .select($"event_id", $"user_id", $"ts", $"value",
+          $"near_ts", $"near_click_event_id".as("near_click_id"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH c AS (SELECT user_id, ts, MAX(event_id) AS click_event_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      b AS (SELECT l.event_id, r.ts AS bts, r.click_event_id AS bid
+        FROM p l ASOF LEFT JOIN c r ON l.user_id = r.user_id AND l.ts >= r.ts),
+      f AS (SELECT l.event_id, r.ts AS fts, r.click_event_id AS fid
+        FROM p l ASOF LEFT JOIN c r ON l.user_id = r.user_id AND l.ts <= r.ts)
+      SELECT p.event_id, p.user_id, p.ts, p.value,
+        CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts
+             WHEN (epoch_us(fts) - epoch_us(p.ts)) < (epoch_us(p.ts) - epoch_us(bts))
+               THEN fts ELSE bts END AS near_ts,
+        CASE WHEN bts IS NULL THEN fid WHEN fts IS NULL THEN bid
+             WHEN (epoch_us(fts) - epoch_us(p.ts)) < (epoch_us(p.ts) - epoch_us(bts))
+               THEN fid ELSE bid END AS near_click_id
+      FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+      ORDER BY p.event_id"""))
+
+  def qs: Seq[Q] = Seq(q36, q37, q38, q39, q40, q66, q112, q113)
 }

@@ -85,6 +85,31 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got.map(_.getString(0)).toSeq === Seq("R"))
   }
 
+  test("asofJoin directions: forward picks next, nearest ties to backward, tolerance nulls") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "L")).toDF("k", "ts", "lv")
+    // backward candidate 40 min before, forward candidate 40 min after:
+    // equidistant -> nearest keeps the BACKWARD match (pandas tie rule)
+    val right = Seq(
+      (1L, ts("2024-01-01 09:20:00"), "before"),
+      (1L, ts("2024-01-01 10:40:00"), "after")).toDF("k", "ts", "rv")
+    def rv(direction: String, tol: Option[org.apache.spark.sql.Column]) =
+      AsOf.asofJoin(left, right, Seq("k"), "ts", "ts", "r_",
+          direction = direction, tolerance = tol)
+        .select("r_rv").collect().map(r => Option(r.getString(0))).toSeq
+    assert(rv("backward", None) === Seq(Some("before")))
+    assert(rv("forward", None) === Seq(Some("after")))
+    assert(rv("nearest", None) === Seq(Some("before"))) // tie -> backward
+    // 30-minute tolerance excludes both 40-minute-away candidates
+    val tol30 = Some(expr("INTERVAL 30 MINUTES"))
+    assert(rv("backward", tol30) === Seq(None))
+    assert(rv("forward", tol30) === Seq(None))
+    assert(rv("nearest", tol30) === Seq(None))
+    // 45-minute tolerance admits them again
+    val tol45 = Some(expr("INTERVAL 45 MINUTES"))
+    assert(rv("nearest", tol45) === Seq(Some("before")))
+  }
+
   test("asofJoin/asofJoinMerge: NULL keys never match (SQL equi-join semantics)") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val left = Seq(
