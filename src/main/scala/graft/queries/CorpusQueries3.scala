@@ -179,5 +179,89 @@ object CorpusQueries3 {
     },
     None)
 
-  val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111)
+  /** B6/QA table profile ([[graft.operators.Profile.tableProfile]]):
+    * per-column null rate, distinct count, and string-form length
+    * stats in ONE scan (one aggregate row unpivoted). Exact-distinct
+    * mode so the oracle replays it; the single-pass HLL mode is the
+    * 100 TB default (bound-checked like q35). Only string/integer
+    * columns are profiled here — double→string formatting differs
+    * between engines and has no place in a hash-checked oracle. */
+  private val q114 = Q(
+    "q114_table_profile",
+    (s, dir) =>
+      graft.operators.Profile.tableProfile(
+        t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_orderkey", "l_suppkey"),
+        exactDistinct = true)
+        .orderBy(col("column")),
+    Some("""WITH a AS (SELECT COUNT(*) AS n,
+        SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nu1,
+        COUNT(DISTINCT l_returnflag) AS d1,
+        MIN(LENGTH(CAST(l_returnflag AS VARCHAR))) AS mn1,
+        MAX(LENGTH(CAST(l_returnflag AS VARCHAR))) AS mx1,
+        AVG(LENGTH(CAST(l_returnflag AS VARCHAR))) AS av1,
+        SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS nu2,
+        COUNT(DISTINCT l_linestatus) AS d2,
+        MIN(LENGTH(CAST(l_linestatus AS VARCHAR))) AS mn2,
+        MAX(LENGTH(CAST(l_linestatus AS VARCHAR))) AS mx2,
+        AVG(LENGTH(CAST(l_linestatus AS VARCHAR))) AS av2,
+        SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nu3,
+        COUNT(DISTINCT l_orderkey) AS d3,
+        MIN(LENGTH(CAST(l_orderkey AS VARCHAR))) AS mn3,
+        MAX(LENGTH(CAST(l_orderkey AS VARCHAR))) AS mx3,
+        AVG(LENGTH(CAST(l_orderkey AS VARCHAR))) AS av3,
+        SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS nu4,
+        COUNT(DISTINCT l_suppkey) AS d4,
+        MIN(LENGTH(CAST(l_suppkey AS VARCHAR))) AS mn4,
+        MAX(LENGTH(CAST(l_suppkey AS VARCHAR))) AS mx4,
+        AVG(LENGTH(CAST(l_suppkey AS VARCHAR))) AS av4
+      FROM lineitem)
+      SELECT 'l_returnflag' AS "column", CAST(nu1 AS BIGINT) AS n_null,
+        round(nu1 / CAST(n AS DOUBLE), 6) AS null_rate,
+        CAST(d1 AS BIGINT) AS n_distinct, CAST(mn1 AS INT) AS min_len,
+        CAST(mx1 AS INT) AS max_len, round(av1, 6) AS avg_len FROM a
+      UNION ALL SELECT 'l_linestatus', CAST(nu2 AS BIGINT),
+        round(nu2 / CAST(n AS DOUBLE), 6), CAST(d2 AS BIGINT),
+        CAST(mn2 AS INT), CAST(mx2 AS INT), round(av2, 6) FROM a
+      UNION ALL SELECT 'l_orderkey', CAST(nu3 AS BIGINT),
+        round(nu3 / CAST(n AS DOUBLE), 6), CAST(d3 AS BIGINT),
+        CAST(mn3 AS INT), CAST(mx3 AS INT), round(av3, 6) FROM a
+      UNION ALL SELECT 'l_suppkey', CAST(nu4 AS BIGINT),
+        round(nu4 / CAST(n AS DOUBLE), 6), CAST(d4 AS BIGINT),
+        CAST(mn4 AS INT), CAST(mx4 AS INT), round(av4, 6) FROM a
+      ORDER BY "column""""))
+
+  /** B6/QA equi-width histogram ([[graft.operators.Profile.histogram]]):
+    * 20 buckets over the observed [min, max] of l_extendedprice, empty
+    * buckets materialized. Bounds come from a first cheap pass (driver
+    * holds two doubles); the binning itself is one aggregate. The
+    * oracle recomputes the same bounds and replays the identical
+    * double binning expression. */
+  private val q115 = Q(
+    "q115_numeric_histogram",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val r = li.agg(min(col("l_extendedprice")), max(col("l_extendedprice"))).head()
+      graft.operators.Profile.histogram(li, "l_extendedprice",
+          r.getDouble(0), r.getDouble(1), bins = 20)
+        .orderBy(col("bin"))
+    },
+    Some("""WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        FROM lineitem),
+      h AS (SELECT LEAST(GREATEST(CAST(floor((l_extendedprice - lo) /
+              ((hi - lo) / 20)) AS INT), 0), 19) AS bin, COUNT(*) AS n
+        FROM lineitem, b
+        WHERE l_extendedprice IS NOT NULL
+          AND l_extendedprice >= lo AND l_extendedprice <= hi
+        GROUP BY 1)
+      SELECT CAST(g.bin AS INT) AS bin,
+        round(lo + g.bin * ((hi - lo) / 20), 6) AS bin_lo,
+        round(lo + (g.bin + 1) * ((hi - lo) / 20), 6) AS bin_hi,
+        CAST(coalesce(h.n, 0) AS BIGINT) AS n
+      FROM (SELECT unnest(range(20)) AS bin) g
+      CROSS JOIN b
+      LEFT JOIN h ON h.bin = g.bin
+      ORDER BY bin"""))
+
+  val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q114, q115)
 }
