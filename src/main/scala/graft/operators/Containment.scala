@@ -82,11 +82,20 @@ object Containment {
   /** One row per (doc, distinct word n-gram), gram as 60-bit hash.
     * Distinctness is at the gram-STRING level ([[TextFunctions
     * .wordNGrams]]); two strings colliding to one hash stay two rows,
-    * identically in the md5-replaying oracle. */
+    * identically in the md5-replaying oracle.
+    *
+    * A small corpus often arrives as ONE input split, which would run
+    * the expensive explode+hash on a single task — spread it first
+    * when the scan is under-parallelized (a no-op at scale, where the
+    * file splits already exceed the shuffle width). */
   private def docGrams(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    df.select(col(idCol),
+      n: Int): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val spread = if (df.rdd.getNumPartitions < parts / 2)
+      df.repartition(parts, col(idCol)) else df
+    spread.select(col(idCol),
         explode(TextFunctions.wordNGrams(
           TextFunctions.words(col(textCol)), n)).as("__g"))
       .select(col(idCol), Contamination.gramHash(col("__g")).as("__h"))
+  }
 }
