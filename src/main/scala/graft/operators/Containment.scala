@@ -90,10 +90,7 @@ object Containment {
     * file splits already exceed the shuffle width). */
   private def docGrams(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val spread = if (df.rdd.getNumPartitions < parts / 2)
-      df.repartition(parts, col(idCol)) else df
-    spread.select(col(idCol),
+    Spread.byKey(df, idCol).select(col(idCol),
         explode(TextFunctions.wordNGrams(
           TextFunctions.words(col(textCol)), n)).as("__g"))
       .select(col(idCol), Contamination.gramHash(col("__g")).as("__h"))

@@ -43,7 +43,9 @@ object FuzzyJoin {
     * those exactly first); audit with [[overflowVariants]]. */
   def selfPairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 1, maxBucket: Int = 4096): DataFrame = {
-    val variants = df.select(
+    // single-split inputs would run the O(len^d) variant explode on
+    // one task — spread first (no-op at scale, see [[Spread]])
+    val variants = Spread.byKey(df, idCol).select(
         col(idCol).as("__id"),
         explode(deletionVariants(col(strCol), maxDist)).as("__v"))
       .select(col("__id"), xxhash64(col("__v")).as("__vk"))
@@ -72,7 +74,7 @@ object FuzzyJoin {
   def pairs(left: DataFrame, right: DataFrame, idCol: String,
       strCol: String, maxDist: Int = 1, maxBucket: Int = 4096): DataFrame = {
     def side(df: DataFrame, as: String): DataFrame = {
-      val v = df.select(col(idCol).as(as),
+      val v = Spread.byKey(df, idCol).select(col(idCol).as(as),
           explode(deletionVariants(col(strCol), maxDist)).as("__v"))
         .select(col(as), xxhash64(col("__v")).as("__vk"))
         .distinct()

@@ -52,7 +52,7 @@ object LangModel {
     // model counts and the scoring join — without the checkpoint Spark
     // would re-scan and re-explode the corpus for each consumer (the
     // Components/NearDup lineage-truncation pattern).
-    val dt = df
+    val dt = Spread.byKey(df, idCol)
       .select(col(idCol), model.tokens(col(textCol)).as("__ws"))
       .select(col(idCol), explode(bigrams).as("b"))
       .groupBy(col(idCol), col("b.h_ctx").as("h_ctx"), col("b.h_bi").as("h_bi"))

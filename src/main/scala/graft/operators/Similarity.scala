@@ -55,7 +55,11 @@ object Similarity {
   private def qSide(df: DataFrame, id: String, vec: String): DataFrame =
     df.select(col(id).as("q_id"), col(vec).as("__qv"), normD(col(vec)).as("__qn"))
   private def cSide(df: DataFrame, id: String, vec: String): DataFrame =
-    df.select(col(id).as("c_id"), col(vec).as("__cv"), normD(col(vec)).as("__cn"))
+    // the candidate side carries all the per-row vector math (norms,
+    // assignment argmins, int8 codes) — a single-split scan would run
+    // it on one task, so spread first (no-op at scale, see [[Spread]])
+    Spread.byKey(df, id)
+      .select(col(id).as("c_id"), col(vec).as("__cv"), normD(col(vec)).as("__cn"))
 
   /** Shared tail of every top-k searcher: drop self-matches, score with
     * dot/(‖q‖·‖c‖) — bit-identical to the fused cosine, with the norms
