@@ -663,6 +663,145 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
 
+  /** Per-subspace squared L2: the deterministic [[sqDist]] fold applied
+    * to slice j (1-based slice at j·dsub+1, length dsub) of both
+    * vectors — the distance every PQ assignment and distance table is
+    * built from, so the oracle can replay sub-quantizer boundaries
+    * bit-exactly. `j` may be a lambda variable (the subspace loop runs
+    * inside one projection, no explode). */
+  private def subSqDist(v: Column, w: Column, j: Column, dsub: Int): Column =
+    aggregate(zip_with(
+        slice(toDouble(v), j * dsub + 1, lit(dsub)),
+        slice(toDouble(w), j * dsub + 1, lit(dsub)),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ encoding: for each of the m subspaces, the POSITION (0-based,
+    * in cell-sorted codebook order) of the nearest sub-centroid — ties
+    * break on (d2, position) exactly like every other assignment.
+    * Positions, not cell ids, are the codes so ADC distance tables
+    * index contiguously. One projection per row (m·ksub·dsub fused
+    * arithmetic), no explode, no shuffle; the float vector can be
+    * dropped right after. */
+  private def pqEncode(df: DataFrame, vecCol: String, cb: DataFrame,
+      m: Int, dsub: Int): DataFrame =
+    df.crossJoin(cb)
+      .withColumn("__codes",
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          element_at(array_sort(transform(col("__cb"), (e, idx) =>
+            struct(subSqDist(col(vecCol), e("v"), j, dsub).as("d2"),
+              idx.as("code")))), 1)("code")))
+      .drop("__cb")
+
+  /** Per-query ADC distance table: d2(sub_j(q), sub-centroid c) for all
+    * (j, c), flattened j-major so entry (j, code) sits at
+    * j·ksub+code+1 — m·ksub doubles per query row, broadcast with the
+    * (small) query side. */
+  private def pqQueryTable(q: DataFrame, cb: DataFrame, m: Int,
+      dsub: Int): DataFrame =
+    q.crossJoin(cb)
+      .select(col("q_id"),
+        flatten(transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(col("__cb"), e => subSqDist(col("__qv"), e("v"), j, dsub))))
+          .as("__qtab"))
+
+  /** Product quantization (PQ) approximate top-k — the compressed
+    * linear scan of the IVFADC family (Jégou et al. 2011): each
+    * candidate vector becomes m sub-quantizer codes (here m bytes vs
+    * dim floats — a dim·4/m-fold payload cut, 32× at dim=64/m=8), and
+    * a query scores a candidate by summing m table lookups
+    * (asymmetric distance, no decompression). Sub-codebooks are the
+    * ksub lowest-id candidate vectors sliced per subspace (the same
+    * deterministic bootstrap as [[ivfTopKFixedCodebook]] — codebook
+    * training is offline at corpus scale), so encoding, distance
+    * tables, and scores are all relational algebra the oracle replays
+    * exactly. Ranking ascends (approx_d2, c_id).
+    *
+    * Scale shape: codes are computed in ONE projection on the scan
+    * (no shuffle, floats never leave it); the scored join ships only
+    * (c_id, m codes) against a broadcast query table. At 100 TB the
+    * candidate side of a PQ scan is the smallest representation of
+    * the corpus any searcher here ships. */
+  def pqTopK(queries: DataFrame, candidates: DataFrame,
+      qId: String, cId: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val dsub = dim / m
+    val c = cSide(candidates, cId, vecCol)
+    val cb = broadcastCodebook(
+      c.orderBy(col("c_id")).limit(ksub)
+        .select(col("c_id").as("cell"), col("__cv").as("v")))
+    val cc = pqEncode(c, "__cv", cb, m, dsub).select(col("c_id"), col("__codes"))
+    val qt = pqQueryTable(qSide(queries, qId, vecCol), cb, m, dsub)
+    val scored = cc.crossJoin(broadcast(qt))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("approx_d2",
+        aggregate(zip_with(sequence(lit(0), lit(m - 1)), col("__codes"),
+            (j, code) => element_at(col("__qtab"), j * ksub + code + 1)),
+          lit(0.0), (a, x) => a + x))
+    Dedup.topKPerGroup(scored, Seq("q_id"),
+        Seq(col("approx_d2"), col("c_id")), k, "rank")
+      .select(col("q_id"), col("rank"), col("c_id"), col("approx_d2"))
+  }
+
+  /** PQ scan + exact refine (FAISS's IndexRefineFlat pattern): the PQ
+    * codes SELECT r candidates per query, the float vectors re-rank
+    * only those r by exact cosine. This is how PQ is actually deployed
+    * — compressed codes answer "which r of a billion", floats answer
+    * "which k of r" — and the float fetch is a join proportional to
+    * r·|queries|, never a corpus scan. On near-random fixtures raw PQ
+    * ranking is noise-limited (all distances concentrate; see the
+    * recall specs), so the refine factor r/k is the recall knob; with
+    * r ≥ |candidates| this DEGRADES GRACEFULLY to exact brute force
+    * (spec-pinned), so r trades cost for recall with a safe ceiling. */
+  def pqTopKReranked(queries: DataFrame, candidates: DataFrame,
+      qId: String, cId: String, vecCol: String, k: Int, r: Int,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    require(r >= k, s"refine set r=$r must be >= k=$k")
+    val cand = pqTopK(queries, candidates, qId, cId, vecCol, k = r, m, ksub, dim)
+      .select(col("q_id"), col("c_id"))
+    rerankTopK(cand
+      .join(cSide(candidates, cId, vecCol), Seq("c_id"))
+      .join(broadcast(qSide(queries, qId, vecCol)), Seq("q_id")), k)
+  }
+
+  /** IVF-PQ: inverted-file probing + PQ asymmetric scoring — the full
+    * IVFADC composition (cells bound how MANY candidates a query
+    * touches, PQ codes bound how WIDE each one is; q59 is the IVF
+    * half, [[pqTopK]] the ADC half, [[ivfTopKQuantizedFixedCodebook]]
+    * the scalar-quantization sibling). Vectors are PQ-encoded raw (no
+    * residual — FAISS's by_residual=false layout) so one global
+    * distance table per query serves every probed cell and the whole
+    * pipeline stays oracle-replayable. Fixed sampled codebooks for
+    * both quantizers; candidate floats are dropped at assignment. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
+      qId: String, cId: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val dsub = dim / m
+    val c = cSide(candidates, cId, vecCol)
+    def sampled(n: Int) = broadcastCodebook(
+      c.orderBy(col("c_id")).limit(n)
+        .select(col("c_id").as("cell"), col("__cv").as("v")))
+    val coarse = sampled(nlist)
+    val pqcb = sampled(ksub)
+    val cc = pqEncode(probeCells(c, "__cv", coarse, 1), "__cv", pqcb, m, dsub)
+      .select(col("c_id"), col("cell"), col("__codes"))
+    val q = qSide(queries, qId, vecCol)
+    val qp = probeCells(q, "__qv", coarse, nprobe).select(col("q_id"), col("cell"))
+      .join(pqQueryTable(q, pqcb, m, dsub), Seq("q_id"))
+    val scored = cc.join(broadcast(qp), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("approx_d2",
+        aggregate(zip_with(sequence(lit(0), lit(m - 1)), col("__codes"),
+            (j, code) => element_at(col("__qtab"), j * ksub + code + 1)),
+          lit(0.0), (a, x) => a + x))
+    Dedup.topKPerGroup(scored, Seq("q_id"),
+        Seq(col("approx_d2"), col("c_id")), k, "rank")
+      .select(col("q_id"), col("rank"), col("c_id"), col("approx_d2"))
+  }
+
   /** Standalone overflow accounting for [[lshNearDupPairs]]: the
     * (table, bucket) keys whose population exceeds `maxBucket`, with
     * sizes. Independent of the main query plan, so it survives the AQE

@@ -263,5 +263,218 @@ object CorpusQueries3 {
       LEFT JOIN h ON h.bin = g.bin
       ORDER BY bin"""))
 
-  val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q114, q115)
+  /** C3 product quantization ([[graft.operators.Similarity.pqTopK]]):
+    * top-5 by asymmetric PQ distance — each candidate is m=8 sub-codes
+    * (32× narrower than float32 at dim 64), a query scores with 8
+    * table lookups. Sub-codebooks are the 16 lowest-id vectors, so
+    * encoding, distance tables, and the summed-in-subspace-order score
+    * are all replayed by the oracle: like q102/q105, the approximate
+    * answer itself is hash-checked, not recall-bounded. */
+  private val q116 = Q(
+    "q116_pq_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.pqTopK(
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "vec_id",
+          "embedding", k = 5, m = 8, ksub = 16, dim = 64)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH pcb AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+          embedding AS cbv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+      sub AS (SELECT CAST(unnest(range(8)) AS INT) AS j),
+      cd AS (
+        SELECT e.vec_id, s.j, pcb.code,
+          list_sum(list_transform(range(1, 9), i ->
+            (CAST(e.embedding[s.j*8 + CAST(i AS INT)] AS DOUBLE)
+               - CAST(pcb.cbv[s.j*8 + CAST(i AS INT)] AS DOUBLE))
+            * (CAST(e.embedding[s.j*8 + CAST(i AS INT)] AS DOUBLE)
+               - CAST(pcb.cbv[s.j*8 + CAST(i AS INT)] AS DOUBLE)))) AS d2
+        FROM embeddings e CROSS JOIN sub s CROSS JOIN pcb),
+      codes AS (
+        SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+          FROM cd) WHERE rn = 1),
+      qd AS (SELECT vec_id AS q_id, j, code, d2 FROM cd WHERE vec_id < 8),
+      scored0 AS (
+        SELECT q.q_id, c.vec_id AS c_id,
+          list_sum(list(q.d2 ORDER BY q.j)) AS approx_d2
+        FROM codes c JOIN qd q ON q.j = c.j AND q.code = c.code
+          AND q.q_id <> c.vec_id
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT q_id, c_id, approx_d2,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY approx_d2, c_id) AS rank
+        FROM scored0)
+      SELECT q_id, rank, c_id, approx_d2 FROM scored
+      WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  /** C3 IVF-PQ ([[graft.operators.Similarity.ivfPqTopK]]): the full
+    * IVFADC composition — q59's inverted-file probe bounds candidate
+    * COUNT, q116's PQ codes bound candidate WIDTH (no-residual
+    * layout: one global distance table per query serves every probed
+    * cell). Assignment, probing, encoding, and ADC scoring are ALL
+    * replayed in the oracle, so the composed pipeline is hash-checked
+    * at both SFs. */
+  private val q117 = Q(
+    "q117_ivf_pq",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.ivfPqTopK(
+          emb.filter(col("vec_id") < 50), emb, "vec_id", "vec_id",
+          "embedding", k = 3, nlist = 16, nprobe = 4,
+          m = 8, ksub = 16, dim = 64)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH cb AS (
+        SELECT vec_id AS cell, embedding AS cbv
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+      cdist AS (
+        SELECT e.vec_id, cb.cell,
+          list_sum(list_transform(range(1, 65), i ->
+            (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+               - CAST(cb.cbv[CAST(i AS INT)] AS DOUBLE))
+            * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+               - CAST(cb.cbv[CAST(i AS INT)] AS DOUBLE)))) AS d2
+        FROM embeddings e CROSS JOIN cb),
+      asg AS (
+        SELECT vec_id AS c_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM cdist)
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS q_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM cdist WHERE vec_id < 50)
+        WHERE rn <= 4),
+      pcb AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+          embedding AS cbv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+      sub AS (SELECT CAST(unnest(range(8)) AS INT) AS j),
+      cd AS (
+        SELECT e.vec_id, s.j, pcb.code,
+          list_sum(list_transform(range(1, 9), i ->
+            (CAST(e.embedding[s.j*8 + CAST(i AS INT)] AS DOUBLE)
+               - CAST(pcb.cbv[s.j*8 + CAST(i AS INT)] AS DOUBLE))
+            * (CAST(e.embedding[s.j*8 + CAST(i AS INT)] AS DOUBLE)
+               - CAST(pcb.cbv[s.j*8 + CAST(i AS INT)] AS DOUBLE)))) AS d2
+        FROM embeddings e CROSS JOIN sub s CROSS JOIN pcb),
+      codes AS (
+        SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+          FROM cd) WHERE rn = 1),
+      qd AS (SELECT vec_id AS q_id, j, code, d2 FROM cd WHERE vec_id < 50),
+      scored0 AS (
+        SELECT p.q_id, a.c_id,
+          list_sum(list(q.d2 ORDER BY q.j)) AS approx_d2
+        FROM probes p
+        JOIN asg a ON a.cell = p.cell AND a.c_id <> p.q_id
+        JOIN codes c ON c.vec_id = a.c_id
+        JOIN qd q ON q.q_id = p.q_id AND q.j = c.j AND q.code = c.code
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT q_id, c_id, approx_d2,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY approx_d2, c_id) AS rank
+        FROM scored0)
+      SELECT q_id, rank, c_id, approx_d2 FROM scored
+      WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+  /** C3 PQ + exact refine ([[Similarity.pqTopKReranked]] — FAISS's
+    * refine pattern): PQ codes pick 100 candidates per query, floats
+    * re-rank them by exact cosine, keep 5. The oracle replays BOTH
+    * stages (q116's ADC + q49's cosine), so the composed
+    * candidate-generator-plus-refine answer is hash-checked. */
+  private val q118 = Q(
+    "q118_pq_refine",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.pqTopKReranked(
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "vec_id",
+          "embedding", k = 5, r = 100, m = 8, ksub = 16, dim = 64)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH pcb AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+          embedding AS cbv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+      sub AS (SELECT CAST(unnest(range(8)) AS INT) AS j),
+      cd AS (
+        SELECT e.vec_id, s.j, pcb.code,
+          list_sum(list_transform(range(1, 9), i ->
+            (CAST(e.embedding[s.j*8 + CAST(i AS INT)] AS DOUBLE)
+               - CAST(pcb.cbv[s.j*8 + CAST(i AS INT)] AS DOUBLE))
+            * (CAST(e.embedding[s.j*8 + CAST(i AS INT)] AS DOUBLE)
+               - CAST(pcb.cbv[s.j*8 + CAST(i AS INT)] AS DOUBLE)))) AS d2
+        FROM embeddings e CROSS JOIN sub s CROSS JOIN pcb),
+      codes AS (
+        SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+          FROM cd) WHERE rn = 1),
+      qd AS (SELECT vec_id AS q_id, j, code, d2 FROM cd WHERE vec_id < 8),
+      cand AS (
+        SELECT q_id, c_id FROM (
+          SELECT q_id, c_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY approx_d2, c_id) AS prank
+          FROM (
+            SELECT q.q_id, c.vec_id AS c_id,
+              list_sum(list(q.d2 ORDER BY q.j)) AS approx_d2
+            FROM codes c JOIN qd q ON q.j = c.j AND q.code = c.code
+              AND q.q_id <> c.vec_id
+            GROUP BY 1, 2))
+        WHERE prank <= 100),
+      rer AS (
+        SELECT cand.q_id, cand.c_id,
+          list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.q_id
+        JOIN embeddings c ON c.vec_id = cand.c_id)
+      SELECT q_id, rank, c_id, cosine FROM (
+        SELECT q_id, c_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, c_id) AS rank
+        FROM rer)
+      WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  /** C5 model-based quality filter
+    * ([[graft.operators.QualityClassifier]]): fasttext-shaped linear
+    * classifier — hashed bag-of-words mean-pooled against an
+    * md5-derived weight vector, sigmoid, threshold in logit space.
+    * The oracle checks the EXACT integer sufficient statistic
+    * (score_num = mw_bias·n + Σ milli-weights) plus the keep bit —
+    * zero floating point in the gate; logit/prob are library-side
+    * conveniences (see the operator's rounding-tie note). */
+  private val q119 = Q(
+    "q119_quality_classifier",
+    (s, dir) =>
+      graft.operators.QualityClassifier.score(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", buckets = 1024)
+        .select(col("doc_id"), col("n_tok"), col("score_num"), col("keep"))
+        .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents),
+      sc AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+          ('0x'||substr(md5('w:bias'),1,15))::BIGINT % 2001 - 1000 AS mwb,
+          CAST(coalesce(list_sum(list_transform(t, tok ->
+            ('0x'||substr(md5('w:' ||
+                CAST(('0x'||substr(md5(tok),1,15))::BIGINT % 1024 AS VARCHAR)),
+              1,15))::BIGINT % 2001 - 1000)), 0) AS BIGINT) AS s
+        FROM w)
+      SELECT doc_id, n_tok,
+        CAST(mwb * n_tok + s AS BIGINT) AS score_num,
+        CASE WHEN n_tok = 0 THEN mwb >= 0
+          ELSE mwb * n_tok + s >= 0 END AS keep
+      FROM sc ORDER BY doc_id"""))
+
+  val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q114, q115,
+    q116, q117, q118, q119)
 }

@@ -365,7 +365,18 @@ object Relational2 {
 
   /** B6 collect_list/collect_set, canonicalized by sorting. The array is
     * flattened to a joined string at the output boundary — the harness
-    * compare needs scalar (hashable/sortable) cells. */
+    * compare needs scalar (hashable/sortable) cells.
+    *
+    * Scale note (VERDICT r6 #8 sweep): the per-group buffer here is
+    * collect_set over event_type — bounded by the EVENT-TYPE DOMAIN
+    * (an enum), not by group row count, so it's safe at any corpus
+    * size. The repo-wide audit of the other collect_* aggregates: all
+    * bounded by construction (per-doc blocks/tokens in BlockDedup/
+    * Tokenize, capped buckets in NearDup/FuzzyJoin, codebook-sized in
+    * Similarity, per-station snapshots in FuelIngest). An UNBOUNDED
+    * per-group collect of row-scaled data would be the q20 class of
+    * scale bug — use the grouped ExactQuantile / windowed patterns
+    * instead. */
   private val q33 = Q(
     "q33_collect_sorted",
     (s, dir) => {
