@@ -59,7 +59,9 @@ object QualityClassifier {
   def score(df: DataFrame, id: String, textCol: String,
       buckets: Int = 1024): DataFrame = {
     val mwBias = milliWeight(lit("bias").cast("string"))
-    df.select(col(id), Tokenize.tokens(col(textCol)).as("__t"))
+    // passthrough: every input column survives (pipeline composition —
+    // q120 filters on keep and still needs text/source downstream)
+    df.withColumn("__t", Tokenize.tokens(col(textCol)))
       .withColumn("n_tok", size(col("__t")).cast("long"))
       .withColumn("score_num",
         mwBias * col("n_tok") +

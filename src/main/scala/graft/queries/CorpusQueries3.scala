@@ -475,6 +475,66 @@ object CorpusQueries3 {
           ELSE mwb * n_tok + s >= 0 END AS keep
       FROM sc ORDER BY doc_id"""))
 
+  /** C∘ END-TO-END training-data pipeline — the operators a real
+    * pretraining data run chains, composed in ONE declared query:
+    * model-based quality filter (q119) → exact canonical dedup,
+    * first-occurrence wins (q45's identity) → deterministic hash
+    * split (q110) → per-(source, split) manifest with doc/token
+    * counts and a doc_id xor (membership witness). Every stage is
+    * individually oracled elsewhere; this pins the COMPOSITION
+    * (filter-before-dedup ordering, passthrough columns, shared
+    * token model) end to end at both SFs. Plan: two keyed shuffles
+    * (dedup window, final aggregate) — the filter and split are
+    * projections on the scan. */
+  private val q120 = Q(
+    "q120_training_pipeline",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val kept = graft.operators.QualityClassifier.score(
+        docs, "doc_id", "text").filter(col("keep"))
+      val deduped = graft.operators.Dedup.keepOne(
+        kept.withColumn("canon_fp",
+          graft.functions.TextFunctions.canonicalFingerprint(col("text"))),
+        Seq("canon_fp"), Seq(col("doc_id")))
+      val bucket = pmod(
+        graft.operators.Contamination.gramHash(col("doc_id").cast("string")),
+        lit(1000))
+      deduped
+        .withColumn("split",
+          when(bucket < 980, "train").when(bucket < 990, "val")
+            .otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tok"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .orderBy(col("source"), col("split"))
+    },
+    Some("""WITH sc AS (SELECT doc_id, text, source,
+          CAST(len(string_split(lower(text),' ')) AS BIGINT) AS n_tok,
+          ('0x'||substr(md5('w:bias'),1,15))::BIGINT % 2001 - 1000 AS mwb,
+          CAST(coalesce(list_sum(list_transform(string_split(lower(text),' '), tok ->
+            ('0x'||substr(md5('w:' ||
+                CAST(('0x'||substr(md5(tok),1,15))::BIGINT % 1024 AS VARCHAR)),
+              1,15))::BIGINT % 2001 - 1000)), 0) AS BIGINT) AS s
+        FROM documents),
+      k AS (SELECT doc_id, text, source, n_tok FROM sc
+        WHERE CASE WHEN n_tok = 0 THEN mwb >= 0 ELSE mwb * n_tok + s >= 0 END),
+      d AS (SELECT doc_id, source, n_tok,
+          ROW_NUMBER() OVER (PARTITION BY
+            md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))), ' '))
+            ORDER BY doc_id) AS rn
+        FROM k),
+      u AS (SELECT doc_id, source, n_tok,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS bk
+        FROM d WHERE rn = 1)
+      SELECT source,
+        CASE WHEN bk < 980 THEN 'train' WHEN bk < 990 THEN 'val'
+          ELSE 'test' END AS split,
+        COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+        bit_xor(doc_id) AS id_xor
+      FROM u GROUP BY 1, 2 ORDER BY source, split"""))
+
   val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q114, q115,
-    q116, q117, q118, q119)
+    q116, q117, q118, q119, q120)
 }

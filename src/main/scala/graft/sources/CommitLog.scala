@@ -39,6 +39,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * CAS service (the role DynamoDB plays for Delta on S3) behind the
   * same `tryCommit`.
   *
+  * Schema evolution: `append`/`upsert` commit the union-by-name of the
+  * table schema and the write's (new columns append as nullable; type
+  * changes fail loudly — see [[mergedSchema]]); `replaceAll` is the
+  * one schema-REDEFINING op (truncate-and-load takes the incoming
+  * schema verbatim). Each version records its own schema, so time
+  * travel reads pre-evolution versions with pre-evolution columns.
+  *
   * Writer idempotency (the streaming sink's restart story,
   * [[graft.streaming.StreamMergeSink]]): a commit may carry a
   * `txn = (writerId, epoch)`; the snapshot folds the highest epoch per
@@ -144,6 +151,42 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     else reader.parquet(s.files.map(f => s"$tableRoot/$f"): _*)
   }
 
+  /** SCHEMA EVOLUTION: the schema a write commits is the UNION BY NAME
+    * of the table's current schema and the incoming one — existing
+    * columns keep their position and must keep their type (a type
+    * change fails loudly: silent casts corrupt history), new columns
+    * append as nullable (old files lack them; the explicit-schema
+    * parquet read fills null — which is also why reads never use
+    * parquet's own mergeSchema inference). A write MISSING an existing
+    * column is therefore additive too: the column survives, the new
+    * files hold null. Time travel is unaffected — each version reads
+    * with the schema recorded AT that version. */
+  private def mergedSchema(current: Option[StructType],
+      incoming: StructType): StructType =
+    current.fold(incoming) { cur =>
+      val inByName = incoming.map(f => f.name -> f).toMap
+      val kept = cur.map { f =>
+        inByName.get(f.name).fold(f.copy(nullable = true)) { inF =>
+          require(inF.dataType == f.dataType,
+            s"$tableRoot: schema evolution cannot change column '${f.name}' " +
+              s"from ${f.dataType.simpleString} to ${inF.dataType.simpleString}")
+          f.copy(nullable = f.nullable || inF.nullable)
+        }
+      }
+      val added = incoming.filter(f => !cur.exists(_.name == f.name))
+        .map(_.copy(nullable = true))
+      StructType(kept ++ added)
+    }
+
+  /** Project `df` onto `schema`: shared column order normalized, absent
+    * columns as typed nulls. */
+  private def conform(df: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    df.select(schema.map(f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
+  }
+
   /** Append `df` as a new version. Safe under concurrent writers: the
     * data files are version-independent, so losing the version race
     * only re-attempts the (tiny) manifest commit. Returns the committed
@@ -151,17 +194,25 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   def append(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
     val s0 = snapshot()
     if (replayOf(s0, txn)) return s0.version
+    mergedSchema(s0.schema, df.schema) // validate BEFORE writing data —
+    // a type conflict must not orphan data files (it still re-merges
+    // per commit attempt below; a racer adding the same-named column
+    // with another type loses the race loudly, with files vacuumable)
     val files = writeData(df)
-    var v = s0.version + 1
+    var cur = s0
     var attempts = 0
-    while (!tryCommit(v, manifestJson(v, "add", files, df.schema, txn))) {
+    // the committed schema is re-merged per attempt: a racing writer may
+    // have evolved the table between snapshots
+    while (!tryCommit(cur.version + 1,
+        manifestJson(cur.version + 1, "add", files,
+          mergedSchema(cur.schema, df.schema), txn))) {
       attempts += 1
       require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
       val s = snapshot()
       if (replayOf(s, txn)) { files.foreach(deleteData); return s.version }
-      v = s.version + 1
+      cur = s
     }
-    v
+    cur.version + 1
   }
 
   /** Merge `incoming` (unique per `keys` — [[graft.operators.Dedup]]
@@ -176,16 +227,20 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     while (true) {
       val s = snapshot()
       if (replayOf(s, txn)) return s.version
-      val target = readAt(s)
+      // both sides conform to the evolved union schema before merging,
+      // so an upsert can add columns (old rows read back null there)
+      val sch = mergedSchema(s.schema, incoming.schema)
+      val target = conform(readAt(s), sch)
+      val in = conform(incoming, sch)
       val merged =
-        if (s.version < 0) incoming
+        if (s.version < 0) in
         else mode match {
-          case CommitLog.InsertIfAbsent => Upsert.insertIfAbsent(target, incoming, keys)
-          case CommitLog.LastWins       => Upsert.lastWins(target, incoming, keys)
+          case CommitLog.InsertIfAbsent => Upsert.insertIfAbsent(target, in, keys)
+          case CommitLog.LastWins       => Upsert.lastWins(target, in, keys)
         }
       val files = writeData(merged)
       if (tryCommit(s.version + 1,
-          manifestJson(s.version + 1, "replace", files, incoming.schema, txn)))
+          manifestJson(s.version + 1, "replace", files, sch, txn)))
         return s.version + 1
       // lost the race: our rewrite is stale (it merged against an old
       // table) — drop its files and redo the merge on the new snapshot

@@ -207,4 +207,43 @@ class CommitLogSpec extends SparkSpecBase {
       assert(txns.get("sms-test").exists(_ >= 1L))
     } finally q.stop()
   }
+
+  test("schema evolution: append with a new column widens; old rows read null") {
+    val t = tmpTable("clog-evo")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    log.append(Seq((3L, "c", 0.5)).toDF("id", "v", "score"))
+    val got = log.read().select($"id", $"v", $"score")
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(got === Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(0.5))))
+    // a write MISSING an existing column is additive too
+    log.append(Seq((4L, 1.5)).toDF("id", "score"))
+    assert(log.read().schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    assert(log.read().filter($"id" === 4L).select($"v").as[Option[String]]
+      .collect().toSeq === Seq(None))
+    // time travel reads version 0 with its pre-evolution schema
+    assert(log.readVersion(0L).schema.fieldNames.toSeq === Seq("id", "v"))
+  }
+
+  test("schema evolution: upsert adds the column on both sides of the merge") {
+    val t = tmpTable("clog-evo-up")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    log.upsert(Seq((2L, "b2", 9L), (3L, "c", 7L)).toDF("id", "v", "rank"),
+      Seq("id"), CommitLog.LastWins)
+    val got = log.read().select($"id", $"v", $"rank")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(got === Set((1L, "a", None), (2L, "b2", Some(9L)), (3L, "c", Some(7L))))
+  }
+
+  test("schema evolution: a type change fails loudly, table unharmed") {
+    val t = tmpTable("clog-evo-bad")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      log.append(Seq((2L, 42L)).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("cannot change column 'v'"))
+    assert(log.read().as[(Long, String)].collect().toSet === Set((1L, "a")))
+  }
 }
