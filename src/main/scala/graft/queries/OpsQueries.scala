@@ -219,5 +219,97 @@ object OpsQueries {
       FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
       ORDER BY p.event_id"""))
 
-  def qs: Seq[Q] = Seq(q36, q37, q38, q39, q40, q66, q112, q113)
+  /** B7 TIME-RANGE window frame (the rolling-aggregate capability rows
+    * frames can't express): per-user trailing 1-hour event count and
+    * value sum — `rangeBetween` over unix micros in Spark, `RANGE
+    * BETWEEN INTERVAL 1 HOUR PRECEDING` in the oracle; identical
+    * inclusive-boundary and ts-tie (peer-row) semantics. The sum rides
+    * DECIMAL so the unordered in-frame accumulation is exact (doubles
+    * would make the window nondeterministic across engines). Scale:
+    * keyed window, frame state is O(events in 1h per user). */
+  private val q121 = Q(
+    "q121_range_window",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id")
+        .orderBy(unix_micros($"ts"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      t(s, dir, "events")
+        .select($"event_id", $"user_id", $"ts", $"value")
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum($"value".cast("decimal(18,2)")).over(w).cast("double"))
+        .select($"event_id", $"user_id", $"n_1h", $"sum_1h")
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id,
+        COUNT(*) OVER w AS n_1h,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  /** B7/B6 conversion funnel over the event stream: per user, the
+    * first signup, the first click within 48h AFTER it, the first
+    * purchase within 24h after THAT (strict ordering with per-stage
+    * conversion windows — unbounded stages all converge to stage 3 on
+    * this fixture), rolled up to users-reaching-stage counts and the
+    * mean signup→purchase latency. Three keyed aggregates + two
+    * broadcast-sized joins (the per-user stage table is one row per
+    * user); timestamps compare in exact micros, the latency mean is
+    * an exact integer sum with one final double division. */
+  private val q122 = Q(
+    "q122_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_type", $"ts")
+      val t1 = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val t2 = ev.filter($"event_type" === "click").join(t1, "user_id")
+        .filter($"ts" > $"t1" &&
+          unix_micros($"ts") <= unix_micros($"t1") + 48L * 3600 * 1000000)
+        .groupBy($"user_id", $"t1").agg(min($"ts").as("t2"))
+      val t3 = ev.filter($"event_type" === "purchase").join(t2, "user_id")
+        .filter($"ts" > $"t2" &&
+          unix_micros($"ts") <= unix_micros($"t2") + 24L * 3600 * 1000000)
+        .groupBy($"user_id", $"t1", $"t2").agg(min($"ts").as("t3"))
+      val stages = t1
+        .join(t2.select($"user_id", $"t2"), Seq("user_id"), "left")
+        .join(t3.select($"user_id", $"t3"), Seq("user_id"), "left")
+        .withColumn("stage",
+          when($"t3".isNotNull, 3).when($"t2".isNotNull, 2).otherwise(1))
+      stages.groupBy($"stage")
+        .agg(count(lit(1)).as("n_users"),
+          (sum(when($"stage" === 3,
+              unix_micros($"t3") - unix_micros($"t1"))).cast("double")
+            / count(when($"stage" === 3, 1)) / 1000000.0).as("avg_secs_to_purchase"))
+        .orderBy($"stage")
+    },
+    Some("""WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+      t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.t1
+          AND epoch_us(e.ts) <= epoch_us(t1.t1) + CAST(48 AS BIGINT) * 3600 * 1000000
+        WHERE e.event_type = 'click' GROUP BY e.user_id),
+      t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.t2
+          AND epoch_us(e.ts) <= epoch_us(t2.t2) + CAST(24 AS BIGINT) * 3600 * 1000000
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      st AS (SELECT t1.user_id, t1.t1, t3.t3,
+          CASE WHEN t3.t3 IS NOT NULL THEN 3
+               WHEN t2.t2 IS NOT NULL THEN 2 ELSE 1 END AS stage
+        FROM t1
+        LEFT JOIN t2 ON t2.user_id = t1.user_id
+        LEFT JOIN t3 ON t3.user_id = t1.user_id)
+      SELECT stage, COUNT(*) AS n_users,
+        CAST(SUM(CASE WHEN stage = 3
+            THEN epoch_us(t3) - epoch_us(t1) END) AS DOUBLE)
+          / COUNT(CASE WHEN stage = 3 THEN 1 END) / 1000000.0
+          AS avg_secs_to_purchase
+      FROM st GROUP BY stage ORDER BY stage"""))
+
+  def qs: Seq[Q] = Seq(q36, q37, q38, q39, q40, q66, q112, q113, q121, q122)
 }
