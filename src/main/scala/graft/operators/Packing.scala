@@ -38,10 +38,19 @@ object Packing {
     * totals job and the running-sum job see the SAME partition
     * assignment (range boundaries come from sampling). */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, valCol: String,
-      outCol: String, numParts: Int = 0): DataFrame = {
+      outCol: String, numParts: Int = 0): DataFrame =
+    exclusivePrefixSumBy(df, Seq(col(orderCol)), valCol, outCol, numParts)
+
+  /** [[exclusivePrefixSum]] under an arbitrary total order (e.g.
+    * quality DESC with an id tie-break — the budget-selection order).
+    * `orderCols` MUST be a total order: range partitioning and the
+    * in-partition window both follow it, and a tie would make the
+    * prefix sum nondeterministic. */
+  def exclusivePrefixSumBy(df: DataFrame, orderCols: Seq[Column],
+      valCol: String, outCol: String, numParts: Int = 0): DataFrame = {
     val p = if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val parted = df.repartitionByRange(p, col(orderCol))
+    val parted = df.repartitionByRange(p, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val tot = parted.groupBy(col("__pid"))
@@ -52,12 +61,27 @@ object Packing {
     val offs = pids.scanLeft(0L)((acc, pid) => acc + tot(pid)).init
     val offMap = map(pids.zip(offs).flatMap {
       case (pid, off) => Seq(lit(pid), lit(off)) }: _*)
-    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     parted.withColumn(outCol,
         element_at(offMap, col("__pid"))
           + coalesce(sum(col(valCol)).over(w), lit(0L)))
       .drop("__pid")
+  }
+
+  /** Global token-budget selection (the "fill a 10B-token budget with
+    * the best documents" curation step): rank the corpus by
+    * `orderCols` (quality DESC + unique tie-break), keep every doc
+    * whose EXCLUSIVE cumulative `valCol` is under `budget` — i.e. the
+    * ranked prefix, with the boundary-straddling doc included (its
+    * predecessors fit; truncating it is the loader's call). One
+    * distributed prefix sum — no global window, no driver sort. */
+  def selectUnderBudget(docs: DataFrame, valCol: String, budget: Long,
+      orderCols: Seq[Column], outCol: String = "selected",
+      numParts: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    exclusivePrefixSumBy(docs, orderCols, valCol, "cum_before", numParts)
+      .withColumn(outCol, col("cum_before") < budget)
   }
 
   /** Block assignment under `budget` tokens per block: each doc's token

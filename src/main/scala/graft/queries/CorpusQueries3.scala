@@ -535,6 +535,46 @@ object CorpusQueries3 {
         bit_xor(doc_id) AS id_xor
       FROM u GROUP BY 1, 2 ORDER BY source, split"""))
 
+  /** C5 token-budget selection ([[graft.operators.Packing.selectUnderBudget]]):
+    * rank by the q119 classifier score (DESC, doc_id tie-break), keep
+    * the ranked prefix whose exclusive token cumsum is under 10k —
+    * "fill the budget with the best docs". The rank order and cumsum
+    * ride EXACT integers (score_num, n_tok), so the distributed
+    * prefix sum is oracle-replayable bit-for-bit; the oracle is the
+    * plain SQL window cumsum the two-phase scan decomposition must
+    * equal. */
+  private val q123 = Q(
+    "q123_budget_selection",
+    (s, dir) => {
+      val scored = graft.operators.QualityClassifier.score(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", buckets = 1024)
+        .select(col("doc_id"), col("n_tok"), col("score_num"))
+      graft.operators.Packing.selectUnderBudget(
+        scored, "n_tok", budget = 10000L,
+        orderCols = Seq(col("score_num").desc, col("doc_id")))
+        .select(col("doc_id"), col("n_tok"), col("score_num"),
+          col("cum_before"), col("selected"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH sc AS (SELECT doc_id,
+          CAST(len(string_split(lower(text),' ')) AS BIGINT) AS n_tok,
+          CAST((('0x'||substr(md5('w:bias'),1,15))::BIGINT % 2001 - 1000)
+              * len(string_split(lower(text),' '))
+            + coalesce(list_sum(list_transform(string_split(lower(text),' '), tok ->
+                ('0x'||substr(md5('w:' ||
+                    CAST(('0x'||substr(md5(tok),1,15))::BIGINT % 1024 AS VARCHAR)),
+                  1,15))::BIGINT % 2001 - 1000)), 0) AS BIGINT) AS score_num
+        FROM documents),
+      c AS (SELECT doc_id, n_tok, score_num,
+          CAST(coalesce(SUM(n_tok) OVER (ORDER BY score_num DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum_before
+        FROM sc)
+      SELECT doc_id, n_tok, score_num, cum_before,
+        cum_before < 10000 AS selected
+      FROM c ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q114, q115,
-    q116, q117, q118, q119, q120)
+    q116, q117, q118, q119, q120, q123)
 }

@@ -311,5 +311,39 @@ object OpsQueries {
           AS avg_secs_to_purchase
       FROM st GROUP BY stage ORDER BY stage"""))
 
-  def qs: Seq[Q] = Seq(q36, q37, q38, q39, q40, q66, q112, q113, q121, q122)
+  /** B7 window battery 2 — the distribution/position functions q09-q12
+    * and q72 don't cover: ntile quartiles, percent_rank, cume_dist
+    * (rank rationals = exact-int divisions, engine-identical),
+    * nth_value over the full-partition frame. Order is (acctbal DESC,
+    * custkey) — unique, so every function is deterministic. */
+  private val q124 = Q(
+    "q124_window_battery2",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("runner_up_bal", nth_value($"c_acctbal", 2).over(wf))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+        NTILE(4) OVER w AS quartile,
+        percent_rank() OVER w AS pr,
+        cume_dist() OVER w AS cd,
+        nth_value(c_acctbal, 2) OVER
+          (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          AS runner_up_bal
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_custkey"""))
+
+  def qs: Seq[Q] = Seq(q36, q37, q38, q39, q40, q66, q112, q113, q121,
+    q122, q124)
 }

@@ -87,6 +87,24 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("budget selection: ranked-prefix keep under a DESC multi-column order") {
+    import graft.operators.Packing
+    // quality q with ties (id tie-break), token counts n
+    val docs = Seq((1L, 5L, 10L), (2L, 9L, 10L), (3L, 5L, 10L),
+      (4L, 9L, 10L), (5L, 1L, 10L)).toDF("id", "q", "n")
+    for (p <- Seq(1, 2, 7)) {
+      val got = Packing.selectUnderBudget(docs, "n", budget = 30L,
+          orderCols = Seq($"q".desc, $"id"), numParts = p)
+        .select($"id", $"cum_before", $"selected")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+      // rank order: 2, 4 (q=9), 1, 3 (q=5), 5 → cum 0,20,10,30,40
+      assert(got.map(r => r._1 -> r._2).toMap
+        === Map(1L -> 20L, 2L -> 0L, 3L -> 30L, 4L -> 10L, 5L -> 40L),
+        s"numParts=$p")
+      assert(got.filter(_._3).map(_._1).toSeq === Seq(1L, 2L, 4L))
+    }
+  }
+
   test("repetition score separates boilerplate from unique text") {
     // run q85's logic through the registry on a tiny in-memory table is
     // not possible (it reads the documents table), so exercise the same
