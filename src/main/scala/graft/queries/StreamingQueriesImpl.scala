@@ -177,5 +177,39 @@ object StreamingQueries {
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       ORDER BY p.user_id, purchase_id, click_id"""))
 
-  def qs: Seq[Q] = Seq(q60, q61, q62, q63, q64, q68, q77)
+  /** B14 stream-stream LEFT OUTER interval join — q77 plus the
+    * unmatched-purchase rows (null click), the outer-join semantics
+    * Structured Streaming only emits once the watermark proves no
+    * match can still arrive. Declared here in its batch form (the
+    * oracle); StreamingSpec runs the true two-readStream form with
+    * watermarks + a sentinel to close the tail and asserts equality.
+    * Null click_id orders NULLS FIRST on both engines (spelled out —
+    * DuckDB defaults NULLS LAST). */
+  private val q125 = Q(
+    "q125_stream_leftouter_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"))
+      purchases.as("p").join(clicks.as("c"),
+          $"p.user_id" === $"c.user_id" &&
+            $"purchase_ts" >= $"click_ts" &&
+            $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select($"p.user_id".as("user_id"), $"purchase_id", $"click_id",
+          $"purchase_ts", $"click_ts")
+        .orderBy($"user_id", $"purchase_id", $"click_id")
+    },
+    Some("""SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        p.ts AS purchase_ts, c.ts AS click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY p.user_id, purchase_id, click_id NULLS FIRST"""))
+
+  def qs: Seq[Q] = Seq(q60, q61, q62, q63, q64, q68, q77, q125)
 }

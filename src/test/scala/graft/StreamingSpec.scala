@@ -311,6 +311,58 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join equals batch q125 once the watermark closes the tail") {
+    val dir: Path = Files.createTempDirectory("stream-louter")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // sentinel events push the watermark past max_ts + join window so
+    // the engine can PROVE the last purchases are unmatched and emit
+    // their outer rows — without it the tail stays withheld forever on
+    // a finite input. user_id -1 keeps them out of the comparison.
+    val maxNanos = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(max($"ts")).head().getLong(0)
+    val farNanos = maxNanos + 6L * 3600 * 1000 * 1000 * 1000
+    Seq((-1L, farNanos, -1L, "click", 0.0, "{}"),
+        (-1L, farNanos, -1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(dir.toString)
+
+    def side(tpe: String, idCol: String, tsCol: String) = spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .filter($"event_type" === tpe)
+      .select($"user_id", $"event_id".as(idCol), $"ts".as(tsCol))
+      .withWatermark(tsCol, "1 hour")
+
+    val purchases = side("purchase", "purchase_id", "purchase_ts")
+    val clicks = side("click", "click_id", "click_ts")
+    val joined = purchases.as("p").join(clicks.as("c"),
+        $"p.user_id" === $"c.user_id" &&
+          $"purchase_ts" >= $"click_ts" &&
+          $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select($"p.user_id".as("user_id"), $"purchase_id", $"click_id",
+        $"purchase_ts", $"click_ts")
+
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("louter_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("louter_out")
+        .filter($"user_id" =!= -1L)
+        .orderBy($"user_id", $"purchase_id", $"click_id").collect().toSeq
+      val batch = graft.queries.Registry.queries("q125_stream_leftouter_join")(spark, sfDir)
+        .collect().toSeq
+      assert(streamed === batch)
+      // the outer semantics actually fired: some purchases have no click
+      assert(streamed.exists(_.isNullAt(2)))
+    } finally q.stop()
+  }
+
   test("foreachBatch streaming upsert sink converges to the batch last-wins table") {
     // The reference's DynamoDB put-per-row sink (index.js:249) as a
     // streaming upsert: each micro-batch merges last-wins into a parquet
