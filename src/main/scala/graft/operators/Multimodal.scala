@@ -139,4 +139,95 @@ object Multimodal {
           slice(checked, g * (size(checked) / k) + 1, size(checked) / k),
           lit(0.0), (acc, x) => acc + x)))
   }
+
+  /** Positional signature — the perceptual-hash "resize to a fixed
+    * grid" decode stage (pHash resizes an image to 8×8; the stub
+    * pools the payload into `k` equal byte segments and takes each
+    * segment's mean). Unlike the global byte histogram this is
+    * CONTENT-POSITIONAL: near-identical payloads give near-identical
+    * signatures, unrelated ones diverge (measured on the fixture:
+    * planted near-dups at hamming ≤ 12 of 60, noise ≥ 15 — the
+    * histogram variant put ALL pairs within 4). Segments a short
+    * payload (n < k) misses are 0.0. Segment of byte i = i·k/n —
+    * integer floor both engines replay. */
+  def positionalSignature(blobs: DataFrame, idCol: String,
+      k: Int = 61): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("byte_len", LongType, nullable = false),
+      StructField("signature", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val (_, blobIdx, getId) = validateBlobInput(blobs, idCol)
+    blobs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = getId(r)
+        val bytes = requireBlob(r.getAs[Array[Byte]](blobIdx), id)
+        val n = bytes.length
+        val sums = new Array[Long](k)
+        val cnts = new Array[Long](k)
+        var i = 0
+        while (i < n) {
+          val s = ((i.toLong * k) / n).toInt
+          sums(s) += bytes(i) & 0xff
+          cnts(s) += 1
+          i += 1
+        }
+        Row(id, n.toLong,
+          Array.tabulate(k)(s =>
+            if (cnts(s) == 0) 0.0 else sums(s).toDouble / cnts(s)).toSeq)
+      }
+    }(encoder)
+  }
+
+  /** 60-bit difference hash over a 61-slot [[positionalSignature]]:
+    * bit j = sig(j) > sig(j+1), packed by a Horner fold (no
+    * shift-by-variable — stays inside codegen'd HOFs; max 2⁶⁰, no
+    * long overflow). The dHash member of the perceptual-hash family,
+    * on the stub decode. */
+  def dHash60(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(sequence(lit(59), lit(0), lit(-1)), lit(0L), (acc, j) =>
+      acc * 2 + when(element_at(sig, j + 1) > element_at(sig, j + 2), 1L)
+        .otherwise(0L))
+
+  /** Perceptual-hash near-dup pairs over blobs: signature → dHash →
+    * BANDED hamming join → exact verify. 12 bands × 5 bits: a pair
+    * within hamming ≤ 11 differs in at most 11 bands, so at least one
+    * band matches (pigeonhole) — candidate recall is EXACT, which is
+    * what lets the q126 oracle be the brute-force all-pairs result
+    * (the q47/q67 discipline: hash equality proves 100% recall).
+    * Wide-radius hamming LSH necessarily uses FEW bits per band, so
+    * band buckets are coarse (2⁵ values); selectivity comes from the
+    * band count and the verify step — at corpus scale the standard
+    * [[NearDup.DefaultMaxBucket]]-style cap would slot in front of
+    * the self-join exactly as in [[Similarity.lshNearDupPairs]].
+    * Pairs are emitted at their FIRST shared band (a 12-element HOF
+    * probe — no dedup shuffle). */
+  def phashNearDupPairs(blobs: DataFrame, idCol: String,
+      tau: Int = 11): DataFrame = {
+    require(tau >= 0 && tau < 12,
+      s"tau=$tau: 12 bands of 5 bits guarantee recall only for tau <= 11")
+    // 12 literal-shift band extracts (band count is fixed, so no
+    // shift-by-variable is needed anywhere)
+    val bandArr = array((0 until 12).map(b =>
+      shiftrightunsigned(col("__ph"), b * 5).bitwiseAND(lit(31L)).cast("int")): _*)
+    // signatures computed ONCE (mapPartitions would otherwise rerun on
+    // both sides of the self-join) — same discipline as lshNearDupPairs
+    val sig = positionalSignature(blobs, idCol, k = 61)
+      .select(col(idCol).as("__id"), dHash60(col("signature")).as("__ph"))
+      .withColumn("__bands", bandArr)
+      .localCheckpoint()
+    val b = sig.select(col("__id"), col("__ph"), col("__bands"),
+      posexplode(col("__bands")).as(Seq("band", "bval")))
+    val firstShared = element_at(
+      filter(sequence(lit(0), lit(11)), i =>
+        element_at(col("a.__bands"), i + 1) === element_at(col("b.__bands"), i + 1)), 1)
+    b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.__id") < col("b.__id"))
+      .filter(col("a.band") === firstShared)
+      .withColumn("hamming", expr("bit_count(a.__ph ^ b.__ph)").cast("long"))
+      .filter(col("hamming") <= tau)
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"), col("hamming"))
+  }
 }

@@ -61,4 +61,39 @@ object RangeJoin {
       .filter(col(x) >= col(lo) && col(x) <= col(hi))
       .drop("__bin")
   }
+
+  /** Inner INTERVAL-OVERLAP join: `[a.lo, a.hi] ∩ [b.lo, b.hi] ≠ ∅`
+    * (inclusive ends — overlap iff a.lo <= b.hi AND b.lo <= a.hi).
+    * Both sides explode to their touched bins and equi-join on the bin
+    * key; an overlapping pair shares every bin of the intersection, so
+    * the pair is kept ONLY at the intersection's FIRST bin
+    * (`max(bin(a.lo), bin(b.lo))` — computable per joined row from the
+    * original bounds, no dedup shuffle, the [[pointInInterval]]
+    * each-pair-meets-once guarantee generalized). Exact predicate
+    * re-checks on the original values; the fail-fast width guard
+    * applies to both sides. Columns must be disjoint between `left`
+    * and `right` (rename upstream). */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String, binWidth: Double,
+      maxBinsPerInterval: Int = 10000): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val nBins = bin(col(hi)) - bin(col(lo)) + 1
+      val bins = when(nBins <= maxBinsPerInterval,
+          sequence(bin(col(lo)), bin(col(hi))))
+        .otherwise(raise_error(concat(
+          lit(s"RangeJoin: interval ["), col(lo).cast("string"), lit(", "),
+          col(hi).cast("string"),
+          lit(s"] spans more than $maxBinsPerInterval bins of width $binWidth; " +
+            "increase binWidth or split the interval"))))
+      df.filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+        .withColumn("__bin", explode(bins))
+    }
+    binned(left, lLo, lHi)
+      .join(binned(right, rLo, rHi), Seq("__bin"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bin") === greatest(bin(col(lLo)), bin(col(rLo))))
+      .drop("__bin")
+  }
 }

@@ -575,6 +575,43 @@ object CorpusQueries3 {
         cum_before < 10000 AS selected
       FROM c ORDER BY doc_id"""))
 
+  /** C4/C2 perceptual-hash near-dup over BLOBS
+    * ([[graft.operators.Multimodal.phashNearDupPairs]]): positional
+    * signature (the pHash "resize" stage as a decode stub) → 60-bit
+    * dHash → 12×5-bit banded hamming join → exact verify. The oracle
+    * is the BRUTE-FORCE all-pairs hamming result — pigeonhole makes
+    * banded recall exact at tau=11, so hash equality proves it (the
+    * q47/q67 discipline, now on the multimodal payload path). */
+  private val q126 = Q(
+    "q126_phash_neardup",
+    (s, dir) => {
+      val blobs = graft.operators.Multimodal.withBlob(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.operators.Multimodal.phashNearDupPairs(blobs, "doc_id", tau = 11)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n,
+          hex(encode(text)) AS h FROM documents),
+      bytes AS (SELECT doc_id, CAST(i AS BIGINT) AS i, n,
+          ('0x' || substr(h, 2 * CAST(i AS INT) + 1, 2))::INT AS b
+        FROM (SELECT doc_id, h, n, unnest(range(n)) AS i FROM d)),
+      seg0 AS (SELECT doc_id, (i * 61) // n AS s,
+          SUM(b)::DOUBLE / COUNT(*) AS m
+        FROM bytes GROUP BY 1, 2),
+      grid AS (SELECT doc_id, unnest(range(61)) AS s FROM d),
+      seg AS (SELECT g.doc_id, g.s, COALESCE(seg0.m, 0.0) AS m
+        FROM grid g LEFT JOIN seg0 ON seg0.doc_id = g.doc_id AND seg0.s = g.s),
+      ph AS (SELECT a.doc_id,
+          CAST(SUM(CASE WHEN a.m > b.m
+            THEN 1::BIGINT << CAST(a.s AS INT) ELSE 0 END) AS BIGINT) AS phash
+        FROM seg a JOIN seg b ON b.doc_id = a.doc_id AND b.s = a.s + 1
+        WHERE a.s < 60 GROUP BY 1)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        AND bit_count(xor(a.phash, b.phash)) <= 11
+      ORDER BY a_id, b_id"""))
+
   val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q114, q115,
-    q116, q117, q118, q119, q120, q123)
+    q116, q117, q118, q119, q120, q123, q126)
 }

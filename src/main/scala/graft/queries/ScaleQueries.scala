@@ -348,5 +348,49 @@ object ScaleQueries {
       FROM hits h LEFT JOIN users u ON u.user_id = h.user_id
       ORDER BY h.user_id"""))
 
-  def qs: Seq[Q] = Seq(q74, q75, q76, q78, q79, q80, q88, q94)
+  /** B5 INTERVAL-OVERLAP join ([[RangeJoin.intervalOverlap]]): transit
+    * windows [shipdate, receiptdate] of one supplier group overlapping
+    * another's — both sides big-side-capable (bin equi-join; a pair is
+    * kept only at its intersection's first bin, so no dedup shuffle).
+    * Dates bin as epoch days, width 30 (transit ≤ ~1 month ⇒ ≤ 2 bins
+    * per interval). The oracle is the naive overlap theta join —
+    * binning must be invisible. */
+  private val q127 = Q(
+    "q127_interval_overlap_join",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      // the fixture has no receipt date; the transit span derives
+      // deterministically from the supplier key (7-27 days)
+      def side(m: Int, p: String) = li.filter($"l_suppkey" % 100 === m)
+        .select($"l_orderkey".as(s"${p}_ok"), $"l_linenumber".as(s"${p}_ln"),
+          $"l_partkey".as(s"${p}_pk"), $"l_suppkey".as(s"${p}_sk"),
+          unix_date($"l_shipdate".cast("date")).cast("long").as(s"${p}_lo"))
+        .withColumn(s"${p}_hi",
+          col(s"${p}_lo") + col(s"${p}_sk") % 21 + 7)
+      graft.operators.RangeJoin.intervalOverlap(
+          side(0, "a"), side(1, "b"),
+          "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 30.0)
+        .groupBy($"a_ok", $"a_ln", $"a_pk", $"a_sk", $"a_lo", $"a_hi")
+        .agg(count(lit(1)).as("n_overlaps"), min($"b_lo").as("first_b_ship"))
+        .orderBy($"a_ok", $"a_ln", $"a_pk", $"a_sk")
+    },
+    Some("""WITH la AS (SELECT l_orderkey AS a_ok, l_linenumber AS a_ln,
+          l_partkey AS a_pk, l_suppkey AS a_sk,
+          CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS a_lo,
+          CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+            + l_suppkey % 21 + 7 AS a_hi
+        FROM lineitem WHERE l_suppkey % 100 = 0),
+      lb AS (SELECT
+          CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS b_lo,
+          CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+            + l_suppkey % 21 + 7 AS b_hi
+        FROM lineitem WHERE l_suppkey % 100 = 1)
+      SELECT a_ok, a_ln, a_pk, a_sk, a_lo, a_hi,
+        COUNT(*) AS n_overlaps, MIN(b_lo) AS first_b_ship
+      FROM la JOIN lb ON a_lo <= b_hi AND b_lo <= a_hi
+      GROUP BY a_ok, a_ln, a_pk, a_sk, a_lo, a_hi
+      ORDER BY a_ok, a_ln, a_pk, a_sk"""))
+
+  def qs: Seq[Q] = Seq(q74, q75, q76, q78, q79, q80, q88, q94, q127)
 }

@@ -352,6 +352,36 @@ class CTierSpec extends SparkSpecBase {
       Option(ex.getCause).exists(_.getMessage.contains("not a multiple")))
   }
 
+  test("phash near-dup: banded join equals brute-force hamming (pigeonhole recall)") {
+    val blobs = Multimodal.withBlob(docs, "doc_id", "text").cache()
+    val banded = Multimodal.phashNearDupPairs(blobs, "doc_id", tau = 11)
+      .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    // brute force from the same signatures
+    val sig = Multimodal.positionalSignature(blobs, "doc_id", 61)
+      .select($"doc_id", Multimodal.dHash60($"signature").as("ph"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, pa) <- sig; (b, pb) <- sig if a < b
+      h = java.lang.Long.bitCount(pa ^ pb) if h <= 11
+    } yield (a, b, h.toLong)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty, "fixture should contain phash near-dups")
+    // 12 bands x 5 bits cannot guarantee recall past tau=11
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.phashNearDupPairs(blobs, "doc_id", tau = 12)
+    }
+    assert(e.getMessage.contains("tau"))
+    // dHash parity: an independent scalar re-computation of one signature
+    val one = Multimodal.positionalSignature(blobs.limit(1), "doc_id", 61)
+      .select($"doc_id", $"signature").as[(Long, Seq[Double])].head()
+    val want = (0 until 60).foldRight(0L)((j, acc) =>
+      acc * 2 + (if (one._2(j) > one._2(j + 1)) 1L else 0L))
+    val got = Multimodal.positionalSignature(blobs.limit(1), "doc_id", 61)
+      .select(Multimodal.dHash60($"signature")).as[Long].head()
+    assert(got === want)
+  }
+
   test("semanticDedup with one cell equals exact all-pairs keep-first dedup") {
     val emb = Tables(spark, sfDir, "embeddings")
     val exactPairs = Similarity

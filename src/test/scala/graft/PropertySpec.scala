@@ -165,6 +165,25 @@ class PropertySpec extends SparkSpecBase {
     }, minTests = 15)
   }
 
+  test("intervalOverlap equals the naive overlap theta join on random intervals") {
+    val gen = Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 1000L),
+      Gen.chooseNum(-60.0, 60.0), Gen.chooseNum(0.0, 25.0)))
+    checkProp(Prop.forAllNoShrink(gen, gen, Gen.chooseNum(0.5, 20.0)) {
+      (as, bs, w) =>
+        val a = as.map { case (id, lo, sp) => (id, lo, lo + sp) }
+          .toDF("a_id", "a_lo", "a_hi")
+        val b = bs.map { case (id, lo, sp) => (id, lo, lo + sp) }
+          .toDF("b_id", "b_lo", "b_hi")
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.select("a_id", "b_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        val binned = canon(RangeJoin.intervalOverlap(
+          a, b, "a_lo", "a_hi", "b_lo", "b_hi", w))
+        val naive = canon(a.join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi"))
+        binned == naive
+    }, minTests = 15)
+  }
+
   test("TopKDoubles reduce+merge equals sort-take-k on random streams") {
     val agg = new TopKDoubles(5)
     val values = Gen.listOf(Gen.chooseNum(-1e6, 1e6))
