@@ -392,5 +392,50 @@ object ScaleQueries {
       GROUP BY a_ok, a_ln, a_pk, a_sk, a_lo, a_hi
       ORDER BY a_ok, a_ln, a_pk, a_sk"""))
 
-  def qs: Seq[Q] = Seq(q74, q75, q76, q78, q79, q80, q88, q94, q127)
+  /** B13/B5 TEMPORAL JOIN: each click joined to the SCD2 value version
+    * valid at its timestamp — [[graft.operators.Scd2.fromChangeLog]]
+    * composed with the as-of merge exec ([[graft.operators.AsOf]]'s
+    * custom plan): since SCD2 versions tile [valid_from, valid_to),
+    * "version valid at ts" IS the as-of backward lookup on valid_from,
+    * no interval predicate needed. Events pre-deduped to one change
+    * row per (user, ts) so the version chain (and the ASOF oracle) is
+    * unambiguous. */
+  private val q128 = Q(
+    "q128_temporal_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val changes = graft.operators.Dedup.lastWins(
+        ev.select($"user_id", $"event_id", $"ts",
+          ($"value".cast(DecimalType(18, 2)) * 100).cast("long").as("cents")),
+        Seq("user_id", "ts"), Seq("event_id"))
+      val hist = graft.operators.Scd2.fromChangeLog(
+          changes, Seq("user_id"), "ts", "cents", tieBreak = Seq("event_id"))
+        .select($"user_id", $"cents", $"valid_from")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id", $"ts")
+      graft.operators.AsOf.asofJoinMerge(
+          clicks, hist, Seq("user_id"), "ts", "valid_from", "h_")
+        .select($"event_id", $"user_id", $"ts",
+          $"h_cents".as("cents_at_ts"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH e0 AS (SELECT user_id, event_id, ts,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      e AS (SELECT user_id, event_id, ts, cents FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+            ORDER BY event_id DESC) AS rn FROM e0) WHERE rn = 1),
+      w AS (SELECT *, LAG(cents) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+      hist AS (SELECT user_id, cents, ts AS valid_from FROM w
+        WHERE prev IS NULL OR prev <> cents),
+      c AS (SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'click')
+      SELECT c.event_id, c.user_id, c.ts, h.cents AS cents_at_ts
+      FROM c ASOF LEFT JOIN hist h
+        ON c.user_id = h.user_id AND h.valid_from <= c.ts
+      ORDER BY c.event_id"""))
+
+  def qs: Seq[Q] = Seq(q74, q75, q76, q78, q79, q80, q88, q94, q127, q128)
 }
