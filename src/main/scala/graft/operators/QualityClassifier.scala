@@ -62,7 +62,12 @@ object QualityClassifier {
     // passthrough: every input column survives (pipeline composition —
     // q120 filters on keep and still needs text/source downstream)
     df.withColumn("__t", Tokenize.tokens(col(textCol)))
-      .withColumn("n_tok", size(col("__t")).cast("long"))
+      // null text propagates as null outputs on BOTH engines — without
+      // the guard, legacy size(null) = -1 would emit a nonsense token
+      // count and diverge from SQL's NULL
+      .withColumn("n_tok",
+        when(col("__t").isNull, lit(null).cast("long"))
+          .otherwise(size(col("__t")).cast("long")))
       .withColumn("score_num",
         mwBias * col("n_tok") +
           aggregate(col("__t"), lit(0L),

@@ -722,6 +722,21 @@ object Similarity {
     * (c_id, m codes) against a broadcast query table. At 100 TB the
     * candidate side of a PQ scan is the smallest representation of
     * the corpus any searcher here ships. */
+  /** Shared ADC tail of [[pqTopK]]/[[ivfPqTopK]]: sum the m distance-
+    * table lookups (ascending j — the order the oracle replays) and
+    * keep k per query ascending (approx_d2, c_id). Expects q_id, c_id,
+    * __codes, __qtab. */
+  private def adcTopK(pairs: DataFrame, m: Int, ksub: Int, k: Int): DataFrame = {
+    val scored = pairs.filter(col("q_id") =!= col("c_id"))
+      .withColumn("approx_d2",
+        aggregate(zip_with(sequence(lit(0), lit(m - 1)), col("__codes"),
+            (j, code) => element_at(col("__qtab"), j * ksub + code + 1)),
+          lit(0.0), (a, x) => a + x))
+    Dedup.topKPerGroup(scored, Seq("q_id"),
+        Seq(col("approx_d2"), col("c_id")), k, "rank")
+      .select(col("q_id"), col("rank"), col("c_id"), col("approx_d2"))
+  }
+
   def pqTopK(queries: DataFrame, candidates: DataFrame,
       qId: String, cId: String, vecCol: String, k: Int,
       m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
@@ -733,15 +748,7 @@ object Similarity {
         .select(col("c_id").as("cell"), col("__cv").as("v")))
     val cc = pqEncode(c, "__cv", cb, m, dsub).select(col("c_id"), col("__codes"))
     val qt = pqQueryTable(qSide(queries, qId, vecCol), cb, m, dsub)
-    val scored = cc.crossJoin(broadcast(qt))
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("approx_d2",
-        aggregate(zip_with(sequence(lit(0), lit(m - 1)), col("__codes"),
-            (j, code) => element_at(col("__qtab"), j * ksub + code + 1)),
-          lit(0.0), (a, x) => a + x))
-    Dedup.topKPerGroup(scored, Seq("q_id"),
-        Seq(col("approx_d2"), col("c_id")), k, "rank")
-      .select(col("q_id"), col("rank"), col("c_id"), col("approx_d2"))
+    adcTopK(cc.crossJoin(broadcast(qt)), m, ksub, k)
   }
 
   /** PQ scan + exact refine (FAISS's IndexRefineFlat pattern): the PQ
@@ -781,25 +788,20 @@ object Similarity {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
     val dsub = dim / m
     val c = cSide(candidates, cId, vecCol)
-    def sampled(n: Int) = broadcastCodebook(
-      c.orderBy(col("c_id")).limit(n)
-        .select(col("c_id").as("cell"), col("__cv").as("v")))
-    val coarse = sampled(nlist)
-    val pqcb = sampled(ksub)
+    // ONE TakeOrdered job feeds both quantizers (they sample the same
+    // lowest-id rows; under the defaults they are identical) — the
+    // checkpoint is max(nlist, ksub) rows, metadata-sized
+    val sampled = c.orderBy(col("c_id")).limit(math.max(nlist, ksub))
+      .select(col("c_id").as("cell"), col("__cv").as("v"))
+      .localCheckpoint()
+    val coarse = broadcastCodebook(sampled.limit(nlist))
+    val pqcb = broadcastCodebook(sampled.limit(ksub))
     val cc = pqEncode(probeCells(c, "__cv", coarse, 1), "__cv", pqcb, m, dsub)
       .select(col("c_id"), col("cell"), col("__codes"))
     val q = qSide(queries, qId, vecCol)
     val qp = probeCells(q, "__qv", coarse, nprobe).select(col("q_id"), col("cell"))
       .join(pqQueryTable(q, pqcb, m, dsub), Seq("q_id"))
-    val scored = cc.join(broadcast(qp), Seq("cell"))
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("approx_d2",
-        aggregate(zip_with(sequence(lit(0), lit(m - 1)), col("__codes"),
-            (j, code) => element_at(col("__qtab"), j * ksub + code + 1)),
-          lit(0.0), (a, x) => a + x))
-    Dedup.topKPerGroup(scored, Seq("q_id"),
-        Seq(col("approx_d2"), col("c_id")), k, "rank")
-      .select(col("q_id"), col("rank"), col("c_id"), col("approx_d2"))
+    adcTopK(cc.join(broadcast(qp), Seq("cell")), m, ksub, k)
   }
 
   /** Standalone overflow accounting for [[lshNearDupPairs]]: the

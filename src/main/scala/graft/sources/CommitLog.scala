@@ -164,26 +164,33 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   private def mergedSchema(current: Option[StructType],
       incoming: StructType): StructType =
     current.fold(incoming) { cur =>
-      val inByName = incoming.map(f => f.name -> f).toMap
+      // names match CASE-INSENSITIVELY — Spark resolves columns that way
+      // by default, and a case-variant duplicate in the committed schema
+      // would make every subsequent parquet read fail on "duplicate
+      // field". The table keeps ITS spelling for existing columns.
+      val inByName = incoming.map(f => f.name.toLowerCase -> f).toMap
+      val curNames = cur.map(_.name.toLowerCase).toSet
       val kept = cur.map { f =>
-        inByName.get(f.name).fold(f.copy(nullable = true)) { inF =>
+        inByName.get(f.name.toLowerCase).fold(f.copy(nullable = true)) { inF =>
           require(inF.dataType == f.dataType,
             s"$tableRoot: schema evolution cannot change column '${f.name}' " +
               s"from ${f.dataType.simpleString} to ${inF.dataType.simpleString}")
           f.copy(nullable = f.nullable || inF.nullable)
         }
       }
-      val added = incoming.filter(f => !cur.exists(_.name == f.name))
+      val added = incoming.filter(f => !curNames(f.name.toLowerCase))
         .map(_.copy(nullable = true))
       StructType(kept ++ added)
     }
 
   /** Project `df` onto `schema`: shared column order normalized, absent
-    * columns as typed nulls. */
+    * columns as typed nulls. Name lookup is case-insensitive to match
+    * [[mergedSchema]]. */
   private def conform(df: DataFrame, schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    val present = df.columns.map(_.toLowerCase).toSet
     df.select(schema.map(f =>
-      if (df.columns.contains(f.name)) col(f.name)
+      if (present(f.name.toLowerCase)) col(f.name).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)): _*)
   }
 
@@ -202,15 +209,21 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     var cur = s0
     var attempts = 0
     // the committed schema is re-merged per attempt: a racing writer may
-    // have evolved the table between snapshots
-    while (!tryCommit(cur.version + 1,
-        manifestJson(cur.version + 1, "add", files,
-          mergedSchema(cur.schema, df.schema), txn))) {
-      attempts += 1
-      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
-      val s = snapshot()
-      if (replayOf(s, txn)) { files.foreach(deleteData); return s.version }
-      cur = s
+    // have evolved the table between snapshots. ANY abort from here on
+    // (a racer's conflicting type, the MaxAttempts bound) must not leak
+    // the already-written data files.
+    try {
+      while (!tryCommit(cur.version + 1,
+          manifestJson(cur.version + 1, "add", files,
+            mergedSchema(cur.schema, df.schema), txn))) {
+        attempts += 1
+        require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+        val s = snapshot()
+        if (replayOf(s, txn)) { files.foreach(deleteData); return s.version }
+        cur = s
+      }
+    } catch {
+      case e: Throwable => files.foreach(deleteData); throw e
     }
     cur.version + 1
   }

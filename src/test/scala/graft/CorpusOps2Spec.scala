@@ -386,6 +386,11 @@ class CorpusOps2Spec extends SparkSpecBase {
       assert(math.abs(logit - want.toDouble / (1000.0 * n)) < 1e-15)
       assert(keep === (num >= 0))
     }
+    // null text propagates null metrics (not legacy size(null) = -1)
+    val nulls = QualityClassifier.score(
+        Seq((9L, null: String)).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"n_tok", $"score_num", $"keep").head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
   }
 
   // ---- PQ / IVF-PQ ----
