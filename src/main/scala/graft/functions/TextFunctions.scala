@@ -102,4 +102,16 @@ object TextFunctions {
   /** Text with every battery pattern replaced, in declaration order. */
   def redactPii(text: Column): Column =
     PII_PATTERNS.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, lit(p), lit(r)) }
+
+  /** Markup/boilerplate strip (the WET-extraction stage of a web-corpus
+    * pipeline): tags → space, entities → space, whitespace runs
+    * collapsed, ends trimmed. Patterns live in the Java-regex ∩ RE2
+    * dialect (the q83 discipline) so DuckDB replays them with the 'g'
+    * flag. */
+  def stripMarkup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit("<[^>]*>"), lit(" ")),
+        lit("&[a-z]{2,6};"), lit(" ")),
+      lit(" +"), lit(" ")))
 }

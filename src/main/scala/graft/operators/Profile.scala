@@ -72,4 +72,27 @@ object Profile {
         round(lit(lo) + (col("bin") + 1) * w, 6).as("bin_hi"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** [[histogram]] per group: one aggregate over (group, bin), the
+    * empty buckets materialized RELATIONALLY (distinct groups ×
+    * generated bins — no driver collect of the group domain, so the
+    * group count can scale). Shared [lo, hi] so the distributions are
+    * comparable across groups. */
+  def histogramBy(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, s"need bins>0 and hi>lo, got $bins [$lo,$hi]")
+    val w = (hi - lo) / bins
+    val v = col(valueCol).cast("double")
+    val bin = least(greatest(floor((v - lo) / w).cast("int"), lit(0)),
+      lit(bins - 1))
+    val counts = df.filter(v.isNotNull && v >= lo && v <= hi)
+      .groupBy(col(groupCol), bin.as("bin")).agg(count(lit(1)).as("n"))
+    val grid = df.select(col(groupCol)).distinct()
+      .withColumn("bin", explode(sequence(lit(0), lit(bins - 1))))
+    grid.join(counts, Seq(groupCol, "bin"), "left")
+      .select(col(groupCol), col("bin"),
+        round(lit(lo) + col("bin") * w, 6).as("bin_lo"),
+        round(lit(lo) + (col("bin") + 1) * w, 6).as("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

@@ -612,6 +612,77 @@ object CorpusQueries3 {
         AND bit_count(xor(a.phash, b.phash)) <= 11
       ORDER BY a_id, b_id"""))
 
+  /** C5 markup/boilerplate strip
+    * ([[graft.functions.TextFunctions.stripMarkup]] — the
+    * WET-extraction stage): HTML synthesized deterministically onto
+    * 2/3 of docs (the q83 injection pattern), stripped, whitespace
+    * collapsed; before/after lengths plus the md5 of the cleaned text
+    * hash-check the whole transformation. Patterns restricted to the
+    * Java-regex ∩ RE2 dialect; DuckDB replays with the 'g' flag. */
+  private val q129 = Q(
+    "q129_markup_strip",
+    (s, dir) => {
+      val str = (c: org.apache.spark.sql.Column) => c.cast("string")
+      val withHtml = t(s, dir, "documents").withColumn("html",
+        when(col("doc_id") % 3 === 2, col("text")).otherwise(concat(
+          lit("<div class=\"d"), str(col("doc_id")), lit("\"><p>"),
+          col("text"),
+          lit("</p>&nbsp;<a href=\"/x\">link</a></div> <script>var x=1;</script>"))))
+      withHtml.select(col("doc_id"),
+          length(col("html")).cast("long").as("n_before"),
+          length(graft.functions.TextFunctions.stripMarkup(col("html")))
+            .cast("long").as("n_after"),
+          md5(graft.functions.TextFunctions.stripMarkup(col("html")))
+            .as("clean_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH h AS (SELECT doc_id,
+          CASE WHEN doc_id % 3 = 2 THEN text
+            ELSE '<div class="d' || CAST(doc_id AS VARCHAR) || '"><p>' || text
+              || '</p>&nbsp;<a href="/x">link</a></div> <script>var x=1;</script>'
+          END AS html
+        FROM documents),
+      c AS (SELECT doc_id, html,
+          trim(regexp_replace(regexp_replace(regexp_replace(html,
+            '<[^>]*>', ' ', 'g'), '&[a-z]{2,6};', ' ', 'g'),
+            ' +', ' ', 'g')) AS clean
+        FROM h)
+      SELECT doc_id, CAST(length(html) AS BIGINT) AS n_before,
+        CAST(length(clean) AS BIGINT) AS n_after, md5(clean) AS clean_fp
+      FROM c ORDER BY doc_id"""))
+
+  /** QA grouped histogram ([[graft.operators.Profile.histogramBy]]):
+    * the q115 equi-width binning per l_returnflag with SHARED bounds
+    * (comparable distributions), empty buckets materialized
+    * relationally — no driver collect of the group domain. */
+  private val q130 = Q(
+    "q130_grouped_histogram",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val r = li.agg(min(col("l_extendedprice")), max(col("l_extendedprice"))).head()
+      graft.operators.Profile.histogramBy(li, "l_returnflag",
+          "l_extendedprice", r.getDouble(0), r.getDouble(1), bins = 12)
+        .orderBy(col("l_returnflag"), col("bin"))
+    },
+    Some("""WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        FROM lineitem),
+      h AS (SELECT l_returnflag,
+          LEAST(GREATEST(CAST(floor((l_extendedprice - lo) /
+            ((hi - lo) / 12)) AS INT), 0), 11) AS bin, COUNT(*) AS n
+        FROM lineitem, b
+        WHERE l_extendedprice IS NOT NULL
+          AND l_extendedprice >= lo AND l_extendedprice <= hi
+        GROUP BY 1, 2),
+      grid AS (SELECT DISTINCT l_returnflag, g.bin
+        FROM lineitem CROSS JOIN (SELECT unnest(range(12)) AS bin) g)
+      SELECT g.l_returnflag, CAST(g.bin AS INT) AS bin,
+        round(lo + g.bin * ((hi - lo) / 12), 6) AS bin_lo,
+        round(lo + (g.bin + 1) * ((hi - lo) / 12), 6) AS bin_hi,
+        CAST(coalesce(h.n, 0) AS BIGINT) AS n
+      FROM grid g CROSS JOIN b
+      LEFT JOIN h ON h.l_returnflag = g.l_returnflag AND h.bin = g.bin
+      ORDER BY g.l_returnflag, bin"""))
+
   val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q114, q115,
-    q116, q117, q118, q119, q120, q123, q126)
+    q116, q117, q118, q119, q120, q123, q126, q129, q130)
 }

@@ -57,11 +57,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * writes a checkpoint manifest restating the full state (live files,
   * schema, txn table) and [[prune]] deletes the now-redundant prefix,
   * the standard log-compaction move. `upsert` rewrites the full live
-  * set like the directory-swap
-  * sink it replaces ([[graft.operators.Sinks.writeAtomic]]); at 100 TB
-  * the table would be key-partitioned so a merge rewrites only the
-  * partitions the anti-join touches, each as its own `replace` of that
-  * partition's files — the protocol is unchanged.
+  * set like the directory-swap sink it replaces
+  * ([[graft.operators.Sinks.writeAtomic]]); the 100 TB form is
+  * [[upsertPartitioned]]: manifests tag files with partition values
+  * and a merge retires/rewrites ONLY the touched partitions' files
+  * (`replace_parts`), so disjoint-partition writers contend only on
+  * the version counter and [[readPartitions]] prunes at the manifest
+  * level.
   */
 final class CommitLog private (spark: SparkSession, tableRoot: String) {
 
@@ -71,9 +73,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   private def fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def mapper = new ObjectMapper()
 
-  /** The folded state of the log at one version. */
+  /** The folded state of the log at one version. `parts` tags data
+    * files with their partition value (string form) — present only for
+    * files written by the partitioned write path. */
   final case class Snapshot(version: Long, files: Seq[String],
-      schema: Option[StructType], txns: Map[String, Long])
+      schema: Option[StructType], txns: Map[String, Long],
+      parts: Map[String, String] = Map.empty)
 
   private def manifestPath(v: Long): Path = new Path(logDir, f"$v%020d.json")
 
@@ -85,7 +90,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * versions survive until [[vacuum]], which is what makes old
     * snapshots readable at all. */
   def snapshotAt(asOf: Long): Snapshot = {
-    if (!fs.exists(logDir)) return Snapshot(-1L, Nil, None, Map.empty)
+    if (!fs.exists(logDir)) return Snapshot(-1L, Nil, None, Map.empty, Map.empty)
     val manifests = fs.listStatus(logDir)
       // dot-prefixed names are IN-FLIGHT tmp manifests (mid-write);
       // only the atomically-published versioned files are the log
@@ -96,6 +101,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     var files = Vector.empty[String]
     var schema: Option[StructType] = None
     var txns = Map.empty[String, Long]
+    var parts = Map.empty[String, String]
     var version = -1L
     manifests.foreach { m =>
       val in = fs.open(m.getPath)
@@ -106,9 +112,20 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val node = mapper.readTree(raw)
       version = node.get("version").asLong()
       val fl = node.get("files").elements().asScala.map(_.asText()).toVector
+      val filePartTags: Map[String, String] =
+        Option(node.get("fileParts")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
       node.get("action").asText() match {
-        case "add"     => files = files ++ fl
-        case "replace" => files = fl
+        case "add"     => files = files ++ fl; parts = parts ++ filePartTags
+        case "replace" => files = fl; parts = filePartTags
+        case "replace_parts" =>
+          // retire the live files OF THE NAMED PARTITIONS, keep the
+          // rest; untagged files are untouched (the writer enforces
+          // all-tagged before using this action)
+          val retired = Option(node.get("parts")).map(_.elements().asScala
+            .map(_.asText()).toSet).getOrElse(Set.empty[String])
+          files = files.filterNot(f => parts.get(f).exists(retired)) ++ fl
+          parts = parts.filterNot { case (f, p) => retired(p) } ++ filePartTags
         case other => throw new IllegalStateException(
           s"$tableRoot: unknown log action '$other' at version $version")
       }
@@ -126,7 +143,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           math.max(e.getValue.asLong(), txns.getOrElse(e.getKey, Long.MinValue)))
       })
     }
-    Snapshot(version, files, schema, txns)
+    Snapshot(version, files, schema, txns, parts)
   }
 
   /** The table at the latest version (explicit file-list scan — full
@@ -264,6 +281,130 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     -1L // unreachable
   }
 
+  /** PARTITION-SCOPED merge — the 100 TB form of [[upsert]]: only the
+    * partitions the incoming batch touches are read, merged, and
+    * rewritten; every other partition's files ride through the commit
+    * untouched (SURVEY §8's "a merge rewrites only the partitions the
+    * anti-join touches", now implemented, not just documented). The
+    * manifest action is `replace_parts`: it retires exactly the live
+    * files tagged with the touched partition values and adds the
+    * rewritten ones (tagged), so concurrent merges of DISJOINT
+    * partition sets only contend on the version counter, never on
+    * data.
+    *
+    * Requirements, enforced loudly: `partCol` must be non-null in
+    * `incoming` (tags are its string form — keep it string/integral/
+    * date), and every live file must already carry a partition tag
+    * (i.e. the table is consistently written through this path, or
+    * empty) — otherwise an untagged file could silently shadow rows
+    * of a replaced partition. */
+  def upsertPartitioned(incoming: DataFrame, keys: Seq[String],
+      mode: CommitLog.MergeMode, partCol: String,
+      txn: Option[(String, Long)] = None): Long = {
+    import graft.operators.Upsert
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty && keys.contains(partCol),
+      s"$tableRoot: partCol '$partCol' must be one of the merge keys — a " +
+        "partition-scoped merge only sees the touched partitions, so a key " +
+        "that can move between partitions would duplicate")
+    val touched = incoming
+      .select(col(partCol).cast("string").as("__p")).distinct()
+      .collect().map(r => Option(r.getString(0)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$tableRoot: null $partCol in incoming — partition values must be non-null")))
+      .toSeq.sorted
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      if (replayOf(s, txn)) return s.version
+      val untagged = s.files.filterNot(s.parts.contains)
+      require(untagged.isEmpty,
+        s"$tableRoot: ${untagged.size} live files carry no partition tag " +
+          s"(e.g. ${untagged.headOption.getOrElse("")}) — a partitioned merge " +
+          "would silently miss their rows; use upsert() or rewrite the table " +
+          "through upsertPartitioned/appendPartitioned first")
+      val sch = mergedSchema(s.schema, incoming.schema)
+      val in = conform(incoming, sch)
+      val touchedFiles = s.files.filter(f => s.parts.get(f).exists(touched.contains))
+      val target = conform(
+        if (touchedFiles.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            s.schema.getOrElse(incoming.schema))
+        else spark.read.schema(s.schema.getOrElse(incoming.schema))
+          .parquet(touchedFiles.map(f => s"$tableRoot/$f"): _*), sch)
+      val merged =
+        if (s.version < 0) in
+        else mode match {
+          case CommitLog.InsertIfAbsent => Upsert.insertIfAbsent(target, in, keys)
+          case CommitLog.LastWins       => Upsert.lastWins(target, in, keys)
+        }
+      // one write per touched partition so every new file carries its tag
+      val tagged = touched.flatMap { p =>
+        writeData(merged.filter(col(partCol).cast("string") === p)).map(_ -> p)
+      }
+      if (tryCommit(s.version + 1,
+          manifestJson(s.version + 1, "replace_parts", tagged.map(_._1), sch,
+            txn, parts = touched, fileParts = tagged.toMap)))
+        return s.version + 1
+      tagged.foreach(t => deleteData(t._1))
+      attempts += 1
+      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+    }
+    -1L // unreachable
+  }
+
+  /** Partition-tagged append: like [[append]] but each row batch lands
+    * in per-partition files tagged with `partCol`'s string value, so
+    * [[upsertPartitioned]] and [[readPartitions]] can scope to them. */
+  def appendPartitioned(df: DataFrame, partCol: String,
+      txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    val s0 = snapshot()
+    if (replayOf(s0, txn)) return s0.version
+    mergedSchema(s0.schema, df.schema)
+    val parts = df.select(col(partCol).cast("string").as("__p")).distinct()
+      .collect().map(r => Option(r.getString(0)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$tableRoot: null $partCol — partition values must be non-null")))
+      .toSeq.sorted
+    val tagged = parts.flatMap { p =>
+      writeData(df.filter(col(partCol).cast("string") === p)).map(_ -> p)
+    }
+    var cur = s0
+    var attempts = 0
+    try {
+      while (!tryCommit(cur.version + 1,
+          manifestJson(cur.version + 1, "add", tagged.map(_._1),
+            mergedSchema(cur.schema, df.schema), txn,
+            fileParts = tagged.toMap))) {
+        attempts += 1
+        require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+        val s = snapshot()
+        if (replayOf(s, txn)) { tagged.foreach(t => deleteData(t._1)); return s.version }
+        cur = s
+      }
+    } catch {
+      case e: Throwable => tagged.foreach(t => deleteData(t._1)); throw e
+    }
+    cur.version + 1
+  }
+
+  /** Manifest-level partition pruning: read ONLY the files tagged with
+    * the given partition values — the reader never lists or opens any
+    * other partition's data (the DynamoDB partition-key read path,
+    * file-level). Untagged files are never returned. */
+  def readPartitions(values: Seq[String]): DataFrame = {
+    val s = snapshot()
+    val want = values.toSet
+    val picked = s.files.filter(f => s.parts.get(f).exists(want))
+    if (picked.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        s.schema.getOrElse(new StructType()))
+    else spark.read.schema(s.schema.getOrElse(new StructType()))
+      .parquet(picked.map(f => s"$tableRoot/$f"): _*)
+  }
+
   /** Replace the live file set with `df` (TRUNCATE-and-load). */
   def replaceAll(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
     val s0 = snapshot()
@@ -300,6 +441,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       root.put("checkpoint", true)
       val arr = root.putArray("files")
       s.files.foreach(arr.add)
+      if (s.parts.nonEmpty) {
+        val fp = root.putObject("fileParts")
+        s.parts.filter(kv => s.files.contains(kv._1))
+          .foreach { case (f, p) => fp.put(f, p) }
+      }
       s.schema.foreach(sc => root.put("schema", sc.json))
       val tn = root.putObject("txns")
       s.txns.foreach { case (id, epoch) => tn.put(id, epoch) }
@@ -374,12 +520,21 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     fs.delete(new Path(rootPath, relPath), false)
 
   private def manifestJson(v: Long, action: String, files: Seq[String],
-      schema: StructType, txn: Option[(String, Long)]): String = {
+      schema: StructType, txn: Option[(String, Long)],
+      parts: Seq[String] = Nil,
+      fileParts: Map[String, String] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("version", v)
     root.put("action", action)
     val arr = root.putArray("files")
     files.foreach(arr.add)
+    if (parts.nonEmpty) {
+      val pa = root.putArray("parts"); parts.foreach(pa.add)
+    }
+    if (fileParts.nonEmpty) {
+      val fp = root.putObject("fileParts")
+      fileParts.foreach { case (f, p) => fp.put(f, p) }
+    }
     root.put("schema", schema.json)
     txn.foreach { case (id, epoch) =>
       val t = root.putObject("txn"); t.put("id", id); t.put("epoch", epoch)

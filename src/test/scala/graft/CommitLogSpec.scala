@@ -120,6 +120,33 @@ class CommitLogSpec extends SparkSpecBase {
       === Set((-1L, "seed"), (0L, "w0"), (1L, "w1"), (2L, "w2"), (3L, "w3")))
   }
 
+  test("concurrent partitioned merges of disjoint partitions all land losslessly") {
+    val t = tmpTable("clog-conc-parts")
+    CommitLog(spark, t).appendPartitioned(
+      Seq((0L, "p0", "seed0"), (100L, "p1", "seed1"),
+          (200L, "p2", "seed2"), (300L, "p3", "seed3"))
+        .toDF("id", "part", "v"), "part")
+    val pool = Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    val futures = (0 until 4).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          start.await()
+          CommitLog(spark, t).upsertPartitioned(
+            Seq((w * 100L + 1, s"p$w", s"w$w")).toDF("id", "part", "v"),
+            Seq("id", "part"), CommitLog.LastWins, "part")
+        }
+      })
+    }
+    start.countDown()
+    futures.foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(CommitLog(spark, t).read().select($"id", $"v")
+      .as[(Long, String)].collect().toSet
+      === Set((0L, "seed0"), (100L, "seed1"), (200L, "seed2"), (300L, "seed3"),
+        (1L, "w0"), (101L, "w1"), (201L, "w2"), (301L, "w3")))
+  }
+
   test("compact + prune: checkpoint restates state; pruned log reads identically") {
     val t = tmpTable("clog-compact")
     val log = CommitLog(spark, t)
@@ -206,6 +233,64 @@ class CommitLogSpec extends SparkSpecBase {
       val txns = CommitLog(spark, t).snapshot().txns
       assert(txns.get("sms-test").exists(_ >= 1L))
     } finally q.stop()
+  }
+
+  test("partitioned merge rewrites ONLY touched partitions; untouched files survive") {
+    val t = tmpTable("clog-parts")
+    val log = CommitLog(spark, t)
+    val day1 = Seq((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"))
+    val day2 = Seq((3L, "2024-01-02", "c"), (4L, "2024-01-02", "d"))
+    log.appendPartitioned((day1 ++ day2).toDF("id", "day", "v"), "day")
+    val before = log.snapshot()
+    val day1Files = before.files.filter(f => before.parts(f) == "2024-01-01").toSet
+    assert(day1Files.nonEmpty && before.parts.size === before.files.size)
+
+    // merge touches only day 2
+    log.upsertPartitioned(
+      Seq((3L, "2024-01-02", "C2"), (5L, "2024-01-02", "e"))
+        .toDF("id", "day", "v"),
+      Seq("id", "day"), CommitLog.LastWins, "day")
+    val after = log.snapshot()
+    // day-1 files rode through the commit byte-identical
+    assert(after.files.filter(f => after.parts(f) == "2024-01-01").toSet === day1Files)
+    // contents equal the full-table merge semantics
+    assert(log.read().select($"id", $"v").as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "C2"), (4L, "d"), (5L, "e")))
+    // manifest-level partition pruning reads only the asked partition
+    assert(log.readPartitions(Seq("2024-01-01"))
+      .select($"id").as[Long].collect().toSet === Set(1L, 2L))
+    // a checkpoint restates the partition tags: prune, then the scoped
+    // paths still work off the folded state alone
+    log.compact(); log.prune()
+    assert(log.readPartitions(Seq("2024-01-02"))
+      .select($"id").as[Long].collect().toSet === Set(3L, 4L, 5L))
+    log.upsertPartitioned(Seq((6L, "2024-01-02", "f")).toDF("id", "day", "v"),
+      Seq("id", "day"), CommitLog.InsertIfAbsent, "day")
+    assert(log.read().count() === 6L)
+  }
+
+  test("partitioned merge refuses untagged live files and null partition values") {
+    val t = tmpTable("clog-parts-bad")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "2024-01-01", "a")).toDF("id", "day", "v")) // untagged
+    val e = intercept[IllegalArgumentException] {
+      log.upsertPartitioned(Seq((2L, "2024-01-01", "b")).toDF("id", "day", "v"),
+        Seq("id", "day"), CommitLog.InsertIfAbsent, "day")
+    }
+    assert(e.getMessage.contains("no partition tag"))
+    val t2 = tmpTable("clog-parts-null")
+    val log2 = CommitLog(spark, t2)
+    val e2 = intercept[IllegalArgumentException] {
+      log2.appendPartitioned(
+        Seq((1L, null: String, "a")).toDF("id", "day", "v"), "day")
+    }
+    assert(e2.getMessage.contains("non-null"))
+    // partCol outside the merge keys would let a key hop partitions
+    val e3 = intercept[IllegalArgumentException] {
+      log2.upsertPartitioned(Seq((1L, "x", "a")).toDF("id", "day", "v"),
+        Seq("id"), CommitLog.LastWins, "day")
+    }
+    assert(e3.getMessage.contains("merge keys"))
   }
 
   test("schema evolution: append with a new column widens; old rows read null") {
