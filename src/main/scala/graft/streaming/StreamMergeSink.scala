@@ -49,6 +49,31 @@ object StreamMergeSink {
         ()
       }
 
+  /** [[mergeInto]] against a PARTITIONED commit-log table
+    * ([[CommitLog.upsertPartitioned]]): each micro-batch merges only
+    * the partitions it touches — the natural shape when a stream
+    * lands time-bucketed data into a date-partitioned table (the
+    * reference's daily price snapshots): a batch touches one or two
+    * partitions of an arbitrarily large table and the merge cost
+    * follows the batch, not the table. Same per-(queryName, batchId)
+    * idempotency; `partCol` must be one of `keys` (enforced by the
+    * log). */
+  def mergeIntoPartitioned(stream: DataFrame, tableRoot: String,
+      keys: Seq[String], partCol: String,
+      mode: CommitLog.MergeMode = CommitLog.InsertIfAbsent,
+      queryName: String = "stream-merge-part",
+      orderCol: Option[String] = None): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val unique = orderCol.fold(batch)(dedupBy(batch, keys, _))
+        CommitLog(batch.sparkSession, tableRoot)
+          .upsertPartitioned(unique, keys, mode, partCol,
+            txn = Some(queryName -> batchId))
+        ()
+      }
+
   /** Last-wins within the batch: keep each key's max-`orderCol` row. */
   private def dedupBy(batch: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
     graft.operators.Dedup.lastWins(batch, keys, Seq(orderCol))

@@ -235,6 +235,30 @@ class CommitLogSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("StreamMergeSink partitioned: a batch rewrites only its day's files") {
+    val t = tmpTable("clog-stream-part")
+    CommitLog(spark, t).appendPartitioned(
+      Seq((1L, "d1", "a"), (2L, "d2", "b")).toDF("id", "day", "v"), "day")
+    val d1Files = CommitLog(spark, t).snapshot()
+      .files.filter(f => CommitLog(spark, t).snapshot().parts(f) == "d1").toSet
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val stream = mem.toDF().toDF("id", "day", "v", "seq")
+    val q = StreamMergeSink.mergeIntoPartitioned(stream, t, Seq("id", "day"),
+      "day", CommitLog.LastWins, queryName = "smsp-test", orderCol = Some("seq"))
+      .start()
+    try {
+      mem.addData((2L, "d2", "b2", 1L), (3L, "d2", "c", 1L)) // touches d2 only
+      q.processAllAvailable()
+      val s = CommitLog(spark, t).snapshot()
+      assert(s.files.filter(f => s.parts(f) == "d1").toSet === d1Files)
+      assert(CommitLog(spark, t).read().select($"id", $"v")
+        .as[(Long, String)].collect().toSet
+        === Set((1L, "a"), (2L, "b2"), (3L, "c")))
+      assert(s.txns.get("smsp-test").exists(_ >= 0L))
+    } finally q.stop()
+  }
+
   test("partitioned merge rewrites ONLY touched partitions; untouched files survive") {
     val t = tmpTable("clog-parts")
     val log = CommitLog(spark, t)

@@ -165,6 +165,35 @@ class PropertySpec extends SparkSpecBase {
     }, minTests = 15)
   }
 
+  test("partitioned merge equals full-table merge on random batches") {
+    import graft.sources.CommitLog
+    val rows = Gen.listOfN(20, Gen.zip(
+      Gen.chooseNum(0L, 12L), Gen.oneOf("p0", "p1", "p2"), Gen.alphaStr))
+    checkProp(Prop.forAllNoShrink(rows, rows, Gen.oneOf(true, false)) {
+      (seed0, batch0, insertOnly) =>
+        // unique per (id, part) as the merge contract requires
+        def uniq(xs: List[(Long, String, String)]) =
+          xs.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+        val seed = uniq(seed0); val batch = uniq(batch0)
+        val mode = if (insertOnly) CommitLog.InsertIfAbsent else CommitLog.LastWins
+        val dirA = java.nio.file.Files.createTempDirectory("prop-part").toString + "/t"
+        val dirB = java.nio.file.Files.createTempDirectory("prop-full").toString + "/t"
+        val logA = CommitLog(spark, dirA); val logB = CommitLog(spark, dirB)
+        if (seed.nonEmpty) {
+          logA.appendPartitioned(seed.toDF("id", "part", "v"), "part")
+          logB.append(seed.toDF("id", "part", "v"))
+        }
+        if (batch.nonEmpty) {
+          logA.upsertPartitioned(batch.toDF("id", "part", "v"),
+            Seq("id", "part"), mode, "part")
+          logB.upsert(batch.toDF("id", "part", "v"), Seq("id", "part"), mode)
+        }
+        val a = logA.read().as[(Long, String, String)].collect().toSet
+        val b = logB.read().as[(Long, String, String)].collect().toSet
+        a == b
+    }, minTests = 8)
+  }
+
   test("intervalOverlap equals the naive overlap theta join on random intervals") {
     val gen = Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 1000L),
       Gen.chooseNum(-60.0, 60.0), Gen.chooseNum(0.0, 25.0)))
