@@ -217,17 +217,28 @@ object Multimodal {
       .select(col(idCol).as("__id"), dHash60(col("signature")).as("__ph"))
       .withColumn("__bands", bandArr)
       .localCheckpoint()
-    val b = sig.select(col("__id"), col("__ph"), col("__bands"),
+    val b = sig.select(col("__id"), col("__ph"),
       posexplode(col("__bands")).as(Seq("band", "bval")))
-    val firstShared = element_at(
-      filter(sequence(lit(0), lit(11)), i =>
-        element_at(col("a.__bands"), i + 1) === element_at(col("b.__bands"), i + 1)), 1)
+    // Both post-join predicates are pure long arithmetic on the XOR of
+    // the two hashes — nothing but (id, ph, band, bval) rides the wide
+    // candidate join (5-bit bands are COARSE, 32 values, so it IS
+    // wide), and everything stays codegen'd: band i is shared iff the
+    // i-th 5-bit slice of the XOR is zero, so the first shared band
+    // falls out of a 12-literal boolean array (no per-row array
+    // payload, no interpreted lambda — an earlier form carried both
+    // 12-int band arrays and probed them with an interpreted HOF
+    // BEFORE the hamming cut: 37 s; this shape runs ~1 s at sf0.1).
+    val x = col("a.__ph").bitwiseXOR(col("b.__ph"))
+    val firstSharedBand = array_position(
+      array((0 until 12).map(i =>
+        shiftrightunsigned(x, i * 5).bitwiseAND(lit(31L)) === 0): _*),
+      true) - 1
     b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.__id") < col("b.__id"))
-      .filter(col("a.band") === firstShared)
       .withColumn("hamming", expr("bit_count(a.__ph ^ b.__ph)").cast("long"))
       .filter(col("hamming") <= tau)
+      .filter(col("a.band") === firstSharedBand)
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"), col("hamming"))
   }
 }
