@@ -405,6 +405,41 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       .parquet(picked.map(f => s"$tableRoot/$f"): _*)
   }
 
+  /** [[replaceAll]] with partition tags: TRUNCATE-and-load that leaves
+    * the table consistent for the partition-scoped paths (a plain
+    * replaceAll writes untagged files, after which
+    * [[upsertPartitioned]] refuses the table). */
+  def replaceAllPartitioned(df: DataFrame, partCol: String,
+      txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    val s0 = snapshot()
+    if (replayOf(s0, txn)) return s0.version
+    mergedSchema(None, df.schema)
+    val parts = df.select(col(partCol).cast("string").as("__p")).distinct()
+      .collect().map(r => Option(r.getString(0)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$tableRoot: null $partCol — partition values must be non-null")))
+      .toSeq.sorted
+    val tagged = parts.flatMap { p =>
+      writeData(df.filter(col(partCol).cast("string") === p)).map(_ -> p)
+    }
+    var v = s0.version + 1
+    var attempts = 0
+    try {
+      while (!tryCommit(v, manifestJson(v, "replace", tagged.map(_._1),
+          df.schema, txn, fileParts = tagged.toMap))) {
+        attempts += 1
+        require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+        val s = snapshot()
+        if (replayOf(s, txn)) { tagged.foreach(t => deleteData(t._1)); return s.version }
+        v = s.version + 1
+      }
+    } catch {
+      case e: Throwable => tagged.foreach(t => deleteData(t._1)); throw e
+    }
+    v
+  }
+
   /** Replace the live file set with `df` (TRUNCATE-and-load). */
   def replaceAll(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
     val s0 = snapshot()

@@ -25,6 +25,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - `merge.keys` = comma-separated key columns
   *  - `merge.mode` = `insert-if-absent` (reference semantics, default
   *    when keys are set) | `last-wins` | `append` (plain)
+  *  - `merge.partcol` = a key column whose string value partitions the
+  *    table at the manifest level (requires `merge.log`): merges then
+  *    read/rewrite ONLY the touched partitions
+  *    ([[CommitLog.upsertPartitioned]])
   *  - `merge.log` = `true` routes writes through the versioned
   *    [[CommitLog]] — per-item-atomic under CONCURRENT writers like the
   *    reference's conditional put; the default directory-swap path is
@@ -178,21 +182,32 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
     // is what the catalog buys over a path write); column order is
     // normalized here only so parquet files stay field-order stable.
     val aligned = data.select(schema0.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    val partCol = props.get("merge.partcol").map(_.trim).filter(_.nonEmpty)
+    require(partCol.isEmpty || logged,
+      s"$ident: merge.partcol requires merge.log=true (partition-scoped " +
+        "merges live in the commit log)")
     if (logged) {
       // merge.log=true: writes go through the versioned commit log —
       // per-table serialization under CONCURRENT writers (the
       // reference's conditional-put guarantee, which the plain
-      // directory-swap path below does not give)
+      // directory-swap path below does not give). merge.partcol scopes
+      // every merge to the touched partitions (CommitLog.upsertPartitioned).
       val log = CommitLog(data.sparkSession, path)
-      if (overwrite) log.replaceAll(aligned)
+      if (overwrite)
+        partCol.fold(log.replaceAll(aligned): Unit)(p =>
+          log.replaceAllPartitioned(aligned, p))
       else mode match {
-        case "append" => log.append(aligned)
+        case "append" =>
+          partCol.fold(log.append(aligned): Unit)(p =>
+            log.appendPartitioned(aligned, p))
         case "insert-if-absent" =>
           require(keys.nonEmpty, s"$ident: merge.mode=$mode requires merge.keys")
-          log.upsert(aligned, keys, CommitLog.InsertIfAbsent)
+          partCol.fold(log.upsert(aligned, keys, CommitLog.InsertIfAbsent): Unit)(
+            p => log.upsertPartitioned(aligned, keys, CommitLog.InsertIfAbsent, p))
         case "last-wins" =>
           require(keys.nonEmpty, s"$ident: merge.mode=$mode requires merge.keys")
-          log.upsert(aligned, keys, CommitLog.LastWins)
+          partCol.fold(log.upsert(aligned, keys, CommitLog.LastWins): Unit)(
+            p => log.upsertPartitioned(aligned, keys, CommitLog.LastWins, p))
         case other =>
           throw new IllegalArgumentException(
             s"$ident: unknown merge.mode '$other' (append | insert-if-absent | last-wins)")

@@ -213,6 +213,27 @@ class CommitLogSpec extends SparkSpecBase {
     assert(CommitLog(spark, s"$wh/stations").snapshot().version === 1L)
   }
 
+  test("catalog merge.partcol: writeTo merges scope to touched partitions") {
+    val wh = Files.createTempDirectory("graft-wh-part").toString
+    spark.conf.set("spark.sql.catalog.gpart", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpart.warehouse", wh)
+    Seq((1L, "d1", "a"), (2L, "d2", "b")).toDF("id", "day", "nome")
+      .writeTo("gpart.prices")
+      .tableProperty("merge.keys", "id,day")
+      .tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "day")
+      .create()
+    val before = CommitLog(spark, s"$wh/prices").snapshot()
+    val d1 = before.files.filter(f => before.parts(f) == "d1").toSet
+    assert(d1.nonEmpty)
+    Seq((3L, "d2", "c")).toDF("id", "day", "nome")
+      .writeTo("gpart.prices").append()
+    val after = CommitLog(spark, s"$wh/prices").snapshot()
+    assert(after.files.filter(f => after.parts(f) == "d1").toSet === d1)
+    assert(GraftMergeTable.read(spark, wh, "prices")
+      .select($"id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+  }
+
   test("StreamMergeSink: micro-batches merge insert-if-absent into the log table") {
     val t = tmpTable("clog-stream")
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
