@@ -112,6 +112,6 @@ object TextFunctions {
     trim(regexp_replace(
       regexp_replace(
         regexp_replace(text, lit("<[^>]*>"), lit(" ")),
-        lit("&[a-z]{2,6};"), lit(" ")),
-      lit(" +"), lit(" ")))
+        lit("&#?[a-zA-Z0-9]{1,8};"), lit(" ")),
+      lit("\\s+"), lit(" ")))
 }

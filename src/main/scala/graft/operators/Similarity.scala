@@ -705,6 +705,21 @@ object Similarity {
           transform(col("__cb"), e => subSqDist(col("__qv"), e("v"), j, dsub))))
           .as("__qtab"))
 
+  /** Shared ADC tail of [[pqTopK]]/[[ivfPqTopK]]: sum the m distance-
+    * table lookups (ascending j — the order the oracle replays) and
+    * keep k per query ascending (approx_d2, c_id). Expects q_id, c_id,
+    * __codes, __qtab. */
+  private def adcTopK(pairs: DataFrame, m: Int, ksub: Int, k: Int): DataFrame = {
+    val scored = pairs.filter(col("q_id") =!= col("c_id"))
+      .withColumn("approx_d2",
+        aggregate(zip_with(sequence(lit(0), lit(m - 1)), col("__codes"),
+            (j, code) => element_at(col("__qtab"), j * ksub + code + 1)),
+          lit(0.0), (a, x) => a + x))
+    Dedup.topKPerGroup(scored, Seq("q_id"),
+        Seq(col("approx_d2"), col("c_id")), k, "rank")
+      .select(col("q_id"), col("rank"), col("c_id"), col("approx_d2"))
+  }
+
   /** Product quantization (PQ) approximate top-k — the compressed
     * linear scan of the IVFADC family (Jégou et al. 2011): each
     * candidate vector becomes m sub-quantizer codes (here m bytes vs
@@ -722,21 +737,6 @@ object Similarity {
     * (c_id, m codes) against a broadcast query table. At 100 TB the
     * candidate side of a PQ scan is the smallest representation of
     * the corpus any searcher here ships. */
-  /** Shared ADC tail of [[pqTopK]]/[[ivfPqTopK]]: sum the m distance-
-    * table lookups (ascending j — the order the oracle replays) and
-    * keep k per query ascending (approx_d2, c_id). Expects q_id, c_id,
-    * __codes, __qtab. */
-  private def adcTopK(pairs: DataFrame, m: Int, ksub: Int, k: Int): DataFrame = {
-    val scored = pairs.filter(col("q_id") =!= col("c_id"))
-      .withColumn("approx_d2",
-        aggregate(zip_with(sequence(lit(0), lit(m - 1)), col("__codes"),
-            (j, code) => element_at(col("__qtab"), j * ksub + code + 1)),
-          lit(0.0), (a, x) => a + x))
-    Dedup.topKPerGroup(scored, Seq("q_id"),
-        Seq(col("approx_d2"), col("c_id")), k, "rank")
-      .select(col("q_id"), col("rank"), col("c_id"), col("approx_d2"))
-  }
-
   def pqTopK(queries: DataFrame, candidates: DataFrame,
       qId: String, cId: String, vecCol: String, k: Int,
       m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {

@@ -625,9 +625,9 @@ object CorpusQueries3 {
       val str = (c: org.apache.spark.sql.Column) => c.cast("string")
       val withHtml = t(s, dir, "documents").withColumn("html",
         when(col("doc_id") % 3 === 2, col("text")).otherwise(concat(
-          lit("<div class=\"d"), str(col("doc_id")), lit("\"><p>"),
+          lit("<div class=\"d"), str(col("doc_id")), lit("\">\n\t<p>"),
           col("text"),
-          lit("</p>&nbsp;<a href=\"/x\">link</a></div> <script>var x=1;</script>"))))
+          lit("</p>&nbsp;&#39;<a href=\"/x\">link</a></div>\n<script>var x=1;</script>"))))
       withHtml.select(col("doc_id"),
           length(col("html")).cast("long").as("n_before"),
           length(graft.functions.TextFunctions.stripMarkup(col("html")))
@@ -638,14 +638,16 @@ object CorpusQueries3 {
     },
     Some("""WITH h AS (SELECT doc_id,
           CASE WHEN doc_id % 3 = 2 THEN text
-            ELSE '<div class="d' || CAST(doc_id AS VARCHAR) || '"><p>' || text
-              || '</p>&nbsp;<a href="/x">link</a></div> <script>var x=1;</script>'
+            ELSE '<div class="d' || CAST(doc_id AS VARCHAR) || '">' || chr(10)
+              || chr(9) || '<p>' || text
+              || '</p>&nbsp;&#39;<a href="/x">link</a></div>' || chr(10)
+              || '<script>var x=1;</script>'
           END AS html
         FROM documents),
       c AS (SELECT doc_id, html,
           trim(regexp_replace(regexp_replace(regexp_replace(html,
-            '<[^>]*>', ' ', 'g'), '&[a-z]{2,6};', ' ', 'g'),
-            ' +', ' ', 'g')) AS clean
+            '<[^>]*>', ' ', 'g'), '&#?[a-zA-Z0-9]{1,8};', ' ', 'g'),
+            '\s+', ' ', 'g')) AS clean
         FROM h)
       SELECT doc_id, CAST(length(html) AS BIGINT) AS n_before,
         CAST(length(clean) AS BIGINT) AS n_after, md5(clean) AS clean_fp

@@ -178,36 +178,48 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * column is therefore additive too: the column survives, the new
     * files hold null. Time travel is unaffected — each version reads
     * with the schema recorded AT that version. */
+  /** Locale-stable fold for case-insensitive name matching (a Turkish
+    * default locale folds 'I' to dotless 'ı' and breaks the match —
+    * Spark itself folds with ROOT). */
+  private def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
   private def mergedSchema(current: Option[StructType],
-      incoming: StructType): StructType =
+      incoming: StructType): StructType = {
+    // names match CASE-INSENSITIVELY — Spark resolves columns that way
+    // by default, and a case-variant duplicate in the committed schema
+    // would make every subsequent parquet read fail on "duplicate
+    // field". That includes duplicates WITHIN one write (a DataFrame
+    // may carry 'foo' and 'FOO'): rejected before anything commits.
+    val inDups = incoming.groupBy(f => lc(f.name)).filter(_._2.size > 1)
+    require(inDups.isEmpty,
+      s"$tableRoot: write schema has case-colliding columns: " +
+        inDups.values.flatten.map(_.name).mkString(", "))
     current.fold(incoming) { cur =>
-      // names match CASE-INSENSITIVELY — Spark resolves columns that way
-      // by default, and a case-variant duplicate in the committed schema
-      // would make every subsequent parquet read fail on "duplicate
-      // field". The table keeps ITS spelling for existing columns.
-      val inByName = incoming.map(f => f.name.toLowerCase -> f).toMap
-      val curNames = cur.map(_.name.toLowerCase).toSet
+      // the table keeps ITS spelling for existing columns
+      val inByName = incoming.map(f => lc(f.name) -> f).toMap
+      val curNames = cur.map(f => lc(f.name)).toSet
       val kept = cur.map { f =>
-        inByName.get(f.name.toLowerCase).fold(f.copy(nullable = true)) { inF =>
+        inByName.get(lc(f.name)).fold(f.copy(nullable = true)) { inF =>
           require(inF.dataType == f.dataType,
             s"$tableRoot: schema evolution cannot change column '${f.name}' " +
               s"from ${f.dataType.simpleString} to ${inF.dataType.simpleString}")
           f.copy(nullable = f.nullable || inF.nullable)
         }
       }
-      val added = incoming.filter(f => !curNames(f.name.toLowerCase))
+      val added = incoming.filter(f => !curNames(lc(f.name)))
         .map(_.copy(nullable = true))
       StructType(kept ++ added)
     }
+  }
 
   /** Project `df` onto `schema`: shared column order normalized, absent
     * columns as typed nulls. Name lookup is case-insensitive to match
     * [[mergedSchema]]. */
   private def conform(df: DataFrame, schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val present = df.columns.map(_.toLowerCase).toSet
+    val present = df.columns.map(lc).toSet
     df.select(schema.map(f =>
-      if (present(f.name.toLowerCase)) col(f.name).as(f.name)
+      if (present(lc(f.name))) col(f.name).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)): _*)
   }
 
@@ -339,9 +351,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           case CommitLog.InsertIfAbsent => Upsert.insertIfAbsent(target, in, keys)
           case CommitLog.LastWins       => Upsert.lastWins(target, in, keys)
         }
-      // one write per touched partition so every new file carries its tag
+      // one write per touched partition so every new file carries its
+      // tag — the merge plan is checkpointed ONCE first, or P filtered
+      // writes would each re-read the touched files and re-run the
+      // anti-join (P× the single-write cost)
+      val mergedOnce = if (touched.size > 1) merged.localCheckpoint() else merged
       val tagged = touched.flatMap { p =>
-        writeData(merged.filter(col(partCol).cast("string") === p)).map(_ -> p)
+        writeData(mergedOnce.filter(col(partCol).cast("string") === p)).map(_ -> p)
       }
       if (tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace_parts", tagged.map(_._1), sch,
@@ -368,8 +384,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         throw new IllegalArgumentException(
           s"$tableRoot: null $partCol — partition values must be non-null")))
       .toSeq.sorted
+    // source evaluated once; P filtered writes would otherwise re-run
+    // the upstream plan per partition
+    val dfOnce = if (parts.size > 1) df.localCheckpoint() else df
     val tagged = parts.flatMap { p =>
-      writeData(df.filter(col(partCol).cast("string") === p)).map(_ -> p)
+      writeData(dfOnce.filter(col(partCol).cast("string") === p)).map(_ -> p)
     }
     var cur = s0
     var attempts = 0
@@ -405,6 +424,45 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       .parquet(picked.map(f => s"$tableRoot/$f"): _*)
   }
 
+  /** DYNAMIC partition overwrite: replace exactly the partitions
+    * present in `df` with `df`'s rows (no merge — the
+    * INSERT OVERWRITE ... PARTITION semantics); every other partition
+    * is untouched. Same `replace_parts` commit and all-tagged
+    * precondition as [[upsertPartitioned]]. */
+  def replacePartitions(df: DataFrame, partCol: String,
+      txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    val parts = df.select(col(partCol).cast("string").as("__p")).distinct()
+      .collect().map(r => Option(r.getString(0)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$tableRoot: null $partCol — partition values must be non-null")))
+      .toSeq.sorted
+    val dfOnce = if (parts.size > 1) df.localCheckpoint() else df
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      if (replayOf(s, txn)) return s.version
+      val untagged = s.files.filterNot(s.parts.contains)
+      require(untagged.isEmpty,
+        s"$tableRoot: ${untagged.size} live files carry no partition tag — " +
+          "a partition-scoped overwrite cannot retire their rows; use " +
+          "replaceAll() or rewrite the table through the partitioned path first")
+      val sch = mergedSchema(s.schema, df.schema)
+      val tagged = parts.flatMap { p =>
+        writeData(conform(dfOnce, sch)
+          .filter(col(partCol).cast("string") === p)).map(_ -> p)
+      }
+      if (tryCommit(s.version + 1,
+          manifestJson(s.version + 1, "replace_parts", tagged.map(_._1), sch,
+            txn, parts = parts, fileParts = tagged.toMap)))
+        return s.version + 1
+      tagged.foreach(t => deleteData(t._1))
+      attempts += 1
+      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+    }
+    -1L // unreachable
+  }
+
   /** [[replaceAll]] with partition tags: TRUNCATE-and-load that leaves
     * the table consistent for the partition-scoped paths (a plain
     * replaceAll writes untagged files, after which
@@ -420,8 +478,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         throw new IllegalArgumentException(
           s"$tableRoot: null $partCol — partition values must be non-null")))
       .toSeq.sorted
+    // source evaluated once; P filtered writes would otherwise re-run
+    // the upstream plan per partition
+    val dfOnce = if (parts.size > 1) df.localCheckpoint() else df
     val tagged = parts.flatMap { p =>
-      writeData(df.filter(col(partCol).cast("string") === p)).map(_ -> p)
+      writeData(dfOnce.filter(col(partCol).cast("string") === p)).map(_ -> p)
     }
     var v = s0.version + 1
     var attempts = 0
@@ -477,8 +538,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val arr = root.putArray("files")
       s.files.foreach(arr.add)
       if (s.parts.nonEmpty) {
+        // defensive live-set filter; the fold keeps parts ⊆ files, and
+        // the Set build keeps the checkpoint O(files), not O(files²)
+        val live = s.files.toSet
         val fp = root.putObject("fileParts")
-        s.parts.filter(kv => s.files.contains(kv._1))
+        s.parts.filter(kv => live(kv._1))
           .foreach { case (f, p) => fp.put(f, p) }
       }
       s.schema.foreach(sc => root.put("schema", sc.json))

@@ -17,7 +17,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 /** DataSource V2 WRITE path for the engine's merge semantics (SURVEY
   * A7/B2): a `TableCatalog` of parquet-directory tables whose writes go
   * through a real Catalyst write node — `df.writeTo("graft.t").append()`
-  * / `.overwritePartitions()` / `.createOrReplace()` — with the
+  * / `.createOrReplace()` — with the
   * reference's conflict behavior (`attribute_not_exists(Id)` conditional
   * put, /root/reference/index.js:352-375) declared as TABLE properties
   * instead of a library call:
@@ -145,11 +145,15 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
   override def schema(): StructType = schema0
   override def properties(): JMap[String, String] = props.asJava
 
+  // No OVERWRITE_DYNAMIC: Spark rejects dynamic overwrite through V1
+  // writes at analysis anyway, so declaring it would only turn
+  // `.overwritePartitions()` into a confusing late failure. The
+  // partition-scoped overwrite lives on the library surface
+  // ([[CommitLog.replacePartitions]]).
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.TRUNCATE)
 
   private def keys: Seq[String] =
     props.get("merge.keys").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
@@ -158,10 +162,9 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
     props.getOrElse("merge.mode", if (keys.nonEmpty) "insert-if-absent" else "append")
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+    new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def overwriteDynamicPartitions(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           (data: DataFrame, _: Boolean) => insert(data, overwrite)
@@ -194,6 +197,11 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
       // every merge to the touched partitions (CommitLog.upsertPartitioned).
       val log = CommitLog(data.sparkSession, path)
       if (overwrite)
+        // truncate()/createOrReplace is whole-table; the partitioned
+        // form keeps the tags so scoped merges stay usable. The
+        // partition-scoped overwrite (replace only the partitions in
+        // the data) is the library call CommitLog.replacePartitions —
+        // Spark's analyzer blocks .overwritePartitions() on V1 writes.
         partCol.fold(log.replaceAll(aligned): Unit)(p =>
           log.replaceAllPartitioned(aligned, p))
       else mode match {

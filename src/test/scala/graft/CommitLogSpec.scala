@@ -366,6 +366,48 @@ class CommitLogSpec extends SparkSpecBase {
     assert(got === Set((1L, "a", None), (2L, "b2", Some(9L)), (3L, "c", Some(7L))))
   }
 
+  test("dynamic partition overwrite replaces only the partitions in the data") {
+    val t = tmpTable("clog-dyn")
+    val log = CommitLog(spark, t)
+    log.appendPartitioned(
+      Seq((1L, "d1", "a"), (2L, "d2", "b"), (3L, "d2", "c"))
+        .toDF("id", "day", "v"), "day")
+    log.replacePartitions(Seq((9L, "d2", "z")).toDF("id", "day", "v"), "day")
+    assert(log.read().select($"id", $"v").as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (9L, "z")))
+    // untouched-partition files rode through the overwrite
+    val s = log.snapshot()
+    assert(s.files.exists(f => s.parts(f) == "d1"))
+    // catalog surface: Spark's analyzer REJECTS .overwritePartitions()
+    // on V1 writes (we deliberately don't declare OVERWRITE_DYNAMIC, so
+    // the failure is loud at analysis — no silent whole-table truncate)
+    val wh = Files.createTempDirectory("graft-wh-dyn").toString
+    spark.conf.set("spark.sql.catalog.gdyn", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdyn.warehouse", wh)
+    Seq((1L, "d1", "a"), (2L, "d2", "b")).toDF("id", "day", "nome")
+      .writeTo("gdyn.prices")
+      .tableProperty("merge.keys", "id,day")
+      .tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "day")
+      .create()
+    val e = intercept[Exception] {
+      Seq((9L, "d2", "z")).toDF("id", "day", "nome")
+        .writeTo("gdyn.prices").overwritePartitions()
+    }
+    assert(e.getMessage.contains("does not support dynamic overwrite"))
+    assert(GraftMergeTable.read(spark, wh, "prices")
+      .select($"id").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
+  test("a write whose own schema case-collides is rejected before committing") {
+    val t = tmpTable("clog-case")
+    val log = CommitLog(spark, t)
+    val bad = spark.sql("SELECT 1L AS id, 'x' AS v, 'y' AS V")
+    val e = intercept[IllegalArgumentException] { log.append(bad) }
+    assert(e.getMessage.contains("case-colliding"))
+    assert(log.snapshot().version === -1L)
+  }
+
   test("schema evolution: a type change fails loudly, table unharmed") {
     val t = tmpTable("clog-evo-bad")
     val log = CommitLog(spark, t)
