@@ -534,6 +534,59 @@ object CorpusQueries {
         bit_xor(tid) AS tok_xor
       FROM ids GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** C-tier: contrastive TRIPLET generation — the training-pair prep
+    * for embedding/retrieval models: anchor = any doc with a verified
+    * near-dup (q47's md5 LSH pairs), positive = its lowest-id
+    * near-dup partner, negative = a deterministic pseudo-random doc
+    * via hash-bucket lookup (bucket-min table: 64 rows, broadcast —
+    * no corpus-wide sampling shuffle, negatives are a pure function
+    * of the anchor id so the dataset is stable across reruns).
+    * Triplets whose negative collides with the anchor or positive are
+    * dropped (deterministic on both engines). Everything — LSH pairs,
+    * bucket assignment, the lookup — is md5 arithmetic the oracle
+    * replays. */
+  private val q131 = Q(
+    "q131_contrastive_triplets",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = NearDup.nearDupPairs(docs, "doc_id", "text",
+          n = 3, k = 8, bands = 4, r = 2, tau = 0.5, mode = NearDup.Md5Hash)
+        .select($"a_id", $"b_id")
+      val anchors = pairs.select($"a_id".as("anchor_id"), $"b_id".as("partner"))
+        .union(pairs.select($"b_id".as("anchor_id"), $"a_id".as("partner")))
+        .groupBy($"anchor_id").agg(min($"partner").as("positive_id"))
+      val h = graft.operators.Contamination.gramHash(_: org.apache.spark.sql.Column)
+      val bucketMin = broadcast(
+        docs.select(pmod(h($"doc_id".cast("string")), lit(64)).as("bucket"),
+            $"doc_id")
+          .groupBy($"bucket").agg(min($"doc_id").as("negative_id")))
+      anchors
+        .withColumn("bucket",
+          pmod(h(concat(lit("neg:"), $"anchor_id".cast("string"))), lit(64)))
+        .join(bucketMin, "bucket")
+        .filter($"negative_id" =!= $"anchor_id" &&
+          $"negative_id" =!= $"positive_id")
+        .select($"anchor_id", $"positive_id", $"negative_id")
+        .orderBy($"anchor_id")
+    },
+    Some(s"""WITH $pairsCte,
+      anchors AS (SELECT anchor_id, MIN(partner) AS positive_id FROM (
+          SELECT a_id AS anchor_id, b_id AS partner FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs)
+        GROUP BY anchor_id),
+      bmin AS (SELECT
+          ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 64 AS bucket,
+          MIN(doc_id) AS negative_id
+        FROM documents GROUP BY 1)
+      SELECT anchor_id, positive_id, negative_id
+      FROM anchors
+      JOIN bmin ON bmin.bucket =
+        ('0x'||substr(md5('neg:' || CAST(anchor_id AS VARCHAR)),1,15))::BIGINT % 64
+      WHERE negative_id <> anchor_id AND negative_id <> positive_id
+      ORDER BY anchor_id"""))
+
   def qs: Seq[Q] =
-    Seq(q81, q82, q83, q84, q85, q86, q87, q89, q91, q92, q93, q96, q97)
+    Seq(q81, q82, q83, q84, q85, q86, q87, q89, q91, q92, q93, q96, q97,
+      q131)
 }
