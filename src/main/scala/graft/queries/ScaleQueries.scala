@@ -437,5 +437,43 @@ object ScaleQueries {
         ON c.user_id = h.user_id AND h.valid_from <= c.ts
       ORDER BY c.event_id"""))
 
-  def qs: Seq[Q] = Seq(q74, q75, q76, q78, q79, q80, q88, q94, q127, q128)
+  /** B6 at fleet scale, part 2: a daily SKETCH TABLE (one mergeable
+    * HLL row per day — what a production batch job persists, bytes
+    * per day) rolled into 7-day distinct-user counts by unioning 7
+    * sketches per target day. The roll touches ONLY the day-level
+    * sketch table (a tiny relation self-joined on a 7-day band) —
+    * never the raw events; that is the entire point of persisting
+    * mergeable sketches at 100 TB. Bounded-error oracled like q79
+    * (the exact side replays in SQL; the estimate must land within
+    * 5%). */
+  private val q132 = Q(
+    "q132_rolling_sketch_distinct",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(to_date($"ts").as("day"), $"user_id")
+      val daily = ev.groupBy($"day").agg(hll_sketch_agg($"user_id").as("sk"))
+      val rolled = daily.as("a").join(daily.as("b"),
+          datediff($"a.day", $"b.day").between(0, 6))
+        .groupBy($"a.day".as("day"))
+        .agg(hll_sketch_estimate(hll_union_agg($"b.sk")).as("approx"))
+      val du = ev.distinct()
+      val exact = du.select($"day").distinct().as("d")
+        .join(du.select($"day".as("day2"), $"user_id").as("u"),
+          datediff($"day", $"day2").between(0, 6))
+        .groupBy($"day").agg(countDistinct($"user_id").as("n_exact"))
+      exact.join(rolled, "day")
+        .select($"day", $"n_exact",
+          ($"approx" >= $"n_exact" * 0.95 && $"approx" <= $"n_exact" * 1.05)
+            .as("approx_ok"))
+        .orderBy($"day")
+    },
+    Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      days AS (SELECT DISTINCT day FROM du)
+      SELECT d.day, COUNT(DISTINCT u.user_id) AS n_exact, TRUE AS approx_ok
+      FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day ORDER BY d.day"""))
+
+  def qs: Seq[Q] = Seq(q74, q75, q76, q78, q79, q80, q88, q94, q127, q128,
+    q132)
 }
