@@ -676,14 +676,15 @@ object Similarity {
         (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** PQ encoding: for each of the m subspaces, the POSITION (0-based,
-    * in cell-sorted codebook order) of the nearest sub-centroid — ties
-    * break on (d2, position) exactly like every other assignment.
-    * Positions, not cell ids, are the codes so ADC distance tables
-    * index contiguously. One projection per row (m·ksub·dsub fused
-    * arithmetic), no explode, no shuffle; the float vector can be
-    * dropped right after. */
-  private def pqEncode(df: DataFrame, vecCol: String, cb: DataFrame,
+  /** PQ encoding, HOF formulation: for each of the m subspaces, the
+    * POSITION (0-based, in cell-sorted codebook order) of the nearest
+    * sub-centroid — ties break on (d2, position) exactly like every
+    * other assignment. Positions, not cell ids, are the codes so ADC
+    * distance tables index contiguously. Kept as the readable SPEC of
+    * the encoding semantics (parity-tested); production encoding is
+    * the fused native [[graft.functions.PqCodes]] — HOF lambdas
+    * interpret m·ksub folds per row. */
+  private[graft] def pqEncodeHof(df: DataFrame, vecCol: String, cb: DataFrame,
       m: Int, dsub: Int): DataFrame =
     df.crossJoin(cb)
       .withColumn("__codes",
@@ -692,6 +693,39 @@ object Similarity {
             struct(subSqDist(col(vecCol), e("v"), j, dsub).as("d2"),
               idx.as("code")))), 1)("code")))
       .drop("__cb")
+
+  /** Driver-side flat codebook (cell-sorted, (cell, dim)-major) for
+    * the native encoder — ksub rows, the same metadata-sized
+    * bounded-collect class as ExactQuantile's thresholds. */
+  private def collectCodebook(cbRows: DataFrame, ksub: Int,
+      dim: Int): Array[Double] = {
+    val rows = cbRows.orderBy(col("cell")).collect()
+    require(rows.length == ksub,
+      s"PQ codebook needs $ksub rows, got ${rows.length} — candidate set smaller than ksub")
+    val flat = new Array[Double](ksub * dim)
+    rows.zipWithIndex.foreach { case (r, c) =>
+      val v = r.getSeq[Any](1)
+      require(v.length == dim, s"codebook vector ${r.get(0)} has dim ${v.length}, want $dim")
+      v.zipWithIndex.foreach {
+        case (x: Float, i)  => flat(c * dim + i) = x.toDouble
+        case (x: Double, i) => flat(c * dim + i) = x
+        case (x, i) => throw new IllegalArgumentException(
+          s"codebook element $i of ${r.get(0)}: expected float/double, got $x")
+      }
+    }
+    flat
+  }
+
+  /** Production PQ encoding: the fused native expression
+    * ([[graft.functions.PqCodes]], bit-identical to [[pqEncodeHof]],
+    * parity-tested) — one typed loop per row, codegen'd, no broadcast
+    * join on the candidate scan at all. */
+  private[graft] def pqCodesNative(vec: Column, flat: Array[Double],
+      m: Int, ksub: Int, dim: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PqCodes(
+        org.apache.spark.sql.graft.Bridge.expression(vec),
+        flat.toIndexedSeq, m, ksub, dim))
 
   /** Per-query ADC distance table: d2(sub_j(q), sub-centroid c) for all
     * (j, c), flattened j-major so entry (j, code) sits at
@@ -743,11 +777,13 @@ object Similarity {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
     val dsub = dim / m
     val c = cSide(candidates, cId, vecCol)
-    val cb = broadcastCodebook(
-      c.orderBy(col("c_id")).limit(ksub)
-        .select(col("c_id").as("cell"), col("__cv").as("v")))
-    val cc = pqEncode(c, "__cv", cb, m, dsub).select(col("c_id"), col("__codes"))
-    val qt = pqQueryTable(qSide(queries, qId, vecCol), cb, m, dsub)
+    val cbRows = c.orderBy(col("c_id")).limit(ksub)
+      .select(col("c_id").as("cell"), col("__cv").as("v"))
+    val flat = collectCodebook(cbRows, ksub, dim)
+    val cc = c.select(col("c_id"),
+      pqCodesNative(col("__cv"), flat, m, ksub, dim).as("__codes"))
+    val qt = pqQueryTable(qSide(queries, qId, vecCol),
+      broadcastCodebook(cbRows), m, dsub)
     adcTopK(cc.crossJoin(broadcast(qt)), m, ksub, k)
   }
 
@@ -795,9 +831,11 @@ object Similarity {
       .select(col("c_id").as("cell"), col("__cv").as("v"))
       .localCheckpoint()
     val coarse = broadcastCodebook(sampled.limit(nlist))
+    val flat = collectCodebook(sampled.limit(ksub), ksub, dim)
     val pqcb = broadcastCodebook(sampled.limit(ksub))
-    val cc = pqEncode(probeCells(c, "__cv", coarse, 1), "__cv", pqcb, m, dsub)
-      .select(col("c_id"), col("cell"), col("__codes"))
+    val cc = probeCells(c, "__cv", coarse, 1)
+      .select(col("c_id"), col("cell"),
+        pqCodesNative(col("__cv"), flat, m, ksub, dim).as("__codes"))
     val q = qSide(queries, qId, vecCol)
     val qp = probeCells(q, "__qv", coarse, nprobe).select(col("q_id"), col("cell"))
       .join(pqQueryTable(q, pqcb, m, dsub), Seq("q_id"))

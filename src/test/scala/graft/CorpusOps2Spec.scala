@@ -472,6 +472,26 @@ class CorpusOps2Spec extends SparkSpecBase {
     assert(refined === exact)
   }
 
+  test("native pq_codes matches the HOF encoding spec on every fixture vector") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables(spark, sfDir, "embeddings")
+    val c = emb.select($"vec_id".as("c_id"), $"embedding".as("__cv"))
+    val cbRows = c.orderBy($"c_id").limit(16)
+      .select($"c_id".as("cell"), $"__cv".as("v"))
+    val cb = broadcast(cbRows.agg(
+      sort_array(collect_list(struct($"cell", $"v"))).as("__cb")))
+    val viaHof = Similarity.pqEncodeHof(c, "__cv", cb, m = 8, dsub = 8)
+      .select($"c_id", $"__codes").as[(Long, Seq[Int])].collect().toMap
+    val flat = cbRows.orderBy($"cell").as[(Long, Seq[Float])].collect()
+      .flatMap(_._2.map(_.toDouble))
+    val viaNative = c.select($"c_id",
+        Similarity.pqCodesNative($"__cv", flat, m = 8, ksub = 16, dim = 64)
+          .as("__codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(viaNative === viaHof)
+    assert(viaNative.nonEmpty)
+  }
+
   test("IVF-PQ pairs score IDENTICALLY to plain PQ (same codes, same table)") {
     import graft.operators.Similarity
     val emb = graft.sources.Tables(spark, sfDir, "embeddings")
