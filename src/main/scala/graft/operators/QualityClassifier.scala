@@ -60,8 +60,12 @@ object QualityClassifier {
       buckets: Int = 1024): DataFrame = {
     val mwBias = milliWeight(lit("bias").cast("string"))
     // passthrough: every input column survives (pipeline composition —
-    // q120 filters on keep and still needs text/source downstream)
-    df.withColumn("__t", Tokenize.tokens(col(textCol)))
+    // q120 filters on keep and still needs text/source downstream).
+    // Per-row cost is ~2 md5 per token, so a one-split local scan
+    // would run the whole corpus on one task ([[Spread]]; no-op at
+    // real scale where splits ≥ shuffle width)
+    Spread.byKey(df, id)
+      .withColumn("__t", Tokenize.tokens(col(textCol)))
       // null text propagates as null outputs on BOTH engines — without
       // the guard, legacy size(null) = -1 would emit a nonsense token
       // count and diverge from SQL's NULL
