@@ -408,6 +408,153 @@ class CommitLogSpec extends SparkSpecBase {
     assert(log.snapshot().version === -1L)
   }
 
+  test("readRange skips files whose footer min/max cannot overlap the range") {
+    val t = tmpTable("clog-stats")
+    val log = CommitLog(spark, t)
+    // three appends → three files with disjoint id ranges and tags
+    log.append(spark.range(0L, 100L).toDF("id").coalesce(1)
+      .withColumn("tag", lit("alpha")))
+    log.append(spark.range(100L, 200L).toDF("id").coalesce(1)
+      .withColumn("tag", lit("beta")))
+    log.append(spark.range(200L, 300L).toDF("id").coalesce(1)
+      .withColumn("tag", lit("gamma")))
+    val allFiles = log.read().inputFiles.length
+    assert(allFiles === 3)
+    // numeric range inside the middle file: ONLY that file is scanned
+    val mid = log.readRange("id", 120L, 150L)
+    assert(mid.inputFiles.length === 1)
+    assert(mid.count() === 31L) // closed range 120..150
+    // string range: lexicographic stats prune the same way
+    val s = log.readRange("tag", "b", "c")
+    assert(s.inputFiles.length === 1)
+    assert(s.select($"tag").distinct().as[String].collect().toSeq === Seq("beta"))
+    // stats survive checkpoint + prune (the checkpoint restates them)
+    log.compact(); log.prune()
+    val log2 = CommitLog(spark, t)
+    assert(log2.readRange("id", 201L, 250L).inputFiles.length === 1)
+    // pruning is an optimization, not a filter: rows are exact
+    assert(log2.readRange("id", 90L, 110L).as[(Long, String)].collect()
+      .map(_._1).sorted.toSeq === (90L to 110L))
+  }
+
+  test("readChanges ≡ snapshot diff across append/upsert/replace_parts") {
+    val t = tmpTable("clog-cdc")
+    val log = CommitLog(spark, t)
+    log.appendPartitioned(
+      Seq((1L, "d1", "a"), (2L, "d2", "b")).toDF("id", "day", "v"), "day") // v0
+    log.upsertPartitioned(
+      Seq((2L, "d2", "b2"), (3L, "d2", "c")).toDF("id", "day", "v"),
+      Seq("id", "day"), CommitLog.LastWins, "day")                         // v1
+    log.replacePartitions(Seq((9L, "d1", "z")).toDF("id", "day", "v"), "day") // v2
+    // applying the feed to the v0 snapshot reproduces the latest table
+    // as a MULTISET: v0 ∪ inserts ∖ deletes (unchanged rows a rewrite
+    // re-emitted appear as a delete+insert pair and cancel)
+    val ch = log.readChanges(0L)
+    val ins = ch.filter($"_change_type" === "insert")
+      .drop("_change_type", "_commit_version")
+    val del = ch.filter($"_change_type" === "delete")
+      .drop("_change_type", "_commit_version")
+    val applied = log.readVersion(0L).unionByName(ins).exceptAll(del)
+    assert(applied.orderBy($"id").as[(Long, String, String)].collect().toSeq
+      === log.read().orderBy($"id").as[(Long, String, String)].collect().toSeq)
+    // v1 touched only d2: its delete set is d2's old rows, never d1's
+    val v1del = log.readChanges(0L, 1L).filter($"_change_type" === "delete")
+    assert(v1del.select($"day").distinct().as[String].collect().toSeq === Seq("d2"))
+    // no-change window is empty but keeps the CDC schema
+    val none = log.readChanges(2L)
+    assert(none.count() === 0L)
+    assert(none.columns.contains("_change_type"))
+    // a compact checkpoint restates the same live set → contributes nothing
+    log.compact()
+    assert(log.readChanges(2L).count() === 0L)
+    // a pruned-away base version is refused loudly
+    log.prune()
+    assertThrows[IllegalArgumentException](log.readChanges(1L))
+  }
+
+  test("readChanges drives an incremental consumer (the reference's poller pattern)") {
+    val t = tmpTable("clog-cdc-poll")
+    val log = CommitLog(spark, t)
+    val replica = scala.collection.mutable.Map.empty[Long, String]
+    var lastSeen = -1L
+    // the EP1 poller (/root/reference/index.js:41-59) as an incremental
+    // reader: each poll applies only the commits it has not seen,
+    // deletes before inserts within a version
+    def poll(): Unit = {
+      val v = log.snapshot().version
+      if (v > lastSeen) {
+        val ch = log.readChanges(lastSeen, v)
+          .select($"id", $"v", $"_change_type", $"_commit_version")
+          .as[(Long, String, String, Long)].collect()
+          .sortBy(r => (r._4, if (r._3 == "delete") 0 else 1))
+        ch.foreach {
+          case (id, _, "delete", _)   => replica.remove(id)
+          case (id, value, "insert", _) => replica(id) = value
+          case other => fail(s"unexpected change row $other")
+        }
+        lastSeen = v
+      }
+    }
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    poll()
+    assert(replica === Map(1L -> "a", 2L -> "b"))
+    log.upsert(Seq((2L, "b2"), (3L, "c")).toDF("id", "v"),
+      Seq("id"), CommitLog.LastWins)
+    log.append(Seq((4L, "d")).toDF("id", "v"))
+    poll()
+    assert(replica.toMap
+      === log.read().as[(Long, String)].collect().map(r => r._1 -> r._2).toMap)
+    poll() // idempotent when nothing changed
+    assert(replica.size === 4)
+  }
+
+  test("a 10-partition replace lands its data in ONE write job") {
+    val t = tmpTable("clog-onejob")
+    val log = CommitLog(spark, t)
+    val rows = (0 until 10).flatMap(p =>
+      Seq((p * 10L, s"p$p", "seed"), (p * 10L + 1, s"p$p", "seed2")))
+    log.appendPartitioned(rows.toDF("id", "day", "v"), "day")
+    val gid = s"onejob-${java.util.UUID.randomUUID()}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (gid == js.properties.getProperty("spark.jobGroup.id")) jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(gid, "partitioned replace")
+      try log.replacePartitions(
+        rows.map { case (id, day, _) => (id, day, "v2") }.toDF("id", "day", "v"),
+        "day")
+      finally spark.sparkContext.clearJobGroup()
+      // listener events are async — wait for the bus to drain
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (jobs.get() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(300)
+      // the old path issued one job per touched partition (10); the
+      // partitionBy write is a single job (AQE may add at most one)
+      assert(jobs.get() >= 1 && jobs.get() <= 2,
+        s"expected 1 write job for 10 partitions, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val s = log.snapshot()
+    assert(s.parts.values.toSet === (0 until 10).map(p => s"p$p").toSet)
+    assert(log.read().filter($"v" === "v2").count() === 20L)
+  }
+
+  test("partition values with Hive-escaped characters round-trip through tags") {
+    val t = tmpTable("clog-esc")
+    val log = CommitLog(spark, t)
+    // ':' and ' ' are %XX-escaped in partition directory names
+    log.appendPartitioned(
+      Seq((1L, "2024-01-01 10:00", "a"), (2L, "d2", "b"))
+        .toDF("id", "ts", "v"), "ts")
+    val s = log.snapshot()
+    assert(s.parts.values.toSet === Set("2024-01-01 10:00", "d2"))
+    assert(log.readPartitions(Seq("2024-01-01 10:00"))
+      .select($"id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("schema evolution: a type change fails loudly, table unharmed") {
     val t = tmpTable("clog-evo-bad")
     val log = CommitLog(spark, t)
