@@ -830,9 +830,13 @@ object Similarity {
     val sampled = c.orderBy(col("c_id")).limit(math.max(nlist, ksub))
       .select(col("c_id").as("cell"), col("__cv").as("v"))
       .localCheckpoint()
-    val coarse = broadcastCodebook(sampled.limit(nlist))
-    val flat = collectCodebook(sampled.limit(ksub), ksub, dim)
-    val pqcb = broadcastCodebook(sampled.limit(ksub))
+    // re-ordered before each limit: rows of a checkpointed DataFrame
+    // carry no order contract, so a bare limit over it could pick a
+    // different codebook subset than the lowest-id rows the oracle
+    // assumes whenever nlist != ksub (ADVICE r7)
+    val coarse = broadcastCodebook(sampled.orderBy(col("cell")).limit(nlist))
+    val flat = collectCodebook(sampled.orderBy(col("cell")).limit(ksub), ksub, dim)
+    val pqcb = broadcastCodebook(sampled.orderBy(col("cell")).limit(ksub))
     val cc = probeCells(c, "__cv", coarse, 1)
       .select(col("c_id"), col("cell"),
         pqCodesNative(col("__cv"), flat, m, ksub, dim).as("__codes"))
@@ -840,6 +844,87 @@ object Similarity {
     val qp = probeCells(q, "__qv", coarse, nprobe).select(col("q_id"), col("cell"))
       .join(pqQueryTable(q, pqcb, m, dsub), Seq("q_id"))
     adcTopK(cc.join(broadcast(qp), Seq("cell")), m, ksub, k)
+  }
+
+  /** PERSISTED IVF-PQ index — the build-once/query-many form of
+    * [[ivfPqTopK]] (FAISS's deployment shape, and the reference's: it
+    * STORES its lookup structure in a table with a seekable sort key,
+    * /root/reference/index.js:333-337, rather than rebuilding it per
+    * read). Three [[graft.sources.CommitLog]] tables under `indexRoot`:
+    * {{{
+    *   postings/  (c_id, cell, codes)  — partition-tagged BY CELL, so a
+    *                                     search's inverted-list seek is
+    *                                     manifest-level file pruning
+    *   codebook/  (kind, cell, v)      — coarse + pq sub-codebooks
+    *   meta/      (nlist, m, ksub, dim)
+    * }}}
+    * The corpus floats are gone after the build: postings carry m
+    * int codes per vector (the smallest representation any searcher
+    * here ships), and [[searchIvfPqIndex]] touches ONLY the probed
+    * cells' files. Same deterministic lowest-id sampled codebooks as
+    * [[ivfPqTopK]], so a search over the persisted index is
+    * bit-identical to the on-the-fly pipeline (q133 hash-matches
+    * q117's oracle). Codebook vectors persist as doubles — float →
+    * double widening is exact, and both pipelines cast to double
+    * before any arithmetic. Re-building into the same root commits a
+    * new version (readers on the old one are unaffected; vacuum when
+    * idle). */
+  def buildIvfPqIndex(candidates: DataFrame, cId: String, vecCol: String,
+      indexRoot: String, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+      dim: Int = 64): Unit = {
+    import graft.sources.CommitLog
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val spark = candidates.sparkSession
+    val c = cSide(candidates, cId, vecCol)
+    val sampled = c.orderBy(col("c_id")).limit(math.max(nlist, ksub))
+      .select(col("c_id").as("cell"), col("__cv").as("v"))
+      .localCheckpoint()
+    val coarseRows = sampled.orderBy(col("cell")).limit(nlist)
+    val pqRows = sampled.orderBy(col("cell")).limit(ksub)
+    val flat = collectCodebook(pqRows, ksub, dim)
+    val postings = probeCells(c, "__cv", broadcastCodebook(coarseRows), 1)
+      .select(col("c_id"), col("cell"),
+        pqCodesNative(col("__cv"), flat, m, ksub, dim).as("codes"))
+    CommitLog(spark, s"$indexRoot/postings")
+      .replaceAllPartitioned(postings, "cell")
+    CommitLog(spark, s"$indexRoot/codebook").replaceAll(
+      coarseRows.select(lit("coarse").as("kind"), col("cell"),
+          toDouble(col("v")).as("v"))
+        .unionByName(pqRows.select(lit("pq").as("kind"), col("cell"),
+          toDouble(col("v")).as("v"))))
+    CommitLog(spark, s"$indexRoot/meta").replaceAll(
+      spark.range(1).select(lit(nlist).as("nlist"), lit(m).as("m"),
+        lit(ksub).as("ksub"), lit(dim).as("dim")))
+  }
+
+  /** Query a [[buildIvfPqIndex]] index: probe `nprobe` cells per query
+    * against the persisted coarse codebook, read ONLY those cells'
+    * postings files (manifest-level pruning — the inverted-list seek),
+    * and ADC-score the stored codes. The corpus is never re-read or
+    * re-encoded; the only non-index input is the query vectors. The
+    * probed-cell collect is bounded by nlist (metadata-sized). */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String, queries: DataFrame, qId: String, vecCol: String,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    import graft.sources.CommitLog
+    val meta = CommitLog(spark, s"$indexRoot/meta").read()
+      .select(col("nlist"), col("m"), col("ksub"), col("dim")).head()
+    val (m, ksub, dim) = (meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    val cb = CommitLog(spark, s"$indexRoot/codebook").read().localCheckpoint()
+    val coarse = broadcastCodebook(
+      cb.filter(col("kind") === "coarse").select(col("cell"), col("v")))
+    val pqcb = broadcastCodebook(
+      cb.filter(col("kind") === "pq").select(col("cell"), col("v")))
+    val q = qSide(queries, qId, vecCol)
+    val qp0 = probeCells(q, "__qv", coarse, nprobe)
+      .select(col("q_id"), col("cell")).localCheckpoint()
+    val probed = qp0.select(col("cell").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val postings = CommitLog(spark, s"$indexRoot/postings")
+      .readPartitions(probed)
+      .select(col("c_id"), col("cell"), col("codes").as("__codes"))
+    val qp = qp0.join(pqQueryTable(q, pqcb, m, dim / m), Seq("q_id"))
+    adcTopK(postings.join(broadcast(qp), Seq("cell")), m, ksub, k)
   }
 
   /** Standalone overflow accounting for [[lshNearDupPairs]]: the

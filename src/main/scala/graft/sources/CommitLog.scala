@@ -742,7 +742,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     import org.apache.spark.sql.functions.col
     val tmp = new Path(rootPath, s".tmp-${UUID.randomUUID()}")
     try {
+      // repartition BY the partition value first: without it every
+      // upstream task writes its own sliver into every partition dir
+      // (tasks × partitions tiny files); with it each partition's rows
+      // coalesce into one task — one file per partition, and the
+      // shuffle replaces the old path's P filtered re-evaluations
       df.withColumn("__part", col(partCol).cast("string"))
+        .repartition(col("__part"))
         .write.mode("overwrite").partitionBy("__part").parquet(tmp.toString)
       fs.mkdirs(dataDir)
       val dirs = fs.listStatus(tmp).filter(s =>
