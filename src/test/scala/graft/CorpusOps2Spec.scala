@@ -254,6 +254,48 @@ class CorpusOps2Spec extends SparkSpecBase {
     }
   }
 
+  test("grouped quantiles: distributed and driver engines are bit-identical") {
+    import graft.operators.ExactQuantile
+    val rnd = new scala.util.Random(23)
+    val df = (0 until 4000).map { i =>
+      (s"g${i % 37}", if (i % 11 == 0) -7.25 else rnd.nextDouble() * 100 - 50)
+    }.toDF("k", "v")
+    def run(limit: Int) = ExactQuantile.quantilesByGroup(df, Seq("k"), "v",
+        Seq(0.1, 0.5, 0.95), Seq("p10", "p50", "p95"), countCol = Some("n"),
+        bins = 16, collectThreshold = 8, driverGroupLimit = limit)
+      .as[(String, Double, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    // limit 0 forces the distributed engine; the default takes the
+    // driver-coordinated one — the switch must be hash-invisible
+    assert(run(0) === run(16384))
+  }
+
+  test("grouped exact quantiles at 1e5 groups: distributed output, exact values") {
+    import graft.operators.ExactQuantile
+    // 100k groups × 8 rows — the per-user/per-document group-count
+    // regime the old collect-based output path could not hold on the
+    // driver (VERDICT r7 #2)
+    val df = spark.range(800000L).select(
+      (col("id") % 100000L).as("g"),
+      ((col("id") * 2654435761L) % 10007L).cast("double").as("v"))
+    val got = ExactQuantile.quantilesByGroup(df, Seq("g"), "v",
+      Seq(0.5, 0.9), Seq("p50", "p90"), countCol = Some("n"),
+      bins = 32, collectThreshold = 4) // force the narrowing engine
+    // the result is a distributed plan, not a driver-built local
+    // relation (the old path surfaced as LocalTableScan)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"), "output materialized on the driver")
+    val sample = got.filter(col("g") < 1000L)
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1)
+    val want = df.filter(col("g") < 1000L).groupBy($"g")
+      .agg(percentile($"v", typedLit(Seq(0.5, 0.9))).as("ps"), count(lit(1)).as("n"))
+      .as[(Long, Seq[Double], Long)].collect().sortBy(_._1)
+    assert(got.count() === 100000L)
+    assert(sample.length === want.length)
+    sample.zip(want).foreach { case ((g, p50, p90, n), (g2, ps, n2)) =>
+      assert(g === g2 && n === n2 && p50 === ps(0) && p90 === ps(1), s"group $g")
+    }
+  }
+
   test("grouped exact quantiles ignore null/NaN values and absent groups") {
     import graft.operators.ExactQuantile
     val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
