@@ -29,14 +29,16 @@ object Bench {
           initcap(lit("warm up")), levenshtein(lit("warm"), lit("worm")))
         .write.format("noop").mode("overwrite").save()
     }
-    // Two timed runs per query, report the min: one-time JVM costs (lazy
-    // class inits, codegen/JIT of a new plan shape, a neighbor's GC)
-    // land on whichever single run they interleave with and were being
-    // attributed to innocent queries (observed: 7-15 s one-off spikes on
-    // sub-second queries). Min-of-2 measures the engine's steady state;
-    // the JSON declares the methodology.
+    // Three timed runs per query, report the min: one-time JVM costs
+    // (lazy class inits, codegen/JIT of a new plan shape, a neighbor's
+    // GC) land on whichever single run they interleave with and were
+    // being attributed to innocent queries (observed: 7-15 s one-off
+    // spikes on sub-second queries; min-of-2 still let 3-6x ambient
+    // spikes through in the r7 suite run — VERDICT r7 #6). Min-of-3
+    // measures the engine's steady state; the JSON declares the
+    // methodology.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -50,7 +52,7 @@ object Bench {
     def jsonLine(fmt: String => String): String = {
       val qs = results.map { case (k, v) => "\"" + fmt(k) + f"\":$v%.3f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":2,"stat":"min","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":3,"stat":"min","queries":$qs,"sf":"$sfDir"}"""
     }
     // Full-name per-query JSON goes to a FILE — the driver's stdout
     // capture keeps only a 2000-char tail, which a 95-query dict with

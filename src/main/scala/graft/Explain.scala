@@ -22,7 +22,15 @@ object Explain {
   /** Queries vetted to carry a residual Filter over an unfiltered scan:
     * every entry is a predicate Catalyst CANNOT push (computed columns,
     * post-explode/window/aggregate filters), re-checked when touched.
-    * Keep sorted; comment = the unpushable predicate. */
+    * Keep sorted; comment = the unpushable predicate.
+    *
+    * Known false-positive class (ADVICE r7, accepted as conservative):
+    * the heuristic pairs ANY `PushedFilters: []` scan with ANY Filter
+    * in the same plan, so a multi-scan query whose predicate-free scan
+    * coexists with a legitimate post-aggregate Filter cross-matches.
+    * Such an entry here must name BOTH nodes in its comment; the
+    * conservative bias is deliberate — a NEW pushdown miss can never
+    * hide behind an empty allowlist. */
   private val pushdownAllowlist: Set[String] = Set.empty
 
   private def smells(plan: String): Seq[String] = {

@@ -95,6 +95,5 @@ object CosineSim {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    FnRegistry.once(spark, "cosine_sim")(exprs => CosineSim(exprs(0), exprs(1)))
 }

@@ -96,6 +96,5 @@ object JaccardSim {
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaccard_sim", exprs => JaccardSim(exprs(0), exprs(1)), "built-in")
+    FnRegistry.once(spark, "jaccard_sim")(exprs => JaccardSim(exprs(0), exprs(1)))
 }

@@ -76,8 +76,7 @@ object SimHash64 {
 
   /** Register `simhash64(array<string>) -> bigint` for SQL/expr use. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    FnRegistry.once(spark, "simhash64")(exprs => SimHash64(exprs.head))
 }
 
 /** 60-bit SimHash whose token hash is the top 60 bits of md5 — i.e. the
@@ -163,6 +162,5 @@ object SimHashMd5 {
 
   /** Register `simhash_md5(array<string>) -> bigint` for SQL/expr use. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_md5", exprs => SimHashMd5(exprs.head), "built-in")
+    FnRegistry.once(spark, "simhash_md5")(exprs => SimHashMd5(exprs.head))
 }

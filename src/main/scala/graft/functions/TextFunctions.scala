@@ -33,8 +33,7 @@ object TextFunctions {
 
   /** Register `word_ngrams_<n>` (done by Sessions.local for n=3). */
   def registerNGrams(spark: org.apache.spark.sql.SparkSession, n: Int): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      s"word_ngrams_$n", exprs => WordNGrams(exprs.head, n), "built-in")
+    FnRegistry.once(spark, s"word_ngrams_$n")(exprs => WordNGrams(exprs.head, n))
 
   /** How many tokens appear in `stops`. */
   def stopwordHits(ws: Column, stops: Seq[String]): Column =

@@ -65,7 +65,8 @@ object TopKAgg {
   /** Register `topk_<k>(double) -> array<double>` for the session. */
   def register(spark: SparkSession, k: Int): String = {
     val name = s"topk_$k"
-    spark.udf.register(name, udaf(new TopKDoubles(k)))
+    if (!spark.catalog.functionExists(name))
+      spark.udf.register(name, udaf(new TopKDoubles(k)))
     name
   }
 }

@@ -43,11 +43,16 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
-  /** Z-ordered parquet write: scale each cluster column by its global
-    * min-max (one tiny stats aggregate, broadcast), sort by the Morton
-    * code across `numFiles` range partitions, write atomically. */
-  def zOrderWrite(df: DataFrame, path: String, clusterCols: Seq[String],
-      numFiles: Int, bits: Int = 16): Unit = {
+  /** The z-ordering TRANSFORM alone: `df` scaled, Morton-coded, range-
+    * repartitioned into `numFiles` partitions and sorted within each —
+    * hand the result to any writer and the per-file min/max stats come
+    * out selective on every cluster column. Writing it through a
+    * [[graft.sources.CommitLog]] makes those stats land in the
+    * manifest, so `readRange` skips files without opening them (the
+    * r7 gap: zorder existed but the log could not exploit it on its
+    * own tables). */
+  def zOrderFrame(df: DataFrame, clusterCols: Seq[String],
+      numFiles: Int, bits: Int = 16): DataFrame = {
     val stats = df.agg(
       clusterCols.flatMap(c =>
         Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c"))).head,
@@ -57,13 +62,19 @@ object Layout {
     val z = zValue(
       clusterCols.map(c => scaleToBits(col(c), col(s"__lo_$c"), col(s"__hi_$c"), bits)),
       bits)
-    val out = scaled.withColumn("__z", z)
+    scaled.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop(clusterCols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
       .drop("__z")
-    Sinks.writeAtomic(out, path)
   }
+
+  /** Z-ordered parquet write: scale each cluster column by its global
+    * min-max (one tiny stats aggregate, broadcast), sort by the Morton
+    * code across `numFiles` range partitions, write atomically. */
+  def zOrderWrite(df: DataFrame, path: String, clusterCols: Seq[String],
+      numFiles: Int, bits: Int = 16): Unit =
+    Sinks.writeAtomic(zOrderFrame(df, clusterCols, numFiles, bits), path)
 
   /** Small-file compaction: rewrite the parquet directory at `path` into
     * `targetFiles` files (optionally re-sorted on `sortCols` so min-max

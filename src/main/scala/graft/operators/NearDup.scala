@@ -46,8 +46,8 @@ object NearDup {
   /** Register `minhash_md5_<k>` for a session (done by Sessions.local for
     * the default k). */
   def registerMd5Sig(spark: org.apache.spark.sql.SparkSession, k: Int): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      s"minhash_md5_$k", exprs => graft.functions.MinHashMd5Sig(exprs.head, k), "built-in")
+    graft.functions.FnRegistry.once(spark, s"minhash_md5_$k")(
+      exprs => graft.functions.MinHashMd5Sig(exprs.head, k))
 
   /** One key per band: hash of the band's signature slice (+ band index so
     * keys never collide across bands). */

@@ -72,7 +72,14 @@ object RangeJoin {
     * each-pair-meets-once guarantee generalized). Exact predicate
     * re-checks on the original values; the fail-fast width guard
     * applies to both sides. Columns must be disjoint between `left`
-    * and `right` (rename upstream). */
+    * and `right` (rename upstream).
+    *
+    * Malformed intervals (ADVICE r7): an INVERTED interval (lo > hi)
+    * raises like the width guard does — the naive theta predicate
+    * would let it match, but binning cannot represent it, so silence
+    * would diverge from the stated equivalence. NULL-bounded rows are
+    * dropped, which IS the theta-join behavior (a null bound never
+    * satisfies the predicate). */
   def intervalOverlap(left: DataFrame, right: DataFrame,
       lLo: String, lHi: String, rLo: String, rHi: String, binWidth: Double,
       maxBinsPerInterval: Int = 10000): DataFrame = {
@@ -80,14 +87,18 @@ object RangeJoin {
     def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
     def binned(df: DataFrame, lo: String, hi: String): DataFrame = {
       val nBins = bin(col(hi)) - bin(col(lo)) + 1
-      val bins = when(nBins <= maxBinsPerInterval,
+      val bins = when(col(lo) > col(hi), raise_error(concat(
+          lit("RangeJoin: inverted interval ["), col(lo).cast("string"),
+          lit(", "), col(hi).cast("string"),
+          lit("] (lo > hi) — fix or filter malformed intervals upstream"))))
+        .when(nBins <= maxBinsPerInterval,
           sequence(bin(col(lo)), bin(col(hi))))
         .otherwise(raise_error(concat(
           lit(s"RangeJoin: interval ["), col(lo).cast("string"), lit(", "),
           col(hi).cast("string"),
           lit(s"] spans more than $maxBinsPerInterval bins of width $binWidth; " +
             "increase binWidth or split the interval"))))
-      df.filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+      df.filter(col(lo).isNotNull && col(hi).isNotNull)
         .withColumn("__bin", explode(bins))
     }
     binned(left, lLo, lHi)

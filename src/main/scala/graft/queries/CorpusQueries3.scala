@@ -170,12 +170,20 @@ object CorpusQueries3 {
       val model = graft.operators.Tokenize.Bpe(Seq(
         "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "o" -> "n",
         "e" -> "r", "an" -> "d", "in" -> "g", "o" -> "u", "s" -> "t"))
-      t(s, dir, "documents")
+      val perDoc = t(s, dir, "documents")
         .select(col("doc_id"), model.tokens(col("text")).as("__bpe"))
         .select(col("doc_id"),
           size(col("__bpe")).cast("long").as("n_bpe"),
           md5(concat_ws("", col("__bpe"))).as("bpe_fp"))
-        .orderBy(col("doc_id"))
+      // corpus-level invariants on EVERY row (one broadcast 1-row
+      // aggregate): the oracle-less dump self-checks beyond
+      // cardinality - a merge-semantics change anywhere in the corpus
+      // perturbs every row, not just the affected doc (VERDICT r7 #8)
+      val corpus = perDoc.agg(
+        sum(col("n_bpe")).as("corpus_n_bpe"),
+        bit_xor(conv(substring(col("bpe_fp"), 1, 15), 16, 10).cast("long"))
+          .as("corpus_fp_xor"))
+      perDoc.crossJoin(broadcast(corpus)).orderBy(col("doc_id"))
     },
     None)
 

@@ -283,15 +283,23 @@ object VectorQueries {
       SELECT q_id, rank, c_id, cosine FROM scored
       WHERE rank <= 3 ORDER BY q_id, rank"""))
 
-  /** C2/C3 embedding-cosine near-dup: semantic duplicate pairs at
-    * tau=0.45 (exact all-pairs; the scale path reuses LSH/IVF candidate
-    * generation — see Similarity.cosineNearDupPairs). */
+  /** C2/C3 embedding-cosine near-dup at a HIGH-RECALL LSH working
+    * point: 32 tables × 3 bits (q67 is the cost-tuned 24×3 point; the
+    * seeded table stream makes q65's first 24 tables identical to
+    * q67's, so its candidate set is a strict superset and recall can
+    * only be higher). The ORACLE is still the exact all-pairs join —
+    * but no DECLARED query runs all-pairs anymore (VERDICT r7 #9):
+    * the brute-force form survives only as the oracle SQL and as
+    * [[Similarity.cosineNearDupPairs]], the spec-side baseline
+    * (CTierSpec) recall is measured against. Same data-coupled-gate
+    * caveat as q67: hash-green ⇔ 100% recall on this fixture. */
   private val q65 = Q(
     "q65_cosine_neardup",
     (s, dir) => {
       import s.implicits._
-      Similarity.cosineNearDupPairs(
-          t(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45)
+      val tables = Similarity.hyperplaneTables(tables = 32, bitsPerTable = 3, dim = 64)
+      Similarity.lshNearDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45, tables)
         .orderBy($"a_id", $"b_id")
     },
     Some("""SELECT a_id, b_id, cosine FROM (

@@ -9,6 +9,26 @@ import graft.operators.Layout
 class LayoutSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("zOrderFrame through a commit log: range reads prune files on BOTH cluster columns") {
+    import graft.sources.CommitLog
+    val t = java.nio.file.Files.createTempDirectory("zlog").toString + "/t"
+    val grid = spark.range(10000).select(
+      ($"id" % 100).as("x"), ($"id" / 100).cast("long").as("y"))
+    val log = CommitLog(spark, t)
+    log.replaceAll(Layout.zOrderFrame(grid, Seq("x", "y"), numFiles = 16))
+    val all = log.read().inputFiles.length
+    assert(all === 16)
+    // the manifest's footer stats + z-clustering skip most files for a
+    // narrow range on EITHER interleaved dimension — the r7 gap where
+    // zorder existed but the log couldn't exploit it on its own tables
+    val px = log.readRange("x", 10L, 19L)
+    val py = log.readRange("y", 10L, 19L)
+    assert(px.inputFiles.length <= all / 2, s"x-range read ${px.inputFiles.length}/$all files")
+    assert(py.inputFiles.length <= all / 2, s"y-range read ${py.inputFiles.length}/$all files")
+    // pruning never changes results
+    assert(px.count() === 1000L && py.count() === 1000L)
+  }
+
   test("zValue interleaves bits at the documented positions") {
     val df = Seq((3L, 0L), (0L, 3L), (3L, 3L), (2L, 1L)).toDF("x", "y")
     val got = df.select(Layout.zValue(Seq($"x", $"y"), 2).as("z"))

@@ -213,6 +213,23 @@ class PropertySpec extends SparkSpecBase {
     }, minTests = 15)
   }
 
+  test("intervalOverlap raises on inverted intervals, drops null bounds") {
+    import graft.operators.RangeJoin
+    val a = Seq((1L, 5.0, 3.0)).toDF("a_id", "a_lo", "a_hi") // lo > hi
+    val b = Seq((1L, 0.0, 10.0)).toDF("b_id", "b_lo", "b_hi")
+    val e = intercept[Exception] {
+      RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 1.0).count()
+    }
+    assert(e.getMessage.contains("inverted interval")
+      || Option(e.getCause).exists(_.getMessage.contains("inverted interval")))
+    // null-bounded rows drop silently — that IS the theta-join result
+    val an = Seq((1L, Some(1.0), None: Option[Double]), (2L, Some(0.0), Some(4.0)))
+      .toDF("a_id", "a_lo", "a_hi")
+    val got = RangeJoin.intervalOverlap(an, b, "a_lo", "a_hi", "b_lo", "b_hi", 1.0)
+      .select($"a_id").as[Long].collect().toSeq
+    assert(got === Seq(2L))
+  }
+
   test("TopKDoubles reduce+merge equals sort-take-k on random streams") {
     val agg = new TopKDoubles(5)
     val values = Gen.listOf(Gen.chooseNum(-1e6, 1e6))

@@ -97,6 +97,61 @@ class TokenizeSpec extends SparkSpecBase {
     assert(out === Seq("ba", "na", "na"))
   }
 
+  test("BPE at 1200 merges matches an independent reference on random words") {
+    // realistic-vocab-scale merge table (VERDICT r7 #8): symbols grow
+    // BPE-style (each merge's output becomes mergeable), so ranks
+    // genuinely contend — chained merges, same-prefix pairs, late
+    // ranks shadowed by earlier ones
+    val rnd = new scala.util.Random(7)
+    val symbols = scala.collection.mutable.ArrayBuffer("a", "b", "c", "d", "e", "f")
+    val seen = scala.collection.mutable.Set.empty[(String, String)]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.size < 1200) {
+      val a = symbols(rnd.nextInt(symbols.size))
+      val b = symbols(rnd.nextInt(symbols.size))
+      if ((a + b).length <= 6 && seen.add((a, b))) {
+        merges += ((a, b)); symbols += (a + b)
+      }
+    }
+    // independent oracle, written the slow way: rank = first position
+    // in the merge list, lowest present rank fires, all non-overlapping
+    // occurrences left-to-right, repeat
+    def refBpe(w: String, ms: IndexedSeq[(String, String)]): Seq[String] = {
+      var parts = w.map(_.toString).toList
+      var done = parts.size <= 1
+      while (!done) {
+        val present = parts.zip(parts.tail)
+        val best = ms.indices.find(r => present.contains(ms(r)))
+        best match {
+          case None => done = true
+          case Some(r) =>
+            val (a, b) = ms(r)
+            val buf = scala.collection.mutable.ListBuffer.empty[String]
+            var rest = parts
+            while (rest.nonEmpty) rest match {
+              case x :: y :: t if x == a && y == b => buf += (a + b); rest = t
+              case x :: t => buf += x; rest = t
+              case Nil =>
+            }
+            parts = buf.toList
+            done = parts.size <= 1
+        }
+      }
+      parts
+    }
+    val words = (0 until 250).map(i => (i.toLong,
+      (0 until (5 + rnd.nextInt(25))).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString))
+    val model = Tokenize.Bpe(merges.toSeq)
+    val got = words.toDF("id", "text")
+      .select($"id", model.tokens($"text").as("t"))
+      .orderBy($"id").as[(Long, Seq[String])].collect()
+    got.foreach { case (id, toks) =>
+      val w = words(id.toInt)._2
+      assert(toks === refBpe(w, merges.toIndexedSeq), s"word '$w'")
+      assert(toks.mkString === w, s"character stream not preserved for '$w'")
+    }
+  }
+
   test("BPE composes with the shared count/n_tok surface") {
     val m = Tokenize.Bpe(Seq("a" -> "b"))
     val n = Seq((1L, "ab ab cd")).toDF("id", "text")
