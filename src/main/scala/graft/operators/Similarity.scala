@@ -897,6 +897,34 @@ object Similarity {
         lit(ksub).as("ksub"), lit(dim).as("dim")))
   }
 
+  /** Incrementally index NEW vectors into an existing
+    * [[buildIvfPqIndex]] root: the batch is assigned and PQ-encoded
+    * with the PERSISTED codebooks (an index's quantizers are fixed at
+    * build time — re-training them would silently invalidate every
+    * already-stored code) and appended as cell-tagged postings, one
+    * commit-log version. Cost ∝ batch, never corpus: the existing
+    * postings are not read, the corpus is not re-encoded. An append
+    * whose batch ⊆ the build corpus's id range produces an index
+    * bit-identical to a one-shot build (spec-pinned; q136's oracle is
+    * q117's verbatim). */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String, batch: DataFrame, cId: String, vecCol: String): Unit = {
+    import graft.sources.CommitLog
+    val meta = CommitLog(spark, s"$indexRoot/meta").read()
+      .select(col("nlist"), col("m"), col("ksub"), col("dim")).head()
+    val (m, ksub, dim) = (meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    val cb = CommitLog(spark, s"$indexRoot/codebook").read().localCheckpoint()
+    val coarse = broadcastCodebook(
+      cb.filter(col("kind") === "coarse").select(col("cell"), col("v")))
+    val flat = collectCodebook(
+      cb.filter(col("kind") === "pq").select(col("cell"), col("v")), ksub, dim)
+    val c = cSide(batch, cId, vecCol)
+    val postings = probeCells(c, "__cv", coarse, 1)
+      .select(col("c_id"), col("cell"),
+        pqCodesNative(col("__cv"), flat, m, ksub, dim).as("codes"))
+    CommitLog(spark, s"$indexRoot/postings").appendPartitioned(postings, "cell")
+  }
+
   /** Query a [[buildIvfPqIndex]] index: probe `nprobe` cells per query
     * against the persisted coarse codebook, read ONLY those cells'
     * postings files (manifest-level pruning — the inverted-list seek),

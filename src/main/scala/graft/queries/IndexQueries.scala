@@ -46,7 +46,34 @@ object IndexQueries {
     },
     // q117's oracle verbatim — the index is a storage layout, not a
     // semantics change, so the same SQL replays build+search exactly
-    Some("""WITH cb AS (
+    Some(ivfPqOracle))
+
+  /** C3 incremental index maintenance
+    * ([[graft.operators.Similarity.appendToIvfPqIndex]]): build the
+    * index on the first slice of the corpus, APPEND the rest encoded
+    * with the persisted codebooks (cost ∝ batch — existing postings
+    * untouched), search the combined index. The build slice contains
+    * the lowest-id vectors, so its sampled codebooks equal the
+    * full-corpus ones and incremental ≡ one-shot build — pinned by
+    * q117's verbatim oracle at both SFs. */
+  private val q136 = Q(
+    "q136_ann_index_append",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = scratch(s, dir, "ann-append")
+      graft.operators.Similarity.buildIvfPqIndex(
+        emb.filter(col("vec_id") < 100), "vec_id", "embedding", root,
+        nlist = 16, m = 8, ksub = 16, dim = 64)
+      graft.operators.Similarity.appendToIvfPqIndex(
+        s, root, emb.filter(col("vec_id") >= 100), "vec_id", "embedding")
+      graft.operators.Similarity.searchIvfPqIndex(
+          s, root, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+          k = 3, nprobe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(ivfPqOracle))
+
+  private lazy val ivfPqOracle: String = """WITH cb AS (
         SELECT vec_id AS cell, embedding AS cbv
         FROM embeddings ORDER BY vec_id LIMIT 16),
       cdist AS (
@@ -102,7 +129,7 @@ object IndexQueries {
             ORDER BY approx_d2, c_id) AS rank
         FROM scored0)
       SELECT q_id, rank, c_id, approx_d2 FROM scored
-      WHERE rank <= 3 ORDER BY q_id, rank"""))
+      WHERE rank <= 3 ORDER BY q_id, rank"""
 
   /** B2 z-order + file-stats skipping end-to-end
     * ([[graft.operators.Layout.zOrderFrame]] →
@@ -189,5 +216,5 @@ object IndexQueries {
       FROM feed GROUP BY 1, 2
       ORDER BY _commit_version, _change_type"""))
 
-  val qs: Seq[Q] = Seq(q133, q134, q135)
+  val qs: Seq[Q] = Seq(q133, q134, q135, q136)
 }

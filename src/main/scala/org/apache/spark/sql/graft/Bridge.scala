@@ -20,6 +20,16 @@ object Bridge {
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Re-tag a batch DataFrame as STREAMING (isStreaming=true relation
+    * over its physical RDD) — the contract of a V1 streaming Source's
+    * getBatch: MicroBatchExecution asserts the returned frame IS
+    * streaming before splicing its plan into the trigger's batch. */
+  def asStreamingBatch(df: DataFrame): DataFrame = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** Idempotently add a planner strategy to the session. */
   def registerStrategy(spark: SparkSession,
       strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {

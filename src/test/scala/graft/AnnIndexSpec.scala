@@ -71,6 +71,33 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(fromIndex === onTheFly)
   }
 
+  test("incremental append with persisted codebooks equals a one-shot build") {
+    val rootInc = tmpRoot("ann-inc")
+    val rootOne = tmpRoot("ann-one")
+    // build slice holds the lowest ids → its sampled codebooks are the
+    // full corpus's, so the two construction orders must agree exactly
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 30),
+      "vec_id", "embedding", rootInc, nlist = 16, m = 8, ksub = 16, dim = 64)
+    Similarity.appendToIvfPqIndex(spark, rootInc,
+      emb.filter(col("vec_id") >= 30), "vec_id", "embedding")
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", rootOne,
+      nlist = 16, m = 8, ksub = 16, dim = 64)
+    // same postings content (cell assignment + codes per vector)...
+    val inc = CommitLog(spark, s"$rootInc/postings").read()
+      .select($"c_id", $"cell", $"codes".cast("array<int>"))
+      .as[(Long, Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    val one = CommitLog(spark, s"$rootOne/postings").read()
+      .select($"c_id", $"cell", $"codes".cast("array<int>"))
+      .as[(Long, Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(inc === one)
+    // ...and identical search results
+    val q = emb.filter(col("vec_id") < 10)
+    def search(root: String) = Similarity.searchIvfPqIndex(spark, root, q,
+        "vec_id", "embedding", k = 3, nprobe = 4)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    assert(search(rootInc) === search(rootOne))
+  }
+
   test("rebuilding commits a new version; the index root stays consistent") {
     val root = tmpRoot("ann-rebuild")
     Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", root,

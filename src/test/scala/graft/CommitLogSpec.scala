@@ -508,6 +508,33 @@ class CommitLogSpec extends SparkSpecBase {
     assert(replica.size === 4)
   }
 
+  test("graft-cdc: readStream follows the change feed across commits") {
+    val t = tmpTable("clog-cdc-src")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))           // v0
+    val stream = spark.readStream.format("graft-cdc")
+      .option("path", t).load()
+    assert(stream.schema.fieldNames.toSeq
+      === Seq("id", "v", "_change_type", "_commit_version"))
+    val q = stream.writeStream.format("memory").queryName("cdcfeed")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a merge mid-stream: its retired and new rows arrive as the
+      // next micro-batch, no snapshot diffing anywhere
+      log.upsert(Seq((2L, "b2"), (3L, "c")).toDF("id", "v"),
+        Seq("id"), CommitLog.LastWins)                              // v1
+      q.processAllAvailable()
+      val got = spark.table("cdcfeed")
+        .select($"id", $"v", $"_change_type", $"_commit_version")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(got === Set(
+        (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+        (1L, "a", "delete", 1L), (2L, "b", "delete", 1L),
+        (1L, "a", "insert", 1L), (2L, "b2", "insert", 1L), (3L, "c", "insert", 1L)))
+    } finally q.stop()
+  }
+
   test("a 10-partition replace lands its data in ONE write job") {
     val t = tmpTable("clog-onejob")
     val log = CommitLog(spark, t)
