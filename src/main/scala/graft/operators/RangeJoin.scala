@@ -77,9 +77,12 @@ object RangeJoin {
     * Malformed intervals (ADVICE r7): an INVERTED interval (lo > hi)
     * raises like the width guard does — the naive theta predicate
     * would let it match, but binning cannot represent it, so silence
-    * would diverge from the stated equivalence. NULL-bounded rows are
-    * dropped, which IS the theta-join behavior (a null bound never
-    * satisfies the predicate). */
+    * would diverge from the stated equivalence. NULL- and NaN-bounded
+    * rows are dropped: a null bound never satisfies the predicate,
+    * and a NaN bound (which Spark orders ABOVE every finite value, so
+    * it would otherwise trip the inverted-interval guard) can only
+    * theta-match another NaN-degenerate interval — binning cannot
+    * place either, so both are filtered before the guard runs. */
   def intervalOverlap(left: DataFrame, right: DataFrame,
       lLo: String, lHi: String, rLo: String, rHi: String, binWidth: Double,
       maxBinsPerInterval: Int = 10000): DataFrame = {
@@ -98,7 +101,8 @@ object RangeJoin {
           col(hi).cast("string"),
           lit(s"] spans more than $maxBinsPerInterval bins of width $binWidth; " +
             "increase binWidth or split the interval"))))
-      df.filter(col(lo).isNotNull && col(hi).isNotNull)
+      df.filter(col(lo).isNotNull && col(hi).isNotNull &&
+          !isnan(col(lo).cast("double")) && !isnan(col(hi).cast("double")))
         .withColumn("__bin", explode(bins))
     }
     binned(left, lLo, lHi)

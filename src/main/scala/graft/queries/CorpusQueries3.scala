@@ -175,6 +175,9 @@ object CorpusQueries3 {
         .select(col("doc_id"),
           size(col("__bpe")).cast("long").as("n_bpe"),
           md5(concat_ws("", col("__bpe"))).as("bpe_fp"))
+        // both the corpus aggregate and the output rows consume this:
+        // checkpoint so the BPE pass over every document runs ONCE
+        .localCheckpoint()
       // corpus-level invariants on EVERY row (one broadcast 1-row
       // aggregate): the oracle-less dump self-checks beyond
       // cardinality - a merge-semantics change anywhere in the corpus

@@ -109,10 +109,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   private def emptySnapshot: Snapshot =
     Snapshot(-1L, Nil, None, Map.empty, Map.empty, Map.empty)
 
-  /** The log's manifests up to version `asOf`, parsed, in version
-    * order — the shared input of [[snapshotAt]] and [[readChanges]]. */
-  private def parsedManifests(asOf: Long): Seq[JsonNode] = {
-    if (!fs.exists(logDir)) return Nil
+  /** The log's manifests up to version `asOf`, parsed lazily in
+    * version order — the shared input of [[snapshotAt]] and
+    * [[readChanges]]. An Iterator so the snapshot fold holds ONE
+    * parsed manifest at a time (manifests grew per-file stats blocks;
+    * a long-uncompacted log must not put every tree on the driver at
+    * once — callers that need two passes materialize explicitly). */
+  private def parsedManifests(asOf: Long): Iterator[JsonNode] = {
+    if (!fs.exists(logDir)) return Iterator.empty
     fs.listStatus(logDir)
       // dot-prefixed names are IN-FLIGHT tmp manifests (mid-write);
       // only the atomically-published versioned files are the log
@@ -120,6 +124,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         && !s.getPath.getName.startsWith(".")
         && s.getPath.getName.takeWhile(_ != '.').toLong <= asOf)
       .sortBy(_.getPath.getName)
+      .iterator
       .map { m =>
         val in = fs.open(m.getPath)
         val raw = try {
@@ -127,7 +132,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           in.readFully(bytes); new String(bytes, "UTF-8")
         } finally in.close()
         mapper.readTree(raw)
-      }.toSeq
+      }.iterator
   }
 
   /** Apply one manifest to a folded state. */
@@ -244,7 +249,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     (num(mn), num(mx), num(lo), num(hi)) match {
       case (Some(a), Some(b), Some(l), Some(h)) => b >= l && a <= h
       case _ => (mn, mx, lo, hi) match {
-        case (a: String, b: String, l: String, h: String) => b >= l && a <= h
+        case (a: String, b: String, l: String, h: String) =>
+          // same unsigned-UTF-8 ordering the stats were computed under
+          // (and Spark's binary string comparison) — see [[utf8Compare]]
+          utf8Compare(b, l) >= 0 && utf8Compare(a, h) <= 0
         case _ => true // incomparable stat/bound → conservative keep
       }
     }
@@ -271,7 +279,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     */
   def readChanges(fromVersion: Long, toVersion: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val ms = parsedManifests(toVersion)
+    val ms = parsedManifests(toVersion).toVector // two passes below
     require(fromVersion == -1L
         || ms.exists(_.get("version").asLong() == fromVersion),
       s"$tableRoot: version $fromVersion is not retained in the log — " +
@@ -739,28 +747,44 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * `partCol` itself stays a normal data column inside the files.
     * Returns (table-root-relative path, partition value) pairs. */
   private def writeDataPartitioned(df: DataFrame, partCol: String): Seq[(String, String)] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, concat, hash, lit, pmod, struct}
     val tmp = new Path(rootPath, s".tmp-${UUID.randomUUID()}")
+    val partTag = "__graft_part"
+    val saltTag = "__graft_salt"
+    require(!df.columns.exists(c => c == partTag || c == saltTag),
+      s"$tableRoot: column name $partTag/$saltTag is reserved by the " +
+        "partitioned write path — rename it upstream")
     try {
-      // repartition BY the partition value first: without it every
-      // upstream task writes its own sliver into every partition dir
-      // (tasks × partitions tiny files); with it each partition's rows
-      // coalesce into one task — one file per partition, and the
-      // shuffle replaces the old path's P filtered re-evaluations
-      df.withColumn("__part", col(partCol).cast("string"))
-        .repartition(col("__part"))
-        .write.mode("overwrite").partitionBy("__part").parquet(tmp.toString)
+      // repartition BY (partition value, salt) first: without the
+      // partition key every upstream task writes its own sliver into
+      // every partition dir (tasks × partitions tiny files); without
+      // the salt a HOT partition funnels through ONE task (a 500 GB
+      // day = one multi-hour straggler at 100 TB). The salt is a
+      // DETERMINISTIC row hash (retry/speculation-safe) so a hot
+      // partition spreads over up to shuffle-partitions tasks; the
+      // dir-listing commit below tolerates several files per dir, and
+      // [[compact]] re-tightens the layout later. The "v" prefix on
+      // the partition tag keeps the EMPTY STRING a legal value —
+      // Spark's layout maps both null and "" to
+      // __HIVE_DEFAULT_PARTITION__, so only genuine nulls (null
+      // concat → null tag) land there and are refused.
+      val spread = math.max(1, spark.sessionState.conf.numShufflePartitions)
+      df.withColumn(partTag, concat(lit("v"), col(partCol).cast("string")))
+        .withColumn(saltTag, pmod(hash(struct(df.columns.map(col): _*)), lit(spread)))
+        .repartition(col(partTag), col(saltTag))
+        .drop(saltTag)
+        .write.mode("overwrite").partitionBy(partTag).parquet(tmp.toString)
       fs.mkdirs(dataDir)
       val dirs = fs.listStatus(tmp).filter(s =>
-        s.isDirectory && s.getPath.getName.startsWith("__part="))
+        s.isDirectory && s.getPath.getName.startsWith(s"$partTag="))
       // validate BEFORE moving anything — a null partition must not
       // leave the other partitions' files orphaned under data/
       require(!dirs.exists(_.getPath.getName
-          == "__part=__HIVE_DEFAULT_PARTITION__"),
+          == s"$partTag=__HIVE_DEFAULT_PARTITION__"),
         s"$tableRoot: null $partCol — partition values must be non-null")
       dirs.flatMap { d =>
-        val enc = d.getPath.getName.stripPrefix("__part=")
-        val p = unescapePathName(enc)
+        val enc = d.getPath.getName.stripPrefix(s"$partTag=")
+        val p = unescapePathName(enc).stripPrefix("v")
         fs.listStatus(d.getPath)
           .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
           .map { f =>
@@ -798,65 +822,121 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * binary blobs record nothing and are simply never pruned). The
     * footer read is metadata-sized and happens once per commit, which
     * is what lets [[readRange]] skip files forever after. */
-  private def statsFor(relPaths: Seq[String]): Map[String, Map[String, (Any, Any)]] =
-    relPaths.map { rel =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new Path(rootPath, rel), spark.sparkContext.hadoopConfiguration))
-      val byCol = scala.collection.mutable.LinkedHashMap.empty[String, (Any, Any)]
-      try {
-        reader.getFooter.getBlocks.asScala.foreach { block =>
-          block.getColumns.asScala.foreach { cc =>
-            val name = cc.getPath.toDotString
-            if (!name.contains('.')) {
-              chunkMinMax(cc).foreach { case (mn, mx) =>
+  private def statsFor(relPaths: Seq[String]): Map[String, Map[String, (Any, Any)]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // footer reads are independent metadata round-trips — run them
+    // concurrently so a 1,000-file commit pays ~max latency, not the
+    // sum (the one-job write win would otherwise drain away here)
+    val futures = relPaths.map(rel => Future(rel -> statsForOne(rel)))
+    Await.result(Future.sequence(futures), Duration.Inf)
+      .filter(_._2.nonEmpty).toMap
+  }
+
+  private def statsForOne(rel: String): Map[String, (Any, Any)] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(rootPath, rel), spark.sparkContext.hadoopConfiguration))
+    val byCol = scala.collection.mutable.LinkedHashMap.empty[String, (Any, Any)]
+    // a row group whose chunk has DATA but no usable min/max (stats
+    // omitted for oversized strings, FP columns with NaN, future
+    // writers) poisons the column for the WHOLE file: a range kept
+    // only from the other row groups would under-cover and let
+    // [[readRange]] prune a file that holds matching rows. Only the
+    // provably-all-null chunk is coverage-neutral (a null never
+    // matches a range predicate).
+    val dead = scala.collection.mutable.HashSet.empty[String]
+    try {
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          if (!name.contains('.') && !dead.contains(name)) {
+            chunkMinMax(cc) match {
+              case ChunkCovered(mn, mx) =>
                 byCol(name) = byCol.get(name).fold((mn, mx)) { case (omn, omx) =>
                   (minAny(omn, mn), maxAny(omx, mx))
                 }
-              }
+              case ChunkAllNull => () // no values → nothing to cover
+              case ChunkUnknown => dead += name; byCol.remove(name)
             }
           }
         }
-      } finally reader.close()
-      rel -> byCol.toMap
-    }.filter(_._2.nonEmpty).toMap
+      }
+    } finally reader.close()
+    byCol.toMap
+  }
+
+  private sealed trait ChunkStats
+  private final case class ChunkCovered(mn: Any, mx: Any) extends ChunkStats
+  private case object ChunkAllNull extends ChunkStats
+  private case object ChunkUnknown extends ChunkStats
 
   private def chunkMinMax(
-      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Option[(Any, Any)] = {
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): ChunkStats = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val st = cc.getStatistics
-    if (st == null || st.isEmpty || !st.hasNonNullValue) return None
+    if (st == null) return ChunkUnknown
+    if (!st.hasNonNullValue) {
+      // min/max absent: only safe to ignore if the chunk is PROVABLY
+      // all null — otherwise assume it may hold anything
+      return if (st.isNumNullsSet && st.getNumNulls == cc.getValueCount)
+        ChunkAllNull
+      else ChunkUnknown
+    }
     val pt = cc.getPrimitiveType
     val logical = pt.getLogicalTypeAnnotation
     if (logical.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])
-      return None // stats are unscaled ints — not comparable to user bounds
+      return ChunkUnknown // stats are unscaled ints — not comparable to user bounds
     pt.getPrimitiveTypeName match {
       case INT32 | INT64 =>
-        Some((st.genericGetMin.asInstanceOf[Number].longValue(),
-          st.genericGetMax.asInstanceOf[Number].longValue()))
+        ChunkCovered(st.genericGetMin.asInstanceOf[Number].longValue(),
+          st.genericGetMax.asInstanceOf[Number].longValue())
       case FLOAT | DOUBLE =>
-        Some((st.genericGetMin.asInstanceOf[Number].doubleValue(),
-          st.genericGetMax.asInstanceOf[Number].doubleValue()))
+        val mn = st.genericGetMin.asInstanceOf[Number].doubleValue()
+        val mx = st.genericGetMax.asInstanceOf[Number].doubleValue()
+        // a NaN endpoint means the writer's ordering disagrees with
+        // ours — don't trust the range
+        if (mn.isNaN || mx.isNaN) ChunkUnknown else ChunkCovered(mn, mx)
       case BINARY
           if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
-        Some((st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+        ChunkCovered(st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
             .toStringUsingUTF8,
           st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
-            .toStringUsingUTF8))
-      case _ => None
+            .toStringUsingUTF8)
+      case _ => ChunkUnknown
     }
+  }
+
+  /** Unsigned UTF-8 byte comparison — the ordering parquet footer
+    * stats are computed under AND the one Spark's UTF8String binary
+    * comparisons use. Java's UTF-16 `compareTo` disagrees for
+    * supplementary characters (surrogates sort below U+E000..U+FFFF
+    * in UTF-16 but above them in UTF-8 bytes), and a mismatched
+    * comparator here wrongly prunes files → silent row loss. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   private def minAny(a: Any, b: Any): Any = (a, b) match {
     case (x: Long, y: Long) => math.min(x, y)
     case (x: Double, y: Double) => math.min(x, y)
-    case (x: String, y: String) => if (x <= y) x else y
+    case (x: String, y: String) => if (utf8Compare(x, y) <= 0) x else y
     case _ => a
   }
 
   private def maxAny(a: Any, b: Any): Any = (a, b) match {
     case (x: Long, y: Long) => math.max(x, y)
     case (x: Double, y: Double) => math.max(x, y)
-    case (x: String, y: String) => if (x >= y) x else y
+    case (x: String, y: String) => if (utf8Compare(x, y) >= 0) x else y
     case _ => a
   }
 

@@ -437,6 +437,58 @@ class CommitLogSpec extends SparkSpecBase {
       .map(_._1).sorted.toSeq === (90L to 110L))
   }
 
+  test("readRange keeps files whose double stats a NaN may have poisoned") {
+    val t = tmpTable("clog-nanstats")
+    val log = CommitLog(spark, t)
+    // one file holding a NaN: parquet writers either drop the FP
+    // min/max or let the NaN poison them — in BOTH cases the column
+    // must be treated as un-prunable for this file, never as a range
+    // that excludes the finite rows it actually holds
+    log.append(Seq(1.0, Double.NaN, 100.0).toDF("v").coalesce(1))
+    log.append(Seq(500.0).toDF("v").coalesce(1))
+    assert(log.readRange("v", 50.0, 150.0).as[Double].collect().toSeq
+      === Seq(100.0))
+  }
+
+  test("string readRange prunes in UTF-8 byte order, not UTF-16") {
+    val t = tmpTable("clog-utf8")
+    val log = CommitLog(spark, t)
+    // U+FFFF sorts ABOVE U+1F600 in Java's UTF-16 compareTo but BELOW
+    // it in the unsigned UTF-8 byte order parquet stats use; a
+    // UTF-16 pruning comparator wrongly skips this file for the
+    // [U+FFFF, U+FFFF] range (max "😀" >= lo "￿" is false there)
+    log.append(Seq("￿", "😀").toDF("s").coalesce(1))
+    assert(log.readRange("s", "￿", "￿").as[String].collect().toSeq
+      === Seq("￿"))
+  }
+
+  test("empty-string partition values commit; nulls and reserved names refuse") {
+    val t = tmpTable("clog-emptypart")
+    val log = CommitLog(spark, t)
+    // "" is a legal non-null partition value (Spark's dir layout maps
+    // it to the same default dir as null — the sentinel prefix keeps
+    // them apart)
+    log.appendPartitioned(
+      Seq((1L, "", "a"), (2L, "d2", "b")).toDF("id", "day", "v"), "day")
+    assert(log.read().as[(Long, String, String)].collect().toSet
+      === Set((1L, "", "a"), (2L, "d2", "b")))
+    assert(log.readPartitions(Seq("")).as[(Long, String, String)].collect().toSet
+      === Set((1L, "", "a")))
+    val eNull = intercept[IllegalArgumentException] {
+      log.appendPartitioned(
+        Seq((3L, null.asInstanceOf[String], "c")).toDF("id", "day", "v"), "day")
+    }
+    assert(eNull.getMessage.contains("non-null"))
+    val eReserved = intercept[IllegalArgumentException] {
+      log.appendPartitioned(
+        Seq((4L, "d3", "d")).toDF("id", "day", "v")
+          .withColumn("__graft_part", lit("x")), "day")
+    }
+    assert(eReserved.getMessage.contains("reserved"))
+    // failed attempts must not have corrupted the committed state
+    assert(log.read().count() === 2L)
+  }
+
   test("readChanges ≡ snapshot diff across append/upsert/replace_parts") {
     val t = tmpTable("clog-cdc")
     val log = CommitLog(spark, t)

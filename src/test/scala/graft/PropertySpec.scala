@@ -222,8 +222,11 @@ class PropertySpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("inverted interval")
       || Option(e.getCause).exists(_.getMessage.contains("inverted interval")))
-    // null-bounded rows drop silently — that IS the theta-join result
-    val an = Seq((1L, Some(1.0), None: Option[Double]), (2L, Some(0.0), Some(4.0)))
+    // null- and NaN-bounded rows drop silently — that IS the theta-join
+    // result; a NaN bound must NOT trip the inverted-interval guard
+    // (Spark orders NaN above every finite value, so NaN lo > finite hi)
+    val an = Seq((1L, Some(1.0), None: Option[Double]), (2L, Some(0.0), Some(4.0)),
+      (3L, Some(Double.NaN), Some(4.0)), (4L, Some(1.0), Some(Double.NaN)))
       .toDF("a_id", "a_lo", "a_hi")
     val got = RangeJoin.intervalOverlap(an, b, "a_lo", "a_hi", "b_lo", "b_hi", 1.0)
       .select($"a_id").as[Long].collect().toSeq
