@@ -216,5 +216,42 @@ object IndexQueries {
       FROM feed GROUP BY 1, 2
       ORDER BY _commit_version, _change_type"""))
 
-  val qs: Seq[Q] = Seq(q133, q134, q135, q136)
+  /** B2 row-level DELETE ([[graft.sources.CommitLog.delete]]): lineitem
+    * lands partition-tagged by return flag, then one predicate deletes
+    * the low-quantity 'R' rows — manifest stats restrict the find scan
+    * to the 'R' partition's files (the equality conjunct prunes on the
+    * string stats), the rewrite touches only files that actually hold
+    * matching rows, and every other file rides through the commit
+    * untouched (file-diff pinned by CommitLogSpec; here the oracle
+    * checks the surviving rows exactly — the reference's analog is a
+    * conditional DeleteItem, /root/reference/index.js:368 territory,
+    * done as a table rewrite the way a lakehouse DELETE works). */
+  private val q137 = Q(
+    "q137_commitlog_delete",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"))
+      val root = scratch(s, dir, "delete-log")
+      val log = graft.sources.CommitLog(s, root)
+      log.appendPartitioned(li, "l_returnflag")
+      log.delete(col("l_returnflag") === "R" && col("l_quantity") <= 10.0,
+        partCol = Some("l_returnflag"))
+      log.read()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          sum(col("l_orderkey") * lit(7L) + col("l_linenumber")).as("key_sum"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(SUM(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sum
+      FROM lineitem
+      WHERE NOT (l_returnflag = 'R' AND l_quantity <= 10)
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137)
 }

@@ -638,6 +638,183 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     v
   }
 
+  /** ROW-LEVEL DELETE: remove the rows where `condition` is TRUE (SQL
+    * DELETE semantics — a NULL condition keeps the row) and commit the
+    * rewrite as a `replace`. The write amplification is bounded by
+    * THREE pruning layers, so a predicate-local delete on a 100 TB
+    * table rewrites only the files it must (Delta's two-phase DELETE
+    * shape, driven by this log's own manifest stats):
+    *
+    *   1. CANDIDATES — manifest file stats ([[statsFor]]) rule out
+    *      files that cannot hold a TRUE row before ANY file opens:
+    *      each top-level conjunct of the shape `col <op> literal`
+    *      contributes a bound, and a file whose recorded (min, max)
+    *      cannot intersect a bound is skipped (other conjunct shapes
+    *      contribute nothing — conservative, never wrong, because a
+    *      row satisfying the AND must satisfy every conjunct).
+    *   2. FIND — the candidates are scanned WITH the predicate (parquet
+    *      row-group pushdown prunes further) emitting only the distinct
+    *      file names that actually hold a matching row.
+    *   3. REWRITE — exactly the touched files are rewritten without
+    *      their matching rows; every other live file rides through the
+    *      commit untouched, restated with its existing partition tag
+    *      and stats.
+    *
+    * A partition-tagged table must pass `partCol` so rewritten files
+    * keep tags (the all-tagged invariant [[upsertPartitioned]] depends
+    * on survives any delete); an untagged table must not. A delete that
+    * matches nothing returns the current version WITHOUT committing.
+    * On a lost version race the whole find+rewrite recomputes against
+    * the winner's table, like [[upsert]]. */
+  def delete(condition: org.apache.spark.sql.Column,
+      partCol: Option[String] = None,
+      txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      if (replayOf(s, txn)) return s.version
+      require(s.version >= 0, s"$tableRoot: delete on a table with no commits")
+      val sch = s.schema.getOrElse(throw new IllegalStateException(
+        s"$tableRoot: committed version ${s.version} carries no schema"))
+      if (s.parts.nonEmpty) {
+        require(partCol.isDefined,
+          s"$tableRoot: table is partition-tagged — delete needs partCol so " +
+            "rewritten files keep their tags")
+        val untagged = s.files.filterNot(s.parts.contains)
+        require(untagged.isEmpty,
+          s"$tableRoot: ${untagged.size} live files carry no partition tag — " +
+            "rewrite the table through the partitioned path first")
+      } else require(partCol.isEmpty || s.files.isEmpty,
+        s"$tableRoot: partCol given but the table is not partition-tagged")
+      val candidates = candidateFiles(s, condition, sch)
+      val touched: Seq[String] =
+        if (candidates.isEmpty) Nil
+        else {
+          // rel path by basename: data-file names are globally unique
+          val byName = candidates.map(f => new Path(f).getName -> f).toMap
+          spark.read.schema(sch)
+            .parquet(candidates.map(f => s"$tableRoot/$f"): _*)
+            .filter(condition)
+            .select(input_file_name().as("__f")).distinct()
+            .collect()
+            .map(r => byName(new Path(r.getString(0)).getName)).toSeq.sorted
+        }
+      if (touched.isEmpty) return s.version // nothing matched — no new version
+      val kept = spark.read.schema(sch)
+        .parquet(touched.map(f => s"$tableRoot/$f"): _*)
+        .filter(not(coalesce(condition, lit(false))))
+      val (newFiles, newTags) = partCol match {
+        case Some(pc) =>
+          val tagged = writeDataPartitioned(kept, pc)
+          (tagged.map(_._1), tagged.toMap)
+        case None => (writeData(kept), Map.empty[String, String])
+      }
+      val untouched = s.files.filterNot(touched.toSet)
+      val untouchedSet = untouched.toSet
+      val files = untouched ++ newFiles
+      if (tryCommit(s.version + 1,
+          manifestJson(s.version + 1, "replace", files, sch, txn,
+            fileParts = s.parts.filter(kv => untouchedSet(kv._1)) ++ newTags,
+            stats = s.stats.filter(kv => untouchedSet(kv._1))
+              ++ statsFor(newFiles))))
+        return s.version + 1
+      newFiles.foreach(deleteData)
+      attempts += 1
+      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+    }
+    -1L // unreachable
+  }
+
+  /** Phase-1 pruning for [[delete]]: the live files whose manifest
+    * stats admit a row satisfying `condition`. The condition is first
+    * RESOLVED by analyzing it against an empty relation with the
+    * table's schema (no job — analysis only; a DSL-built Column is an
+    * unresolved sql-api node tree until then, and analysis also type-
+    * checks names loudly and inserts the casts that make literal sides
+    * foldable). Bounds come only from top-level AND-ed comparisons
+    * between a bare column and a foldable value; every other shape
+    * keeps all files for that conjunct. Strict comparisons widen to
+    * closed bounds (conservative — a kept file is only wasted work,
+    * a skipped file would be lost rows). */
+  private def candidateFiles(s: Snapshot,
+      condition: org.apache.spark.sql.Column, sch: StructType): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val analyzed = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      .filter(condition).queryExecution.analyzed
+    val resolvedCond = analyzed.collect { case f: LFilter => f.condition } match {
+      case Seq(c) => c
+      case _ => return s.files // unexpected plan shape → no pruning
+    }
+    // internal eval values → the stats domain (Long / Double / String);
+    // DATE folds to epoch-day Long and TIMESTAMP to epoch-micros Long,
+    // both exactly the form [[statsFor]] records for INT32/INT64
+    def litVal(e: Expression): Option[Any] =
+      if (!e.foldable || e.exists(_.isInstanceOf[Attribute])) None
+      else e.eval(null) match {
+        case i: java.lang.Integer => Some(i.longValue)
+        case v: java.lang.Long    => Some(v)
+        case v: java.lang.Short   => Some(v.longValue)
+        case v: java.lang.Byte    => Some(v.longValue)
+        case v: java.lang.Float   => Some(v.doubleValue)
+        case v: java.lang.Double  => Some(v)
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+        case _ => None // decimals/binary/null — no bound, conservative
+      }
+    def attr(e: Expression): Option[String] = e match {
+      case a: Attribute => Some(a.name)
+      case _ => None
+    }
+    object Cmp {
+      def unapply(e: Expression): Option[(String, Expression, Expression)] =
+        e match {
+          case GreaterThan(a, b)        => Some((">", a, b))
+          case GreaterThanOrEqual(a, b) => Some((">=", a, b))
+          case LessThan(a, b)           => Some(("<", a, b))
+          case LessThanOrEqual(a, b)    => Some(("<=", a, b))
+          case EqualTo(a, b)            => Some(("=", a, b))
+          case _ => None
+        }
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // (col, requiredLo, requiredHi): a TRUE row needs col in [lo, hi]
+    val bounds: Seq[(String, Option[Any], Option[Any])] =
+      conjuncts(resolvedCond).flatMap {
+        case Cmp(op, a, v) if attr(a).isDefined =>
+          attr(a).flatMap(n => litVal(v).map { x =>
+            op match {
+              case ">" | ">=" => (n, Some(x): Option[Any], None: Option[Any])
+              case "<" | "<=" => (n, None: Option[Any], Some(x): Option[Any])
+              case _          => (n, Some(x): Option[Any], Some(x): Option[Any])
+            }
+          })
+        case Cmp(op, v, a) if attr(a).isDefined => // literal-first: flip
+          attr(a).flatMap(n => litVal(v).map { x =>
+            op match {
+              case ">" | ">=" => (n, None: Option[Any], Some(x): Option[Any])
+              case "<" | "<=" => (n, Some(x): Option[Any], None: Option[Any])
+              case _          => (n, Some(x): Option[Any], Some(x): Option[Any])
+            }
+          })
+        case _ => None
+      }
+    s.files.filter { f =>
+      bounds.forall { case (c, lo, hi) =>
+        s.stats.get(f).flatMap(_.get(c)) match {
+          // absent endpoints fall back to the file's own stat, which
+          // makes that side of the overlap check trivially true
+          case Some((mn, mx)) => overlaps(mn, mx, lo.getOrElse(mn), hi.getOrElse(mx))
+          case None => true // no stats → cannot rule the file out
+        }
+      }
+    }
+  }
+
   /** Fold the whole log into ONE checkpoint manifest at the next
     * version: a `replace` that restates the live file set, the schema,
     * the partition tags, the file stats, and the complete per-writer

@@ -489,6 +489,92 @@ class CommitLogSpec extends SparkSpecBase {
     assert(log.read().count() === 2L)
   }
 
+  test("delete removes matching rows and rewrites only the touched files") {
+    val t = tmpTable("clog-del")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    log.append(Seq((10L, "c"), (11L, "d")).toDF("id", "v").coalesce(1))
+    log.append(Seq((20L, "e")).toDF("id", "v").coalesce(1))
+    val before = log.snapshot().files.toSet
+    assert(log.delete($"id" === 10L) === 3L)
+    assert(log.read().as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (11L, "d"), (20L, "e")))
+    // the [1,2] and [20,20] files ride through under their old names —
+    // only the file whose stats admit id=10 was rewritten
+    val after = log.snapshot().files.toSet
+    assert((before intersect after).size === 2)
+    assert((after -- before).size === 1)
+    // time travel still reaches the pre-delete rows
+    assert(log.readVersion(2L).count() === 5L)
+    // a second delete matching nothing LIVE commits no version
+    assert(log.delete($"id" === 10L) === 3L)
+  }
+
+  test("a delete whose bounds miss every file's stats runs NO Spark job") {
+    val t = tmpTable("clog-del-prune")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    log.append(Seq((10L, "c")).toDF("id", "v").coalesce(1))
+    val gid = s"delprune-${java.util.UUID.randomUUID()}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (gid == js.properties.getProperty("spark.jobGroup.id")) jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(gid, "pruned delete")
+      // manifest stats cap id at 10 — phase 1 rules out EVERY file, so
+      // neither the find scan nor a rewrite ever launches
+      try assert(log.delete($"id" >= 100L) === 1L)
+      finally spark.sparkContext.clearJobGroup()
+      Thread.sleep(500) // listener bus drain
+      assert(jobs.get() === 0, s"pruned delete launched ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(log.read().count() === 3L)
+  }
+
+  test("delete keeps rows where the condition is NULL (SQL DELETE semantics)") {
+    val t = tmpTable("clog-del-null")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, Some(1.0)), (2L, None: Option[Double]), (3L, Some(5.0)))
+      .toDF("id", "x"))
+    log.delete($"x" > 2.0)
+    assert(log.read().select($"id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+  }
+
+  test("delete on a partition-tagged table keeps tags; partCol misuse refuses") {
+    val t = tmpTable("clog-del-part")
+    val log = CommitLog(spark, t)
+    log.appendPartitioned(
+      Seq((1L, "d1", "a"), (2L, "d1", "b"), (10L, "d2", "c"))
+        .toDF("id", "day", "v"), "day")
+    val eMissing = intercept[IllegalArgumentException](log.delete($"id" === 2L))
+    assert(eMissing.getMessage.contains("partition-tagged"))
+    log.delete($"id" === 2L, partCol = Some("day"))
+    assert(log.read().as[(Long, String, String)].collect().toSet
+      === Set((1L, "d1", "a"), (10L, "d2", "c")))
+    // every surviving file still carries its tag, so the partitioned
+    // write paths keep accepting the table
+    val s = log.snapshot()
+    assert(s.files.forall(s.parts.contains))
+    assert(log.readPartitions(Seq("d1")).select($"id").as[Long].collect().toSeq
+      === Seq(1L))
+    log.upsertPartitioned(Seq((10L, "d2", "c2")).toDF("id", "day", "v"),
+      Seq("id", "day"), CommitLog.LastWins, "day")
+    assert(log.read().as[(Long, String, String)].collect().toSet
+      === Set((1L, "d1", "a"), (10L, "d2", "c2")))
+    // the reverse misuse: partCol on an untagged table
+    val t2 = tmpTable("clog-del-untagged")
+    val log2 = CommitLog(spark, t2)
+    log2.append(Seq((1L, "a")).toDF("id", "v"))
+    val eTagged = intercept[IllegalArgumentException](
+      log2.delete($"id" === 1L, partCol = Some("v")))
+    assert(eTagged.getMessage.contains("not partition-tagged"))
+  }
+
   test("readChanges ≡ snapshot diff across append/upsert/replace_parts") {
     val t = tmpTable("clog-cdc")
     val log = CommitLog(spark, t)
