@@ -70,3 +70,69 @@ object TopKAgg {
     name
   }
 }
+
+/** [[TopKDoubles]] carrying an id with each score: the bounded buffer
+  * holds (score, id) pairs totally ordered by (score DESC, id ASC) —
+  * the exact tie-break every searcher's `ROW_NUMBER() OVER (ORDER BY
+  * cosine DESC, c_id)` oracle uses — so top-k-per-query runs as a
+  * partial aggregation instead of a window: each shuffle-map task
+  * shrinks its local candidates to ≤ k pairs per query BEFORE the
+  * shuffle (the merge step of an IVF search, as an Aggregator). */
+class TopKScored(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  require(k > 0)
+
+  private def before(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def zero: Seq[(Double, Long)] = Vector.empty
+
+  override def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {
+    if (buf.size >= k && !before(x, buf.last)) buf
+    else {
+      val v = buf.toIndexedSeq
+      var lo = 0
+      var hi = v.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (before(v(m), x) || v(m) == x) lo = m + 1 else hi = m
+      }
+      ((v.take(lo) :+ x) ++ v.drop(lo)).take(k)
+    }
+  }
+
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+    val av = a.toIndexedSeq
+    val bv = b.toIndexedSeq
+    val out = Vector.newBuilder[(Double, Long)]
+    var i = 0
+    var j = 0
+    var n = 0
+    val limit = math.min(k, av.length + bv.length)
+    while (n < limit) {
+      if (j >= bv.length || (i < av.length && !before(bv(j), av(i)))) {
+        out += av(i); i += 1
+      } else { out += bv(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
+
+  override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}
+
+object TopKScoredAgg {
+  /** Register `topk_scored_<k>(score double, id bigint) ->
+    * array<struct<_1 double, _2 bigint>>` for the session. */
+  def register(spark: SparkSession, k: Int): String = {
+    val name = s"topk_scored_$k"
+    if (!spark.catalog.functionExists(name))
+      spark.udf.register(name, udaf(new TopKScored(k)))
+    name
+  }
+}

@@ -389,6 +389,47 @@ object Similarity {
     rerankTopK(cAssigned.join(broadcast(qProbes), Seq("cell")), k)
   }
 
+  /** kNN JOIN with a LARGE query side — [[ivfTopKFixedCodebook]]'s
+    * semantics (identical results, pinned by the same oracle) with the
+    * query broadcast REMOVED: every other searcher ships the query
+    * table to all executors, which caps the query side at broadcast
+    * size; here BOTH sides shuffle on `cell` into a hash join, so a
+    * billion-query batch (corpus-vs-corpus linking, full-table
+    * self-search) scales exactly like the candidate side. The second
+    * scale move is the top-k itself: instead of the window rank over
+    * every scored pair (a full shuffle of |pairs| rows sorted per
+    * query), a bounded [[graft.functions.TopKScored]] aggregation
+    * rides the existing shuffle — each map task shrinks its local
+    * pairs to ≤ k per query, so the q_id shuffle moves at most
+    * nprobe·k rows per query regardless of cell sizes (the merge step
+    * of a sharded ANN search, as partial aggregation).
+    *
+    * Parallelism is cell-count-bound: size `nlist` with [[nlistFor]]
+    * at scale (the fixture default 16 keeps the oracle replayable). */
+  def ivfKnnJoinLargeQ(queries: DataFrame, candidates: DataFrame,
+      qId: String, cId: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val s = queries.sparkSession
+    val c = cSide(candidates, cId, vecCol)
+    val cb = broadcastCodebook(
+      c.orderBy(col("c_id")).limit(nlist)
+        .select(col("c_id").as("cell"), col("__cv").as("v")))
+    val cAssigned = probeCells(c, "__cv", cb, 1)
+    val qProbes = probeCells(
+      qSide(Spread.byKey(queries, qId), qId, vecCol), "__qv", cb, nprobe)
+    val scored = cAssigned.hint("shuffle_hash").join(qProbes, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        dotNative(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .select(col("q_id"), col("c_id"), col("cosine"))
+    val fn = graft.functions.TopKScoredAgg.register(s, k)
+    scored.groupBy(col("q_id"))
+      .agg(expr(s"$fn(cosine, c_id)").as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("q_id"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e._2").as("c_id"), col("__e._1").as("cosine"))
+  }
+
   /** IVF-SQ: inverted-file probing + int8 asymmetric scoring — the two
     * scale levers composed (the scalar-quantization member of the
     * IVFADC family, Jégou et al. 2011: cells bound how MANY candidates

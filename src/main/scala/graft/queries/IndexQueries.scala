@@ -253,5 +253,56 @@ object IndexQueries {
       WHERE NOT (l_returnflag = 'R' AND l_quantity <= 10)
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137)
+  /** C3 kNN JOIN with a large query side
+    * ([[graft.operators.Similarity.ivfKnnJoinLargeQ]]): the WHOLE
+    * embeddings table queries itself — no query broadcast anywhere
+    * (both sides shuffle on cell into a hash join) and the top-k is a
+    * bounded partial aggregation instead of a window, so the q_id
+    * shuffle carries ≤ nprobe·k rows per query. Semantics are
+    * q59's IVF search; the oracle replays it for every vector as the
+    * query set. */
+  private val q138 = Q(
+    "q138_knn_join_large",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.ivfKnnJoinLargeQ(
+          emb, emb, "vec_id", "vec_id", "embedding",
+          k = 3, nlist = 16, nprobe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH cb AS (
+        SELECT vec_id AS cell, embedding AS cbv
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+      d2 AS (
+        SELECT e.vec_id, cb.cell,
+          SUM((e.embedding[CAST(i AS INT) + 1]::DOUBLE - cb.cbv[CAST(i AS INT) + 1]::DOUBLE)
+            * (e.embedding[CAST(i AS INT) + 1]::DOUBLE - cb.cbv[CAST(i AS INT) + 1]::DOUBLE)) AS d2
+        FROM embeddings e CROSS JOIN cb, (SELECT unnest(range(64)) AS i)
+        GROUP BY 1, 2),
+      asg AS (
+        SELECT vec_id AS c_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM d2)
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS q_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM d2)
+        WHERE rn <= 4),
+      scored AS (
+        SELECT p.q_id, a.c_id,
+          list_cosine_similarity(qa.embedding::DOUBLE[], ca.embedding::DOUBLE[]) AS cosine,
+          ROW_NUMBER() OVER (PARTITION BY p.q_id
+            ORDER BY list_cosine_similarity(qa.embedding::DOUBLE[], ca.embedding::DOUBLE[]) DESC,
+              a.c_id) AS rank
+        FROM probes p
+        JOIN asg a ON a.cell = p.cell AND a.c_id <> p.q_id
+        JOIN embeddings qa ON qa.vec_id = p.q_id
+        JOIN embeddings ca ON ca.vec_id = a.c_id)
+      SELECT q_id, rank, c_id, cosine FROM scored
+      WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+  val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138)
 }

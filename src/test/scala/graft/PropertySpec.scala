@@ -245,6 +245,36 @@ class PropertySpec extends SparkSpecBase {
     }, minTests = 200)
   }
 
+  test("TopKScored reduce+merge equals sort-take-k with the (score desc, id) tie-break") {
+    val agg = new graft.functions.TopKScored(4)
+    // scores drawn from a SMALL set so ties are common — the id
+    // tie-break must match the window formulation exactly
+    val pairs = Gen.listOf(Gen.zip(
+      Gen.oneOf(0.0, 0.25, 0.5, 0.75, 1.0), Gen.chooseNum(0L, 50L)))
+    checkProp(Prop.forAllNoShrink(pairs, pairs) { (xs, ys) =>
+      val viaAgg = agg.merge(
+        xs.foldLeft(agg.zero)(agg.reduce),
+        ys.foldLeft(agg.zero)(agg.reduce))
+      val want = (xs ++ ys)
+        .sortBy { case (s, id) => (-s, id) }.take(4)
+      viaAgg == want
+    }, minTests = 200)
+  }
+
+  test("ivfKnnJoinLargeQ equals the broadcast IVF searcher on the fixture") {
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val viaJoin = graft.operators.Similarity.ivfKnnJoinLargeQ(
+        emb, emb, "vec_id", "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val viaBroadcast = graft.operators.Similarity.ivfTopKFixedCodebook(
+        emb, emb, "vec_id", "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
+      .select($"q_id", $"rank", $"c_id", $"cosine")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(viaJoin === viaBroadcast)
+  }
+
   test("jaccardSorted equals hash-set jaccard on random token sets") {
     val tokens = Gen.listOf(Gen.oneOf("a", "b", "cc", "dd", "e1", "f2", "gg3", "h", "ii", "j"))
     checkProp(Prop.forAllNoShrink(tokens, tokens) { (xs, ys) =>
