@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative link-graph ranking (PageRank) — the classic corpus-curation
+  * authority signal (rank domains by who links to whom, weight or cut
+  * documents by source authority; Page et al. 1999).
+  *
+  * Spark-first iteration shape, sized for a 100 TB edge table:
+  *   - the EDGE table is joined with out-degrees, hash-partitioned by
+  *     `src` ONCE and localCheckpointed — iterations never reshuffle or
+  *     re-derive the big side, and the checkpoint truncates what would
+  *     otherwise be an exponentially deepening lineage;
+  *   - each iteration moves only NODE-sized frames: the rank vector
+  *     shuffles to meet the pre-partitioned edges (shuffle-hash join,
+  *     no sort), per-edge contributions partially aggregate map-side
+  *     (Long sums combine) before the one dst-keyed shuffle;
+  *   - total cost is O(iterations) jobs, each one edge-scan + two
+  *     node-sized shuffles — the textbook Pregel round expressed as
+  *     two relational ops, with no driver-side state at all.
+  *
+  * Determinism (the oracle-parity discipline): ranks are LONG
+  * micro-units, never floats — damping is the exact rational
+  * dampNum/dampDen applied as `(dampNum * r) div (dampDen * od)`
+  * (truncating integer division, identical in Spark and ANSI SQL for
+  * the all-positive values here), so Σ-order never perturbs a bit and
+  * an unrolled-CTE SQL oracle replays every iteration hash-exactly.
+  *
+  * Semantics: the non-normalized classic form
+  * `r(v) = (1-d)·scale + d·Σ_{u→v} r(u)/od(u)`; DANGLING nodes (no
+  * out-edges) keep receiving rank but redistribute none — their mass
+  * leaves the system rather than being spread uniformly (the variant
+  * choice is documented, not hidden; uniform respray would need a
+  * per-iteration global sum that is one extra 1-row aggregate if ever
+  * needed). Overflow bound: max rank is ≤ scale·N on a star graph, so
+  * Long arithmetic holds through `dampNum · r` for graphs up to
+  * ~N·scale·dampNum < 2^63 (N ~ 5·10^8 at the default scale 1e9 —
+  * raise/lower `scale` to trade precision for headroom). */
+object GraphRank {
+
+  /** Rank every node of the (src → dst) edge list. Returns (id, r)
+    * with r in `scale` units (scale = 1.0 of initial rank). Multi-
+    * edges contribute multiply — `.distinct()` the edges first if the
+    * graph is simple. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampNum: Long = 17L, dampDen: Long = 20L,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(dampNum > 0 && dampDen > dampNum,
+      s"damping $dampNum/$dampDen must be in (0, 1)")
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // the big side, partitioned once for every iteration's join
+    val ewd = e.join(deg, Seq("src"))
+      .repartition(col("src")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint()
+    val base = (scale * (dampDen - dampNum)) / dampDen
+    var ranks = nodes.withColumn("r", lit(scale))
+    for (_ <- 1 to iterations) {
+      val contrib = ewd
+        .join(ranks.withColumnRenamed("id", "src").hint("shuffle_hash"),
+          Seq("src"))
+        .select(col("dst").as("id"),
+          expr(s"($dampNum * r) div ($dampDen * od)").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -20,7 +20,7 @@ object Registry {
   def all: Seq[Q] = Relational.qs ++ Relational2.qs ++ Relational3.qs ++
     OpsQueries.qs ++ TextQueries.qs ++ VectorQueries.qs ++
     StreamingQueries.qs ++ ScaleQueries.qs ++ CorpusQueries.qs ++
-    CorpusQueries2.qs ++ CorpusQueries3.qs ++ IndexQueries.qs
+    CorpusQueries2.qs ++ CorpusQueries3.qs ++ IndexQueries.qs ++ GraphQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
