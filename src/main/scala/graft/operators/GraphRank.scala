@@ -45,22 +45,27 @@ object GraphRank {
     * graph is simple. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampNum: Long = 17L, dampDen: Long = 20L,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L, checkpointEvery: Int = 8): DataFrame = {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     require(dampNum > 0 && dampDen > dampNum,
       s"damping $dampNum/$dampDen must be in (0, 1)")
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery must be >= 1")
     val e = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    // the big side, partitioned once for every iteration's join
-    val ewd = e.join(deg, Seq("src"))
-      .repartition(col("src")).localCheckpoint()
+    // the big side, partitioned once for every iteration's join: the
+    // degree join's own src partitioning IS the layout we want, and
+    // localCheckpoint preserves it — no extra edge-table shuffle
+    val ewd = e.hint("shuffle_hash").join(deg, Seq("src")).localCheckpoint()
+    // nodes pre-partitioned by id so each iteration's rank rebuild
+    // joins contrib (already id-partitioned by its aggregation)
+    // exchange-free on both sides
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct().localCheckpoint()
     val base = (scale * (dampDen - dampNum)) / dampDen
     var ranks = nodes.withColumn("r", lit(scale))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = ewd
         .join(ranks.withColumnRenamed("id", "src").hint("shuffle_hash"),
           Seq("src"))
@@ -70,7 +75,11 @@ object GraphRank {
       ranks = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
-        .localCheckpoint()
+      // a checkpoint per iteration would pay one materialization job
+      // each round; every `checkpointEvery` keeps lineage bounded while
+      // short runs fuse the whole recurrence into the final job
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -119,6 +119,86 @@ object Tokenize {
     parts
   }
 
+  /** TRAIN a BPE merge table from a corpus (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units" —
+    * the learn_bpe algorithm): start from characters, repeatedly take
+    * the globally most frequent adjacent symbol pair (ties broken
+    * (count desc, a, b) — deterministic) and merge its non-overlapping
+    * occurrences left-to-right everywhere, `numMerges` times. The
+    * result feeds [[Bpe]] directly: train here, tokenize anywhere.
+    *
+    * Scale shape — the classic WORD-FREQUENCY reduction: ONE corpus
+    * scan builds the distinct-pretoken count table, and every
+    * iteration runs over that vocabulary-of-words table (10⁵–10⁷ rows
+    * regardless of corpus bytes), never the corpus again. Per merge:
+    * one pair-count aggregation (explode adjacent pairs weighted by
+    * word count, map-side combined) + a 1-ROW collect of the argmax —
+    * the driver holds only the merge list itself (vocabulary-sized by
+    * construction). The merge application is a codegen'd `aggregate`
+    * fold over the symbol array (single left-to-right pass; a merged
+    * token is strictly longer than its left part, so it can never
+    * chain-merge inside the same pass — matching [[bpeWord]]'s scan),
+    * no UDF anywhere in the loop. The word table localCheckpoints
+    * every `checkpointEvery` merges so lineage stays flat across
+    * hundreds of iterations.
+    *
+    * Sequentiality is inherent to canonical BPE (merge i+1's counts
+    * depend on merge i — a newly formed token's pairs can outrank
+    * every pre-existing pair), so the loop is O(numMerges) driver
+    * round-trips by design; each is corpus-size-independent. Symbols
+    * are what `split(w, "")` yields — BMP text assumed (supplementary
+    * characters split into surrogate halves, same as [[bpeWord]]'s
+    * per-char view, so trainer and applier agree). */
+  def trainBpe(df: DataFrame, textCol: String, numMerges: Int,
+      pre: Model = Regex(), checkpointEvery: Int = 8): Seq[(String, (String, String), Long)] = {
+    require(numMerges >= 0, s"numMerges=$numMerges must be >= 0")
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery must be >= 1")
+    var words = df.select(explode(pre.tokens(col(textCol))).as("__w"))
+      // functions.count, NOT this object's token-count of the same name
+      .groupBy(col("__w"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .select(split(col("__w"), "").as("syms"), col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, (String, String), Long)]
+    var sinceCk = 0
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val top = words.filter(size(col("syms")) > 1)
+        .select(col("n"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true // fully merged corpus — nothing left
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        merges += ((a + b, (a, b), top(0).getLong(2)))
+        words = words.withColumn("syms", applyMerge(col("syms"), a, b))
+        sinceCk += 1
+        if (sinceCk >= checkpointEvery) {
+          words = words.localCheckpoint(); sinceCk = 0
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One left-to-right non-overlapping pass of merge (a, b) → ab over a
+    * symbol array, as a codegen'd fold: if the accumulator's last
+    * element is `a` and the current is `b`, replace the last with the
+    * merged token; a just-merged token (strictly longer than `a`)
+    * never re-matches as the left side within the pass. */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
   def tokens(text: Column, model: Model = Whitespace): Column =
     model.tokens(text)
 

@@ -190,6 +190,30 @@ object CorpusQueries3 {
     },
     None)
 
+  /** C5 BPE TRAINING ([[graft.operators.Tokenize.trainBpe]]): learn a
+    * merge table from the corpus itself — the Sennrich learn_bpe loop
+    * with the word-frequency reduction (one corpus scan, then
+    * vocabulary-sized iterations; each merge is one pair-count
+    * aggregation plus a 1-row argmax collect). Like q111's apply side,
+    * the sequential merge selection has no SQL form → rows-only; the
+    * trainer is pinned against an independent single-machine learn_bpe
+    * in TokenizeSpec, and the output carries (rank, merge pair, count
+    * at selection) so ANY semantic drift changes the dumped rows, not
+    * just their number. The learned table feeds [[Tokenize.Bpe]]
+    * directly (train here, tokenize anywhere). */
+  private val q140 = Q(
+    "q140_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Tokenize.trainBpe(
+          t(s, dir, "documents"), "text", numMerges = 12)
+        .zipWithIndex
+        .map { case ((merged, (a, b), cnt), i) => (i, merged, a, b, cnt) }
+        .toDF("rank", "merged", "a", "b", "cnt")
+        .orderBy(col("rank"))
+    },
+    None)
+
   /** B6/QA table profile ([[graft.operators.Profile.tableProfile]]):
     * per-column null rate, distinct count, and string-form length
     * stats in ONE scan (one aggregate row unpivoted). Exact-distinct
@@ -697,5 +721,5 @@ object CorpusQueries3 {
       ORDER BY g.l_returnflag, bin"""))
 
   val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q114, q115,
-    q116, q117, q118, q119, q120, q123, q126, q129, q130)
+    q116, q117, q118, q119, q120, q123, q126, q129, q130, q140)
 }
