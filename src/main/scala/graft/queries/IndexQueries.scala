@@ -304,5 +304,37 @@ object IndexQueries {
       SELECT q_id, rank, c_id, cosine FROM scored
       WHERE rank <= 3 ORDER BY q_id, rank"""))
 
-  val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138)
+  /** B2 bloom-indexed point lookup
+    * ([[graft.sources.CommitLog.withBloomIndex]] /
+    * [[graft.sources.CommitLog.readPoint]]): lineitem lands in four
+    * modulus-interleaved appends, so every file spans nearly the whole
+    * l_orderkey range and min/max stats prune NOTHING for a point
+    * probe — the per-file bloom filters (q94's md5-position sketch,
+    * persisted in the manifest) are what rule files out. Three point
+    * reads, each pruned independently; the oracle checks the exact
+    * surviving rows (pruning must never change results — no false
+    * negatives is the bloom contract), and CommitLogSpec pins the
+    * file-count side. */
+  private val q141 = Q(
+    "q141_bloom_point_read",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"))
+      val root = scratch(s, dir, "bloom-log")
+      val log = graft.sources.CommitLog(s, root)
+        .withBloomIndex(Seq("l_orderkey"), bits = 8192, k = 3)
+      (0 until 4).foreach(i =>
+        log.append(li.filter(pmod(col("l_orderkey"), lit(4)) === i)))
+      Seq(33L, 1027L, 4963L)
+        .map(k => log.readPoint("l_orderkey", k))
+        .reduce(_.unionByName(_))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      FROM lineitem
+      WHERE l_orderkey IN (33, 1027, 4963)
+      ORDER BY l_orderkey, l_linenumber, l_partkey"""))
+
+  val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141)
 }

@@ -96,11 +96,39 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * files with their partition value (string form) — present only for
     * files written by the partitioned write path. `stats` carries each
     * file's per-column (min, max) footer statistics (Long, Double or
-    * String values; columns without harvestable stats are absent). */
+    * String values; columns without harvestable stats are absent).
+    * `blooms` carries per-file per-column Bloom filters for tables
+    * written through [[withBloomIndex]]. */
   final case class Snapshot(version: Long, files: Seq[String],
       schema: Option[StructType], txns: Map[String, Long],
       parts: Map[String, String] = Map.empty,
-      stats: Map[String, Map[String, (Any, Any)]] = Map.empty)
+      stats: Map[String, Map[String, (Any, Any)]] = Map.empty,
+      blooms: Map[String, Map[String, CommitLog.BloomF]] = Map.empty)
+
+  /** WRITER-side Bloom-index config ([[withBloomIndex]]); each filter
+    * is self-describing in the manifest, so readers need none. */
+  private var bloomCfg: Option[(Seq[String], Int, Int)] = None
+
+  /** Enable a per-file BLOOM INDEX on `cols` for every subsequent
+    * write through this instance — point-lookup file skipping where
+    * min/max stats can't help (a high-cardinality column with no
+    * clustering has every file spanning the full value range; its
+    * bloom still rules the file out for ≈(1-fpr) of absent values —
+    * the Delta/Iceberg bloom-index move, with q94's md5-derived
+    * deterministic positions). Cost: one extra scan of each written
+    * batch and `bits/8 · cols` manifest bytes per file. Null values
+    * set no bits (a point read of null is refused anyway). Filters are
+    * stored self-describing (bits, k, words), so mixed-config and
+    * pre-bloom files coexist: a file with no filter for the probed
+    * column is simply never pruned. */
+  def withBloomIndex(cols: Seq[String], bits: Int = 4096, k: Int = 3): CommitLog = {
+    require(cols.nonEmpty, s"$tableRoot: bloom index needs at least one column")
+    require(bits >= 64 && bits % 64 == 0,
+      s"$tableRoot: bloom bits=$bits must be a positive multiple of 64")
+    require(k >= 1 && k <= 16, s"$tableRoot: bloom k=$k out of range")
+    bloomCfg = Some((cols, bits, k))
+    this
+  }
 
   private def manifestPath(v: Long): Path = new Path(logDir, f"$v%020d.json")
 
@@ -143,15 +171,18 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       Option(node.get("fileParts")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
     val fileStatTags = parseStats(node)
+    val fileBloomTags = parseBlooms(node)
     var files = prev.files
     var parts = prev.parts
     var stats = prev.stats
+    var blooms = prev.blooms
     node.get("action").asText() match {
       case "add"     =>
         files = files ++ fl; parts = parts ++ filePartTags
-        stats = stats ++ fileStatTags
+        stats = stats ++ fileStatTags; blooms = blooms ++ fileBloomTags
       case "replace" =>
         files = fl; parts = filePartTags; stats = fileStatTags
+        blooms = fileBloomTags
       case "replace_parts" =>
         // retire the live files OF THE NAMED PARTITIONS, keep the
         // rest; untagged files are untouched (the writer enforces
@@ -160,6 +191,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           .map(_.asText()).toSet).getOrElse(Set.empty[String])
         files = files.filterNot(f => parts.get(f).exists(retired)) ++ fl
         stats = stats.filterNot { case (f, _) => parts.get(f).exists(retired) } ++ fileStatTags
+        blooms = blooms.filterNot { case (f, _) => parts.get(f).exists(retired) } ++ fileBloomTags
         parts = parts.filterNot { case (f, p) => retired(p) } ++ filePartTags
       case other => throw new IllegalStateException(
         s"$tableRoot: unknown log action '$other' at version $version")
@@ -179,7 +211,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       txns = txns.updated(e.getKey,
         math.max(e.getValue.asLong(), txns.getOrElse(e.getKey, Long.MinValue)))
     })
-    Snapshot(version, files, schema, txns, parts, stats)
+    Snapshot(version, files, schema, txns, parts, stats, blooms)
   }
 
   /** The log folded up to version `asOf` (inclusive) — TIME TRAVEL.
@@ -240,6 +272,103 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       .parquet(picked.map(f => s"$tableRoot/$f"): _*)
     base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
+
+  /** BLOOM-INDEXED POINT LOOKUP: [[read]] restricted to rows with
+    * `colName = value`, scanning only files that BOTH min/max stats and
+    * the per-file Bloom filter ([[withBloomIndex]]) admit. Stats prune
+    * clustered layouts; the bloom prunes the case stats can't — a
+    * high-cardinality unclustered column whose every file spans the
+    * whole value range. No false negatives (a file holding the value
+    * always probes positive — q94's exact-oracle property), and the
+    * residual equality filter keeps the result exact no matter how
+    * little was pruned. Files with no filter for `colName` are kept. */
+  def readPoint(colName: String, value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(value != null,
+      s"$tableRoot: point read of null — SQL equality never matches null")
+    val s = snapshot()
+    val picked = pointCandidateFiles(s, colName, value)
+    val base = if (picked.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        s.schema.getOrElse(new StructType()))
+    else spark.read.schema(s.schema.getOrElse(new StructType()))
+      .parquet(picked.map(f => s"$tableRoot/$f"): _*)
+    base.filter(col(colName) === lit(value))
+  }
+
+  /** The files [[readPoint]] would scan — exposed so specs (and users
+    * sizing an index) can see pruning without instrumenting a read. */
+  def pointCandidateFiles(colName: String, value: Any): Seq[String] =
+    pointCandidateFiles(snapshot(), colName, value)
+
+  private def pointCandidateFiles(s: Snapshot, colName: String,
+      value: Any): Seq[String] = {
+    val vs = value.toString
+    s.files.filter { f =>
+      val statOk = s.stats.get(f).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => overlaps(mn, mx, value, value)
+        case None => true
+      }
+      statOk && (s.blooms.get(f).flatMap(_.get(colName)) match {
+        case Some(b) => bloomMayContain(b, vs)
+        case None => true // no filter recorded → cannot rule the file out
+      })
+    }
+  }
+
+  /** Driver-side probe with exactly the positions [[bloomsFor]] sets:
+    * position j = parseLong(md5("j:" + string-form)[0,15), 16) mod bits
+    * (60-bit prefix — always positive, same arithmetic as the Spark
+    * side's conv/pmod). */
+  private def bloomMayContain(b: CommitLog.BloomF, v: String): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until b.k).forall { j =>
+      val hex = md.digest(s"$j:$v".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.substring(0, 15)
+      md.reset()
+      val pos = java.lang.Long.parseLong(hex, 16) % b.bits
+      (b.words((pos / 64).toInt) & (1L << (pos % 64).toInt)) != 0L
+    }
+  }
+
+  /** One job over the just-written files: every indexed column's
+    * values hash to k md5-derived positions (q94's relational bloom,
+    * parameterized), bit_or'd into 64-bit words per (file, column).
+    * The collect is bounded by files × cols × bits/64 longs. */
+  private def bloomsFor(relPaths: Seq[String]): Map[String, Map[String, CommitLog.BloomF]] =
+    bloomCfg match {
+      case None => Map.empty
+      case Some((cols, bits, k)) if relPaths.nonEmpty =>
+        import org.apache.spark.sql.functions._
+        val df = spark.read.parquet(relPaths.map(f => s"$tableRoot/$f"): _*)
+        val present = df.columns.toSet
+        val indexed = cols.filter(present)
+        if (indexed.isEmpty) return Map.empty
+        val pieces = indexed.map { c =>
+          df.filter(col(c).isNotNull)
+            .select(input_file_name().as("__f"), col(c).cast("string").as("__v"))
+            .select(col("__f"), explode(array((0 until k).map(j =>
+              pmod(conv(substring(md5(concat(lit(s"$j:"), col("__v"))), 1, 15), 16, 10)
+                .cast("long"), lit(bits.toLong))): _*)).as("__pos"))
+            .select(col("__f"), expr("__pos div 64").as("__word"),
+              expr("shiftleft(1L, cast(__pos % 64 as int))").as("__mask"))
+            .groupBy(col("__f"), col("__word"))
+            .agg(expr("bit_or(__mask)").as("__bits"))
+            .withColumn("__col", lit(c))
+        }
+        val byName = relPaths.map(f => new Path(f).getName -> f).toMap
+        val out = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[String, Array[Long]]]
+        pieces.reduce(_.unionByName(_)).collect().foreach { r =>
+          val file = byName(new Path(r.getString(0)).getName)
+          val arr = out.getOrElseUpdate(file, scala.collection.mutable.Map.empty)
+            .getOrElseUpdate(r.getString(3), new Array[Long](bits / 64))
+          arr(r.getLong(1).toInt) = r.getLong(2)
+        }
+        out.map { case (f, m) =>
+          f -> m.map { case (c, w) => c -> CommitLog.BloomF(bits, k, w) }.toMap
+        }.toMap
+      case _ => Map.empty
+    }
 
   private def overlaps(mn: Any, mx: Any, lo: Any, hi: Any): Boolean = {
     def num(x: Any): Option[Double] = x match {
@@ -379,6 +508,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // with another type loses the race loudly, with files vacuumable)
     val files = writeData(df)
     val st = statsFor(files)
+    val bl = bloomsFor(files)
     var cur = s0
     var attempts = 0
     // the committed schema is re-merged per attempt: a racing writer may
@@ -388,7 +518,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     try {
       while (!tryCommit(cur.version + 1,
           manifestJson(cur.version + 1, "add", files,
-            mergedSchema(cur.schema, df.schema), txn, stats = st))) {
+            mergedSchema(cur.schema, df.schema), txn, stats = st, blooms = bl))) {
         attempts += 1
         require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
         val s = snapshot()
@@ -427,7 +557,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val files = writeData(merged)
       if (tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace", files, sch, txn,
-            stats = statsFor(files))))
+            stats = statsFor(files), blooms = bloomsFor(files))))
         return s.version + 1
       // lost the race: our rewrite is stale (it merged against an old
       // table) — drop its files and redo the merge on the new snapshot
@@ -504,7 +634,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       if (tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace_parts", tagged.map(_._1), sch,
             txn, parts = touched, fileParts = tagged.toMap,
-            stats = statsFor(tagged.map(_._1)))))
+            stats = statsFor(tagged.map(_._1)),
+            blooms = bloomsFor(tagged.map(_._1)))))
         return s.version + 1
       tagged.foreach(t => deleteData(t._1))
       attempts += 1
@@ -524,13 +655,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     mergedSchema(s0.schema, df.schema)
     val tagged = writeDataPartitioned(df, partCol)
     val st = statsFor(tagged.map(_._1))
+    val bl = bloomsFor(tagged.map(_._1))
     var cur = s0
     var attempts = 0
     try {
       while (!tryCommit(cur.version + 1,
           manifestJson(cur.version + 1, "add", tagged.map(_._1),
             mergedSchema(cur.schema, df.schema), txn,
-            fileParts = tagged.toMap, stats = st))) {
+            fileParts = tagged.toMap, stats = st, blooms = bl))) {
         attempts += 1
         require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
         val s = snapshot()
@@ -582,7 +714,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       if (tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace_parts", tagged.map(_._1), sch,
             txn, parts = parts, fileParts = tagged.toMap,
-            stats = statsFor(tagged.map(_._1)))))
+            stats = statsFor(tagged.map(_._1)),
+            blooms = bloomsFor(tagged.map(_._1)))))
         return s.version + 1
       tagged.foreach(t => deleteData(t._1))
       attempts += 1
@@ -602,11 +735,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     mergedSchema(None, df.schema)
     val tagged = writeDataPartitioned(df, partCol)
     val st = statsFor(tagged.map(_._1))
+    val bl = bloomsFor(tagged.map(_._1))
     var v = s0.version + 1
     var attempts = 0
     try {
       while (!tryCommit(v, manifestJson(v, "replace", tagged.map(_._1),
-          df.schema, txn, fileParts = tagged.toMap, stats = st))) {
+          df.schema, txn, fileParts = tagged.toMap, stats = st, blooms = bl))) {
         attempts += 1
         require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
         val s = snapshot()
@@ -625,10 +759,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     if (replayOf(s0, txn)) return s0.version
     val files = writeData(df)
     val st = statsFor(files)
+    val bl = bloomsFor(files)
     var v = s0.version + 1
     var attempts = 0
     while (!tryCommit(v, manifestJson(v, "replace", files, df.schema, txn,
-        stats = st))) {
+        stats = st, blooms = bl))) {
       attempts += 1
       require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
       val s = snapshot()
@@ -717,7 +852,9 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           manifestJson(s.version + 1, "replace", files, sch, txn,
             fileParts = s.parts.filter(kv => untouchedSet(kv._1)) ++ newTags,
             stats = s.stats.filter(kv => untouchedSet(kv._1))
-              ++ statsFor(newFiles))))
+              ++ statsFor(newFiles),
+            blooms = s.blooms.filter(kv => untouchedSet(kv._1))
+              ++ bloomsFor(newFiles))))
         return s.version + 1
       newFiles.foreach(deleteData)
       attempts += 1
@@ -844,6 +981,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           .foreach { case (f, p) => fp.put(f, p) }
       }
       putStats(root, s.stats.filter(kv => live(kv._1)))
+      putBlooms(root, s.blooms.filter(kv => live(kv._1)))
       s.schema.foreach(sc => root.put("schema", sc.json))
       val tn = root.putObject("txns")
       s.txns.foreach { case (id, epoch) => tn.put(id, epoch) }
@@ -1157,7 +1295,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       schema: StructType, txn: Option[(String, Long)],
       parts: Seq[String] = Nil,
       fileParts: Map[String, String] = Map.empty,
-      stats: Map[String, Map[String, (Any, Any)]] = Map.empty): String = {
+      stats: Map[String, Map[String, (Any, Any)]] = Map.empty,
+      blooms: Map[String, Map[String, CommitLog.BloomF]] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("version", v)
     root.put("action", action)
@@ -1171,12 +1310,36 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       fileParts.foreach { case (f, p) => fp.put(f, p) }
     }
     putStats(root, stats)
+    putBlooms(root, blooms)
     root.put("schema", schema.json)
     txn.foreach { case (id, epoch) =>
       val t = root.putObject("txn"); t.put("id", id); t.put("epoch", epoch)
     }
     mapper.writeValueAsString(root)
   }
+
+  private def putBlooms(root: ObjectNode,
+      blooms: Map[String, Map[String, CommitLog.BloomF]]): Unit =
+    if (blooms.nonEmpty) {
+      val fb = root.putObject("fileBlooms")
+      blooms.foreach { case (f, byCol) =>
+        val cn = fb.putObject(f)
+        byCol.foreach { case (c, b) =>
+          val o = cn.putObject(c)
+          o.put("b", b.bits); o.put("k", b.k)
+          val w = o.putArray("w"); b.words.foreach(w.add)
+        }
+      }
+    }
+
+  private def parseBlooms(node: JsonNode): Map[String, Map[String, CommitLog.BloomF]] =
+    Option(node.get("fileBlooms")).map(_.properties().asScala.map { e =>
+      e.getKey -> e.getValue.properties().asScala.map { ce =>
+        val o = ce.getValue
+        ce.getKey -> CommitLog.BloomF(o.get("b").asInt(), o.get("k").asInt(),
+          o.get("w").elements().asScala.map(_.asLong()).toArray)
+      }.toMap
+    }.toMap).getOrElse(Map.empty)
 
   /** Atomically publish `json` as version `v`; false = version taken. */
   private def tryCommit(v: Long, json: String): Boolean = {
@@ -1206,6 +1369,10 @@ object CommitLog {
   sealed trait MergeMode
   case object InsertIfAbsent extends MergeMode
   case object LastWins extends MergeMode
+
+  /** One per-file per-column Bloom filter, self-describing (so a
+    * reader needs no writer config and mixed-config files coexist). */
+  final case class BloomF(bits: Int, k: Int, words: Array[Long])
 
   def apply(spark: SparkSession, tableRoot: String): CommitLog =
     new CommitLog(spark, tableRoot)

@@ -575,6 +575,69 @@ class CommitLogSpec extends SparkSpecBase {
     assert(eTagged.getMessage.contains("not partition-tagged"))
   }
 
+  test("bloom index prunes point reads where min/max stats cannot") {
+    val t = tmpTable("clog-bloom")
+    val log = CommitLog(spark, t).withBloomIndex(Seq("k"), bits = 4096, k = 3)
+    // interleaved ids: every file spans nearly the whole [0, 400)
+    // range, so min/max stats keep ALL files for any point probe —
+    // only the bloom can discriminate
+    (0 until 4).foreach { i =>
+      log.append((0L until 100L).map(j => (j * 4 + i, s"v$i-$j"))
+        .toDF("k", "v").coalesce(1))
+    }
+    assert(log.snapshot().files.size === 4)
+    // k=37: 37 % 4 = 1 → lives only in file i=1; stats admit all 4
+    val cands = log.pointCandidateFiles("k", 37L)
+    assert(cands.size < 4, s"bloom pruned nothing: $cands")
+    assert(log.readPoint("k", 37L).as[(Long, String)].collect().toSeq
+      === Seq((37L, "v1-9")))
+    // NO FALSE NEGATIVES: every present key's point read finds its row
+    val all = log.read().as[(Long, String)].collect()
+    val sample = all.filter(_._1 % 29 == 0)
+    sample.foreach { case (k, v) =>
+      assert(log.readPoint("k", k).as[(Long, String)].collect().toSeq
+        === Seq((k, v)), s"k=$k")
+    }
+    // absent values: result empty regardless of how pruning went
+    assert(log.readPoint("k", 100000L).count() === 0L)
+    // survives compact+prune (the checkpoint restates filters)
+    log.compact(); log.prune()
+    assert(log.pointCandidateFiles("k", 37L).size < 4)
+    assert(log.readPoint("k", 37L).count() === 1L)
+  }
+
+  test("point reads on a pre-bloom table stay correct with no pruning") {
+    val t = tmpTable("clog-nobloom")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+    log.append(Seq((10L, "c")).toDF("k", "v").coalesce(1))
+    // no filters recorded: bloom never prunes, but stats still do
+    assert(log.pointCandidateFiles("k", 2L).size === 1)
+    assert(log.readPoint("k", 2L).as[(Long, String)].collect().toSeq
+      === Seq((2L, "b")))
+    val e = intercept[IllegalArgumentException](log.readPoint("k", null))
+    assert(e.getMessage.contains("null"))
+  }
+
+  test("bloom filters ride through delete and string columns probe exactly") {
+    val t = tmpTable("clog-bloom-del")
+    val log = CommitLog(spark, t).withBloomIndex(Seq("name"))
+    log.append(Seq((1L, "alice"), (2L, "bob")).toDF("id", "name").coalesce(1))
+    log.append(Seq((3L, "carol"), (4L, "dave")).toDF("id", "name").coalesce(1))
+    assert(log.readPoint("name", "carol").as[(Long, String)].collect().toSeq
+      === Seq((3L, "carol")))
+    log.delete(org.apache.spark.sql.functions.col("id") === 2L)
+    // the untouched file's filter was restated; the rewritten file got
+    // a fresh one (same writer config)
+    assert(log.readPoint("name", "alice").as[(Long, String)].collect().toSeq
+      === Seq((1L, "alice")))
+    assert(log.readPoint("name", "bob").count() === 0L)
+    assert(log.readPoint("name", "carol").count() === 1L)
+    val s = log.snapshot()
+    assert(s.files.forall(s.blooms.contains),
+      "every live file should carry its bloom after the delete")
+  }
+
   test("readChanges ≡ snapshot diff across append/upsert/replace_parts") {
     val t = tmpTable("clog-cdc")
     val log = CommitLog(spark, t)
