@@ -214,6 +214,36 @@ object CorpusQueries3 {
     },
     None)
 
+  /** C∘ end-to-end TOKENIZER-TO-BATCHES prep: train a BPE merge table
+    * on the corpus ([[graft.operators.Tokenize.trainBpe]]), tokenize
+    * every document with it ([[graft.operators.Tokenize.Bpe]] — the
+    * learned table ships in the task closure), and pack the corpus
+    * into fixed-budget training blocks via the distributed prefix sum
+    * ([[graft.operators.Packing.packBlocks]] — no global window).
+    * The one pipeline a pre-training data engineer actually runs,
+    * composed from the engine's own pieces. BPE ⇒ rows-only; q111's
+    * trick pins content: corpus totals ride on every row, so any
+    * change in training, tokenization, or packing perturbs all rows. */
+  private val q142 = Q(
+    "q142_bpe_pack_pipeline",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Tokenize.trainBpe(
+        docs, "text", numMerges = 8).map(_._2)
+      val model = graft.operators.Tokenize.Bpe(merges)
+      val perDoc = docs.select(col("doc_id"),
+        graft.operators.Tokenize.count(col("text"), model).as("n_tok"))
+      val packed = graft.operators.Packing.packBlocks(
+        perDoc, "doc_id", "n_tok", budget = 512L)
+        .localCheckpoint() // corpus aggregate + output rows: one pass
+      val corpus = packed.agg(
+        sum(col("n_tok")).as("corpus_tok"),
+        max(col("last_block")).as("corpus_blocks"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("corpus_straddlers"))
+      packed.crossJoin(broadcast(corpus)).orderBy(col("doc_id"))
+    },
+    None)
+
   /** B6/QA table profile ([[graft.operators.Profile.tableProfile]]):
     * per-column null rate, distinct count, and string-form length
     * stats in ONE scan (one aggregate row unpivoted). Exact-distinct
@@ -721,5 +751,5 @@ object CorpusQueries3 {
       ORDER BY g.l_returnflag, bin"""))
 
   val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q114, q115,
-    q116, q117, q118, q119, q120, q123, q126, q129, q130, q140)
+    q116, q117, q118, q119, q120, q123, q126, q129, q130, q140, q142)
 }
