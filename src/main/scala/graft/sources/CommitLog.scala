@@ -222,6 +222,28 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   def snapshotAt(asOf: Long): Snapshot =
     parsedManifests(asOf).foldLeft(emptySnapshot)(foldOne)
 
+  /** TIMESTAMP time travel: the table as of wall-clock `tsMillis` —
+    * the latest version whose manifest was committed at or before it
+    * (each manifest records its writer's clock at commit; version
+    * order is authoritative where clocks disagree, so the scan takes
+    * the last version in fold order with ts ≤ the bound — a
+    * clock-skewed earlier-version/later-ts commit cannot shadow a
+    * later version). Refused when the bound precedes every retained
+    * manifest — after a [[prune]] the answer would silently be a
+    * NEWER state than asked for. Pre-timestamp manifests (older logs)
+    * count as ts = 0: always within bound, never chosen over a
+    * timestamped later version. */
+  def readAsOfTime(tsMillis: Long): DataFrame = {
+    var chosen = -1L
+    parsedManifests(Long.MaxValue).foreach { node =>
+      val ts = Option(node.get("ts")).map(_.asLong()).getOrElse(0L)
+      if (ts <= tsMillis) chosen = node.get("version").asLong()
+    }
+    require(chosen >= 0,
+      s"$tableRoot: no retained version committed at or before $tsMillis")
+    readVersion(chosen)
+  }
+
   /** The table at the latest version (explicit file-list scan — full
     * parquet pushdown/pruning, no directory listing). */
   def read(): DataFrame = readAt(snapshot())
@@ -970,6 +992,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       root.put("version", s.version + 1)
       root.put("action", "replace")
       root.put("checkpoint", true)
+      root.put("ts", System.currentTimeMillis())
       val arr = root.putArray("files")
       s.files.foreach(arr.add)
       // defensive live-set filter; the fold keeps parts/stats ⊆ files,
@@ -1300,6 +1323,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val root = mapper.createObjectNode()
     root.put("version", v)
     root.put("action", action)
+    root.put("ts", System.currentTimeMillis()) // [[readAsOfTime]]
     val arr = root.putArray("files")
     files.foreach(arr.add)
     if (parts.nonEmpty) {

@@ -575,6 +575,25 @@ class CommitLogSpec extends SparkSpecBase {
     assert(eTagged.getMessage.contains("not partition-tagged"))
   }
 
+  test("readAsOfTime picks the last version committed at or before the bound") {
+    val t = tmpTable("clog-asof-ts")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a")).toDF("id", "v"))            // v0
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(15)
+    log.replaceAll(Seq((1L, "A2"), (2L, "b")).toDF("id", "v")) // v1
+    Thread.sleep(15)
+    val t1 = System.currentTimeMillis()
+    log.append(Seq((3L, "c")).toDF("id", "v"))            // v2
+    assert(log.readAsOfTime(t0).as[(Long, String)].collect().toSet
+      === Set((1L, "a")))
+    assert(log.readAsOfTime(t1).as[(Long, String)].collect().toSet
+      === Set((1L, "A2"), (2L, "b")))
+    assert(log.readAsOfTime(System.currentTimeMillis()).count() === 3L)
+    val e = intercept[IllegalArgumentException](log.readAsOfTime(0L))
+    assert(e.getMessage.contains("no retained version"))
+  }
+
   test("bloom index prunes point reads where min/max stats cannot") {
     val t = tmpTable("clog-bloom")
     val log = CommitLog(spark, t).withBloomIndex(Seq("k"), bits = 4096, k = 3)
