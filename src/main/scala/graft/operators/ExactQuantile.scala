@@ -33,12 +33,15 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructFiel
   * value-distinct collect finishes it, so duplicate-heavy plateaus and
   * denormal-packed tails terminate without a histogram pass.
   *
-  * Convergence is UNCONDITIONAL: each level shrinks a surviving
-  * interval by ×bins in FP space, and a double interval can only be
-  * subdivided ~2100/log2(bins) times before width underflow forces the
-  * collect path. Past `EscalateLevel` levels the collect threshold also
-  * doubles per level (capped) purely as a speed valve for adversarial
-  * heavy-tailed inputs — there is no convergence `require` to trip.
+  * Convergence is UNCONDITIONAL over FINITE values: each level shrinks
+  * a surviving interval by ×bins in FP space, and a double interval can
+  * only be subdivided ~2100/log2(bins) times before width underflow
+  * forces the collect path. ±Infinity would break that argument (an
+  * infinite interval never narrows), so both entry points fail fast on
+  * an infinite min/max — NaN/null are filtered, ±Inf is refused loudly.
+  * Past `EscalateLevel` levels the collect threshold also doubles per
+  * level (capped) purely as a speed valve for adversarial heavy-tailed
+  * inputs — there is no convergence `require` to trip on finite data.
   */
 object ExactQuantile {
 
@@ -56,6 +59,13 @@ object ExactQuantile {
     val base = vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
     val n = base.getLong(0)
     require(n > 0, "exact quantile of an empty column")
+    // an infinite endpoint makes every histogram width infinite — the
+    // narrowing could loop forever on a large-enough input. Fail fast
+    // instead (NaN/null are already filtered; ±Inf is a data bug the
+    // caller must clamp or filter before asking for exact quantiles).
+    require(!base.getDouble(1).isInfinite && !base.getDouble(2).isInfinite,
+      "±Infinity in the value column — histogram narrowing cannot bound " +
+        "an infinite interval; filter or clamp non-finite values first")
     val wanted = ps.map { p =>
       val pos = p * (n - 1) + 1
       (p, math.floor(pos).toLong, pos - math.floor(pos))
@@ -113,6 +123,13 @@ object ExactQuantile {
     val baseDf = vals.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n"), min(col("v")).as("__mn"), max(col("v")).as("__mx"))
       .localCheckpoint()
+    // fail fast on ±Inf (same reason as the global path): an infinite
+    // group interval never narrows — one trivial probe on the
+    // group-sized checkpoint guards BOTH engines
+    require(baseDf.filter(col("__mn") === Double.NegativeInfinity
+        || col("__mx") === Double.PositiveInfinity).limit(1).collect().isEmpty,
+      s"±Infinity in $valueCol — histogram narrowing cannot bound an " +
+        "infinite interval; filter or clamp non-finite values first")
     if (baseDf.count() > driverGroupLimit)
       return quantilesByGroupDistributed(
         vals.withColumnRenamed("v", "__v"), baseDf, keyCols, ps, names,

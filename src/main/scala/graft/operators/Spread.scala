@@ -21,8 +21,13 @@ object Spread {
   def byKey(df: DataFrame, key: String): DataFrame = {
     val conf = df.sparkSession.sessionState.conf
     val parts = conf.numShufflePartitions
-    val approxSplits = (df.queryExecution.optimizedPlan.stats.sizeInBytes
-      / BigInt(math.max(conf.filesMaxPartitionBytes, 1L))).toLong + 1
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // a stat-less relation (RDD-backed frame, V1 source) reports the
+    // defaultSizeInBytes sentinel — exactly the narrow inputs the
+    // widen exists for; only there fall back to the physical probe
+    val approxSplits =
+      if (size >= BigInt(conf.defaultSizeInBytes)) df.rdd.getNumPartitions.toLong
+      else (size / BigInt(math.max(conf.filesMaxPartitionBytes, 1L))).toLong + 1
     if (approxSplits < parts / 2) df.repartition(parts, col(key))
     else df
   }

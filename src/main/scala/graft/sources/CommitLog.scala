@@ -281,6 +281,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   def readRange(colName: String, lo: Any, hi: Any): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val s = snapshot()
+    // a never-committed table has no schema to resolve colName against
+    // — answer zero rows like read() does, not an AnalysisException
+    if (s.schema.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], new StructType())
     val picked = s.files.filter { f =>
       s.stats.get(f).flatMap(_.get(colName)) match {
         case Some((mn, mx)) => overlaps(mn, mx, lo, hi)
@@ -309,6 +314,9 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     require(value != null,
       s"$tableRoot: point read of null — SQL equality never matches null")
     val s = snapshot()
+    if (s.schema.isEmpty) // never-committed table: zero rows, like read()
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], new StructType())
     val picked = pointCandidateFiles(s, colName, value)
     val base = if (picked.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -325,16 +333,30 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
 
   private def pointCandidateFiles(s: Snapshot, colName: String,
       value: Any): Seq[String] = {
-    val vs = value.toString
+    // The filter bits were set from CAST(col AS STRING), so the probe
+    // must stringify the value THROUGH THE COLUMN'S TYPE with Spark's
+    // own cast (value.toString diverges for e.g. an Int 5 probing a
+    // double column whose rows hashed as "5.0" — a silent FALSE
+    // NEGATIVE); an un-castable or unknown-type probe disables bloom
+    // pruning for the lookup rather than risking one.
+    val vs: Option[String] = scala.util.Try {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+      val asCol = s.schema.flatMap(_.find(_.name == colName).map(_.dataType))
+        .fold(Literal(value): org.apache.spark.sql.catalyst.expressions.Expression)(
+          dt => Cast(Literal(value), dt))
+      Option(Cast(asCol, org.apache.spark.sql.types.StringType).eval(null))
+        .map(_.toString)
+    }.toOption.flatten
     s.files.filter { f =>
       val statOk = s.stats.get(f).flatMap(_.get(colName)) match {
         case Some((mn, mx)) => overlaps(mn, mx, value, value)
         case None => true
       }
-      statOk && (s.blooms.get(f).flatMap(_.get(colName)) match {
-        case Some(b) => bloomMayContain(b, vs)
-        case None => true // no filter recorded → cannot rule the file out
-      })
+      val bloomOk = (s.blooms.get(f).flatMap(_.get(colName)), vs) match {
+        case (Some(b), Some(v)) => bloomMayContain(b, v)
+        case _ => true // no filter or unprobable value → keep the file
+      }
+      statOk && bloomOk
     }
   }
 
@@ -529,15 +551,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // per commit attempt below; a racer adding the same-named column
     // with another type loses the race loudly, with files vacuumable)
     val files = writeData(df)
-    val st = statsFor(files)
-    val bl = bloomsFor(files)
     var cur = s0
     var attempts = 0
     // the committed schema is re-merged per attempt: a racing writer may
-    // have evolved the table between snapshots. ANY abort from here on
-    // (a racer's conflicting type, the MaxAttempts bound) must not leak
-    // the already-written data files.
+    // have evolved the table between snapshots. ANY abort from here on —
+    // including stats/bloom harvesting over the new files — must not
+    // leak the already-written data files.
     try {
+      val st = statsFor(files)
+      val bl = bloomsFor(files)
       while (!tryCommit(cur.version + 1,
           manifestJson(cur.version + 1, "add", files,
             mergedSchema(cur.schema, df.schema), txn, stats = st, blooms = bl))) {
@@ -577,10 +599,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           case CommitLog.LastWins       => Upsert.lastWins(target, in, keys)
         }
       val files = writeData(merged)
-      if (tryCommit(s.version + 1,
+      val won = try tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace", files, sch, txn,
-            stats = statsFor(files), blooms = bloomsFor(files))))
-        return s.version + 1
+            stats = statsFor(files), blooms = bloomsFor(files)))
+        catch { case e: Throwable => files.foreach(deleteData); throw e }
+      if (won) return s.version + 1
       // lost the race: our rewrite is stale (it merged against an old
       // table) — drop its files and redo the merge on the new snapshot
       files.foreach(deleteData)
@@ -653,12 +676,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       // once (no per-partition filtered re-reads, no checkpoint to
       // leak on a lost race — VERDICT r7 / ADVICE r7)
       val tagged = writeDataPartitioned(merged, partCol)
-      if (tryCommit(s.version + 1,
+      val won = try tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace_parts", tagged.map(_._1), sch,
             txn, parts = touched, fileParts = tagged.toMap,
             stats = statsFor(tagged.map(_._1)),
-            blooms = bloomsFor(tagged.map(_._1)))))
-        return s.version + 1
+            blooms = bloomsFor(tagged.map(_._1))))
+        catch { case e: Throwable => tagged.foreach(t => deleteData(t._1)); throw e }
+      if (won) return s.version + 1
       tagged.foreach(t => deleteData(t._1))
       attempts += 1
       require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
@@ -676,11 +700,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     if (replayOf(s0, txn)) return s0.version
     mergedSchema(s0.schema, df.schema)
     val tagged = writeDataPartitioned(df, partCol)
-    val st = statsFor(tagged.map(_._1))
-    val bl = bloomsFor(tagged.map(_._1))
     var cur = s0
     var attempts = 0
     try {
+      val st = statsFor(tagged.map(_._1))
+      val bl = bloomsFor(tagged.map(_._1))
       while (!tryCommit(cur.version + 1,
           manifestJson(cur.version + 1, "add", tagged.map(_._1),
             mergedSchema(cur.schema, df.schema), txn,
@@ -733,12 +757,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val sch = mergedSchema(s.schema, df.schema)
       val tagged = writeDataPartitioned(conform(df, sch), partCol)
       val parts = tagged.map(_._2).distinct.sorted
-      if (tryCommit(s.version + 1,
+      val won = try tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace_parts", tagged.map(_._1), sch,
             txn, parts = parts, fileParts = tagged.toMap,
             stats = statsFor(tagged.map(_._1)),
-            blooms = bloomsFor(tagged.map(_._1)))))
-        return s.version + 1
+            blooms = bloomsFor(tagged.map(_._1))))
+        catch { case e: Throwable => tagged.foreach(t => deleteData(t._1)); throw e }
+      if (won) return s.version + 1
       tagged.foreach(t => deleteData(t._1))
       attempts += 1
       require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
@@ -756,11 +781,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     if (replayOf(s0, txn)) return s0.version
     mergedSchema(None, df.schema)
     val tagged = writeDataPartitioned(df, partCol)
-    val st = statsFor(tagged.map(_._1))
-    val bl = bloomsFor(tagged.map(_._1))
     var v = s0.version + 1
     var attempts = 0
     try {
+      val st = statsFor(tagged.map(_._1))
+      val bl = bloomsFor(tagged.map(_._1))
       while (!tryCommit(v, manifestJson(v, "replace", tagged.map(_._1),
           df.schema, txn, fileParts = tagged.toMap, stats = st, blooms = bl))) {
         attempts += 1
@@ -780,17 +805,21 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val s0 = snapshot()
     if (replayOf(s0, txn)) return s0.version
     val files = writeData(df)
-    val st = statsFor(files)
-    val bl = bloomsFor(files)
     var v = s0.version + 1
     var attempts = 0
-    while (!tryCommit(v, manifestJson(v, "replace", files, df.schema, txn,
-        stats = st, blooms = bl))) {
-      attempts += 1
-      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
-      val s = snapshot()
-      if (replayOf(s, txn)) { files.foreach(deleteData); return s.version }
-      v = s.version + 1
+    try {
+      val st = statsFor(files)
+      val bl = bloomsFor(files)
+      while (!tryCommit(v, manifestJson(v, "replace", files, df.schema, txn,
+          stats = st, blooms = bl))) {
+        attempts += 1
+        require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+        val s = snapshot()
+        if (replayOf(s, txn)) { files.foreach(deleteData); return s.version }
+        v = s.version + 1
+      }
+    } catch {
+      case e: Throwable => files.foreach(deleteData); throw e
     }
     v
   }
@@ -870,14 +899,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val untouched = s.files.filterNot(touched.toSet)
       val untouchedSet = untouched.toSet
       val files = untouched ++ newFiles
-      if (tryCommit(s.version + 1,
+      val won = try tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace", files, sch, txn,
             fileParts = s.parts.filter(kv => untouchedSet(kv._1)) ++ newTags,
             stats = s.stats.filter(kv => untouchedSet(kv._1))
               ++ statsFor(newFiles),
             blooms = s.blooms.filter(kv => untouchedSet(kv._1))
-              ++ bloomsFor(newFiles))))
-        return s.version + 1
+              ++ bloomsFor(newFiles)))
+        catch { case e: Throwable => newFiles.foreach(deleteData); throw e }
+      if (won) return s.version + 1
       newFiles.foreach(deleteData)
       attempts += 1
       require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
@@ -1107,8 +1137,21 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       // __HIVE_DEFAULT_PARTITION__, so only genuine nulls (null
       // concat → null tag) land there and are refused.
       val spread = math.max(1, spark.sessionState.conf.numShufflePartitions)
+      // hash() rejects MapType (SPARK-27619) — salt from the hashable
+      // columns only; a row with none left salts constant (no spread,
+      // still correct)
+      def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+        case st: StructType => st.forall(f => hashable(f.dataType))
+        case _ => true
+      }
+      val saltCols = df.schema.fields.filter(f => hashable(f.dataType))
+        .map(f => col(f.name))
+      val salt = if (saltCols.isEmpty) lit(0)
+        else pmod(hash(struct(saltCols.toIndexedSeq: _*)), lit(spread))
       df.withColumn(partTag, concat(lit("v"), col(partCol).cast("string")))
-        .withColumn(saltTag, pmod(hash(struct(df.columns.map(col): _*)), lit(spread)))
+        .withColumn(saltTag, salt)
         .repartition(col(partTag), col(saltTag))
         .drop(saltTag)
         .write.mode("overwrite").partitionBy(partTag).parquet(tmp.toString)

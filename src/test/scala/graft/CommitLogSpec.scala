@@ -625,6 +625,35 @@ class CommitLogSpec extends SparkSpecBase {
     assert(log.readPoint("k", 37L).count() === 1L)
   }
 
+  test("bloom probes stringify through the column type (no false negative on Int-vs-double)") {
+    val t = tmpTable("clog-bloom-typed")
+    val log = CommitLog(spark, t).withBloomIndex(Seq("price"))
+    log.append(Seq((1L, 5.0), (2L, 7.5)).toDF("id", "price").coalesce(1))
+    // the filter hashed "5.0" (cast(double as string)); an Int probe
+    // must reach the same bits, not hash "5" and silently prune
+    assert(log.readPoint("price", 5).as[(Long, Double)].collect().toSeq
+      === Seq((1L, 5.0)))
+    assert(log.readPoint("price", 5.0).as[(Long, Double)].collect().toSeq
+      === Seq((1L, 5.0)))
+  }
+
+  test("partitioned writes tolerate map-typed columns (salt skips them)") {
+    val t = tmpTable("clog-mapcol")
+    val log = CommitLog(spark, t)
+    log.appendPartitioned(
+      Seq((1L, "d1", Map("a" -> 1)), (2L, "d2", Map("b" -> 2)))
+        .toDF("id", "day", "attrs"), "day")
+    assert(log.readPartitions(Seq("d1")).select($"id").as[Long].collect().toSeq
+      === Seq(1L))
+  }
+
+  test("readRange/readPoint on a never-committed table answer empty, like read()") {
+    val t = tmpTable("clog-empty-reads")
+    val log = CommitLog(spark, t)
+    assert(log.readRange("x", 1L, 2L).count() === 0L)
+    assert(log.readPoint("x", 1L).count() === 0L)
+  }
+
   test("point reads on a pre-bloom table stay correct with no pruning") {
     val t = tmpTable("clog-nobloom")
     val log = CommitLog(spark, t)

@@ -308,6 +308,18 @@ class CorpusOps2Spec extends SparkSpecBase {
     assert(got.toSeq === Seq(("a", 2.0, 2L), ("b", 5.0, 1L)))
   }
 
+  test("exact quantiles refuse ±Infinity loudly (narrowing cannot bound it)") {
+    import graft.operators.ExactQuantile
+    val g = Seq(("a", 1.0), ("a", Double.PositiveInfinity), ("b", 2.0)).toDF("k", "v")
+    val eg = intercept[IllegalArgumentException](
+      ExactQuantile.quantilesByGroup(g, Seq("k"), "v", Seq(0.5), Seq("p50")))
+    assert(eg.getMessage.contains("Infinity"))
+    val eGlobal = intercept[IllegalArgumentException](
+      ExactQuantile.quantiles(
+        Seq(1.0, Double.NegativeInfinity).toDF("v"), "v", Seq(0.5)))
+    assert(eGlobal.getMessage.contains("Infinity"))
+  }
+
   // ---- Containment / novelty ----
 
   test("containment: short doc quoted inside long doc scores 1.0 one-sided") {
