@@ -1070,12 +1070,23 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     lastCk
   }
 
-  /** Delete data files no manifest references (lost-race leftovers).
-    * Only safe when no writer is mid-commit; returns the count. */
+  /** Delete data files NO RETAINED MANIFEST references — lost-race
+    * leftovers, and files whose every referencing version was
+    * [[prune]]d away. Files retired by a later version but still
+    * referenced by a retained manifest are KEPT: every version
+    * [[readVersion]] can reach stays readable after a vacuum (deleting
+    * them would break time travel silently while the log still claims
+    * the version; retire history first via compact+prune, then vacuum
+    * reclaims it). Only safe when no writer is mid-commit; returns the
+    * count. */
   def vacuum(): Int = {
     if (!fs.exists(dataDir)) return 0
-    val live = snapshot().files.map(f => new Path(rootPath, f).getName).toSet
-    val dead = fs.listStatus(dataDir).filter(s => s.isFile && !live(s.getPath.getName))
+    val referenced = parsedManifests(Long.MaxValue)
+      .flatMap(_.get("files").elements().asScala.map(f =>
+        new Path(rootPath, f.asText()).getName))
+      .toSet
+    val dead = fs.listStatus(dataDir)
+      .filter(s => s.isFile && !referenced(s.getPath.getName))
     dead.foreach(s => fs.delete(s.getPath, false))
     dead.length
   }

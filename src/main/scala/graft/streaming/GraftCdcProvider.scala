@@ -20,9 +20,16 @@ import graft.sources.CommitLog
   *
   * {{{
   *   spark.readStream.format("graft-cdc").option("path", tableRoot)
-  *     .option("startingVersion", "-1")   // default: full history
+  *     .option("startingVersion", "-1")        // default: full history
+  *     .option("maxVersionsPerTrigger", "10")  // default: unbounded
   *     .load()                            // table schema + _change_type
   * }}}                                    //   + _commit_version
+  *
+  * `maxVersionsPerTrigger` bounds each micro-batch to that many log
+  * versions — the backfill throttle every production CDC reader needs
+  * (a consumer starting from `-1` against a long history would
+  * otherwise take the WHOLE history as its first batch); the stream
+  * drains the backlog across triggers and then follows the head.
   *
   * Offsets are log VERSIONS (LongOffset), so restart replay is exact:
   * manifests are immutable and a version range always reads the same
@@ -63,20 +70,53 @@ final class GraftCdcProvider extends StreamSourceProvider with DataSourceRegiste
       parameters: Map[String, String]): Source = {
     val path = tablePath(parameters)
     val startingVersion = parameters.getOrElse("startingVersion", "-1").toLong
-    new GraftCdcStreamSource(sqlContext, path, startingVersion,
-      schema.getOrElse(cdcSchema(sqlContext, path)))
+    val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxPerTrigger.foreach(m => require(m >= 1,
+      s"graft-cdc: maxVersionsPerTrigger=$m must be >= 1"))
+    new GraftCdcStreamSource(sqlContext, path, startingVersion, maxPerTrigger,
+      metadataPath, schema.getOrElse(cdcSchema(sqlContext, path)))
   }
 }
 
 private[streaming] final class GraftCdcStreamSource(sqlContext: SQLContext,
-    path: String, startingVersion: Long,
-    override val schema: StructType) extends Source {
+    path: String, startingVersion: Long, maxPerTrigger: Option[Long],
+    metadataPath: String, override val schema: StructType) extends Source {
 
   private def log = CommitLog(sqlContext.sparkSession, path)
 
+  // Rate-limit high-water mark: the largest offset this source ever
+  // RETURNED, persisted under the source's own metadata dir BEFORE it
+  // is handed to the engine. A restarted stream recovers a mark ≥
+  // every offset in the engine's WAL, so the bounded getOffset can
+  // never step BELOW a committed offset (which would make the engine
+  // re-run an already-emitted version range — duplicates). Unbounded
+  // mode needs no state: the log head is already monotone.
+  private val markPath =
+    new org.apache.hadoop.fs.Path(metadataPath, "graft-cdc-last-seen")
+  private def markFs = markPath.getFileSystem(
+    sqlContext.sparkSession.sparkContext.hadoopConfiguration)
+  private var lastSeen: Long =
+    if (maxPerTrigger.isEmpty || !markFs.exists(markPath)) startingVersion
+    else {
+      val in = markFs.open(markPath)
+      try in.readLong() finally in.close()
+    }
+
+  private def persistMark(v: Long): Unit = {
+    val out = markFs.create(markPath, true)
+    try out.writeLong(v) finally out.close()
+  }
+
   override def getOffset: Option[Offset] = {
-    val v = log.snapshot().version
-    if (v <= startingVersion) None else Some(LongOffset(v))
+    val head = log.snapshot().version
+    if (head <= startingVersion) return None
+    val bounded = maxPerTrigger.fold(head)(m =>
+      math.min(head, math.max(lastSeen, startingVersion) + m))
+    if (bounded > lastSeen && maxPerTrigger.isDefined) {
+      persistMark(bounded)
+      lastSeen = bounded
+    }
+    if (bounded <= startingVersion) None else Some(LongOffset(bounded))
   }
 
   private def ver(o: Offset): Long = o match {

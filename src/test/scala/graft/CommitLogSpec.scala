@@ -179,17 +179,25 @@ class CommitLogSpec extends SparkSpecBase {
       === Set((1L, "A2"), (2L, "b")))
     assert(log.readVersion(2).as[(Long, String)].collect().toSet === Set((9L, "z")))
     assertThrows[IllegalArgumentException](log.readVersion(3))
-    // vacuum retires the files old versions point at; latest still reads
+    // vacuum keeps every retained version readable — time travel
+    // survives (only compact+prune retires history)
     log.vacuum()
+    assert(log.readVersion(0).as[(Long, String)].collect().toSet === Set((1L, "a")))
     assert(log.read().as[(Long, String)].collect().toSet === Set((9L, "z")))
   }
 
-  test("vacuum deletes only unreferenced data files") {
+  test("vacuum deletes only files no retained manifest references") {
     val t = tmpTable("clog-vac")
     val log = CommitLog(spark, t)
     log.append(Seq((1L, "a")).toDF("id", "v"))
     log.replaceAll(Seq((2L, "b")).toDF("id", "v"))
-    // v0's files are retired by the replace → vacuum reclaims them
+    // v0's files are retired from the LIVE set but its manifest is
+    // still retained — vacuum must keep them (readVersion(0) works)
+    assert(log.vacuum() === 0)
+    assert(log.readVersion(0).as[(Long, String)].collect().toSet === Set((1L, "a")))
+    // once compact+prune retires the v0 manifest, vacuum reclaims
+    log.compact()
+    assert(log.prune() > 0)
     assert(log.vacuum() > 0)
     assert(log.read().as[(Long, String)].collect().toSet === Set((2L, "b")))
     assert(log.vacuum() === 0)
@@ -781,6 +789,28 @@ class CommitLogSpec extends SparkSpecBase {
         (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
         (1L, "a", "delete", 1L), (2L, "b", "delete", 1L),
         (1L, "a", "insert", 1L), (2L, "b2", "insert", 1L), (3L, "c", "insert", 1L)))
+    } finally q.stop()
+  }
+
+  test("graft-cdc: maxVersionsPerTrigger drains a backlog one version per batch") {
+    val t = tmpTable("clog-cdc-rate")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a")).toDF("id", "v"))   // v0
+    log.append(Seq((2L, "b")).toDF("id", "v"))   // v1
+    log.append(Seq((3L, "c")).toDF("id", "v"))   // v2
+    val stream = spark.readStream.format("graft-cdc")
+      .option("path", t).option("maxVersionsPerTrigger", "1").load()
+    val q = stream.writeStream.format("memory").queryName("cdcrate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the whole backlog arrives…
+      assert(spark.table("cdcrate").select($"id").as[Long].collect().toSet
+        === Set(1L, 2L, 3L))
+      // …but spread over ≥3 micro-batches (1 version each), not one
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3,
+        s"expected >=3 rate-limited batches, saw $dataBatches")
     } finally q.stop()
   }
 
