@@ -336,5 +336,55 @@ object IndexQueries {
       WHERE l_orderkey IN (33, 1027, 4963)
       ORDER BY l_orderkey, l_linenumber, l_partkey"""))
 
-  val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141)
+  /** B2/B14 incremental materialized view
+    * ([[graft.operators.MatView]]): a per-status (count, revenue)
+    * aggregate maintained from the base table's CHANGE FEED — append,
+    * re-pricing merge, and row-level delete each arrive as deltas
+    * applied to the persisted view (one version per step, the
+    * streaming consumer's cadence), never a recompute of the base.
+    * Sums ride as decimals so delta application is exact and
+    * batching-independent; the oracle aggregates the reconstructed
+    * final base state directly — maintained ≡ recomputed is the
+    * correctness claim. */
+  private val q143 = Q(
+    "q143_incremental_matview",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val root = scratch(s, dir, "mv-base")
+      val viewRoot = scratch(s, dir, "mv-view")
+      val base = graft.sources.CommitLog(s, root)
+      base.append(o.filter(col("o_orderkey") % 3 === 0))            // v0
+      base.upsert(
+        o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("price") * 2).cast("decimal(18,2)").as("price")),
+        Seq("o_orderkey"), graft.sources.CommitLog.LastWins)        // v1
+      base.delete(col("o_orderstatus") === "F")                     // v2
+      graft.operators.MatView.catchUp(s, viewRoot, base,
+        Seq("o_orderstatus"), Seq("price"), fromVersion = -1L, step = 1L)
+      graft.sources.CommitLog(s, viewRoot).read()
+        .select(col("o_orderstatus"), col("n"),
+          col("sum_price").cast("double").as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH v0 AS (
+        SELECT o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 3 = 0),
+      inc AS (
+        SELECT o_orderkey, o_orderstatus,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 5 = 0),
+      v1 AS (
+        SELECT * FROM inc
+        UNION ALL
+        SELECT * FROM v0 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)),
+      v2 AS (SELECT * FROM v1 WHERE NOT o_orderstatus = 'F')
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(price) AS DOUBLE) AS revenue
+      FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143)
 }

@@ -814,6 +814,56 @@ class CommitLogSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("matview: delta maintenance equals direct aggregate, at any batching") {
+    import graft.operators.MatView
+    val base = CommitLog(spark, tmpTable("clog-mv-base"))
+    base.append(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 5L))
+      .toDF("id", "k", "x"))                                        // v0
+    base.upsert(Seq((2L, "b", 25L), (4L, "a", 7L)).toDF("id", "k", "x"),
+      Seq("id"), CommitLog.LastWins)                                // v1
+    base.delete(org.apache.spark.sql.functions.col("id") === 1L)    // v2
+    base.append(Seq((5L, "c", 100L)).toDF("id", "k", "x"))          // v3
+    def direct = base.read().groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sum_x"))
+      .as[(String, Long, Long)].collect().toSet
+    for (step <- Seq(1L, 2L, Long.MaxValue)) {
+      val viewRoot = tmpTable(s"clog-mv-view-$step")
+      MatView.catchUp(spark, viewRoot, base, Seq("k"), Seq("x"), -1L, step)
+      val got = CommitLog(spark, viewRoot).read()
+        .as[(String, Long, Long)].collect().toSet
+      assert(got === direct, s"step=$step")
+    }
+    // full retraction drops the key from the view
+    base.delete(org.apache.spark.sql.functions.col("k") === "c")    // v4
+    val vr = tmpTable("clog-mv-view-retract")
+    MatView.catchUp(spark, vr, base, Seq("k"), Seq("x"), -1L)
+    assert(!CommitLog(spark, vr).read().as[(String, Long, Long)]
+      .collect().map(_._1).contains("c"))
+  }
+
+  test("matview: a graft-cdc stream maintains the view exactly-once") {
+    import graft.operators.MatView
+    val t = tmpTable("clog-mv-stream-base")
+    val viewRoot = tmpTable("clog-mv-stream-view")
+    val base = CommitLog(spark, t)
+    base.append(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "x"))
+    val stream = spark.readStream.format("graft-cdc").option("path", t).load()
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        MatView.applyDelta(spark, viewRoot, batch, Seq("k"), Seq("x"),
+          txn = Some("mv" -> batchId)): Unit
+      }.start()
+    try {
+      q.processAllAvailable()
+      base.upsert(Seq((2L, "b", 99L), (3L, "a", 1L)).toDF("id", "k", "x"),
+        Seq("id"), CommitLog.LastWins)
+      q.processAllAvailable()
+      val got = CommitLog(spark, viewRoot).read()
+        .as[(String, Long, Long)].collect().toSet
+      assert(got === Set(("a", 2L, 11L), ("b", 1L, 99L)))
+    } finally q.stop()
+  }
+
   test("a 10-partition replace lands its data in ONE write job") {
     val t = tmpTable("clog-onejob")
     val log = CommitLog(spark, t)
