@@ -52,13 +52,23 @@ object MatView {
       if (cur.version < 0)
         delta.select(keys.map(col) ++ Seq(col("__dn").as("n")) ++
           sumCols.map(c => col(s"__d_$c").as(s"sum_$c")): _*)
-      else log.read().join(delta, keys, "full_outer")
-        .select(keys.map(col) ++ Seq(
-          (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n")) ++
-          sumCols.map(c =>
-            (coalesce(col(s"sum_$c"), lit(0L).cast(changes.schema(c).dataType))
-              + coalesce(col(s"__d_$c"),
-                  lit(0L).cast(changes.schema(c).dataType))).as(s"sum_$c")): _*)
+      else {
+        // NULL-SAFE key merge: groupBy puts null keys in one group, so
+        // the view legitimately carries null-keyed rows — an EqualTo
+        // join would never match them (null = null is null), leaving a
+        // stale row the retraction can't reach AND dropping the delta;
+        // <=> treats null as a value, like the grouping did
+        val c = log.read().alias("c")
+        val d = delta.alias("d")
+        val cond = keys.map(k => col(s"c.$k") <=> col(s"d.$k")).reduce(_ && _)
+        c.join(d, cond, "full_outer")
+          .select(keys.map(k => coalesce(col(s"c.$k"), col(s"d.$k")).as(k)) ++ Seq(
+            (coalesce(col("c.n"), lit(0L)) + coalesce(col("d.__dn"), lit(0L))).as("n")) ++
+            sumCols.map(cc =>
+              (coalesce(col(s"c.sum_$cc"), lit(0L).cast(changes.schema(cc).dataType))
+                + coalesce(col(s"d.__d_$cc"),
+                    lit(0L).cast(changes.schema(cc).dataType))).as(s"sum_$cc")): _*)
+      }
     log.replaceAll(merged.filter(col("n") > 0), txn)
   }
 
@@ -66,7 +76,11 @@ object MatView {
     * applies `(fromVersion, toVersion]` in slices of `step` versions —
     * the batch form of the streaming consumer (each slice is one
     * [[applyDelta]]; the result is independent of `step`, spec-pinned).
-    * Returns the last applied base version. */
+    * IDEMPOTENT over re-runs: each slice commits with a txn epoch = its
+    * base to-version, so re-running after a mid-loop crash skips the
+    * slices the view already absorbed instead of double-applying them
+    * (re-run with the SAME fromVersion and step — the epochs are the
+    * slice boundaries). Returns the last applied base version. */
   def catchUp(spark: org.apache.spark.sql.SparkSession, viewRoot: String,
       base: CommitLog, keys: Seq[String], sumCols: Seq[String],
       fromVersion: Long, step: Long = Long.MaxValue): Long = {
@@ -74,8 +88,9 @@ object MatView {
     val head = base.snapshot().version
     var from = fromVersion
     while (from < head) {
-      val to = math.min(head, from + step)
-      applyDelta(spark, viewRoot, base.readChanges(from, to), keys, sumCols)
+      val to = if (from > head - step) head else from + step
+      applyDelta(spark, viewRoot, base.readChanges(from, to), keys, sumCols,
+        txn = Some("graft-matview-catchup" -> to))
       from = to
     }
     head

@@ -84,35 +84,58 @@ private[streaming] final class GraftCdcStreamSource(sqlContext: SQLContext,
 
   private def log = CommitLog(sqlContext.sparkSession, path)
 
-  // Rate-limit high-water mark: the largest offset this source ever
-  // RETURNED, persisted under the source's own metadata dir BEFORE it
-  // is handed to the engine. A restarted stream recovers a mark ≥
-  // every offset in the engine's WAL, so the bounded getOffset can
-  // never step BELOW a committed offset (which would make the engine
-  // re-run an already-emitted version range — duplicates). Unbounded
-  // mode needs no state: the log head is already monotone.
+  // High-water mark: the largest offset this source ever RETURNED,
+  // persisted under the source's own metadata dir BEFORE it is handed
+  // to the engine (in BOTH modes, so a restart that turns the rate
+  // limit on still recovers the true mark). A restarted stream
+  // recovers a mark ≥ every offset in the engine's WAL, so the bounded
+  // getOffset can never step BELOW a committed offset (which would
+  // make the engine re-run an already-emitted version range —
+  // duplicates); getBatch additionally floors the mark with the
+  // engine's own authoritative offsets, covering checkpoints that
+  // predate the mark file.
   private val markPath =
     new org.apache.hadoop.fs.Path(metadataPath, "graft-cdc-last-seen")
+  private val markTmp =
+    new org.apache.hadoop.fs.Path(metadataPath, ".graft-cdc-last-seen.tmp")
   private def markFs = markPath.getFileSystem(
     sqlContext.sparkSession.sparkContext.hadoopConfiguration)
-  private var lastSeen: Long =
-    if (maxPerTrigger.isEmpty || !markFs.exists(markPath)) startingVersion
-    else {
-      val in = markFs.open(markPath)
-      try in.readLong() finally in.close()
-    }
 
+  private def readMark(p: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!markFs.exists(p)) None
+    else scala.util.Try {
+      val in = markFs.open(p)
+      try in.readLong() finally in.close()
+    }.toOption
+
+  // mark, or the tmp a crash left mid-promotion — never LESS than a
+  // value that may have been handed to the engine
+  private var lastSeen: Long =
+    (readMark(markPath).toSeq ++ readMark(markTmp).toSeq :+ startingVersion).max
+
+  /** Tmp-then-rename so a crash mid-write can't truncate the ONLY
+    * copy: the old mark survives until the new one is complete (the
+    * window between delete and rename is covered by the tmp read
+    * above). */
   private def persistMark(v: Long): Unit = {
-    val out = markFs.create(markPath, true)
+    val out = markFs.create(markTmp, true)
     try out.writeLong(v) finally out.close()
+    markFs.delete(markPath, false)
+    if (!markFs.rename(markTmp, markPath))
+      throw new java.io.IOException(s"graft-cdc: mark rename failed at $markPath")
   }
 
   override def getOffset: Option[Offset] = {
     val head = log.snapshot().version
     if (head <= startingVersion) return None
-    val bounded = maxPerTrigger.fold(head)(m =>
-      math.min(head, math.max(lastSeen, startingVersion) + m))
-    if (bounded > lastSeen && maxPerTrigger.isDefined) {
+    val next = math.max(lastSeen, startingVersion)
+    val bounded = maxPerTrigger.fold(head) { m =>
+      // saturating add — m near Long.MaxValue must not wrap negative
+      // (which would return None forever and silently stall the stream)
+      val lim = if (next > Long.MaxValue - m) Long.MaxValue else next + m
+      math.min(head, lim)
+    }
+    if (bounded > lastSeen) {
       persistMark(bounded)
       lastSeen = bounded
     }
@@ -128,6 +151,14 @@ private[streaming] final class GraftCdcStreamSource(sqlContext: SQLContext,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion)
+    // the engine's offsets are authoritative — floor the rate-limit
+    // mark with them so a checkpoint that predates the mark file can
+    // never drive getOffset below an already-committed offset
+    val floor = math.max(from, ver(end))
+    if (floor > lastSeen) {
+      if (maxPerTrigger.isDefined) persistMark(floor)
+      lastSeen = floor
+    }
     val ch = log.readChanges(from, ver(end))
     // conform to the schema declared at stream start: missing columns
     // null-filled, later-evolved extras dropped — the plan schema is a

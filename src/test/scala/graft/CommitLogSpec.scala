@@ -841,6 +841,39 @@ class CommitLogSpec extends SparkSpecBase {
       .collect().map(_._1).contains("c"))
   }
 
+  test("matview: null-keyed groups merge and retract like any other key") {
+    import graft.operators.MatView
+    val base = CommitLog(spark, tmpTable("clog-mv-null-base"))
+    base.append(Seq((1L, Some("a"), 10L), (2L, None: Option[String], 20L),
+      (3L, None: Option[String], 5L)).toDF("id", "k", "x"))
+    val vr = tmpTable("clog-mv-null-view")
+    MatView.catchUp(spark, vr, base, Seq("k"), Seq("x"), -1L)
+    def view = CommitLog(spark, vr).read()
+      .as[(Option[String], Long, Long)].collect().toSet
+    assert(view === Set((Some("a"), 1L, 10L), (None, 2L, 25L)))
+    // a second delta must MERGE into the null-keyed row (a null-unsafe
+    // join would duplicate it), and full retraction must remove it
+    base.delete(org.apache.spark.sql.functions.col("id") === 3L)
+    MatView.catchUp(spark, vr, base, Seq("k"), Seq("x"), 0L)
+    assert(view === Set((Some("a"), 1L, 10L), (None, 1L, 20L)))
+    base.delete(org.apache.spark.sql.functions.col("k").isNull)
+    MatView.catchUp(spark, vr, base, Seq("k"), Seq("x"), 1L)
+    assert(view === Set((Some("a"), 1L, 10L)))
+  }
+
+  test("matview: re-running catchUp does not double-apply (txn epochs)") {
+    import graft.operators.MatView
+    val base = CommitLog(spark, tmpTable("clog-mv-replay-base"))
+    base.append(Seq((1L, "a", 10L)).toDF("id", "k", "x"))
+    base.append(Seq((2L, "a", 7L)).toDF("id", "k", "x"))
+    val vr = tmpTable("clog-mv-replay-view")
+    MatView.catchUp(spark, vr, base, Seq("k"), Seq("x"), -1L, step = 1L)
+    // same from/step again — every slice is a replayed epoch, a no-op
+    MatView.catchUp(spark, vr, base, Seq("k"), Seq("x"), -1L, step = 1L)
+    assert(CommitLog(spark, vr).read().as[(String, Long, Long)].collect().toSet
+      === Set(("a", 2L, 17L)))
+  }
+
   test("matview: a graft-cdc stream maintains the view exactly-once") {
     import graft.operators.MatView
     val t = tmpTable("clog-mv-stream-base")
