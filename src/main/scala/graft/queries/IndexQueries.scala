@@ -306,15 +306,16 @@ object IndexQueries {
 
   /** B2 bloom-indexed point lookup
     * ([[graft.sources.CommitLog.withBloomIndex]] /
-    * [[graft.sources.CommitLog.readPoint]]): lineitem lands in four
-    * modulus-interleaved appends, so every file spans nearly the whole
+    * [[graft.sources.CommitLog.readPoint]]): lineitem lands as ONE
+    * append of a hash-repartitioned frame — each of its 4 files holds
+    * a hash-spread of order keys, so every file spans nearly the whole
     * l_orderkey range and min/max stats prune NOTHING for a point
     * probe — the per-file bloom filters (q94's md5-position sketch,
-    * persisted in the manifest) are what rule files out. Three point
-    * reads, each pruned independently; the oracle checks the exact
-    * surviving rows (pruning must never change results — no false
-    * negatives is the bloom contract), and CommitLogSpec pins the
-    * file-count side. */
+    * persisted in the manifest) are what rule files out (a given key's
+    * rows hash to one file). Three point reads, each pruned
+    * independently; the oracle checks the exact surviving rows
+    * (pruning must never change results — no false negatives is the
+    * bloom contract), and CommitLogSpec pins the file-count side. */
   private val q141 = Q(
     "q141_bloom_point_read",
     (s, dir) => {
@@ -324,8 +325,7 @@ object IndexQueries {
       val root = scratch(s, dir, "bloom-log")
       val log = graft.sources.CommitLog(s, root)
         .withBloomIndex(Seq("l_orderkey"), bits = 8192, k = 3)
-      (0 until 4).foreach(i =>
-        log.append(li.filter(pmod(col("l_orderkey"), lit(4)) === i)))
+      log.append(li.repartition(4, col("l_orderkey")))
       Seq(33L, 1027L, 4963L)
         .map(k => log.readPoint("l_orderkey", k))
         .reduce(_.unionByName(_))
