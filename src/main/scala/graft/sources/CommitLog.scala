@@ -222,6 +222,28 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   def snapshotAt(asOf: Long): Snapshot =
     parsedManifests(asOf).foldLeft(emptySnapshot)(foldOne)
 
+  /** The log's commit HISTORY, newest first: one row per retained
+    * manifest — version, commit wall-clock, action, checkpoint flag,
+    * file count, and the writer txn if one was carried (the DESCRIBE
+    * HISTORY surface; audit + debugging + retention planning).
+    * Driver-built and manifest-count-sized by construction — [[prune]]
+    * bounds it. */
+  def history(): DataFrame = {
+    val rows = parsedManifests(Long.MaxValue).map { node =>
+      (node.get("version").asLong(),
+        Option(node.get("ts")).map(_.asLong()),
+        node.get("action").asText(),
+        Option(node.get("checkpoint")).exists(_.asBoolean()),
+        node.get("files").size().toLong,
+        Option(node.get("txn")).map(_.get("id").asText()),
+        Option(node.get("txn")).map(_.get("epoch").asLong()))
+    }.toSeq.sortBy(-_._1)
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("version", "ts_millis", "action", "checkpoint",
+      "num_files", "txn_id", "txn_epoch")
+  }
+
   /** TIMESTAMP time travel: the table as of wall-clock `tsMillis` —
     * the latest version whose manifest was committed at or before it
     * (each manifest records its writer's clock at commit; version

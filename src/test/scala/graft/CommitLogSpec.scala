@@ -583,6 +583,27 @@ class CommitLogSpec extends SparkSpecBase {
     assert(eTagged.getMessage.contains("not partition-tagged"))
   }
 
+  test("history lists retained commits newest-first with actions and txns") {
+    val t = tmpTable("clog-history")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a")).toDF("id", "v"), txn = Some("w" -> 3L)) // v0
+    log.upsert(Seq((2L, "b")).toDF("id", "v"),
+      Seq("id"), CommitLog.LastWins)                                  // v1
+    log.compact()                                                     // v2
+    val h = log.history()
+      .select($"version", $"action", $"checkpoint", $"txn_id")
+      .as[(Long, String, Boolean, Option[String])].collect().toSeq
+    assert(h === Seq(
+      (2L, "replace", true, None),
+      (1L, "replace", false, None),
+      (0L, "add", false, Some("w"))))
+    // every row carries a commit timestamp going forward
+    assert(log.history().filter($"ts_millis".isNull).count() === 0L)
+    // prune bounds it to the checkpoint suffix
+    log.prune()
+    assert(log.history().select($"version").as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("readAsOfTime picks the last version committed at or before the bound") {
     val t = tmpTable("clog-asof-ts")
     val log = CommitLog(spark, t)
