@@ -1026,6 +1026,34 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
   }
 
+  /** OPTIMIZE: rewrite the live data into `targetFiles` files,
+    * optionally Z-ORDER-clustered on `zorderBy` — the packaged
+    * small-file compaction + clustering maintenance (Delta's OPTIMIZE
+    * [ZORDER BY]) for a table that accumulated many small commits.
+    * Z-ordering is what makes the manifest's min/max stats pay on
+    * multi-column range reads ([[readRange]] after optimize prunes
+    * files it previously had to open); plain mode just bin-packs. The
+    * rewrite commits as a `replace` with fresh stats (and blooms when
+    * [[withBloomIndex]] is active), so CDC consumers see it as a
+    * rewrite (delete+insert pairs that cancel in any keyed apply) and
+    * time travel still reaches the pre-optimize layout. Content is
+    * bit-identical — only layout changes. Partition-TAGGED tables are
+    * refused: their layout unit is the partition (use
+    * [[replacePartitions]] per partition to re-layout those). */
+  def optimize(targetFiles: Int, zorderBy: Seq[String] = Nil): Long = {
+    require(targetFiles >= 1, s"$tableRoot: targetFiles=$targetFiles must be >= 1")
+    val s0 = snapshot()
+    require(s0.version >= 0, s"$tableRoot: nothing to optimize")
+    require(s0.parts.isEmpty,
+      s"$tableRoot: partition-tagged table — optimize per partition via " +
+        "replacePartitions; a flat rewrite would drop the partition tags")
+    val df = readAt(s0)
+    val laid =
+      if (zorderBy.isEmpty) df.repartition(targetFiles)
+      else graft.operators.Layout.zOrderFrame(df, zorderBy, targetFiles)
+    replaceAll(laid)
+  }
+
   /** Fold the whole log into ONE checkpoint manifest at the next
     * version: a `replace` that restates the live file set, the schema,
     * the partition tags, the file stats, and the complete per-writer

@@ -583,6 +583,44 @@ class CommitLogSpec extends SparkSpecBase {
     assert(eTagged.getMessage.contains("not partition-tagged"))
   }
 
+  test("optimize compacts small commits and z-ordering tightens range pruning") {
+    val t = tmpTable("clog-optimize")
+    val log = CommitLog(spark, t)
+    // 8 small interleaved appends: every file spans the whole id range
+    (0 until 8).foreach { i =>
+      log.append((0L until 50L).map(j => (j * 8 + i, j)).toDF("id", "x")
+        .coalesce(1))
+    }
+    val before = log.read().as[(Long, Long)].collect().toSet
+    assert(log.snapshot().files.size === 8)
+    val preScan = log.snapshot().files.count { f =>
+      log.snapshot().stats(f).get("id").exists { case (mn: Long, mx: Long) =>
+        mx >= 0L && mn <= 40L }
+    }
+    assert(preScan === 8) // stats prune nothing before clustering
+    val v = log.optimize(targetFiles = 4, zorderBy = Seq("id"))
+    val s = log.snapshot()
+    assert(s.version === v && s.files.size === 4)
+    // content bit-identical, only layout changed
+    assert(log.read().as[(Long, Long)].collect().toSet === before)
+    // the z-ordered layout lets the same range read skip files
+    val postScan = s.files.count { f =>
+      s.stats(f).get("id").exists { case (mn: Long, mx: Long) =>
+        mx >= 0L && mn <= 40L }
+    }
+    assert(postScan < 4, s"clustered range should prune, scanned $postScan/4")
+    assert(log.readRange("id", 0L, 40L).as[(Long, Long)].collect().map(_._1).sorted
+      .toSeq === (0L to 40L).filter(before.map(_._1)).sorted)
+    // time travel still reaches the pre-optimize layout
+    assert(log.readVersion(v - 1).count() === 400L)
+    // a partition-tagged table refuses the flat rewrite
+    val t2 = tmpTable("clog-optimize-tagged")
+    val log2 = CommitLog(spark, t2)
+    log2.appendPartitioned(Seq((1L, "d1")).toDF("id", "day"), "day")
+    val e = intercept[IllegalArgumentException](log2.optimize(1))
+    assert(e.getMessage.contains("partition-tagged"))
+  }
+
   test("history lists retained commits newest-first with actions and txns") {
     val t = tmpTable("clog-history")
     val log = CommitLog(spark, t)
