@@ -121,6 +121,33 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * stored self-describing (bits, k, words), so mixed-config and
     * pre-bloom files coexist: a file with no filter for the probed
     * column is simply never pruned. */
+  /** WRITER-side CHECK constraints: every subsequent write through
+    * this instance validates the data it is about to commit and
+    * refuses loudly on the first violating row. SQL CHECK semantics —
+    * violated only when the condition is FALSE; NULL passes. For
+    * `append` the batch is checked; for the merge paths the MERGED
+    * output is (the constraint is a table invariant, not just a batch
+    * one). Cost: one extra evaluation of the written frame per commit
+    * — the price of a write-time data contract. */
+  def withConstraint(name: String, condition: org.apache.spark.sql.Column): CommitLog = {
+    require(name.nonEmpty, s"$tableRoot: constraint needs a name")
+    constraints = constraints :+ (name -> condition)
+    this
+  }
+
+  private var constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil
+
+  /** Refuse `df` if any row violates a registered constraint (first
+    * violating constraint reported with a row count). */
+  private def validateConstraints(df: DataFrame): Unit =
+    constraints.foreach { case (name, cond) =>
+      import org.apache.spark.sql.functions.{coalesce, lit, not}
+      val bad = df.filter(not(coalesce(cond, lit(true)))).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"$tableRoot: CHECK constraint '$name' violated by $bad row(s) — " +
+          "nothing was committed")
+    }
+
   def withBloomIndex(cols: Seq[String], bits: Int = 4096, k: Int = 3): CommitLog = {
     require(cols.nonEmpty, s"$tableRoot: bloom index needs at least one column")
     require(bits >= 64 && bits % 64 == 0,
@@ -1150,6 +1177,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * dir, move the parts in); returns table-root-relative paths. The
     * files are INVISIBLE until a manifest references them. */
   private def writeData(df: DataFrame): Seq[String] = {
+    validateConstraints(df)
     val tmp = new Path(rootPath, s".tmp-${UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(tmp.toString)
     fs.mkdirs(dataDir)
@@ -1177,6 +1205,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * Returns (table-root-relative path, partition value) pairs. */
   private def writeDataPartitioned(df: DataFrame, partCol: String): Seq[(String, String)] = {
     import org.apache.spark.sql.functions.{col, concat, hash, lit, pmod, struct}
+    validateConstraints(df)
     val tmp = new Path(rootPath, s".tmp-${UUID.randomUUID()}")
     val partTag = "__graft_part"
     val saltTag = "__graft_salt"

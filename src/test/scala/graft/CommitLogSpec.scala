@@ -583,6 +583,25 @@ class CommitLogSpec extends SparkSpecBase {
     assert(eTagged.getMessage.contains("not partition-tagged"))
   }
 
+  test("CHECK constraints refuse violating writes; NULL passes (SQL semantics)") {
+    val t = tmpTable("clog-check")
+    val log = CommitLog(spark, t)
+      .withConstraint("positive_x", $"x" > 0.0)
+    log.append(Seq((1L, Some(1.5)), (2L, None: Option[Double])).toDF("id", "x"))
+    assert(log.read().count() === 2L) // NULL x passes, like SQL CHECK
+    val e = intercept[IllegalArgumentException](
+      log.append(Seq((3L, Some(-1.0)), (4L, Some(2.0))).toDF("id", "x")))
+    assert(e.getMessage.contains("positive_x") && e.getMessage.contains("1 row"))
+    // nothing landed, and the MERGE paths validate the merged state too
+    assert(log.read().count() === 2L)
+    val e2 = intercept[IllegalArgumentException](
+      log.upsert(Seq((1L, Some(-9.0))).toDF("id", "x"),
+        Seq("id"), CommitLog.LastWins))
+    assert(e2.getMessage.contains("positive_x"))
+    assert(log.read().filter($"id" === 1L).select($"x").as[Option[Double]]
+      .collect().toSeq === Seq(Some(1.5)))
+  }
+
   test("optimize compacts small commits and z-ordering tightens range pruning") {
     val t = tmpTable("clog-optimize")
     val log = CommitLog(spark, t)
