@@ -121,14 +121,28 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * stored self-describing (bits, k, words), so mixed-config and
     * pre-bloom files coexist: a file with no filter for the probed
     * column is simply never pruned. */
+  def withBloomIndex(cols: Seq[String], bits: Int = 4096, k: Int = 3): CommitLog = {
+    require(cols.nonEmpty, s"$tableRoot: bloom index needs at least one column")
+    require(bits >= 64 && bits % 64 == 0,
+      s"$tableRoot: bloom bits=$bits must be a positive multiple of 64")
+    require(k >= 1 && k <= 16, s"$tableRoot: bloom k=$k out of range")
+    bloomCfg = Some((cols, bits, k))
+    this
+  }
+
   /** WRITER-side CHECK constraints: every subsequent write through
     * this instance validates the data it is about to commit and
-    * refuses loudly on the first violating row. SQL CHECK semantics —
-    * violated only when the condition is FALSE; NULL passes. For
+    * refuses loudly when any row violates. SQL CHECK semantics —
+    * violated only when the condition is FALSE; NULL passes, and a
+    * constraint whose column the batch OMITS passes too (the omitted
+    * column is null in the written rows — the documented additive
+    * schema evolution; the merge paths conform to the full table
+    * schema first, so they always evaluate every constraint). For
     * `append` the batch is checked; for the merge paths the MERGED
     * output is (the constraint is a table invariant, not just a batch
-    * one). Cost: one extra evaluation of the written frame per commit
-    * — the price of a write-time data contract. */
+    * one). Cost: ONE extra evaluation of the written frame per commit
+    * regardless of how many constraints are registered — all violation
+    * counts ride a single aggregate. */
   def withConstraint(name: String, condition: org.apache.spark.sql.Column): CommitLog = {
     require(name.nonEmpty, s"$tableRoot: constraint needs a name")
     constraints = constraints :+ (name -> condition)
@@ -137,24 +151,28 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
 
   private var constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil
 
-  /** Refuse `df` if any row violates a registered constraint (first
-    * violating constraint reported with a row count). */
-  private def validateConstraints(df: DataFrame): Unit =
-    constraints.foreach { case (name, cond) =>
-      import org.apache.spark.sql.functions.{coalesce, lit, not}
-      val bad = df.filter(not(coalesce(cond, lit(true)))).count()
+  /** Refuse `df` if any row violates a registered constraint. All
+    * counts come from one aggregate pass; constraints that do not
+    * RESOLVE against `df` (batch omits the column) are skipped —
+    * every written row holds null there, and NULL passes CHECK. */
+  private def validateConstraints(df: DataFrame): Unit = {
+    if (constraints.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, lit, not, sum, when}
+    val applicable = constraints.filter { case (_, cond) =>
+      scala.util.Try(df.filter(cond).queryExecution.analyzed).isSuccess
+    }
+    if (applicable.isEmpty) return
+    val counts = df.agg(
+      sum(when(not(coalesce(applicable.head._2, lit(true))), 1L).otherwise(0L)),
+      applicable.tail.map { case (_, cond) =>
+        sum(when(not(coalesce(cond, lit(true))), 1L).otherwise(0L))
+      }: _*).head()
+    applicable.zipWithIndex.foreach { case ((name, _), i) =>
+      val bad = if (counts.isNullAt(i)) 0L else counts.getLong(i)
       if (bad > 0) throw new IllegalArgumentException(
         s"$tableRoot: CHECK constraint '$name' violated by $bad row(s) — " +
           "nothing was committed")
     }
-
-  def withBloomIndex(cols: Seq[String], bits: Int = 4096, k: Int = 3): CommitLog = {
-    require(cols.nonEmpty, s"$tableRoot: bloom index needs at least one column")
-    require(bits >= 64 && bits % 64 == 0,
-      s"$tableRoot: bloom bits=$bits must be a positive multiple of 64")
-    require(k >= 1 && k <= 16, s"$tableRoot: bloom k=$k out of range")
-    bloomCfg = Some((cols, bits, k))
-    this
   }
 
   private def manifestPath(v: Long): Path = new Path(logDir, f"$v%020d.json")
@@ -429,7 +447,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * parameterized), bit_or'd into 64-bit words per (file, column).
     * The collect is bounded by files × cols × bits/64 longs. */
   private def bloomsFor(relPaths: Seq[String]): Map[String, Map[String, CommitLog.BloomF]] =
-    bloomCfg match {
+    bloomsForCfg(relPaths, bloomCfg)
+
+  private def bloomsForCfg(relPaths: Seq[String],
+      cfg: Option[(Seq[String], Int, Int)]): Map[String, Map[String, CommitLog.BloomF]] =
+    cfg match {
       case None => Map.empty
       case Some((cols, bits, k)) if relPaths.nonEmpty =>
         import org.apache.spark.sql.functions._
@@ -1069,16 +1091,45 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * [[replacePartitions]] per partition to re-layout those). */
   def optimize(targetFiles: Int, zorderBy: Seq[String] = Nil): Long = {
     require(targetFiles >= 1, s"$tableRoot: targetFiles=$targetFiles must be >= 1")
-    val s0 = snapshot()
-    require(s0.version >= 0, s"$tableRoot: nothing to optimize")
-    require(s0.parts.isEmpty,
-      s"$tableRoot: partition-tagged table — optimize per partition via " +
-        "replacePartitions; a flat rewrite would drop the partition tags")
-    val df = readAt(s0)
-    val laid =
-      if (zorderBy.isEmpty) df.repartition(targetFiles)
-      else graft.operators.Layout.zOrderFrame(df, zorderBy, targetFiles)
-    replaceAll(laid)
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      require(s.version >= 0, s"$tableRoot: nothing to optimize")
+      require(s.parts.isEmpty,
+        s"$tableRoot: partition-tagged table — optimize per partition via " +
+          "replacePartitions; a flat rewrite would drop the partition tags")
+      val df = readAt(s)
+      val laid =
+        if (zorderBy.isEmpty) df.repartition(targetFiles)
+        else graft.operators.Layout.zOrderFrame(df, zorderBy, targetFiles)
+      val files = writeData(laid)
+      // keep an existing bloom index ALIVE even when this instance was
+      // constructed without the writer config: derive (cols, bits, k)
+      // from the snapshot's own self-describing filters — a layout
+      // maintenance op must never silently strip the table's index
+      val cfg = bloomCfg.orElse {
+        if (s.blooms.isEmpty) None
+        else {
+          val cols = s.blooms.values.flatMap(_.keys).toSeq.distinct.sorted
+          val rep = s.blooms.values.head.values.head
+          Some((cols, rep.bits, rep.k))
+        }
+      }
+      val won = try tryCommit(s.version + 1,
+          manifestJson(s.version + 1, "replace", files,
+            s.schema.getOrElse(laid.schema), None,
+            stats = statsFor(files), blooms = bloomsForCfg(files, cfg)))
+        catch { case e: Throwable => files.foreach(deleteData); throw e }
+      if (won) return s.version + 1
+      // lost the version race: the rewrite reflects a stale snapshot —
+      // committing it anyway would ERASE the winner's rows (replaceAll
+      // semantics would do exactly that). Drop it and redo the layout
+      // over the winner's table, like upsert does.
+      files.foreach(deleteData)
+      attempts += 1
+      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+    }
+    -1L // unreachable
   }
 
   /** Fold the whole log into ONE checkpoint manifest at the next

@@ -602,6 +602,31 @@ class CommitLogSpec extends SparkSpecBase {
       .collect().toSeq === Seq(Some(1.5)))
   }
 
+  test("a constraint on a column the batch omits passes (null passes CHECK)") {
+    val t = tmpTable("clog-check-evolve")
+    val log = CommitLog(spark, t).withConstraint("positive_x", $"x" > 0.0)
+    log.append(Seq((1L, 2.0)).toDF("id", "x"))
+    // documented additive evolution: a write missing an existing column
+    // holds null there — and NULL passes CHECK, so this must succeed
+    log.append(Seq(3L).toDF("id"))
+    assert(log.read().count() === 2L)
+    assert(log.read().filter($"x".isNull).count() === 1L)
+  }
+
+  test("optimize from a config-less instance keeps the bloom index alive") {
+    val t = tmpTable("clog-opt-bloom")
+    CommitLog(spark, t).withBloomIndex(Seq("k"), bits = 4096, k = 3)
+      .append((0L until 200L).map(j => (j, j % 7)).toDF("k", "g").repartition(4))
+    // maintenance from a FRESH instance with no writer config
+    val fresh = CommitLog(spark, t)
+    fresh.optimize(targetFiles = 2)
+    val s = fresh.snapshot()
+    assert(s.files.size === 2)
+    assert(s.files.forall(f => s.blooms.get(f).exists(_.contains("k"))),
+      "optimize must re-derive and re-attach the existing bloom index")
+    assert(fresh.readPoint("k", 123L).count() === 1L)
+  }
+
   test("optimize compacts small commits and z-ordering tightens range pruning") {
     val t = tmpTable("clog-optimize")
     val log = CommitLog(spark, t)
