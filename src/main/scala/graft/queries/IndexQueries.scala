@@ -253,6 +253,88 @@ object IndexQueries {
       WHERE NOT (l_returnflag = 'R' AND l_quantity <= 10)
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** B2 row-level UPDATE ([[graft.sources.CommitLog.update]]): lineitem
+    * lands partition-tagged by return flag, then one predicate-local
+    * UPDATE halves the price and bumps the quantity of the low-quantity
+    * 'R' rows — [[graft.sources.CommitLog.delete]]'s three pruning
+    * layers verbatim (manifest stats restrict the find scan to the 'R'
+    * partition, only files actually holding a match rewrite, every
+    * other file rides through), with SQL's simultaneous-assignment
+    * semantics (both RHS see the OLD row). The oracle replays the
+    * update as a CASE projection over the base table; exact halving
+    * (×0.5) and integer bump (+100) keep double arithmetic bit-equal
+    * across engines. */
+  private val q144 = Q(
+    "q144_commitlog_update",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"))
+      val root = scratch(s, dir, "update-log")
+      val log = graft.sources.CommitLog(s, root)
+      log.appendPartitioned(li, "l_returnflag")
+      log.update(col("l_returnflag") === "R" && col("l_quantity") <= 10.0,
+        Map("l_extendedprice" -> (col("l_extendedprice") * 0.5),
+          "l_quantity" -> (col("l_quantity") + 100.0)),
+        partCol = Some("l_returnflag"))
+      log.read()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          sum(col("l_orderkey") * lit(7L) + col("l_linenumber")).as("key_sum"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH upd AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+          CASE WHEN l_returnflag = 'R' AND l_quantity <= 10
+               THEN l_quantity + 100.0 ELSE l_quantity END AS l_quantity,
+          CASE WHEN l_returnflag = 'R' AND l_quantity <= 10
+               THEN l_extendedprice * 0.5 ELSE l_extendedprice END AS l_extendedprice
+        FROM lineitem)
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(SUM(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_sum
+      FROM upd GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** B2 RESTORE ([[graft.sources.CommitLog.restore]]): seed a table,
+    * merge a re-pricing, row-delete a status — then roll the table
+    * back to the seed as a NEW commit (no data copied: the restore
+    * manifest restates the seed's still-on-disk files, which is why
+    * [[graft.sources.CommitLog.vacuum]] keeps every retained-manifest
+    * file). The read after restore must equal the seed exactly — the
+    * oracle IS the seed aggregate; the intermediate versions stay
+    * time-travel-reachable (spec-pinned in CommitLogSpec). */
+  private val q145 = Q(
+    "q145_commitlog_restore",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val root = scratch(s, dir, "restore-log")
+      val log = graft.sources.CommitLog(s, root)
+      log.append(o.filter(col("o_orderkey") % 3 === 0))            // v0
+      log.upsert(
+        o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("price") * 2).cast("decimal(18,2)").as("price")),
+        Seq("o_orderkey"), graft.sources.CommitLog.LastWins)       // v1
+      log.delete(col("o_orderstatus") === "F")                     // v2
+      log.restore(0L)                                              // v3 = v0 state
+      log.read()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders WHERE o_orderkey % 3 = 0
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** C3 kNN JOIN with a large query side
     * ([[graft.operators.Similarity.ivfKnnJoinLargeQ]]): the WHOLE
     * embeddings table queries itself — no query broadcast anywhere
@@ -386,5 +468,5 @@ object IndexQueries {
         CAST(SUM(price) AS DOUBLE) AS revenue
       FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
-  val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143)
+  val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145)
 }

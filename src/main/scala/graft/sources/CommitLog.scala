@@ -926,7 +926,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   def delete(condition: org.apache.spark.sql.Column,
       partCol: Option[String] = None,
       txn: Option[(String, Long)] = None): Long = {
-    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
     var attempts = 0
     while (true) {
       val s = snapshot()
@@ -934,59 +934,193 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       require(s.version >= 0, s"$tableRoot: delete on a table with no commits")
       val sch = s.schema.getOrElse(throw new IllegalStateException(
         s"$tableRoot: committed version ${s.version} carries no schema"))
-      if (s.parts.nonEmpty) {
-        require(partCol.isDefined,
-          s"$tableRoot: table is partition-tagged — delete needs partCol so " +
-            "rewritten files keep their tags")
-        val untagged = s.files.filterNot(s.parts.contains)
-        require(untagged.isEmpty,
-          s"$tableRoot: ${untagged.size} live files carry no partition tag — " +
-            "rewrite the table through the partitioned path first")
-      } else require(partCol.isEmpty || s.files.isEmpty,
-        s"$tableRoot: partCol given but the table is not partition-tagged")
-      val candidates = candidateFiles(s, condition, sch)
-      val touched: Seq[String] =
-        if (candidates.isEmpty) Nil
-        else {
-          // rel path by basename: data-file names are globally unique
-          val byName = candidates.map(f => new Path(f).getName -> f).toMap
-          spark.read.schema(sch)
-            .parquet(candidates.map(f => s"$tableRoot/$f"): _*)
-            .filter(condition)
-            .select(input_file_name().as("__f")).distinct()
-            .collect()
-            .map(r => byName(new Path(r.getString(0)).getName)).toSeq.sorted
-        }
+      requireTagState(s, partCol, "delete")
+      val touched = touchedFiles(s, sch, condition)
       if (touched.isEmpty) return s.version // nothing matched — no new version
       val kept = spark.read.schema(sch)
         .parquet(touched.map(f => s"$tableRoot/$f"): _*)
         .filter(not(coalesce(condition, lit(false))))
-      val (newFiles, newTags) = partCol match {
-        case Some(pc) =>
-          val tagged = writeDataPartitioned(kept, pc)
-          (tagged.map(_._1), tagged.toMap)
-        case None => (writeData(kept), Map.empty[String, String])
+      commitRewrite(s, sch, touched, kept, partCol, txn) match {
+        case Some(v) => return v
+        case None =>
+          attempts += 1
+          require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
       }
-      val untouched = s.files.filterNot(touched.toSet)
-      val untouchedSet = untouched.toSet
-      val files = untouched ++ newFiles
-      val won = try tryCommit(s.version + 1,
-          manifestJson(s.version + 1, "replace", files, sch, txn,
-            fileParts = s.parts.filter(kv => untouchedSet(kv._1)) ++ newTags,
-            stats = s.stats.filter(kv => untouchedSet(kv._1))
-              ++ statsFor(newFiles),
-            blooms = s.blooms.filter(kv => untouchedSet(kv._1))
-              ++ bloomsFor(newFiles)))
-        catch { case e: Throwable => newFiles.foreach(deleteData); throw e }
-      if (won) return s.version + 1
-      newFiles.foreach(deleteData)
+    }
+    -1L // unreachable
+  }
+
+  /** ROW-LEVEL UPDATE: rewrite the rows where `condition` is TRUE with
+    * the assignments in `set` (SQL UPDATE semantics — a NULL condition
+    * leaves the row untouched) and commit as a `replace`. Shares
+    * [[delete]]'s three pruning layers verbatim (manifest-stats
+    * candidates → predicate FIND scan → rewrite only the files that
+    * actually hold a matching row), so a predicate-local update on a
+    * 100 TB table rewrites only what it must. Assignment semantics are
+    * SQL's SIMULTANEOUS form: every right-hand side is evaluated
+    * against the OLD row (one `select` computes all columns — no
+    * sequential `withColumn` chain where an earlier assignment could
+    * leak into a later RHS), and each assigned value is cast back to
+    * the column's declared type so the table schema never drifts.
+    * The partition-tag COLUMN itself is refused as an assignment
+    * target (moving a row across partitions is a delete+insert — use
+    * [[upsertPartitioned]]); registered CHECK constraints validate the
+    * rewritten rows before anything commits. An update that matches
+    * nothing returns the current version WITHOUT committing; a lost
+    * version race recomputes find+rewrite against the winner. */
+  def update(condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      partCol: Option[String] = None,
+      txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, s"$tableRoot: update needs at least one assignment")
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      if (replayOf(s, txn)) return s.version
+      require(s.version >= 0, s"$tableRoot: update on a table with no commits")
+      val sch = s.schema.getOrElse(throw new IllegalStateException(
+        s"$tableRoot: committed version ${s.version} carries no schema"))
+      val unknown = set.keySet.filterNot(k =>
+        sch.fieldNames.exists(_.equalsIgnoreCase(k)))
+      require(unknown.isEmpty,
+        s"$tableRoot: update assigns unknown column(s) ${unknown.mkString(", ")}")
+      partCol.foreach(pc => require(!set.keySet.exists(_.equalsIgnoreCase(pc)),
+        s"$tableRoot: cannot update partition column '$pc' — a cross-partition " +
+          "move is a delete+insert (use upsertPartitioned)"))
+      requireTagState(s, partCol, "update")
+      val touched = touchedFiles(s, sch, condition)
+      if (touched.isEmpty) return s.version // nothing matched — no new version
+      val hit = coalesce(condition, lit(false))
+      val updated = spark.read.schema(sch)
+        .parquet(touched.map(f => s"$tableRoot/$f"): _*)
+        .select(sch.fields.map { f =>
+          set.find(_._1.equalsIgnoreCase(f.name)) match {
+            case Some((_, rhs)) =>
+              when(hit, rhs.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+      validateConstraints(updated)
+      commitRewrite(s, sch, touched, updated, partCol, txn) match {
+        case Some(v) => return v
+        case None =>
+          attempts += 1
+          require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** RESTORE: make the table's CURRENT state its state at `version` —
+    * committed as a NEW `replace` restating the old version's files,
+    * schema, partition tags, stats, and blooms verbatim. NO data moves:
+    * the old files are still on disk because [[vacuum]] keeps every
+    * file a retained manifest references. History is preserved — the
+    * restore is itself a commit, so time travel still reaches the
+    * rolled-back versions and a CDC consumer sees it as an ordinary
+    * rewrite (Delta's `RESTORE TABLE … TO VERSION AS OF`). Fails
+    * loudly when the target version was [[prune]]d past or any of its
+    * data files is missing (a [[compact]]+[[prune]]+[[vacuum]] cycle
+    * retires history deliberately; restoring past it would silently
+    * resurrect a wrong state). Restoring the current version is a
+    * no-op returning it. The writer-txn table is NOT rolled back:
+    * idempotent-writer epochs are monotone by contract and must
+    * survive a restore, or a replayed micro-batch would double-apply. */
+  def restore(version: Long, txn: Option[(String, Long)] = None): Long = {
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      if (replayOf(s, txn)) return s.version
+      if (s.version == version) return s.version // already there
+      require(version >= 0 && version < s.version,
+        s"$tableRoot: cannot restore to version $version (current is ${s.version})")
+      val old = snapshotAt(version)
+      require(old.version == version,
+        s"$tableRoot: version $version is not retained (fold reaches " +
+          s"${old.version}) — pruned history cannot be restored")
+      val sch = old.schema.getOrElse(throw new IllegalStateException(
+        s"$tableRoot: version $version carries no schema"))
+      val missing = old.files.filterNot(f => fs.exists(new Path(rootPath, f)))
+      require(missing.isEmpty,
+        s"$tableRoot: ${missing.size} data file(s) of version $version are " +
+          s"gone (vacuumed?) — cannot restore, e.g. ${missing.take(3).mkString(", ")}")
+      if (tryCommit(s.version + 1,
+          manifestJson(s.version + 1, "replace", old.files, sch, txn,
+            fileParts = old.parts, stats = old.stats, blooms = old.blooms)))
+        return s.version + 1
       attempts += 1
       require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
     }
     -1L // unreachable
   }
 
-  /** Phase-1 pruning for [[delete]]: the live files whose manifest
+  /** Shared tag-state validation for the copy-on-write rewrites
+    * ([[delete]]/[[update]]): a partition-tagged table must pass
+    * `partCol` so rewritten files keep tags; an untagged one must not. */
+  private def requireTagState(s: Snapshot, partCol: Option[String],
+      op: String): Unit = {
+    if (s.parts.nonEmpty) {
+      require(partCol.isDefined,
+        s"$tableRoot: table is partition-tagged — $op needs partCol so " +
+          "rewritten files keep their tags")
+      val untagged = s.files.filterNot(s.parts.contains)
+      require(untagged.isEmpty,
+        s"$tableRoot: ${untagged.size} live files carry no partition tag — " +
+          "rewrite the table through the partitioned path first")
+    } else require(partCol.isEmpty || s.files.isEmpty,
+      s"$tableRoot: partCol given but the table is not partition-tagged")
+  }
+
+  /** Phases 1+2 of the copy-on-write rewrites: manifest-stats pruning
+    * ([[candidateFiles]]) then a FIND scan emitting only the live files
+    * that actually hold a row matching `condition`. */
+  private def touchedFiles(s: Snapshot, sch: StructType,
+      condition: org.apache.spark.sql.Column): Seq[String] = {
+    import org.apache.spark.sql.functions.input_file_name
+    val candidates = candidateFiles(s, condition, sch)
+    if (candidates.isEmpty) Nil
+    else {
+      // rel path by basename: data-file names are globally unique
+      val byName = candidates.map(f => new Path(f).getName -> f).toMap
+      spark.read.schema(sch)
+        .parquet(candidates.map(f => s"$tableRoot/$f"): _*)
+        .filter(condition)
+        .select(input_file_name().as("__f")).distinct()
+        .collect()
+        .map(r => byName(new Path(r.getString(0)).getName)).toSeq.sorted
+    }
+  }
+
+  /** Phase 3: write `rewritten` as the replacement for `touched`, ride
+    * every other live file through with its tags/stats/blooms, and
+    * commit as a `replace`. None = lost the version race (new files
+    * already cleaned up — the caller recomputes against the winner). */
+  private def commitRewrite(s: Snapshot, sch: StructType,
+      touched: Seq[String], rewritten: DataFrame, partCol: Option[String],
+      txn: Option[(String, Long)]): Option[Long] = {
+    val (newFiles, newTags) = partCol match {
+      case Some(pc) =>
+        val tagged = writeDataPartitioned(rewritten, pc)
+        (tagged.map(_._1), tagged.toMap)
+      case None => (writeData(rewritten), Map.empty[String, String])
+    }
+    val untouched = s.files.filterNot(touched.toSet)
+    val untouchedSet = untouched.toSet
+    val files = untouched ++ newFiles
+    val won = try tryCommit(s.version + 1,
+        manifestJson(s.version + 1, "replace", files, sch, txn,
+          fileParts = s.parts.filter(kv => untouchedSet(kv._1)) ++ newTags,
+          stats = s.stats.filter(kv => untouchedSet(kv._1))
+            ++ statsFor(newFiles),
+          blooms = s.blooms.filter(kv => untouchedSet(kv._1))
+            ++ bloomsFor(newFiles)))
+      catch { case e: Throwable => newFiles.foreach(deleteData); throw e }
+    if (won) Some(s.version + 1)
+    else { newFiles.foreach(deleteData); None }
+  }
+
+  /** Phase-1 pruning for [[delete]]/[[update]]: the live files whose manifest
     * stats admit a row satisfying `condition`. The condition is first
     * RESOLVED by analyzing it against an empty relation with the
     * table's schema (no job — analysis only; a DSL-built Column is an

@@ -1057,4 +1057,112 @@ class CommitLogSpec extends SparkSpecBase {
     assert(e.getMessage.contains("cannot change column 'v'"))
     assert(log.read().as[(Long, String)].collect().toSet === Set((1L, "a")))
   }
+
+  test("update rewrites matching rows in place and only the touched files") {
+    val t = tmpTable("clog-upd")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "x", "v").coalesce(1))
+    log.append(Seq((10L, 30.0, "c"), (11L, 40.0, "d")).toDF("id", "x", "v").coalesce(1))
+    log.append(Seq((20L, 50.0, "e")).toDF("id", "x", "v").coalesce(1))
+    val before = log.snapshot().files.toSet
+    assert(log.update($"id" === 10L,
+      Map("x" -> ($"x" * 2), "v" -> concat($"v", lit("!")))) === 3L)
+    assert(log.read().as[(Long, Double, String)].collect().toSet
+      === Set((1L, 10.0, "a"), (2L, 20.0, "b"),
+        (10L, 60.0, "c!"), (11L, 40.0, "d"), (20L, 50.0, "e")))
+    // only the file whose stats admit id=10 was rewritten
+    val after = log.snapshot().files.toSet
+    assert((before intersect after).size === 2)
+    assert((after -- before).size === 1)
+    // time travel still reaches the pre-update rows
+    assert(log.readVersion(2L).filter($"id" === 10L)
+      .select($"x").as[Double].head() === 30.0)
+    // an update matching nothing LIVE commits no version
+    assert(log.update($"id" === 999L, Map("x" -> lit(0.0))) === 3L)
+  }
+
+  test("update assigns SIMULTANEOUSLY from old values; keeps column types") {
+    val t = tmpTable("clog-upd-sim")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, 2.0, 100.0)).toDF("id", "x", "y"))
+    // SQL UPDATE: both RHS see the OLD row — x=old y, y=old x
+    log.update($"id" === 1L, Map("x" -> $"y", "y" -> $"x"))
+    assert(log.read().as[(Long, Double, Double)].head() === ((1L, 100.0, 2.0)))
+    // an int-literal assignment casts back to the column's double type
+    log.update($"id" === 1L, Map("x" -> lit(7)))
+    assert(log.read().schema("x").dataType.typeName === "double")
+    assert(log.read().select($"x").as[Double].head() === 7.0)
+  }
+
+  test("update refuses unknown columns, the partition column, and NULL-condition rows stay") {
+    val t = tmpTable("clog-upd-bad")
+    val log = CommitLog(spark, t)
+    log.appendPartitioned(
+      Seq((1L, "d1", Some(1.0)), (2L, "d1", None: Option[Double]), (3L, "d2", Some(5.0)))
+        .toDF("id", "day", "x"), "day")
+    val eUnknown = intercept[IllegalArgumentException] {
+      log.update($"id" === 1L, Map("nope" -> lit(1)), partCol = Some("day"))
+    }
+    assert(eUnknown.getMessage.contains("unknown column"))
+    val ePart = intercept[IllegalArgumentException] {
+      log.update($"id" === 1L, Map("day" -> lit("d9")), partCol = Some("day"))
+    }
+    assert(ePart.getMessage.contains("partition column"))
+    // x > 2.0 is NULL for id=2 — that row is untouched (SQL semantics)
+    log.update($"x" > 2.0, Map("x" -> ($"x" + 1)), partCol = Some("day"))
+    assert(log.read().orderBy($"id").select($"x").as[Option[Double]].collect().toSeq
+      === Seq(Some(1.0), None, Some(6.0)))
+    // tags survived the rewrite
+    val s = log.snapshot()
+    assert(s.files.forall(s.parts.contains))
+  }
+
+  test("update validates CHECK constraints on the rewritten rows") {
+    val t = tmpTable("clog-upd-chk")
+    val log = CommitLog(spark, t).withConstraint("pos_x", $"x" >= 0.0)
+    log.append(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "x"))
+    val e = intercept[IllegalArgumentException] {
+      log.update($"id" === 2L, Map("x" -> lit(-5.0)))
+    }
+    assert(e.getMessage.contains("pos_x"))
+    // nothing committed, table unharmed
+    assert(log.snapshot().version === 0L)
+    assert(log.read().filter($"x" < 0).count() === 0L)
+  }
+
+  test("restore rolls the live state back as a new commit; history survives") {
+    val t = tmpTable("clog-restore")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))          // v0
+    log.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "v"),
+      Seq("id"), CommitLog.LastWins)                               // v1
+    log.delete($"id" === 1L)                                       // v2
+    assert(log.restore(0L) === 3L)
+    assert(log.read().as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    // the rolled-back versions are still reachable (restore is a commit)
+    assert(log.readVersion(2L).as[(Long, String)].collect().toSet
+      === Set((2L, "B"), (3L, "c")))
+    // restoring the current state is a no-op, no new version
+    assert(log.restore(3L) === 3L)
+    // CDC sees the restore as an ordinary rewrite at v3
+    val feed = log.readChanges(2L)
+      .groupBy($"_change_type").count().as[(String, Long)].collect().toMap
+    assert(feed("insert") === 2L && feed("delete") === 2L)
+  }
+
+  test("restore refuses pruned-past versions and vacuumed files") {
+    val t = tmpTable("clog-restore-bad")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a")).toDF("id", "v"))                     // v0
+    log.replaceAll(Seq((2L, "b")).toDF("id", "v"))                 // v1
+    log.replaceAll(Seq((3L, "c")).toDF("id", "v"))                 // v2
+    val eFuture = intercept[IllegalArgumentException] { log.restore(9L) }
+    assert(eFuture.getMessage.contains("cannot restore"))
+    // retire history: checkpoint at v3, drop the prefix, reclaim files
+    log.compact(); log.prune(); log.vacuum()
+    val ePruned = intercept[IllegalArgumentException] { log.restore(0L) }
+    assert(ePruned.getMessage.contains("not retained"))
+    assert(log.read().as[(Long, String)].collect().toSet === Set((3L, "c")))
+  }
 }
