@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robust per-group outlier scoring — the median/MAD (Hampel
+  * identifier) form of the quality gate a training-data pipeline runs
+  * over per-source numeric signals (doc length, score drift, price
+  * feeds): mean/stddev z-scores move with the outliers they're meant
+  * to catch (one 1000× row drags a group's mean past its own tail),
+  * while the median and the median-absolute-deviation have a 50%
+  * breakdown point — half a group must be corrupt before the gate
+  * moves. The reference's analog is its null-field row rejection
+  * (/root/reference/index.js:118-120) — a per-row validity gate; this
+  * is the distributional form of the same idea.
+  *
+  * Both location (median) and scale (MAD) come from
+  * [[ExactQuantile.quantilesByGroup]], so the scores are EXACT (type-7
+  * interpolation, bit-equal to DuckDB's `quantile_cont`) and the scale
+  * shape is the engine's: O(levels) jobs and O(bins) task memory for
+  * ANY group count, never a per-group sort or buffer.
+  *
+  * 100 TB shape: two grouped-quantile narrowings + two keyed joins on
+  * the group key (the median/MAD frames are group-domain-sized — they
+  * broadcast while small and shuffle-join past that); the row frame is
+  * never shuffled except by those joins and nothing row-sized reaches
+  * the driver.
+  *
+  * Degeneracy is the identifier's documented behavior, not a bug: a
+  * group where ≥ half the values are identical has MAD = 0, so EVERY
+  * deviating row flags (`dev > k·0`). Callers gating on noisy
+  * near-constant signals should floor the scale (`greatest(mad, ε)`)
+  * upstream of the flag.
+  */
+object Robust {
+
+  /** Per-row robust scores: each input row joined with its group's
+    * exact `med` (median) and `mad` (median absolute deviation from
+    * the median), plus `is_outlier` = |value − med| > k·mad. Rows
+    * whose value is null/NaN carry null med-deviation and a null flag
+    * (SQL comparison semantics); groups with NO measurable value drop
+    * (inner join against the per-group stats — there is no median to
+    * score against). */
+  def madScores(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      k: Double = 3.0, medCol: String = "med", madCol: String = "mad",
+      flagCol: String = "is_outlier", bins: Int = 512,
+      collectThreshold: Int = 65536): DataFrame = {
+    require(keyCols.nonEmpty, "madScores needs ≥1 group key")
+    require(k >= 0, s"outlier threshold k=$k must be ≥ 0")
+    val med = ExactQuantile.quantilesByGroup(
+      df, keyCols, valueCol, Seq(0.5), Seq(medCol),
+      bins = bins, collectThreshold = collectThreshold)
+      .select(keyCols.map(col) :+ col(medCol): _*)
+    val dev = df.join(med, keyCols)
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col(medCol)))
+    val mad = ExactQuantile.quantilesByGroup(
+      dev, keyCols, "__dev", Seq(0.5), Seq(madCol),
+      bins = bins, collectThreshold = collectThreshold)
+      .select(keyCols.map(col) :+ col(madCol): _*)
+    dev.join(mad, keyCols)
+      .withColumn(flagCol, col("__dev") > lit(k) * col(madCol))
+      .drop("__dev")
+  }
+}

@@ -750,6 +750,51 @@ object CorpusQueries3 {
       LEFT JOIN h ON h.l_returnflag = g.l_returnflag AND h.bin = g.bin
       ORDER BY g.l_returnflag, bin"""))
 
+  /** B6 robust per-group outliers ([[graft.operators.Robust.madScores]]):
+    * per-supplier median/MAD (Hampel identifier) over extended price —
+    * the quality gate form that doesn't move with the outliers it
+    * catches (50% breakdown vs mean/stddev's 0%). Location and scale
+    * both come from the grouped EXACT quantile engine (type-7, bit-
+    * equal to DuckDB's quantile_cont — q108's contract), so the whole
+    * composition is hash-checkable: the oracle replays median → |dev|
+    * → MAD → flag relationally. Output aggregates per group with an
+    * outlier keysum so the flag SET is pinned, not just counts. */
+  private val q146 = Q(
+    "q146_mad_outliers",
+    (s, dir) =>
+      graft.operators.Robust.madScores(
+        t(s, dir, "lineitem").select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
+        Seq("l_suppkey"), "l_extendedprice", k = 3.0)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          min(col("med")).as("med"),
+          min(col("mad")).as("mad"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          sum(when(col("is_outlier"),
+            col("l_orderkey") * lit(7L) + col("l_linenumber"))
+            .otherwise(0L)).as("key_sum"))
+        .orderBy(col("l_suppkey")),
+    Some("""WITH med AS (
+        SELECT l_suppkey, quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem GROUP BY l_suppkey),
+      dev AS (
+        SELECT l.l_suppkey, l.l_orderkey, l.l_linenumber, m.med,
+          ABS(l.l_extendedprice - m.med) AS dev
+        FROM lineitem l JOIN med m USING (l_suppkey)),
+      mad AS (
+        SELECT l_suppkey, quantile_cont(dev, 0.5) AS mad
+        FROM dev GROUP BY l_suppkey)
+      SELECT d.l_suppkey, COUNT(*) AS n,
+        CAST(MIN(d.med) AS DOUBLE) AS med,
+        CAST(MIN(m.mad) AS DOUBLE) AS mad,
+        CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        CAST(SUM(CASE WHEN d.dev > 3 * m.mad
+          THEN d.l_orderkey * 7 + d.l_linenumber ELSE 0 END) AS BIGINT) AS key_sum
+      FROM dev d JOIN mad m USING (l_suppkey)
+      GROUP BY d.l_suppkey ORDER BY d.l_suppkey"""))
+
   val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q114, q115,
-    q116, q117, q118, q119, q120, q123, q126, q129, q130, q140, q142)
+    q116, q117, q118, q119, q120, q123, q126, q129, q130, q140, q142, q146)
 }
