@@ -160,4 +160,43 @@ object AsOf {
     val order = col(tsCol).desc +: tieBreak.map(col(_).desc)
     Dedup.keepOne(df.filter(col(tsCol) <= lit(t).cast("timestamp")), keys, order)
   }
+
+  /** RESAMPLE + FORWARD FILL: the irregular per-key series `obs`
+    * projected onto a regular time grid, each grid point carrying the
+    * key's last observation at-or-before it — the reference's as-of
+    * price read (`Timestamp <= :t` DESC Limit 1,
+    * /root/reference/index.js:305-314) evaluated for EVERY key at
+    * EVERY grid step in one relational plan (the "daily price table
+    * from an event stream" shape every time-series consumer builds).
+    *
+    * The grid is `distinct keys × sequence(start, end, step)` — one
+    * key-domain aggregate, then a per-row `sequence`+`explode` (grid
+    * generation is distributed, never a driver loop), and the fill is
+    * [[asofJoinMerge]]: the engine's co-partitioned single-forward-
+    * merge plan, O(|grid| + |obs|) per partition with no window state.
+    * Grid points before a key's first observation carry nulls (left
+    * as-of semantics — there is nothing to fill from yet).
+    *
+    * `obs` must be unique per (keys, tsCol) — equal-timestamp
+    * duplicates would make the fill nondeterministic, so they are
+    * refused loudly via a one-aggregate probe (dedup last-wins
+    * upstream; [[graft.operators.Dedup.lastWins]] is the tool).
+    * 100 TB shape: the probe and the grid build ride the same keyed
+    * shuffle cadence as the join itself; nothing is collected. */
+  def resampleFfill(obs: DataFrame, keys: Seq[String], tsCol: String,
+      start: String, end: String, step: Column,
+      gridCol: String = "grid_ts", obsPrefix: String = "last_"): DataFrame = {
+    require(keys.nonEmpty, "resampleFfill needs ≥1 key column")
+    val obsNN = nonNullKeys(obs, keys).filter(col(tsCol).isNotNull)
+    val dupes = obsNN.groupBy((keys :+ tsCol).map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupes == 0L,
+      s"resampleFfill: duplicate (${keys.mkString(", ")}, $tsCol) " +
+        "observations — forward fill would be nondeterministic; dedup " +
+        "last-wins first (Dedup.lastWins)")
+    val grid = obsNN.select(keys.map(col): _*).distinct()
+      .withColumn(gridCol, explode(sequence(
+        lit(start).cast("timestamp"), lit(end).cast("timestamp"), step)))
+    asofJoinMerge(grid, obsNN, keys, gridCol, tsCol, obsPrefix)
+  }
 }

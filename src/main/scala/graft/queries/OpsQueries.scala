@@ -344,6 +344,47 @@ object OpsQueries {
       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
       ORDER BY c_custkey"""))
 
+  /** B13 resample + forward fill ([[graft.operators.AsOf.resampleFfill]]):
+    * the reference's as-of price read evaluated for every user at every
+    * daily grid point in ONE plan — distinct keys × exploded `sequence`
+    * grid, filled by the engine's merge as-of plan (no window state, no
+    * driver loop). Equal-timestamp duplicates are deduped last-wins
+    * FIRST (the operator refuses them — nondeterministic fill); grid
+    * points before a user's first event carry nulls. The staleness
+    * column (µs since the filled observation) pins WHICH observation
+    * filled each point, not just its value. Oracle: DuckDB ASOF LEFT
+    * JOIN against generate_series. */
+  private val q147 = Q(
+    "q147_resample_ffill",
+    (s, dir) => {
+      import s.implicits._
+      val obs = Dedup.lastWins(
+          t(s, dir, "events").filter($"user_id" < 50),
+          Seq("user_id", "ts"), Seq("event_id"))
+        .select($"user_id", $"ts", $"value")
+      AsOf.resampleFfill(obs, Seq("user_id"), "ts",
+          "2024-01-01 00:00:00", "2024-01-31 00:00:00",
+          expr("interval 1 day"))
+        .select($"user_id", $"grid_ts", $"last_ts",
+          $"last_value".as("value"),
+          (unix_micros($"grid_ts") - unix_micros($"last_ts")).as("stale_us"))
+        .orderBy($"user_id", $"grid_ts")
+    },
+    Some("""WITH f AS (SELECT * FROM events WHERE user_id < 50),
+      obs AS (SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM f) WHERE rn = 1),
+      grid AS (SELECT u.user_id, g.ts AS grid_ts
+        FROM (SELECT DISTINCT user_id FROM obs) u
+        CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+          TIMESTAMP '2024-01-31 00:00:00', INTERVAL 1 DAY)) AS ts) g)
+      SELECT g.user_id, g.grid_ts, o.ts AS last_ts, o.value,
+        date_diff('microsecond', o.ts, g.grid_ts) AS stale_us
+      FROM grid g ASOF LEFT JOIN obs o
+        ON g.user_id = o.user_id AND o.ts <= g.grid_ts
+      ORDER BY g.user_id, g.grid_ts"""))
+
   def qs: Seq[Q] = Seq(q36, q37, q38, q39, q40, q66, q112, q113, q121,
-    q122, q124)
+    q122, q124, q147)
 }

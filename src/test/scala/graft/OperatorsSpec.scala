@@ -129,6 +129,33 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("resampleFfill: regular grid, forward fill, pre-first nulls, dup refusal") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val obs = Seq(
+      (1L, ts("2024-01-02 06:00:00"), 10.0),
+      (1L, ts("2024-01-03 18:00:00"), 20.0),
+      (2L, ts("2024-01-01 00:00:00"), 5.0)
+    ).toDF("k", "ts", "v")
+    val out = AsOf.resampleFfill(obs, Seq("k"), "ts",
+        "2024-01-01 00:00:00", "2024-01-04 00:00:00",
+        expr("interval 1 day"))
+      .select($"k", $"grid_ts", $"last_v")
+      .as[(Long, java.sql.Timestamp, Option[Double])]
+      .collect().sortBy(r => (r._1, r._2.getTime))
+    assert(out.length === 8) // 2 keys x 4 daily points, inclusive ends
+    assert(out.map(_._3).toSeq === Seq(
+      None, None, Some(10.0), Some(20.0),           // key 1: fill after first obs
+      Some(5.0), Some(5.0), Some(5.0), Some(5.0)))  // key 2: constant fill
+    // an observation AT a grid instant fills that point (inclusive <=)
+    assert(out(4)._3 === Some(5.0))
+    val dup = obs.union(Seq((1L, ts("2024-01-02 06:00:00"), 99.0)).toDF("k", "ts", "v"))
+    val e = intercept[IllegalArgumentException] {
+      AsOf.resampleFfill(dup, Seq("k"), "ts",
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00", expr("interval 1 day"))
+    }
+    assert(e.getMessage.contains("nondeterministic"))
+  }
+
   test("keyless (global single-series) as-of join works in both implementations") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val left = Seq((ts("2024-01-01 10:00:00"), "l1"), (ts("2024-01-01 08:00:00"), "l0"))
