@@ -1151,6 +1151,75 @@ class CommitLogSpec extends SparkSpecBase {
     assert(feed("insert") === 2L && feed("delete") === 2L)
   }
 
+  test("randomized mutation sequence matches an in-memory model") {
+    // model-based check over the log's whole mutation surface:
+    // append / upsert / delete / update / restore in a seeded random
+    // order, the table compared to a driver-side Map after every step,
+    // and every committed version's state recorded so restores are
+    // checked against the EXACT state they claim to bring back.
+    val rnd = new scala.util.Random(42)
+    val t = tmpTable("clog-model")
+    val log = CommitLog(spark, t)
+    var model = Map.empty[Long, (Double, String)] // id -> (x, v)
+    var byVersion = Map.empty[Long, Map[Long, (Double, String)]]
+    var nextId = 0L
+    def df(rows: Seq[(Long, Double, String)]) = rows.toDF("id", "x", "v")
+    def record(version: Long): Unit = byVersion += version -> model
+    def check(): Unit =
+      assert(log.read().as[(Long, Double, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap === model)
+
+    val seed = (0 until 6).map { _ =>
+      nextId += 1; (nextId, nextId * 10.0, s"v$nextId")
+    }
+    seed.foreach(r => model += r._1 -> ((r._2, r._3)))
+    record(log.append(df(seed)))
+    check()
+
+    for (_ <- 1 to 14) {
+      rnd.nextInt(5) match {
+        case 0 => // append fresh ids
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            nextId += 1; (nextId, nextId * 10.0, s"v$nextId")
+          }
+          rows.foreach(r => model += r._1 -> ((r._2, r._3)))
+          record(log.append(df(rows)))
+        case 1 => // upsert: mutate some existing + insert one new
+          val existing = rnd.shuffle(model.keys.toSeq).take(2)
+            .map(id => (id, model(id)._1 + 1.0, model(id)._2 + "u"))
+          nextId += 1
+          val rows = existing :+ ((nextId, nextId * 10.0, s"v$nextId"))
+          rows.foreach(r => model += r._1 -> ((r._2, r._3)))
+          record(log.upsert(df(rows), Seq("id"), CommitLog.LastWins))
+        case 2 => // delete a value band
+          val c = (rnd.nextInt(20) + 1) * 10.0
+          val before = log.snapshot().version
+          val v = log.delete($"x" >= c && $"x" < c + 30.0)
+          model = model.filterNot { case (_, (x, _)) => x >= c && x < c + 30.0 }
+          if (v != before) record(v)
+        case 3 => // update a keyed slice simultaneously (x doubles, v tags)
+          val m = 2 + rnd.nextInt(3)
+          val before = log.snapshot().version
+          val v = log.update($"id" % m === 0,
+            Map("x" -> ($"x" * 2), "v" -> concat($"v", lit("*"))))
+          model = model.map { case (id, (x, s)) =>
+            if (id % m == 0) id -> ((x * 2, s + "*")) else id -> ((x, s))
+          }
+          if (v != before) record(v)
+        case 4 => // restore to a random recorded version
+          val targets = byVersion.keys.toSeq.sorted
+          val target = targets(rnd.nextInt(targets.length))
+          val v = log.restore(target)
+          model = byVersion(target)
+          record(v)
+      }
+      check()
+    }
+    // the final state survives a maintenance cycle
+    log.compact(); log.prune(); log.vacuum()
+    check()
+  }
+
   test("restore refuses pruned-past versions and vacuumed files") {
     val t = tmpTable("clog-restore-bad")
     val log = CommitLog(spark, t)
