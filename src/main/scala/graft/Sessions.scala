@@ -28,10 +28,16 @@ object Sessions {
       // broadcast-able; keep the threshold generous.
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
-      // read as long and convert (truncate) to micros in Tables, matching
-      // DuckDB's ns→us truncation.
+      // events.parquet has shipped as TIMESTAMP(NANOS) and as
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) across testdata
+      // generations. For nanos: Spark has no nanos type — read as long and
+      // convert (truncate) to micros in Tables, matching DuckDB's ns→us
+      // truncation. For unadjusted micros: infer TimestampType (LTZ)
+      // instead of TIMESTAMP_NTZ — the session timezone is pinned UTC, so
+      // wall-clock values are identical to DuckDB's naive reading, and the
+      // whole ts function surface (unix_micros, watermarks) stays typed.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,11 +14,27 @@ object Verify {
       else _ => true
     val spark = Sessions.local("graft-verify", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
+    // A query that throws must still surface in the round's correctness
+    // file as a red entry, not vanish: write a sentinel one-row parquet
+    // (guaranteed schema/hash mismatch vs any oracle) and collect the
+    // errors into errors.json for the judge. Round 8's four broken
+    // queries were invisible in CORRECTNESS precisely because failures
+    // produced no output directory at all.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        try {
+          import org.apache.spark.sql.types.{StringType, StructField, StructType}
+          spark.createDataFrame(
+            java.util.Collections.singletonList(org.apache.spark.sql.Row(msg)),
+            StructType(Seq(StructField("__query_error", StringType))))
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -36,6 +52,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

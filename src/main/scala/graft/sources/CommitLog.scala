@@ -1712,6 +1712,30 @@ object CommitLog {
   case object InsertIfAbsent extends MergeMode
   case object LastWins extends MergeMode
 
+  /** One WHEN clause of [[CommitLog.merge]] — SQL MERGE's conditional
+    * actions, evaluated in declaration order (first TRUE clause wins,
+    * exactly ANSI's rule). Conditions and update right-hand sides may
+    * reference both rows via the aliases `t` (target) and `s` (source):
+    * `col("t.qty") < col("s.qty")`. A `None` condition is
+    * unconditional. */
+  sealed trait MergeClause
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET — assignment keys are
+    * target column names; RHS evaluated against the OLD target row and
+    * the matching source row (simultaneous semantics, like
+    * [[CommitLog.update]]). */
+  final case class WhenMatchedUpdate(set: Map[String, org.apache.spark.sql.Column],
+      condition: Option[org.apache.spark.sql.Column] = None) extends MergeClause
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  final case class WhenMatchedDelete(
+      condition: Option[org.apache.spark.sql.Column] = None) extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT — `values` maps target
+    * column names to expressions over the source row (`s.` alias);
+    * empty means INSERT * (source columns matched by name, absent ones
+    * null). */
+  final case class WhenNotMatchedInsert(
+      condition: Option[org.apache.spark.sql.Column] = None,
+      values: Map[String, org.apache.spark.sql.Column] = Map.empty) extends MergeClause
+
   /** One per-file per-column Bloom filter, self-describing (so a
     * reader needs no writer config and mixed-config files coexist). */
   final case class BloomF(bits: Int, k: Int, words: Array[Long])

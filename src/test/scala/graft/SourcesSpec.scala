@@ -128,7 +128,9 @@ class SourcesSpec extends SparkSpecBase {
       StructField("l_linenumber", IntegerType),
       StructField("l_quantity", DoubleType),
       StructField("l_returnflag", StringType),
-      StructField("l_shipdate", TimestampNTZType)))
+      // session policy (Sessions.local) reads parquet timestamps as LTZ
+      // with a UTC session zone, so the CSV round-trip pins LTZ too
+      StructField("l_shipdate", TimestampType)))
     val back = spark.read.schema(schema).option("header", "true").csv(dir)
 
     assert(back.schema === schema)

@@ -11,8 +11,13 @@ import org.apache.spark.sql.types._
 class StreamingSpec extends SparkSpecBase {
   import spark.implicits._
 
+  // Matches the current testdata shape (TIMESTAMP micros). The file's
+  // parquet column is isAdjustedToUTC=false, but a user-specified
+  // TimestampType schema reads it as LTZ directly — and the session
+  // timezone is pinned UTC, so values agree with batch reads (which pin
+  // spark.sql.parquet.inferTimestampNTZ.enabled=false in Sessions).
   private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -25,7 +30,6 @@ class StreamingSpec extends SparkSpecBase {
     val stream = spark.readStream
       .schema(eventsSchema)
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"), sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
@@ -123,7 +127,6 @@ class StreamingSpec extends SparkSpecBase {
     import graft.streaming.ChangeDetect.{Change, Ev}
     val dir: Path = Files.createTempDirectory("stream-chg")
     val all = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select($"user_id", $"event_id", $"ts",
         ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
     // split by event TIME, not id — cross-batch suppression only works if
@@ -163,8 +166,9 @@ class StreamingSpec extends SparkSpecBase {
   private def dropBatch(dir: Path, name: String,
       rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
     val df = rows.map { case (id, tsMin, uid, typ, v) =>
-      (id, tsMin * 60L * 1000000000L, uid, typ, v, "{}")
+      (id, tsMin * 60L * 1000000L, uid, typ, v, "{}")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts)"))
     df.coalesce(1).write.mode("overwrite").parquet(dir.resolve("tmp").toString)
     Files.move(
       dir.resolve("tmp").toFile.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath,
@@ -185,7 +189,6 @@ class StreamingSpec extends SparkSpecBase {
     val stream = spark.readStream
       .schema(eventsSchema)
       .parquet(dir.toString + "/b*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "1 hour").as("w"))
       .agg(count(lit(1)).as("n"))
@@ -233,7 +236,6 @@ class StreamingSpec extends SparkSpecBase {
       val base = spark.readStream
         .schema(eventsSchema)
         .parquet(dir.toString + "/b*.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         .withWatermark("ts", "10 minutes")
       val deduped =
         if (withinWatermark) base.dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -270,7 +272,6 @@ class StreamingSpec extends SparkSpecBase {
     def side(tpe: String, idCol: String, tsCol: String) = spark.readStream
       .schema(eventsSchema)
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .filter($"event_type" === tpe)
       .select($"user_id", $"event_id".as(idCol), $"ts".as(tsCol))
       .withWatermark(tsCol, "1 hour")
@@ -319,18 +320,18 @@ class StreamingSpec extends SparkSpecBase {
     // the engine can PROVE the last purchases are unmatched and emit
     // their outer rows — without it the tail stays withheld forever on
     // a finite input. user_id -1 keeps them out of the comparison.
-    val maxNanos = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(max($"ts")).head().getLong(0)
-    val farNanos = maxNanos + 6L * 3600 * 1000 * 1000 * 1000
-    Seq((-1L, farNanos, -1L, "click", 0.0, "{}"),
-        (-1L, farNanos, -1L, "purchase", 0.0, "{}"))
+    val maxMicros = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(unix_micros(max($"ts").cast("timestamp"))).head().getLong(0)
+    val farMicros = maxMicros + 6L * 3600 * 1000 * 1000
+    Seq((-1L, farMicros, -1L, "click", 0.0, "{}"),
+        (-1L, farMicros, -1L, "purchase", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts)"))
       .write.mode("append").parquet(dir.toString)
 
     def side(tpe: String, idCol: String, tsCol: String) = spark.readStream
       .schema(eventsSchema)
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .filter($"event_type" === tpe)
       .select($"user_id", $"event_id".as(idCol), $"ts".as(tsCol))
       .withWatermark(tsCol, "1 hour")
@@ -371,13 +372,11 @@ class StreamingSpec extends SparkSpecBase {
     val srcDir: Path = Files.createTempDirectory("stream-upsert-src")
     val target = Files.createTempDirectory("stream-upsert-tgt").toString + "/t"
     val all = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
     // batch the stream by event_id ranges so later batches overwrite
     // earlier keys (same user_id+event_type key, later ts)
     val stream = spark.readStream.schema(eventsSchema)
       .parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val q = stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val spark = batch.sparkSession
@@ -476,7 +475,6 @@ class StreamingSpec extends SparkSpecBase {
     val stream = spark.readStream
       .schema(eventsSchema)
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
