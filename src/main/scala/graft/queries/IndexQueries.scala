@@ -468,5 +468,68 @@ object IndexQueries {
         CAST(SUM(price) AS DOUBLE) AS revenue
       FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
-  val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145)
+  /** B2 full MERGE INTO ([[graft.sources.CommitLog.merge]]): orders
+    * seed a commit-log table, then ONE merge applies the ANSI trio —
+    * WHEN MATCHED AND s.price > 300000 THEN DELETE, WHEN MATCHED THEN
+    * UPDATE (re-price + re-status), WHEN NOT MATCHED THEN INSERT — in a
+    * single commit. The FIND phase is source-driven: the batch's key
+    * envelope prunes against manifest stats, a semi-join picks the
+    * files that actually hold a matched key, and only those rewrite
+    * (file-diff pinned in CommitLogSpec; here the oracle replays the
+    * clause semantics as CASE + anti-join over the base table). This
+    * generalizes the reference's on-conflict put-else-update branch
+    * (/root/reference/index.js:265-283) to the lakehouse form. Decimal
+    * price arithmetic keeps both engines bit-equal. */
+  private val q148 = Q(
+    "q148_commitlog_merge",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        col("o_orderstatus"))
+      val root = scratch(s, dir, "merge-log")
+      val log = graft.sources.CommitLog(s, root)
+      log.append(o.filter(col("o_orderkey") % 3 =!= 0))
+      val src = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("price") * 2).cast("decimal(18,2)").as("price"),
+          lit("M").as("o_orderstatus"))
+      log.merge(src, Seq("o_orderkey"), Seq(
+        graft.sources.CommitLog.WhenMatchedDelete(
+          Some(col("s.price") > 300000)),
+        graft.sources.CommitLog.WhenMatchedUpdate(
+          Map("price" -> col("s.price"), "o_orderstatus" -> col("s.o_orderstatus"))),
+        graft.sources.CommitLog.WhenNotMatchedInsert()))
+      log.read()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH tgt AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 <> 0),
+      src AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS price,
+          'M' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0),
+      merged AS (
+        SELECT t.o_orderkey, t.o_custkey,
+          CASE WHEN s.o_orderkey IS NOT NULL THEN s.price ELSE t.price END AS price,
+          CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+               ELSE t.o_orderstatus END AS o_orderstatus
+        FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        WHERE NOT (s.o_orderkey IS NOT NULL AND s.price > 300000)
+        UNION ALL
+        SELECT s.o_orderkey, s.o_custkey, s.price, s.o_orderstatus
+        FROM src s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt))
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(price) AS DOUBLE) AS revenue,
+        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145, q148)
 }

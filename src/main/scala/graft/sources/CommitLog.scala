@@ -1012,6 +1012,192 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     -1L // unreachable
   }
 
+  /** Full MERGE INTO: apply `clauses` (WHEN MATCHED UPDATE / DELETE,
+    * WHEN NOT MATCHED INSERT — [[CommitLog.MergeClause]]) against
+    * `source`, joined to the table on equality of `keys`, in ONE
+    * commit. This is the general form of the reference's conditional
+    * put-else-update branch (/root/reference/index.js:265-283) done as
+    * a lakehouse copy-on-write, and it shares [[delete]]/[[update]]'s
+    * three pruning layers — with the FIND phase driven by the SOURCE
+    * instead of a literal predicate:
+    *
+    *   1. CANDIDATES — the source's per-key (min, max) (one tiny agg,
+    *      2·|keys| scalars to the driver) becomes a range predicate the
+    *      manifest stats prune against, so files whose key range cannot
+    *      intersect the batch never open.
+    *   2. FIND — the candidates' key columns semi-join the source;
+    *      only files actually holding a matched row rewrite.
+    *   3. REWRITE — touched rows full-outer-join the source; each row
+    *      takes its FIRST true clause in declaration order (ANSI MERGE),
+    *      unmatched target rows ride through, unmatched source rows
+    *      insert when an insert clause admits them. Untouched files
+    *      restate with their tags/stats/blooms.
+    *
+    * Every target row must match at most one source row (enforced: the
+    * merge refuses a source with duplicate non-null keys, ANSI's
+    * cardinality rule). Null-keyed source rows never match — they are
+    * NOT-MATCHED inserts, like SQL. Clause conditions and update/insert
+    * expressions address the two rows as `t.<col>` / `s.<col>`. Insert
+    * may evolve the schema (new source columns append as nullable, as
+    * in [[upsert]]); update assignments must target existing columns
+    * and never the partition-tag column. A merge that changes nothing
+    * returns the current version WITHOUT committing; a lost version
+    * race recomputes find+rewrite against the winner's table. */
+  def merge(source: DataFrame, keys: Seq[String],
+      clauses: Seq[CommitLog.MergeClause],
+      partCol: Option[String] = None,
+      txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min, when}
+    require(keys.nonEmpty, s"$tableRoot: merge needs at least one key")
+    require(clauses.nonEmpty, s"$tableRoot: merge needs at least one WHEN clause")
+    val matchedClauses = clauses.filter(!_.isInstanceOf[CommitLog.WhenNotMatchedInsert])
+    val insertClauses = clauses.collect { case c: CommitLog.WhenNotMatchedInsert => c }
+    matchedClauses.foreach {
+      case CommitLog.WhenMatchedUpdate(set, _) =>
+        require(set.nonEmpty, s"$tableRoot: merge UPDATE clause needs assignments")
+        partCol.foreach(pc => require(!set.keySet.exists(_.equalsIgnoreCase(pc)),
+          s"$tableRoot: cannot update partition column '$pc' in a merge — a " +
+            "cross-partition move is a delete+insert"))
+      case _ => ()
+    }
+    // ANSI cardinality: at most one source row per target row. Null
+    // keys never match, so only non-null key tuples must be unique.
+    val nonNullKeys = keys.map(k => col(k).isNotNull).reduce(_ && _)
+    val dup = source.filter(nonNullKeys).groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).count() > 0
+    require(!dup,
+      s"$tableRoot: merge source has duplicate keys (${keys.mkString(", ")}) — " +
+        "a target row may match at most one source row; dedupe the batch first")
+    // source key envelope for manifest-stats pruning (phase 1)
+    val mmAggs = keys.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
+    val mmRow = source.agg(mmAggs.head, mmAggs.tail: _*).head()
+    val keyEnvelope: Option[Column] = {
+      val bounds = keys.zipWithIndex.flatMap { case (k, i) =>
+        val (mn, mx) = (mmRow.get(2 * i), mmRow.get(2 * i + 1))
+        if (mn == null || mx == null) None
+        else Some(col(k) >= lit(mn) && col(k) <= lit(mx))
+      }
+      if (bounds.size == keys.size) Some(bounds.reduce(_ && _)) else None
+    }
+    val sourceHasRows = keyEnvelope.isDefined || source.limit(1).count() > 0
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      if (replayOf(s, txn)) return s.version
+      requireTagState(s, partCol, "merge")
+      val sch0 = s.schema.getOrElse(source.schema)
+      // inserts may evolve the schema, exactly like upsert
+      val sch =
+        if (insertClauses.nonEmpty) mergedSchema(s.schema, source.schema)
+        else s.schema.getOrElse(throw new IllegalStateException(
+          s"$tableRoot: merge without an insert clause needs an existing table"))
+      matchedClauses.foreach {
+        case CommitLog.WhenMatchedUpdate(set, _) =>
+          val unknown = set.keySet.filterNot(k => sch.fieldNames.exists(_.equalsIgnoreCase(k)))
+          require(unknown.isEmpty,
+            s"$tableRoot: merge UPDATE assigns unknown column(s) ${unknown.mkString(", ")}")
+        case _ => ()
+      }
+      // phases 1+2: candidate pruning by key envelope, then the semi-join FIND
+      val touched: Seq[String] =
+        if (s.version < 0 || keyEnvelope.isEmpty) Nil
+        else {
+          val candidates = candidateFiles(s, keyEnvelope.get, sch0)
+          if (candidates.isEmpty) Nil
+          else {
+            val byName = candidates.map(f => new Path(f).getName -> f).toMap
+            spark.read.schema(sch0)
+              .parquet(candidates.map(f => s"$tableRoot/$f"): _*)
+              .select(keys.map(col) :+ input_file_name().as("__f"): _*)
+              .join(source.select(keys.map(col): _*), keys, "left_semi")
+              .select("__f").distinct().collect()
+              .map(r => byName(new Path(r.getString(0)).getName)).toSeq.sorted
+          }
+        }
+      if (touched.isEmpty && (insertClauses.isEmpty || !sourceHasRows))
+        return s.version // nothing to rewrite, nothing to insert
+      // phase 3: full-outer join touched rows with the source, resolve
+      // each row's first-true clause, project the survivors
+      val base = conform(
+        if (touched.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch0)
+        else spark.read.schema(sch0).parquet(touched.map(f => s"$tableRoot/$f"): _*),
+        sch)
+      val t = base.withColumn("__t", lit(true)).as("t")
+      val sAliased = source.withColumn("__s", lit(true)).as("s")
+      val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+      val joined = t.join(sAliased, joinCond, "full_outer")
+      val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
+      val sOnly = col("t.__t").isNull
+      // action id: first true clause in declaration order, ANSI MERGE.
+      // 0 = keep the target row; 1..m = matched clause; 100+j = insert
+      // clause j; -1 = unmatched source row no insert clause admits.
+      var chain: Column = null
+      def addCase(pred: Column, v: Int): Unit =
+        chain = if (chain == null) when(pred, lit(v)) else chain.when(pred, lit(v))
+      matchedClauses.zipWithIndex.foreach { case (cl, i) =>
+        val cond = cl match {
+          case CommitLog.WhenMatchedUpdate(_, c) => c
+          case CommitLog.WhenMatchedDelete(c) => c
+          case _ => None
+        }
+        addCase(matched && cond.getOrElse(lit(true)), i + 1)
+      }
+      insertClauses.zipWithIndex.foreach { case (cl, j) =>
+        addCase(sOnly && cl.condition.getOrElse(lit(true)), 100 + j)
+      }
+      val action = chain.otherwise(when(col("t.__t").isNotNull, lit(0)).otherwise(lit(-1)))
+      val srcCols = source.columns.map(lc).toSet
+      // stage 1: evaluate everything that references the t/s aliases
+      val stage1Cols: Seq[Column] =
+        sch.fields.toIndexedSeq.flatMap { f =>
+          val tCol = col(s"t.${f.name}").as(s"__t_${f.name}")
+          val updCols = matchedClauses.zipWithIndex.collect {
+            case (CommitLog.WhenMatchedUpdate(set, _), i)
+                if set.keys.exists(_.equalsIgnoreCase(f.name)) =>
+              set.find(_._1.equalsIgnoreCase(f.name)).get._2
+                .cast(f.dataType).as(s"__u${i}_${f.name}")
+          }
+          val insCols = insertClauses.zipWithIndex.map { case (cl, j) =>
+            val v = cl.values.find(_._1.equalsIgnoreCase(f.name)).map(_._2)
+              .getOrElse(if (srcCols(lc(f.name))) col(s"s.${f.name}") else lit(null))
+            v.cast(f.dataType).as(s"__i${j}_${f.name}")
+          }
+          (tCol +: updCols) ++ insCols
+        } :+ action.as("__act")
+      val dropActs: Seq[Int] = -1 +: matchedClauses.zipWithIndex.collect {
+        case (_: CommitLog.WhenMatchedDelete, i) => i + 1
+      }
+      // stage 2: filter the dropped actions, pick each column's value
+      val staged = joined.select(stage1Cols: _*)
+        .filter(!col("__act").isin(dropActs.map(Integer.valueOf): _*))
+      val rewritten = staged.select(sch.fields.toIndexedSeq.map { f =>
+        var v: Column = null
+        matchedClauses.zipWithIndex.foreach {
+          case (CommitLog.WhenMatchedUpdate(set, _), i)
+              if set.keys.exists(_.equalsIgnoreCase(f.name)) =>
+            val c = when(col("__act") === (i + 1), col(s"__u${i}_${f.name}"))
+            v = if (v == null) c else v.when(col("__act") === (i + 1), col(s"__u${i}_${f.name}"))
+          case _ => ()
+        }
+        insertClauses.zipWithIndex.foreach { case (_, j) =>
+          val c = when(col("__act") === (100 + j), col(s"__i${j}_${f.name}"))
+          v = if (v == null) c else v.when(col("__act") === (100 + j), col(s"__i${j}_${f.name}"))
+        }
+        (if (v == null) col(s"__t_${f.name}") else v.otherwise(col(s"__t_${f.name}"))).as(f.name)
+      }: _*)
+      validateConstraints(rewritten)
+      commitRewrite(s, sch, touched, rewritten, partCol, txn) match {
+        case Some(v) => return v
+        case None =>
+          attempts += 1
+          require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+      }
+    }
+    -1L // unreachable
+  }
+
   /** RESTORE: make the table's CURRENT state its state at `version` —
     * committed as a NEW `replace` restating the old version's files,
     * schema, partition tags, stats, and blooms verbatim. NO data moves:

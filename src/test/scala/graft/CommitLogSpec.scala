@@ -1234,4 +1234,158 @@ class CommitLogSpec extends SparkSpecBase {
     assert(ePruned.getMessage.contains("not retained"))
     assert(log.read().as[(Long, String)].collect().toSet === Set((3L, "c")))
   }
+
+  test("merge applies update+delete+insert in ONE commit; untouched files survive") {
+    val t = tmpTable("clog-mrg")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "x", "v").coalesce(1))
+    log.append(Seq((10L, 30.0, "c"), (11L, 40.0, "d")).toDF("id", "x", "v").coalesce(1))
+    log.append(Seq((20L, 50.0, "e")).toDF("id", "x", "v").coalesce(1))
+    val before = log.snapshot().files.toSet
+    // source hits files 1 (id=2) and 2 (id=10); file 3 must ride through
+    val src = Seq((2L, 99.0, "B"), (10L, 0.0, "DEL"), (42L, 7.0, "new"))
+      .toDF("id", "x", "v")
+    val v = log.merge(src, Seq("id"), Seq(
+      CommitLog.WhenMatchedDelete(Some(col("s.v") === "DEL")),
+      CommitLog.WhenMatchedUpdate(Map("x" -> col("s.x"), "v" -> col("s.v"))),
+      CommitLog.WhenNotMatchedInsert()))
+    assert(v === 3L) // ONE commit for all three actions
+    assert(log.read().as[(Long, Double, String)].collect().toSet
+      === Set((1L, 10.0, "a"), (2L, 99.0, "B"),       // update landed
+        (11L, 40.0, "d"), (20L, 50.0, "e"),           // untouched rode through
+        (42L, 7.0, "new")))                           // insert landed, 10 deleted
+    val after = log.snapshot().files.toSet
+    assert((before intersect after).size === 1, "the id=20 file must not rewrite")
+    // a merge that changes nothing commits no version
+    val noop = log.merge(Seq((999L, 0.0, "z")).toDF("id", "x", "v"), Seq("id"),
+      Seq(CommitLog.WhenMatchedUpdate(Map("x" -> lit(0.0)))))
+    assert(noop === 3L)
+  }
+
+  test("merge clause order is first-true-wins (ANSI MERGE)") {
+    val t = tmpTable("clog-mrg-ord")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, 5.0), (2L, 50.0)).toDF("id", "x"))
+    val src = Seq((1L, 0.0), (2L, 0.0)).toDF("id", "x")
+    // delete-first: x<10 deletes id=1; the unconditional update catches id=2
+    log.merge(src, Seq("id"), Seq(
+      CommitLog.WhenMatchedDelete(Some(col("t.x") < 10.0)),
+      CommitLog.WhenMatchedUpdate(Map("x" -> (col("t.x") + 1000.0)))))
+    assert(log.read().as[(Long, Double)].collect().toSet === Set((2L, 1050.0)))
+    // update-first on the same shape: the delete clause never fires
+    val t2 = tmpTable("clog-mrg-ord2")
+    val log2 = CommitLog(spark, t2)
+    log2.append(Seq((1L, 5.0), (2L, 50.0)).toDF("id", "x"))
+    log2.merge(src, Seq("id"), Seq(
+      CommitLog.WhenMatchedUpdate(Map("x" -> (col("t.x") + 1000.0))),
+      CommitLog.WhenMatchedDelete(Some(col("t.x") < 10.0))))
+    assert(log2.read().as[(Long, Double)].collect().toSet
+      === Set((1L, 1005.0), (2L, 1050.0)))
+  }
+
+  test("merge refuses duplicate source keys; null-keyed source rows insert") {
+    val t = tmpTable("clog-mrg-dup")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      log.merge(Seq((1L, "x"), (1L, "y")).toDF("id", "v"), Seq("id"),
+        Seq(CommitLog.WhenMatchedUpdate(Map("v" -> col("s.v")))))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    // null keys never match — they are NOT-MATCHED inserts (SQL), and
+    // two of them do not trip the cardinality check
+    val src = Seq((None: Option[Long], "n1"), (None, "n2"), (Some(1L), "A"))
+      .toDF("id", "v")
+    log.merge(src, Seq("id"), Seq(
+      CommitLog.WhenMatchedUpdate(Map("v" -> col("s.v"))),
+      CommitLog.WhenNotMatchedInsert()))
+    assert(log.read().as[(Option[Long], String)].collect().toSet
+      === Set((Some(1L), "A"), (None, "n1"), (None, "n2")))
+  }
+
+  test("merge with conditional insert, schema evolution, and t/s-referencing conditions") {
+    val t = tmpTable("clog-mrg-evo")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+    // source carries a NEW column `tag`; only qualified rows insert;
+    // the update condition compares both sides
+    val src = Seq((1L, 5.0, "small"), (3L, 30.0, "in"), (4L, 1.0, "out"))
+      .toDF("id", "x", "tag")
+    log.merge(src, Seq("id"), Seq(
+      CommitLog.WhenMatchedUpdate(Map("x" -> col("s.x")),
+        condition = Some(col("s.x") < col("t.x"))),
+      CommitLog.WhenNotMatchedInsert(condition = Some(col("s.x") >= 10.0))))
+    val got = log.read().orderBy($"id")
+      .as[(Long, Double, Option[String])].collect().toSeq
+    assert(got === Seq(
+      (1L, 5.0, None),          // updated (5 < 10); old row reads null tag
+      (2L, 20.0, None),         // matched nothing? no — unmatched target rides
+      (3L, 30.0, Some("in"))))  // conditional insert; id=4 filtered out
+  }
+
+  test("merge on a partition-tagged table keeps tags and refuses partCol assignment") {
+    val t = tmpTable("clog-mrg-part")
+    val log = CommitLog(spark, t)
+    log.appendPartitioned(
+      Seq((1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 3.0)).toDF("id", "day", "x"),
+      "day")
+    val ePart = intercept[IllegalArgumentException] {
+      log.merge(Seq((1L, "d9", 0.0)).toDF("id", "day", "x"), Seq("id"),
+        Seq(CommitLog.WhenMatchedUpdate(Map("day" -> col("s.day")))),
+        partCol = Some("day"))
+    }
+    assert(ePart.getMessage.contains("partition column"))
+    log.merge(Seq((1L, "d1", 100.0), (9L, "d3", 9.0)).toDF("id", "day", "x"),
+      Seq("id"), Seq(
+        CommitLog.WhenMatchedUpdate(Map("x" -> col("s.x"))),
+        CommitLog.WhenNotMatchedInsert()),
+      partCol = Some("day"))
+    assert(log.read().as[(Long, String, Double)].collect().toSet
+      === Set((1L, "d1", 100.0), (2L, "d1", 2.0), (3L, "d2", 3.0), (9L, "d3", 9.0)))
+    val s = log.snapshot()
+    assert(s.files.forall(s.parts.contains), "all files keep partition tags")
+    assert(s.parts.values.toSet === Set("d1", "d2", "d3"))
+  }
+
+  test("concurrent merges with disjoint keys all land losslessly") {
+    val t = tmpTable("clog-mrg-conc")
+    CommitLog(spark, t).append(Seq((-1L, 0.0)).toDF("id", "x"))
+    val pool = Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    val futures = (0 until 4).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          start.await()
+          CommitLog(spark, t).merge(
+            Seq((w.toLong, w.toDouble)).toDF("id", "x"), Seq("id"), Seq(
+              CommitLog.WhenMatchedUpdate(Map("x" -> col("s.x"))),
+              CommitLog.WhenNotMatchedInsert()))
+        }
+      })
+    }
+    start.countDown()
+    val versions = futures.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(versions.sorted === (1L to 4L), "every merge won some version")
+    assert(CommitLog(spark, t).read().as[(Long, Double)].collect().toSet
+      === Set((-1L, 0.0), (0L, 0.0), (1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("merge validates CHECK constraints and txn epochs make it a replay no-op") {
+    val t = tmpTable("clog-mrg-chk")
+    val log = CommitLog(spark, t).withConstraint("pos_x", $"x" >= 0.0)
+    log.append(Seq((1L, 1.0)).toDF("id", "x"))
+    val e = intercept[IllegalArgumentException] {
+      log.merge(Seq((1L, -9.0)).toDF("id", "x"), Seq("id"),
+        Seq(CommitLog.WhenMatchedUpdate(Map("x" -> col("s.x")))))
+    }
+    assert(e.getMessage.contains("pos_x"))
+    assert(log.snapshot().version === 0L, "nothing committed")
+    val v1 = log.merge(Seq((1L, 5.0)).toDF("id", "x"), Seq("id"),
+      Seq(CommitLog.WhenMatchedUpdate(Map("x" -> col("s.x")))), txn = Some("m" -> 0L))
+    val v2 = log.merge(Seq((1L, 777.0)).toDF("id", "x"), Seq("id"),
+      Seq(CommitLog.WhenMatchedUpdate(Map("x" -> col("s.x")))), txn = Some("m" -> 0L))
+    assert(v2 === v1, "same (writer, epoch) replays as a no-op")
+    assert(log.read().select($"x").as[Double].head() === 5.0)
+  }
 }
