@@ -531,5 +531,47 @@ object IndexQueries {
         CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
-  val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145, q148)
+  /** B2 partitioned OPTIMIZE + Z-ORDER
+    * ([[graft.sources.CommitLog.optimizePartitions]]): lineitem lands
+    * partition-tagged by return flag in many small fragment commits,
+    * then ONE maintenance call compacts + Z-orders ONLY the 'R'
+    * partition on (l_orderkey, l_suppkey) — a `replace_parts` commit
+    * that never reads or restates the other partitions' files (the
+    * 100 TB form of q134's flat rewrite; file-diff pinned in
+    * CommitLogSpec). The range read after the optimize prunes INSIDE
+    * the partition via the fresh per-file stats; content is
+    * bit-identical, which is what the oracle checks. */
+  private val q149 = Q(
+    "q149_optimize_partitions",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_suppkey"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_quantity"))
+      val root = scratch(s, dir, "optparts-log")
+      val log = graft.sources.CommitLog(s, root)
+      // fragmented landing: 4 interleaved slices, each spanning the
+      // whole key range of every partition
+      (0 until 4).foreach { i =>
+        log.appendPartitioned(li.filter(col("l_orderkey") % 4 === i),
+          "l_returnflag")
+      }
+      log.optimizePartitions("l_returnflag", targetFilesPerPartition = 4,
+        partitions = Seq("R"), zorderBy = Seq("l_orderkey", "l_suppkey"))
+      log.readRange("l_orderkey", 1000L, 3000L)
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("l_suppkey"))
+    },
+    Some("""SELECT l_suppkey, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem
+      WHERE l_orderkey BETWEEN 1000 AND 3000 AND l_returnflag = 'R'
+      GROUP BY l_suppkey ORDER BY l_suppkey"""))
+
+  val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
+    q148, q149)
 }

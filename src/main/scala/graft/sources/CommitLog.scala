@@ -1407,8 +1407,9 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * rewrite (delete+insert pairs that cancel in any keyed apply) and
     * time travel still reaches the pre-optimize layout. Content is
     * bit-identical — only layout changes. Partition-TAGGED tables are
-    * refused: their layout unit is the partition (use
-    * [[replacePartitions]] per partition to re-layout those). */
+    * refused: their layout unit is the partition — use
+    * [[optimizePartitions]], which scopes the rewrite to the touched
+    * partitions. */
   def optimize(targetFiles: Int, zorderBy: Seq[String] = Nil): Long = {
     require(targetFiles >= 1, s"$tableRoot: targetFiles=$targetFiles must be >= 1")
     var attempts = 0
@@ -1416,8 +1417,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val s = snapshot()
       require(s.version >= 0, s"$tableRoot: nothing to optimize")
       require(s.parts.isEmpty,
-        s"$tableRoot: partition-tagged table — optimize per partition via " +
-          "replacePartitions; a flat rewrite would drop the partition tags")
+        s"$tableRoot: partition-tagged table — use optimizePartitions; a " +
+          "flat rewrite would drop the partition tags")
       val df = readAt(s)
       val laid =
         if (zorderBy.isEmpty) df.repartition(targetFiles)
@@ -1446,6 +1447,122 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       // semantics would do exactly that). Drop it and redo the layout
       // over the winner's table, like upsert does.
       files.foreach(deleteData)
+      attempts += 1
+      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+    }
+    -1L // unreachable
+  }
+
+  /** OPTIMIZE for partition-TAGGED tables — the form that matters at
+    * 100 TB, where every table is partitioned and [[optimize]]'s flat
+    * rewrite would both drop tags and rewrite petabytes: compact (and
+    * optionally Z-ORDER on `zorderBy`) ONLY the selected partitions,
+    * committed as a `replace_parts` scoped to exactly those partition
+    * values. Untouched partitions' files are not read, not rewritten,
+    * and not even restated — they ride through the manifest fold
+    * byte-identical, so concurrent optimizes of disjoint partition
+    * sets only contend on the version counter.
+    *
+    * `partitions` empty means every live partition is eligible; either
+    * way a partition is SKIPPED when it is already at
+    * `targetFilesPerPartition` files or fewer and no re-clustering was
+    * asked (`zorderBy` empty) — an optimize that finds nothing to do
+    * returns the current version without committing. The rewrite is
+    * ONE job: plain mode hashes each partition's rows over at most
+    * `targetFilesPerPartition` writer tasks; Z-order mode range-
+    * partitions on (partition, Morton code) and sorts within tasks, so
+    * each partition's files carry tight per-file min/max on every
+    * cluster column — [[readRange]] then prunes inside the partition,
+    * not just across partitions. Content is bit-identical; stats and
+    * blooms are re-harvested for the new files ([[optimize]]'s
+    * config-less bloom keep-alive applies). Naming a partition value
+    * that does not exist fails loudly (a typo'd date must not silently
+    * no-op); Z-ordering on the partition column is refused (constant
+    * within every partition). */
+  def optimizePartitions(partCol: String, targetFilesPerPartition: Int = 1,
+      partitions: Seq[String] = Nil, zorderBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, hash, lit, max, min, pmod, struct}
+    require(targetFilesPerPartition >= 1,
+      s"$tableRoot: targetFilesPerPartition=$targetFilesPerPartition must be >= 1")
+    require(!zorderBy.exists(_.equalsIgnoreCase(partCol)),
+      s"$tableRoot: z-ordering on the partition column '$partCol' is " +
+        "meaningless — it is constant within every partition")
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      require(s.version >= 0, s"$tableRoot: nothing to optimize")
+      require(s.parts.nonEmpty,
+        s"$tableRoot: table is not partition-tagged — use optimize()")
+      val untagged = s.files.filterNot(s.parts.contains)
+      require(untagged.isEmpty,
+        s"$tableRoot: ${untagged.size} live files carry no partition tag — " +
+          "rewrite the table through the partitioned path first")
+      val sch = s.schema.getOrElse(throw new IllegalStateException(
+        s"$tableRoot: committed version ${s.version} carries no schema"))
+      val byPart: Map[String, Seq[String]] = s.files.groupBy(s.parts(_))
+      val wanted: Set[String] =
+        if (partitions.isEmpty) byPart.keySet
+        else {
+          val missing = partitions.filterNot(byPart.contains)
+          require(missing.isEmpty,
+            s"$tableRoot: unknown partition value(s): ${missing.mkString(", ")}")
+          partitions.toSet
+        }
+      val touchedParts = byPart.keys.filter(p => wanted(p) &&
+        (byPart(p).size > targetFilesPerPartition || zorderBy.nonEmpty))
+        .toSeq.sorted
+      if (touchedParts.isEmpty) return s.version // already laid out
+      val touchedSet = touchedParts.toSet
+      val touchedFiles = touchedParts.flatMap(byPart)
+      val df = spark.read.schema(sch)
+        .parquet(touchedFiles.map(f => s"$tableRoot/$f"): _*)
+      val n = touchedParts.size * targetFilesPerPartition
+      val laid =
+        if (zorderBy.isEmpty) {
+          if (targetFilesPerPartition == 1) df.repartition(n, col(partCol))
+          else df.repartition(n, col(partCol),
+            pmod(hash(struct(sch.fieldNames.toIndexedSeq.map(col): _*)),
+              lit(targetFilesPerPartition)))
+        } else {
+          // per-partition Z-clustering: global min-max scaling (one tiny
+          // broadcast stats row), Morton code, then range-partition on
+          // (partition, z) — a writer task never mixes z-ranges, so each
+          // file's stats stay tight on every cluster column
+          val stats = df.agg(
+            zorderBy.flatMap(c => Seq(min(col(c)).as(s"__lo_$c"),
+              max(col(c)).as(s"__hi_$c"))).head,
+            zorderBy.flatMap(c => Seq(min(col(c)).as(s"__lo_$c"),
+              max(col(c)).as(s"__hi_$c"))).tail: _*)
+          val z = graft.operators.Layout.zValue(
+            zorderBy.map(c => graft.operators.Layout.scaleToBits(
+              col(c), col(s"__lo_$c"), col(s"__hi_$c"), bits = 16)),
+            bits = 16)
+          df.crossJoin(broadcast(stats))
+            .withColumn("__z", z)
+            .repartitionByRange(n, col(partCol).cast("string"), col("__z"))
+            .sortWithinPartitions(col(partCol).cast("string"), col("__z"))
+            .drop(zorderBy.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
+            .drop("__z")
+        }
+      val tagged = writeDataPartitioned(laid, partCol, preserveLayout = true)
+      require(tagged.map(_._2).toSet.subsetOf(touchedSet),
+        s"$tableRoot: optimize produced rows outside the touched partitions")
+      val cfg = bloomCfg.orElse {
+        if (s.blooms.isEmpty) None
+        else {
+          val cols = s.blooms.values.flatMap(_.keys).toSeq.distinct.sorted
+          val rep = s.blooms.values.head.values.head
+          Some((cols, rep.bits, rep.k))
+        }
+      }
+      val won = try tryCommit(s.version + 1,
+          manifestJson(s.version + 1, "replace_parts", tagged.map(_._1), sch,
+            None, parts = touchedParts, fileParts = tagged.toMap,
+            stats = statsFor(tagged.map(_._1)),
+            blooms = bloomsForCfg(tagged.map(_._1), cfg)))
+        catch { case e: Throwable => tagged.foreach(t => deleteData(t._1)); throw e }
+      if (won) return s.version + 1
+      tagged.foreach(t => deleteData(t._1))
       attempts += 1
       require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
     }
@@ -1574,7 +1691,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * synthetic `__part` copy is consumed by the directory layout;
     * `partCol` itself stays a normal data column inside the files.
     * Returns (table-root-relative path, partition value) pairs. */
-  private def writeDataPartitioned(df: DataFrame, partCol: String): Seq[(String, String)] = {
+  private def writeDataPartitioned(df: DataFrame, partCol: String,
+      preserveLayout: Boolean = false): Seq[(String, String)] = {
     import org.apache.spark.sql.functions.{col, concat, hash, lit, pmod, struct}
     validateConstraints(df)
     val tmp = new Path(rootPath, s".tmp-${UUID.randomUUID()}")
@@ -1611,11 +1729,17 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         .map(f => col(f.name))
       val salt = if (saltCols.isEmpty) lit(0)
         else pmod(hash(struct(saltCols.toIndexedSeq: _*)), lit(spread))
-      df.withColumn(partTag, concat(lit("v"), col(partCol).cast("string")))
-        .withColumn(saltTag, salt)
-        .repartition(col(partTag), col(saltTag))
-        .drop(saltTag)
-        .write.mode("overwrite").partitionBy(partTag).parquet(tmp.toString)
+      val taggedDf = df.withColumn(partTag,
+        concat(lit("v"), col(partCol).cast("string")))
+      // preserveLayout: the caller ([[optimizePartitions]]) already
+      // repartitioned/sorted the frame into its target file layout —
+      // the salt spread here would undo exactly that compaction
+      val prepared =
+        if (preserveLayout) taggedDf
+        else taggedDf.withColumn(saltTag, salt)
+          .repartition(col(partTag), col(saltTag))
+          .drop(saltTag)
+      prepared.write.mode("overwrite").partitionBy(partTag).parquet(tmp.toString)
       fs.mkdirs(dataDir)
       val dirs = fs.listStatus(tmp).filter(s =>
         s.isDirectory && s.getPath.getName.startsWith(s"$partTag="))

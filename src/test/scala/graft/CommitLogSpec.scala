@@ -665,6 +665,91 @@ class CommitLogSpec extends SparkSpecBase {
     assert(e.getMessage.contains("partition-tagged"))
   }
 
+  test("optimizePartitions compacts ONE partition; untouched partitions byte-identical") {
+    val t = tmpTable("clog-optparts")
+    val log = CommitLog(spark, t)
+    // 6 small appends into d1, 2 into d2 — d1 fragments, d2 is fine
+    (0 until 6).foreach { i =>
+      log.appendPartitioned(
+        (0L until 20L).map(j => (i * 20L + j, "d1", j * 1.0)).toDF("id", "day", "x")
+          .coalesce(1), "day")
+    }
+    (0 until 2).foreach { i =>
+      log.appendPartitioned(
+        (0L until 10L).map(j => (1000L + i * 10 + j, "d2", j * 1.0)).toDF("id", "day", "x")
+          .coalesce(1), "day")
+    }
+    val s0 = log.snapshot()
+    val d2Before = s0.files.filter(f => s0.parts(f) == "d2").toSet
+    assert(s0.files.count(f => s0.parts(f) == "d1") === 6)
+    val before = log.read().as[(Long, String, Double)].collect().toSet
+
+    val v = log.optimizePartitions("day", targetFilesPerPartition = 1,
+      partitions = Seq("d1"))
+    val s1 = log.snapshot()
+    assert(s1.version === v)
+    assert(s1.files.count(f => s1.parts(f) == "d1") === 1, "d1 compacted to one file")
+    assert(s1.files.filter(f => s1.parts(f) == "d2").toSet === d2Before,
+      "d2's files must ride through untouched")
+    assert(log.read().as[(Long, String, Double)].collect().toSet === before,
+      "content is bit-identical")
+    // default scope: d2 (2 files > 1 target) compacts on the next call
+    val v2 = log.optimizePartitions("day")
+    val s2 = log.snapshot()
+    assert(v2 === v + 1 && s2.files.size === 2)
+    assert(s2.files.forall(s2.parts.contains), "all files keep their tags")
+    // everything at target already → no new commit
+    assert(log.optimizePartitions("day") === v2)
+    // a typo'd partition value fails loudly
+    val e = intercept[IllegalArgumentException] {
+      log.optimizePartitions("day", partitions = Seq("d9"))
+    }
+    assert(e.getMessage.contains("unknown partition"))
+    // an untagged table refuses
+    val t2 = tmpTable("clog-optparts-flat")
+    val log2 = CommitLog(spark, t2)
+    log2.append(Seq((1L, "a")).toDF("id", "v"))
+    val e2 = intercept[IllegalArgumentException](log2.optimizePartitions("v"))
+    assert(e2.getMessage.contains("not partition-tagged"))
+  }
+
+  test("optimizePartitions z-order tightens in-partition range pruning") {
+    val t = tmpTable("clog-optparts-z")
+    val log = CommitLog(spark, t)
+    // interleaved ids: every one of d1's 8 files spans the full id range,
+    // so a range read inside d1 must open all of them pre-optimize
+    (0 until 8).foreach { i =>
+      log.appendPartitioned(
+        (0L until 50L).map(j => (j * 8 + i, "d1", j * 1.0)).toDF("id", "day", "x")
+          .coalesce(1), "day")
+    }
+    log.appendPartitioned(
+      (0L until 50L).map(j => (j, "d2", 0.0)).toDF("id", "day", "x").coalesce(1),
+      "day")
+    val before = log.read().as[(Long, String, Double)].collect().toSet
+    def d1FilesAdmitting(lo: Long, hi: Long): Int = {
+      val s = log.snapshot()
+      s.files.count { f =>
+        s.parts(f) == "d1" && s.stats(f).get("id").exists {
+          case (mn: Long, mx: Long) => mx >= lo && mn <= hi }
+      }
+    }
+    assert(d1FilesAdmitting(0L, 40L) === 8, "interleaved layout prunes nothing")
+    val v = log.optimizePartitions("day", targetFilesPerPartition = 4,
+      partitions = Seq("d1"), zorderBy = Seq("id"))
+    val s = log.snapshot()
+    assert(s.version === v)
+    assert(s.files.count(f => s.parts(f) == "d1") <= 4)
+    assert(log.read().as[(Long, String, Double)].collect().toSet === before)
+    assert(d1FilesAdmitting(0L, 40L) < 4,
+      "z-clustered files must carry tight id stats")
+    // the partition column itself is refused as a cluster key
+    val eZ = intercept[IllegalArgumentException] {
+      log.optimizePartitions("day", zorderBy = Seq("day"))
+    }
+    assert(eZ.getMessage.contains("constant within"))
+  }
+
   test("history lists retained commits newest-first with actions and txns") {
     val t = tmpTable("clog-history")
     val log = CommitLog(spark, t)
