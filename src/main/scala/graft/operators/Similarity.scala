@@ -966,6 +966,32 @@ object Similarity {
     CommitLog(spark, s"$indexRoot/postings").appendPartitioned(postings, "cell")
   }
 
+  /** Propagate base-corpus DELETEs into a persisted [[buildIvfPqIndex]]
+    * root: remove the postings of `deletedIds` (any DataFrame carrying
+    * the deleted ids in column `cId` — e.g. the `delete` rows of the
+    * base table's [[graft.sources.CommitLog.readChanges]] feed) in ONE
+    * commit, so searches never surface vectors that no longer exist.
+    * Implemented as a [[graft.sources.CommitLog.merge]] with a single
+    * WHEN MATCHED DELETE clause over the cell-tagged postings table:
+    * the batch's id envelope prunes candidate files against manifest
+    * stats, only files actually holding a deleted id rewrite (cells
+    * the batch never touched are not even read), and partition tags
+    * survive, so the searcher's probed-cells-only pruning is intact.
+    * Codebooks are untouched — an index's quantizers are fixed at
+    * build time, and removing postings never invalidates the codes of
+    * the survivors, so a post-delete search is bit-identical to a
+    * fresh rebuild over the surviving corpus (spec-pinned, provided
+    * the rebuild would sample the same codebook rows). Cost ∝ touched
+    * cells, never corpus. Returns the postings table's new version
+    * (or the current one when no posting matched). */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String, deletedIds: DataFrame, cId: String): Long = {
+    import graft.sources.CommitLog
+    val ids = deletedIds.select(col(cId).as("c_id")).distinct()
+    CommitLog(spark, s"$indexRoot/postings").merge(ids, Seq("c_id"),
+      Seq(CommitLog.WhenMatchedDelete()), partCol = Some("cell"))
+  }
+
   /** Query a [[buildIvfPqIndex]] index: probe `nprobe` cells per query
     * against the persisted coarse codebook, read ONLY those cells'
     * postings files (manifest-level pruning — the inverted-list seek),

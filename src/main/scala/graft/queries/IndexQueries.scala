@@ -572,6 +572,40 @@ object IndexQueries {
       WHERE l_orderkey BETWEEN 1000 AND 3000 AND l_returnflag = 'R'
       GROUP BY l_suppkey ORDER BY l_suppkey"""))
 
+  /** C3 index delete propagation
+    * ([[graft.operators.Similarity.deleteFromIvfPqIndex]]): build the
+    * persisted index, DELETE a slice of the corpus from it (one
+    * WHEN-MATCHED-DELETE merge over the cell-tagged postings — only
+    * cells holding a deleted id rewrite), then search. The deleted ids
+    * sit outside the codebook sample range, so the oracle is q117's
+    * SQL with the victims excluded from the CANDIDATE side only —
+    * exactly what a fresh rebuild over the survivors would answer
+    * (bit-parity spec-pinned in AnnIndexSpec). */
+  private val q150 = Q(
+    "q150_ann_index_delete",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = scratch(s, dir, "ann-del")
+      graft.operators.Similarity.buildIvfPqIndex(
+        emb, "vec_id", "embedding", root,
+        nlist = 16, m = 8, ksub = 16, dim = 64)
+      graft.operators.Similarity.deleteFromIvfPqIndex(s, root,
+        emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= 16)
+          .select(col("vec_id")), "vec_id")
+      graft.operators.Similarity.searchIvfPqIndex(
+          s, root, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+          k = 3, nprobe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      val hook = "JOIN asg a ON a.cell = p.cell AND a.c_id <> p.q_id"
+      val filtered = ivfPqOracle.replace(hook,
+        hook + "\n          AND NOT (a.c_id % 7 = 3 AND a.c_id >= 16)")
+      require(filtered != ivfPqOracle,
+        "q150 oracle derivation lost its anchor in ivfPqOracle")
+      filtered
+    })
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
-    q148, q149)
+    q148, q149, q150)
 }

@@ -98,6 +98,50 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(search(rootInc) === search(rootOne))
   }
 
+  test("delete propagation: post-delete search equals a fresh rebuild on the survivors") {
+    val rootDel = tmpRoot("ann-del")
+    val rootFresh = tmpRoot("ann-fresh")
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", rootDel,
+      nlist = 16, m = 8, ksub = 16, dim = 64)
+    // victims: ONE cell's postings, all outside the codebook sample
+    // range (vec_id < 16) so a fresh rebuild on the survivors trains
+    // the same quantizers — and so every other cell's files must
+    // survive the delete untouched (the FIND semi-join's exactness)
+    val postings0 = CommitLog(spark, s"$rootDel/postings")
+    val victimCell = postings0.read().filter($"c_id" >= 16)
+      .groupBy($"cell").count().orderBy(desc("count"), $"cell")
+      .select($"cell").as[Long].head()
+    val goneIds = postings0.read()
+      .filter($"cell" === victimCell && $"c_id" >= 16)
+      .select($"c_id").as[Long].collect().toSet
+    assert(goneIds.nonEmpty)
+    val gone = col("vec_id").isInCollection(goneIds)
+    val s0 = postings0.snapshot()
+    val otherCellFiles = s0.files.filter(f => s0.parts(f) != victimCell.toString).toSet
+    Similarity.deleteFromIvfPqIndex(spark, rootDel,
+      emb.filter(gone).select($"vec_id"), "vec_id")
+    // only the victim cell's files rewrote
+    val sAfter = postings0.snapshot()
+    assert(otherCellFiles.subsetOf(sAfter.files.toSet),
+      "untouched cells' files must survive the delete")
+    assert(sAfter.files.forall(sAfter.parts.contains), "cell tags survive")
+    // no deleted id remains in the postings
+    assert(postings0.read()
+      .filter($"c_id".isInCollection(goneIds)).count() === 0L)
+    Similarity.buildIvfPqIndex(emb.filter(!gone), "vec_id", "embedding",
+      rootFresh, nlist = 16, m = 8, ksub = 16, dim = 64)
+    val q = emb.filter(col("vec_id") < 20)
+    def search(root: String) = Similarity.searchIvfPqIndex(spark, root, q,
+        "vec_id", "embedding", k = 3, nprobe = 4)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    val afterDelete = search(rootDel)
+    assert(afterDelete.nonEmpty && afterDelete === search(rootFresh))
+    // deleting ids the index never held commits nothing
+    val v = CommitLog(spark, s"$rootDel/postings").snapshot().version
+    assert(Similarity.deleteFromIvfPqIndex(spark, rootDel,
+      Seq(999999L).toDF("vec_id"), "vec_id") === v)
+  }
+
   test("rebuilding commits a new version; the index root stays consistent") {
     val root = tmpRoot("ann-rebuild")
     Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", root,
