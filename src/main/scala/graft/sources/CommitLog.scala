@@ -300,7 +300,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * NEWER state than asked for. Pre-timestamp manifests (older logs)
     * count as ts = 0: always within bound, never chosen over a
     * timestamped later version. */
-  def readAsOfTime(tsMillis: Long): DataFrame = {
+  def readAsOfTime(tsMillis: Long): DataFrame = readVersion(versionAtTime(tsMillis))
+
+  /** The version [[readAsOfTime]] resolves `tsMillis` to — exposed so
+    * the DSv2 binding ([[GraftLogScanBuilder]]) shares the exact
+    * clock-skew rule. */
+  def versionAtTime(tsMillis: Long): Long = {
     var chosen = -1L
     parsedManifests(Long.MaxValue).foreach { node =>
       val ts = Option(node.get("ts")).map(_.asLong()).getOrElse(0L)
@@ -308,7 +313,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
     require(chosen >= 0,
       s"$tableRoot: no retained version committed at or before $tsMillis")
-    readVersion(chosen)
+    chosen
   }
 
   /** The table at the latest version (explicit file-list scan — full
@@ -1319,7 +1324,6 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * a skipped file would be lost rows). */
   private def candidateFiles(s: Snapshot,
       condition: org.apache.spark.sql.Column, sch: StructType): Seq[String] = {
-    import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     val analyzed = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
@@ -1328,6 +1332,19 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       case Seq(c) => c
       case _ => return s.files // unexpected plan shape → no pruning
     }
+    candidateFilesForExprs(s, Seq(resolvedCond))
+  }
+
+  /** The resolved-expression core of [[candidateFiles]], shared with
+    * the DSv2 read path ([[GraftLogScanBuilder]]) where Catalyst hands
+    * over already-resolved pushdown predicates: manifest min/max stats
+    * rule out files that cannot hold a TRUE row, and per-file Bloom
+    * filters ([[withBloomIndex]]) additionally prune top-level
+    * equality conjuncts the way [[readPoint]] does. Conservative in
+    * every case an expression shape is not understood. */
+  private[sources] def candidateFilesForExprs(s: Snapshot,
+      conjunctsIn: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
     // internal eval values → the stats domain (Long / Double / String);
     // DATE folds to epoch-day Long and TIMESTAMP to epoch-micros Long,
     // both exactly the form [[statsFor]] records for INT32/INT64
@@ -1362,9 +1379,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
+    val cs = conjunctsIn.flatMap(conjuncts)
     // (col, requiredLo, requiredHi): a TRUE row needs col in [lo, hi]
     val bounds: Seq[(String, Option[Any], Option[Any])] =
-      conjuncts(resolvedCond).flatMap {
+      cs.flatMap {
         case Cmp(op, a, v) if attr(a).isDefined =>
           attr(a).flatMap(n => litVal(v).map { x =>
             op match {
@@ -1383,6 +1401,23 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           })
         case _ => None
       }
+    // top-level equality conjuncts additionally probe the per-file
+    // Bloom filters (when indexed) — the value stringifies THROUGH the
+    // already-inserted cast, matching [[bloomsFor]]'s hashing exactly;
+    // an unevaluable probe just skips bloom pruning for that conjunct
+    val probes: Seq[(String, String)] = cs.flatMap {
+      case EqualTo(a, v) if attr(a).isDefined && v.foldable
+          && !v.exists(_.isInstanceOf[Attribute]) =>
+        attr(a).flatMap(n => scala.util.Try(
+          Option(Cast(v, org.apache.spark.sql.types.StringType).eval(null))
+            .map(x => n -> x.toString)).toOption.flatten)
+      case EqualTo(v, a) if attr(a).isDefined && v.foldable
+          && !v.exists(_.isInstanceOf[Attribute]) =>
+        attr(a).flatMap(n => scala.util.Try(
+          Option(Cast(v, org.apache.spark.sql.types.StringType).eval(null))
+            .map(x => n -> x.toString)).toOption.flatten)
+      case _ => None
+    }
     s.files.filter { f =>
       bounds.forall { case (c, lo, hi) =>
         s.stats.get(f).flatMap(_.get(c)) match {
@@ -1390,6 +1425,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           // makes that side of the overlap check trivially true
           case Some((mn, mx)) => overlaps(mn, mx, lo.getOrElse(mn), hi.getOrElse(mx))
           case None => true // no stats → cannot rule the file out
+        }
+      } && probes.forall { case (c, v) =>
+        s.blooms.get(f).flatMap(_.get(c)) match {
+          case Some(b) => bloomMayContain(b, v)
+          case None => true // no filter for the column → keep the file
         }
       }
     }

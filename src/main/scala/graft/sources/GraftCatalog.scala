@@ -84,7 +84,24 @@ final class GraftCatalog extends TableCatalog {
       .filter(id => fs.exists(metaPath(id)))
   }
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table =
+    loadWith(ident, None, None)
+
+  /** SQL time travel, `SELECT … FROM graft.t VERSION AS OF 3` — the
+    * analyzer routes the version literal here. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadWith(ident,
+      Some(scala.util.Try(version.toLong).getOrElse(throw new IllegalArgumentException(
+        s"$ident: VERSION AS OF '$version' — graft versions are numeric"))),
+      None)
+
+  /** SQL time travel, `… TIMESTAMP AS OF '2026-01-01'` — Spark hands
+    * the bound as epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadWith(ident, None, Some(timestamp / 1000L))
+
+  private def loadWith(ident: Identifier, asOfVersion: Option[Long],
+      asOfTsMillis: Option[Long]): Table = {
     val mp = metaPath(ident)
     if (!fs.exists(mp)) throw new NoSuchTableException(ident)
     val in = fs.open(mp)
@@ -94,10 +111,33 @@ final class GraftCatalog extends TableCatalog {
     } finally in.close()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(raw)
-    val schema = DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType]
+    val declared = DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType]
     val props = node.get("properties").properties().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap
-    new GraftMergeTable(ident.toString, dir(ident).toString, schema, props)
+    val root = dir(ident).toString
+    // commit-log tables resolve against the (possibly pinned) snapshot
+    // schema — upserts may have evolved it past the declared one
+    val schema =
+      if (CommitLog.exists(spark, root)) {
+        val log = CommitLog(spark, root)
+        val snap = asOfVersion match {
+          case Some(v) =>
+            val s = log.snapshotAt(v)
+            require(s.version == v, s"$ident: version $v not in the log")
+            s
+          case None => asOfTsMillis match {
+            case Some(t) => log.snapshotAt(log.versionAtTime(t))
+            case None => log.snapshot()
+          }
+        }
+        snap.schema.getOrElse(declared)
+      } else {
+        require(asOfVersion.isEmpty && asOfTsMillis.isEmpty,
+          s"$ident: time travel requires merge.log=true (versioned commit log)")
+        declared
+      }
+    new GraftMergeTable(ident.toString, root, schema, props,
+      asOfVersion, asOfTsMillis)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -136,8 +176,10 @@ final class GraftCatalog extends TableCatalog {
   * Data lives under `<path>/data` (sidecar metadata stays out of the
   * parquet listing); reads go through [[GraftMergeTable.read]]. */
 private[sources] final class GraftMergeTable(ident: String, path: String,
-    schema0: StructType, props: Map[String, String])
-    extends Table with SupportsWrite {
+    schema0: StructType, props: Map[String, String],
+    asOfVersion: Option[Long] = None, asOfTsMillis: Option[Long] = None)
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   private val dataPath = s"$path/data"
 
@@ -152,8 +194,51 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
   // ([[CommitLog.replacePartitions]]).
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
+
+  /** DSv2 READ: commit-log tables scan the snapshot's live file list
+    * through [[GraftLogScanBuilder]] (Spark's own vectorized parquet
+    * scan underneath — full filter/column pushdown — plus manifest
+    * stats + bloom FILE skipping on the pushed predicates, and
+    * `versionAsOf` / `timestampAsOf` read options for time travel:
+    * `spark.read.option("versionAsOf", 3).table("graft.t")`). Plain
+    * directory tables scan `data/` as ordinary parquet. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    val spark = SparkSession.active
+    val optVersion = Option(options.get("versionAsOf")).map(v =>
+      scala.util.Try(v.toLong).getOrElse(throw new IllegalArgumentException(
+        s"$ident: versionAsOf '$v' must be numeric"))).orElse(asOfVersion)
+    val optTs = Option(options.get("timestampAsOf")).map(parseTsMillis)
+      .orElse(asOfTsMillis)
+    require(optVersion.isEmpty || optTs.isEmpty,
+      s"$ident: versionAsOf and timestampAsOf are mutually exclusive")
+    if (CommitLog.exists(spark, path))
+      new GraftLogScanBuilder(spark, path, optVersion, optTs, options)
+    else {
+      require(optVersion.isEmpty && optTs.isEmpty,
+        s"$ident: time travel requires merge.log=true (versioned commit log)")
+      val fsc = new Path(dataPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val paths = if (fsc.exists(new Path(dataPath))) Seq(dataPath) else Nil
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+          s"$ident data", spark, options, paths, Some(schema0),
+          classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+        .newScanBuilder(options)
+    }
+  }
+
+  /** `timestampAsOf` accepts epoch millis or a SQL timestamp string
+    * (interpreted in the session timezone, pinned UTC by Sessions). */
+  private def parseTsMillis(v: String): Long =
+    scala.util.Try(v.toLong).getOrElse {
+      scala.util.Try(java.sql.Timestamp.valueOf(
+        if (v.length == 10) v + " 00:00:00" else v).getTime)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$ident: timestampAsOf '$v' is neither epoch millis nor a timestamp"))
+    }
 
   private def keys: Seq[String] =
     props.get("merge.keys").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
@@ -161,7 +246,9 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
   private def mode: String =
     props.getOrElse("merge.mode", if (keys.nonEmpty) "insert-if-absent" else "append")
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOfVersion.isEmpty && asOfTsMillis.isEmpty,
+      s"$ident: cannot write to a time-travel snapshot")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -170,6 +257,7 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
           (data: DataFrame, _: Boolean) => insert(data, overwrite)
       }
     }
+  }
 
   private def exists(data: DataFrame): Boolean = {
     val fs = new Path(dataPath)
@@ -239,6 +327,74 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
           s"$ident: unknown merge.mode '$other' (append | insert-if-absent | last-wins)")
     }
   }
+}
+
+/** DSv2 scan over a [[CommitLog]] table: the snapshot's live file list
+  * (optionally pinned by version / timestamp time travel) fed into
+  * Spark's OWN parquet scan — so SQL readers get the vectorized
+  * reader, whole-stage codegen, and full filter/column pushdown —
+  * with one extra layer the stock scan cannot have: the pushed
+  * predicates first prune WHOLE FILES against the manifest's min/max
+  * stats and Bloom filters ([[CommitLog.candidateFilesForExprs]]),
+  * before any footer is opened. That is [[CommitLog.readRange]] /
+  * [[CommitLog.readPoint]] semantics arriving transparently for any
+  * `WHERE` a SQL user writes — the inner builder is constructed over
+  * only the surviving files. Filters Spark never pushes (none, or
+  * SELECT *) scan the full live set, exactly like [[CommitLog.read]]. */
+private[sources] final class GraftLogScanBuilder(
+    spark: SparkSession, tableRoot: String,
+    version: Option[Long], tsMillis: Option[Long],
+    options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+  import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+  import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+
+  private val log = CommitLog(spark, tableRoot)
+  private val snap = version match {
+    case Some(v) =>
+      val s = log.snapshotAt(v)
+      require(s.version == v, s"$tableRoot: version $v not in the log")
+      s
+    case None => tsMillis match {
+      case Some(t) => log.snapshotAt(log.versionAtTime(t))
+      case None => log.snapshot()
+    }
+  }
+  private val snapSchema: StructType =
+    snap.schema.getOrElse(new StructType())
+
+  private def makeInner(files: Seq[String]): FileScanBuilder =
+    ParquetTable(s"graft-log $tableRoot", spark, options,
+        files.map(f => s"$tableRoot/$f").toList, Some(snapSchema),
+        classOf[ParquetFileFormat])
+      .newScanBuilder(options).asInstanceOf[FileScanBuilder]
+
+  private var innerOpt: Option[FileScanBuilder] = None
+  private def inner: FileScanBuilder = innerOpt.getOrElse {
+    val b = makeInner(snap.files); innerOpt = Some(b); b
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    // manifest-level FILE skipping happens here, before the parquet
+    // builder (and its file index) is even constructed
+    val files = log.candidateFilesForExprs(snap, filters)
+    val b = makeInner(files)
+    innerOpt = Some(b)
+    b.pushFilters(filters)
+  }
+
+  override def pushedFilters()
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = inner.build()
 }
 
 object GraftMergeTable {

@@ -117,6 +117,103 @@ class SourcesSpec extends SparkSpecBase {
       Option(e.getCause).exists(_.getMessage.contains("bogus")))
   }
 
+  test("graft catalog DSv2 read: spark.table + SQL time travel over a commit-log table") {
+    val wh = Files.createTempDirectory("graft-wh-tt").toString
+    spark.conf.set("spark.sql.catalog.gtt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtt.warehouse", wh)
+
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price")
+      .writeTo("gtt.prices")
+      .tableProperty("merge.keys", "id")
+      .tableProperty("merge.mode", "last-wins")
+      .tableProperty("merge.log", "true")
+      .create()                                                  // v0
+    Seq((2L, 21.0), (3L, 30.0)).toDF("id", "price")
+      .writeTo("gtt.prices").append()                            // v1
+
+    // plain SQL read sees the latest merged state
+    assert(spark.table("gtt.prices").as[(Long, Double)].collect().toSet
+      === Set((1L, 10.0), (2L, 21.0), (3L, 30.0)))
+    assert(spark.sql("SELECT sum(price) FROM gtt.prices").as[Double].head() === 61.0)
+
+    // SQL VERSION AS OF and the versionAsOf read option reach v0
+    assert(spark.sql("SELECT * FROM gtt.prices VERSION AS OF 0")
+      .as[(Long, Double)].collect().toSet === Set((1L, 10.0), (2L, 20.0)))
+    assert(spark.read.option("versionAsOf", "0").table("gtt.prices")
+      .as[(Long, Double)].collect().toSet === Set((1L, 10.0), (2L, 20.0)))
+
+    // TIMESTAMP AS OF far in the future resolves to the latest version
+    assert(spark.sql("SELECT * FROM gtt.prices TIMESTAMP AS OF '2100-01-01'")
+      .count() === 3L)
+    assert(spark.read.option("timestampAsOf", "2100-01-01 00:00:00")
+      .table("gtt.prices").count() === 3L)
+    // ... and one before every commit refuses, rather than answering
+    // with a silently-newer state
+    val eEarly = intercept[Exception] {
+      spark.read.option("timestampAsOf", "1971-01-01 00:00:00")
+        .table("gtt.prices").collect()
+    }
+    assert(eEarly.getMessage.contains("at or before") ||
+      Option(eEarly.getCause).exists(_.getMessage.contains("at or before")))
+
+    // writes to a pinned snapshot refuse
+    val eWrite = intercept[Exception] {
+      spark.sql("INSERT INTO gtt.prices VERSION AS OF 0 VALUES (9, 9.0)")
+    }
+    assert(eWrite.getMessage.nonEmpty)
+  }
+
+  test("graft catalog DSv2 read: pushed filters prune whole files via manifest stats") {
+    val wh = Files.createTempDirectory("graft-wh-prune").toString
+    spark.conf.set("spark.sql.catalog.gpr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpr.warehouse", wh)
+    // three disjoint-id-range commits → three files with disjoint stats
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).writeTo("gpr.t")
+      .tableProperty("merge.log", "true").create()
+    val log = graft.sources.CommitLog(spark, s"$wh/t")
+    log.append(Seq((100L, "c"), (101L, "d")).toDF("id", "v").coalesce(1))
+    log.append(Seq((200L, "e")).toDF("id", "v").coalesce(1))
+    assert(log.snapshot().files.size === 3)
+
+    val q = spark.table("gpr.t").filter($"id" >= 100L && $"id" <= 150L)
+    assert(q.as[(Long, String)].collect().toSet === Set((100L, "c"), (101L, "d")))
+    // the scan opened ONLY the one file whose stats admit [100, 150]
+    // (inputFiles does not see DSv2 scans — read the scan node's index)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length
+      }.sum
+    assert(scannedFiles(q) === 1,
+      s"manifest stats should prune to 1 file, scanned ${scannedFiles(q)}")
+    assert(scannedFiles(spark.table("gpr.t")) === 3,
+      "an unfiltered scan reads the full live set")
+    // the filter itself reached the parquet scan (pushdown, not post-filter)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual"))
+    // schema evolution via the log is visible to SQL readers
+    log.upsert(Seq((300L, "f", 1.5)).toDF("id", "v", "extra"),
+      Seq("id"), graft.sources.CommitLog.LastWins)
+    assert(spark.table("gpr.t").columns.toSeq === Seq("id", "v", "extra"))
+    assert(spark.table("gpr.t").filter($"extra".isNotNull).count() === 1L)
+  }
+
+  test("graft catalog DSv2 read: plain directory tables scan; time travel refused") {
+    val wh = Files.createTempDirectory("graft-wh-plain").toString
+    spark.conf.set("spark.sql.catalog.gpl", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpl.warehouse", wh)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").writeTo("gpl.t").create()
+    assert(spark.table("gpl.t").as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    val e = intercept[Exception] {
+      spark.read.option("versionAsOf", "0").table("gpl.t").collect()
+    }
+    assert(e.getMessage.contains("merge.log") ||
+      Option(e.getCause).exists(_.getMessage.contains("merge.log")))
+  }
+
   test("CSV sink + explicit-schema scan round-trips lineitem columns") {
     val dir = Files.createTempDirectory("csv-src").toString
     val src = graft.sources.Tables(spark, sfDir, "lineitem")
