@@ -112,10 +112,25 @@ object ExactQuantile {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       s"quantile fractions must be in [0,1], got $ps")
     require(names.length == ps.length, "one output name per fraction")
-    val spark = df.sparkSession
     val vals = df.select(keyCols.map(col) :+ col(valueCol).cast("double").as("v"): _*)
       .filter(col("v").isNotNull && !isnan(col("v")))
       .localCheckpoint()
+    quantilesByGroupPrepped(vals, keyCols, ps, names, countCol,
+      bins, collectThreshold, driverGroupLimit)
+  }
+
+  /** The post-projection core of [[quantilesByGroup]], taking `vals` =
+    * (keyCols..., v double) with null/NaN already removed and ALREADY
+    * materialized (the narrowing levels re-scan it). Exposed inside
+    * the package so a caller computing SEVERAL dependent quantile
+    * passes over the same rows ([[Robust.madScores]]: median, then
+    * median of deviations) shares ONE materialized projection instead
+    * of re-scanning and re-checkpointing the source per pass. */
+  private[operators] def quantilesByGroupPrepped(vals: DataFrame,
+      keyCols: Seq[String], ps: Seq[Double], names: Seq[String],
+      countCol: Option[String] = None, bins: Int = 512,
+      collectThreshold: Int = 65536, driverGroupLimit: Int = 16384): DataFrame = {
+    val spark = vals.sparkSession
     // per-group (n, min, max) — needed by BOTH engines, so materialize
     // it once; counting the (group-domain-sized) checkpoint is then a
     // trivial job, and the engine choice never collects an unbounded
@@ -128,7 +143,7 @@ object ExactQuantile {
     // group-sized checkpoint guards BOTH engines
     require(baseDf.filter(col("__mn") === Double.NegativeInfinity
         || col("__mx") === Double.PositiveInfinity).limit(1).collect().isEmpty,
-      s"±Infinity in $valueCol — histogram narrowing cannot bound an " +
+      s"±Infinity in the quantile value column — histogram narrowing cannot bound an " +
         "infinite interval; filter or clamp non-finite values first")
     if (baseDf.count() > driverGroupLimit)
       return quantilesByGroupDistributed(

@@ -47,17 +47,30 @@ object Robust {
       collectThreshold: Int = 65536): DataFrame = {
     require(keyCols.nonEmpty, "madScores needs ≥1 group key")
     require(k >= 0, s"outlier threshold k=$k must be ≥ 0")
-    val med = ExactQuantile.quantilesByGroup(
-      df, keyCols, valueCol, Seq(0.5), Seq(medCol),
+    // ONE materialized (keys, v) projection feeds both dependent
+    // quantile passes: the median narrowing, and — joined with the
+    // group-sized median frame — the deviation narrowing. The source
+    // is scanned once here and once for the row-level output below,
+    // instead of once per pass (r9; the BenchOne pin showed the extra
+    // scans+checkpoints were most of q146's isolated time).
+    val vals = df
+      .select(keyCols.map(col) :+ col(valueCol).cast("double").as("v"): _*)
+      .filter(col("v").isNotNull && !isnan(col("v")))
+      .localCheckpoint()
+    val med = ExactQuantile.quantilesByGroupPrepped(
+      vals, keyCols, Seq(0.5), Seq(medCol),
       bins = bins, collectThreshold = collectThreshold)
       .select(keyCols.map(col) :+ col(medCol): _*)
-    val dev = df.join(med, keyCols)
-      .withColumn("__dev", abs(col(valueCol).cast("double") - col(medCol)))
-    val mad = ExactQuantile.quantilesByGroup(
-      dev, keyCols, "__dev", Seq(0.5), Seq(madCol),
+    val devVals = vals.join(med, keyCols)
+      .select(keyCols.map(col) :+ abs(col("v") - col(medCol)).as("v"): _*)
+      .localCheckpoint()
+    val mad = ExactQuantile.quantilesByGroupPrepped(
+      devVals, keyCols, Seq(0.5), Seq(madCol),
       bins = bins, collectThreshold = collectThreshold)
       .select(keyCols.map(col) :+ col(madCol): _*)
-    dev.join(mad, keyCols)
+    df.join(med, keyCols)
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col(medCol)))
+      .join(mad, keyCols)
       .withColumn(flagCol, col("__dev") > lit(k) * col(madCol))
       .drop("__dev")
   }
