@@ -214,6 +214,56 @@ class SourcesSpec extends SparkSpecBase {
       Option(e.getCause).exists(_.getMessage.contains("merge.log")))
   }
 
+  test("graft-log format: path-based reads, time travel, and the batch change feed") {
+    val root = Files.createTempDirectory("graft-log-fmt").toString + "/t"
+    val log = graft.sources.CommitLog(spark, root)
+    log.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"))     // v0
+    log.upsert(Seq((2L, 21.0), (3L, 30.0)).toDF("id", "price"),
+      Seq("id"), graft.sources.CommitLog.LastWins)                  // v1
+
+    // latest snapshot
+    assert(spark.read.format("graft-log").load(root)
+      .as[(Long, Double)].collect().toSet
+      === Set((1L, 10.0), (2L, 21.0), (3L, 30.0)))
+    // version pin
+    assert(spark.read.format("graft-log").option("versionAsOf", "0").load(root)
+      .as[(Long, Double)].collect().toSet === Set((1L, 10.0), (2L, 20.0)))
+    // timestamp pin (far future → latest)
+    assert(spark.read.format("graft-log")
+      .option("timestampAsOf", "2100-01-01").load(root).count() === 3L)
+    // pushdown still prunes: filter reaches the parquet scan
+    val q = spark.read.format("graft-log").load(root).filter($"id" === 3L)
+    assert(q.as[(Long, Double)].collect().toSeq === Seq((3L, 30.0)))
+    assert(q.queryExecution.executedPlan.toString.contains("PushedFilters"))
+
+    // batch change feed ≡ the library readChanges
+    val feed = spark.read.format("graft-log")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(root)
+    val want = log.readChanges(0L)
+      .select($"id", $"price", $"_change_type", $"_commit_version")
+      .as[(Long, Double, String, Long)].collect().sorted.toSeq
+    assert(feed.select($"id", $"price", $"_change_type", $"_commit_version")
+      .as[(Long, Double, String, Long)].collect().sorted.toSeq === want)
+    // startingVersion is the diff BASE (exclusive, readChanges
+    // semantics): the feed is v1 only — v0's two rows retired as
+    // deletes, the merged three restated as inserts
+    assert(feed.filter($"_change_type" === "delete").count() === 2L)
+    assert(feed.filter($"_change_type" === "insert").count() === 3L)
+    // the full history from the diff base -1 includes v0's inserts too
+    assert(spark.read.format("graft-log")
+      .option("readChangeFeed", "true").option("startingVersion", "-1")
+      .load(root).filter($"_change_type" === "insert").count() === 5L)
+    // bad options fail loudly
+    intercept[Exception] {
+      spark.read.format("graft-log").option("versionAsOf", "0")
+        .option("timestampAsOf", "2100-01-01").load(root).collect()
+    }
+    intercept[Exception] {
+      spark.read.format("graft-log").load(root + "-nope").collect()
+    }
+  }
+
   test("CSV sink + explicit-schema scan round-trips lineitem columns") {
     val dir = Files.createTempDirectory("csv-src").toString
     val src = graft.sources.Tables(spark, sfDir, "lineitem")
