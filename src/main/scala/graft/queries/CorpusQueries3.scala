@@ -795,6 +795,78 @@ object CorpusQueries3 {
       FROM dev d JOIN mad m USING (l_suppkey)
       GROUP BY d.l_suppkey ORDER BY d.l_suppkey"""))
 
+  /** C-tier stratified subsampling ([[graft.operators.Sampling
+    * .stratifiedTake]]): exactly min(50, |group|) orders per status,
+    * chosen by rank over the 60-bit md5 hash of (seed, key) — the
+    * deterministic, rerun-stable, oracle-replayable form of the
+    * per-stratum balancing a dataset build runs (never `rand()`: task
+    * retries must pick the SAME rows). One shuffle on the stratum key;
+    * the oracle replays the identical hash + ROW_NUMBER selection. */
+  private val q151 = Q(
+    "q151_stratified_sample",
+    (s, dir) =>
+      graft.operators.Sampling.stratifiedTake(
+        t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price")),
+        Seq("o_orderstatus"), Seq("o_orderkey"), n = 50, seed = "s9")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(col("price")).cast("double").as("revenue"))
+        .orderBy(col("o_orderstatus")),
+    Some("""WITH r AS (
+        SELECT o_orderstatus, o_orderkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+            ORDER BY ('0x' || substr(md5('s9:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT,
+              o_orderkey) AS rn
+        FROM orders)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        CAST(SUM(price) AS DOUBLE) AS revenue
+      FROM r WHERE rn <= 50
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** C-tier deterministic train/val/test split ([[graft.operators
+    * .Sampling.hashSplit]], 80/10/10): membership is a pure function
+    * of (seed, doc_id) — no shuffle, frozen across corpus growth (new
+    * rows land in splits without resplitting history — the leakage
+    * property frozen eval sets need). The oracle embeds the SAME
+    * floored 2^60 cumulative thresholds [[graft.operators.Sampling
+    * .splitThresholds]] computes. */
+  private val q152 = Q(
+    "q152_hash_split", {
+      (s, dir) =>
+        graft.operators.Sampling.hashSplit(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          Seq("doc_id"), Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"),
+          seed = "s9")
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).as("key_sum"),
+            sum(length(col("text")).cast("long")).as("chars"))
+          .orderBy(col("split"))
+    },
+    Some {
+      val cuts = graft.operators.Sampling.splitThresholds(Seq(0.8, 0.1, 0.1))
+      s"""WITH h AS (
+        SELECT doc_id, text,
+          ('0x' || substr(md5('s9:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h60
+        FROM documents),
+      sp AS (
+        SELECT doc_id, text,
+          CASE WHEN h60 < ${cuts(0)} THEN 'train'
+               WHEN h60 < ${cuts(1)} THEN 'val'
+               ELSE 'test' END AS split
+        FROM h)
+      SELECT split, COUNT(*) AS n,
+        CAST(SUM(doc_id) AS BIGINT) AS key_sum,
+        CAST(SUM(LENGTH(text)) AS BIGINT) AS chars
+      FROM sp GROUP BY split ORDER BY split"""
+    })
+
   val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q114, q115,
-    q116, q117, q118, q119, q120, q123, q126, q129, q130, q140, q142, q146)
+    q116, q117, q118, q119, q120, q123, q126, q129, q130, q140, q142, q146,
+    q151, q152)
 }

@@ -243,4 +243,42 @@ class OperatorsSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan)
   }
+
+  test("stratifiedTake: exact per-group counts, rerun-stable, seed-sensitive") {
+    import graft.operators.Sampling
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+      .unionByName(Seq((1000L, "tiny")).toDF("id", "grp"))
+    val take = Sampling.stratifiedTake(df, Seq("grp"), Seq("id"), n = 20, seed = "a")
+    val counts = take.groupBy($"grp").count().as[(String, Long)].collect().toMap
+    // exactly min(n, |group|) per group — the 1-row group survives whole
+    assert(counts === Map("g0" -> 20L, "g1" -> 20L, "g2" -> 20L, "tiny" -> 1L))
+    // rerun-stable: the same rows, not just the same counts
+    val ids1 = take.select($"id").as[Long].collect().sorted.toSeq
+    val ids2 = Sampling.stratifiedTake(df, Seq("grp"), Seq("id"), 20, "a")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(ids1 === ids2)
+    // a different seed picks a different sample (overwhelmingly)
+    val idsB = Sampling.stratifiedTake(df, Seq("grp"), Seq("id"), 20, "b")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(ids1 !== idsB)
+  }
+
+  test("hashSplit: total, disjoint, frozen under corpus growth, ~proportional") {
+    import graft.operators.Sampling
+    val df = (1L to 2000L).toDF("id")
+    val split = Sampling.hashSplit(df, Seq("id"),
+      Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"), seed = "s")
+    val counts = split.groupBy($"split").count().as[(String, Long)].collect().toMap
+    // every row lands in exactly one split (projection — row count unchanged)
+    assert(counts.values.sum === 2000L)
+    assert(counts.keySet === Set("train", "val", "test"))
+    // close to the declared proportions (md5 uniformity; wide tolerance)
+    assert(counts("train") > 1500L && counts("val") > 120L && counts("test") > 120L)
+    // membership is FROZEN: the same row keeps its split when the corpus grows
+    val grown = Sampling.hashSplit((1L to 4000L).toDF("id"), Seq("id"),
+      Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"), seed = "s")
+    val before = split.as[(Long, String)].collect().toMap
+    val after = grown.filter($"id" <= 2000L).as[(Long, String)].collect().toMap
+    assert(before === after)
+  }
 }
