@@ -179,9 +179,50 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
     schema0: StructType, props: Map[String, String],
     asOfVersion: Option[Long] = None, asOfTsMillis: Option[Long] = None)
     extends Table with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsRead {
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private val dataPath = s"$path/data"
+
+  /** SQL `DELETE FROM graft.t WHERE …` — filter-based DSv2 delete over
+    * commit-log tables, routed to [[CommitLog.delete]]'s three-layer
+    * copy-on-write (manifest-stats candidates → predicate FIND scan →
+    * touched-file rewrite), so a predicate-local SQL delete rewrites
+    * only the files that hold matches. Accepted only when EVERY pushed
+    * predicate translates to the library condition (else Spark reports
+    * the delete as unsupported rather than half-applying it), the
+    * table is logged, and no time-travel pin is active. An empty WHERE
+    * (delete everything) truncates via one empty `replace` commit
+    * instead of rewriting files to empty shells. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    asOfVersion.isEmpty && asOfTsMillis.isEmpty &&
+      CommitLog.exists(SparkSession.active, path) &&
+      filters.forall(f => GraftMergeTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val spark = SparkSession.active
+    require(CommitLog.exists(spark, path),
+      s"$ident: SQL DELETE requires merge.log=true (versioned commit log)")
+    val log = CommitLog(spark, path)
+    val partCol = props.get("merge.partcol").map(_.trim).filter(_.nonEmpty)
+    val conds = filters.map(f => GraftMergeTable.filterToColumn(f).getOrElse(
+      throw new IllegalArgumentException(s"$ident: unsupported DELETE predicate $f")))
+    if (conds.isEmpty) { truncateTable(); () }
+    else log.delete(conds.reduce(_ && _), partCol)
+  }
+
+  /** SQL `TRUNCATE TABLE graft.t` — one empty `replace` commit; every
+    * prior version stays time-travel-reachable. */
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    require(CommitLog.exists(spark, path),
+      s"$ident: SQL TRUNCATE requires merge.log=true (versioned commit log)")
+    val log = CommitLog(spark, path)
+    val sch = log.snapshot().schema.getOrElse(schema0)
+    log.replaceAll(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch))
+    true
+  }
 
   override def name(): String = ident
   override def schema(): StructType = schema0
@@ -398,6 +439,35 @@ private[sources] final class GraftLogScanBuilder(
 }
 
 object GraftMergeTable {
+  /** sources.Filter → library Column, for the SQL DELETE path. None =
+    * not expressible (the caller must then refuse the whole delete —
+    * half-translating an AND would delete too much). */
+  private[sources] def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c) => filterToColumn(c).map(not)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
   /** Read a graft-catalog table's data (the V1 read side of the V1Write
     * bridge — parquet scan with full pushdown/pruning). Commit-log
     * tables (`merge.log=true`) are read at their latest committed

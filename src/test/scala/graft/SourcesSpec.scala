@@ -264,6 +264,36 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("SQL DELETE FROM and TRUNCATE TABLE route through the commit log") {
+    val wh = Files.createTempDirectory("graft-wh-del").toString
+    spark.conf.set("spark.sql.catalog.gdel", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdel.warehouse", wh)
+    Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (100L, 5.0, "c"))
+      .toDF("id", "x", "v")
+      .writeTo("gdel.t").tableProperty("merge.log", "true").create()
+
+    spark.sql("DELETE FROM gdel.t WHERE id < 50 AND x >= 20.0")
+    assert(spark.table("gdel.t").select($"id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 100L))
+    // the delete is a commit: time travel still reaches the pre-delete rows
+    val log = graft.sources.CommitLog(spark, s"$wh/t")
+    assert(log.snapshot().version === 1L)
+    assert(log.readVersion(0L).count() === 3L)
+
+    // IN, IsNull, string predicates translate too
+    spark.sql("DELETE FROM gdel.t WHERE v IN ('c')")
+    assert(spark.table("gdel.t").count() === 1L)
+
+    spark.sql("TRUNCATE TABLE gdel.t")
+    assert(spark.table("gdel.t").count() === 0L)
+    assert(spark.table("gdel.t").columns.toSeq === Seq("id", "x", "v"))
+    assert(log.readVersion(2L).count() === 1L, "truncate is a commit, history intact")
+
+    // a non-logged table refuses SQL DELETE cleanly
+    Seq((1L, "a")).toDF("id", "v").writeTo("gdel.plain").create()
+    intercept[Exception] { spark.sql("DELETE FROM gdel.plain WHERE id = 1") }
+  }
+
   test("CSV sink + explicit-schema scan round-trips lineitem columns") {
     val dir = Files.createTempDirectory("csv-src").toString
     val src = graft.sources.Tables(spark, sfDir, "lineitem")
