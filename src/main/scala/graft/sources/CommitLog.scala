@@ -1696,6 +1696,63 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     dead.length
   }
 
+  /** Commit parquet files STAGED by an external writer (the DSv2
+    * row-level write path — Spark's own FileWrite lands task outputs
+    * under `stagingDir`) as a `replace` retiring exactly `retire` (the
+    * files the row-level scan read — group-granular copy-on-write:
+    * manifest-pruned untouched files ride through with their stats and
+    * blooms). The replacement content was computed against
+    * `expectedVersion`; if any writer committed since, this fails
+    * loudly AND CLEANS UP rather than silently erasing the concurrent
+    * commit (SQL row-level operations are serializable-or-error, like
+    * Delta's conflict detection — the retrying form lives on the
+    * library surface, [[merge]]/[[update]]/[[delete]], which
+    * recompute). Partition-TAGGED tables are refused: the staged files
+    * carry no tags, and an untagged live file would silently break
+    * every partition-scoped path — use [[merge]]/[[update]] with
+    * `partCol` for those. */
+  private[sources] def commitStagedReplace(stagingDir: String,
+      expectedVersion: Long, retire: Set[String]): Long = {
+    val staging = new Path(stagingDir)
+    val staged =
+      if (!fs.exists(staging)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(staging).filter(st => st.isFile
+        && st.getPath.getName.startsWith("part-")
+        && st.getPath.getName.endsWith(".parquet"))
+    fs.mkdirs(dataDir)
+    val moved = staged.map { st =>
+      val name = s"${UUID.randomUUID()}-${st.getPath.getName}"
+      if (!fs.rename(st.getPath, new Path(dataDir, name)))
+        throw new java.io.IOException(
+          s"move ${st.getPath} -> data/$name failed")
+      s"data/$name"
+    }.toSeq
+    try {
+      val s = snapshot()
+      require(s.version == expectedVersion,
+        s"$tableRoot: version changed during the row-level operation " +
+          s"(expected $expectedVersion, found ${s.version}) — concurrent " +
+          "write detected, retry the statement")
+      require(s.parts.isEmpty,
+        s"$tableRoot: SQL row-level operations on a partition-tagged table " +
+          "are not supported — use the library merge/update with partCol")
+      val sch = s.schema.getOrElse(throw new IllegalStateException(
+        s"$tableRoot: row-level replace on a table with no committed schema"))
+      val kept = s.files.filterNot(retire)
+      val keptSet = kept.toSet
+      val won = tryCommit(s.version + 1,
+        manifestJson(s.version + 1, "replace", kept ++ moved, sch, None,
+          stats = s.stats.filter(kv => keptSet(kv._1)) ++ statsFor(moved),
+          blooms = s.blooms.filter(kv => keptSet(kv._1)) ++ bloomsFor(moved)))
+      require(won,
+        s"$tableRoot: lost the commit race during the row-level " +
+          "operation — concurrent write detected, retry the statement")
+      s.version + 1
+    } catch {
+      case e: Throwable => moved.foreach(deleteData); throw e
+    } finally fs.delete(staging, true)
+  }
+
   private val MaxAttempts = 50
 
   private def replayOf(s: Snapshot, txn: Option[(String, Long)]): Boolean =

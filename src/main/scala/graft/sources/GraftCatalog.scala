@@ -180,9 +180,33 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
     asOfVersion: Option[Long] = None, asOfTsMillis: Option[Long] = None)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private val dataPath = s"$path/data"
+
+  /** SQL `UPDATE` / `MERGE INTO` (and DELETEs whose predicate the
+    * filter path refuses, e.g. subqueries): the group-based
+    * copy-on-write row-level contract. Spark rewrites the statement
+    * into a plan producing the table's FULL replacement content — the
+    * scan is [[GraftLogScanBuilder]] (manifest-pruned vectorized
+    * parquet), the write is Spark's own V2 parquet FileWrite into a
+    * staging dir, committed as a `replace` with version-conflict
+    * detection ([[CommitLog.commitStagedReplace]]): serializable or a
+    * loud error, never a silent lost update. The SCALE path for huge
+    * tables remains the library surface (`CommitLog.merge`/`update`),
+    * whose source-driven pruning rewrites only touched files; the SQL
+    * statement rewrites the table (the no-runtime-filtering group =
+    * everything), which is the honest cost of the generic plan. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOfVersion.isEmpty && asOfTsMillis.isEmpty,
+      s"$ident: cannot run a row-level operation on a time-travel snapshot")
+    require(CommitLog.exists(SparkSession.active, path),
+      s"$ident: SQL row-level operations require merge.log=true (versioned commit log)")
+    () => new GraftRowLevelOperation(ident, path, info.command())
+  }
 
   /** SQL `DELETE FROM graft.t WHERE …` — filter-based DSv2 delete over
     * commit-log tables, routed to [[CommitLog.delete]]'s three-layer
@@ -385,7 +409,15 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
 private[sources] final class GraftLogScanBuilder(
     spark: SparkSession, tableRoot: String,
     version: Option[Long], tsMillis: Option[Long],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    // Row-level (UPDATE/MERGE) mode: pushed predicates may eliminate
+    // only WHOLE FILES (the replacement groups), never rows — a
+    // row-granular parquet filter would silently DROP the unmatched
+    // rows of a rewritten file from the replacement content. The
+    // callback reports (snapshot version, files actually scanned) so
+    // the write retires exactly those files.
+    groupGranularity: Boolean = false,
+    onScan: (Long, Seq[String]) => Unit = (_, _) => ())
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -408,34 +440,160 @@ private[sources] final class GraftLogScanBuilder(
   private val snapSchema: StructType =
     snap.schema.getOrElse(new StructType())
 
+  /** The version this scan reads — the row-level write path pins its
+    * conflict check to it. */
+  private[sources] def snapshotVersion: Long = snap.version
+
   private def makeInner(files: Seq[String]): FileScanBuilder =
     ParquetTable(s"graft-log $tableRoot", spark, options,
         files.map(f => s"$tableRoot/$f").toList, Some(snapSchema),
         classOf[ParquetFileFormat])
       .newScanBuilder(options).asInstanceOf[FileScanBuilder]
 
+  private var selectedFiles: Seq[String] = snap.files
   private var innerOpt: Option[FileScanBuilder] = None
   private def inner: FileScanBuilder = innerOpt.getOrElse {
-    val b = makeInner(snap.files); innerOpt = Some(b); b
+    val b = makeInner(selectedFiles); innerOpt = Some(b); b
   }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     // manifest-level FILE skipping happens here, before the parquet
     // builder (and its file index) is even constructed
-    val files = log.candidateFilesForExprs(snap, filters)
-    val b = makeInner(files)
+    selectedFiles = log.candidateFilesForExprs(snap, filters)
+    val b = makeInner(selectedFiles)
     innerOpt = Some(b)
-    b.pushFilters(filters)
+    if (groupGranularity) filters // file-only elimination; rows untouched
+    else b.pushFilters(filters)
   }
 
   override def pushedFilters()
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
-    inner.pushedFilters
+    if (groupGranularity) Array.empty else inner.pushedFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     inner.pruneColumns(requiredSchema)
 
-  override def build(): org.apache.spark.sql.connector.read.Scan = inner.build()
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    onScan(snap.version, selectedFiles)
+    inner.build()
+  }
+}
+
+/** The group-based row-level operation behind SQL UPDATE / MERGE INTO:
+  * scan = the commit-log snapshot scan (its version pins the conflict
+  * check); write = Spark's V2 parquet [[org.apache.spark.sql.execution
+  * .datasources.v2.parquet.ParquetWrite]] into `<root>/.rowlevel-*`
+  * staging, whose driver-side commit moves the finished files into the
+  * log as one `replace` ([[CommitLog.commitStagedReplace]]). Reusing
+  * the stock FileWrite means the replacement rows go through Spark's
+  * own codegen'd parquet writer — no hand-rolled row writer — and
+  * task aborts/speculation are handled by the file commit protocol. */
+private[sources] final class GraftRowLevelOperation(ident: String,
+    path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import org.apache.spark.sql.connector.read.ScanBuilder
+  import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory,
+    LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+
+  @volatile private var scanVersion: Long = -2L
+  // union over every scan this statement planned (the main scan, plus
+  // any group-filter subquery scan) — the files whose rows may appear
+  // in the replacement content, i.e. exactly what the commit retires
+  private val scannedFiles =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val b = new GraftLogScanBuilder(SparkSession.active, path, None, None, options,
+      groupGranularity = true,
+      onScan = (v, files) => { scanVersion = v; files.foreach(scannedFiles.add) })
+    scanVersion = b.snapshotVersion
+    b
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder { override def build(): Write = buildWrite(info) }
+
+  private def buildWrite(info: LogicalWriteInfo): Write = {
+    val spark = SparkSession.active
+    val staging = s"$path/.rowlevel-${java.util.UUID.randomUUID()}"
+    val inner = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+        s"$ident rowlevel", spark,
+        new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
+        List(staging), Some(info.schema()),
+        classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+      .newWriteBuilder(info).build()
+    new Write {
+      override def description(): String = s"graft-rowlevel $ident"
+      override def toBatch: BatchWrite = new BatchWrite {
+        private val delegate = inner.toBatch
+        override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
+          new GraftRowLevelOperation.StripOperationColumn(
+            delegate.createBatchWriterFactory(pi), info.schema())
+        override def useCommitCoordinator(): Boolean = delegate.useCommitCoordinator()
+        override def commit(messages: Array[WriterCommitMessage]): Unit = {
+          delegate.commit(messages) // files land under staging/
+          import scala.jdk.CollectionConverters._
+          CommitLog(SparkSession.active, path).commitStagedReplace(
+            staging, scanVersion,
+            retire = scannedFiles.asScala.toSet)
+        }
+        override def abort(messages: Array[WriterCommitMessage]): Unit = {
+          try delegate.abort(messages)
+          finally {
+            val p = new Path(staging)
+            val fsys = p.getFileSystem(
+              SparkSession.active.sparkContext.hadoopConfiguration)
+            fsys.delete(p, true)
+          }
+        }
+      }
+    }
+  }
+}
+
+private[sources] object GraftRowLevelOperation {
+  /** Spark's group-based rewrite plans prepend an INT `__row_operation`
+    * column to the replacement rows (RowDeltaUtils.OPERATION_COLUMN)
+    * and strips it with the ReplaceData row projection ONLY when the
+    * operation also declares metadata attributes — with none declared
+    * (this connector replaces whole tables, it needs no `_file`
+    * grouping column), the raw (op, data...) rows reach the writer.
+    * This factory wrapper applies the same projection the engine
+    * would: drop leading field(s) so exactly the data columns land in
+    * parquet. Adaptive on arity, so a plan that DOESN'T carry the op
+    * column writes through unchanged. */
+  private[sources] final class StripOperationColumn(
+      delegate: org.apache.spark.sql.connector.write.DataWriterFactory,
+      dataSchema: StructType)
+      extends org.apache.spark.sql.connector.write.DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long)
+        : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+      val inner = delegate.createWriter(partitionId, taskId)
+      new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+        private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+        override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+          if (row.numFields == dataSchema.length) inner.write(row)
+          else {
+            if (proj == null) {
+              val skip = row.numFields - dataSchema.length
+              require(skip > 0, s"row-level write row has ${row.numFields} fields " +
+                s"for ${dataSchema.length} data columns")
+              proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+                dataSchema, (skip until row.numFields).toIndexedSeq)
+            }
+            proj.project(row)
+            inner.write(proj)
+          }
+        override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+          inner.commit()
+        override def abort(): Unit = inner.abort()
+        override def close(): Unit = inner.close()
+      }
+    }
+  }
 }
 
 object GraftMergeTable {

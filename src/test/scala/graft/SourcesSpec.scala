@@ -294,6 +294,76 @@ class SourcesSpec extends SparkSpecBase {
     intercept[Exception] { spark.sql("DELETE FROM gdel.plain WHERE id = 1") }
   }
 
+  test("SQL UPDATE and MERGE INTO route through the row-level write path") {
+    val wh = Files.createTempDirectory("graft-wh-rlo").toString
+    spark.conf.set("spark.sql.catalog.grlo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grlo.warehouse", wh)
+    Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("id", "x", "v")
+      .writeTo("grlo.t").tableProperty("merge.log", "true").create()
+
+    spark.sql("UPDATE grlo.t SET x = x * 2, v = concat(v, '!') WHERE id >= 2")
+    assert(spark.table("grlo.t").as[(Long, Double, String)].collect().toSet
+      === Set((1L, 10.0, "a"), (2L, 40.0, "b!"), (3L, 60.0, "c!")))
+    // the update is a commit; time travel reaches the pre-update state
+    val log = graft.sources.CommitLog(spark, s"$wh/t")
+    assert(log.snapshot().version === 1L)
+    assert(log.readVersion(0L).as[(Long, Double, String)].collect().toSet
+      === Set((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c")))
+
+    // MERGE INTO: update + delete + insert in one statement
+    Seq((2L, 0.0, "UPD"), (3L, 0.0, "DEL"), (9L, 9.0, "new"))
+      .toDF("id", "x", "v").createOrReplaceTempView("src")
+    spark.sql("""MERGE INTO grlo.t t USING src s ON t.id = s.id
+      WHEN MATCHED AND s.v = 'DEL' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.table("grlo.t").as[(Long, Double, String)].collect().toSet
+      === Set((1L, 10.0, "a"), (2L, 40.0, "UPD"), (9L, 9.0, "new")))
+    assert(log.snapshot().version === 2L, "the whole merge is ONE commit")
+
+    // DELETE with a subquery predicate (filter path refuses → row-level)
+    spark.sql("DELETE FROM grlo.t WHERE id IN (SELECT id FROM src WHERE v = 'new')")
+    assert(spark.table("grlo.t").select($"id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+  }
+
+  test("SQL UPDATE is file-granular copy-on-write: untouched files ride through") {
+    val wh = Files.createTempDirectory("graft-wh-rlo2").toString
+    spark.conf.set("spark.sql.catalog.grlo2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grlo2.warehouse", wh)
+    Seq((1L, 1.0)).toDF("id", "x").coalesce(1)
+      .writeTo("grlo2.t").tableProperty("merge.log", "true").create()
+    val log = graft.sources.CommitLog(spark, s"$wh/t")
+    log.append(Seq((100L, 2.0), (101L, 3.0)).toDF("id", "x").coalesce(1))
+    log.append(Seq((200L, 4.0)).toDF("id", "x").coalesce(1))
+    val before = log.snapshot().files.toSet
+    assert(before.size === 3)
+    // the predicate's manifest bounds admit only the middle file
+    spark.sql("UPDATE grlo2.t SET x = x * 10 WHERE id BETWEEN 100 AND 150")
+    val after = log.snapshot().files.toSet
+    assert((before intersect after).size === 2,
+      "the two files whose stats cannot match must survive untouched")
+    assert(spark.table("grlo2.t").as[(Long, Double)].collect().toSet
+      === Set((1L, 1.0), (100L, 20.0), (101L, 30.0), (200L, 4.0)))
+    // concurrent-write conflict detection: a commit between scan and
+    // write fails the statement loudly instead of erasing the winner
+    // (exercised via the library path racing is covered in CommitLogSpec;
+    // here pin that a tagged table refuses SQL row-level ops)
+    Seq((1L, "d1", 1.0)).toDF("id", "day", "x")
+      .writeTo("grlo2.tagged")
+      .tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "day")
+      .tableProperty("merge.keys", "id,day")
+      .tableProperty("merge.mode", "last-wins")
+      .createOrReplace()
+    val e = intercept[Exception] {
+      spark.sql("UPDATE grlo2.tagged SET x = 0 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("partition-tagged") ||
+      Option(e.getCause).exists(_.getMessage.contains("partition-tagged")))
+  }
+
   test("CSV sink + explicit-schema scan round-trips lineitem columns") {
     val dir = Files.createTempDirectory("csv-src").toString
     val src = graft.sources.Tables(spark, sfDir, "lineitem")
