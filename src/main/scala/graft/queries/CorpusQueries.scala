@@ -586,7 +586,56 @@ object CorpusQueries {
       WHERE negative_id <> anchor_id AND negative_id <> positive_id
       ORDER BY anchor_id"""))
 
+  /** C-tier LEAKAGE-FREE split: the q151/q152 split discipline at
+    * CLUSTER granularity — near-duplicate documents must land in the
+    * SAME split, or eval examples leak into training as paraphrases
+    * (the documented failure mode doc-level splits have on deduped-ish
+    * web corpora). Composition of three engine operators: LSH near-dup
+    * pairs ([[NearDup.nearDupPairs]]) → connected components
+    * ([[Components.clusterDedup]]) → [[graft.operators.Sampling
+    * .hashSplit]] keyed by cluster_id, so membership is a pure
+    * function of (seed, cluster) and whole clusters move together by
+    * construction. The oracle replays q81's recursive-CTE clusters and
+    * the same md5 thresholds. */
+  private val q153 = Q(
+    "q153_cluster_split", {
+      (s, dir) =>
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val pairs = NearDup.nearDupPairs(docs, "doc_id", "text",
+          n = 3, k = 8, bands = 4, r = 2, tau = 0.5, mode = NearDup.Md5Hash)
+        val clustered = Components.clusterDedup(docs.select($"doc_id"), "doc_id",
+          pairs, "a_id", "b_id")
+        graft.operators.Sampling.hashSplit(clustered, Seq("cluster_id"),
+            Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"), seed = "s9")
+          .groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"cluster_id").as("n_clusters"),
+            sum($"doc_id").as("key_sum"))
+          .orderBy($"split")
+    },
+    Some {
+      val cuts = graft.operators.Sampling.splitThresholds(Seq(0.8, 0.1, 0.1))
+      s"""WITH RECURSIVE $pairsCte,
+      edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT re.id, e.v FROM reach re JOIN edges e ON re.r = e.u),
+      lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      sp AS (SELECT doc_id, cluster_id,
+        CASE WHEN ('0x' || substr(md5('s9:' || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT < ${cuts(0)} THEN 'train'
+             WHEN ('0x' || substr(md5('s9:' || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT < ${cuts(1)} THEN 'val'
+             ELSE 'test' END AS split
+        FROM lab)
+      SELECT split, COUNT(*) AS n_docs,
+        COUNT(DISTINCT cluster_id) AS n_clusters,
+        CAST(SUM(doc_id) AS BIGINT) AS key_sum
+      FROM sp GROUP BY split ORDER BY split"""
+    })
+
   def qs: Seq[Q] =
     Seq(q81, q82, q83, q84, q85, q86, q87, q89, q91, q92, q93, q96, q97,
-      q131)
+      q131, q153)
 }
