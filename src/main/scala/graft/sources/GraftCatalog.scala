@@ -52,10 +52,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Configure: `spark.sql.catalog.graft = graft.sources.GraftCatalog`,
   * `spark.sql.catalog.graft.warehouse = /some/dir`.
   */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
+
+  /** SQL `CALL graft.system.<proc>(…)` — commit-log maintenance
+    * ([[GraftProcedures]]: optimize, optimize_partitions, compact,
+    * prune, vacuum, history). Any single-level namespace is accepted
+    * (`system` by convention). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(warehouse, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name

@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The SQL `CALL` surface for commit-log MAINTENANCE — the operations a
+  * table owner runs between queries, exposed the way Iceberg exposes
+  * its procedures:
+  *
+  * {{{
+  *   CALL graft.system.optimize(`table` => 't', target_files => 4, zorder_by => 'id')
+  *   CALL graft.system.optimize_partitions(`table` => 't', part_col => 'day')
+  *   CALL graft.system.compact(`table` => 't')   -- checkpoint manifest
+  *   CALL graft.system.prune(`table` => 't')     -- drop pre-checkpoint manifests
+  *   CALL graft.system.vacuum(`table` => 't')    -- delete unreferenced data files
+  *   CALL graft.system.history(`table` => 't')   -- the commit audit rows
+  * }}}
+  *
+  * Each procedure resolves its table against the catalog warehouse and
+  * routes to the library call ([[CommitLog.optimize]],
+  * [[CommitLog.optimizePartitions]], [[CommitLog.compact]],
+  * [[CommitLog.prune]], [[CommitLog.vacuum]], [[CommitLog.history]]),
+  * returning a one-row summary (or the history rows) through a
+  * driver-side [[LocalScan]] — every result here is metadata-sized by
+  * construction (a version number, a count, the retained-manifest
+  * list). */
+private[sources] object GraftProcedures {
+
+  private def str(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def p(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def pDefault(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def resultScan(schema: StructType, out: Seq[InternalRow]): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = out.toArray
+    }).iterator()
+
+  private val versionResult = StructType(Seq(StructField("version", LongType)))
+  private val countResult = StructType(Seq(StructField("n", IntegerType)))
+
+  /** All procedures, by name. */
+  def names: Seq[String] =
+    Seq("optimize", "optimize_partitions", "compact", "prune", "vacuum", "history")
+
+  def load(warehouse: String, ident: Identifier): UnboundProcedure = {
+    def logFor(table: String): CommitLog = {
+      val root = (warehouse +: table.split('.').toSeq).mkString("/")
+      require(CommitLog.exists(SparkSession.active, root),
+        s"procedure ${ident.name}: no commit-log table at $root")
+      CommitLog(SparkSession.active, root)
+    }
+    ident.name() match {
+      case "optimize" => proc("optimize",
+        Seq(p("table", StringType), pDefault("target_files", IntegerType, "1"),
+          pDefault("zorder_by", StringType, "''")),
+        in => {
+          val zs = in.getUTF8String(2).toString
+          val z = if (zs.isEmpty) Nil else zs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val v = logFor(in.getUTF8String(0).toString).optimize(in.getInt(1), z)
+          resultScan(versionResult, Seq(new GenericInternalRow(Array[Any](v))))
+        })
+      case "optimize_partitions" => proc("optimize_partitions",
+        Seq(p("table", StringType), p("part_col", StringType),
+          pDefault("target_files_per_partition", IntegerType, "1"),
+          pDefault("partitions", StringType, "''"),
+          pDefault("zorder_by", StringType, "''")),
+        in => {
+          def list(i: Int): Seq[String] = {
+            val s = in.getUTF8String(i).toString
+            if (s.isEmpty) Nil else s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          }
+          val v = logFor(in.getUTF8String(0).toString).optimizePartitions(
+            in.getUTF8String(1).toString, in.getInt(2), list(3), list(4))
+          resultScan(versionResult, Seq(new GenericInternalRow(Array[Any](v))))
+        })
+      case "compact" => proc("compact", Seq(p("table", StringType)),
+        in => resultScan(versionResult, Seq(new GenericInternalRow(
+          Array[Any](logFor(in.getUTF8String(0).toString).compact())))))
+      case "prune" => proc("prune", Seq(p("table", StringType)),
+        in => resultScan(countResult, Seq(new GenericInternalRow(
+          Array[Any](logFor(in.getUTF8String(0).toString).prune())))))
+      case "vacuum" => proc("vacuum", Seq(p("table", StringType)),
+        in => resultScan(countResult, Seq(new GenericInternalRow(
+          Array[Any](logFor(in.getUTF8String(0).toString).vacuum())))))
+      case "history" => proc("history", Seq(p("table", StringType)),
+        in => {
+          // manifest-count-sized by construction (prune bounds it)
+          val rows = logFor(in.getUTF8String(0).toString).history()
+            .collect().toSeq.map { r =>
+              new GenericInternalRow(Array[Any](
+                r.getLong(0),
+                if (r.isNullAt(1)) null else r.getLong(1),
+                str(r.getString(2)),
+                r.getBoolean(3),
+                r.getLong(4),
+                if (r.isNullAt(5)) null else str(r.getString(5)),
+                if (r.isNullAt(6)) null else r.getLong(6))): InternalRow
+            }
+          resultScan(StructType(Seq(
+            StructField("version", LongType), StructField("ts_millis", LongType),
+            StructField("action", StringType), StructField("checkpoint", BooleanType),
+            StructField("num_files", LongType), StructField("txn_id", StringType),
+            StructField("txn_epoch", LongType))), rows)
+        })
+      case other => throw new IllegalArgumentException(
+        s"unknown graft procedure '$other' (have: ${names.mkString(", ")})")
+    }
+  }
+
+  private def proc(pname: String, params: Seq[ProcedureParameter],
+      run: InternalRow => java.util.Iterator[Scan]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def description(): String = s"graft commit-log maintenance: $pname"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = pname
+        override def description(): String = s"graft commit-log maintenance: $pname"
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = run(input)
+      }
+    }
+}

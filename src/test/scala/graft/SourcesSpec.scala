@@ -364,6 +364,59 @@ class SourcesSpec extends SparkSpecBase {
       Option(e.getCause).exists(_.getMessage.contains("partition-tagged")))
   }
 
+  test("CALL procedures run commit-log maintenance from SQL") {
+    val wh = Files.createTempDirectory("graft-wh-proc").toString
+    spark.conf.set("spark.sql.catalog.gproc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gproc.warehouse", wh)
+    Seq((1L, 1.0)).toDF("id", "x").coalesce(1)
+      .writeTo("gproc.t").tableProperty("merge.log", "true").create()
+    val log = graft.sources.CommitLog(spark, s"$wh/t")
+    (0 until 4).foreach(i =>
+      log.append(Seq((10L + i, i.toDouble)).toDF("id", "x").coalesce(1)))
+    assert(log.snapshot().files.size === 5)
+    val before = log.read().as[(Long, Double)].collect().toSet
+
+    // optimize: compact to 2 z-ordered files, content identical
+    val v = spark.sql(
+      "CALL gproc.system.optimize(`table` => 't', target_files => 2, zorder_by => 'id')")
+      .as[Long].head()
+    assert(v === log.snapshot().version)
+    assert(log.snapshot().files.size === 2)
+    assert(log.read().as[(Long, Double)].collect().toSet === before)
+
+    // compact (checkpoint) + prune + vacuum retire history
+    spark.sql("CALL gproc.system.compact(`table` => 't')")
+    assert(spark.sql("CALL gproc.system.prune(`table` => 't')")
+      .as[Int].head() > 0)
+    assert(spark.sql("CALL gproc.system.vacuum(`table` => 't')")
+      .as[Int].head() > 0)
+    assert(log.read().as[(Long, Double)].collect().toSet === before)
+
+    // history returns the audit rows (post-prune: the checkpoint suffix)
+    val h = spark.sql("CALL gproc.system.history(`table` => 't')")
+    assert(h.columns.toSeq === Seq("version", "ts_millis", "action",
+      "checkpoint", "num_files", "txn_id", "txn_epoch"))
+    assert(h.select($"version").as[Long].collect().max === log.snapshot().version)
+
+    // partitioned maintenance routes to optimizePartitions
+    Seq((1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 3.0)).toDF("id", "day", "x")
+      .writeTo("gproc.tp")
+      .tableProperty("merge.log", "true").tableProperty("merge.partcol", "day")
+      .tableProperty("merge.keys", "id,day").tableProperty("merge.mode", "last-wins")
+      .create()
+    val logp = graft.sources.CommitLog(spark, s"$wh/tp")
+    logp.appendPartitioned(Seq((4L, "d1", 4.0)).toDF("id", "day", "x"), "day")
+    assert(logp.snapshot().files.count(f => logp.snapshot().parts(f) == "d1") === 2)
+    spark.sql("CALL gproc.system.optimize_partitions(`table` => 'tp', part_col => 'day')")
+    val sp = logp.snapshot()
+    assert(sp.files.count(f => sp.parts(f) == "d1") === 1)
+    assert(sp.files.forall(sp.parts.contains))
+
+    // unknown procedure and missing table fail loudly
+    intercept[Exception] { spark.sql("CALL gproc.system.nope(`table` => 't')") }
+    intercept[Exception] { spark.sql("CALL gproc.system.vacuum(`table` => 'missing')") }
+  }
+
   test("CSV sink + explicit-schema scan round-trips lineitem columns") {
     val dir = Files.createTempDirectory("csv-src").toString
     val src = graft.sources.Tables(spark, sfDir, "lineitem")
