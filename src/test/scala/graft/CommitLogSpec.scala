@@ -1261,8 +1261,8 @@ class CommitLogSpec extends SparkSpecBase {
     record(log.append(df(seed)))
     check()
 
-    for (_ <- 1 to 14) {
-      rnd.nextInt(5) match {
+    for (_ <- 1 to 18) {
+      rnd.nextInt(6) match {
         case 0 => // append fresh ids
           val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
             nextId += 1; (nextId, nextId * 10.0, s"v$nextId")
@@ -1297,6 +1297,27 @@ class CommitLogSpec extends SparkSpecBase {
           val v = log.restore(target)
           model = byVersion(target)
           record(v)
+        case 5 => // MERGE: delete-if-tagged, else update, insert the rest
+          val matchedIds = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+          val srcMatched = matchedIds.map(id =>
+            (id, model(id)._1 + 0.5,
+              if (rnd.nextBoolean()) "KILL" else s"m$id"))
+          val srcNew = (0 until rnd.nextInt(2)).map { _ =>
+            nextId += 1; (nextId, nextId * 10.0, s"v$nextId")
+          }
+          val src = srcMatched ++ srcNew
+          val before = log.snapshot().version
+          val v = log.merge(df(src), Seq("id"), Seq(
+            CommitLog.WhenMatchedDelete(Some(col("s.v") === "KILL")),
+            CommitLog.WhenMatchedUpdate(
+              Map("x" -> col("s.x"), "v" -> col("s.v"))),
+            CommitLog.WhenNotMatchedInsert()))
+          src.foreach { case (id, x, s) =>
+            if (model.contains(id)) {
+              if (s == "KILL") model -= id else model += id -> ((x, s))
+            } else model += id -> ((x, s))
+          }
+          if (v != before) record(v)
       }
       check()
     }
