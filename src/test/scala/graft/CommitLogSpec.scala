@@ -1477,6 +1477,37 @@ class CommitLogSpec extends SparkSpecBase {
       === Set((-1L, 0.0), (0L, 0.0), (1L, 1.0), (2L, 2.0), (3L, 3.0)))
   }
 
+  test("concurrent optimizePartitions of disjoint partitions both land losslessly") {
+    val t = tmpTable("clog-optparts-conc")
+    val log = CommitLog(spark, t)
+    (0 until 3).foreach { i =>
+      log.appendPartitioned(
+        Seq((i * 2L, "d1", 1.0), (i * 2L + 1, "d2", 2.0)).toDF("id", "day", "x")
+          .coalesce(1), "day")
+    }
+    val before = CommitLog(spark, t).read()
+      .as[(Long, String, Double)].collect().toSet
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val futures = Seq("d1", "d2").map { d =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          start.await()
+          CommitLog(spark, t).optimizePartitions("day", partitions = Seq(d))
+        }
+      })
+    }
+    start.countDown()
+    val versions = futures.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(versions.sorted === Seq(3L, 4L), "both optimizes won a version")
+    val s = CommitLog(spark, t).snapshot()
+    assert(s.files.size === 2, "each partition compacted to one file")
+    assert(s.files.forall(s.parts.contains))
+    assert(CommitLog(spark, t).read().as[(Long, String, Double)].collect().toSet
+      === before, "content is bit-identical after racing optimizes")
+  }
+
   test("merge validates CHECK constraints and txn epochs make it a replay no-op") {
     val t = tmpTable("clog-mrg-chk")
     val log = CommitLog(spark, t).withConstraint("pos_x", $"x" >= 0.0)
