@@ -262,6 +262,19 @@ class SourcesSpec extends SparkSpecBase {
     intercept[Exception] {
       spark.read.format("graft-log").load(root + "-nope").collect()
     }
+
+    // the feed survives schema evolution: the new column appears for
+    // every change row, null where the version that wrote it lacked it
+    log.upsert(Seq((4L, 40.0, "x")).toDF("id", "price", "tag"),
+      Seq("id"), graft.sources.CommitLog.LastWins)                  // v2
+    val evolved = spark.read.format("graft-log")
+      .option("readChangeFeed", "true").option("startingVersion", "-1")
+      .load(root)
+    assert(evolved.columns.toSeq
+      === Seq("id", "price", "tag", "_change_type", "_commit_version"))
+    assert(evolved.filter($"_commit_version" < 2 && $"tag".isNotNull).count() === 0L)
+    assert(evolved.filter($"_commit_version" === 2 && $"_change_type" === "insert"
+      && $"tag" === "x").count() === 1L)
   }
 
   test("SQL DELETE FROM and TRUNCATE TABLE route through the commit log") {
