@@ -1685,6 +1685,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * reclaims it). Only safe when no writer is mid-commit; returns the
     * count. */
   def vacuum(): Int = {
+    // reclaim staging left by a crashed writer: `.tmp-*` (partitioned
+    // writes) and `.rowlevel-*` (SQL row-level ops) live under the
+    // table root and are deleted by their writers in normal operation
+    // — only a hard crash strands them, and vacuum's no-writer-running
+    // precondition is exactly when removing them is safe
+    if (fs.exists(rootPath))
+      fs.listStatus(rootPath)
+        .filter(st => st.isDirectory && (st.getPath.getName.startsWith(".tmp-")
+          || st.getPath.getName.startsWith(".rowlevel-")))
+        .foreach(st => fs.delete(st.getPath, true))
     if (!fs.exists(dataDir)) return 0
     val referenced = parsedManifests(Long.MaxValue)
       .flatMap(_.get("files").elements().asScala.map(f =>

@@ -1341,6 +1341,22 @@ class CommitLogSpec extends SparkSpecBase {
     assert(log.read().as[(Long, String)].collect().toSet === Set((3L, "c")))
   }
 
+  test("vacuum reclaims crashed writers' staging directories") {
+    val t = tmpTable("clog-vac-staging")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a")).toDF("id", "v"))
+    // simulate a crashed partitioned write and a crashed row-level op
+    val root = new org.apache.hadoop.fs.Path(t)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".tmp-deadbeef"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".rowlevel-deadbeef"))
+    log.vacuum()
+    val left = fs.listStatus(root).map(_.getPath.getName).toSet
+    assert(!left.exists(n => n.startsWith(".tmp-") || n.startsWith(".rowlevel-")),
+      s"staging dirs must be reclaimed, found $left")
+    assert(log.read().count() === 1L, "live data untouched")
+  }
+
   test("merge applies update+delete+insert in ONE commit; untouched files survive") {
     val t = tmpTable("clog-mrg")
     val log = CommitLog(spark, t)
