@@ -288,8 +288,8 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
     val optVersion = Option(options.get("versionAsOf")).map(v =>
       scala.util.Try(v.toLong).getOrElse(throw new IllegalArgumentException(
         s"$ident: versionAsOf '$v' must be numeric"))).orElse(asOfVersion)
-    val optTs = Option(options.get("timestampAsOf")).map(parseTsMillis)
-      .orElse(asOfTsMillis)
+    val optTs = Option(options.get("timestampAsOf"))
+      .map(GraftLogSource.parseTsMillis).orElse(asOfTsMillis)
     require(optVersion.isEmpty || optTs.isEmpty,
       s"$ident: versionAsOf and timestampAsOf are mutually exclusive")
     if (CommitLog.exists(spark, path))
@@ -306,16 +306,6 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
         .newScanBuilder(options)
     }
   }
-
-  /** `timestampAsOf` accepts epoch millis or a SQL timestamp string
-    * (interpreted in the session timezone, pinned UTC by Sessions). */
-  private def parseTsMillis(v: String): Long =
-    scala.util.Try(v.toLong).getOrElse {
-      scala.util.Try(java.sql.Timestamp.valueOf(
-        if (v.length == 10) v + " 00:00:00" else v).getTime)
-        .getOrElse(throw new IllegalArgumentException(
-          s"$ident: timestampAsOf '$v' is neither epoch millis nor a timestamp"))
-    }
 
   private def keys: Seq[String] =
     props.get("merge.keys").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)

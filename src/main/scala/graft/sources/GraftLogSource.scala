@@ -79,23 +79,30 @@ final class GraftLogSource extends TableProvider with DataSourceRegister {
 }
 
 object GraftLogSource {
+  /** `timestampAsOf` value → epoch millis: a numeric string is epoch
+    * millis; otherwise a `yyyy-MM-dd[ HH:mm:ss[.S]]` string
+    * interpreted in the SESSION timezone (java.sql.Timestamp.valueOf
+    * would use the JVM default zone, which on a real cluster need not
+    * match `spark.sql.session.timeZone`). */
+  private[sources] def parseTsMillis(v: String): Long =
+    scala.util.Try(v.toLong).getOrElse {
+      val zone = java.time.ZoneId.of(
+        SparkSession.active.sessionState.conf.sessionLocalTimeZone)
+      scala.util.Try {
+        val iso = (if (v.length == 10) v + "T00:00:00" else v.replace(' ', 'T'))
+        java.time.LocalDateTime.parse(iso).atZone(zone).toInstant.toEpochMilli
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graft-log: timestampAsOf '$v' is neither epoch millis nor a timestamp"))
+    }
+
   /** (versionAsOf, timestampAsOf-millis) from read options; mutually
-    * exclusive. `timestampAsOf` accepts epoch millis or a SQL
-    * timestamp / date string (session timezone — pinned UTC by
-    * Sessions). */
+    * exclusive. */
   private[sources] def timeTravelOf(
       options: CaseInsensitiveStringMap): (Option[Long], Option[Long]) = {
     val v = Option(options.get("versionAsOf")).map(s =>
       scala.util.Try(s.toLong).getOrElse(throw new IllegalArgumentException(
         s"graft-log: versionAsOf '$s' must be numeric")))
-    val ts = Option(options.get("timestampAsOf")).map { s =>
-      scala.util.Try(s.toLong).getOrElse {
-        scala.util.Try(java.sql.Timestamp.valueOf(
-          if (s.length == 10) s + " 00:00:00" else s).getTime)
-          .getOrElse(throw new IllegalArgumentException(
-            s"graft-log: timestampAsOf '$s' is neither epoch millis nor a timestamp"))
-      }
-    }
+    val ts = Option(options.get("timestampAsOf")).map(parseTsMillis)
     require(v.isEmpty || ts.isEmpty,
       "graft-log: versionAsOf and timestampAsOf are mutually exclusive")
     (v, ts)
