@@ -452,7 +452,25 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * parameterized), bit_or'd into 64-bit words per (file, column).
     * The collect is bounded by files × cols × bits/64 longs. */
   private def bloomsFor(relPaths: Seq[String]): Map[String, Map[String, CommitLog.BloomF]] =
-    bloomsForCfg(relPaths, bloomCfg)
+    bloomsForCfg(relPaths, effectiveBloomCfg())
+
+  /** The bloom config in EFFECT for this table: the instance's writer
+    * config, else derived from the live snapshot's self-describing
+    * filters. [[optimize]] has kept an existing index alive from a
+    * config-less instance since r8; this extends the same guarantee to
+    * EVERY write path (delete/update/merge/upsert/append/...) — a
+    * rewrite must never silently strip the table's index, which would
+    * quietly degrade [[readPoint]] pruning on the rewritten files. */
+  private def effectiveBloomCfg(): Option[(Seq[String], Int, Int)] =
+    bloomCfg.orElse {
+      val bl = snapshot().blooms
+      if (bl.isEmpty) None
+      else {
+        val cols = bl.values.flatMap(_.keys).toSeq.distinct.sorted
+        val rep = bl.values.head.values.head
+        Some((cols, rep.bits, rep.k))
+      }
+    }
 
   private def bloomsForCfg(relPaths: Seq[String],
       cfg: Option[(Seq[String], Int, Int)]): Map[String, Map[String, CommitLog.BloomF]] =
@@ -1468,14 +1486,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       // constructed without the writer config: derive (cols, bits, k)
       // from the snapshot's own self-describing filters — a layout
       // maintenance op must never silently strip the table's index
-      val cfg = bloomCfg.orElse {
-        if (s.blooms.isEmpty) None
-        else {
-          val cols = s.blooms.values.flatMap(_.keys).toSeq.distinct.sorted
-          val rep = s.blooms.values.head.values.head
-          Some((cols, rep.bits, rep.k))
-        }
-      }
+      val cfg = effectiveBloomCfg()
       val won = try tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace", files,
             s.schema.getOrElse(laid.schema), None,
@@ -1587,14 +1598,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val tagged = writeDataPartitioned(laid, partCol, preserveLayout = true)
       require(tagged.map(_._2).toSet.subsetOf(touchedSet),
         s"$tableRoot: optimize produced rows outside the touched partitions")
-      val cfg = bloomCfg.orElse {
-        if (s.blooms.isEmpty) None
-        else {
-          val cols = s.blooms.values.flatMap(_.keys).toSeq.distinct.sorted
-          val rep = s.blooms.values.head.values.head
-          Some((cols, rep.bits, rep.k))
-        }
-      }
+      val cfg = effectiveBloomCfg()
       val won = try tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace_parts", tagged.map(_._1), sch,
             None, parts = touchedParts, fileParts = tagged.toMap,
