@@ -34,12 +34,22 @@ object Sampling {
 
   /** 60-bit uniform hash of (seed, idCols...) — Spark side of the md5
     * discipline; `':'`-joined string forms, so id columns must be
-    * non-null (enforced by callers' contracts) and, for string ids,
-    * free of the separator if several are combined. */
-  def hash60(seed: String, idCols: Seq[Column]): Column =
-    conv(substring(md5(concat_ws(":",
-      lit(seed) +: idCols.map(_.cast("string")): _*)), 1, 15), 16, 10)
+    * non-null and, for string ids, free of the separator if several
+    * are combined. Null ids FAIL AT RUNTIME rather than silently
+    * colliding: `concat_ws` skips nulls, so a null id would hash as
+    * just the seed — every null-id row lands on one hash value and the
+    * sample/split is silently wrong (and diverges from the DuckDB
+    * oracle, where md5(NULL) is NULL). */
+  def hash60(seed: String, idCols: Seq[Column]): Column = {
+    val guarded = idCols.map(c =>
+      when(c.isNull, raise_error(lit(
+        "Sampling.hash60: null id column — deterministic sampling needs " +
+          "non-null ids (a null would hash as just the seed and collide " +
+          "all null-id rows onto one value)")))
+        .otherwise(c.cast("string")))
+    conv(substring(md5(concat_ws(":", lit(seed) +: guarded: _*)), 1, 15), 16, 10)
       .cast("long")
+  }
 
   /** Exactly `min(n, |stratum|)` rows per stratum, chosen by rank over
     * [[hash60]] (ties broken by the id columns, so the result is a

@@ -1688,17 +1688,24 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * the version; retire history first via compact+prune, then vacuum
     * reclaims it). Only safe when no writer is mid-commit; returns the
     * count. */
-  def vacuum(): Int = {
+  def vacuum(stagingTtlMs: Long = CommitLog.StagingReclaimTtlMs): Int = {
     // reclaim staging left by a crashed writer: `.tmp-*` (partitioned
     // writes) and `.rowlevel-*` (SQL row-level ops) live under the
-    // table root and are deleted by their writers in normal operation
-    // — only a hard crash strands them, and vacuum's no-writer-running
-    // precondition is exactly when removing them is safe
-    if (fs.exists(rootPath))
+    // table root and are deleted by their writers in normal operation.
+    // Only dirs older than `stagingTtlMs` are touched: a fresh dir may
+    // belong to a LIVE statement between task commit and driver commit
+    // — deleting it would make [[commitStagedReplace]] see its staging
+    // vanish mid-statement (it fails loudly on that, but the statement
+    // shouldn't die just because a vacuum ran). A crashed writer's dir
+    // ages past the TTL and is then reclaimed.
+    if (fs.exists(rootPath)) {
+      val cutoff = System.currentTimeMillis() - stagingTtlMs
       fs.listStatus(rootPath)
         .filter(st => st.isDirectory && (st.getPath.getName.startsWith(".tmp-")
-          || st.getPath.getName.startsWith(".rowlevel-")))
+          || st.getPath.getName.startsWith(".rowlevel-"))
+          && st.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
+    }
     if (!fs.exists(dataDir)) return 0
     val referenced = parsedManifests(Long.MaxValue)
       .flatMap(_.get("files").elements().asScala.map(f =>
@@ -1725,12 +1732,22 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * carry no tags, and an untagged live file would silently break
     * every partition-scoped path — use [[merge]]/[[update]] with
     * `partCol` for those. */
-  private[sources] def commitStagedReplace(stagingDir: String,
+  private[graft] def commitStagedReplace(stagingDir: String,
       expectedVersion: Long, retire: Set[String]): Long = {
     val staging = new Path(stagingDir)
+    // a MISSING staging dir is never "zero replacement rows" — the file
+    // committer created it at job setup, so its absence means something
+    // deleted it mid-statement (a racing vacuum, manual cleanup).
+    // Committing would retire the scanned files with no replacements:
+    // silent mass row loss. A legitimate delete-all leaves the dir
+    // present but with no part files.
+    if (!fs.exists(staging))
+      throw new IllegalStateException(
+        s"$tableRoot: row-level staging dir $stagingDir is missing — " +
+          "it was deleted mid-statement (concurrent vacuum?); aborting " +
+          "instead of committing an empty replacement. Retry the statement.")
     val staged =
-      if (!fs.exists(staging)) Array.empty[org.apache.hadoop.fs.FileStatus]
-      else fs.listStatus(staging).filter(st => st.isFile
+      fs.listStatus(staging).filter(st => st.isFile
         && st.getPath.getName.startsWith("part-")
         && st.getPath.getName.endsWith(".parquet"))
     fs.mkdirs(dataDir)
@@ -2129,6 +2146,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
 }
 
 object CommitLog {
+  /** Minimum age before [[CommitLog.vacuum]] reclaims a crashed
+    * writer's staging dir (`.tmp-*` / `.rowlevel-*`). Younger dirs may
+    * belong to a statement still between task commit and driver
+    * commit; one hour is far past any single statement's window. */
+  val StagingReclaimTtlMs: Long = 60L * 60 * 1000
+
   sealed trait MergeMode
   case object InsertIfAbsent extends MergeMode
   case object LastWins extends MergeMode

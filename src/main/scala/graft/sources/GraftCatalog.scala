@@ -454,6 +454,11 @@ private[sources] final class GraftLogScanBuilder(
 
   private var selectedFiles: Seq[String] = snap.files
   private var innerOpt: Option[FileScanBuilder] = None
+  // remembered so a rebuilt inner builder (pushFilters discards any
+  // earlier one) replays the pruning instead of silently losing it —
+  // correct under today's rule order (filters before pruning) AND under
+  // any future reordering
+  private var prunedSchema: Option[StructType] = None
   private def inner: FileScanBuilder = innerOpt.getOrElse {
     val b = makeInner(selectedFiles); innerOpt = Some(b); b
   }
@@ -464,6 +469,7 @@ private[sources] final class GraftLogScanBuilder(
     selectedFiles = log.candidateFilesForExprs(snap, filters)
     val b = makeInner(selectedFiles)
     innerOpt = Some(b)
+    prunedSchema.foreach(b.pruneColumns)
     if (groupGranularity) filters // file-only elimination; rows untouched
     else b.pushFilters(filters)
   }
@@ -472,8 +478,10 @@ private[sources] final class GraftLogScanBuilder(
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     if (groupGranularity) Array.empty else inner.pushedFilters
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    prunedSchema = Some(requiredSchema)
     inner.pruneColumns(requiredSchema)
+  }
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     onScan(snap.version, selectedFiles)
@@ -498,20 +506,38 @@ private[sources] final class GraftRowLevelOperation(ident: String,
   import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory,
     LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 
-  @volatile private var scanVersion: Long = -2L
+  // every snapshot version any scan of this statement pinned — if a
+  // commit lands between two scans (Spark planning the main scan and a
+  // group-filter subquery scan separately), they see DIFFERENT
+  // snapshots and the retire set mixes files from both; the commit
+  // must then fail rather than let the single-version check pass
+  // against the newer one while retiring the older one's files
+  private val scanVersions =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[java.lang.Long]())
   // union over every scan this statement planned (the main scan, plus
   // any group-filter subquery scan) — the files whose rows may appear
   // in the replacement content, i.e. exactly what the commit retires
   private val scannedFiles =
     java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
 
+  private def singleScanVersion(): Long = {
+    import scala.jdk.CollectionConverters._
+    val vs = scanVersions.asScala.map(_.longValue).toSet
+    require(vs.nonEmpty, s"$ident: row-level write committed with no scan planned")
+    require(vs.size == 1,
+      s"$ident: the statement's scans saw different snapshot versions " +
+        s"(${vs.toSeq.sorted.mkString(", ")}) — concurrent write detected, " +
+        "retry the statement")
+    vs.head
+  }
+
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val b = new GraftLogScanBuilder(SparkSession.active, path, None, None, options,
       groupGranularity = true,
-      onScan = (v, files) => { scanVersion = v; files.foreach(scannedFiles.add) })
-    scanVersion = b.snapshotVersion
+      onScan = (v, files) => { scanVersions.add(v); files.foreach(scannedFiles.add) })
+    scanVersions.add(b.snapshotVersion)
     b
   }
 
@@ -539,7 +565,7 @@ private[sources] final class GraftRowLevelOperation(ident: String,
           delegate.commit(messages) // files land under staging/
           import scala.jdk.CollectionConverters._
           CommitLog(SparkSession.active, path).commitStagedReplace(
-            staging, scanVersion,
+            staging, singleScanVersion(),
             retire = scannedFiles.asScala.toSet)
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -581,8 +607,13 @@ private[sources] object GraftRowLevelOperation {
           else {
             if (proj == null) {
               val skip = row.numFields - dataSchema.length
-              require(skip > 0, s"row-level write row has ${row.numFields} fields " +
-                s"for ${dataSchema.length} data columns")
+              // exactly ONE extra field — the __row_operation column.
+              // Any other arity means a plan shape this projection was
+              // not written for (it would silently discard a leading
+              // DATA column); fail loudly instead.
+              require(skip == 1, s"row-level write row has ${row.numFields} fields " +
+                s"for ${dataSchema.length} data columns — expected exactly one " +
+                "leading __row_operation column")
               proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
                 dataSchema, (skip until row.numFields).toIndexedSeq)
             }

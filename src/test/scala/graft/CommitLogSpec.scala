@@ -1341,20 +1341,42 @@ class CommitLogSpec extends SparkSpecBase {
     assert(log.read().as[(Long, String)].collect().toSet === Set((3L, "c")))
   }
 
-  test("vacuum reclaims crashed writers' staging directories") {
+  test("vacuum reclaims ONLY aged crashed-writer staging dirs; fresh ones survive") {
     val t = tmpTable("clog-vac-staging")
     val log = CommitLog(spark, t)
     log.append(Seq((1L, "a")).toDF("id", "v"))
     // simulate a crashed partitioned write and a crashed row-level op
+    // (aged past the TTL), plus a FRESH dir standing in for a live
+    // statement between task commit and driver commit
     val root = new org.apache.hadoop.fs.Path(t)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".tmp-deadbeef"))
-    fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".rowlevel-deadbeef"))
+    val old = System.currentTimeMillis() - 2 * CommitLog.StagingReclaimTtlMs
+    Seq(".tmp-deadbeef", ".rowlevel-deadbeef").foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(root, n)
+      fs.mkdirs(p); fs.setTimes(p, old, -1)
+    }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".rowlevel-live"))
     log.vacuum()
     val left = fs.listStatus(root).map(_.getPath.getName).toSet
-    assert(!left.exists(n => n.startsWith(".tmp-") || n.startsWith(".rowlevel-")),
-      s"staging dirs must be reclaimed, found $left")
+    assert(!left.contains(".tmp-deadbeef") && !left.contains(".rowlevel-deadbeef"),
+      s"aged staging dirs must be reclaimed, found $left")
+    assert(left.contains(".rowlevel-live"),
+      "a fresh staging dir (possibly a live statement's) must NOT be reclaimed")
     assert(log.read().count() === 1L, "live data untouched")
+  }
+
+  test("commitStagedReplace fails loudly when the staging dir is missing") {
+    val t = tmpTable("clog-staged-missing")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val snap0 = log.read().as[(Long, String)].collect().toSet
+    val e = intercept[IllegalStateException] {
+      log.commitStagedReplace(s"$t/.rowlevel-never-created",
+        expectedVersion = 0L, retire = Set.empty)
+    }
+    assert(e.getMessage.contains("staging dir"))
+    // and nothing was committed — the table is untouched
+    assert(log.read().as[(Long, String)].collect().toSet === snap0)
   }
 
   test("merge applies update+delete+insert in ONE commit; untouched files survive") {

@@ -281,4 +281,17 @@ class OperatorsSpec extends SparkSpecBase {
     val after = grown.filter($"id" <= 2000L).as[(Long, String)].collect().toMap
     assert(before === after)
   }
+
+  test("hash60 fails loudly on a null id instead of silently colliding") {
+    import graft.operators.Sampling
+    val df = Seq(Some(1L), None, Some(3L)).toDF("id")
+    val e = intercept[Exception] {
+      Sampling.hashSplit(df, Seq("id"), Seq(0.5, 0.5), Seq("a", "b")).collect()
+    }
+    assert(e.getMessage.contains("null id") ||
+      Option(e.getCause).exists(_.getMessage.contains("null id")), e.getMessage)
+    // non-null ids still split fine
+    val ok = Sampling.hashSplit(df.na.drop(), Seq("id"), Seq(0.5, 0.5), Seq("a", "b"))
+    assert(ok.count() === 2L)
+  }
 }
