@@ -606,6 +606,79 @@ object IndexQueries {
       filtered
     })
 
+  /** B2 SQL DML on a PARTITION-TAGGED table (the r9 gap, closed):
+    * orders land partition-tagged by status through the DSv2 catalog
+    * (`merge.partcol`), then a SQL UPDATE re-prices a key-sliver of
+    * one partition and ONE SQL MERGE INTO applies the ANSI trio across
+    * partitions. The row-level commit re-lands the replacement content
+    * through the one-job partitioned write
+    * ([[graft.sources.CommitLog.commitStagedReplace]] with `partCol`),
+    * so every rewritten file keeps a tag and untouched partitions ride
+    * through byte-identical (file-diff pinned in SourcesSpec) — at
+    * 100 TB every table is partitioned, so SQL DML that covers exactly
+    * the partitioned tables is the surface that matters (the
+    * reference's conditional put is keyed the same way,
+    * /root/reference/index.js:352-375). The oracle replays UPDATE as a
+    * CASE projection and MERGE as left-join + anti-union; decimal
+    * arithmetic keeps both engines bit-equal. */
+  private val q154 = Q(
+    "q154_sql_dml_partitioned",
+    (s, dir) => {
+      val cat = "g154_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "sqldml-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      o.filter(col("o_orderkey") % 3 =!= 0)
+        .writeTo(s"$cat.t")
+        .tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "o_orderstatus")
+        .create()
+      s.sql(s"""UPDATE $cat.t SET price = CAST(price * 2 AS DECIMAL(18,2))
+        WHERE o_orderstatus = 'P' AND o_orderkey % 5 = 0""")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          (col("price") * 3).cast("decimal(18,2)").as("price"))
+        .createOrReplaceTempView("q154_src")
+      s.sql(s"""MERGE INTO $cat.t t USING q154_src s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.price > 400000 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET price = s.price
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.table(s"$cat.t")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH tgt0 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 3 <> 0),
+      tgt AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderstatus = 'P' AND o_orderkey % 5 = 0
+               THEN CAST(price * 2 AS DECIMAL(18,2)) ELSE price END AS price
+        FROM tgt0),
+      src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 3 AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 2 = 0),
+      merged AS (
+        SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+          CASE WHEN s.o_orderkey IS NOT NULL THEN s.price ELSE t.price END AS price
+        FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        WHERE NOT (s.o_orderkey IS NOT NULL AND s.price > 400000)
+        UNION ALL
+        SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.price
+        FROM src s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt))
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(price) AS DOUBLE) AS revenue,
+        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
-    q148, q149, q150)
+    q148, q149, q150, q154)
 }

@@ -1728,12 +1728,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * commit (SQL row-level operations are serializable-or-error, like
     * Delta's conflict detection — the retrying form lives on the
     * library surface, [[merge]]/[[update]]/[[delete]], which
-    * recompute). Partition-TAGGED tables are refused: the staged files
-    * carry no tags, and an untagged live file would silently break
-    * every partition-scoped path — use [[merge]]/[[update]] with
-    * `partCol` for those. */
+    * recompute). Partition-TAGGED tables pass `partCol` (the catalog
+    * forwards `merge.partcol`): the staged files were written by
+    * Spark's generic FileWrite and carry no tags, so the replacement
+    * content is re-landed through the one-job partitioned write —
+    * every new file tagged, untouched partitions riding through with
+    * their tags, the all-tagged invariant preserved across SQL DML. */
   private[graft] def commitStagedReplace(stagingDir: String,
-      expectedVersion: Long, retire: Set[String]): Long = {
+      expectedVersion: Long, retire: Set[String],
+      partCol: Option[String] = None): Long = {
     val staging = new Path(stagingDir)
     // a MISSING staging dir is never "zero replacement rows" — the file
     // committer created it at job setup, so its absence means something
@@ -1751,36 +1754,51 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         && st.getPath.getName.startsWith("part-")
         && st.getPath.getName.endsWith(".parquet"))
     fs.mkdirs(dataDir)
-    val moved = staged.map { st =>
-      val name = s"${UUID.randomUUID()}-${st.getPath.getName}"
-      if (!fs.rename(st.getPath, new Path(dataDir, name)))
-        throw new java.io.IOException(
-          s"move ${st.getPath} -> data/$name failed")
-      s"data/$name"
-    }.toSeq
     try {
       val s = snapshot()
       require(s.version == expectedVersion,
         s"$tableRoot: version changed during the row-level operation " +
           s"(expected $expectedVersion, found ${s.version}) — concurrent " +
           "write detected, retry the statement")
-      require(s.parts.isEmpty,
-        s"$tableRoot: SQL row-level operations on a partition-tagged table " +
-          "are not supported — use the library merge/update with partCol")
+      requireTagState(s, partCol, "a SQL row-level operation (set merge.partcol)")
       val sch = s.schema.getOrElse(throw new IllegalStateException(
         s"$tableRoot: row-level replace on a table with no committed schema"))
       val kept = s.files.filterNot(retire)
       val keptSet = kept.toSet
-      val won = tryCommit(s.version + 1,
-        manifestJson(s.version + 1, "replace", kept ++ moved, sch, None,
-          stats = s.stats.filter(kv => keptSet(kv._1)) ++ statsFor(moved),
-          blooms = s.blooms.filter(kv => keptSet(kv._1)) ++ bloomsFor(moved)))
-      require(won,
-        s"$tableRoot: lost the commit race during the row-level " +
-          "operation — concurrent write detected, retry the statement")
-      s.version + 1
-    } catch {
-      case e: Throwable => moved.foreach(deleteData); throw e
+      val (newFiles, newTags) = partCol match {
+        case Some(pc) if staged.nonEmpty =>
+          // tagged table: one partitioned job re-lands the replacement
+          // content (only the touched groups' rows — the group-granular
+          // scan already excluded untouched files, so the extra write
+          // is proportional to the rewrite, not the table)
+          val tagged = writeDataPartitioned(
+            spark.read.schema(sch).parquet(staged.map(_.getPath.toString).toSeq: _*),
+            pc)
+          (tagged.map(_._1), tagged.toMap)
+        case Some(_) => (Seq.empty[String], Map.empty[String, String])
+        case None =>
+          val moved = staged.map { st =>
+            val name = s"${UUID.randomUUID()}-${st.getPath.getName}"
+            if (!fs.rename(st.getPath, new Path(dataDir, name)))
+              throw new java.io.IOException(
+                s"move ${st.getPath} -> data/$name failed")
+            s"data/$name"
+          }.toSeq
+          (moved, Map.empty[String, String])
+      }
+      try {
+        val won = tryCommit(s.version + 1,
+          manifestJson(s.version + 1, "replace", kept ++ newFiles, sch, None,
+            fileParts = s.parts.filter(kv => keptSet(kv._1)) ++ newTags,
+            stats = s.stats.filter(kv => keptSet(kv._1)) ++ statsFor(newFiles),
+            blooms = s.blooms.filter(kv => keptSet(kv._1)) ++ bloomsFor(newFiles)))
+        require(won,
+          s"$tableRoot: lost the commit race during the row-level " +
+            "operation — concurrent write detected, retry the statement")
+        s.version + 1
+      } catch {
+        case e: Throwable => newFiles.foreach(deleteData); throw e
+      }
     } finally fs.delete(staging, true)
   }
 

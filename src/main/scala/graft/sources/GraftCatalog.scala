@@ -217,7 +217,8 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
       s"$ident: cannot run a row-level operation on a time-travel snapshot")
     require(CommitLog.exists(SparkSession.active, path),
       s"$ident: SQL row-level operations require merge.log=true (versioned commit log)")
-    () => new GraftRowLevelOperation(ident, path, info.command())
+    () => new GraftRowLevelOperation(ident, path, info.command(),
+      props.get("merge.partcol").map(_.trim).filter(_.nonEmpty))
   }
 
   /** SQL `DELETE FROM graft.t WHERE …` — filter-based DSv2 delete over
@@ -500,7 +501,11 @@ private[sources] final class GraftLogScanBuilder(
   * task aborts/speculation are handled by the file commit protocol. */
 private[sources] final class GraftRowLevelOperation(ident: String,
     path: String,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    // merge.partcol for partition-tagged tables: the commit re-lands
+    // the replacement content through the partitioned write so every
+    // new file keeps a tag (None for untagged tables)
+    partCol: Option[String])
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   import org.apache.spark.sql.connector.read.ScanBuilder
   import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory,
@@ -566,7 +571,7 @@ private[sources] final class GraftRowLevelOperation(ident: String,
           import scala.jdk.CollectionConverters._
           CommitLog(SparkSession.active, path).commitStagedReplace(
             staging, singleScanVersion(),
-            retire = scannedFiles.asScala.toSet)
+            retire = scannedFiles.asScala.toSet, partCol = partCol)
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit = {
           try delegate.abort(messages)

@@ -359,22 +359,58 @@ class SourcesSpec extends SparkSpecBase {
       "the two files whose stats cannot match must survive untouched")
     assert(spark.table("grlo2.t").as[(Long, Double)].collect().toSet
       === Set((1L, 1.0), (100L, 20.0), (101L, 30.0), (200L, 4.0)))
-    // concurrent-write conflict detection: a commit between scan and
-    // write fails the statement loudly instead of erasing the winner
-    // (exercised via the library path racing is covered in CommitLogSpec;
-    // here pin that a tagged table refuses SQL row-level ops)
-    Seq((1L, "d1", 1.0)).toDF("id", "day", "x")
-      .writeTo("grlo2.tagged")
+  }
+
+  test("SQL UPDATE/MERGE on a partition-tagged table keeps tags and untouched partitions") {
+    val wh = Files.createTempDirectory("graft-wh-rlop").toString
+    spark.conf.set("spark.sql.catalog.grlop", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grlop.warehouse", wh)
+    Seq((1L, "d1", 1.0), (2L, "d1", 2.0), (100L, "d2", 3.0), (200L, "d3", 4.0))
+      .toDF("id", "day", "x")
+      .writeTo("grlop.tagged")
       .tableProperty("merge.log", "true")
       .tableProperty("merge.partcol", "day")
       .tableProperty("merge.keys", "id,day")
       .tableProperty("merge.mode", "last-wins")
-      .createOrReplace()
-    val e = intercept[Exception] {
-      spark.sql("UPDATE grlo2.tagged SET x = 0 WHERE id = 1")
-    }
-    assert(e.getMessage.contains("partition-tagged") ||
-      Option(e.getCause).exists(_.getMessage.contains("partition-tagged")))
+      .create()
+    val log = graft.sources.CommitLog(spark, s"$wh/tagged")
+    val before = log.snapshot()
+    assert(before.files.forall(before.parts.contains), "precondition: all tagged")
+
+    // stats admit only the file(s) holding id=100 — d1/d3 files must
+    // ride through BYTE-IDENTICAL (same file names, never rewritten)
+    spark.sql("UPDATE grlop.tagged SET x = x * 10 WHERE id BETWEEN 100 AND 150")
+    val after = log.snapshot()
+    val untouched = before.files.filter(f => before.parts(f) != "d2").toSet
+    assert(untouched.subsetOf(after.files.toSet),
+      s"untouched partitions' files must survive: $untouched vs ${after.files}")
+    untouched.foreach(f => assert(after.parts(f) === before.parts(f), s"tag lost on $f"))
+    assert(after.files.forall(after.parts.contains),
+      "ALL live files (incl. rewritten ones) must carry partition tags")
+    assert(after.files.filterNot(before.files.toSet).forall(f => after.parts(f) == "d2"),
+      "rewritten files must be tagged with their own partition value")
+    assert(spark.table("grlop.tagged").as[(Long, String, Double)].collect().toSet
+      === Set((1L, "d1", 1.0), (2L, "d1", 2.0), (100L, "d2", 30.0), (200L, "d3", 4.0)))
+
+    // MERGE INTO across partitions: update in d1, delete in d3, insert d4
+    Seq((1L, "d1", 0.0, "UPD"), (200L, "d3", 0.0, "DEL"), (300L, "d4", 9.0, "NEW"))
+      .toDF("id", "day", "x", "op").createOrReplaceTempView("psrc")
+    spark.sql("""MERGE INTO grlop.tagged t USING psrc s
+      ON t.id = s.id AND t.day = s.day
+      WHEN MATCHED AND s.op = 'DEL' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET x = s.x
+      WHEN NOT MATCHED THEN INSERT (id, day, x) VALUES (s.id, s.day, s.x)""")
+    val s2 = log.snapshot()
+    assert(s2.files.forall(s2.parts.contains), "all-tagged invariant after MERGE")
+    assert(spark.table("grlop.tagged").as[(Long, String, Double)].collect().toSet
+      === Set((1L, "d1", 0.0), (2L, "d1", 2.0), (100L, "d2", 30.0), (300L, "d4", 9.0)))
+    // partition-scoped reads still work post-DML (the invariant pays off)
+    assert(log.readPartitions(Seq("d1")).as[(Long, String, Double)].collect().toSet
+      === Set((1L, "d1", 0.0), (2L, "d1", 2.0)))
+    // and the library partitioned merge still accepts the table
+    log.upsertPartitioned(Seq((5L, "d1", 5.0)).toDF("id", "day", "x"),
+      Seq("id", "day"), graft.sources.CommitLog.LastWins, "day")
+    assert(spark.table("grlop.tagged").count() === 5L)
   }
 
   test("CALL procedures run commit-log maintenance from SQL") {
