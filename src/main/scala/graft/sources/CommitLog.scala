@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, FileAlreadyExistsException, Paths}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -36,12 +35,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * uncommitted data files into a query, because data files are never
   * the source of truth.
   *
-  * The commit primitive is filesystem-dependent: on `file:` it is a
+  * The commit primitive is the pluggable [[LogStore]] (configure with
+  * `spark.graft.logStore.class`): on `file:` the default is a
   * hard-link create (POSIX `link(2)` fails with EEXIST — atomic
-  * create-if-absent); elsewhere it is rename-without-overwrite, atomic
-  * on HDFS. An object store with no atomic namespace op would need a
-  * CAS service (the role DynamoDB plays for Delta on S3) behind the
-  * same `tryCommit`.
+  * create-if-absent); on HDFS-like stores rename-without-overwrite.
+  * S3-class object stores have neither — the default store refuses
+  * them loudly; plug in a conditional-PUT (`If-None-Match`) or
+  * lock-table implementation (the role DynamoDB plays for Delta on
+  * S3) behind the same `tryCommit`.
   *
   * Schema evolution: `append`/`upsert` commit the union-by-name of the
   * table schema and the write's (new columns append as nullable; type
@@ -90,6 +91,9 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   private val logDir = new Path(rootPath, "_graft_log")
   private val dataDir = new Path(rootPath, "data")
   private def fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  // the atomic create-if-absent behind every manifest publish —
+  // pluggable per storage system (object stores need conditional PUT)
+  private val logStore: LogStore = LogStore.forSession(spark)
   private def mapper = new ObjectMapper()
 
   /** The folded state of the log at one version. `parts` tags data
@@ -2139,27 +2143,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       }.toMap
     }.toMap).getOrElse(Map.empty)
 
-  /** Atomically publish `json` as version `v`; false = version taken. */
+  /** Atomically publish `json` as version `v`; false = version taken.
+    * The atomicity lives in the [[LogStore]] (pluggable per storage
+    * system — see its contract); everything above this line is
+    * storage-agnostic. */
   private def tryCommit(v: Long, json: String): Boolean = {
     fs.mkdirs(logDir)
-    val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}.json")
-    val out = fs.create(tmp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    val dst = manifestPath(v)
-    val won =
-      if ("file" == dst.toUri.getScheme || dst.toUri.getScheme == null) {
-        // local FS: POSIX rename REPLACES an existing destination, so
-        // rename is not a safe CAS here — hard-link create is (EEXIST)
-        val tmpNio = Paths.get(fs.makeQualified(tmp).toUri)
-        val dstNio = Paths.get(fs.makeQualified(dst).toUri)
-        try { Files.createLink(dstNio, tmpNio); true }
-        catch { case _: FileAlreadyExistsException => false }
-      } else {
-        // HDFS-like: rename fails (returns false) when dst exists
-        !fs.exists(dst) && fs.rename(tmp, dst)
-      }
-    fs.delete(tmp, false)
-    won
+    logStore.putIfAbsent(fs, manifestPath(v), json)
   }
 }
 

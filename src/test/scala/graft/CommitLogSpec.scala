@@ -1563,4 +1563,49 @@ class CommitLogSpec extends SparkSpecBase {
     assert(v2 === v1, "same (writer, epoch) replays as a no-op")
     assert(log.read().select($"x").as[Double].head() === 5.0)
   }
+
+  test("LogStore is pluggable: a configured class carries every manifest publish") {
+    val t = tmpTable("clog-logstore")
+    CountingLogStore.puts.set(0)
+    spark.conf.set(graft.sources.LogStore.ConfKey, classOf[CountingLogStore].getName)
+    try {
+      val log = CommitLog(spark, t)
+      log.append(Seq((1L, "a")).toDF("id", "v"))
+      log.append(Seq((2L, "b")).toDF("id", "v"))
+      assert(CountingLogStore.puts.get() === 2,
+        "both commits must publish through the configured store")
+      assert(log.read().count() === 2L)
+      // a broken class name fails loudly at handle creation, not silently
+      spark.conf.set(graft.sources.LogStore.ConfKey, "no.such.Store")
+      intercept[IllegalArgumentException] { CommitLog(spark, tmpTable("clog-ls2")) }
+    } finally spark.conf.unset(graft.sources.LogStore.ConfKey)
+  }
+
+  test("default LogStore refuses object-store schemes instead of racing") {
+    // s3a has no atomic create-if-absent; the default must fail loudly
+    // (a conditional-PUT store is the configured path there)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.HadoopLogStore.putIfAbsent(
+        new org.apache.hadoop.fs.RawLocalFileSystem() {
+          initialize(java.net.URI.create("file:///"), spark.sparkContext.hadoopConfiguration)
+          override def makeQualified(p: org.apache.hadoop.fs.Path) =
+            new org.apache.hadoop.fs.Path("s3a://bucket" + p.toUri.getPath)
+        },
+        new org.apache.hadoop.fs.Path("/t/_graft_log/0.json"), "{}")
+    }
+    assert(e.getMessage.contains("conditional-PUT"))
+  }
+}
+
+/** Test double for the pluggable-LogStore spec: delegates to the
+  * default primitives, counting publishes. */
+final class CountingLogStore extends graft.sources.LogStore {
+  override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path, json: String): Boolean = {
+    CountingLogStore.puts.incrementAndGet()
+    graft.sources.HadoopLogStore.putIfAbsent(fs, dst, json)
+  }
+}
+object CountingLogStore {
+  val puts = new java.util.concurrent.atomic.AtomicInteger(0)
 }
