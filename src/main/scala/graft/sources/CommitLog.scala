@@ -1806,6 +1806,56 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     } finally fs.delete(staging, true)
   }
 
+  /** Adopt parquet files STAGED by the native DSv2 write path as an
+    * `add` commit — the ZERO-REWRITE append: the finished task outputs
+    * rename into `data/` and the manifest references them; the batch
+    * is never read back, let alone written twice (the V1 bridge ran
+    * every append through a second full parquet write). Un-partitioned
+    * tables only — the partitioned append re-lands through
+    * [[appendPartitioned]] so files stay tagged. */
+  private[graft] def commitStagedAdd(stagingDir: String,
+      writeSchema: StructType): Long = {
+    val staging = new Path(stagingDir)
+    if (!fs.exists(staging))
+      throw new IllegalStateException(
+        s"$tableRoot: write staging dir $stagingDir is missing — " +
+          "it was deleted mid-statement (concurrent vacuum?); aborting. " +
+          "Retry the write.")
+    val staged = fs.listStatus(staging).filter(st => st.isFile
+      && st.getPath.getName.startsWith("part-")
+      && st.getPath.getName.endsWith(".parquet"))
+    fs.mkdirs(dataDir)
+    try {
+      val s0 = snapshot()
+      mergedSchema(s0.schema, writeSchema) // loud type-conflict check BEFORE moving
+      require(s0.parts.isEmpty,
+        s"$tableRoot: staged-add on a partition-tagged table would break the " +
+          "all-tagged invariant — route through appendPartitioned")
+      val moved = staged.map { st =>
+        val name = s"${UUID.randomUUID()}-${st.getPath.getName}"
+        if (!fs.rename(st.getPath, new Path(dataDir, name)))
+          throw new java.io.IOException(s"move ${st.getPath} -> data/$name failed")
+        s"data/$name"
+      }.toSeq
+      var cur = s0
+      var attempts = 0
+      try {
+        val st = statsFor(moved)
+        val bl = bloomsFor(moved)
+        while (!tryCommit(cur.version + 1,
+            manifestJson(cur.version + 1, "add", moved,
+              mergedSchema(cur.schema, writeSchema), None, stats = st, blooms = bl))) {
+          attempts += 1
+          require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+          cur = snapshot()
+        }
+        cur.version + 1
+      } catch {
+        case e: Throwable => moved.foreach(deleteData); throw e
+      }
+    } finally fs.delete(staging, true)
+  }
+
   private val MaxAttempts = 50
 
   private def replayOf(s: Snapshot, txn: Option[(String, Long)]): Boolean =

@@ -10,7 +10,6 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlread
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -34,14 +33,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    reference's conditional put; the default directory-swap path is
   *    documented single-writer
   *
-  * The write plugs in through the public `V1Write` bridge (the same
-  * bridge Spark's own JDBC V2 connector writes through): Catalyst
-  * validates the append against the catalog schema and plans a real
-  * AppendData node, and the connector's [[InsertableRelation]] applies
-  * [[graft.operators.Upsert]] + [[graft.operators.Sinks.writeAtomic]] —
-  * Spark's native parquet writer does the physical IO, so the merge
-  * inherits its whole write path (codegen, compression, committers)
-  * instead of re-implementing a row writer.
+  * Writes are NATIVE DSv2 (r10): Catalyst validates the append against
+  * the catalog schema and plans a real AppendData /
+  * OverwritePartitionsDynamic node; the rows go through Spark's own V2
+  * parquet FileWrite into staging (codegen, compression, task-commit
+  * protocol), and the driver-side commit routes the staged files to
+  * the matching commit-log operation — plain appends ADOPT the staged
+  * files with zero rewrite, merge modes run
+  * [[graft.operators.Upsert]] over the staged batch, and
+  * `.overwritePartitions()` maps to [[CommitLog.replacePartitions]].
   *
   * Scale note: the merge itself is [[graft.operators.Upsert]]'s single
   * key-shuffle anti join; the atomic swap is a directory rename. At
@@ -265,15 +265,14 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
   override def schema(): StructType = schema0
   override def properties(): JMap[String, String] = props.asJava
 
-  // No OVERWRITE_DYNAMIC: Spark rejects dynamic overwrite through V1
-  // writes at analysis anyway, so declaring it would only turn
-  // `.overwritePartitions()` into a confusing late failure. The
-  // partition-scoped overwrite lives on the library surface
-  // ([[CommitLog.replacePartitions]]).
+  // Native DSv2 writes (r10, replacing the V1Write bridge): BATCH_WRITE
+  // + OVERWRITE_DYNAMIC unlock `.overwritePartitions()` / dynamic
+  // INSERT OVERWRITE in SQL, which the V1 bridge rejected at analysis.
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE,
+      TableCapability.BATCH_WRITE,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.TRUNCATE)
 
   /** DSv2 READ: commit-log tables scan the snapshot's live file list
@@ -314,15 +313,85 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
   private def mode: String =
     props.getOrElse("merge.mode", if (keys.nonEmpty) "insert-if-absent" else "append")
 
+  /** Native DSv2 write (r10): the rows go through Spark's OWN V2
+    * parquet FileWrite into a staging dir (codegen'd writer, task
+    * commit protocol, speculation-safe — the same delegate the
+    * row-level path uses), and the driver-side commit routes the
+    * staged files to the right commit-log operation. Plain appends on
+    * un-tagged logged tables ADOPT the staged files directly
+    * ([[CommitLog.commitStagedAdd]] — zero rewrite, the batch is
+    * written exactly once); merge modes and partitioned routes read
+    * the staged batch back (columnar, local) and run the same
+    * spec-pinned library operations the V1 bridge ran, so write
+    * semantics are unchanged. `.overwritePartitions()` — which the V1
+    * bridge could not express — maps to
+    * [[CommitLog.replacePartitions]] (dynamic partition overwrite). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfVersion.isEmpty && asOfTsMillis.isEmpty,
       s"$ident: cannot write to a time-travel snapshot")
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var overwrite = false
+      private var dynamic = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          (data: DataFrame, _: Boolean) => insert(data, overwrite)
+      override def overwriteDynamicPartitions(): WriteBuilder = { dynamic = true; this }
+      override def build(): Write = {
+        if (dynamic) {
+          require(logged && props.get("merge.partcol").exists(_.trim.nonEmpty),
+            s"$ident: dynamic partition overwrite needs merge.log=true and " +
+              "merge.partcol (the manifest-level partition column)")
+        }
+        buildNativeWrite(info, overwrite, dynamic)
+      }
+    }
+  }
+
+  private def buildNativeWrite(info: LogicalWriteInfo,
+      overwrite: Boolean, dynamic: Boolean): Write = {
+    val spark = SparkSession.active
+    val staging = s"$path/.tmp-v2write-${java.util.UUID.randomUUID()}"
+    val inner = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+        s"$ident v2write", spark,
+        new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
+        List(staging), Some(info.schema()),
+        classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+      .newWriteBuilder(info).build()
+    new Write {
+      override def description(): String = s"graft-v2write $ident"
+      override def toBatch: BatchWrite = new BatchWrite {
+        private val delegate = inner.toBatch
+        override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
+          delegate.createBatchWriterFactory(pi)
+        override def useCommitCoordinator(): Boolean = delegate.useCommitCoordinator()
+        override def commit(messages: Array[WriterCommitMessage]): Unit = {
+          delegate.commit(messages) // files land under staging/
+          val sess = SparkSession.active
+          try {
+            val partCol = props.get("merge.partcol").map(_.trim).filter(_.nonEmpty)
+            def stagedDf: DataFrame =
+              sess.read.schema(info.schema()).parquet(staging)
+            if (dynamic) {
+              CommitLog(sess, path).replacePartitions(stagedDf, partCol.get)
+            } else if (logged && !overwrite && mode == "append" && partCol.isEmpty) {
+              // zero-rewrite adoption: the staged task outputs BECOME
+              // the table's new files, one metadata commit
+              CommitLog(sess, path).commitStagedAdd(staging, info.schema())
+            } else {
+              insert(stagedDf, overwrite)
+            }
+          } finally {
+            val p = new Path(staging)
+            p.getFileSystem(sess.sparkContext.hadoopConfiguration).delete(p, true)
+          }
+        }
+        override def abort(messages: Array[WriterCommitMessage]): Unit = {
+          try delegate.abort(messages)
+          finally {
+            val p = new Path(staging)
+            p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
+        }
       }
     }
   }

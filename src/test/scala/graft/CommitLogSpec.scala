@@ -386,9 +386,8 @@ class CommitLogSpec extends SparkSpecBase {
     // untouched-partition files rode through the overwrite
     val s = log.snapshot()
     assert(s.files.exists(f => s.parts(f) == "d1"))
-    // catalog surface: Spark's analyzer REJECTS .overwritePartitions()
-    // on V1 writes (we deliberately don't declare OVERWRITE_DYNAMIC, so
-    // the failure is loud at analysis — no silent whole-table truncate)
+    // catalog surface (r10, native V2 writes): .overwritePartitions()
+    // maps to the same replacePartitions semantics
     val wh = Files.createTempDirectory("graft-wh-dyn").toString
     spark.conf.set("spark.sql.catalog.gdyn", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gdyn.warehouse", wh)
@@ -398,13 +397,10 @@ class CommitLogSpec extends SparkSpecBase {
       .tableProperty("merge.log", "true")
       .tableProperty("merge.partcol", "day")
       .create()
-    val e = intercept[Exception] {
-      Seq((9L, "d2", "z")).toDF("id", "day", "nome")
-        .writeTo("gdyn.prices").overwritePartitions()
-    }
-    assert(e.getMessage.contains("does not support dynamic overwrite"))
+    Seq((9L, "d2", "z")).toDF("id", "day", "nome")
+      .writeTo("gdyn.prices").overwritePartitions()
     assert(GraftMergeTable.read(spark, wh, "prices")
-      .select($"id").as[Long].collect().toSet === Set(1L, 2L))
+      .select($"id").as[Long].collect().toSet === Set(1L, 9L))
   }
 
   test("a write whose own schema case-collides is rejected before committing") {

@@ -361,6 +361,69 @@ class SourcesSpec extends SparkSpecBase {
       === Set((1L, 1.0), (100L, 20.0), (101L, 30.0), (200L, 4.0)))
   }
 
+  test("native V2 write: overwritePartitions replaces only the written partitions") {
+    val wh = Files.createTempDirectory("graft-wh-v2w").toString
+    spark.conf.set("spark.sql.catalog.gv2w", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gv2w.warehouse", wh)
+    Seq((1L, "d1", 1.0), (2L, "d2", 2.0), (3L, "d2", 3.0))
+      .toDF("id", "day", "x")
+      .writeTo("gv2w.t")
+      .tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "day")
+      .create()
+    val log = graft.sources.CommitLog(spark, s"$wh/t")
+    val d1Files = log.snapshot().files.filter(f => log.snapshot().parts(f) == "d1").toSet
+    assert(d1Files.nonEmpty)
+
+    // dynamic partition overwrite — the V1 bridge rejected this at analysis
+    Seq((20L, "d2", 20.0), (30L, "d3", 30.0)).toDF("id", "day", "x")
+      .writeTo("gv2w.t").overwritePartitions()
+    val s = log.snapshot()
+    assert(spark.table("gv2w.t").as[(Long, String, Double)].collect().toSet
+      === Set((1L, "d1", 1.0), (20L, "d2", 20.0), (30L, "d3", 30.0)))
+    assert(d1Files.subsetOf(s.files.toSet), "untouched partition files survive")
+    assert(s.files.forall(s.parts.contains), "all-tagged invariant holds")
+
+    // dynamic overwrite without merge.partcol fails loudly at analysis/build
+    Seq((1L, 1.0)).toDF("id", "x")
+      .writeTo("gv2w.flat").tableProperty("merge.log", "true").create()
+    val e = intercept[Exception] {
+      Seq((2L, 2.0)).toDF("id", "x").writeTo("gv2w.flat").overwritePartitions()
+    }
+    assert(e.getMessage.contains("merge.partcol") ||
+      Option(e.getCause).exists(_.getMessage.contains("merge.partcol")))
+  }
+
+  test("native V2 append adopts staged files without a rewrite") {
+    val wh = Files.createTempDirectory("graft-wh-v2a").toString
+    spark.conf.set("spark.sql.catalog.gv2a", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gv2a.warehouse", wh)
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .writeTo("gv2a.t").tableProperty("merge.log", "true").create()
+    val log = graft.sources.CommitLog(spark, s"$wh/t")
+    val v0Files = log.snapshot().files.toSet
+    // a 2-partition append lands exactly 2 adopted files (one per task —
+    // a rewrite through a second job would repartition them)
+    Seq((2L, "b"), (3L, "c")).toDF("id", "v").repartition(2)
+      .writeTo("gv2a.t").append()
+    val s = log.snapshot()
+    assert((s.files.toSet -- v0Files).size === 2,
+      s"expected the 2 staged task files adopted verbatim, got ${s.files}")
+    assert(spark.table("gv2a.t").as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the adopted files carry manifest stats (pruning still works);
+    // an empty task file has no row groups and thus legitimately none
+    assert((s.files.toSet -- v0Files).exists(s.stats.contains),
+      "adopted data-bearing files must have harvested min/max stats")
+    // SQL INSERT INTO rides the same native path
+    spark.sql("INSERT INTO gv2a.t VALUES (4, 'd')")
+    assert(spark.table("gv2a.t").count() === 4L)
+    // createOrReplace (truncate) still replaces whole-table
+    Seq((9L, "z")).toDF("id", "v").writeTo("gv2a.t")
+      .tableProperty("merge.log", "true").createOrReplace()
+    assert(spark.table("gv2a.t").as[(Long, String)].collect().toSet === Set((9L, "z")))
+  }
+
   test("SQL UPDATE/MERGE on a partition-tagged table keeps tags and untouched partitions") {
     val wh = Files.createTempDirectory("graft-wh-rlop").toString
     spark.conf.set("spark.sql.catalog.grlop", "graft.sources.GraftCatalog")
