@@ -887,6 +887,159 @@ object Similarity {
     adcTopK(cc.join(broadcast(qp), Seq("cell")), m, ksub, k)
   }
 
+  /** Codebook source for [[buildIvfPqIndex]] — where the persisted
+    * index's quantizers come from. Whatever the source, the chosen
+    * codebooks are PERSISTED with the index and every later operation
+    * (append, delete, search) reads them back, so the choice is made
+    * exactly once per index lifetime.
+    *
+    *  - [[Codebooks.Sampled]] — the `nlist`/`ksub` lowest-id candidate
+    *    vectors (the deterministic bootstrap; DuckDB-replayable, the
+    *    declared-query default).
+    *  - [[Codebooks.Trained]] — KMeans on a bounded deterministic
+    *    sample: coarse = Lloyd over full vectors; PQ = per-subspace
+    *    Lloyd, sub-centroids concatenated back into full-dim rows so
+    *    the persisted (kind, cell, v) schema and every encode/search
+    *    path are unchanged. Removes the data-point-codebook quality
+    *    floor AND the append-parity assumption (parity no longer needs
+    *    the build slice to hold the lowest ids — the persisted
+    *    codebooks ARE the quantizers, whatever slice trained them).
+    *  - [[Codebooks.Provided]] — offline-trained centroids: (cell, v)
+    *    DataFrames for coarse and PQ (the production shape at 100 TB,
+    *    and how a rebuild replays an existing index's quantizers via
+    *    [[readIndexCodebooks]]). */
+  sealed trait Codebooks
+  object Codebooks {
+    case object Sampled extends Codebooks
+    final case class Trained(sampleSize: Int = 16384, iters: Int = 10,
+        seed: Long = 42L) extends Codebooks
+    final case class Provided(coarse: DataFrame, pq: DataFrame) extends Codebooks
+  }
+
+  /** Deterministic driver-side Lloyd: fixed init (k points evenly
+    * spaced over the caller's deterministically-ordered sample), fixed
+    * iteration count, ties to the lowest centroid index, an emptied
+    * cluster keeps its previous centroid. Pure function of (sample
+    * order, k, iters) — no RNG, so two builds over the same corpus
+    * train bit-identical codebooks regardless of partitioning. The
+    * sample is bounded (metadata-sized collect, the ExactQuantile
+    * thresholds class); at 100 TB the sample IS how codebooks are
+    * trained — quantizer quality saturates far below corpus size. */
+  private[graft] def lloyd(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(sample.length >= k,
+      s"KMeans needs >= $k sample vectors, got ${sample.length}")
+    val dim = sample(0).length
+    val centroids = Array.tabulate(k)(j => sample(j * sample.length / k).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val t = v(i) - centroids(j)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          var i = 0
+          while (i < dim) { centroids(j)(i) = sums(j)(i) / counts(j); i += 1 }
+        }
+        j += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Bounded deterministic training sample: the `sampleSize` rows with
+    * the lowest md5(seed, id) — a pure function of (seed, ids), so the
+    * sample (hence the trained codebooks) is stable under partitioning,
+    * retries, and insertion order, and a TakeOrdered job (no full
+    * sort). Returns vectors in hash order (the order [[lloyd]]'s init
+    * indexes into). */
+  private def trainingSample(c: DataFrame, dim: Int, sampleSize: Int,
+      seed: Long): Array[Array[Double]] =
+    c.select(col("__cv"),
+        md5(concat_ws(":", lit(seed), col("c_id").cast("string"))).as("__h"),
+        col("c_id"))
+      .orderBy(col("__h"), col("c_id"))
+      .limit(sampleSize)
+      .select(col("__cv"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Any](0)
+        require(v.length == dim,
+          s"training vector has dim ${v.length}, want $dim")
+        v.map {
+          case x: Float => x.toDouble
+          case x: Double => x
+          case x => throw new IllegalArgumentException(
+            s"expected float/double vector element, got $x")
+        }.toArray
+      }
+
+  /** Resolve a [[Codebooks]] spec to (coarseRows, pqRows) — both
+    * (cell: LONG, v) DataFrames, `v` double-typed for trained/provided
+    * paths (float data-point rows stay float; [[collectCodebook]] and
+    * [[broadcastCodebook]] accept either and all arithmetic casts to
+    * double first). */
+  private def resolveCodebooks(c: DataFrame, nlist: Int, m: Int, ksub: Int,
+      dim: Int, spec: Codebooks): (DataFrame, DataFrame) = spec match {
+    case Codebooks.Sampled =>
+      val sampled = c.orderBy(col("c_id")).limit(math.max(nlist, ksub))
+        .select(col("c_id").as("cell"), col("__cv").as("v"))
+        .localCheckpoint()
+      // re-ordered before each limit: checkpointed rows carry no order
+      // contract (ADVICE r7)
+      (sampled.orderBy(col("cell")).limit(nlist),
+        sampled.orderBy(col("cell")).limit(ksub))
+    case Codebooks.Trained(sampleSize, iters, seed) =>
+      val spark = c.sparkSession
+      import spark.implicits._
+      val sample = trainingSample(c, dim, sampleSize, seed)
+      val dsub = dim / m
+      val coarse = lloyd(sample, nlist, iters)
+      // per-subspace Lloyd, concatenated: full-dim row j holds subspace
+      // i's centroid j at slice i — slicing recovers exactly what each
+      // sub-quantizer trained, so the persisted schema stays (cell, v)
+      val subs = Array.tabulate(m) { i =>
+        lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, i * dsub, (i + 1) * dsub)),
+          ksub, iters)
+      }
+      val pq = Array.tabulate(ksub)(j => Array.tabulate(m)(i => subs(i)(j)).flatten)
+      (coarse.zipWithIndex.map { case (v, j) => (j.toLong, v.toSeq) }
+         .toSeq.toDF("cell", "v"),
+        pq.zipWithIndex.map { case (v, j) => (j.toLong, v.toSeq) }
+          .toSeq.toDF("cell", "v"))
+    case Codebooks.Provided(coarse, pq) =>
+      (coarse.select(col("cell").cast("long").as("cell"), toDouble(col("v")).as("v")),
+        pq.select(col("cell").cast("long").as("cell"), toDouble(col("v")).as("v")))
+  }
+
+  /** The persisted quantizers of an existing [[buildIvfPqIndex]] root as
+    * (coarse, pq) — the [[Codebooks.Provided]] input that makes a
+    * one-shot rebuild replay an index's exact quantizers (the
+    * append/delete parity specs' independent arbiter). */
+  def readIndexCodebooks(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String): (DataFrame, DataFrame) = {
+    val cb = graft.sources.CommitLog(spark, s"$indexRoot/codebook").read()
+      .localCheckpoint()
+    (cb.filter(col("kind") === "coarse").select(col("cell"), col("v")),
+      cb.filter(col("kind") === "pq").select(col("cell"), col("v")))
+  }
+
   /** PERSISTED IVF-PQ index — the build-once/query-many form of
     * [[ivfPqTopK]] (FAISS's deployment shape, and the reference's: it
     * STORES its lookup structure in a table with a seekable sort key,
@@ -902,26 +1055,25 @@ object Similarity {
     * The corpus floats are gone after the build: postings carry m
     * int codes per vector (the smallest representation any searcher
     * here ships), and [[searchIvfPqIndex]] touches ONLY the probed
-    * cells' files. Same deterministic lowest-id sampled codebooks as
-    * [[ivfPqTopK]], so a search over the persisted index is
-    * bit-identical to the on-the-fly pipeline (q133 hash-matches
-    * q117's oracle). Codebook vectors persist as doubles — float →
+    * cells' files. Quantizers come from the [[Codebooks]] spec — the
+    * default lowest-id sample matches [[ivfPqTopK]] exactly, so a
+    * search over the persisted index is bit-identical to the
+    * on-the-fly pipeline (q133 hash-matches q117's oracle);
+    * [[Codebooks.Trained]]/[[Codebooks.Provided]] swap in KMeans or
+    * offline centroids with every downstream path unchanged (they all
+    * read the PERSISTED codebooks). Codebook vectors persist as doubles — float →
     * double widening is exact, and both pipelines cast to double
     * before any arithmetic. Re-building into the same root commits a
     * new version (readers on the old one are unaffected; vacuum when
     * idle). */
   def buildIvfPqIndex(candidates: DataFrame, cId: String, vecCol: String,
       indexRoot: String, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
-      dim: Int = 64): Unit = {
+      dim: Int = 64, codebooks: Codebooks = Codebooks.Sampled): Unit = {
     import graft.sources.CommitLog
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
     val spark = candidates.sparkSession
     val c = cSide(candidates, cId, vecCol)
-    val sampled = c.orderBy(col("c_id")).limit(math.max(nlist, ksub))
-      .select(col("c_id").as("cell"), col("__cv").as("v"))
-      .localCheckpoint()
-    val coarseRows = sampled.orderBy(col("cell")).limit(nlist)
-    val pqRows = sampled.orderBy(col("cell")).limit(ksub)
+    val (coarseRows, pqRows) = resolveCodebooks(c, nlist, m, ksub, dim, codebooks)
     val flat = collectCodebook(pqRows, ksub, dim)
     val postings = probeCells(c, "__cv", broadcastCodebook(coarseRows), 1)
       .select(col("c_id"), col("cell"),
@@ -944,10 +1096,13 @@ object Similarity {
     * build time — re-training them would silently invalidate every
     * already-stored code) and appended as cell-tagged postings, one
     * commit-log version. Cost ∝ batch, never corpus: the existing
-    * postings are not read, the corpus is not re-encoded. An append
-    * whose batch ⊆ the build corpus's id range produces an index
-    * bit-identical to a one-shot build (spec-pinned; q136's oracle is
-    * q117's verbatim). */
+    * postings are not read, the corpus is not re-encoded. Incremental
+    * ≡ one-shot parity: an append always equals a rebuild that replays
+    * the SAME persisted quantizers ([[readIndexCodebooks]] →
+    * [[Codebooks.Provided]]; spec-pinned on a shuffled build slice).
+    * Under the Sampled default that collapses to the classic special
+    * case — a batch ⊆ the build corpus's id range is bit-identical to
+    * a plain rebuild (q136's oracle is q117's verbatim). */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       indexRoot: String, batch: DataFrame, cId: String, vecCol: String): Unit = {
     import graft.sources.CommitLog

@@ -679,6 +679,73 @@ object IndexQueries {
         CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** C3 persisted index with TRAINED (non-data-point) codebooks
+    * ([[graft.operators.Similarity.Codebooks.Provided]], the r10
+    * codebook-source surface): centroids are 4-vector AVERAGES — one
+    * Lloyd-style averaging step over fixed assignments (cell j ←
+    * vec_ids 4j..4j+3) — so the quantizers are genuinely synthesized
+    * vectors, not corpus rows, exercising exactly the code path an
+    * offline-trained codebook takes (the KMeans form of the same path
+    * is spec-pinned in AnnIndexSpec; it has no SQL form, this does).
+    * Bit-exactness: the element-wise mean is a FIXED-ORDER fold
+    * (((0+v₀)+v₁)+v₂)+v₃ over doubles with a power-of-two divisor, so
+    * both engines compute the identical codebook, and assignment /
+    * probing / encoding / ADC replay as in q117. */
+  private val q155 = Q(
+    "q155_ann_trained_codebook",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = scratch(s, dir, "ann-trained")
+      val cbRows = emb.filter(col("vec_id") < 64)
+        .groupBy(expr("vec_id DIV 4").as("cell"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+          .as("__vs"))
+        .select(col("cell"),
+          aggregate(col("__vs"),
+            transform(sequence(lit(1), lit(64)), _ => lit(0.0)),
+            (acc, e) => zip_with(acc, e("embedding"),
+              (a, x) => a + x.cast("double")),
+            acc => transform(acc, a => a / lit(4.0))).as("v"))
+      graft.operators.Similarity.buildIvfPqIndex(
+        emb, "vec_id", "embedding", root,
+        nlist = 16, m = 8, ksub = 16, dim = 64,
+        codebooks = graft.operators.Similarity.Codebooks.Provided(cbRows, cbRows))
+      graft.operators.Similarity.searchIvfPqIndex(
+          s, root, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+          k = 3, nprobe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      // q117's pipeline over the averaged codebook: swap the two
+      // codebook CTEs, keep assignment/probing/encoding/ADC verbatim
+      val cbCte = """WITH cb AS (
+        SELECT a.vec_id // 4 AS cell,
+          list_transform(range(1, 65), i ->
+            ((((0.0 + CAST(a.embedding[CAST(i AS INT)] AS DOUBLE))
+               + CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+               + CAST(c.embedding[CAST(i AS INT)] AS DOUBLE))
+               + CAST(d.embedding[CAST(i AS INT)] AS DOUBLE)) / 4.0) AS cbv
+        FROM embeddings a
+        JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        JOIN embeddings c ON c.vec_id = a.vec_id + 2
+        JOIN embeddings d ON d.vec_id = a.vec_id + 3
+        WHERE a.vec_id % 4 = 0 AND a.vec_id < 64),"""
+      val pcbCte = """pcb AS (
+        SELECT CAST(cell AS INT) AS code, cbv FROM cb),"""
+      val body = ivfPqOracle
+        .replace("""WITH cb AS (
+        SELECT vec_id AS cell, embedding AS cbv
+        FROM embeddings ORDER BY vec_id LIMIT 16),""", cbCte)
+        .replace("""pcb AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+          embedding AS cbv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),""",
+          pcbCte)
+      require(body.contains("// 4 AS cell") && body.contains("CAST(cell AS INT) AS code"),
+        "q155 oracle derivation lost its anchors in ivfPqOracle")
+      body
+    })
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
-    q148, q149, q150, q154)
+    q148, q149, q150, q154, q155)
 }

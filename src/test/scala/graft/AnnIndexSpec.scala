@@ -142,6 +142,76 @@ class AnnIndexSpec extends SparkSpecBase {
       Seq(999999L).toDF("vec_id"), "vec_id") === v)
   }
 
+  test("trained codebooks: shuffled-slice build + append equals a rebuild replaying the persisted quantizers") {
+    val rootInc = tmpRoot("ann-trained-inc")
+    val rootOne = tmpRoot("ann-trained-one")
+    // the build slice deliberately does NOT hold the lowest ids — the
+    // parity claim must no longer lean on the lowest-id assumption
+    val slice = emb.filter(col("vec_id") >= 200)
+    Similarity.buildIvfPqIndex(slice, "vec_id", "embedding", rootInc,
+      nlist = 16, m = 8, ksub = 16, dim = 64,
+      codebooks = Similarity.Codebooks.Trained(sampleSize = 256))
+    Similarity.appendToIvfPqIndex(spark, rootInc,
+      emb.filter(col("vec_id") < 200), "vec_id", "embedding")
+    // one-shot rebuild over the FULL corpus replaying the incremental
+    // index's persisted quantizers — the independent arbiter
+    val (coarse, pq) = Similarity.readIndexCodebooks(spark, rootInc)
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", rootOne,
+      nlist = 16, m = 8, ksub = 16, dim = 64,
+      codebooks = Similarity.Codebooks.Provided(coarse, pq))
+    val inc = CommitLog(spark, s"$rootInc/postings").read()
+      .select($"c_id", $"cell", $"codes".cast("array<int>"))
+      .as[(Long, Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    val one = CommitLog(spark, s"$rootOne/postings").read()
+      .select($"c_id", $"cell", $"codes".cast("array<int>"))
+      .as[(Long, Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(inc.nonEmpty && inc === one)
+    val q = emb.filter(col("vec_id") < 10)
+    def search(root: String) = Similarity.searchIvfPqIndex(spark, root, q,
+        "vec_id", "embedding", k = 3, nprobe = 4)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    assert(search(rootInc) === search(rootOne))
+  }
+
+  test("trained codebooks are deterministic and recall does not regress vs the sampled bootstrap") {
+    val rootA = tmpRoot("ann-trained-a")
+    val rootB = tmpRoot("ann-trained-b")
+    val rootS = tmpRoot("ann-sampled")
+    val trained = Similarity.Codebooks.Trained(sampleSize = 256)
+    // shuffle the input between the two builds: the training sample is
+    // hash-keyed, so partitioning/order must not move a codebook bit
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", rootA,
+      nlist = 16, m = 8, ksub = 16, dim = 64, codebooks = trained)
+    Similarity.buildIvfPqIndex(emb.repartition(7, col("vec_id")),
+      "vec_id", "embedding", rootB,
+      nlist = 16, m = 8, ksub = 16, dim = 64, codebooks = trained)
+    def cbOf(root: String) = CommitLog(spark, s"$root/codebook").read()
+      .select($"kind", $"cell", $"v".cast("array<double>"))
+      .as[(String, Long, Seq[Double])].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(cbOf(rootA) === cbOf(rootB))
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", rootS,
+      nlist = 16, m = 8, ksub = 16, dim = 64)
+    val q = emb.filter(col("vec_id") < 50)
+    val truth = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
+        "embedding", k = 3)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    def recall(root: String): Double = {
+      val got = Similarity.searchIvfPqIndex(spark, root, q,
+          "vec_id", "embedding", k = 3, nprobe = 4)
+        .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val (rT, rS) = (recall(rootA), recall(rootS))
+    info(s"recall@3 nprobe=4: trained=$rT sampled=$rS")
+    // KMeans cells must not LOSE recall vs raw data-point centroids at
+    // the same nprobe (on near-random fixtures both are probe- AND
+    // PQ-noise-limited — see the pqTopK recall notes — so allow
+    // statistical noise but no collapse), and must beat chance within
+    // the probed pool (~nprobe/nlist of the corpus → random ≈ 0.02)
+    assert(rT >= rS - 0.05, s"trained recall $rT collapsed vs sampled $rS")
+    assert(rT > 0.05, s"trained recall $rT not above chance")
+  }
+
   test("rebuilding commits a new version; the index root stays consistent") {
     val root = tmpRoot("ann-rebuild")
     Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", root,
