@@ -92,6 +92,111 @@ object FuzzyJoin {
       .select(col("l_id"), col("r_id"), col("dist"))
   }
 
+  /** Length-bucketed q-gram PREFIX-FILTER candidates — the alternate
+    * candidate policy for the deletion neighborhood's documented break
+    * point (d ≥ 3, long strings: O(len^d) variants explode; this path's
+    * per-string work is O(len) grams + a (d·q+1)-gram prefix,
+    * INDEPENDENT of d's exponent). ED-Join-style (Gravano et al. 2001
+    * count/length filters; Xiao et al. 2008 prefix filtering): two
+    * strings within edit distance d share a q-gram among the d·q+1
+    * RAREST distinct grams of each (global (frequency, gram) order) —
+    * an edit destroys ≤ q positional grams, so ≤ d·q distinct grams
+    * can vanish, and the standard prefix argument forces an
+    * intersection inside both prefixes. Exact [[levenshtein]] verifies
+    * candidates, so precision is always 1; the oracle proves recall
+    * (brute-force hash equality, the q47/q101 discipline).
+    *
+    * Scale shape: grams ride the shuffles as xxhash64 longs (strings
+    * never leave their scan until the verify join); the prefix is a
+    * per-id window over ≤ len grams (bounded rows per key); candidate
+    * pairs are emitted per PREFIX-gram bucket — rare by construction,
+    * the reason this beats naive shared-gram blocking, whose common-
+    * gram buckets go quadratic. `maxBucket` stays as the degenerate-
+    * corpus guard (audit: [[overflowQGrams]]).
+    *
+    * Strings too short for the gram-survival bound (len < q·(d+1):
+    * fewer than d·q+1 grams survive the worst case) fall into one
+    * all-pairs SHORT bucket together with everything length-reachable
+    * from them (len ≤ q·(d+1)−1+d — a string more than d longer than
+    * any short string can never match it), so recall is complete over
+    * the whole length range; the bucket is capped like any other. */
+  def selfPairsQGram(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, q: Int = 2, maxBucket: Int = 4096): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 2, s"q must be >= 2, got $q")
+    val prefixLen = maxDist * q + 1
+    val gramMin = q * (maxDist + 1)        // gram-survival bound
+    val shortMax = gramMin - 1 + maxDist   // length-reachable closure
+    val base = Spread.byKey(df, idCol)
+      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .filter(col("__id").isNotNull && col("__s").isNotNull)
+    // distinct hashed q-grams per long string
+    val grams = base.filter(length(col("__s")) >= gramMin)
+      .select(col("__id"),
+        explode(transform(sequence(lit(1), length(col("__s")) - (q - 1)),
+          i => col("__s").substr(i, lit(q)))).as("__g"))
+      .select(col("__id"), xxhash64(col("__g")).as("__gk"))
+      .distinct()
+    val freq = grams.groupBy(col("__gk")).agg(count(lit(1)).as("__f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__f"), col("__gk"))
+    val prefix = grams.join(freq, Seq("__gk"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= prefixLen)
+      .select(col("__gk"), col("__id"))
+    // SHORT bucket: one synthetic key holding every short-reachable id
+    val shorts = base.filter(length(col("__s")) <= shortMax)
+      .select(lit(Long.MinValue).as("__gk"), col("__id"))
+    val n = size(col("__ids"))
+    val cands = prefix.unionByName(shorts)
+      .groupBy(col("__gk"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .filter(n > 1 && n <= maxBucket)
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .distinct()
+    cands
+      .join(df.select(col(idCol).as("a_id"), col(strCol).as("__sa")), "a_id")
+      .join(df.select(col(idCol).as("b_id"), col(strCol).as("__sb")), "b_id")
+      // implied length filter first — skips the O(len²) verify for
+      // pairs the metric itself rules out
+      .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
+  /** The prefix-gram buckets [[selfPairsQGram]] would drop at
+    * `maxBucket` (the SHORT bucket reports as __gk = Long.MinValue),
+    * for audit. */
+  def overflowQGrams(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, q: Int = 2, maxBucket: Int = 4096): DataFrame = {
+    val prefixLen = maxDist * q + 1
+    val gramMin = q * (maxDist + 1)
+    val shortMax = gramMin - 1 + maxDist
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .filter(col("__id").isNotNull && col("__s").isNotNull)
+    val grams = base.filter(length(col("__s")) >= gramMin)
+      .select(col("__id"),
+        explode(transform(sequence(lit(1), length(col("__s")) - (q - 1)),
+          i => col("__s").substr(i, lit(q)))).as("__g"))
+      .select(col("__id"), xxhash64(col("__g")).as("__gk"))
+      .distinct()
+    val freq = grams.groupBy(col("__gk")).agg(count(lit(1)).as("__f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__f"), col("__gk"))
+    grams.join(freq, Seq("__gk"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= prefixLen)
+      .select(col("__gk"), col("__id"))
+      .unionByName(base.filter(length(col("__s")) <= shortMax)
+        .select(lit(Long.MinValue).as("__gk"), col("__id")))
+      .groupBy(col("__gk")).agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") > maxBucket)
+  }
+
   /** The variant buckets [[selfPairs]] would drop at `maxBucket`, for
     * audit (same role as [[NearDup.overflowBuckets]]). */
   def overflowVariants(df: DataFrame, idCol: String, strCol: String,

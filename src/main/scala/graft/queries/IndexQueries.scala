@@ -746,6 +746,34 @@ object IndexQueries {
       body
     })
 
+  /** B5/C2 q-gram prefix-filter fuzzy join
+    * ([[graft.operators.FuzzyJoin.selfPairsQGram]], the r10 candidate
+    * policy for the deletion neighborhood's documented break point):
+    * every document-text pair within levenshtein distance 8 — a d the
+    * O(len^d) deletion-variant policy cannot reach (it requires
+    * d ≤ 2), over strings (48–553 chars) whose variant neighborhoods
+    * would be astronomical anyway. Candidates come from each string's
+    * d·q+1 RAREST distinct bigrams (global frequency order — the
+    * ED-Join prefix filter), verified by exact levenshtein. The
+    * oracle is the BRUTE-FORCE all-pairs join (with the
+    * metric-implied |Δlen| ≤ d cut) — hash equality proves 100%
+    * recall on this corpus, the q47/q101 discipline. */
+  private val q156 = Q(
+    "q156_qgram_fuzzy_join",
+    (s, dir) =>
+      graft.operators.FuzzyJoin.selfPairsQGram(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", maxDist = 8)
+        .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+        .orderBy(col("a_id"), col("b_id")),
+    Some("""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        levenshtein(a.text, b.text) AS dist
+      FROM documents a JOIN documents b
+        ON a.doc_id < b.doc_id
+        AND abs(length(a.text) - length(b.text)) <= 8
+      WHERE levenshtein(a.text, b.text) <= 8
+      ORDER BY a_id, b_id"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
-    q148, q149, q150, q154, q155)
+    q148, q149, q150, q154, q155, q156)
 }

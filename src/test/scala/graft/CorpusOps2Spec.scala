@@ -158,6 +158,23 @@ class CorpusOps2Spec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("q-gram fuzzy join d=8 on documents equals brute force (deletion policy can't reach this d)") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    val got = graft.operators.FuzzyJoin.selfPairsQGram(
+        docs, "doc_id", "text", maxDist = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val a = docs.select($"doc_id".as("a_id"), $"text".as("sa"))
+    val b = docs.select($"doc_id".as("b_id"), $"text".as("sb"))
+    val want = a.join(b, $"a_id" < $"b_id")
+      // the length filter is implied by the metric — only a cost cut
+      .filter(abs(length($"sa") - length($"sb")) <= 8)
+      .select($"a_id", $"b_id", levenshtein($"sa", $"sb").as("d"))
+      .filter($"d" <= 8).as[(Long, Long, Int)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("entity resolution: fuzzy pairs + connected components pick canonical ids") {
     // typo cluster {color, colour, colors}, {grey, gray}, singleton {red}
     val names = Seq((1L, "color"), (2L, "colour"), (3L, "colors"),

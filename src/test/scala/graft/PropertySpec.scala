@@ -44,6 +44,26 @@ class PropertySpec extends SparkSpecBase {
     }, minTests = 12)
   }
 
+  test("q-gram prefix-filter fuzzy join equals brute force across d=1..4 and mixed lengths") {
+    // lengths straddle the SHORT/gram-path boundary on purpose; the
+    // tiny alphabet forces shared common grams (the prefix filter must
+    // still find rare ones) and exact dups
+    val word = Gen.chooseNum(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val rows = Gen.listOfN(22, word).map(_.zipWithIndex.map {
+      case (w, i) => (i.toLong, w) })
+    checkProp(Prop.forAllNoShrink(rows, Gen.oneOf(1, 2, 3, 4)) { (ws, d) =>
+      val df = ws.toDF("id", "s")
+      val got = graft.operators.FuzzyJoin.selfPairsQGram(df, "id", "s", maxDist = d)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (ia, sa) <- ws; (ib, sb) <- ws
+        if ia < ib && lev(sa, sb) <= d
+      } yield (ia, ib)).toSet
+      got == want
+    }, minTests = 12)
+  }
+
   test("block dedup: reconstruction keeps exactly the first-occurrence blocks") {
     // tiny token alphabet + short docs → heavy cross-doc block collisions
     val doc = Gen.chooseNum(0, 9).flatMap(n =>
