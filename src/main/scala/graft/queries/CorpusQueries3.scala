@@ -194,13 +194,18 @@ object CorpusQueries3 {
     * merge table from the corpus itself — the Sennrich learn_bpe loop
     * with the word-frequency reduction (one corpus scan, then
     * vocabulary-sized iterations; each merge is one pair-count
-    * aggregation plus a 1-row argmax collect). Like q111's apply side,
-    * the sequential merge selection has no SQL form → rows-only; the
-    * trainer is pinned against an independent single-machine learn_bpe
-    * in TokenizeSpec, and the output carries (rank, merge pair, count
-    * at selection) so ANY semantic drift changes the dumped rows, not
-    * just their number. The learned table feeds [[Tokenize.Bpe]]
-    * directly (train here, tokenize anywhere). */
+    * aggregation plus a 1-row argmax collect). ORACLED since r10: the
+    * fixed merge count (12) lets the oracle UNROLL the loop as 12
+    * chained CTE blocks over the word-frequency table — per block, a
+    * pair-count aggregate, a (cnt DESC, a, b) argmax, and the greedy
+    * left-to-right non-overlapping merge application expressed
+    * positionally (adjacent-match islands keep odd offsets — the only
+    * case where matches can touch is a = b, and parity is exactly the
+    * fold's behavior). Hash equality pins the trainer's exact merge
+    * choices AND tie-breaks against an independent engine; TokenizeSpec
+    * additionally pins the loop against a hand-written learn_bpe. The
+    * learned table feeds [[Tokenize.Bpe]] directly (train here,
+    * tokenize anywhere). */
   private val q140 = Q(
     "q140_bpe_train",
     (s, dir) => {
@@ -212,7 +217,67 @@ object CorpusQueries3 {
         .toDF("rank", "merged", "a", "b", "cnt")
         .orderBy(col("rank"))
     },
-    None)
+    Some(bpeTrainOracle(12)))
+
+  /** DuckDB replay of [[graft.operators.Tokenize.trainBpe]] with the
+    * merge loop unrolled `n` times. Every w_k is MATERIALIZED (each is
+    * consumed twice; inlined CTEs would re-evaluate the whole prefix
+    * chain per reference). Symbols are `tok[j]` single chars at k = 0 —
+    * the same per-char view as Spark's split(w, "") on BMP text. */
+  private def bpeTrainOracle(n: Int): String = {
+    val blocks = (0 until n).map { k =>
+      s"""p$k AS MATERIALIZED (
+        SELECT pr.a AS a, pr.b AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+          SELECT n, unnest(list_transform(range(1, len(sl)), j ->
+            struct_pack(a := sl[j], b := sl[j+1]))) AS pr
+          FROM w$k WHERE len(sl) > 1)
+        GROUP BY 1, 2),
+      t$k AS MATERIALIZED (
+        SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+      e$k AS (
+        SELECT wid, n, i, sl[i] AS s,
+          CASE WHEN i < len AND sl[i] = t.a AND sl[i + 1] = t.b
+               THEN 1 ELSE 0 END AS m
+        FROM (SELECT wid, n, sl, len(sl) AS len,
+                unnest(range(1, len(sl) + 1)) AS i FROM w$k)
+        CROSS JOIN t$k t),
+      r$k AS (
+        SELECT wid, n, i, s, m,
+          CASE WHEN m = 1
+               THEN i - ROW_NUMBER() OVER (PARTITION BY wid, m ORDER BY i)
+          END AS isl
+        FROM e$k),
+      k$k AS (
+        SELECT wid, n, i, s,
+          CASE WHEN m = 1 AND
+            (ROW_NUMBER() OVER (PARTITION BY wid, isl ORDER BY i) % 2) = 1
+            THEN 1 ELSE 0 END AS keep
+        FROM r$k),
+      w${k + 1} AS MATERIALIZED (
+        SELECT wid, any_value(n) AS n, list(sym ORDER BY i) AS sl FROM (
+          SELECT wid, n, i,
+            CASE WHEN keep = 1 THEN t.a || t.b ELSE s END AS sym,
+            LAG(keep, 1, 0) OVER (PARTITION BY wid ORDER BY i) AS pk
+          FROM k$k CROSS JOIN t$k t)
+        WHERE pk = 0
+        GROUP BY wid)"""
+    }.mkString(",\n      ")
+    val out = (0 until n).map { k =>
+      s"SELECT CAST($k AS INT) AS rank, a || b AS merged, a, b, cnt FROM t$k"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text),
+          '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok FROM documents),
+      w0 AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY tok) AS wid,
+          list_transform(range(1, length(tok) + 1), j -> tok[j]) AS sl,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks GROUP BY tok),
+      $blocks
+      SELECT rank, merged, a, b, cnt FROM (
+        $out)
+      ORDER BY rank"""
+  }
 
   /** C∘ end-to-end TOKENIZER-TO-BATCHES prep: train a BPE merge table
     * on the corpus ([[graft.operators.Tokenize.trainBpe]]), tokenize
