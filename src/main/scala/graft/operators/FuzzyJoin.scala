@@ -62,8 +62,9 @@ object FuzzyJoin {
     cands
       .join(df.select(col(idCol).as("a_id"), col(strCol).as("__sa")), "a_id")
       .join(df.select(col(idCol).as("b_id"), col(strCol).as("__sb")), "b_id")
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
-      .filter(col("dist") <= maxDist)
+      // banded threshold form: O(d·len) per pair, -1 past the band
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 
@@ -87,8 +88,9 @@ object FuzzyJoin {
     cands
       .join(left.select(col(idCol).as("l_id"), col(strCol).as("__sl")), "l_id")
       .join(right.select(col(idCol).as("r_id"), col(strCol).as("__sr")), "r_id")
-      .withColumn("dist", levenshtein(col("__sl"), col("__sr")))
-      .filter(col("dist") <= maxDist)
+      // banded threshold form: O(d·len) per pair, -1 past the band
+      .withColumn("dist", levenshtein(col("__sl"), col("__sr"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("l_id"), col("r_id"), col("dist"))
   }
 
@@ -109,10 +111,13 @@ object FuzzyJoin {
     * Scale shape: grams ride the shuffles as xxhash64 longs (strings
     * never leave their scan until the verify join); the prefix is a
     * per-id window over ≤ len grams (bounded rows per key); candidate
-    * pairs are emitted per PREFIX-gram bucket — rare by construction,
-    * the reason this beats naive shared-gram blocking, whose common-
-    * gram buckets go quadratic. `maxBucket` stays as the degenerate-
-    * corpus guard (audit: [[overflowQGrams]]).
+    * pairs are emitted per (PREFIX-gram, length-window) composite
+    * bucket — rare grams by construction, and width-d length bins
+    * (|Δlen| ≤ d ⇒ adjacent bins) so corpora whose gram universe is
+    * small (templated text: even rare grams are corpus-common) still
+    * fragment into many small buckets. `maxBucket` caps each
+    * composite bucket as the degenerate-corpus guard (audit:
+    * [[overflowQGrams]], keyed (gram, window)).
     *
     * Strings too short for the gram-survival bound (len < q·(d+1):
     * fewer than d·q+1 grams survive the worst case) fall into one
@@ -128,14 +133,15 @@ object FuzzyJoin {
     val gramMin = q * (maxDist + 1)        // gram-survival bound
     val shortMax = gramMin - 1 + maxDist   // length-reachable closure
     val base = Spread.byKey(df, idCol)
-      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .select(col(idCol).as("__id"), col(strCol).as("__s"),
+        length(col(strCol)).as("__len"))
       .filter(col("__id").isNotNull && col("__s").isNotNull)
     // distinct hashed q-grams per long string
-    val grams = base.filter(length(col("__s")) >= gramMin)
-      .select(col("__id"),
-        explode(transform(sequence(lit(1), length(col("__s")) - (q - 1)),
+    val grams = base.filter(col("__len") >= gramMin)
+      .select(col("__id"), col("__len"),
+        explode(transform(sequence(lit(1), col("__len") - (q - 1)),
           i => col("__s").substr(i, lit(q)))).as("__g"))
-      .select(col("__id"), xxhash64(col("__g")).as("__gk"))
+      .select(col("__id"), col("__len"), xxhash64(col("__g")).as("__gk"))
       .distinct()
     val freq = grams.groupBy(col("__gk")).agg(count(lit(1)).as("__f"))
     val w = org.apache.spark.sql.expressions.Window
@@ -143,46 +149,135 @@ object FuzzyJoin {
     val prefix = grams.join(freq, Seq("__gk"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= prefixLen)
-      .select(col("__gk"), col("__id"))
+      .select(col("__gk"), col("__id"), col("__len"))
     // SHORT bucket: one synthetic key holding every short-reachable id
-    val shorts = base.filter(length(col("__s")) <= shortMax)
-      .select(lit(Long.MinValue).as("__gk"), col("__id"))
-    val n = size(col("__ids"))
-    val cands = prefix.unionByName(shorts)
-      .groupBy(col("__gk"))
-      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
-      .filter(n > 1 && n <= maxBucket)
-      .select(explode(flatten(transform(col("__ids"), (x, i) =>
-        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
-          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
+    val shorts = base.filter(col("__len") <= shortMax)
+      .select(lit(Long.MinValue).as("__gk"), col("__id"), col("__len"))
+    // Composite (gram, length-window) blocking: |Δlen| ≤ d ⇒ length
+    // bins of width d differ by ≤ 1, so REGISTER each id under its own
+    // bin and PROBE {bin−1, bin, bin+1} — a true pair shares exactly
+    // one (gram, window) key. This is the pair-volume lever on corpora
+    // whose gram universe is small (synthetic/templated text, where
+    // even the rarest grams are corpus-common): candidates fall by the
+    // populated-bin count, and the hot single-bucket emission skew
+    // disappears into many small hash-join keys. Pair emission is a
+    // streamed join, not a collected array.
+    val entries = prefix.unionByName(shorts)
+    val wcol = floor(col("__len") / lit(maxDist)).cast("long")
+    val reg = entries.select(col("__gk"), col("__id"), col("__len"), wcol.as("__w"))
+    val hot = reg.groupBy(col("__gk"), col("__w")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select(col("__gk"), col("__w"))
+    val probe = entries.select(col("__gk"), col("__id").as("__bid"),
+        col("__len").as("__blen"),
+        explode(array(wcol - 1, wcol, wcol + 1)).as("__w"))
+      .join(broadcast(hot), Seq("__gk", "__w"), "left_anti")
+    val cands = reg.join(broadcast(hot), Seq("__gk", "__w"), "left_anti")
+      .join(probe, Seq("__gk", "__w"))
+      .filter(col("__id") < col("__bid") &&
+        abs(col("__len") - col("__blen")) <= maxDist)
+      .select(col("__id").as("a_id"), col("__bid").as("b_id"))
       .distinct()
     cands
       .join(df.select(col(idCol).as("a_id"), col(strCol).as("__sa")), "a_id")
       .join(df.select(col(idCol).as("b_id"), col(strCol).as("__sb")), "b_id")
-      // implied length filter first — skips the O(len²) verify for
-      // pairs the metric itself rules out
-      .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
-      .filter(col("dist") <= maxDist)
+      // banded verify: the threshold form runs O(d·len) per pair and
+      // returns -1 past the band, instead of the full O(len²) table
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 
-  /** The prefix-gram buckets [[selfPairsQGram]] would drop at
-    * `maxBucket` (the SHORT bucket reports as __gk = Long.MinValue),
-    * for audit. */
+  /** Two-table form of [[selfPairsQGram]] (entity linking at any d):
+    * all (l_id, r_id, dist) with levenshtein ≤ maxDist. Same prefix-
+    * filter machinery; the global gram-frequency order is computed
+    * over BOTH sides (recall only needs the two sides to share ONE
+    * total order — union frequency is that order, and shared rarity
+    * is what keeps the cross-side buckets small). Keys whose side
+    * exceeds `maxBucket` are dropped on that side, [[pairs]]-style
+    * (the SHORT bucket included). */
+  def pairsQGram(left: DataFrame, right: DataFrame, idCol: String,
+      strCol: String, maxDist: Int, q: Int = 2,
+      maxBucket: Int = 4096): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 2, s"q must be >= 2, got $q")
+    val prefixLen = maxDist * q + 1
+    val gramMin = q * (maxDist + 1)
+    val shortMax = gramMin - 1 + maxDist
+    val freqSides = Seq(left, right).map { df =>
+      df.select(col(strCol).as("__s"))
+        .filter(col("__s").isNotNull && length(col("__s")) >= gramMin)
+        .select(explode(transform(sequence(lit(1), length(col("__s")) - (q - 1)),
+          i => col("__s").substr(i, lit(q)))).as("__g"))
+        .select(xxhash64(col("__g")).as("__gk"))
+    }
+    val freq = freqSides.reduce(_ unionAll _)
+      .groupBy(col("__gk")).agg(count(lit(1)).as("__f"))
+    def side(df: DataFrame, as: String, lenAs: String): DataFrame = {
+      val base = Spread.byKey(df, idCol)
+        .select(col(idCol).as(as), col(strCol).as("__s"),
+          length(col(strCol)).as(lenAs))
+        .filter(col(as).isNotNull && col("__s").isNotNull)
+      val grams = base.filter(col(lenAs) >= gramMin)
+        .select(col(as), col(lenAs),
+          explode(transform(sequence(lit(1), col(lenAs) - (q - 1)),
+            i => col("__s").substr(i, lit(q)))).as("__g"))
+        .select(col(as), col(lenAs), xxhash64(col("__g")).as("__gk"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(as)).orderBy(col("__f"), col("__gk"))
+      val keyed = grams.join(freq, Seq("__gk"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= prefixLen)
+        .select(col("__gk"), col(as), col(lenAs))
+        .unionByName(base.filter(col(lenAs) <= shortMax)
+          .select(lit(Long.MinValue).as("__gk"), col(as), col(lenAs)))
+      val hot = keyed.groupBy(col("__gk")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket).select(col("__gk"))
+      keyed.join(broadcast(hot), Seq("__gk"), "left_anti")
+    }
+    // NB: the per-string frequency weighting differs from the self-join
+    // form (union counts vs distinct-per-id counts) only in ORDER, and
+    // any shared total order preserves the recall proof. Same composite
+    // (gram, length-window) blocking as [[selfPairsQGram]]: left
+    // registers under its own width-d bin, right probes the three
+    // adjacent ones, so |Δlen| > d pairs never join at all.
+    val wOf: String => Column = c => floor(col(c) / lit(maxDist)).cast("long")
+    val lreg = side(left, "l_id", "__ll").withColumn("__w", wOf("__ll"))
+    val rprobe = side(right, "r_id", "__rl")
+      .select(col("__gk"), col("r_id"), col("__rl"),
+        explode(array(wOf("__rl") - 1, wOf("__rl"), wOf("__rl") + 1)).as("__w"))
+    def dropHot(df: DataFrame): DataFrame = {
+      val hot = df.groupBy(col("__gk"), col("__w")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket).select(col("__gk"), col("__w"))
+      df.join(broadcast(hot), Seq("__gk", "__w"), "left_anti")
+    }
+    val cands = dropHot(lreg).join(dropHot(rprobe), Seq("__gk", "__w"))
+      .filter(abs(col("__ll") - col("__rl")) <= maxDist)
+      .select(col("l_id"), col("r_id")).distinct()
+    cands
+      .join(left.select(col(idCol).as("l_id"), col(strCol).as("__sl")), "l_id")
+      .join(right.select(col(idCol).as("r_id"), col(strCol).as("__sr")), "r_id")
+      .withColumn("dist", levenshtein(col("__sl"), col("__sr"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("l_id"), col("r_id"), col("dist"))
+  }
+
+  /** The (prefix-gram, length-window) buckets [[selfPairsQGram]] would
+    * drop at `maxBucket` (the SHORT bucket reports as
+    * __gk = Long.MinValue), for audit. */
   def overflowQGrams(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, q: Int = 2, maxBucket: Int = 4096): DataFrame = {
     val prefixLen = maxDist * q + 1
     val gramMin = q * (maxDist + 1)
     val shortMax = gramMin - 1 + maxDist
-    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"),
+        length(col(strCol)).as("__len"))
       .filter(col("__id").isNotNull && col("__s").isNotNull)
-    val grams = base.filter(length(col("__s")) >= gramMin)
-      .select(col("__id"),
-        explode(transform(sequence(lit(1), length(col("__s")) - (q - 1)),
+    val grams = base.filter(col("__len") >= gramMin)
+      .select(col("__id"), col("__len"),
+        explode(transform(sequence(lit(1), col("__len") - (q - 1)),
           i => col("__s").substr(i, lit(q)))).as("__g"))
-      .select(col("__id"), xxhash64(col("__g")).as("__gk"))
+      .select(col("__id"), col("__len"), xxhash64(col("__g")).as("__gk"))
       .distinct()
     val freq = grams.groupBy(col("__gk")).agg(count(lit(1)).as("__f"))
     val w = org.apache.spark.sql.expressions.Window
@@ -190,10 +285,12 @@ object FuzzyJoin {
     grams.join(freq, Seq("__gk"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= prefixLen)
-      .select(col("__gk"), col("__id"))
-      .unionByName(base.filter(length(col("__s")) <= shortMax)
-        .select(lit(Long.MinValue).as("__gk"), col("__id")))
-      .groupBy(col("__gk")).agg(count(lit(1)).as("n_ids"))
+      .select(col("__gk"), col("__id"), col("__len"))
+      .unionByName(base.filter(col("__len") <= shortMax)
+        .select(lit(Long.MinValue).as("__gk"), col("__id"), col("__len")))
+      .groupBy(col("__gk"),
+        floor(col("__len") / lit(maxDist)).cast("long").as("__w"))
+      .agg(count(lit(1)).as("n_ids"))
       .filter(col("n_ids") > maxBucket)
   }
 

@@ -761,9 +761,13 @@ object IndexQueries {
   private val q156 = Q(
     "q156_qgram_fuzzy_join",
     (s, dir) =>
+      // q=3: the trigram universe is ~20× the bigram one, so the rare-
+      // prefix buckets (hence candidate pairs) shrink accordingly; the
+      // gram-survival bound len ≥ q·(d+1) = 27 still clears the
+      // corpus's 48-char minimum, so no SHORT bucket forms
       graft.operators.FuzzyJoin.selfPairsQGram(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", "text", maxDist = 8)
+        "doc_id", "text", maxDist = 8, q = 3)
         .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
         .orderBy(col("a_id"), col("b_id")),
     Some("""SELECT a.doc_id AS a_id, b.doc_id AS b_id,

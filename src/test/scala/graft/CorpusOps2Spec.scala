@@ -175,6 +175,23 @@ class CorpusOps2Spec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("two-table q-gram fuzzy join d=8 equals cross-join brute force") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    val left = docs.filter($"doc_id" % 2 === 0)
+    val right = docs.filter($"doc_id" % 2 === 1)
+    val got = graft.operators.FuzzyJoin.pairsQGram(
+        left, right, "doc_id", "text", maxDist = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = left.select($"doc_id".as("l_id"), $"text".as("sl"))
+      .crossJoin(right.select($"doc_id".as("r_id"), $"text".as("sr")))
+      .filter(abs(length($"sl") - length($"sr")) <= 8)
+      .select($"l_id", $"r_id", levenshtein($"sl", $"sr").as("d"))
+      .filter($"d" <= 8).as[(Long, Long, Int)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("entity resolution: fuzzy pairs + connected components pick canonical ids") {
     // typo cluster {color, colour, colors}, {grey, gray}, singleton {red}
     val names = Seq((1L, "color"), (2L, "colour"), (3L, "colors"),
