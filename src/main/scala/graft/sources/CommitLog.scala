@@ -898,6 +898,35 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     v
   }
 
+  /** SQL DDL surface (`ALTER TABLE … ADD COLUMNS`): commit a
+    * METADATA-ONLY version whose schema is the current one plus `cols`
+    * appended as nullable — an empty `add` action, so no data file is
+    * read, written, or retired; existing files read null for the new
+    * columns (the documented additive-evolution contract, the same
+    * shape a widening write commits). Pre-ALTER versions time-travel
+    * with their own schema, exactly like write-driven evolution.
+    * Refuses (case-insensitive) name collisions loudly — SQL ADD
+    * COLUMNS of an existing column is an error, not a merge. */
+  def addColumns(cols: StructType): Long = {
+    require(cols.nonEmpty, s"$tableRoot: ADD COLUMNS needs at least one column")
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      val cur = s.schema.getOrElse(StructType(Nil))
+      val existing = cur.map(f => lc(f.name)).toSet
+      val dups = cols.filter(f => existing(lc(f.name)))
+      require(dups.isEmpty, s"$tableRoot: ADD COLUMNS would collide with " +
+        s"existing column(s): ${dups.map(_.name).mkString(", ")}")
+      val evolved = mergedSchema(Some(cur).filter(_.nonEmpty), StructType(cols.toArray))
+      if (tryCommit(s.version + 1,
+          manifestJson(s.version + 1, "add", Nil, evolved, None)))
+        return s.version + 1
+      attempts += 1
+      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+    }
+    -1L // unreachable
+  }
+
   /** Replace the live file set with `df` (TRUNCATE-and-load). */
   def replaceAll(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
     val s0 = snapshot()

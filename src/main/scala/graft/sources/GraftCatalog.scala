@@ -170,8 +170,85 @@ final class GraftCatalog extends TableCatalog
     new GraftMergeTable(ident.toString, dir(ident).toString, schema, props)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog: ALTER TABLE not supported")
+  /** SQL DDL: `ALTER TABLE … ADD COLUMNS` (top-level, nullable,
+    * appended — a metadata-only change: old files read null, the
+    * additive-evolution contract writes already follow) and
+    * `SET/UNSET TBLPROPERTIES`. For commit-log tables the schema
+    * change COMMITS as an empty-`add` version first
+    * ([[CommitLog.addColumns]]), so versioned readers and time travel
+    * see it like any write-driven evolution; the declared-schema json
+    * then follows. `merge.log`/`merge.partcol` cannot be altered —
+    * flipping versioning or the partition tagging of EXISTING data
+    * would silently change read/maintenance semantics (recreate the
+    * table through a partitioned rewrite instead). Everything else
+    * (rename/drop/retype a column, positions) is refused loudly:
+    * without per-column IDs in the files, a rename silently orphans
+    * the old files' data. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange._
+    import org.apache.spark.sql.types.StructField
+    val mp = metaPath(ident)
+    if (!fs.exists(mp)) throw new NoSuchTableException(ident)
+    val in = fs.open(mp)
+    val raw = try {
+      val bytes = new Array[Byte](fs.getFileStatus(mp).getLen.toInt)
+      in.readFully(bytes); new String(bytes, "UTF-8")
+    } finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(raw)
+    var schema = DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType]
+    var props = node.get("properties").properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+    val frozen = Set("merge.log", "merge.partcol")
+    val added = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    changes.foreach {
+      case a: AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"$ident: only top-level ADD COLUMNS is supported " +
+            s"(got nested '${a.fieldNames.mkString(".")}')")
+        require(a.position() == null,
+          s"$ident: ADD COLUMNS FIRST/AFTER is not supported — " +
+            "new columns append at the end (old files have no value to reorder)")
+        require(a.isNullable,
+          s"$ident: added column '${a.fieldNames.head}' must be nullable — " +
+            "existing rows have no value for it")
+        val f0 = StructField(a.fieldNames.head, a.dataType(), nullable = true)
+        added += Option(a.comment()).fold(f0)(f0.withComment)
+      case sp: SetProperty =>
+        require(!frozen(sp.property),
+          s"$ident: '${sp.property}' cannot be altered after creation")
+        props = props.updated(sp.property, sp.value)
+      case rp: RemoveProperty =>
+        require(!frozen(rp.property),
+          s"$ident: '${rp.property}' cannot be altered after creation")
+        props = props - rp.property
+      case other => throw new UnsupportedOperationException(
+        s"$ident: unsupported ALTER TABLE change " +
+          s"${other.getClass.getSimpleName} — supported: ADD COLUMNS " +
+          "(top-level, nullable, appended) and SET/UNSET TBLPROPERTIES")
+    }
+    if (added.nonEmpty) {
+      def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      val names = schema.map(f => lc(f.name)).toSet
+      val dups = added.filter(f => names(lc(f.name))) ++
+        added.groupBy(f => lc(f.name)).filter(_._2.size > 1).values.flatten
+      require(dups.isEmpty,
+        s"$ident: ADD COLUMNS collides on: ${dups.map(_.name).distinct.mkString(", ")}")
+      val root = dir(ident).toString
+      // the log commit goes FIRST: it carries the race/validation
+      // checks, and a failure must leave the declared json untouched
+      if (CommitLog.exists(spark, root))
+        CommitLog(spark, root).addColumns(StructType(added.toSeq))
+      schema = StructType(schema.fields ++ added)
+    }
+    val out = mapper.createObjectNode()
+    out.put("schema", schema.json)
+    val pn = out.putObject("properties")
+    props.foreach { case (k, v) => pn.put(k, v) }
+    val os = fs.create(mp, true)
+    try os.write(mapper.writeValueAsBytes(out)) finally os.close()
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     fs.exists(metaPath(ident)) && fs.delete(dir(ident), true)

@@ -476,6 +476,60 @@ class SourcesSpec extends SparkSpecBase {
     assert(spark.table("grlop.tagged").count() === 5L)
   }
 
+  test("ALTER TABLE ADD COLUMNS is a metadata-only commit; time travel keeps old schemas") {
+    val wh = Files.createTempDirectory("graft-alter").toString
+    spark.conf.set("spark.sql.catalog.galt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.galt.warehouse", wh)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "nome")
+      .writeTo("galt.t").tableProperty("merge.log", "true").create()
+    val log = graft.sources.CommitLog(spark, s"$wh/t")
+    val (v0, files0) = { val s = log.snapshot(); (s.version, s.files.toSet) }
+    spark.sql("ALTER TABLE galt.t ADD COLUMNS (score DOUBLE)")
+    // metadata-only version: +1 version, identical file set
+    val s1 = log.snapshot()
+    assert(s1.version === v0 + 1 && s1.files.toSet === files0)
+    // old rows read null in the new column
+    assert(spark.table("galt.t").select($"id", $"score")
+      .as[(Long, Option[Double])].collect().toSet ===
+      Set((1L, None), (2L, None)))
+    // pre-ALTER version time-travels with its own schema
+    assert(!spark.sql(s"SELECT * FROM galt.t VERSION AS OF $v0")
+      .columns.contains("score"))
+    // writes into the evolved schema land
+    spark.sql("INSERT INTO galt.t VALUES (3L, 'c', 1.5D)")
+    assert(spark.table("galt.t").filter($"score".isNotNull)
+      .select($"id").as[Long].collect().toSeq === Seq(3L))
+    // duplicate / unsupported changes refuse loudly (Spark's analyzer
+    // catches the case-insensitive duplicate before the catalog does;
+    // CommitLogSpec pins the catalog-level guard directly)
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      spark.sql("ALTER TABLE galt.t ADD COLUMNS (SCORE STRING)"))
+    assertThrows[IllegalArgumentException](
+      graft.sources.CommitLog(spark, s"$wh/t").addColumns(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("SCORE",
+            org.apache.spark.sql.types.StringType)))))
+    assertThrows[UnsupportedOperationException](
+      spark.sql("ALTER TABLE galt.t RENAME COLUMN nome TO name"))
+    // properties: settable, frozen invariants refused (Spark may wrap
+    // the catalog's IllegalArgumentException — assert on the message)
+    spark.sql("ALTER TABLE galt.t SET TBLPROPERTIES ('note'='hi')")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE galt.t SET TBLPROPERTIES ('merge.partcol'='nome')"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(5).exists(t => Option(t.getMessage).exists(_.contains("cannot be altered"))))
+  }
+
+  test("ALTER TABLE ADD COLUMNS on a plain directory table surfaces as nulls") {
+    val wh = Files.createTempDirectory("graft-alter2").toString
+    spark.conf.set("spark.sql.catalog.galt2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.galt2.warehouse", wh)
+    Seq((1L, "a")).toDF("id", "nome").writeTo("galt2.t").create()
+    spark.sql("ALTER TABLE galt2.t ADD COLUMNS (extra BIGINT)")
+    assert(spark.table("galt2.t").select($"id", $"extra")
+      .as[(Long, Option[Long])].collect().toSeq === Seq((1L, None)))
+  }
+
   test("CALL procedures run commit-log maintenance from SQL") {
     val wh = Files.createTempDirectory("graft-wh-proc").toString
     spark.conf.set("spark.sql.catalog.gproc", "graft.sources.GraftCatalog")
