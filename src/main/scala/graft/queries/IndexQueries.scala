@@ -778,6 +778,52 @@ object IndexQueries {
       WHERE levenshtein(a.text, b.text) <= 8
       ORDER BY a_id, b_id"""))
 
+  /** C3/B14 ANN index SYNC ([[graft.streaming.AnnIndexSync]].applyChanges
+    * — the change-feed-driven index maintenance the streaming form runs
+    * per trigger, applied here as one batch catch-up so the oracle can
+    * replay it): build the index on a base-table slice, then let the
+    * base take an append, a rewriting upsert (delete+insert pairs in
+    * the feed for unchanged rows — the net-effect collapse must cancel
+    * them), and a delete; apply the whole feed to the index in one
+    * call and search. The final index must equal an index of the final
+    * base state, so the oracle is q117's pipeline with the candidate
+    * side restricted to the surviving corpus (the build slice held the
+    * lowest ids, so the oracle's codebook sample is unchanged). The
+    * STREAMING form of the same apply (restart/replay convergence) is
+    * spec-pinned in AnnIndexSpec. */
+  private val q157 = Q(
+    "q157_ann_index_sync",
+    (s, dir) => {
+      import graft.sources.CommitLog
+      val emb = t(s, dir, "embeddings")
+      val root = scratch(s, dir, "ann-sync")
+      val base = CommitLog(s, s"$root/base")
+      base.replaceAll(emb.filter(col("vec_id") < 300))
+      graft.operators.Similarity.buildIvfPqIndex(
+        base.read(), "vec_id", "embedding", s"$root/ix",
+        nlist = 16, m = 8, ksub = 16, dim = 64)
+      val v0 = base.snapshot().version
+      base.append(emb.filter(col("vec_id") >= 300 && col("vec_id") < 420))
+      base.upsert(emb.filter(col("vec_id") >= 100 && col("vec_id") < 140),
+        Seq("vec_id"), CommitLog.LastWins)
+      base.delete(col("vec_id") % 7 === 2 && col("vec_id") >= 16)
+      graft.streaming.AnnIndexSync.applyChanges(
+        s, s"$root/ix", base.readChanges(v0), "vec_id", "embedding")
+      graft.operators.Similarity.searchIvfPqIndex(
+          s, s"$root/ix", emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+          k = 3, nprobe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      val hook = "JOIN asg a ON a.cell = p.cell AND a.c_id <> p.q_id"
+      val synced = ivfPqOracle.replace(hook,
+        hook + "\n          AND a.c_id < 420" +
+          "\n          AND NOT (a.c_id % 7 = 2 AND a.c_id >= 16)")
+      require(synced != ivfPqOracle,
+        "q157 oracle derivation lost its anchor in ivfPqOracle")
+      synced
+    })
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
-    q148, q149, q150, q154, q155, q156)
+    q148, q149, q150, q154, q155, q156, q157)
 }

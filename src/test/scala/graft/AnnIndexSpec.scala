@@ -212,6 +212,47 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(rT > 0.05, s"trained recall $rT not above chance")
   }
 
+  test("AnnIndexSync: the change-feed stream keeps the index equal to a one-shot rebuild") {
+    val baseRoot = tmpRoot("ann-sync-base")
+    val ixRoot = tmpRoot("ann-sync-ix")
+    val freshRoot = tmpRoot("ann-sync-fresh")
+    val ck = Files.createTempDirectory("ann-sync-ck").toString
+    val base = CommitLog(spark, baseRoot)
+    base.replaceAll(emb.filter(col("vec_id") < 300))
+    Similarity.buildIvfPqIndex(CommitLog(spark, baseRoot).read(),
+      "vec_id", "embedding", ixRoot, nlist = 16, m = 8, ksub = 16, dim = 64)
+    // the build covered the base as of baseV0 — sync follows from there
+    val baseV0 = base.snapshot().version
+    val q = graft.streaming.AnnIndexSync.start(spark, baseRoot, ixRoot,
+      "vec_id", "embedding", ck, startingVersion = baseV0)
+    try {
+      q.processAllAvailable() // nothing new yet — the build covered v0
+      // appends (new ids), an upsert that REWRITES existing rows
+      // unchanged (delete+insert pairs in the feed), and a delete
+      base.append(emb.filter(col("vec_id") >= 300 && col("vec_id") < 420))
+      q.processAllAvailable()
+      base.upsert(emb.filter(col("vec_id") >= 100 && col("vec_id") < 140),
+        Seq("vec_id"), CommitLog.LastWins)
+      base.delete(col("vec_id") % 11 === 3)
+      q.processAllAvailable()
+      // arbiter: one-shot rebuild over the FINAL base state replaying
+      // the synced index's own persisted quantizers
+      val (coarse, pq) = Similarity.readIndexCodebooks(spark, ixRoot)
+      Similarity.buildIvfPqIndex(base.read(), "vec_id", "embedding",
+        freshRoot, nlist = 16, m = 8, ksub = 16, dim = 64,
+        codebooks = Similarity.Codebooks.Provided(coarse, pq))
+      def postings(root: String) = CommitLog(spark, s"$root/postings").read()
+        .select($"c_id", $"cell", $"codes".cast("array<int>"))
+        .as[(Long, Long, Seq[Int])].collect().sortBy(_._1).toSeq
+      assert(postings(ixRoot).nonEmpty && postings(ixRoot) === postings(freshRoot))
+      val qs = emb.filter(col("vec_id") < 10)
+      def search(root: String) = Similarity.searchIvfPqIndex(spark, root, qs,
+          "vec_id", "embedding", k = 3, nprobe = 4)
+        .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+      assert(search(ixRoot) === search(freshRoot))
+    } finally q.stop()
+  }
+
   test("rebuilding commits a new version; the index root stays consistent") {
     val root = tmpRoot("ann-rebuild")
     Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", root,
