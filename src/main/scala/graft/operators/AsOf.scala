@@ -40,7 +40,11 @@ object AsOf {
     *    window over descending time — still one shuffle, the second
     *    sort reuses the key exchange);
     *  - `nearest`: whichever of the two is closer in time, ties to the
-    *    backward match (pandas semantics).
+    *    backward match (pandas semantics);
+    *  - `both`: BOTH bracketing matches side by side — backward under
+    *    `rightPrefix`, forward under `forwardPrefix` (the
+    *    interpolation input shape; one union + one keyed shuffle, the
+    *    two window passes share the exchange).
     * `tolerance` (an INTERVAL column, e.g. `expr("INTERVAL 1 HOUR")`)
     * nulls out matches farther than the interval from the left
     * timestamp — applied per direction BEFORE the nearest choice. */
@@ -52,9 +56,10 @@ object AsOf {
       rightTs: String,
       rightPrefix: String = "r_",
       direction: String = "backward",
-      tolerance: Option[Column] = None): DataFrame = {
-    require(Seq("backward", "forward", "nearest").contains(direction),
-      s"direction must be backward | forward | nearest, got '$direction'")
+      tolerance: Option[Column] = None,
+      forwardPrefix: String = "f_"): DataFrame = {
+    require(Seq("backward", "forward", "nearest", "both").contains(direction),
+      s"direction must be backward | forward | nearest | both, got '$direction'")
     val rightNN = nonNullKeys(right, keys)
     val rightPayload = right.columns.filterNot(keys.contains(_)).toIndexedSeq
     require(rightPayload.contains(rightTs),
@@ -111,10 +116,18 @@ object AsOf {
                   < unix_micros(col("__ts")) - unix_micros(mts(col("__mb"))),
                 col("__mf"))
               .otherwise(col("__mb")))
+      case "both" =>
+        union.withColumn("__mb", mBack).withColumn("__mf", mFwd)
+          .withColumn("__mb", tolB(col("__mb")))
+          .withColumn("__mf", tolF(col("__mf")))
     }
     val joined = matched.filter(col("__side") === 1)
     val leftOut = left.columns.toIndexedSeq.map(c => col(s"__l.$c").as(c))
-    val rightOut = rightPayload.map(c => col(s"__match.$c").as(rightPrefix + c))
+    val rightOut =
+      if (direction == "both")
+        rightPayload.map(c => col(s"__mb.$c").as(rightPrefix + c)) ++
+          rightPayload.map(c => col(s"__mf.$c").as(forwardPrefix + c))
+      else rightPayload.map(c => col(s"__match.$c").as(rightPrefix + c))
     joined.select(leftOut ++ rightOut: _*)
   }
 
@@ -198,5 +211,53 @@ object AsOf {
       .withColumn(gridCol, explode(sequence(
         lit(start).cast("timestamp"), lit(end).cast("timestamp"), step)))
     asofJoinMerge(grid, obsNN, keys, gridCol, tsCol, obsPrefix)
+  }
+
+  /** RESAMPLE + LINEAR INTERPOLATION: [[resampleFfill]]'s grid with
+    * each point carrying the time-weighted blend of its two BRACKETING
+    * observations — prev (last at-or-before) and next (first
+    * at-or-after):
+    * {{{ interp = prev + (next − prev) · (grid − prev_ts)/(next_ts − prev_ts) }}}
+    * A grid point landing exactly on an observation returns that value
+    * (both brackets are the observation itself); a point before a
+    * key's first or after its last observation returns null — NO
+    * extrapolation (the honest answer outside the observed range; the
+    * caller composes [[resampleFfill]] for hold-last semantics).
+    *
+    * One keyed shuffle total: the `both` direction of [[asofJoin]]
+    * computes the two brackets in a single union + two window passes
+    * over the same exchange. The blend is ONE closed-form expression
+    * over epoch-microsecond arithmetic (no accumulation), so a SQL
+    * oracle replays it bit-exactly. Same uniqueness precondition as
+    * [[resampleFfill]], refused the same way. */
+  def resampleInterpolate(obs: DataFrame, keys: Seq[String], tsCol: String,
+      valCol: String, start: String, end: String, step: Column,
+      gridCol: String = "grid_ts", outCol: String = "interp"): DataFrame = {
+    require(keys.nonEmpty, "resampleInterpolate needs ≥1 key column")
+    val obsNN = nonNullKeys(obs, keys)
+      .filter(col(tsCol).isNotNull)
+      .select((keys.map(col) :+ col(tsCol) :+
+        col(valCol).cast("double").as(valCol)): _*)
+    val dupes = obsNN.groupBy((keys :+ tsCol).map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupes == 0L,
+      s"resampleInterpolate: duplicate (${keys.mkString(", ")}, $tsCol) " +
+        "observations — interpolation would be nondeterministic; dedup " +
+        "last-wins first (Dedup.lastWins)")
+    val grid = obsNN.select(keys.map(col): _*).distinct()
+      .withColumn(gridCol, explode(sequence(
+        lit(start).cast("timestamp"), lit(end).cast("timestamp"), step)))
+    val prevTs = col(s"prev_$tsCol")
+    val nextTs = col(s"next_$tsCol")
+    asofJoin(grid, obsNN, keys, gridCol, tsCol,
+        rightPrefix = "prev_", direction = "both", forwardPrefix = "next_")
+      .withColumn(outCol,
+        when(prevTs.isNull || nextTs.isNull, lit(null).cast("double"))
+          .when(unix_micros(nextTs) === unix_micros(prevTs),
+            col(s"prev_$valCol"))
+          .otherwise(col(s"prev_$valCol") +
+            (col(s"next_$valCol") - col(s"prev_$valCol")) *
+              ((unix_micros(col(gridCol)) - unix_micros(prevTs)).cast("double") /
+                (unix_micros(nextTs) - unix_micros(prevTs)).cast("double"))))
   }
 }

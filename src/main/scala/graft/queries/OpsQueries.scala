@@ -385,6 +385,58 @@ object OpsQueries {
         ON g.user_id = o.user_id AND o.ts <= g.grid_ts
       ORDER BY g.user_id, g.grid_ts"""))
 
+  /** B13 resample + LINEAR INTERPOLATION
+    * ([[graft.operators.AsOf.resampleInterpolate]], r10 — q147's grid
+    * with time-weighted blends instead of hold-last): each daily grid
+    * point carries prev + (next − prev)·(Δprev/Δspan) over its two
+    * bracketing observations, computed via the `both` as-of direction
+    * (ONE keyed shuffle, two window passes sharing the exchange). No
+    * extrapolation: points outside a key's observed range are null.
+    * The blend is one closed-form expression over epoch-microsecond
+    * arithmetic, so the oracle (bracketing via LATERAL last/first
+    * lookups) replays it bit-exactly — round(12) guards only the
+    * final multiply-divide's last ulp across engines. */
+  private val q158 = Q(
+    "q158_resample_interpolate",
+    (s, dir) => {
+      import s.implicits._
+      val obs = Dedup.lastWins(
+          t(s, dir, "events").filter($"user_id" < 50),
+          Seq("user_id", "ts"), Seq("event_id"))
+        .select($"user_id", $"ts", $"value")
+      AsOf.resampleInterpolate(obs, Seq("user_id"), "ts", "value",
+          "2024-01-01 00:00:00", "2024-01-31 00:00:00",
+          expr("interval 1 day"))
+        .select($"user_id", $"grid_ts", $"prev_ts", $"next_ts",
+          round($"interp", 12).as("interp"))
+        .orderBy($"user_id", $"grid_ts")
+    },
+    Some("""WITH f AS (SELECT * FROM events WHERE user_id < 50),
+      obs AS (SELECT user_id, ts, CAST(value AS DOUBLE) AS value FROM (
+        SELECT user_id, ts, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM f) WHERE rn = 1),
+      grid AS (SELECT u.user_id, g.ts AS grid_ts
+        FROM (SELECT DISTINCT user_id FROM obs) u
+        CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+          TIMESTAMP '2024-01-31 00:00:00', INTERVAL 1 DAY)) AS ts) g)
+      SELECT g.user_id, g.grid_ts, p.ts AS prev_ts, n.ts AS next_ts,
+        round(CASE
+          WHEN p.ts IS NULL OR n.ts IS NULL THEN NULL
+          WHEN n.ts = p.ts THEN p.value
+          ELSE p.value + (n.value - p.value) *
+            (CAST(date_diff('microsecond', p.ts, g.grid_ts) AS DOUBLE) /
+             CAST(date_diff('microsecond', p.ts, n.ts) AS DOUBLE))
+        END, 12) AS interp
+      FROM grid g
+      LEFT JOIN LATERAL (SELECT ts, value FROM obs o
+        WHERE o.user_id = g.user_id AND o.ts <= g.grid_ts
+        ORDER BY o.ts DESC LIMIT 1) p ON true
+      LEFT JOIN LATERAL (SELECT ts, value FROM obs o
+        WHERE o.user_id = g.user_id AND o.ts >= g.grid_ts
+        ORDER BY o.ts ASC LIMIT 1) n ON true
+      ORDER BY g.user_id, g.grid_ts"""))
+
   def qs: Seq[Q] = Seq(q36, q37, q38, q39, q40, q66, q112, q113, q121,
-    q122, q124, q147)
+    q122, q124, q147, q158)
 }

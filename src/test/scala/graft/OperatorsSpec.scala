@@ -156,6 +156,47 @@ class OperatorsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("nondeterministic"))
   }
 
+  test("resampleInterpolate: exact blend, grid hits, no extrapolation, dup refusal") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val obs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),  // on-grid observation
+      (1L, ts("2024-01-02 12:00:00"), 40.0),  // off-grid bracket
+      (2L, ts("2024-01-02 00:00:00"), 7.0)    // single observation
+    ).toDF("k", "ts", "v")
+    val out = AsOf.resampleInterpolate(obs, Seq("k"), "ts", "v",
+        "2024-01-01 00:00:00", "2024-01-03 00:00:00",
+        expr("interval 1 day"))
+      .select($"k", $"grid_ts", $"interp")
+      .as[(Long, java.sql.Timestamp, Option[Double])]
+      .collect().sortBy(r => (r._1, r._2.getTime))
+    assert(out.length === 6) // 2 keys x 3 daily points
+    // key 1: day1 on-obs -> 10; day2 = 10 + 30 * (24h/36h) = 30; day3 past last -> null
+    assert(out.map(_._3).toSeq === Seq(
+      Some(10.0), Some(30.0), None,
+      None, Some(7.0), None)) // key 2: only the exact-hit point is defined
+    val dup = obs.union(Seq((1L, ts("2024-01-01 00:00:00"), 99.0)).toDF("k", "ts", "v"))
+    val e = intercept[IllegalArgumentException] {
+      AsOf.resampleInterpolate(dup, Seq("k"), "ts", "v",
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00", expr("interval 1 day"))
+    }
+    assert(e.getMessage.contains("nondeterministic"))
+  }
+
+  test("asofJoin both direction: bracketing matches agree with the separate passes") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "L"),
+      (1L, ts("2024-01-01 12:00:00"), "L2")).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:20:00"), "a"),
+      (1L, ts("2024-01-01 10:40:00"), "b"),
+      (1L, ts("2024-01-01 13:00:00"), "c")).toDF("k", "ts", "rv")
+    val both = AsOf.asofJoin(left, right, Seq("k"), "ts", "ts",
+        rightPrefix = "prev_", direction = "both", forwardPrefix = "next_")
+      .select($"lv", $"prev_rv", $"next_rv").as[(String, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(both === Map("L" -> (("a", "b")), "L2" -> (("b", "c"))))
+  }
+
   test("keyless (global single-series) as-of join works in both implementations") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val left = Seq((ts("2024-01-01 10:00:00"), "l1"), (ts("2024-01-01 08:00:00"), "l0"))
