@@ -1738,6 +1738,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           || st.getPath.getName.startsWith(".rowlevel-"))
           && st.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
+      // a crashed LogStore publisher leaves a `.tmp-*.json` in the LOG
+      // dir (written, never linked, never deleted); same TTL guard —
+      // a fresh one may belong to a commit in flight
+      if (fs.exists(logDir))
+        fs.listStatus(logDir)
+          .filter(st => st.isFile && st.getPath.getName.startsWith(".tmp-")
+            && st.getPath.getName.endsWith(".json")
+            && st.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, false))
     }
     if (!fs.exists(dataDir)) return 0
     val referenced = parsedManifests(Long.MaxValue)
@@ -1877,6 +1886,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           attempts += 1
           require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
           cur = snapshot()
+          // a racer may have made the table partition-tagged since the
+          // first snapshot — the untagged-only precondition must hold
+          // against the snapshot we actually commit on
+          require(cur.parts.isEmpty,
+            s"$tableRoot: table became partition-tagged during the staged " +
+              "add — retry through appendPartitioned")
         }
         cur.version + 1
       } catch {

@@ -1352,12 +1352,26 @@ class CommitLogSpec extends SparkSpecBase {
       fs.mkdirs(p); fs.setTimes(p, old, -1)
     }
     fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".rowlevel-live"))
+    // a crashed LogStore publisher's orphan manifest tmp (written,
+    // never linked) — aged ⇒ reclaimed; fresh ⇒ kept (commit in flight)
+    val logdir = new org.apache.hadoop.fs.Path(root, "_graft_log")
+    Seq("aged" -> true, "fresh" -> false).foreach { case (tag, age) =>
+      val p = new org.apache.hadoop.fs.Path(logdir, s".tmp-$tag.json")
+      val out = fs.create(p, true)
+      try out.write("{}".getBytes("UTF-8")) finally out.close()
+      if (age) fs.setTimes(p, old, -1)
+    }
     log.vacuum()
     val left = fs.listStatus(root).map(_.getPath.getName).toSet
     assert(!left.contains(".tmp-deadbeef") && !left.contains(".rowlevel-deadbeef"),
       s"aged staging dirs must be reclaimed, found $left")
     assert(left.contains(".rowlevel-live"),
       "a fresh staging dir (possibly a live statement's) must NOT be reclaimed")
+    val logLeft = fs.listStatus(logdir).map(_.getPath.getName).toSet
+    assert(!logLeft.contains(".tmp-aged.json"),
+      s"aged orphan manifest tmp must be reclaimed, found $logLeft")
+    assert(logLeft.contains(".tmp-fresh.json"),
+      "a fresh manifest tmp (possibly a commit in flight) must NOT be reclaimed")
     assert(log.read().count() === 1L, "live data untouched")
   }
 
