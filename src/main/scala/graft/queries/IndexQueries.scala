@@ -824,6 +824,70 @@ object IndexQueries {
       synced
     })
 
+  /** B2 SQL DDL + DML over an EVOLVED schema (the r10 ALTER TABLE
+    * surface under the hash gate, the way q154 gated tagged DML):
+    * create a logged catalog table, `ALTER TABLE ADD COLUMNS` (a
+    * metadata-only commit — pre-ALTER files read null), INSERT rows
+    * that CARRY the new column, then a row-level SQL UPDATE whose
+    * predicate and SET both touch the evolved column (old files hold
+    * no `bonus` — the row-level scan reads them with the snapshot
+    * schema, and the rewrite lands the full evolved width). The final
+    * aggregate pins row counts, decimal sums, and the exact
+    * null-backfill census per status. The added column's values are
+    * integer-derived decimals, so both engines are bit-exact. */
+  private val q159 = Q(
+    "q159_sql_ddl_evolution",
+    (s, dir) => {
+      val cat = "g159_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "ddl-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .writeTo(s"$cat.t")
+        .tableProperty("merge.log", "true")
+        .create()
+      s.sql(s"ALTER TABLE $cat.t ADD COLUMNS (bonus DECIMAL(18,2))")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("bonus", (col("o_orderkey") % 100).cast("decimal(18,2)"))
+        .createOrReplaceTempView("q159_src")
+      s.sql(s"INSERT INTO $cat.t SELECT * FROM q159_src")
+      s.sql(s"""UPDATE $cat.t SET bonus = CAST(0 AS DECIMAL(18,2))
+        WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0 AND bonus IS NULL""")
+      s.table(s"$cat.t")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"),
+          sum(coalesce(col("bonus"), lit(0))).cast("double").as("bonus_sum"),
+          sum(when(col("bonus").isNull, 1L).otherwise(0L)).as("null_bonus"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH evens AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          CAST(NULL AS DECIMAL(18,2)) AS bonus
+        FROM orders WHERE o_orderkey % 2 = 0),
+      odds AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          CAST(o_orderkey % 100 AS DECIMAL(18,2)) AS bonus
+        FROM orders WHERE o_orderkey % 2 = 1),
+      t0 AS (SELECT * FROM evens UNION ALL SELECT * FROM odds),
+      t1 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, price,
+          CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 0
+                    AND bonus IS NULL
+               THEN CAST(0 AS DECIMAL(18,2)) ELSE bonus END AS bonus
+        FROM t0)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(price) AS DOUBLE) AS revenue,
+        CAST(SUM(COALESCE(bonus, 0)) AS DOUBLE) AS bonus_sum,
+        CAST(SUM(CASE WHEN bonus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS null_bonus
+      FROM t1 GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
-    q148, q149, q150, q154, q155, q156, q157)
+    q148, q149, q150, q154, q155, q156, q157, q159)
 }
