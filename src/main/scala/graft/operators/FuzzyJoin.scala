@@ -225,15 +225,12 @@ object FuzzyJoin {
         .distinct()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(as)).orderBy(col("__f"), col("__gk"))
-      val keyed = grams.join(freq, Seq("__gk"))
+      grams.join(freq, Seq("__gk"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= prefixLen)
         .select(col("__gk"), col(as), col(lenAs))
         .unionByName(base.filter(col(lenAs) <= shortMax)
           .select(lit(Long.MinValue).as("__gk"), col(as), col(lenAs)))
-      val hot = keyed.groupBy(col("__gk")).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxBucket).select(col("__gk"))
-      keyed.join(broadcast(hot), Seq("__gk"), "left_anti")
     }
     // NB: the per-string frequency weighting differs from the self-join
     // form (union counts vs distinct-per-id counts) only in ORDER, and

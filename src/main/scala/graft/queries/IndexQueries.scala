@@ -888,6 +888,34 @@ object IndexQueries {
           AS null_bonus
       FROM t1 GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** B5/C2 two-table fuzzy ENTITY LINKING at high d
+    * ([[graft.operators.FuzzyJoin.pairsQGram]] — q156's prefix-filter
+    * candidates in the cross-corpus form): link even-id documents to
+    * odd-id ones within levenshtein 8. The two sides share ONE
+    * union-frequency gram order (any shared total order preserves the
+    * prefix proof) and block on (gram, width-d length window) with the
+    * register-own-bin/probe-adjacent join. Oracle = the brute-force
+    * cross join with the metric-implied |Δlen| cut — hash equality
+    * proves cross-corpus recall, the q101/q156 discipline. */
+  private val q160 = Q(
+    "q160_qgram_entity_link",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.FuzzyJoin.pairsQGram(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", maxDist = 8, q = 3)
+        .select(col("l_id"), col("r_id"), col("dist").cast("long").as("dist"))
+        .orderBy(col("l_id"), col("r_id"))
+    },
+    Some("""SELECT a.doc_id AS l_id, b.doc_id AS r_id,
+        levenshtein(a.text, b.text) AS dist
+      FROM documents a JOIN documents b
+        ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        AND abs(length(a.text) - length(b.text)) <= 8
+      WHERE levenshtein(a.text, b.text) <= 8
+      ORDER BY l_id, r_id"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
-    q148, q149, q150, q154, q155, q156, q157, q159)
+    q148, q149, q150, q154, q155, q156, q157, q159, q160)
 }

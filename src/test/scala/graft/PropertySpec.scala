@@ -64,6 +64,24 @@ class PropertySpec extends SparkSpecBase {
     }, minTests = 12)
   }
 
+  test("two-table q-gram fuzzy join equals brute force on random strings") {
+    val word = Gen.chooseNum(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val rows = Gen.listOfN(24, word).map(_.zipWithIndex.map {
+      case (w, i) => (i.toLong, w) })
+    checkProp(Prop.forAllNoShrink(rows, Gen.oneOf(1, 2, 3)) { (ws, d) =>
+      val (l, r) = ws.partition(_._1 % 2 == 0)
+      val got = graft.operators.FuzzyJoin.pairsQGram(
+          l.toDF("id", "s"), r.toDF("id", "s"), "id", "s", maxDist = d)
+        .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (il, sl) <- l; (ir, sr) <- r
+        if lev(sl, sr) <= d
+      } yield (il, ir)).toSet
+      got == want
+    }, minTests = 10)
+  }
+
   test("block dedup: reconstruction keeps exactly the first-occurrence blocks") {
     // tiny token alphabet + short docs → heavy cross-doc block collisions
     val doc = Gen.chooseNum(0, 9).flatMap(n =>
