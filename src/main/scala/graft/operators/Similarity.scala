@@ -1040,6 +1040,69 @@ object Similarity {
       cb.filter(col("kind") === "pq").select(col("cell"), col("v")))
   }
 
+  /** IVF-PQ with RESIDUAL encoding — FAISS's default `by_residual=true`
+    * layout, completing the IVFADC family ([[ivfPqTopK]] is the
+    * no-residual sibling): each vector's PQ codes quantize
+    * `v − centroid(cell(v))` instead of `v` itself. Residual magnitudes
+    * are a cell-diameter, far smaller than vector magnitudes, so the
+    * same ksub sub-centroids spend their resolution on the part of the
+    * vector the coarse quantizer did NOT explain — the standard recall
+    * win on clustered corpora. The price is a PER-PROBED-CELL query
+    * distance table (the query's residual differs per cell): the
+    * broadcast query side grows nprobe-fold, bounded by
+    * nprobe · m · ksub doubles per query — still metadata-sized.
+    *
+    * Deterministic bootstrap codebooks as everywhere in this family:
+    * coarse = nlist lowest-id vectors; PQ sub-codebooks = slices of
+    * the ksub lowest-id RESIDUALS (residuals are what this quantizer
+    * sees, so it samples from that distribution). Every step —
+    * assignment, residual subtraction (cast-to-double, elementwise),
+    * encoding, per-cell tables, ADC — is deterministic relational
+    * algebra the oracle replays exactly (q161). Candidate floats are
+    * dropped after encoding, same as [[ivfPqTopK]]. */
+  def ivfPqTopKResidual(queries: DataFrame, candidates: DataFrame,
+      qId: String, cId: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val dsub = dim / m
+    val c = cSide(candidates, cId, vecCol)
+    val coarseRows = c.orderBy(col("c_id")).limit(nlist)
+      .select(col("c_id").as("cell"), col("__cv").as("v"))
+      .localCheckpoint() // consumed by broadcastCodebook AND the two
+                         // centroid joins — three separate subtrees
+    val coarse = broadcastCodebook(coarseRows)
+    val resid = zip_with(col("__v0"), col("__ctr"),
+      (x, y) => x.cast("double") - y.cast("double"))
+    // candidate residuals: assign, then one broadcast join attaches the
+    // winning centroid vector (nlist rows — always broadcast)
+    val cRes = probeCells(c, "__cv", coarse, 1)
+      .join(broadcast(coarseRows.select(col("cell"), col("v").as("__ctr"))), "cell")
+      .withColumnRenamed("__cv", "__v0")
+      .withColumn("__rv", resid)
+      .select(col("c_id"), col("cell"), col("__rv"))
+    // PQ codebook = the ksub lowest-id residuals (driver-collected,
+    // metadata-sized, the collectCodebook class of bounded collect)
+    val pqRows = cRes.orderBy(col("c_id")).limit(ksub)
+      .select(col("c_id").as("cell"), col("__rv").as("v"))
+      .localCheckpoint()
+    val flat = collectCodebook(pqRows, ksub, dim)
+    val pqcb = broadcastCodebook(pqRows)
+    val cc = cRes.select(col("c_id"), col("cell"),
+      pqCodesNative(col("__rv"), flat, m, ksub, dim).as("__codes"))
+    // per-(query, probed-cell) residual → per-cell ADC table
+    val qp = probeCells(qSide(queries, qId, vecCol), "__qv", coarse, nprobe)
+      .join(broadcast(coarseRows.select(col("cell"), col("v").as("__ctr"))), "cell")
+      .withColumnRenamed("__qv", "__v0")
+      .withColumn("__qrv", resid)
+      .crossJoin(pqcb)
+      .select(col("q_id"), col("cell"),
+        flatten(transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(col("__cb"), e => subSqDist(col("__qrv"), e("v"), j, dsub))))
+          .as("__qtab"))
+    adcTopK(cc.join(broadcast(qp), Seq("cell")), m, ksub, k)
+  }
+
   /** PERSISTED IVF-PQ index — the build-once/query-many form of
     * [[ivfPqTopK]] (FAISS's deployment shape, and the reference's: it
     * STORES its lookup structure in a table with a seekable sort key,

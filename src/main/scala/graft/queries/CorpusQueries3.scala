@@ -517,6 +517,103 @@ object CorpusQueries3 {
       SELECT q_id, rank, c_id, approx_d2 FROM scored
       WHERE rank <= 3 ORDER BY q_id, rank"""))
 
+  /** C3 RESIDUAL IVF-PQ ([[graft.operators.Similarity.ivfPqTopKResidual]]
+    * — FAISS's `by_residual=true` default, completing the IVFADC
+    * family): PQ codes quantize `v − centroid(cell(v))`, so the sub-
+    * quantizers spend their resolution on what the coarse quantizer
+    * did not explain; the query pays a PER-PROBED-CELL distance table
+    * (its residual differs per cell). Assignment, residual
+    * subtraction, encoding (against residual-sampled sub-codebooks),
+    * per-cell tables, and ADC are ALL replayed in the oracle — the
+    * full residual pipeline is hash-checked at both SFs. */
+  private val q161 = Q(
+    "q161_ivf_pq_residual",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.ivfPqTopKResidual(
+          emb.filter(col("vec_id") < 50), emb, "vec_id", "vec_id",
+          "embedding", k = 3, nlist = 16, nprobe = 4,
+          m = 8, ksub = 16, dim = 64)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH cb AS (
+        SELECT vec_id AS cell, embedding AS cbv
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+      cdist AS (
+        SELECT e.vec_id, cb.cell,
+          list_sum(list_transform(range(1, 65), i ->
+            (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+               - CAST(cb.cbv[CAST(i AS INT)] AS DOUBLE))
+            * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+               - CAST(cb.cbv[CAST(i AS INT)] AS DOUBLE)))) AS d2
+        FROM embeddings e CROSS JOIN cb),
+      asg AS (
+        SELECT vec_id AS c_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM cdist)
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS q_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM cdist WHERE vec_id < 50)
+        WHERE rn <= 4),
+      res AS (
+        SELECT a.c_id AS vec_id, a.cell,
+          list_transform(range(1, 65), i ->
+            CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+            - CAST(cb.cbv[CAST(i AS INT)] AS DOUBLE)) AS rv
+        FROM asg a
+        JOIN embeddings e ON e.vec_id = a.c_id
+        JOIN cb ON cb.cell = a.cell),
+      pcb AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+          rv AS cbv
+        FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT 16)),
+      sub AS (SELECT CAST(unnest(range(8)) AS INT) AS j),
+      cd AS (
+        SELECT r.vec_id, s.j, pcb.code,
+          list_sum(list_transform(range(1, 9), i ->
+            (r.rv[s.j*8 + CAST(i AS INT)] - pcb.cbv[s.j*8 + CAST(i AS INT)])
+            * (r.rv[s.j*8 + CAST(i AS INT)] - pcb.cbv[s.j*8 + CAST(i AS INT)]))) AS d2
+        FROM res r CROSS JOIN sub s CROSS JOIN pcb),
+      codes AS (
+        SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+          FROM cd) WHERE rn = 1),
+      qres AS (
+        SELECT p.q_id, p.cell,
+          list_transform(range(1, 65), i ->
+            CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+            - CAST(cb.cbv[CAST(i AS INT)] AS DOUBLE)) AS rv
+        FROM probes p
+        JOIN embeddings e ON e.vec_id = p.q_id
+        JOIN cb ON cb.cell = p.cell),
+      qd AS (
+        SELECT q.q_id, q.cell, s.j, pcb.code,
+          list_sum(list_transform(range(1, 9), i ->
+            (q.rv[s.j*8 + CAST(i AS INT)] - pcb.cbv[s.j*8 + CAST(i AS INT)])
+            * (q.rv[s.j*8 + CAST(i AS INT)] - pcb.cbv[s.j*8 + CAST(i AS INT)]))) AS d2
+        FROM qres q CROSS JOIN sub s CROSS JOIN pcb),
+      scored0 AS (
+        SELECT p.q_id, a.c_id,
+          list_sum(list(qq.d2 ORDER BY qq.j)) AS approx_d2
+        FROM probes p
+        JOIN asg a ON a.cell = p.cell AND a.c_id <> p.q_id
+        JOIN codes c ON c.vec_id = a.c_id
+        JOIN qd qq ON qq.q_id = p.q_id AND qq.cell = p.cell
+          AND qq.j = c.j AND qq.code = c.code
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT q_id, c_id, approx_d2,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY approx_d2, c_id) AS rank
+        FROM scored0)
+      SELECT q_id, rank, c_id, approx_d2 FROM scored
+      WHERE rank <= 3 ORDER BY q_id, rank"""))
+
   /** C3 PQ + exact refine ([[Similarity.pqTopKReranked]] — FAISS's
     * refine pattern): PQ codes pick 100 candidates per query, floats
     * re-rank them by exact cosine, keep 5. The oracle replays BOTH
@@ -932,6 +1029,6 @@ object CorpusQueries3 {
     })
 
   val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q114, q115,
-    q116, q117, q118, q119, q120, q123, q126, q129, q130, q140, q142, q146,
+    q116, q117, q118, q119, q120, q123, q126, q129, q130, q140, q142, q146, q161,
     q151, q152)
 }

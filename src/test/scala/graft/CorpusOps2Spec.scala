@@ -205,6 +205,32 @@ class CorpusOps2Spec extends SparkSpecBase {
     assert(got.filter(_._3).map(_._1).toSeq === Seq(1L, 4L, 6L))
   }
 
+  test("residual IVF-PQ: same cells as the no-residual form; recall does not collapse") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables(spark, sfDir, "embeddings")
+    val qs = emb.filter($"vec_id" < 40)
+    val truth = Similarity.bruteForceTopK(qs, emb, "vec_id", "vec_id",
+        "embedding", k = 3)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val res = Similarity.ivfPqTopKResidual(qs, emb, "vec_id", "vec_id",
+      "embedding", k = 3, nlist = 16, nprobe = 4)
+    val plain = Similarity.ivfPqTopK(qs, emb, "vec_id", "vec_id",
+      "embedding", k = 3, nlist = 16, nprobe = 4)
+    val (rRes, rPlain) = (recall(res), recall(plain))
+    info(s"recall@3 nprobe=4: residual=$rRes plain=$rPlain")
+    // same coarse quantizer → the candidate pools are identical; on a
+    // near-random fixture both ADC variants are noise-limited and
+    // residual can even trail slightly (nothing concentrates without
+    // cluster structure), so the pin is non-collapse, not superiority
+    // — generous tolerance so a driver testdata regen can't flake it
+    assert(rRes >= rPlain - 0.10, s"residual recall $rRes collapsed vs $rPlain")
+    assert(rRes > 0.02, s"residual recall $rRes not above chance")
+  }
+
   test("IVF-SQ matches float IVF's candidates cell-for-cell; scores within 2%") {
     import graft.operators.Similarity
     val emb = graft.sources.Tables(spark, sfDir, "embeddings")
