@@ -82,6 +82,68 @@ class PropertySpec extends SparkSpecBase {
     }, minTests = 10)
   }
 
+  test("resample ffill + interpolate equal a sequential reference on random series") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val hour = 3600L * 1000
+    // irregular observations on a 0..72h range, 1-3 keys, duplicate-free
+    val obsGen = for {
+      nKeys <- Gen.chooseNum(1, 3)
+      n <- Gen.chooseNum(0, 25)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.chooseNum(1L, nKeys.toLong),
+        Gen.chooseNum(0L, 72L * hour),
+        Gen.chooseNum(-50.0, 50.0)))
+    } yield rows.map { case (k, off, v) =>
+      (k, new java.sql.Timestamp(t0 + off), v)
+    }.distinctBy(r => (r._1, r._2))
+    checkProp(Prop.forAllNoShrink(obsGen) { rows =>
+      val df = rows.toDF("k", "ts", "v")
+      val gridStart = "2024-01-01 00:00:00"
+      val gridEnd = "2024-01-04 00:00:00"
+      def gridPoints: Seq[Long] = (0L to 72L by 12L).map(h => t0 + h * hour)
+      val byKey = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime)).toMap
+      // sequential reference for one key at one grid instant
+      def prevOf(k: Long, g: Long) =
+        byKey(k).filter(_._2.getTime <= g).lastOption
+      def nextOf(k: Long, g: Long) =
+        byKey(k).find(_._2.getTime >= g)
+      val ff = graft.operators.AsOf.resampleFfill(df, Seq("k"), "ts",
+          gridStart, gridEnd, expr("interval 12 hours"))
+        .select($"k", $"grid_ts", $"last_v")
+        .as[(Long, java.sql.Timestamp, Option[Double])].collect()
+        .map(r => (r._1, r._2.getTime) -> r._3).toMap
+      val ip = graft.operators.AsOf.resampleInterpolate(df, Seq("k"), "ts", "v",
+          gridStart, gridEnd, expr("interval 12 hours"))
+        .select($"k", $"grid_ts", $"interp")
+        .as[(Long, java.sql.Timestamp, Option[Double])].collect()
+        .map(r => (r._1, r._2.getTime) -> r._3).toMap
+      val keys = byKey.keySet
+      // grids exist only for keys with >= 1 observation (distinct keys
+      // come from the observation table itself)
+      ff.keys.map(_._1).toSet == keys && ip.keys.map(_._1).toSet == keys &&
+      keys.forall { k =>
+        gridPoints.forall { g =>
+          val p = prevOf(k, g)
+          val n = nextOf(k, g)
+          val wantFf = p.map(_._3)
+          val wantIp = (p, n) match {
+            case (Some((_, pt, pv)), Some((_, nt, nv))) =>
+              if (nt.getTime == pt.getTime) Some(pv)
+              else Some(pv + (nv - pv) *
+                ((g - pt.getTime).toDouble / (nt.getTime - pt.getTime).toDouble))
+            case _ => None
+          }
+          ff((k, g)) == wantFf &&
+            ((ip((k, g)), wantIp) match {
+              case (None, None) => true
+              case (Some(a), Some(b)) => math.abs(a - b) <= 1e-9
+              case _ => false
+            })
+        }
+      }
+    }, minTests = 8)
+  }
+
   test("block dedup: reconstruction keeps exactly the first-occurrence blocks") {
     // tiny token alphabet + short docs → heavy cross-doc block collisions
     val doc = Gen.chooseNum(0, 9).flatMap(n =>
