@@ -74,8 +74,14 @@ object Tokenize {
     * declares the UDF surface). Everything downstream (counts, budgets,
     * ids) composes unchanged, which is the point of the shared Model.
     *
-    * No SQL oracle can replay the merge loop, so BPE queries get the
-    * driver's rows-only check; the ScalaTest spec pins exact merges. */
+    * The merge loop IS SQL-replayable despite its data-dependent
+    * iteration: greedy lowest-rank-until-fixpoint equals one
+    * left-to-right pass per rank in rank order whenever the table only
+    * chains forward (a pair's parts are chars or lower-rank outputs —
+    * always true for trained tables), because merging two symbols
+    * never creates a new adjacency between pre-existing symbols. The
+    * BPE queries' oracles unroll exactly that (CorpusQueries3
+    * `bpeApplyCtes`); the ScalaTest spec pins exact merges besides. */
   final case class Bpe(merges: Seq[(String, String)],
       pre: Model = Regex()) extends Model {
     private val ranks: Map[(String, String), Int] =

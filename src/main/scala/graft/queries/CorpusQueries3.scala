@@ -159,28 +159,36 @@ object CorpusQueries3 {
         bit_xor(doc_id) AS id_xor
       FROM b GROUP BY 1 ORDER BY split"""))
 
+  /** The q111 merge table — hand-picked, but rank-monotone like a
+    * trained one (every multi-char part is a lower rank's output), so
+    * the sequential-pass oracle form applies. */
+  private val q111Merges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "o" -> "n",
+    "e" -> "r", "an" -> "d", "in" -> "g", "o" -> "u", "s" -> "t")
+
   /** C5 BPE tokenization ([[graft.operators.Tokenize.Bpe]]): a real
     * merge-table tokenizer over the regex pre-split, with a corpus-
-    * derived merge list. The merge loop has no SQL form, so this is a
-    * rows-only query (oracle = None — the driver's weaker check); the
-    * exact merge semantics are pinned by TokenizeSpec instead. */
+    * derived merge list. ORACLED since r11: the greedy per-word merge
+    * fixpoint equals one pass per rank in rank order (proof sketch at
+    * [[bpeTrainOracle]]), so the oracle unrolls [[bpeApplyCtes]] over
+    * the DISTINCT pre-token table and reassembles per doc. The
+    * fingerprint is md5 of the SPACE-joined token stream — boundary-
+    * sensitive (concat without a separator hashes identically for
+    * every segmentation), so hash equality pins the exact merges. */
   private val q111 = Q(
     "q111_bpe_tokenize",
     (s, dir) => {
-      val model = graft.operators.Tokenize.Bpe(Seq(
-        "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "o" -> "n",
-        "e" -> "r", "an" -> "d", "in" -> "g", "o" -> "u", "s" -> "t"))
+      val model = graft.operators.Tokenize.Bpe(q111Merges)
       val perDoc = t(s, dir, "documents")
         .select(col("doc_id"), model.tokens(col("text")).as("__bpe"))
         .select(col("doc_id"),
           size(col("__bpe")).cast("long").as("n_bpe"),
-          md5(concat_ws("", col("__bpe"))).as("bpe_fp"))
+          md5(concat_ws(" ", col("__bpe"))).as("bpe_fp"))
         // both the corpus aggregate and the output rows consume this:
         // checkpoint so the BPE pass over every document runs ONCE
         .localCheckpoint()
       // corpus-level invariants on EVERY row (one broadcast 1-row
-      // aggregate): the oracle-less dump self-checks beyond
-      // cardinality - a merge-semantics change anywhere in the corpus
+      // aggregate): a merge-semantics change anywhere in the corpus
       // perturbs every row, not just the affected doc (VERDICT r7 #8)
       val corpus = perDoc.agg(
         sum(col("n_bpe")).as("corpus_n_bpe"),
@@ -188,7 +196,24 @@ object CorpusQueries3 {
           .as("corpus_fp_xor"))
       perDoc.crossJoin(broadcast(corpus)).orderBy(col("doc_id"))
     },
-    None)
+    Some(s"""WITH ${bpeApplyCtes(q111Merges)},
+      docw AS (SELECT doc_id, i, toks[i] AS w
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+              FROM pre)),
+      perdoc AS (
+        SELECT p.doc_id,
+          CAST(COALESCE(x.nt, 0) AS BIGINT) AS n_bpe,
+          md5(COALESCE(x.fp, '')) AS bpe_fp
+        FROM pre p LEFT JOIN (
+          SELECT d.doc_id, SUM(t.nt) AS nt,
+            string_agg(t.ws, ' ' ORDER BY d.i) AS fp
+          FROM docw d JOIN wtok t USING (w) GROUP BY d.doc_id) x
+        USING (doc_id)),
+      corpus AS (SELECT CAST(SUM(n_bpe) AS BIGINT) AS corpus_n_bpe,
+        bit_xor(('0x' || substr(bpe_fp, 1, 15))::BIGINT) AS corpus_fp_xor
+        FROM perdoc)
+      SELECT p.doc_id, p.n_bpe, p.bpe_fp, c.corpus_n_bpe, c.corpus_fp_xor
+      FROM perdoc p CROSS JOIN corpus c ORDER BY doc_id"""))
 
   /** C5 BPE TRAINING ([[graft.operators.Tokenize.trainBpe]]): learn a
     * merge table from the corpus itself — the Sennrich learn_bpe loop
@@ -223,8 +248,35 @@ object CorpusQueries3 {
     * merge loop unrolled `n` times. Every w_k is MATERIALIZED (each is
     * consumed twice; inlined CTEs would re-evaluate the whole prefix
     * chain per reference). Symbols are `tok[j]` single chars at k = 0 —
-    * the same per-char view as Spark's split(w, "") on BMP text. */
+    * the same per-char view as Spark's split(w, "") on BMP text.
+    *
+    * Shared between [[q140]] (final select = the merge table) and
+    * [[q142]] (final select = per-word token counts from w_n): the CTE
+    * chain is [[bpeTrainCtes]]; the crucial equivalence for q142 is
+    * that w_n — each merge applied ONCE, in rank order — equals
+    * [[graft.operators.Tokenize.bpeWord]]'s greedy
+    * lowest-rank-until-fixpoint apply. Proof sketch: merging two
+    * adjacent symbols never creates a NEW adjacency between
+    * pre-existing symbols (the merged token's neighbors were already
+    * the pair's outer neighbors), and a trained pair's parts are chars
+    * or outputs of strictly lower ranks, so once rank k's single
+    * left-to-right pass runs, pair k can never reappear — greedy
+    * min-rank order and sequential rank order visit the same merges.
+    * Validated empirically against a bpeWord port (round 11). */
   private def bpeTrainOracle(n: Int): String = {
+    val out = (0 until n).map { k =>
+      s"SELECT CAST($k AS INT) AS rank, a || b AS merged, a, b, cnt FROM t$k"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH ${bpeTrainCtes(n)}
+      SELECT rank, merged, a, b, cnt FROM (
+        $out)
+      ORDER BY rank"""
+  }
+
+  /** The trainer CTE chain (no WITH, no final select): `toks`, `w0`,
+    * then per-merge blocks p_k/t_k/e_k/r_k/k_k/w_{k+1} for k < n.
+    * w_k = the word-frequency table after k merges; t_k = merge k. */
+  private def bpeTrainCtes(n: Int): String = {
     val blocks = (0 until n).map { k =>
       s"""p$k AS MATERIALIZED (
         SELECT pr.a AS a, pr.b AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
@@ -262,10 +314,7 @@ object CorpusQueries3 {
         WHERE pk = 0
         GROUP BY wid)"""
     }.mkString(",\n      ")
-    val out = (0 until n).map { k =>
-      s"SELECT CAST($k AS INT) AS rank, a || b AS merged, a, b, cnt FROM t$k"
-    }.mkString("\n        UNION ALL ")
-    s"""WITH toks AS (
+    s"""toks AS (
         SELECT unnest(regexp_extract_all(lower(text),
           '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok FROM documents),
       w0 AS MATERIALIZED (
@@ -273,10 +322,48 @@ object CorpusQueries3 {
           list_transform(range(1, length(tok) + 1), j -> tok[j]) AS sl,
           CAST(COUNT(*) AS BIGINT) AS n
         FROM toks GROUP BY tok),
-      $blocks
-      SELECT rank, merged, a, b, cnt FROM (
-        $out)
-      ORDER BY rank"""
+      $blocks"""
+  }
+
+  /** One left-to-right non-overlapping merge pass of literal pair
+    * (a, b) as a DuckDB `list_reduce` fold over a symbol list — the
+    * SQL mirror of [[graft.operators.Tokenize.bpeWord]]'s inner scan
+    * (and of trainBpe's `applyMerge` fold: replace the accumulator's
+    * last symbol when it is `a` and the next is `b`; the merged token
+    * is strictly longer than `a`, so it never re-matches in-pass).
+    * The accumulator is the space-joined symbol string — pre-tokens
+    * exclude whitespace by construction, so ' ' is a safe separator. */
+  private def bpeFoldPass(in: String, out: String,
+      a: String, b: String): String =
+    s"""$out AS MATERIALIZED (
+      SELECT w, string_split(list_reduce(sl, (acc, x) -> CASE
+          WHEN regexp_extract(acc, '[^ ]*$$') = '$a' AND x = '$b'
+          THEN regexp_replace(acc, '[^ ]*$$', '$a$b')
+          ELSE acc || ' ' || x END), ' ') AS sl
+      FROM $in)"""
+
+  /** DuckDB replay of [[graft.operators.Tokenize.Bpe]] with a FIXED
+    * merge table: per distinct pre-token, apply each merge once in
+    * rank order (one [[bpeFoldPass]] per rank — equivalent to the
+    * greedy fixpoint, see [[bpeTrainOracle]]'s proof sketch, which
+    * holds here because q111's hand-picked table also only chains
+    * forward: 'th'→rank 1, 'an'→rank 6, 'in'→rank 7 all consume
+    * lower-rank outputs). Emits CTEs `pre` (doc_id, toks), `w0..w_n`
+    * (the per-word symbol chain), `wtok` (w, nt, ws = space-joined
+    * BPE tokens) — callers append doc-level reassembly. */
+  private def bpeApplyCtes(merges: Seq[(String, String)]): String = {
+    val passes = merges.zipWithIndex.map { case ((a, b), k) =>
+      bpeFoldPass(s"w$k", s"w${k + 1}", a, b)
+    }.mkString(",\n      ")
+    s"""pre AS (
+        SELECT doc_id, regexp_extract_all(lower(text),
+          '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS toks FROM documents),
+      w0 AS MATERIALIZED (
+        SELECT w, list_transform(range(1, length(w) + 1), j -> w[j]) AS sl
+        FROM (SELECT DISTINCT unnest(toks) AS w FROM pre)),
+      $passes,
+      wtok AS (SELECT w, len(sl) AS nt, array_to_string(sl, ' ') AS ws
+        FROM w${merges.size})"""
   }
 
   /** C∘ end-to-end TOKENIZER-TO-BATCHES prep: train a BPE merge table
@@ -286,9 +373,15 @@ object CorpusQueries3 {
     * into fixed-budget training blocks via the distributed prefix sum
     * ([[graft.operators.Packing.packBlocks]] — no global window).
     * The one pipeline a pre-training data engineer actually runs,
-    * composed from the engine's own pieces. BPE ⇒ rows-only; q111's
-    * trick pins content: corpus totals ride on every row, so any
-    * change in training, tokenization, or packing perturbs all rows. */
+    * composed from the engine's own pieces. ORACLED since r11: the
+    * trainer chain's final word state w_8 (each learned merge applied
+    * once, in rank order) IS the greedy BPE apply of the learned table
+    * (equivalence argued at [[bpeTrainOracle]]), so per-word token
+    * counts come straight from w_8, the doc reassembly replays the
+    * pre-split, and the block assignment replays the prefix sum as a
+    * flat window (q84's pattern). Corpus totals ride on every row, so
+    * any change in training, tokenization, or packing perturbs all
+    * rows — and now hash-fails. */
   private val q142 = Q(
     "q142_bpe_pack_pipeline",
     (s, dir) => {
@@ -307,7 +400,36 @@ object CorpusQueries3 {
         sum(when(col("straddles"), 1L).otherwise(0L)).as("corpus_straddlers"))
       packed.crossJoin(broadcast(corpus)).orderBy(col("doc_id"))
     },
-    None)
+    Some(s"""WITH ${bpeTrainCtes(8)},
+      wtok AS (
+        SELECT array_to_string(w0.sl, '') AS w, len(w8.sl) AS nt
+        FROM w0 JOIN w8 USING (wid)),
+      pre AS (
+        SELECT doc_id, regexp_extract_all(lower(text),
+          '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS toks FROM documents),
+      docw AS (SELECT doc_id, unnest(toks) AS w FROM pre),
+      perdoc AS (
+        SELECT p.doc_id, CAST(COALESCE(x.nt, 0) AS BIGINT) AS n_tok
+        FROM pre p LEFT JOIN (
+          SELECT d.doc_id, SUM(t.nt) AS nt
+          FROM docw d JOIN wtok t USING (w) GROUP BY d.doc_id) x
+        USING (doc_id)),
+      packed AS (
+        SELECT doc_id, n_tok, start_tok,
+          CAST(start_tok // 512 AS BIGINT) AS first_block,
+          CAST((start_tok + n_tok - 1) // 512 AS BIGINT) AS last_block,
+          (start_tok // 512) <> ((start_tok + n_tok - 1) // 512) AS straddles
+        FROM (SELECT doc_id, n_tok,
+            CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS start_tok FROM perdoc)),
+      corpus AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS corpus_tok,
+        CAST(MAX(last_block) AS BIGINT) AS corpus_blocks,
+        CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
+          AS corpus_straddlers FROM packed)
+      SELECT p.doc_id, p.n_tok, p.start_tok, p.first_block, p.last_block,
+        p.straddles, c.corpus_tok, c.corpus_blocks, c.corpus_straddlers
+      FROM packed p CROSS JOIN corpus c ORDER BY doc_id"""))
 
   /** B6/QA table profile ([[graft.operators.Profile.tableProfile]]):
     * per-column null rate, distinct count, and string-form length
