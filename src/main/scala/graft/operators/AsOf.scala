@@ -60,6 +60,12 @@ object AsOf {
       forwardPrefix: String = "f_"): DataFrame = {
     require(Seq("backward", "forward", "nearest", "both").contains(direction),
       s"direction must be backward | forward | nearest | both, got '$direction'")
+    // direction="both" emits every right payload column twice, once per
+    // prefix — equal prefixes would silently produce duplicate column
+    // names that only fail on later reference. Refuse loudly instead.
+    require(direction != "both" || rightPrefix != forwardPrefix,
+      s"direction='both' needs distinct prefixes, got rightPrefix = " +
+        s"forwardPrefix = '$rightPrefix'")
     val rightNN = nonNullKeys(right, keys)
     val rightPayload = right.columns.filterNot(keys.contains(_)).toIndexedSeq
     require(rightPayload.contains(rightTs),

@@ -1024,6 +1024,21 @@ object Similarity {
         pq.zipWithIndex.map { case (v, j) => (j.toLong, v.toSeq) }
           .toSeq.toDF("cell", "v"))
     case Codebooks.Provided(coarse, pq) =>
+      // validate row counts up front (both frames are metadata-sized
+      // by contract, so the counts are bounded): a coarse frame with
+      // != nlist rows would otherwise build and persist an index whose
+      // meta nlist no longer matches the actual cell count — searches
+      // would silently probe against phantom or missing cells.
+      val nCoarse = coarse.limit(nlist + 1).count()
+      require(nCoarse == nlist,
+        s"Codebooks.Provided: coarse codebook has ${
+          if (nCoarse > nlist) s"> $nlist" else s"$nCoarse"} rows, " +
+          s"expected exactly nlist=$nlist")
+      val nPq = pq.limit(ksub + 1).count()
+      require(nPq == ksub,
+        s"Codebooks.Provided: pq codebook has ${
+          if (nPq > ksub) s"> $ksub" else s"$nPq"} rows, " +
+          s"expected exactly ksub=$ksub")
       (coarse.select(col("cell").cast("long").as("cell"), toDouble(col("v")).as("v")),
         pq.select(col("cell").cast("long").as("cell"), toDouble(col("v")).as("v")))
   }

@@ -1739,13 +1739,21 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           && st.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
       // a crashed LogStore publisher leaves a `.tmp-*.json` in the LOG
-      // dir (written, never linked, never deleted); same TTL guard —
-      // a fresh one may belong to a commit in flight
+      // dir (written, never linked, never deleted). These get a
+      // SEPARATE, LARGER grace period (4× the staging TTL): a publisher
+      // stalled between writing its tmp manifest and linking it would
+      // lose the COMMIT if the sweep caught it — a harsher failure than
+      // the staging sweep's re-stage-able data files. The assumption
+      // this rests on: no publisher pauses longer than
+      // 4 × stagingTtlMs between putIfAbsent's write and link steps
+      // (a full GC pause or VM migration that long must be treated as
+      // a crash — the commit is NOT guaranteed after it).
+      val manifestCutoff = System.currentTimeMillis() - 4 * stagingTtlMs
       if (fs.exists(logDir))
         fs.listStatus(logDir)
           .filter(st => st.isFile && st.getPath.getName.startsWith(".tmp-")
             && st.getPath.getName.endsWith(".json")
-            && st.getModificationTime < cutoff)
+            && st.getModificationTime < manifestCutoff)
           .foreach(st => fs.delete(st.getPath, false))
     }
     if (!fs.exists(dataDir)) return 0

@@ -245,8 +245,22 @@ final class GraftCatalog extends TableCatalog
     out.put("schema", schema.json)
     val pn = out.putObject("properties")
     props.foreach { case (k, v) => pn.put(k, v) }
-    val os = fs.create(mp, true)
+    // publish via temp-file + atomic overwriting rename (the same
+    // discipline as the commit log's manifest publish): an in-place
+    // fs.create could crash mid-write and truncate the metadata file,
+    // leaving the table unreadable even though the log commit above
+    // already succeeded. FileContext.rename(OVERWRITE) is atomic on
+    // file: and HDFS-class stores. DDL is SINGLE-WRITER by assumption
+    // — concurrent ALTERs are last-writer-wins on the declared json
+    // (the commit log's own CAS still serializes the versioned schema
+    // history; only the declared-schema cache can lose an update).
+    val tmp = new Path(mp.getParent,
+      s".${mp.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val os = fs.create(tmp, true)
     try os.write(mapper.writeValueAsBytes(out)) finally os.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     loadTable(ident)
   }
 

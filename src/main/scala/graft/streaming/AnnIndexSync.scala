@@ -55,13 +55,24 @@ object AnnIndexSync {
     * trigger. */
   def applyChanges(spark: SparkSession, indexRoot: String, batch: DataFrame,
       cId: String, vecCol: String): Unit = {
+    // last event wins: version desc, then an EXPLICIT change-type rank
+    // (insert=1 outranks delete=0 within one version — not the lexical
+    // accident 'insert' > 'delete', which a new feed type would break);
+    // an unknown change type fails loudly rather than sorting arbitrarily.
+    // Precondition: ids are unique within one (version, change_type) —
+    // readChanges emits net effects per version, so a remaining tie
+    // would mean a malformed feed, not a real ordering choice.
+    val typeRank = when(col("_change_type") === "insert", 1)
+      .when(col("_change_type") === "delete", 0)
+      .otherwise(raise_error(concat(
+        lit("AnnIndexSync: unknown _change_type "), col("_change_type"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(cId))
-      // last event wins: version desc, and 'insert' outranks 'delete'
-      // within one version (string desc: "insert" > "delete")
-      .orderBy(col("_commit_version").desc, col("_change_type").desc)
+      .orderBy(col("_commit_version").desc, col("__tr").desc)
     val last = batch
+      .withColumn("__tr", typeRank)
       .withColumn("__rn", row_number().over(w))
+      .drop("__tr")
       .filter(col("__rn") === 1)
       .localCheckpoint() // touched + live both consume it: one pass
     val touched = last.select(col(cId))

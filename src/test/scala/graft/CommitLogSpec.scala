@@ -1353,13 +1353,19 @@ class CommitLogSpec extends SparkSpecBase {
     }
     fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".rowlevel-live"))
     // a crashed LogStore publisher's orphan manifest tmp (written,
-    // never linked) — aged ⇒ reclaimed; fresh ⇒ kept (commit in flight)
+    // never linked) gets a LARGER grace (4× the staging TTL — losing a
+    // stalled publisher's commit is harsher than re-staging data):
+    // aged past 4× ⇒ reclaimed; past the staging TTL but within 4× ⇒
+    // kept; fresh ⇒ kept (commit in flight)
     val logdir = new org.apache.hadoop.fs.Path(root, "_graft_log")
-    Seq("aged" -> true, "fresh" -> false).foreach { case (tag, age) =>
+    val veryOld = System.currentTimeMillis() - 5 * CommitLog.StagingReclaimTtlMs
+    val ages = Seq("aged" -> Some(veryOld), "stalled" -> Some(old),
+      "fresh" -> None)
+    ages.foreach { case (tag, ts) =>
       val p = new org.apache.hadoop.fs.Path(logdir, s".tmp-$tag.json")
       val out = fs.create(p, true)
       try out.write("{}".getBytes("UTF-8")) finally out.close()
-      if (age) fs.setTimes(p, old, -1)
+      ts.foreach(t => fs.setTimes(p, t, -1))
     }
     log.vacuum()
     val left = fs.listStatus(root).map(_.getPath.getName).toSet
@@ -1370,6 +1376,9 @@ class CommitLogSpec extends SparkSpecBase {
     val logLeft = fs.listStatus(logdir).map(_.getPath.getName).toSet
     assert(!logLeft.contains(".tmp-aged.json"),
       s"aged orphan manifest tmp must be reclaimed, found $logLeft")
+    assert(logLeft.contains(".tmp-stalled.json"),
+      "a manifest tmp past the staging TTL but within the 4x manifest " +
+        "grace must NOT be reclaimed (publisher may be stalled, not dead)")
     assert(logLeft.contains(".tmp-fresh.json"),
       "a fresh manifest tmp (possibly a commit in flight) must NOT be reclaimed")
     assert(log.read().count() === 1L, "live data untouched")

@@ -195,6 +195,13 @@ class OperatorsSpec extends SparkSpecBase {
       .select($"lv", $"prev_rv", $"next_rv").as[(String, String, String)]
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(both === Map("L" -> (("a", "b")), "L2" -> (("b", "c"))))
+    // equal prefixes would emit every right payload column twice under
+    // the same name — refused loudly up front (ADVICE r10)
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(left, right, Seq("k"), "ts", "ts",
+        rightPrefix = "p_", direction = "both", forwardPrefix = "p_")
+    }
+    assert(e.getMessage.contains("distinct prefixes"))
   }
 
   test("keyless (global single-series) as-of join works in both implementations") {
