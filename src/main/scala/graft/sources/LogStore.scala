@@ -36,6 +36,14 @@ import org.apache.spark.sql.SparkSession
   * "com.example.S3ConditionalPutLogStore")` — any class with a no-arg
   * constructor implementing this trait. One instance is created per
   * [[CommitLog]] handle; implementations must be thread-safe.
+  *
+  * CONFORMANCE: `graft.LogStoreContractSpec` is the runnable contract
+  * — register a new implementation in its `conformance(...)` calls and
+  * the suite races N writers per path asserting exactly-one-winner,
+  * loser-reads-winner's-bytes, no-clobber, and no temp garbage.
+  * [[InMemoryCasLogStore]] is the external-CAS-table reference
+  * implementation (the DynamoDB-shaped design) and passes it alongside
+  * the Hadoop default.
   */
 trait LogStore {
   /** Atomically publish `json` (UTF-8) at `dst` iff nothing exists
