@@ -916,6 +916,73 @@ object IndexQueries {
       WHERE levenshtein(a.text, b.text) <= 8
       ORDER BY l_id, r_id"""))
 
+  /** B2 SQL DDL COLUMN MAPPING under the hash gate (the r11 RENAME/
+    * DROP COLUMN surface — Delta-style physical-name mapping, no data
+    * rewrite): create a logged catalog table, `RENAME COLUMN` (a
+    * metadata-only commit — every pre-rename file reads under the new
+    * name via its stable physical name), append THROUGH the renamed
+    * schema (the staged-add path re-lands the batch with physical
+    * names), a filter SQL DELETE (the library copy-on-write path,
+    * mapping-aware), then `DROP COLUMN` + re-`ADD` of the same name —
+    * the retired-physical rule means the re-added column must read
+    * NULL everywhere, never resurrect the dropped bytes. The output
+    * aggregates the final table AND the `VERSION AS OF 0` view (pinned
+    * versions surface under CURRENT names by physical match), so hash
+    * equality pins rename transparency, delete-under-mapping,
+    * no-resurrection, and time travel at once. */
+  private val q162 = Q(
+    "q162_sql_ddl_rename",
+    (s, dir) => {
+      val cat = "g162_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "rename-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true").create() // v0
+      s.sql(s"ALTER TABLE $cat.t RENAME COLUMN price TO amount")        // v1
+      o.filter(col("o_orderkey") % 2 === 1)
+        .withColumnRenamed("price", "amount")
+        .writeTo(s"$cat.t").append()                                    // v2
+      s.sql(s"DELETE FROM $cat.t WHERE o_orderstatus = 'P'")            // v3
+      s.sql(s"ALTER TABLE $cat.t DROP COLUMN o_custkey")                // v4
+      s.sql(s"ALTER TABLE $cat.t ADD COLUMNS (o_custkey BIGINT)")       // v5
+      // a pinned version reads with ITS OWN schema (old names), like
+      // the library surface readVersion — so the v0 phase aggregates
+      // the pre-rename `price` and the pre-drop `o_custkey` values
+      def phaseAgg(df: DataFrame, phase: String, amountCol: String): DataFrame =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col(amountCol)).cast("double").as("amount_sum"),
+            sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("ck_nulls"))
+          .withColumn("phase", lit(phase))
+      phaseAgg(s.table(s"$cat.t"), "current", "amount")
+        .unionByName(phaseAgg(
+          s.sql(s"SELECT * FROM $cat.t VERSION AS OF 0"), "v0", "price"))
+        .orderBy(col("phase"), col("o_orderstatus"))
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+        FROM orders),
+      agg_cur AS (
+        SELECT 'current' AS phase, o_orderstatus,
+          COUNT(*) AS n, CAST(SUM(amount) AS DOUBLE) AS amount_sum,
+          COUNT(*) AS ck_nulls -- re-added column: null on every row
+        FROM base WHERE o_orderstatus <> 'P' GROUP BY o_orderstatus),
+      agg_v0 AS (
+        SELECT 'v0' AS phase, o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS amount_sum,
+          CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS ck_nulls -- pinned version keeps its own (pre-drop) values
+        FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus)
+      SELECT phase, o_orderstatus, n, amount_sum, ck_nulls
+      FROM (SELECT * FROM agg_cur UNION ALL SELECT * FROM agg_v0)
+      ORDER BY phase, o_orderstatus"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
-    q148, q149, q150, q154, q155, q156, q157, q159, q160)
+    q148, q149, q150, q154, q155, q156, q157, q159, q160, q162)
 }

@@ -102,12 +102,116 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * file's per-column (min, max) footer statistics (Long, Double or
     * String values; columns without harvestable stats are absent).
     * `blooms` carries per-file per-column Bloom filters for tables
-    * written through [[withBloomIndex]]. */
+    * written through [[withBloomIndex]]. `physRetired` lists the
+    * PHYSICAL column names of dropped columns — a later ADD of the
+    * same logical name must take a fresh physical name or the old
+    * files' data would silently resurrect. */
   final case class Snapshot(version: Long, files: Seq[String],
       schema: Option[StructType], txns: Map[String, Long],
       parts: Map[String, String] = Map.empty,
       stats: Map[String, Map[String, (Any, Any)]] = Map.empty,
-      blooms: Map[String, Map[String, CommitLog.BloomF]] = Map.empty)
+      blooms: Map[String, Map[String, CommitLog.BloomF]] = Map.empty,
+      physRetired: Seq[String] = Nil)
+
+  // ── COLUMN MAPPING (rename/drop without rewriting data) ───────────
+  // Delta-style "name mapping": every column has a stable PHYSICAL
+  // name — the name actually inside the parquet files — carried in the
+  // logical schema's StructField metadata under [[CommitLog.PhysKey]].
+  // Absent metadata means physical == logical (every pre-mapping table
+  // and every never-renamed column — zero-cost identity). A RENAME
+  // changes only the logical name (the physical name, and therefore
+  // every existing data file, every manifest stat key, and every bloom
+  // key, stays valid forever); a DROP removes the field and retires
+  // its physical name. The two chokepoints are [[readFiles]] (read
+  // physical, alias to logical) and [[writeData]]/
+  // [[writeDataPartitioned]] (rename logical → physical just before
+  // the parquet write); everything between them — merges, updates,
+  // optimize, constraints, conform — stays purely logical.
+
+  /** The physical (in-file) name of a logical field. */
+  private def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(CommitLog.PhysKey))
+      f.metadata.getString(CommitLog.PhysKey)
+    else f.name
+
+  /** True when every field's physical name equals its logical name —
+    * the fast path every never-renamed table stays on. */
+  private[sources] def identityMapping(sch: StructType): Boolean =
+    sch.fields.forall(f => physName(f) == f.name)
+
+  /** `sch` with fields under their PHYSICAL names (what the parquet
+    * reader/writer must see). Field metadata is stripped — it is a
+    * property of the logical view, not of the files. */
+  private def physSchema(sch: StructType): StructType =
+    StructType(sch.fields.map(f => org.apache.spark.sql.types.StructField(
+      physName(f), f.dataType, f.nullable)))
+
+  /** The physical name for logical column `name` under `sch` (falls
+    * back to `name` itself when the schema does not know it — callers
+    * then fail loudly at analysis, not silently here). */
+  private def physOf(sch: Option[StructType], name: String): String =
+    sch.flatMap(_.find(f => lc(f.name) == lc(name))).map(physName)
+      .getOrElse(name)
+
+  /** Read table data files: request the PHYSICAL schema (stats, blooms
+    * and parquet column chunks are all keyed physically) and alias the
+    * result back to logical names. Identity-mapped tables take the
+    * plain read — no extra projection node. */
+  private def readFiles(sch: StructType, files: Seq[String]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    if (identityMapping(sch))
+      spark.read.schema(sch).parquet(files.map(f => s"$tableRoot/$f"): _*)
+    else {
+      import org.apache.spark.sql.functions.col
+      spark.read.schema(physSchema(sch))
+        .parquet(files.map(f => s"$tableRoot/$f"): _*)
+        .select(sch.fields.toIndexedSeq.map(f =>
+          col(s"`${physName(f)}`").as(f.name)): _*)
+    }
+  }
+
+  /** Rename `df`'s columns to their physical names under `sch` right
+    * before a parquet write. Columns `sch` does not know (e.g. the
+    * partitioned write's directory tag) pass through unchanged. */
+  private def toPhys(df: DataFrame, sch: StructType): DataFrame = {
+    if (identityMapping(sch)) return df
+    import org.apache.spark.sql.functions.col
+    val m = sch.fields.map(f => lc(f.name) -> physName(f)).toMap
+    df.select(df.columns.toIndexedSeq.map(c =>
+      col(s"`$c`").as(m.getOrElse(lc(c), c))): _*)
+  }
+
+  /** Stamp fresh physical names onto NEW fields that need one: a
+    * column `prev` does not know whose default physical name — its own
+    * logical name — collides with a retired physical name or with any
+    * live column's physical name gets a deterministic suffixed
+    * physical name instead (deterministic so concurrent writers
+    * deciding from the same snapshot agree). Fields already in `prev`
+    * pass through untouched — their mapping is settled. */
+  private def assignPhys(sch: StructType, prev: Option[StructType],
+      retired: Seq[String]): StructType = {
+    val existing = prev.map(_.fields.map(f => lc(f.name)).toSet)
+      .getOrElse(Set.empty)
+    val taken = scala.collection.mutable.Set.empty[String]
+    retired.foreach(r => taken += lc(r))
+    sch.fields.foreach(f =>
+      if (existing(lc(f.name))) taken += lc(physName(f)))
+    val out = sch.fields.map { f =>
+      if (existing(lc(f.name))) f
+      else if (!taken(lc(physName(f)))) { taken += lc(physName(f)); f }
+      else {
+        var i = 1
+        while (taken(lc(s"${f.name}_$i"))) i += 1
+        val p = s"${f.name}_$i"
+        taken += lc(p)
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString(CommitLog.PhysKey, p).build())
+      }
+    }
+    StructType(out)
+  }
 
   /** WRITER-side Bloom-index config ([[withBloomIndex]]); each filter
     * is self-describing in the manifest, so readers need none. */
@@ -249,6 +353,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     var txns = prev.txns
     Option(node.get("schema")).foreach(s =>
       schema = Some(DataType.fromJson(s.asText()).asInstanceOf[StructType]))
+    // full restatement when present (dropColumn and compact write it);
+    // absent = carry forward, so ordinary commits stay byte-identical
+    val physRetired = Option(node.get("physRetired"))
+      .map(_.elements().asScala.map(_.asText()).toVector)
+      .getOrElse(prev.physRetired)
     Option(node.get("txn")).foreach { t =>
       val id = t.get("id").asText()
       val epoch = t.get("epoch").asLong()
@@ -260,7 +369,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       txns = txns.updated(e.getKey,
         math.max(e.getValue.asLong(), txns.getOrElse(e.getKey, Long.MinValue)))
     })
-    Snapshot(version, files, schema, txns, parts, stats, blooms)
+    Snapshot(version, files, schema, txns, parts, stats, blooms, physRetired)
   }
 
   /** The log folded up to version `asOf` (inclusive) — TIME TRAVEL.
@@ -334,12 +443,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     readAt(s)
   }
 
-  private def readAt(s: Snapshot): DataFrame = {
-    val reader = s.schema.fold(spark.read)(spark.read.schema)
-    if (s.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        s.schema.getOrElse(new StructType()))
-    else reader.parquet(s.files.map(f => s"$tableRoot/$f"): _*)
+  private def readAt(s: Snapshot): DataFrame = s.schema match {
+    case Some(sch) => readFiles(sch, s.files)
+    case None =>
+      if (s.files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          new StructType())
+      else spark.read.parquet(s.files.map(f => s"$tableRoot/$f"): _*)
   }
 
   /** FILE-LEVEL MIN/MAX SKIPPING: [[read]] restricted to the rows with
@@ -362,17 +472,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     if (s.schema.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], new StructType())
+    // stats (footer-harvested) are keyed by PHYSICAL column names
+    val physCol = physOf(s.schema, colName)
     val picked = s.files.filter { f =>
-      s.stats.get(f).flatMap(_.get(colName)) match {
+      s.stats.get(f).flatMap(_.get(physCol)) match {
         case Some((mn, mx)) => overlaps(mn, mx, lo, hi)
         case None => true // no stats → cannot rule the file out
       }
     }
-    val base = if (picked.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        s.schema.getOrElse(new StructType()))
-    else spark.read.schema(s.schema.getOrElse(new StructType()))
-      .parquet(picked.map(f => s"$tableRoot/$f"): _*)
+    val base = readFiles(s.schema.getOrElse(new StructType()), picked)
     base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
@@ -394,11 +502,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], new StructType())
     val picked = pointCandidateFiles(s, colName, value)
-    val base = if (picked.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        s.schema.getOrElse(new StructType()))
-    else spark.read.schema(s.schema.getOrElse(new StructType()))
-      .parquet(picked.map(f => s"$tableRoot/$f"): _*)
+    val base = readFiles(s.schema.getOrElse(new StructType()), picked)
     base.filter(col(colName) === lit(value))
   }
 
@@ -423,12 +527,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       Option(Cast(asCol, org.apache.spark.sql.types.StringType).eval(null))
         .map(_.toString)
     }.toOption.flatten
+    val physCol = physOf(s.schema, colName) // stats/blooms: physical keys
     s.files.filter { f =>
-      val statOk = s.stats.get(f).flatMap(_.get(colName)) match {
+      val statOk = s.stats.get(f).flatMap(_.get(physCol)) match {
         case Some((mn, mx)) => overlaps(mn, mx, value, value)
         case None => true
       }
-      val bloomOk = (s.blooms.get(f).flatMap(_.get(colName)), vs) match {
+      val bloomOk = (s.blooms.get(f).flatMap(_.get(physCol)), vs) match {
         case (Some(b), Some(v)) => bloomMayContain(b, v)
         case _ => true // no filter or unprobable value → keep the file
       }
@@ -455,8 +560,9 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * values hash to k md5-derived positions (q94's relational bloom,
     * parameterized), bit_or'd into 64-bit words per (file, column).
     * The collect is bounded by files × cols × bits/64 longs. */
-  private def bloomsFor(relPaths: Seq[String]): Map[String, Map[String, CommitLog.BloomF]] =
-    bloomsForCfg(relPaths, effectiveBloomCfg())
+  private def bloomsFor(relPaths: Seq[String],
+      sch: Option[StructType] = None): Map[String, Map[String, CommitLog.BloomF]] =
+    bloomsForCfg(relPaths, effectiveBloomCfg(), sch)
 
   /** The bloom config in EFFECT for this table: the instance's writer
     * config, else derived from the live snapshot's self-describing
@@ -477,11 +583,19 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
 
   private def bloomsForCfg(relPaths: Seq[String],
-      cfg: Option[(Seq[String], Int, Int)]): Map[String, Map[String, CommitLog.BloomF]] =
+      cfg: Option[(Seq[String], Int, Int)],
+      sch: Option[StructType] = None): Map[String, Map[String, CommitLog.BloomF]] =
     cfg match {
       case None => Map.empty
-      case Some((cols, bits, k)) if relPaths.nonEmpty =>
+      case Some((cols0, bits, k)) if relPaths.nonEmpty =>
         import org.apache.spark.sql.functions._
+        // fresh data files carry PHYSICAL names; a writer config names
+        // LOGICAL columns ([[withBloomIndex]]) while a snapshot-derived
+        // config ([[effectiveBloomCfg]]) is already physical — physOf
+        // translates the former and passes the latter through, and the
+        // stored filter keys stay physical either way (matching what
+        // [[pointCandidateFiles]]/[[candidateFilesForExprs]] look up)
+        val cols = cols0.map(c => physOf(sch, c)).distinct
         val df = spark.read.parquet(relPaths.map(f => s"$tableRoot/$f"): _*)
         val present = df.columns.toSet
         val indexed = cols.filter(present)
@@ -555,6 +669,22 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         || ms.exists(_.get("version").asLong() == fromVersion),
       s"$tableRoot: version $fromVersion is not retained in the log — " +
         "changes can only be read from a version the manifest fold still reaches")
+    // renames between versions: every piece is normalized to the FEED-
+    // FINAL schema's LOGICAL names by matching stable physical names,
+    // so a consumer never sees one column split across two names just
+    // because a rename happened mid-window (dropped columns keep their
+    // last logical name and union in as null-padded leftovers)
+    val finalSchema = ms.foldLeft(emptySnapshot)(foldOne).schema
+    def normalize(df: DataFrame, verSchema: StructType): DataFrame =
+      finalSchema match {
+        case Some(fin) if !identityMapping(fin) || !identityMapping(verSchema) =>
+          import org.apache.spark.sql.functions.col
+          val finByPhys = fin.fields.map(f => lc(physName(f)) -> f.name).toMap
+          df.select(verSchema.fields.toIndexedSeq.map { f =>
+            col(s"`${f.name}`").as(finByPhys.getOrElse(lc(physName(f)), f.name))
+          } ++ Seq(col("_change_type"), col("_commit_version")): _*)
+        case _ => df
+      }
     var cur = emptySnapshot
     val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     ms.foreach { node =>
@@ -565,11 +695,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         val curSet = cur.files.toSet
         val added = cur.files.filterNot(prevSet)
         val removed = prev.files.filterNot(curSet)
-        def piece(fls: Seq[String], schema: Option[StructType], typ: String): DataFrame =
-          spark.read.schema(schema.getOrElse(new StructType()))
-            .parquet(fls.map(f => s"$tableRoot/$f"): _*)
-            .withColumn("_change_type", lit(typ))
-            .withColumn("_commit_version", lit(cur.version))
+        def piece(fls: Seq[String], schema: Option[StructType], typ: String): DataFrame = {
+          val sch = schema.getOrElse(new StructType())
+          normalize(
+            readFiles(sch, fls)
+              .withColumn("_change_type", lit(typ))
+              .withColumn("_commit_version", lit(cur.version)),
+            sch)
+        }
         if (removed.nonEmpty) pieces += piece(removed, prev.schema, "delete")
         if (added.nonEmpty) pieces += piece(added, cur.schema, "insert")
       }
@@ -644,11 +777,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   def append(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
     val s0 = snapshot()
     if (replayOf(s0, txn)) return s0.version
-    mergedSchema(s0.schema, df.schema) // validate BEFORE writing data —
+    // validate + resolve the column mapping BEFORE writing data —
     // a type conflict must not orphan data files (it still re-merges
     // per commit attempt below; a racer adding the same-named column
     // with another type loses the race loudly, with files vacuumable)
-    val files = writeData(df)
+    val sch0 = assignPhys(mergedSchema(s0.schema, df.schema),
+      s0.schema, s0.physRetired)
+    val files = writeData(df, sch0)
     var cur = s0
     var attempts = 0
     // the committed schema is re-merged per attempt: a racing writer may
@@ -657,10 +792,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // leak the already-written data files.
     try {
       val st = statsFor(files)
-      val bl = bloomsFor(files)
+      val bl = bloomsFor(files, Some(sch0))
       while (!tryCommit(cur.version + 1,
           manifestJson(cur.version + 1, "add", files,
-            mergedSchema(cur.schema, df.schema), txn, stats = st, blooms = bl))) {
+            assignPhys(mergedSchema(cur.schema, df.schema),
+              cur.schema, cur.physRetired),
+            txn, stats = st, blooms = bl))) {
         attempts += 1
         require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
         val s = snapshot()
@@ -687,7 +824,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       if (replayOf(s, txn)) return s.version
       // both sides conform to the evolved union schema before merging,
       // so an upsert can add columns (old rows read back null there)
-      val sch = mergedSchema(s.schema, incoming.schema)
+      val sch = assignPhys(mergedSchema(s.schema, incoming.schema),
+        s.schema, s.physRetired)
       val target = conform(readAt(s), sch)
       val in = conform(incoming, sch)
       val merged =
@@ -696,10 +834,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           case CommitLog.InsertIfAbsent => Upsert.insertIfAbsent(target, in, keys)
           case CommitLog.LastWins       => Upsert.lastWins(target, in, keys)
         }
-      val files = writeData(merged)
+      val files = writeData(merged, sch)
       val won = try tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace", files, sch, txn,
-            stats = statsFor(files), blooms = bloomsFor(files)))
+            stats = statsFor(files), blooms = bloomsFor(files, Some(sch))))
         catch { case e: Throwable => files.foreach(deleteData); throw e }
       if (won) return s.version + 1
       // lost the race: our rewrite is stale (it merged against an old
@@ -754,16 +892,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           s"(e.g. ${untagged.headOption.getOrElse("")}) — a partitioned merge " +
           "would silently miss their rows; use upsert() or rewrite the table " +
           "through upsertPartitioned/appendPartitioned first")
-      val sch = mergedSchema(s.schema, incoming.schema)
+      val sch = assignPhys(mergedSchema(s.schema, incoming.schema),
+        s.schema, s.physRetired)
       val in = conform(incoming, sch)
       val touchedFiles = s.files.filter(f => s.parts.get(f).exists(touched.contains))
       val target = conform(
-        if (touchedFiles.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            s.schema.getOrElse(incoming.schema))
-        else spark.read.schema(s.schema.getOrElse(incoming.schema))
-          .parquet(touchedFiles.map(f => s"$tableRoot/$f"): _*), sch)
+        readFiles(s.schema.getOrElse(incoming.schema), touchedFiles), sch)
       val merged =
         if (s.version < 0) in
         else mode match {
@@ -773,12 +907,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       // ONE partitioned write job: the merge plan evaluates exactly
       // once (no per-partition filtered re-reads, no checkpoint to
       // leak on a lost race — VERDICT r7 / ADVICE r7)
-      val tagged = writeDataPartitioned(merged, partCol)
+      val tagged = writeDataPartitioned(merged, partCol, sch)
       val won = try tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace_parts", tagged.map(_._1), sch,
             txn, parts = touched, fileParts = tagged.toMap,
             stats = statsFor(tagged.map(_._1)),
-            blooms = bloomsFor(tagged.map(_._1))))
+            blooms = bloomsFor(tagged.map(_._1), Some(sch))))
         catch { case e: Throwable => tagged.foreach(t => deleteData(t._1)); throw e }
       if (won) return s.version + 1
       tagged.foreach(t => deleteData(t._1))
@@ -796,17 +930,19 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       txn: Option[(String, Long)] = None): Long = {
     val s0 = snapshot()
     if (replayOf(s0, txn)) return s0.version
-    mergedSchema(s0.schema, df.schema)
-    val tagged = writeDataPartitioned(df, partCol)
+    val sch0 = assignPhys(mergedSchema(s0.schema, df.schema),
+      s0.schema, s0.physRetired)
+    val tagged = writeDataPartitioned(df, partCol, sch0)
     var cur = s0
     var attempts = 0
     try {
       val st = statsFor(tagged.map(_._1))
-      val bl = bloomsFor(tagged.map(_._1))
+      val bl = bloomsFor(tagged.map(_._1), Some(sch0))
       while (!tryCommit(cur.version + 1,
           manifestJson(cur.version + 1, "add", tagged.map(_._1),
-            mergedSchema(cur.schema, df.schema), txn,
-            fileParts = tagged.toMap, stats = st, blooms = bl))) {
+            assignPhys(mergedSchema(cur.schema, df.schema),
+              cur.schema, cur.physRetired),
+            txn, fileParts = tagged.toMap, stats = st, blooms = bl))) {
         attempts += 1
         require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
         val s = snapshot()
@@ -827,11 +963,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val s = snapshot()
     val want = values.toSet
     val picked = s.files.filter(f => s.parts.get(f).exists(want))
-    if (picked.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        s.schema.getOrElse(new StructType()))
-    else spark.read.schema(s.schema.getOrElse(new StructType()))
-      .parquet(picked.map(f => s"$tableRoot/$f"): _*)
+    readFiles(s.schema.getOrElse(new StructType()), picked)
   }
 
   /** DYNAMIC partition overwrite: replace exactly the partitions
@@ -852,14 +984,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         s"$tableRoot: ${untagged.size} live files carry no partition tag — " +
           "a partition-scoped overwrite cannot retire their rows; use " +
           "replaceAll() or rewrite the table through the partitioned path first")
-      val sch = mergedSchema(s.schema, df.schema)
-      val tagged = writeDataPartitioned(conform(df, sch), partCol)
+      val sch = assignPhys(mergedSchema(s.schema, df.schema),
+        s.schema, s.physRetired)
+      val tagged = writeDataPartitioned(conform(df, sch), partCol, sch)
       val parts = tagged.map(_._2).distinct.sorted
       val won = try tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace_parts", tagged.map(_._1), sch,
             txn, parts = parts, fileParts = tagged.toMap,
             stats = statsFor(tagged.map(_._1)),
-            blooms = bloomsFor(tagged.map(_._1))))
+            blooms = bloomsFor(tagged.map(_._1), Some(sch))))
         catch { case e: Throwable => tagged.foreach(t => deleteData(t._1)); throw e }
       if (won) return s.version + 1
       tagged.foreach(t => deleteData(t._1))
@@ -878,12 +1011,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val s0 = snapshot()
     if (replayOf(s0, txn)) return s0.version
     mergedSchema(None, df.schema)
-    val tagged = writeDataPartitioned(df, partCol)
+    val tagged = writeDataPartitioned(df, partCol, df.schema)
     var v = s0.version + 1
     var attempts = 0
     try {
       val st = statsFor(tagged.map(_._1))
-      val bl = bloomsFor(tagged.map(_._1))
+      val bl = bloomsFor(tagged.map(_._1), Some(df.schema))
       while (!tryCommit(v, manifestJson(v, "replace", tagged.map(_._1),
           df.schema, txn, fileParts = tagged.toMap, stats = st, blooms = bl))) {
         attempts += 1
@@ -917,9 +1050,77 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val dups = cols.filter(f => existing(lc(f.name)))
       require(dups.isEmpty, s"$tableRoot: ADD COLUMNS would collide with " +
         s"existing column(s): ${dups.map(_.name).mkString(", ")}")
-      val evolved = mergedSchema(Some(cur).filter(_.nonEmpty), StructType(cols.toArray))
+      val evolved = assignPhys(
+        mergedSchema(Some(cur).filter(_.nonEmpty), StructType(cols.toArray)),
+        Some(cur).filter(_.nonEmpty), s.physRetired)
       if (tryCommit(s.version + 1,
           manifestJson(s.version + 1, "add", Nil, evolved, None)))
+        return s.version + 1
+      attempts += 1
+      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+    }
+    -1L // unreachable
+  }
+
+  /** SQL DDL: `ALTER TABLE … RENAME COLUMN from TO to` — a METADATA-
+    * ONLY commit, no data file is read, written, or retired: the
+    * column keeps its stable PHYSICAL name (pinned into the field's
+    * [[CommitLog.PhysKey]] metadata on first rename) and only the
+    * LOGICAL name changes, so every existing file, manifest stat and
+    * bloom filter stays valid. Old versions time-travel with their own
+    * name, exactly like write-driven evolution. Refuses an unknown
+    * source column and a (case-insensitive) collision with any live
+    * logical name. DDL is single-writer by assumption (the version CAS
+    * still serializes racers — the loser fails loudly). */
+  def renameColumn(from: String, to: String): Long = {
+    require(to.nonEmpty, s"$tableRoot: RENAME COLUMN needs a non-empty name")
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      val cur = s.schema.getOrElse(throw new IllegalStateException(
+        s"$tableRoot: RENAME COLUMN on a table with no committed schema"))
+      val idx = cur.fields.indexWhere(f => lc(f.name) == lc(from))
+      require(idx >= 0, s"$tableRoot: RENAME COLUMN: no column '$from'")
+      require(lc(from) == lc(to) ||
+          !cur.fields.exists(f => lc(f.name) == lc(to)),
+        s"$tableRoot: RENAME COLUMN: '$to' already exists")
+      val f = cur.fields(idx)
+      val renamed = f.copy(name = to,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(CommitLog.PhysKey, physName(f)).build())
+      val evolved = StructType(cur.fields.updated(idx, renamed))
+      if (tryCommit(s.version + 1,
+          manifestJson(s.version + 1, "add", Nil, evolved, None)))
+        return s.version + 1
+      attempts += 1
+      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+    }
+    -1L // unreachable
+  }
+
+  /** SQL DDL: `ALTER TABLE … DROP COLUMN` — METADATA-ONLY like
+    * [[renameColumn]]: the field leaves the logical schema and its
+    * physical name joins the manifest's retired list, so a later ADD
+    * of the same logical name takes a FRESH physical name instead of
+    * silently resurrecting the dropped column's data from old files.
+    * Old versions still time-travel with the column. Refuses dropping
+    * the last column (a zero-column table cannot be scanned). */
+  def dropColumn(name: String): Long = {
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      val cur = s.schema.getOrElse(throw new IllegalStateException(
+        s"$tableRoot: DROP COLUMN on a table with no committed schema"))
+      val idx = cur.fields.indexWhere(f => lc(f.name) == lc(name))
+      require(idx >= 0, s"$tableRoot: DROP COLUMN: no column '$name'")
+      require(cur.fields.length > 1,
+        s"$tableRoot: DROP COLUMN: cannot drop the last column '$name'")
+      val evolved = StructType(cur.fields.patch(idx, Nil, 1))
+      val retired = s.physRetired :+ physName(cur.fields(idx))
+      if (tryCommit(s.version + 1,
+          manifestJson(s.version + 1, "add", Nil, evolved, None,
+            physRetired = Some(retired))))
         return s.version + 1
       attempts += 1
       require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
@@ -931,12 +1132,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   def replaceAll(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
     val s0 = snapshot()
     if (replayOf(s0, txn)) return s0.version
-    val files = writeData(df)
+    val files = writeData(df, df.schema)
     var v = s0.version + 1
     var attempts = 0
     try {
       val st = statsFor(files)
-      val bl = bloomsFor(files)
+      val bl = bloomsFor(files, Some(df.schema))
       while (!tryCommit(v, manifestJson(v, "replace", files, df.schema, txn,
           stats = st, blooms = bl))) {
         attempts += 1
@@ -993,8 +1194,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       requireTagState(s, partCol, "delete")
       val touched = touchedFiles(s, sch, condition)
       if (touched.isEmpty) return s.version // nothing matched — no new version
-      val kept = spark.read.schema(sch)
-        .parquet(touched.map(f => s"$tableRoot/$f"): _*)
+      val kept = readFiles(sch, touched)
         .filter(not(coalesce(condition, lit(false))))
       commitRewrite(s, sch, touched, kept, partCol, txn) match {
         case Some(v) => return v
@@ -1048,8 +1248,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val touched = touchedFiles(s, sch, condition)
       if (touched.isEmpty) return s.version // nothing matched — no new version
       val hit = coalesce(condition, lit(false))
-      val updated = spark.read.schema(sch)
-        .parquet(touched.map(f => s"$tableRoot/$f"): _*)
+      val updated = readFiles(sch, touched)
         .select(sch.fields.map { f =>
           set.find(_._1.equalsIgnoreCase(f.name)) match {
             case Some((_, rhs)) =>
@@ -1163,8 +1362,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           if (candidates.isEmpty) Nil
           else {
             val byName = candidates.map(f => new Path(f).getName -> f).toMap
-            spark.read.schema(sch0)
-              .parquet(candidates.map(f => s"$tableRoot/$f"): _*)
+            readFiles(sch0, candidates)
               .select(keys.map(col) :+ input_file_name().as("__f"): _*)
               .join(source.select(keys.map(col): _*), keys, "left_semi")
               .select("__f").distinct().collect()
@@ -1175,11 +1373,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         return s.version // nothing to rewrite, nothing to insert
       // phase 3: full-outer join touched rows with the source, resolve
       // each row's first-true clause, project the survivors
-      val base = conform(
-        if (touched.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch0)
-        else spark.read.schema(sch0).parquet(touched.map(f => s"$tableRoot/$f"): _*),
-        sch)
+      val base = conform(readFiles(sch0, touched), sch)
       val t = base.withColumn("__t", lit(true)).as("t")
       val sAliased = source.withColumn("__s", lit(true)).as("s")
       val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
@@ -1325,8 +1519,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     else {
       // rel path by basename: data-file names are globally unique
       val byName = candidates.map(f => new Path(f).getName -> f).toMap
-      spark.read.schema(sch)
-        .parquet(candidates.map(f => s"$tableRoot/$f"): _*)
+      readFiles(sch, candidates)
         .filter(condition)
         .select(input_file_name().as("__f")).distinct()
         .collect()
@@ -1343,9 +1536,9 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       txn: Option[(String, Long)]): Option[Long] = {
     val (newFiles, newTags) = partCol match {
       case Some(pc) =>
-        val tagged = writeDataPartitioned(rewritten, pc)
+        val tagged = writeDataPartitioned(rewritten, pc, sch)
         (tagged.map(_._1), tagged.toMap)
-      case None => (writeData(rewritten), Map.empty[String, String])
+      case None => (writeData(rewritten, sch), Map.empty[String, String])
     }
     val untouched = s.files.filterNot(touched.toSet)
     val untouchedSet = untouched.toSet
@@ -1356,7 +1549,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           stats = s.stats.filter(kv => untouchedSet(kv._1))
             ++ statsFor(newFiles),
           blooms = s.blooms.filter(kv => untouchedSet(kv._1))
-            ++ bloomsFor(newFiles)))
+            ++ bloomsFor(newFiles, Some(sch))))
       catch { case e: Throwable => newFiles.foreach(deleteData); throw e }
     if (won) Some(s.version + 1)
     else { newFiles.foreach(deleteData); None }
@@ -1469,16 +1662,18 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             .map(x => n -> x.toString)).toOption.flatten)
       case _ => None
     }
+    // predicates carry LOGICAL attribute names; stats and blooms are
+    // keyed by the stable PHYSICAL names — translate at lookup
     s.files.filter { f =>
       bounds.forall { case (c, lo, hi) =>
-        s.stats.get(f).flatMap(_.get(c)) match {
+        s.stats.get(f).flatMap(_.get(physOf(s.schema, c))) match {
           // absent endpoints fall back to the file's own stat, which
           // makes that side of the overlap check trivially true
           case Some((mn, mx)) => overlaps(mn, mx, lo.getOrElse(mn), hi.getOrElse(mx))
           case None => true // no stats → cannot rule the file out
         }
       } && probes.forall { case (c, v) =>
-        s.blooms.get(f).flatMap(_.get(c)) match {
+        s.blooms.get(f).flatMap(_.get(physOf(s.schema, c))) match {
           case Some(b) => bloomMayContain(b, v)
           case None => true // no filter for the column → keep the file
         }
@@ -1514,7 +1709,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val laid =
         if (zorderBy.isEmpty) df.repartition(targetFiles)
         else graft.operators.Layout.zOrderFrame(df, zorderBy, targetFiles)
-      val files = writeData(laid)
+      val files = writeData(laid, s.schema.getOrElse(laid.schema))
       // keep an existing bloom index ALIVE even when this instance was
       // constructed without the writer config: derive (cols, bits, k)
       // from the snapshot's own self-describing filters — a layout
@@ -1523,7 +1718,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val won = try tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace", files,
             s.schema.getOrElse(laid.schema), None,
-            stats = statsFor(files), blooms = bloomsForCfg(files, cfg)))
+            stats = statsFor(files),
+            blooms = bloomsForCfg(files, cfg, s.schema)))
         catch { case e: Throwable => files.foreach(deleteData); throw e }
       if (won) return s.version + 1
       // lost the version race: the rewrite reflects a stale snapshot —
@@ -1598,8 +1794,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       if (touchedParts.isEmpty) return s.version // already laid out
       val touchedSet = touchedParts.toSet
       val touchedFiles = touchedParts.flatMap(byPart)
-      val df = spark.read.schema(sch)
-        .parquet(touchedFiles.map(f => s"$tableRoot/$f"): _*)
+      val df = readFiles(sch, touchedFiles)
       val n = touchedParts.size * targetFilesPerPartition
       val laid =
         if (zorderBy.isEmpty) {
@@ -1628,7 +1823,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             .drop(zorderBy.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
             .drop("__z")
         }
-      val tagged = writeDataPartitioned(laid, partCol, preserveLayout = true)
+      val tagged = writeDataPartitioned(laid, partCol, sch,
+        preserveLayout = true)
       require(tagged.map(_._2).toSet.subsetOf(touchedSet),
         s"$tableRoot: optimize produced rows outside the touched partitions")
       val cfg = effectiveBloomCfg()
@@ -1636,7 +1832,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           manifestJson(s.version + 1, "replace_parts", tagged.map(_._1), sch,
             None, parts = touchedParts, fileParts = tagged.toMap,
             stats = statsFor(tagged.map(_._1)),
-            blooms = bloomsForCfg(tagged.map(_._1), cfg)))
+            blooms = bloomsForCfg(tagged.map(_._1), cfg, Some(sch))))
         catch { case e: Throwable => tagged.foreach(t => deleteData(t._1)); throw e }
       if (won) return s.version + 1
       tagged.foreach(t => deleteData(t._1))
@@ -1678,6 +1874,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       putStats(root, s.stats.filter(kv => live(kv._1)))
       putBlooms(root, s.blooms.filter(kv => live(kv._1)))
       s.schema.foreach(sc => root.put("schema", sc.json))
+      if (s.physRetired.nonEmpty) {
+        val pr = root.putArray("physRetired")
+        s.physRetired.foreach(pr.add)
+      }
       val tn = root.putObject("txns")
       s.txns.foreach { case (id, epoch) => tn.put(id, epoch) }
       if (tryCommit(s.version + 1, mapper.writeValueAsString(root)))
@@ -1813,19 +2013,27 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       requireTagState(s, partCol, "a SQL row-level operation (set merge.partcol)")
       val sch = s.schema.getOrElse(throw new IllegalStateException(
         s"$tableRoot: row-level replace on a table with no committed schema"))
+      // staged files were written by Spark's generic FileWrite with
+      // LOGICAL column names; on a renamed table they must be re-landed
+      // through the mapping write path (the SQL row-level surface is
+      // gated off for mapped tables at the catalog — this is the
+      // defense-in-depth backstop for any other caller)
+      val identity = identityMapping(sch)
       val kept = s.files.filterNot(retire)
       val keptSet = kept.toSet
+      def stagedDf: DataFrame = spark.read.schema(sch)
+        .parquet(staged.map(_.getPath.toString).toSeq: _*)
       val (newFiles, newTags) = partCol match {
         case Some(pc) if staged.nonEmpty =>
           // tagged table: one partitioned job re-lands the replacement
           // content (only the touched groups' rows — the group-granular
           // scan already excluded untouched files, so the extra write
           // is proportional to the rewrite, not the table)
-          val tagged = writeDataPartitioned(
-            spark.read.schema(sch).parquet(staged.map(_.getPath.toString).toSeq: _*),
-            pc)
+          val tagged = writeDataPartitioned(stagedDf, pc, sch)
           (tagged.map(_._1), tagged.toMap)
         case Some(_) => (Seq.empty[String], Map.empty[String, String])
+        case None if !identity && staged.nonEmpty =>
+          (writeData(stagedDf, sch), Map.empty[String, String])
         case None =>
           val moved = staged.map { st =>
             val name = s"${UUID.randomUUID()}-${st.getPath.getName}"
@@ -1841,7 +2049,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           manifestJson(s.version + 1, "replace", kept ++ newFiles, sch, None,
             fileParts = s.parts.filter(kv => keptSet(kv._1)) ++ newTags,
             stats = s.stats.filter(kv => keptSet(kv._1)) ++ statsFor(newFiles),
-            blooms = s.blooms.filter(kv => keptSet(kv._1)) ++ bloomsFor(newFiles)))
+            blooms = s.blooms.filter(kv => keptSet(kv._1))
+              ++ bloomsFor(newFiles, Some(sch))))
         require(won,
           s"$tableRoot: lost the commit race during the row-level " +
             "operation — concurrent write detected, retry the statement")
@@ -1877,6 +2086,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       require(s0.parts.isEmpty,
         s"$tableRoot: staged-add on a partition-tagged table would break the " +
           "all-tagged invariant — route through appendPartitioned")
+      // staged files carry LOGICAL names (Spark's generic FileWrite);
+      // when any column's physical name differs from its logical one —
+      // a renamed table, or a new column that must take a suffixed
+      // physical name because its default collides with a retired one
+      // — the files cannot be adopted verbatim: re-land the batch
+      // through append, whose write path maps logical → physical
+      if (!identityMapping(assignPhys(
+          mergedSchema(s0.schema, writeSchema), s0.schema, s0.physRetired)))
+        return append(spark.read.schema(writeSchema)
+          .parquet(staged.map(_.getPath.toString).toSeq: _*))
       val moved = staged.map { st =>
         val name = s"${UUID.randomUUID()}-${st.getPath.getName}"
         if (!fs.rename(st.getPath, new Path(dataDir, name)))
@@ -1887,10 +2106,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       var attempts = 0
       try {
         val st = statsFor(moved)
-        val bl = bloomsFor(moved)
+        val bl = bloomsFor(moved, Some(mergedSchema(s0.schema, writeSchema)))
         while (!tryCommit(cur.version + 1,
             manifestJson(cur.version + 1, "add", moved,
-              mergedSchema(cur.schema, writeSchema), None, stats = st, blooms = bl))) {
+              assignPhys(mergedSchema(cur.schema, writeSchema),
+                cur.schema, cur.physRetired),
+              None, stats = st, blooms = bl))) {
           attempts += 1
           require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
           cur = snapshot()
@@ -1915,11 +2136,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
 
   /** Write `df` under data/ with globally-unique names (write to a tmp
     * dir, move the parts in); returns table-root-relative paths. The
-    * files are INVISIBLE until a manifest references them. */
-  private def writeData(df: DataFrame): Seq[String] = {
+    * files are INVISIBLE until a manifest references them. `sch` is
+    * the commit's logical schema — columns are renamed to their
+    * PHYSICAL names just before the parquet write (the write-side
+    * column-mapping chokepoint; identity for never-renamed tables). */
+  private def writeData(df: DataFrame, sch: StructType): Seq[String] = {
     validateConstraints(df)
     val tmp = new Path(rootPath, s".tmp-${UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    toPhys(df, sch).write.mode("overwrite").parquet(tmp.toString)
     fs.mkdirs(dataDir)
     val parts = fs.listStatus(tmp).filter { s =>
       s.isFile && s.getPath.getName.startsWith("part-")
@@ -1944,7 +2168,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * `partCol` itself stays a normal data column inside the files.
     * Returns (table-root-relative path, partition value) pairs. */
   private def writeDataPartitioned(df: DataFrame, partCol: String,
-      preserveLayout: Boolean = false): Seq[(String, String)] = {
+      sch: StructType, preserveLayout: Boolean = false): Seq[(String, String)] = {
     import org.apache.spark.sql.functions.{col, concat, hash, lit, pmod, struct}
     validateConstraints(df)
     val tmp = new Path(rootPath, s".tmp-${UUID.randomUUID()}")
@@ -1991,7 +2215,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         else taggedDf.withColumn(saltTag, salt)
           .repartition(col(partTag), col(saltTag))
           .drop(saltTag)
-      prepared.write.mode("overwrite").partitionBy(partTag).parquet(tmp.toString)
+      // logical → physical names at the write boundary; the directory
+      // tag is not a schema column and passes through untouched
+      toPhys(prepared, sch)
+        .write.mode("overwrite").partitionBy(partTag).parquet(tmp.toString)
       fs.mkdirs(dataDir)
       val dirs = fs.listStatus(tmp).filter(s =>
         s.isDirectory && s.getPath.getName.startsWith(s"$partTag="))
@@ -2199,7 +2426,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       parts: Seq[String] = Nil,
       fileParts: Map[String, String] = Map.empty,
       stats: Map[String, Map[String, (Any, Any)]] = Map.empty,
-      blooms: Map[String, Map[String, CommitLog.BloomF]] = Map.empty): String = {
+      blooms: Map[String, Map[String, CommitLog.BloomF]] = Map.empty,
+      physRetired: Option[Seq[String]] = None): String = {
     val root = mapper.createObjectNode()
     root.put("version", v)
     root.put("action", action)
@@ -2216,6 +2444,9 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     putStats(root, stats)
     putBlooms(root, blooms)
     root.put("schema", schema.json)
+    physRetired.foreach { r =>
+      val pr = root.putArray("physRetired"); r.foreach(pr.add)
+    }
     txn.foreach { case (id, epoch) =>
       val t = root.putObject("txn"); t.put("id", id); t.put("epoch", epoch)
     }
@@ -2261,6 +2492,12 @@ object CommitLog {
     * belong to a statement still between task commit and driver
     * commit; one hour is far past any single statement's window. */
   val StagingReclaimTtlMs: Long = 60L * 60 * 1000
+
+  /** StructField metadata key carrying a column's stable PHYSICAL
+    * (in-file) name — the column-mapping anchor behind
+    * [[CommitLog.renameColumn]]/[[CommitLog.dropColumn]]. Absent means
+    * physical == logical. */
+  val PhysKey: String = "graft.phys"
 
   sealed trait MergeMode
   case object InsertIfAbsent extends MergeMode

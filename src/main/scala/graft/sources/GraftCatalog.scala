@@ -201,6 +201,18 @@ final class GraftCatalog extends TableCatalog
       .map(e => e.getKey -> e.getValue.asText()).toMap
     val frozen = Set("merge.log", "merge.partcol")
     val added = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    // the merge surface addresses these columns by name in table
+    // properties — renaming/dropping one underneath would silently
+    // break every subsequent merge
+    def requireNotStructural(colName: String, op: String): Unit = {
+      val structural =
+        props.get("merge.partcol").toSeq.map(_.trim).filter(_.nonEmpty) ++
+          props.get("merge.keys").toSeq.flatMap(_.split(","))
+            .map(_.trim).filter(_.nonEmpty)
+      require(!structural.exists(_.equalsIgnoreCase(colName)),
+        s"$ident: cannot $op column '$colName' — it is referenced by " +
+          "merge.keys/merge.partcol; recreate the table instead")
+    }
     changes.foreach {
       case a: AddColumn =>
         require(a.fieldNames.length == 1,
@@ -222,10 +234,41 @@ final class GraftCatalog extends TableCatalog
         require(!frozen(rp.property),
           s"$ident: '${rp.property}' cannot be altered after creation")
         props = props - rp.property
+      case rn: RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          s"$ident: only top-level RENAME COLUMN is supported " +
+            s"(got nested '${rn.fieldNames.mkString(".")}')")
+        val from = rn.fieldNames.head
+        requireNotStructural(from, "RENAME")
+        val root = dir(ident).toString
+        require(CommitLog.exists(spark, root),
+          s"$ident: RENAME COLUMN requires merge.log=true — a plain " +
+            "directory table has no version history to carry the " +
+            "column mapping (recreate via a rewrite instead)")
+        // the log commit is the source of truth (it pins the stable
+        // physical name); the declared json then mirrors its schema
+        val log = CommitLog(spark, root)
+        log.renameColumn(from, rn.newName())
+        schema = log.snapshot().schema.getOrElse(schema)
+      case del: DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"$ident: only top-level DROP COLUMN is supported " +
+            s"(got nested '${del.fieldNames.mkString(".")}')")
+        val name = del.fieldNames.head
+        requireNotStructural(name, "DROP")
+        val root = dir(ident).toString
+        require(CommitLog.exists(spark, root),
+          s"$ident: DROP COLUMN requires merge.log=true — a plain " +
+            "directory table has no version history to retire the " +
+            "column against (recreate via a rewrite instead)")
+        val log = CommitLog(spark, root)
+        log.dropColumn(name)
+        schema = log.snapshot().schema.getOrElse(schema)
       case other => throw new UnsupportedOperationException(
         s"$ident: unsupported ALTER TABLE change " +
           s"${other.getClass.getSimpleName} — supported: ADD COLUMNS " +
-          "(top-level, nullable, appended) and SET/UNSET TBLPROPERTIES")
+          "(top-level, nullable, appended), RENAME/DROP COLUMN " +
+          "(commit-log tables), and SET/UNSET TBLPROPERTIES")
     }
     if (added.nonEmpty) {
       def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
@@ -384,7 +427,9 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
     require(optVersion.isEmpty || optTs.isEmpty,
       s"$ident: versionAsOf and timestampAsOf are mutually exclusive")
     if (CommitLog.exists(spark, path))
-      new GraftLogScanBuilder(spark, path, optVersion, optTs, options)
+      // renamed (column-mapped) tables route to the V1 fallback scan
+      GraftLogSource.snapshotScanBuilder(path, optVersion, optTs,
+        schema0, options)
     else {
       require(optVersion.isEmpty && optTs.isEmpty,
         s"$ident: time travel requires merge.log=true (versioned commit log)")
@@ -602,6 +647,16 @@ private[sources] final class GraftLogScanBuilder(
   }
   private val snapSchema: StructType =
     snap.schema.getOrElse(new StructType())
+  // the inner V2 parquet builder resolves columns BY NAME — a renamed
+  // (column-mapped) snapshot must route to GraftMappedV1ScanBuilder
+  // (GraftLogSource.snapshotScanBuilder does); this backstops any
+  // direct construction. Row-level mode (groupGranularity) is exempt:
+  // Spark builds that scan at ANALYSIS time for every DELETE as well,
+  // and the write-side gate (buildWrite) refuses before any mapped
+  // data could be misread.
+  require(groupGranularity || log.identityMapping(snapSchema),
+    s"$tableRoot: V2 snapshot scan on a column-mapped (renamed) table — " +
+      "route through GraftLogSource.snapshotScanBuilder")
 
   /** The version this scan reads — the row-level write path pins its
     * conflict check to it. */
@@ -710,6 +765,21 @@ private[sources] final class GraftRowLevelOperation(ident: String,
     new WriteBuilder { override def build(): Write = buildWrite(info) }
 
   private def buildWrite(info: LogicalWriteInfo): Write = {
+    // a GENUINE row-level rewrite (the gate cannot live at builder
+    // creation: Spark's analyzer builds the row-level plan for every
+    // DELETE too, and the metadata-only optimization converts eligible
+    // ones back to the filter path — which fully supports the column
+    // mapping via CommitLog.delete): the V2 row-level scan/write pair
+    // resolves columns by LOGICAL name and cannot express a renamed
+    // table's physical aliasing, so refuse loudly here, pointing at
+    // the library surface that can.
+    locally {
+      val log = CommitLog(SparkSession.active, path)
+      require(log.snapshot().schema.forall(s => log.identityMapping(s)),
+        s"$ident: SQL UPDATE/MERGE on a table with renamed columns is not " +
+          "supported yet — use the library surface (CommitLog.update/merge), " +
+          "which applies the column mapping")
+    }
     val spark = SparkSession.active
     val staging = s"$path/.rowlevel-${java.util.UUID.randomUUID()}"
     val inner = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(

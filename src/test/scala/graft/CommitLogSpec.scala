@@ -1614,7 +1614,130 @@ class CommitLogSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("conditional-PUT"))
   }
+
+  // ── column mapping: RENAME / DROP without rewriting data ──────────
+
+  test("renameColumn is metadata-only: old files read under the new name") {
+    val t = tmpTable("clog-rename")
+    val log = CommitLog(spark, t).withBloomIndex(Seq("v"))
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))          // v0
+    val filesBefore = log.snapshot().files.toSet
+    log.renameColumn("v", "val")                                    // v1
+    assert(log.snapshot().files.toSet === filesBefore,
+      "rename must not touch a single data file")
+    // old data reads under the NEW logical name
+    assert(log.read().columns.toSeq === Seq("id", "val"))
+    assert(log.read().as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    // writes under the new name land and merge with old files
+    log.append(Seq((3L, "c")).toDF("id", "val"))                    // v2
+    assert(log.read().as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel: pre-rename versions keep the OLD name
+    assert(log.readVersion(0).columns.toSeq === Seq("id", "v"))
+    assert(log.readVersion(0).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    // stats + bloom pruning survive the rename: physical keys are
+    // stable, lookups translate the new logical name
+    assert(log.readPoint("val", "c").as[(Long, String)].collect().toSet
+      === Set((3L, "c")))
+    assert(log.pointCandidateFiles("val", "zzz-absent").isEmpty ||
+      log.pointCandidateFiles("val", "zzz-absent").size
+        < log.snapshot().files.size,
+      "bloom pruning must still rule out files for the renamed column")
+    assert(log.readRange("id", 3L, 9L).as[(Long, String)].collect().toSet
+      === Set((3L, "c")))
+    // a second rename keeps the SAME physical anchor
+    log.renameColumn("val", "value")                                // v3
+    assert(log.read().as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // renaming onto a live name refuses
+    val e = intercept[IllegalArgumentException] {
+      log.renameColumn("value", "id")
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("library update/merge and CDC apply the column mapping after a rename") {
+    val t = tmpTable("clog-rename-dml")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"))    // v0
+    log.renameColumn("price", "amount")                             // v1
+    // row-level update addressed by the NEW name rewrites old files
+    log.update(col("id") === 2L, Map("amount" -> lit(21.0)))        // v2
+    assert(log.read().as[(Long, Double)].collect().toSet
+      === Set((1L, 10.0), (2L, 21.0)))
+    // merge through the new name
+    log.merge(Seq((1L, 11.0), (3L, 30.0)).toDF("id", "amount"), Seq("id"),
+      Seq(CommitLog.WhenMatchedUpdate(Map("amount" -> col("s.amount"))),
+        CommitLog.WhenNotMatchedInsert()))                          // v3
+    assert(log.read().as[(Long, Double)].collect().toSet
+      === Set((1L, 11.0), (2L, 21.0), (3L, 30.0)))
+    // the change feed across the rename normalizes every piece to the
+    // LATEST logical names (physical match), so one column never
+    // splits into two just because it was renamed mid-window
+    val feed = log.readChanges(-1L)
+    assert(feed.columns.contains("amount") && !feed.columns.contains("price"),
+      s"feed columns ${feed.columns.toSeq} must use the latest naming")
+    val applied = feed.filter(col("_change_type") === "insert")
+      .groupBy(col("id")).agg(org.apache.spark.sql.functions.max_by(
+        col("amount"), col("_commit_version")).as("amount"))
+    // net-of-feed equals the table for a keyed apply
+    assert(applied.as[(Long, Double)].collect().toSet
+      === log.read().as[(Long, Double)].collect().toSet)
+  }
+
+  test("dropColumn retires the physical name: a re-added column never resurrects old data") {
+    val t = tmpTable("clog-drop")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "secret")).toDF("id", "v"))                 // v0
+    log.dropColumn("v")                                             // v1
+    assert(log.read().columns.toSeq === Seq("id"))
+    // re-ADD the same logical name: fresh physical — old bytes stay
+    // invisible even though the old file still physically holds them
+    log.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType))))   // v2
+    assert(log.read().as[(Long, Option[String])].collect().toSet
+      === Set((1L, None)), "dropped data must NOT resurrect under a re-added name")
+    log.append(Seq((2L, "new")).toDF("id", "v"))                    // v3
+    assert(log.read().as[(Long, Option[String])].collect().toSet
+      === Set((1L, None), (2L, Some("new"))))
+    // time travel still reaches the dropped column's data
+    assert(log.readVersion(0).as[(Long, String)].collect().toSet
+      === Set((1L, "secret")))
+    // compact + reopen: the retired-physical list survives checkpoints
+    log.compact()                                                   // v4
+    val log2 = CommitLog(spark, t)
+    assert(log2.snapshot().physRetired === Seq("v"))
+    assert(log2.read().as[(Long, Option[String])].collect().toSet
+      === Set((1L, None), (2L, Some("new"))))
+    // dropping the last column refuses
+    log2.dropColumn("v")                                            // v5
+    val e = intercept[IllegalArgumentException] { log2.dropColumn("id") }
+    assert(e.getMessage.contains("last column"))
+  }
+
+  test("rename on a partition-tagged table: scoped merges keep working") {
+    val t = tmpTable("clog-rename-part")
+    val log = CommitLog(spark, t)
+    log.appendPartitioned(
+      Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
+        .toDF("id", "day", "x"), "day")                             // v0
+    log.renameColumn("x", "price")                                  // v1
+    log.upsertPartitioned(
+      Seq((1L, "2024-01-01", 9.0), (3L, "2024-01-02", 3.0))
+        .toDF("id", "day", "price"),
+      Seq("id", "day"), CommitLog.LastWins, "day")                  // v2
+    assert(log.read().as[(Long, String, Double)].collect().toSet
+      === Set((1L, "2024-01-01", 9.0), (2L, "2024-01-02", 2.0),
+        (3L, "2024-01-02", 3.0)))
+    assert(log.readPartitions(Seq("2024-01-02"))
+      .as[(Long, String, Double)].collect().toSet
+      === Set((2L, "2024-01-02", 2.0), (3L, "2024-01-02", 3.0)))
+  }
 }
+
 
 /** Test double for the pluggable-LogStore spec: delegates to the
   * default primitives, counting publishes. */

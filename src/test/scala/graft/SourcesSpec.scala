@@ -509,8 +509,13 @@ class SourcesSpec extends SparkSpecBase {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("SCORE",
             org.apache.spark.sql.types.StringType)))))
-    assertThrows[UnsupportedOperationException](
-      spark.sql("ALTER TABLE galt.t RENAME COLUMN nome TO name"))
+    // RENAME COLUMN is supported since r11 (column mapping): metadata-
+    // only, old files read under the new name; round-trip it here so
+    // the rest of the test keeps addressing `nome`
+    spark.sql("ALTER TABLE galt.t RENAME COLUMN nome TO name")
+    assert(spark.table("galt.t").columns.contains("name"))
+    spark.sql("ALTER TABLE galt.t RENAME COLUMN name TO nome")
+    assert(spark.table("galt.t").columns.contains("nome"))
     // properties: settable, frozen invariants refused (Spark may wrap
     // the catalog's IllegalArgumentException — assert on the message)
     spark.sql("ALTER TABLE galt.t SET TBLPROPERTIES ('note'='hi')")
@@ -604,5 +609,50 @@ class SourcesSpec extends SparkSpecBase {
       df.collect().map(_.toSeq).toSet
     assert(canon(back) === canon(src))
     assert(back.count() > 0)
+  }
+
+  test("SQL ALTER TABLE RENAME/DROP COLUMN: metadata-only, reads stay correct") {
+    val wh = Files.createTempDirectory("graft-wh-rn").toString
+    spark.conf.set("spark.sql.catalog.grn", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grn.warehouse", wh)
+
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price")
+      .writeTo("grn.prices")
+      .tableProperty("merge.log", "true")
+      .create()                                                     // v0
+    spark.sql("ALTER TABLE grn.prices RENAME COLUMN price TO amount") // v1
+    // old files (never rewritten) read under the new name — the scan
+    // routes through the V1 column-mapping fallback
+    assert(spark.table("grn.prices").columns.toSeq === Seq("id", "amount"))
+    assert(spark.table("grn.prices").as[(Long, Double)].collect().toSet
+      === Set((1L, 10.0), (2L, 20.0)))
+    assert(spark.sql("SELECT sum(amount) FROM grn.prices")
+      .as[Double].head() === 30.0)
+    // inserts under the new name merge with pre-rename files
+    spark.sql("INSERT INTO grn.prices VALUES (3, 30.0)")             // v2
+    assert(spark.table("grn.prices").as[(Long, Double)].collect().toSet
+      === Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // SQL time travel surfaces the pinned version under the CURRENT
+    // declared names (physical match) — the declared-schema contract
+    assert(spark.sql("SELECT * FROM grn.prices VERSION AS OF 0")
+      .as[(Long, Double)].collect().toSet === Set((1L, 10.0), (2L, 20.0)))
+    // SQL row-level DML is gated on mapped tables (the V2 row-level
+    // scan cannot alias physical names) — loud, with the library route
+    val e = intercept[Exception] {
+      spark.sql("UPDATE grn.prices SET amount = 0 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("renamed columns") ||
+      Option(e.getCause).exists(_.getMessage.contains("renamed columns")))
+    // filter-based SQL DELETE routes through the library path and works
+    spark.sql("DELETE FROM grn.prices WHERE id = 2")                 // v3
+    assert(spark.table("grn.prices").as[(Long, Double)].collect().toSet
+      === Set((1L, 10.0), (3L, 30.0)))
+    // DROP COLUMN + re-ADD: old values must NOT resurrect
+    spark.sql("ALTER TABLE grn.prices DROP COLUMN amount")           // v4
+    assert(spark.table("grn.prices").columns.toSeq === Seq("id"))
+    spark.sql("ALTER TABLE grn.prices ADD COLUMNS (amount double)")  // v5
+    assert(spark.table("grn.prices").as[(Long, Option[Double])].collect().toSet
+      === Set((1L, None), (3L, None)),
+      "dropped column data must not resurrect after re-add")
   }
 }
