@@ -106,7 +106,7 @@ object ExactQuantile {
     * probe is a bounded `take`, never a full collect. */
   def quantilesByGroup(df: DataFrame, keyCols: Seq[String], valueCol: String,
       ps: Seq[Double], names: Seq[String], countCol: Option[String] = None,
-      bins: Int = 512, collectThreshold: Int = 65536,
+      bins: Int = 1024, collectThreshold: Int = 65536,
       driverGroupLimit: Int = 16384): DataFrame = {
     require(keyCols.nonEmpty, "quantilesByGroup needs ≥1 key column (use quantiles for global)")
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
@@ -128,7 +128,7 @@ object ExactQuantile {
     * of re-scanning and re-checkpointing the source per pass. */
   private[operators] def quantilesByGroupPrepped(vals: DataFrame,
       keyCols: Seq[String], ps: Seq[Double], names: Seq[String],
-      countCol: Option[String] = None, bins: Int = 512,
+      countCol: Option[String] = None, bins: Int = 1024,
       collectThreshold: Int = 65536, driverGroupLimit: Int = 16384): DataFrame = {
     val spark = vals.sparkSession
     // per-group (n, min, max) — needed by BOTH engines, so materialize
@@ -138,14 +138,21 @@ object ExactQuantile {
     val baseDf = vals.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n"), min(col("v")).as("__mn"), max(col("v")).as("__mx"))
       .localCheckpoint()
-    // fail fast on ±Inf (same reason as the global path): an infinite
-    // group interval never narrows — one trivial probe on the
-    // group-sized checkpoint guards BOTH engines
-    require(baseDf.filter(col("__mn") === Double.NegativeInfinity
-        || col("__mx") === Double.PositiveInfinity).limit(1).collect().isEmpty,
+    // ONE probe job over the group-sized checkpoint answers BOTH
+    // driver questions — group count (engine choice) and the ±Inf
+    // fail-fast (an infinite group interval never narrows; same
+    // reason as the global path). These were two separate actions;
+    // the narrowing's cost is sequential driver-blocking jobs, so
+    // every merged action is one scheduler round-trip saved per pass
+    // (q146 runs two passes).
+    val probe = baseDf
+      .agg(count(lit(1)), min(col("__mn")), max(col("__mx"))).head()
+    val nGroups = probe.getLong(0)
+    require(nGroups == 0 ||
+        (!probe.getDouble(1).isInfinite && !probe.getDouble(2).isInfinite),
       s"±Infinity in the quantile value column — histogram narrowing cannot bound an " +
         "infinite interval; filter or clamp non-finite values first")
-    if (baseDf.count() > driverGroupLimit)
+    if (nGroups > driverGroupLimit)
       return quantilesByGroupDistributed(
         vals.withColumnRenamed("v", "__v"), baseDf, keyCols, ps, names,
         countCol, bins, collectThreshold)

@@ -43,7 +43,7 @@ object Robust {
     * score against). */
   def madScores(df: DataFrame, keyCols: Seq[String], valueCol: String,
       k: Double = 3.0, medCol: String = "med", madCol: String = "mad",
-      flagCol: String = "is_outlier", bins: Int = 512,
+      flagCol: String = "is_outlier", bins: Int = 1024,
       collectThreshold: Int = 65536): DataFrame = {
     require(keyCols.nonEmpty, "madScores needs ≥1 group key")
     require(k >= 0, s"outlier threshold k=$k must be ≥ 0")
