@@ -171,6 +171,10 @@ object FuzzyJoin {
         col("__len").as("__blen"),
         explode(array(wcol - 1, wcol, wcol + 1)).as("__w"))
       .join(broadcast(hot), Seq("__gk", "__w"), "left_anti")
+    // (no explicit repartition here, unlike [[pairsQGram]]: the self
+    // form's register/probe sides share their heavy subtree through
+    // ReuseExchange, and an A/B pin showed added exchanges cost more
+    // than AQE's occasional over-coalescing saves — r11)
     val cands = reg.join(broadcast(hot), Seq("__gk", "__w"), "left_anti")
       .join(probe, Seq("__gk", "__w"))
       .filter(col("__id") < col("__bid") &&
@@ -203,54 +207,90 @@ object FuzzyJoin {
     val prefixLen = maxDist * q + 1
     val gramMin = q * (maxDist + 1)
     val shortMax = gramMin - 1 + maxDist
-    val freqSides = Seq(left, right).map { df =>
-      df.select(col(strCol).as("__s"))
-        .filter(col("__s").isNotNull && length(col("__s")) >= gramMin)
-        .select(explode(transform(sequence(lit(1), length(col("__s")) - (q - 1)),
+    // SINGLE TAGGED-UNION PASS (r11): both sides ride one frame with a
+    // side tag, so the gram explode, the distinct, the shared
+    // frequency order, and the prefix window are ONE plan subtree —
+    // the side filters sit ABOVE it, which lets ReuseExchange dedup
+    // every heavy exchange between the register and probe inputs of
+    // the candidate join (the previous shape computed left and right
+    // through DISTINCT subtrees that nothing could dedup — its
+    // exchanges doubled, the q160 bottleneck; an explicit checkpoint
+    // was A/B-tested SLOWER in r10, the plan-shape fix is the right
+    // lever). The frequency order becomes per-(side, id)-distinct
+    // union counts — a different shared total order than before, which
+    // the prefix recall proof permits (ANY shared order works) and the
+    // brute-force oracle confirms; exact verify keeps precision at 1.
+    val tagged = left
+      .select(lit(0).as("__side"), col(idCol).as("__id"), col(strCol).as("__s"))
+      .unionByName(right
+        .select(lit(1).as("__side"), col(idCol).as("__id"), col(strCol).as("__s")))
+    val base = Spread.byKey(tagged, "__id")
+      .select(col("__side"), col("__id"), col("__s"),
+        length(col("__s")).as("__len"))
+      .filter(col("__id").isNotNull && col("__s").isNotNull)
+    val grams = base.filter(col("__len") >= gramMin)
+      .select(col("__side"), col("__id"), col("__len"),
+        explode(transform(sequence(lit(1), col("__len") - (q - 1)),
           i => col("__s").substr(i, lit(q)))).as("__g"))
-        .select(xxhash64(col("__g")).as("__gk"))
-    }
-    val freq = freqSides.reduce(_ unionAll _)
-      .groupBy(col("__gk")).agg(count(lit(1)).as("__f"))
-    def side(df: DataFrame, as: String, lenAs: String): DataFrame = {
-      val base = Spread.byKey(df, idCol)
-        .select(col(idCol).as(as), col(strCol).as("__s"),
-          length(col(strCol)).as(lenAs))
-        .filter(col(as).isNotNull && col("__s").isNotNull)
-      val grams = base.filter(col(lenAs) >= gramMin)
-        .select(col(as), col(lenAs),
-          explode(transform(sequence(lit(1), col(lenAs) - (q - 1)),
-            i => col("__s").substr(i, lit(q)))).as("__g"))
-        .select(col(as), col(lenAs), xxhash64(col("__g")).as("__gk"))
-        .distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(as)).orderBy(col("__f"), col("__gk"))
-      grams.join(freq, Seq("__gk"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= prefixLen)
-        .select(col("__gk"), col(as), col(lenAs))
-        .unionByName(base.filter(col(lenAs) <= shortMax)
-          .select(lit(Long.MinValue).as("__gk"), col(as), col(lenAs)))
-    }
-    // NB: the per-string frequency weighting differs from the self-join
-    // form (union counts vs distinct-per-id counts) only in ORDER, and
-    // any shared total order preserves the recall proof. Same composite
-    // (gram, length-window) blocking as [[selfPairsQGram]]: left
-    // registers under its own width-d bin, right probes the three
-    // adjacent ones, so |Δlen| > d pairs never join at all.
+      .select(col("__side"), col("__id"), col("__len"),
+        xxhash64(col("__g")).as("__gk"))
+      .distinct()
+    val freq = grams.groupBy(col("__gk")).agg(count(lit(1)).as("__f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__side"), col("__id")).orderBy(col("__f"), col("__gk"))
+    // prefix entries + the SHORT bucket, still side-tagged — the one
+    // shared relation both join inputs (and both hot-bucket counts)
+    // filter from. MATERIALIZED: Catalyst pushes the side filters down
+    // through the window and the union into per-side subtrees, which
+    // un-shares the exchanges ReuseExchange would otherwise dedup —
+    // and the relation is TINY by construction (≤ d·q+1 prefix rows
+    // per id plus the shorts, never corpus-sized), so one explicit
+    // materialization beats recomputing the gram/frequency/window
+    // pipeline once per consumer. (This is NOT the r10 checkpoint
+    // anti-pattern: there the subtrees were bit-identical and
+    // ReuseExchange already shared them; here the pushed-down filters
+    // make them structurally different.)
+    val entries = grams.join(freq, Seq("__gk"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= prefixLen)
+      .select(col("__side"), col("__gk"), col("__id"), col("__len"))
+      .unionByName(base.filter(col("__len") <= shortMax)
+        .select(col("__side"), lit(Long.MinValue).as("__gk"),
+          col("__id"), col("__len")))
+      .localCheckpoint()
+    // Same composite (gram, length-window) blocking as
+    // [[selfPairsQGram]]: left registers under its own width-d bin,
+    // right probes the three adjacent ones, so |Δlen| > d pairs never
+    // join at all; per-side per-(gram, window) caps as before.
     val wOf: String => Column = c => floor(col(c) / lit(maxDist)).cast("long")
-    val lreg = side(left, "l_id", "__ll").withColumn("__w", wOf("__ll"))
-    val rprobe = side(right, "r_id", "__rl")
-      .select(col("__gk"), col("r_id"), col("__rl"),
-        explode(array(wOf("__rl") - 1, wOf("__rl"), wOf("__rl") + 1)).as("__w"))
+    val lreg = entries.filter(col("__side") === 0)
+      .select(col("__gk"), col("__id").as("l_id"), col("__len").as("__ll"),
+        wOf("__len").as("__w"))
+    val rprobe = entries.filter(col("__side") === 1)
+      .select(col("__gk"), col("__id").as("r_id"), col("__len").as("__rl"),
+        explode(array(wOf("__len") - 1, wOf("__len"), wOf("__len") + 1))
+          .as("__w"))
     def dropHot(df: DataFrame): DataFrame = {
       val hot = df.groupBy(col("__gk"), col("__w")).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > maxBucket).select(col("__gk"), col("__w"))
       df.join(broadcast(hot), Seq("__gk", "__w"), "left_anti")
     }
-    val cands = dropHot(lreg).join(dropHot(rprobe), Seq("__gk", "__w"))
+    // explicit partition counts through the pair join and the verify:
+    // the entries relation is BYTE-small, so AQE's size-based
+    // coalescing funnels the join (pair EMISSION — the compute-heavy
+    // step) and the banded-levenshtein verify into one task; compute
+    // per byte is exactly where byte-sized coalescing misjudges, at
+    // any scale. A user-specified repartition is exempt from
+    // coalescing, and the distinct's group keys match it so no extra
+    // shuffle appears.
+    val p = left.sparkSession.sessionState.conf.numShufflePartitions
+    val cands = dropHot(lreg).repartition(p, col("__gk"), col("__w"))
+      .join(dropHot(rprobe).repartition(p, col("__gk"), col("__w")),
+        Seq("__gk", "__w"))
       .filter(abs(col("__ll") - col("__rl")) <= maxDist)
-      .select(col("l_id"), col("r_id")).distinct()
+      .select(col("l_id"), col("r_id"))
+      .repartition(p, col("l_id"), col("r_id"))
+      .distinct()
     cands
       .join(left.select(col(idCol).as("l_id"), col(strCol).as("__sl")), "l_id")
       .join(right.select(col(idCol).as("r_id"), col(strCol).as("__sr")), "r_id")
