@@ -925,6 +925,117 @@ object Similarity {
     * sample is bounded (metadata-sized collect, the ExactQuantile
     * thresholds class); at 100 TB the sample IS how codebooks are
     * trained — quantizer quality saturates far below corpus size. */
+  /** Past this many centroids the Trained path switches from the
+    * driver loop to [[lloydDistributedMulti]] — the driver's
+    * O(sample·k·iters·dim) flops stop being "metadata-sized" around
+    * k ≈ a few hundred; below it, per-iteration job overhead costs
+    * more than the loop. The engines are BIT-IDENTICAL (spec-pinned),
+    * so the switch is invisible in every persisted codebook. */
+  private val DistributedLloydMinK = 256
+
+  /** Distributed deterministic Lloyd over PARTITIONED bounded samples:
+    * `parts` = (__p int, __h string, __id, __v array<double>) — one
+    * independent k-means per distinct `__p` (the PQ sub-quantizers
+    * train all m subspaces in ONE job per iteration; coarse is a
+    * single part). Returns part → k centroids, collected (k·dim
+    * doubles per part — metadata-sized; the SAMPLE never lands on the
+    * driver, which is the point at large k).
+    *
+    * Bit-parity with [[lloyd]], by construction:
+    *  - init: centroid j = the sample element at rank j·n/k in the
+    *    global (__h, __id) order — exactly `sample(j*n/k)` over the
+    *    driver path's deterministically-ordered collected sample;
+    *  - assignment: same squared-distance loop, strict `<` keeps the
+    *    LOWEST centroid index on ties;
+    *  - accumulation: per-cluster LEFT FOLD over members sorted by
+    *    sample rank — the same floating-point association order as the
+    *    driver's sequential `sums(best) += v` sweep;
+    *  - an emptied cluster keeps its previous centroid; division by
+    *    the member count happens once per iteration, like the driver.
+    * Pure function of (sample content, k, iters) — repartitioning the
+    * input cannot move a bit (AnnIndexSpec pins both properties). */
+  private[graft] def lloydDistributedMulti(parts: DataFrame, k: Int,
+      iters: Int): Map[Int, Array[Array[Double]]] = {
+    val spark = parts.sparkSession
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__p")).orderBy(col("__h"), col("__id"))
+    // the global sample rank is the ONE total order everything keys on;
+    // a per-part window over a bounded sample is fine by contract
+    val ranked = parts
+      .withColumn("__rn", row_number().over(wOrd) - 1)
+      .select(col("__p"), col("__rn"), col("__v"))
+      .localCheckpoint()
+    val ns: Map[Int, Long] = ranked.groupBy(col("__p"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    ns.foreach { case (p, n) => require(n >= k,
+      s"KMeans needs >= $k sample vectors, got $n (part $p)") }
+    // init: rank j*n/k per part, fetched in one filtered collect
+    val initIdx: Map[Int, Set[Long]] = ns.map { case (p, n) =>
+      p -> (0 until k).map(j => j.toLong * n / k).toSet
+    }
+    val wantInit = udf((p: Int, rn: Int) => initIdx(p).contains(rn.toLong))
+    var cents: Map[Int, Array[Array[Double]]] = {
+      val rows = ranked.filter(wantInit(col("__p"), col("__rn")))
+        .select(col("__p"), col("__rn"), col("__v")).collect()
+      val byPart = rows.groupBy(_.getInt(0))
+      ns.map { case (p, n) =>
+        val byRank = byPart(p)
+          .map(r => r.getInt(1).toLong -> r.getSeq[Double](2).toArray).toMap
+        p -> Array.tabulate(k)(j => byRank(j.toLong * n / k).clone())
+      }
+    }
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assign = udf { (p: Int, v: Seq[Double]) =>
+        val cs = bc.value(p)
+        val dim = cs(0).length
+        require(v.length == dim,
+          s"training vector has dim ${v.length}, want $dim")
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < cs.length) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val t = v(i) - cs(j)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        best
+      }
+      // per-(part, cluster) rank-sorted member list, summed by a LEFT
+      // FOLD — the fixed association order that makes the result
+      // independent of partitioning AND equal to the driver sweep
+      val memberVs = transform(
+        sort_array(collect_list(struct(col("__rn"), col("__v")))),
+        s => s("__v"))
+      val zeros = transform(element_at(col("__vs"), 1), _ => lit(0.0))
+      val summed = ranked
+        .withColumn("__c", assign(col("__p"), col("__v")))
+        .groupBy(col("__p"), col("__c"))
+        .agg(count(lit(1)).as("__n"), memberVs.as("__vs"))
+        .select(col("__p"), col("__c"), col("__n"),
+          aggregate(col("__vs"), zeros,
+            (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("__sum"))
+        .collect()
+      val next = cents.map { case (p, cs) => p -> cs.map(_.clone()) }
+      summed.foreach { r =>
+        val (p, cIdx, n) = (r.getInt(0), r.getInt(1), r.getLong(2))
+        val s = r.getSeq[Double](3)
+        val tgt = next(p)(cIdx)
+        var i = 0
+        while (i < tgt.length) { tgt(i) = s(i) / n; i += 1 }
+      }
+      bc.destroy()
+      cents = next
+      it += 1
+    }
+    ranked.unpersist()
+    cents
+  }
+
   private[graft] def lloyd(sample: Array[Array[Double]], k: Int,
       iters: Int): Array[Array[Double]] = {
     require(sample.length >= k,
@@ -1008,16 +1119,47 @@ object Similarity {
     case Codebooks.Trained(sampleSize, iters, seed) =>
       val spark = c.sparkSession
       import spark.implicits._
-      val sample = trainingSample(c, dim, sampleSize, seed)
       val dsub = dim / m
-      val coarse = lloyd(sample, nlist, iters)
+      val (coarse, subs) =
+        if (math.max(nlist, ksub) < DistributedLloydMinK) {
+          // few centroids: the driver loop's flops are metadata-sized
+          // and it skips all per-iteration job overhead
+          val sample = trainingSample(c, dim, sampleSize, seed)
+          (lloyd(sample, nlist, iters),
+            Array.tabulate(m) { i =>
+              lloyd(sample.map(v =>
+                java.util.Arrays.copyOfRange(v, i * dsub, (i + 1) * dsub)),
+                ksub, iters)
+            })
+        } else {
+          // large nlist/ksub: the SAMPLE stays distributed and only
+          // centroids (k·dim doubles) ever land on the driver — the
+          // distributed engine is bit-identical to the loop above
+          // (same init/ties/fold order; see lloydDistributedMulti), so
+          // which one ran is invisible in the persisted codebooks
+          val sampleDf = c.select(
+              md5(concat_ws(":", lit(seed), col("c_id").cast("string")))
+                .as("__h"),
+              col("c_id").as("__id"), toDouble(col("__cv")).as("__v"))
+            .orderBy(col("__h"), col("__id")).limit(sampleSize)
+            .localCheckpoint()
+          val coarseParts = sampleDf.select(lit(0).as("__p"),
+            col("__h"), col("__id"), col("__v"))
+          // all m subspaces train in the SAME per-iteration job
+          val pqParts = sampleDf.select(col("__h"), col("__id"),
+              explode(array((0 until m).map(i => struct(lit(i).as("__p"),
+                slice(col("__v"), i * dsub + 1, dsub).as("__v"))): _*))
+                .as("__s"))
+            .select(col("__s.__p").as("__p"), col("__h"), col("__id"),
+              col("__s.__v").as("__v"))
+          val co = lloydDistributedMulti(coarseParts, nlist, iters)(0)
+          val su = lloydDistributedMulti(pqParts, ksub, iters)
+          sampleDf.unpersist()
+          (co, Array.tabulate(m)(su))
+        }
       // per-subspace Lloyd, concatenated: full-dim row j holds subspace
       // i's centroid j at slice i — slicing recovers exactly what each
       // sub-quantizer trained, so the persisted schema stays (cell, v)
-      val subs = Array.tabulate(m) { i =>
-        lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, i * dsub, (i + 1) * dsub)),
-          ksub, iters)
-      }
       val pq = Array.tabulate(ksub)(j => Array.tabulate(m)(i => subs(i)(j)).flatten)
       (coarse.zipWithIndex.map { case (v, j) => (j.toLong, v.toSeq) }
          .toSeq.toDF("cell", "v"),

@@ -212,6 +212,63 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(rT > 0.05, s"trained recall $rT not above chance")
   }
 
+  test("distributed Lloyd: bit-identical to the driver loop, repartition-proof at k=4096") {
+    // the Trained path switches engines at max(nlist, ksub) >= 256;
+    // this pins the switch invisible: same init, same ties, same
+    // left-fold accumulation order => identical doubles, not just
+    // close ones. Synthetic deterministic sample (no RNG): 6000
+    // vectors, dim 8, k = 4096 (the verdict's large-nlist bar).
+    val n = 6000
+    val dim = 8
+    val k = 4096
+    val iters = 3
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = (0 until n).map { i =>
+      val h = md.digest(s"s:$i".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      md.reset()
+      val v = (0 until dim).map(d => math.sin(i * 31 + d * 7).abs * 10)
+      (h, i.toLong, v)
+    }
+    // driver engine over the (h, id)-ordered sample
+    val ordered = rows.sortBy(r => (r._1, r._2)).map(_._3.toArray).toArray
+    val driver = graft.operators.Similarity.lloyd(ordered, k, iters)
+    // distributed engine over an arbitrarily-partitioned frame
+    def dist(parts: Int) = {
+      val df = rows.toDF("__h", "__id", "__v")
+        .repartition(parts)
+        .select(lit(0).as("__p"), col("__h"), col("__id"), col("__v"))
+      graft.operators.Similarity.lloydDistributedMulti(df, k, iters)(0)
+    }
+    val a = dist(3)
+    val b = dist(13)
+    assert(a.length === k && driver.length === k)
+    (0 until k).foreach { j =>
+      assert(java.util.Arrays.equals(a(j), driver(j)),
+        s"centroid $j differs between distributed and driver engines")
+      assert(java.util.Arrays.equals(a(j), b(j)),
+        s"centroid $j moved under repartitioning")
+    }
+    // multi-part form (the PQ subspaces' one-job-per-iteration shape):
+    // each part must equal its own independent driver run
+    val twoParts = rows.toDF("__h", "__id", "__v")
+      .select(explode(array(
+        struct(lit(0).as("__p"), col("__h"), col("__id"),
+          slice(col("__v"), 1, 4).as("__v")),
+        struct(lit(1).as("__p"), col("__h"), col("__id"),
+          slice(col("__v"), 5, 4).as("__v")))).as("__s"))
+      .select(col("__s.__p").as("__p"), col("__s.__h").as("__h"),
+        col("__s.__id").as("__id"), col("__s.__v").as("__v"))
+    val multi = graft.operators.Similarity.lloydDistributedMulti(
+      twoParts, 300, 2)
+    Seq(0 -> ordered.map(_.take(4)), 1 -> ordered.map(_.drop(4)))
+      .foreach { case (p, sub) =>
+        val d = graft.operators.Similarity.lloyd(sub, 300, 2)
+        (0 until 300).foreach(j => assert(
+          java.util.Arrays.equals(multi(p)(j), d(j)),
+          s"part $p centroid $j differs from the driver run"))
+      }
+  }
+
   test("AnnIndexSync: the change-feed stream keeps the index equal to a one-shot rebuild") {
     val baseRoot = tmpRoot("ann-sync-base")
     val ixRoot = tmpRoot("ann-sync-ix")
