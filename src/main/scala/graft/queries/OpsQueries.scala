@@ -437,6 +437,75 @@ object OpsQueries {
         ORDER BY o.ts ASC LIMIT 1) n ON true
       ORDER BY g.user_id, g.grid_ts"""))
 
+  /** B13/B14 INCREMENTALLY-MAINTAINED resample grid
+    * ([[graft.streaming.ResampleSync]], r11 — the streaming closure of
+    * q158 and the reference's as-of poller, index.js:41-59): build an
+    * observation commit-log table through keyed upserts and a delete
+    * (three versions), then catch a persisted interpolation GRID up
+    * with the change feed ONE VERSION PER SLICE — each slice
+    * re-resamples only its touched keys (the per-key delta rule; a
+    * fully-retracted key leaves the grid). The output is the grid
+    * TABLE, so hash equality pins that incremental maintenance lands
+    * on exactly the one-shot resample of the final base state — the
+    * oracle replays final-state dedup (odd event-ids win over even,
+    * last-wins within a side), the delete, and q158's bracketing
+    * interpolation. */
+  private val q163 = Q(
+    "q163_resample_sync",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.CommitLog
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-rsync-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = t(s, dir, "events").filter($"user_id" < 50)
+        .select($"user_id", $"ts", $"value", $"event_id")
+      def side(parity: Int) = Dedup.lastWins(
+          ev.filter($"event_id" % 2 === parity),
+          Seq("user_id", "ts"), Seq("event_id"))
+        .drop("event_id")
+      val base = CommitLog(s, s"$root/obs")
+      base.upsert(side(0), Seq("user_id", "ts"), CommitLog.LastWins)  // v0
+      base.upsert(side(1), Seq("user_id", "ts"), CommitLog.LastWins)  // v1
+      base.delete($"user_id" % 7 === 3)                               // v2
+      graft.streaming.ResampleSync.catchUp(s, s"$root/obs", s"$root/grid",
+        Seq("user_id"), "ts", "value",
+        "2024-01-01 00:00:00", "2024-01-31 00:00:00",
+        expr("interval 1 day"), interpolate = true,
+        fromVersion = -1L, sliceVersions = 1L)
+      CommitLog(s, s"$root/grid").read()
+        .select($"user_id", $"grid_ts", $"prev_ts", $"next_ts",
+          round($"interp", 12).as("interp"))
+        .orderBy($"user_id", $"grid_ts")
+    },
+    Some("""WITH f AS (SELECT * FROM events WHERE user_id < 50),
+      obs AS (SELECT user_id, ts, CAST(value AS DOUBLE) AS value FROM (
+        SELECT user_id, ts, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id, ts
+            ORDER BY (event_id % 2) DESC, event_id DESC) AS rn
+        FROM f) WHERE rn = 1 AND user_id % 7 <> 3),
+      grid AS (SELECT u.user_id, g.ts AS grid_ts
+        FROM (SELECT DISTINCT user_id FROM obs) u
+        CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+          TIMESTAMP '2024-01-31 00:00:00', INTERVAL 1 DAY)) AS ts) g)
+      SELECT g.user_id, g.grid_ts, p.ts AS prev_ts, n.ts AS next_ts,
+        round(CASE
+          WHEN p.ts IS NULL OR n.ts IS NULL THEN NULL
+          WHEN n.ts = p.ts THEN p.value
+          ELSE p.value + (n.value - p.value) *
+            (CAST(date_diff('microsecond', p.ts, g.grid_ts) AS DOUBLE) /
+             CAST(date_diff('microsecond', p.ts, n.ts) AS DOUBLE))
+        END, 12) AS interp
+      FROM grid g
+      LEFT JOIN LATERAL (SELECT ts, value FROM obs o
+        WHERE o.user_id = g.user_id AND o.ts <= g.grid_ts
+        ORDER BY o.ts DESC LIMIT 1) p ON true
+      LEFT JOIN LATERAL (SELECT ts, value FROM obs o
+        WHERE o.user_id = g.user_id AND o.ts >= g.grid_ts
+        ORDER BY o.ts ASC LIMIT 1) n ON true
+      ORDER BY g.user_id, g.grid_ts"""))
+
   def qs: Seq[Q] = Seq(q36, q37, q38, q39, q40, q66, q112, q113, q121,
-    q122, q124, q147, q158)
+    q122, q124, q147, q158, q163)
 }

@@ -491,4 +491,48 @@ class StreamingSpec extends SparkSpecBase {
       assert(n === distinct)
     } finally q.stop()
   }
+
+  test("ResampleSync: the streamed grid equals the one-shot batch resample") {
+    import graft.operators.{AsOf, Dedup}
+    import graft.sources.{CommitLog, Tables}
+    def root(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString + "/t"
+    val baseRoot = root("rsync-base")
+    val gridRoot = root("rsync-grid")
+    val ck = java.nio.file.Files.createTempDirectory("rsync-ck").toString
+    val ev = Tables(spark, sfDir, "events").filter($"user_id" < 30)
+      .select($"user_id", $"ts", $"value", $"event_id")
+    def slice(parity: Int) = Dedup.lastWins(
+        ev.filter($"event_id" % 2 === parity),
+        Seq("user_id", "ts"), Seq("event_id"))
+      .drop("event_id")
+    val base = CommitLog(spark, baseRoot)
+    base.upsert(slice(0), Seq("user_id", "ts"), CommitLog.LastWins)
+    val (startTs, endTs) = ("2024-01-01 00:00:00", "2024-01-31 00:00:00")
+    val q = graft.streaming.ResampleSync.start(spark, baseRoot, gridRoot, ck,
+      Seq("user_id"), "ts", "value", startTs, endTs,
+      expr("interval 1 day"), interpolate = true)
+    try {
+      q.processAllAvailable()
+      // new observations for existing + new keys, then a full-key
+      // retraction (its grid rows must vanish)
+      base.upsert(slice(1), Seq("user_id", "ts"), CommitLog.LastWins)
+      q.processAllAvailable()
+      base.delete($"user_id" % 5 === 2)
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select($"user_id", $"grid_ts", $"prev_ts", $"next_ts",
+          round($"interp", 9).as("interp"))
+        .as[(Long, java.sql.Timestamp, Option[java.sql.Timestamp],
+          Option[java.sql.Timestamp], Option[Double])]
+        .collect().sortBy(r => (r._1, r._2.getTime)).toSeq
+      val streamed = canon(CommitLog(spark, gridRoot).read())
+      val oneShot = canon(AsOf.resampleInterpolate(base.read(),
+        Seq("user_id"), "ts", "value", startTs, endTs,
+        expr("interval 1 day")))
+      assert(streamed.nonEmpty && streamed === oneShot)
+      // retracted keys left the grid entirely
+      assert(!streamed.exists(_._1 % 5 == 2))
+    } finally q.stop()
+  }
 }
