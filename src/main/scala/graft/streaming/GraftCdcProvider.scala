@@ -162,11 +162,29 @@ private[streaming] final class GraftCdcStreamSource(sqlContext: SQLContext,
     val ch = log.readChanges(from, ver(end))
     // conform to the schema declared at stream start: missing columns
     // null-filled, later-evolved extras dropped — the plan schema is a
-    // contract the engine asserts per batch
+    // contract the engine asserts per batch. Columns bind by STABLE
+    // PHYSICAL name first (r11 column mapping: a mid-stream RENAME
+    // COLUMN changes the feed's logical names, and a name-only bind
+    // would silently null the renamed column for the rest of the
+    // stream), then by name (the change columns, and additive
+    // evolution, have no mapping).
+    val endSchema = log.snapshotAt(ver(end)).schema
+    def physOfF(f: org.apache.spark.sql.types.StructField): String =
+      if (f.metadata.contains(graft.sources.CommitLog.PhysKey))
+        f.metadata.getString(graft.sources.CommitLog.PhysKey)
+      else f.name
+    def lcs(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val curByPhys: Map[String, String] = endSchema
+      .map(_.fields.map(f => lcs(physOfF(f)) -> f.name).toMap)
+      .getOrElse(Map.empty)
     val present = ch.columns.toSet
-    val conformed = ch.select(schema.map(f =>
-      if (present(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)): _*)
+    val conformed = ch.select(schema.map { f =>
+      curByPhys.get(lcs(physOfF(f))).filter(present) match {
+        case Some(n) => col(s"`$n`").cast(f.dataType).as(f.name)
+        case None if present(f.name) => col(s"`${f.name}`")
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
     org.apache.spark.sql.graft.Bridge.asStreamingBatch(conformed)
   }
 

@@ -976,6 +976,32 @@ class CommitLogSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("graft-cdc: a mid-stream RENAME COLUMN binds by physical name, not null") {
+    val t = tmpTable("clog-cdc-rename")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, 10.0)).toDF("id", "price"))                 // v0
+    val stream = spark.readStream.format("graft-cdc")
+      .option("path", t).load()
+    // stream schema fixed at start: still speaks 'price'
+    assert(stream.schema.fieldNames.contains("price"))
+    val q = stream.writeStream.format("memory").queryName("cdcren")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      log.renameColumn("price", "amount")                           // v1
+      log.append(Seq((2L, 20.0)).toDF("id", "amount"))              // v2
+      q.processAllAvailable()
+      val got = spark.table("cdcren")
+        .filter($"_change_type" === "insert")
+        .select($"id", $"price")
+        .as[(Long, Option[Double])].collect().toSet
+      // the post-rename insert's value must arrive under the stream's
+      // original column name via the stable physical binding — a
+      // name-only conform would deliver null here
+      assert(got === Set((1L, Some(10.0)), (2L, Some(20.0))))
+    } finally q.stop()
+  }
+
   test("graft-cdc: maxVersionsPerTrigger drains a backlog one version per batch") {
     val t = tmpTable("clog-cdc-rate")
     val log = CommitLog(spark, t)
