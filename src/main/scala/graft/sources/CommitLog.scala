@@ -1128,6 +1128,57 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     -1L // unreachable
   }
 
+  /** MAINTENANCE: rewrite the data files so every column's PHYSICAL
+    * name equals its logical name again. A RENAME COLUMN is
+    * metadata-only and free, but a mapped table reads through the V1
+    * fallback scan (the V2 parquet builder resolves by name) and its
+    * SQL row-level DML is gated — this is the move that buys the fast
+    * path back during a maintenance window, Delta's "rewrite to
+    * materialize column mapping". One `replace` commit: content is
+    * bit-identical, partition tags ride the partitioned path
+    * (`partCol` required exactly as for [[delete]]), stats and blooms
+    * re-harvest, and the retired-physical list RESETS — every file now
+    * carries current logical names, so a future re-add has nothing to
+    * resurrect. Pre-rewrite versions still time-travel with their own
+    * mapping. No-op (no commit) when the mapping is already identity
+    * and nothing is retired. */
+  def materializeMapping(partCol: Option[String] = None): Long = {
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      require(s.version >= 0, s"$tableRoot: nothing to materialize")
+      val sch = s.schema.getOrElse(throw new IllegalStateException(
+        s"$tableRoot: committed version ${s.version} carries no schema"))
+      if (identityMapping(sch) && s.physRetired.isEmpty) return s.version
+      requireTagState(s, partCol, "materializeMapping")
+      val clean = StructType(sch.fields.map { f =>
+        if (!f.metadata.contains(CommitLog.PhysKey)) f
+        else f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).remove(CommitLog.PhysKey).build())
+      })
+      val df = readAt(s) // the logical view — exactly what gets rewritten
+      val (files, tags) = partCol match {
+        case Some(pc) =>
+          val t = writeDataPartitioned(df, pc, clean)
+          (t.map(_._1), t.toMap)
+        case None => (writeData(df, clean), Map.empty[String, String])
+      }
+      val cfg = effectiveBloomCfg()
+      val won = try tryCommit(s.version + 1,
+          manifestJson(s.version + 1, "replace", files, clean, None,
+            fileParts = tags, stats = statsFor(files),
+            blooms = bloomsForCfg(files, cfg, Some(clean)),
+            physRetired = Some(Nil)))
+        catch { case e: Throwable => files.foreach(deleteData); throw e }
+      if (won) return s.version + 1
+      files.foreach(deleteData)
+      attempts += 1
+      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+    }
+    -1L // unreachable
+  }
+
   /** Replace the live file set with `df` (TRUNCATE-and-load). */
   def replaceAll(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
     val s0 = snapshot()

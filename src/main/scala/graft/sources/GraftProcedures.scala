@@ -50,7 +50,8 @@ private[sources] object GraftProcedures {
 
   /** All procedures, by name. */
   def names: Seq[String] =
-    Seq("optimize", "optimize_partitions", "compact", "prune", "vacuum", "history")
+    Seq("optimize", "optimize_partitions", "compact", "prune", "vacuum",
+      "history", "materialize_mapping")
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
     def logFor(table: String): CommitLog = {
@@ -92,6 +93,14 @@ private[sources] object GraftProcedures {
       case "vacuum" => proc("vacuum", Seq(p("table", StringType)),
         in => resultScan(countResult, Seq(new GenericInternalRow(
           Array[Any](logFor(in.getUTF8String(0).toString).vacuum())))))
+      case "materialize_mapping" => proc("materialize_mapping",
+        Seq(p("table", StringType), pDefault("part_col", StringType, "''")),
+        in => {
+          val pc = Option(in.getUTF8String(1).toString).map(_.trim)
+            .filter(_.nonEmpty)
+          val v = logFor(in.getUTF8String(0).toString).materializeMapping(pc)
+          resultScan(versionResult, Seq(new GenericInternalRow(Array[Any](v))))
+        })
       case "history" => proc("history", Seq(p("table", StringType)),
         in => {
           // manifest-count-sized by construction (prune bounds it)

@@ -1762,6 +1762,55 @@ class CommitLogSpec extends SparkSpecBase {
       .as[(Long, String, Double)].collect().toSet
       === Set((2L, "2024-01-02", 2.0), (3L, "2024-01-02", 3.0)))
   }
+
+  test("materializeMapping rewrites files back to logical names and resets the retired list") {
+    val t = tmpTable("clog-materialize")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "w")) // v0
+    log.renameColumn("v", "val")                                          // v1
+    log.dropColumn("w")                                                   // v2
+    val before = log.read().as[(Long, String)].collect().toSet
+    val filesBefore = log.snapshot().files.toSet
+    log.materializeMapping()                                              // v3
+    val s = log.snapshot()
+    // mapping is identity again, retired list reset, content unchanged
+    assert(s.schema.get.fields.forall(f =>
+      !f.metadata.contains(CommitLog.PhysKey)))
+    assert(s.physRetired.isEmpty)
+    assert(log.read().as[(Long, String)].collect().toSet === before)
+    assert(s.files.toSet.intersect(filesBefore).isEmpty,
+      "materialize must rewrite the data files")
+    // re-adding the dropped name on the REWRITTEN table reads null (the
+    // new files simply lack the column — no retired list needed)
+    log.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.StringType))))                         // v4
+    assert(log.read().as[(Long, String, Option[String])].collect().toSet
+      === before.map(r => (r._1, r._2, None)))
+    // time travel still reads the pre-materialize mapping
+    assert(log.readVersion(1).columns.toSeq === Seq("id", "val", "w"))
+    // idempotent: a repeat call on the identity-mapped table is a
+    // no-op returning the current version (v4 after the re-add above)
+    val v = log.snapshot().version
+    assert(log.materializeMapping() === v)
+    assert(log.snapshot().version === v)
+  }
+
+  test("materializeMapping on a partition-tagged table keeps tags and scoped merges") {
+    val t = tmpTable("clog-materialize-part")
+    val log = CommitLog(spark, t)
+    log.appendPartitioned(
+      Seq((1L, "d1", 1.0), (2L, "d2", 2.0)).toDF("id", "day", "x"), "day") // v0
+    log.renameColumn("x", "price")                                          // v1
+    log.materializeMapping(partCol = Some("day"))                           // v2
+    assert(log.snapshot().schema.get.fields.forall(f =>
+      !f.metadata.contains(CommitLog.PhysKey)))
+    // still consistently tagged: the scoped merge path accepts it
+    log.upsertPartitioned(Seq((3L, "d2", 3.0)).toDF("id", "day", "price"),
+      Seq("id", "day"), CommitLog.LastWins, "day")                          // v3
+    assert(log.read().as[(Long, String, Double)].collect().toSet
+      === Set((1L, "d1", 1.0), (2L, "d2", 2.0), (3L, "d2", 3.0)))
+  }
 }
 
 

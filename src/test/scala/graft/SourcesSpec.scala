@@ -654,5 +654,19 @@ class SourcesSpec extends SparkSpecBase {
     assert(spark.table("grn.prices").as[(Long, Option[Double])].collect().toSet
       === Set((1L, None), (3L, None)),
       "dropped column data must not resurrect after re-add")
+    // rename again → row-level SQL is gated; CALL materialize_mapping
+    // rewrites the files to logical names and resets the mapping — the
+    // V2 fast path and SQL UPDATE come back
+    spark.sql("ALTER TABLE grn.prices RENAME COLUMN amount TO bonus")  // v6
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE grn.prices SET bonus = 1 WHERE id = 1")
+    }
+    assert(e2.getMessage.contains("renamed columns") ||
+      Option(e2.getCause).exists(_.getMessage.contains("renamed columns")))
+    spark.sql("CALL grn.system.materialize_mapping(`table` => 'prices')")
+    spark.sql("UPDATE grn.prices SET bonus = CAST(2 AS DOUBLE) WHERE id = 1")
+    assert(spark.table("grn.prices").select($"id", $"bonus")
+      .as[(Long, Option[Double])].collect().toSet
+      === Set((1L, Some(2.0)), (3L, None)))
   }
 }
