@@ -421,4 +421,101 @@ class PropertySpec extends SparkSpecBase {
       }
     }, minTests = 15)
   }
+
+  test("column mapping: random rename/drop/add/upsert/delete sequences match a naive model") {
+    // model-based soak of the r11 column-mapping feature: a reference
+    // Map model and the commit log apply the SAME random op sequence;
+    // after EVERY op the table's logical view must equal the model —
+    // renames must carry old files' data, drops must hide it, re-adds
+    // must NOT resurrect it, upserts/deletes must address current names
+    import graft.sources.CommitLog
+    sealed trait Op
+    case class Ups(rows: List[(Long, Long)]) extends Op
+    case class Ren(col: Int, to: Int) extends Op
+    case class Drp(col: Int) extends Op
+    case class Add(name: Int) extends Op
+    case class Del(mod: Long, rem: Long) extends Op
+    val names = Vector("a", "b", "c", "d", "e")
+    val opGen: Gen[Op] = Gen.frequency(
+      4 -> Gen.listOfN(4, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 99L)))
+        .map(Ups(_)),
+      2 -> Gen.zip(Gen.chooseNum(0, 4), Gen.chooseNum(0, 4))
+        .map { case (c, t) => Ren(c, t) },
+      2 -> Gen.chooseNum(0, 4).map(Drp(_)),
+      2 -> Gen.chooseNum(0, 4).map(Add(_)),
+      1 -> Gen.zip(Gen.chooseNum(2L, 4L), Gen.chooseNum(0L, 3L))
+        .map { case (m, r) => Del(m, r) })
+    val seqGen = Gen.listOfN(8, opGen)
+    checkProp(Prop.forAllNoShrink(seqGen) { ops =>
+      val t = java.nio.file.Files.createTempDirectory("clog-map-prop")
+        .toString + "/t"
+      val log = CommitLog(spark, t)
+      // model: ordered value columns + id-keyed rows of per-col values
+      var cols = Vector("v0") // value columns besides id
+      var rows = Map.empty[Long, Map[String, Option[Long]]]
+      log.upsert(Seq((0L, 0L)).toDF("id", "v0"), Seq("id"), CommitLog.LastWins)
+      rows += 0L -> Map("v0" -> Some(0L))
+      def agree(): Boolean = {
+        val df = log.read()
+        val gotCols = df.columns.toSeq
+        val wantCols = "id" +: cols
+        if (gotCols != wantCols) {
+          info(s"columns $gotCols != $wantCols"); return false
+        }
+        val got = df.collect().map { r =>
+          r.getLong(0) -> cols.zipWithIndex.map { case (c, i) =>
+            c -> (if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1)))
+          }.toMap
+        }.toMap
+        val ok = got == rows
+        if (!ok) info(s"rows $got != $rows")
+        ok
+      }
+      ops.forall { op =>
+        op match {
+          case Ups(rs) =>
+            val dedup = rs.toMap.toList // unique ids (upsert requires)
+            val df = dedup.map { case (id, v) =>
+              (id, cols.indices.map(i => v + i)) }
+              .toDF("id", "vs")
+              .select(col("id") +: cols.indices.map(i =>
+                element_at(col("vs"), i + 1).as(cols(i))): _*)
+            log.upsert(df, Seq("id"), CommitLog.LastWins)
+            dedup.foreach { case (id, v) =>
+              rows += id -> cols.zipWithIndex
+                .map { case (c, i) => c -> Some(v + i) }.toMap
+            }
+          case Ren(ci, ti) =>
+            val to = names(ti) + "_r"
+            if (ci < cols.length && !cols.contains(to) && to != "id") {
+              val from = cols(ci)
+              log.renameColumn(from, to)
+              cols = cols.updated(ci, to)
+              rows = rows.view.mapValues(m =>
+                m - from + (to -> m(from))).toMap
+            }
+          case Drp(ci) =>
+            if (ci < cols.length && cols.length > 1) {
+              val c = cols(ci)
+              log.dropColumn(c)
+              cols = cols.patch(ci, Nil, 1)
+              rows = rows.view.mapValues(_ - c).toMap
+            }
+          case Add(ni) =>
+            val n = names(ni)
+            if (!cols.contains(n)) {
+              log.addColumns(org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("" + n,
+                  org.apache.spark.sql.types.LongType))))
+              cols = cols :+ n
+              rows = rows.view.mapValues(_ + (n -> None)).toMap
+            }
+          case Del(m, r) =>
+            log.delete(col("id") % m === r)
+            rows = rows.filter { case (id, _) => id % m != r }
+        }
+        agree()
+      }
+    }, minTests = 6)
+  }
 }
