@@ -573,10 +573,24 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * quietly degrade [[readPoint]] pruning on the rewritten files. */
   private def effectiveBloomCfg(): Option[(Seq[String], Int, Int)] =
     bloomCfg.orElse {
-      val bl = snapshot().blooms
+      val s = snapshot()
+      val bl = s.blooms
       if (bl.isEmpty) None
       else {
-        val cols = bl.values.flatMap(_.keys).toSeq.distinct.sorted
+        // filter keys are PHYSICAL names; express the derived config in
+        // LOGICAL names so [[bloomsForCfg]]'s logical→physical
+        // translation stays unambiguous — after a rename + re-add of
+        // the old name, a raw physical key would otherwise bind to the
+        // RE-ADDED column (whose logical name equals this physical)
+        // and the original column's index would silently stop being
+        // maintained on new files. A physical with no live logical
+        // (a dropped column) passes through and is filtered by the
+        // present-columns check.
+        val logByPhys: Map[String, String] = s.schema
+          .map(_.fields.map(f => lc(physName(f)) -> f.name).toMap)
+          .getOrElse(Map.empty)
+        val cols = bl.values.flatMap(_.keys).toSeq.distinct
+          .map(c => logByPhys.getOrElse(lc(c), c)).distinct.sorted
         val rep = bl.values.head.values.head
         Some((cols, rep.bits, rep.k))
       }

@@ -1677,6 +1677,18 @@ class CommitLogSpec extends SparkSpecBase {
     log.renameColumn("val", "value")                                // v3
     assert(log.read().as[(Long, String)].collect().toSet
       === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // a CONFIG-LESS instance keeps the bloom index alive across the
+    // renames: the derived config re-expresses the physical filter
+    // keys in CURRENT logical names, and the new file's filter lands
+    // back under the stable physical key
+    val log2 = CommitLog(spark, t)
+    log2.append(Seq((4L, "d")).toDF("id", "value"))                 // v4
+    val s2 = log2.snapshot()
+    assert(s2.files.forall(f => s2.blooms.get(f).exists(_.contains("v"))),
+      "every file (incl. the post-rename config-less append) must carry " +
+        "a bloom under the stable physical key")
+    assert(log2.readPoint("value", "d").as[(Long, String)].collect().toSet
+      === Set((4L, "d")))
     // renaming onto a live name refuses
     val e = intercept[IllegalArgumentException] {
       log.renameColumn("value", "id")
