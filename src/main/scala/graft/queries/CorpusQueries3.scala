@@ -1150,7 +1150,53 @@ object CorpusQueries3 {
       FROM sp GROUP BY split ORDER BY split"""
     })
 
+  /** C1/C4 EXACT-SUBSTRING dedup ([[graft.operators.ExactSubstr]],
+    * r11 — Lee et al. 2022's ExactSubstr as stride-1 windowed hashing):
+    * remove every token covered by a NON-FIRST occurrence of any
+    * duplicated 8-token window, at ANY offset — the cross-document
+    * repeated-passage remover [[graft.operators.BlockDedup]]'s aligned
+    * blocks cannot express. The oracle replays the whole pipeline —
+    * window hashes (md5 60-bit), global (doc, pos) winner election,
+    * span cover marks, ordered reconstruction — and the output carries
+    * both counts and the md5 of every cleaned text, so hash equality
+    * pins exactly WHICH tokens were cut corpus-wide. */
+  private val q164 = Q(
+    "q164_exact_substr_dedup",
+    (s, dir) =>
+      graft.operators.ExactSubstr.dropDuplicateSpans(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", windowTokens = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("text")).as("clean_fp"))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents),
+      wnd AS (SELECT doc_id, p AS pos,
+          ('0x' || substr(md5(lower(array_to_string(ws[p+1:p+8], ' '))),
+            1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 8 + 1)) AS p
+              FROM t WHERE len(ws) >= 8)),
+      rk AS (SELECT doc_id, pos, h,
+          ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM wnd),
+      marks AS (SELECT DISTINCT doc_id, tp FROM (
+        SELECT doc_id, unnest(range(pos, pos + 8)) AS tp
+        FROM rk WHERE rn > 1)),
+      toks AS (SELECT doc_id, tp - 1 AS tp, tok FROM (
+        SELECT doc_id, unnest(ws) AS tok,
+          generate_subscripts(ws, 1) AS tp FROM t)),
+      kept AS (SELECT k.doc_id, COUNT(*) AS nkept,
+          string_agg(k.tok, ' ' ORDER BY k.tp) AS clean
+        FROM toks k LEFT JOIN marks m
+          ON k.doc_id = m.doc_id AND k.tp = m.tp
+        WHERE m.doc_id IS NULL GROUP BY k.doc_id)
+      SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        CAST(len(t.ws) - COALESCE(kept.nkept, 0) AS BIGINT) AS n_removed,
+        md5(COALESCE(kept.clean, '')) AS clean_fp
+      FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q114, q115,
     q116, q117, q118, q119, q120, q123, q126, q129, q130, q140, q142, q146, q161,
+    q164,
     q151, q152)
 }

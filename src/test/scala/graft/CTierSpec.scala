@@ -495,4 +495,39 @@ class CTierSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"codebook must broadcast:\n$plan")
   }
+
+  test("ExactSubstr removes offset repeats BlockDedup's aligned blocks cannot") {
+    import graft.operators.ExactSubstr
+    // doc 2 repeats doc 1's 8-token run at OFFSET 1 — no aligned block
+    // matches, but the sliding window does; doc 3 is a full duplicate
+    // and must empty out entirely; doc 1 (first occurrence) survives
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "X a b c d e f g h Z"),
+      (3L, "a b c d e f g h i j"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val out = ExactSubstr.dropDuplicateSpans(docs, "doc_id", "text",
+        windowTokens = 8)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, "a b c d e f g h i j", 10L, 0L),
+      (2L, "X Z", 10L, 8L),
+      (3L, "", 10L, 10L),
+      (4L, "short doc", 2L, 0L)))
+    // determinism under repartitioning: winner election and marks are
+    // pure (hash, id, pos) arithmetic
+    val out2 = ExactSubstr.dropDuplicateSpans(docs.repartition(7),
+        "doc_id", "text", windowTokens = 8)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out2 === out)
+    // case-insensitive identity, case-preserving output
+    val cased = Seq(
+      (1L, "A B C D E F G H"),
+      (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val got = ExactSubstr.dropDuplicateSpans(cased, "doc_id", "text", 8)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "A B C D E F G H", 8L, 0L),
+      (2L, "", 8L, 8L)))
+  }
 }
