@@ -51,21 +51,26 @@ object ResampleSync {
       start: String, end: String, step: Column,
       interpolate: Boolean): Unit = {
     require(keys.nonEmpty, "ResampleSync needs >= 1 key column")
-    // the touched-key set is batch-bounded by definition of the feed
-    val touched = batch.select(keys.map(col): _*).distinct().collect()
+    // the touched-key set is batch-bounded and stays DISTRIBUTED — it
+    // drives a semi-join (base read) and a keyed merge-delete (grid
+    // swap), so a backfill batch touching millions of keys never
+    // funnels through the driver
+    val touched = batch.select(keys.map(col): _*).distinct()
+      .localCheckpoint() // three consumers below: one pass
     if (touched.isEmpty) return
-    val touchedCond = touched.map { r =>
-      keys.zipWithIndex.map { case (k, i) =>
-        col(k) <=> lit(r.get(i))
-      }.reduce(_ && _)
-    }.reduce(_ || _)
-    val obs = CommitLog(spark, baseRoot).read().filter(touchedCond)
+    val obs = CommitLog(spark, baseRoot).read()
+      .join(touched, keys, "left_semi")
     val grid =
       if (interpolate)
         AsOf.resampleInterpolate(obs, keys, tsCol, valCol, start, end, step)
       else AsOf.resampleFfill(obs, keys, tsCol, start, end, step)
     val gridLog = CommitLog(spark, gridRoot)
-    if (gridLog.snapshot().version >= 0) gridLog.delete(touchedCond)
+    if (gridLog.snapshot().version >= 0)
+      // one source row per key deletes every grid row of that key (a
+      // source row may match many target rows — ANSI MERGE only bounds
+      // matches per TARGET row); keys absent from the grid fall
+      // through as unmatched source rows, dropped (no insert clause)
+      gridLog.merge(touched, keys, Seq(CommitLog.WhenMatchedDelete()))
     if (!grid.isEmpty) gridLog.append(grid)
   }
 
