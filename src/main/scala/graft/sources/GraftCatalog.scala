@@ -154,11 +154,38 @@ final class GraftCatalog extends TableCatalog
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog tables are unpartitioned (bucket by merge.keys at the layout level instead)")
     if (fs.exists(metaPath(ident))) throw new TableAlreadyExistsException(ident)
-    val props = properties.asScala.toMap
+    val props0 = properties.asScala.toMap
       .filterNot { case (k, _) => k == TableCatalog.PROP_OWNER }
+    // PARTITIONED BY (col) is sugar for merge.partcol: ONE top-level
+    // identity transform maps onto the manifest-level partition-tag
+    // column (every write lands partition-tagged, merges/overwrites
+    // scope to touched partitions). Bucketing/functions stay refused —
+    // the layout unit here is the manifest tag, not a directory tree.
+    val partProp: Option[String] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
+        val names = t.references()(0).fieldNames()
+        require(names.length == 1,
+          s"$ident: PARTITIONED BY supports one TOP-LEVEL column, got " +
+            names.mkString("."))
+        val c = names.head
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"$ident: partition column '$c' is not in the table schema")
+        require(props0.get("merge.partcol").forall(_.trim.equalsIgnoreCase(c)),
+          s"$ident: PARTITIONED BY ($c) conflicts with merge.partcol=" +
+            props0.getOrElse("merge.partcol", ""))
+        require(props0.get("merge.log").forall(_ == "true"),
+          s"$ident: partitioned tables need merge.log=true (partition " +
+            "tags live in the commit-log manifests)")
+        Some(c)
+      case other => throw new UnsupportedOperationException(
+        s"$ident: only PARTITIONED BY (<one top-level column>) is " +
+          s"supported, got ${other.mkString(", ")} (bucket by merge.keys " +
+          "at the layout level instead)")
+    }
+    val props = partProp.fold(props0)(c =>
+      props0 + ("merge.partcol" -> c) + ("merge.log" -> "true"))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("schema", schema.json)
@@ -398,6 +425,14 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
   override def name(): String = ident
   override def schema(): StructType = schema0
   override def properties(): JMap[String, String] = props.asJava
+
+  /** Advertise the manifest-level partition column (DESCRIBE shows it;
+    * created via PARTITIONED BY or merge.partcol — same thing). */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    props.get("merge.partcol").map(_.trim).filter(_.nonEmpty)
+      .map(c => Array[org.apache.spark.sql.connector.expressions.Transform](
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)))
+      .getOrElse(Array.empty)
 
   // Native DSv2 writes (r10, replacing the V1Write bridge): BATCH_WRITE
   // + OVERWRITE_DYNAMIC unlock `.overwritePartitions()` / dynamic

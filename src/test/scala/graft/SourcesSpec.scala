@@ -669,4 +669,40 @@ class SourcesSpec extends SparkSpecBase {
       .as[(Long, Option[Double])].collect().toSet
       === Set((1L, Some(2.0)), (3L, None)))
   }
+
+  test("CREATE TABLE PARTITIONED BY maps onto the manifest partition tags") {
+    val wh = Files.createTempDirectory("graft-wh-pby").toString
+    spark.conf.set("spark.sql.catalog.gpby", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpby.warehouse", wh)
+    // SQL DDL form — partitioning is sugar for merge.partcol+merge.log
+    spark.sql("""CREATE TABLE gpby.t (id BIGINT, day STRING, x DOUBLE)
+      PARTITIONED BY (day)""")
+    val props = spark.sql("SHOW TBLPROPERTIES gpby.t")
+      .as[(String, String)].collect().toMap
+    assert(props.get("merge.partcol").contains("day"))
+    assert(props.get("merge.log").contains("true"))
+    spark.sql("INSERT INTO gpby.t VALUES (1, 'd1', 1.0), (2, 'd2', 2.0)")
+    val log = graft.sources.CommitLog(spark, s"$wh/t")
+    val s = log.snapshot()
+    assert(s.files.nonEmpty && s.files.forall(s.parts.contains),
+      "every file from a partitioned-by table must carry a manifest tag")
+    assert(log.readPartitions(Seq("d2")).as[(Long, String, Double)]
+      .collect().toSet === Set((2L, "d2", 2.0)))
+    // the writeTo(...).partitionedBy form + dynamic partition overwrite
+    Seq((1L, "d1", 1.0), (2L, "d2", 2.0)).toDF("id", "day", "x")
+      .writeTo("gpby.t2").partitionedBy($"day").create()
+    Seq((9L, "d2", 9.0)).toDF("id", "day", "x")
+      .writeTo("gpby.t2").overwritePartitions()
+    assert(spark.table("gpby.t2").as[(Long, String, Double)].collect().toSet
+      === Set((1L, "d1", 1.0), (9L, "d2", 9.0)))
+    // DESCRIBE advertises the partitioning
+    assert(spark.sql("DESCRIBE TABLE gpby.t2").collect()
+      .exists(_.toString.contains("day")))
+    // bucketing / multi-column stay refused loudly
+    val e = intercept[Exception] {
+      spark.sql("""CREATE TABLE gpby.t3 (id BIGINT, day STRING)
+        PARTITIONED BY (bucket(4, id))""")
+    }
+    assert(e.getMessage.nonEmpty)
+  }
 }
