@@ -125,8 +125,15 @@ object GraftLogSource {
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
     val log = CommitLog(spark, root)
-    val mappingIdentity =
-      log.snapshot().schema.forall(s => log.identityMapping(s))
+    // route on the PINNED snapshot's mapping, not the current one: a
+    // table whose mapping was since materialized back to identity can
+    // still be time-traveled to a mapped version (→ fallback), and a
+    // renamed table pinned at a pre-rename version is identity there
+    // (→ fast path)
+    val snap = version.map(log.snapshotAt)
+      .orElse(tsMillis.map(t => log.snapshotAt(log.versionAtTime(t))))
+      .getOrElse(log.snapshot())
+    val mappingIdentity = snap.schema.forall(s => log.identityMapping(s))
     if (mappingIdentity)
       new GraftLogScanBuilder(spark, root, version, tsMillis, options)
     else new GraftMappedV1ScanBuilder(root, version, tsMillis, schema0)

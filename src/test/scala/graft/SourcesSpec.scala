@@ -668,6 +668,11 @@ class SourcesSpec extends SparkSpecBase {
     assert(spark.table("grn.prices").select($"id", $"bonus")
       .as[(Long, Option[Double])].collect().toSet
       === Set((1L, Some(2.0)), (3L, None)))
+    // time travel to a MAPPED version of the now-identity table still
+    // routes through the fallback scan (the route decision follows the
+    // PINNED snapshot's mapping, not the current one)
+    assert(spark.sql("SELECT id FROM grn.prices VERSION AS OF 2")
+      .as[Long].collect().toSet === Set(1L, 2L, 3L))
   }
 
   test("CREATE TABLE PARTITIONED BY maps onto the manifest partition tags") {
