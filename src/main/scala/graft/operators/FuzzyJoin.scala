@@ -331,6 +331,54 @@ object FuzzyJoin {
       .filter(col("n_ids") > maxBucket)
   }
 
+  /** The (prefix-gram, length-window, side) buckets [[pairsQGram]]
+    * would drop at `maxBucket` — the two-table form's audit (same
+    * contract as [[overflowQGrams]]; side 0 = left register bins,
+    * side 1 = right PROBE bins, counted after the 3-window explode
+    * exactly as the join caps them; the SHORT bucket reports as
+    * __gk = Long.MinValue). */
+  def overflowQGramsTwoTable(left: DataFrame, right: DataFrame,
+      idCol: String, strCol: String, maxDist: Int, q: Int = 2,
+      maxBucket: Int = 4096): DataFrame = {
+    val prefixLen = maxDist * q + 1
+    val gramMin = q * (maxDist + 1)
+    val shortMax = gramMin - 1 + maxDist
+    val tagged = left
+      .select(lit(0).as("__side"), col(idCol).as("__id"), col(strCol).as("__s"))
+      .unionByName(right
+        .select(lit(1).as("__side"), col(idCol).as("__id"), col(strCol).as("__s")))
+    val base = tagged
+      .select(col("__side"), col("__id"), col("__s"),
+        length(col("__s")).as("__len"))
+      .filter(col("__id").isNotNull && col("__s").isNotNull)
+    val grams = base.filter(col("__len") >= gramMin)
+      .select(col("__side"), col("__id"), col("__len"),
+        explode(transform(sequence(lit(1), col("__len") - (q - 1)),
+          i => col("__s").substr(i, lit(q)))).as("__g"))
+      .select(col("__side"), col("__id"), col("__len"),
+        xxhash64(col("__g")).as("__gk"))
+      .distinct()
+    val freq = grams.groupBy(col("__gk")).agg(count(lit(1)).as("__f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__side"), col("__id")).orderBy(col("__f"), col("__gk"))
+    val entries = grams.join(freq, Seq("__gk"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= prefixLen)
+      .select(col("__side"), col("__gk"), col("__id"), col("__len"))
+      .unionByName(base.filter(col("__len") <= shortMax)
+        .select(col("__side"), lit(Long.MinValue).as("__gk"),
+          col("__id"), col("__len")))
+    val wOf = floor(col("__len") / lit(maxDist)).cast("long")
+    entries.filter(col("__side") === 0)
+      .select(col("__side"), col("__gk"), wOf.as("__w"))
+      .unionByName(entries.filter(col("__side") === 1)
+        .select(col("__side"), col("__gk"),
+          explode(array(wOf - 1, wOf, wOf + 1)).as("__w")))
+      .groupBy(col("__side"), col("__gk"), col("__w"))
+      .agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") > maxBucket)
+  }
+
   /** The variant buckets [[selfPairs]] would drop at `maxBucket`, for
     * audit (same role as [[NearDup.overflowBuckets]]). */
   def overflowVariants(df: DataFrame, idCol: String, strCol: String,

@@ -190,6 +190,16 @@ class CorpusOps2Spec extends SparkSpecBase {
       .filter($"d" <= 8).as[(Long, Long, Int)].collect().toSet
     assert(got === want)
     assert(got.nonEmpty)
+    // the cap's audit: empty at the default cap (nothing was dropped —
+    // which is WHY the equality above holds), and non-empty at a
+    // degenerate cap, reporting the per-side buckets the join would drop
+    assert(graft.operators.FuzzyJoin.overflowQGramsTwoTable(
+      left, right, "doc_id", "text", maxDist = 8).isEmpty)
+    val overflow = graft.operators.FuzzyJoin.overflowQGramsTwoTable(
+        left, right, "doc_id", "text", maxDist = 8, maxBucket = 1)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(overflow.nonEmpty && overflow.forall(_._4 > 1))
+    assert(overflow.map(_._1).toSet.subsetOf(Set(0, 1)))
   }
 
   test("entity resolution: fuzzy pairs + connected components pick canonical ids") {
