@@ -37,10 +37,68 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the V1Scan bridge — the feed is bounded by changed files, so scan
   * pushdown matters less than schema fidelity there. The streaming
   * twin is `graft-cdc` ([[graft.streaming.GraftCdcProvider]]). */
-final class GraftLogSource extends TableProvider with DataSourceRegister {
+final class GraftLogSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft-log"
 
   private def spark = SparkSession.active
+
+  /** STREAMING SINK: `df.writeStream.format("graft-log")` — the
+    * format-level twin of [[graft.streaming.StreamMergeSink]], closing
+    * the loop with the `graft-cdc` source (the log is now readable AND
+    * writable as a registered stream format). Options:
+    * `mergeKeys` (csv) selects keyed upsert semantics (`mergeMode` =
+    * last-wins | insert-if-absent, default last-wins); absent keys
+    * mean plain append. `partCol` routes through the partition-scoped
+    * paths; `orderCol` collapses in-batch duplicates last-wins before
+    * a keyed merge; `txnId` names the idempotent writer (default
+    * derived from the path). Exactly-once table contents over
+    * at-least-once replays: every micro-batch commits with
+    * txn = (txnId, batchId) and the log skips absorbed epochs. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    import org.apache.spark.sql.streaming.OutputMode
+    require(outputMode != OutputMode.Complete(),
+      "graft-log sink: Complete mode re-emits the whole result every " +
+        "trigger — use append/update with mergeKeys instead")
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-log sink: a table root path is required — .option(\"path\", ...)"))
+    val keys = parameters.get("mergeKeys").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val mode = parameters.getOrElse("mergeMode", "last-wins") match {
+      case "last-wins" => CommitLog.LastWins
+      case "insert-if-absent" => CommitLog.InsertIfAbsent
+      case other => throw new IllegalArgumentException(
+        s"graft-log sink: unknown mergeMode '$other' " +
+          "(last-wins | insert-if-absent)")
+    }
+    val partCol = parameters.get("partCol").map(_.trim).filter(_.nonEmpty)
+    val orderCol = parameters.get("orderCol").map(_.trim).filter(_.nonEmpty)
+    val txnId = parameters.getOrElse("txnId", s"graft-log-sink:$root")
+    require(keys.nonEmpty || orderCol.isEmpty,
+      "graft-log sink: orderCol without mergeKeys has nothing to dedup by")
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def name(): String = s"graft-log-sink:$root"
+      override def addBatch(batchId: Long,
+          data: org.apache.spark.sql.DataFrame): Unit = {
+        // re-materialize as a BATCH frame (ForeachBatchSink's move) so
+        // the merge can run its multi-action plan against it
+        val batch = org.apache.spark.sql.graft.Bridge.asBatch(data)
+        val unique = orderCol.fold(batch)(oc =>
+          graft.operators.Dedup.lastWins(batch, keys, Seq(oc)))
+        val log = CommitLog(batch.sparkSession, root)
+        val txn = Some(txnId -> batchId)
+        if (keys.isEmpty)
+          partCol.fold(log.append(batch, txn): Unit)(pc =>
+            log.appendPartitioned(batch, pc, txn))
+        else
+          partCol.fold(log.upsert(unique, keys, mode, txn): Unit)(pc =>
+            log.upsertPartitioned(unique, keys, mode, pc, txn))
+      }
+    }
+  }
 
   private def rootOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
@@ -48,7 +106,12 @@ final class GraftLogSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = rootOf(options)
-    require(CommitLog.exists(spark, root), s"graft-log: no commit log at $root")
+    // a MISSING log returns an empty schema instead of throwing:
+    // DataStreamWriter resolves the TableProvider (and calls this)
+    // BEFORE falling back to the streaming sink, and a sink target
+    // legitimately does not exist yet. Reads stay loud — the scan
+    // builder re-checks and refuses a missing root at planning time.
+    if (!CommitLog.exists(spark, root)) return new StructType()
     val log = CommitLog(spark, root)
     if (options.getBoolean("readChangeFeed", false))
       // latest schema + the feed columns; readChanges conforms every
@@ -190,7 +253,9 @@ private[sources] final class GraftLogTable(root: String, schema0: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(CommitLog.exists(SparkSession.active, root),
+      s"graft-log: no commit log at $root")
     if (options.getBoolean("readChangeFeed", false)) {
       val from = Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
       val to = Option(options.get("endingVersion")).map(_.toLong).getOrElse(Long.MaxValue)
@@ -199,6 +264,7 @@ private[sources] final class GraftLogTable(root: String, schema0: StructType)
       val (v, ts) = GraftLogSource.timeTravelOf(options)
       GraftLogSource.snapshotScanBuilder(root, v, ts, schema0, options)
     }
+  }
 }
 
 /** The change feed as a batch scan: [[CommitLog.readChanges]] through

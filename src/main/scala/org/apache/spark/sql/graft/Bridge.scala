@@ -30,6 +30,17 @@ object Bridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse of [[asStreamingBatch]]: materialize a V1 streaming
+    * Sink's per-trigger DataFrame as an ordinary BATCH frame over its
+    * physical RDD — Spark's own ForeachBatchSink does exactly this, so
+    * sink logic can run arbitrary multi-action plans (joins, merges)
+    * against the batch without re-triggering the incremental plan. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Idempotently add a planner strategy to the session. */
   def registerStrategy(spark: SparkSession,
       strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {

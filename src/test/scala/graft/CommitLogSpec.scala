@@ -6,7 +6,7 @@ import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.sources.{CommitLog, GraftMergeTable}
+import graft.sources.{CommitLog, GraftLogSource, GraftMergeTable}
 import graft.streaming.StreamMergeSink
 
 /** CommitLog: versioned manifests, optimistic multi-writer commits,
@@ -262,6 +262,50 @@ class CommitLogSpec extends SparkSpecBase {
       val txns = CommitLog(spark, t).snapshot().txns
       assert(txns.get("sms-test").exists(_ >= 1L))
     } finally q.stop()
+  }
+
+  test("graft-log streaming sink: writeStream.format merges with exactly-once replays") {
+    val t = tmpTable("clog-fmt-sink")
+    val ck = Files.createTempDirectory("clog-fmt-ck").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    def start() = mem.toDF().toDF("id", "v", "seq").writeStream
+      .format("graft-log")
+      .option("path", t)
+      .option("checkpointLocation", ck)
+      .option("mergeKeys", "id")
+      .option("mergeMode", "last-wins")
+      .option("orderCol", "seq")
+      .option("txnId", "fmt-sink-test")
+      .outputMode("update")
+      .start()
+    val q = start()
+    try {
+      mem.addData((1L, "a", 1L), (2L, "b", 1L), (2L, "b2", 2L))
+      q.processAllAvailable()
+      mem.addData((2L, "B3", 3L), (3L, "c", 1L))
+      q.processAllAvailable()
+      assert(CommitLog(spark, t).read().select($"id", $"v")
+        .as[(Long, String)].collect().toSet
+        === Set((1L, "a"), (2L, "B3"), (3L, "c")))
+    } finally q.stop()
+    // exactly-once over replays: the txn epoch makes a re-applied
+    // batch a no-op (drive addBatch directly with an absorbed epoch)
+    val vBefore = CommitLog(spark, t).snapshot().version
+    val sink = new GraftLogSource().createSink(spark.sqlContext,
+      Map("path" -> t, "mergeKeys" -> "id", "txnId" -> "fmt-sink-test"),
+      Nil, org.apache.spark.sql.streaming.OutputMode.Update())
+    sink.addBatch(0L, Seq((9L, "dup", 9L)).toDF("id", "v", "seq"))
+    assert(CommitLog(spark, t).snapshot().version === vBefore,
+      "an absorbed (txnId, batchId) epoch must be skipped, not re-merged")
+    // plain append mode (no mergeKeys) also lands
+    val t2 = tmpTable("clog-fmt-append")
+    val sink2 = new GraftLogSource().createSink(spark.sqlContext,
+      Map("path" -> t2), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink2.addBatch(0L, Seq((1L, "x")).toDF("id", "v"))
+    sink2.addBatch(1L, Seq((1L, "x")).toDF("id", "v"))
+    assert(CommitLog(spark, t2).read().count() === 2L)
   }
 
   test("StreamMergeSink partitioned: a batch rewrites only its day's files") {
