@@ -101,10 +101,13 @@ object ResampleSync {
   def start(spark: SparkSession, baseRoot: String, gridRoot: String,
       checkpointDir: String, keys: Seq[String], tsCol: String,
       valCol: String, startTs: String, endTs: String, step: Column,
-      interpolate: Boolean, startingVersion: Long = -1L): StreamingQuery = {
-    val stream = spark.readStream.format("graft-cdc")
+      interpolate: Boolean, startingVersion: Long = -1L,
+      maxVersionsPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.format("graft-cdc")
       .option("path", baseRoot)
       .option("startingVersion", startingVersion.toString)
+    val stream = maxVersionsPerTrigger
+      .fold(reader)(n => reader.option("maxVersionsPerTrigger", n.toString))
       .load()
     stream.writeStream
       .outputMode("append")
