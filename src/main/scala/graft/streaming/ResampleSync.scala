@@ -69,7 +69,11 @@ object ResampleSync {
       // one source row per key deletes every grid row of that key (a
       // source row may match many target rows — ANSI MERGE only bounds
       // matches per TARGET row); keys absent from the grid fall
-      // through as unmatched source rows, dropped (no insert clause)
+      // through as unmatched source rows, dropped (no insert clause).
+      // (A single keyed update-or-insert merge replacing this pair was
+      // A/B-pinned SLOWER — its dup-check/envelope/full-outer
+      // machinery over (keys, grid_ts) costs more than the simple
+      // delete-merge + append it would save — r11.)
       gridLog.merge(touched, keys, Seq(CommitLog.WhenMatchedDelete()))
     if (!grid.isEmpty) gridLog.append(grid)
   }
