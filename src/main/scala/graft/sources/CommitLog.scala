@@ -1407,9 +1407,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       if (replayOf(s, txn)) return s.version
       requireTagState(s, partCol, "merge")
       val sch0 = s.schema.getOrElse(source.schema)
-      // inserts may evolve the schema, exactly like upsert
+      // inserts may evolve the schema, exactly like upsert; the evolved
+      // fields need fresh physical names too — without assignPhys a
+      // source column whose name matches a RETIRED physical name would
+      // commit with the identity physical name and silently resurrect
+      // the dropped column's bytes from pre-drop files (or collide with
+      // a live renamed column's physical name and break reads)
       val sch =
-        if (insertClauses.nonEmpty) mergedSchema(s.schema, source.schema)
+        if (insertClauses.nonEmpty)
+          assignPhys(mergedSchema(s.schema, source.schema),
+            s.schema, s.physRetired)
         else s.schema.getOrElse(throw new IllegalStateException(
           s"$tableRoot: merge without an insert clause needs an existing table"))
       matchedClauses.foreach {
@@ -2563,6 +2570,14 @@ object CommitLog {
     * [[CommitLog.renameColumn]]/[[CommitLog.dropColumn]]. Absent means
     * physical == logical. */
   val PhysKey: String = "graft.phys"
+
+  /** The physical (in-file) name of a logical field — its [[PhysKey]]
+    * metadata when the column has been renamed/re-added, else its own
+    * name. Public so the catalog's V2 scan/write paths and specs can
+    * translate logical↔physical without re-deriving the convention. */
+  def physNameOf(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+    else f.name
 
   sealed trait MergeMode
   case object InsertIfAbsent extends MergeMode

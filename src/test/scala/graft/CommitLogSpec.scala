@@ -1800,6 +1800,46 @@ class CommitLogSpec extends SparkSpecBase {
     assert(e.getMessage.contains("last column"))
   }
 
+  test("drop then MERGE-insert re-add: evolved column gets a fresh physical name") {
+    // the r12 fix: merge()'s evolved schema must go through assignPhys
+    // like append/upsert — otherwise a merge-insert whose source
+    // carries a column named like a RETIRED physical name commits it
+    // with the identity physical name and pre-drop files silently
+    // resurrect the dropped column's bytes
+    val t = tmpTable("clog-merge-readd")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "secret")).toDF("id", "v"))                 // v0
+    log.dropColumn("v")                                             // v1
+    // merge with an insert clause whose source re-introduces "v"
+    log.merge(
+      Seq((2L, "new")).toDF("id", "v"), Seq("id"),
+      Seq(CommitLog.WhenNotMatchedInsert()))                        // v2
+    val got = log.read().as[(Long, Option[String])].collect().toSet
+    assert(got === Set((1L, None), (2L, Some("new"))),
+      "merge-insert re-add must NOT resurrect dropped data from pre-drop files")
+    // the committed mapping must give the re-added column a suffixed
+    // physical name (the retired identity name stays taken)
+    val s = log.snapshot()
+    val f = s.schema.get.fields.find(_.name == "v").get
+    assert(CommitLog.physNameOf(f) !== "v",
+      s"re-added 'v' must carry a non-identity physical name, got ${CommitLog.physNameOf(f)}")
+    // and a rename + merge-insert of a column colliding with the LIVE
+    // physical name must not produce duplicate physical fields
+    val t2 = tmpTable("clog-merge-renclash")
+    val log2 = CommitLog(spark, t2)
+    log2.append(Seq((1L, 10.0)).toDF("id", "x"))                    // v0
+    log2.renameColumn("x", "price")                                 // v1 (phys stays "x")
+    log2.merge(
+      Seq((2L, 20.0, 7L)).toDF("id", "price", "x"), Seq("id"),
+      Seq(CommitLog.WhenNotMatchedInsert()))                        // v2: evolves "x"
+    val phys = log2.snapshot().schema.get.fields.map(CommitLog.physNameOf)
+    assert(phys.distinct.length === phys.length,
+      s"physical names must stay unique, got ${phys.mkString(", ")}")
+    assert(log2.read().select("id", "price", "x")
+      .as[(Long, Double, Option[Long])].collect().toSet
+      === Set((1L, 10.0, None), (2L, 20.0, Some(7L))))
+  }
+
   test("rename on a partition-tagged table: scoped merges keep working") {
     val t = tmpTable("clog-rename-part")
     val log = CommitLog(spark, t)

@@ -431,14 +431,17 @@ class PropertySpec extends SparkSpecBase {
     import graft.sources.CommitLog
     sealed trait Op
     case class Ups(rows: List[(Long, Long)]) extends Op
+    case class Mrg(rows: List[(Long, Long)]) extends Op
     case class Ren(col: Int, to: Int) extends Op
     case class Drp(col: Int) extends Op
     case class Add(name: Int) extends Op
     case class Del(mod: Long, rem: Long) extends Op
     val names = Vector("a", "b", "c", "d", "e")
     val opGen: Gen[Op] = Gen.frequency(
-      4 -> Gen.listOfN(4, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 99L)))
+      3 -> Gen.listOfN(4, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 99L)))
         .map(Ups(_)),
+      2 -> Gen.listOfN(4, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 99L)))
+        .map(Mrg(_)),
       2 -> Gen.zip(Gen.chooseNum(0, 4), Gen.chooseNum(0, 4))
         .map { case (c, t) => Ren(c, t) },
       2 -> Gen.chooseNum(0, 4).map(Drp(_)),
@@ -481,6 +484,24 @@ class PropertySpec extends SparkSpecBase {
               .select(col("id") +: cols.indices.map(i =>
                 element_at(col("vs"), i + 1).as(cols(i))): _*)
             log.upsert(df, Seq("id"), CommitLog.LastWins)
+            dedup.foreach { case (id, v) =>
+              rows += id -> cols.zipWithIndex
+                .map { case (c, i) => c -> Some(v + i) }.toMap
+            }
+          case Mrg(rs) =>
+            // same effect as LastWins upsert, but via the ANSI MERGE
+            // path — exercises merge()'s evolved-schema assignPhys
+            // (drop → merge-insert re-add must not resurrect)
+            val dedup = rs.toMap.toList
+            val df = dedup.map { case (id, v) =>
+              (id, cols.indices.map(i => v + i)) }
+              .toDF("id", "vs")
+              .select(col("id") +: cols.indices.map(i =>
+                element_at(col("vs"), i + 1).as(cols(i))): _*)
+            log.merge(df, Seq("id"), Seq(
+              CommitLog.WhenMatchedUpdate(
+                cols.map(c => c -> col(s"s.$c")).toMap),
+              CommitLog.WhenNotMatchedInsert()))
             dedup.foreach { case (id, v) =>
               rows += id -> cols.zipWithIndex
                 .map { case (c, i) => c -> Some(v + i) }.toMap
