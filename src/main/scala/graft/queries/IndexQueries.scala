@@ -983,6 +983,84 @@ object IndexQueries {
       FROM (SELECT * FROM agg_cur UNION ALL SELECT * FROM agg_v0)
       ORDER BY phase, o_orderstatus"""))
 
+  /** B2 SQL ROW-LEVEL DML ON A COLUMN-MAPPED TABLE (r12 — composing
+    * q154's UPDATE/MERGE surface with q162's rename): `RENAME COLUMN`,
+    * then `UPDATE` and `MERGE INTO` directly against the MAPPED table
+    * — no `materialize_mapping` prerequisite. The row-level scan
+    * aliases the stable physical names back to the logical view, the
+    * replacement content re-lands through the mapping write path, and
+    * the `hi` phase aggregates through a PUSHED predicate on the
+    * renamed column (the r12 mapping-aware V2 scan translates it to
+    * the physical name at the parquet boundary — scan-level pushdown
+    * survives the rename). Hash equality vs the DuckDB reconstruction
+    * pins UPDATE-under-mapping, MERGE-under-mapping (matched update +
+    * not-matched insert), and pushdown-under-mapping at once. */
+  private val q165 = Q(
+    "q165_sql_dml_mapped",
+    (s, dir) => {
+      val cat = "g165_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "dml-mapped-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true").create() // v0
+      s.sql(s"ALTER TABLE $cat.t RENAME COLUMN price TO amount")        // v1
+      s.sql(s"""UPDATE $cat.t SET amount = CAST(amount * 2 AS DECIMAL(18,2))
+        WHERE o_orderstatus = 'F' AND o_orderkey % 4 = 0""")            // v2
+      o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_orderkey") % 50).cast("decimal(18,2)").as("amount"))
+        .createOrReplaceTempView("q165_src")
+      s.sql(s"""MERGE INTO $cat.t t USING q165_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET amount = s.amount
+        WHEN NOT MATCHED THEN INSERT *""")                              // v3
+      def phase(df: DataFrame, name: String): DataFrame =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("amount")).cast("double").as("amount_sum"))
+          .withColumn("phase", lit(name))
+      phase(s.table(s"$cat.t"), "all")
+        .unionByName(phase(
+          s.table(s"$cat.t").filter(col("amount") > 500), "hi"))
+        .orderBy(col("phase"), col("o_orderstatus"))
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+        FROM orders WHERE o_orderkey % 2 = 0),
+      upd AS (
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderstatus = 'F' AND o_orderkey % 4 = 0
+               THEN CAST(amount * 2 AS DECIMAL(18,2)) ELSE amount
+          END AS amount
+        FROM base),
+      src AS (
+        SELECT o_orderkey, o_orderstatus,
+          CAST(o_orderkey % 50 AS DECIMAL(18,2)) AS amount
+        FROM orders WHERE o_orderkey % 3 = 0),
+      merged AS (
+        SELECT u.o_orderkey, u.o_orderstatus,
+          COALESCE(s.amount, u.amount) AS amount
+        FROM upd u LEFT JOIN src s ON u.o_orderkey = s.o_orderkey
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, amount FROM src
+        WHERE o_orderkey % 2 = 1),
+      ph_all AS (
+        SELECT 'all' AS phase, o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(amount) AS DOUBLE) AS amount_sum
+        FROM merged GROUP BY o_orderstatus),
+      ph_hi AS (
+        SELECT 'hi' AS phase, o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(amount) AS DOUBLE) AS amount_sum
+        FROM merged WHERE amount > 500 GROUP BY o_orderstatus)
+      SELECT phase, o_orderstatus, n, amount_sum
+      FROM (SELECT * FROM ph_all UNION ALL SELECT * FROM ph_hi)
+      ORDER BY phase, o_orderstatus"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
-    q148, q149, q150, q154, q155, q156, q157, q159, q160, q162)
+    q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165)
 }

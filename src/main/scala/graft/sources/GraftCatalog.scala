@@ -462,7 +462,8 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
     require(optVersion.isEmpty || optTs.isEmpty,
       s"$ident: versionAsOf and timestampAsOf are mutually exclusive")
     if (CommitLog.exists(spark, path))
-      // renamed (column-mapped) tables route to the V1 fallback scan
+      // column-mapped (renamed) tables included — the builder
+      // translates logical ↔ physical names at the scan boundary
       GraftLogSource.snapshotScanBuilder(path, optVersion, optTs,
         schema0, options)
     else {
@@ -660,14 +661,21 @@ private[sources] final class GraftLogScanBuilder(
     // callback reports (snapshot version, files actually scanned) so
     // the write retires exactly those files.
     groupGranularity: Boolean = false,
-    onScan: (Long, Seq[String]) => Unit = (_, _) => ())
+    onScan: (Long, Seq[String]) => Unit = (_, _) => (),
+    // The RELATION schema the scan's output resolves against (the
+    // catalog/table-provider schema — may be a different version's
+    // logical view than the pinned snapshot under option-based time
+    // travel). Carries the column mapping in its PhysKey metadata.
+    // null/empty → the snapshot's own schema.
+    relationSchema: StructType = null)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
-  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
   import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
   import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
   import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+  import org.apache.spark.sql.types.StructField
 
   private val log = CommitLog(spark, tableRoot)
   private val snap = version match {
@@ -682,16 +690,42 @@ private[sources] final class GraftLogScanBuilder(
   }
   private val snapSchema: StructType =
     snap.schema.getOrElse(new StructType())
-  // the inner V2 parquet builder resolves columns BY NAME — a renamed
-  // (column-mapped) snapshot must route to GraftMappedV1ScanBuilder
-  // (GraftLogSource.snapshotScanBuilder does); this backstops any
-  // direct construction. Row-level mode (groupGranularity) is exempt:
-  // Spark builds that scan at ANALYSIS time for every DELETE as well,
-  // and the write-side gate (buildWrite) refuses before any mapped
-  // data could be misread.
-  require(groupGranularity || log.identityMapping(snapSchema),
-    s"$tableRoot: V2 snapshot scan on a column-mapped (renamed) table — " +
-      "route through GraftLogSource.snapshotScanBuilder")
+
+  // ── column mapping at the scan boundary (r12) ───────────────────────
+  // The inner V2 parquet builder resolves columns BY NAME, and a
+  // renamed table's files carry the stable PHYSICAL names — so every
+  // name crossing into the inner builder (pruned columns, pushed
+  // predicates, the parquet table schema) is translated logical →
+  // physical per the RELATION schema's mapping, and the built scan's
+  // readSchema is translated back so V2 pushdown re-resolves it
+  // against the relation's logical output. Identity-mapped tables
+  // (every table that never saw a RENAME) skip all of it — byte-for-
+  // byte the pre-r12 plan. A pinned version surfaces under the
+  // relation's logical names by stable-physical-name match; a physical
+  // column the pinned files lack reads null (additive-evolution
+  // semantics, the same contract the retired V1 fallback gave).
+  private def lcn(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+  private val logicalSchema: StructType =
+    Option(relationSchema).filter(_.nonEmpty).getOrElse(snapSchema)
+  private val mapped: Boolean =
+    logicalSchema.fields.exists(f => CommitLog.physNameOf(f) != f.name)
+  // logical → physical (and back) under the RELATION's mapping;
+  // physical names are unique by the commit log's assignPhys invariant
+  private val l2p: Map[String, String] =
+    logicalSchema.fields.map(f => lcn(f.name) -> CommitLog.physNameOf(f)).toMap
+  private val p2l: Map[String, String] =
+    logicalSchema.fields.map(f => lcn(CommitLog.physNameOf(f)) -> f.name).toMap
+  private def toPhysSchema(sch: StructType): StructType =
+    StructType(sch.fields.map(f => StructField(
+      l2p.getOrElse(lcn(f.name), f.name), f.dataType, f.nullable)))
+  private def toPhysExpr(e: Expression): Expression = e.transform {
+    case a: AttributeReference if l2p.get(lcn(a.name)).exists(_ != a.name) =>
+      a.withName(l2p(lcn(a.name)))
+  }
+  private def toLogicalExpr(e: Expression): Expression = e.transform {
+    case a: AttributeReference if p2l.get(lcn(a.name)).exists(_ != a.name) =>
+      a.withName(p2l(lcn(a.name)))
+  }
 
   /** The version this scan reads — the row-level write path pins its
     * conflict check to it. */
@@ -699,7 +733,8 @@ private[sources] final class GraftLogScanBuilder(
 
   private def makeInner(files: Seq[String]): FileScanBuilder =
     ParquetTable(s"graft-log $tableRoot", spark, options,
-        files.map(f => s"$tableRoot/$f").toList, Some(snapSchema),
+        files.map(f => s"$tableRoot/$f").toList,
+        Some(if (mapped) toPhysSchema(logicalSchema) else snapSchema),
         classOf[ParquetFileFormat])
       .newScanBuilder(options).asInstanceOf[FileScanBuilder]
 
@@ -716,13 +751,26 @@ private[sources] final class GraftLogScanBuilder(
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     // manifest-level FILE skipping happens here, before the parquet
-    // builder (and its file index) is even constructed
+    // builder (and its file index) is even constructed. The predicates
+    // stay LOGICAL: candidateFilesForExprs translates names at its own
+    // stats/bloom lookups (physOf), conservative when a pinned
+    // version's logical view differs from the relation's.
     selectedFiles = log.candidateFilesForExprs(snap, filters)
     val b = makeInner(selectedFiles)
     innerOpt = Some(b)
-    prunedSchema.foreach(b.pruneColumns)
+    prunedSchema.foreach(s =>
+      b.pruneColumns(if (mapped) toPhysSchema(s) else s))
     if (groupGranularity) filters // file-only elimination; rows untouched
-    else b.pushFilters(filters)
+    else if (!mapped) b.pushFilters(filters)
+    else {
+      // push PHYSICAL-named predicates; hand Spark back the LOGICAL
+      // originals for whatever must still evaluate above the scan
+      val phys = filters.map(toPhysExpr)
+      val back = new java.util.IdentityHashMap[Expression, Expression]()
+      phys.zip(filters).foreach { case (p, o) => back.put(p, o) }
+      b.pushFilters(phys).map(p =>
+        Option(back.get(p)).getOrElse(toLogicalExpr(p)))
+    }
   }
 
   override def pushedFilters()
@@ -731,12 +779,59 @@ private[sources] final class GraftLogScanBuilder(
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     prunedSchema = Some(requiredSchema)
-    inner.pruneColumns(requiredSchema)
+    inner.pruneColumns(if (mapped) toPhysSchema(requiredSchema) else requiredSchema)
   }
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     onScan(snap.version, selectedFiles)
-    inner.build()
+    val s = inner.build()
+    if (!mapped) s
+    else GraftLogScanBuilder.MappedScan(s, StructType(
+      s.readSchema().fields.map(f => f.copy(
+        name = p2l.getOrElse(lcn(f.name), f.name)))))
+  }
+}
+
+private[sources] object GraftLogScanBuilder {
+  /** The built scan of a column-mapped table: delegates everything to
+    * the inner vectorized parquet scan (which reads and reports
+    * PHYSICAL column names) while advertising the LOGICAL names in
+    * `readSchema` — V2 pushdown re-resolves scan output against the
+    * relation by name, and execution is positional, so the rename at
+    * this boundary is the whole mapping. A case class so scan/exchange
+    * reuse keeps working (equality delegates to the inner FileScan's
+    * own equals). */
+  private[sources] final case class MappedScan(
+      inner: org.apache.spark.sql.connector.read.Scan, out: StructType)
+      extends org.apache.spark.sql.connector.read.Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics
+      with org.apache.spark.sql.internal.connector.SupportsMetadata {
+    override def readSchema(): StructType = out
+    override def description(): String = s"graft-mapped ${inner.description()}"
+    override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+    override def columnarSupportMode()
+        : org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
+      inner.columnarSupportMode()
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      inner.supportedCustomMetrics()
+    override def reportDriverMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      inner.reportDriverMetrics()
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+      inner match {
+        case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+          s.estimateStatistics()
+        case _ => new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes() = java.util.OptionalLong.empty()
+          override def numRows() = java.util.OptionalLong.empty()
+        }
+      }
+    override def getMetaData(): Map[String, String] = inner match {
+      case s: org.apache.spark.sql.internal.connector.SupportsMetadata =>
+        s.getMetaData()
+      case _ => Map.empty
+    }
   }
 }
 
@@ -800,21 +895,14 @@ private[sources] final class GraftRowLevelOperation(ident: String,
     new WriteBuilder { override def build(): Write = buildWrite(info) }
 
   private def buildWrite(info: LogicalWriteInfo): Write = {
-    // a GENUINE row-level rewrite (the gate cannot live at builder
-    // creation: Spark's analyzer builds the row-level plan for every
-    // DELETE too, and the metadata-only optimization converts eligible
-    // ones back to the filter path — which fully supports the column
-    // mapping via CommitLog.delete): the V2 row-level scan/write pair
-    // resolves columns by LOGICAL name and cannot express a renamed
-    // table's physical aliasing, so refuse loudly here, pointing at
-    // the library surface that can.
-    locally {
-      val log = CommitLog(SparkSession.active, path)
-      require(log.snapshot().schema.forall(s => log.identityMapping(s)),
-        s"$ident: SQL UPDATE/MERGE on a table with renamed columns is not " +
-          "supported yet — use the library surface (CommitLog.update/merge), " +
-          "which applies the column mapping")
-    }
+    // Column-mapped (renamed) tables are first-class since r12: the
+    // row-level SCAN translates physical → logical at its boundary
+    // (GraftLogScanBuilder's mapped mode), the replacement content is
+    // computed and staged under LOGICAL names, and commitStagedReplace
+    // re-lands a mapped table's staged batch through the library write
+    // path (writeData → toPhys), so the files that land carry the
+    // stable physical names. The r11 refusal that pointed mapped
+    // tables at CommitLog.update/merge is gone.
     val spark = SparkSession.active
     val staging = s"$path/.rowlevel-${java.util.UUID.randomUUID()}"
     val inner = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(

@@ -172,78 +172,25 @@ object GraftLogSource {
   }
 
   /** The snapshot scan for a commit-log table, shared by the path
-    * source and the catalog: identity-mapped tables (every table that
-    * never saw a RENAME COLUMN) take [[GraftLogScanBuilder]] — Spark's
+    * source and the catalog — always [[GraftLogScanBuilder]] (Spark's
     * vectorized parquet scan with manifest file skipping and full
-    * pushdown; renamed tables take the V1 fallback
-    * ([[GraftMappedV1ScanBuilder]]), whose physical→logical aliasing
-    * the V2 parquet builder cannot express (V2 pushdown re-resolves
-    * the scan's output columns BY NAME against the relation, so a scan
-    * reading physical names breaks resolution). The fallback is exact;
-    * it trades scan-level pushdown — Catalyst still filters/prunes
-    * above the scan. */
+    * pushdown). Renamed (column-mapped) tables ride the same builder
+    * since r12: it translates the relation's LOGICAL column names to
+    * the stable PHYSICAL in-file names at its pushdown boundaries
+    * (pruned columns + pushed predicates in, `readSchema` out), so the
+    * mapping costs nothing at scan time — the r11 V1 fallback that
+    * gave up scan-level pushdown after a rename is retired. `schema0`
+    * is the RELATION schema the scan's output must resolve against
+    * (its `PhysKey` metadata carries the mapping; a pinned version
+    * surfaces under these names by stable-physical-name match, columns
+    * the pinned files lack reading null, exactly like additive
+    * evolution). */
   private[sources] def snapshotScanBuilder(root: String,
       version: Option[Long], tsMillis: Option[Long],
       schema0: StructType,
-      options: CaseInsensitiveStringMap): ScanBuilder = {
-    val spark = SparkSession.active
-    val log = CommitLog(spark, root)
-    // route on the PINNED snapshot's mapping, not the current one: a
-    // table whose mapping was since materialized back to identity can
-    // still be time-traveled to a mapped version (→ fallback), and a
-    // renamed table pinned at a pre-rename version is identity there
-    // (→ fast path)
-    val snap = version.map(log.snapshotAt)
-      .orElse(tsMillis.map(t => log.snapshotAt(log.versionAtTime(t))))
-      .getOrElse(log.snapshot())
-    val mappingIdentity = snap.schema.forall(s => log.identityMapping(s))
-    if (mappingIdentity)
-      new GraftLogScanBuilder(spark, root, version, tsMillis, options)
-    else new GraftMappedV1ScanBuilder(root, version, tsMillis, schema0)
-  }
-}
-
-/** Snapshot scan for a RENAMED (column-mapped) commit-log table via the
-  * V1Scan bridge: [[CommitLog.read]]/[[CommitLog.readVersion]] already
-  * produce the logical view (physical→logical aliasing inside
-  * [[CommitLog]]'s readFiles chokepoint); time-travel versions are
-  * surfaced under the CURRENT logical names by matching stable
-  * physical names, so `VERSION AS OF` output always fits the table's
-  * declared schema (a column the pinned version did not have reads
-  * null, exactly like additive evolution). */
-private[sources] final class GraftMappedV1ScanBuilder(root: String,
-    version: Option[Long], tsMillis: Option[Long], schema0: StructType)
-    extends ScanBuilder {
-  override def build(): Scan = new V1Scan {
-    override def readSchema(): StructType = schema0
-    override def toV1TableScan[T <: BaseRelation with TableScan](
-        context: SQLContext): T =
-      new BaseRelation with TableScan {
-        override def sqlContext: SQLContext = context
-        override def schema: StructType = schema0
-        override def buildScan(): RDD[Row] = {
-          val log = CommitLog(context.sparkSession, root)
-          val pinned = version.orElse(tsMillis.map(log.versionAtTime))
-          val (df, verSchema) = pinned match {
-            case Some(v) =>
-              (log.readVersion(v),
-                log.snapshotAt(v).schema.getOrElse(new StructType()))
-            case None =>
-              (log.read(), log.snapshot().schema.getOrElse(new StructType()))
-          }
-          def phys(f: org.apache.spark.sql.types.StructField): String =
-            if (f.metadata.contains(CommitLog.PhysKey))
-              f.metadata.getString(CommitLog.PhysKey)
-            else f.name
-          def lcs(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-          val byPhys = verSchema.fields.map(f => lcs(phys(f)) -> f.name).toMap
-          df.select(schema0.map(f => byPhys.get(lcs(phys(f))) match {
-            case Some(n) => col(s"`$n`").cast(f.dataType).as(f.name)
-            case None => lit(null).cast(f.dataType).as(f.name)
-          }): _*).rdd
-        }
-      }.asInstanceOf[T]
-  }
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLogScanBuilder(SparkSession.active, root, version, tsMillis,
+      options, relationSchema = schema0)
 }
 
 private[sources] final class GraftLogTable(root: String, schema0: StructType)

@@ -621,13 +621,24 @@ class SourcesSpec extends SparkSpecBase {
       .tableProperty("merge.log", "true")
       .create()                                                     // v0
     spark.sql("ALTER TABLE grn.prices RENAME COLUMN price TO amount") // v1
-    // old files (never rewritten) read under the new name — the scan
-    // routes through the V1 column-mapping fallback
+    // old files (never rewritten) read under the new name — the V2
+    // scan translates logical → physical at the scan boundary (r12)
     assert(spark.table("grn.prices").columns.toSeq === Seq("id", "amount"))
     assert(spark.table("grn.prices").as[(Long, Double)].collect().toSet
       === Set((1L, 10.0), (2L, 20.0)))
     assert(spark.sql("SELECT sum(amount) FROM grn.prices")
       .as[Double].head() === 30.0)
+    // scan-level pushdown SURVIVES the rename: the pushed predicate
+    // reaches the vectorized parquet scan under the PHYSICAL name
+    // (r12 — the r11 V1 fallback lost PushedFilters after a rename)
+    val plan = spark.table("grn.prices").filter($"amount" > 15.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && !plan.contains("PushedFilters: []"),
+      s"renamed-table scan must keep parquet pushdown, got:\n$plan")
+    assert(plan.contains("GreaterThan(price,"),
+      s"pushed predicate must carry the PHYSICAL column name, got:\n$plan")
+    assert(spark.table("grn.prices").filter($"amount" > 15.0)
+      .as[(Long, Double)].collect().toSet === Set((2L, 20.0)))
     // inserts under the new name merge with pre-rename files
     spark.sql("INSERT INTO grn.prices VALUES (3, 30.0)")             // v2
     assert(spark.table("grn.prices").as[(Long, Double)].collect().toSet
@@ -636,41 +647,48 @@ class SourcesSpec extends SparkSpecBase {
     // declared names (physical match) — the declared-schema contract
     assert(spark.sql("SELECT * FROM grn.prices VERSION AS OF 0")
       .as[(Long, Double)].collect().toSet === Set((1L, 10.0), (2L, 20.0)))
-    // SQL row-level DML is gated on mapped tables (the V2 row-level
-    // scan cannot alias physical names) — loud, with the library route
-    val e = intercept[Exception] {
-      spark.sql("UPDATE grn.prices SET amount = 0 WHERE id = 1")
-    }
-    assert(e.getMessage.contains("renamed columns") ||
-      Option(e.getCause).exists(_.getMessage.contains("renamed columns")))
-    // filter-based SQL DELETE routes through the library path and works
-    spark.sql("DELETE FROM grn.prices WHERE id = 2")                 // v3
+    // SQL UPDATE works on the mapped table (r12 — the scan aliases
+    // physical → logical, the staged replacement re-lands through the
+    // mapping write path)
+    spark.sql("UPDATE grn.prices SET amount = amount + 1 WHERE id = 1") // v3
     assert(spark.table("grn.prices").as[(Long, Double)].collect().toSet
-      === Set((1L, 10.0), (3L, 30.0)))
+      === Set((1L, 11.0), (2L, 20.0), (3L, 30.0)))
+    // filter-based SQL DELETE routes through the library path and works
+    spark.sql("DELETE FROM grn.prices WHERE id = 2")                 // v4
+    assert(spark.table("grn.prices").as[(Long, Double)].collect().toSet
+      === Set((1L, 11.0), (3L, 30.0)))
     // DROP COLUMN + re-ADD: old values must NOT resurrect
-    spark.sql("ALTER TABLE grn.prices DROP COLUMN amount")           // v4
+    spark.sql("ALTER TABLE grn.prices DROP COLUMN amount")           // v5
     assert(spark.table("grn.prices").columns.toSeq === Seq("id"))
-    spark.sql("ALTER TABLE grn.prices ADD COLUMNS (amount double)")  // v5
+    spark.sql("ALTER TABLE grn.prices ADD COLUMNS (amount double)")  // v6
     assert(spark.table("grn.prices").as[(Long, Option[Double])].collect().toSet
       === Set((1L, None), (3L, None)),
       "dropped column data must not resurrect after re-add")
-    // rename again → row-level SQL is gated; CALL materialize_mapping
-    // rewrites the files to logical names and resets the mapping — the
-    // V2 fast path and SQL UPDATE come back
-    spark.sql("ALTER TABLE grn.prices RENAME COLUMN amount TO bonus")  // v6
-    val e2 = intercept[Exception] {
-      spark.sql("UPDATE grn.prices SET bonus = 1 WHERE id = 1")
-    }
-    assert(e2.getMessage.contains("renamed columns") ||
-      Option(e2.getCause).exists(_.getMessage.contains("renamed columns")))
+    // rename again; SQL UPDATE and MERGE work directly on the mapped
+    // table — no materialize_mapping prerequisite (r12)
+    spark.sql("ALTER TABLE grn.prices RENAME COLUMN amount TO bonus")  // v7
+    spark.sql("UPDATE grn.prices SET bonus = CAST(1 AS DOUBLE) WHERE id = 1") // v8
+    assert(spark.table("grn.prices").select($"id", $"bonus")
+      .as[(Long, Option[Double])].collect().toSet
+      === Set((1L, Some(1.0)), (3L, None)))
+    spark.sql("""MERGE INTO grn.prices t
+      USING (SELECT * FROM VALUES (3L, 33.0), (4L, 44.0) AS s(id, b)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET bonus = s.b
+      WHEN NOT MATCHED THEN INSERT (id, bonus) VALUES (s.id, s.b)""") // v9
+    assert(spark.table("grn.prices").select($"id", $"bonus")
+      .as[(Long, Option[Double])].collect().toSet
+      === Set((1L, Some(1.0)), (3L, Some(33.0)), (4L, Some(44.0))))
+    // materialize_mapping is now an OPTIMIZATION (rewrite files to
+    // logical names, drop the per-scan aliasing), not a prerequisite
     spark.sql("CALL grn.system.materialize_mapping(`table` => 'prices')")
     spark.sql("UPDATE grn.prices SET bonus = CAST(2 AS DOUBLE) WHERE id = 1")
     assert(spark.table("grn.prices").select($"id", $"bonus")
       .as[(Long, Option[Double])].collect().toSet
-      === Set((1L, Some(2.0)), (3L, None)))
+      === Set((1L, Some(2.0)), (3L, Some(33.0)), (4L, Some(44.0))))
     // time travel to a MAPPED version of the now-identity table still
-    // routes through the fallback scan (the route decision follows the
-    // PINNED snapshot's mapping, not the current one)
+    // reads correctly (the scan translates per the PINNED version's
+    // own logical view)
     assert(spark.sql("SELECT id FROM grn.prices VERSION AS OF 2")
       .as[Long].collect().toSet === Set(1L, 2L, 3L))
   }
