@@ -1520,6 +1520,86 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     -1L // unreachable
   }
 
+  /** DELETE-matching-keys + APPEND as ONE versioned commit (r12,
+    * VERDICT r11 #3): every live row whose `keys` tuple appears in
+    * `matchKeys` is removed AND `rows` lands, atomically — a reader
+    * (or time traveler) sees either the pre-swap or the post-swap
+    * table, never the between state the two-commit delete-merge +
+    * append pair exposed for one trigger. This is the incremental
+    * maintainers' per-trigger "swap the touched keys' rows" shape
+    * ([[graft.streaming.ResampleSync]], [[graft.streaming.AnnIndexSync]]).
+    *
+    * Same three-phase copy-on-write as [[merge]]: the match-key
+    * envelope prunes candidate files against manifest stats, a
+    * semi-join FIND keeps only files actually holding a matching row,
+    * and the rewrite anti-joins the match keys out of exactly those
+    * files — with the appended rows riding the SAME write job, so the
+    * swap costs one commit and one write job less than the pair it
+    * replaces. Null match-key tuples never match (ANSI join
+    * semantics); duplicate match keys are fine (deletes, unlike ANSI
+    * merge updates, have no per-target-row cardinality to violate).
+    * `rows` may evolve the schema additively, exactly like [[append]].
+    * Cost ∝ touched files + appended rows, never table size. */
+  def deleteAndAppend(matchKeys: DataFrame, keys: Seq[String],
+      rows: DataFrame, partCol: Option[String] = None,
+      txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
+    require(keys.nonEmpty, s"$tableRoot: deleteAndAppend needs at least one key")
+    val mk = matchKeys.select(keys.map(col): _*).distinct()
+    val mmAggs = keys.flatMap(k =>
+      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
+    val mmRow = mk.agg(mmAggs.head, mmAggs.tail: _*).head()
+    val keyEnvelope: Option[org.apache.spark.sql.Column] = {
+      val bounds = keys.zipWithIndex.flatMap { case (k, i) =>
+        val (mn, mx) = (mmRow.get(2 * i), mmRow.get(2 * i + 1))
+        if (mn == null || mx == null) None
+        else Some(col(k) >= lit(mn) && col(k) <= lit(mx))
+      }
+      if (bounds.size == keys.size) Some(bounds.reduce(_ && _)) else None
+    }
+    val rowsHasData = rows.limit(1).count() > 0
+    // nothing to delete (empty table, no non-null key tuples, or no
+    // file holds a match): a plain append — still one commit — or a
+    // no-op when there is nothing to add either
+    def appendOnly(s: Snapshot): Long =
+      if (!rowsHasData) s.version
+      else partCol.fold(append(rows, txn))(pc => appendPartitioned(rows, pc, txn))
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      if (replayOf(s, txn)) return s.version
+      if (s.version < 0 || keyEnvelope.isEmpty) return appendOnly(s)
+      requireTagState(s, partCol, "deleteAndAppend")
+      val sch0 = s.schema.getOrElse(rows.schema)
+      val sch = assignPhys(mergedSchema(s.schema, rows.schema),
+        s.schema, s.physRetired)
+      val candidates = candidateFiles(s, keyEnvelope.get, sch0)
+      val touched: Seq[String] =
+        if (candidates.isEmpty) Nil
+        else {
+          val byName = candidates.map(f => new Path(f).getName -> f).toMap
+          readFiles(sch0, candidates)
+            .select(keys.map(col) :+ input_file_name().as("__f"): _*)
+            .join(mk, keys, "left_semi")
+            .select("__f").distinct().collect()
+            .map(r => byName(new Path(r.getString(0)).getName)).toSeq.sorted
+        }
+      if (touched.isEmpty) return appendOnly(s)
+      val survivors = conform(readFiles(sch0, touched), sch)
+        .join(mk, keys, "left_anti")
+      val rewritten =
+        if (rowsHasData) survivors.union(conform(rows, sch)) else survivors
+      validateConstraints(rewritten)
+      commitRewrite(s, sch, touched, rewritten, partCol, txn) match {
+        case Some(v) => return v
+        case None =>
+          attempts += 1
+          require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+      }
+    }
+    -1L // unreachable
+  }
+
   /** RESTORE: make the table's CURRENT state its state at `version` —
     * committed as a NEW `replace` restating the old version's files,
     * schema, partition tags, stats, and blooms verbatim. NO data moves:

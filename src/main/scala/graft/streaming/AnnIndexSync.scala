@@ -24,23 +24,21 @@ import graft.operators.Similarity
   *     state per id is its LAST event in (version, delete<insert)
   *     order — the same "apply deletes before inserts within a
   *     version" rule [[graft.sources.CommitLog.readChanges]] documents.
-  *  2. One [[Similarity.deleteFromIvfPqIndex]] of EVERY touched id —
-  *     removes stale postings (cell-pruned merge; ids the index never
-  *     held are a no-op), so re-encoded rows never duplicate.
-  *  3. One [[Similarity.appendToIvfPqIndex]] of the net-live rows —
-  *     encodes with the PERSISTED codebooks (quantizers are fixed at
-  *     build; the append-parity contract).
+  *  2. One [[Similarity.syncIvfPqIndex]] — EVERY touched id's stale
+  *     postings retire AND the net-live rows' fresh encodings (with
+  *     the PERSISTED codebooks — quantizers are fixed at build; the
+  *     append-parity contract) land in ONE atomic postings commit
+  *     ([[graft.sources.CommitLog.deleteAndAppend]], r12 — the r11
+  *     delete-then-append pair exposed a one-trigger window where a
+  *     searcher missed the batch's re-inserted ids).
   *
   * Cost per trigger ∝ batch (feed volume is bounded by changed files,
-  * the two index ops touch only victim cells / append new postings) —
-  * never corpus, never index size. The two steps are two commit-log
-  * versions, so a concurrent searcher between them can miss the
-  * batch's re-inserted rows briefly (eventually consistent per
-  * trigger; both commits are versioned, so time travel sees each
-  * state). Restart safety rides the streaming checkpoint: offsets are
-  * log versions, and replaying a batch re-runs a delete (idempotent)
-  * plus an append of the same postings after that delete removed them
-  * — the replayed trigger converges to the same index state.
+  * the swap touches only victim cells + appends new postings) — never
+  * corpus, never index size. A concurrent searcher sees the index
+  * before or after the trigger, never between. Restart safety rides
+  * the streaming checkpoint: offsets are log versions, and replaying
+  * a batch re-runs the same swap against state it already produced —
+  * the replayed trigger converges to the same index state.
   *
   * OPTIMIZE-class rewrites restate rows the index already holds; the
   * net-effect apply handles them correctly but still pays
@@ -77,11 +75,13 @@ object AnnIndexSync {
       .localCheckpoint() // touched + live both consume it: one pass
     val touched = last.select(col(cId))
     if (!touched.isEmpty) {
-      Similarity.deleteFromIvfPqIndex(spark, indexRoot, touched, cId)
       val live = last.filter(col("_change_type") === "insert")
         .drop("__rn", "_change_type", "_commit_version")
-      if (!live.isEmpty)
-        Similarity.appendToIvfPqIndex(spark, indexRoot, live, cId, vecCol)
+      // ONE atomic postings commit (r12): stale postings of every
+      // touched id retire and the re-encoded rows land together — a
+      // concurrent searcher never sees the touched ids missing (the
+      // delete-then-append pair exposed that state for one trigger)
+      Similarity.syncIvfPqIndex(spark, indexRoot, touched, live, cId, vecCol)
     }
   }
 

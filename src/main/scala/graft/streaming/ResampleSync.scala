@@ -20,13 +20,14 @@ import graft.sources.CommitLog
   * on that key's observations), so the delta rule is key-granular:
   * per trigger, collapse the batch to its TOUCHED KEYS, re-resample
   * only those keys from the base table's current state, and swap
-  * exactly their grid rows (delete + append, the
-  * [[AnnIndexSync.applyChanges]] two-commit shape — both commits are
-  * versioned; a reader between them can miss the touched keys for one
-  * trigger). Per-trigger cost follows the BATCH's key set, never the
-  * corpus — the point versus recomputation; a key whose observations
-  * were fully retracted leaves the grid entirely (its re-resample
-  * yields no rows).
+  * exactly their grid rows in ONE atomic commit
+  * ([[CommitLog.deleteAndAppend]], r12 — a reader at any version sees
+  * either the pre-swap or post-swap grid, never the touched keys
+  * missing, which the r11 delete-merge + append two-commit shape
+  * exposed for one trigger). Per-trigger cost follows the BATCH's key
+  * set, never the corpus — the point versus recomputation; a key
+  * whose observations were fully retracted leaves the grid entirely
+  * (its re-resample yields no rows).
   *
   * Replay-safe WITHOUT txn epochs: the recompute reads the base's
   * CURRENT state, so re-running a batch re-deletes the touched keys
@@ -64,18 +65,13 @@ object ResampleSync {
       if (interpolate)
         AsOf.resampleInterpolate(obs, keys, tsCol, valCol, start, end, step)
       else AsOf.resampleFfill(obs, keys, tsCol, start, end, step)
-    val gridLog = CommitLog(spark, gridRoot)
-    if (gridLog.snapshot().version >= 0)
-      // one source row per key deletes every grid row of that key (a
-      // source row may match many target rows — ANSI MERGE only bounds
-      // matches per TARGET row); keys absent from the grid fall
-      // through as unmatched source rows, dropped (no insert clause).
-      // (A single keyed update-or-insert merge replacing this pair was
-      // A/B-pinned SLOWER — its dup-check/envelope/full-outer
-      // machinery over (keys, grid_ts) costs more than the simple
-      // delete-merge + append it would save — r11.)
-      gridLog.merge(touched, keys, Seq(CommitLog.WhenMatchedDelete()))
-    if (!grid.isEmpty) gridLog.append(grid)
+    // one atomic swap: the touched keys' old grid rows retire and the
+    // re-resampled rows land in the SAME versioned commit — no
+    // between-commits window, one write job. (A single keyed
+    // update-or-insert ANSI merge was A/B-pinned SLOWER in r11 — its
+    // dup-check/envelope/full-outer machinery over (keys, grid_ts)
+    // costs more than this anti-join + union rewrite.)
+    CommitLog(spark, gridRoot).deleteAndAppend(touched, keys, grid)
   }
 
   /** Catch the grid up with the base's feed in bounded version slices

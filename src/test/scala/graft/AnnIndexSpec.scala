@@ -310,6 +310,38 @@ class AnnIndexSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("AnnIndexSync.applyChanges: the postings swap is ONE atomic commit") {
+    val baseRoot = tmpRoot("ann-atomic-base")
+    val ixRoot = tmpRoot("ann-atomic-ix")
+    val base = CommitLog(spark, baseRoot)
+    base.replaceAll(emb.filter(col("vec_id") < 200))
+    Similarity.buildIvfPqIndex(base.read(), "vec_id", "embedding", ixRoot,
+      nlist = 16, m = 8, ksub = 16, dim = 64)
+    val postingsLog = CommitLog(spark, s"$ixRoot/postings")
+    val v0 = postingsLog.snapshot().version
+    // one feed batch carrying rewrites (delete+insert pairs for ids
+    // 50..59) AND a pure delete (id 5)
+    val bv = base.snapshot().version
+    base.upsert(emb.filter(col("vec_id") >= 50 && col("vec_id") < 60),
+      Seq("vec_id"), CommitLog.LastWins)
+    base.delete(col("vec_id") === 5)
+    graft.streaming.AnnIndexSync.applyChanges(spark, ixRoot,
+      base.readChanges(bv, base.snapshot().version), "vec_id", "embedding")
+    val v1 = postingsLog.snapshot().version
+    // r12: one deleteAndAppend commit — not delete then append, whose
+    // between state dropped the re-encoded ids from the index
+    assert(v1 === v0 + 1, "the per-trigger swap must be exactly one commit")
+    (0L to v1).foreach { v =>
+      val ids = postingsLog.readVersion(v).select($"c_id")
+        .as[Long].collect().toSet
+      (50L until 60L).foreach(id => assert(ids.contains(id),
+        s"postings version $v is missing rewritten id $id — non-atomic swap"))
+    }
+    val finalIds = postingsLog.read().select($"c_id").as[Long].collect().toSet
+    assert(!finalIds.contains(5L), "deleted id must leave the index")
+    assert((50L until 60L).forall(finalIds.contains))
+  }
+
   test("rebuilding commits a new version; the index root stays consistent") {
     val root = tmpRoot("ann-rebuild")
     Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", root,

@@ -1840,6 +1840,53 @@ class CommitLogSpec extends SparkSpecBase {
       === Set((1L, 10.0, None), (2L, 20.0, Some(7L))))
   }
 
+  test("deleteAndAppend: the swap is ONE commit; null keys never match; schema evolves") {
+    val t = tmpTable("clog-del-app")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))  // v0
+    // delete id=2 (99 matches nothing) + append id=4 — atomically
+    val v1 = log.deleteAndAppend(Seq(2L, 99L).toDF("id"), Seq("id"),
+      Seq((4L, "d")).toDF("id", "v"))
+    assert(v1 === 1L, "swap must be exactly one commit")
+    assert(log.read().as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (3L, "c"), (4L, "d")))
+    // the pre-swap version is intact (no intermediate deleted state)
+    assert(log.readVersion(0).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // null match keys never match; empty rows → no-op, no commit
+    val v2 = log.deleteAndAppend(
+      Seq(Option.empty[java.lang.Long]).toDF("id"), Seq("id"),
+      Seq.empty[(Long, String)].toDF("id", "v"))
+    assert(v2 === 1L && log.snapshot().version === 1L)
+    // nothing matches but rows land → plain append, one commit
+    val v3 = log.deleteAndAppend(Seq(77L).toDF("id"), Seq("id"),
+      Seq((5L, "e")).toDF("id", "v"))
+    assert(v3 === 2L)
+    // additive schema evolution through the swap, like append
+    val v4 = log.deleteAndAppend(Seq(1L).toDF("id"), Seq("id"),
+      Seq((6L, "f", 1.5)).toDF("id", "v", "w"))
+    assert(v4 === 3L)
+    assert(log.read().as[(Long, String, Option[Double])].collect().toSet
+      === Set((3L, "c", None), (4L, "d", None), (5L, "e", None),
+        (6L, "f", Some(1.5))))
+    // partition-tagged form: tags survive, all files stay tagged
+    val t2 = tmpTable("clog-del-app-part")
+    val log2 = CommitLog(spark, t2)
+    log2.appendPartitioned(
+      Seq((1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 3.0))
+        .toDF("id", "day", "x"), "day")                               // v0
+    val pv = log2.deleteAndAppend(Seq(2L).toDF("id"), Seq("id"),
+      Seq((4L, "d3", 4.0)).toDF("id", "day", "x"), partCol = Some("day"))
+    assert(pv === 1L)
+    val s2 = log2.snapshot()
+    assert(s2.files.nonEmpty && s2.files.forall(s2.parts.contains),
+      "every file must keep a partition tag through the swap")
+    assert(log2.read().as[(Long, String, Double)].collect().toSet
+      === Set((1L, "d1", 1.0), (3L, "d2", 3.0), (4L, "d3", 4.0)))
+    assert(log2.readPartitions(Seq("d3")).as[(Long, String, Double)]
+      .collect().toSet === Set((4L, "d3", 4.0)))
+  }
+
   test("rename on a partition-tagged table: scoped merges keep working") {
     val t = tmpTable("clog-rename-part")
     val log = CommitLog(spark, t)

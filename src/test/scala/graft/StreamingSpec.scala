@@ -535,4 +535,42 @@ class StreamingSpec extends SparkSpecBase {
       assert(!streamed.exists(_._1 % 5 == 2))
     } finally q.stop()
   }
+
+  test("ResampleSync.applyChanges: the touched-key swap is ONE atomic commit") {
+    import graft.sources.{CommitLog, Tables}
+    def root(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString + "/t"
+    val baseRoot = root("rsync-atomic-base")
+    val gridRoot = root("rsync-atomic-grid")
+    val ev = graft.operators.Dedup.lastWins(
+        Tables(spark, sfDir, "events").filter($"user_id" < 10)
+          .select($"user_id", $"ts", $"value", $"event_id"),
+        Seq("user_id", "ts"), Seq("event_id"))
+      .drop("event_id")
+    val base = CommitLog(spark, baseRoot)
+    base.upsert(ev, Seq("user_id", "ts"), CommitLog.LastWins)
+    val (startTs, endTs) = ("2024-01-01 00:00:00", "2024-01-31 00:00:00")
+    graft.streaming.ResampleSync.catchUp(spark, baseRoot, gridRoot,
+      Seq("user_id"), "ts", "value", startTs, endTs,
+      expr("interval 1 day"), interpolate = false)
+    val gridLog = CommitLog(spark, gridRoot)
+    val v0 = gridLog.snapshot().version
+    val keys = gridLog.read().select($"user_id").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(keys.size >= 3)
+    val touched = keys.take(3)
+    graft.streaming.ResampleSync.applyChanges(spark, baseRoot, gridRoot,
+      touched.toDF("user_id"), Seq("user_id"), "ts", "value",
+      startTs, endTs, expr("interval 1 day"), interpolate = false)
+    val v1 = gridLog.snapshot().version
+    // r12: one deleteAndAppend commit, not delete-merge + append (two
+    // commits whose between state dropped the touched keys)
+    assert(v1 === v0 + 1, "the per-trigger swap must be exactly one commit")
+    (0L to v1).foreach { v =>
+      val present = gridLog.readVersion(v).select($"user_id").distinct()
+        .as[Long].collect().toSet
+      touched.foreach(k => assert(present.contains(k),
+        s"grid version $v is missing touched key $k — non-atomic swap"))
+    }
+  }
 }
