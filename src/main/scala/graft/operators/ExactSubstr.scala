@@ -27,11 +27,17 @@ import org.apache.spark.sql.functions._
   * Scale shape: windows ride every shuffle as 60-bit
   * [[Contamination.gramHash]] longs (never window strings); the winner
   * election is one map-side-combinable `min(struct(id, pos))` per
-  * hash; cover marks are (id, tokenPos) longs whose DISTINCT count is
-  * bounded by the corpus token count no matter how densely windows
-  * overlap; reconstruction re-reads tokens from the one materialized
-  * projection, not from a shuffle of strings. Everything is md5/order
-  * arithmetic an oracle replays exactly (q164). */
+  * hash; non-winning windows collapse to [start, end] INTERVALS that
+  * are merged per id BEFORE any per-token explosion (r12 — the r11
+  * shape exploded every non-winner window to `windowTokens` mark rows
+  * first, so a heavily duplicated corpus shuffled up to windowTokens×
+  * the covered-token count before `distinct()` bounded it; merged
+  * intervals are disjoint, so their explosion is covered-token-bounded
+  * and needs no dedup shuffle at all); reconstruction re-reads tokens
+  * from the one materialized projection, not from a shuffle of
+  * strings. Everything is md5/order arithmetic an oracle replays
+  * exactly (q164). Null-text documents pass through as empty (zero
+  * tokens, empty text) — every input id appears in the output. */
 object ExactSubstr {
 
   /** (idCol, textCol cleaned, n_tokens, n_removed) per input document
@@ -44,8 +50,8 @@ object ExactSubstr {
     require(windowTokens >= 2,
       s"windowTokens=$windowTokens must be >= 2 (1 would dedup tokens)")
     val toks = df
-      .select(col(idCol), model.rawTokens(col(textCol)).as("__ws"))
-      .filter(col("__ws").isNotNull)
+      .select(col(idCol), coalesce(model.rawTokens(col(textCol)),
+        array().cast("array<string>")).as("__ws"))
       .localCheckpoint() // windows + reconstruction both consume it
     // stride-1 windows, hashed in-row (the token array never rides a
     // shuffle; each window's normalized hash does, as one long)
@@ -61,14 +67,28 @@ object ExactSubstr {
       .agg(min(struct(col(idCol), col("__pos"))).as("w"))
       .select(col("__h"), col(s"w.$idCol").as("__wid"),
         col("w.__pos").as("__wpos"))
-    // non-winning occurrences of duplicated windows → covered tokens;
-    // distinct marks are token-count-bounded regardless of overlap
+    // non-winning occurrences of duplicated windows → covered-token
+    // INTERVALS, merged per id before any explosion: a window is one
+    // (start, end) row through the shuffle, overlapping intervals
+    // collapse with the classic running-max sweep, and only the
+    // DISJOINT merged spans explode — so the exploded volume is
+    // bounded by the covered token count (never windowTokens× it) and
+    // the marks are unique by construction, no distinct() shuffle
+    val byId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__s"))
+    val prevMax = max(col("__e")).over(byId.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
     val marks = windows.join(winners, Seq("__h"))
       .filter(!(col(idCol) === col("__wid") && col("__pos") === col("__wpos")))
+      .select(col(idCol), col("__pos").as("__s"),
+        (col("__pos") + (windowTokens - 1)).as("__e"))
+      .withColumn("__new",
+        when(prevMax.isNull || col("__s") > prevMax, 1L).otherwise(0L))
+      .withColumn("__g", sum(col("__new")).over(byId))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("__s")).as("__s"), max(col("__e")).as("__e"))
       .select(col(idCol),
-        explode(sequence(col("__pos"), col("__pos") + (windowTokens - 1)))
-          .as("__tp"))
-      .distinct()
+        explode(sequence(col("__s"), col("__e"))).as("__tp"))
     val kept = toks
       .select(col(idCol), posexplode(col("__ws")).as(Seq("__tp", "__tok")))
       .join(marks, Seq(idCol, "__tp"), "left_anti")

@@ -1190,8 +1190,9 @@ object CorpusQueries3 {
         FROM toks k LEFT JOIN marks m
           ON k.doc_id = m.doc_id AND k.tp = m.tp
         WHERE m.doc_id IS NULL GROUP BY k.doc_id)
-      SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
-        CAST(len(t.ws) - COALESCE(kept.nkept, 0) AS BIGINT) AS n_removed,
+      SELECT t.doc_id, CAST(COALESCE(len(t.ws), 0) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(len(t.ws), 0) - COALESCE(kept.nkept, 0) AS BIGINT)
+          AS n_removed,
         md5(COALESCE(kept.clean, '')) AS clean_fp
       FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id"""))
 

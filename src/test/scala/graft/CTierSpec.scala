@@ -529,5 +529,25 @@ class CTierSpec extends SparkSpecBase {
     assert(got === Seq(
       (1L, "A B C D E F G H", 8L, 0L),
       (2L, "", 8L, 8L)))
+    // null-text documents pass through as empty rows — every input id
+    // appears in the output (r12; the r11 shape dropped them)
+    val withNull = Seq((1L, Option("a b c d e f g h")), (2L, None))
+      .toDF("doc_id", "text")
+    val gotNull = ExactSubstr.dropDuplicateSpans(withNull, "doc_id", "text", 8)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(gotNull === Seq(
+      (1L, "a b c d e f g h", 8L, 0L),
+      (2L, "", 0L, 0L)))
+    // overlapping duplicated windows: doc 6 repeats a 12-token run of
+    // doc 5, so its stride-1 non-winner windows overlap 5-deep — the
+    // merged-interval marks must still cut exactly the covered span
+    val overlap = Seq(
+      (5L, "a b c d e f g h i j k l"),
+      (6L, "Y a b c d e f g h i j k l Z")).toDF("doc_id", "text")
+    val gotOv = ExactSubstr.dropDuplicateSpans(overlap, "doc_id", "text", 8)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(gotOv === Seq(
+      (5L, "a b c d e f g h i j k l", 12L, 0L),
+      (6L, "Y Z", 14L, 12L)))
   }
 }
