@@ -784,6 +784,34 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       else lit(null).cast(f.dataType).as(f.name)): _*)
   }
 
+  /** Per-retry schema for an append whose data files are ALREADY
+    * written under `sch0`'s physical-name assignment: re-assign
+    * against the newer snapshot `cur` and verify every written
+    * column's physical name is unchanged. A rename/drop landing
+    * between the write and a retried commit would otherwise give the
+    * re-assigned schema (possibly suffixed) physical names that no
+    * longer match the bytes on disk — the column would silently read
+    * null. Loud abort instead (the caller's catch deletes the files):
+    * the informal single-writer-DDL assumption, enforced rather than
+    * trusted (ADVICE r11). */
+  private def reassignChecked(cur: Snapshot, df: DataFrame,
+      sch0: StructType): StructType = {
+    val sch = assignPhys(mergedSchema(cur.schema, df.schema),
+      cur.schema, cur.physRetired)
+    val written = df.columns.map(lc).toSet
+    def physOfWritten(s: StructType): Map[String, String] =
+      s.fields.filter(f => written(lc(f.name)))
+        .map(f => lc(f.name) -> physName(f)).toMap
+    val (p0, pN) = (physOfWritten(sch0), physOfWritten(sch))
+    val moved = p0.keys.filter(k => pN.get(k) != p0.get(k)).toSeq.sorted
+    require(moved.isEmpty,
+      s"$tableRoot: a concurrent rename/drop changed the physical " +
+        s"mapping of appended column(s) ${moved.mkString(", ")} while " +
+        "this append was in flight — aborting (the written files no " +
+        "longer match the mapping); retry the append")
+    sch
+  }
+
   /** Append `df` as a new version. Safe under concurrent writers: the
     * data files are version-independent, so losing the version race
     * only re-attempts the (tiny) manifest commit. Returns the committed
@@ -809,8 +837,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val bl = bloomsFor(files, Some(sch0))
       while (!tryCommit(cur.version + 1,
           manifestJson(cur.version + 1, "add", files,
-            assignPhys(mergedSchema(cur.schema, df.schema),
-              cur.schema, cur.physRetired),
+            reassignChecked(cur, df, sch0),
             txn, stats = st, blooms = bl))) {
         attempts += 1
         require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
@@ -954,8 +981,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val bl = bloomsFor(tagged.map(_._1), Some(sch0))
       while (!tryCommit(cur.version + 1,
           manifestJson(cur.version + 1, "add", tagged.map(_._1),
-            assignPhys(mergedSchema(cur.schema, df.schema),
-              cur.schema, cur.physRetired),
+            reassignChecked(cur, df, sch0),
             txn, fileParts = tagged.toMap, stats = st, blooms = bl))) {
         attempts += 1
         require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")

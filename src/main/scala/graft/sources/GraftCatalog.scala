@@ -307,9 +307,18 @@ final class GraftCatalog extends TableCatalog
       val root = dir(ident).toString
       // the log commit goes FIRST: it carries the race/validation
       // checks, and a failure must leave the declared json untouched
-      if (CommitLog.exists(spark, root))
-        CommitLog(spark, root).addColumns(StructType(added.toSeq))
-      schema = StructType(schema.fields ++ added)
+      if (CommitLog.exists(spark, root)) {
+        val log = CommitLog(spark, root)
+        log.addColumns(StructType(added.toSeq))
+        // mirror the LOG's schema (like the RENAME/DROP branches): a
+        // post-drop re-add takes a suffixed physical name there, and
+        // persisting the raw fields would leave the declared json
+        // binding the wrong physical name for any consumer reading it
+        // directly (loadWith shadows it with the log snapshot today,
+        // but the persisted metadata should not lie) — ADVICE r11
+        schema = log.snapshot().schema
+          .getOrElse(StructType(schema.fields ++ added))
+      } else schema = StructType(schema.fields ++ added)
     }
     val out = mapper.createObjectNode()
     out.put("schema", schema.json)

@@ -72,19 +72,27 @@ object InMemoryCasLogStore {
 
   /** Materialize already-decided bytes at `dst` (winner write and
     * loser read-repair share this). Temp file + rename keeps
-    * half-written files out of directory listings; EVERY race is
-    * benign because all callers for one dst carry byte-identical
-    * content — whoever lands (or lands last, on a replacing rename)
-    * is correct. */
+    * half-written files out of directory listings; a LOSING rename is
+    * benign only when `dst` is already visible (every caller for one
+    * dst carries byte-identical content). A rename that fails with NO
+    * manifest visible must throw (ADVICE r11): swallowing it would let
+    * the winner's putIfAbsent return true while the committed version
+    * stays invisible to directory-listing readers forever — with no
+    * later contender guaranteed to read-repair it. */
   private def materialize(fs: FileSystem, dst: Path, json: String): Unit = {
     val tmp = new Path(dst.getParent,
       s".tmp-cas-${java.util.UUID.randomUUID()}.json")
     fs.mkdirs(dst.getParent)
     val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    try fs.rename(tmp, dst)
-    catch { case _: java.io.IOException => () }
-    finally fs.delete(tmp, false)
+    val renamed =
+      try fs.rename(tmp, dst)
+      catch { case _: java.io.IOException => false }
+      finally fs.delete(tmp, false)
+    if (!renamed && !fs.exists(dst))
+      throw new java.io.IOException(
+        s"CAS materialize: rename to $dst failed and no manifest is " +
+          "visible — the decided commit could not be made durable")
   }
 
   /** Test hook: drop all CAS state (a fresh "table"). */

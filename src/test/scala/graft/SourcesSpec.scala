@@ -664,6 +664,25 @@ class SourcesSpec extends SparkSpecBase {
     assert(spark.table("grn.prices").as[(Long, Option[Double])].collect().toSet
       === Set((1L, None), (3L, None)),
       "dropped column data must not resurrect after re-add")
+    // the DECLARED json must mirror the log's mapping after ADD
+    // COLUMNS (r12, ADVICE r11): the re-added column took a suffixed
+    // physical name in the log; a declared schema persisting the raw
+    // field would bind the retired physical name for any direct reader
+    locally {
+      val raw = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$wh/prices/_graft_table.json")), "UTF-8")
+      val declared = org.apache.spark.sql.types.DataType.fromJson(
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(raw).get("schema").asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val logSchema = graft.sources.CommitLog(spark, s"$wh/prices")
+        .snapshot().schema.get
+      assert(declared.fields.map(f => f.name ->
+          graft.sources.CommitLog.physNameOf(f)).toSeq
+        === logSchema.fields.map(f => f.name ->
+          graft.sources.CommitLog.physNameOf(f)).toSeq,
+        "declared json must mirror the log's physical-name mapping")
+    }
     // rename again; SQL UPDATE and MERGE work directly on the mapped
     // table — no materialize_mapping prerequisite (r12)
     spark.sql("ALTER TABLE grn.prices RENAME COLUMN amount TO bonus")  // v7
