@@ -1109,13 +1109,20 @@ object Similarity {
   private def resolveCodebooks(c: DataFrame, nlist: Int, m: Int, ksub: Int,
       dim: Int, spec: Codebooks): (DataFrame, DataFrame) = spec match {
     case Codebooks.Sampled =>
-      val sampled = c.orderBy(col("c_id")).limit(math.max(nlist, ksub))
+      // ONE takeOrdered job; the sample is ≤ max(nlist, ksub) rows —
+      // metadata-sized by definition (it IS the codebook), so it lands
+      // on the driver like every persisted codebook does anyway
+      // (collectCodebook/broadcastCodebook re-collect it downstream).
+      // r12: this replaces a localCheckpoint of the same takeOrdered
+      // plus three re-reads of the checkpoint — one corpus pass and
+      // several driver round-trips fewer per index build (q133 drift).
+      val spark = c.sparkSession
+      val proj = c.orderBy(col("c_id")).limit(math.max(nlist, ksub))
         .select(col("c_id").as("cell"), col("__cv").as("v"))
-        .localCheckpoint()
-      // re-ordered before each limit: checkpointed rows carry no order
-      // contract (ADVICE r7)
-      (sampled.orderBy(col("cell")).limit(nlist),
-        sampled.orderBy(col("cell")).limit(ksub))
+      val rows = proj.collect() // ascending c_id == ascending cell
+      def local(n: Int): DataFrame = spark.createDataFrame(
+        java.util.Arrays.asList(rows.take(n): _*), proj.schema)
+      (local(nlist), local(ksub))
     case Codebooks.Trained(sampleSize, iters, seed) =>
       val spark = c.sparkSession
       import spark.implicits._
