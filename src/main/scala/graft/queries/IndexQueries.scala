@@ -1061,6 +1061,79 @@ object IndexQueries {
       FROM (SELECT * FROM ph_all UNION ALL SELECT * FROM ph_hi)
       ORDER BY phase, o_orderstatus"""))
 
+  /** B2 NESTED-COLUMN EVOLUTION under the hash gate (r12, VERDICT r11
+    * #7): `ALTER TABLE … ADD COLUMNS (meta.score DOUBLE)` appends a
+    * nullable field inside an existing STRUCT column as a metadata-only
+    * commit — pre-evolution files simply lack the nested field and
+    * read null there (the parquet by-name contract extended into
+    * structs), and inserts through the evolved shape coexist. The
+    * final aggregate groups over the struct's fields across BOTH file
+    * shapes, plus a filtered phase through a nested-field predicate,
+    * so hash equality pins the null-gap read, the evolved write, and
+    * nested predicate evaluation over mixed files at once. */
+  private val q166 = Q(
+    "q166_nested_evolution",
+    (s, dir) => {
+      val cat = "g166_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "nested-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        struct(col("o_custkey").as("ck"),
+          col("o_totalprice").cast("decimal(18,2)").as("price")).as("meta"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true").create() // v0
+      s.sql(s"ALTER TABLE $cat.t ADD COLUMNS (meta.score DOUBLE)")      // v1
+      t(s, dir, "orders").filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          struct(col("o_custkey").as("ck"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"),
+            ((col("o_orderkey") % 100).cast("double") / lit(4.0d))
+              .as("score")).as("meta"))
+        .createOrReplaceTempView("q166_src")
+      s.sql(s"INSERT INTO $cat.t SELECT * FROM q166_src")               // v2
+      def phase(df: DataFrame, name: String): DataFrame =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("meta.price")).cast("double").as("price_sum"),
+            sum(coalesce(col("meta.score"), lit(0d))).as("score_sum"),
+            sum(when(col("meta.score").isNull, 1L).otherwise(0L))
+              .as("null_scores"))
+          .withColumn("phase", lit(name))
+      phase(s.table(s"$cat.t"), "all")
+        .unionByName(phase(
+          s.table(s"$cat.t").filter(col("meta.score") > 20), "hi"))
+        .orderBy(col("phase"), col("o_orderstatus"))
+    },
+    Some("""WITH evens AS (
+        SELECT o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          CAST(NULL AS DOUBLE) AS score
+        FROM orders WHERE o_orderkey % 2 = 0),
+      odds AS (
+        SELECT o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          CAST(o_orderkey % 100 AS DOUBLE) / 4.0 AS score
+        FROM orders WHERE o_orderkey % 2 = 1),
+      u AS (SELECT * FROM evens UNION ALL SELECT * FROM odds),
+      ph_all AS (
+        SELECT 'all' AS phase, o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(price) AS DOUBLE) AS price_sum,
+          CAST(SUM(COALESCE(score, 0)) AS DOUBLE) AS score_sum,
+          CAST(SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS null_scores
+        FROM u GROUP BY o_orderstatus),
+      ph_hi AS (
+        SELECT 'hi' AS phase, o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(price) AS DOUBLE) AS price_sum,
+          CAST(SUM(COALESCE(score, 0)) AS DOUBLE) AS score_sum,
+          CAST(0 AS BIGINT) AS null_scores
+        FROM u WHERE score > 20 GROUP BY o_orderstatus)
+      SELECT phase, o_orderstatus, n, price_sum, score_sum, null_scores
+      FROM (SELECT * FROM ph_all UNION ALL SELECT * FROM ph_hi)
+      ORDER BY phase, o_orderstatus"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
-    q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165)
+    q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166)
 }

@@ -756,32 +756,86 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       s"$tableRoot: write schema has case-colliding columns: " +
         inDups.values.flatten.map(_.name).mkString(", "))
     current.fold(incoming) { cur =>
-      // the table keeps ITS spelling for existing columns
-      val inByName = incoming.map(f => lc(f.name) -> f).toMap
-      val curNames = cur.map(f => lc(f.name)).toSet
-      val kept = cur.map { f =>
-        inByName.get(lc(f.name)).fold(f.copy(nullable = true)) { inF =>
-          require(inF.dataType == f.dataType,
-            s"$tableRoot: schema evolution cannot change column '${f.name}' " +
-              s"from ${f.dataType.simpleString} to ${inF.dataType.simpleString}")
-          f.copy(nullable = f.nullable || inF.nullable)
-        }
-      }
-      val added = incoming.filter(f => !curNames(lc(f.name)))
-        .map(_.copy(nullable = true))
-      StructType(kept ++ added)
+      StructType(mergeStructs(cur, incoming, ""))
     }
   }
 
+  /** The recursive core of [[mergedSchema]]: additive merge of two
+    * struct shapes. Shared fields keep the TABLE's spelling, metadata
+    * (the [[CommitLog.PhysKey]] mapping!) and field order; STRUCT
+    * fields merge recursively (r12 — nested additive evolution: a
+    * write whose struct column carries new nested fields evolves the
+    * schema, and a write missing nested fields the table already has
+    * stays accepted, the gap reading null); every other type must
+    * match exactly — including the element/value types of arrays and
+    * maps, whose insides are NOT evolvable (a per-element null-pad
+    * rewrite is not additive metadata; rewrite the table instead).
+    * Nullability unions. New fields append at the end, nullable. */
+  private def mergeStructs(cur: StructType, incoming: StructType,
+      path: String): Array[org.apache.spark.sql.types.StructField] = {
+    val inDups = incoming.groupBy(f => lc(f.name)).filter(_._2.size > 1)
+    require(inDups.isEmpty,
+      s"$tableRoot: write schema has case-colliding fields at " +
+        s"'$path': ${inDups.values.flatten.map(_.name).mkString(", ")}")
+    val inByName = incoming.map(f => lc(f.name) -> f).toMap
+    val curNames = cur.map(f => lc(f.name)).toSet
+    val kept = cur.fields.map { f =>
+      inByName.get(lc(f.name)).fold(f.copy(nullable = true)) { inF =>
+        val merged = (f.dataType, inF.dataType) match {
+          case (c: StructType, i: StructType) =>
+            StructType(mergeStructs(c, i, s"$path${f.name}."))
+          case (c, i) =>
+            require(c == i,
+              s"$tableRoot: schema evolution cannot change column " +
+                s"'$path${f.name}' from ${c.simpleString} to ${i.simpleString}")
+            c
+        }
+        f.copy(dataType = merged, nullable = f.nullable || inF.nullable)
+      }
+    }
+    val added = incoming.fields.filter(f => !curNames(lc(f.name)))
+      .map(_.copy(nullable = true))
+    kept ++ added
+  }
+
   /** Project `df` onto `schema`: shared column order normalized, absent
-    * columns as typed nulls. Name lookup is case-insensitive to match
-    * [[mergedSchema]]. */
+    * columns as typed nulls — recursively through STRUCT columns (r12:
+    * a source struct missing nested fields the target schema has gets
+    * them null-padded in place, order-normalized to the target; a null
+    * struct stays null, never a struct of nulls). Name lookup is
+    * case-insensitive to match [[mergedSchema]]. */
   private def conform(df: DataFrame, schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val present = df.columns.map(lc).toSet
-    df.select(schema.map(f =>
-      if (present(lc(f.name))) col(f.name).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)): _*)
+    val byName = df.schema.fields.map(f => lc(f.name) -> f).toMap
+    df.select(schema.map(f => byName.get(lc(f.name)) match {
+      case Some(sf) =>
+        conformCol(col(s"`${sf.name}`"), sf.dataType, f.dataType).as(f.name)
+      case None => lit(null).cast(f.dataType).as(f.name)
+    }): _*)
+  }
+
+  /** [[conform]]'s per-column core: identical types pass through
+    * untouched (zero expression overhead — every pre-nested-evolution
+    * plan is byte-identical); differing STRUCT shapes are rebuilt
+    * field-by-field against the target (recursing into nested
+    * structs), with absent fields as typed nulls. [[mergeStructs]]
+    * guarantees any other type difference was already refused. */
+  private def conformCol(src: org.apache.spark.sql.Column,
+      srcT: org.apache.spark.sql.types.DataType,
+      tgtT: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, struct, when}
+    (srcT, tgtT) match {
+      case (s: StructType, t: StructType) if s != t =>
+        val sBy = s.fields.map(f => lc(f.name) -> f).toMap
+        val parts = t.fields.map(tf => sBy.get(lc(tf.name)) match {
+          case Some(sf) =>
+            conformCol(src.getField(sf.name), sf.dataType, tf.dataType)
+              .as(tf.name)
+          case None => lit(null).cast(tf.dataType).as(tf.name)
+        })
+        when(src.isNotNull, struct(parts.toIndexedSeq: _*))
+      case _ => src
+    }
   }
 
   /** Per-retry schema for an append whose data files are ALREADY
@@ -1093,6 +1147,61 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val evolved = assignPhys(
         mergedSchema(Some(cur).filter(_.nonEmpty), StructType(cols.toArray)),
         Some(cur).filter(_.nonEmpty), s.physRetired)
+      if (tryCommit(s.version + 1,
+          manifestJson(s.version + 1, "add", Nil, evolved, None)))
+        return s.version + 1
+      attempts += 1
+      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+    }
+    -1L // unreachable
+  }
+
+  /** SQL DDL: `ALTER TABLE … ADD COLUMNS (parent.child TYPE)` — add a
+    * nullable field at the END of an existing STRUCT column, any depth
+    * (r12, VERDICT r11 #7). Metadata-only like top-level ADD COLUMNS:
+    * committed as an empty-`add` version, no file is read or written —
+    * old files simply lack the nested field and read null there (the
+    * parquet by-name contract extends into structs). The parent
+    * column's own metadata — its [[CommitLog.PhysKey]] mapping — is
+    * preserved, so a nested add on a RENAMED column keeps reading
+    * through the stable physical name. Parents that are not structs
+    * (including structs INSIDE arrays/maps, whose evolution would be a
+    * per-element rewrite, not metadata) are refused loudly. Nested
+    * RENAME/DROP remain refused at the catalog — without per-field
+    * IDs inside nested types a nested rename would orphan data. */
+  def addNestedColumn(parentPath: Seq[String],
+      field: org.apache.spark.sql.types.StructField): Long = {
+    require(parentPath.nonEmpty,
+      s"$tableRoot: nested ADD COLUMNS needs a parent path")
+    def addAt(st: StructType, path: Seq[String], crumb: String): StructType = {
+      val idx = st.fields.indexWhere(f => lc(f.name) == lc(path.head))
+      require(idx >= 0,
+        s"$tableRoot: ADD COLUMNS: no column '$crumb${path.head}'")
+      val f = st.fields(idx)
+      def notStruct(dt: org.apache.spark.sql.types.DataType): Nothing =
+        throw new IllegalArgumentException(
+          s"$tableRoot: ADD COLUMNS: '$crumb${path.head}' is " +
+            s"${dt.simpleString}, not a struct — nested adds need a " +
+            "struct parent, and structs inside arrays/maps are not " +
+            "evolvable (rewrite the table instead)")
+      val newType = (path.tail, f.dataType) match {
+        case (Seq(), inner: StructType) =>
+          require(!inner.fields.exists(g => lc(g.name) == lc(field.name)),
+            s"$tableRoot: ADD COLUMNS: '$crumb${path.head}.${field.name}' " +
+              "already exists")
+          StructType(inner.fields :+ field.copy(nullable = true))
+        case (rest, inner: StructType) =>
+          addAt(inner, rest, s"$crumb${path.head}.")
+        case (_, other) => notStruct(other)
+      }
+      StructType(st.fields.updated(idx, f.copy(dataType = newType)))
+    }
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      val cur = s.schema.getOrElse(throw new IllegalStateException(
+        s"$tableRoot: nested ADD COLUMNS on a table with no committed schema"))
+      val evolved = addAt(cur, parentPath, "")
       if (tryCommit(s.version + 1,
           manifestJson(s.version + 1, "add", Nil, evolved, None)))
         return s.version + 1

@@ -197,9 +197,11 @@ final class GraftCatalog extends TableCatalog
     new GraftMergeTable(ident.toString, dir(ident).toString, schema, props)
   }
 
-  /** SQL DDL: `ALTER TABLE … ADD COLUMNS` (top-level, nullable,
-    * appended — a metadata-only change: old files read null, the
-    * additive-evolution contract writes already follow) and
+  /** SQL DDL: `ALTER TABLE … ADD COLUMNS` (nullable, appended — a
+    * metadata-only change: old files read null, the additive-evolution
+    * contract writes already follow; r12: `parent.child` paths add a
+    * nested field at the end of an existing struct column, commit-log
+    * tables only) and
     * `SET/UNSET TBLPROPERTIES`. For commit-log tables the schema
     * change COMMITS as an empty-`add` version first
     * ([[CommitLog.addColumns]]), so versioned readers and time travel
@@ -241,10 +243,27 @@ final class GraftCatalog extends TableCatalog
           "merge.keys/merge.partcol; recreate the table instead")
     }
     changes.foreach {
+      case a: AddColumn if a.fieldNames.length > 1 =>
+        // NESTED add (r12): a new nullable field at the end of an
+        // existing struct column — commit-log tables only (the log
+        // version carries the evolution for time travel; a plain
+        // directory table has no history to pin it to)
+        require(a.position() == null,
+          s"$ident: ADD COLUMNS FIRST/AFTER is not supported — " +
+            "new columns append at the end (old files have no value to reorder)")
+        require(a.isNullable,
+          s"$ident: added column '${a.fieldNames.mkString(".")}' must be " +
+            "nullable — existing rows have no value for it")
+        val root = dir(ident).toString
+        require(CommitLog.exists(spark, root),
+          s"$ident: nested ADD COLUMNS requires merge.log=true — a plain " +
+            "directory table has no version history to carry the evolution")
+        val f0 = StructField(a.fieldNames.last, a.dataType(), nullable = true)
+        val log = CommitLog(spark, root)
+        log.addNestedColumn(a.fieldNames.init.toSeq,
+          Option(a.comment()).fold(f0)(f0.withComment))
+        schema = log.snapshot().schema.getOrElse(schema)
       case a: AddColumn =>
-        require(a.fieldNames.length == 1,
-          s"$ident: only top-level ADD COLUMNS is supported " +
-            s"(got nested '${a.fieldNames.mkString(".")}')")
         require(a.position() == null,
           s"$ident: ADD COLUMNS FIRST/AFTER is not supported — " +
             "new columns append at the end (old files have no value to reorder)")

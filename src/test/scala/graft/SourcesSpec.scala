@@ -712,6 +712,78 @@ class SourcesSpec extends SparkSpecBase {
       .as[Long].collect().toSet === Set(1L, 2L, 3L))
   }
 
+  test("nested ADD COLUMNS: metadata-only struct evolution, old files read null") {
+    val wh = Files.createTempDirectory("graft-wh-nest").toString
+    spark.conf.set("spark.sql.catalog.gns", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gns.warehouse", wh)
+    Seq((1L, (10L, "a")), (2L, (20L, "b")))
+      .toDF("id", "meta")
+      .select($"id", $"meta".cast("struct<ck:bigint,tag:string>").as("meta"))
+      .writeTo("gns.t").tableProperty("merge.log", "true").create()     // v0
+    spark.sql("ALTER TABLE gns.t ADD COLUMNS (meta.score DOUBLE)")      // v1
+    // the evolved schema is visible and OLD files read null in the gap
+    assert(spark.table("gns.t").select($"meta.score")
+      .as[Option[Double]].collect().toSeq === Seq(None, None))
+    // inserts through the evolved shape coexist with pre-add files
+    spark.sql("INSERT INTO gns.t VALUES " +
+      "(3L, named_struct('ck', 30L, 'tag', 'c', 'score', 1.5D))")       // v2
+    assert(spark.table("gns.t")
+      .select($"id", $"meta.ck", $"meta.tag", $"meta.score")
+      .as[(Long, Long, String, Option[Double])].collect().toSet
+      === Set((1L, 10L, "a", None), (2L, 20L, "b", None),
+        (3L, 30L, "c", Some(1.5))))
+    // a filter on the nested field works over mixed-shape files
+    assert(spark.sql("SELECT id FROM gns.t WHERE meta.score > 1")
+      .as[Long].collect().toSeq === Seq(3L))
+    // time travel: the pinned pre-evolution version has no score field
+    assert(!spark.sql("SELECT * FROM gns.t VERSION AS OF 0")
+      .schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("score"))
+    // the LIBRARY write path conforms an OLD-shaped struct batch (the
+    // additive contract: missing nested fields null-pad in place)
+    val log = graft.sources.CommitLog(spark, s"$wh/t")
+    log.upsert(Seq((2L, (21L, "b2")), (4L, (40L, "d"))).toDF("id", "meta")
+        .select($"id", $"meta".cast("struct<ck:bigint,tag:string>").as("meta")),
+      Seq("id"), graft.sources.CommitLog.LastWins)                      // v3
+    assert(spark.table("gns.t")
+      .select($"id", $"meta.ck", $"meta.score")
+      .as[(Long, Long, Option[Double])].collect().toSet
+      === Set((1L, 10L, None), (2L, 21L, None), (3L, 30L, Some(1.5)),
+        (4L, 40L, None)))
+    // a null struct stays null through conform (never a struct of nulls)
+    log.upsert(
+      spark.sql("SELECT 5L AS id, CAST(NULL AS struct<ck:bigint,tag:string>) AS meta"),
+      Seq("id"), graft.sources.CommitLog.LastWins)                      // v4
+    assert(spark.table("gns.t").filter($"id" === 5L).select($"meta")
+      .collect().head.isNullAt(0), "null struct must stay null")
+    // refusals: non-struct parent, unknown parent, collision, nested
+    // RENAME/DROP, and plain-directory tables
+    def refuses(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .take(5).exists(t => Option(t.getMessage).exists(_.contains(frag))),
+        s"expected '$frag' from: $sql, got ${e.getMessage}")
+    }
+    refuses("ALTER TABLE gns.t ADD COLUMNS (id.sub BIGINT)", "not a struct")
+    // Spark's analyzer resolves the parent before the catalog sees it
+    refuses("ALTER TABLE gns.t ADD COLUMNS (nope.sub BIGINT)", "cannot be resolved")
+    refuses("ALTER TABLE gns.t ADD COLUMNS (meta.score DOUBLE)", "already exists")
+    refuses("ALTER TABLE gns.t RENAME COLUMN meta.ck TO ck2",
+      "only top-level RENAME")
+    refuses("ALTER TABLE gns.t DROP COLUMN meta.ck", "only top-level DROP")
+    // nested add on a RENAMED (column-mapped) parent keeps the mapping
+    spark.sql("ALTER TABLE gns.t RENAME COLUMN meta TO info")           // v5
+    spark.sql("ALTER TABLE gns.t ADD COLUMNS (info.rank INT)")          // v6
+    assert(spark.table("gns.t")
+      .select($"id", $"info.ck", $"info.score", $"info.rank")
+      .as[(Long, Option[Long], Option[Double], Option[Int])].collect().toSet
+      === Set(
+        (1L, Some(10L), None, None), (2L, Some(21L), None, None),
+        (3L, Some(30L), Some(1.5), None), (4L, Some(40L), None, None),
+        (5L, None, None, None)),
+      "renamed struct parent must keep reading through its physical name")
+  }
+
   test("CREATE TABLE PARTITIONED BY maps onto the manifest partition tags") {
     val wh = Files.createTempDirectory("graft-wh-pby").toString
     spark.conf.set("spark.sql.catalog.gpby", "graft.sources.GraftCatalog")
