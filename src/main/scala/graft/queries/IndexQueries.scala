@@ -1134,6 +1134,78 @@ object IndexQueries {
       FROM (SELECT * FROM ph_all UNION ALL SELECT * FROM ph_hi)
       ORDER BY phase, o_orderstatus"""))
 
+  /** B2 SHALLOW CLONE under the hash gate (r12,
+    * [[graft.sources.CommitLog.cloneTo]] via
+    * `CALL graft.system.clone`): fork a logged catalog table WITHOUT
+    * copying data — the clone's version-0 manifest references the
+    * source's files by absolute path (stats/blooms/tags/mapping
+    * carried). The composite then drives BOTH sides apart: an append
+    * lands on the SOURCE after the fork (the clone must not see it),
+    * SQL DELETE + UPDATE land on the CLONE (copy-on-write localizes
+    * the touched files under the clone root; the source must not
+    * move), and the clone's `VERSION AS OF 0` re-reads the fork point.
+    * Hash equality over the three phase aggregates pins fork
+    * correctness, bidirectional isolation, and clone time travel at
+    * once — the zero-copy experiment-fork shape a 100 TB corpus table
+    * needs (a full copy would be the size of the corpus; this is
+    * O(files) manifest bytes). */
+  private val q167 = Q(
+    "q167_shallow_clone",
+    (s, dir) => {
+      val cat = "g167_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "clone-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true").create() // src v0
+      s.sql(s"CALL $cat.system.clone(`table` => 't', target => 'c')")   // fork
+      o.filter(col("o_orderkey") % 2 === 1)
+        .writeTo(s"$cat.t").append()                       // src v1 — post-fork
+      s.sql(s"DELETE FROM $cat.c WHERE o_orderstatus = 'P'")            // c v1
+      s.sql(s"""UPDATE $cat.c SET price = CAST(price * 2 AS DECIMAL(18,2))
+        WHERE o_orderstatus = 'F' AND o_orderkey % 4 = 0""")            // c v2
+      def phase(df: DataFrame, name: String): DataFrame =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("price")).cast("double").as("price_sum"))
+          .withColumn("phase", lit(name))
+      phase(s.table(s"$cat.t"), "src")
+        .unionByName(phase(s.table(s"$cat.c"), "clone"))
+        .unionByName(phase(
+          s.sql(s"SELECT * FROM $cat.c VERSION AS OF 0"), "fork"))
+        .orderBy(col("phase"), col("o_orderstatus"))
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders),
+      even AS (SELECT * FROM base WHERE o_orderkey % 2 = 0),
+      cln AS (
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderstatus = 'F' AND o_orderkey % 4 = 0
+               THEN CAST(price * 2 AS DECIMAL(18,2)) ELSE price
+          END AS price
+        FROM even WHERE o_orderstatus <> 'P'),
+      ph_src AS (
+        SELECT 'src' AS phase, o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(price) AS DOUBLE) AS price_sum
+        FROM base GROUP BY o_orderstatus),
+      ph_clone AS (
+        SELECT 'clone' AS phase, o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(price) AS DOUBLE) AS price_sum
+        FROM cln GROUP BY o_orderstatus),
+      ph_fork AS (
+        SELECT 'fork' AS phase, o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(price) AS DOUBLE) AS price_sum
+        FROM even GROUP BY o_orderstatus)
+      SELECT phase, o_orderstatus, n, price_sum
+      FROM (SELECT * FROM ph_src UNION ALL SELECT * FROM ph_clone
+            UNION ALL SELECT * FROM ph_fork)
+      ORDER BY phase, o_orderstatus"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
-    q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166)
+    q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167)
 }

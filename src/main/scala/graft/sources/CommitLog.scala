@@ -96,6 +96,17 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   private val logStore: LogStore = LogStore.forSession(spark)
   private def mapper = new ObjectMapper()
 
+  /** Resolve a manifest file entry to its readable path. Entries are
+    * normally table-root-relative (`data/part-….parquet`); a SHALLOW
+    * CLONE's manifest ([[cloneTo]]) carries the SOURCE table's files as
+    * absolute paths, which resolve as themselves. The `Path`-based
+    * sites (`statsForOne`, `restore`'s existence check) need no
+    * translation — Hadoop's `new Path(parent, child)` already keeps an
+    * absolute child — so this is the chokepoint for the STRING
+    * concatenation sites only. */
+  private def entryPath(f: String): String =
+    if (CommitLog.isExternalEntry(f)) f else s"$tableRoot/$f"
+
   /** The folded state of the log at one version. `parts` tags data
     * files with their partition value (string form) — present only for
     * files written by the partitioned write path. `stats` carries each
@@ -162,11 +173,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
     if (identityMapping(sch))
-      spark.read.schema(sch).parquet(files.map(f => s"$tableRoot/$f"): _*)
+      spark.read.schema(sch).parquet(files.map(entryPath): _*)
     else {
       import org.apache.spark.sql.functions.col
       spark.read.schema(physSchema(sch))
-        .parquet(files.map(f => s"$tableRoot/$f"): _*)
+        .parquet(files.map(entryPath): _*)
         .select(sch.fields.toIndexedSeq.map(f =>
           col(s"`${physName(f)}`").as(f.name)): _*)
     }
@@ -449,7 +460,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       if (s.files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           new StructType())
-      else spark.read.parquet(s.files.map(f => s"$tableRoot/$f"): _*)
+      else spark.read.parquet(s.files.map(entryPath): _*)
   }
 
   /** FILE-LEVEL MIN/MAX SKIPPING: [[read]] restricted to the rows with
@@ -610,7 +621,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         // stored filter keys stay physical either way (matching what
         // [[pointCandidateFiles]]/[[candidateFilesForExprs]] look up)
         val cols = cols0.map(c => physOf(sch, c)).distinct
-        val df = spark.read.parquet(relPaths.map(f => s"$tableRoot/$f"): _*)
+        val df = spark.read.parquet(relPaths.map(entryPath): _*)
         val present = df.columns.toSet
         val indexed = cols.filter(present)
         if (indexed.isEmpty) return Map.empty
@@ -1778,6 +1789,65 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     -1L // unreachable
   }
 
+  /** SHALLOW CLONE — fork this table (at `version`, default latest)
+    * into a brand-new commit log at `targetRoot` WITHOUT copying a
+    * byte of data (Delta's CLONE): the clone's version-0 manifest
+    * references the source's data files by ABSOLUTE path and carries
+    * the source's schema (column mapping included), partition tags,
+    * per-file stats, blooms, and retired-physical list — so stat/bloom
+    * file skipping, partitioned maintenance, and mapped reads work on
+    * the clone from the first query. O(files) manifest bytes at any
+    * table size: the zero-copy way to fork a 100 TB table for an
+    * experiment, a backfill rehearsal, or a stable training-data
+    * snapshot.
+    *
+    * The clone is immediately writable and fully independent:
+    * appends/merges/deletes land files under ITS root and never touch
+    * the source (copy-on-write rewrites retire the absolute references
+    * and write local replacements). [[vacuum]] on the CLONE is safe by
+    * construction — it only sweeps the clone's own `data/` directory,
+    * never the referenced source files. The one lifecycle hazard is
+    * the flip side (Delta documents the same): [[vacuum]] on the
+    * SOURCE reclaims files the source log no longer references, and
+    * the clone's references do not pin them — a clone that must
+    * outlive the source's retention runs [[optimize]] (any rewrite)
+    * to localize the data it still references.
+    *
+    * The target must not already have a commit log. The clone's log
+    * starts at version 0 (its own history; the source's versions are
+    * not carried — time travel BEFORE the fork point stays with the
+    * source). Returns the clone's version, always 0. */
+  def cloneTo(targetRoot: String, version: Option[Long] = None): Long = {
+    val s = version.fold(snapshot())(snapshotAt)
+    version.foreach(v => require(s.version == v,
+      s"$tableRoot: version $v not in the log (fold reaches ${s.version})"))
+    require(s.version >= 0, s"$tableRoot: clone of a table with no commits")
+    val sch = s.schema.getOrElse(throw new IllegalStateException(
+      s"$tableRoot: version ${s.version} carries no schema"))
+    val target = CommitLog(spark, targetRoot)
+    require(target.snapshot().version < 0,
+      s"$targetRoot: clone target already has a commit log")
+    // entries already absolute (a clone of a clone) pass through; the
+    // rest resolve against THIS root, fs-qualified so a relative
+    // tableRoot still yields an absolute reference
+    def abs(f: String): String =
+      if (CommitLog.isExternalEntry(f)) f
+      else fs.makeQualified(new Path(rootPath, f)).toUri.getPath
+    val files = s.files.map(abs)
+    // re-key the per-file metadata maps to the absolute entries,
+    // restricted to the LIVE files (stale keys of retired files may
+    // linger in a folded snapshot's maps; the clone starts clean)
+    val parts  = s.files.flatMap(f => s.parts.get(f).map(abs(f) -> _)).toMap
+    val stats  = s.files.flatMap(f => s.stats.get(f).map(abs(f) -> _)).toMap
+    val blooms = s.files.flatMap(f => s.blooms.get(f).map(abs(f) -> _)).toMap
+    require(target.tryCommit(0L,
+      target.manifestJson(0L, "add", files, sch, txn = None,
+        fileParts = parts, stats = stats, blooms = blooms,
+        physRetired = Some(s.physRetired))),
+      s"$targetRoot: lost the clone commit race — target is being written")
+    0L
+  }
+
   /** Shared tag-state validation for the copy-on-write rewrites
     * ([[delete]]/[[update]]): a partition-tagged table must pass
     * `partCol` so rewritten files keep tags; an untagged one must not. */
@@ -2785,6 +2855,13 @@ object CommitLog {
     * [[CommitLog.renameColumn]]/[[CommitLog.dropColumn]]. Absent means
     * physical == logical. */
   val PhysKey: String = "graft.phys"
+
+  /** True when a manifest file entry is an ABSOLUTE path — a SHALLOW
+    * CLONE's reference into another table's data directory ([[cloneTo]])
+    * — rather than the usual table-root-relative entry. Shared with the
+    * catalog's V2 scan builder, which builds file paths itself. */
+  private[sources] def isExternalEntry(f: String): Boolean =
+    f.startsWith("/") || f.contains(":/")
 
   /** The physical (in-file) name of a logical field — its [[PhysKey]]
     * metadata when the column has been renamed/re-added, else its own

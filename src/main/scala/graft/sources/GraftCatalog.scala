@@ -761,7 +761,8 @@ private[sources] final class GraftLogScanBuilder(
 
   private def makeInner(files: Seq[String]): FileScanBuilder =
     ParquetTable(s"graft-log $tableRoot", spark, options,
-        files.map(f => s"$tableRoot/$f").toList,
+        files.map(f =>
+          if (CommitLog.isExternalEntry(f)) f else s"$tableRoot/$f").toList,
         Some(if (mapped) toPhysSchema(logicalSchema) else snapSchema),
         classOf[ParquetFileFormat])
       .newScanBuilder(options).asInstanceOf[FileScanBuilder]

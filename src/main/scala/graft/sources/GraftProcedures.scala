@@ -20,6 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.system.prune(`table` => 't')     -- drop pre-checkpoint manifests
   *   CALL graft.system.vacuum(`table` => 't')    -- delete unreferenced data files
   *   CALL graft.system.history(`table` => 't')   -- the commit audit rows
+  *   CALL graft.system.clone(`table` => 't', target => 't2', version => 3)
   * }}}
   *
   * Each procedure resolves its table against the catalog warehouse and
@@ -51,7 +52,7 @@ private[sources] object GraftProcedures {
   /** All procedures, by name. */
   def names: Seq[String] =
     Seq("optimize", "optimize_partitions", "compact", "prune", "vacuum",
-      "history", "materialize_mapping")
+      "history", "materialize_mapping", "clone")
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
     def logFor(table: String): CommitLog = {
@@ -100,6 +101,52 @@ private[sources] object GraftProcedures {
             .filter(_.nonEmpty)
           val v = logFor(in.getUTF8String(0).toString).materializeMapping(pc)
           resultScan(versionResult, Seq(new GenericInternalRow(Array[Any](v))))
+        })
+      case "clone" => proc("clone",
+        Seq(p("table", StringType), p("target", StringType),
+          pDefault("version", LongType, "-1")),
+        in => {
+          // SHALLOW CLONE as a catalog operation: fork the commit log
+          // ([[CommitLog.cloneTo]] — zero data copied, absolute file
+          // references) AND register the target as a catalog table by
+          // mirroring the source's `_graft_table.json` (properties
+          // carried — merge.log/merge.partcol/merge.keys keep working
+          // on the clone; schema mirrored from the CLONED snapshot so
+          // the declared json never lags write-driven evolution).
+          val srcTable = in.getUTF8String(0).toString
+          val dstTable = in.getUTF8String(1).toString
+          val verArg = in.getLong(2)
+          val ver = if (verArg >= 0) Some(verArg) else None
+          val spark = SparkSession.active
+          val fs = new org.apache.hadoop.fs.Path(warehouse)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          def dir(t: String) = new org.apache.hadoop.fs.Path(
+            (warehouse +: t.split('.').toSeq).mkString("/"))
+          def meta(t: String) = new org.apache.hadoop.fs.Path(
+            dir(t), "_graft_table.json")
+          require(fs.exists(meta(srcTable)),
+            s"procedure clone: no catalog table '$srcTable'")
+          require(!fs.exists(meta(dstTable)),
+            s"procedure clone: target table '$dstTable' already exists")
+          val src = logFor(srcTable)
+          src.cloneTo(dir(dstTable).toString, ver)
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val srcIn = fs.open(meta(srcTable))
+          val raw = try {
+            val bytes = new Array[Byte](
+              fs.getFileStatus(meta(srcTable)).getLen.toInt)
+            srcIn.readFully(bytes); new String(bytes, "UTF-8")
+          } finally srcIn.close()
+          val node = mapper.readTree(raw)
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          val clonedSch = CommitLog(spark, dir(dstTable).toString)
+            .snapshot().schema
+          clonedSch.foreach(sch => node.put("schema", sch.json))
+          fs.mkdirs(dir(dstTable))
+          val out = fs.create(meta(dstTable), false)
+          try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+          resultScan(versionResult,
+            Seq(new GenericInternalRow(Array[Any](0L))))
         })
       case "history" => proc("history", Seq(p("table", StringType)),
         in => {

@@ -1954,6 +1954,133 @@ class CommitLogSpec extends SparkSpecBase {
     assert(log.read().as[(Long, String, Double)].collect().toSet
       === Set((1L, "d1", 1.0), (2L, "d2", 2.0), (3L, "d2", 3.0)))
   }
+
+  // ── SHALLOW CLONE (cloneTo) ─────────────────────────────────────────
+
+  private def dataFilesOf(root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root + "/data")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSeq
+  }
+
+  test("shallow clone: zero-copy fork; writes to either side never cross") {
+    val src = tmpTable("clog-clone-src")
+    val dst = tmpTable("clog-clone-dst")
+    val log = CommitLog(spark, src)
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))   // v0
+    log.append(Seq((3L, "c")).toDF("id", "v"))              // v1
+
+    assert(log.cloneTo(dst) === 0L)
+    val clone = CommitLog(spark, dst)
+    assert(clone.read().as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // ZERO data copied: the clone's own data dir is empty, every
+    // manifest entry is an absolute reference into the source
+    assert(dataFilesOf(dst).isEmpty)
+
+    // divergence: append lands under the CLONE root only
+    clone.append(Seq((4L, "d")).toDF("id", "v"))            // clone v1
+    assert(dataFilesOf(dst).nonEmpty)
+    assert(clone.read().count() === 4L)
+    assert(log.read().count() === 3L)
+
+    // copy-on-write on the source never disturbs the clone (retired
+    // source files stay on disk until the SOURCE vacuums)
+    log.delete(col("id") === 1L)
+    assert(log.read().count() === 2L)
+    assert(clone.read().count() === 4L)
+
+    // the clone has its OWN history: v0 = the fork point
+    assert(clone.readVersion(0L).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("shallow clone pins a version; target-not-empty and no-commits refused") {
+    val src = tmpTable("clog-clonev-src")
+    val log = CommitLog(spark, src)
+    intercept[IllegalArgumentException] {
+      log.cloneTo(tmpTable("clog-clonev-none")) // no commits yet
+    }
+    log.append(Seq((1L, "a")).toDF("id", "v"))              // v0
+    log.append(Seq((2L, "b")).toDF("id", "v"))              // v1
+    val dst = tmpTable("clog-clonev-dst")
+    assert(log.cloneTo(dst, version = Some(0L)) === 0L)
+    assert(CommitLog(spark, dst).read().as[(Long, String)].collect().toSet
+      === Set((1L, "a")))
+    intercept[IllegalArgumentException] {
+      log.cloneTo(dst) // already has a log
+    }
+  }
+
+  test("shallow clone carries partition tags, stats, and column mapping") {
+    val src = tmpTable("clog-clonem-src")
+    val dst = tmpTable("clog-clonem-dst")
+    val log = CommitLog(spark, src)
+    log.appendPartitioned(
+      Seq((1L, "d1", 1.0), (2L, "d2", 2.0), (3L, "d2", 3.0))
+        .toDF("id", "day", "x"), "day")                     // v0
+    log.renameColumn("x", "price")                          // v1 (mapped)
+    log.cloneTo(dst)
+    val clone = CommitLog(spark, dst)
+    // mapping carried: reads surface the LOGICAL name over the
+    // physically-named source files
+    assert(clone.read().columns.toSeq === Seq("id", "day", "price"))
+    // per-file stats carried: range read stays correct (and prunable)
+    assert(clone.snapshot().stats.nonEmpty)
+    assert(clone.readRange("id", 2L, 3L).count() === 2L)
+    // partition tags carried: the scoped paths accept the clone as-is
+    clone.replacePartitions(
+      Seq((9L, "d2", 9.0)).toDF("id", "day", "price"), "day")
+    assert(clone.read().as[(Long, String, Double)].collect().toSet
+      === Set((1L, "d1", 1.0), (9L, "d2", 9.0)))
+    // the source never moved
+    assert(log.read().count() === 3L)
+  }
+
+  test("clone vacuum spares source files; optimize localizes the clone") {
+    val src = tmpTable("clog-clonev2-src")
+    val dst = tmpTable("clog-clonev2-dst")
+    val log = CommitLog(spark, src)
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    log.cloneTo(dst)
+    val clone = CommitLog(spark, dst)
+    // vacuum on the CLONE sweeps only its own data dir — the
+    // referenced source files are out of scope by construction
+    clone.vacuum(stagingTtlMs = 0L)
+    assert(log.read().count() === 2L)
+    assert(clone.read().count() === 2L)
+    // any rewrite LOCALIZES: after optimize the clone references only
+    // its own files, so even deleting the source's data physically
+    // (a source past its retention) leaves the clone readable
+    clone.optimize(targetFiles = 1)
+    assert(dataFilesOf(dst).nonEmpty)
+    val sfs = new org.apache.hadoop.fs.Path(src + "/data")
+    val fs = sfs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(sfs, true)
+    assert(clone.read().as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("clone of a clone keeps absolute references intact") {
+    val a = tmpTable("clog-clonecc-a")
+    val b = tmpTable("clog-clonecc-b")
+    val c = tmpTable("clog-clonecc-c")
+    val log = CommitLog(spark, a)
+    log.append(Seq((1L, "a")).toDF("id", "v"))
+    log.cloneTo(b)
+    val cloneB = CommitLog(spark, b)
+    cloneB.append(Seq((2L, "b")).toDF("id", "v"))
+    cloneB.cloneTo(c)
+    val cloneC = CommitLog(spark, c)
+    assert(cloneC.read().as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    assert(dataFilesOf(c).isEmpty) // still zero-copy two hops deep
+    // change feed over the clone's fork commit reads the referenced
+    // files like any add
+    val feed = cloneC.readChanges(-1L)
+    assert(feed.filter(col("_change_type") === "insert").count() === 2L)
+  }
 }
 
 

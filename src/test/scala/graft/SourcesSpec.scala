@@ -588,6 +588,44 @@ class SourcesSpec extends SparkSpecBase {
     intercept[Exception] { spark.sql("CALL gproc.system.vacuum(`table` => 'missing')") }
   }
 
+  test("CALL clone forks a catalog table zero-copy at a pinned version") {
+    val wh = Files.createTempDirectory("graft-wh-clone").toString
+    spark.conf.set("spark.sql.catalog.gcln", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcln.warehouse", wh)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .writeTo("gcln.t").tableProperty("merge.log", "true").create() // v0
+    Seq((3L, "c")).toDF("id", "v").writeTo("gcln.t").append()        // v1
+
+    // clone at v0: a full catalog table (readable, writable, versioned)
+    assert(spark.sql(
+      "CALL gcln.system.clone(`table` => 't', target => 't0', version => 0)")
+      .as[Long].head() === 0L)
+    assert(spark.table("gcln.t0").as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    // zero-copy: nothing under the clone's data dir yet
+    val cfs = new org.apache.hadoop.fs.Path(s"$wh/t0/data")
+    val fsys = cfs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fsys.exists(cfs) || fsys.listStatus(cfs).isEmpty)
+
+    // the clone is an independent SQL table: DML diverges, source fixed
+    spark.sql("INSERT INTO gcln.t0 VALUES (9, 'z')")
+    spark.sql("DELETE FROM gcln.t0 WHERE id = 1")
+    assert(spark.table("gcln.t0").as[(Long, String)].collect().toSet
+      === Set((2L, "b"), (9L, "z")))
+    assert(spark.table("gcln.t").as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel works on the clone's own history
+    assert(spark.sql("SELECT * FROM gcln.t0 VERSION AS OF 0")
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+
+    // default version = latest; existing target refused
+    spark.sql("CALL gcln.system.clone(`table` => 't', target => 'tl')")
+    assert(spark.table("gcln.tl").count() === 3L)
+    intercept[Exception] {
+      spark.sql("CALL gcln.system.clone(`table` => 't', target => 'tl')")
+    }
+  }
+
   test("CSV sink + explicit-schema scan round-trips lineitem columns") {
     val dir = Files.createTempDirectory("csv-src").toString
     val src = graft.sources.Tables(spark, sfDir, "lineitem")
