@@ -270,6 +270,32 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
 
   private var constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil
 
+  /** The DURABLE form of [[withConstraint]]: attach every
+    * `constraint.<name>` entry of a catalog table's persisted
+    * properties (value = a SQL boolean expression over the table's
+    * LOGICAL columns, e.g. `constraint.price_pos` → `price >= 0`).
+    * The catalog calls this at every write-path construction, so
+    * constraints survive instance and session turnover — Delta's
+    * `delta.constraints.*` shape. Path-based (catalog-less) users keep
+    * the per-instance [[withConstraint]]. */
+  def withConstraintProps(props: Map[String, String]): CommitLog = {
+    props.foreach { case (k, v) =>
+      if (k.startsWith(CommitLog.ConstraintPropPrefix))
+        withConstraint(k.stripPrefix(CommitLog.ConstraintPropPrefix),
+          org.apache.spark.sql.functions.expr(v))
+    }
+    this
+  }
+
+  /** Validate the CURRENT table contents against every registered
+    * constraint — the ALTER-time gate when a durable constraint is
+    * added to a table that already holds data (Delta's ADD CONSTRAINT
+    * scan): adding an invariant the existing rows violate must fail
+    * loudly then, not on some later unrelated write. One aggregate
+    * scan; a never-committed table validates trivially. */
+  def validateTableConstraints(): Unit =
+    if (snapshot().version >= 0) validateConstraints(read())
+
   /** Refuse `df` if any row violates a registered constraint. All
     * counts come from one aggregate pass; constraints that do not
     * RESOLVE against `df` (batch omits the column) are skipped —
@@ -2392,6 +2418,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         case None if !identity && staged.nonEmpty =>
           (writeData(stagedDf, sch), Map.empty[String, String])
         case None =>
+          // the rename-adoption fast path skips writeData — its
+          // constraint check must run here (one read-back of the
+          // staged batch, only when constraints are registered)
+          if (constraints.nonEmpty && staged.nonEmpty)
+            validateConstraints(stagedDf)
           val moved = staged.map { st =>
             val name = s"${UUID.randomUUID()}-${st.getPath.getName}"
             if (!fs.rename(st.getPath, new Path(dataDir, name)))
@@ -2452,6 +2483,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       if (!identityMapping(assignPhys(
           mergedSchema(s0.schema, writeSchema), s0.schema, s0.physRetired)))
         return append(spark.read.schema(writeSchema)
+          .parquet(staged.map(_.getPath.toString).toSeq: _*))
+      // zero-rewrite adoption skips writeData — run its constraint
+      // check here (read-back only when constraints are registered)
+      if (constraints.nonEmpty && staged.nonEmpty)
+        validateConstraints(spark.read.schema(writeSchema)
           .parquet(staged.map(_.getPath.toString).toSeq: _*))
       val moved = staged.map { st =>
         val name = s"${UUID.randomUUID()}-${st.getPath.getName}"
@@ -2855,6 +2891,11 @@ object CommitLog {
     * [[CommitLog.renameColumn]]/[[CommitLog.dropColumn]]. Absent means
     * physical == logical. */
   val PhysKey: String = "graft.phys"
+
+  /** Catalog table-property prefix for DURABLE CHECK constraints
+    * ([[CommitLog.withConstraintProps]]): `constraint.<name>` = a SQL
+    * boolean expression enforced on every write. */
+  val ConstraintPropPrefix: String = "constraint."
 
   /** True when a manifest file entry is an ABSOLUTE path — a SHALLOW
     * CLONE's reference into another table's data directory ([[cloneTo]])

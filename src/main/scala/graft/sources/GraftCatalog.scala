@@ -186,6 +186,20 @@ final class GraftCatalog extends TableCatalog
     }
     val props = partProp.fold(props0)(c =>
       props0 + ("merge.partcol" -> c) + ("merge.log" -> "true"))
+    // durable CHECK constraints (`constraint.<name>` = SQL boolean
+    // expression) are enforced through the commit-log write paths —
+    // refuse them on plain directory tables, and catch an expression
+    // that does not even resolve against the declared schema NOW
+    // rather than on the first write
+    val constraintProps =
+      props.filter(_._1.startsWith(CommitLog.ConstraintPropPrefix))
+    if (constraintProps.nonEmpty) {
+      require(props.get("merge.log").contains("true"),
+        s"$ident: constraint.* table properties require merge.log=true " +
+          "(CHECK constraints are enforced by the commit-log write paths)")
+      GraftCatalog.checkConstraintExprs(spark, ident.toString, schema,
+        constraintProps)
+    }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("schema", schema.json)
@@ -275,6 +289,29 @@ final class GraftCatalog extends TableCatalog
       case sp: SetProperty =>
         require(!frozen(sp.property),
           s"$ident: '${sp.property}' cannot be altered after creation")
+        if (sp.property.startsWith(CommitLog.ConstraintPropPrefix)) {
+          // adding a durable CHECK constraint: logged tables only, the
+          // expression must resolve against the current schema, and the
+          // EXISTING rows must already satisfy it (Delta's ADD
+          // CONSTRAINT scan) — an invariant the table violates must
+          // fail here, not on some later unrelated write
+          val root = dir(ident).toString
+          require(CommitLog.exists(spark, root),
+            s"$ident: '${sp.property}' requires merge.log=true (CHECK " +
+              "constraints are enforced by the commit-log write paths)")
+          val log = CommitLog(spark, root)
+          // resolve against the LOG's schema (write-driven evolution may
+          // have outrun the declared json) — this is the loud gate for a
+          // typo'd column (validateConstraints deliberately skips
+          // non-resolving constraints, because batches may omit columns)
+          GraftCatalog.checkConstraintExprs(spark, ident.toString,
+            log.snapshot().schema.getOrElse(schema),
+            Map(sp.property -> sp.value))
+          log.withConstraint(
+              sp.property.stripPrefix(CommitLog.ConstraintPropPrefix),
+              org.apache.spark.sql.functions.expr(sp.value))
+            .validateTableConstraints()
+        }
         props = props.updated(sp.property, sp.value)
       case rp: RemoveProperty =>
         require(!frozen(rp.property),
@@ -407,7 +444,7 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
     require(CommitLog.exists(SparkSession.active, path),
       s"$ident: SQL row-level operations require merge.log=true (versioned commit log)")
     () => new GraftRowLevelOperation(ident, path, info.command(),
-      props.get("merge.partcol").map(_.trim).filter(_.nonEmpty))
+      props.get("merge.partcol").map(_.trim).filter(_.nonEmpty), props)
   }
 
   /** SQL `DELETE FROM graft.t WHERE …` — filter-based DSv2 delete over
@@ -571,11 +608,13 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
             def stagedDf: DataFrame =
               sess.read.schema(info.schema()).parquet(staging)
             if (dynamic) {
-              CommitLog(sess, path).replacePartitions(stagedDf, partCol.get)
+              CommitLog(sess, path).withConstraintProps(props)
+                .replacePartitions(stagedDf, partCol.get)
             } else if (logged && !overwrite && mode == "append" && partCol.isEmpty) {
               // zero-rewrite adoption: the staged task outputs BECOME
               // the table's new files, one metadata commit
-              CommitLog(sess, path).commitStagedAdd(staging, info.schema())
+              CommitLog(sess, path).withConstraintProps(props)
+                .commitStagedAdd(staging, info.schema())
             } else {
               insert(stagedDf, overwrite)
             }
@@ -620,7 +659,7 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
       // reference's conditional-put guarantee, which the plain
       // directory-swap path below does not give). merge.partcol scopes
       // every merge to the touched partitions (CommitLog.upsertPartitioned).
-      val log = CommitLog(data.sparkSession, path)
+      val log = CommitLog(data.sparkSession, path).withConstraintProps(props)
       if (overwrite)
         // truncate()/createOrReplace is whole-table; the partitioned
         // form keeps the tags so scoped merges stay usable. The
@@ -879,7 +918,10 @@ private[sources] final class GraftRowLevelOperation(ident: String,
     // merge.partcol for partition-tagged tables: the commit re-lands
     // the replacement content through the partitioned write so every
     // new file keeps a tag (None for untagged tables)
-    partCol: Option[String])
+    partCol: Option[String],
+    // full table properties — durable `constraint.*` CHECK constraints
+    // must gate the replacement content this statement commits
+    props: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   import org.apache.spark.sql.connector.read.ScanBuilder
   import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory,
@@ -951,9 +993,10 @@ private[sources] final class GraftRowLevelOperation(ident: String,
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           delegate.commit(messages) // files land under staging/
           import scala.jdk.CollectionConverters._
-          CommitLog(SparkSession.active, path).commitStagedReplace(
-            staging, singleScanVersion(),
-            retire = scannedFiles.asScala.toSet, partCol = partCol)
+          CommitLog(SparkSession.active, path).withConstraintProps(props)
+            .commitStagedReplace(
+              staging, singleScanVersion(),
+              retire = scannedFiles.asScala.toSet, partCol = partCol)
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit = {
           try delegate.abort(messages)
@@ -1014,6 +1057,33 @@ private[sources] object GraftRowLevelOperation {
       }
     }
   }
+}
+
+object GraftCatalog {
+  /** Loud parse/resolution gate for durable `constraint.*` properties:
+    * each value must be a SQL boolean expression that resolves against
+    * `schema`. Runs at CREATE/ALTER time so a typo'd column or broken
+    * expression fails at the DDL statement, not on the first write
+    * (the write-side validator deliberately skips non-resolving
+    * constraints — batches legitimately omit columns). */
+  private[sources] def checkConstraintExprs(spark: SparkSession,
+      ident: String, schema: StructType, cs: Map[String, String]): Unit =
+    cs.foreach { case (k, v) =>
+      val name = k.stripPrefix(CommitLog.ConstraintPropPrefix)
+      require(name.nonEmpty,
+        s"$ident: '$k' needs a constraint name after the prefix")
+      try {
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .filter(org.apache.spark.sql.functions.expr(v))
+          .queryExecution.analyzed
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$ident: constraint '$name' expression '$v' does not " +
+            s"parse/resolve against the table schema: ${e.getMessage}", e)
+      }
+      ()
+    }
 }
 
 object GraftMergeTable {

@@ -588,6 +588,54 @@ class SourcesSpec extends SparkSpecBase {
     intercept[Exception] { spark.sql("CALL gproc.system.vacuum(`table` => 'missing')") }
   }
 
+  test("durable CHECK constraints enforce across writes, DML, and ALTER") {
+    val wh = Files.createTempDirectory("graft-wh-cons").toString
+    spark.conf.set("spark.sql.catalog.gcons", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcons.warehouse", wh)
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price")
+      .writeTo("gcons.t").tableProperty("merge.log", "true")
+      .tableProperty("constraint.price_pos", "price >= 0").create()
+
+    // INSERT violating the persisted constraint fails LOUDLY and
+    // commits nothing — across a fresh table handle (durability)
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO gcons.t VALUES (3, -1.0)") }
+    assert(e1.getMessage.contains("price_pos")
+      || Option(e1.getCause).exists(_.getMessage.contains("price_pos")))
+    assert(spark.table("gcons.t").count() === 2L)
+    spark.sql("INSERT INTO gcons.t VALUES (3, 3.0)") // valid passes
+    assert(spark.table("gcons.t").count() === 3L)
+
+    // SQL UPDATE rides the staged row-level path — also gated
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE gcons.t SET price = -5.0 WHERE id = 1") }
+    assert(e2.getMessage.contains("price_pos")
+      || Option(e2.getCause).exists(_.getMessage.contains("price_pos")))
+    assert(spark.table("gcons.t").filter($"price" < 0).count() === 0L)
+
+    // ALTER-time gates: a constraint the EXISTING rows violate is
+    // refused at the statement; so is an unresolvable expression
+    intercept[Exception] { spark.sql(
+      "ALTER TABLE gcons.t SET TBLPROPERTIES ('constraint.small' = 'price < 15')") }
+    intercept[Exception] { spark.sql(
+      "ALTER TABLE gcons.t SET TBLPROPERTIES ('constraint.typo' = 'nope > 0')") }
+    // a satisfiable one lands and enforces immediately
+    spark.sql(
+      "ALTER TABLE gcons.t SET TBLPROPERTIES ('constraint.id_pos' = 'id > 0')")
+    intercept[Exception] {
+      spark.sql("INSERT INTO gcons.t VALUES (-9, 1.0)") }
+    // UNSET retires it
+    spark.sql("ALTER TABLE gcons.t UNSET TBLPROPERTIES ('constraint.id_pos')")
+    spark.sql("INSERT INTO gcons.t VALUES (-9, 1.0)")
+    assert(spark.table("gcons.t").count() === 4L)
+
+    // plain directory tables cannot carry constraints (no enforced path)
+    intercept[Exception] {
+      Seq((1L, 1.0)).toDF("id", "price").writeTo("gcons.plain")
+        .tableProperty("constraint.p", "price >= 0").create()
+    }
+  }
+
   test("CALL clone forks a catalog table zero-copy at a pinned version") {
     val wh = Files.createTempDirectory("graft-wh-clone").toString
     spark.conf.set("spark.sql.catalog.gcln", "graft.sources.GraftCatalog")
