@@ -1874,6 +1874,17 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     0L
   }
 
+  /** Total bytes of the LIVE data files (the DESCRIBE DETAIL size):
+    * one driver-side `getFileStatus` per live file — manifest-count
+    * work, no data read. Absolute (shallow-clone) references resolve
+    * to the source's files; a vacuumed-away reference counts 0 rather
+    * than failing (detail is an observability call, not a read). */
+  def liveFileBytes(): Long =
+    snapshot().files.map { f =>
+      try fs.getFileStatus(new Path(entryPath(f))).getLen
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
+
   /** Shared tag-state validation for the copy-on-write rewrites
     * ([[delete]]/[[update]]): a partition-tagged table must pass
     * `partCol` so rewritten files keep tags; an untagged one must not. */

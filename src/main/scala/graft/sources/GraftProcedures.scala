@@ -21,6 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.system.vacuum(`table` => 't')    -- delete unreferenced data files
   *   CALL graft.system.history(`table` => 't')   -- the commit audit rows
   *   CALL graft.system.clone(`table` => 't', target => 't2', version => 3)
+  *   CALL graft.system.restore(`table` => 't', version => 3)
+  *   CALL graft.system.detail(`table` => 't')  -- DESCRIBE DETAIL row
   * }}}
   *
   * Each procedure resolves its table against the catalog warehouse and
@@ -52,7 +54,7 @@ private[sources] object GraftProcedures {
   /** All procedures, by name. */
   def names: Seq[String] =
     Seq("optimize", "optimize_partitions", "compact", "prune", "vacuum",
-      "history", "materialize_mapping", "clone")
+      "history", "materialize_mapping", "clone", "restore", "detail")
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
     def logFor(table: String): CommitLog = {
@@ -147,6 +149,33 @@ private[sources] object GraftProcedures {
           try out.write(mapper.writeValueAsBytes(node)) finally out.close()
           resultScan(versionResult,
             Seq(new GenericInternalRow(Array[Any](0L))))
+        })
+      case "restore" => proc("restore",
+        Seq(p("table", StringType), p("version", LongType)),
+        in => resultScan(versionResult, Seq(new GenericInternalRow(Array[Any](
+          logFor(in.getUTF8String(0).toString).restore(in.getLong(1)))))))
+      case "detail" => proc("detail", Seq(p("table", StringType)),
+        in => {
+          // DESCRIBE DETAIL: one metadata-sized row from the folded
+          // snapshot — version, live file/partition counts, total
+          // data bytes (from the filesystem; absolute clone references
+          // included), and whether a column mapping is active
+          val log = logFor(in.getUTF8String(0).toString)
+          val s = log.snapshot()
+          val bytes = log.liveFileBytes()
+          val mapped = s.schema.exists(_.fields.exists(f =>
+            f.metadata.contains(CommitLog.PhysKey)))
+          resultScan(StructType(Seq(
+            StructField("version", LongType),
+            StructField("num_files", LongType),
+            StructField("size_bytes", LongType),
+            StructField("num_partitions", LongType),
+            StructField("column_mapped", BooleanType),
+            StructField("num_retired_physical", LongType))),
+            Seq(new GenericInternalRow(Array[Any](
+              s.version, s.files.size.toLong, bytes,
+              s.parts.values.toSet.size.toLong, mapped,
+              s.physRetired.size.toLong))))
         })
       case "history" => proc("history", Seq(p("table", StringType)),
         in => {

@@ -436,6 +436,7 @@ class PropertySpec extends SparkSpecBase {
     case class Drp(col: Int) extends Op
     case class Add(name: Int) extends Op
     case class Del(mod: Long, rem: Long) extends Op
+    case object Cln extends Op
     val names = Vector("a", "b", "c", "d", "e")
     val opGen: Gen[Op] = Gen.frequency(
       3 -> Gen.listOfN(4, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 99L)))
@@ -447,7 +448,8 @@ class PropertySpec extends SparkSpecBase {
       2 -> Gen.chooseNum(0, 4).map(Drp(_)),
       2 -> Gen.chooseNum(0, 4).map(Add(_)),
       1 -> Gen.zip(Gen.chooseNum(2L, 4L), Gen.chooseNum(0L, 3L))
-        .map { case (m, r) => Del(m, r) })
+        .map { case (m, r) => Del(m, r) },
+      1 -> Gen.const(Cln))
     val seqGen = Gen.listOfN(8, opGen)
     checkProp(Prop.forAllNoShrink(seqGen) { ops =>
       val t = java.nio.file.Files.createTempDirectory("clog-map-prop")
@@ -458,22 +460,31 @@ class PropertySpec extends SparkSpecBase {
       var rows = Map.empty[Long, Map[String, Option[Long]]]
       log.upsert(Seq((0L, 0L)).toDF("id", "v0"), Seq("id"), CommitLog.LastWins)
       rows += 0L -> Map("v0" -> Some(0L))
-      def agree(): Boolean = {
-        val df = log.read()
+      // shallow clones taken mid-sequence: each must stay EXACTLY its
+      // fork-point model while every later source op lands (renames,
+      // drops, deletes, merges must never leak into a clone)
+      var clones = List.empty[(CommitLog, Vector[String],
+        Map[Long, Map[String, Option[Long]]])]
+      def viewAgrees(l: CommitLog, vcols: Vector[String],
+          vrows: Map[Long, Map[String, Option[Long]]]): Boolean = {
+        val df = l.read()
         val gotCols = df.columns.toSeq
-        val wantCols = "id" +: cols
+        val wantCols = "id" +: vcols
         if (gotCols != wantCols) {
           info(s"columns $gotCols != $wantCols"); return false
         }
         val got = df.collect().map { r =>
-          r.getLong(0) -> cols.zipWithIndex.map { case (c, i) =>
+          r.getLong(0) -> vcols.zipWithIndex.map { case (c, i) =>
             c -> (if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1)))
           }.toMap
         }.toMap
-        val ok = got == rows
-        if (!ok) info(s"rows $got != $rows")
+        val ok = got == vrows
+        if (!ok) info(s"rows $got != $vrows")
         ok
       }
+      def agree(): Boolean =
+        viewAgrees(log, cols, rows) &&
+          clones.forall { case (cl, cc, cr) => viewAgrees(cl, cc, cr) }
       ops.forall { op =>
         op match {
           case Ups(rs) =>
@@ -534,6 +545,13 @@ class PropertySpec extends SparkSpecBase {
           case Del(m, r) =>
             log.delete(col("id") % m === r)
             rows = rows.filter { case (id, _) => id % m != r }
+          case Cln =>
+            if (clones.length < 2) { // bound per-sequence clone cost
+              val cRoot = java.nio.file.Files
+                .createTempDirectory("clog-map-prop-cl").toString + "/t"
+              log.cloneTo(cRoot)
+              clones ::= ((CommitLog(spark, cRoot), cols, rows))
+            }
         }
         agree()
       }

@@ -674,6 +674,44 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("CALL restore + detail complete the SQL maintenance surface") {
+    val wh = Files.createTempDirectory("graft-wh-rd").toString
+    spark.conf.set("spark.sql.catalog.grd", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grd.warehouse", wh)
+    Seq((1L, "a")).toDF("id", "v")
+      .writeTo("grd.t").tableProperty("merge.log", "true").create() // v0
+    Seq((2L, "b")).toDF("id", "v").writeTo("grd.t").append()        // v1
+
+    val d1 = spark.sql("CALL grd.system.detail(`table` => 't')").head()
+    assert(d1.getAs[Long]("version") === 1L)
+    assert(d1.getAs[Long]("num_files") === 2L)
+    assert(d1.getAs[Long]("size_bytes") > 0L)
+    assert(!d1.getAs[Boolean]("column_mapped"))
+
+    assert(spark.sql("CALL grd.system.restore(`table` => 't', version => 0)")
+      .as[Long].head() === 2L) // restore commits as a NEW version
+    assert(spark.table("grd.t").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a")))
+    spark.sql("ALTER TABLE grd.t RENAME COLUMN v TO w")
+    assert(spark.sql("CALL grd.system.detail(`table` => 't')")
+      .head().getAs[Boolean]("column_mapped"))
+  }
+
+  test("CALL clone carries durable constraints to the clone") {
+    val wh = Files.createTempDirectory("graft-wh-clcons").toString
+    spark.conf.set("spark.sql.catalog.gclc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gclc.warehouse", wh)
+    Seq((1L, 10.0)).toDF("id", "price")
+      .writeTo("gclc.t").tableProperty("merge.log", "true")
+      .tableProperty("constraint.price_pos", "price >= 0").create()
+    spark.sql("CALL gclc.system.clone(`table` => 't', target => 'c')")
+    // the mirrored meta json carries constraint.* — the clone enforces
+    intercept[Exception] {
+      spark.sql("INSERT INTO gclc.c VALUES (2, -1.0)") }
+    spark.sql("INSERT INTO gclc.c VALUES (2, 2.0)")
+    assert(spark.table("gclc.c").count() === 2L)
+  }
+
   test("CSV sink + explicit-schema scan round-trips lineitem columns") {
     val dir = Files.createTempDirectory("csv-src").toString
     val src = graft.sources.Tables(spark, sfDir, "lineitem")
