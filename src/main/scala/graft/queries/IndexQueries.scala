@@ -1206,6 +1206,83 @@ object IndexQueries {
             UNION ALL SELECT * FROM ph_fork)
       ORDER BY phase, o_orderstatus"""))
 
+  /** B2 DURABLE CHECK CONSTRAINTS under the hash gate (r12,
+    * `constraint.*` table properties → [[graft.sources.CommitLog
+    * .withConstraintProps]]): the property travels with the CATALOG
+    * TABLE, so a violating write through any later handle must refuse
+    * AND COMMIT NOTHING — this composite drives a violating INSERT and
+    * a violating UPDATE into the table between valid writes, swallows
+    * the (expected) refusals, and aggregates the final state. Hash
+    * equality against a reconstruction built ONLY from the valid
+    * writes pins refusal atomicity: a single leaked row or
+    * half-applied update from a refused statement moves the hash. The
+    * post-refusal valid write doubles as the liveness check (a refusal
+    * must not wedge the table). */
+  private val q168 = Q(
+    "q168_check_constraints",
+    (s, dir) => {
+      val cat = "g168_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "cons-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true")
+        .tableProperty("constraint.price_pos", "price >= 0").create() // v0
+      def refused(stmt: => Unit): Unit =
+        try { stmt; throw new IllegalStateException(
+          "q168: a constraint-violating statement was NOT refused")
+        } catch {
+          case e: Exception if e.getMessage != null
+            && (e.getMessage.contains("price_pos")
+              || Option(e.getCause).exists(c => c.getMessage != null
+                && c.getMessage.contains("price_pos"))) => ()
+        }
+      // violating INSERT (negated prices) — must land zero rows
+      refused {
+        o.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("price", negate(col("price")))
+          .createOrReplaceTempView("q168_bad")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM q168_bad"): Unit
+      }
+      // valid append through a FRESH handle (constraint re-attached
+      // from the persisted property, not instance state)
+      o.filter(col("o_orderkey") % 4 === 1)
+        .writeTo(s"$cat.t").append()
+      // violating UPDATE (the staged row-level path) — must change nothing
+      refused {
+        s.sql(s"UPDATE $cat.t SET price = CAST(-1 AS DECIMAL(18,2)) " +
+          "WHERE o_orderstatus = 'F'"): Unit
+      }
+      // valid UPDATE lands after the refusal (liveness)
+      s.sql(s"""UPDATE $cat.t SET price = CAST(price * 2 AS DECIMAL(18,2))
+        WHERE o_orderstatus = 'P' AND o_orderkey % 4 = 2""")
+      s.table(s"$cat.t").groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("price_sum"),
+          sum(when(col("price") < 0, 1L).otherwise(0L)).as("neg_rows"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1),
+      upd AS (
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderstatus = 'P' AND o_orderkey % 4 = 2
+               THEN CAST(price * 2 AS DECIMAL(18,2)) ELSE price
+          END AS price
+        FROM base)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(price) AS DOUBLE) AS price_sum,
+        CAST(SUM(CASE WHEN price < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS neg_rows
+      FROM upd GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
-    q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167)
+    q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
+    q168)
 }
