@@ -1282,7 +1282,75 @@ object IndexQueries {
       FROM upd GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
+  /** B2/B5 STORAGE-PARTITIONED JOIN (r12, [[graft.sources
+    * .GraftLogScanBuilder]] `spjWrap`): two commit-log tables
+    * partition-tagged on the same column are joined ON that column with
+    * `spark.graft.spj.preserveDataGrouping=true` — the scans report
+    * `KeyGroupedPartitioning` from manifest metadata and Spark plans
+    * the join AND the downstream aggregation with ZERO Exchange nodes
+    * (the 100 TB fact⋈fact shape: co-partitioned tables never shuffle
+    * on their partition key). The query REQUIRES the exchange-free plan
+    * in-body (a silent fall-back to the shuffling plan turns this
+    * red), then hands the result to the ordinary gate — decimal sums
+    * keep the aggregation exact in both task layouts, so the hash pins
+    * value correctness independently of the plan shape. */
+  private val q169 = Q(
+    "q169_storage_partitioned_join",
+    (s, dir) => {
+      val cat = "g169_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "spj-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity").cast("decimal(12,2)").as("qty"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      li.writeTo(s"$cat.fact").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "l_returnflag").create()
+      li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        .writeTo(s"$cat.dim").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "l_returnflag").create()
+      val prevBcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.graft.spj.preserveDataGrouping", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val gold = s.table(s"$cat.fact")
+          .join(s.table(s"$cat.dim"), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_li"),
+            sum(col("price")).as("sum_price"),
+            max(col("n_orders")).as("n_orders"))
+        val rows = gold.collect() // evaluate UNDER the SPJ flags
+        val plan = gold.queryExecution.executedPlan.toString
+        require(plan.contains("graft-spj"),
+          s"q169: the scans did not report SPJ partitioning:\n$plan")
+        val nExchange = plan.linesIterator.count(_.contains("Exchange"))
+        require(nExchange == 0,
+          s"q169: co-partitioned join planned $nExchange Exchange node(s):\n$plan")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), gold.schema)
+          .withColumn("sum_price", col("sum_price").cast("double"))
+          .orderBy(col("l_returnflag"))
+      } finally {
+        s.conf.set("spark.graft.spj.preserveDataGrouping", "false")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      }
+    },
+    Some("""WITH fact AS (
+        SELECT l_returnflag, CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS price, l_orderkey
+        FROM lineitem),
+      dim AS (
+        SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM fact GROUP BY l_returnflag)
+      SELECT f.l_returnflag, COUNT(*) AS n_li,
+        CAST(SUM(f.price) AS DOUBLE) AS sum_price,
+        MAX(d.n_orders) AS n_orders
+      FROM fact f JOIN dim d ON f.l_returnflag = d.l_returnflag
+      GROUP BY f.l_returnflag
+      ORDER BY f.l_returnflag"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
-    q168)
+    q168, q169)
 }

@@ -530,7 +530,8 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
       // column-mapped (renamed) tables included — the builder
       // translates logical ↔ physical names at the scan boundary
       GraftLogSource.snapshotScanBuilder(path, optVersion, optTs,
-        schema0, options)
+        schema0, options,
+        partCol = props.get("merge.partcol").map(_.trim).filter(_.nonEmpty))
     else {
       require(optVersion.isEmpty && optTs.isEmpty,
         s"$ident: time travel requires merge.log=true (versioned commit log)")
@@ -734,7 +735,11 @@ private[sources] final class GraftLogScanBuilder(
     // logical view than the pinned snapshot under option-based time
     // travel). Carries the column mapping in its PhysKey metadata.
     // null/empty → the snapshot's own schema.
-    relationSchema: StructType = null)
+    relationSchema: StructType = null,
+    // The table's manifest-level partition column (merge.partcol /
+    // PARTITIONED BY), when the caller knows it: lets the built scan
+    // report storage-partitioned-join KeyGroupedPartitioning (r12).
+    partCol: Option[String] = None)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -853,10 +858,57 @@ private[sources] final class GraftLogScanBuilder(
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     onScan(snap.version, selectedFiles)
     val s = inner.build()
-    if (!mapped) s
+    val base = if (!mapped) s
     else GraftLogScanBuilder.MappedScan(s, StructType(
       s.readSchema().fields.map(f => f.copy(
         name = p2l.getOrElse(lcn(f.name), f.name)))))
+    spjWrap(base)
+  }
+
+  /** Storage-partitioned-join surface (r12): when the session opts in
+    * (`spark.graft.spj.preserveDataGrouping=true`, plus Spark's own
+    * `spark.sql.sources.v2.bucketing.enabled` — default true in
+    * Spark 4) and every selected file carries a manifest partition tag,
+    * wrap the scan so it reports [[org.apache.spark.sql.connector.read
+    * .partitioning.KeyGroupedPartitioning]] over the partition column
+    * and plans input partitions that never mix tag values — Spark then
+    * plans joins and aggregations keyed on that column WITHOUT an
+    * Exchange on this side (the file-level analog of bucketed tables,
+    * driven entirely by manifest metadata). The graft-side flag exists
+    * because reported grouping is a TRADE, not a pure win: Spark groups
+    * a reporting scan's tasks one-per-partition-value in EVERY plan, so
+    * a plain scan of a coarsely partitioned table would lose
+    * parallelism — same reason Iceberg defaults
+    * `planning.preserve-data-grouping` to false; enable it for the
+    * co-partitioned join/agg workloads it exists for. Conservative
+    * bail-outs (any → the plain scan, today's plan exactly): flags off,
+    * row-level group-granularity scans, untagged or zero files, a
+    * pruned-away or non-round-trippable partition column. Correctness
+    * never depends on the wrap — it only changes task grouping, and the
+    * all-tagged invariant guarantees every row of a file matches its
+    * tag. */
+  private def spjWrap(base: org.apache.spark.sql.connector.read.Scan)
+      : org.apache.spark.sql.connector.read.Scan = {
+    val enabled = spark.conf.getOption(
+        "spark.graft.spj.preserveDataGrouping").exists(_.toBoolean) &&
+      spark.conf.getOption(
+        "spark.sql.sources.v2.bucketing.enabled").forall(_.toBoolean)
+    if (!enabled || groupGranularity) return base
+    val field = partCol.map(_.trim).filter(_.nonEmpty)
+      .flatMap(c => logicalSchema.fields.find(f => lcn(f.name) == lcn(c)))
+    field match {
+      case Some(f) if GraftLogScanBuilder.spjKeyType(f.dataType)
+          && selectedFiles.nonEmpty
+          && selectedFiles.forall(snap.parts.contains)
+          && prunedSchema.forall(_.fields.exists(pf => lcn(pf.name) == lcn(f.name))) =>
+        val keyByName: Map[String, String] = selectedFiles.map { rel =>
+          val abs = if (CommitLog.isExternalEntry(rel)) rel else s"$tableRoot/$rel"
+          abs.substring(abs.lastIndexOf('/') + 1) -> snap.parts(rel)
+        }.toMap
+        GraftLogScanBuilder.SpjScan(base, f.name, f.dataType, keyByName,
+          keyByName.values.toSet.size)
+      case _ => base
+    }
   }
 }
 
@@ -877,6 +929,132 @@ private[sources] object GraftLogScanBuilder {
     override def readSchema(): StructType = out
     override def description(): String = s"graft-mapped ${inner.description()}"
     override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+    override def columnarSupportMode()
+        : org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
+      inner.columnarSupportMode()
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      inner.supportedCustomMetrics()
+    override def reportDriverMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      inner.reportDriverMetrics()
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+      inner match {
+        case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+          s.estimateStatistics()
+        case _ => new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes() = java.util.OptionalLong.empty()
+          override def numRows() = java.util.OptionalLong.empty()
+        }
+      }
+    override def getMetaData(): Map[String, String] = inner match {
+      case s: org.apache.spark.sql.internal.connector.SupportsMetadata =>
+        s.getMetaData()
+      case _ => Map.empty
+    }
+  }
+
+  /** Partition-key types safe for SPJ: the manifest tag is the value's
+    * `cast(string)`, so the type must round-trip string → internal
+    * EXACTLY (both tables of a join must derive the identical key from
+    * the identical value). Fractional floats and timestamps are out. */
+  private[sources] def spjKeyType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | IntegerType | LongType | ShortType | ByteType
+           | BooleanType | DateType => true
+      case _ => false
+    }
+  }
+
+  /** The manifest tag string as a single-column [[InternalRow]] of the
+    * partition column's INTERNAL type — what [[org.apache.spark.sql
+    * .connector.read.HasPartitionKey.partitionKey]] must return. */
+  private[sources] def internalKey(tag: String,
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.types._
+    val v: Any = dt match {
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(tag)
+      case IntegerType => tag.toInt
+      case LongType => tag.toLong
+      case ShortType => tag.toShort
+      case ByteType => tag.toByte
+      case BooleanType => tag.toBoolean
+      case DateType => java.time.LocalDate.parse(tag).toEpochDay.toInt
+      case other => throw new IllegalStateException(
+        s"graft-spj: unsupported partition key type $other")
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array(v))
+  }
+
+  /** A [[FilePartition]] that also reports its manifest partition
+    * key — the unit Spark's storage-partitioned-join planner groups
+    * by. Plain subclass (not case-to-case): the reader factory only
+    * needs the FilePartition shape. */
+  private[sources] final class KeyedFilePartition(
+      index0: Int,
+      files0: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+      key: org.apache.spark.sql.catalyst.InternalRow)
+      extends org.apache.spark.sql.execution.datasources.FilePartition(index0, files0)
+      with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+  }
+
+  /** The SPJ-reporting scan over a partition-tagged commit-log table:
+    * delegates everything to the inner (vectorized, possibly
+    * column-mapped) scan but (1) advertises `KeyGroupedPartitioning`
+    * on the partition column and (2) re-plans the inner batch's
+    * bin-packed [[FilePartition]]s into single-tag pieces, each
+    * carrying its key. Task-count parallelism is preserved (a split is
+    * subdivided per tag, never merged here) — Spark's own exec layer
+    * merges same-key pieces into one task exactly when a
+    * storage-partitioned plan needs it. `fileKeys` is basename → tag
+    * (basenames are UUID-prefixed by the write path, so unique even
+    * across shallow-clone references). */
+  private[sources] final case class SpjScan(
+      inner: org.apache.spark.sql.connector.read.Scan,
+      keyName: String, keyType: org.apache.spark.sql.types.DataType,
+      fileKeys: Map[String, String], distinctKeys: Int)
+      extends org.apache.spark.sql.connector.read.Scan
+      with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics
+      with org.apache.spark.sql.internal.connector.SupportsMetadata {
+    import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+    import org.apache.spark.sql.execution.datasources.FilePartition
+
+    override def readSchema(): StructType = inner.readSchema()
+    override def description(): String =
+      s"graft-spj(key=$keyName) ${inner.description()}"
+
+    override def outputPartitioning()
+        : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity(keyName)),
+        distinctKeys)
+
+    override def toBatch: Batch = new Batch {
+      private val b = inner.toBatch
+      override def createReaderFactory(): PartitionReaderFactory =
+        b.createReaderFactory()
+      override def planInputPartitions(): Array[InputPartition] = {
+        var idx = -1
+        b.planInputPartitions().flatMap {
+          case fp: FilePartition =>
+            fp.files.groupBy { pf =>
+              val p = pf.filePath.toPath.getName
+              fileKeys.getOrElse(p, throw new IllegalStateException(
+                s"graft-spj: no partition tag for data file $p"))
+            }.toSeq.sortBy(_._1).map { case (tag, fs) =>
+              idx += 1
+              new KeyedFilePartition(idx, fs, internalKey(tag, keyType))
+            }
+          case other => throw new IllegalStateException(
+            s"graft-spj: unexpected input partition ${other.getClass.getName}")
+        }
+      }
+    }
+
     override def columnarSupportMode()
         : org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
       inner.columnarSupportMode()

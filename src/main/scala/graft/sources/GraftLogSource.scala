@@ -188,9 +188,13 @@ object GraftLogSource {
   private[sources] def snapshotScanBuilder(root: String,
       version: Option[Long], tsMillis: Option[Long],
       schema0: StructType,
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap,
+      partCol: Option[String] = None): ScanBuilder =
     new GraftLogScanBuilder(SparkSession.active, root, version, tsMillis,
-      options, relationSchema = schema0)
+      options, relationSchema = schema0,
+      // catalog tables pass merge.partcol; path reads may opt in with
+      // .option("partCol", ...) — enables the SPJ KeyGroupedPartitioning
+      partCol = partCol.orElse(Option(options.get("partCol"))))
 }
 
 private[sources] final class GraftLogTable(root: String, schema0: StructType)

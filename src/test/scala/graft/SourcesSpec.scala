@@ -943,4 +943,85 @@ class SourcesSpec extends SparkSpecBase {
     }
     assert(e.getMessage.nonEmpty)
   }
+
+  test("storage-partitioned joins: co-partitioned tables join and aggregate shuffle-free") {
+    val wh = Files.createTempDirectory("graft-wh-spj").toString
+    spark.conf.set("spark.sql.catalog.gspj", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gspj.warehouse", wh)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // finalize the AQE plan before inspecting it
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+    }
+    try {
+      // two tables partitioned on the same STRING column + one on DATE
+      val facts = Seq(
+        (1L, "d1", java.sql.Date.valueOf("2024-01-01"), 10.0),
+        (2L, "d1", java.sql.Date.valueOf("2024-01-01"), 20.0),
+        (3L, "d2", java.sql.Date.valueOf("2024-01-02"), 30.0),
+        (4L, "d3", java.sql.Date.valueOf("2024-01-03"), 40.0))
+        .toDF("id", "day", "dt", "x")
+      facts.writeTo("gspj.f").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "day").create()
+      Seq(("d1", 2.0), ("d2", 3.0), ("d3", 4.0)).toDF("day", "w")
+        .writeTo("gspj.d").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "day").create()
+      facts.select($"dt", $"x").writeTo("gspj.fd")
+        .tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "dt").create()
+
+      def joined = spark.table("gspj.f").join(spark.table("gspj.d"), "day")
+        .groupBy($"day").agg(sum($"x" * $"w").as("s"))
+      val expected = Set(("d1", 60.0), ("d2", 90.0), ("d3", 160.0))
+
+      // flag OFF (default): plain scan, no SPJ wrap, shuffles present
+      assert(!joined.queryExecution.executedPlan.toString.contains("graft-spj"),
+        "SPJ must not engage without the opt-in flag")
+      assert(joined.as[(String, Double)].collect().toSet === expected)
+
+      spark.conf.set("spark.graft.spj.preserveDataGrouping", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      // partition-keyed JOIN: zero exchanges, same answer
+      val j = joined
+      assert(exchanges(j) === 0,
+        "co-partitioned join must plan without any Exchange:\n" +
+          j.queryExecution.executedPlan)
+      assert(j.queryExecution.executedPlan.toString.contains("graft-spj"))
+      assert(j.as[(String, Double)].collect().toSet === expected)
+
+      // partition-keyed AGGREGATION: zero exchanges
+      val a = spark.table("gspj.f").groupBy($"day").agg(sum($"x").as("sx"))
+      assert(exchanges(a) === 0,
+        "partition-keyed agg must plan without any Exchange")
+      assert(a.as[(String, Double)].collect().toSet
+        === Set(("d1", 30.0), ("d2", 30.0), ("d3", 40.0)))
+
+      // DATE partition key round-trips through the manifest tag
+      val ad = spark.table("gspj.fd").groupBy($"dt").agg(sum($"x").as("sx"))
+      assert(exchanges(ad) === 0)
+      assert(ad.collect().map(r => (r.getDate(0).toString, r.getDouble(1))).toSet
+        === Set(("2024-01-01", 30.0), ("2024-01-02", 30.0), ("2024-01-03", 40.0)))
+
+      // pushdown still reaches the scan under the SPJ wrap, and a
+      // pruned-away partition column silently skips SPJ (no error)
+      val f = spark.table("gspj.f").filter($"day" === "d2").select($"x")
+      assert(f.queryExecution.executedPlan.toString.contains("PushedFilters"))
+      assert(f.as[Double].collect().toSet === Set(30.0))
+      val noPart = spark.table("gspj.f").select($"id", $"x")
+        .groupBy($"id").agg(sum($"x"))
+      noPart.collect() // must simply run (no SPJ: key not in output)
+
+      // a join on a NON-partition key still shuffles (sanity: the wrap
+      // must not fake co-partitioning it doesn't have)
+      val bad = spark.table("gspj.f").join(
+        spark.table("gspj.f").withColumnRenamed("x", "y"), "id")
+      assert(exchanges(bad) > 0)
+    } finally {
+      spark.conf.set("spark.graft.spj.preserveDataGrouping", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
 }
