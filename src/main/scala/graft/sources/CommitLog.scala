@@ -2075,6 +2075,70 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
   }
 
+  /** RUNTIME file skipping for an IN-set on one column — the manifest
+    * side of the V2 scan's [[org.apache.spark.sql.connector.read
+    * .SupportsRuntimeV2Filtering]] surface (dynamic partition/file
+    * pruning: the values arrive at EXECUTION time from the other side
+    * of a join, not from the query text). A file in `files` survives
+    * when ANY value could hold a matching row, judged by every
+    * manifest layer that applies: the partition TAG (exact — the tag
+    * is the value's own cast-to-string, so equal values give equal
+    * strings), the per-file min/max stats (point-in-range), and the
+    * per-file bloom filters (probed through the same cast chain the
+    * index was built with). Layers the snapshot lacks pass
+    * conservatively; a null IN value matches nothing (a join key
+    * never equals null). Predicates carry LOGICAL names; stats,
+    * blooms, and tags are physical/derived — translated at lookup,
+    * same as [[candidateFilesForExprs]]. */
+  private[sources] def candidateFilesForInValues(s: Snapshot,
+      files: Seq[String], logicalCol: String,
+      values: Seq[org.apache.spark.sql.catalyst.expressions.Literal],
+      isPartCol: Boolean): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val phys = physOf(s.schema, logicalCol)
+    val nonNull = values.filter(_.value != null)
+    // the stats domain (Long / Double / String) — same folding as
+    // candidateFilesForExprs' litVal; None = not stats-comparable
+    def statVal(l: Literal): Option[Any] = l.value match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case v: java.lang.Long    => Some(v)
+      case v: java.lang.Short   => Some(v.longValue)
+      case v: java.lang.Byte    => Some(v.longValue)
+      case v: java.lang.Float   => Some(v.doubleValue)
+      case v: java.lang.Double  => Some(v)
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case _ => None
+    }
+    // the tag/bloom domain: the value's cast-to-string, evaluated by
+    // the SAME Cast the write path and bloomsFor use
+    def strVal(l: Literal): Option[String] = scala.util.Try(
+      Option(Cast(l, org.apache.spark.sql.types.StringType).eval(null))
+        .map(_.toString)).toOption.flatten
+    files.filter { f =>
+      // an empty (or all-null) IN-set keeps no file: exists = false
+      nonNull.exists { v =>
+        val tagOk =
+          if (!isPartCol) true
+          else s.parts.get(f) match {
+            case Some(tag) => strVal(v).forall(_ == tag)
+            case None => true // untagged file → cannot rule out
+          }
+        val statOk = s.stats.get(f).flatMap(_.get(phys)) match {
+          case Some((mn, mx)) => statVal(v) match {
+            case Some(x) => overlaps(mn, mx, x, x)
+            case None => true
+          }
+          case None => true
+        }
+        val bloomOk = s.blooms.get(f).flatMap(_.get(phys)) match {
+          case Some(b) => strVal(v).forall(bloomMayContain(b, _))
+          case None => true
+        }
+        tagOk && statOk && bloomOk
+      }
+    }
+  }
+
   /** OPTIMIZE: rewrite the live data into `targetFiles` files,
     * optionally Z-ORDER-clustered on `zorderBy` — the packaged
     * small-file compaction + clustering maintenance (Delta's OPTIMIZE

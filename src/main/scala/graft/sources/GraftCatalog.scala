@@ -862,7 +862,10 @@ private[sources] final class GraftLogScanBuilder(
     else GraftLogScanBuilder.MappedScan(s, StructType(
       s.readSchema().fields.map(f => f.copy(
         name = p2l.getOrElse(lcn(f.name), f.name)))))
-    spjWrap(base)
+    (spjInfo, rtInfo) match {
+      case (None, None) => base
+      case (spj, rt) => GraftLogScanBuilder.GraftScan(base, spj, rt)
+    }
   }
 
   /** Storage-partitioned-join surface (r12): when the session opts in
@@ -887,13 +890,12 @@ private[sources] final class GraftLogScanBuilder(
     * never depends on the wrap — it only changes task grouping, and the
     * all-tagged invariant guarantees every row of a file matches its
     * tag. */
-  private def spjWrap(base: org.apache.spark.sql.connector.read.Scan)
-      : org.apache.spark.sql.connector.read.Scan = {
+  private def spjInfo: Option[GraftLogScanBuilder.SpjInfo] = {
     val enabled = spark.conf.getOption(
         "spark.graft.spj.preserveDataGrouping").exists(_.toBoolean) &&
       spark.conf.getOption(
         "spark.sql.sources.v2.bucketing.enabled").forall(_.toBoolean)
-    if (!enabled || groupGranularity) return base
+    if (!enabled || groupGranularity) return None
     val field = partCol.map(_.trim).filter(_.nonEmpty)
       .flatMap(c => logicalSchema.fields.find(f => lcn(f.name) == lcn(c)))
     field match {
@@ -902,12 +904,64 @@ private[sources] final class GraftLogScanBuilder(
           && selectedFiles.forall(snap.parts.contains)
           && prunedSchema.forall(_.fields.exists(pf => lcn(pf.name) == lcn(f.name))) =>
         val keyByName: Map[String, String] = selectedFiles.map { rel =>
-          val abs = if (CommitLog.isExternalEntry(rel)) rel else s"$tableRoot/$rel"
-          abs.substring(abs.lastIndexOf('/') + 1) -> snap.parts(rel)
+          baseName(rel) -> snap.parts(rel)
         }.toMap
-        GraftLogScanBuilder.SpjScan(base, f.name, f.dataType, keyByName,
-          keyByName.values.toSet.size)
-      case _ => base
+        Some(GraftLogScanBuilder.SpjInfo(f.name, f.dataType, keyByName,
+          keyByName.values.toSet.size))
+      case _ => None
+    }
+  }
+
+  private def baseName(rel: String): String = {
+    val abs = if (CommitLog.isExternalEntry(rel)) rel else s"$tableRoot/$rel"
+    abs.substring(abs.lastIndexOf('/') + 1)
+  }
+
+  /** Runtime (dynamic) file pruning surface: when the table carries
+    * ANY manifest layer that can judge an equality at execution time —
+    * partition tags, per-file min/max stats, or a bloom index — the
+    * built scan advertises those columns through [[org.apache.spark
+    * .sql.connector.read.SupportsRuntimeV2Filtering]], and Spark's
+    * dynamic-partition-pruning planner feeds it the other join side's
+    * key values at RUNTIME (typically for free, re-reading a broadcast
+    * the join built anyway). The scan then drops data files no
+    * arriving key can hit — the fact⋈filtered-dim shape at 100 TB,
+    * where the pruning predicate exists in no query text and only the
+    * executed dim side knows which partitions matter. On by default
+    * (pruning-only, never adds work to the scan itself);
+    * `spark.graft.runtimeFiltering.enabled=false` opts out. Row-level
+    * (group-granularity) scans are excluded — their file set IS the
+    * write's rewrite unit and must not move after planning. */
+  private def rtInfo: Option[GraftLogScanBuilder.RtInfo] = {
+    if (groupGranularity) return None
+    if (!spark.conf.getOption("spark.graft.runtimeFiltering.enabled")
+        .forall(_.toBoolean)) return None
+    val partL: Option[String] = partCol.map(_.trim).filter(_.nonEmpty).map(lcn)
+    val statCols: Set[String] = snap.stats.valuesIterator.flatMap(_.keysIterator).toSet
+    val bloomCols: Set[String] = snap.blooms.valuesIterator.flatMap(_.keysIterator).toSet
+    def atomic(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: StructType => false
+      case _: org.apache.spark.sql.types.ArrayType => false
+      case _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    }
+    val filterable = logicalSchema.fields.toSeq.filter { f =>
+      atomic(f.dataType) && (partL.contains(lcn(f.name)) ||
+        statCols.contains(CommitLog.physNameOf(f)) ||
+        bloomCols.contains(CommitLog.physNameOf(f)))
+    }.map(_.name)
+    if (filterable.isEmpty || selectedFiles.isEmpty) None
+    else {
+      val files = selectedFiles // the static (pushdown-time) selection
+      Some(GraftLogScanBuilder.RtInfo(filterable, files.size,
+        preds => {
+          var keep = files
+          preds.foreach { case (col, lits) =>
+            keep = log.candidateFilesForInValues(snap, keep, col, lits,
+              isPartCol = partL.contains(lcn(col)))
+          }
+          keep.map(baseName).toSet
+        }))
     }
   }
 }
@@ -1001,69 +1055,189 @@ private[sources] object GraftLogScanBuilder {
     override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
   }
 
-  /** The SPJ-reporting scan over a partition-tagged commit-log table:
-    * delegates everything to the inner (vectorized, possibly
-    * column-mapped) scan but (1) advertises `KeyGroupedPartitioning`
-    * on the partition column and (2) re-plans the inner batch's
-    * bin-packed [[FilePartition]]s into single-tag pieces, each
-    * carrying its key. Task-count parallelism is preserved (a split is
-    * subdivided per tag, never merged here) — Spark's own exec layer
-    * merges same-key pieces into one task exactly when a
-    * storage-partitioned plan needs it. `fileKeys` is basename → tag
-    * (basenames are UUID-prefixed by the write path, so unique even
-    * across shallow-clone references). */
-  private[sources] final case class SpjScan(
-      inner: org.apache.spark.sql.connector.read.Scan,
+  /** SPJ surface the built scan advertises: the partition column and
+    * the basename → tag map over the statically selected files. */
+  private[sources] final case class SpjInfo(
       keyName: String, keyType: org.apache.spark.sql.types.DataType,
       fileKeys: Map[String, String], distinctKeys: Int)
+
+  /** Runtime-filtering surface: the logical columns the manifest can
+    * judge at execution time, the static file count (for the pruning
+    * metric), and the pruning closure — (col, IN-values) pairs in,
+    * surviving data-file BASENAMES out (closes over the builder's
+    * log/snapshot/static selection so no path-dependent snapshot type
+    * leaks into this signature). */
+  private[sources] final case class RtInfo(
+      filterable: Seq[String], staticCount: Int,
+      prune: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Literal])]
+        => Set[String])
+
+  private[sources] final class RtFilesKeptMetric
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "graftRtFilesKept"
+    override def description(): String =
+      "graft: data files kept after runtime pruning"
+  }
+  private[sources] final class RtFilesPrunedMetric
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "graftRtFilesPruned"
+    override def description(): String =
+      "graft: data files pruned by runtime filters"
+  }
+  private final case class RtTaskMetric(metricName: String, v: Long)
+      extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = v
+  }
+
+  /** The graft-wrapped scan over a commit-log table — the single place
+    * the two execution-time scan surfaces compose:
+    *
+    *  - `spj` (opt-in): advertises `KeyGroupedPartitioning` on the
+    *    manifest partition column and re-plans the inner batch's
+    *    bin-packed [[FilePartition]]s into single-tag pieces carrying
+    *    [[HasPartitionKey]] — storage-partitioned joins/aggs plan with
+    *    zero Exchange. Splits are subdivided per tag, never merged
+    *    here (Spark's exec layer merges same-key pieces exactly when
+    *    an SPJ plan needs it).
+    *  - `rt` (default-on): implements [[SupportsRuntimeV2Filtering]] —
+    *    Spark's dynamic-partition-pruning planner delivers the other
+    *    join side's key values at execution time, and [[filter]] drops
+    *    data files no arriving key can hit (partition tags exactly,
+    *    min/max stats and blooms conservatively). Pruning composes
+    *    with SPJ: files are dropped first, surviving ones tag-grouped
+    *    (a fully pruned tag disappears — that is DPP working).
+    *
+    * Basenames key both maps (UUID-prefixed by the write path, unique
+    * even across shallow-clone references). Mutable runtime state
+    * (`survivors`, metric counters) lives on the driver only — the
+    * scan object never ships to executors. */
+  private[sources] final case class GraftScan(
+      inner: org.apache.spark.sql.connector.read.Scan,
+      spj: Option[SpjInfo], rt: Option[RtInfo])
       extends org.apache.spark.sql.connector.read.Scan
       with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
       with org.apache.spark.sql.connector.read.SupportsReportStatistics
       with org.apache.spark.sql.internal.connector.SupportsMetadata {
     import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
     import org.apache.spark.sql.execution.datasources.FilePartition
 
+    // driver-side runtime-filter state: None = no runtime predicate
+    // arrived; Some(basenames) = only these files survive. filter()
+    // recomputes from the STATIC selection each call (idempotent under
+    // AQE re-planning, never cumulative across plan attempts).
+    @volatile private var survivors: Option[Set[String]] = None
+    @volatile private var keptCount: Long = rt.map(_.staticCount.toLong).getOrElse(0L)
+    @volatile private var prunedCount: Long = 0L
+
     override def readSchema(): StructType = inner.readSchema()
-    override def description(): String =
-      s"graft-spj(key=$keyName) ${inner.description()}"
+    override def description(): String = {
+      val spjTok = spj.map(i => s"graft-spj(key=${i.keyName}) ").getOrElse("")
+      val rtTok = rt.map(i =>
+        s"graft-rt(${i.filterable.mkString(",")}) ").getOrElse("")
+      s"$spjTok$rtTok${inner.description()}"
+    }
 
     override def outputPartitioning()
         : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        Array(org.apache.spark.sql.connector.expressions.Expressions.identity(keyName)),
-        distinctKeys)
+      spj match {
+        case Some(i) =>
+          new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions.identity(i.keyName)),
+            i.distinctKeys)
+        case None =>
+          new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+      }
+
+    override def filterAttributes()
+        : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      rt.map(_.filterable.map(
+        org.apache.spark.sql.connector.expressions.Expressions.column).toArray)
+        .getOrElse(Array.empty)
+
+    override def filter(
+        predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+        : Unit = rt.foreach { info =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.connector.expressions.NamedReference
+      val lcs = info.filterable.map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
+      val inSets: Seq[(String, Seq[Literal])] = predicates.toSeq.flatMap { p =>
+        if (p.name() != "IN" || p.children().isEmpty) None
+        else p.children()(0) match {
+          case ref: NamedReference if ref.fieldNames().length == 1 =>
+            lcs.get(ref.fieldNames()(0).toLowerCase(java.util.Locale.ROOT)).flatMap { col =>
+              val lits = p.children().drop(1).toSeq.map {
+                case lv: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                  Some(Literal(lv.value, lv.dataType))
+                case _ => None
+              }
+              // any non-literal child → the set is unknown: skip (keep all)
+              if (lits.contains(None)) None else Some(col -> lits.flatten)
+            }
+          case _ => None
+        }
+      }
+      if (inSets.nonEmpty) {
+        val keep = info.prune(inSets)
+        survivors = Some(keep)
+        keptCount = keep.size.toLong
+        prunedCount = (info.staticCount - keep.size).toLong
+      }
+    }
 
     override def toBatch: Batch = new Batch {
       private val b = inner.toBatch
       override def createReaderFactory(): PartitionReaderFactory =
         b.createReaderFactory()
       override def planInputPartitions(): Array[InputPartition] = {
-        var idx = -1
-        b.planInputPartitions().flatMap {
-          case fp: FilePartition =>
-            fp.files.groupBy { pf =>
-              val p = pf.filePath.toPath.getName
-              fileKeys.getOrElse(p, throw new IllegalStateException(
-                s"graft-spj: no partition tag for data file $p"))
-            }.toSeq.sortBy(_._1).map { case (tag, fs) =>
-              idx += 1
-              new KeyedFilePartition(idx, fs, internalKey(tag, keyType))
-            }
+        // runtime pruning first: drop files no arriving key can hit
+        val pruned: Array[FilePartition] = b.planInputPartitions().flatMap {
+          case fp: FilePartition => survivors match {
+            case None => Some(fp)
+            case Some(keep) =>
+              val fs = fp.files.filter(pf => keep(pf.filePath.toPath.getName))
+              if (fs.isEmpty) None else Some(FilePartition(fp.index, fs))
+          }
           case other => throw new IllegalStateException(
-            s"graft-spj: unexpected input partition ${other.getClass.getName}")
+            s"graft-scan: unexpected input partition ${other.getClass.getName}")
+        }
+        var idx = -1
+        spj match {
+          case Some(i) =>
+            pruned.flatMap { fp =>
+              fp.files.groupBy { pf =>
+                val p = pf.filePath.toPath.getName
+                i.fileKeys.getOrElse(p, throw new IllegalStateException(
+                  s"graft-spj: no partition tag for data file $p"))
+              }.toSeq.sortBy(_._1).map { case (tag, fs) =>
+                idx += 1
+                new KeyedFilePartition(idx, fs, internalKey(tag, i.keyType))
+              }
+            }
+          case None =>
+            pruned.map { fp => idx += 1; FilePartition(idx, fp.files) }
         }
       }
     }
 
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      inner.supportedCustomMetrics() ++ (if (rt.isDefined)
+        Array[org.apache.spark.sql.connector.metric.CustomMetric](
+          new RtFilesKeptMetric, new RtFilesPrunedMetric)
+      else Array.empty[org.apache.spark.sql.connector.metric.CustomMetric])
+    override def reportDriverMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      inner.reportDriverMetrics() ++ (if (rt.isDefined)
+        Array[org.apache.spark.sql.connector.metric.CustomTaskMetric](
+          RtTaskMetric("graftRtFilesKept", keptCount),
+          RtTaskMetric("graftRtFilesPruned", prunedCount))
+      else Array.empty[org.apache.spark.sql.connector.metric.CustomTaskMetric])
+
     override def columnarSupportMode()
         : org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
       inner.columnarSupportMode()
-    override def supportedCustomMetrics()
-        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-      inner.supportedCustomMetrics()
-    override def reportDriverMetrics()
-        : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-      inner.reportDriverMetrics()
     override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
       inner match {
         case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
