@@ -1350,7 +1350,89 @@ object IndexQueries {
       GROUP BY f.l_returnflag
       ORDER BY f.l_returnflag"""))
 
+  /** B2 RUNTIME FILE PRUNING (r13, [[graft.sources.GraftLogScanBuilder
+    * .GraftScan]]'s `SupportsRuntimeV2Filtering` side): the
+    * fact⋈filtered-dim shape where the pruning predicate exists in NO
+    * query text — the dim filter is on a column the fact table does
+    * not have (`flag_class`), so static pushdown and constraint
+    * inference cannot touch the fact scan, and only Spark's
+    * dynamic-partition-pruning planner (fed by the executed dim side's
+    * join-key values) can skip fact files. The manifest partition tags
+    * judge the arriving IN-set at file granularity — the reference's
+    * DynamoDB key seek (`/root/reference/index.js:305-314`) replayed
+    * as execution-time file skipping. The query REQUIRES
+    * `graftRtFilesPruned > 0` in-body (a silent fall-back to the
+    * full-scan plan turns this red) and hash-pins the values: decimal
+    * sums keep the aggregation exact whichever files are read, so the
+    * oracle catches a FALSE drop (a pruned file that held matching
+    * rows) as a value mismatch. */
+  private val q170 = Q(
+    "q170_runtime_file_pruning",
+    (s, dir) => {
+      val cat = "g170_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "rt-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      // two commits → two files per flag tag: pruning is file-granular
+      li.filter(col("l_orderkey") % 2 === 0)
+        .writeTo(s"$cat.fact").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "l_returnflag").create()
+      li.filter(col("l_orderkey") % 2 === 1)
+        .writeTo(s"$cat.fact").append()
+      // dim carries flag_class, a column the fact table lacks — the
+      // selective predicate below is NOT inferable onto the fact side
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        .withColumn("flag_class",
+          when(col("l_returnflag") === "R", "returned").otherwise("kept"))
+        .writeTo(s"$cat.dim").tableProperty("merge.log", "true").create()
+      val gold = s.table(s"$cat.fact")
+        .join(broadcast(s.table(s"$cat.dim")
+          .filter(col("flag_class") === "returned")), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_li"), sum(col("price")).as("sum_price"),
+          max(col("n_orders")).as("n_orders"))
+      val rows = gold.collect() // evaluate — DPP fires at execution
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: nodes(q.plan)
+        case other => other +: other.children.flatMap(nodes)
+      }
+      val prunedFiles = nodes(gold.queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.metrics.get("graftRtFilesPruned").map(_.value).getOrElse(0L)
+      }.sum
+      require(prunedFiles > 0,
+        s"q170: runtime filtering pruned no data files:\n" +
+          gold.queryExecution.executedPlan)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gold.schema)
+        .withColumn("sum_price", col("sum_price").cast("double"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH fact AS (
+        SELECT l_orderkey, l_returnflag,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        FROM lineitem),
+      dim AS (
+        SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+          CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'kept' END
+            AS flag_class
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT f.l_returnflag, COUNT(*) AS n_li,
+        CAST(SUM(f.price) AS DOUBLE) AS sum_price,
+        MAX(d.n_orders) AS n_orders
+      FROM fact f JOIN dim d ON f.l_returnflag = d.l_returnflag
+      WHERE d.flag_class = 'returned'
+      GROUP BY f.l_returnflag
+      ORDER BY f.l_returnflag"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
-    q168, q169)
+    q168, q169, q170)
 }

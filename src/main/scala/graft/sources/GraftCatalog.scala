@@ -945,15 +945,25 @@ private[sources] final class GraftLogScanBuilder(
       case _: org.apache.spark.sql.types.MapType => false
       case _ => true
     }
+    // advertise ONLY columns the built scan actually OUTPUTS: Spark's
+    // PartitionPruning resolves every advertised attribute against the
+    // pruned scan output (V2ExpressionUtils.resolveRef throws on a
+    // miss), so a stats-covered column that column pruning removed must
+    // not be advertised — the same prunedSchema guard spjInfo applies
+    // to its partition key
+    val pruned: Option[Set[String]] =
+      prunedSchema.map(_.fields.map(f => lcn(f.name)).toSet)
     val filterable = logicalSchema.fields.toSeq.filter { f =>
-      atomic(f.dataType) && (partL.contains(lcn(f.name)) ||
-        statCols.contains(CommitLog.physNameOf(f)) ||
-        bloomCols.contains(CommitLog.physNameOf(f)))
+      atomic(f.dataType) &&
+        pruned.forall(_.contains(lcn(f.name))) &&
+        (partL.contains(lcn(f.name)) ||
+          statCols.contains(CommitLog.physNameOf(f)) ||
+          bloomCols.contains(CommitLog.physNameOf(f)))
     }.map(_.name)
     if (filterable.isEmpty || selectedFiles.isEmpty) None
     else {
       val files = selectedFiles // the static (pushdown-time) selection
-      Some(GraftLogScanBuilder.RtInfo(filterable, files.size,
+      Some(GraftLogScanBuilder.RtInfo(filterable, files.size, snap.version)(
         preds => {
           var keep = files
           preds.foreach { case (col, lits) =>
@@ -963,6 +973,25 @@ private[sources] final class GraftLogScanBuilder(
           keep.map(baseName).toSet
         }))
     }
+  }
+}
+
+/** Plan-probe helper: graft's commit-log reads may wrap Spark's
+  * vectorized parquet scan in delegating layers ([[GraftLogScanBuilder
+  * .GraftScan]] for SPJ/runtime filtering, [[GraftLogScanBuilder
+  * .MappedScan]] for column mapping) — any code that inspects the
+  * inner [[org.apache.spark.sql.execution.datasources.v2.FileScan]]
+  * (file index, read schema) must unwrap through them here instead of
+  * casting the relation's scan directly. */
+private[graft] object GraftScans {
+  @annotation.tailrec
+  def unwrapFileScan(s: org.apache.spark.sql.connector.read.Scan)
+      : org.apache.spark.sql.execution.datasources.v2.FileScan = s match {
+    case g: GraftLogScanBuilder.GraftScan => unwrapFileScan(g.inner)
+    case m: GraftLogScanBuilder.MappedScan => unwrapFileScan(m.inner)
+    case f: org.apache.spark.sql.execution.datasources.v2.FileScan => f
+    case other => throw new IllegalStateException(
+      s"not a graft-wrapped FileScan: ${other.getClass.getName}")
   }
 }
 
@@ -1063,13 +1092,18 @@ private[sources] object GraftLogScanBuilder {
 
   /** Runtime-filtering surface: the logical columns the manifest can
     * judge at execution time, the static file count (for the pruning
-    * metric), and the pruning closure — (col, IN-values) pairs in,
-    * surviving data-file BASENAMES out (closes over the builder's
-    * log/snapshot/static selection so no path-dependent snapshot type
-    * leaks into this signature). */
+    * metric), the snapshot version, and the pruning closure —
+    * (col, IN-values) pairs in, surviving data-file BASENAMES out
+    * (closes over the builder's log/snapshot/static selection so no
+    * path-dependent snapshot type leaks into this signature). The
+    * closure lives in the SECOND parameter list so case-class equality
+    * covers only data — two scans of the same snapshot with the same
+    * inner FileScan (which already pins file selection and pushdown)
+    * stay equal, and scan/exchange reuse keeps deduplicating self-join
+    * subtrees. */
   private[sources] final case class RtInfo(
-      filterable: Seq[String], staticCount: Int,
-      prune: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Literal])]
+      filterable: Seq[String], staticCount: Int, snapVersion: Long)(
+      val prune: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Literal])]
         => Set[String])
 
   private[sources] final class RtFilesKeptMetric
@@ -1116,6 +1150,7 @@ private[sources] object GraftLogScanBuilder {
       inner: org.apache.spark.sql.connector.read.Scan,
       spj: Option[SpjInfo], rt: Option[RtInfo])
       extends org.apache.spark.sql.connector.read.Scan
+      with org.apache.spark.sql.connector.read.Batch
       with org.apache.spark.sql.connector.read.SupportsReportPartitioning
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
       with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -1186,38 +1221,40 @@ private[sources] object GraftLogScanBuilder {
       }
     }
 
-    override def toBatch: Batch = new Batch {
-      private val b = inner.toBatch
-      override def createReaderFactory(): PartitionReaderFactory =
-        b.createReaderFactory()
-      override def planInputPartitions(): Array[InputPartition] = {
-        // runtime pruning first: drop files no arriving key can hit
-        val pruned: Array[FilePartition] = b.planInputPartitions().flatMap {
-          case fp: FilePartition => survivors match {
-            case None => Some(fp)
-            case Some(keep) =>
-              val fs = fp.files.filter(pf => keep(pf.filePath.toPath.getName))
-              if (fs.isEmpty) None else Some(FilePartition(fp.index, fs))
-          }
-          case other => throw new IllegalStateException(
-            s"graft-scan: unexpected input partition ${other.getClass.getName}")
+    // the scan IS its batch (FileScan's own pattern): BatchScanExec
+    // equality — what scan/exchange reuse keys on — compares
+    // `scan.toBatch`, so returning a fresh anonymous Batch per call
+    // would break self-join dedup via reference inequality
+    override def toBatch: Batch = this
+    override def createReaderFactory(): PartitionReaderFactory =
+      inner.toBatch.createReaderFactory()
+    override def planInputPartitions(): Array[InputPartition] = {
+      // runtime pruning first: drop files no arriving key can hit
+      val pruned: Array[FilePartition] = inner.toBatch.planInputPartitions().flatMap {
+        case fp: FilePartition => survivors match {
+          case None => Some(fp)
+          case Some(keep) =>
+            val fs = fp.files.filter(pf => keep(pf.filePath.toPath.getName))
+            if (fs.isEmpty) None else Some(FilePartition(fp.index, fs))
         }
-        var idx = -1
-        spj match {
-          case Some(i) =>
-            pruned.flatMap { fp =>
-              fp.files.groupBy { pf =>
-                val p = pf.filePath.toPath.getName
-                i.fileKeys.getOrElse(p, throw new IllegalStateException(
-                  s"graft-spj: no partition tag for data file $p"))
-              }.toSeq.sortBy(_._1).map { case (tag, fs) =>
-                idx += 1
-                new KeyedFilePartition(idx, fs, internalKey(tag, i.keyType))
-              }
+        case other => throw new IllegalStateException(
+          s"graft-scan: unexpected input partition ${other.getClass.getName}")
+      }
+      var idx = -1
+      spj match {
+        case Some(i) =>
+          pruned.flatMap { fp =>
+            fp.files.groupBy { pf =>
+              val p = pf.filePath.toPath.getName
+              i.fileKeys.getOrElse(p, throw new IllegalStateException(
+                s"graft-spj: no partition tag for data file $p"))
+            }.toSeq.sortBy(_._1).map { case (tag, fs) =>
+              idx += 1
+              new KeyedFilePartition(idx, fs, internalKey(tag, i.keyType))
             }
-          case None =>
-            pruned.map { fp => idx += 1; FilePartition(idx, fp.files) }
-        }
+          }
+        case None =>
+          pruned.map { fp => idx += 1; FilePartition(idx, fp.files) }
       }
     }
 

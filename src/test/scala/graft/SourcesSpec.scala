@@ -183,7 +183,7 @@ class SourcesSpec extends SparkSpecBase {
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.optimizedPlan.collect {
         case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-          r.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+          graft.sources.GraftScans.unwrapFileScan(r.scan)
             .fileIndex.inputFiles.length
       }.sum
     assert(scannedFiles(q) === 1,
