@@ -1432,7 +1432,141 @@ object IndexQueries {
       GROUP BY f.l_returnflag
       ORDER BY f.l_returnflag"""))
 
+  /** B2/B5 COMPOSITE storage-partitioned join (r13, [[graft.sources
+    * .PartSpec]]): both tables manifest-partitioned on the SAME
+    * two-column key `(l_returnflag, l_linestatus)` — the "(tenant,
+    * day)" co-location shape at 100 TB, where one identity column is
+    * too coarse to balance and the full pair is the unit a write
+    * retires and a join co-locates. The scan reports a two-expression
+    * `KeyGroupedPartitioning`, so the join AND the aggregation on the
+    * same pair plan with ZERO Exchange (required in-body). Tags encode
+    * both values in one manifest string ([[graft.sources.PartSpec
+    * .tagExpr]] — '/'-joined, URL-escaped); the reference analog is a
+    * DynamoDB composite partition+sort key
+    * (`/root/reference/index.js:305-314`). */
+  private val q171 = Q(
+    "q171_composite_spj",
+    (s, dir) => {
+      val cat = "g171_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "cspj-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      li.writeTo(s"$cat.fact").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "l_returnflag,l_linestatus").create()
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        .writeTo(s"$cat.dim").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "l_returnflag,l_linestatus").create()
+      val prevBcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.graft.spj.preserveDataGrouping", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val gold = s.table(s"$cat.fact")
+          .join(s.table(s"$cat.dim"), Seq("l_returnflag", "l_linestatus"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n_li"),
+            sum(col("price")).as("sum_price"),
+            max(col("n_orders")).as("n_orders"))
+        val rows = gold.collect()
+        val plan = gold.queryExecution.executedPlan.toString
+        require(plan.contains("graft-spj(key=l_returnflag,l_linestatus)"),
+          s"q171: the scans did not report composite SPJ partitioning:\n$plan")
+        val nExchange = plan.linesIterator.count(_.contains("Exchange"))
+        require(nExchange == 0,
+          s"q171: co-partitioned join planned $nExchange Exchange node(s):\n$plan")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), gold.schema)
+          .withColumn("sum_price", col("sum_price").cast("double"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      } finally {
+        s.conf.set("spark.graft.spj.preserveDataGrouping", "false")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      }
+    },
+    Some("""WITH fact AS (
+        SELECT l_orderkey, l_returnflag, l_linestatus,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        FROM lineitem),
+      dim AS (
+        SELECT l_returnflag, l_linestatus,
+          COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM fact GROUP BY l_returnflag, l_linestatus)
+      SELECT f.l_returnflag, f.l_linestatus, COUNT(*) AS n_li,
+        CAST(SUM(f.price) AS DOUBLE) AS sum_price,
+        MAX(d.n_orders) AS n_orders
+      FROM fact f JOIN dim d
+        ON f.l_returnflag = d.l_returnflag
+        AND f.l_linestatus = d.l_linestatus
+      GROUP BY f.l_returnflag, f.l_linestatus
+      ORDER BY f.l_returnflag, f.l_linestatus"""))
+
+  /** B2/B5 TRANSFORM storage-partitioned join (r13): both tables
+    * partitioned by `days(day_ts)` — the manifest tag is the UTC
+    * epoch-day, and the scan reports `KeyGroupedPartitioning(
+    * days(day_ts))`, resolvable because [[graft.sources.GraftCatalog]]
+    * is a `FunctionCatalog` carrying the bound `days` function
+    * ([[graft.sources.GraftFunctions]]); without it Spark silently
+    * drops the grouping and shuffles. The time-bucketed layout is the
+    * 100 TB default (a day of events is the natural retire/co-locate
+    * unit); zero Exchange is required in-body. */
+  private val q172 = Q(
+    "q172_days_transform_spj",
+    (s, dir) => {
+      val cat = "g172_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "dspj-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val ev = t(s, dir, "events")
+        .withColumn("day_ts", date_trunc("DAY", col("ts")))
+        .select(col("day_ts"), col("user_id"), col("value"))
+      ev.writeTo(s"$cat.fact").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "days(day_ts)").create()
+      ev.groupBy(col("day_ts"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .writeTo(s"$cat.dim").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "days(day_ts)").create()
+      val prevBcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.graft.spj.preserveDataGrouping", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val gold = s.table(s"$cat.fact")
+          .join(s.table(s"$cat.dim"), "day_ts")
+          .groupBy(col("day_ts"))
+          .agg(count(lit(1)).as("n_ev"),
+            sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+            max(col("n_users")).as("n_users"))
+        val rows = gold.collect()
+        val plan = gold.queryExecution.executedPlan.toString
+        require(plan.contains("graft-spj(key=days(day_ts))"),
+          s"q172: the scans did not report days-transform SPJ:\n$plan")
+        val nExchange = plan.linesIterator.count(_.contains("Exchange"))
+        require(nExchange == 0,
+          s"q172: day-partitioned join planned $nExchange Exchange node(s):\n$plan")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), gold.schema)
+          .withColumn("day", to_date(col("day_ts"))).drop("day_ts")
+          .withColumn("sum_value", col("sum_value").cast("double"))
+          .orderBy(col("day"))
+      } finally {
+        s.conf.set("spark.graft.spj.preserveDataGrouping", "false")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      }
+    },
+    Some("""WITH ev AS (
+        SELECT date_trunc('day', ts) AS day_ts, user_id, value
+        FROM events),
+      dim AS (
+        SELECT day_ts, COUNT(DISTINCT user_id) AS n_users
+        FROM ev GROUP BY day_ts)
+      SELECT CAST(f.day_ts AS DATE) AS day, COUNT(*) AS n_ev,
+        CAST(SUM(CAST(f.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        MAX(d.n_users) AS n_users
+      FROM ev f JOIN dim d ON f.day_ts = d.day_ts
+      GROUP BY f.day_ts
+      ORDER BY day"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
-    q168, q169, q170)
+    q168, q169, q170, q171, q172)
 }

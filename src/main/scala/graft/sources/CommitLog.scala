@@ -1004,12 +1004,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       txn: Option[(String, Long)] = None): Long = {
     import graft.operators.Upsert
     import org.apache.spark.sql.functions.col
-    require(keys.nonEmpty && keys.contains(partCol),
-      s"$tableRoot: partCol '$partCol' must be one of the merge keys — a " +
-        "partition-scoped merge only sees the touched partitions, so a key " +
-        "that can move between partitions would duplicate")
+    val spec = PartSpec.parse(partCol)
+    require(keys.nonEmpty && spec.sourceColumns.forall(keys.contains),
+      s"$tableRoot: every partition key source column of '$partCol' must " +
+        "be one of the merge keys — a partition-scoped merge only sees the " +
+        "touched partitions, so a key that can move between partitions " +
+        "would duplicate")
     val touched = incoming
-      .select(col(partCol).cast("string").as("__p")).distinct()
+      .select(spec.tagExpr(incoming).as("__p")).distinct()
       .collect().map(r => Option(r.getString(0)).getOrElse(
         throw new IllegalArgumentException(
           s"$tableRoot: null $partCol in incoming — partition values must be non-null")))
@@ -2093,7 +2095,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   private[sources] def candidateFilesForInValues(s: Snapshot,
       files: Seq[String], logicalCol: String,
       values: Seq[org.apache.spark.sql.catalyst.expressions.Literal],
-      isPartCol: Boolean): Seq[String] = {
+      partKey: Option[(PartSpec, Int)]): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
     val phys = physOf(s.schema, logicalCol)
     val nonNull = values.filter(_.value != null)
@@ -2117,12 +2119,22 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     files.filter { f =>
       // an empty (or all-null) IN-set keeps no file: exists = false
       nonNull.exists { v =>
-        val tagOk =
-          if (!isPartCol) true
-          else s.parts.get(f) match {
-            case Some(tag) => strVal(v).forall(_ == tag)
+        val tagOk = partKey match {
+          case None => true
+          case Some((spec, i)) => s.parts.get(f) match {
+            case Some(tag) =>
+              // decode the file's tag component for this key and
+              // compare against the component the arriving value
+              // derives (identity: cast-to-string; days: epoch-day) —
+              // either side unjudgeable → conservative keep
+              (scala.util.Try(spec.decode(tag)(i)).toOption,
+                spec.componentOfLiteral(i, v)) match {
+                case (Some(fileC), Some(valC)) => fileC == valC
+                case _ => true
+              }
             case None => true // untagged file → cannot rule out
           }
+        }
         val statOk = s.stats.get(f).flatMap(_.get(phys)) match {
           case Some((mn, mx)) => statVal(v) match {
             case Some(x) => overlaps(mn, mx, x, x)
@@ -2222,9 +2234,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     import org.apache.spark.sql.functions.{broadcast, col, hash, lit, max, min, pmod, struct}
     require(targetFilesPerPartition >= 1,
       s"$tableRoot: targetFilesPerPartition=$targetFilesPerPartition must be >= 1")
-    require(!zorderBy.exists(_.equalsIgnoreCase(partCol)),
-      s"$tableRoot: z-ordering on the partition column '$partCol' is " +
-        "meaningless — it is constant within every partition")
+    val optSpec = PartSpec.parse(partCol)
+    // identity key sources are constant within a partition; a days(ts)
+    // SOURCE still varies inside its day and may be z-ordered
+    val identSrcs = optSpec.keys.collect {
+      case PartSpec.Key(c, PartSpec.Identity) => c.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+    require(!zorderBy.exists(z => identSrcs(z.toLowerCase(java.util.Locale.ROOT))),
+      s"$tableRoot: z-ordering on an identity partition column of '$partCol' " +
+        "is meaningless — it is constant within every partition")
     var attempts = 0
     while (true) {
       val s = snapshot()
@@ -2254,10 +2272,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val touchedFiles = touchedParts.flatMap(byPart)
       val df = readFiles(sch, touchedFiles)
       val n = touchedParts.size * targetFilesPerPartition
+      val tagOf = optSpec.tagExpr(df)
       val laid =
         if (zorderBy.isEmpty) {
-          if (targetFilesPerPartition == 1) df.repartition(n, col(partCol))
-          else df.repartition(n, col(partCol),
+          if (targetFilesPerPartition == 1) df.repartition(n, tagOf)
+          else df.repartition(n, tagOf,
             pmod(hash(struct(sch.fieldNames.toIndexedSeq.map(col): _*)),
               lit(targetFilesPerPartition)))
         } else {
@@ -2276,8 +2295,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             bits = 16)
           df.crossJoin(broadcast(stats))
             .withColumn("__z", z)
-            .repartitionByRange(n, col(partCol).cast("string"), col("__z"))
-            .sortWithinPartitions(col(partCol).cast("string"), col("__z"))
+            .repartitionByRange(n, tagOf, col("__z"))
+            .sortWithinPartitions(tagOf, col("__z"))
             .drop(zorderBy.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
             .drop("__z")
         }
@@ -2674,7 +2693,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val salt = if (saltCols.isEmpty) lit(0)
         else pmod(hash(struct(saltCols.toIndexedSeq: _*)), lit(spread))
       val taggedDf = df.withColumn(partTag,
-        concat(lit("v"), col(partCol).cast("string")))
+        concat(lit("v"), PartSpec.parse(partCol).tagExpr(df)))
       // preserveLayout: the caller ([[optimizePartitions]]) already
       // repartitioned/sorted the frame into its target file layout —
       // the salt spread here would undo exactly that compaction

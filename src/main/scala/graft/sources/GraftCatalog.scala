@@ -53,7 +53,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `spark.sql.catalog.graft.warehouse = /some/dir`.
   */
 final class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -68,6 +69,21 @@ final class GraftCatalog extends TableCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+
+  /** The catalog's V2 functions ([[GraftFunctions]]): `days`, the
+    * partition transform Spark must resolve to USE a reported
+    * `KeyGroupedPartitioning(days(ts))` — without a loadable bound
+    * function the planner silently drops the grouping and the join
+    * shuffles. Any namespace is accepted (Spark probes the transform
+    * name with an empty one). */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name.equalsIgnoreCase(GraftFunctions.DaysName))
+      GraftFunctions.DaysUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, GraftFunctions.DaysName))
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
@@ -157,32 +173,45 @@ final class GraftCatalog extends TableCatalog
     if (fs.exists(metaPath(ident))) throw new TableAlreadyExistsException(ident)
     val props0 = properties.asScala.toMap
       .filterNot { case (k, _) => k == TableCatalog.PROP_OWNER }
-    // PARTITIONED BY (col) is sugar for merge.partcol: ONE top-level
-    // identity transform maps onto the manifest-level partition-tag
-    // column (every write lands partition-tagged, merges/overwrites
-    // scope to touched partitions). Bucketing/functions stay refused —
-    // the layout unit here is the manifest tag, not a directory tree.
+    // PARTITIONED BY (...) is sugar for merge.partcol: an ordered list
+    // of top-level identity columns and/or days(col) transforms maps
+    // onto the manifest-level partition SPEC ([[PartSpec]] — every
+    // write lands partition-tagged, merges/overwrites scope to touched
+    // partitions). Other transforms stay refused — the layout unit
+    // here is the manifest tag, not a directory tree.
     val partProp: Option[String] = partitions.toSeq match {
       case Seq() => None
-      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
-        val names = t.references()(0).fieldNames()
-        require(names.length == 1,
-          s"$ident: PARTITIONED BY supports one TOP-LEVEL column, got " +
-            names.mkString("."))
-        val c = names.head
-        require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-          s"$ident: partition column '$c' is not in the table schema")
-        require(props0.get("merge.partcol").forall(_.trim.equalsIgnoreCase(c)),
-          s"$ident: PARTITIONED BY ($c) conflicts with merge.partcol=" +
-            props0.getOrElse("merge.partcol", ""))
+      case ts =>
+        val keyStrs = ts.map { t =>
+          def oneCol(what: String): String = {
+            require(t.references.length == 1
+                && t.references()(0).fieldNames().length == 1,
+              s"$ident: PARTITIONED BY $what supports one TOP-LEVEL " +
+                s"column, got ${t.describe}")
+            val c = t.references()(0).fieldNames().head
+            require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+              s"$ident: partition column '$c' is not in the table schema")
+            c
+          }
+          t.name.toLowerCase(java.util.Locale.ROOT) match {
+            case "identity" => oneCol("(col)")
+            case "days" => s"days(${oneCol("(days(col))")})"
+            case other => throw new UnsupportedOperationException(
+              s"$ident: unsupported partition transform '$other' — only " +
+                "identity columns and days(col) are supported (bucket by " +
+                "merge.keys at the layout level instead)")
+          }
+        }
+        val rendered = PartSpec.parse(keyStrs.mkString(",")).render
+        require(props0.get("merge.partcol").forall(p =>
+            scala.util.Try(PartSpec.parse(p).render
+              .equalsIgnoreCase(rendered)).getOrElse(false)),
+          s"$ident: PARTITIONED BY ($rendered) conflicts with " +
+            s"merge.partcol=${props0.getOrElse("merge.partcol", "")}")
         require(props0.get("merge.log").forall(_ == "true"),
           s"$ident: partitioned tables need merge.log=true (partition " +
             "tags live in the commit-log manifests)")
-        Some(c)
-      case other => throw new UnsupportedOperationException(
-        s"$ident: only PARTITIONED BY (<one top-level column>) is " +
-          s"supported, got ${other.mkString(", ")} (bucket by merge.keys " +
-          "at the layout level instead)")
+        Some(rendered)
     }
     val props = partProp.fold(props0)(c =>
       props0 + ("merge.partcol" -> c) + ("merge.log" -> "true"))
@@ -495,8 +524,13 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
     * created via PARTITIONED BY or merge.partcol — same thing). */
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
     props.get("merge.partcol").map(_.trim).filter(_.nonEmpty)
-      .map(c => Array[org.apache.spark.sql.connector.expressions.Transform](
-        org.apache.spark.sql.connector.expressions.Expressions.identity(c)))
+      .flatMap(s => scala.util.Try(PartSpec.parse(s)).toOption)
+      .map(_.keys.map {
+        case PartSpec.Key(c, PartSpec.Identity) =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+        case PartSpec.Key(c, PartSpec.Days) =>
+          org.apache.spark.sql.connector.expressions.Expressions.days(c)
+      }.toArray[org.apache.spark.sql.connector.expressions.Transform])
       .getOrElse(Array.empty)
 
   // Native DSv2 writes (r10, replacing the V1Write bridge): BATCH_WRITE
@@ -896,19 +930,36 @@ private[sources] final class GraftLogScanBuilder(
       spark.conf.getOption(
         "spark.sql.sources.v2.bucketing.enabled").forall(_.toBoolean)
     if (!enabled || groupGranularity) return None
-    val field = partCol.map(_.trim).filter(_.nonEmpty)
-      .flatMap(c => logicalSchema.fields.find(f => lcn(f.name) == lcn(c)))
-    field match {
-      case Some(f) if GraftLogScanBuilder.spjKeyType(f.dataType)
-          && selectedFiles.nonEmpty
-          && selectedFiles.forall(snap.parts.contains)
-          && prunedSchema.forall(_.fields.exists(pf => lcn(pf.name) == lcn(f.name))) =>
-        val keyByName: Map[String, String] = selectedFiles.map { rel =>
-          baseName(rel) -> snap.parts(rel)
-        }.toMap
-        Some(GraftLogScanBuilder.SpjInfo(f.name, f.dataType, keyByName,
-          keyByName.values.toSet.size))
-      case _ => None
+    val spec = partCol.map(_.trim).filter(_.nonEmpty)
+      .flatMap(s => scala.util.Try(PartSpec.parse(s)).toOption)
+    spec match {
+      case Some(sp) =>
+        // every key must be round-trippable (tag string → internal key
+        // EXACTLY) and every SOURCE column must survive column pruning
+        // (Spark resolves the reported grouping against the scan output)
+        val resolved: Seq[Option[GraftLogScanBuilder.SpjKey]] = sp.keys.map { k =>
+          logicalSchema.fields.find(f => lcn(f.name) == lcn(k.column)).collect {
+            case f if k.transform == PartSpec.Identity
+                && GraftLogScanBuilder.spjKeyType(f.dataType) =>
+              GraftLogScanBuilder.SpjKey(f.name, f.dataType, days = false)
+            case f if k.transform == PartSpec.Days
+                && (f.dataType == org.apache.spark.sql.types.DateType
+                  || f.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType]) =>
+              GraftLogScanBuilder.SpjKey(f.name, f.dataType, days = true)
+          }
+        }
+        if (resolved.forall(_.isDefined)
+            && selectedFiles.nonEmpty
+            && selectedFiles.forall(snap.parts.contains)
+            && prunedSchema.forall(ps => sp.sourceColumns.forall(c =>
+              ps.fields.exists(pf => lcn(pf.name) == lcn(c))))) {
+          val keyByName: Map[String, String] = selectedFiles.map { rel =>
+            baseName(rel) -> snap.parts(rel)
+          }.toMap
+          Some(GraftLogScanBuilder.SpjInfo(resolved.flatten, sp, keyByName,
+            keyByName.values.toSet.size))
+        } else None
+      case None => None
     }
   }
 
@@ -936,7 +987,8 @@ private[sources] final class GraftLogScanBuilder(
     if (groupGranularity) return None
     if (!spark.conf.getOption("spark.graft.runtimeFiltering.enabled")
         .forall(_.toBoolean)) return None
-    val partL: Option[String] = partCol.map(_.trim).filter(_.nonEmpty).map(lcn)
+    val rtSpec: Option[PartSpec] = partCol.map(_.trim).filter(_.nonEmpty)
+      .flatMap(s => scala.util.Try(PartSpec.parse(s)).toOption)
     val statCols: Set[String] = snap.stats.valuesIterator.flatMap(_.keysIterator).toSet
     val bloomCols: Set[String] = snap.blooms.valuesIterator.flatMap(_.keysIterator).toSet
     def atomic(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
@@ -956,7 +1008,7 @@ private[sources] final class GraftLogScanBuilder(
     val filterable = logicalSchema.fields.toSeq.filter { f =>
       atomic(f.dataType) &&
         pruned.forall(_.contains(lcn(f.name))) &&
-        (partL.contains(lcn(f.name)) ||
+        (rtSpec.exists(_.keyIndexOf(f.name).isDefined) ||
           statCols.contains(CommitLog.physNameOf(f)) ||
           bloomCols.contains(CommitLog.physNameOf(f)))
     }.map(_.name)
@@ -968,7 +1020,7 @@ private[sources] final class GraftLogScanBuilder(
           var keep = files
           preds.foreach { case (col, lits) =>
             keep = log.candidateFilesForInValues(snap, keep, col, lits,
-              isPartCol = partL.contains(lcn(col)))
+              partKey = rtSpec.flatMap(sp => sp.keyIndexOf(col).map(sp -> _)))
           }
           keep.map(baseName).toSet
         }))
@@ -1050,25 +1102,32 @@ private[sources] object GraftLogScanBuilder {
     }
   }
 
-  /** The manifest tag string as a single-column [[InternalRow]] of the
-    * partition column's INTERNAL type — what [[org.apache.spark.sql
-    * .connector.read.HasPartitionKey.partitionKey]] must return. */
-  private[sources] def internalKey(tag: String,
-      dt: org.apache.spark.sql.types.DataType)
+  /** The manifest tag string as an N-column [[InternalRow]] of the
+    * partition keys' INTERNAL types — what [[org.apache.spark.sql
+    * .connector.read.HasPartitionKey.partitionKey]] must return. A
+    * `days` key's internal value is the epoch-day Int (the reported
+    * transform's DateType result — [[GraftFunctions.DaysBound]]). */
+  private[sources] def internalKey(tag: String, info: SpjInfo)
       : org.apache.spark.sql.catalyst.InternalRow = {
     import org.apache.spark.sql.types._
-    val v: Any = dt match {
-      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(tag)
-      case IntegerType => tag.toInt
-      case LongType => tag.toLong
-      case ShortType => tag.toShort
-      case ByteType => tag.toByte
-      case BooleanType => tag.toBoolean
-      case DateType => java.time.LocalDate.parse(tag).toEpochDay.toInt
-      case other => throw new IllegalStateException(
-        s"graft-spj: unsupported partition key type $other")
-    }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array(v))
+    val comps = info.spec.decode(tag)
+    val vs: Array[Any] = info.keys.zip(comps).map { case (k, c) =>
+      val v: Any =
+        if (k.days) c.toLong.toInt
+        else k.srcType match {
+          case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(c)
+          case IntegerType => c.toInt
+          case LongType => c.toLong
+          case ShortType => c.toShort
+          case ByteType => c.toByte
+          case BooleanType => c.toBoolean
+          case DateType => java.time.LocalDate.parse(c).toEpochDay.toInt
+          case other => throw new IllegalStateException(
+            s"graft-spj: unsupported partition key type $other")
+        }
+      v
+    }.toArray
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs)
   }
 
   /** A [[FilePartition]] that also reports its manifest partition
@@ -1084,10 +1143,19 @@ private[sources] object GraftLogScanBuilder {
     override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
   }
 
-  /** SPJ surface the built scan advertises: the partition column and
-    * the basename → tag map over the statically selected files. */
+  /** One reported partition key: the SOURCE column (post-mapping
+    * logical name), its type, and whether the key is the `days(src)`
+    * transform rather than identity. */
+  private[sources] final case class SpjKey(
+      name: String, srcType: org.apache.spark.sql.types.DataType,
+      days: Boolean)
+
+  /** SPJ surface the built scan advertises: the ordered partition keys
+    * (r13: composite + days-transform), the spec that decodes the
+    * manifest tags, and the basename → tag map over the statically
+    * selected files. */
   private[sources] final case class SpjInfo(
-      keyName: String, keyType: org.apache.spark.sql.types.DataType,
+      keys: Seq[SpjKey], spec: PartSpec,
       fileKeys: Map[String, String], distinctKeys: Int)
 
   /** Runtime-filtering surface: the logical columns the manifest can
@@ -1168,7 +1236,7 @@ private[sources] object GraftLogScanBuilder {
 
     override def readSchema(): StructType = inner.readSchema()
     override def description(): String = {
-      val spjTok = spj.map(i => s"graft-spj(key=${i.keyName}) ").getOrElse("")
+      val spjTok = spj.map(i => s"graft-spj(key=${i.spec.render}) ").getOrElse("")
       val rtTok = rt.map(i =>
         s"graft-rt(${i.filterable.mkString(",")}) ").getOrElse("")
       s"$spjTok$rtTok${inner.description()}"
@@ -1178,8 +1246,12 @@ private[sources] object GraftLogScanBuilder {
         : org.apache.spark.sql.connector.read.partitioning.Partitioning =
       spj match {
         case Some(i) =>
+          import org.apache.spark.sql.connector.expressions.Expressions
           new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-            Array(org.apache.spark.sql.connector.expressions.Expressions.identity(i.keyName)),
+            i.keys.map { k =>
+              if (k.days) Expressions.days(k.name)
+              else Expressions.identity(k.name)
+            }.toArray[org.apache.spark.sql.connector.expressions.Expression],
             i.distinctKeys)
         case None =>
           new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
@@ -1250,7 +1322,7 @@ private[sources] object GraftLogScanBuilder {
                 s"graft-spj: no partition tag for data file $p"))
             }.toSeq.sortBy(_._1).map { case (tag, fs) =>
               idx += 1
-              new KeyedFilePartition(idx, fs, internalKey(tag, i.keyType))
+              new KeyedFilePartition(idx, fs, internalKey(tag, i))
             }
           }
         case None =>

@@ -1,0 +1,219 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The manifest partition SPEC behind `merge.partcol` / `PARTITIONED
+  * BY` (r13 generalization of the single-column tag): an ordered list
+  * of partition KEYS, each an identity column or a `days(col)`
+  * transform over a date/timestamp column. The reference's layout unit
+  * is DynamoDB's single partition key (`/root/reference/index.js:305`);
+  * composite and time-bucketed keys are what the same design needs at
+  * 100 TB, where "one day of one tenant" — not "one tenant" — is the
+  * unit a write retires and a storage-partitioned join co-locates.
+  *
+  * The manifest model is UNCHANGED: one string tag per data file
+  * ([[CommitLog.Snapshot.parts]]). What generalizes is the tag's
+  * derivation and decoding:
+  *
+  *  - single identity key (every pre-r13 table): tag = the value's own
+  *    `cast(string)` — bit-identical to the historical format, so
+  *    existing tables, logs, and partition-scoped APIs are untouched;
+  *  - anything else: tag = '/'-joined components, each URL-style
+  *    escaped (`%` → `%25`, `/` → `%2F`) so the join is unambiguous
+  *    for ANY string value; a `days` component is the value's UTC
+  *    epoch-day (`Math.floorDiv(micros, 86 400 000 000)` — timezone-
+  *    free, matching [[GraftFunctions.Days]] exactly).
+  *
+  * Any null component nulls the whole tag (string concat semantics),
+  * which the partitioned write path already refuses loudly.
+  */
+private[graft] final case class PartSpec(keys: Seq[PartSpec.Key]) {
+  import PartSpec._
+
+  require(keys.nonEmpty, "empty partition spec")
+  require(keys.map(k => lc(k.column)).distinct.size == keys.size,
+    s"duplicate partition key column in spec '$render'")
+
+  /** The historical shape: one identity key, raw tag. */
+  def isSingleIdentity: Boolean =
+    keys.lengthCompare(1) == 0 && keys.head.transform == Identity
+
+  def sourceColumns: Seq[String] = keys.map(_.column)
+
+  def render: String = keys.map {
+    case Key(c, Identity) => c
+    case Key(c, Days) => s"days($c)"
+  }.mkString(",")
+
+  /** Index of the key whose SOURCE column is `col` (ci), if any. */
+  def keyIndexOf(col: String): Option[Int] = {
+    val l = lc(col)
+    val i = keys.indexWhere(k => lc(k.column) == l)
+    if (i < 0) None else Some(i)
+  }
+
+  /** The tag STRING expression over `df`'s columns (no "v" prefix —
+    * the partitioned write path adds it). Null-propagating. */
+  def tagExpr(df: DataFrame): Column = {
+    def component(k: Key): Column = {
+      val f = df.schema.fields.find(x => lc(x.name) == lc(k.column))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition key column '${k.column}' not in ${df.schema.fieldNames.mkString(",")}"))
+      val c = df.col(quoted(f.name))
+      k.transform match {
+        case Identity => c.cast(StringType)
+        case Days => daysExpr(c, f.dataType).cast(StringType)
+      }
+    }
+    if (isSingleIdentity) component(keys.head)
+    else keys.map(k => escapeExpr(component(k)))
+      .reduce((a, b) => concat(a, lit(Sep.toString), b))
+  }
+
+  /** Inverse of [[tagExpr]]'s encoding: the tag's component strings,
+    * positionally aligned with [[keys]]. */
+  def decode(tag: String): Seq[String] =
+    if (isSingleIdentity) Seq(tag)
+    else {
+      val parts = tag.split(Sep.toString, -1).toSeq.map(unescape(_))
+      require(parts.size == keys.size,
+        s"partition tag '$tag' has ${parts.size} components, spec " +
+          s"'$render' expects ${keys.size}")
+      parts
+    }
+
+  /** Component string an arriving LITERAL would produce for key `i` —
+    * the runtime-pruning judge. None = not judgeable (conservative:
+    * the caller must keep the file). */
+  def componentOfLiteral(i: Int, l: Literal): Option[String] =
+    if (l.value == null) None
+    else keys(i).transform match {
+      case Identity => scala.util.Try(
+        Option(Cast(l, StringType).eval(null)).map(_.toString)).toOption.flatten
+      case Days => (l.dataType, l.value) match {
+        case (_: TimestampType, m: java.lang.Long) =>
+          Some(Math.floorDiv(m, MicrosPerDay).toString)
+        case (DateType, d: java.lang.Integer) => Some(d.toString)
+        case _ => None
+      }
+    }
+}
+
+private[graft] object PartSpec {
+  sealed trait Transform
+  case object Identity extends Transform
+  case object Days extends Transform
+  final case class Key(column: String, transform: Transform)
+
+  private[sources] val Sep = '/'
+  private[sources] val MicrosPerDay = 86400000000L
+
+  private def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+  private def quoted(name: String) = s"`${name.replace("`", "``")}`"
+
+  private val DaysRe = """(?i)^days\s*\(\s*([^()]+?)\s*\)$""".r
+
+  /** Parse a `merge.partcol` value: comma-separated keys, each a bare
+    * column (identity) or `days(col)`. A bare single column is the
+    * historical spec and keeps the historical tag format. */
+  def parse(s: String): PartSpec = {
+    val toks = s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(toks.nonEmpty, s"empty partition spec '$s'")
+    PartSpec(toks.map {
+      case DaysRe(c) => Key(c, Days)
+      case c =>
+        require(!c.contains('(') && !c.contains(')'),
+          s"unsupported partition transform '$c' — only identity " +
+            "columns and days(col) are supported")
+        Key(c, Identity)
+    })
+  }
+
+  /** UTC epoch-day of a date/timestamp column — EXACT integer floor
+    * division (`x - pmod(x, d)` is a non-negative-remainder multiple,
+    * so the truncating `div` equals floor for any sign), matching
+    * [[GraftFunctions.Days]]'s `Math.floorDiv` bit-for-bit. */
+  private[sources] def daysExpr(c: Column, dt: DataType): Column = dt match {
+    case DateType => datediff(c, lit(java.sql.Date.valueOf("1970-01-01")))
+    case _: TimestampType =>
+      // (m - pmod(m, d)) is the exact floor multiple for any sign; the
+      // double division's result is an INTEGER with relative error
+      // ~1e-16 · (2^63 / 8.64e10) ≈ 1e-8 ≪ 0.5, so round() recovers it
+      // exactly for every representable timestamp (a plain cast would
+      // truncate q − ε to q − 1 past 2^53 micros)
+      val m = unix_micros(c)
+      val d = lit(MicrosPerDay)
+      round((m - pmod(m, d)) / d, 0).cast(LongType)
+    case other => throw new IllegalArgumentException(
+      s"days(...) partition transform needs a DATE or TIMESTAMP " +
+        s"column, got $other")
+  }
+
+  /** Component escaping for composite tags: `%` → `%25`, `/` → `%2F`
+    * (in that order — unescape reverses it). */
+  private[sources] def escapeExpr(c: Column): Column =
+    regexp_replace(regexp_replace(c, "%", "%25"), "/", "%2F")
+
+  private[sources] def unescape(s: String): String =
+    s.replace("%2F", "/").replace("%25", "%")
+}
+
+/** The catalog-level V2 functions Spark needs to RESOLVE transform
+  * partition keys for storage-partitioned joins: a scan reporting
+  * `KeyGroupedPartitioning(days(ts))` is only usable when the table's
+  * catalog (as a [[org.apache.spark.sql.connector.catalog
+  * .FunctionCatalog]]) can load a bound `days` function —
+  * `V2ExpressionUtils.toCatalystOpt` otherwise drops the grouping and
+  * the join falls back to a shuffle. Iceberg ships the same shim for
+  * the same reason. Evaluation must match the WRITE path's tag
+  * derivation exactly ([[PartSpec.daysExpr]]): UTC epoch-day by
+  * floor division, no session-timezone dependence. */
+private[graft] object GraftFunctions {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+
+  val DaysName = "days"
+
+  object DaysUnbound extends UnboundFunction {
+    override def name(): String = DaysName
+    override def description(): String =
+      "days(date|timestamp): UTC epoch-day partition transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"days takes one argument, got ${inputType.fields.length}")
+      inputType.fields(0).dataType match {
+        case DateType => DaysOfDate
+        case _: TimestampType => DaysOfTimestamp
+        case other => throw new UnsupportedOperationException(
+          s"days: unsupported input type $other")
+      }
+    }
+  }
+
+  /** Both bindings share one canonicalName: a date and a timestamp
+    * side produce the SAME epoch-day for the same instant, so Spark's
+    * transform-compatibility check (canonicalName equality) may
+    * co-locate them. */
+  sealed abstract class DaysBound(input: DataType)
+      extends ScalarFunction[Integer] {
+    override def name(): String = DaysName
+    override def canonicalName(): String = "graft.days"
+    override def inputTypes(): Array[DataType] = Array(input)
+    override def resultType(): DataType = DateType
+    override def isResultNullable: Boolean = false
+  }
+
+  object DaysOfTimestamp extends DaysBound(TimestampType) {
+    override def produceResult(
+        in: org.apache.spark.sql.catalyst.InternalRow): Integer =
+      Math.floorDiv(in.getLong(0), PartSpec.MicrosPerDay).toInt
+  }
+
+  object DaysOfDate extends DaysBound(DateType) {
+    override def produceResult(
+        in: org.apache.spark.sql.catalyst.InternalRow): Integer =
+      in.getInt(0)
+  }
+}

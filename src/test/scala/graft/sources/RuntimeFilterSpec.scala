@@ -119,7 +119,7 @@ class RuntimeFilterSpec extends graft.SparkSpecBase {
     // stats: IN (100, 150) admits only the [100,101] file (150 hits
     // no range), regardless of input order
     val byStats = log.candidateFilesForInValues(s, s.files, "id",
-      Seq(Literal(100L), Literal(150L)), isPartCol = false)
+      Seq(Literal(100L), Literal(150L)), partKey = None)
     assert(byStats === Seq(fileOfMin(100L)))
 
     // blooms: IN ('c') keeps the file holding c; the bloom rules the
@@ -127,7 +127,7 @@ class RuntimeFilterSpec extends graft.SparkSpecBase {
     // probe an id-range-overlapping value to isolate the bloom layer
     val byBloom = log.candidateFilesForInValues(s, s.files, "v",
       Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString("c"),
-        org.apache.spark.sql.types.StringType)), isPartCol = false)
+        org.apache.spark.sql.types.StringType)), partKey = None)
     assert(byBloom === Seq(fileOfMin(100L)))
 
     // partition tags: exact string match on the tag
@@ -139,7 +139,7 @@ class RuntimeFilterSpec extends graft.SparkSpecBase {
     assert(sp.files.size === 3)
     val byTag = logP.candidateFilesForInValues(sp, sp.files, "flag",
       Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString("B"),
-        org.apache.spark.sql.types.StringType)), isPartCol = true)
+        org.apache.spark.sql.types.StringType)), partKey = Some((PartSpec.parse("flag"), 0)))
     assert(byTag.map(sp.parts) === Seq("B"))
   }
 
@@ -155,7 +155,7 @@ class RuntimeFilterSpec extends graft.SparkSpecBase {
 
     // a file with no stats for the probed column cannot be ruled out
     val kept = log.candidateFilesForInValues(s, s.files, "extra",
-      Seq(Literal(999.0)), isPartCol = false)
+      Seq(Literal(999.0)), partKey = None)
     assert(kept.toSet === Set(old), // young's stats exclude 999.0
       "stats-less files must be kept conservatively")
 
@@ -163,11 +163,11 @@ class RuntimeFilterSpec extends graft.SparkSpecBase {
     // and a null inside a set contributes nothing
     val nullOnly = log.candidateFilesForInValues(s, s.files, "extra",
       Seq(Literal(null, org.apache.spark.sql.types.DoubleType)),
-      isPartCol = false)
+      partKey = None)
     assert(nullOnly.isEmpty)
     val mixed = log.candidateFilesForInValues(s, s.files, "extra",
       Seq(Literal(null, org.apache.spark.sql.types.DoubleType), Literal(5.0)),
-      isPartCol = false)
+      partKey = None)
     assert(mixed.toSet === Set(old, young))
   }
 
