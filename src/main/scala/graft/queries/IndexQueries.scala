@@ -1566,7 +1566,61 @@ object IndexQueries {
       GROUP BY f.day_ts
       ORDER BY day"""))
 
+  /** B2 MERGE-ON-READ DELETION VECTORS (r13, [[graft.sources.CommitLog]]
+    * `add_dv` / [[graft.sources.GraftLogScanBuilder.DvReaderFactory]]):
+    * a small-predicate SQL DELETE masks row positions behind a parquet
+    * sidecar instead of rewriting data files — the fix for rewrite
+    * amplification under frequent small DML at 100 TB (a 3-row delete
+    * must not rewrite a multi-GB file; the reference's DynamoDB delete
+    * is row-granular by nature, `/root/reference/index.js:249`). The
+    * query REQUIRES in-body that the delete commits ZERO data-file
+    * changes (same file list, a DV present, version bumped) and that
+    * the masked scan reports `graft-dv` — then hash-pins an aggregate
+    * over the masked table, so a mask that drops the wrong positions
+    * (or none) is a value mismatch against the oracle. */
+  private val q173 = Q(
+    "q173_deletion_vectors",
+    (s, dir) => {
+      val cat = "g173_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "dv-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"))
+        .repartition(4)
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+      val log = graft.sources.CommitLog(s, s"$root/t")
+      val before = log.snapshot()
+      s.sql(s"DELETE FROM $cat.t WHERE l_orderkey >= 100 AND l_orderkey <= 140")
+      val after = log.snapshot()
+      require(after.version > before.version,
+        "q173: the delete committed no version")
+      require(after.files == before.files,
+        s"q173: merge-on-read delete rewrote data files " +
+          s"(${(after.files.toSet -- before.files.toSet).size} new)")
+      require(after.dvs.nonEmpty, "q173: no deletion vector was committed")
+      val gold = s.table(s"$cat.t")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_li"), sum(col("price")).as("sum_price"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+      val rows = gold.collect()
+      val plan = gold.queryExecution.executedPlan.toString
+      require(plan.contains("graft-dv("),
+        s"q173: the scan did not report the DV mask:\n$plan")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gold.schema)
+        .withColumn("sum_price", col("sum_price").cast("double"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n_li,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem
+      WHERE NOT (l_orderkey >= 100 AND l_orderkey <= 140)
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
-    q168, q169, q170, q171, q172)
+    q168, q169, q170, q171, q172, q173)
 }

@@ -122,7 +122,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       parts: Map[String, String] = Map.empty,
       stats: Map[String, Map[String, (Any, Any)]] = Map.empty,
       blooms: Map[String, Map[String, CommitLog.BloomF]] = Map.empty,
-      physRetired: Seq[String] = Nil)
+      physRetired: Seq[String] = Nil,
+      // merge-on-read DELETION VECTORS (r13): data file → the DV
+      // sidecars that mask its deleted row positions, in commit order.
+      // A file's masked view = its rows minus the union of its DVs'
+      // positions; a rewrite retiring the file drops its DVs.
+      dvs: Map[String, Seq[CommitLog.DvRef]] = Map.empty)
 
   // ── COLUMN MAPPING (rename/drop without rewriting data) ───────────
   // Delta-style "name mapping": every column has a stable PHYSICAL
@@ -168,19 +173,147 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * and parquet column chunks are all keyed physically) and alias the
     * result back to logical names. Identity-mapped tables take the
     * plain read — no extra projection node. */
-  private def readFiles(sch: StructType, files: Seq[String]): DataFrame = {
+  private def readFiles(sch: StructType, files: Seq[String],
+      dvs: Map[String, Seq[CommitLog.DvRef]] = Map.empty): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
     if (identityMapping(sch))
-      spark.read.schema(sch).parquet(files.map(entryPath): _*)
+      subtractDvs(spark.read.schema(sch).parquet(files.map(entryPath): _*),
+        dvs, files)
     else {
       import org.apache.spark.sql.functions.col
-      spark.read.schema(physSchema(sch))
-        .parquet(files.map(entryPath): _*)
+      subtractDvs(
+        spark.read.schema(physSchema(sch)).parquet(files.map(entryPath): _*),
+        dvs, files)
         .select(sch.fields.toIndexedSeq.map(f =>
           col(s"`${physName(f)}`").as(f.name)): _*)
     }
+  }
+
+  // ── DELETION VECTORS (r13, merge-on-read DML) ──────────────────────
+  // A small-predicate DELETE on a 100 TB table should not rewrite
+  // multi-GB data files to drop a handful of rows — the rewrite
+  // amplification dominates the actual change (Delta/Iceberg ship DVs
+  // for exactly this; the reference's DynamoDB delete is row-granular
+  // by nature, /root/reference/index.js:249). A DV commit (`add_dv`)
+  // writes ONE parquet sidecar of (data-file basename, row ordinal)
+  // pairs and touches no data file; every read path masks the
+  // positions out. OPTIMIZE / any rewrite retiring a file purges its
+  // DVs; policy caps (count + ratio) keep sidecars driver-loadable and
+  // fall back to copy-on-write when the delete is too big to mask.
+
+  /** Read+merge the masked positions for `files` (basename-keyed,
+    * sorted, deduplicated). Sidecars are immutable — cached per path
+    * process-wide. Bounded by the write policy's row caps. */
+  private[sources] def dvPositions(dvs: Map[String, Seq[CommitLog.DvRef]],
+      files: Seq[String]): Map[String, Array[Long]] = {
+    val refs = files.flatMap(f => dvs.getOrElse(f, Nil)).map(_.path).distinct
+    if (refs.isEmpty) return Map.empty
+    val perSidecar: Seq[Map[String, Array[Long]]] = refs.map { rel =>
+      val abs = entryPath(rel)
+      CommitLog.dvCache.computeIfAbsent(abs, { _ =>
+        spark.read.schema("f STRING, pos BIGINT").parquet(abs)
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+      })
+    }
+    val wanted = files.map(f => new Path(f).getName).toSet
+    perSidecar.flatten
+      .filter { case (f, _) => wanted(f) }
+      .groupBy(_._1)
+      .map { case (f, chunks) =>
+        f -> chunks.flatMap(_._2).distinct.sorted.toArray
+      }
+  }
+
+  /** Mask DV'd positions out of a RAW parquet read of `files` — must
+    * run on the loaded scan itself (`_metadata` is resolvable there,
+    * not after a projection). No-op without DVs on the read files. */
+  private def subtractDvs(raw: DataFrame,
+      dvs: Map[String, Seq[CommitLog.DvRef]], files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val relevant = files.filter(dvs.contains)
+    if (relevant.isEmpty) return raw
+    val pos = dvPositions(dvs, relevant)
+    if (pos.isEmpty) return raw
+    val bc = spark.sparkContext.broadcast(pos)
+    val keep = udf((fp: String, idx: Long) => {
+      val n = fp.substring(fp.lastIndexOf('/') + 1)
+      bc.value.get(n) match {
+        case Some(a) => java.util.Arrays.binarySearch(a, idx) < 0
+        case None => true
+      }
+    })
+    raw.where(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+  }
+
+  /** The inverse of [[subtractDvs]] for CDC: ONLY the rows of `refs`'
+    * files at the referenced positions — the rows a merge-on-read
+    * delete masked, emitted as CDC delete rows. */
+  private def selectDvRows(sch: StructType,
+      refs: Map[String, Seq[CommitLog.DvRef]]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val files = refs.keys.toSeq
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    val pos = dvPositions(refs, files)
+    val bc = spark.sparkContext.broadcast(pos)
+    val hit = udf((fp: String, idx: Long) => {
+      val n = fp.substring(fp.lastIndexOf('/') + 1)
+      bc.value.get(n) match {
+        case Some(a) => java.util.Arrays.binarySearch(a, idx) >= 0
+        case None => false
+      }
+    })
+    val raw = spark.read.schema(physSchema(sch))
+      .parquet(files.map(entryPath): _*)
+      .where(hit(col("_metadata.file_path"), col("_metadata.row_index")))
+    if (identityMapping(sch)) raw
+    else raw.select(sch.fields.toIndexedSeq.map(f =>
+      col(s"`${physName(f)}`").as(f.name)): _*)
+  }
+
+  /** The live LOGICAL rows of `files` plus their physical address —
+    * `__dv_f` (data-file basename) and `__dv_pos` (row ordinal) — the
+    * find-scan input for a merge-on-read delete. */
+  private def readLiveWithPos(s: Snapshot, sch: StructType,
+      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, reverse, split}
+    val raw = spark.read.schema(physSchema(sch))
+      .parquet(files.map(entryPath): _*)
+    subtractDvs(raw, s.dvs, files)
+      .withColumn("__dv_f",
+        element_at(reverse(split(col("_metadata.file_path"), "/")), 1))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+      .select(sch.fields.toIndexedSeq.map(f =>
+        col(s"`${physName(f)}`").as(f.name))
+        :+ col("__dv_f") :+ col("__dv_pos"): _*)
+  }
+
+  /** Write one DV sidecar holding `positions` under `data/` (so
+    * [[vacuum]]'s reference sweep governs its lifecycle) and return
+    * its table-root-relative path. Driver-sized by the caller's
+    * policy caps. */
+  private def writeDv(positions: Seq[(String, Long)]): String = {
+    import spark.implicits._
+    val tmp = new Path(rootPath, s".tmp-dv-${UUID.randomUUID()}")
+    positions.toDF("f", "pos").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.mkdirs(dataDir)
+    val part = fs.listStatus(tmp).filter(st =>
+      st.isFile && st.getPath.getName.startsWith("part-")) match {
+      case Array(one) => one
+      case other => throw new IllegalStateException(
+        s"$tableRoot: DV write produced ${other.length} files")
+    }
+    val name = s"dv-${UUID.randomUUID()}.parquet"
+    if (!fs.rename(part.getPath, new Path(dataDir, name)))
+      throw new java.io.IOException(s"move DV -> data/$name failed")
+    fs.delete(tmp, true)
+    s"data/$name"
   }
 
   /** Rename `df`'s columns to their physical names under `sch` right
@@ -362,17 +495,33 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
     val fileStatTags = parseStats(node)
     val fileBloomTags = parseBlooms(node)
+    val fileDvTags = parseDvs(node)
     var files = prev.files
     var parts = prev.parts
     var stats = prev.stats
     var blooms = prev.blooms
+    var dvs = prev.dvs
     node.get("action").asText() match {
       case "add"     =>
         files = files ++ fl; parts = parts ++ filePartTags
         stats = stats ++ fileStatTags; blooms = blooms ++ fileBloomTags
+        // ordinary appends carry no DVs; a shallow clone's version-0
+        // "add" restates the source's, absolute like its files
+        fileDvTags.foreach { case (f, refs) =>
+          dvs = dvs.updated(f, dvs.getOrElse(f, Nil) ++ refs)
+        }
+      case "add_dv"  =>
+        // merge-on-read delete: no file changes; each named data file
+        // gains one more DV sidecar masking additional row positions
+        fileDvTags.foreach { case (f, refs) =>
+          dvs = dvs.updated(f, dvs.getOrElse(f, Nil) ++ refs)
+        }
       case "replace" =>
         files = fl; parts = filePartTags; stats = fileStatTags
         blooms = fileBloomTags
+        // restatement (checkpoint/restore/rewrites carrying untouched
+        // files' DVs through); absent = no DVs survive the replace
+        dvs = fileDvTags
       case "replace_parts" =>
         // retire the live files OF THE NAMED PARTITIONS, keep the
         // rest; untagged files are untouched (the writer enforces
@@ -382,6 +531,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         files = files.filterNot(f => parts.get(f).exists(retired)) ++ fl
         stats = stats.filterNot { case (f, _) => parts.get(f).exists(retired) } ++ fileStatTags
         blooms = blooms.filterNot { case (f, _) => parts.get(f).exists(retired) } ++ fileBloomTags
+        dvs = dvs.filterNot { case (f, _) => parts.get(f).exists(retired) } ++ fileDvTags
         parts = parts.filterNot { case (f, p) => retired(p) } ++ filePartTags
       case other => throw new IllegalStateException(
         s"$tableRoot: unknown log action '$other' at version $version")
@@ -406,8 +556,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       txns = txns.updated(e.getKey,
         math.max(e.getValue.asLong(), txns.getOrElse(e.getKey, Long.MinValue)))
     })
-    Snapshot(version, files, schema, txns, parts, stats, blooms, physRetired)
+    Snapshot(version, files, schema, txns, parts, stats, blooms, physRetired,
+      dvs)
   }
+
+  /** Parse a manifest's `fileDvs` node: data file → ordered DV refs. */
+  private def parseDvs(node: JsonNode): Map[String, Seq[CommitLog.DvRef]] =
+    Option(node.get("fileDvs")).map(_.properties().asScala.map { e =>
+      e.getKey -> e.getValue.elements().asScala.map(r =>
+        CommitLog.DvRef(r.get("p").asText(), r.get("n").asLong())).toSeq
+    }.toMap).getOrElse(Map.empty)
 
   /** The log folded up to version `asOf` (inclusive) — TIME TRAVEL.
     * Versions older than the last [[prune]]d checkpoint are gone (the
@@ -481,7 +639,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   }
 
   private def readAt(s: Snapshot): DataFrame = s.schema match {
-    case Some(sch) => readFiles(sch, s.files)
+    case Some(sch) => readFiles(sch, s.files, s.dvs)
     case None =>
       if (s.files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -517,7 +675,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         case None => true // no stats → cannot rule the file out
       }
     }
-    val base = readFiles(s.schema.getOrElse(new StructType()), picked)
+    val base = readFiles(s.schema.getOrElse(new StructType()), picked, s.dvs)
     base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
@@ -539,7 +697,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], new StructType())
     val picked = pointCandidateFiles(s, colName, value)
-    val base = readFiles(s.schema.getOrElse(new StructType()), picked)
+    val base = readFiles(s.schema.getOrElse(new StructType()), picked, s.dvs)
     base.filter(col(colName) === lit(value))
   }
 
@@ -746,16 +904,37 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         val curSet = cur.files.toSet
         val added = cur.files.filterNot(prevSet)
         val removed = prev.files.filterNot(curSet)
-        def piece(fls: Seq[String], schema: Option[StructType], typ: String): DataFrame = {
+        def stamp(df: DataFrame, schema: Option[StructType], typ: String)
+            : DataFrame = {
           val sch = schema.getOrElse(new StructType())
           normalize(
-            readFiles(sch, fls)
-              .withColumn("_change_type", lit(typ))
+            df.withColumn("_change_type", lit(typ))
               .withColumn("_commit_version", lit(cur.version)),
             sch)
         }
-        if (removed.nonEmpty) pieces += piece(removed, prev.schema, "delete")
-        if (added.nonEmpty) pieces += piece(added, cur.schema, "insert")
+        def piece(fls: Seq[String], schema: Option[StructType], typ: String,
+            dvs: Map[String, Seq[CommitLog.DvRef]]): DataFrame =
+          stamp(readFiles(schema.getOrElse(new StructType()), fls, dvs),
+            schema, typ)
+        // a retired file's delete rows are its rows AS THE CONSUMER SAW
+        // THEM at prev — net of the deletion vectors it carried (their
+        // masked rows were already emitted as deletes when masked)
+        if (removed.nonEmpty)
+          pieces += piece(removed, prev.schema, "delete", prev.dvs)
+        if (added.nonEmpty)
+          pieces += piece(added, cur.schema, "insert", Map.empty)
+        // merge-on-read deletes: rows newly masked this commit on files
+        // that stay live — emitted by reading ONLY the new DV positions
+        val dvNew: Map[String, Seq[CommitLog.DvRef]] = cur.dvs.flatMap {
+          case (f, refs) if curSet(f) =>
+            val fresh = refs.drop(prev.dvs.getOrElse(f, Nil).size)
+            if (fresh.isEmpty) None else Some(f -> fresh)
+          case _ => None
+        }
+        if (dvNew.nonEmpty)
+          pieces += stamp(
+            selectDvRows(cur.schema.getOrElse(new StructType()), dvNew),
+            cur.schema, "delete")
       }
     }
     if (pieces.isEmpty) {
@@ -1031,7 +1210,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val in = conform(incoming, sch)
       val touchedFiles = s.files.filter(f => s.parts.get(f).exists(touched.contains))
       val target = conform(
-        readFiles(s.schema.getOrElse(incoming.schema), touchedFiles), sch)
+        readFiles(s.schema.getOrElse(incoming.schema), touchedFiles, s.dvs), sch)
       val merged =
         if (s.version < 0) in
         else mode match {
@@ -1096,7 +1275,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val s = snapshot()
     val want = values.toSet
     val picked = s.files.filter(f => s.parts.get(f).exists(want))
-    readFiles(s.schema.getOrElse(new StructType()), picked)
+    readFiles(s.schema.getOrElse(new StructType()), picked, s.dvs)
   }
 
   /** DYNAMIC partition overwrite: replace exactly the partitions
@@ -1433,16 +1612,70 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       requireTagState(s, partCol, "delete")
       val touched = touchedFiles(s, sch, condition)
       if (touched.isEmpty) return s.version // nothing matched — no new version
-      val kept = readFiles(sch, touched)
-        .filter(not(coalesce(condition, lit(false))))
-      commitRewrite(s, sch, touched, kept, partCol, txn) match {
-        case Some(v) => return v
-        case None =>
+      tryDvDelete(s, sch, condition, touched, txn) match {
+        case Some(Some(v)) => return v // masked merge-on-read, committed
+        case Some(None) => // DV path lost the version race — retry whole
           attempts += 1
           require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+        case None => // policy says copy-on-write
+          val kept = readFiles(sch, touched, s.dvs)
+            .filter(not(coalesce(condition, lit(false))))
+          commitRewrite(s, sch, touched, kept, partCol, txn) match {
+            case Some(v) => return v
+            case None =>
+              attempts += 1
+              require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+          }
       }
     }
     -1L // unreachable
+  }
+
+  /** The merge-on-read DELETE attempt: mask the matching rows of
+    * `touched` behind a deletion-vector sidecar instead of rewriting
+    * the files. Outcome: None = policy declined (caller runs
+    * copy-on-write); Some(Some(v)) = committed; Some(None) = lost the
+    * version race (sidecar cleaned up; caller retries from a fresh
+    * snapshot). Policy — all session-configurable:
+    *  - `spark.graft.dv.enabled` (default true) gates the path;
+    *  - `spark.graft.dv.maxDeletedRows` (default 2e6) caps the
+    *    positions a single commit may mask (sidecars stay driver- and
+    *    broadcast-sized);
+    *  - `spark.graft.dv.maxRatio` (default 0.3) caps masked/live rows
+    *    OF THE TOUCHED FILES — past it the files are mostly dead and
+    *    the honest move is the rewrite that also reclaims their bytes.
+    * The masked positions are FILE ordinals (`_metadata.row_index`),
+    * already net of previous DVs, so refs accumulate disjointly. */
+  private def tryDvDelete(s: Snapshot, sch: StructType,
+      condition: org.apache.spark.sql.Column, touched: Seq[String],
+      txn: Option[(String, Long)]): Option[Option[Long]] = {
+    def conf(k: String, d: String): String =
+      spark.conf.getOption(k).getOrElse(d)
+    if (!conf("spark.graft.dv.enabled", "true").toBoolean) return None
+    val maxRows = conf("spark.graft.dv.maxDeletedRows", "2000000").toLong
+    val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
+    import org.apache.spark.sql.functions.col
+    val withPos = readLiveWithPos(s, sch, touched)
+    val matched = withPos.filter(condition)
+      .select(col("__dv_f"), col("__dv_pos"))
+      .limit(maxRows.toInt + 1).collect()
+    if (matched.length > maxRows) return None
+    if (matched.isEmpty) return Some(Some(s.version)) // raced to nothing
+    val live = readFiles(sch, touched, s.dvs).count()
+    if (live > 0 && matched.length.toDouble / live > maxRatio) return None
+    val positions = matched.map(r => (r.getString(0), r.getLong(1))).toSeq
+    val dvRel = writeDv(positions)
+    val byBase: Map[String, Long] =
+      positions.groupBy(_._1).map { case (f, ps) => f -> ps.size.toLong }
+    val relByBase = touched.map(f => new Path(f).getName -> f).toMap
+    val dvAdd: Map[String, Seq[CommitLog.DvRef]] = byBase.map { case (b, n) =>
+      relByBase(b) -> Seq(CommitLog.DvRef(dvRel, n))
+    }
+    val won = try tryCommit(s.version + 1,
+        manifestJson(s.version + 1, "add_dv", Nil, sch, txn, dvs = dvAdd))
+      catch { case e: Throwable => deleteData(dvRel); throw e }
+    if (won) Some(Some(s.version + 1))
+    else { deleteData(dvRel); Some(None) }
   }
 
   /** ROW-LEVEL UPDATE: rewrite the rows where `condition` is TRUE with
@@ -1487,7 +1720,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val touched = touchedFiles(s, sch, condition)
       if (touched.isEmpty) return s.version // nothing matched — no new version
       val hit = coalesce(condition, lit(false))
-      val updated = readFiles(sch, touched)
+      val updated = readFiles(sch, touched, s.dvs)
         .select(sch.fields.map { f =>
           set.find(_._1.equalsIgnoreCase(f.name)) match {
             case Some((_, rhs)) =>
@@ -1608,7 +1841,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           if (candidates.isEmpty) Nil
           else {
             val byName = candidates.map(f => new Path(f).getName -> f).toMap
-            readFiles(sch0, candidates)
+            readFiles(sch0, candidates, s.dvs)
               .select(keys.map(col) :+ input_file_name().as("__f"): _*)
               .join(source.select(keys.map(col): _*), keys, "left_semi")
               .select("__f").distinct().collect()
@@ -1619,7 +1852,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         return s.version // nothing to rewrite, nothing to insert
       // phase 3: full-outer join touched rows with the source, resolve
       // each row's first-true clause, project the survivors
-      val base = conform(readFiles(sch0, touched), sch)
+      val base = conform(readFiles(sch0, touched, s.dvs), sch)
       val t = base.withColumn("__t", lit(true)).as("t")
       val sAliased = source.withColumn("__s", lit(true)).as("s")
       val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
@@ -1752,14 +1985,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         if (candidates.isEmpty) Nil
         else {
           val byName = candidates.map(f => new Path(f).getName -> f).toMap
-          readFiles(sch0, candidates)
+          readFiles(sch0, candidates, s.dvs)
             .select(keys.map(col) :+ input_file_name().as("__f"): _*)
             .join(mk, keys, "left_semi")
             .select("__f").distinct().collect()
             .map(r => byName(new Path(r.getString(0)).getName)).toSeq.sorted
         }
       if (touched.isEmpty) return appendOnly(s)
-      val survivors = conform(readFiles(sch0, touched), sch)
+      val survivors = conform(readFiles(sch0, touched, s.dvs), sch)
         .join(mk, keys, "left_anti")
       val rewritten =
         if (rowsHasData) survivors.union(conform(rows, sch)) else survivors
@@ -1809,7 +2042,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           s"gone (vacuumed?) — cannot restore, e.g. ${missing.take(3).mkString(", ")}")
       if (tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace", old.files, sch, txn,
-            fileParts = old.parts, stats = old.stats, blooms = old.blooms)))
+            fileParts = old.parts, stats = old.stats, blooms = old.blooms,
+            dvs = old.dvs)))
         return s.version + 1
       attempts += 1
       require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
@@ -1868,10 +2102,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val parts  = s.files.flatMap(f => s.parts.get(f).map(abs(f) -> _)).toMap
     val stats  = s.files.flatMap(f => s.stats.get(f).map(abs(f) -> _)).toMap
     val blooms = s.files.flatMap(f => s.blooms.get(f).map(abs(f) -> _)).toMap
+    // deletion vectors travel too — both the data-file keys and the
+    // sidecar paths go absolute, or the clone would resurrect rows
+    val dvs = s.files.flatMap(f => s.dvs.get(f).map(refs =>
+      abs(f) -> refs.map(r => r.copy(path = abs(r.path))))).toMap
     require(target.tryCommit(0L,
       target.manifestJson(0L, "add", files, sch, txn = None,
         fileParts = parts, stats = stats, blooms = blooms,
-        physRetired = Some(s.physRetired))),
+        physRetired = Some(s.physRetired), dvs = dvs)),
       s"$targetRoot: lost the clone commit race — target is being written")
     0L
   }
@@ -1915,7 +2153,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     else {
       // rel path by basename: data-file names are globally unique
       val byName = candidates.map(f => new Path(f).getName -> f).toMap
-      readFiles(sch, candidates)
+      readFiles(sch, candidates, s.dvs)
         .filter(condition)
         .select(input_file_name().as("__f")).distinct()
         .collect()
@@ -1945,7 +2183,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           stats = s.stats.filter(kv => untouchedSet(kv._1))
             ++ statsFor(newFiles),
           blooms = s.blooms.filter(kv => untouchedSet(kv._1))
-            ++ bloomsFor(newFiles, Some(sch))))
+            ++ bloomsFor(newFiles, Some(sch)),
+          // untouched files keep their deletion vectors; the rewrite
+          // read the touched files MASKED, so theirs retire with them
+          dvs = s.dvs.filter(kv => untouchedSet(kv._1))))
       catch { case e: Throwable => newFiles.foreach(deleteData); throw e }
     if (won) Some(s.version + 1)
     else { newFiles.foreach(deleteData); None }
@@ -2270,7 +2511,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       if (touchedParts.isEmpty) return s.version // already laid out
       val touchedSet = touchedParts.toSet
       val touchedFiles = touchedParts.flatMap(byPart)
-      val df = readFiles(sch, touchedFiles)
+      val df = readFiles(sch, touchedFiles, s.dvs)
       val n = touchedParts.size * targetFilesPerPartition
       val tagOf = optSpec.tagExpr(df)
       val laid =
@@ -2350,6 +2591,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       }
       putStats(root, s.stats.filter(kv => live(kv._1)))
       putBlooms(root, s.blooms.filter(kv => live(kv._1)))
+      putDvs(root, s.dvs.filter(kv => live(kv._1)))
       s.schema.foreach(sc => root.put("schema", sc.json))
       if (s.physRetired.nonEmpty) {
         val pr = root.putArray("physRetired")
@@ -2435,8 +2677,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
     if (!fs.exists(dataDir)) return 0
     val referenced = parsedManifests(Long.MaxValue)
-      .flatMap(_.get("files").elements().asScala.map(f =>
-        new Path(rootPath, f.asText()).getName))
+      .flatMap { node =>
+        val fls = node.get("files").elements().asScala.map(f =>
+          new Path(rootPath, f.asText()).getName)
+        // DV sidecars live under data/ too — referenced while any
+        // retained manifest names them, reclaimed after prune like
+        // the data files they mask
+        val dvps = parseDvs(node).valuesIterator.flatten.map(r =>
+          new Path(rootPath, r.path).getName)
+        fls ++ dvps
+      }
       .toSet
     val dead = fs.listStatus(dataDir)
       .filter(s => s.isFile && !referenced(s.getPath.getName))
@@ -2532,7 +2782,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             fileParts = s.parts.filter(kv => keptSet(kv._1)) ++ newTags,
             stats = s.stats.filter(kv => keptSet(kv._1)) ++ statsFor(newFiles),
             blooms = s.blooms.filter(kv => keptSet(kv._1))
-              ++ bloomsFor(newFiles, Some(sch))))
+              ++ bloomsFor(newFiles, Some(sch)),
+            // kept files carry their deletion vectors through; the
+            // retired files' DVs retire with them (the row-level scan
+            // read those files masked)
+            dvs = s.dvs.filter(kv => keptSet(kv._1))))
         require(won,
           s"$tableRoot: lost the commit race during the row-level " +
             "operation — concurrent write detected, retry the statement")
@@ -2914,7 +3168,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       fileParts: Map[String, String] = Map.empty,
       stats: Map[String, Map[String, (Any, Any)]] = Map.empty,
       blooms: Map[String, Map[String, CommitLog.BloomF]] = Map.empty,
-      physRetired: Option[Seq[String]] = None): String = {
+      physRetired: Option[Seq[String]] = None,
+      dvs: Map[String, Seq[CommitLog.DvRef]] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("version", v)
     root.put("action", action)
@@ -2930,6 +3185,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
     putStats(root, stats)
     putBlooms(root, blooms)
+    putDvs(root, dvs)
     root.put("schema", schema.json)
     physRetired.foreach { r =>
       val pr = root.putArray("physRetired"); r.foreach(pr.add)
@@ -2939,6 +3195,18 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
     mapper.writeValueAsString(root)
   }
+
+  private def putDvs(root: ObjectNode,
+      dvs: Map[String, Seq[CommitLog.DvRef]]): Unit =
+    if (dvs.nonEmpty) {
+      val fd = root.putObject("fileDvs")
+      dvs.foreach { case (f, refs) =>
+        val a = fd.putArray(f)
+        refs.foreach { r =>
+          val o = a.addObject(); o.put("p", r.path); o.put("n", r.count)
+        }
+      }
+    }
 
   private def putBlooms(root: ObjectNode,
       blooms: Map[String, Map[String, CommitLog.BloomF]]): Unit =
@@ -3037,6 +3305,18 @@ object CommitLog {
   /** One per-file per-column Bloom filter, self-describing (so a
     * reader needs no writer config and mixed-config files coexist). */
   final case class BloomF(bits: Int, k: Int, words: Array[Long])
+
+  /** One deletion-vector sidecar reference: `path` is the table-root-
+    * relative (or, on a clone, absolute) parquet sidecar holding
+    * (f: data-file basename, pos: row ordinal) rows; `count` is its
+    * row count — the planner's cheap size signal. */
+  final case class DvRef(path: String, count: Long)
+
+  /** Process-wide immutable-sidecar cache: absolute DV path → its
+    * basename-keyed sorted positions. Sidecars are write-once (a new
+    * delete writes a NEW sidecar), so entries never invalidate. */
+  private[sources] val dvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Array[Long]]]()
 
   def apply(spark: SparkSession, tableRoot: String): CommitLog =
     new CommitLog(spark, tableRoot)

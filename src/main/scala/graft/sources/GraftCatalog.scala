@@ -856,6 +856,14 @@ private[sources] final class GraftLogScanBuilder(
     val b = makeInner(selectedFiles); innerOpt = Some(b); b
   }
 
+  // DV'd snapshots read with NO parquet-level pushdown: the masking
+  // reader counts row ordinals sequentially, and pushed filters would
+  // skip rows (row-group/page pruning) and shift the count. Spark
+  // re-evaluates the returned residual filters above the scan, so the
+  // cost is row-group skipping on DV'd tables only — transient until
+  // OPTIMIZE (or any rewrite) purges the vectors.
+  private val dvActive: Boolean = snap.dvs.nonEmpty
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     // manifest-level FILE skipping happens here, before the parquet
     // builder (and its file index) is even constructed. The predicates
@@ -867,7 +875,7 @@ private[sources] final class GraftLogScanBuilder(
     innerOpt = Some(b)
     prunedSchema.foreach(s =>
       b.pruneColumns(if (mapped) toPhysSchema(s) else s))
-    if (groupGranularity) filters // file-only elimination; rows untouched
+    if (groupGranularity || dvActive) filters // file-only elimination; rows untouched
     else if (!mapped) b.pushFilters(filters)
     else {
       // push PHYSICAL-named predicates; hand Spark back the LOGICAL
@@ -882,7 +890,7 @@ private[sources] final class GraftLogScanBuilder(
 
   override def pushedFilters()
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
-    if (groupGranularity) Array.empty else inner.pushedFilters
+    if (groupGranularity || dvActive) Array.empty else inner.pushedFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     prunedSchema = Some(requiredSchema)
@@ -896,9 +904,26 @@ private[sources] final class GraftLogScanBuilder(
     else GraftLogScanBuilder.MappedScan(s, StructType(
       s.readSchema().fields.map(f => f.copy(
         name = p2l.getOrElse(lcn(f.name), f.name)))))
-    (spjInfo, rtInfo) match {
-      case (None, None) => base
-      case (spj, rt) => GraftLogScanBuilder.GraftScan(base, spj, rt)
+    (spjInfo, rtInfo, dvInfo) match {
+      case (None, None, None) => base
+      case (spj, rt, dv) => GraftLogScanBuilder.GraftScan(base, spj, rt, dv)
+    }
+  }
+
+  /** Deletion-vector surface: when any SELECTED file carries DVs, the
+    * built scan masks its rows at read time ([[GraftLogScanBuilder
+    * .DvReaderFactory]]). The refs (data only) key scan equality; the
+    * loader reads+merges sidecar positions through [[CommitLog]]'s
+    * process-wide immutable cache at reader-factory time. */
+  private def dvInfo: Option[GraftLogScanBuilder.DvInfo] = {
+    if (!dvActive) return None
+    val sel = selectedFiles.filter(snap.dvs.contains)
+    if (sel.isEmpty) None
+    else {
+      val refs: Map[String, Seq[String]] = sel.map(f =>
+        baseName(f) -> snap.dvs(f).map(_.path)).toMap
+      Some(GraftLogScanBuilder.DvInfo(refs, snap.version)(
+        () => log.dvPositions(snap.dvs, sel)))
     }
   }
 
@@ -1174,6 +1199,86 @@ private[sources] object GraftLogScanBuilder {
       val prune: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Literal])]
         => Set[String])
 
+  /** Deletion-vector surface of a built scan: `refs` (data-file
+    * basename → its DV sidecar paths) keys case-class equality — two
+    * scans of the same snapshot stay equal for scan/exchange reuse —
+    * and the loader (second parameter list, excluded from equality)
+    * materializes the merged positions at reader-factory time. */
+  private[sources] final case class DvInfo(
+      refs: Map[String, Seq[String]], snapVersion: Long)(
+      val load: () => Map[String, Array[Long]])
+
+  /** Masks DV'd row positions out of a delegate reader factory's
+    * output. Clean partitions pass through untouched (columnar reads
+    * included); a partition holding DV'd files reads ROW-WISE, one
+    * inner reader per file so the sequential ordinal count restarts at
+    * each file boundary. Correct only because DV'd scans push NO
+    * parquet filters (the builder guarantees it) and DV'd files plan
+    * as whole-file units (planInputPartitions guarantees it) — the
+    * inner reader then emits every row of the file in order. */
+  private[sources] final class DvReaderFactory(
+      delegate: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+      positions: Map[String, Array[Long]])
+      extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+    import org.apache.spark.sql.execution.datasources.FilePartition
+
+    private def hasDv(p: InputPartition): Boolean = p match {
+      case fp: FilePartition =>
+        fp.files.exists(pf => positions.contains(pf.filePath.toPath.getName))
+      case _ => false
+    }
+
+    // ALL partitions read row-wise: Spark refuses a scan mixing
+    // columnar and row partitions (DataSourceV2ScanExecBase
+    // .supportsColumnar), so the clean files of a DV'd snapshot pay
+    // the row-path cost too — transient until OPTIMIZE purges the DVs
+    override def supportColumnarReads(p: InputPartition): Boolean = false
+
+    override def createColumnarReader(p: InputPartition)
+        : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      delegate.createColumnarReader(p)
+
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      p match {
+        case fp: FilePartition if hasDv(fp) => new PartitionReader[InternalRow] {
+          private val files = fp.files
+          private var i = -1
+          private var cur: PartitionReader[InternalRow] = _
+          private var mask: Array[Long] = _
+          private var ord = -1L
+          private var row: InternalRow = _
+
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                i += 1
+                if (i >= files.length) return false
+                cur = delegate.createReader(FilePartition(i, Array(files(i))))
+                mask = positions.getOrElse(
+                  files(i).filePath.toPath.getName, null)
+                ord = -1L
+              }
+              if (!cur.next()) { cur.close(); cur = null }
+              else {
+                ord += 1
+                if (mask == null
+                    || java.util.Arrays.binarySearch(mask, ord) < 0) {
+                  row = cur.get()
+                  return true
+                }
+              }
+            }
+            false // unreachable
+          }
+          override def get(): InternalRow = row
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+        case _ => delegate.createReader(p)
+      }
+  }
+
   private[sources] final class RtFilesKeptMetric
       extends org.apache.spark.sql.connector.metric.CustomSumMetric {
     override def name(): String = "graftRtFilesKept"
@@ -1216,7 +1321,8 @@ private[sources] object GraftLogScanBuilder {
     * scan object never ships to executors. */
   private[sources] final case class GraftScan(
       inner: org.apache.spark.sql.connector.read.Scan,
-      spj: Option[SpjInfo], rt: Option[RtInfo])
+      spj: Option[SpjInfo], rt: Option[RtInfo],
+      dv: Option[DvInfo] = None)
       extends org.apache.spark.sql.connector.read.Scan
       with org.apache.spark.sql.connector.read.Batch
       with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1239,7 +1345,8 @@ private[sources] object GraftLogScanBuilder {
       val spjTok = spj.map(i => s"graft-spj(key=${i.spec.render}) ").getOrElse("")
       val rtTok = rt.map(i =>
         s"graft-rt(${i.filterable.mkString(",")}) ").getOrElse("")
-      s"$spjTok$rtTok${inner.description()}"
+      val dvTok = dv.map(i => s"graft-dv(${i.refs.size} files) ").getOrElse("")
+      s"$spjTok$rtTok$dvTok${inner.description()}"
     }
 
     override def outputPartitioning()
@@ -1298,11 +1405,16 @@ private[sources] object GraftLogScanBuilder {
     // `scan.toBatch`, so returning a fresh anonymous Batch per call
     // would break self-join dedup via reference inequality
     override def toBatch: Batch = this
-    override def createReaderFactory(): PartitionReaderFactory =
-      inner.toBatch.createReaderFactory()
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val delegate = inner.toBatch.createReaderFactory()
+      dv match {
+        case Some(i) => new DvReaderFactory(delegate, i.load())
+        case None => delegate
+      }
+    }
     override def planInputPartitions(): Array[InputPartition] = {
       // runtime pruning first: drop files no arriving key can hit
-      val pruned: Array[FilePartition] = inner.toBatch.planInputPartitions().flatMap {
+      val rtPruned: Array[FilePartition] = inner.toBatch.planInputPartitions().flatMap {
         case fp: FilePartition => survivors match {
           case None => Some(fp)
           case Some(keep) =>
@@ -1312,6 +1424,27 @@ private[sources] object GraftLogScanBuilder {
         case other => throw new IllegalStateException(
           s"graft-scan: unexpected input partition ${other.getClass.getName}")
       }
+      // DV'd files re-plan as WHOLE-FILE units: the masking reader
+      // counts row ordinals from the file start, so a byte-range split
+      // (maxPartitionBytes) would shift every position. Splits of one
+      // file may sit in different partitions — merge globally.
+      val dvNames: Set[String] = dv.map(_.refs.keySet).getOrElse(Set.empty)
+      val pruned: Array[FilePartition] =
+        if (dvNames.isEmpty) rtPruned
+        else {
+          val whole = scala.collection.mutable.LinkedHashMap
+            .empty[String, org.apache.spark.sql.execution.datasources.PartitionedFile]
+          val clean = rtPruned.flatMap { fp =>
+            val (d, c) = fp.files.partition(pf =>
+              dvNames(pf.filePath.toPath.getName))
+            d.foreach { pf =>
+              whole.getOrElseUpdate(pf.filePath.toPath.getName,
+                pf.copy(start = 0, length = pf.fileSize))
+            }
+            if (c.isEmpty) None else Some(FilePartition(fp.index, c))
+          }
+          clean ++ whole.values.map(pf => FilePartition(0, Array(pf)))
+        }
       var idx = -1
       spj match {
         case Some(i) =>

@@ -1,0 +1,214 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read DELETION VECTORS (r13): a small-predicate DELETE on a
+  * commit-log table masks row positions behind a parquet sidecar
+  * (`add_dv` manifest action) instead of rewriting data files — the
+  * rewrite-amplification fix for frequent small DML at 100 TB
+  * (Delta/Iceberg's DV design; the reference's DynamoDB delete is
+  * row-granular by nature, `/root/reference/index.js:249`). This suite
+  * pins: the mask commit (no data-file rewrite), both read paths
+  * (library + V2 catalog SQL with residual filters), accumulation,
+  * policy fallback to copy-on-write, DV retirement on rewrite/update/
+  * OPTIMIZE, CDC delete emission, time travel, restore, clone carry,
+  * and vacuum's sidecar lifecycle. */
+class DvSpec extends graft.SparkSpecBase {
+  import spark.implicits._
+
+  private def tmpRoot(tag: String): String =
+    Files.createTempDirectory(s"gdv-$tag").toString + "/t"
+
+  /** A 3-file table, 10 rows per file (id ranges 0-9, 100-109,
+    * 200-209) — deep enough that a 1-2 row delete passes the ratio
+    * policy. */
+  private def threeFiles(root: String): CommitLog = {
+    val log = CommitLog(spark, root)
+    def block(base: Long) =
+      (0 until 10).map(i => (base + i, s"v${base + i}", (base + i) * 1.5))
+        .toDF("id", "v", "x").coalesce(1)
+    log.append(block(0L)); log.append(block(100L)); log.append(block(200L))
+    log
+  }
+
+  test("small delete masks rows: add_dv commit, zero data-file rewrite") {
+    val root = tmpRoot("mask")
+    val log = threeFiles(root)
+    val before = log.snapshot()
+    assert(log.delete($"id" === 105L) === 3L)
+    val after = log.snapshot()
+    assert(after.files === before.files, "a DV delete must not touch data files")
+    assert(after.dvs.size === 1 && after.dvs.values.head.map(_.count) === Seq(1L))
+    assert(log.read().count() === 29L)
+    assert(!log.read().filter($"id" === 105L).isEmpty === false)
+    // the masked row is gone but its file-mates survive
+    assert(log.read().filter($"id" >= 100L && $"id" <= 109L).count() === 9L)
+    // time travel before the delete still sees the row
+    assert(log.readVersion(2L).filter($"id" === 105L).count() === 1L)
+  }
+
+  test("DV deletes accumulate per file and across files") {
+    val root = tmpRoot("accum")
+    val log = threeFiles(root)
+    log.delete($"id" === 105L)
+    log.delete($"id" === 107L || $"id" === 3L) // same file again + another
+    val s = log.snapshot()
+    assert(s.files.size === 3 && s.dvs.size === 2)
+    val f100 = s.files.find(f => s.stats(f)("id")._1 == 100L).get
+    assert(s.dvs(f100).map(_.count).sum === 2L)
+    assert(log.read().count() === 27L)
+    assert(log.read().filter($"id".isin(3L, 105L, 107L)).isEmpty)
+    // a re-delete of already-masked rows commits nothing
+    val v = log.snapshot().version
+    assert(log.delete($"id" === 105L) === v)
+  }
+
+  test("policy: a delete past the ratio cap falls back to copy-on-write") {
+    val root = tmpRoot("ratio")
+    val log = threeFiles(root)
+    val before = log.snapshot().files.toSet
+    log.delete($"id" >= 100L && $"id" <= 108L) // 9 of the file's 10 rows
+    val s = log.snapshot()
+    assert((before -- s.files.toSet).size === 1, "the hot file must be rewritten")
+    assert(s.dvs.isEmpty)
+    assert(log.read().count() === 21L)
+    // conf opt-out: even a tiny delete rewrites
+    spark.conf.set("spark.graft.dv.enabled", "false")
+    try {
+      val filesBefore = log.snapshot().files.toSet
+      log.delete($"id" === 3L)
+      assert(log.snapshot().dvs.isEmpty
+        && (filesBefore -- log.snapshot().files.toSet).size === 1)
+    } finally spark.conf.unset("spark.graft.dv.enabled")
+  }
+
+  test("V2 catalog reads mask DVs; residual filters still apply") {
+    val wh = Files.createTempDirectory("gdv-cat").toString
+    spark.conf.set("spark.sql.catalog.gdvc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdvc.warehouse", wh)
+    (0 until 30).map(i => (i.toLong, s"v$i", i * 1.5)).toDF("id", "v", "x")
+      .repartition(3)
+      .writeTo("gdvc.t").tableProperty("merge.log", "true").create()
+    val log = CommitLog(spark, s"$wh/t")
+    log.delete($"id" === 7L || $"id" === 21L)
+    assert(log.snapshot().dvs.nonEmpty, "small delete must take the DV path")
+    // full SQL read masks
+    assert(spark.sql("SELECT count(*) FROM gdvc.t").as[Long].head() === 28L)
+    // filtered read: parquet pushdown is off on DV'd scans, Spark's
+    // residual filter does the work — values must be exact
+    val q = spark.table("gdvc.t").filter($"id" >= 5L && $"id" <= 22L)
+    assert(q.select(sum($"id")).as[Long].head()
+      === (5L to 22L).filterNot(i => i == 7L || i == 21L).sum)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-dv("), s"scan did not report the DV mask:\n$plan")
+    assert(plan.contains("Filter"), "residual filter must evaluate above the scan")
+    // joins over DV'd scans stay correct (position masking per file)
+    val j = spark.table("gdvc.t").as("a")
+      .join(spark.table("gdvc.t").as("b"), "id")
+      .agg(count(lit(1)))
+    assert(j.as[Long].head() === 28L)
+  }
+
+  test("rewriting DML retires the touched file's DVs and keeps others'") {
+    val root = tmpRoot("retire")
+    val log = threeFiles(root)
+    log.delete($"id" === 5L)    // DV on file A
+    log.delete($"id" === 205L)  // DV on file C
+    assert(log.snapshot().dvs.size === 2)
+    // update rewrites file A (copy-on-write): its DV retires WITH it,
+    // file C's rides through
+    log.update($"id" === 1L, Map("v" -> lit("patched")))
+    val s = log.snapshot()
+    assert(s.dvs.size === 1)
+    assert(log.read().count() === 28L)
+    assert(log.read().filter($"id".isin(5L, 205L)).isEmpty)
+    assert(log.read().filter($"v" === "patched").count() === 1L)
+    // OPTIMIZE purges every DV (full rewrite) and keeps content
+    log.optimize(targetFiles = 2)
+    val s2 = log.snapshot()
+    assert(s2.dvs.isEmpty && s2.files.size === 2)
+    assert(log.read().count() === 28L
+      && log.read().filter($"id".isin(5L, 205L)).isEmpty)
+  }
+
+  test("CDC: a DV commit emits exactly the masked rows as deletes") {
+    val root = tmpRoot("cdc")
+    val log = threeFiles(root)
+    val v0 = log.snapshot().version
+    log.delete($"id" === 104L || $"id" === 2L)
+    val ch = log.readChanges(v0)
+    val dels = ch.filter($"_change_type" === "delete")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(dels === Seq(2L, 104L))
+    assert(ch.filter($"_change_type" === "insert").isEmpty)
+    // retiring a DV'd file later emits only its LIVE rows as deletes
+    val v1 = log.snapshot().version
+    log.delete($"id" >= 100L && $"id" <= 109L) // CoW: kills the rest of file B
+    val ch2 = log.readChanges(v1)
+    val dels2 = ch2.filter($"_change_type" === "delete")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(dels2 === ((100L to 109L).filterNot(_ == 104L)),
+      "already-masked rows must not re-emit as deletes")
+  }
+
+  test("restore crosses DV versions exactly; clone carries DVs") {
+    val root = tmpRoot("restore")
+    val log = threeFiles(root)
+    val preDelete = log.snapshot().version
+    log.delete($"id" === 9L)
+    val masked = log.snapshot().version
+    // clone AT the masked version: the clone must not resurrect id=9
+    val cloneRoot = tmpRoot("clone-target")
+    log.cloneTo(cloneRoot)
+    val clone = CommitLog(spark, cloneRoot)
+    assert(clone.read().count() === 29L
+      && clone.read().filter($"id" === 9L).isEmpty)
+    // restore source to pre-delete: row resurrects; forward again: masked
+    log.restore(preDelete)
+    assert(log.read().count() === 30L)
+    log.restore(masked)
+    assert(log.read().count() === 29L
+      && log.read().filter($"id" === 9L).isEmpty)
+  }
+
+  test("vacuum keeps referenced sidecars; compact+prune retire them with history") {
+    val root = tmpRoot("vac")
+    val log = threeFiles(root)
+    log.delete($"id" === 3L)
+    val dvName = new org.apache.hadoop.fs.Path(
+      log.snapshot().dvs.values.head.head.path).getName
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(log.vacuum(stagingTtlMs = 0L) === 0,
+      "a referenced DV sidecar must survive vacuum")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dataDir, dvName)))
+    // OPTIMIZE drops the mask from the live version; the sidecar stays
+    // referenced by RETAINED history until compact+prune retire it
+    log.optimize(targetFiles = 1)
+    assert(log.vacuum(stagingTtlMs = 0L) === 0)
+    log.compact(); log.prune()
+    val reclaimed = log.vacuum(stagingTtlMs = 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dataDir, dvName)),
+      "after history retirement the sidecar must be reclaimable")
+    assert(reclaimed >= 1)
+    assert(log.read().count() === 29L)
+  }
+
+  test("partition-tagged tables take the DV path and keep their tags") {
+    val root = tmpRoot("tags")
+    val log = CommitLog(spark, root)
+    log.appendPartitioned((0 until 20).map(i =>
+        (i.toLong, if (i % 2 == 0) "even" else "odd", s"r$i"))
+      .toDF("id", "par", "v"), "par")
+    val before = log.snapshot()
+    log.delete($"id" === 4L, partCol = Some("par"))
+    val s = log.snapshot()
+    assert(s.files === before.files && s.dvs.size === 1)
+    assert(s.files.forall(s.parts.contains))
+    assert(log.read().count() === 19L)
+    assert(log.readPartitions(Seq("even")).count() === 9L,
+      "partition-scoped reads must mask too")
+  }
+}
