@@ -1592,6 +1592,10 @@ object IndexQueries {
         .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
       val log = graft.sources.CommitLog(s, s"$root/t")
       val before = log.snapshot()
+      // lift the scale-aware admission floor (256 MB of touched files
+      // by default — test tables are MBs): this query gates the DV
+      // MACHINERY; the floor itself is exercised by DvSpec/BenchOne
+      s.conf.set("spark.graft.dv.minTouchedBytes", "0")
       s.sql(s"DELETE FROM $cat.t WHERE l_orderkey >= 100 AND l_orderkey <= 140")
       val after = log.snapshot()
       require(after.version > before.version,
@@ -1600,11 +1604,21 @@ object IndexQueries {
         s"q173: merge-on-read delete rewrote data files " +
           s"(${(after.files.toSet -- before.files.toSet).size} new)")
       require(after.dvs.nonEmpty, "q173: no deletion vector was committed")
+      // merge-on-read UPDATE: mask + append in ONE commit, no rewrite
+      log.update(col("l_orderkey") >= 200 && col("l_orderkey") <= 220,
+        Map("price" -> (col("price") * lit(2))))
+      val after2 = log.snapshot()
+      require(after2.version == after.version + 1
+          && after.files.forall(after2.files.contains)
+          && after2.files.size > after.files.size,
+        "q173: MoR update must adopt new files atomically, rewriting none")
       val gold = s.table(s"$cat.t")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_li"), sum(col("price")).as("sum_price"),
           countDistinct(col("l_orderkey")).as("n_orders"))
-      val rows = gold.collect()
+      val rows =
+        try gold.collect()
+        finally s.conf.unset("spark.graft.dv.minTouchedBytes")
       val plan = gold.queryExecution.executedPlan.toString
       require(plan.contains("graft-dv("),
         s"q173: the scan did not report the DV mask:\n$plan")
@@ -1613,7 +1627,10 @@ object IndexQueries {
         .orderBy(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag, COUNT(*) AS n_li,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(SUM(CASE WHEN l_orderkey >= 200 AND l_orderkey <= 220
+          THEN CAST(l_extendedprice AS DECIMAL(18,2)) * 2
+          ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+          AS sum_price,
         COUNT(DISTINCT l_orderkey) AS n_orders
       FROM lineitem
       WHERE NOT (l_orderkey >= 100 AND l_orderkey <= 140)

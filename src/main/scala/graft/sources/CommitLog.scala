@@ -511,8 +511,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           dvs = dvs.updated(f, dvs.getOrElse(f, Nil) ++ refs)
         }
       case "add_dv"  =>
-        // merge-on-read delete: no file changes; each named data file
-        // gains one more DV sidecar masking additional row positions
+        // merge-on-read DML: each named data file gains one more DV
+        // sidecar masking additional row positions; an UPDATE's commit
+        // also ADOPTS the replacement files it appended (atomically
+        // with the mask — `files` is empty on a pure delete)
+        files = files ++ fl; parts = parts ++ filePartTags
+        stats = stats ++ fileStatTags; blooms = blooms ++ fileBloomTags
         fileDvTags.foreach { case (f, refs) =>
           dvs = dvs.updated(f, dvs.getOrElse(f, Nil) ++ refs)
         }
@@ -1646,12 +1650,33 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     *    the honest move is the rewrite that also reclaims their bytes.
     * The masked positions are FILE ordinals (`_metadata.row_index`),
     * already net of previous DVs, so refs accumulate disjointly. */
+  /** The shared DV admission gate: enabled + a TOUCHED-BYTES floor.
+    * The floor (`spark.graft.dv.minTouchedBytes`, default 256 MB) is
+    * what makes the policy scale-aware: a DV commit replaces the
+    * rewrite with 2-3 extra driver round-trips and later masked
+    * (row-wise, unpushed) reads — a pure win when the avoided rewrite
+    * is multi-GB, a measured LOSS when the touched files are small
+    * (BenchOne r13: the sync composites regressed 20-40% with DVs on
+    * at sf0.1's megabyte-scale partitions). Below the floor the
+    * copy-on-write path is the honest fast path. */
+  private def dvAdmitted(touched: Seq[String]): Boolean = {
+    def conf(k: String, d: String): String =
+      spark.conf.getOption(k).getOrElse(d)
+    if (!conf("spark.graft.dv.enabled", "true").toBoolean) return false
+    val minBytes = conf("spark.graft.dv.minTouchedBytes",
+      (256L << 20).toString).toLong
+    minBytes <= 0L || touched.map { f =>
+      try fs.getFileStatus(new Path(entryPath(f))).getLen
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum >= minBytes
+  }
+
   private def tryDvDelete(s: Snapshot, sch: StructType,
       condition: org.apache.spark.sql.Column, touched: Seq[String],
       txn: Option[(String, Long)]): Option[Option[Long]] = {
     def conf(k: String, d: String): String =
       spark.conf.getOption(k).getOrElse(d)
-    if (!conf("spark.graft.dv.enabled", "true").toBoolean) return None
+    if (!dvAdmitted(touched)) return None
     val maxRows = conf("spark.graft.dv.maxDeletedRows", "2000000").toLong
     val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
     import org.apache.spark.sql.functions.col
@@ -1676,6 +1701,61 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       catch { case e: Throwable => deleteData(dvRel); throw e }
     if (won) Some(Some(s.version + 1))
     else { deleteData(dvRel); Some(None) }
+  }
+
+  /** The merge-on-read UPDATE attempt (Delta's DV update shape): mask
+    * the matching rows behind a DV and APPEND their updated versions
+    * as new files — one atomic `add_dv` commit carrying both, zero
+    * rewrite of the touched files. Same policy gates and outcome
+    * contract as [[tryDvDelete]]; the appended rows validate CHECK
+    * constraints and, on tagged tables, land through the partitioned
+    * write (assignments to partition key columns are refused upstream,
+    * so no row changes partition). */
+  private def tryDvUpdate(s: Snapshot, sch: StructType,
+      condition: org.apache.spark.sql.Column, touched: Seq[String],
+      partCol: Option[String], txn: Option[(String, Long)],
+      assigned: (org.apache.spark.sql.types.StructField, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column)
+      : Option[Option[Long]] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def conf(k: String, d: String): String =
+      spark.conf.getOption(k).getOrElse(d)
+    if (!dvAdmitted(touched)) return None
+    val maxRows = conf("spark.graft.dv.maxDeletedRows", "2000000").toLong
+    val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
+    val hits = readLiveWithPos(s, sch, touched).filter(condition)
+    val matched = hits.select(col("__dv_f"), col("__dv_pos"))
+      .limit(maxRows.toInt + 1).collect()
+    if (matched.length > maxRows) return None
+    if (matched.isEmpty) return Some(Some(s.version)) // raced to nothing
+    val live = readFiles(sch, touched, s.dvs).count()
+    if (live > 0 && matched.length.toDouble / live > maxRatio) return None
+    // every selected row IS a hit — assignments apply unconditionally
+    val updatedRows = hits.select(sch.fields.map(f =>
+      assigned(f, col(f.name), lit(true))).toIndexedSeq: _*)
+    val (newFiles, newTags) = partCol match {
+      case Some(pc) =>
+        val tagged = writeDataPartitioned(updatedRows, pc, sch)
+        (tagged.map(_._1), tagged.toMap)
+      case None => (writeData(updatedRows, sch), Map.empty[String, String])
+    }
+    val positions = matched.map(r => (r.getString(0), r.getLong(1))).toSeq
+    val dvRel = try writeDv(positions)
+      catch { case e: Throwable => newFiles.foreach(deleteData); throw e }
+    def cleanup(): Unit = { newFiles.foreach(deleteData); deleteData(dvRel) }
+    val byBase: Map[String, Long] =
+      positions.groupBy(_._1).map { case (f, ps) => f -> ps.size.toLong }
+    val relByBase = touched.map(f => new Path(f).getName -> f).toMap
+    val dvAdd: Map[String, Seq[CommitLog.DvRef]] = byBase.map { case (b, n) =>
+      relByBase(b) -> Seq(CommitLog.DvRef(dvRel, n))
+    }
+    val won = try tryCommit(s.version + 1,
+        manifestJson(s.version + 1, "add_dv", newFiles, sch, txn,
+          fileParts = newTags, stats = statsFor(newFiles),
+          blooms = bloomsFor(newFiles, Some(sch)), dvs = dvAdd))
+      catch { case e: Throwable => cleanup(); throw e }
+    if (won) Some(Some(s.version + 1))
+    else { cleanup(); Some(None) }
   }
 
   /** ROW-LEVEL UPDATE: rewrite the rows where `condition` is TRUE with
@@ -1713,27 +1793,39 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         sch.fieldNames.exists(_.equalsIgnoreCase(k)))
       require(unknown.isEmpty,
         s"$tableRoot: update assigns unknown column(s) ${unknown.mkString(", ")}")
-      partCol.foreach(pc => require(!set.keySet.exists(_.equalsIgnoreCase(pc)),
-        s"$tableRoot: cannot update partition column '$pc' — a cross-partition " +
-          "move is a delete+insert (use upsertPartitioned)"))
+      partCol.foreach { pc =>
+        val srcs = PartSpec.parse(pc).sourceColumns
+        require(!set.keySet.exists(k => srcs.exists(_.equalsIgnoreCase(k))),
+          s"$tableRoot: cannot update a partition key column of '$pc' — a " +
+            "cross-partition move is a delete+insert (use upsertPartitioned)")
+      }
       requireTagState(s, partCol, "update")
       val touched = touchedFiles(s, sch, condition)
       if (touched.isEmpty) return s.version // nothing matched — no new version
-      val hit = coalesce(condition, lit(false))
-      val updated = readFiles(sch, touched, s.dvs)
-        .select(sch.fields.map { f =>
-          set.find(_._1.equalsIgnoreCase(f.name)) match {
-            case Some((_, rhs)) =>
-              when(hit, rhs.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-            case None => col(f.name)
-          }
-        }.toIndexedSeq: _*)
-      validateConstraints(updated)
-      commitRewrite(s, sch, touched, updated, partCol, txn) match {
-        case Some(v) => return v
-        case None =>
+      def assigned(f: org.apache.spark.sql.types.StructField, old: org.apache.spark.sql.Column,
+          hit: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        set.find(_._1.equalsIgnoreCase(f.name)) match {
+          case Some((_, rhs)) =>
+            when(hit, rhs.cast(f.dataType)).otherwise(old).as(f.name)
+          case None => old.as(f.name)
+        }
+      tryDvUpdate(s, sch, condition, touched, partCol, txn, assigned) match {
+        case Some(Some(v)) => return v // masked + appended merge-on-read
+        case Some(None) =>
           attempts += 1
           require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+        case None =>
+          val hit = coalesce(condition, lit(false))
+          val updated = readFiles(sch, touched, s.dvs)
+            .select(sch.fields.map(f => assigned(f, col(f.name), hit))
+              .toIndexedSeq: _*)
+          validateConstraints(updated)
+          commitRewrite(s, sch, touched, updated, partCol, txn) match {
+            case Some(v) => return v
+            case None =>
+              attempts += 1
+              require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+          }
       }
     }
     -1L // unreachable
@@ -1992,19 +2084,81 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             .map(r => byName(new Path(r.getString(0)).getName)).toSeq.sorted
         }
       if (touched.isEmpty) return appendOnly(s)
-      val survivors = conform(readFiles(sch0, touched, s.dvs), sch)
-        .join(mk, keys, "left_anti")
-      val rewritten =
-        if (rowsHasData) survivors.union(conform(rows, sch)) else survivors
-      validateConstraints(rewritten)
-      commitRewrite(s, sch, touched, rewritten, partCol, txn) match {
-        case Some(v) => return v
-        case None =>
+      tryDvDeleteAppend(s, sch0, sch, mk, keys, rows, rowsHasData, touched,
+          partCol, txn) match {
+        case Some(Some(v)) => return v // masked + appended, one commit
+        case Some(None) =>
           attempts += 1
           require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+        case None =>
+          val survivors = conform(readFiles(sch0, touched, s.dvs), sch)
+            .join(mk, keys, "left_anti")
+          val rewritten =
+            if (rowsHasData) survivors.union(conform(rows, sch)) else survivors
+          validateConstraints(rewritten)
+          commitRewrite(s, sch, touched, rewritten, partCol, txn) match {
+            case Some(v) => return v
+            case None =>
+              attempts += 1
+              require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+          }
       }
     }
     -1L // unreachable
+  }
+
+  /** The merge-on-read form of [[deleteAndAppend]]: mask the
+    * key-matching rows behind a DV and adopt the appended rows' files
+    * in the SAME `add_dv` commit — the incremental maintainers' swap
+    * (ANN index sync, resample grid) without rewriting the touched
+    * partitions' files. Policy gates and outcome contract as
+    * [[tryDvDelete]]. Row-level CHECK constraints validate the
+    * appended rows (masking rows cannot invalidate the survivors);
+    * schema evolution carries `sch` in the commit exactly like the
+    * copy-on-write form. */
+  private def tryDvDeleteAppend(s: Snapshot, sch0: StructType,
+      sch: StructType, mk: DataFrame, keys: Seq[String], rows: DataFrame,
+      rowsHasData: Boolean, touched: Seq[String], partCol: Option[String],
+      txn: Option[(String, Long)]): Option[Option[Long]] = {
+    import org.apache.spark.sql.functions.col
+    def conf(k: String, d: String): String =
+      spark.conf.getOption(k).getOrElse(d)
+    if (!dvAdmitted(touched)) return None
+    val maxRows = conf("spark.graft.dv.maxDeletedRows", "2000000").toLong
+    val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
+    val matched = readLiveWithPos(s, sch0, touched)
+      .join(mk, keys, "left_semi")
+      .select(col("__dv_f"), col("__dv_pos"))
+      .limit(maxRows.toInt + 1).collect()
+    if (matched.length > maxRows || matched.isEmpty) return None
+    val live = readFiles(sch0, touched, s.dvs).count()
+    if (live > 0 && matched.length.toDouble / live > maxRatio) return None
+    val (newFiles, newTags) =
+      if (!rowsHasData) (Seq.empty[String], Map.empty[String, String])
+      else partCol match {
+        case Some(pc) =>
+          val tagged = writeDataPartitioned(conform(rows, sch), pc, sch)
+          (tagged.map(_._1), tagged.toMap)
+        case None => (writeData(conform(rows, sch), sch),
+          Map.empty[String, String])
+      }
+    val positions = matched.map(r => (r.getString(0), r.getLong(1))).toSeq
+    val dvRel = try writeDv(positions)
+      catch { case e: Throwable => newFiles.foreach(deleteData); throw e }
+    def cleanup(): Unit = { newFiles.foreach(deleteData); deleteData(dvRel) }
+    val byBase: Map[String, Long] =
+      positions.groupBy(_._1).map { case (f, ps) => f -> ps.size.toLong }
+    val relByBase = touched.map(f => new Path(f).getName -> f).toMap
+    val dvAdd: Map[String, Seq[CommitLog.DvRef]] = byBase.map { case (b, n) =>
+      relByBase(b) -> Seq(CommitLog.DvRef(dvRel, n))
+    }
+    val won = try tryCommit(s.version + 1,
+        manifestJson(s.version + 1, "add_dv", newFiles, sch, txn,
+          fileParts = newTags, stats = statsFor(newFiles),
+          blooms = bloomsFor(newFiles, Some(sch)), dvs = dvAdd))
+      catch { case e: Throwable => cleanup(); throw e }
+    if (won) Some(Some(s.version + 1))
+    else { cleanup(); Some(None) }
   }
 
   /** RESTORE: make the table's CURRENT state its state at `version` —

@@ -1258,7 +1258,7 @@ class CommitLogSpec extends SparkSpecBase {
     val ePart = intercept[IllegalArgumentException] {
       log.update($"id" === 1L, Map("day" -> lit("d9")), partCol = Some("day"))
     }
-    assert(ePart.getMessage.contains("partition column"))
+    assert(ePart.getMessage.contains("partition key column"))
     // x > 2.0 is NULL for id=2 — that row is untouched (SQL semantics)
     log.update($"x" > 2.0, Map("x" -> ($"x" + 1)), partCol = Some("day"))
     assert(log.read().orderBy($"id").select($"x").as[Option[Double]].collect().toSeq

@@ -15,8 +15,21 @@ import org.apache.spark.sql.functions._
   * policy fallback to copy-on-write, DV retirement on rewrite/update/
   * OPTIMIZE, CDC delete emission, time travel, restore, clone carry,
   * and vacuum's sidecar lifecycle. */
-class DvSpec extends graft.SparkSpecBase {
+class DvSpec extends graft.SparkSpecBase
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  // the admission floor (256 MB default) exists exactly so
+  // bench-scale tables stay copy-on-write; this suite tests the DV
+  // machinery itself, so it lifts the floor and restores it after
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.dv.minTouchedBytes")
+    super.afterAll()
+  }
 
   private def tmpRoot(tag: String): String =
     Files.createTempDirectory(s"gdv-$tag").toString + "/t"
@@ -111,15 +124,64 @@ class DvSpec extends graft.SparkSpecBase {
     assert(j.as[Long].head() === 28L)
   }
 
+  test("merge-on-read UPDATE: one add_dv commit masks old rows and adopts new files") {
+    val root = tmpRoot("moru")
+    val log = threeFiles(root)
+    val before = log.snapshot()
+    log.update($"id" === 104L || $"id" === 2L, Map("v" -> lit("patched")))
+    val s = log.snapshot()
+    assert(s.version === before.version + 1, "MoR update must be ONE commit")
+    assert(before.files.forall(s.files.contains),
+      "no touched file may be rewritten")
+    assert((s.files.toSet -- before.files.toSet).nonEmpty,
+      "the updated rows must land as new files")
+    assert(s.dvs.size === 2)
+    assert(log.read().count() === 30L, "an update must not change row count")
+    assert(log.read().filter($"v" === "patched")
+      .select($"id").as[Long].collect().sorted.toSeq === Seq(2L, 104L))
+    // unassigned columns carry the OLD values into the new rows
+    assert(log.read().filter($"id" === 104L).select($"x").as[Double].head()
+      === 104L * 1.5)
+    // CDC: the one commit emits delete(old) + insert(new)
+    val ch = log.readChanges(before.version)
+    assert(ch.filter($"_change_type" === "delete")
+      .select($"v").as[String].collect().sorted.toSeq === Seq("v104", "v2"))
+    assert(ch.filter($"_change_type" === "insert")
+      .select($"v").as[String].collect().toSeq === Seq("patched", "patched"))
+  }
+
+  test("merge-on-read deleteAndAppend: the sync swap masks and adopts in one commit") {
+    val root = tmpRoot("morda")
+    val log = threeFiles(root)
+    val before = log.snapshot()
+    val mk = Seq(3L, 105L).toDF("id")
+    val rows = Seq((3L, "v3b", 33.0), (105L, "v105b", 55.0))
+      .toDF("id", "v", "x")
+    log.deleteAndAppend(mk, Seq("id"), rows)
+    val s = log.snapshot()
+    assert(s.version === before.version + 1, "swap must be ONE commit")
+    assert(before.files.forall(s.files.contains) && s.dvs.size === 2)
+    assert(log.read().count() === 30L)
+    assert(log.read().filter($"id" === 3L).select($"v").as[String].head() === "v3b")
+    assert(log.read().filter($"id" === 105L).select($"x").as[Double].head() === 55.0)
+    // a second swap over the same keys masks the REPLACEMENT rows too
+    log.deleteAndAppend(Seq(3L).toDF("id"), Seq("id"),
+      Seq((3L, "v3c", 34.0)).toDF("id", "v", "x"))
+    assert(log.read().filter($"id" === 3L).select($"v").as[String].head() === "v3c")
+    assert(log.read().count() === 30L)
+  }
+
   test("rewriting DML retires the touched file's DVs and keeps others'") {
     val root = tmpRoot("retire")
     val log = threeFiles(root)
     log.delete($"id" === 5L)    // DV on file A
     log.delete($"id" === 205L)  // DV on file C
     assert(log.snapshot().dvs.size === 2)
-    // update rewrites file A (copy-on-write): its DV retires WITH it,
-    // file C's rides through
-    log.update($"id" === 1L, Map("v" -> lit("patched")))
+    // a copy-on-write update (DV path disabled) rewrites file A: its
+    // DV retires WITH it, file C's rides through
+    spark.conf.set("spark.graft.dv.enabled", "false")
+    try log.update($"id" === 1L, Map("v" -> lit("patched")))
+    finally spark.conf.unset("spark.graft.dv.enabled")
     val s = log.snapshot()
     assert(s.dvs.size === 1)
     assert(log.read().count() === 28L)
