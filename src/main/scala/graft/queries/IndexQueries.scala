@@ -1637,7 +1637,64 @@ object IndexQueries {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** B2 DEEP STRUCT EVOLUTION (r13, [[graft.sources.CommitLog]]
+    * nested RENAME/DROP): struct-INTERIOR fields rename and drop as
+    * metadata-only commits — the [[CommitLog.PhysKey]] stable-name
+    * mapping extends to any depth, so zero data files are touched
+    * (required in-body), old and post-rename files mix under one
+    * logical view, and a dropped interior field's re-added namesake
+    * reads NULL (fresh suffixed physical name — no resurrection,
+    * also required in-body). The oracle reconstructs the final
+    * logical values from raw lineitem, so a mapping slip (wrong
+    * interior column resolved, resurrection, lost post-rename
+    * writes) is a value mismatch. */
+  private val q174 = Q(
+    "q174_nested_evolution",
+    (s, dir) => {
+      val cat = "g174_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "nest-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_returnflag"),
+        struct(col("l_quantity").cast("decimal(12,2)").as("qty"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price")).as("m"))
+      li.filter(col("l_orderkey") % 2 === 0)
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+      val log = graft.sources.CommitLog(s, s"$root/t")
+      val files0 = log.snapshot().files.toSet
+      s.sql(s"ALTER TABLE $cat.t RENAME COLUMN m.qty TO quantity")
+      require(log.snapshot().files.toSet == files0,
+        "q174: nested rename touched data files")
+      // post-rename writes land under the STABLE physical name
+      li.filter(col("l_orderkey") % 2 === 1)
+        .withColumn("m", struct(col("m.qty").as("quantity"),
+          col("m.price").as("price")))
+        .writeTo(s"$cat.t").append()
+      // drop the interior price, then re-add the namesake: NULL, not
+      // the dropped bytes
+      s.sql(s"ALTER TABLE $cat.t DROP COLUMN m.price")
+      s.sql(s"ALTER TABLE $cat.t ADD COLUMNS (m.price DECIMAL(18,2))")
+      val gold = s.table(s"$cat.t")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_li"),
+          sum(col("m.quantity")).as("sum_qty"),
+          count(col("m.price")).as("n_price"))
+      val rows = gold.collect()
+      require(rows.forall(_.getLong(3) == 0L),
+        "q174: a re-added nested namesake resurrected dropped bytes")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gold.schema)
+        .withColumn("sum_qty", col("sum_qty").cast("double"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n_li,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(0 AS BIGINT) AS n_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
-    q168, q169, q170, q171, q172, q173)
+    q168, q169, q170, q171, q172, q173, q174)
 }

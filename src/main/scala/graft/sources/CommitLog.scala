@@ -151,16 +151,19 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     else f.name
 
   /** True when every field's physical name equals its logical name —
-    * the fast path every never-renamed table stays on. */
+    * the fast path every never-renamed table stays on. r13: recursive
+    * (nested RENAME/DROP put mappings on struct-interior fields). */
   private[sources] def identityMapping(sch: StructType): Boolean =
-    sch.fields.forall(f => physName(f) == f.name)
+    sch.fields.forall(f =>
+      physName(f) == f.name && CommitLog.identityType(f.dataType))
 
   /** `sch` with fields under their PHYSICAL names (what the parquet
-    * reader/writer must see). Field metadata is stripped — it is a
-    * property of the logical view, not of the files. */
+    * reader/writer must see), recursively through structs. Field
+    * metadata is stripped — it is a property of the logical view, not
+    * of the files. */
   private def physSchema(sch: StructType): StructType =
     StructType(sch.fields.map(f => org.apache.spark.sql.types.StructField(
-      physName(f), f.dataType, f.nullable)))
+      physName(f), CommitLog.physDataType(f.dataType), f.nullable)))
 
   /** The physical name for logical column `name` under `sch` (falls
     * back to `name` itself when the schema does not know it — callers
@@ -182,13 +185,24 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       subtractDvs(spark.read.schema(sch).parquet(files.map(entryPath): _*),
         dvs, files)
     else {
-      import org.apache.spark.sql.functions.col
       subtractDvs(
         spark.read.schema(physSchema(sch)).parquet(files.map(entryPath): _*),
         dvs, files)
-        .select(sch.fields.toIndexedSeq.map(f =>
-          col(s"`${physName(f)}`").as(f.name)): _*)
+        .select(sch.fields.toIndexedSeq.map(logicalCol): _*)
     }
+  }
+
+  /** The physical column of `f` presented under its LOGICAL shape: a
+    * plain alias when the interior is identity-mapped; a struct cast
+    * otherwise (cast renames struct fields BY POSITION, and the
+    * physical and logical shapes are positionally identical by
+    * construction — the nested-rename read chokepoint). */
+  private def logicalCol(f: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    val c = col(s"`${physName(f)}`")
+    (if (CommitLog.identityType(f.dataType)) c else c.cast(f.dataType))
+      .as(f.name)
   }
 
   // ── DELETION VECTORS (r13, merge-on-read DML) ──────────────────────
@@ -272,8 +286,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       .parquet(files.map(entryPath): _*)
       .where(hit(col("_metadata.file_path"), col("_metadata.row_index")))
     if (identityMapping(sch)) raw
-    else raw.select(sch.fields.toIndexedSeq.map(f =>
-      col(s"`${physName(f)}`").as(f.name)): _*)
+    else raw.select(sch.fields.toIndexedSeq.map(logicalCol): _*)
   }
 
   /** The live LOGICAL rows of `files` plus their physical address —
@@ -288,8 +301,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       .withColumn("__dv_f",
         element_at(reverse(split(col("_metadata.file_path"), "/")), 1))
       .withColumn("__dv_pos", col("_metadata.row_index"))
-      .select(sch.fields.toIndexedSeq.map(f =>
-        col(s"`${physName(f)}`").as(f.name))
+      .select(sch.fields.toIndexedSeq.map(logicalCol)
         :+ col("__dv_f") :+ col("__dv_pos"): _*)
   }
 
@@ -322,9 +334,18 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   private def toPhys(df: DataFrame, sch: StructType): DataFrame = {
     if (identityMapping(sch)) return df
     import org.apache.spark.sql.functions.col
-    val m = sch.fields.map(f => lc(f.name) -> physName(f)).toMap
-    df.select(df.columns.toIndexedSeq.map(c =>
-      col(s"`$c`").as(m.getOrElse(lc(c), c))): _*)
+    val m = sch.fields.map(f => lc(f.name) -> f).toMap
+    df.select(df.columns.toIndexedSeq.map { c =>
+      m.get(lc(c)) match {
+        case Some(f) if !CommitLog.identityType(f.dataType) =>
+          // interior mapping: cast to the in-file shape (positional
+          // struct rename — the inverse of [[logicalCol]])
+          col(s"`$c`").cast(CommitLog.physDataType(f.dataType))
+            .as(physName(f))
+        case Some(f) => col(s"`$c`").as(physName(f))
+        case None => col(s"`$c`")
+      }
+    }: _*)
   }
 
   /** Stamp fresh physical names onto NEW fields that need one: a
@@ -354,7 +375,56 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           .withMetadata(f.metadata).putString(CommitLog.PhysKey, p).build())
       }
     }
-    StructType(out)
+    // r13 nested no-resurrection: NEW struct-interior fields arriving
+    // via additive evolution whose default physical path was RETIRED
+    // by a nested drop get a fresh suffixed physical name (the nested
+    // analog of the top-level suffixing above). Only fields of structs
+    // RETAINED from prev can collide — a fresh top-level field's
+    // interior lives under a physical parent no retirement names.
+    val prevBy = prev.map(_.fields.map(f => lc(f.name) -> f).toMap)
+      .getOrElse(Map.empty)
+    val retiredLc = retired.map(lc).toSet
+    def assignNested(cur: StructType, prevSt: StructType,
+        physPath: String): StructType = {
+      val pBy = prevSt.fields.map(f => lc(f.name) -> f).toMap
+      val taken = scala.collection.mutable.Set.empty[String]
+      cur.fields.foreach(f =>
+        if (pBy.contains(lc(f.name))) taken += lc(s"$physPath.${physName(f)}"))
+      StructType(cur.fields.map { f =>
+        pBy.get(lc(f.name)) match {
+          case Some(pf) => (f.dataType, pf.dataType) match {
+            case (c: StructType, p: StructType) =>
+              f.copy(dataType = assignNested(c, p,
+                s"$physPath.${physName(f)}"))
+            case _ => f
+          }
+          case None =>
+            val dflt = s"$physPath.${physName(f)}"
+            if (!retiredLc(lc(dflt)) && !taken(lc(dflt))) {
+              taken += lc(dflt); f
+            } else {
+              var i = 1
+              while (retiredLc(lc(s"$physPath.${f.name}_$i"))
+                  || taken(lc(s"$physPath.${f.name}_$i"))) i += 1
+              val p = s"${f.name}_$i"
+              taken += lc(s"$physPath.$p")
+              f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString(CommitLog.PhysKey, p).build())
+            }
+        }
+      })
+    }
+    StructType(out.map { f =>
+      prevBy.get(lc(f.name)) match {
+        case Some(pf) => (f.dataType, pf.dataType) match {
+          case (c: StructType, p: StructType) =>
+            f.copy(dataType = assignNested(c, p, physName(f)))
+          case _ => f
+        }
+        case None => f
+      }
+    })
   }
 
   /** WRITER-side Bloom-index config ([[withBloomIndex]]); each filter
@@ -888,13 +958,44 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // because a rename happened mid-window (dropped columns keep their
     // last logical name and union in as null-padded leftovers)
     val finalSchema = ms.foldLeft(emptySnapshot)(foldOne).schema
+    // A feed window may span renames (top-level OR r13 nested): every
+    // piece re-presents under the FEED-FINAL logical names by STABLE
+    // PHYSICAL match, recursively through structs, so a consumer never
+    // sees one column split across two names. Nested fields added
+    // mid-window null-pad; a version field with no final counterpart
+    // (dropped later) keeps its last name and unions in as a leftover.
+    def alignCol(c: org.apache.spark.sql.Column,
+        vt: org.apache.spark.sql.types.DataType,
+        ft: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{lit, struct, when}
+      (vt, ft) match {
+        case (vs: StructType, fs: StructType)
+            if vs != fs || !CommitLog.identityType(vs)
+              || !CommitLog.identityType(fs) =>
+          val parts = fs.fields.map { ffc =>
+            vs.fields.find(vfc => lc(physName(vfc)) == lc(physName(ffc))) match {
+              case Some(vfc) =>
+                alignCol(c.getField(vfc.name), vfc.dataType, ffc.dataType)
+                  .as(ffc.name)
+              case None => lit(null).cast(ffc.dataType).as(ffc.name)
+            }
+          }
+          when(c.isNotNull, struct(parts.toIndexedSeq: _*))
+        case _ => c
+      }
+    }
     def normalize(df: DataFrame, verSchema: StructType): DataFrame =
       finalSchema match {
         case Some(fin) if !identityMapping(fin) || !identityMapping(verSchema) =>
           import org.apache.spark.sql.functions.col
-          val finByPhys = fin.fields.map(f => lc(physName(f)) -> f.name).toMap
+          val finByPhys = fin.fields.map(f => lc(physName(f)) -> f).toMap
           df.select(verSchema.fields.toIndexedSeq.map { f =>
-            col(s"`${f.name}`").as(finByPhys.getOrElse(lc(physName(f)), f.name))
+            finByPhys.get(lc(physName(f))) match {
+              case Some(ff) =>
+                alignCol(col(s"`${f.name}`"), f.dataType, ff.dataType)
+                  .as(ff.name)
+              case None => col(s"`${f.name}`")
+            }
           } ++ Seq(col("_change_type"), col("_commit_version")): _*)
         case _ => df
       }
@@ -1423,7 +1524,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val s = snapshot()
       val cur = s.schema.getOrElse(throw new IllegalStateException(
         s"$tableRoot: nested ADD COLUMNS on a table with no committed schema"))
-      val evolved = addAt(cur, parentPath, "")
+      // assignPhys's nested walk gives the new field a fresh suffixed
+      // physical name when its default path was retired by a nested
+      // DROP (no-resurrection) or collides with a renamed sibling's
+      // physical name
+      val evolved = assignPhys(addAt(cur, parentPath, ""), s.schema,
+        s.physRetired)
       if (tryCommit(s.version + 1,
           manifestJson(s.version + 1, "add", Nil, evolved, None)))
         return s.version + 1
@@ -1443,24 +1549,36 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * source column and a (case-insensitive) collision with any live
     * logical name. DDL is single-writer by assumption (the version CAS
     * still serializes racers — the loser fails loudly). */
-  def renameColumn(from: String, to: String): Long = {
+  def renameColumn(from: String, to: String): Long =
+    renameColumn(Seq(from), to)
+
+  /** r13: `from` may be a NESTED path (`Seq("s", "a")` for `s.a`) —
+    * the rename stamps a [[CommitLog.PhysKey]] mapping on the
+    * struct-interior field (metadata-only commit, zero files touched;
+    * the stable physical name keeps every data file, stat key, and
+    * the interior parquet column valid forever). Every path component
+    * above the leaf must be a plain STRUCT column — structs inside
+    * arrays/maps stay refused (their evolution would need per-element
+    * identity, not metadata). */
+  def renameColumn(from: Seq[String], to: String): Long = {
     require(to.nonEmpty, s"$tableRoot: RENAME COLUMN needs a non-empty name")
+    require(from.nonEmpty, s"$tableRoot: RENAME COLUMN needs a column path")
     var attempts = 0
     while (true) {
       val s = snapshot()
       val cur = s.schema.getOrElse(throw new IllegalStateException(
         s"$tableRoot: RENAME COLUMN on a table with no committed schema"))
-      val idx = cur.fields.indexWhere(f => lc(f.name) == lc(from))
-      require(idx >= 0, s"$tableRoot: RENAME COLUMN: no column '$from'")
-      require(lc(from) == lc(to) ||
-          !cur.fields.exists(f => lc(f.name) == lc(to)),
-        s"$tableRoot: RENAME COLUMN: '$to' already exists")
-      val f = cur.fields(idx)
-      val renamed = f.copy(name = to,
-        metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata)
-          .putString(CommitLog.PhysKey, physName(f)).build())
-      val evolved = StructType(cur.fields.updated(idx, renamed))
+      val evolved = rewriteStructPath(cur, from, "RENAME COLUMN") { (st, idx) =>
+        require(lc(from.last) == lc(to) ||
+            !st.fields.exists(f => lc(f.name) == lc(to)),
+          s"$tableRoot: RENAME COLUMN: '$to' already exists at " +
+            s"'${from.dropRight(1).mkString(".")}'")
+        val f = st.fields(idx)
+        StructType(st.fields.updated(idx, f.copy(name = to,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(CommitLog.PhysKey, physName(f)).build())))
+      }
       if (tryCommit(s.version + 1,
           manifestJson(s.version + 1, "add", Nil, evolved, None)))
         return s.version + 1
@@ -1470,6 +1588,44 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     -1L // unreachable
   }
 
+  /** Resolve `path` inside `sch` (ci), apply `edit` to the struct
+    * holding the leaf, and rebuild the schema along the path. Every
+    * non-leaf component must be a plain struct column. */
+  private def rewriteStructPath(sch: StructType, path: Seq[String],
+      op: String)(edit: (StructType, Int) => StructType): StructType = {
+    def walk(st: StructType, p: Seq[String], crumb: String): StructType = {
+      val idx = st.fields.indexWhere(f => lc(f.name) == lc(p.head))
+      require(idx >= 0, s"$tableRoot: $op: no column '$crumb${p.head}'")
+      if (p.lengthCompare(1) == 0) edit(st, idx)
+      else {
+        val f = st.fields(idx)
+        val inner = f.dataType match {
+          case nested: StructType => nested
+          case other => throw new IllegalArgumentException(
+            s"$tableRoot: $op: '$crumb${p.head}' is ${other.simpleString}, " +
+              "not a struct — only plain struct interiors evolve " +
+              "(array/map element evolution would be a rewrite, not metadata)")
+        }
+        StructType(st.fields.updated(idx,
+          f.copy(dataType = walk(inner, p.tail, s"$crumb${p.head}."))))
+      }
+    }
+    walk(sch, path, "")
+  }
+
+  /** The PHYSICAL dotted path of `path` under `sch` — the key the
+    * retired-name registry stores for nested drops. */
+  private def physPathOf(sch: StructType, path: Seq[String]): String = {
+    def walk(st: StructType, p: Seq[String]): Seq[String] = {
+      val f = st.fields.find(f => lc(f.name) == lc(p.head)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$tableRoot: no column '${path.mkString(".")}'"))
+      if (p.lengthCompare(1) == 0) Seq(physName(f))
+      else physName(f) +: walk(f.dataType.asInstanceOf[StructType], p.tail)
+    }
+    walk(sch, path).mkString(".")
+  }
+
   /** SQL DDL: `ALTER TABLE … DROP COLUMN` — METADATA-ONLY like
     * [[renameColumn]]: the field leaves the logical schema and its
     * physical name joins the manifest's retired list, so a later ADD
@@ -1477,18 +1633,31 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * silently resurrecting the dropped column's data from old files.
     * Old versions still time-travel with the column. Refuses dropping
     * the last column (a zero-column table cannot be scanned). */
-  def dropColumn(name: String): Long = {
+  def dropColumn(name: String): Long = dropColumn(Seq(name))
+
+  /** r13: `path` may be NESTED (`Seq("s", "a")`) — the field leaves
+    * its struct and its PHYSICAL dotted path joins the retired list,
+    * so a later nested ADD of the same logical name takes a fresh
+    * suffixed physical name instead of resurrecting the dropped
+    * field's bytes from old files. Dropping a struct's LAST field is
+    * refused (drop the struct column itself instead — parquet cannot
+    * hold an empty group). */
+  def dropColumn(path: Seq[String]): Long = {
+    require(path.nonEmpty, s"$tableRoot: DROP COLUMN needs a column path")
     var attempts = 0
     while (true) {
       val s = snapshot()
       val cur = s.schema.getOrElse(throw new IllegalStateException(
         s"$tableRoot: DROP COLUMN on a table with no committed schema"))
-      val idx = cur.fields.indexWhere(f => lc(f.name) == lc(name))
-      require(idx >= 0, s"$tableRoot: DROP COLUMN: no column '$name'")
-      require(cur.fields.length > 1,
-        s"$tableRoot: DROP COLUMN: cannot drop the last column '$name'")
-      val evolved = StructType(cur.fields.patch(idx, Nil, 1))
-      val retired = s.physRetired :+ physName(cur.fields(idx))
+      val retiredPath = physPathOf(cur, path)
+      val evolved = rewriteStructPath(cur, path, "DROP COLUMN") { (st, idx) =>
+        require(st.fields.length > 1,
+          s"$tableRoot: DROP COLUMN: cannot drop the last column " +
+            s"'${path.mkString(".")}'" + (if (path.lengthCompare(1) > 0)
+              " of its struct — drop the struct column instead" else ""))
+        StructType(st.fields.patch(idx, Nil, 1))
+      }
+      val retired = s.physRetired :+ retiredPath
       if (tryCommit(s.version + 1,
           manifestJson(s.version + 1, "add", Nil, evolved, None,
             physRetired = Some(retired))))
@@ -1522,12 +1691,27 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         s"$tableRoot: committed version ${s.version} carries no schema"))
       if (identityMapping(sch) && s.physRetired.isEmpty) return s.version
       requireTagState(s, partCol, "materializeMapping")
-      val clean = StructType(sch.fields.map { f =>
-        if (!f.metadata.contains(CommitLog.PhysKey)) f
-        else f.copy(metadata =
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata).remove(CommitLog.PhysKey).build())
-      })
+      // strip the mapping at EVERY depth (r13: nested renames carry
+      // PhysKey on struct-interior fields too)
+      def cleanType(dt: org.apache.spark.sql.types.DataType)
+          : org.apache.spark.sql.types.DataType = dt match {
+        case st: StructType => StructType(st.fields.map(cleanField))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          a.copy(elementType = cleanType(a.elementType))
+        case m: org.apache.spark.sql.types.MapType =>
+          m.copy(keyType = cleanType(m.keyType),
+            valueType = cleanType(m.valueType))
+        case other => other
+      }
+      def cleanField(f: org.apache.spark.sql.types.StructField)
+          : org.apache.spark.sql.types.StructField = {
+        val md =
+          if (!f.metadata.contains(CommitLog.PhysKey)) f.metadata
+          else new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).remove(CommitLog.PhysKey).build()
+        f.copy(dataType = cleanType(f.dataType), metadata = md)
+      }
+      val clean = StructType(sch.fields.map(cleanField))
       val df = readAt(s) // the logical view — exactly what gets rewritten
       val (files, tags) = partCol match {
         case Some(pc) =>
@@ -3471,6 +3655,34 @@ object CommitLog {
     * delete writes a NEW sidecar), so entries never invalidate. */
   private[sources] val dvCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Array[Long]]]()
+
+  /** True when `dt` carries no interior name mapping — struct fields
+    * (at any depth, incl. inside arrays/maps) all physical == logical. */
+  private[sources] def identityType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case st: StructType => st.fields.forall(f =>
+      physNameOf(f) == f.name && identityType(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => identityType(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      identityType(m.keyType) && identityType(m.valueType)
+    case _ => true
+  }
+
+  /** `dt` with every struct-interior field under its PHYSICAL name,
+    * metadata stripped — the in-file shape of a nested-mapped type. */
+  private[sources] def physDataType(
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        physNameOf(f), physDataType(f.dataType), f.nullable)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = physDataType(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = physDataType(m.keyType),
+        valueType = physDataType(m.valueType))
+    case other => other
+  }
 
   def apply(spark: SparkSession, tableRoot: String): CommitLog =
     new CommitLog(spark, tableRoot)

@@ -278,7 +278,9 @@ final class GraftCatalog extends TableCatalog
     // break every subsequent merge
     def requireNotStructural(colName: String, op: String): Unit = {
       val structural =
-        props.get("merge.partcol").toSeq.map(_.trim).filter(_.nonEmpty) ++
+        props.get("merge.partcol").toSeq.map(_.trim).filter(_.nonEmpty)
+          .flatMap(p => scala.util.Try(PartSpec.parse(p).sourceColumns)
+            .getOrElse(Seq(p))) ++
           props.get("merge.keys").toSeq.flatMap(_.split(","))
             .map(_.trim).filter(_.nonEmpty)
       require(!structural.exists(_.equalsIgnoreCase(colName)),
@@ -347,11 +349,13 @@ final class GraftCatalog extends TableCatalog
           s"$ident: '${rp.property}' cannot be altered after creation")
         props = props - rp.property
       case rn: RenameColumn =>
-        require(rn.fieldNames.length == 1,
-          s"$ident: only top-level RENAME COLUMN is supported " +
-            s"(got nested '${rn.fieldNames.mkString(".")}')")
-        val from = rn.fieldNames.head
-        requireNotStructural(from, "RENAME")
+        // r13: nested paths supported — the rename stamps the mapping
+        // on the struct-interior field (array/map interiors refused by
+        // the log's path walk)
+        // structural names (merge.keys/partcol) are TOP-LEVEL columns:
+        // only a top-level rename can break them
+        if (rn.fieldNames.length == 1)
+          requireNotStructural(rn.fieldNames.head, "RENAME")
         val root = dir(ident).toString
         require(CommitLog.exists(spark, root),
           s"$ident: RENAME COLUMN requires merge.log=true — a plain " +
@@ -360,21 +364,18 @@ final class GraftCatalog extends TableCatalog
         // the log commit is the source of truth (it pins the stable
         // physical name); the declared json then mirrors its schema
         val log = CommitLog(spark, root)
-        log.renameColumn(from, rn.newName())
+        log.renameColumn(rn.fieldNames.toSeq, rn.newName())
         schema = log.snapshot().schema.getOrElse(schema)
       case del: DeleteColumn =>
-        require(del.fieldNames.length == 1,
-          s"$ident: only top-level DROP COLUMN is supported " +
-            s"(got nested '${del.fieldNames.mkString(".")}')")
-        val name = del.fieldNames.head
-        requireNotStructural(name, "DROP")
+        if (del.fieldNames.length == 1)
+          requireNotStructural(del.fieldNames.head, "DROP")
         val root = dir(ident).toString
         require(CommitLog.exists(spark, root),
           s"$ident: DROP COLUMN requires merge.log=true — a plain " +
             "directory table has no version history to retire the " +
             "column against (recreate via a rewrite instead)")
         val log = CommitLog(spark, root)
-        log.dropColumn(name)
+        log.dropColumn(del.fieldNames.toSeq)
         schema = log.snapshot().schema.getOrElse(schema)
       case other => throw new UnsupportedOperationException(
         s"$ident: unsupported ALTER TABLE change " +
@@ -814,16 +815,75 @@ private[sources] final class GraftLogScanBuilder(
   private val logicalSchema: StructType =
     Option(relationSchema).filter(_.nonEmpty).getOrElse(snapSchema)
   private val mapped: Boolean =
-    logicalSchema.fields.exists(f => CommitLog.physNameOf(f) != f.name)
+    logicalSchema.fields.exists(f => CommitLog.physNameOf(f) != f.name
+      || !CommitLog.identityType(f.dataType))
   // logical → physical (and back) under the RELATION's mapping;
   // physical names are unique by the commit log's assignPhys invariant
   private val l2p: Map[String, String] =
     logicalSchema.fields.map(f => lcn(f.name) -> CommitLog.physNameOf(f)).toMap
   private val p2l: Map[String, String] =
     logicalSchema.fields.map(f => lcn(CommitLog.physNameOf(f)) -> f.name).toMap
+  // r13: mapping recurses into struct interiors (nested RENAME).
+  // `sch` is a (possibly nested-pruned) SUBSET of the relation schema;
+  // each level translates by matching the relation's logical names.
+  private def toPhysType(pruned: DataType, rel: DataType): DataType =
+    (pruned, rel) match {
+      case (p: StructType, r: StructType) =>
+        StructType(p.fields.map { pf =>
+          r.fields.find(rf => lcn(rf.name) == lcn(pf.name)) match {
+            case Some(rf) => StructField(CommitLog.physNameOf(rf),
+              toPhysType(pf.dataType, rf.dataType), pf.nullable)
+            case None => pf
+          }
+        })
+      case (p: org.apache.spark.sql.types.ArrayType,
+            r: org.apache.spark.sql.types.ArrayType) =>
+        p.copy(elementType = toPhysType(p.elementType, r.elementType))
+      case (p: org.apache.spark.sql.types.MapType,
+            r: org.apache.spark.sql.types.MapType) =>
+        p.copy(keyType = toPhysType(p.keyType, r.keyType),
+          valueType = toPhysType(p.valueType, r.valueType))
+      case _ => pruned
+    }
   private def toPhysSchema(sch: StructType): StructType =
-    StructType(sch.fields.map(f => StructField(
-      l2p.getOrElse(lcn(f.name), f.name), f.dataType, f.nullable)))
+    StructType(sch.fields.map { f =>
+      logicalSchema.fields.find(rf => lcn(rf.name) == lcn(f.name)) match {
+        case Some(rf) => StructField(CommitLog.physNameOf(rf),
+          toPhysType(f.dataType, rf.dataType), f.nullable)
+        case None => StructField(l2p.getOrElse(lcn(f.name), f.name),
+          f.dataType, f.nullable)
+      }
+    })
+  /** Inverse: a built scan's (physical, possibly pruned) readSchema
+    * re-presented under the relation's LOGICAL names, recursively. */
+  private def toLogicalType(read: DataType, rel: DataType): DataType =
+    (read, rel) match {
+      case (p: StructType, r: StructType) =>
+        StructType(p.fields.map { pf =>
+          r.fields.find(rf => lcn(CommitLog.physNameOf(rf)) == lcn(pf.name)) match {
+            case Some(rf) => StructField(rf.name,
+              toLogicalType(pf.dataType, rf.dataType), pf.nullable)
+            case None => pf
+          }
+        })
+      case (p: org.apache.spark.sql.types.ArrayType,
+            r: org.apache.spark.sql.types.ArrayType) =>
+        p.copy(elementType = toLogicalType(p.elementType, r.elementType))
+      case (p: org.apache.spark.sql.types.MapType,
+            r: org.apache.spark.sql.types.MapType) =>
+        p.copy(keyType = toLogicalType(p.keyType, r.keyType),
+          valueType = toLogicalType(p.valueType, r.valueType))
+      case _ => read
+    }
+  private def toLogicalSchema(read: StructType): StructType =
+    StructType(read.fields.map { f =>
+      logicalSchema.fields.find(rf =>
+          lcn(CommitLog.physNameOf(rf)) == lcn(f.name)) match {
+        case Some(rf) => StructField(rf.name,
+          toLogicalType(f.dataType, rf.dataType), f.nullable)
+        case None => f.copy(name = p2l.getOrElse(lcn(f.name), f.name))
+      }
+    })
   private def toPhysExpr(e: Expression): Expression = e.transform {
     case a: AttributeReference if l2p.get(lcn(a.name)).exists(_ != a.name) =>
       a.withName(l2p(lcn(a.name)))
@@ -879,12 +939,22 @@ private[sources] final class GraftLogScanBuilder(
     else if (!mapped) b.pushFilters(filters)
     else {
       // push PHYSICAL-named predicates; hand Spark back the LOGICAL
-      // originals for whatever must still evaluate above the scan
-      val phys = filters.map(toPhysExpr)
+      // originals for whatever must still evaluate above the scan.
+      // r13 nested-mapping guard: toPhysExpr renames ATTRIBUTES only —
+      // a predicate reaching INSIDE an interior-mapped struct would be
+      // pushed under logical nested names, and a swap-rename could
+      // make that match a DIFFERENT physical column (false row-group
+      // pruning = silently wrong rows). Such predicates stay residual;
+      // identity-interior columns keep full pushdown.
+      val (pushable, held) = filters.partition(_.references.forall { a =>
+        logicalSchema.fields.find(f => lcn(f.name) == lcn(a.name))
+          .forall(f => CommitLog.identityType(f.dataType))
+      })
+      val phys = pushable.map(toPhysExpr)
       val back = new java.util.IdentityHashMap[Expression, Expression]()
-      phys.zip(filters).foreach { case (p, o) => back.put(p, o) }
+      phys.zip(pushable).foreach { case (p, o) => back.put(p, o) }
       b.pushFilters(phys).map(p =>
-        Option(back.get(p)).getOrElse(toLogicalExpr(p)))
+        Option(back.get(p)).getOrElse(toLogicalExpr(p))) ++ held
     }
   }
 
@@ -901,9 +971,7 @@ private[sources] final class GraftLogScanBuilder(
     onScan(snap.version, selectedFiles)
     val s = inner.build()
     val base = if (!mapped) s
-    else GraftLogScanBuilder.MappedScan(s, StructType(
-      s.readSchema().fields.map(f => f.copy(
-        name = p2l.getOrElse(lcn(f.name), f.name)))))
+    else GraftLogScanBuilder.MappedScan(s, toLogicalSchema(s.readSchema()))
     (spjInfo, rtInfo, dvInfo) match {
       case (None, None, None) => base
       case (spj, rt, dv) => GraftLogScanBuilder.GraftScan(base, spj, rt, dv)

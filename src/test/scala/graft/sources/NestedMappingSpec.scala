@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** r13 DEEP struct evolution: nested column RENAME/DROP as
+  * metadata-only commits — the [[CommitLog.PhysKey]] mapping extends
+  * to struct-INTERIOR fields (any depth; array/map interiors stay
+  * refused), closing the r12 gap where only top-level rename/drop and
+  * nested additive ADD were supported. Pins: zero files touched, both
+  * read paths (library cast-rename + V2 recursive schema
+  * translation), writes landing under stable physical names, the
+  * swap-rename pushdown hazard (a predicate into a mapped interior
+  * must NOT be pushed under logical names — false row-group pruning),
+  * nested drop + re-add no-resurrection, time travel, CDC
+  * normalization across a nested rename, and materialize_mapping
+  * stripping interior mappings. */
+class NestedMappingSpec extends graft.SparkSpecBase {
+  import spark.implicits._
+
+  private def tmpRoot(tag: String): String =
+    Files.createTempDirectory(s"gnm-$tag").toString + "/t"
+
+  private def seed(root: String): CommitLog = {
+    val log = CommitLog(spark, root)
+    log.append(Seq((1L, ("x1", 10.0), "r1"), (2L, ("x2", 20.0), "r2"))
+      .toDF("id", "s", "v")
+      .withColumn("s", struct($"s._1".as("a"), $"s._2".as("b"))))
+    log
+  }
+
+  test("nested rename is metadata-only; mixed old/new files read correctly") {
+    val root = tmpRoot("ren")
+    val log = seed(root)
+    val filesBefore = log.snapshot().files.toSet
+    log.renameColumn(Seq("s", "a"), "alpha")
+    assert(log.snapshot().files.toSet === filesBefore, "rename touched files")
+    // logical view shows the new nested name with the old values
+    assert(log.read().schema("s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("alpha", "b"))
+    assert(log.read().select($"s.alpha").as[String].collect().sorted.toSeq
+      === Seq("x1", "x2"))
+    // a write AFTER the rename lands under the stable PHYSICAL name:
+    // new + old files both resolve
+    log.append(Seq((3L, ("x3", 30.0), "r3")).toDF("id", "s", "v")
+      .withColumn("s", struct($"s._1".as("alpha"), $"s._2".as("b"))))
+    assert(log.read().select($"s.alpha").as[String].collect().sorted.toSeq
+      === Seq("x1", "x2", "x3"))
+    // the new file physically holds 'a' (stable name), not 'alpha'
+    val newest = log.snapshot().files.filterNot(filesBefore).head
+    val raw = spark.read.parquet(s"$root/$newest")
+    assert(raw.schema("s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("a", "b"))
+    // time travel: the pre-rename version still reads 's.a'
+    assert(log.readVersion(0L).select($"s.a").as[String].collect().sorted.toSeq
+      === Seq("x1", "x2"))
+    // double rename keeps the FIRST physical name pinned
+    log.renameColumn(Seq("s", "alpha"), "alef")
+    assert(log.read().select($"s.alef").as[String].collect().sorted.toSeq
+      === Seq("x1", "x2", "x3"))
+  }
+
+  test("SQL: nested RENAME/DROP via ALTER TABLE; swap-rename filters stay exact") {
+    val wh = Files.createTempDirectory("gnm-cat").toString
+    spark.conf.set("spark.sql.catalog.gnm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gnm.warehouse", wh)
+    Seq((1L, ("k1", 100L), 1.0), (2L, ("k2", 200L), 2.0), (3L, ("k3", 300L), 3.0))
+      .toDF("id", "s", "v")
+      .withColumn("s", struct($"s._1".as("a"), $"s._2".as("b")))
+      .writeTo("gnm.t").tableProperty("merge.log", "true").create()
+    spark.sql("ALTER TABLE gnm.t RENAME COLUMN s.a TO name")
+    assert(spark.sql("SELECT s.name FROM gnm.t ORDER BY id")
+      .as[String].collect().toSeq === Seq("k1", "k2", "k3"))
+    // FULL SWAP of the two interior names — the adversarial pushdown
+    // case: a filter on s.b must see the data that NOW bears that
+    // logical name (physical 'a'), never the physical 'b' column
+    spark.sql("ALTER TABLE gnm.t RENAME COLUMN s.b TO tmpcol")
+    spark.sql("ALTER TABLE gnm.t RENAME COLUMN s.name TO b")
+    spark.sql("ALTER TABLE gnm.t RENAME COLUMN s.tmpcol TO name")
+    // now: logical s.b = old s.a (strings), logical s.name = old s.b (longs)
+    assert(spark.sql("SELECT id FROM gnm.t WHERE s.b = 'k2'")
+      .as[Long].collect().toSeq === Seq(2L))
+    assert(spark.sql("SELECT id FROM gnm.t WHERE s.name = 300")
+      .as[Long].collect().toSeq === Seq(3L))
+    val plan = spark.sql("SELECT id FROM gnm.t WHERE s.name = 300")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Filter"), "interior predicate must stay residual")
+    // nested DROP via SQL, then nested re-ADD reads null (no resurrection)
+    spark.sql("ALTER TABLE gnm.t DROP COLUMN s.name")
+    assert(spark.sql("SELECT s FROM gnm.t").schema("s").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq === Seq("b"))
+    spark.sql("ALTER TABLE gnm.t ADD COLUMNS (s.name BIGINT)")
+    assert(spark.sql("SELECT s.name FROM gnm.t").as[java.lang.Long]
+      .collect().toSeq.forall(_ == null),
+      "a re-added nested namesake must NOT resurrect dropped bytes")
+  }
+
+  test("nested drop retires the physical path; library re-add gets a fresh name") {
+    val root = tmpRoot("drop")
+    val log = seed(root)
+    log.dropColumn(Seq("s", "b"))
+    assert(log.snapshot().physRetired === Seq("s.b"))
+    log.addNestedColumn(Seq("s"), StructField("b", DoubleType))
+    // old rows read null; the physical name is suffixed
+    assert(log.read().select($"s.b").as[java.lang.Double].collect()
+      .forall(_ == null))
+    val inner = log.snapshot().schema.get("s").dataType
+      .asInstanceOf[StructType]
+    assert(CommitLog.physNameOf(inner("b")) === "b_1")
+    // new writes land values under the fresh physical name
+    log.upsert(Seq((1L, ("x1", 99.9), "r1")).toDF("id", "s", "v")
+        .withColumn("s", struct($"s._1".as("a"), $"s._2".as("b"))),
+      Seq("id"), CommitLog.LastWins)
+    assert(log.read().filter($"id" === 1L).select($"s.b")
+      .as[Double].head() === 99.9)
+    // dropping the LAST interior field is refused
+    val root2 = tmpRoot("drop-last")
+    val log2 = CommitLog(spark, root2)
+    log2.append(Seq((1L, Tuple1("x"))).toDF("id", "s")
+      .withColumn("s", struct($"s._1".as("only"))))
+    val e = intercept[IllegalArgumentException](log2.dropColumn(Seq("s", "only")))
+    assert(e.getMessage.contains("drop the struct column instead"))
+  }
+
+  test("array/map interiors stay refused; structural top columns protected") {
+    val root = tmpRoot("refuse")
+    val log = CommitLog(spark, root)
+    log.append(Seq((1L, Seq(("x", 1.0)))).toDF("id", "arr")
+      .withColumn("arr", transform($"arr",
+        e => struct(e.getField("_1").as("a"), e.getField("_2").as("b")))))
+    val e = intercept[IllegalArgumentException](
+      log.renameColumn(Seq("arr", "a"), "z"))
+    assert(e.getMessage.contains("not a struct"))
+  }
+
+  test("CDC across a nested rename normalizes to the feed-final names") {
+    val root = tmpRoot("cdc")
+    val log = seed(root) // v0
+    log.renameColumn(Seq("s", "a"), "alpha") // v1
+    log.append(Seq((3L, ("x3", 30.0), "r3")).toDF("id", "s", "v")
+      .withColumn("s", struct($"s._1".as("alpha"), $"s._2".as("b")))) // v2
+    val ch = log.readChanges(-1L)
+    assert(ch.schema("s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("alpha", "b"))
+    assert(ch.filter($"_change_type" === "insert")
+      .select($"s.alpha").as[String].collect().sorted.toSeq
+      === Seq("x1", "x2", "x3"),
+      "pre-rename pieces must re-present under the final nested name")
+  }
+
+  test("materialize_mapping strips interior mappings and restores pushdown") {
+    val root = tmpRoot("mat")
+    val log = seed(root)
+    log.renameColumn(Seq("s", "a"), "alpha")
+    log.materializeMapping()
+    val sch = log.snapshot().schema.get
+    assert(CommitLog.identityType(sch("s").dataType)
+      && CommitLog.physNameOf(sch("s")) === "s")
+    // files now physically carry 'alpha'
+    val raw = spark.read.parquet(log.snapshot().files.map(f => s"$root/$f"): _*)
+    assert(raw.schema("s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("alpha", "b"))
+    assert(log.read().select($"s.alpha").as[String].collect().sorted.toSeq
+      === Seq("x1", "x2"))
+  }
+}
