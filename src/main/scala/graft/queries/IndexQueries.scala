@@ -1649,7 +1649,7 @@ object IndexQueries {
     * interior column resolved, resurrection, lost post-rename
     * writes) is a value mismatch. */
   private val q174 = Q(
-    "q174_nested_evolution",
+    "q174_nested_rename_drop",
     (s, dir) => {
       val cat = "g174_" + java.lang.Integer.toHexString(dir.hashCode)
       val root = scratch(s, dir, "nest-wh")

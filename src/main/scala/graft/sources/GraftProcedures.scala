@@ -163,19 +163,26 @@ private[sources] object GraftProcedures {
           val log = logFor(in.getUTF8String(0).toString)
           val s = log.snapshot()
           val bytes = log.liveFileBytes()
-          val mapped = s.schema.exists(_.fields.exists(f =>
-            f.metadata.contains(CommitLog.PhysKey)))
+          // r13: nested renames carry the mapping on struct-interior
+          // fields — detect recursively
+          val mapped = s.schema.exists(sch => sch.fields.exists(f =>
+            f.metadata.contains(CommitLog.PhysKey)
+              || !CommitLog.identityType(f.dataType)))
+          val dvSidecars = s.dvs.valuesIterator.flatten.map(_.path).toSet.size
+          val maskedRows = s.dvs.valuesIterator.flatten.map(_.count).sum
           resultScan(StructType(Seq(
             StructField("version", LongType),
             StructField("num_files", LongType),
             StructField("size_bytes", LongType),
             StructField("num_partitions", LongType),
             StructField("column_mapped", BooleanType),
-            StructField("num_retired_physical", LongType))),
+            StructField("num_retired_physical", LongType),
+            StructField("num_deletion_vectors", LongType),
+            StructField("num_masked_rows", LongType))),
             Seq(new GenericInternalRow(Array[Any](
               s.version, s.files.size.toLong, bytes,
               s.parts.values.toSet.size.toLong, mapped,
-              s.physRetired.size.toLong))))
+              s.physRetired.size.toLong, dvSidecars.toLong, maskedRows))))
         })
       case "history" => proc("history", Seq(p("table", StringType)),
         in => {

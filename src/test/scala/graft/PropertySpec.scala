@@ -451,7 +451,13 @@ class PropertySpec extends SparkSpecBase {
         .map { case (m, r) => Del(m, r) },
       1 -> Gen.const(Cln))
     val seqGen = Gen.listOfN(8, opGen)
-    checkProp(Prop.forAllNoShrink(seqGen) { ops =>
+    // r13: lift the deletion-vector admission floor so the soak's
+    // random deletes MIX merge-on-read masks (small fractions) with
+    // copy-on-write rewrites (large fractions, ratio > 0.3) — the
+    // model must agree either way, putting DV×mapping×clone interplay
+    // under the same random sequences
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    try checkProp(Prop.forAllNoShrink(seqGen) { ops =>
       val t = java.nio.file.Files.createTempDirectory("clog-map-prop")
         .toString + "/t"
       val log = CommitLog(spark, t)
@@ -556,5 +562,6 @@ class PropertySpec extends SparkSpecBase {
         agree()
       }
     }, minTests = 6)
+    finally spark.conf.unset("spark.graft.dv.minTouchedBytes")
   }
 }

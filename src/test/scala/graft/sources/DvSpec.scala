@@ -107,6 +107,10 @@ class DvSpec extends graft.SparkSpecBase
     val log = CommitLog(spark, s"$wh/t")
     log.delete($"id" === 7L || $"id" === 21L)
     assert(log.snapshot().dvs.nonEmpty, "small delete must take the DV path")
+    // DESCRIBE DETAIL surfaces the mask state
+    val d = spark.sql("CALL gdvc.system.detail(`table` => 't')").head()
+    assert(d.getAs[Long]("num_deletion_vectors") >= 1L
+      && d.getAs[Long]("num_masked_rows") === 2L)
     // full SQL read masks
     assert(spark.sql("SELECT count(*) FROM gdvc.t").as[Long].head() === 28L)
     // filtered read: parquet pushdown is off on DV'd scans, Spark's
