@@ -1694,7 +1694,285 @@ object IndexQueries {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** B2 MANIFEST-ANSWERED AGGREGATE PUSHDOWN (r14,
+    * [[graft.sources.GraftLogScanBuilder]] `SupportsPushDownAggregates`):
+    * a global COUNT(*)/MIN/MAX over a logged table folds from the
+    * manifest's per-file exact row counts (`Snapshot.rows`, r14) and
+    * footer min/max (`Snapshot.stats`) into a one-row LocalScan — at
+    * 100 TB the query opens ZERO data files (the manifest plays the
+    * reference's DynamoDB item metadata, `/root/reference/index.js:305-314`).
+    * REQUIRED in-body: the plan is a LocalTableScan with no BatchScan
+    * (both before and, for COUNT(*), after a merge-on-read DELETE —
+    * the DV-adjusted count must stay exact), and the post-DV MIN must
+    * NOT be manifest-answered (the mask could hide the extremal row).
+    * All values hash against DuckDB computing the same aggregates from
+    * raw lineitem. */
+  private val q175 = Q(
+    "q175_agg_pushdown",
+    (s, dir) => {
+      val cat = "g175_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "aggpd-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice").as("price"),
+        col("l_shipdate").cast("date").as("sd"))
+      li.filter(col("l_orderkey") % 3 === 0)
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+      li.filter(col("l_orderkey") % 3 === 1).writeTo(s"$cat.t").append()
+      li.filter(col("l_orderkey") % 3 === 2).writeTo(s"$cat.t").append()
+      def requireLocal(df: DataFrame, what: String): Unit = {
+        val p = df.queryExecution.executedPlan.toString
+        require(p.contains("LocalTableScan") && !p.contains("BatchScan"),
+          s"q175: $what must be manifest-answered (LocalTableScan):\n$p")
+      }
+      val agg = s.table(s"$cat.t").agg(
+        count(lit(1)).as("cnt"),
+        min(col("l_orderkey")).as("mn_ok"), max(col("l_orderkey")).as("mx_ok"),
+        min(col("price")).as("mn_p"), max(col("price")).as("mx_p"),
+        min(col("l_returnflag")).as("mn_f"), max(col("l_returnflag")).as("mx_f"),
+        min(col("sd")).as("mn_d"), max(col("sd")).as("mx_d"))
+      requireLocal(agg, "the 9-way global aggregate")
+      val aggRow = agg.collect()
+      // merge-on-read DELETE: COUNT(*) stays manifest-exact (row counts
+      // minus DV cardinalities); MIN must fall back to a real scan
+      s.conf.set("spark.graft.dv.minTouchedBytes", "0")
+      val (cntRow, mnDf) =
+        try {
+          s.sql(s"DELETE FROM $cat.t WHERE l_orderkey >= 100 AND l_orderkey <= 140")
+          require(graft.sources.CommitLog(s, s"$root/t").snapshot().dvs.nonEmpty,
+            "q175: the small delete was not merge-on-read")
+          val c = s.table(s"$cat.t").agg(count(lit(1)).as("cnt_dv"))
+          requireLocal(c, "the post-DV COUNT(*)")
+          val m = s.table(s"$cat.t").agg(min(col("l_orderkey")).as("mn_ok_dv"))
+          val mp = m.queryExecution.executedPlan.toString
+          require(mp.contains("BatchScan"),
+            s"q175: post-DV MIN must NOT answer from pre-mask stats:\n$mp")
+          (c.collect(), m.collect())
+        } finally s.conf.unset("spark.graft.dv.minTouchedBytes")
+      val out = s.createDataFrame(java.util.Arrays.asList(aggRow: _*), agg.schema)
+        .crossJoin(s.createDataFrame(
+          java.util.Arrays.asList(cntRow: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cnt_dv",
+              org.apache.spark.sql.types.LongType, nullable = false)))))
+        .crossJoin(s.createDataFrame(java.util.Arrays.asList(mnDf: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("mn_ok_dv",
+              org.apache.spark.sql.types.LongType)))))
+      out.withColumn("sd_mn", col("mn_d").cast("string"))
+        .withColumn("sd_mx", col("mx_d").cast("string"))
+        .drop("mn_d", "mx_d")
+    },
+    Some("""SELECT COUNT(*) AS cnt,
+        MIN(l_orderkey) AS mn_ok, MAX(l_orderkey) AS mx_ok,
+        CAST(MIN(l_extendedprice) AS DOUBLE) AS mn_p,
+        CAST(MAX(l_extendedprice) AS DOUBLE) AS mx_p,
+        MIN(l_returnflag) AS mn_f, MAX(l_returnflag) AS mx_f,
+        CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR) AS sd_mn,
+        CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR) AS sd_mx,
+        (SELECT COUNT(*) FROM lineitem
+          WHERE NOT (l_orderkey >= 100 AND l_orderkey <= 140)) AS cnt_dv,
+        (SELECT MIN(l_orderkey) FROM lineitem
+          WHERE NOT (l_orderkey >= 100 AND l_orderkey <= 140)) AS mn_ok_dv
+      FROM lineitem"""))
+
+  /** B2 MANIFEST-BOUNDED LIMIT PUSHDOWN (r14,
+    * [[graft.sources.GraftLogScanBuilder]] `SupportsPushDownLimit`):
+    * an un-filtered LIMIT n scans only a file-list PREFIX whose
+    * manifest row counts provably cover n — `LIMIT 10` on a 100k-file
+    * table plans a one-file scan. Four equal single-file commits, a
+    * limit of 1.5 commits' rows: REQUIRED in-body that the scan reads
+    * EXACTLY the 2-file covering prefix (and the full set once the
+    * pushdown is opted out). The returned count hashes against the
+    * oracle's arithmetic over raw lineitem. */
+  private val q176 = Q(
+    "q176_limit_pushdown",
+    (s, dir) => {
+      val cat = "g176_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "limpd-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(Window.orderBy(
+          col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          col("l_partkey"), col("l_suppkey"))))
+      val n = t(s, dir, "lineitem").count()
+      val m = n / 4
+      val quarter = (i: Long) => li
+        .filter(col("rn") > lit(i * m) && col("rn") <= lit((i + 1) * m))
+        .drop("rn").coalesce(1)
+      quarter(0).writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+      (1L to 3L).foreach(i => quarter(i).writeTo(s"$cat.t").append())
+      def scanned(df: DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            graft.sources.GraftScans.unwrapFileScan(r.scan)
+              .fileIndex.inputFiles.length
+        }.sum
+      val k = 3 * m / 2 // needs exactly the first TWO m-row files
+      val lim = s.table(s"$cat.t").limit(k.toInt)
+      val limCnt = lim.count()
+      require(scanned(lim) == 2,
+        s"q176: LIMIT $k over four $m-row files must scan the 2-file " +
+          s"covering prefix, scanned ${scanned(lim)}")
+      s.conf.set("spark.graft.limitPushdown.enabled", "false")
+      val fullScan =
+        try scanned(s.table(s"$cat.t").limit(k.toInt))
+        finally s.conf.unset("spark.graft.limitPushdown.enabled")
+      require(fullScan == 4,
+        s"q176: the opt-out must restore the 4-file scan, got $fullScan")
+      import s.implicits._
+      Seq((limCnt, 2, 4)).toDF("lim_cnt", "files_scanned", "files_total")
+    },
+    Some("""SELECT CAST(3 * (COUNT(*) // 4) // 2 AS BIGINT) AS lim_cnt,
+        2 AS files_scanned, 4 AS files_total
+      FROM lineitem"""))
+
+  /** B2 MERGE-ON-READ MERGE (r14, [[graft.sources.CommitLog.merge]] /
+    * `tryDvMerge`): the full ANSI MERGE trio (conditional DELETE,
+    * UPDATE, INSERT) commits as ONE `add_dv` — fired matched rows
+    * masked behind a deletion vector, updated versions + inserts
+    * appended, ZERO touched-file rewrite (Delta's DV merge shape; at
+    * 100 TB a 500-row merge must not rewrite multi-GB files). REQUIRED
+    * in-body: one version, no data-file retirement, new files adopted,
+    * a DV present. The post-merge aggregate hashes against DuckDB
+    * reconstructing the same merge relationally from raw orders, so a
+    * mask hitting the wrong positions (or a declined clause masking
+    * anyway) is a value mismatch. */
+  private val q177 = Q(
+    "q177_mor_merge",
+    (s, dir) => {
+      val root = scratch(s, dir, "mormerge")
+      val log = graft.sources.CommitLog(s, s"$root/t")
+      val o = t(s, dir, "orders")
+      log.append(o.filter(col("o_orderkey") % 3 =!= 0).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price")))
+      val src = o.filter(col("o_orderkey") % 20 === 0).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") * 3)
+          .cast("decimal(18,2)").as("price"))
+      val before = log.snapshot()
+      s.conf.set("spark.graft.dv.minTouchedBytes", "0")
+      try log.merge(src, Seq("o_orderkey"), Seq(
+          graft.sources.CommitLog.WhenMatchedDelete(
+            Some(col("s.price") > 400000)),
+          graft.sources.CommitLog.WhenMatchedUpdate(
+            Map("price" -> col("s.price"))),
+          graft.sources.CommitLog.WhenNotMatchedInsert()))
+      finally s.conf.unset("spark.graft.dv.minTouchedBytes")
+      val after = log.snapshot()
+      require(after.version == before.version + 1,
+        "q177: the merge must be ONE atomic commit")
+      require(before.files.forall(after.files.contains),
+        "q177: merge-on-read MERGE must retire no data file")
+      require(after.files.size > before.files.size,
+        "q177: updated + inserted rows must land as appended files")
+      require(after.dvs.nonEmpty, "q177: no deletion vector was committed")
+      log.read().groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH tgt AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 3 <> 0),
+      src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 3 AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 20 = 0),
+      merged AS (
+        SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+          CASE WHEN s.o_orderkey IS NOT NULL THEN s.price ELSE t.price END AS price
+        FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        WHERE s.o_orderkey IS NULL OR s.price <= 400000
+        UNION ALL
+        SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.price
+        FROM src s LEFT JOIN tgt t ON s.o_orderkey = t.o_orderkey
+        WHERE t.o_orderkey IS NULL)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(price) AS DOUBLE) AS revenue,
+        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** B2 GROUPED MANIFEST AGGREGATE PUSHDOWN (r14): `SELECT part,
+    * COUNT(*)/MIN/MAX … GROUP BY part` over a partition-tagged logged
+    * table folds per-tag from the manifest (tags + row counts + footer
+    * stats) into a rows-per-partition LocalScan — the Iceberg-style
+    * "metadata aggregation" that answers partition profiles on a
+    * 100 TB table without opening a file. REQUIRED in-body: the
+    * grouped plan is a LocalTableScan with no BatchScan, and after a
+    * merge-on-read DELETE masks one ENTIRE partition its group
+    * disappears from a still-manifest-answered COUNT (SQL group
+    * semantics under DV masking). Values hash against DuckDB grouping
+    * raw orders. */
+  private val q178 = Q(
+    "q178_grouped_agg_pushdown",
+    (s, dir) => {
+      val cat = "g178_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "gagg-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("price"))
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "o_orderstatus").create()
+      def requireLocal(df: DataFrame, what: String): Unit = {
+        val p = df.queryExecution.executedPlan.toString
+        require(p.contains("LocalTableScan") && !p.contains("BatchScan"),
+          s"q178: $what must be manifest-answered:\n$p")
+      }
+      val byStatus = s.table(s"$cat.t").groupBy(col("o_orderstatus")).agg(
+        count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("mn_ok"), max(col("o_orderkey")).as("mx_ok"),
+        min(col("price")).as("mn_p"), max(col("price")).as("mx_p"))
+      requireLocal(byStatus, "the per-partition profile")
+      val profile = byStatus.collect()
+      // mask one whole partition merge-on-read: its group must vanish
+      // from a STILL manifest-answered grouped count
+      s.conf.set("spark.graft.dv.minTouchedBytes", "0")
+      s.conf.set("spark.graft.dv.maxRatio", "1.0")
+      val counts =
+        try {
+          s.sql(s"DELETE FROM $cat.t WHERE o_orderstatus = 'P'")
+          require(graft.sources.CommitLog(s, s"$root/t").snapshot().dvs.nonEmpty,
+            "q178: the partition delete was not merge-on-read")
+          val c = s.table(s"$cat.t").groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n_after"))
+          requireLocal(c, "the post-mask grouped count")
+          c.collect()
+        } finally {
+          s.conf.unset("spark.graft.dv.minTouchedBytes")
+          s.conf.unset("spark.graft.dv.maxRatio")
+        }
+      require(!counts.exists(_.getString(0) == "P"),
+        "q178: a fully-masked partition's group must disappear")
+      val profDf = s.createDataFrame(
+        java.util.Arrays.asList(profile: _*), byStatus.schema)
+      import s.implicits._
+      val afterDf = counts.map(r => (r.getString(0), r.getLong(1))).toSeq
+        .toDF("o_orderstatus", "n_after")
+      profDf.join(afterDf, Seq("o_orderstatus"), "left")
+        .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+        MIN(o_orderkey) AS mn_ok, MAX(o_orderkey) AS mx_ok,
+        CAST(MIN(CAST(o_totalprice AS DOUBLE)) AS DOUBLE) AS mn_p,
+        CAST(MAX(CAST(o_totalprice AS DOUBLE)) AS DOUBLE) AS mx_p,
+        CAST(CASE WHEN o_orderstatus = 'P' THEN 0 ELSE COUNT(*) END AS BIGINT)
+          AS n_after
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
-    q168, q169, q170, q171, q172, q173, q174)
+    q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178)
 }

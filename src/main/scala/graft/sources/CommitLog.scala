@@ -127,7 +127,25 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       // sidecars that mask its deleted row positions, in commit order.
       // A file's masked view = its rows minus the union of its DVs'
       // positions; a rewrite retiring the file drops its DVs.
-      dvs: Map[String, Seq[CommitLog.DvRef]] = Map.empty)
+      dvs: Map[String, Seq[CommitLog.DvRef]] = Map.empty,
+      // per-file EXACT physical row counts (r14, footer-harvested at
+      // commit time like `stats`) — what lets COUNT(*) and LIMIT
+      // answer from the manifest without opening a single data file.
+      // Absent for files committed by pre-r14 manifests (consumers
+      // must treat a missing entry as unknown, never as zero).
+      rows: Map[String, Long] = Map.empty) {
+    /** Rows masked out of `f` by its deletion vectors — EXACT: every
+      * DV find-scan reads the already-masked view ([[readLiveWithPos]]
+      * subtracts prior DVs before computing positions), so sidecar
+      * position sets on one file are disjoint by construction and
+      * their counts sum. */
+    def maskedCount(f: String): Long =
+      dvs.getOrElse(f, Nil).iterator.map(_.count).sum
+    /** The LIVE (post-DV) row count of `f`, when the manifest knows
+      * the physical count. */
+    def liveRowCount(f: String): Option[Long] =
+      rows.get(f).map(n => math.max(0L, n - maskedCount(f)))
+  }
 
   // ── COLUMN MAPPING (rename/drop without rewriting data) ───────────
   // Delta-style "name mapping": every column has a stable PHYSICAL
@@ -566,15 +584,18 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val fileStatTags = parseStats(node)
     val fileBloomTags = parseBlooms(node)
     val fileDvTags = parseDvs(node)
+    val fileRowTags = parseRows(node)
     var files = prev.files
     var parts = prev.parts
     var stats = prev.stats
     var blooms = prev.blooms
     var dvs = prev.dvs
+    var rows = prev.rows
     node.get("action").asText() match {
       case "add"     =>
         files = files ++ fl; parts = parts ++ filePartTags
         stats = stats ++ fileStatTags; blooms = blooms ++ fileBloomTags
+        rows = rows ++ fileRowTags
         // ordinary appends carry no DVs; a shallow clone's version-0
         // "add" restates the source's, absolute like its files
         fileDvTags.foreach { case (f, refs) =>
@@ -587,12 +608,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         // with the mask — `files` is empty on a pure delete)
         files = files ++ fl; parts = parts ++ filePartTags
         stats = stats ++ fileStatTags; blooms = blooms ++ fileBloomTags
+        rows = rows ++ fileRowTags
         fileDvTags.foreach { case (f, refs) =>
           dvs = dvs.updated(f, dvs.getOrElse(f, Nil) ++ refs)
         }
       case "replace" =>
         files = fl; parts = filePartTags; stats = fileStatTags
-        blooms = fileBloomTags
+        blooms = fileBloomTags; rows = fileRowTags
         // restatement (checkpoint/restore/rewrites carrying untouched
         // files' DVs through); absent = no DVs survive the replace
         dvs = fileDvTags
@@ -606,6 +628,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         stats = stats.filterNot { case (f, _) => parts.get(f).exists(retired) } ++ fileStatTags
         blooms = blooms.filterNot { case (f, _) => parts.get(f).exists(retired) } ++ fileBloomTags
         dvs = dvs.filterNot { case (f, _) => parts.get(f).exists(retired) } ++ fileDvTags
+        rows = rows.filterNot { case (f, _) => parts.get(f).exists(retired) } ++ fileRowTags
         parts = parts.filterNot { case (f, p) => retired(p) } ++ filePartTags
       case other => throw new IllegalStateException(
         s"$tableRoot: unknown log action '$other' at version $version")
@@ -631,8 +654,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         math.max(e.getValue.asLong(), txns.getOrElse(e.getKey, Long.MinValue)))
     })
     Snapshot(version, files, schema, txns, parts, stats, blooms, physRetired,
-      dvs)
+      dvs, rows)
   }
+
+  /** Parse a manifest's `fileRows` node: data file → exact physical
+    * row count (r14; absent on pre-r14 manifests). */
+  private def parseRows(node: JsonNode): Map[String, Long] =
+    Option(node.get("fileRows")).map(_.properties().asScala.map { e =>
+      e.getKey -> e.getValue.asLong()
+    }.toMap).getOrElse(Map.empty)
 
   /** Parse a manifest's `fileDvs` node: data file → ordered DV refs. */
   private def parseDvs(node: JsonNode): Map[String, Seq[CommitLog.DvRef]] =
@@ -2126,81 +2156,208 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         }
       if (touched.isEmpty && (insertClauses.isEmpty || !sourceHasRows))
         return s.version // nothing to rewrite, nothing to insert
-      // phase 3: full-outer join touched rows with the source, resolve
-      // each row's first-true clause, project the survivors
-      val base = conform(readFiles(sch0, touched, s.dvs), sch)
-      val t = base.withColumn("__t", lit(true)).as("t")
-      val sAliased = source.withColumn("__s", lit(true)).as("s")
-      val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-      val joined = t.join(sAliased, joinCond, "full_outer")
-      val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
-      val sOnly = col("t.__t").isNull
-      // action id: first true clause in declaration order, ANSI MERGE.
-      // 0 = keep the target row; 1..m = matched clause; 100+j = insert
-      // clause j; -1 = unmatched source row no insert clause admits.
-      var chain: Column = null
-      def addCase(pred: Column, v: Int): Unit =
-        chain = if (chain == null) when(pred, lit(v)) else chain.when(pred, lit(v))
-      matchedClauses.zipWithIndex.foreach { case (cl, i) =>
-        val cond = cl match {
-          case CommitLog.WhenMatchedUpdate(_, c) => c
-          case CommitLog.WhenMatchedDelete(c) => c
-          case _ => None
-        }
-        addCase(matched && cond.getOrElse(lit(true)), i + 1)
-      }
-      insertClauses.zipWithIndex.foreach { case (cl, j) =>
-        addCase(sOnly && cl.condition.getOrElse(lit(true)), 100 + j)
-      }
-      val action = chain.otherwise(when(col("t.__t").isNotNull, lit(0)).otherwise(lit(-1)))
-      val srcCols = source.columns.map(lc).toSet
-      // stage 1: evaluate everything that references the t/s aliases
-      val stage1Cols: Seq[Column] =
-        sch.fields.toIndexedSeq.flatMap { f =>
-          val tCol = col(s"t.${f.name}").as(s"__t_${f.name}")
-          val updCols = matchedClauses.zipWithIndex.collect {
-            case (CommitLog.WhenMatchedUpdate(set, _), i)
-                if set.keys.exists(_.equalsIgnoreCase(f.name)) =>
-              set.find(_._1.equalsIgnoreCase(f.name)).get._2
-                .cast(f.dataType).as(s"__u${i}_${f.name}")
-          }
-          val insCols = insertClauses.zipWithIndex.map { case (cl, j) =>
-            val v = cl.values.find(_._1.equalsIgnoreCase(f.name)).map(_._2)
-              .getOrElse(if (srcCols(lc(f.name))) col(s"s.${f.name}") else lit(null))
-            v.cast(f.dataType).as(s"__i${j}_${f.name}")
-          }
-          (tCol +: updCols) ++ insCols
-        } :+ action.as("__act")
-      val dropActs: Seq[Int] = -1 +: matchedClauses.zipWithIndex.collect {
-        case (_: CommitLog.WhenMatchedDelete, i) => i + 1
-      }
-      // stage 2: filter the dropped actions, pick each column's value
-      val staged = joined.select(stage1Cols: _*)
-        .filter(!col("__act").isin(dropActs.map(Integer.valueOf): _*))
-      val rewritten = staged.select(sch.fields.toIndexedSeq.map { f =>
-        var v: Column = null
-        matchedClauses.zipWithIndex.foreach {
-          case (CommitLog.WhenMatchedUpdate(set, _), i)
-              if set.keys.exists(_.equalsIgnoreCase(f.name)) =>
-            val c = when(col("__act") === (i + 1), col(s"__u${i}_${f.name}"))
-            v = if (v == null) c else v.when(col("__act") === (i + 1), col(s"__u${i}_${f.name}"))
-          case _ => ()
-        }
-        insertClauses.zipWithIndex.foreach { case (_, j) =>
-          val c = when(col("__act") === (100 + j), col(s"__i${j}_${f.name}"))
-          v = if (v == null) c else v.when(col("__act") === (100 + j), col(s"__i${j}_${f.name}"))
-        }
-        (if (v == null) col(s"__t_${f.name}") else v.otherwise(col(s"__t_${f.name}"))).as(f.name)
-      }: _*)
-      validateConstraints(rewritten)
-      commitRewrite(s, sch, touched, rewritten, partCol, txn) match {
-        case Some(v) => return v
-        case None =>
+      // merge-on-read attempt first (r14): mask the fired matched rows
+      // behind a DV and append the updated/inserted rows in ONE
+      // `add_dv` commit — zero rewrite of the touched files. Policy
+      // gates (admission floor, row/ratio caps) fall back to the
+      // copy-on-write rewrite below.
+      val mor =
+        if (touched.isEmpty) None
+        else tryDvMerge(s, sch0, sch, source, keys, matchedClauses,
+          insertClauses, touched, partCol, txn)
+      mor match {
+        case Some(Some(v)) => return v
+        case Some(None) =>
           attempts += 1
           require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+        case None =>
+          // phase 3 (copy-on-write): full-outer join touched rows with
+          // the source, resolve each row's first-true clause, project
+          // the survivors
+          val base = conform(readFiles(sch0, touched, s.dvs), sch)
+          val staged = mergeStage(base, source, keys, sch,
+            matchedClauses, insertClauses, Nil)
+          val dropActs: Seq[Int] = -1 +: matchedClauses.zipWithIndex.collect {
+            case (_: CommitLog.WhenMatchedDelete, i) => i + 1
+          }
+          val rewritten = mergeProject(
+            staged.filter(!col("__act").isin(dropActs.map(Integer.valueOf): _*)),
+            sch, matchedClauses, insertClauses)
+          validateConstraints(rewritten)
+          commitRewrite(s, sch, touched, rewritten, partCol, txn) match {
+            case Some(v) => return v
+            case None =>
+              attempts += 1
+              require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+          }
       }
     }
     -1L // unreachable
+  }
+
+  /** MERGE's clause-resolution stage, shared by the copy-on-write and
+    * merge-on-read commit forms: full-outer join the touched files'
+    * live rows (`base`, aliased `t`) with the `source` (aliased `s`),
+    * resolve each row's first-true clause in declaration order (ANSI),
+    * and stage every clause-referenced value. Output columns:
+    * `__t_<col>` (target values), `__u<i>_<col>` / `__i<j>_<col>`
+    * (update / insert clause values, already cast to the table types),
+    * `extraTargetCols` passed through from the target side (the MoR
+    * path's `__dv_f`/`__dv_pos` row addresses), and `__act` — 0 = keep
+    * the target row; 1..m = matched clause i+1 fired; 100+j = insert
+    * clause j fired; -1 = unmatched source row no insert admits. */
+  private def mergeStage(base: DataFrame, source: DataFrame,
+      keys: Seq[String], sch: StructType,
+      matchedClauses: Seq[CommitLog.MergeClause],
+      insertClauses: Seq[CommitLog.WhenNotMatchedInsert],
+      extraTargetCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val t = base.withColumn("__t", lit(true)).as("t")
+    val sAliased = source.withColumn("__s", lit(true)).as("s")
+    val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val joined = t.join(sAliased, joinCond, "full_outer")
+    val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
+    val sOnly = col("t.__t").isNull
+    var chain: Column = null
+    def addCase(pred: Column, v: Int): Unit =
+      chain = if (chain == null) when(pred, lit(v)) else chain.when(pred, lit(v))
+    matchedClauses.zipWithIndex.foreach { case (cl, i) =>
+      val cond = cl match {
+        case CommitLog.WhenMatchedUpdate(_, c) => c
+        case CommitLog.WhenMatchedDelete(c) => c
+        case _ => None
+      }
+      addCase(matched && cond.getOrElse(lit(true)), i + 1)
+    }
+    insertClauses.zipWithIndex.foreach { case (cl, j) =>
+      addCase(sOnly && cl.condition.getOrElse(lit(true)), 100 + j)
+    }
+    val action = chain.otherwise(when(col("t.__t").isNotNull, lit(0)).otherwise(lit(-1)))
+    val srcCols = source.columns.map(lc).toSet
+    // stage 1: evaluate everything that references the t/s aliases
+    val stage1Cols: Seq[Column] =
+      (sch.fields.toIndexedSeq.flatMap { f =>
+        val tCol = col(s"t.${f.name}").as(s"__t_${f.name}")
+        val updCols = matchedClauses.zipWithIndex.collect {
+          case (CommitLog.WhenMatchedUpdate(set, _), i)
+              if set.keys.exists(_.equalsIgnoreCase(f.name)) =>
+            set.find(_._1.equalsIgnoreCase(f.name)).get._2
+              .cast(f.dataType).as(s"__u${i}_${f.name}")
+        }
+        val insCols = insertClauses.zipWithIndex.map { case (cl, j) =>
+          val v = cl.values.find(_._1.equalsIgnoreCase(f.name)).map(_._2)
+            .getOrElse(if (srcCols(lc(f.name))) col(s"s.${f.name}") else lit(null))
+          v.cast(f.dataType).as(s"__i${j}_${f.name}")
+        }
+        (tCol +: updCols) ++ insCols
+      } ++ extraTargetCols.map(c => col(s"t.$c").as(c))) :+ action.as("__act")
+    joined.select(stage1Cols: _*)
+  }
+
+  /** MERGE's stage 2: pick each output column's value from the staged
+    * frame by `__act` — update/insert clause values where their clause
+    * fired, the target's original value otherwise. The caller filters
+    * `staged` to the action set it keeps (survivors for copy-on-write,
+    * fired updates + inserts for merge-on-read). */
+  private def mergeProject(staged: DataFrame, sch: StructType,
+      matchedClauses: Seq[CommitLog.MergeClause],
+      insertClauses: Seq[CommitLog.WhenNotMatchedInsert]): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, when}
+    staged.select(sch.fields.toIndexedSeq.map { f =>
+      var v: Column = null
+      matchedClauses.zipWithIndex.foreach {
+        case (CommitLog.WhenMatchedUpdate(set, _), i)
+            if set.keys.exists(_.equalsIgnoreCase(f.name)) =>
+          val c = when(col("__act") === (i + 1), col(s"__u${i}_${f.name}"))
+          v = if (v == null) c else v.when(col("__act") === (i + 1), col(s"__u${i}_${f.name}"))
+        case _ => ()
+      }
+      insertClauses.zipWithIndex.foreach { case (_, j) =>
+        val c = when(col("__act") === (100 + j), col(s"__i${j}_${f.name}"))
+        v = if (v == null) c else v.when(col("__act") === (100 + j), col(s"__i${j}_${f.name}"))
+      }
+      (if (v == null) col(s"__t_${f.name}") else v.otherwise(col(s"__t_${f.name}"))).as(f.name)
+    }: _*)
+  }
+
+  /** The merge-on-read MERGE attempt (r14, Delta's DV merge shape):
+    * every touched-file row a fired WHEN MATCHED clause consumes
+    * (update or delete) is masked behind a DV, and the updated
+    * versions plus the WHEN NOT MATCHED inserts land as appended
+    * files — ONE atomic `add_dv` commit, zero rewrite of the touched
+    * files. Matched rows whose conditional clauses all decline
+    * (`__act` 0) keep their original unmasked position. Policy gates
+    * and outcome contract as [[tryDvDelete]] (None = not admitted →
+    * caller runs the copy-on-write rewrite; Some(None) = lost the
+    * version race); appended rows validate CHECK constraints — masking
+    * rows cannot invalidate the survivors. */
+  private def tryDvMerge(s: Snapshot, sch0: StructType, sch: StructType,
+      source: DataFrame, keys: Seq[String],
+      matchedClauses: Seq[CommitLog.MergeClause],
+      insertClauses: Seq[CommitLog.WhenNotMatchedInsert],
+      touched: Seq[String], partCol: Option[String],
+      txn: Option[(String, Long)]): Option[Option[Long]] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    def conf(k: String, d: String): String =
+      spark.conf.getOption(k).getOrElse(d)
+    if (matchedClauses.isEmpty || !dvAdmitted(touched)) return None
+    val maxRows = conf("spark.graft.dv.maxDeletedRows", "2000000").toLong
+    val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
+    // the target side carries each live row's physical address through
+    // the clause resolution (conform against the extended schema keeps
+    // the pass-through columns while aligning the data columns)
+    val extSch = StructType(sch.fields ++ Seq(
+      StructField("__dv_f", StringType), StructField("__dv_pos", LongType)))
+    val base = conform(readLiveWithPos(s, sch0, touched), extSch)
+    val staged = mergeStage(base, source, keys, sch, matchedClauses,
+      insertClauses, Seq("__dv_f", "__dv_pos"))
+    val maskActs = matchedClauses.indices.map(i => Integer.valueOf(i + 1))
+    val matched = staged.filter(col("__act").isin(maskActs: _*))
+      .select(col("__dv_f"), col("__dv_pos"))
+      .limit(maxRows.toInt + 1).collect()
+    // no fired matched clause: the copy-on-write path still owns the
+    // (rare) insert-only outcome on touched files
+    if (matched.isEmpty || matched.length > maxRows) return None
+    val live = readFiles(sch0, touched, s.dvs).count()
+    if (live > 0 && matched.length.toDouble / live > maxRatio) return None
+    val appendActs: Seq[Integer] = matchedClauses.zipWithIndex.collect {
+        case (_: CommitLog.WhenMatchedUpdate, i) => Integer.valueOf(i + 1)
+      } ++ insertClauses.indices.map(j => Integer.valueOf(100 + j))
+    val appendDf =
+      if (appendActs.isEmpty) None
+      else Some(mergeProject(
+        staged.filter(col("__act").isin(appendActs: _*)),
+        sch, matchedClauses, insertClauses))
+    appendDf.foreach(validateConstraints)
+    val (newFiles, newTags) = appendDf match {
+      case None => (Seq.empty[String], Map.empty[String, String])
+      case Some(df) => partCol match {
+        case Some(pc) =>
+          val tagged = writeDataPartitioned(df, pc, sch)
+          (tagged.map(_._1), tagged.toMap)
+        case None => (writeData(df, sch), Map.empty[String, String])
+      }
+    }
+    val positions = matched.map(r => (r.getString(0), r.getLong(1))).toSeq
+    val dvRel = try writeDv(positions)
+      catch { case e: Throwable => newFiles.foreach(deleteData); throw e }
+    def cleanup(): Unit = { newFiles.foreach(deleteData); deleteData(dvRel) }
+    val byBase: Map[String, Long] =
+      positions.groupBy(_._1).map { case (f, ps) => f -> ps.size.toLong }
+    val relByBase = touched.map(f => new Path(f).getName -> f).toMap
+    val dvAdd: Map[String, Seq[CommitLog.DvRef]] = byBase.map { case (b, n) =>
+      relByBase(b) -> Seq(CommitLog.DvRef(dvRel, n))
+    }
+    val won = try tryCommit(s.version + 1,
+        manifestJson(s.version + 1, "add_dv", newFiles, sch, txn,
+          fileParts = newTags, stats = statsFor(newFiles),
+          blooms = bloomsFor(newFiles, Some(sch)), dvs = dvAdd))
+      catch { case e: Throwable => cleanup(); throw e }
+    if (won) Some(Some(s.version + 1))
+    else { cleanup(); Some(None) }
   }
 
   /** DELETE-matching-keys + APPEND as ONE versioned commit (r12,
@@ -2381,7 +2538,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       if (tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace", old.files, sch, txn,
             fileParts = old.parts, stats = old.stats, blooms = old.blooms,
-            dvs = old.dvs)))
+            dvs = old.dvs, fileRows = old.rows)))
         return s.version + 1
       attempts += 1
       require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
@@ -2444,10 +2601,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // sidecar paths go absolute, or the clone would resurrect rows
     val dvs = s.files.flatMap(f => s.dvs.get(f).map(refs =>
       abs(f) -> refs.map(r => r.copy(path = abs(r.path))))).toMap
+    val rows = s.files.flatMap(f => s.rows.get(f).map(abs(f) -> _)).toMap
     require(target.tryCommit(0L,
       target.manifestJson(0L, "add", files, sch, txn = None,
         fileParts = parts, stats = stats, blooms = blooms,
-        physRetired = Some(s.physRetired), dvs = dvs)),
+        physRetired = Some(s.physRetired), dvs = dvs, fileRows = rows)),
       s"$targetRoot: lost the clone commit race — target is being written")
     0L
   }
@@ -2524,7 +2682,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             ++ bloomsFor(newFiles, Some(sch)),
           // untouched files keep their deletion vectors; the rewrite
           // read the touched files MASKED, so theirs retire with them
-          dvs = s.dvs.filter(kv => untouchedSet(kv._1))))
+          dvs = s.dvs.filter(kv => untouchedSet(kv._1)),
+          fileRows = s.rows.filter(kv => untouchedSet(kv._1))))
       catch { case e: Throwable => newFiles.foreach(deleteData); throw e }
     if (won) Some(s.version + 1)
     else { newFiles.foreach(deleteData); None }
@@ -2928,6 +3087,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           .foreach { case (f, p) => fp.put(f, p) }
       }
       putStats(root, s.stats.filter(kv => live(kv._1)))
+      putRows(root, s.rows.filter(kv => live(kv._1)))
       putBlooms(root, s.blooms.filter(kv => live(kv._1)))
       putDvs(root, s.dvs.filter(kv => live(kv._1)))
       s.schema.foreach(sc => root.put("schema", sc.json))
@@ -3124,7 +3284,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             // kept files carry their deletion vectors through; the
             // retired files' DVs retire with them (the row-level scan
             // read those files masked)
-            dvs = s.dvs.filter(kv => keptSet(kv._1))))
+            dvs = s.dvs.filter(kv => keptSet(kv._1)),
+            fileRows = s.rows.filter(kv => keptSet(kv._1))))
         require(won,
           s"$tableRoot: lost the commit race during the row-level " +
             "operation — concurrent write detected, retry the statement")
@@ -3370,8 +3531,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // provably-all-null chunk is coverage-neutral (a null never
     // matches a range predicate).
     val dead = scala.collection.mutable.HashSet.empty[String]
+    var rowCount = 0L
     try {
       reader.getFooter.getBlocks.asScala.foreach { block =>
+        rowCount += block.getRowCount
         block.getColumns.asScala.foreach { cc =>
           val name = cc.getPath.toDotString
           if (!name.contains('.') && !dead.contains(name)) {
@@ -3387,6 +3550,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         }
       }
     } finally reader.close()
+    // r14: the file's EXACT row count rides in the same map under a
+    // reserved DOTTED pseudo-key — the harvest loop above skips every
+    // dotted path, so no real top-level column can ever write this
+    // entry; [[manifestJson]] splits it out before serialization.
+    byCol(CommitLog.RowsKey) = (rowCount, rowCount)
     byCol.toMap
   }
 
@@ -3450,14 +3618,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     x.length - y.length
   }
 
-  private def minAny(a: Any, b: Any): Any = (a, b) match {
+  private[sources] def minAny(a: Any, b: Any): Any = (a, b) match {
     case (x: Long, y: Long) => math.min(x, y)
     case (x: Double, y: Double) => math.min(x, y)
     case (x: String, y: String) => if (utf8Compare(x, y) <= 0) x else y
     case _ => a
   }
 
-  private def maxAny(a: Any, b: Any): Any = (a, b) match {
+  private[sources] def maxAny(a: Any, b: Any): Any = (a, b) match {
     case (x: Long, y: Long) => math.max(x, y)
     case (x: Double, y: Double) => math.max(x, y)
     case (x: String, y: String) => if (utf8Compare(x, y) >= 0) x else y
@@ -3507,7 +3675,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       stats: Map[String, Map[String, (Any, Any)]] = Map.empty,
       blooms: Map[String, Map[String, CommitLog.BloomF]] = Map.empty,
       physRetired: Option[Seq[String]] = None,
-      dvs: Map[String, Seq[CommitLog.DvRef]] = Map.empty): String = {
+      dvs: Map[String, Seq[CommitLog.DvRef]] = Map.empty,
+      // carried per-file row counts (restatements of files whose
+      // footers were harvested by an EARLIER commit — restore, clone,
+      // partial rewrites). Freshly harvested files need nothing here:
+      // their counts ride inside `stats` under [[CommitLog.RowsKey]]
+      // and are split out below.
+      fileRows: Map[String, Long] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("version", v)
     root.put("action", action)
@@ -3521,7 +3695,18 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val fp = root.putObject("fileParts")
       fileParts.foreach { case (f, p) => fp.put(f, p) }
     }
-    putStats(root, stats)
+    // split the harvest-time pseudo entry ([[CommitLog.RowsKey]]) out
+    // of the per-column stats: the SERIALIZED manifest and the folded
+    // [[Snapshot]] keep row counts structurally separate from column
+    // min/max (no reserved name can ever shadow a real column at
+    // pruning time — the key never reaches `Snapshot.stats`)
+    val harvestedRows: Map[String, Long] = stats.flatMap { case (f, cols) =>
+      cols.get(CommitLog.RowsKey).map { case (n: Long, _) => f -> n }
+    }
+    putStats(root, stats.map { case (f, cols) =>
+      f -> (cols - CommitLog.RowsKey)
+    }.filter(_._2.nonEmpty))
+    putRows(root, fileRows ++ harvestedRows)
     putBlooms(root, blooms)
     putDvs(root, dvs)
     root.put("schema", schema.json)
@@ -3533,6 +3718,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
     mapper.writeValueAsString(root)
   }
+
+  private def putRows(root: ObjectNode, rows: Map[String, Long]): Unit =
+    if (rows.nonEmpty) {
+      val fr = root.putObject("fileRows")
+      rows.foreach { case (f, n) => fr.put(f, n) }
+    }
 
   private def putDvs(root: ObjectNode,
       dvs: Map[String, Seq[CommitLog.DvRef]]): Unit =
@@ -3585,6 +3776,15 @@ object CommitLog {
     * belong to a statement still between task commit and driver
     * commit; one hour is far past any single statement's window. */
   val StagingReclaimTtlMs: Long = 60L * 60 * 1000
+
+  /** Reserved pseudo-column key carrying a file's exact row count
+    * between footer harvest and manifest serialization. DOTTED on
+    * purpose: the harvester records only dot-free (top-level) paths,
+    * so no real column's stats can ever collide with it, and
+    * [[CommitLog]]'s `manifestJson` strips it before the manifest is
+    * written — it never appears in a folded [[CommitLog.Snapshot]]'s
+    * `stats`, only in `rows`. */
+  private[sources] val RowsKey: String = "graft.rows"
 
   /** StructField metadata key carrying a column's stable PHYSICAL
     * (in-file) name — the column-mapping anchor behind

@@ -777,7 +777,9 @@ private[sources] final class GraftLogScanBuilder(
     partCol: Option[String] = None)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
   import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
   import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -930,6 +932,7 @@ private[sources] final class GraftLogScanBuilder(
     // stay LOGICAL: candidateFilesForExprs translates names at its own
     // stats/bloom lookups (physOf), conservative when a pinned
     // version's logical view differs from the relation's.
+    if (filters.nonEmpty) filtersWerePushed = true
     selectedFiles = log.candidateFilesForExprs(snap, filters)
     val b = makeInner(selectedFiles)
     innerOpt = Some(b)
@@ -967,7 +970,249 @@ private[sources] final class GraftLogScanBuilder(
     inner.pruneColumns(if (mapped) toPhysSchema(requiredSchema) else requiredSchema)
   }
 
+  // ── r14: MANIFEST-ANSWERED AGGREGATE PUSHDOWN ──────────────────────
+  // A global COUNT(*) / MIN / MAX over a logged table is answerable
+  // from the manifest alone — per-file exact row counts (r14,
+  // `Snapshot.rows`, DV-adjusted) and per-file exact footer min/max
+  // (`Snapshot.stats`) fold on the driver, and the built scan is a
+  // [[org.apache.spark.sql.connector.read.LocalScan]] holding ONE row:
+  // at 100 TB the query reads ZERO data files (the manifest replaces
+  // the reference's DynamoDB item counts, /root/reference/index.js:305-314).
+  // Every admission rule is conservative — any file whose evidence is
+  // incomplete refuses the whole pushdown and Spark plans the normal
+  // scan+aggregate:
+  //  * COUNT(*): every selected file must carry a row count; the live
+  //    count subtracts DV cardinalities (exact — sidecar position sets
+  //    on one file are disjoint by construction, `Snapshot.maskedCount`).
+  //  * MIN/MAX(col): every selected file must carry the column's
+  //    footer min/max (a file provably EMPTY by its row count may lack
+  //    it), no selected file may carry a DV (the mask could remove the
+  //    extremal row), and the type must be one whose harvested stats
+  //    are exact under Spark's own ordering: integral, float/double
+  //    (NaN-poisoned chunks are never harvested), date, and string
+  //    (footer string stats are exact when present — parquet-mr omits
+  //    rather than truncates oversized values; `utf8Compare` matches
+  //    UTF8String's unsigned byte order). Timestamps are refused: the
+  //    stat's unit follows the writer's outputTimestampType, which the
+  //    manifest does not record.
+  //  * Anything else (SUM, AVG, COUNT(col), DISTINCT, GROUP BY,
+  //    pushed filters, row-level scans) refuses — correctness owns
+  //    the boundary, Catalyst owns the fallback.
+  // `spark.graft.aggPushdown.enabled=false` opts out.
+  private var filtersWerePushed = false
+  private var aggAnswer: Option[(StructType, Seq[Seq[Any]])] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    answerFromManifest(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val a = answerFromManifest(agg)
+    a.foreach(x => aggAnswer = Some(x))
+    a.isDefined
+  }
+
+  private def answerFromManifest(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Seq[Any]])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types._
+    if (groupGranularity || filtersWerePushed) return None
+    if (!spark.conf.getOption("spark.graft.aggPushdown.enabled")
+        .forall(_.toBoolean)) return None
+    val funcs = agg.aggregateExpressions
+    if (funcs.isEmpty) return None
+
+    def statType(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType
+           | FloatType | DoubleType | StringType => true
+      case _ => false
+    }
+    // manifest stat value (Long / Double / String) → Spark INTERNAL
+    // value of the column's type
+    def internal(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+      case (ByteType, l: Long)    => Some(java.lang.Byte.valueOf(l.toByte))
+      case (ShortType, l: Long)   => Some(java.lang.Short.valueOf(l.toShort))
+      case (IntegerType, l: Long) => Some(java.lang.Integer.valueOf(l.toInt))
+      case (LongType, l: Long)    => Some(java.lang.Long.valueOf(l))
+      case (DateType, l: Long)    => Some(java.lang.Integer.valueOf(l.toInt))
+      case (FloatType, d: Double) => Some(java.lang.Float.valueOf(d.toFloat))
+      case (DoubleType, d: Double) => Some(java.lang.Double.valueOf(d))
+      case (StringType, s: String) =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case _ => None
+    }
+    def singleColumn(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 =>
+        logicalSchema.fields.find(f => lcn(f.name) == lcn(nr.fieldNames()(0)))
+      case _ => None
+    }
+
+    // ── GROUP BY identity partition-key columns (or none = global) ──
+    // `SELECT part, count(*) … GROUP BY part` answers from the
+    // manifest alone when every group column is an IDENTITY key of the
+    // table's partition spec with an exactly-round-tripping type (the
+    // SPJ rule) and every selected file carries a tag: group = decoded
+    // tag components. A group whose live rows are all DV-masked does
+    // not exist (SQL group semantics), so grouped answers always need
+    // the row counts.
+    val groupRefs: Seq[String] = agg.groupByExpressions.toSeq.map {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 => nr.fieldNames()(0)
+      case _ => return None
+    }
+    val spec: Option[PartSpec] = partCol.map(_.trim).filter(_.nonEmpty)
+      .flatMap(p => scala.util.Try(PartSpec.parse(p)).toOption)
+    val groupKeys: Seq[(StructField, Int)] = groupRefs.map { n =>
+      val sp = spec.getOrElse(return None)
+      val f = logicalSchema.fields.find(f => lcn(f.name) == lcn(n))
+        .getOrElse(return None)
+      val i = sp.keyIndexOf(f.name).getOrElse(return None)
+      if (sp.keys(i).transform != PartSpec.Identity) return None
+      if (!GraftLogScanBuilder.spjKeyType(f.dataType)) return None
+      (f, i)
+    }
+    val files = selectedFiles
+    if (groupKeys.nonEmpty && !files.forall(snap.parts.contains)) return None
+    def compInternal(c: String, dt: DataType): Any = dt match {
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(c)
+      case IntegerType => c.toInt
+      case LongType => c.toLong
+      case ShortType => c.toShort
+      case ByteType => c.toByte
+      case BooleanType => c.toBoolean
+      case DateType => java.time.LocalDate.parse(c).toEpochDay.toInt
+      case other => throw new IllegalStateException(
+        s"graft-agg: unsupported group key type $other")
+    }
+    // (group components, the group's files) — sorted for a
+    // deterministic scan (plan/scan-reuse equality)
+    val grouped: Seq[(Seq[String], Seq[String])] =
+      if (groupKeys.isEmpty) Seq((Nil, files))
+      else scala.util.Try {
+        files.groupBy { f =>
+          val comps = spec.get.decode(snap.parts(f))
+          groupKeys.map { case (_, i) => comps(i) }
+        }.toSeq.sortBy(_._1.mkString(" ")).map { case (k, fs) => (k, fs) }
+      }.getOrElse(return None)
+
+    def liveCount(fs: Seq[String]): Option[Long] =
+      if (fs.forall(snap.rows.contains))
+        Some(fs.iterator.map(f => snap.liveRowCount(f).get).sum)
+      else None
+    def extremum(fs: Seq[String], f: StructField, isMin: Boolean)
+        : Option[Any] = {
+      val phys = CommitLog.physNameOf(f)
+      var acc: Any = null
+      fs.foreach { fl =>
+        snap.stats.get(fl).flatMap(_.get(phys)) match {
+          case Some((mn, mx)) =>
+            val v = if (isMin) mn else mx
+            acc = if (acc == null) v
+              else if (isMin) log.minAny(acc, v) else log.maxAny(acc, v)
+          case None =>
+            // only a provably-EMPTY file may lack the stat: an all-null
+            // or pre-column or stats-poisoned file is indistinguishable
+            // from unknown content here, so it refuses the pushdown
+            if (!snap.rows.get(fl).contains(0L)) return None
+        }
+      }
+      if (acc == null) Some(null)
+      else Some(internal(f.dataType, acc).getOrElse(return None))
+    }
+
+    // resolve the aggregate list once (schema + per-group evaluators)
+    sealed trait Fn
+    case object FnCount extends Fn
+    final case class FnExtremum(f: StructField, isMin: Boolean) extends Fn
+    val resolved: Seq[Fn] = funcs.toSeq.map {
+      case _: CountStar => FnCount
+      case m: Min =>
+        val f = singleColumn(m.column).getOrElse(return None)
+        if (!statType(f.dataType)) return None
+        FnExtremum(f, isMin = true)
+      case m: Max =>
+        val f = singleColumn(m.column).getOrElse(return None)
+        if (!statType(f.dataType)) return None
+        FnExtremum(f, isMin = false)
+      case _ => return None
+    }
+    // a DV could mask any file's extremal row — min/max never answers
+    // from pre-mask footer stats
+    if (resolved.exists(_.isInstanceOf[FnExtremum])
+        && files.exists(snap.dvs.contains)) return None
+
+    val outFields =
+      groupKeys.map { case (f, _) =>
+        StructField(f.name, f.dataType, nullable = false) } ++
+      resolved.map {
+        case FnCount => StructField("count(*)", LongType, nullable = false)
+        case FnExtremum(f, isMin) =>
+          StructField(s"${if (isMin) "min" else "max"}(${f.name})",
+            f.dataType, nullable = true)
+      }
+    val rows: Seq[Seq[Any]] = grouped.flatMap { case (comps, fs) =>
+      val live: Option[Long] = liveCount(fs)
+      if (groupKeys.nonEmpty && live.isEmpty) return None
+      if (groupKeys.nonEmpty && live.contains(0L)) None // masked-away group
+      else {
+        val aggVals: Seq[Any] = resolved.map {
+          case FnCount => live match {
+            case Some(n) => java.lang.Long.valueOf(n)
+            case None => return None
+          }
+          case FnExtremum(f, isMin) =>
+            extremum(fs, f, isMin).getOrElse(return None)
+        }
+        val keyVals: Seq[Any] = groupKeys.zip(comps).map { case ((f, _), c) =>
+          scala.util.Try(compInternal(c, f.dataType)).getOrElse(return None)
+        }
+        Some(keyVals ++ aggVals)
+      }
+    }
+    Some((StructType(outFields), rows))
+  }
+
+  // ── r14: MANIFEST-BOUNDED LIMIT PUSHDOWN ───────────────────────────
+  // An un-filtered LIMIT n needs only a file-list PREFIX whose
+  // manifest-known live rows (row count minus DV cardinality — a
+  // LOWER bound on what the masked read yields) reach n: on a
+  // 100k-file table, `LIMIT 10` plans a one-file scan instead of a
+  // full-table one. Always partial (Spark keeps its own Limit above,
+  // so an over-estimate is impossible by construction); files with
+  // unknown counts contribute zero to the bound — truncation happens
+  // only when coverage is PROVEN. `spark.graft.limitPushdown
+  // .enabled=false` opts out.
+  override def pushLimit(limit: Int): Boolean = {
+    if (groupGranularity || filtersWerePushed || limit <= 0) return false
+    if (!spark.conf.getOption("spark.graft.limitPushdown.enabled")
+        .forall(_.toBoolean)) return false
+    var acc = 0L
+    var n = 0
+    val it = selectedFiles.iterator
+    while (it.hasNext && acc < limit) {
+      val f = it.next(); n += 1
+      snap.liveRowCount(f).foreach(acc += _)
+    }
+    if (acc < limit || n >= selectedFiles.size) return false
+    selectedFiles = selectedFiles.take(n)
+    val b = makeInner(selectedFiles)
+    innerOpt = Some(b)
+    prunedSchema.foreach(s =>
+      b.pruneColumns(if (mapped) toPhysSchema(s) else s))
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): org.apache.spark.sql.connector.read.Scan = {
+    aggAnswer.foreach { case (sch, vals) =>
+      return GraftLogScanBuilder.ManifestAggScan(sch, vals, tableRoot,
+        snap.version)
+    }
     onScan(snap.version, selectedFiles)
     val s = inner.build()
     val base = if (!mapped) s
@@ -1149,6 +1394,24 @@ private[sources] object GraftLogScanBuilder {
     * this boundary is the whole mapping. A case class so scan/exchange
     * reuse keeps working (equality delegates to the inner FileScan's
     * own equals). */
+  /** The driver-local result of a manifest-answered aggregate
+    * pushdown (r14): COUNT(*)/MIN/MAX (one row globally, one per
+    * partition group under a pushed GROUP BY) folded from
+    * `Snapshot.rows` / `Snapshot.stats` — planned as a
+    * LocalTableScan, zero data files opened. Values are Spark
+    * INTERNAL representations, positionally aligned with `out`. */
+  private[sources] final case class ManifestAggScan(out: StructType,
+      values: Seq[Seq[Any]], root: String, version: Long)
+      extends org.apache.spark.sql.connector.read.LocalScan {
+    override def readSchema(): StructType = out
+    override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+      values.map(vs =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          vs.toArray): org.apache.spark.sql.catalyst.InternalRow).toArray
+    override def description(): String =
+      s"graft-manifest-agg($root@v$version: ${out.fieldNames.mkString(", ")})"
+  }
+
   private[sources] final case class MappedScan(
       inner: org.apache.spark.sql.connector.read.Scan, out: StructType)
       extends org.apache.spark.sql.connector.read.Scan

@@ -1,0 +1,264 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, DataSourceV2ScanRelation}
+
+/** r14 manifest-answered pushdowns on commit-log V2 scans:
+  * [[GraftLogScanBuilder]]'s `SupportsPushDownAggregates` (global
+  * COUNT(*)/MIN/MAX folded from `Snapshot.rows`/`Snapshot.stats` into
+  * a one-row [[GraftLogScanBuilder.ManifestAggScan]] — zero data files
+  * opened) and `SupportsPushDownLimit` (file-list prefix whose
+  * DV-adjusted live row counts provably cover the limit). Pins the
+  * admission boundary: deletion vectors poison MIN/MAX but keep
+  * COUNT(*) exact; pushed filters, group-bys, unsupported types and
+  * unknown row counts refuse; the limit bound must subtract DV
+  * cardinalities or a masked read under-fills the limit. */
+class AggLimitPushdownSpec extends graft.SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def freshCat(tag: String): (String, String) = {
+    val wh = Files.createTempDirectory(s"gap-$tag").toString
+    val cat = s"gap$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh)
+  }
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+    case q: QueryStageExec => q +: allNodes(q.plan)
+    case other => other +: other.children.flatMap(allNodes)
+  }
+
+  /** True when the query was answered from the manifest: a local scan
+    * and NO batch (file) scan anywhere in the executed plan. */
+  private def manifestAnswered(df: DataFrame): Boolean = {
+    df.collect() // materialize so AQE finalizes
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    nodes.exists(_.isInstanceOf[LocalTableScanExec]) &&
+      !nodes.exists(_.isInstanceOf[BatchScanExec])
+  }
+
+  private def scannedFiles(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation =>
+        GraftScans.unwrapFileScan(r.scan).fileIndex.inputFiles.length
+    }.sum
+
+  test("global count/min/max answered from the manifest, no file scan") {
+    val (cat, _) = freshCat("agg")
+    val df = (1 to 300).map(i =>
+        (i.toLong, s"n$i", i * 1.5, java.sql.Date.valueOf("2024-01-01")))
+      .toDF("id", "name", "price", "d")
+      .withColumn("d", date_add($"d", ($"id" % 40).cast("int")))
+    df.filter($"id" <= 100).writeTo(s"$cat.t")
+      .tableProperty("merge.log", "true").create()
+    df.filter($"id" > 100 && $"id" <= 200).writeTo(s"$cat.t").append()
+    df.filter($"id" > 200).writeTo(s"$cat.t").append()
+
+    val q = spark.table(s"$cat.t").agg(
+      count(lit(1)).as("cnt"),
+      min($"id").as("mn_id"), max($"id").as("mx_id"),
+      min($"name").as("mn_s"), max($"name").as("mx_s"),
+      min($"price").as("mn_p"), max($"price").as("mx_p"),
+      min($"d").as("mn_d"), max($"d").as("mx_d"))
+    assert(manifestAnswered(q), "expected a manifest-answered local scan:\n" +
+      q.queryExecution.executedPlan)
+    val r = q.collect().head
+    assert(r.getLong(0) === 300L)
+    assert(r.getLong(1) === 1L && r.getLong(2) === 300L)
+    // string min/max under UTF8 byte order: "n1" .. "n99"
+    assert(r.getString(3) === "n1" && r.getString(4) === "n99")
+    assert(r.getDouble(5) === 1.5 && r.getDouble(6) === 450.0)
+    assert(r.getDate(7) === java.sql.Date.valueOf("2024-01-01"))
+    assert(r.getDate(8) === java.sql.Date.valueOf("2024-02-09"))
+    // SQL count(*) takes the same path
+    assert(manifestAnswered(spark.sql(s"SELECT count(*) FROM $cat.t")))
+  }
+
+  test("deletion vectors: count(*) stays manifest-exact, min/max refuses") {
+    val (cat, wh) = freshCat("dv")
+    (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .repartition(2)
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    try spark.sql(s"DELETE FROM $cat.t WHERE id <= 30")
+    finally spark.conf.unset("spark.graft.dv.minTouchedBytes")
+    val log = CommitLog(spark, s"$wh/t")
+    assert(log.snapshot().dvs.nonEmpty, "precondition: the delete was MoR")
+
+    val cnt = spark.table(s"$cat.t").agg(count(lit(1)).as("cnt"))
+    assert(manifestAnswered(cnt), "DV-masked count must still fold from " +
+      "rows minus DV cardinalities")
+    assert(cnt.collect().head.getLong(0) === 170L)
+
+    // the mask could have removed the extremal row — min must NOT be
+    // answered from (pre-mask) footer stats
+    val mn = spark.table(s"$cat.t").agg(min($"id").as("mn"))
+    assert(!manifestAnswered(mn))
+    assert(mn.collect().head.getLong(0) === 31L)
+  }
+
+  test("pushed filters and group-bys refuse the aggregate pushdown") {
+    val (cat, _) = freshCat("ref")
+    (1 to 100).map(i => (i.toLong, i % 3)).toDF("id", "g")
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    val filtered = spark.table(s"$cat.t").filter($"id" > 10)
+      .agg(count(lit(1)).as("cnt"))
+    assert(!manifestAnswered(filtered))
+    assert(filtered.collect().head.getLong(0) === 90L)
+    val grouped = spark.table(s"$cat.t").groupBy($"g")
+      .agg(count(lit(1)).as("cnt"))
+    assert(!manifestAnswered(grouped))
+    assert(grouped.collect().map(_.getLong(1)).sum === 100L)
+    // SUM has no manifest answer
+    val summed = spark.table(s"$cat.t").agg(sum($"id").as("s"))
+    assert(!manifestAnswered(summed))
+    assert(summed.collect().head.getLong(0) === 5050L)
+  }
+
+  test("column mapping: stats stay keyed by the stable physical name") {
+    val (cat, wh) = freshCat("map")
+    (1 to 50).map(i => (i.toLong, i * 1.0)).toDF("id", "price")
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN price TO amount")
+    val q = spark.table(s"$cat.t").agg(
+      min($"amount").as("mn"), max($"amount").as("mx"))
+    assert(manifestAnswered(q), "renamed column must resolve stats via " +
+      "its physical name:\n" + q.queryExecution.executedPlan)
+    val r = q.collect().head
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 50.0)
+  }
+
+  test("empty table: count 0 and null extrema from the manifest") {
+    val (cat, _) = freshCat("emp")
+    (1 to 10).map(i => (i.toLong, i.toString)).toDF("id", "s")
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    spark.sql(s"DELETE FROM $cat.t WHERE id >= 0") // CoW: retires all files
+    val q = spark.table(s"$cat.t").agg(count(lit(1)).as("cnt"),
+      min($"id").as("mn"))
+    assert(manifestAnswered(q))
+    val r = q.collect().head
+    assert(r.getLong(0) === 0L && r.isNullAt(1))
+  }
+
+  test("GROUP BY the identity partition key answers from the manifest") {
+    val (cat, wh) = freshCat("grp")
+    (1 to 300).map(i => (i.toLong, Seq("A", "B", "C")(i % 3), i * 2.0))
+      .toDF("id", "flag", "v")
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "flag").create()
+    val q = spark.table(s"$cat.t").groupBy($"flag").agg(
+      count(lit(1)).as("cnt"), min($"id").as("mn"), max($"v").as("mx"))
+    assert(manifestAnswered(q), "grouped aggregate must fold from tags " +
+      "+ per-file stats:\n" + q.queryExecution.executedPlan)
+    val rows = q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // flag(i) = Seq(A,B,C)(i % 3): A holds 3,6,…,300; B holds 1,4,…,298;
+    // C holds 2,5,…,299
+    assert(rows === Set(("A", 100L, 3L, 600.0), ("B", 100L, 1L, 596.0),
+      ("C", 100L, 2L, 598.0)))
+    // SQL takes the same path
+    assert(manifestAnswered(
+      spark.sql(s"SELECT flag, count(*) FROM $cat.t GROUP BY flag")))
+    // a fully-masked partition's group must disappear: MoR-delete all
+    // of C, then the grouped count comes only from A and B
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    spark.conf.set("spark.graft.dv.maxRatio", "1.0")
+    try spark.sql(s"DELETE FROM $cat.t WHERE flag = 'C'")
+    finally {
+      spark.conf.unset("spark.graft.dv.minTouchedBytes")
+      spark.conf.unset("spark.graft.dv.maxRatio")
+    }
+    assert(CommitLog(spark, s"$wh/t").snapshot().dvs.nonEmpty,
+      "precondition: the partition delete was merge-on-read")
+    val q2 = spark.table(s"$cat.t").groupBy($"flag")
+      .agg(count(lit(1)).as("cnt"))
+    assert(manifestAnswered(q2))
+    assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === Set(("A", 100L), ("B", 100L)))
+    // grouping by a NON-partition column refuses
+    val q3 = spark.table(s"$cat.t").groupBy($"id").agg(count(lit(1)).as("c"))
+    assert(!manifestAnswered(q3.limit(5)))
+  }
+
+  test("aggregate pushdown opt-out restores the file-scan plan") {
+    val (cat, _) = freshCat("opt")
+    (1 to 20).map(i => (i.toLong, i)).toDF("id", "x")
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    spark.conf.set("spark.graft.aggPushdown.enabled", "false")
+    try {
+      val q = spark.table(s"$cat.t").agg(count(lit(1)).as("cnt"))
+      assert(!manifestAnswered(q))
+      assert(q.collect().head.getLong(0) === 20L)
+    } finally spark.conf.unset("spark.graft.aggPushdown.enabled")
+  }
+
+  test("limit pushdown scans a provably-covering file prefix only") {
+    val (cat, _) = freshCat("lim")
+    // three single-file commits of 100 rows → three files in commit order
+    val df = (1 to 300).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+    df.filter($"id" <= 100).coalesce(1).writeTo(s"$cat.t")
+      .tableProperty("merge.log", "true").create()
+    df.filter($"id" > 100 && $"id" <= 200).coalesce(1)
+      .writeTo(s"$cat.t").append()
+    df.filter($"id" > 200).coalesce(1).writeTo(s"$cat.t").append()
+
+    val q = spark.table(s"$cat.t").limit(37)
+    assert(q.count() === 37L)
+    assert(scannedFiles(q) === 1,
+      s"LIMIT 37 over 100-row files needs one file, got ${scannedFiles(q)}")
+    val q2 = spark.table(s"$cat.t").limit(150)
+    assert(q2.count() === 150L)
+    assert(scannedFiles(q2) === 2)
+    // an uncoverable limit keeps the full set
+    val q3 = spark.table(s"$cat.t").limit(5000)
+    assert(q3.count() === 300L)
+    assert(scannedFiles(q3) === 3)
+    // a filter disables the truncation (residual filters drop rows)
+    val q4 = spark.table(s"$cat.t").filter($"id" > 250).limit(10)
+    assert(q4.count() === 10L)
+  }
+
+  test("limit bound subtracts DV cardinalities (live rows, not raw)") {
+    val (cat, wh) = freshCat("ldv")
+    val df = (1 to 300).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+    df.filter($"id" <= 100).coalesce(1).writeTo(s"$cat.t")
+      .tableProperty("merge.log", "true").create()
+    df.filter($"id" > 100 && $"id" <= 200).coalesce(1)
+      .writeTo(s"$cat.t").append()
+    df.filter($"id" > 200).coalesce(1).writeTo(s"$cat.t").append()
+    // mask 20 of the FIRST file's rows behind a DV (under the 0.3
+    // maxRatio admission cap, so the delete stays merge-on-read)
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    try spark.sql(s"DELETE FROM $cat.t WHERE id <= 20")
+    finally spark.conf.unset("spark.graft.dv.minTouchedBytes")
+    assert(CommitLog(spark, s"$wh/t").snapshot().dvs.nonEmpty)
+
+    // first file now yields 80 live rows: LIMIT 90 needs TWO files (a
+    // raw-row-count bound would truncate to one and under-fill 80<90)
+    val q = spark.table(s"$cat.t").limit(90)
+    assert(q.count() === 90L)
+    assert(scannedFiles(q) === 2,
+      s"DV-adjusted bound needs 2 files, got ${scannedFiles(q)}")
+  }
+
+  test("limit pushdown opt-out keeps the full file set") {
+    val (cat, _) = freshCat("lopt")
+    val df = (1 to 200).map(i => (i.toLong, i)).toDF("id", "x")
+    df.filter($"id" <= 100).coalesce(1).writeTo(s"$cat.t")
+      .tableProperty("merge.log", "true").create()
+    df.filter($"id" > 100).coalesce(1).writeTo(s"$cat.t").append()
+    spark.conf.set("spark.graft.limitPushdown.enabled", "false")
+    try {
+      val q = spark.table(s"$cat.t").limit(5)
+      assert(q.count() === 5L)
+      assert(scannedFiles(q) === 2)
+    } finally spark.conf.unset("spark.graft.limitPushdown.enabled")
+  }
+}

@@ -277,4 +277,90 @@ class DvSpec extends graft.SparkSpecBase
     assert(log.readPartitions(Seq("even")).count() === 9L,
       "partition-scoped reads must mask too")
   }
+
+  // ── merge-on-read MERGE (r14) ─────────────────────────────────────
+
+  test("MERGE masks fired matched rows and appends update+insert in one commit") {
+    val root = tmpRoot("mmrg")
+    val log = threeFiles(root)
+    val before = log.snapshot()
+    val src = Seq((105L, "upd105", -1.0), (3L, "DEL", 0.0), (999L, "new", 9.0))
+      .toDF("id", "v", "x")
+    log.merge(src, Seq("id"), Seq(
+      CommitLog.WhenMatchedDelete(Some(col("s.v") === "DEL")),
+      CommitLog.WhenMatchedUpdate(Map("v" -> col("s.v"), "x" -> col("s.x"))),
+      CommitLog.WhenNotMatchedInsert()))
+    val after = log.snapshot()
+    assert(after.version === before.version + 1, "one atomic commit")
+    assert(before.files.forall(after.files.contains),
+      "merge-on-read must retire no data file")
+    assert(after.files.size > before.files.size,
+      "updated + inserted rows land as appended files")
+    // two masked positions (the delete + the update's old version)
+    assert(after.dvs.values.flatten.map(_.count).sum === 2L)
+    val t = log.read()
+    assert(t.count() === 30L) // 30 - 1 deleted + 1 inserted
+    assert(t.filter($"id" === 3L).isEmpty)
+    assert(t.filter($"id" === 105L).select("v").head.getString(0) === "upd105")
+    assert(t.filter($"id" === 999L).count() === 1L)
+    // time travel still sees the pre-merge state
+    assert(log.readVersion(before.version).count() === 30L)
+    assert(log.readVersion(before.version).filter($"id" === 3L).count() === 1L)
+  }
+
+  test("MERGE matched rows whose conditional clauses decline stay unmasked") {
+    val root = tmpRoot("mdecl")
+    val log = threeFiles(root)
+    val src = Seq((105L, "touch", 5.0), (106L, "skip", -5.0))
+      .toDF("id", "v", "x")
+    log.merge(src, Seq("id"), Seq(
+      CommitLog.WhenMatchedUpdate(Map("v" -> col("s.v")),
+        Some(col("s.x") > lit(0)))))
+    val s = log.snapshot()
+    assert(s.dvs.values.flatten.map(_.count).sum === 1L,
+      "only the FIRED clause's row is masked")
+    assert(log.read().count() === 30L)
+    assert(log.read().filter($"id" === 105L).select("v").head.getString(0)
+      === "touch")
+    assert(log.read().filter($"id" === 106L).select("v").head.getString(0)
+      === "v106", "a declined matched row keeps its original value")
+  }
+
+  test("MERGE past the ratio cap falls back to copy-on-write") {
+    val root = tmpRoot("mcow")
+    val log = threeFiles(root)
+    val before = log.snapshot()
+    // update 60% of every touched file's rows — over the 0.3 maxRatio
+    val src = (0 until 10).flatMap(i => Seq(0L, 100L, 200L).map(_ + i))
+      .filter(_ % 10 < 6).map(id => (id, s"u$id", 0.0)).toDF("id", "v", "x")
+    log.merge(src, Seq("id"), Seq(
+      CommitLog.WhenMatchedUpdate(Map("v" -> col("s.v")))))
+    val after = log.snapshot()
+    assert(after.dvs.isEmpty, "an over-cap merge must not mask")
+    assert(before.files.forall(f => !after.files.contains(f)),
+      "copy-on-write retires every touched file")
+    assert(log.read().count() === 30L)
+    assert(log.read().filter($"v".startsWith("u")).count() === 18L)
+  }
+
+  test("MERGE on a partition-tagged table masks and tags its appends") {
+    val root = tmpRoot("mtag")
+    val log = CommitLog(spark, root)
+    log.appendPartitioned((0 until 20).map(i =>
+        (i.toLong, if (i % 2 == 0) "even" else "odd", s"r$i"))
+      .toDF("id", "par", "v"), "par")
+    val before = log.snapshot()
+    val src = Seq((4L, "even", "UPD"), (21L, "odd", "NEW")).toDF("id", "par", "v")
+    log.merge(src, Seq("id"), Seq(
+      CommitLog.WhenMatchedUpdate(Map("v" -> col("s.v"))),
+      CommitLog.WhenNotMatchedInsert()), partCol = Some("par"))
+    val s = log.snapshot()
+    assert(before.files.forall(s.files.contains) && s.dvs.nonEmpty)
+    assert(s.files.forall(s.parts.contains),
+      "appended merge files must carry partition tags")
+    assert(log.read().count() === 21L)
+    assert(log.readPartitions(Seq("even")).filter($"id" === 4L)
+      .select("v").head.getString(0) === "UPD")
+    assert(log.readPartitions(Seq("odd")).filter($"id" === 21L).count() === 1L)
+  }
 }
