@@ -1096,7 +1096,7 @@ private[sources] final class GraftLogScanBuilder(
         files.groupBy { f =>
           val comps = spec.get.decode(snap.parts(f))
           groupKeys.map { case (_, i) => comps(i) }
-        }.toSeq.sortBy(_._1.mkString(" ")).map { case (k, fs) => (k, fs) }
+        }.toSeq.sortBy(_._1.mkString("/")).map { case (k, fs) => (k, fs) }
       }.getOrElse(return None)
 
     def liveCount(fs: Seq[String]): Option[Long] =
@@ -1217,9 +1217,15 @@ private[sources] final class GraftLogScanBuilder(
     val s = inner.build()
     val base = if (!mapped) s
     else GraftLogScanBuilder.MappedScan(s, toLogicalSchema(s.readSchema()))
+    // manifest-exact output cardinality: valid only when no pushed
+    // filter can make the scan emit fewer rows than its files hold
+    val exactRows: Option[Long] =
+      if (filtersWerePushed || !selectedFiles.forall(snap.rows.contains)) None
+      else Some(selectedFiles.iterator.map(f => snap.liveRowCount(f).get).sum)
     (spjInfo, rtInfo, dvInfo) match {
       case (None, None, None) => base
-      case (spj, rt, dv) => GraftLogScanBuilder.GraftScan(base, spj, rt, dv)
+      case (spj, rt, dv) =>
+        GraftLogScanBuilder.GraftScan(base, spj, rt, dv, exactRows)
     }
   }
 
@@ -1653,7 +1659,12 @@ private[sources] object GraftLogScanBuilder {
   private[sources] final case class GraftScan(
       inner: org.apache.spark.sql.connector.read.Scan,
       spj: Option[SpjInfo], rt: Option[RtInfo],
-      dv: Option[DvInfo] = None)
+      dv: Option[DvInfo] = None,
+      // the manifest-EXACT live row count of the selected files (rows
+      // minus DV cardinalities), reported to the optimizer when no
+      // pushed filter makes the scan output smaller than its files —
+      // CBO sees true cardinality instead of a bytes-derived guess
+      exactRows: Option[Long] = None)
       extends org.apache.spark.sql.connector.read.Scan
       with org.apache.spark.sql.connector.read.Batch
       with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1811,8 +1822,8 @@ private[sources] object GraftLogScanBuilder {
     override def columnarSupportMode()
         : org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
       inner.columnarSupportMode()
-    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-      inner match {
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+      val base = inner match {
         case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
           s.estimateStatistics()
         case _ => new org.apache.spark.sql.connector.read.Statistics {
@@ -1820,6 +1831,14 @@ private[sources] object GraftLogScanBuilder {
           override def numRows() = java.util.OptionalLong.empty()
         }
       }
+      exactRows match {
+        case Some(n) => new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes() = base.sizeInBytes()
+          override def numRows() = java.util.OptionalLong.of(n)
+        }
+        case None => base
+      }
+    }
     override def getMetaData(): Map[String, String] = inner match {
       case s: org.apache.spark.sql.internal.connector.SupportsMetadata =>
         s.getMetaData()

@@ -170,9 +170,17 @@ private[sources] object GraftProcedures {
               || !CommitLog.identityType(f.dataType)))
           val dvSidecars = s.dvs.valuesIterator.flatten.map(_.path).toSet.size
           val maskedRows = s.dvs.valuesIterator.flatten.map(_.count).sum
+          // r14: the manifest's exact LIVE row count (footer-harvested
+          // per-file counts minus DV cardinalities); null when any
+          // live file predates row-count harvesting
+          val numRows: Any =
+            if (s.files.forall(s.rows.contains))
+              s.files.iterator.map(f => s.liveRowCount(f).get).sum
+            else null
           resultScan(StructType(Seq(
             StructField("version", LongType),
             StructField("num_files", LongType),
+            StructField("num_rows", LongType),
             StructField("size_bytes", LongType),
             StructField("num_partitions", LongType),
             StructField("column_mapped", BooleanType),
@@ -180,7 +188,7 @@ private[sources] object GraftProcedures {
             StructField("num_deletion_vectors", LongType),
             StructField("num_masked_rows", LongType))),
             Seq(new GenericInternalRow(Array[Any](
-              s.version, s.files.size.toLong, bytes,
+              s.version, s.files.size.toLong, numRows, bytes,
               s.parts.values.toSet.size.toLong, mapped,
               s.physRetired.size.toLong, dvSidecars.toLong, maskedRows))))
         })

@@ -248,6 +248,30 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
       s"DV-adjusted bound needs 2 files, got ${scannedFiles(q)}")
   }
 
+  test("the scan reports manifest-exact row counts to the optimizer") {
+    val (cat, wh) = freshCat("stat")
+    // repartition spreads the id range over every file, so the delete
+    // below touches all files and stays under the DV ratio cap
+    (1 to 123).map(i => (i.toLong, i.toString)).toDF("id", "s")
+      .repartition(3)
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    def scanRowCount(df: DataFrame): Option[BigInt] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.stats.rowCount
+      }.head
+    assert(scanRowCount(spark.table(s"$cat.t")) === Some(BigInt(123)),
+      "CBO must see the manifest-exact cardinality")
+    // deletion vectors subtract: the LIVE count is reported
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    try spark.sql(s"DELETE FROM $cat.t WHERE id <= 23")
+    finally spark.conf.unset("spark.graft.dv.minTouchedBytes")
+    assert(CommitLog(spark, s"$wh/t").snapshot().dvs.nonEmpty)
+    assert(scanRowCount(spark.table(s"$cat.t")) === Some(BigInt(100)))
+    // a pushed filter makes the file-row total an overestimate: the
+    // scan must NOT claim exactness
+    assert(scanRowCount(spark.table(s"$cat.t").filter($"id" > 50)).isEmpty)
+  }
+
   test("limit pushdown opt-out keeps the full file set") {
     val (cat, _) = freshCat("lopt")
     val df = (1 to 200).map(i => (i.toLong, i)).toDF("id", "x")

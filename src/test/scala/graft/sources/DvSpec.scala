@@ -111,6 +111,8 @@ class DvSpec extends graft.SparkSpecBase
     val d = spark.sql("CALL gdvc.system.detail(`table` => 't')").head()
     assert(d.getAs[Long]("num_deletion_vectors") >= 1L
       && d.getAs[Long]("num_masked_rows") === 2L)
+    assert(d.getAs[Long]("num_rows") === 28L,
+      "detail must report the manifest-exact LIVE row count")
     // full SQL read masks
     assert(spark.sql("SELECT count(*) FROM gdvc.t").as[Long].head() === 28L)
     // filtered read: parquet pushdown is off on DV'd scans, Spark's
