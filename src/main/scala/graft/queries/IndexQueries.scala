@@ -1717,7 +1717,9 @@ object IndexQueries {
       val li = t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_returnflag"),
         col("l_extendedprice").as("price"),
-        col("l_shipdate").cast("date").as("sd"))
+        col("l_shipdate").cast("date").as("sd"),
+        when(col("l_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("l_extendedprice")).as("p7"))
       li.filter(col("l_orderkey") % 3 === 0)
         .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
       li.filter(col("l_orderkey") % 3 === 1).writeTo(s"$cat.t").append()
@@ -1728,12 +1730,12 @@ object IndexQueries {
           s"q175: $what must be manifest-answered (LocalTableScan):\n$p")
       }
       val agg = s.table(s"$cat.t").agg(
-        count(lit(1)).as("cnt"),
+        count(lit(1)).as("cnt"), count(col("p7")).as("c_p7"),
         min(col("l_orderkey")).as("mn_ok"), max(col("l_orderkey")).as("mx_ok"),
         min(col("price")).as("mn_p"), max(col("price")).as("mx_p"),
         min(col("l_returnflag")).as("mn_f"), max(col("l_returnflag")).as("mx_f"),
         min(col("sd")).as("mn_d"), max(col("sd")).as("mx_d"))
-      requireLocal(agg, "the 9-way global aggregate")
+      requireLocal(agg, "the 10-way global aggregate (incl. COUNT(col))")
       val aggRow = agg.collect()
       // merge-on-read DELETE: COUNT(*) stays manifest-exact (row counts
       // minus DV cardinalities); MIN must fall back to a real scan
@@ -1766,6 +1768,8 @@ object IndexQueries {
         .drop("mn_d", "mx_d")
     },
     Some("""SELECT COUNT(*) AS cnt,
+        COUNT(CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_extendedprice END)
+          AS c_p7,
         MIN(l_orderkey) AS mn_ok, MAX(l_orderkey) AS mx_ok,
         CAST(MIN(l_extendedprice) AS DOUBLE) AS mn_p,
         CAST(MAX(l_extendedprice) AS DOUBLE) AS mx_p,

@@ -133,7 +133,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       // answer from the manifest without opening a single data file.
       // Absent for files committed by pre-r14 manifests (consumers
       // must treat a missing entry as unknown, never as zero).
-      rows: Map[String, Long] = Map.empty) {
+      rows: Map[String, Long] = Map.empty,
+      // per-file per-column EXACT null counts (r14) — COUNT(col) =
+      // Σ(rows − nulls). Absent when any chunk of the column omitted
+      // numNulls (or the manifest predates r14): unknown, never zero.
+      nulls: Map[String, Map[String, Long]] = Map.empty) {
     /** Rows masked out of `f` by its deletion vectors — EXACT: every
       * DV find-scan reads the already-masked view ([[readLiveWithPos]]
       * subtracts prior DVs before computing positions), so sidecar
@@ -554,14 +558,19 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * parsed manifest at a time (manifests grew per-file stats blocks;
     * a long-uncompacted log must not put every tree on the driver at
     * once — callers that need two passes materialize explicitly). */
-  private def parsedManifests(asOf: Long): Iterator[JsonNode] = {
+  private def parsedManifests(asOf: Long, from: Long = Long.MinValue)
+      : Iterator[JsonNode] = {
     if (!fs.exists(logDir)) return Iterator.empty
     fs.listStatus(logDir)
       // dot-prefixed names are IN-FLIGHT tmp manifests (mid-write);
       // only the atomically-published versioned files are the log
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".json")
-        && !s.getPath.getName.startsWith(".")
-        && s.getPath.getName.takeWhile(_ != '.').toLong <= asOf)
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.endsWith(".json") && !n.startsWith(".") && {
+          val v = n.takeWhile(_ != '.').toLong
+          v <= asOf && v >= from
+        }
+      }
       .sortBy(_.getPath.getName)
       .iterator
       .map { m =>
@@ -585,17 +594,19 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val fileBloomTags = parseBlooms(node)
     val fileDvTags = parseDvs(node)
     val fileRowTags = parseRows(node)
+    val fileNullTags = parseNulls(node)
     var files = prev.files
     var parts = prev.parts
     var stats = prev.stats
     var blooms = prev.blooms
     var dvs = prev.dvs
     var rows = prev.rows
+    var nulls = prev.nulls
     node.get("action").asText() match {
       case "add"     =>
         files = files ++ fl; parts = parts ++ filePartTags
         stats = stats ++ fileStatTags; blooms = blooms ++ fileBloomTags
-        rows = rows ++ fileRowTags
+        rows = rows ++ fileRowTags; nulls = nulls ++ fileNullTags
         // ordinary appends carry no DVs; a shallow clone's version-0
         // "add" restates the source's, absolute like its files
         fileDvTags.foreach { case (f, refs) =>
@@ -608,13 +619,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         // with the mask — `files` is empty on a pure delete)
         files = files ++ fl; parts = parts ++ filePartTags
         stats = stats ++ fileStatTags; blooms = blooms ++ fileBloomTags
-        rows = rows ++ fileRowTags
+        rows = rows ++ fileRowTags; nulls = nulls ++ fileNullTags
         fileDvTags.foreach { case (f, refs) =>
           dvs = dvs.updated(f, dvs.getOrElse(f, Nil) ++ refs)
         }
       case "replace" =>
         files = fl; parts = filePartTags; stats = fileStatTags
-        blooms = fileBloomTags; rows = fileRowTags
+        blooms = fileBloomTags; rows = fileRowTags; nulls = fileNullTags
         // restatement (checkpoint/restore/rewrites carrying untouched
         // files' DVs through); absent = no DVs survive the replace
         dvs = fileDvTags
@@ -629,6 +640,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         blooms = blooms.filterNot { case (f, _) => parts.get(f).exists(retired) } ++ fileBloomTags
         dvs = dvs.filterNot { case (f, _) => parts.get(f).exists(retired) } ++ fileDvTags
         rows = rows.filterNot { case (f, _) => parts.get(f).exists(retired) } ++ fileRowTags
+        nulls = nulls.filterNot { case (f, _) => parts.get(f).exists(retired) } ++ fileNullTags
         parts = parts.filterNot { case (f, p) => retired(p) } ++ filePartTags
       case other => throw new IllegalStateException(
         s"$tableRoot: unknown log action '$other' at version $version")
@@ -654,7 +666,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         math.max(e.getValue.asLong(), txns.getOrElse(e.getKey, Long.MinValue)))
     })
     Snapshot(version, files, schema, txns, parts, stats, blooms, physRetired,
-      dvs, rows)
+      dvs, rows, nulls)
   }
 
   /** Parse a manifest's `fileRows` node: data file → exact physical
@@ -662,6 +674,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   private def parseRows(node: JsonNode): Map[String, Long] =
     Option(node.get("fileRows")).map(_.properties().asScala.map { e =>
       e.getKey -> e.getValue.asLong()
+    }.toMap).getOrElse(Map.empty)
+
+  /** Parse a manifest's `fileNulls` node: data file → per-physical-
+    * column exact null counts (r14). */
+  private def parseNulls(node: JsonNode): Map[String, Map[String, Long]] =
+    Option(node.get("fileNulls")).map(_.properties().asScala.map { e =>
+      e.getKey -> e.getValue.properties().asScala.map { ce =>
+        ce.getKey -> ce.getValue.asLong()
+      }.toMap
     }.toMap).getOrElse(Map.empty)
 
   /** Parse a manifest's `fileDvs` node: data file → ordered DV refs. */
@@ -677,7 +698,46 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * versions survive until [[vacuum]], which is what makes old
     * snapshots readable at all. */
   def snapshotAt(asOf: Long): Snapshot =
-    parsedManifests(asOf).foldLeft(emptySnapshot)(foldOne)
+    parsedManifests(asOf, checkpointFoldStart(asOf))
+      .foldLeft(emptySnapshot)(foldOne)
+
+  /** Where the snapshot fold may START: the `_last_checkpoint` HINT's
+    * version when it points at a retained checkpoint manifest ≤
+    * `asOf` (a checkpoint restates the full folded state, so every
+    * earlier manifest is redundant for the fold) — the Delta-style
+    * O(commits since last compact) snapshot on a long un-pruned log.
+    * The hint is advisory by design: missing, stale, torn, or
+    * pointing past `asOf` (a time travel BEHIND the checkpoint) all
+    * degrade to the full fold, never to a wrong answer. [[compact]]
+    * maintains it best-effort (plain overwrite, no CAS — a lost
+    * hint-write race costs parses, not correctness). */
+  private def checkpointFoldStart(asOf: Long): Long = {
+    val p = new Path(logDir, "_last_checkpoint")
+    try {
+      if (!fs.exists(p)) return Long.MinValue
+      val in = fs.open(p)
+      val raw = try {
+        val st = fs.getFileStatus(p)
+        val bytes = new Array[Byte](st.getLen.toInt)
+        in.readFully(bytes); new String(bytes, "UTF-8")
+      } finally in.close()
+      val v = mapper.readTree(raw).get("version").asLong()
+      if (v > asOf) return Long.MinValue
+      // trust-but-verify: the named manifest must exist and BE a
+      // checkpoint, or the fold would start from partial state
+      val mp = manifestPath(v)
+      if (!fs.exists(mp)) return Long.MinValue
+      val min = fs.open(mp)
+      val mraw = try {
+        val st = fs.getFileStatus(mp)
+        val bytes = new Array[Byte](st.getLen.toInt)
+        min.readFully(bytes); new String(bytes, "UTF-8")
+      } finally min.close()
+      if (Option(mapper.readTree(mraw).get("checkpoint")).exists(_.asBoolean()))
+        v
+      else Long.MinValue
+    } catch { case _: Exception => Long.MinValue }
+  }
 
   /** The log's commit HISTORY, newest first: one row per retained
     * manifest — version, commit wall-clock, action, checkpoint flag,
@@ -2538,7 +2598,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       if (tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace", old.files, sch, txn,
             fileParts = old.parts, stats = old.stats, blooms = old.blooms,
-            dvs = old.dvs, fileRows = old.rows)))
+            dvs = old.dvs, fileRows = old.rows, fileNulls = old.nulls)))
         return s.version + 1
       attempts += 1
       require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
@@ -2602,10 +2662,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val dvs = s.files.flatMap(f => s.dvs.get(f).map(refs =>
       abs(f) -> refs.map(r => r.copy(path = abs(r.path))))).toMap
     val rows = s.files.flatMap(f => s.rows.get(f).map(abs(f) -> _)).toMap
+    val nulls = s.files.flatMap(f => s.nulls.get(f).map(abs(f) -> _)).toMap
     require(target.tryCommit(0L,
       target.manifestJson(0L, "add", files, sch, txn = None,
         fileParts = parts, stats = stats, blooms = blooms,
-        physRetired = Some(s.physRetired), dvs = dvs, fileRows = rows)),
+        physRetired = Some(s.physRetired), dvs = dvs, fileRows = rows,
+        fileNulls = nulls)),
       s"$targetRoot: lost the clone commit race — target is being written")
     0L
   }
@@ -2683,7 +2745,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           // untouched files keep their deletion vectors; the rewrite
           // read the touched files MASKED, so theirs retire with them
           dvs = s.dvs.filter(kv => untouchedSet(kv._1)),
-          fileRows = s.rows.filter(kv => untouchedSet(kv._1))))
+          fileRows = s.rows.filter(kv => untouchedSet(kv._1)),
+          fileNulls = s.nulls.filter(kv => untouchedSet(kv._1))))
       catch { case e: Throwable => newFiles.foreach(deleteData); throw e }
     if (won) Some(s.version + 1)
     else { newFiles.foreach(deleteData); None }
@@ -3088,6 +3151,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       }
       putStats(root, s.stats.filter(kv => live(kv._1)))
       putRows(root, s.rows.filter(kv => live(kv._1)))
+      putNulls(root, s.nulls.filter(kv => live(kv._1)))
       putBlooms(root, s.blooms.filter(kv => live(kv._1)))
       putDvs(root, s.dvs.filter(kv => live(kv._1)))
       s.schema.foreach(sc => root.put("schema", sc.json))
@@ -3097,13 +3161,41 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       }
       val tn = root.putObject("txns")
       s.txns.foreach { case (id, epoch) => tn.put(id, epoch) }
-      if (tryCommit(s.version + 1, mapper.writeValueAsString(root)))
+      if (tryCommit(s.version + 1, mapper.writeValueAsString(root))) {
+        writeCheckpointHint(s.version + 1)
         return s.version + 1
+      }
       attempts += 1
       require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
     }
     -1L // unreachable
   }
+
+  /** Best-effort `_last_checkpoint` hint maintenance (see
+    * [[checkpointFoldStart]]): a plain overwrite, monotone-guarded so
+    * a slow racer cannot move the hint backwards; any failure is
+    * swallowed — the hint only buys fold speed. */
+  private def writeCheckpointHint(v: Long): Unit =
+    try {
+      val p = new Path(logDir, "_last_checkpoint")
+      val keep = try {
+        if (!fs.exists(p)) false
+        else {
+          val in = fs.open(p)
+          val raw = try {
+            val st = fs.getFileStatus(p)
+            val bytes = new Array[Byte](st.getLen.toInt)
+            in.readFully(bytes); new String(bytes, "UTF-8")
+          } finally in.close()
+          mapper.readTree(raw).get("version").asLong() >= v
+        }
+      } catch { case _: Exception => false }
+      if (!keep) {
+        val out = fs.create(p, true)
+        try out.write(s"""{"version":$v}""".getBytes("UTF-8"))
+        finally out.close()
+      }
+    } catch { case _: Exception => () }
 
   /** Delete every manifest strictly older than the LATEST checkpoint
     * (the checkpoint restates the full state, so they are redundant
@@ -3285,7 +3377,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             // retired files' DVs retire with them (the row-level scan
             // read those files masked)
             dvs = s.dvs.filter(kv => keptSet(kv._1)),
-            fileRows = s.rows.filter(kv => keptSet(kv._1))))
+            fileRows = s.rows.filter(kv => keptSet(kv._1)),
+            fileNulls = s.nulls.filter(kv => keptSet(kv._1))))
         require(won,
           s"$tableRoot: lost the commit race during the row-level " +
             "operation — concurrent write detected, retry the statement")
@@ -3532,29 +3625,47 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // matches a range predicate).
     val dead = scala.collection.mutable.HashSet.empty[String]
     var rowCount = 0L
+    // exact per-column null counts (COUNT(col) pushdown): valid only
+    // when EVERY chunk of the column sets numNulls — tracked
+    // independently of min/max (a NaN-poisoned double column still
+    // counts its nulls exactly)
+    val nulls = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val nullsDead = scala.collection.mutable.HashSet.empty[String]
     try {
       reader.getFooter.getBlocks.asScala.foreach { block =>
         rowCount += block.getRowCount
         block.getColumns.asScala.foreach { cc =>
           val name = cc.getPath.toDotString
-          if (!name.contains('.') && !dead.contains(name)) {
-            chunkMinMax(cc) match {
-              case ChunkCovered(mn, mx) =>
-                byCol(name) = byCol.get(name).fold((mn, mx)) { case (omn, omx) =>
-                  (minAny(omn, mn), maxAny(omx, mx))
-                }
-              case ChunkAllNull => () // no values → nothing to cover
-              case ChunkUnknown => dead += name; byCol.remove(name)
+          if (!name.contains('.')) {
+            if (!dead.contains(name)) {
+              chunkMinMax(cc) match {
+                case ChunkCovered(mn, mx) =>
+                  byCol(name) = byCol.get(name).fold((mn, mx)) { case (omn, omx) =>
+                    (minAny(omn, mn), maxAny(omx, mx))
+                  }
+                case ChunkAllNull => () // no values → nothing to cover
+                case ChunkUnknown => dead += name; byCol.remove(name)
+              }
+            }
+            if (!nullsDead.contains(name)) {
+              val st = cc.getStatistics
+              if (st != null && st.isNumNullsSet)
+                nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+              else { nullsDead += name; nulls.remove(name) }
             }
           }
         }
       }
     } finally reader.close()
-    // r14: the file's EXACT row count rides in the same map under a
-    // reserved DOTTED pseudo-key — the harvest loop above skips every
-    // dotted path, so no real top-level column can ever write this
-    // entry; [[manifestJson]] splits it out before serialization.
+    // r14: the file's EXACT row count and per-column null counts ride
+    // in the same map under reserved DOTTED pseudo-keys — the harvest
+    // loop above skips every dotted path, so no real top-level column
+    // can ever write these entries; [[manifestJson]] splits them out
+    // before serialization.
     byCol(CommitLog.RowsKey) = (rowCount, rowCount)
+    nulls.foreach { case (c, n) =>
+      byCol(CommitLog.NullsKeyPrefix + c) = (n, n)
+    }
     byCol.toMap
   }
 
@@ -3676,12 +3787,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       blooms: Map[String, Map[String, CommitLog.BloomF]] = Map.empty,
       physRetired: Option[Seq[String]] = None,
       dvs: Map[String, Seq[CommitLog.DvRef]] = Map.empty,
-      // carried per-file row counts (restatements of files whose
+      // carried per-file row/null counts (restatements of files whose
       // footers were harvested by an EARLIER commit — restore, clone,
       // partial rewrites). Freshly harvested files need nothing here:
-      // their counts ride inside `stats` under [[CommitLog.RowsKey]]
-      // and are split out below.
-      fileRows: Map[String, Long] = Map.empty): String = {
+      // their counts ride inside `stats` under [[CommitLog.RowsKey]] /
+      // [[CommitLog.NullsKeyPrefix]] and are split out below.
+      fileRows: Map[String, Long] = Map.empty,
+      fileNulls: Map[String, Map[String, Long]] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("version", v)
     root.put("action", action)
@@ -3695,18 +3807,29 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val fp = root.putObject("fileParts")
       fileParts.foreach { case (f, p) => fp.put(f, p) }
     }
-    // split the harvest-time pseudo entry ([[CommitLog.RowsKey]]) out
-    // of the per-column stats: the SERIALIZED manifest and the folded
-    // [[Snapshot]] keep row counts structurally separate from column
-    // min/max (no reserved name can ever shadow a real column at
-    // pruning time — the key never reaches `Snapshot.stats`)
+    // split the harvest-time pseudo entries ([[CommitLog.RowsKey]],
+    // [[CommitLog.NullsKeyPrefix]]) out of the per-column stats: the
+    // SERIALIZED manifest and the folded [[Snapshot]] keep row/null
+    // counts structurally separate from column min/max (no reserved
+    // name can ever shadow a real column at pruning time — the keys
+    // never reach `Snapshot.stats`)
     val harvestedRows: Map[String, Long] = stats.flatMap { case (f, cols) =>
       cols.get(CommitLog.RowsKey).map { case (n: Long, _) => f -> n }
     }
+    val harvestedNulls: Map[String, Map[String, Long]] =
+      stats.flatMap { case (f, cols) =>
+        val ns = cols.collect {
+          case (k, (n: Long, _)) if k.startsWith(CommitLog.NullsKeyPrefix) =>
+            k.drop(CommitLog.NullsKeyPrefix.length) -> n
+        }
+        if (ns.isEmpty) None else Some(f -> ns)
+      }
     putStats(root, stats.map { case (f, cols) =>
-      f -> (cols - CommitLog.RowsKey)
+      f -> cols.filterNot(kv => kv._1 == CommitLog.RowsKey
+        || kv._1.startsWith(CommitLog.NullsKeyPrefix))
     }.filter(_._2.nonEmpty))
     putRows(root, fileRows ++ harvestedRows)
+    putNulls(root, fileNulls ++ harvestedNulls)
     putBlooms(root, blooms)
     putDvs(root, dvs)
     root.put("schema", schema.json)
@@ -3723,6 +3846,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     if (rows.nonEmpty) {
       val fr = root.putObject("fileRows")
       rows.foreach { case (f, n) => fr.put(f, n) }
+    }
+
+  private def putNulls(root: ObjectNode,
+      nulls: Map[String, Map[String, Long]]): Unit =
+    if (nulls.nonEmpty) {
+      val fn = root.putObject("fileNulls")
+      nulls.foreach { case (f, byCol) =>
+        val cn = fn.putObject(f)
+        byCol.foreach { case (c, n) => cn.put(c, n) }
+      }
     }
 
   private def putDvs(root: ObjectNode,
@@ -3785,6 +3918,12 @@ object CommitLog {
     * written — it never appears in a folded [[CommitLog.Snapshot]]'s
     * `stats`, only in `rows`. */
   private[sources] val RowsKey: String = "graft.rows"
+
+  /** Reserved pseudo-key PREFIX for per-column exact null counts
+    * (`graft.nulls.<physical column>`) — same dotted-key collision
+    * guarantee and [[CommitLog]] `manifestJson` split as
+    * [[RowsKey]]; folded into `Snapshot.nulls`, never `stats`. */
+  private[sources] val NullsKeyPrefix: String = "graft.nulls."
 
   /** StructField metadata key carrying a column's stable PHYSICAL
     * (in-file) name — the column-mapping anchor behind

@@ -1016,13 +1016,15 @@ private[sources] final class GraftLogScanBuilder(
   private def answerFromManifest(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[Seq[Any]])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types._
     if (groupGranularity || filtersWerePushed) return None
     if (!spark.conf.getOption("spark.graft.aggPushdown.enabled")
         .forall(_.toBoolean)) return None
     val funcs = agg.aggregateExpressions
-    if (funcs.isEmpty) return None
+    // empty aggregate list + group-by = SELECT DISTINCT part: the live
+    // partition domain straight from the tags (group admission below)
+    if (funcs.isEmpty && agg.groupByExpressions.isEmpty) return None
 
     def statType(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType
@@ -1124,12 +1126,32 @@ private[sources] final class GraftLogScanBuilder(
       else Some(internal(f.dataType, acc).getOrElse(return None))
     }
 
+    // COUNT(col) = Σ(rows − nulls(col)) per file; unknown null counts
+    // refuse, provably-empty files contribute zero. DVs refuse (a
+    // masked row's null-ness is not in the manifest).
+    def countCol(fs: Seq[String], phys: String): Option[Long] = {
+      var total = 0L
+      fs.foreach { fl =>
+        snap.nulls.get(fl).flatMap(_.get(phys)) match {
+          case Some(n) => snap.rows.get(fl) match {
+            case Some(r) => total += r - n
+            case None => return None
+          }
+          case None => if (!snap.rows.get(fl).contains(0L)) return None
+        }
+      }
+      Some(total)
+    }
+
     // resolve the aggregate list once (schema + per-group evaluators)
     sealed trait Fn
     case object FnCount extends Fn
+    final case class FnCountCol(f: StructField) extends Fn
     final case class FnExtremum(f: StructField, isMin: Boolean) extends Fn
     val resolved: Seq[Fn] = funcs.toSeq.map {
       case _: CountStar => FnCount
+      case c: Count if !c.isDistinct =>
+        FnCountCol(singleColumn(c.column).getOrElse(return None))
       case m: Min =>
         val f = singleColumn(m.column).getOrElse(return None)
         if (!statType(f.dataType)) return None
@@ -1140,6 +1162,8 @@ private[sources] final class GraftLogScanBuilder(
         FnExtremum(f, isMin = false)
       case _ => return None
     }
+    if (resolved.exists(_.isInstanceOf[FnCountCol])
+        && files.exists(snap.dvs.contains)) return None
     // a DV could mask any file's extremal row — min/max never answers
     // from pre-mask footer stats
     if (resolved.exists(_.isInstanceOf[FnExtremum])
@@ -1150,6 +1174,8 @@ private[sources] final class GraftLogScanBuilder(
         StructField(f.name, f.dataType, nullable = false) } ++
       resolved.map {
         case FnCount => StructField("count(*)", LongType, nullable = false)
+        case FnCountCol(f) =>
+          StructField(s"count(${f.name})", LongType, nullable = false)
         case FnExtremum(f, isMin) =>
           StructField(s"${if (isMin) "min" else "max"}(${f.name})",
             f.dataType, nullable = true)
@@ -1164,6 +1190,11 @@ private[sources] final class GraftLogScanBuilder(
             case Some(n) => java.lang.Long.valueOf(n)
             case None => return None
           }
+          case FnCountCol(f) =>
+            countCol(fs, CommitLog.physNameOf(f)) match {
+              case Some(n) => java.lang.Long.valueOf(n)
+              case None => return None
+            }
           case FnExtremum(f, isMin) =>
             extremum(fs, f, isMin).getOrElse(return None)
         }

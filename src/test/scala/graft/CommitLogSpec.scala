@@ -167,6 +167,40 @@ class CommitLogSpec extends SparkSpecBase {
     assert(after.append(Seq((7L, "v7")).toDF("id", "v"), txn = Some("w" -> 6L)) === 7L)
   }
 
+  test("_last_checkpoint hint: folds start at the checkpoint, degrade safely") {
+    val t = tmpTable("clog-ckhint")
+    val log = CommitLog(spark, t)
+    (0 until 5).foreach(i =>
+      log.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val ck = log.compact() // v5, writes the hint — NO prune
+    val hintPath = new org.apache.hadoop.fs.Path(s"$t/_graft_log/_last_checkpoint")
+    val fs = hintPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(hintPath), "compact must maintain the fold hint")
+    // post-checkpoint commits fold from the hint; state is identical
+    log.append(Seq((100L, "post")).toDF("id", "v"))
+    assert(log.read().as[(Long, String)].collect().toSet
+      === (0 until 5).map(i => (i.toLong, s"v$i")).toSet + ((100L, "post")))
+    assert(log.snapshot().txns.nonEmpty || log.snapshot().version === ck + 1)
+    // time travel BEHIND the checkpoint ignores the hint (full fold)
+    assert(log.readVersion(2).as[(Long, String)].collect().toSet
+      === (0 to 2).map(i => (i.toLong, s"v$i")).toSet)
+    // a torn/corrupt hint degrades to the full fold, never a wrong read
+    val out = fs.create(hintPath, true)
+    out.write("{not json".getBytes("UTF-8")); out.close()
+    assert(CommitLog(spark, t).read().as[(Long, String)].collect().toSet
+      === (0 until 5).map(i => (i.toLong, s"v$i")).toSet + ((100L, "post")))
+    // a STALE hint (older checkpoint) is correct too: second compact
+    // moves it forward; manually rewinding it only costs parses
+    val ck2 = log.compact()
+    log.append(Seq((200L, "post2")).toDF("id", "v"))
+    val out2 = fs.create(hintPath, true)
+    out2.write(s"""{"version":$ck}""".getBytes("UTF-8")); out2.close()
+    assert(CommitLog(spark, t).read().as[(Long, String)].collect().toSet
+      === (0 until 5).map(i => (i.toLong, s"v$i")).toSet
+        + ((100L, "post")) + ((200L, "post2")))
+    assert(ck2 > ck)
+  }
+
   test("time travel: every committed version stays readable until retired") {
     val t = tmpTable("clog-tt")
     val log = CommitLog(spark, t)

@@ -147,6 +147,42 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
     assert(r.getLong(0) === 0L && r.isNullAt(1))
   }
 
+  test("COUNT(col) folds from harvested null counts") {
+    val (cat, wh) = freshCat("cnc")
+    val df = (1 to 200).map(i => (i.toLong,
+        if (i % 5 == 0) null else s"v$i",
+        if (i % 3 == 0) null else java.lang.Double.valueOf(i * 1.0)))
+      .toDF("id", "s", "d")
+    df.filter($"id" <= 100).writeTo(s"$cat.t")
+      .tableProperty("merge.log", "true").create()
+    df.filter($"id" > 100).writeTo(s"$cat.t").append()
+    val q = spark.table(s"$cat.t").agg(
+      count($"id").as("c_id"), count($"s").as("c_s"), count($"d").as("c_d"))
+    assert(manifestAnswered(q), "COUNT(col) must fold from rows - nulls:\n" +
+      q.queryExecution.executedPlan)
+    val r = q.collect().head
+    assert(r.getLong(0) === 200L)           // no nulls
+    assert(r.getLong(1) === 200L - 40L)     // every 5th s is null
+    assert(r.getLong(2) === 200L - 66L)     // every 3rd d is null
+    // count(DISTINCT col) is not manifest-answerable
+    val qd = spark.table(s"$cat.t").agg(countDistinct($"s").as("cd"))
+    assert(!manifestAnswered(qd))
+    assert(qd.collect().head.getLong(0) === 160L)
+    // DVs poison COUNT(col): a masked row's null-ness is unknown
+    // modulo isn't a pushable V2 filter (SQL DELETE would fall back to
+    // the CoW row-level path) — the library delete masks it
+    val log = CommitLog(spark, s"$wh/t")
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    try log.delete($"id" % 10 === 1)
+    finally spark.conf.unset("spark.graft.dv.minTouchedBytes")
+    assert(log.snapshot().dvs.nonEmpty)
+    val q2 = spark.table(s"$cat.t").agg(count($"s").as("c_s"))
+    assert(!manifestAnswered(q2))
+    // ids ≡1 (mod 10) are never multiples of 5, so all 20 masked rows
+    // had non-null s: 160 - 20
+    assert(q2.collect().head.getLong(0) === 140L)
+  }
+
   test("GROUP BY the identity partition key answers from the manifest") {
     val (cat, wh) = freshCat("grp")
     (1 to 300).map(i => (i.toLong, Seq("A", "B", "C")(i % 3), i * 2.0))
@@ -185,6 +221,12 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
     // grouping by a NON-partition column refuses
     val q3 = spark.table(s"$cat.t").groupBy($"id").agg(count(lit(1)).as("c"))
     assert(!manifestAnswered(q3.limit(5)))
+    // SELECT DISTINCT part = group-by-only aggregation: the live
+    // partition domain from the tags, masked-away C excluded
+    val d = spark.sql(s"SELECT DISTINCT flag FROM $cat.t")
+    assert(manifestAnswered(d), "DISTINCT on the partition key must " +
+      "answer from the tags:\n" + d.queryExecution.executedPlan)
+    assert(d.collect().map(_.getString(0)).toSet === Set("A", "B"))
   }
 
   test("aggregate pushdown opt-out restores the file-scan plan") {
