@@ -1798,18 +1798,10 @@ object IndexQueries {
       val root = scratch(s, dir, "limpd-wh")
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
-      import org.apache.spark.sql.expressions.Window
       val li = t(s, dir, "lineitem").select(
-          col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
-          col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(Window.orderBy(
-          col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
-          col("l_partkey"), col("l_suppkey"))))
-      val n = t(s, dir, "lineitem").count()
-      val m = n / 4
-      val quarter = (i: Long) => li
-        .filter(col("rn") > lit(i * m) && col("rn") <= lit((i + 1) * m))
-        .drop("rn").coalesce(1)
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val quarter = (i: Long) =>
+        li.filter(col("l_orderkey") % 4 === i).coalesce(1)
       quarter(0).writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
       (1L to 3L).foreach(i => quarter(i).writeTo(s"$cat.t").append())
       def scanned(df: DataFrame): Int =
@@ -1818,12 +1810,18 @@ object IndexQueries {
             graft.sources.GraftScans.unwrapFileScan(r.scan)
               .fileIndex.inputFiles.length
         }.sum
-      val k = 3 * m / 2 // needs exactly the first TWO m-row files
+      // k lands strictly inside the second file's coverage: one file
+      // cannot satisfy it, two provably do — the manifest's own
+      // per-file counts (commit order) give the exact bound
+      val log = graft.sources.CommitLog(s, s"$root/t")
+      val snap = log.snapshot()
+      val fileRows = snap.files.map(f => snap.rows(f))
+      val k = fileRows(0) + fileRows(1) / 2
       val lim = s.table(s"$cat.t").limit(k.toInt)
       val limCnt = lim.count()
       require(scanned(lim) == 2,
-        s"q176: LIMIT $k over four $m-row files must scan the 2-file " +
-          s"covering prefix, scanned ${scanned(lim)}")
+        s"q176: LIMIT $k over files of ${fileRows.mkString(",")} rows " +
+          s"must scan the 2-file covering prefix, scanned ${scanned(lim)}")
       s.conf.set("spark.graft.limitPushdown.enabled", "false")
       val fullScan =
         try scanned(s.table(s"$cat.t").limit(k.toInt))
@@ -1833,9 +1831,11 @@ object IndexQueries {
       import s.implicits._
       Seq((limCnt, 2, 4)).toDF("lim_cnt", "files_scanned", "files_total")
     },
-    Some("""SELECT CAST(3 * (COUNT(*) // 4) // 2 AS BIGINT) AS lim_cnt,
-        2 AS files_scanned, 4 AS files_total
-      FROM lineitem"""))
+    Some("""SELECT CAST(
+        (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 4 = 0)
+        + (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 4 = 1) // 2
+        AS BIGINT) AS lim_cnt,
+        2 AS files_scanned, 4 AS files_total"""))
 
   /** B2 MERGE-ON-READ MERGE (r14, [[graft.sources.CommitLog.merge]] /
     * `tryDvMerge`): the full ANSI MERGE trio (conditional DELETE,
