@@ -1976,7 +1976,62 @@ object IndexQueries {
           AS n_after
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** B2 DISTINCT-PARTITION PUSHDOWN (r14): `SELECT DISTINCT part` on a
+    * partition-tagged logged table is a group-by-only aggregation —
+    * answered as the LIVE partition domain straight from the manifest
+    * tags (zero data files opened; Iceberg's "partitions metadata
+    * table" as plain SQL). REQUIRED in-body: both DISTINCT plans are
+    * LocalTableScans, and after a merge-on-read DELETE masks every
+    * row of one partition that partition leaves the domain (a
+    * tag-only answer that ignored liveness would keep it — value
+    * mismatch against the oracle). */
+  private val q179 = Q(
+    "q179_distinct_partitions",
+    (s, dir) => {
+      val cat = "g179_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "dpart-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"))
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "o_orderstatus").create()
+      def distinctLocal(tag: String): Seq[String] = {
+        val d = s.sql(s"SELECT DISTINCT o_orderstatus FROM $cat.t")
+        val p = d.queryExecution.executedPlan.toString
+        require(p.contains("LocalTableScan") && !p.contains("BatchScan"),
+          s"q179: the $tag DISTINCT must be manifest-answered:\n$p")
+        d.collect().map(_.getString(0)).toSeq
+      }
+      val all = distinctLocal("pre-delete")
+      s.conf.set("spark.graft.dv.minTouchedBytes", "0")
+      s.conf.set("spark.graft.dv.maxRatio", "1.0")
+      val live =
+        try {
+          s.sql(s"DELETE FROM $cat.t WHERE o_orderstatus = 'F'")
+          require(graft.sources.CommitLog(s, s"$root/t").snapshot().dvs.nonEmpty,
+            "q179: the partition delete was not merge-on-read")
+          distinctLocal("post-mask")
+        } finally {
+          s.conf.unset("spark.graft.dv.minTouchedBytes")
+          s.conf.unset("spark.graft.dv.maxRatio")
+        }
+      require(!live.contains("F"),
+        "q179: a fully-masked partition must leave the DISTINCT domain")
+      import s.implicits._
+      (all.map(_ -> "all") ++ live.map(_ -> "live"))
+        .toDF("o_orderstatus", "phase")
+        .orderBy(col("phase"), col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, 'all' AS phase
+        FROM (SELECT DISTINCT o_orderstatus FROM orders)
+      UNION ALL
+      SELECT o_orderstatus, 'live' AS phase
+        FROM (SELECT DISTINCT o_orderstatus FROM orders
+              WHERE o_orderstatus <> 'F')
+      ORDER BY phase, o_orderstatus"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
-    q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178)
+    q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179)
 }

@@ -167,6 +167,47 @@ class CommitLogSpec extends SparkSpecBase {
     assert(after.append(Seq((7L, "v7")).toDF("id", "v"), txn = Some("w" -> 6L)) === 7L)
   }
 
+  test("manifest row counts stay exact across the whole DML lifecycle") {
+    val t = tmpTable("clog-rowinv")
+    val log = CommitLog(spark, t)
+    // the invariant every manifest-answered surface (COUNT(*), LIMIT,
+    // CBO stats, DESCRIBE DETAIL) rests on: sum of per-file live
+    // counts == the actual masked read, after EVERY commit kind
+    def check(l: CommitLog = log, what: String = ""): Unit = {
+      val s = l.snapshot()
+      assert(s.files.forall(s.rows.contains),
+        s"$what: a live file lost its row count")
+      val live = s.files.map(f => s.liveRowCount(f).get).sum
+      assert(live === l.read().count(), s"$what: manifest live-count drift")
+    }
+    def block(base: Long, n: Int) = (0 until n).map(i =>
+      (base + i, s"v${base + i}", if ((base + i) % 4 == 0) null else "x"))
+      .toDF("id", "v", "s").repartition(2)
+    log.append(block(0L, 40)); check(what = "append")
+    log.append(block(100L, 40)); check(what = "append2")
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    try {
+      log.delete($"id" >= 100L && $"id" <= 104L); check(what = "MoR delete")
+      log.update($"id" === 7L, Map("v" -> lit("upd"))); check(what = "MoR update")
+      log.merge(Seq((3L, "m3", "x"), (999L, "m999", "x")).toDF("id", "v", "s"),
+        Seq("id"), Seq(
+          CommitLog.WhenMatchedUpdate(Map("v" -> col("s.v"))),
+          CommitLog.WhenNotMatchedInsert()))
+      check(what = "MoR merge")
+      // a 60%-of-touched delete blows the ratio cap → copy-on-write
+      log.delete($"id" >= 0L && $"id" <= 30L); check(what = "CoW delete")
+    } finally spark.conf.unset("spark.graft.dv.minTouchedBytes")
+    log.upsert(Seq((200L, "u", "x")).toDF("id", "v", "s"),
+      Seq("id"), CommitLog.LastWins); check(what = "upsert")
+    val preOptimize = log.snapshot().version
+    log.optimize(targetFiles = 1); check(what = "optimize")
+    log.restore(preOptimize); check(what = "restore")
+    log.compact(); log.prune(); check(what = "compact+prune")
+    val cloneRoot = tmpTable("clog-rowinv-clone")
+    log.cloneTo(cloneRoot)
+    check(CommitLog(spark, cloneRoot), "clone")
+  }
+
   test("_last_checkpoint hint: folds start at the checkpoint, degrade safely") {
     val t = tmpTable("clog-ckhint")
     val log = CommitLog(spark, t)
