@@ -229,6 +229,41 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
     assert(d.collect().map(_.getString(0)).toSet === Set("A", "B"))
   }
 
+  test("grouped pushdown folds a composite spec's sub-partitions") {
+    val (cat, _) = freshCat("comp")
+    // two-key spec: GROUP BY the FIRST key alone must fold each
+    // flag's bucket sub-partitions together (decoded tag components)
+    (1 to 120).map(i => (i.toLong, Seq("A", "B")(i % 2), (i % 3).toLong))
+      .toDF("id", "flag", "bucket")
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "flag,bucket").create()
+    val q = spark.table(s"$cat.t").groupBy($"flag")
+      .agg(count(lit(1)).as("cnt"), min($"id").as("mn"))
+    assert(manifestAnswered(q), "composite-spec grouping must fold " +
+      "sub-partitions from decoded tag components:\n" +
+      q.queryExecution.executedPlan)
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet === Set(("A", 60L, 2L), ("B", 60L, 1L)))
+    // the second key alone works too
+    val q2 = spark.table(s"$cat.t").groupBy($"bucket")
+      .agg(count(lit(1)).as("cnt"))
+    assert(manifestAnswered(q2))
+    assert(q2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((0L, 40L), (1L, 40L), (2L, 40L)))
+    // a days()-transform key is NOT an identity column: grouping by
+    // its source column must refuse (the tag holds epoch-days)
+    val (cat2, _) = freshCat("days")
+    (1 to 50).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(s"2024-01-${1 + i % 5} 10:00:00")))
+      .toDF("id", "ts")
+      .writeTo(s"$cat2.t").tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "days(ts)").create()
+    val q3 = spark.table(s"$cat2.t").groupBy($"ts")
+      .agg(count(lit(1)).as("cnt"))
+    assert(!manifestAnswered(q3))
+    assert(q3.collect().map(_.getLong(1)).sum === 50L)
+  }
+
   test("aggregate pushdown opt-out restores the file-scan plan") {
     val (cat, _) = freshCat("opt")
     (1 to 20).map(i => (i.toLong, i)).toDF("id", "x")
