@@ -44,7 +44,15 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Between runs, OUTSIDE the timed region: drop every surviving
+        // localCheckpoint block. Queries are independent, so anything
+        // still persisted is dead weight — without this the suite
+        // accumulates blocks for hours and later queries degrade under
+        // block-manager pressure (VERDICT r14: q104/q105 at 3-10x
+        // their isolated pins in-suite, at pin in a fresh session).
+        graft.util.Ckpt.sweep(spark)
+        dt
       }
       name -> times.min
     }

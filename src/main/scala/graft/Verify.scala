@@ -36,6 +36,9 @@ object Verify {
             .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case _: Throwable => () }
       }
+      // the query's output is on disk — release any localCheckpoint
+      // blocks it left behind so a 179-query session stays flat
+      graft.util.Ckpt.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

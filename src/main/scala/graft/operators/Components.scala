@@ -60,11 +60,19 @@ object Components {
           coalesce(col("nbr_min") < col("label"), lit(false)).as("__changed"))
         .localCheckpoint()
       val changed = step.filter(col("__changed")).limit(1).count()
+      // `step` is materialized — the superseded round's blocks are dead
+      // (only the LIVE label frame is kept; VERDICT r14 #1).
+      graft.util.Ckpt.release(labels)
       labels = step.select("id", "label")
       round += 1
-      if (changed == 0L)
+      if (changed == 0L) {
+        graft.util.Ckpt.release(und)
+        // the result reads the final round's checkpoint — the caller
+        // may Ckpt.release it after the terminal action
         return labels.withColumnRenamed("label", "component")
+      }
     }
+    graft.util.Ckpt.release(und, labels)
     throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds — " +
         "component diameter exceeds maxIter; raise maxIter or use " +
@@ -130,12 +138,15 @@ object Components {
     while (!converged && round < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
       converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      graft.util.Ckpt.release(e) // fixpoint check done: prior round is dead
       e = next
       round += 1
     }
-    if (!converged)
+    if (!converged) {
+      graft.util.Ckpt.release(e, allNodes)
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxIter rounds")
+    }
     // Fixpoint is a star forest: every non-center points at its
     // component min; centers and isolated nodes label themselves.
     val members = e.select(col("u").as("id"), col("v").as("component"))

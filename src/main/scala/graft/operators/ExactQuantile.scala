@@ -56,30 +56,32 @@ object ExactQuantile {
     val vals = df.select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull && !isnan(col("v")))
       .localCheckpoint()
-    val base = vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
-    val n = base.getLong(0)
-    require(n > 0, "exact quantile of an empty column")
-    // an infinite endpoint makes every histogram width infinite — the
-    // narrowing could loop forever on a large-enough input. Fail fast
-    // instead (NaN/null are already filtered; ±Inf is a data bug the
-    // caller must clamp or filter before asking for exact quantiles).
-    require(!base.getDouble(1).isInfinite && !base.getDouble(2).isInfinite,
-      "±Infinity in the value column — histogram narrowing cannot bound " +
-        "an infinite interval; filter or clamp non-finite values first")
-    val wanted = ps.map { p =>
-      val pos = p * (n - 1) + 1
-      (p, math.floor(pos).toLong, pos - math.floor(pos))
-    }
-    val ranks = wanted.flatMap { case (_, lo, frac) =>
-      if (frac == 0) Seq(lo) else Seq(lo, lo + 1) }.distinct
-    val emptyKey = Row.empty
-    val byRank = selectRanks(vals, Nil,
-      Map(emptyKey -> GroupStats(n, base.getDouble(1), base.getDouble(2), ranks)),
-      bins, collectThreshold)
-    wanted.map { case (p, lo, frac) =>
-      val vLo = byRank((emptyKey, lo))
-      p -> (if (frac == 0) vLo else vLo + frac * (byRank((emptyKey, lo + 1)) - vLo))
-    }
+    try {
+      val base = vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
+      val n = base.getLong(0)
+      require(n > 0, "exact quantile of an empty column")
+      // an infinite endpoint makes every histogram width infinite — the
+      // narrowing could loop forever on a large-enough input. Fail fast
+      // instead (NaN/null are already filtered; ±Inf is a data bug the
+      // caller must clamp or filter before asking for exact quantiles).
+      require(!base.getDouble(1).isInfinite && !base.getDouble(2).isInfinite,
+        "±Infinity in the value column — histogram narrowing cannot bound " +
+          "an infinite interval; filter or clamp non-finite values first")
+      val wanted = ps.map { p =>
+        val pos = p * (n - 1) + 1
+        (p, math.floor(pos).toLong, pos - math.floor(pos))
+      }
+      val ranks = wanted.flatMap { case (_, lo, frac) =>
+        if (frac == 0) Seq(lo) else Seq(lo, lo + 1) }.distinct
+      val emptyKey = Row.empty
+      val byRank = selectRanks(vals, Nil,
+        Map(emptyKey -> GroupStats(n, base.getDouble(1), base.getDouble(2), ranks)),
+        bins, collectThreshold)
+      wanted.map { case (p, lo, frac) =>
+        val vLo = byRank((emptyKey, lo))
+        p -> (if (frac == 0) vLo else vLo + frac * (byRank((emptyKey, lo + 1)) - vLo))
+      }
+    } finally graft.util.Ckpt.release(vals) // result is driver-side: zero blocks survive
   }
 
   /** Exact interpolated quantiles PER GROUP, one output column per p —
@@ -115,8 +117,12 @@ object ExactQuantile {
     val vals = df.select(keyCols.map(col) :+ col(valueCol).cast("double").as("v"): _*)
       .filter(col("v").isNotNull && !isnan(col("v")))
       .localCheckpoint()
-    quantilesByGroupPrepped(vals, keyCols, ps, names, countCol,
+    // prepped's result is INDEPENDENT of vals (driver rows, or the
+    // distributed engine's materialized output), so the projection's
+    // blocks are releasable the moment it returns.
+    try quantilesByGroupPrepped(vals, keyCols, ps, names, countCol,
       bins, collectThreshold, driverGroupLimit)
+    finally graft.util.Ckpt.release(vals)
   }
 
   /** The post-projection core of [[quantilesByGroup]], taking `vals` =
@@ -125,7 +131,16 @@ object ExactQuantile {
     * the package so a caller computing SEVERAL dependent quantile
     * passes over the same rows ([[Robust.madScores]]: median, then
     * median of deviations) shares ONE materialized projection instead
-    * of re-scanning and re-checkpointing the source per pass. */
+    * of re-scanning and re-checkpointing the source per pass.
+    *
+    * Block-lifecycle contract: the returned frame NEVER reads from
+    * `vals` or from any checkpoint this call allocated — the driver
+    * engine returns driver-built rows, the distributed engine
+    * materializes its output and releases its internals — so the
+    * caller may `Ckpt.release(vals)` as soon as this returns. The
+    * distributed engine's result is itself one group-domain-sized
+    * checkpoint (the same order as the answer); release it after the
+    * terminal action if the session is long-lived. */
   private[operators] def quantilesByGroupPrepped(vals: DataFrame,
       keyCols: Seq[String], ps: Seq[Double], names: Seq[String],
       countCol: Option[String] = None, bins: Int = 1024,
@@ -155,9 +170,10 @@ object ExactQuantile {
     if (nGroups > driverGroupLimit)
       return quantilesByGroupDistributed(
         vals.withColumnRenamed("v", "__v"), baseDf, keyCols, ps, names,
-        countCol, bins, collectThreshold)
+        countCol, bins, collectThreshold) // releases baseDf itself
     val keySchema = StructType(vals.schema.fields.dropRight(1))
     val base = baseDf.collect()
+    graft.util.Ckpt.release(baseDf) // fully collected; nothing below reads it
     // per group: 0-based positions → 1-based ranks to select
     val wanted = base.map { r =>
       val key = Row.fromSeq(r.toSeq.dropRight(3))
@@ -216,6 +232,7 @@ object ExactQuantile {
         (floor(col("__p.pos")).cast("long") + 1).as("__klo"),
         (ceil(col("__p.pos")).cast("long") + 1).as("__khi")): _*)
       .localCheckpoint()
+    graft.util.Ckpt.release(baseDf) // folded into poss; nothing below reads it
     // distinct wanted ranks → initial selection state: one row per
     // (group, rank) with its candidate interval [lo, hi] and count
     var state = poss
@@ -233,10 +250,17 @@ object ExactQuantile {
       level += 1
       val effTh = math.min(MaxCollect.toLong, collectThreshold.toLong
         << math.max(0, math.min(level - EscalateLevel, 30))).toInt
+      // Each round's finished selections are materialized (they are
+      // selection-sized — O(groups × ranks) rows) so the superseded
+      // round's state blocks can be released at the bottom of the loop
+      // instead of pinning every round's checkpoint until the final
+      // action (VERDICT r14 #1).
+      val prev = state
       // degenerate interval: the value IS the selection
-      doneParts += state.filter(col("__lo") === col("__hi"))
+      doneParts += prev.filter(col("__lo") === col("__hi"))
         .select(key ++ Seq(col("__k"), col("__lo").as("__val")): _*)
-      val live = state.filter(col("__lo") =!= col("__hi"))
+        .localCheckpoint()
+      val live = prev.filter(col("__lo") =!= col("__hi"))
       // width underflow ⇒ ≤ ~bins representable doubles left: finish
       val isSmall = col("__cnt") <= effTh ||
         (col("__hi") - col("__lo")) / bins === 0.0
@@ -268,21 +292,29 @@ object ExactQuantile {
           col("__bmn").as("__lo"), col("__bmx").as("__hi"),
           col("__c").as("__cnt")): _*)
         .localCheckpoint()
-      // finished intervals: value-distinct selection, executor-side
-      val smallUnits = small.select(unitKey.map(col): _*).distinct()
-      val cumV = Window.partitionBy(unitKey.map(col): _*).orderBy(col("__v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      doneParts += small.join(
-          vals.join(smallUnits, keyCols)
-            .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
-            .groupBy(unitKey.map(col) :+ col("__v"): _*)
-            .agg(count(lit(1)).as("__c"))
-            .withColumn("__cum", sum(col("__c")).over(cumV)),
-          unitKey)
-        .filter(col("__cum") - col("__c") < col("__krem")
-          && col("__krem") <= col("__cum"))
-        .select(key ++ Seq(col("__k"), col("__v").as("__val")): _*)
+      // finished intervals: value-distinct selection, executor-side.
+      // Guarded by a cheap probe of the (checkpointed, selection-sized)
+      // state: materializing an empty part would still cost a join job
+      // against `vals` on rounds where nothing finished.
+      if (small.limit(1).count() > 0) {
+        val smallUnits = small.select(unitKey.map(col): _*).distinct()
+        val cumV = Window.partitionBy(unitKey.map(col): _*).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        doneParts += small.join(
+            vals.join(smallUnits, keyCols)
+              .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+              .groupBy(unitKey.map(col) :+ col("__v"): _*)
+              .agg(count(lit(1)).as("__c"))
+              .withColumn("__cum", sum(col("__c")).over(cumV)),
+            unitKey)
+          .filter(col("__cum") - col("__c") < col("__krem")
+            && col("__krem") <= col("__cum"))
+          .select(key ++ Seq(col("__k"), col("__v").as("__val")): _*)
+          .localCheckpoint()
+      }
+      graft.util.Ckpt.release(prev) // both done parts + next state materialized
     }
+    graft.util.Ckpt.release(state) // the loop exit saw it empty
     val done = doneParts.reduce(_.unionByName(_))
     // interpolation replaying Spark's percentile exactly: pos = p·(n−1)
     // 0-based, (⌈pos⌉−pos)·v(⌊pos⌋) + (pos−⌊pos⌋)·v(⌈pos⌉), both rank
@@ -298,7 +330,14 @@ object ExactQuantile {
     val aggCols = ps.indices.map(i =>
       max(when(col("__pi") === i, col("__q"))).as(names(i))) ++
       countCol.map(c => max(col("__n")).as(c))
-    q.groupBy(key: _*).agg(aggCols.head, aggCols.tail: _*)
+    // Materialize the answer (group-domain-sized — the same order as
+    // the result itself) so every internal checkpoint can be released
+    // NOW and the caller's `vals` is provably unreferenced (the
+    // result-independence contract in quantilesByGroupPrepped's doc).
+    val out = q.groupBy(key: _*).agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint()
+    graft.util.Ckpt.release(poss +: doneParts.toSeq: _*)
+    out
   }
 
   /** Initial per-group state: row count, value range, 1-based ranks. */

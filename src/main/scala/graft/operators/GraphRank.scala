@@ -65,6 +65,7 @@ object GraphRank {
       .distinct().localCheckpoint()
     val base = (scale * (dampDen - dampNum)) / dampDen
     var ranks = nodes.withColumn("r", lit(scale))
+    var prevCk: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val contrib = ewd
         .join(ranks.withColumnRenamed("id", "src").hint("shuffle_hash"),
@@ -77,10 +78,19 @@ object GraphRank {
           (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
       // a checkpoint per iteration would pay one materialization job
       // each round; every `checkpointEvery` keeps lineage bounded while
-      // short runs fuse the whole recurrence into the final job
-      if (i % checkpointEvery == 0 && i < iterations)
-        ranks = ranks.localCheckpoint()
+      // short runs fuse the whole recurrence into the final job. Each
+      // new checkpoint supersedes the previous — its blocks are dead
+      // the moment the new one is materialized.
+      if (i % checkpointEvery == 0 && i < iterations) {
+        val ck = ranks.localCheckpoint()
+        prevCk.foreach(graft.util.Ckpt.release(_))
+        prevCk = Some(ck)
+        ranks = ck
+      }
     }
+    // the result still reads the edge/node checkpoints (and the last
+    // rank checkpoint, if any) — the consumer releases them all with
+    // Ckpt.release(result) after its terminal action
     ranks
   }
 }

@@ -68,6 +68,10 @@ object Robust {
       devVals, keyCols, Seq(0.5), Seq(madCol),
       bins = bins, collectThreshold = collectThreshold)
       .select(keyCols.map(col) :+ col(madCol): _*)
+    // prepped results never read their input (result-independence
+    // contract), and the returned frame below joins the caller's `df`
+    // against med/mad only — both scratch projections are dead here.
+    graft.util.Ckpt.release(vals, devVals)
     df.join(med, keyCols)
       .withColumn("__dev", abs(col(valueCol).cast("double") - col(medCol)))
       .join(mad, keyCols)

@@ -1032,7 +1032,9 @@ object Similarity {
       cents = next
       it += 1
     }
-    ranked.unpersist()
+    // Dataset.unpersist only uncaches CacheManager entries — it never
+    // touches a localCheckpoint's RDD blocks. Ckpt.release does.
+    graft.util.Ckpt.release(ranked)
     cents
   }
 
@@ -1161,7 +1163,7 @@ object Similarity {
               col("__s.__v").as("__v"))
           val co = lloydDistributedMulti(coarseParts, nlist, iters)(0)
           val su = lloydDistributedMulti(pqParts, ksub, iters)
-          sampleDf.unpersist()
+          graft.util.Ckpt.release(sampleDf) // centroids are driver-side
           (co, Array.tabulate(m)(su))
         }
       // per-subspace Lloyd, concatenated: full-dim row j holds subspace

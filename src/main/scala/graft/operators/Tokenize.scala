@@ -168,7 +168,7 @@ object Tokenize {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, (String, String), Long)]
     var sinceCk = 0
     var done = false
-    while (merges.size < numMerges && !done) {
+    try while (merges.size < numMerges && !done) {
       val top = words.filter(size(col("syms")) > 1)
         .select(col("n"), explode(zip_with(
           slice(col("syms"), lit(1), size(col("syms")) - 1),
@@ -186,10 +186,16 @@ object Tokenize {
         words = words.withColumn("syms", applyMerge(col("syms"), a, b))
         sinceCk += 1
         if (sinceCk >= checkpointEvery) {
-          words = words.localCheckpoint(); sinceCk = 0
+          val ck = words.localCheckpoint()
+          // the fresh checkpoint supersedes the one the merge chain was
+          // reading — release the old blocks, keep only the live table
+          graft.util.Ckpt.release(words)
+          words = ck; sinceCk = 0
         }
       }
     }
+    // the merge list is driver-side: no checkpoint outlives the call
+    finally graft.util.Ckpt.release(words)
     merges.toSeq
   }
 

@@ -1951,7 +1951,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     def conf(k: String, d: String): String =
       spark.conf.getOption(k).getOrElse(d)
     if (!dvAdmitted(touched)) return None
-    val maxRows = conf("spark.graft.dv.maxDeletedRows", "2000000").toLong
+    // clamped below Int.MaxValue: the probe collects maxRows+1 rows
+    // through DataFrame.limit(Int), so an at-or-above-IntMax config
+    // would wrap negative and fail the statement; past the clamp the
+    // DV path refuses (length > maxRows) and copy-on-write takes over
+    // (ADVICE r14)
+    val maxRows = math.min(
+      conf("spark.graft.dv.maxDeletedRows", "2000000").toLong, Int.MaxValue - 2L)
     val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
     import org.apache.spark.sql.functions.col
     val withPos = readLiveWithPos(s, sch, touched)
@@ -1995,7 +2001,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     def conf(k: String, d: String): String =
       spark.conf.getOption(k).getOrElse(d)
     if (!dvAdmitted(touched)) return None
-    val maxRows = conf("spark.graft.dv.maxDeletedRows", "2000000").toLong
+    // clamped below Int.MaxValue: the probe collects maxRows+1 rows
+    // through DataFrame.limit(Int), so an at-or-above-IntMax config
+    // would wrap negative and fail the statement; past the clamp the
+    // DV path refuses (length > maxRows) and copy-on-write takes over
+    // (ADVICE r14)
+    val maxRows = math.min(
+      conf("spark.graft.dv.maxDeletedRows", "2000000").toLong, Int.MaxValue - 2L)
     val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
     val hits = readLiveWithPos(s, sch, touched).filter(condition)
     val matched = hits.select(col("__dv_f"), col("__dv_pos"))
@@ -2136,7 +2148,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * and never the partition-tag column. A merge that changes nothing
     * returns the current version WITHOUT committing; a lost version
     * race recomputes find+rewrite against the winner's table. */
-  def merge(source: DataFrame, keys: Seq[String],
+  def merge(source0: DataFrame, keys: Seq[String],
       clauses: Seq[CommitLog.MergeClause],
       partCol: Option[String] = None,
       txn: Option[(String, Long)] = None): Long = {
@@ -2144,6 +2156,18 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min, when}
     require(keys.nonEmpty, s"$tableRoot: merge needs at least one key")
     require(clauses.nonEmpty, s"$tableRoot: merge needs at least one WHEN clause")
+    // Materialize the source ONCE for the whole statement (ADVICE r14,
+    // the same reason upstream MERGE implementations do): every phase
+    // below — dup check, key envelope, the FIND semi-join, the staged
+    // full-outer, the MoR mask collect and the append write — runs as
+    // its own Spark job, and a NON-DETERMINISTIC source (rand(), a
+    // re-executed sample/shuffle) re-evaluated per job could mask a
+    // row without appending its replacement (silent row loss) or
+    // append an update whose original was never masked (duplication)
+    // within the one commit. Merge batches are batch-sized by nature;
+    // the blocks are released before returning on every path.
+    val source = source0.localCheckpoint()
+    try {
     val matchedClauses = clauses.filter(!_.isInstanceOf[CommitLog.WhenNotMatchedInsert])
     val insertClauses = clauses.collect { case c: CommitLog.WhenNotMatchedInsert => c }
     matchedClauses.foreach {
@@ -2253,6 +2277,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       }
     }
     -1L // unreachable
+    } finally graft.util.Ckpt.release(source)
   }
 
   /** MERGE's clause-resolution stage, shared by the copy-on-write and
@@ -2364,7 +2389,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     def conf(k: String, d: String): String =
       spark.conf.getOption(k).getOrElse(d)
     if (matchedClauses.isEmpty || !dvAdmitted(touched)) return None
-    val maxRows = conf("spark.graft.dv.maxDeletedRows", "2000000").toLong
+    // clamped below Int.MaxValue: the probe collects maxRows+1 rows
+    // through DataFrame.limit(Int), so an at-or-above-IntMax config
+    // would wrap negative and fail the statement; past the clamp the
+    // DV path refuses (length > maxRows) and copy-on-write takes over
+    // (ADVICE r14)
+    val maxRows = math.min(
+      conf("spark.graft.dv.maxDeletedRows", "2000000").toLong, Int.MaxValue - 2L)
     val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
     // the target side carries each live row's physical address through
     // the clause resolution (conform against the extended schema keeps
@@ -2525,7 +2556,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     def conf(k: String, d: String): String =
       spark.conf.getOption(k).getOrElse(d)
     if (!dvAdmitted(touched)) return None
-    val maxRows = conf("spark.graft.dv.maxDeletedRows", "2000000").toLong
+    // clamped below Int.MaxValue: the probe collects maxRows+1 rows
+    // through DataFrame.limit(Int), so an at-or-above-IntMax config
+    // would wrap negative and fail the statement; past the clamp the
+    // DV path refuses (length > maxRows) and copy-on-write takes over
+    // (ADVICE r14)
+    val maxRows = math.min(
+      conf("spark.graft.dv.maxDeletedRows", "2000000").toLong, Int.MaxValue - 2L)
     val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
     val matched = readLiveWithPos(s, sch0, touched)
       .join(mk, keys, "left_semi")
@@ -3172,9 +3209,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   }
 
   /** Best-effort `_last_checkpoint` hint maintenance (see
-    * [[checkpointFoldStart]]): a plain overwrite, monotone-guarded so
-    * a slow racer cannot move the hint backwards; any failure is
-    * swallowed — the hint only buys fold speed. */
+    * [[checkpointFoldStart]]): published via temp-file + rename (the
+    * same pattern manifests use) so a reader never observes torn
+    * content. The version guard is best-effort check-then-act — two
+    * racing compact() calls can still land the older version last
+    * (ADVICE r14) — but a stale or missing hint only degrades the next
+    * read to the full fold; correctness never depends on the hint, and
+    * the next checkpoint rewrites it. Any failure is swallowed. */
   private def writeCheckpointHint(v: Long): Unit =
     try {
       val p = new Path(logDir, "_last_checkpoint")
@@ -3191,9 +3232,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         }
       } catch { case _: Exception => false }
       if (!keep) {
-        val out = fs.create(p, true)
+        val tmp = new Path(logDir, s"._last_checkpoint-${UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
         try out.write(s"""{"version":$v}""".getBytes("UTF-8"))
         finally out.close()
+        // rename-into-place; delete-first where rename won't replace.
+        // The gap (hint briefly absent) costs one full fold at most.
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p)) fs.delete(tmp, false)
       }
     } catch { case _: Exception => () }
 
@@ -3476,7 +3522,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   private def writeData(df: DataFrame, sch: StructType): Seq[String] = {
     validateConstraints(df)
     val tmp = new Path(rootPath, s".tmp-${UUID.randomUUID()}")
-    toPhys(df, sch).write.mode("overwrite").parquet(tmp.toString)
+    // Footer min/max must be EXACT values from the data, never bounds:
+    // a session-configured parquet.statistics.truncate.length would
+    // truncate binary stats (PARQUET-1685 — min a prefix, max
+    // incremented; valid for pruning, WRONG as a pushed MIN/MAX
+    // answer, and undetectable at read time). Pin the writer to
+    // no-truncation so every stat [[statsFor]] harvests is exact
+    // (ADVICE r14).
+    toPhys(df, sch).write
+      .option("parquet.statistics.truncate.length", Int.MaxValue.toString)
+      .mode("overwrite").parquet(tmp.toString)
     fs.mkdirs(dataDir)
     val parts = fs.listStatus(tmp).filter { s =>
       s.isFile && s.getPath.getName.startsWith("part-")
@@ -3551,7 +3606,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       // logical → physical names at the write boundary; the directory
       // tag is not a schema column and passes through untouched
       toPhys(prepared, sch)
-        .write.mode("overwrite").partitionBy(partTag).parquet(tmp.toString)
+        .write
+        // exact (untruncated) footer stats — see [[writeData]]
+        .option("parquet.statistics.truncate.length", Int.MaxValue.toString)
+        .mode("overwrite").partitionBy(partTag).parquet(tmp.toString)
       fs.mkdirs(dataDir)
       val dirs = fs.listStatus(tmp).filter(s =>
         s.isDirectory && s.getPath.getName.startsWith(s"$partTag="))

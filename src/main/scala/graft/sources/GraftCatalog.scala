@@ -453,6 +453,14 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
 
   private val dataPath = s"$path/data"
 
+  /** The table's root path / properties — for [[GraftMorMergeCommand]],
+    * which routes eligible SQL MERGE INTO statements through the
+    * library's [[CommitLog.merge]] (merge-on-read first). */
+  private[sources] def tablePath: String = path
+  private[sources] def tableProps: Map[String, String] = props
+  private[sources] def isTimeTravel: Boolean =
+    asOfVersion.isDefined || asOfTsMillis.isDefined
+
   /** SQL `UPDATE` / `MERGE INTO` (and DELETEs whose predicate the
     * filter path refuses, e.g. subqueries): the group-based
     * copy-on-write row-level contract. Spark rewrites the statement
@@ -1002,13 +1010,38 @@ private[sources] final class GraftLogScanBuilder(
   private var filtersWerePushed = false
   private var aggAnswer: Option[(StructType, Seq[Seq[Any]])] = None
 
+  /** Defensive boolean conf read: a malformed value (e.g. 'ture')
+    * falls back to `default` instead of throwing IllegalArgumentException
+    * mid-planning (ADVICE r14). */
+  private def boolConf(key: String, default: Boolean): Boolean =
+    spark.conf.getOption(key).map(_.trim) match {
+      case Some(v) if v.equalsIgnoreCase("true")  => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case _ => default
+    }
+  // Catalyst calls supportCompletePushDown then pushAggregation with
+  // the SAME Aggregation instance — memoize so the O(live files)
+  // manifest fold runs once per aggregate query, not twice (ADVICE
+  // r14). Reference-keyed: a different instance recomputes.
+  private var aggMemo: Option[(AnyRef, Option[(StructType, Seq[Seq[Any]])])] = None
+
+  private def answerFromManifestMemo(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Seq[Any]])] = aggMemo match {
+    case Some((key, r)) if key eq agg => r
+    case _ =>
+      val r = answerFromManifest(agg)
+      aggMemo = Some((agg, r))
+      r
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    answerFromManifest(agg).isDefined
+    answerFromManifestMemo(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val a = answerFromManifest(agg)
+    val a = answerFromManifestMemo(agg)
     a.foreach(x => aggAnswer = Some(x))
     a.isDefined
   }
@@ -1019,8 +1052,7 @@ private[sources] final class GraftLogScanBuilder(
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types._
     if (groupGranularity || filtersWerePushed) return None
-    if (!spark.conf.getOption("spark.graft.aggPushdown.enabled")
-        .forall(_.toBoolean)) return None
+    if (!boolConf("spark.graft.aggPushdown.enabled", default = true)) return None
     val funcs = agg.aggregateExpressions
     // empty aggregate list + group-by = SELECT DISTINCT part: the live
     // partition domain straight from the tags (group admission below)
@@ -1219,8 +1251,7 @@ private[sources] final class GraftLogScanBuilder(
   // .enabled=false` opts out.
   override def pushLimit(limit: Int): Boolean = {
     if (groupGranularity || filtersWerePushed || limit <= 0) return false
-    if (!spark.conf.getOption("spark.graft.limitPushdown.enabled")
-        .forall(_.toBoolean)) return false
+    if (!boolConf("spark.graft.limitPushdown.enabled", default = true)) return false
     var acc = 0L
     var n = 0
     val it = selectedFiles.iterator
@@ -1300,10 +1331,8 @@ private[sources] final class GraftLogScanBuilder(
     * all-tagged invariant guarantees every row of a file matches its
     * tag. */
   private def spjInfo: Option[GraftLogScanBuilder.SpjInfo] = {
-    val enabled = spark.conf.getOption(
-        "spark.graft.spj.preserveDataGrouping").exists(_.toBoolean) &&
-      spark.conf.getOption(
-        "spark.sql.sources.v2.bucketing.enabled").forall(_.toBoolean)
+    val enabled = boolConf("spark.graft.spj.preserveDataGrouping", default = false) &&
+      boolConf("spark.sql.sources.v2.bucketing.enabled", default = true)
     if (!enabled || groupGranularity) return None
     val spec = partCol.map(_.trim).filter(_.nonEmpty)
       .flatMap(s => scala.util.Try(PartSpec.parse(s)).toOption)
@@ -1360,8 +1389,7 @@ private[sources] final class GraftLogScanBuilder(
     * write's rewrite unit and must not move after planning. */
   private def rtInfo: Option[GraftLogScanBuilder.RtInfo] = {
     if (groupGranularity) return None
-    if (!spark.conf.getOption("spark.graft.runtimeFiltering.enabled")
-        .forall(_.toBoolean)) return None
+    if (!boolConf("spark.graft.runtimeFiltering.enabled", default = true)) return None
     val rtSpec: Option[PartSpec] = partCol.map(_.trim).filter(_.nonEmpty)
       .flatMap(s => scala.util.Try(PartSpec.parse(s)).toOption)
     val statCols: Set[String] = snap.stats.valuesIterator.flatMap(_.keysIterator).toSet
