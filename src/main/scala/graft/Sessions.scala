@@ -18,6 +18,10 @@ object Sessions {
       .builder()
       .master(s"local[$cores]")
       .appName(app)
+      // SQL MERGE INTO on graft tables rides the library's
+      // merge-on-read path (GraftSqlExtensions; untranslatable
+      // statements fall back to Spark's group-based rewrite unchanged)
+      .withExtensions(new graft.sources.GraftSqlExtensions()(_))
       // Size shuffle parallelism to actual cores, not the 200 default.
       .config("spark.sql.shuffle.partitions", cores)
       // AQE: runtime coalescing + skew-join handling — the scale story.

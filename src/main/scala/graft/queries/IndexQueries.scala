@@ -2031,7 +2031,82 @@ object IndexQueries {
               WHERE o_orderstatus <> 'F')
       ORDER BY phase, o_orderstatus"""))
 
+  /** B2 SQL MERGE-ON-READ MERGE (r15, VERDICT r14 #2,
+    * [[graft.sources.GraftSqlExtensions]]): the exact statement shape of
+    * q177 issued through `MERGE INTO` SQL — the parser-level intercept
+    * translates it to [[graft.sources.CommitLog.merge]], whose
+    * `tryDvMerge` commits the ANSI trio as ONE `add_dv` version with
+    * ZERO touched-file rewrite. Before this, SQL MERGE rode Spark's
+    * group-based row-level path and always rewrote the scanned files —
+    * a SQL-first user paid rewrite amplification the library user
+    * didn't. REQUIRED in-body: one version, no data-file retirement,
+    * appended files, a DV present (the same checks as q177 — a fallback
+    * to either rewrite path fails the DV check). Values hash against
+    * DuckDB reconstructing the merge relationally. */
+  private val q180 = Q(
+    "q180_sql_mor_merge",
+    (s, dir) => {
+      val cat = "g180_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "sqlmor-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderkey") % 3 =!= 0).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+      o.filter(col("o_orderkey") % 20 === 0).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          (col("o_totalprice").cast("decimal(18,2)") * 3)
+            .cast("decimal(18,2)").as("price"))
+        .createOrReplaceTempView("q180_src")
+      val log = graft.sources.CommitLog(s, s"$root/t")
+      val before = log.snapshot()
+      s.conf.set("spark.graft.dv.minTouchedBytes", "0")
+      try s.sql(s"""MERGE INTO $cat.t t USING q180_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.price > 400000 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET price = s.price
+        WHEN NOT MATCHED THEN INSERT *""")
+      finally s.conf.unset("spark.graft.dv.minTouchedBytes")
+      val after = log.snapshot()
+      require(after.version == before.version + 1,
+        "q180: the SQL merge must be ONE atomic commit")
+      require(before.files.forall(after.files.contains),
+        "q180: merge-on-read SQL MERGE must retire no data file")
+      require(after.files.size > before.files.size,
+        "q180: updated + inserted rows must land as appended files")
+      require(after.dvs.nonEmpty,
+        "q180: no deletion vector — the SQL merge fell back to a rewrite path")
+      s.table(s"$cat.t").groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH tgt AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 3 <> 0),
+      src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 3 AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 20 = 0),
+      merged AS (
+        SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+          CASE WHEN s.o_orderkey IS NOT NULL THEN s.price ELSE t.price END AS price
+        FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        WHERE s.o_orderkey IS NULL OR s.price <= 400000
+        UNION ALL
+        SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.price
+        FROM src s LEFT JOIN tgt t ON s.o_orderkey = t.o_orderkey
+        WHERE t.o_orderkey IS NULL)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(price) AS DOUBLE) AS revenue,
+        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
-    q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179)
+    q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
 }
