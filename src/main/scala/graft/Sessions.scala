@@ -40,6 +40,14 @@ object Sessions {
       // instead of TIMESTAMP_NTZ — the session timezone is pinned UTC, so
       // wall-clock values are identical to DuckDB's naive reading, and the
       // whole ts function surface (unix_micros, watermarks) stays typed.
+      // INT96 (Spark's default parquet timestamp encoding) carries NO
+      // usable footer min/max, so timestamp columns would have no
+      // manifest stats at all — no file skipping on time ranges (the
+      // reference's own hottest read shape is `latest as of t`,
+      // /root/reference/index.js:305-314) and no manifest-answered
+      // min(ts)/max(ts). INT64 MICROS stats are Spark's exact internal
+      // values; the stats harvest refuses any other unit it meets.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")

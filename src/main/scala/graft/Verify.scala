@@ -13,6 +13,13 @@ object Verify {
       if (args.length > 2) { val ps = args(2).split(','); n => ps.exists(n.startsWith) }
       else _ => true
     val spark = Sessions.local("graft-verify", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    // Result DUMPS keep the INT96 (naive) timestamp encoding the
+    // DuckDB comparer string-matches against — the session default is
+    // TIMESTAMP_MICROS (isAdjustedToUTC=true), which renders with a
+    // "+00:00" suffix on the comparer side and mismatches every naive
+    // oracle timestamp. Queries whose in-body gates need MICROS footer
+    // stats on their own tables (q181) set it around their builds.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
     new java.io.File(outDir).mkdirs()
     // A query that throws must still surface in the round's correctness
     // file as a red entry, not vanish: write a sentinel one-row parquet

@@ -2106,7 +2106,291 @@ object IndexQueries {
         CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** B2/B6 TIMESTAMP MANIFEST STATS (r15, VERDICT r14 #3): graft
+    * writers emit INT64 MICROS timestamps (Spark's default INT96
+    * carries no usable footer min/max), the stats harvest normalizes
+    * footer units to Spark's internal epoch-micros (MILLIS convert
+    * exactly, NANOS/INT96 refuse), and with that `min(ts)/max(ts)` is
+    * manifest-answered and time-RANGE predicates prune whole files —
+    * the reference's own hottest read shape is `latest price as of t`
+    * (/root/reference/index.js:305-314). REQUIRED in-body: the clean
+    * table's min/max plans as LocalTableScan; a ts-range filter scans
+    * ONLY the overlapping file; after an INT96-written batch joins the
+    * table the same min/max REFUSES to a real scan (one file provably
+    * lacks the stat) and the range filter keeps the stat-less file
+    * conservatively — hash-green throughout. */
+  private val q181 = Q(
+    "q181_ts_minmax_pushdown",
+    (s, dir) => {
+      val cat = "g181_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "tspd-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_shipdate").cast("date").cast("timestamp").as("ts"))
+      // the gates below need MICROS footer stats on the table's own
+      // files — force the unit for the builds regardless of what the
+      // enclosing harness pinned (Verify dumps INT96), restore after
+      val priorTsType = s.conf.getOption("spark.sql.parquet.outputTimestampType")
+      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // two date-disjoint files: range predicates can prove pruning
+      li.filter(col("ts") < lit("1998-01-01").cast("timestamp")).coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+      li.filter(col("ts") >= lit("1998-01-01").cast("timestamp")).coalesce(1)
+        .writeTo(s"$cat.t").append()
+      def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+      def scanned(df: DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            graft.sources.GraftScans.unwrapFileScan(r.scan)
+              .fileIndex.inputFiles.length
+        }.sum
+      val mm = s.table(s"$cat.t").agg(
+        unix_micros(min(col("ts"))).as("mn_us"),
+        unix_micros(max(col("ts"))).as("mx_us"))
+      require(planOf(mm).contains("LocalTableScan") && !planOf(mm).contains("BatchScan"),
+        s"q181: min/max(ts) must be manifest-answered:\n${planOf(mm)}")
+      val mmRow = mm.collect()
+      val bound = lit("2000-06-01").cast("timestamp")
+      val ranged = s.table(s"$cat.t").filter(col("ts") >= bound)
+      require(scanned(ranged) == 1,
+        s"q181: the ts-range filter must prune to the 1998+ file, scanned ${scanned(ranged)}")
+      val nRange = ranged.count()
+      // an INT96 batch (no usable ts footer stats) makes the extremum
+      // UNPROVABLE from the manifest: the pushdown must refuse, and
+      // range pruning must keep the stat-less file conservatively
+      s.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      try li.filter(col("l_orderkey") % 97 === 0).coalesce(1)
+        .writeTo(s"$cat.t").append()
+      finally s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val mm2 = s.table(s"$cat.t").agg(
+        unix_micros(min(col("ts"))).as("mn2_us"),
+        unix_micros(max(col("ts"))).as("mx2_us"))
+      require(planOf(mm2).contains("BatchScan"),
+        s"q181: min/max over an INT96 file must fall back to a real scan:\n${planOf(mm2)}")
+      require(scanned(s.table(s"$cat.t").filter(col("ts") >= bound)) == 2,
+        "q181: the stat-less INT96 file must survive range pruning conservatively")
+      val mm2Row = mm2.collect()
+      priorTsType match {
+        case Some(v) => s.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => s.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+      import s.implicits._
+      Seq((mmRow(0).getLong(0), mmRow(0).getLong(1), nRange,
+          mm2Row(0).getLong(0), mm2Row(0).getLong(1)))
+        .toDF("mn_us", "mx_us", "n_range", "mn2_us", "mx2_us")
+    },
+    Some("""WITH base AS (
+        SELECT l_orderkey, CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ts
+        FROM lineitem)
+      SELECT
+        epoch_us(MIN(ts)) AS mn_us,
+        epoch_us(MAX(ts)) AS mx_us,
+        (SELECT COUNT(*) FROM base WHERE ts >= TIMESTAMP '2000-06-01') AS n_range,
+        epoch_us(LEAST(MIN(ts),
+          (SELECT MIN(ts) FROM base WHERE l_orderkey % 97 = 0))) AS mn2_us,
+        epoch_us(GREATEST(MAX(ts),
+          (SELECT MAX(ts) FROM base WHERE l_orderkey % 97 = 0))) AS mx2_us
+      FROM base"""))
+
+  /** B2/B6 DAY-LEVEL ROLLUP PUSHDOWN (r15, VERDICT r14 #4): on a
+    * `days(ts)`-partitioned table, `GROUP BY CAST(ts AS DATE)` — the
+    * day-level rollup, THE common profile on time-partitioned tables —
+    * folds entirely from manifest tags + row counts + footer stats
+    * (the tag holds exactly the UTC epoch-day). REQUIRED in-body: the
+    * rollup plans as LocalTableScan with zero files opened, while
+    * `GROUP BY ts` (the raw source column — the tag holds LESS than
+    * the value) still refuses to a real scan. Values hash against
+    * DuckDB grouping the same synthesized timestamps. */
+  private val q182 = Q(
+    "q182_days_rollup_pushdown",
+    (s, dir) => {
+      val cat = "g182_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "drollup-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      t(s, dir, "lineitem").select(
+          col("l_orderkey"),
+          col("l_extendedprice").cast("double").as("price"),
+          expr("timestampadd(DAY, CAST(l_orderkey % 7 AS INT), " +
+            "TIMESTAMP '2024-03-01 06:30:00')").as("ts"))
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "days(ts)").create()
+      def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+      val rollup = s.table(s"$cat.t")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("mn_ok"), max(col("l_orderkey")).as("mx_ok"),
+          min(col("price")).as("mn_p"), max(col("price")).as("mx_p"))
+        .orderBy(col("day"))
+      require(planOf(rollup).contains("LocalTableScan")
+          && !planOf(rollup).contains("BatchScan"),
+        s"q182: the day rollup must be manifest-answered:\n${planOf(rollup)}")
+      // the pinned refusal edge, held in the gate too: the raw source
+      // column groups finer than the tag — must scan
+      val raw = s.table(s"$cat.t").groupBy(col("ts")).agg(count(lit(1)).as("n"))
+      require(planOf(raw).contains("BatchScan"),
+        s"q182: GROUP BY the raw ts must refuse the pushdown:\n${planOf(raw)}")
+      rollup
+    },
+    Some("""SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        MIN(l_orderkey) AS mn_ok, MAX(l_orderkey) AS mx_ok,
+        MIN(price) AS mn_p, MAX(price) AS mx_p
+      FROM (SELECT l_orderkey, CAST(l_extendedprice AS DOUBLE) AS price,
+              TIMESTAMP '2024-03-01 06:30:00'
+                + to_days(CAST(l_orderkey % 7 AS INT)) AS ts
+            FROM lineitem)
+      GROUP BY 1 ORDER BY day"""))
+
+  /** B2/B8 PARTITION-EXACT FILTER PUSHDOWN (r15, VERDICT r14 #5): when
+    * a pushed filter is an identity-partition-key equality that the
+    * manifest has resolved to an exact file set (every row of every
+    * selected file provably matches), aggregate and LIMIT pushdown
+    * stay sound over that set — `COUNT/MIN/MAX ... WHERE part = x`
+    * folds from the manifest with zero files opened, and
+    * `WHERE part = x LIMIT n` scans only a covering prefix of x's
+    * files (on a 100k-file table, the difference between one file and
+    * a partition scan). REQUIRED in-body: the filtered aggregate plans
+    * as LocalTableScan; the filtered LIMIT scans the provable prefix;
+    * adding a value conjunct refuses both (rows could drop). Values
+    * hash against DuckDB. */
+  private val q183 = Q(
+    "q183_partition_filter_pushdown",
+    (s, dir) => {
+      val cat = "g183_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "pexact-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("price"))
+      // three commits so the F partition spans several files
+      o.filter(col("o_orderkey") % 3 === 0).coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "o_orderstatus").create()
+      o.filter(col("o_orderkey") % 3 === 1).coalesce(1).writeTo(s"$cat.t").append()
+      o.filter(col("o_orderkey") % 3 === 2).coalesce(1).writeTo(s"$cat.t").append()
+      def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+      def scanned(df: DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            graft.sources.GraftScans.unwrapFileScan(r.scan)
+              .fileIndex.inputFiles.length
+        }.sum
+      val fAgg = s.table(s"$cat.t").filter(col("o_orderstatus") === "F")
+        .agg(count(lit(1)).as("n_f"),
+          min(col("o_orderkey")).as("mn_f"), max(col("o_orderkey")).as("mx_f"),
+          min(col("price")).as("mnp_f"), max(col("price")).as("mxp_f"))
+      require(planOf(fAgg).contains("LocalTableScan")
+          && !planOf(fAgg).contains("BatchScan"),
+        s"q183: the partition-filtered aggregate must fold from the manifest:\n${planOf(fAgg)}")
+      val fAggRow = fAgg.collect()
+      // LIMIT under the partition filter: the F partition has 3 files
+      // (one per commit); a limit under the smallest per-file count
+      // must scan a strict prefix of them
+      val snap = graft.sources.CommitLog(s, s"$root/t").snapshot()
+      // snapshot file order IS commit order — the same order the
+      // covering-prefix walk uses
+      val fFiles = snap.files.filter(f => snap.parts(f) == "F")
+        .map(f => snap.rows(f))
+      require(fFiles.size == 3, s"q183: expected 3 F files, got ${fFiles.size}")
+      val k = (fFiles.head + 1).toInt // needs exactly the first 2 files
+      val lim = s.table(s"$cat.t").filter(col("o_orderstatus") === "F").limit(k)
+      val nLim = lim.count()
+      require(scanned(lim) == 2,
+        s"q183: LIMIT $k over F files of ${fFiles.mkString(",")} rows " +
+          s"must scan the 2-file prefix, scanned ${scanned(lim)}")
+      // a value conjunct poisons exactness: the aggregate must scan
+      val poisoned = s.table(s"$cat.t")
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") > 10)
+        .agg(count(lit(1)).as("n"))
+      require(planOf(poisoned).contains("BatchScan"),
+        s"q183: a value conjunct must refuse the manifest fold:\n${planOf(poisoned)}")
+      val nPoisoned = poisoned.collect()(0).getLong(0)
+      import s.implicits._
+      Seq((fAggRow(0).getLong(0), fAggRow(0).getLong(1), fAggRow(0).getLong(2),
+          fAggRow(0).getDouble(3), fAggRow(0).getDouble(4), nLim, nPoisoned))
+        .toDF("n_f", "mn_f", "mx_f", "mnp_f", "mxp_f", "n_lim", "n_poisoned")
+    },
+    Some("""WITH f AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders WHERE o_orderstatus = 'F')
+      SELECT COUNT(*) AS n_f, MIN(o_orderkey) AS mn_f, MAX(o_orderkey) AS mx_f,
+        MIN(price) AS mnp_f, MAX(price) AS mxp_f,
+        CAST((SELECT COUNT(*) FROM f WHERE o_orderkey % 3 = 0) + 1 AS BIGINT) AS n_lim,
+        (SELECT COUNT(*) FROM f WHERE o_orderkey > 10) AS n_poisoned
+      FROM f"""))
+
+  /** B2 ARRAY-ELEMENT STRUCT EVOLUTION (r15, VERDICT r14 #6): RENAME
+    * and DROP of a field INSIDE an `array<struct>` column as
+    * metadata-only commits — the reference's own `Combustiveis` column
+    * is exactly this shape (/root/reference/index.js:132), so "rename
+    * a fuel-entry field" is the domain's most natural evolution. The
+    * PhysKey mapping now recurses through array elements: old files
+    * keep their bytes, reads cast element structs positionally, new
+    * writes land under the stable physical element name, and map
+    * interiors still refuse loudly. REQUIRED in-body: both DDL commits
+    * touch zero data files; a post-rename append + the pre-rename
+    * files read under one logical name; time travel keeps the old
+    * element name. Values hash against DuckDB reconstructing the
+    * exploded rows. */
+  private val q184 = Q(
+    "q184_array_element_evolution",
+    (s, dir) => {
+      val root = scratch(s, dir, "arrevo")
+      val log = graft.sources.CommitLog(s, s"$root/t")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("p"))
+      def fuels(priceName: String, withObs: Boolean) = {
+        def entry(f: String, pr: org.apache.spark.sql.Column) = {
+          val base = Seq(lit(f).as("fuel"), pr.as(priceName))
+          struct(base ++ (if (withObs) Seq(lit("ok").as("obs")) else Nil): _*)
+        }
+        array(entry("diesel", col("p")), entry("gas95", col("p") * 2))
+      }
+      log.append(o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), fuels("preco", withObs = true).as("combustiveis")))
+      val files0 = log.snapshot().files.toSet
+      log.renameColumn(Seq("combustiveis", "preco"), "price")   // v1
+      require(log.snapshot().files.toSet == files0,
+        "q184: the array-element rename must touch no data file")
+      log.append(o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), fuels("price", withObs = true).as("combustiveis")))
+      val files2 = log.snapshot().files.toSet
+      log.dropColumn(Seq("combustiveis", "obs"))                 // v3
+      require(log.snapshot().files.toSet == files2,
+        "q184: the array-element drop must touch no data file")
+      val elT = log.read().schema("combustiveis").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(elT.fieldNames.toSeq == Seq("fuel", "price"),
+        s"q184: evolved element shape is ${elT.fieldNames.mkString(",")}")
+      // time travel: version 0 still reads the ORIGINAL element names
+      val v0 = log.readVersion(0L)
+        .select(explode(col("combustiveis")).as("e"))
+        .select(col("e.preco"), col("e.obs"))
+      require(v0.filter(col("obs") =!= "ok").isEmpty,
+        "q184: time travel must keep the pre-evolution element fields")
+      log.read()
+        .select(explode(col("combustiveis")).as("e"))
+        .groupBy(col("e.fuel").as("fuel"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("e.price").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("fuel"))
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS p FROM orders),
+      exploded AS (
+        SELECT 'diesel' AS fuel, p AS price FROM base
+        UNION ALL
+        SELECT 'gas95' AS fuel, p * 2 AS price FROM base)
+      SELECT fuel, COUNT(*) AS n,
+        CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM exploded GROUP BY fuel ORDER BY fuel"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
-    q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
+    q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
+    q181, q182, q183, q184)
 }

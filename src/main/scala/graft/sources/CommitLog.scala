@@ -223,7 +223,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.col
     val c = col(s"`${physName(f)}`")
-    (if (CommitLog.identityType(f.dataType)) c else c.cast(f.dataType))
+    // cast target nullability is RELAXED: spark.read marks every read
+    // field nullable, and Cast refuses nullable→non-null interiors —
+    // a logical schema with NOT NULL struct/array-element fields must
+    // still read (the values are unchanged either way)
+    (if (CommitLog.identityType(f.dataType)) c
+     else c.cast(CommitLog.relaxNulls(f.dataType)))
       .as(f.name)
   }
 
@@ -361,8 +366,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       m.get(lc(c)) match {
         case Some(f) if !CommitLog.identityType(f.dataType) =>
           // interior mapping: cast to the in-file shape (positional
-          // struct rename — the inverse of [[logicalCol]])
-          col(s"`$c`").cast(CommitLog.physDataType(f.dataType))
+          // struct rename — the inverse of [[logicalCol]]); nullability
+          // relaxed for the same reason as there
+          col(s"`$c`").cast(
+              CommitLog.relaxNulls(CommitLog.physDataType(f.dataType)))
             .as(physName(f))
         case Some(f) => col(s"`$c`").as(physName(f))
         case None => col(s"`$c`")
@@ -418,6 +425,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             case (c: StructType, p: StructType) =>
               f.copy(dataType = assignNested(c, p,
                 s"$physPath.${physName(f)}"))
+            case (ca @ org.apache.spark.sql.types.ArrayType(c: StructType, _),
+                  org.apache.spark.sql.types.ArrayType(p: StructType, _)) =>
+              f.copy(dataType = ca.copy(elementType =
+                assignNested(c, p, s"$physPath.${physName(f)}")))
             case _ => f
           }
           case None =>
@@ -442,6 +453,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         case Some(pf) => (f.dataType, pf.dataType) match {
           case (c: StructType, p: StructType) =>
             f.copy(dataType = assignNested(c, p, physName(f)))
+          case (ca @ org.apache.spark.sql.types.ArrayType(c: StructType, _),
+                org.apache.spark.sql.types.ArrayType(p: StructType, _)) =>
+            f.copy(dataType = ca.copy(elementType =
+              assignNested(c, p, physName(f))))
           case _ => f
         }
         case None => f
@@ -1071,6 +1086,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             }
           }
           when(c.isNotNull, struct(parts.toIndexedSeq: _*))
+        // r15: a window spanning an ARRAY-ELEMENT rename must align the
+        // element shape too, or the per-version pieces union with
+        // differently-named element fields and fail
+        case (va: org.apache.spark.sql.types.ArrayType,
+              fa: org.apache.spark.sql.types.ArrayType)
+            if va != fa || !CommitLog.identityType(va)
+              || !CommitLog.identityType(fa) =>
+          org.apache.spark.sql.functions.transform(c,
+            x => alignCol(x, va.elementType, fa.elementType))
         case _ => c
       }
     }
@@ -1196,7 +1220,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           case (c: StructType, i: StructType) =>
             StructType(mergeStructs(c, i, s"$path${f.name}."))
           case (c, i) =>
-            require(c == i,
+            // shape equality is METADATA-INSENSITIVE (r15): an
+            // array<struct> element field carrying a PhysKey mapping
+            // (array-element rename) must still accept writes of the
+            // same logical shape; the kept type is CUR's, so the
+            // mapping survives the merge
+            require(CommitLog.stripMeta(c) == CommitLog.stripMeta(i),
               s"$tableRoot: schema evolution cannot change column " +
                 s"'$path${f.name}' from ${c.simpleString} to ${i.simpleString}")
             c
@@ -1646,10 +1675,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * the rename stamps a [[CommitLog.PhysKey]] mapping on the
     * struct-interior field (metadata-only commit, zero files touched;
     * the stable physical name keeps every data file, stat key, and
-    * the interior parquet column valid forever). Every path component
-    * above the leaf must be a plain STRUCT column — structs inside
-    * arrays/maps stay refused (their evolution would need per-element
-    * identity, not metadata). */
+    * the interior parquet column valid forever). Path components may
+    * be plain STRUCT columns or (r15) ARRAYS OF STRUCTS — the
+    * reference's own `Combustiveis` column is an array<struct>
+    * (/root/reference/index.js:132), and the positional-cast
+    * chokepoints recurse through array elements. MAP interiors stay
+    * refused (no stable positional identity to cast by). */
   def renameColumn(from: Seq[String], to: String): Long = {
     require(to.nonEmpty, s"$tableRoot: RENAME COLUMN needs a non-empty name")
     require(from.nonEmpty, s"$tableRoot: RENAME COLUMN needs a column path")
@@ -1680,7 +1711,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
 
   /** Resolve `path` inside `sch` (ci), apply `edit` to the struct
     * holding the leaf, and rebuild the schema along the path. Every
-    * non-leaf component must be a plain struct column. */
+    * non-leaf component must be a plain struct column or (r15) an
+    * ARRAY of structs — the element-field mapping is the same
+    * positional-cast problem one level down, and both chokepoints
+    * ([[logicalCol]]'s cast and [[toPhys]]'s inverse) already recurse
+    * through array elements. Map interiors stay refused (loud): a map
+    * value's shape has no stable positional identity to cast by. */
   private def rewriteStructPath(sch: StructType, path: Seq[String],
       op: String)(edit: (StructType, Int) => StructType): StructType = {
     def walk(st: StructType, p: Seq[String], crumb: String): StructType = {
@@ -1689,15 +1725,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       if (p.lengthCompare(1) == 0) edit(st, idx)
       else {
         val f = st.fields(idx)
-        val inner = f.dataType match {
-          case nested: StructType => nested
+        val rebuilt: org.apache.spark.sql.types.DataType = f.dataType match {
+          case nested: StructType => walk(nested, p.tail, s"$crumb${p.head}.")
+          case a @ org.apache.spark.sql.types.ArrayType(el: StructType, _) =>
+            a.copy(elementType = walk(el, p.tail, s"$crumb${p.head}."))
           case other => throw new IllegalArgumentException(
             s"$tableRoot: $op: '$crumb${p.head}' is ${other.simpleString}, " +
-              "not a struct — only plain struct interiors evolve " +
-              "(array/map element evolution would be a rewrite, not metadata)")
+              "not a struct or array of structs — map value evolution " +
+              "would be a rewrite, not metadata")
         }
-        StructType(st.fields.updated(idx,
-          f.copy(dataType = walk(inner, p.tail, s"$crumb${p.head}."))))
+        StructType(st.fields.updated(idx, f.copy(dataType = rebuilt)))
       }
     }
     walk(sch, path, "")
@@ -1711,7 +1748,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         throw new IllegalArgumentException(
           s"$tableRoot: no column '${path.mkString(".")}'"))
       if (p.lengthCompare(1) == 0) Seq(physName(f))
-      else physName(f) +: walk(f.dataType.asInstanceOf[StructType], p.tail)
+      else {
+        val inner = f.dataType match {
+          case s: StructType => s
+          case org.apache.spark.sql.types.ArrayType(el: StructType, _) => el
+          case other => throw new IllegalArgumentException(
+            s"$tableRoot: '${path.mkString(".")}' walks through " +
+              s"${other.simpleString}")
+        }
+        physName(f) +: walk(inner, p.tail)
+      }
     }
     walk(sch, path).mkString(".")
   }
@@ -3749,6 +3795,24 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     if (logical.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])
       return ChunkUnknown // stats are unscaled ints — not comparable to user bounds
     pt.getPrimitiveTypeName match {
+      case INT64 if logical.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
+        // the stats domain for timestamps is Spark's internal
+        // epoch-MICROS long (candidateFilesForExprs folds predicate
+        // bounds to exactly that). MICROS stats are those values;
+        // MILLIS convert exactly (every stored value is whole millis,
+        // so min/max × 1000 ARE the internal micros of real rows);
+        // NANOS would truncate — a value that may not exist — refuse.
+        val unit = logical
+          .asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation].getUnit
+        val mn = st.genericGetMin.asInstanceOf[Number].longValue()
+        val mx = st.genericGetMax.asInstanceOf[Number].longValue()
+        unit match {
+          case LogicalTypeAnnotation.TimeUnit.MICROS => ChunkCovered(mn, mx)
+          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            try ChunkCovered(Math.multiplyExact(mn, 1000L), Math.multiplyExact(mx, 1000L))
+            catch { case _: ArithmeticException => ChunkUnknown }
+          case _ => ChunkUnknown
+        }
       case INT32 | INT64 =>
         ChunkCovered(st.genericGetMin.asInstanceOf[Number].longValue(),
           st.genericGetMax.asInstanceOf[Number].longValue())
@@ -4067,6 +4131,43 @@ object CommitLog {
 
   /** `dt` with every struct-interior field under its PHYSICAL name,
     * metadata stripped — the in-file shape of a nested-mapped type. */
+  /** `dt` with every field and container marked nullable, recursively —
+    * the cast-target form of a logical type ([[logicalCol]]): values
+    * are untouched, only the nullability contract loosens to what the
+    * parquet reader reports anyway. */
+  private[sources] def relaxNulls(
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        f.name, relaxNulls(f.dataType), nullable = true, f.metadata)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(
+        relaxNulls(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(
+        relaxNulls(m.keyType), relaxNulls(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  /** `dt` with all field METADATA stripped, recursively — the shape
+    * two types must share for a write to be accepted where the table
+    * side carries PhysKey mappings (array-element renames). */
+  private[sources] def stripMeta(
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        f.name, stripMeta(f.dataType), f.nullable)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = stripMeta(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = stripMeta(m.keyType),
+        valueType = stripMeta(m.valueType))
+    case other => other
+  }
+
   private[sources] def physDataType(
       dt: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.types.DataType = dt match {

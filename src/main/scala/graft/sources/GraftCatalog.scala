@@ -350,8 +350,8 @@ final class GraftCatalog extends TableCatalog
         props = props - rp.property
       case rn: RenameColumn =>
         // r13: nested paths supported — the rename stamps the mapping
-        // on the struct-interior field (array/map interiors refused by
-        // the log's path walk)
+        // on the struct-interior field (r15: array<struct> elements
+        // too; map interiors refused by the log's path walk)
         // structural names (merge.keys/partcol) are TOP-LEVEL columns:
         // only a top-level rename can break them
         if (rn.fieldNames.length == 1)
@@ -942,11 +942,20 @@ private[sources] final class GraftLogScanBuilder(
     // version's logical view differs from the relation's.
     if (filters.nonEmpty) filtersWerePushed = true
     selectedFiles = log.candidateFilesForExprs(snap, filters)
+    filtersExact = filters.nonEmpty && exactOnSelected(filters)
     val b = makeInner(selectedFiles)
     innerOpt = Some(b)
     prunedSchema.foreach(s =>
       b.pruneColumns(if (mapped) toPhysSchema(s) else s))
-    if (groupGranularity || dvActive) filters // file-only elimination; rows untouched
+    if (groupGranularity) filters // file-only elimination; rows untouched
+    else if (filtersExact)
+      // every conjunct is provably TRUE on every row of every selected
+      // file, so the scan needs no residual re-evaluation above it —
+      // returning none is what unblocks aggregate/LIMIT pushdown under
+      // partition filters (r15; Catalyst only pushes those when no
+      // post-scan filter remains)
+      Seq.empty
+    else if (dvActive) filters
     else if (!mapped) b.pushFilters(filters)
     else {
       // push PHYSICAL-named predicates; hand Spark back the LOGICAL
@@ -966,6 +975,55 @@ private[sources] final class GraftLogScanBuilder(
       phys.zip(pushable).foreach { case (p, o) => back.put(p, o) }
       b.pushFilters(phys).map(p =>
         Option(back.get(p)).getOrElse(toLogicalExpr(p))) ++ held
+    }
+  }
+
+  // r15 (VERDICT r14 #5): TRUE when every pushed conjunct is provably
+  // satisfied by EVERY ROW of EVERY selected file — the case where a
+  // partition-tag equality has already resolved the filter to an exact
+  // file set. Aggregate and LIMIT pushdown stay sound over that set
+  // (no residual row can drop): `WHERE part = x LIMIT n` scans a
+  // covering prefix of x's files instead of all of them, and
+  // `SELECT COUNT(*) ... WHERE part = x` folds from the manifest.
+  private var filtersExact = false
+
+  /** Provably-all-rows-true check: the table is fully tagged, and each
+    * conjunct is either IsNotNull on a partition key column (the
+    * partitioned write refuses null partition values, so every tagged
+    * row has one) or an equality between an IDENTITY partition key and
+    * a literal whose tag component equals every selected file's
+    * component for that key. Anything else — other columns, ranges,
+    * transform keys — is not judgeable here and refuses. */
+  private def exactOnSelected(filters: Seq[Expression]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, IsNotNull, Literal}
+    val sp = partCol.map(_.trim).filter(_.nonEmpty)
+      .flatMap(p => scala.util.Try(PartSpec.parse(p)).toOption)
+      .getOrElse(return false)
+    if (selectedFiles.isEmpty || !selectedFiles.forall(snap.parts.contains))
+      return false
+    lazy val decoded: Seq[Seq[String]] = scala.util.Try(
+      selectedFiles.map(f => sp.decode(snap.parts(f)))).getOrElse(return false)
+    def keyIdx(a: Attribute): Option[Int] = sp.keyIndexOf(a.name)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def litOf(e: Expression): Option[Literal] = e match {
+      case l: Literal => Some(l)
+      case _ if e.foldable && !e.exists(_.isInstanceOf[Attribute]) =>
+        scala.util.Try(Literal.create(e.eval(null), e.dataType)).toOption
+      case _ => None
+    }
+    def eqExact(a: Attribute, v: Expression): Boolean = (for {
+      i <- keyIdx(a) if sp.keys(i).transform == PartSpec.Identity
+      l <- litOf(v)
+      c <- sp.componentOfLiteral(i, l)
+    } yield decoded.forall(_.apply(i) == c)).getOrElse(false)
+    filters.flatMap(conjuncts).forall {
+      case IsNotNull(a: Attribute) => keyIdx(a).isDefined
+      case EqualTo(a: Attribute, v) => eqExact(a, v)
+      case EqualTo(v, a: Attribute) => eqExact(a, v)
+      case _ => false
     }
   }
 
@@ -997,12 +1055,15 @@ private[sources] final class GraftLogScanBuilder(
   //    it), no selected file may carry a DV (the mask could remove the
   //    extremal row), and the type must be one whose harvested stats
   //    are exact under Spark's own ordering: integral, float/double
-  //    (NaN-poisoned chunks are never harvested), date, and string
-  //    (footer string stats are exact when present — parquet-mr omits
-  //    rather than truncates oversized values; `utf8Compare` matches
-  //    UTF8String's unsigned byte order). Timestamps are refused: the
-  //    stat's unit follows the writer's outputTimestampType, which the
-  //    manifest does not record.
+  //    (NaN-poisoned chunks are never harvested), date, string
+  //    (footer string stats are exact when present — graft's writers
+  //    pin statistics truncation OFF, so harvested values are real
+  //    values; `utf8Compare` matches UTF8String's unsigned byte
+  //    order), and timestamps (r15: the harvest normalizes footer
+  //    stats to Spark's internal epoch-micros and REFUSES any unit it
+  //    cannot convert exactly — INT96 and NANOS files simply carry no
+  //    timestamp stat, so min(ts)/max(ts) over them falls back to a
+  //    real scan).
   //  * Anything else (SUM, AVG, COUNT(col), DISTINCT, GROUP BY,
   //    pushed filters, row-level scans) refuses — correctness owns
   //    the boundary, Catalyst owns the fallback.
@@ -1051,7 +1112,10 @@ private[sources] final class GraftLogScanBuilder(
       : Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types._
-    if (groupGranularity || filtersWerePushed) return None
+    // r15: partition-EXACT filters (every row of every selected file
+    // provably matches) keep the fold sound over the selected set —
+    // `SELECT COUNT(*) ... WHERE part = x` answers from the manifest
+    if (groupGranularity || (filtersWerePushed && !filtersExact)) return None
     if (!boolConf("spark.graft.aggPushdown.enabled", default = true)) return None
     val funcs = agg.aggregateExpressions
     // empty aggregate list + group-by = SELECT DISTINCT part: the live
@@ -1060,7 +1124,8 @@ private[sources] final class GraftLogScanBuilder(
 
     def statType(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType
-           | FloatType | DoubleType | StringType => true
+           | FloatType | DoubleType | StringType
+           | TimestampType | TimestampNTZType => true
       case _ => false
     }
     // manifest stat value (Long / Double / String) → Spark INTERNAL
@@ -1071,6 +1136,10 @@ private[sources] final class GraftLogScanBuilder(
       case (IntegerType, l: Long) => Some(java.lang.Integer.valueOf(l.toInt))
       case (LongType, l: Long)    => Some(java.lang.Long.valueOf(l))
       case (DateType, l: Long)    => Some(java.lang.Integer.valueOf(l.toInt))
+      // harvested timestamp stats are ALREADY internal epoch-micros
+      // (statsForOne normalizes units and refuses inexact ones)
+      case (TimestampType, l: Long)    => Some(java.lang.Long.valueOf(l))
+      case (TimestampNTZType, l: Long) => Some(java.lang.Long.valueOf(l))
       case (FloatType, d: Double) => Some(java.lang.Float.valueOf(d.toFloat))
       case (DoubleType, d: Double) => Some(java.lang.Double.valueOf(d))
       case (StringType, s: String) =>
@@ -1093,21 +1162,52 @@ private[sources] final class GraftLogScanBuilder(
     // tag components. A group whose live rows are all DV-masked does
     // not exist (SQL group semantics), so grouped answers always need
     // the row counts.
-    val groupRefs: Seq[String] = agg.groupByExpressions.toSeq.map {
-      case nr: org.apache.spark.sql.connector.expressions.NamedReference
-          if nr.fieldNames().length == 1 => nr.fieldNames()(0)
-      case _ => return None
-    }
     val spec: Option[PartSpec] = partCol.map(_.trim).filter(_.nonEmpty)
       .flatMap(p => scala.util.Try(PartSpec.parse(p)).toOption)
-    val groupKeys: Seq[(StructField, Int)] = groupRefs.map { n =>
-      val sp = spec.getOrElse(return None)
-      val f = logicalSchema.fields.find(f => lcn(f.name) == lcn(n))
-        .getOrElse(return None)
-      val i = sp.keyIndexOf(f.name).getOrElse(return None)
-      if (sp.keys(i).transform != PartSpec.Identity) return None
-      if (!GraftLogScanBuilder.spjKeyType(f.dataType)) return None
-      (f, i)
+    def keyOf(name: String): Option[(StructField, Int)] = for {
+      sp <- spec
+      f <- logicalSchema.fields.find(f => lcn(f.name) == lcn(name))
+      i <- sp.keyIndexOf(f.name)
+    } yield (f, i)
+    // Admissible group keys: an IDENTITY partition column (the tag is
+    // the value's own cast-to-string); the DATE source column of a
+    // days() key (its tag IS the column's epoch-day, r15); or
+    // `CAST(tsCol AS DATE)` over a days(tsCol) key — the day-level
+    // rollup on a time-partitioned table (VERDICT r14 #4). The cast
+    // case needs a UTC session: CAST timestamp→date is session-TZ-
+    // local while the days() tag is the UTC epoch-day. Grouping by the
+    // raw SOURCE timestamp of a days() key still refuses (the pinned
+    // AggLimitPushdownSpec edge — the tag holds less than the value).
+    // `daysTag` = the component string is an epoch-day ordinal, not a
+    // cast-to-string value.
+    case class GKey(name: String, idx: Int, outType: DataType, daysTag: Boolean)
+    val utcSession =
+      spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+    val groupKeys: Seq[GKey] = agg.groupByExpressions.toSeq.map {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 =>
+        val (f, i) = keyOf(nr.fieldNames()(0)).getOrElse(return None)
+        spec.get.keys(i).transform match {
+          case PartSpec.Identity =>
+            if (!GraftLogScanBuilder.spjKeyType(f.dataType)) return None
+            GKey(f.name, i, f.dataType, daysTag = false)
+          case PartSpec.Days if f.dataType == DateType =>
+            GKey(f.name, i, DateType, daysTag = true)
+          case _ => return None
+        }
+      case c: org.apache.spark.sql.connector.expressions.Cast =>
+        val nr = c.expression() match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+              if r.fieldNames().length == 1 => r
+          case _ => return None
+        }
+        if (c.dataType() != DateType) return None
+        val (f, i) = keyOf(nr.fieldNames()(0)).getOrElse(return None)
+        if (spec.get.keys(i).transform != PartSpec.Days) return None
+        if (!f.dataType.isInstanceOf[TimestampType]) return None
+        if (!utcSession) return None
+        GKey(f.name, i, DateType, daysTag = true)
+      case _ => return None
     }
     val files = selectedFiles
     if (groupKeys.nonEmpty && !files.forall(snap.parts.contains)) return None
@@ -1129,7 +1229,7 @@ private[sources] final class GraftLogScanBuilder(
       else scala.util.Try {
         files.groupBy { f =>
           val comps = spec.get.decode(snap.parts(f))
-          groupKeys.map { case (_, i) => comps(i) }
+          groupKeys.map(gk => comps(gk.idx))
         }.toSeq.sortBy(_._1.mkString("/")).map { case (k, fs) => (k, fs) }
       }.getOrElse(return None)
 
@@ -1202,8 +1302,8 @@ private[sources] final class GraftLogScanBuilder(
         && files.exists(snap.dvs.contains)) return None
 
     val outFields =
-      groupKeys.map { case (f, _) =>
-        StructField(f.name, f.dataType, nullable = false) } ++
+      groupKeys.map(gk =>
+        StructField(gk.name, gk.outType, nullable = false)) ++
       resolved.map {
         case FnCount => StructField("count(*)", LongType, nullable = false)
         case FnCountCol(f) =>
@@ -1230,8 +1330,12 @@ private[sources] final class GraftLogScanBuilder(
           case FnExtremum(f, isMin) =>
             extremum(fs, f, isMin).getOrElse(return None)
         }
-        val keyVals: Seq[Any] = groupKeys.zip(comps).map { case ((f, _), c) =>
-          scala.util.Try(compInternal(c, f.dataType)).getOrElse(return None)
+        val keyVals: Seq[Any] = groupKeys.zip(comps).map { case (gk, c) =>
+          // a days() tag component is the epoch-day ordinal itself —
+          // exactly DateType's internal Int
+          if (gk.daysTag) scala.util.Try(
+            java.lang.Integer.valueOf(c.toInt)).getOrElse(return None)
+          else scala.util.Try(compInternal(c, gk.outType)).getOrElse(return None)
         }
         Some(keyVals ++ aggVals)
       }
@@ -1250,7 +1354,10 @@ private[sources] final class GraftLogScanBuilder(
   // only when coverage is PROVEN. `spark.graft.limitPushdown
   // .enabled=false` opts out.
   override def pushLimit(limit: Int): Boolean = {
-    if (groupGranularity || filtersWerePushed || limit <= 0) return false
+    // r15: a partition-exact filter set keeps the covering-prefix
+    // bound sound (no residual row can drop from the counted prefix)
+    if (groupGranularity || (filtersWerePushed && !filtersExact)
+        || limit <= 0) return false
     if (!boolConf("spark.graft.limitPushdown.enabled", default = true)) return false
     var acc = 0L
     var n = 0

@@ -262,6 +262,72 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
       .agg(count(lit(1)).as("cnt"))
     assert(!manifestAnswered(q3))
     assert(q3.collect().map(_.getLong(1)).sum === 50L)
+    // ...but grouping by the TRANSFORM — CAST(ts AS DATE), the
+    // day-level rollup — folds from the tags, which hold exactly the
+    // UTC epoch-day (r15, VERDICT r14 #4; session TZ is pinned UTC)
+    val q4 = spark.table(s"$cat2.t")
+      .groupBy($"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"), min($"id").as("mn"))
+    assert(manifestAnswered(q4), "GROUP BY CAST(ts AS DATE) over a " +
+      "days(ts) key must fold from tags:\n" + q4.queryExecution.executedPlan)
+    assert(q4.collect().map(r =>
+        (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+      === (1 to 5).map(d => (s"2024-01-0$d", 10L,
+        (1 to 50).filter(i => 1 + i % 5 == d).min.toLong)).toSet)
+  }
+
+  test("partition-exact filters keep aggregate and limit pushdown sound (r15)") {
+    val (cat, _) = freshCat("pex")
+    // partitioned by flag; flag=A gets THREE single-file commits so a
+    // LIMIT under WHERE flag='A' can prove a covering prefix
+    val df = (1 to 300).map(i => (i.toLong, if (i <= 240) "A" else "B"))
+      .toDF("id", "flag")
+    df.filter($"id" <= 80).coalesce(1).writeTo(s"$cat.t")
+      .tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "flag").create()
+    df.filter($"id" > 80 && $"id" <= 160).coalesce(1).writeTo(s"$cat.t").append()
+    df.filter($"id" > 160).coalesce(1).writeTo(s"$cat.t").append()
+    // COUNT/MIN/MAX under the partition filter: manifest-answered
+    val agg = spark.table(s"$cat.t").filter($"flag" === "A")
+      .agg(count(lit(1)).as("cnt"), min($"id").as("mn"), max($"id").as("mx"))
+    assert(manifestAnswered(agg),
+      "COUNT/MIN/MAX under a partition-exact filter must fold from the " +
+        "manifest:\n" + agg.queryExecution.executedPlan)
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((240L, 1L, 240L)))
+    // LIMIT under the partition filter: covering prefix of A's files
+    val lim = spark.table(s"$cat.t").filter($"flag" === "A").limit(90)
+    assert(lim.count() === 90L)
+    assert(scannedFiles(lim) === 2,
+      s"LIMIT 90 over A's 80-row files needs a 2-file prefix, got ${scannedFiles(lim)}")
+    // a NON-partition conjunct poisons exactness: both refuse
+    val agg2 = spark.table(s"$cat.t").filter($"flag" === "A" && $"id" > 3)
+      .agg(count(lit(1)).as("cnt"))
+    assert(!manifestAnswered(agg2))
+    assert(agg2.collect().head.getLong(0) === 237L)
+    val lim2 = spark.table(s"$cat.t").filter($"flag" === "A" && $"id" > 3).limit(5)
+    assert(lim2.count() === 5L)
+    // filtering the OTHER partition still answers correctly
+    assert(spark.table(s"$cat.t").filter($"flag" === "B")
+      .agg(count(lit(1))).collect().head.getLong(0) === 60L)
+  }
+
+  test("grouped pushdown folds a days(date) key by its source column") {
+    // a days() key over a DATE column: the tag IS the column's
+    // epoch-day, so grouping by the source column itself is exact
+    val (cat, _) = freshCat("ddate")
+    (1 to 40).map(i => (i.toLong,
+        java.sql.Date.valueOf(s"2024-02-0${1 + i % 4}")))
+      .toDF("id", "d")
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "days(d)").create()
+    val q = spark.table(s"$cat.t").groupBy($"d")
+      .agg(count(lit(1)).as("cnt"))
+    assert(manifestAnswered(q), "GROUP BY the date source of days(date) " +
+      "must fold from tags:\n" + q.queryExecution.executedPlan)
+    assert(q.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+      === Set(("2024-02-01", 10L), ("2024-02-02", 10L),
+        ("2024-02-03", 10L), ("2024-02-04", 10L)))
   }
 
   test("aggregate pushdown opt-out restores the file-scan plan") {

@@ -124,15 +124,61 @@ class NestedMappingSpec extends graft.SparkSpecBase {
     assert(e.getMessage.contains("drop the struct column instead"))
   }
 
-  test("array/map interiors stay refused; structural top columns protected") {
-    val root = tmpRoot("refuse")
+  test("array-element rename/drop are metadata-only; map interiors stay refused (r15)") {
+    val root = tmpRoot("arr")
     val log = CommitLog(spark, root)
-    log.append(Seq((1L, Seq(("x", 1.0)))).toDF("id", "arr")
-      .withColumn("arr", transform($"arr",
-        e => struct(e.getField("_1").as("a"), e.getField("_2").as("b")))))
+    def arr(vals: (String, Double)*) = typedLit(vals).cast(
+      "array<struct<a:string,b:double>>")
+    log.append(Seq(1L).toDF("id").withColumn("arr", arr(("x1", 1.0), ("x2", 2.0))))
+    val filesBefore = log.snapshot().files.toSet
+    // RENAME inside the array element: zero files touched
+    log.renameColumn(Seq("arr", "a"), "alpha")
+    assert(log.snapshot().files.toSet === filesBefore, "rename touched files")
+    assert(log.read().schema("arr").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("alpha", "b"))
+    assert(log.read().select(expr("arr[0].alpha")).as[String].collect().toSeq
+      === Seq("x1"))
+    // a post-rename write lands under the STABLE physical element name
+    log.append(Seq(2L).toDF("id").withColumn("arr",
+      typedLit(Seq(("x3", 3.0))).cast("array<struct<alpha:string,b:double>>")))
+    assert(log.read().select(explode($"arr").as("e")).select($"e.alpha")
+      .as[String].collect().sorted.toSeq === Seq("x1", "x2", "x3"))
+    val newest = log.snapshot().files.filterNot(filesBefore).head
+    assert(spark.read.parquet(s"$root/$newest").schema("arr").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("a", "b"), "new file must hold the physical name")
+    // time travel reads the pre-rename element name
+    assert(log.readVersion(0L).select(expr("arr[0].a")).as[String]
+      .collect().toSeq === Seq("x1"))
+    // CDC across the element rename normalizes to feed-final names
+    val ch = log.readChanges(-1L)
+    assert(ch.schema("arr").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fieldNames.toSeq
+      === Seq("alpha", "b"))
+    assert(ch.filter($"_change_type" === "insert")
+      .select(explode($"arr").as("e")).select($"e.alpha")
+      .as[String].collect().sorted.toSeq === Seq("x1", "x2", "x3"))
+    // DROP an element field: metadata-only, the survivor still reads
+    val before = log.snapshot().files.toSet
+    log.dropColumn(Seq("arr", "b"))
+    assert(log.snapshot().files.toSet === before, "drop touched files")
+    assert(log.read().schema("arr").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fieldNames.toSeq === Seq("alpha"))
+    assert(log.read().select(explode($"arr").as("e")).select($"e.alpha")
+      .as[String].collect().sorted.toSeq === Seq("x1", "x2", "x3"))
+    // dropping the LAST element field stays refused
+    val eLast = intercept[IllegalArgumentException](
+      log.dropColumn(Seq("arr", "alpha")))
+    assert(eLast.getMessage.contains("last column"))
+    // MAP value interiors stay refused, loudly
+    val mroot = tmpRoot("map")
+    val mlog = CommitLog(spark, mroot)
+    mlog.append(Seq(1L).toDF("id").withColumn("m",
+      map(lit("k"), struct(lit("x").as("a"), lit(1.0).as("b")))))
     val e = intercept[IllegalArgumentException](
-      log.renameColumn(Seq("arr", "a"), "z"))
-    assert(e.getMessage.contains("not a struct"))
+      mlog.renameColumn(Seq("m", "a"), "z"))
+    assert(e.getMessage.contains("map value evolution"))
   }
 
   test("CDC across a nested rename normalizes to the feed-final names") {
