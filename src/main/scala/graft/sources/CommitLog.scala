@@ -1402,12 +1402,19 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * (i.e. the table is consistently written through this path, or
     * empty) — otherwise an untagged file could silently shadow rows
     * of a replaced partition. */
-  def upsertPartitioned(incoming: DataFrame, keys: Seq[String],
+  def upsertPartitioned(incoming0: DataFrame, keys: Seq[String],
       mode: CommitLog.MergeMode, partCol: String,
       txn: Option[(String, Long)] = None): Long = {
     import graft.operators.Upsert
     import org.apache.spark.sql.functions.col
     val spec = PartSpec.parse(partCol)
+    // Materialized ONCE: the touched-partition probe below and the
+    // merged write are separate jobs — a non-deterministic batch
+    // re-evaluated between them could land rows in partitions the
+    // replace_parts commit never declared (ADVICE r14's merge
+    // reasoning; released before returning on every path)
+    val incoming = incoming0.localCheckpoint()
+    try {
     require(keys.nonEmpty && spec.sourceColumns.forall(keys.contains),
       s"$tableRoot: every partition key source column of '$partCol' must " +
         "be one of the merge keys — a partition-scoped merge only sees the " +
@@ -1457,6 +1464,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
     }
     -1L // unreachable
+    } finally graft.util.Ckpt.release(incoming)
   }
 
   /** Partition-tagged append: like [[append]] but the batch lands in
@@ -2517,11 +2525,20 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * merge updates, have no per-target-row cardinality to violate).
     * `rows` may evolve the schema additively, exactly like [[append]].
     * Cost ∝ touched files + appended rows, never table size. */
-  def deleteAndAppend(matchKeys: DataFrame, keys: Seq[String],
-      rows: DataFrame, partCol: Option[String] = None,
+  def deleteAndAppend(matchKeys0: DataFrame, keys: Seq[String],
+      rows0: DataFrame, partCol: Option[String] = None,
       txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
     require(keys.nonEmpty, s"$tableRoot: deleteAndAppend needs at least one key")
+    // Materialize both inputs ONCE for the whole statement (same
+    // reasoning as [[merge]], ADVICE r14): the envelope aggregate, the
+    // FIND semi-join, the rewrite anti-join and the append write each
+    // run as separate jobs — a non-deterministic input re-evaluated
+    // per job could leave a matching row undeleted or append rows in
+    // an undeclared partition. Released before returning on every path.
+    val matchKeys = matchKeys0.localCheckpoint()
+    val rows = rows0.localCheckpoint()
+    try {
     val mk = matchKeys.select(keys.map(col): _*).distinct()
     val mmAggs = keys.flatMap(k =>
       Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
@@ -2583,6 +2600,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       }
     }
     -1L // unreachable
+    } finally graft.util.Ckpt.release(matchKeys, rows)
   }
 
   /** The merge-on-read form of [[deleteAndAppend]]: mask the

@@ -627,9 +627,12 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
     }
   }
 
-  private def buildNativeWrite(info: LogicalWriteInfo,
+  private def buildNativeWrite(info0: LogicalWriteInfo,
       overwrite: Boolean, dynamic: Boolean): Write = {
     val spark = SparkSession.active
+    // exact (untruncated) footer stats on the staged files — the
+    // commit log harvests them as exact values
+    val info = GraftMergeTable.withExactStats(info0)
     val staging = s"$path/.tmp-v2write-${java.util.UUID.randomUUID()}"
     val inner = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
         s"$ident v2write", spark,
@@ -2086,12 +2089,14 @@ private[sources] final class GraftRowLevelOperation(ident: String,
     // tables at CommitLog.update/merge is gone.
     val spark = SparkSession.active
     val staging = s"$path/.rowlevel-${java.util.UUID.randomUUID()}"
+    // exact (untruncated) footer stats — see GraftMergeTable.withExactStats
+    val infoX = GraftMergeTable.withExactStats(info)
     val inner = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
         s"$ident rowlevel", spark,
         new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
-        List(staging), Some(info.schema()),
+        List(staging), Some(infoX.schema()),
         classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
-      .newWriteBuilder(info).build()
+      .newWriteBuilder(infoX).build()
     new Write {
       override def description(): String = s"graft-rowlevel $ident"
       override def toBatch: BatchWrite = new BatchWrite {
@@ -2197,6 +2202,29 @@ object GraftCatalog {
 }
 
 object GraftMergeTable {
+  /** `info` with the writer option that pins parquet footer statistics
+    * truncation OFF — every staged file a native V2 write produces is
+    * later stat-harvested by the commit log as EXACT values (ADVICE
+    * r14: a session-configured parquet.statistics.truncate.length
+    * would turn string min/max into PARQUET-1685 bounds, undetectable
+    * at read time). The library write path ([[CommitLog]]'s writeData)
+    * pins the same option. */
+  private[sources] def withExactStats(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.LogicalWriteInfo =
+    new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = info.queryId()
+      override def schema(): StructType = info.schema()
+      override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
+      override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
+      override def options(): CaseInsensitiveStringMap = {
+        val m = new java.util.HashMap[String, String](
+          info.options().asCaseSensitiveMap())
+        m.put("parquet.statistics.truncate.length", Int.MaxValue.toString)
+        new CaseInsensitiveStringMap(m)
+      }
+    }
+
   /** sources.Filter → library Column, for the SQL DELETE path. None =
     * not expressible (the caller must then refuse the whole delete —
     * half-translating an AND would delete too much). */

@@ -330,6 +330,28 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
         ("2024-02-03", 10L), ("2024-02-04", 10L)))
   }
 
+  test("string extrema stay exact under a configured stats-truncation length (r15)") {
+    // a session-level parquet.statistics.truncate.length would turn
+    // footer string min/max into PARQUET-1685 bounds (min a prefix,
+    // max incremented) — valid for pruning, WRONG as a pushed answer.
+    // Graft's writers pin truncation off per write (library writeData
+    // option + native V2 withExactStats), so the harvested stats stay
+    // exact values regardless of the ambient config.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("parquet.statistics.truncate.length", "2")
+    try {
+      val (cat, _) = freshCat("trunc")
+      Seq((1L, "zebra-longest"), (2L, "aardvark-long")).toDF("id", "s")
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+      val q = spark.table(s"$cat.t").agg(min($"s").as("mn"), max($"s").as("mx"))
+      assert(manifestAnswered(q),
+        "string extrema must still fold from (exact) footer stats")
+      assert(q.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        === Seq(("aardvark-long", "zebra-longest")),
+        "a truncated footer stat would surface a value that does not exist")
+    } finally hc.unset("parquet.statistics.truncate.length")
+  }
+
   test("aggregate pushdown opt-out restores the file-scan plan") {
     val (cat, _) = freshCat("opt")
     (1 to 20).map(i => (i.toLong, i)).toDF("id", "x")
