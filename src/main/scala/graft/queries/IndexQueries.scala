@@ -2134,6 +2134,7 @@ object IndexQueries {
       // enclosing harness pinned (Verify dumps INT96), restore after
       val priorTsType = s.conf.getOption("spark.sql.parquet.outputTimestampType")
       s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      try {
       // two date-disjoint files: range predicates can prove pruning
       li.filter(col("ts") < lit("1998-01-01").cast("timestamp")).coalesce(1)
         .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
@@ -2172,14 +2173,18 @@ object IndexQueries {
       require(scanned(s.table(s"$cat.t").filter(col("ts") >= bound)) == 2,
         "q181: the stat-less INT96 file must survive range pruning conservatively")
       val mm2Row = mm2.collect()
-      priorTsType match {
-        case Some(v) => s.conf.set("spark.sql.parquet.outputTimestampType", v)
-        case None => s.conf.unset("spark.sql.parquet.outputTimestampType")
-      }
       import s.implicits._
       Seq((mmRow(0).getLong(0), mmRow(0).getLong(1), nRange,
           mm2Row(0).getLong(0), mm2Row(0).getLong(1)))
         .toDF("mn_us", "mx_us", "n_range", "mn2_us", "mx2_us")
+      // a failure above must not leave the SHARED session on MICROS —
+      // Verify pins INT96 for its dumps, and one broken gate would
+      // otherwise cascade tz-suffixed renderings into every later
+      // timestamp query (review r15)
+      } finally priorTsType match {
+        case Some(v) => s.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => s.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
     },
     Some("""WITH base AS (
         SELECT l_orderkey, CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ts

@@ -848,9 +848,19 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], new StructType())
     // stats (footer-harvested) are keyed by PHYSICAL column names
     val physCol = physOf(s.schema, colName)
+    // TIMESTAMP bounds (epoch-micros longs, the documented stats
+    // domain) wrap in TsUs — see candidateFilesForExprs
+    val isTs = s.schema.exists(_.fields.exists(f =>
+      lc(f.name) == lc(colName)
+        && (f.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType]
+          || f.dataType == org.apache.spark.sql.types.TimestampNTZType)))
+    def wrapTs(v: Any): Any = v match {
+      case l: java.lang.Long if isTs => CommitLog.TsUs(l)
+      case x => x
+    }
     val picked = s.files.filter { f =>
       s.stats.get(f).flatMap(_.get(physCol)) match {
-        case Some((mn, mx)) => overlaps(mn, mx, lo, hi)
+        case Some((mn, mx)) => overlaps(mn, mx, wrapTs(lo), wrapTs(hi))
         case None => true // no stats → cannot rule the file out
       }
     }
@@ -902,9 +912,18 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         .map(_.toString)
     }.toOption.flatten
     val physCol = physOf(s.schema, colName) // stats/blooms: physical keys
+    val tsPoint: Any = s.schema.flatMap(_.find(f => lc(f.name) == lc(colName)))
+      .map(_.dataType) match {
+      case Some(dt) if (dt.isInstanceOf[org.apache.spark.sql.types.TimestampType]
+          || dt == org.apache.spark.sql.types.TimestampNTZType) => value match {
+        case l: java.lang.Long => CommitLog.TsUs(l)
+        case x => x
+      }
+      case _ => value
+    }
     s.files.filter { f =>
       val statOk = s.stats.get(f).flatMap(_.get(physCol)) match {
-        case Some((mn, mx)) => overlaps(mn, mx, value, value)
+        case Some((mn, mx)) => overlaps(mn, mx, tsPoint, tsPoint)
         case None => true
       }
       val bloomOk = (s.blooms.get(f).flatMap(_.get(physCol)), vs) match {
@@ -1015,6 +1034,18 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
 
   private def overlaps(mn: Any, mx: Any, lo: Any, hi: Any): Boolean = {
+    // unit-normalized timestamp stats compare ONLY against
+    // unit-normalized bounds (exact long compare); any mixed pairing
+    // (a pre-r15 raw-unit long on either side) is incomparable and
+    // keeps the file
+    (mn, mx, lo, hi) match {
+      case (CommitLog.TsUs(a), CommitLog.TsUs(b),
+            CommitLog.TsUs(l), CommitLog.TsUs(h)) =>
+        return b >= l && a <= h
+      case _ if Seq(mn, mx, lo, hi).exists(_.isInstanceOf[CommitLog.TsUs]) =>
+        return true
+      case _ => ()
+    }
     def num(x: Any): Option[Double] = x match {
       case n: Number => Some(n.doubleValue())
       case _ => None
@@ -1409,11 +1440,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     import org.apache.spark.sql.functions.col
     val spec = PartSpec.parse(partCol)
     // Materialized ONCE: the touched-partition probe below and the
-    // merged write are separate jobs — a non-deterministic batch
+    // merged write are separate jobs — a re-execution-unstable batch
     // re-evaluated between them could land rows in partitions the
     // replace_parts commit never declared (ADVICE r14's merge
-    // reasoning; released before returning on every path)
-    val incoming = incoming0.localCheckpoint()
+    // reasoning; trivial scan chains skip the copy, allocated blocks
+    // released on every return path)
+    val inMaterialized = !CommitLog.reExecutionStable(incoming0)
+    val incoming = if (inMaterialized) incoming0.localCheckpoint() else incoming0
     try {
     require(keys.nonEmpty && spec.sourceColumns.forall(keys.contains),
       s"$tableRoot: every partition key source column of '$partCol' must " +
@@ -1464,7 +1497,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
     }
     -1L // unreachable
-    } finally graft.util.Ckpt.release(incoming)
+    } finally if (inMaterialized) graft.util.Ckpt.release(incoming)
   }
 
   /** Partition-tagged append: like [[append]] but the batch lands in
@@ -1987,6 +2020,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * (BenchOne r13: the sync composites regressed 20-40% with DVs on
     * at sf0.1's megabyte-scale partitions). Below the floor the
     * copy-on-write path is the honest fast path. */
+  /** The DV row cap, clamped below Int.MaxValue: the mask probes
+    * collect maxRows+1 rows through DataFrame.limit(Int), so an
+    * at-or-above-IntMax config would wrap negative and fail the
+    * statement; past the clamp the DV path refuses (length > maxRows)
+    * and copy-on-write takes over (ADVICE r14). One definition for all
+    * four DV forms (review r15). */
+  private def dvMaxRows(conf: (String, String) => String): Long =
+    math.min(
+      conf("spark.graft.dv.maxDeletedRows", "2000000").toLong, Int.MaxValue - 2L)
+
   private def dvAdmitted(touched: Seq[String]): Boolean = {
     def conf(k: String, d: String): String =
       spark.conf.getOption(k).getOrElse(d)
@@ -2005,13 +2048,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     def conf(k: String, d: String): String =
       spark.conf.getOption(k).getOrElse(d)
     if (!dvAdmitted(touched)) return None
-    // clamped below Int.MaxValue: the probe collects maxRows+1 rows
-    // through DataFrame.limit(Int), so an at-or-above-IntMax config
-    // would wrap negative and fail the statement; past the clamp the
-    // DV path refuses (length > maxRows) and copy-on-write takes over
-    // (ADVICE r14)
-    val maxRows = math.min(
-      conf("spark.graft.dv.maxDeletedRows", "2000000").toLong, Int.MaxValue - 2L)
+    val maxRows = dvMaxRows(conf)
     val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
     import org.apache.spark.sql.functions.col
     val withPos = readLiveWithPos(s, sch, touched)
@@ -2055,13 +2092,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     def conf(k: String, d: String): String =
       spark.conf.getOption(k).getOrElse(d)
     if (!dvAdmitted(touched)) return None
-    // clamped below Int.MaxValue: the probe collects maxRows+1 rows
-    // through DataFrame.limit(Int), so an at-or-above-IntMax config
-    // would wrap negative and fail the statement; past the clamp the
-    // DV path refuses (length > maxRows) and copy-on-write takes over
-    // (ADVICE r14)
-    val maxRows = math.min(
-      conf("spark.graft.dv.maxDeletedRows", "2000000").toLong, Int.MaxValue - 2L)
+    val maxRows = dvMaxRows(conf)
     val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
     val hits = readLiveWithPos(s, sch, touched).filter(condition)
     val matched = hits.select(col("__dv_f"), col("__dv_pos"))
@@ -2214,13 +2245,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // the same reason upstream MERGE implementations do): every phase
     // below — dup check, key envelope, the FIND semi-join, the staged
     // full-outer, the MoR mask collect and the append write — runs as
-    // its own Spark job, and a NON-DETERMINISTIC source (rand(), a
-    // re-executed sample/shuffle) re-evaluated per job could mask a
-    // row without appending its replacement (silent row loss) or
-    // append an update whose original was never masked (duplication)
-    // within the one commit. Merge batches are batch-sized by nature;
-    // the blocks are released before returning on every path.
-    val source = source0.localCheckpoint()
+    // its own Spark job, and a source whose re-execution can change
+    // (rand(), a sample, a join/aggregate under task retry)
+    // re-evaluated per job could mask a row without appending its
+    // replacement (silent row loss) or append an update whose original
+    // was never masked (duplication) within the one commit. Trivial
+    // scan chains skip the copy ([[CommitLog.reExecutionStable]]);
+    // blocks this call allocates are released on every return path.
+    val srcMaterialized = !CommitLog.reExecutionStable(source0)
+    val source = if (srcMaterialized) source0.localCheckpoint() else source0
     try {
     val matchedClauses = clauses.filter(!_.isInstanceOf[CommitLog.WhenNotMatchedInsert])
     val insertClauses = clauses.collect { case c: CommitLog.WhenNotMatchedInsert => c }
@@ -2331,7 +2364,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       }
     }
     -1L // unreachable
-    } finally graft.util.Ckpt.release(source)
+    } finally if (srcMaterialized) graft.util.Ckpt.release(source)
   }
 
   /** MERGE's clause-resolution stage, shared by the copy-on-write and
@@ -2443,13 +2476,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     def conf(k: String, d: String): String =
       spark.conf.getOption(k).getOrElse(d)
     if (matchedClauses.isEmpty || !dvAdmitted(touched)) return None
-    // clamped below Int.MaxValue: the probe collects maxRows+1 rows
-    // through DataFrame.limit(Int), so an at-or-above-IntMax config
-    // would wrap negative and fail the statement; past the clamp the
-    // DV path refuses (length > maxRows) and copy-on-write takes over
-    // (ADVICE r14)
-    val maxRows = math.min(
-      conf("spark.graft.dv.maxDeletedRows", "2000000").toLong, Int.MaxValue - 2L)
+    val maxRows = dvMaxRows(conf)
     val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
     // the target side carries each live row's physical address through
     // the clause resolution (conform against the extended schema keeps
@@ -2533,11 +2560,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // Materialize both inputs ONCE for the whole statement (same
     // reasoning as [[merge]], ADVICE r14): the envelope aggregate, the
     // FIND semi-join, the rewrite anti-join and the append write each
-    // run as separate jobs — a non-deterministic input re-evaluated
+    // run as separate jobs — a re-execution-unstable input evaluated
     // per job could leave a matching row undeleted or append rows in
-    // an undeclared partition. Released before returning on every path.
-    val matchKeys = matchKeys0.localCheckpoint()
-    val rows = rows0.localCheckpoint()
+    // an undeclared partition. Trivial scan chains skip the copy;
+    // allocated blocks are released on every return path.
+    val mkMaterialized = !CommitLog.reExecutionStable(matchKeys0)
+    val rowsMaterialized = !CommitLog.reExecutionStable(rows0)
+    val matchKeys = if (mkMaterialized) matchKeys0.localCheckpoint() else matchKeys0
+    val rows = if (rowsMaterialized) rows0.localCheckpoint() else rows0
     try {
     val mk = matchKeys.select(keys.map(col): _*).distinct()
     val mmAggs = keys.flatMap(k =>
@@ -2600,7 +2630,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       }
     }
     -1L // unreachable
-    } finally graft.util.Ckpt.release(matchKeys, rows)
+    } finally {
+      if (mkMaterialized) graft.util.Ckpt.release(matchKeys)
+      if (rowsMaterialized) graft.util.Ckpt.release(rows)
+    }
   }
 
   /** The merge-on-read form of [[deleteAndAppend]]: mask the
@@ -2620,13 +2653,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     def conf(k: String, d: String): String =
       spark.conf.getOption(k).getOrElse(d)
     if (!dvAdmitted(touched)) return None
-    // clamped below Int.MaxValue: the probe collects maxRows+1 rows
-    // through DataFrame.limit(Int), so an at-or-above-IntMax config
-    // would wrap negative and fail the statement; past the clamp the
-    // DV path refuses (length > maxRows) and copy-on-write takes over
-    // (ADVICE r14)
-    val maxRows = math.min(
-      conf("spark.graft.dv.maxDeletedRows", "2000000").toLong, Int.MaxValue - 2L)
+    val maxRows = dvMaxRows(conf)
     val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
     val matched = readLiveWithPos(s, sch0, touched)
       .join(mk, keys, "left_semi")
@@ -2923,7 +2950,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
     val cs = conjunctsIn.flatMap(conjuncts)
     // (col, requiredLo, requiredHi): a TRUE row needs col in [lo, hi]
-    val bounds: Seq[(String, Option[Any], Option[Any])] =
+    val bounds0: Seq[(String, Option[Any], Option[Any])] =
       cs.flatMap {
         case Cmp(op, a, v) if attr(a).isDefined =>
           attr(a).flatMap(n => litVal(v).map { x =>
@@ -2943,6 +2970,19 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           })
         case _ => None
       }
+    // TIMESTAMP bounds wrap in [[CommitLog.TsUs]] so they only ever
+    // compare against unit-normalized stats — a pre-r15 raw-unit stat
+    // keeps the file instead of pruning on a wrong-unit comparison
+    def tsTyped(c: String): Boolean = s.schema.exists(_.fields.exists(f =>
+      lc(f.name) == lc(c) && (f.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType]
+        || f.dataType == org.apache.spark.sql.types.TimestampNTZType)))
+    def wrapTs(v: Any): Any = v match {
+      case l: java.lang.Long => CommitLog.TsUs(l)
+      case x => x
+    }
+    val bounds = bounds0.map { case (c, lo, hi) =>
+      if (tsTyped(c)) (c, lo.map(wrapTs), hi.map(wrapTs)) else (c, lo, hi)
+    }
     // top-level equality conjuncts additionally probe the per-file
     // Bloom filters (when indexed) — the value stringifies THROUGH the
     // already-inserted cast, matching [[bloomsFor]]'s hashing exactly;
@@ -3003,14 +3043,18 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val nonNull = values.filter(_.value != null)
     // the stats domain (Long / Double / String) — same folding as
     // candidateFilesForExprs' litVal; None = not stats-comparable
-    def statVal(l: Literal): Option[Any] = l.value match {
-      case i: java.lang.Integer => Some(i.longValue)
-      case v: java.lang.Long    => Some(v)
-      case v: java.lang.Short   => Some(v.longValue)
-      case v: java.lang.Byte    => Some(v.longValue)
-      case v: java.lang.Float   => Some(v.doubleValue)
-      case v: java.lang.Double  => Some(v)
-      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    def statVal(l: Literal): Option[Any] = (l.dataType, l.value) match {
+      case (_: org.apache.spark.sql.types.TimestampType, v: java.lang.Long) =>
+        Some(CommitLog.TsUs(v)) // compares only against normalized stats
+      case (org.apache.spark.sql.types.TimestampNTZType, v: java.lang.Long) =>
+        Some(CommitLog.TsUs(v))
+      case (_, i: java.lang.Integer) => Some(i.longValue)
+      case (_, v: java.lang.Long)    => Some(v)
+      case (_, v: java.lang.Short)   => Some(v.longValue)
+      case (_, v: java.lang.Byte)    => Some(v.longValue)
+      case (_, v: java.lang.Float)   => Some(v.doubleValue)
+      case (_, v: java.lang.Double)  => Some(v)
+      case (_, u: org.apache.spark.unsafe.types.UTF8String) => Some(u.toString)
       case _ => None
     }
     // the tag/bloom domain: the value's cast-to-string, evaluated by
@@ -3825,9 +3869,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         val mn = st.genericGetMin.asInstanceOf[Number].longValue()
         val mx = st.genericGetMax.asInstanceOf[Number].longValue()
         unit match {
-          case LogicalTypeAnnotation.TimeUnit.MICROS => ChunkCovered(mn, mx)
+          case LogicalTypeAnnotation.TimeUnit.MICROS =>
+            ChunkCovered(CommitLog.TsUs(mn), CommitLog.TsUs(mx))
           case LogicalTypeAnnotation.TimeUnit.MILLIS =>
-            try ChunkCovered(Math.multiplyExact(mn, 1000L), Math.multiplyExact(mx, 1000L))
+            try ChunkCovered(CommitLog.TsUs(Math.multiplyExact(mn, 1000L)),
+              CommitLog.TsUs(Math.multiplyExact(mx, 1000L)))
             catch { case _: ArithmeticException => ChunkUnknown }
           case _ => ChunkUnknown
         }
@@ -3870,6 +3916,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   }
 
   private[sources] def minAny(a: Any, b: Any): Any = (a, b) match {
+    case (CommitLog.TsUs(x), CommitLog.TsUs(y)) => CommitLog.TsUs(math.min(x, y))
     case (x: Long, y: Long) => math.min(x, y)
     case (x: Double, y: Double) => math.min(x, y)
     case (x: String, y: String) => if (utf8Compare(x, y) <= 0) x else y
@@ -3877,6 +3924,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   }
 
   private[sources] def maxAny(a: Any, b: Any): Any = (a, b) match {
+    case (CommitLog.TsUs(x), CommitLog.TsUs(y)) => CommitLog.TsUs(math.max(x, y))
     case (x: Long, y: Long) => math.max(x, y)
     case (x: Double, y: Double) => math.max(x, y)
     case (x: String, y: String) => if (utf8Compare(x, y) >= 0) x else y
@@ -3895,6 +3943,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         cols.foreach { case (c, (mn, mx)) =>
           val o = cn.putObject(c)
           (mn, mx) match {
+            case (CommitLog.TsUs(a), CommitLog.TsUs(b)) =>
+              o.put("t", "ts"); o.put("mn", a); o.put("mx", b)
             case (a: Long, b: Long)     => o.put("t", "l"); o.put("mn", a); o.put("mx", b)
             case (a: Double, b: Double) => o.put("t", "d"); o.put("mn", a); o.put("mx", b)
             case (a: String, b: String) => o.put("t", "s"); o.put("mn", a); o.put("mx", b)
@@ -3910,6 +3960,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         val o = ce.getValue
         val parsed: Option[(Any, Any)] =
           Option(o.get("t")).map(_.asText()) match {
+            case Some("ts") => Some((CommitLog.TsUs(o.get("mn").asLong()),
+              CommitLog.TsUs(o.get("mx").asLong())))
             case Some("l") => Some((o.get("mn").asLong(), o.get("mx").asLong()))
             case Some("d") => Some((o.get("mn").asDouble(), o.get("mx").asDouble()))
             case Some("s") => Some((o.get("mn").asText(), o.get("mx").asText()))
@@ -4149,6 +4201,45 @@ object CommitLog {
 
   /** `dt` with every struct-interior field under its PHYSICAL name,
     * metadata stripped — the in-file shape of a nested-mapped type. */
+  /** True when re-executing `df`'s plan provably yields the same rows
+    * — a chain of deterministic project/filter over a relation leaf.
+    * Joins, aggregates, limits, samples, non-deterministic
+    * expressions, and subquery-bearing predicates all return false:
+    * their output can change across jobs (task retry, shuffle
+    * re-execution, rand()), which is exactly what the DML input
+    * materialization guards against. The trivial-scan exception keeps
+    * the COMMON batch (read-project-filter) streaming through the
+    * write instead of paying a full block-manager copy (review r15;
+    * the same shape upstream MERGE implementations special-case). */
+  private[sources] def reExecutionStable(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter,
+      LocalRelation, LogicalPlan, OneRowRelation, Project, Range => LRange,
+      SubqueryAlias}
+    def ok(p: LogicalPlan): Boolean = (p match {
+      case _: Project | _: LFilter | _: SubqueryAlias => true
+      case _: LocalRelation | _: LRange | _: OneRowRelation => true
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => true
+      case _ => false
+    }) && p.expressions.forall(e => e.deterministic &&
+      !e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])) &&
+      p.children.forall(ok)
+    scala.util.Try(ok(df.queryExecution.analyzed)).getOrElse(false)
+  }
+
+  /** A unit-NORMALIZED timestamp stat value: Spark-internal epoch
+    * MICROS, harvested by an r15+ build (chunkMinMax's timestamp
+    * branch). The DISTINCT runtime + serialized type (manifest tag
+    * "ts") IS the unit marker: a pre-r15 manifest's raw-unit timestamp
+    * stats parse as plain longs, which every timestamp-aware reader
+    * treats as ABSENT — refusing the aggregate pushdown and keeping
+    * the file in range pruning — instead of misreading a
+    * configured-millis writer's stats as micros (review r15). */
+  final case class TsUs(us: Long)
+
   /** `dt` with every field and container marked nullable, recursively —
     * the cast-target form of a logical type ([[logicalCol]]): values
     * are untouched, only the nullability contract loosens to what the

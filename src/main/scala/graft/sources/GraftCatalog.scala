@@ -1075,13 +1075,17 @@ private[sources] final class GraftLogScanBuilder(
   private var aggAnswer: Option[(StructType, Seq[Seq[Any]])] = None
 
   /** Defensive boolean conf read: a malformed value (e.g. 'ture')
-    * falls back to `default` instead of throwing IllegalArgumentException
-    * mid-planning (ADVICE r14). */
+    * never throws mid-planning (ADVICE r14) — and it resolves to
+    * FALSE, the feature-off side, regardless of the default: anyone
+    * touching one of these flags is reaching for the correctness
+    * escape hatch, and a typo'd opt-out must still opt out (review
+    * r15). */
   private def boolConf(key: String, default: Boolean): Boolean =
     spark.conf.getOption(key).map(_.trim) match {
       case Some(v) if v.equalsIgnoreCase("true")  => true
       case Some(v) if v.equalsIgnoreCase("false") => false
-      case _ => default
+      case Some(_) => false
+      case None => default
     }
   // Catalyst calls supportCompletePushDown then pushAggregation with
   // the SAME Aggregation instance — memoize so the O(live files)
@@ -1139,10 +1143,10 @@ private[sources] final class GraftLogScanBuilder(
       case (IntegerType, l: Long) => Some(java.lang.Integer.valueOf(l.toInt))
       case (LongType, l: Long)    => Some(java.lang.Long.valueOf(l))
       case (DateType, l: Long)    => Some(java.lang.Integer.valueOf(l.toInt))
-      // harvested timestamp stats are ALREADY internal epoch-micros
-      // (statsForOne normalizes units and refuses inexact ones)
-      case (TimestampType, l: Long)    => Some(java.lang.Long.valueOf(l))
-      case (TimestampNTZType, l: Long) => Some(java.lang.Long.valueOf(l))
+      // ONLY unit-normalized (r15+ harvested) timestamp stats are
+      // trusted — a pre-r15 manifest's raw-unit long refuses here
+      case (TimestampType, CommitLog.TsUs(l))    => Some(java.lang.Long.valueOf(l))
+      case (TimestampNTZType, CommitLog.TsUs(l)) => Some(java.lang.Long.valueOf(l))
       case (FloatType, d: Double) => Some(java.lang.Float.valueOf(d.toFloat))
       case (DoubleType, d: Double) => Some(java.lang.Double.valueOf(d))
       case (StringType, s: String) =>

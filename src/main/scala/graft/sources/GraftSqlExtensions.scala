@@ -95,7 +95,8 @@ final case class GraftMorMergeCommand(m: MergeIntoTable) extends LeafRunnableCom
   }
 }
 
-private[sources] object GraftMorMerge {
+private[sources] object GraftMorMerge
+    extends org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   /** Translation refusal — NEVER raised after the library merge
     * starts; a caught Refuse means zero table state changed and the
@@ -166,10 +167,6 @@ private[sources] object GraftMorMerge {
     def sourceField(name: String): Option[String] = srcCols.find(ci(_, name))
 
     // ---- ON condition: pure target-key = source-key conjunction ---
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case x => Seq(x)
-    }
     // classify a reference: Left(target column) / Right(source column)
     def classify(parts: Seq[String]): Either[String, String] = parts match {
       case Seq(q, c) if ci(q, tAlias) =>
@@ -184,7 +181,7 @@ private[sources] object GraftMorMerge {
       }
       case _ => refuse(s"unsupported reference ${parts.mkString(".")}")
     }
-    val keyPairs: Seq[(String, String)] = conjuncts(m.mergeCondition).map {
+    val keyPairs: Seq[(String, String)] = splitConjunctivePredicates(m.mergeCondition).map {
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
         (classify(a.nameParts), classify(b.nameParts)) match {
           case (Left(t), Right(s)) => (t, s)
@@ -265,6 +262,13 @@ private[sources] object GraftMorMerge {
         val values = assigns.map(a => assignTarget(a.key) ->
           requalify(a.value, allowTarget = false)).toMap
         if (values.size != assigns.size) refuse("duplicate insert targets")
+        // SQL requires the INSERT column list to cover EVERY target
+        // column; the library would silently fill the gap by source
+        // name or null — refusing keeps Spark's standard error
+        // (review r15)
+        targetSchema.fields.foreach(f =>
+          if (!values.keys.exists(ci(_, f.name)))
+            refuse(s"INSERT column list misses ${f.name}"))
         CommitLog.WhenNotMatchedInsert(
           cond.map(requalify(_, allowTarget = false)), values)
       case InsertStarAction(cond) =>
@@ -295,16 +299,71 @@ private[sources] object GraftMorMerge {
       src.schema.fieldNames.foreach(c =>
         if (targetField(c).isEmpty) refuse(s"source column $c is not a target column"))
     }
-    // duplicate source keys: legal SQL when every duplicate lands as an
-    // insert; the library's ANSI cardinality gate would refuse the
-    // whole batch — so those statements keep the standard path
-    import org.apache.spark.sql.functions.{count => fcount, lit}
-    val nonNullKeys = keys.map(col(_).isNotNull).reduce(_ && _)
-    val hasDup = src.filter(nonNullKeys).groupBy(keys.map(col): _*)
-      .agg(fcount(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count() > 0
-    if (hasDup) refuse("duplicate source keys")
+    // ---- analysis-time type check (review r15) ----------------------
+    // Spark MERGE enforces ANSI store-assignment on every assignment
+    // and boolean-ness on every condition AT ANALYSIS; the library's
+    // mergeStage applies a plain Cast, which would silently accept
+    // (and null out, under non-ANSI) what the standard path rejects.
+    // Resolve every translated expression against EMPTY t/s frames —
+    // one analysis pass, zero jobs — and refuse on any incompatibility
+    // OR any analysis failure (unresolvable reference, bad function):
+    // the fallback then raises the standard error.
+    def targetType(name: String): org.apache.spark.sql.types.DataType =
+      targetSchema.fields.find(f => ci(f.name, name)).get.dataType
+    val checks: Seq[(Column, Option[org.apache.spark.sql.types.DataType])] =
+      matched.flatMap {
+        case CommitLog.WhenMatchedUpdate(set, c) =>
+          set.toSeq.map { case (tc, v) => (v, Some(targetType(tc))) } ++
+            c.map(x => (x, None))
+        case CommitLog.WhenMatchedDelete(c) => c.map(x => (x, None)).toSeq
+        case _ => Nil
+      } ++ inserts.flatMap {
+        case CommitLog.WhenNotMatchedInsert(c, values) =>
+          values.toSeq.map { case (tc, v) => (v, Some(targetType(tc))) } ++
+            c.map(x => (x, None))
+        case _ => Nil
+      }
+    if (checks.nonEmpty) {
+      val tProbe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], targetSchema).as("t")
+      val sProbe = src.limit(0).as("s")
+      val resolvedTypes =
+        try tProbe.crossJoin(sProbe)
+          .select(checks.zipWithIndex.map { case ((c, _), i) => c.as(s"__c$i") }: _*)
+          .schema.fields.map(_.dataType).toSeq
+        catch { case scala.util.control.NonFatal(_) =>
+          refuse("clause expression does not resolve") }
+      checks.zip(resolvedTypes).foreach {
+        case ((_, Some(tgt)), vt) =>
+          if (!org.apache.spark.sql.catalyst.expressions.Cast
+              .canANSIStoreAssign(vt, tgt))
+            refuse(s"assignment ${vt.simpleString} -> ${tgt.simpleString} " +
+              "is not an ANSI store assignment")
+        case ((_, None), vt) =>
+          if (vt != org.apache.spark.sql.types.BooleanType)
+            refuse("clause condition is not boolean")
+      }
+    }
 
-    // ---- run the library merge (merge-on-read first) ---------------
-    log.merge(src, keys, matched ++ inserts, partCol)
+    // ---- single evaluation + duplicate-key probe ---------------------
+    // the source is materialized ONCE here (review r15): the dup probe
+    // below and every job inside the library merge read the same rows
+    // — no second evaluation of the user's source plan, and a
+    // non-deterministic source cannot pass the probe then fail the
+    // library's own gate
+    import org.apache.spark.sql.functions.{count => fcount, lit}
+    val srcCk = src.localCheckpoint()
+    try {
+      // duplicate source keys: legal SQL when every duplicate lands as
+      // an insert; the library's ANSI cardinality gate would refuse the
+      // whole batch — so those statements keep the standard path
+      val nonNullKeys = keys.map(col(_).isNotNull).reduce(_ && _)
+      val hasDup = srcCk.filter(nonNullKeys).groupBy(keys.map(col): _*)
+        .agg(fcount(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count() > 0
+      if (hasDup) refuse("duplicate source keys")
+
+      // ---- run the library merge (merge-on-read first) ---------------
+      log.merge(srcCk, keys, matched ++ inserts, partCol)
+    } finally graft.util.Ckpt.release(srcCk)
   }
 }

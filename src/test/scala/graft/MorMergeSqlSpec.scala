@@ -142,6 +142,34 @@ class MorMergeSqlSpec extends SparkSpecBase {
       === Set((1L, 100.0), (2L, 50.0)))
   }
 
+  test("partial INSERT column lists and unsafe assignments keep Spark's standard errors") {
+    val (cat, _) = freshTable("i")
+    Seq((1L, 1.0, "a")).toDF("id", "x", "v")
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    Seq((2L, 2.0, "b")).toDF("id", "x", "v").createOrReplaceTempView("mor_src_i")
+    // INSERT (id) misses x and v: SQL requires the full column list —
+    // the translation must refuse so the statement raises the STANDARD
+    // analysis error instead of silently null-filling
+    val e1 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.t t USING mor_src_i s ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)""")
+    }
+    assert(e1.getMessage.toLowerCase.contains("insert") ||
+      e1.getMessage.toLowerCase.contains("assignment"))
+    // string -> double assignment is not an ANSI store assignment:
+    // Spark rejects it at analysis, so must the intercepted statement
+    val e2 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.t t USING mor_src_i s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET x = s.v""")
+    }
+    assert(e2.getMessage.toLowerCase.contains("cast") ||
+      e2.getMessage.toLowerCase.contains("datatype") ||
+      e2.getMessage.toLowerCase.contains("type"))
+    // the table is untouched by both failed statements
+    assert(spark.table(s"$cat.t").as[(Long, Double, String)].collect().toSet
+      === Set((1L, 1.0, "a")))
+  }
+
   test("renamed key column in ON translates (source key exposed under the target name)") {
     val (cat, wh) = freshTable("h")
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")

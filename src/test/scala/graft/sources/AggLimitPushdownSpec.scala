@@ -352,6 +352,49 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
     } finally hc.unset("parquet.statistics.truncate.length")
   }
 
+  test("pre-r15 raw-unit timestamp stats refuse: no wrong answers, no wrong pruning") {
+    // r15 harvests timestamp stats as the DISTINCT TsUs type (manifest
+    // tag "ts"); a pre-r15 manifest recorded raw writer-unit longs
+    // (tag "l") with no unit marker. Simulate one by rewriting the
+    // committed manifest to the legacy tag with MILLIS values: the
+    // extremum pushdown must refuse (BatchScan, correct value from the
+    // real scan) and a micros-bound range predicate must keep the file
+    // rather than compare across units.
+    val (cat, wh) = freshCat("tsold")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      Seq(1L, 2L).toDF("id")
+        .withColumn("ts", expr("timestampadd(DAY, CAST(id AS INT), " +
+          "TIMESTAMP '2024-05-01 00:00:00')"))
+        .coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    // sanity: the fresh manifest answers min/max from the manifest
+    val fresh = spark.table(s"$cat.t").agg(min($"ts").as("mn"))
+    assert(manifestAnswered(fresh))
+    // rewrite the manifest to the legacy shape: tag "l", values /1000
+    val logDir = new java.io.File(s"$wh/t/_graft_log")
+    logDir.listFiles().filter(_.getName.endsWith(".json")).foreach { mf =>
+      val raw = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+      val legacy = """"t":"ts","mn":(\d+),"mx":(\d+)""".r
+        .replaceAllIn(raw, m => s""""t":"l","mn":${m.group(1).toLong / 1000},"mx":${m.group(2).toLong / 1000}""")
+      java.nio.file.Files.write(mf.toPath, legacy.getBytes("UTF-8"))
+    }
+    // fresh catalog name → fresh snapshot fold over the edited manifest
+    val cat2 = cat + "b"
+    spark.conf.set(s"spark.sql.catalog.$cat2", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat2.warehouse", wh)
+    val mm = spark.table(s"$cat2.t").agg(min($"ts").as("mn"), max($"ts").as("mx"))
+    assert(!manifestAnswered(mm),
+      "raw-unit (legacy) timestamp stats must refuse the extremum pushdown")
+    assert(mm.collect().head.getTimestamp(0).toString.startsWith("2024-05-02"))
+    // a micros range bound must not prune against millis stats: the
+    // file stays selected and the rows still return
+    val n = spark.table(s"$cat2.t")
+      .filter($"ts" >= lit("2024-05-02").cast("timestamp")).count()
+    assert(n === 2L, "legacy stats must keep the file (conservative), not prune it")
+  }
+
   test("aggregate pushdown opt-out restores the file-scan plan") {
     val (cat, _) = freshCat("opt")
     (1 to 20).map(i => (i.toLong, i)).toDF("id", "x")
