@@ -2394,8 +2394,84 @@ object IndexQueries {
         CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM exploded GROUP BY fuel ORDER BY fuel"""))
 
+  /** B2/B5 TRANSFORM PARTITION FAMILY (r15): `months(ts)` and
+    * `bucket(n, key)` manifest partition keys — with days/hours/years/
+    * truncate, the standard lakehouse layout vocabulary (Iceberg's
+    * transform family). Months bounds partition count on long
+    * retention; hash buckets bound it on high-cardinality keys — at
+    * 100 TB the difference between 10⁶ tiny partitions and a layout a
+    * scoped merge can actually use. REQUIRED in-body: every file
+    * tagged; a month-scoped read touches exactly that month's files; a
+    * bucket-scoped upsert commits `replace_parts` over ONLY the
+    * touched buckets (untouched buckets' files ride through). Values
+    * hash against DuckDB reconstructing the month count and the
+    * post-upsert aggregate. */
+  private val q185 = Q(
+    "q185_transform_partitions",
+    (s, dir) => {
+      val root = scratch(s, dir, "xform")
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("price"),
+        col("o_orderdate").cast("timestamp").as("ts"))
+      // months(ts): calendar-bucketed layout
+      val mlog = graft.sources.CommitLog(s, s"$root/m")
+      mlog.appendPartitioned(o, "months(ts)")
+      val msnap = mlog.snapshot()
+      require(msnap.files.forall(msnap.parts.contains),
+        "q185: months layout must tag every file")
+      // the month tag for 1997-03 = (1997-1970)*12 + 2
+      val tag = ((1997 - 1970) * 12 + 2).toString
+      val monthFiles = msnap.files.filter(f => msnap.parts(f) == tag)
+      val nMonth = mlog.readPartitions(Seq(tag)).count()
+      require(monthFiles.nonEmpty,
+        "q185: 1997-03 must exist in the synthetic orders")
+      // bucket(8, o_custkey): hash-bounded layout + scoped upsert
+      val blog = graft.sources.CommitLog(s, s"$root/b")
+      blog.appendPartitioned(o, "bucket(8,o_custkey)")
+      val before = blog.snapshot()
+      require(before.files.map(before.parts).toSet.size <= 8,
+        "q185: bucket(8) must yield at most 8 partitions")
+      val batch = o.filter(col("o_custkey") % 50 === 0)
+        .withColumn("price", (col("price") * 2).cast("double"))
+      val touchedTags = batch
+        .select(graft.sources.PartSpec.parse("bucket(8,o_custkey)")
+          .tagExpr(batch).as("p")).distinct().collect().map(_.getString(0)).toSet
+      blog.upsertPartitioned(batch, Seq("o_orderkey", "o_custkey"),
+        graft.sources.CommitLog.LastWins, "bucket(8,o_custkey)")
+      val after = blog.snapshot()
+      val untouchedBefore = before.files.filter(f => !touchedTags(before.parts(f)))
+      require(untouchedBefore.forall(after.files.contains),
+        "q185: a bucket-scoped upsert must not rewrite untouched buckets")
+      require(after.files.exists(f => !before.files.contains(f)),
+        "q185: the touched buckets must have been rewritten")
+      val agg = blog.read().agg(
+        count(lit(1)).as("n"),
+        sum(col("price").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        sum(col("o_custkey")).as("ck_sum")).collect()(0)
+      import s.implicits._
+      Seq((nMonth, agg.getLong(0), agg.getDouble(1), agg.getLong(2)))
+        .toDF("n_month", "n", "sum_price", "ck_sum")
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price,
+          CAST(o_orderdate AS TIMESTAMP) AS ts
+        FROM orders),
+      merged AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_custkey % 50 = 0 THEN price * 2 ELSE price END AS price
+        FROM base)
+      SELECT
+        (SELECT COUNT(*) FROM base
+          WHERE EXTRACT(YEAR FROM ts) = 1997 AND EXTRACT(MONTH FROM ts) = 3)
+          AS n_month,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(SUM(o_custkey) AS BIGINT) AS ck_sum
+      FROM merged"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
     q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184)
+    q181, q182, q183, q184, q185)
 }

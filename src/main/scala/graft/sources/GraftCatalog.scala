@@ -193,13 +193,24 @@ final class GraftCatalog extends TableCatalog
               s"$ident: partition column '$c' is not in the table schema")
             c
           }
+          def intArg(what: String): Int = t.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value.isInstanceOf[Number] =>
+              l.value.asInstanceOf[Number].intValue
+          }.getOrElse(throw new UnsupportedOperationException(
+            s"$ident: $what needs an integer argument, got ${t.describe}"))
           t.name.toLowerCase(java.util.Locale.ROOT) match {
             case "identity" => oneCol("(col)")
             case "days" => s"days(${oneCol("(days(col))")})"
+            case "hours" => s"hours(${oneCol("(hours(col))")})"
+            case "months" => s"months(${oneCol("(months(col))")})"
+            case "years" => s"years(${oneCol("(years(col))")})"
+            case "bucket" => s"bucket(${intArg("bucket")},${oneCol("(bucket(n, col))")})"
+            case "truncate" => s"truncate(${intArg("truncate")},${oneCol("(truncate(w, col))")})"
             case other => throw new UnsupportedOperationException(
-              s"$ident: unsupported partition transform '$other' — only " +
-                "identity columns and days(col) are supported (bucket by " +
-                "merge.keys at the layout level instead)")
+              s"$ident: unsupported partition transform '$other' — " +
+                "identity, days/hours/months/years, bucket(n, col) and " +
+                "truncate(w, col) are supported")
           }
         }
         val rendered = PartSpec.parse(keyStrs.mkString(",")).render
@@ -539,6 +550,18 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
           org.apache.spark.sql.connector.expressions.Expressions.identity(c)
         case PartSpec.Key(c, PartSpec.Days) =>
           org.apache.spark.sql.connector.expressions.Expressions.days(c)
+        case PartSpec.Key(c, PartSpec.Hours) =>
+          org.apache.spark.sql.connector.expressions.Expressions.hours(c)
+        case PartSpec.Key(c, PartSpec.Months) =>
+          org.apache.spark.sql.connector.expressions.Expressions.months(c)
+        case PartSpec.Key(c, PartSpec.Years) =>
+          org.apache.spark.sql.connector.expressions.Expressions.years(c)
+        case PartSpec.Key(c, PartSpec.Bucket(n)) =>
+          org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+        case PartSpec.Key(c, PartSpec.Truncate(w)) =>
+          org.apache.spark.sql.connector.expressions.Expressions.apply("truncate",
+            org.apache.spark.sql.connector.expressions.Expressions.literal(w),
+            org.apache.spark.sql.connector.expressions.Expressions.column(c))
       }.toArray[org.apache.spark.sql.connector.expressions.Transform])
       .getOrElse(Array.empty)
 

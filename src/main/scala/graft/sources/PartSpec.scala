@@ -46,6 +46,11 @@ private[graft] final case class PartSpec(keys: Seq[PartSpec.Key]) {
   def render: String = keys.map {
     case Key(c, Identity) => c
     case Key(c, Days) => s"days($c)"
+    case Key(c, Hours) => s"hours($c)"
+    case Key(c, Months) => s"months($c)"
+    case Key(c, Years) => s"years($c)"
+    case Key(c, Bucket(n)) => s"bucket($n,$c)"
+    case Key(c, Truncate(w)) => s"truncate($w,$c)"
   }.mkString(",")
 
   /** Index of the key whose SOURCE column is `col` (ci), if any. */
@@ -66,6 +71,11 @@ private[graft] final case class PartSpec(keys: Seq[PartSpec.Key]) {
       k.transform match {
         case Identity => c.cast(StringType)
         case Days => daysExpr(c, f.dataType).cast(StringType)
+        case Hours => hoursExpr(c, f.dataType).cast(StringType)
+        case Months => monthsExpr(c, f.dataType).cast(StringType)
+        case Years => yearsExpr(c, f.dataType).cast(StringType)
+        case Bucket(n) => bucketExpr(c, f.dataType, n).cast(StringType)
+        case Truncate(w) => truncExpr(c, f.dataType, w).cast(StringType)
       }
     }
     if (isSingleIdentity) component(keys.head)
@@ -99,35 +109,113 @@ private[graft] final case class PartSpec(keys: Seq[PartSpec.Key]) {
         case (DateType, d: java.lang.Integer) => Some(d.toString)
         case _ => None
       }
+      case Hours => (l.dataType, l.value) match {
+        case (_: TimestampType, m: java.lang.Long) =>
+          Some(Math.floorDiv(m, MicrosPerHour).toString)
+        case _ => None
+      }
+      case Months => epochDayOf(l).map { d =>
+        val ld = java.time.LocalDate.ofEpochDay(d)
+        ((ld.getYear - 1970) * 12 + (ld.getMonthValue - 1)).toString
+      }
+      case Years => epochDayOf(l).map(d =>
+        (java.time.LocalDate.ofEpochDay(d).getYear - 1970).toString)
+      case Bucket(n) =>
+        // replay the tag expression exactly: md5 of the value's own
+        // cast-to-string (lowercase hex, UTF-8 bytes), first 15 hex
+        // chars as an unsigned 60-bit int, mod n
+        scala.util.Try(Option(Cast(l, StringType).eval(null)).map { s =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(s.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val hex = md.map(b => f"$b%02x").mkString.substring(0, 15)
+          Math.floorMod(java.lang.Long.parseLong(hex, 16), n.toLong).toString
+        }).toOption.flatten
+      case Truncate(w) => (l.dataType, l.value) match {
+        case (StringType, u: org.apache.spark.unsafe.types.UTF8String) =>
+          // Spark's own character semantics (code points, not UTF-16)
+          Some(u.substringSQL(1, w).toString)
+        case (ByteType | ShortType | IntegerType | LongType, v: Number) =>
+          val x = v.longValue
+          Some((x - Math.floorMod(x, w.toLong)).toString)
+        case _ => None
+      }
     }
+
+  /** UTC epoch-day of a DATE or TIMESTAMP literal. */
+  private def epochDayOf(l: Literal): Option[Long] = (l.dataType, l.value) match {
+    case (DateType, d: java.lang.Integer) => Some(d.longValue)
+    case (_: TimestampType, m: java.lang.Long) =>
+      Some(Math.floorDiv(m, MicrosPerDay))
+    case _ => None
+  }
 }
 
 private[graft] object PartSpec {
   sealed trait Transform
   case object Identity extends Transform
   case object Days extends Transform
+  /** r15 completions of the standard lakehouse transform family
+    * (Iceberg's hour/month/year + hash-bucket + value-truncate): the
+    * layout vocabulary a 100 TB table actually partitions by —
+    * hours(ts) for high-rate event logs, months/years for long
+    * retention, bucket(n, id) to bound partition count on
+    * high-cardinality keys, truncate(w, s) for prefix locality. Tags
+    * stay plain strings; runtime file pruning judges arriving join
+    * values through [[PartSpec.componentOfLiteral]] for ALL of them. */
+  case object Hours extends Transform
+  case object Months extends Transform
+  case object Years extends Transform
+  final case class Bucket(n: Int) extends Transform
+  final case class Truncate(w: Int) extends Transform
   final case class Key(column: String, transform: Transform)
 
   private[sources] val Sep = '/'
   private[sources] val MicrosPerDay = 86400000000L
+  private[sources] val MicrosPerHour = 3600000000L
 
   private def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
   private def quoted(name: String) = s"`${name.replace("`", "``")}`"
 
   private val DaysRe = """(?i)^days\s*\(\s*([^()]+?)\s*\)$""".r
+  private val HoursRe = """(?i)^hours\s*\(\s*([^()]+?)\s*\)$""".r
+  private val MonthsRe = """(?i)^months\s*\(\s*([^()]+?)\s*\)$""".r
+  private val YearsRe = """(?i)^years\s*\(\s*([^()]+?)\s*\)$""".r
+  private val BucketRe = """(?i)^bucket\s*\(\s*(\d+)\s*,\s*([^()]+?)\s*\)$""".r
+  private val TruncRe = """(?i)^truncate\s*\(\s*(\d+)\s*,\s*([^()]+?)\s*\)$""".r
 
   /** Parse a `merge.partcol` value: comma-separated keys, each a bare
-    * column (identity) or `days(col)`. A bare single column is the
-    * historical spec and keeps the historical tag format. */
+    * column (identity) or a transform — `days(col)`, `hours(col)`,
+    * `months(col)`, `years(col)`, `bucket(n, col)`, `truncate(w,
+    * col)`. A bare single column is the historical spec and keeps the
+    * historical tag format. */
   def parse(s: String): PartSpec = {
     val toks = s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     require(toks.nonEmpty, s"empty partition spec '$s'")
-    PartSpec(toks.map {
+    // bucket/truncate carry their argument through the comma split:
+    // re-join "bucket(4" + "id)" style fragments first
+    val joined = scala.collection.mutable.ArrayBuffer.empty[String]
+    toks.foreach { t =>
+      if (joined.nonEmpty &&
+          joined.last.count(_ == '(') > joined.last.count(_ == ')'))
+        joined(joined.length - 1) = joined.last + "," + t
+      else joined += t
+    }
+    PartSpec(joined.toSeq.map {
       case DaysRe(c) => Key(c, Days)
+      case HoursRe(c) => Key(c, Hours)
+      case MonthsRe(c) => Key(c, Months)
+      case YearsRe(c) => Key(c, Years)
+      case BucketRe(n, c) =>
+        require(n.toInt >= 1, s"bucket($n, $c): bucket count must be >= 1")
+        Key(c, Bucket(n.toInt))
+      case TruncRe(w, c) =>
+        require(w.toInt >= 1, s"truncate($w, $c): width must be >= 1")
+        Key(c, Truncate(w.toInt))
       case c =>
         require(!c.contains('(') && !c.contains(')'),
-          s"unsupported partition transform '$c' — only identity " +
-            "columns and days(col) are supported")
+          s"unsupported partition transform '$c' — identity columns, " +
+            "days/hours/months/years(col), bucket(n, col) and " +
+            "truncate(w, col) are supported")
         Key(c, Identity)
     })
   }
@@ -151,6 +239,69 @@ private[graft] object PartSpec {
       s"days(...) partition transform needs a DATE or TIMESTAMP " +
         s"column, got $other")
   }
+
+  /** UTC epoch-hour of a timestamp — the same exact-floor form as
+    * [[daysExpr]]. */
+  private[sources] def hoursExpr(c: Column, dt: DataType): Column = dt match {
+    case _: TimestampType =>
+      val m = unix_micros(c)
+      val d = lit(MicrosPerHour)
+      round((m - pmod(m, d)) / d, 0).cast(LongType)
+    case other => throw new IllegalArgumentException(
+      s"hours(...) partition transform needs a TIMESTAMP column, got $other")
+  }
+
+  /** The value's UTC calendar DATE (the column itself for DATE;
+    * epoch-day reconstruction for TIMESTAMP — timezone-free, unlike
+    * year()/month() straight on a timestamp). */
+  private def utcDate(c: Column, dt: DataType): Column = dt match {
+    case DateType => c
+    case _: TimestampType =>
+      date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+        daysExpr(c, dt).cast(IntegerType))
+    case other => throw new IllegalArgumentException(
+      s"calendar partition transform needs a DATE or TIMESTAMP column, got $other")
+  }
+
+  /** Months since 1970-01 (Iceberg's months transform domain). */
+  private[sources] def monthsExpr(c: Column, dt: DataType): Column = {
+    val d = utcDate(c, dt)
+    (year(d) - lit(1970)) * lit(12) + (month(d) - lit(1))
+  }
+
+  /** Years since 1970. */
+  private[sources] def yearsExpr(c: Column, dt: DataType): Column =
+    year(utcDate(c, dt)) - lit(1970)
+
+  /** Deterministic hash bucket in [0, n): md5 of the value's own
+    * cast-to-string (the identity tag's domain), first 15 hex chars as
+    * an unsigned 60-bit int, mod n. md5-derived like the engine's
+    * other deterministic hashes — replayable by any engine with md5,
+    * and [[PartSpec.componentOfLiteral]] replays it bit-exactly on the
+    * driver for runtime file pruning. */
+  private[sources] def bucketExpr(c: Column, dt: DataType, n: Int): Column = {
+    dt match {
+      case _: StructType | _: ArrayType | _: MapType =>
+        throw new IllegalArgumentException(
+          s"bucket(...) partition transform needs an atomic column, got $dt")
+      case _ => ()
+    }
+    pmod(conv(substring(md5(c.cast(StringType).cast(BinaryType)), 1, 15),
+      16, 10).cast(LongType), lit(n.toLong))
+  }
+
+  /** Value truncation: strings keep their first `w` characters,
+    * integrals floor to the nearest multiple of `w` (Iceberg's
+    * truncate semantics — ordered, so range predicates still prune). */
+  private[sources] def truncExpr(c: Column, dt: DataType, w: Int): Column =
+    dt match {
+      case StringType => substring(c, 1, w)
+      case ByteType | ShortType | IntegerType | LongType =>
+        (c.cast(LongType) - pmod(c.cast(LongType), lit(w.toLong))).cast(LongType)
+      case other => throw new IllegalArgumentException(
+        s"truncate(...) partition transform needs a STRING or integral " +
+          s"column, got $other")
+    }
 
   /** Component escaping for composite tags: `%` → `%25`, `/` → `%2F`
     * (in that order — unescape reverses it). */

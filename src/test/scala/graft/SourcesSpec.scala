@@ -939,12 +939,15 @@ class SourcesSpec extends SparkSpecBase {
     // DESCRIBE advertises the partitioning
     assert(spark.sql("DESCRIBE TABLE gpby.t2").collect()
       .exists(_.toString.contains("day")))
-    // bucketing / multi-column stay refused loudly
-    val e = intercept[Exception] {
-      spark.sql("""CREATE TABLE gpby.t3 (id BIGINT, day STRING)
-        PARTITIONED BY (bucket(4, id))""")
-    }
-    assert(e.getMessage.nonEmpty)
+    // r15: bucket(n, col) is a supported layout; a genuinely unknown
+    // transform still refuses loudly
+    spark.sql("""CREATE TABLE gpby.t3 (id BIGINT, day STRING)
+      PARTITIONED BY (bucket(4, id))""")
+    assert(spark.sql("SHOW TBLPROPERTIES gpby.t3")
+      .filter($"key" === "merge.partcol").select("value").as[String].head()
+      === "bucket(4,id)")
+    Seq((1L, "d1"), (2L, "d2")).toDF("id", "day").writeTo("gpby.t3").append()
+    assert(spark.table("gpby.t3").count() === 2L)
   }
 
   test("storage-partitioned joins: co-partitioned tables join and aggregate shuffle-free") {

@@ -47,7 +47,7 @@ class PartSpecSpec extends graft.SparkSpecBase {
     assert(PartSpec.parse("a").isSingleIdentity)
     assert(!PartSpec.parse("a,b").isSingleIdentity)
     assert(!PartSpec.parse("days(a)").isSingleIdentity)
-    intercept[IllegalArgumentException](PartSpec.parse("bucket(4, a)"))
+    intercept[IllegalArgumentException](PartSpec.parse("shard(4, a)"))
     intercept[IllegalArgumentException](PartSpec.parse("a,a"))
     intercept[IllegalArgumentException](PartSpec.parse(""))
   }
@@ -238,6 +238,79 @@ class PartSpecSpec extends graft.SparkSpecBase {
       log.upsertPartitioned(Seq(("A", "F", 1L, 12L)).toDF("f", "s", "id", "x"),
         keys = Seq("id"), CommitLog.LastWins, partCol = "f,s"))
     assert(e.getMessage.contains("partition key source column"))
+  }
+
+  test("r15 transforms parse/render: hours, months, years, bucket, truncate") {
+    assert(PartSpec.parse("hours(ts)").render === "hours(ts)")
+    assert(PartSpec.parse("months(d)").render === "months(d)")
+    assert(PartSpec.parse("years(d)").render === "years(d)")
+    assert(PartSpec.parse("bucket(16, id)").render === "bucket(16,id)")
+    assert(PartSpec.parse("truncate(3, s)").render === "truncate(3,s)")
+    // bucket's interior comma survives the spec-level comma split
+    assert(PartSpec.parse("bucket(4,id),days(ts)").render === "bucket(4,id),days(ts)")
+    intercept[IllegalArgumentException](PartSpec.parse("bucket(0,id)"))
+    intercept[IllegalArgumentException](PartSpec.parse("shard(4,id)"))
+  }
+
+  test("r15 transforms: expression tags and the literal judge agree bit-exactly") {
+    // the invariant runtime pruning rests on: the tag a WRITE derives
+    // (expression path) equals the component an arriving LITERAL
+    // derives (componentOfLiteral) for the same value
+    val df = Seq(
+      (1L, "2024-03-05 07:45:10", "alphabet", 17L),
+      (2L, "1969-12-31 22:10:00", "ab", -7L),
+      (3L, "2031-11-30 23:59:59", "x/y%z", 1000L))
+      .toDF("id", "tss", "s", "v")
+      .withColumn("ts", col("tss").cast("timestamp"))
+      .withColumn("d", col("ts").cast("date"))
+    val specs = Seq("hours(ts)", "months(ts)", "months(d)", "years(d)",
+      "bucket(7,s)", "bucket(5,id)", "truncate(3,s)", "truncate(10,v)")
+    specs.foreach { sp =>
+      val spec = PartSpec.parse(sp)
+      val colName = spec.keys.head.column
+      val rows = df.select(col(colName), spec.tagExpr(df).as("tag")).collect()
+      rows.foreach { r =>
+        val lit = r.get(0) match {
+          case ts: java.sql.Timestamp =>
+            Literal(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000, TimestampType)
+          case d: java.sql.Date => Literal(d.toLocalDate.toEpochDay.toInt, DateType)
+          case s: String =>
+            Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType)
+          case l: java.lang.Long => Literal(l.longValue, LongType)
+        }
+        assert(spec.componentOfLiteral(0, lit)
+            === Some(spec.decode(r.getString(1)).head),
+          s"$sp disagrees for value ${r.get(0)}")
+      }
+    }
+  }
+
+  test("r15 bucket keys: tagged writes, runtime pruning, scoped merge") {
+    val cat = freshCat("bkt")
+    (1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .writeTo(s"$cat.t")
+      .tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "bucket(4,id)").create()
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val log = CommitLog(spark, s"$root/t")
+    val s0 = log.snapshot()
+    assert(s0.files.forall(s0.parts.contains), "all-tagged invariant")
+    assert(s0.files.map(s0.parts).toSet.subsetOf(Set("0", "1", "2", "3")))
+    assert(spark.table(s"$cat.t").count() === 40L)
+    // runtime pruning: an id IN-probe keeps only its bucket's files
+    val spec = PartSpec.parse("bucket(4,id)")
+    val probe = Literal(11L, LongType)
+    val want = spec.componentOfLiteral(0, probe).get
+    val kept = log.candidateFilesForInValues(s0, s0.files, "id",
+      Seq(probe), partKey = Some((spec, 0)))
+    assert(kept.nonEmpty && kept.forall(f => s0.parts(f) == want),
+      s"bucket probe must keep only bucket $want")
+    // partition-scoped merge touches only the written buckets
+    log.upsertPartitioned(Seq((11L, "UPD")).toDF("id", "v"),
+      Seq("id"), CommitLog.LastWins, "bucket(4,id)")
+    assert(spark.table(s"$cat.t").filter(col("id") === 11L)
+      .select(col("v")).collect().map(_.getString(0)).toSeq === Seq("UPD"))
+    assert(spark.table(s"$cat.t").count() === 40L)
   }
 
   test("runtime pruning judges one component of a composite tag") {
