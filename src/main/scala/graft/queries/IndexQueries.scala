@@ -2470,8 +2470,66 @@ object IndexQueries {
         CAST(SUM(o_custkey) AS BIGINT) AS ck_sum
       FROM merged"""))
 
+  /** B5 BUCKET STORAGE-PARTITIONED JOIN (r15): two tables hash-bucketed
+    * by the SAME `bucket(n, key)` spec join on that key with ZERO
+    * Exchange — the classic bucketed-join co-location, resolved through
+    * the catalog's V2 `bucket` function (the same md5-derived ordinal
+    * the write path tags files with and the runtime-pruning judge
+    * replays). At 100 TB this is the difference between shuffling both
+    * sides of every fact-dim join and reading co-located buckets in
+    * place. REQUIRED in-body: both scans report the bucket SPJ key and
+    * the joined plan has zero Exchange nodes. Values hash against
+    * DuckDB computing the same join relationally. */
+  private val q186 = Q(
+    "q186_bucket_spj",
+    (s, dir) => {
+      val cat = "g186_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "bspj-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      li.writeTo(s"$cat.fact").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "bucket(8,l_orderkey)").create()
+      t(s, dir, "orders").select(
+          col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        .writeTo(s"$cat.dim").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "bucket(8,l_orderkey)").create()
+      val prevBcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.graft.spj.preserveDataGrouping", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        // join AND per-key aggregate both ride the bucket co-location:
+        // grouping by the bucketed key needs no shuffle either
+        val gold = s.table(s"$cat.fact")
+          .join(s.table(s"$cat.dim"), Seq("l_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_li"),
+            sum(col("price")).cast("double").as("sum_price"),
+            max(col("o_orderstatus")).as("status"))
+        val rows = gold.collect()
+        val plan = gold.queryExecution.executedPlan.toString
+        require(plan.contains("graft-spj(key=bucket(8,l_orderkey))"),
+          s"q186: the scans did not report bucket SPJ partitioning:\n$plan")
+        val nExchange = plan.linesIterator.count(_.contains("Exchange"))
+        require(nExchange == 0,
+          s"q186: co-bucketed join planned $nExchange Exchange node(s):\n$plan")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), gold.schema)
+          .orderBy(col("l_orderkey"))
+      } finally {
+        s.conf.set("spark.graft.spj.preserveDataGrouping", "false")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      }
+    },
+    Some("""SELECT l.l_orderkey, COUNT(*) AS n_li,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        MAX(o.o_orderstatus) AS status
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_orderkey ORDER BY l.l_orderkey"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
     q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185)
+    q181, q182, q183, q184, q185, q186)
 }

@@ -80,10 +80,13 @@ final class GraftCatalog extends TableCatalog
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name.equalsIgnoreCase(GraftFunctions.DaysName))
       GraftFunctions.DaysUnbound
+    else if (ident.name.equalsIgnoreCase(GraftFunctions.BucketName))
+      GraftFunctions.BucketUnbound
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, GraftFunctions.DaysName))
+    Array(Identifier.of(namespace, GraftFunctions.DaysName),
+      Identifier.of(namespace, GraftFunctions.BucketName))
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
@@ -1487,6 +1490,12 @@ private[sources] final class GraftLogScanBuilder(
                 && (f.dataType == org.apache.spark.sql.types.DateType
                   || f.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType]) =>
               GraftLogScanBuilder.SpjKey(f.name, f.dataType, days = true)
+            case f if k.transform.isInstanceOf[PartSpec.Bucket]
+                && GraftLogScanBuilder.spjKeyType(f.dataType) =>
+              // r15: bucket co-location — both sides of a join on the
+              // source column grouped by the same md5 bucket function
+              GraftLogScanBuilder.SpjKey(f.name, f.dataType, days = false,
+                bucketN = Some(k.transform.asInstanceOf[PartSpec.Bucket].n))
           }
         }
         if (resolved.forall(_.isDefined)
@@ -1672,6 +1681,7 @@ private[sources] object GraftLogScanBuilder {
     val vs: Array[Any] = info.keys.zip(comps).map { case (k, c) =>
       val v: Any =
         if (k.days) c.toLong.toInt
+        else if (k.bucketN.isDefined) c.toInt // the bucket ordinal itself
         else k.srcType match {
           case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(c)
           case IntegerType => c.toInt
@@ -1706,7 +1716,7 @@ private[sources] object GraftLogScanBuilder {
     * transform rather than identity. */
   private[sources] final case class SpjKey(
       name: String, srcType: org.apache.spark.sql.types.DataType,
-      days: Boolean)
+      days: Boolean, bucketN: Option[Int] = None)
 
   /** SPJ surface the built scan advertises: the ordered partition keys
     * (r13: composite + days-transform), the spec that decodes the
@@ -1895,7 +1905,10 @@ private[sources] object GraftLogScanBuilder {
           new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
             i.keys.map { k =>
               if (k.days) Expressions.days(k.name)
-              else Expressions.identity(k.name)
+              else k.bucketN match {
+                case Some(n) => Expressions.bucket(n, k.name)
+                case None => Expressions.identity(k.name)
+              }
             }.toArray[org.apache.spark.sql.connector.expressions.Expression],
             i.distinctKeys)
         case None =>

@@ -121,15 +121,10 @@ private[graft] final case class PartSpec(keys: Seq[PartSpec.Key]) {
       case Years => epochDayOf(l).map(d =>
         (java.time.LocalDate.ofEpochDay(d).getYear - 1970).toString)
       case Bucket(n) =>
-        // replay the tag expression exactly: md5 of the value's own
-        // cast-to-string (lowercase hex, UTF-8 bytes), first 15 hex
-        // chars as an unsigned 60-bit int, mod n
-        scala.util.Try(Option(Cast(l, StringType).eval(null)).map { s =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-            .digest(s.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val hex = md.map(b => f"$b%02x").mkString.substring(0, 15)
-          Math.floorMod(java.lang.Long.parseLong(hex, 16), n.toLong).toString
-        }).toOption.flatten
+        // replay the tag expression exactly — md5 of the value's own
+        // cast-to-string ([[PartSpec.bucketOf]])
+        scala.util.Try(Option(Cast(l, StringType).eval(null)).map(s =>
+          PartSpec.bucketOf(s.toString, n).toString)).toOption.flatten
       case Truncate(w) => (l.dataType, l.value) match {
         case (StringType, u: org.apache.spark.unsafe.types.UTF8String) =>
           // Spark's own character semantics (code points, not UTF-16)
@@ -303,6 +298,17 @@ private[graft] object PartSpec {
           s"column, got $other")
     }
 
+  /** The bucket ordinal of a value's CAST-TO-STRING form: md5 (UTF-8
+    * bytes, lowercase hex), first 15 hex chars as an unsigned 60-bit
+    * int, mod n — the exact JVM replay of [[bucketExpr]], shared by
+    * the literal judge and the V2 bucket function (SPJ). */
+  private[sources] def bucketOf(castStr: String, n: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(castStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = md.map(b => f"$b%02x").mkString.substring(0, 15)
+    Math.floorMod(java.lang.Long.parseLong(hex, 16), n.toLong).toInt
+  }
+
   /** Component escaping for composite tags: `%` → `%25`, `/` → `%2F`
     * (in that order — unescape reverses it). */
   private[sources] def escapeExpr(c: Column): Column =
@@ -366,5 +372,52 @@ private[graft] object GraftFunctions {
     override def produceResult(
         in: org.apache.spark.sql.catalyst.InternalRow): Integer =
       in.getInt(0)
+  }
+
+  val BucketName = "bucket"
+
+  /** `bucket(n, col)` — the V2 function behind a reported
+    * `KeyGroupedPartitioning(bucket(n, col))` (Spark resolves the
+    * transform as a 2-arg function call, numBuckets literal first —
+    * the same shape Iceberg's shim binds). Evaluation replays
+    * [[PartSpec.bucketOf]] over the value's cast-to-string, so the
+    * function, the write-path tag expression, and the runtime-pruning
+    * literal judge are one definition. */
+  object BucketUnbound extends UnboundFunction {
+    override def name(): String = BucketName
+    override def description(): String =
+      "bucket(n, col): md5-derived hash bucket partition transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"bucket takes (numBuckets, value), got ${inputType.fields.length} args")
+      require(inputType.fields(0).dataType == IntegerType,
+        s"bucket's first argument must be INT, got ${inputType.fields(0).dataType}")
+      new BucketBound(inputType.fields(1).dataType)
+    }
+  }
+
+  final class BucketBound(valueType: DataType) extends ScalarFunction[Integer] {
+    override def name(): String = BucketName
+    override def canonicalName(): String = "graft.bucket"
+    override def inputTypes(): Array[DataType] = Array(IntegerType, valueType)
+    override def resultType(): DataType = IntegerType
+    override def isResultNullable: Boolean = false
+    override def produceResult(
+        in: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+      val n = in.getInt(0)
+      // the value's Spark cast-to-string form, per supported type
+      val s = valueType match {
+        case StringType => in.getUTF8String(1).toString
+        case LongType => in.getLong(1).toString
+        case IntegerType => in.getInt(1).toString
+        case ShortType => in.getShort(1).toString
+        case ByteType => in.getByte(1).toString
+        case BooleanType => in.getBoolean(1).toString
+        case DateType => java.time.LocalDate.ofEpochDay(in.getInt(1)).toString
+        case other => throw new UnsupportedOperationException(
+          s"bucket: unsupported value type $other")
+      }
+      PartSpec.bucketOf(s, n)
+    }
   }
 }

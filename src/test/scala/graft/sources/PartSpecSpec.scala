@@ -313,6 +313,34 @@ class PartSpecSpec extends graft.SparkSpecBase {
     assert(spark.table(s"$cat.t").count() === 40L)
   }
 
+  test("r15 bucket keys: co-partitioned join plans a storage-partitioned join, zero exchange") {
+    val cat = freshCat("bspj")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity".cast("long").as("qty"))
+    li.writeTo(s"$cat.fact")
+      .tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "bucket(8,l_orderkey)").create()
+    li.groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+      .writeTo(s"$cat.dim")
+      .tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "bucket(8,l_orderkey)").create()
+    withSpj {
+      val q = spark.table(s"$cat.fact")
+        .join(spark.table(s"$cat.dim"), "l_orderkey")
+        .groupBy($"l_orderkey")
+        .agg(sum($"qty").as("sq"), max($"n").as("n"))
+      val rows = q.collect()
+      assert(rows.nonEmpty)
+      assert(exchanges(q) === 0,
+        s"bucket SPJ planned a shuffle:\n${q.queryExecution.executedPlan}")
+      val plain = li.groupBy($"l_orderkey")
+        .agg(sum($"qty").as("sq"), count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      rows.foreach(r =>
+        assert((r.getLong(1), r.getLong(2)) === plain(r.getLong(0))))
+    }
+  }
+
   test("runtime pruning judges one component of a composite tag") {
     val cat = freshCat("rtc")
     Seq(("A", "F", 1L), ("A", "O", 2L), ("R", "F", 3L), ("R", "O", 4L))
