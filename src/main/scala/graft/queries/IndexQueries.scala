@@ -2528,8 +2528,54 @@ object IndexQueries {
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY l.l_orderkey ORDER BY l.l_orderkey"""))
 
+  /** B2/B6 CALENDAR ROLLUP PUSHDOWN (r15): `GROUP BY year(ts),
+    * month(ts)` — the month report, THE standing profile query on any
+    * time-partitioned table — folds entirely from a `months(ts)`
+    * layout's tags (and YEAR alone folds SEVERAL month tags into one
+    * group: the fold groups by DERIVED values, which complete pushdown
+    * requires since Spark never re-aggregates). A finer-than-tag
+    * grouping (the day rollup over month tags) refuses to a real scan.
+    * Values hash against DuckDB's EXTRACT rollup. */
+  private val q187 = Q(
+    "q187_calendar_rollup_pushdown",
+    (s, dir) => {
+      val cat = "g187_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "calroll-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_totalprice").cast("double").as("price"),
+          col("o_orderdate").cast("timestamp").as("ts"))
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "months(ts)").create()
+      def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+      val ym = s.table(s"$cat.t")
+        .groupBy(year(col("ts")).as("y"), month(col("ts")).as("mo"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("mn_ok"), max(col("price")).as("mx_p"))
+        .orderBy(col("y"), col("mo"))
+      require(planOf(ym).contains("LocalTableScan")
+          && !planOf(ym).contains("BatchScan"),
+        s"q187: the year/month rollup must be manifest-answered:\n${planOf(ym)}")
+      val yOnly = s.table(s"$cat.t").groupBy(year(col("ts")).as("y"))
+        .agg(count(lit(1)).as("n"))
+      require(planOf(yOnly).contains("LocalTableScan"),
+        s"q187: YEAR alone must fold month tags together:\n${planOf(yOnly)}")
+      // finer than the tag: the day rollup over month tags must scan
+      val fine = s.table(s"$cat.t").groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+      require(planOf(fine).contains("BatchScan"),
+        s"q187: a day rollup over month tags must refuse:\n${planOf(fine)}")
+      ym
+    },
+    Some("""SELECT EXTRACT(YEAR FROM ts) AS y, EXTRACT(MONTH FROM ts) AS mo,
+        COUNT(*) AS n, MIN(o_orderkey) AS mn_ok, MAX(price) AS mx_p
+      FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+              CAST(o_orderdate AS TIMESTAMP) AS ts FROM orders)
+      GROUP BY 1, 2 ORDER BY y, mo"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
     q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186)
+    q181, q182, q183, q184, q185, q186, q187)
 }

@@ -1213,37 +1213,16 @@ private[sources] final class GraftLogScanBuilder(
     // AggLimitPushdownSpec edge — the tag holds less than the value).
     // `daysTag` = the component string is an epoch-day ordinal, not a
     // cast-to-string value.
-    case class GKey(name: String, idx: Int, outType: DataType, daysTag: Boolean)
+    // per-key value derivation from the decoded tag component: the
+    // admission rule is "the group expression's value is a FUNCTION of
+    // the partition tag" — identity columns, a days(date) key's own
+    // column, CAST(ts AS DATE) over days/hours keys, and calendar
+    // EXTRACTs (YEAR/MONTH) at or above the key's granularity
+    // (r15: year/month rollups over days/hours/months/years layouts).
+    case class GKey(name: String, idx: Int, outType: DataType,
+        fromTag: String => Any)
     val utcSession =
       spark.sessionState.conf.sessionLocalTimeZone == "UTC"
-    val groupKeys: Seq[GKey] = agg.groupByExpressions.toSeq.map {
-      case nr: org.apache.spark.sql.connector.expressions.NamedReference
-          if nr.fieldNames().length == 1 =>
-        val (f, i) = keyOf(nr.fieldNames()(0)).getOrElse(return None)
-        spec.get.keys(i).transform match {
-          case PartSpec.Identity =>
-            if (!GraftLogScanBuilder.spjKeyType(f.dataType)) return None
-            GKey(f.name, i, f.dataType, daysTag = false)
-          case PartSpec.Days if f.dataType == DateType =>
-            GKey(f.name, i, DateType, daysTag = true)
-          case _ => return None
-        }
-      case c: org.apache.spark.sql.connector.expressions.Cast =>
-        val nr = c.expression() match {
-          case r: org.apache.spark.sql.connector.expressions.NamedReference
-              if r.fieldNames().length == 1 => r
-          case _ => return None
-        }
-        if (c.dataType() != DateType) return None
-        val (f, i) = keyOf(nr.fieldNames()(0)).getOrElse(return None)
-        if (spec.get.keys(i).transform != PartSpec.Days) return None
-        if (!f.dataType.isInstanceOf[TimestampType]) return None
-        if (!utcSession) return None
-        GKey(f.name, i, DateType, daysTag = true)
-      case _ => return None
-    }
-    val files = selectedFiles
-    if (groupKeys.nonEmpty && !files.forall(snap.parts.contains)) return None
     def compInternal(c: String, dt: DataType): Any = dt match {
       case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(c)
       case IntegerType => c.toInt
@@ -1255,15 +1234,104 @@ private[sources] final class GraftLogScanBuilder(
       case other => throw new IllegalStateException(
         s"graft-agg: unsupported group key type $other")
     }
-    // (group components, the group's files) — sorted for a
-    // deterministic scan (plan/scan-reuse equality)
-    val grouped: Seq[(Seq[String], Seq[String])] =
+    // the UTC calendar date a tag component pins down, when it does
+    def tagDate(t: PartSpec.Transform, c: String): Option[java.time.LocalDate] =
+      t match {
+        case PartSpec.Days => Some(java.time.LocalDate.ofEpochDay(c.toLong))
+        case PartSpec.Hours =>
+          Some(java.time.LocalDate.ofEpochDay(Math.floorDiv(c.toLong, 24L)))
+        case _ => None
+      }
+    // resolve the column under a group expression: a bare reference,
+    // or one wrapped in CAST(ts AS DATE) (session-TZ-local — UTC only)
+    def sourceRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(StructField, Int)] = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames().length == 1 =>
+        keyOf(r.fieldNames()(0)).filter(_._1.dataType == DateType)
+      case c: org.apache.spark.sql.connector.expressions.Cast
+          if c.dataType() == DateType && utcSession =>
+        (c.expression() match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+              if r.fieldNames().length == 1 => keyOf(r.fieldNames()(0))
+          case _ => None
+        }).filter(_._1.dataType.isInstanceOf[TimestampType])
+      case _ => None
+    }
+    val groupKeys: Seq[GKey] = agg.groupByExpressions.toSeq.map {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 =>
+        val (f, i) = keyOf(nr.fieldNames()(0)).getOrElse(return None)
+        spec.get.keys(i).transform match {
+          case PartSpec.Identity =>
+            if (!GraftLogScanBuilder.spjKeyType(f.dataType)) return None
+            GKey(f.name, i, f.dataType, c => compInternal(c, f.dataType))
+          case PartSpec.Days if f.dataType == DateType =>
+            // days(date): the tag IS the column's own epoch-day
+            GKey(f.name, i, DateType, c => java.lang.Integer.valueOf(c.toInt))
+          case _ => return None
+        }
+      case c: org.apache.spark.sql.connector.expressions.Cast =>
+        // CAST(ts AS DATE): the day-level rollup — derivable from a
+        // days(ts) or hours(ts) tag
+        if (c.dataType() != DateType || !utcSession) return None
+        val nr = c.expression() match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+              if r.fieldNames().length == 1 => r
+          case _ => return None
+        }
+        val (f, i) = keyOf(nr.fieldNames()(0)).getOrElse(return None)
+        if (!f.dataType.isInstanceOf[TimestampType]) return None
+        spec.get.keys(i).transform match {
+          case PartSpec.Days =>
+            GKey(f.name, i, DateType, c0 => java.lang.Integer.valueOf(c0.toInt))
+          case PartSpec.Hours =>
+            GKey(f.name, i, DateType, c0 =>
+              java.lang.Integer.valueOf(Math.floorDiv(c0.toLong, 24L).toInt))
+          case _ => return None
+        }
+      case ex: org.apache.spark.sql.connector.expressions.Extract =>
+        // EXTRACT(YEAR|MONTH FROM <date-or-cast-ts>): derivable when
+        // the partition granularity is at or below the field
+        val field = ex.field().toUpperCase(java.util.Locale.ROOT)
+        if (field != "YEAR" && field != "MONTH") return None
+        val (f, i) = sourceRef(ex.source()).getOrElse(return None)
+        val t = spec.get.keys(i).transform
+        (field, t) match {
+          case ("YEAR", PartSpec.Days | PartSpec.Hours) =>
+            GKey(f.name, i, IntegerType, c =>
+              java.lang.Integer.valueOf(tagDate(t, c).get.getYear))
+          case ("MONTH", PartSpec.Days | PartSpec.Hours) =>
+            GKey(f.name, i, IntegerType, c =>
+              java.lang.Integer.valueOf(tagDate(t, c).get.getMonthValue))
+          case ("YEAR", PartSpec.Months) =>
+            GKey(f.name, i, IntegerType, c =>
+              java.lang.Integer.valueOf(1970 + Math.floorDiv(c.toInt, 12)))
+          case ("MONTH", PartSpec.Months) =>
+            GKey(f.name, i, IntegerType, c =>
+              java.lang.Integer.valueOf(Math.floorMod(c.toInt, 12) + 1))
+          case ("YEAR", PartSpec.Years) =>
+            GKey(f.name, i, IntegerType, c =>
+              java.lang.Integer.valueOf(1970 + c.toInt))
+          case _ => return None
+        }
+      case _ => return None
+    }
+    val files = selectedFiles
+    if (groupKeys.nonEmpty && !files.forall(snap.parts.contains)) return None
+    // (DERIVED group values, the group's files) — grouping must use the
+    // derived values, not the raw tag components: a coarser rollup
+    // (YEAR over month tags) folds SEVERAL components into one group,
+    // and complete pushdown means Spark never re-aggregates duplicates.
+    // Sorted for a deterministic scan (plan/scan-reuse equality).
+    val grouped: Seq[(Seq[Any], Seq[String])] =
       if (groupKeys.isEmpty) Seq((Nil, files))
       else scala.util.Try {
         files.groupBy { f =>
           val comps = spec.get.decode(snap.parts(f))
-          groupKeys.map(gk => comps(gk.idx))
-        }.toSeq.sortBy(_._1.mkString("/")).map { case (k, fs) => (k, fs) }
+          groupKeys.map(gk => gk.fromTag(comps(gk.idx)))
+        }.toSeq.sortBy(_._1.map(String.valueOf(_: Any)).mkString("/"))
+          .map { case (k, fs) => (k, fs) }
       }.getOrElse(return None)
 
     def liveCount(fs: Seq[String]): Option[Long] =
@@ -1363,14 +1431,7 @@ private[sources] final class GraftLogScanBuilder(
           case FnExtremum(f, isMin) =>
             extremum(fs, f, isMin).getOrElse(return None)
         }
-        val keyVals: Seq[Any] = groupKeys.zip(comps).map { case (gk, c) =>
-          // a days() tag component is the epoch-day ordinal itself —
-          // exactly DateType's internal Int
-          if (gk.daysTag) scala.util.Try(
-            java.lang.Integer.valueOf(c.toInt)).getOrElse(return None)
-          else scala.util.Try(compInternal(c, gk.outType)).getOrElse(return None)
-        }
-        Some(keyVals ++ aggVals)
+        Some(comps ++ aggVals)
       }
     }
     Some((StructType(outFields), rows))

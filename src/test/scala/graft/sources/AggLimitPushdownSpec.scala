@@ -312,6 +312,62 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
       .agg(count(lit(1))).collect().head.getLong(0) === 60L)
   }
 
+  test("calendar EXTRACT rollups fold from days/hours/months/years tags (r15)") {
+    // GROUP BY year()/month() is derivable from any partition tag AT or
+    // BELOW that granularity — the year/month report over a
+    // time-partitioned table answers from the manifest
+    val (cat, _) = freshCat("cal")
+    (0 until 120).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(s"${2023 + i % 2}-${1 + (i / 2) % 12}-15 08:00:00")))
+      .toDF("id", "ts")
+      .writeTo(s"$cat.m").tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "months(ts)").create()
+    val ym = spark.table(s"$cat.m")
+      .groupBy(year($"ts").as("y"), month($"ts").as("mo"))
+      .agg(count(lit(1)).as("n"), min($"id").as("mn"))
+    assert(manifestAnswered(ym), "year/month over months(ts) must fold:\n"
+      + ym.queryExecution.executedPlan)
+    assert(ym.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      === (0 until 120).groupBy(i => (2023 + i % 2, 1 + (i / 2) % 12))
+        .map { case (k, is) => (k._1, k._2, is.size.toLong) }.toSet)
+    // YEAR alone folds several months per group
+    val y = spark.table(s"$cat.m").groupBy(year($"ts").as("y"))
+      .agg(count(lit(1)).as("n"))
+    assert(manifestAnswered(y))
+    assert(y.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      === Set((2023, 60L), (2024, 60L)))
+    // a years(ts) key answers YEAR but refuses MONTH (finer than the tag)
+    (0 until 20).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(s"${2020 + i % 3}-0${1 + i % 9}-10 00:00:00")))
+      .toDF("id", "ts")
+      .writeTo(s"$cat.y").tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "years(ts)").create()
+    val yy = spark.table(s"$cat.y").groupBy(year($"ts").as("y"))
+      .agg(count(lit(1)).as("n"))
+    assert(manifestAnswered(yy), "YEAR over years(ts) must fold")
+    val ymRefuse = spark.table(s"$cat.y")
+      .groupBy(year($"ts").as("y"), month($"ts").as("mo"))
+      .agg(count(lit(1)).as("n"))
+    assert(!manifestAnswered(ymRefuse),
+      "MONTH is finer than a years() tag — must refuse to a real scan")
+    assert(ymRefuse.collect().map(_.getLong(2)).sum === 20L)
+    // hours(ts): both the day rollup and year/month fold from hour tags
+    (0 until 48).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(s"2024-06-0${1 + i % 2} ${i % 24}:30:00")))
+      .toDF("id", "ts")
+      .writeTo(s"$cat.h").tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "hours(ts)").create()
+    val hd = spark.table(s"$cat.h").groupBy($"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    assert(manifestAnswered(hd), "CAST(ts AS DATE) over hours(ts) must fold")
+    assert(hd.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+      === Set(("2024-06-01", 24L), ("2024-06-02", 24L)))
+    val hy = spark.table(s"$cat.h").groupBy(year($"ts").as("y"))
+      .agg(count(lit(1)).as("n"))
+    assert(manifestAnswered(hy))
+    assert(hy.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq === Seq((2024, 48L)))
+  }
+
   test("grouped pushdown folds a days(date) key by its source column") {
     // a days() key over a DATE column: the tag IS the column's
     // epoch-day, so grouping by the source column itself is exact
