@@ -368,6 +368,25 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
     assert(hy.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq === Seq((2024, 48L)))
   }
 
+  test("DISTINCT over calendar extracts rides the same fold (r15)") {
+    // SELECT DISTINCT year(ts), month(ts) is GROUP BY with no
+    // aggregates — the month DOMAIN of a months(ts) table, answered
+    // from tags with zero files opened
+    val (cat, _) = freshCat("dcal")
+    (0 until 60).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(s"2025-${1 + i % 6}-10 12:00:00")))
+      .toDF("id", "ts")
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "months(ts)").create()
+    val d = spark.table(s"$cat.t")
+      .select(year($"ts").as("y"), month($"ts").as("mo")).distinct()
+    assert(manifestAnswered(d),
+      "DISTINCT year/month must fold from month tags:\n"
+        + d.queryExecution.executedPlan)
+    assert(d.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      === (1 to 6).map(m => (2025, m)).toSet)
+  }
+
   test("grouped pushdown folds a days(date) key by its source column") {
     // a days() key over a DATE column: the tag IS the column's
     // epoch-day, so grouping by the source column itself is exact
