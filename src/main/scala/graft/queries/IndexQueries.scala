@@ -2334,8 +2334,9 @@ object IndexQueries {
     * a fuel-entry field" is the domain's most natural evolution. The
     * PhysKey mapping now recurses through array elements: old files
     * keep their bytes, reads cast element structs positionally, new
-    * writes land under the stable physical element name, and map
-    * interiors still refuse loudly. REQUIRED in-body: both DDL commits
+    * writes land under the stable physical element name (map VALUES
+    * ride the same machinery — q189; map keys refuse loudly).
+    * REQUIRED in-body: both DDL commits
     * touch zero data files; a post-rename append + the pre-rename
     * files read under one logical name; time travel keeps the old
     * element name. Values hash against DuckDB reconstructing the
@@ -2574,8 +2575,139 @@ object IndexQueries {
               CAST(o_orderdate AS TIMESTAMP) AS ts FROM orders)
       GROUP BY 1, 2 ORDER BY y, mo"""))
 
+  /** B8 MANIFEST-BOUNDED TOP-N PUSHDOWN (r15): `ORDER BY ts DESC
+    * LIMIT n` — "the latest n rows", the reference's own hottest read
+    * (/root/reference/index.js:305-314, `ScanIndexForward: false,
+    * Limit: 1`) — prunes every file provably dominated by ≥ n rows in
+    * other files, judged from footer min/max + row/null counts + DV
+    * cardinalities (`SupportsPushDownTopN`, always partial: Spark
+    * re-sorts the kept superset). On an append log whose commits move
+    * forward in time — exactly the reference's write pattern — the
+    * latest-n read scans ONE file out of any number of commits.
+    * REQUIRED in-body: the DESC and ASC top-n reads each scan exactly
+    * the one dominating file out of three; a non-default null
+    * placement refuses (scans all three). Values hash against
+    * DuckDB's full-sort answer. */
+  private val q188 = Q(
+    "q188_topn_pushdown",
+    (s, dir) => {
+      val cat = "g188_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "topn-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        expr("timestampadd(SECOND, CAST(o_orderkey AS INT), " +
+          "timestamp'2024-01-01 00:00:00')").as("ts"))
+      val priorTsType = s.conf.getOption("spark.sql.parquet.outputTimestampType")
+      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      try {
+        // three commits with DISJOINT, forward-moving time ranges —
+        // the append-log shape: each commit is one file
+        val mx = o.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val (k1, k2) = (mx / 3, 2 * mx / 3)
+        o.filter(col("o_orderkey") < k1).coalesce(1)
+          .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+        o.filter(col("o_orderkey") >= k1 && col("o_orderkey") < k2).coalesce(1)
+          .writeTo(s"$cat.t").append()
+        o.filter(col("o_orderkey") >= k2).coalesce(1).writeTo(s"$cat.t").append()
+        def scanned(df: DataFrame): Int =
+          df.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+              graft.sources.GraftScans.unwrapFileScan(r.scan)
+                .fileIndex.inputFiles.length
+          }.sum
+        val latest = s.table(s"$cat.t").orderBy(col("ts").desc).limit(10)
+          .select(col("o_orderkey"), unix_micros(col("ts")).as("ts_us"))
+        require(scanned(latest) == 1,
+          s"q188: the latest-10 read must scan only the newest file, " +
+            s"scanned ${scanned(latest)}")
+        val earliest = s.table(s"$cat.t").orderBy(col("ts").asc).limit(7)
+        require(scanned(earliest) == 1,
+          s"q188: the earliest-7 read must scan only the oldest file, " +
+            s"scanned ${scanned(earliest)}")
+        require(earliest.count() == 7, "q188: earliest-7 must yield 7 rows")
+        // a null placement stats cannot judge must refuse
+        val odd = s.table(s"$cat.t").orderBy(col("ts").desc_nulls_first).limit(10)
+        require(scanned(odd) == 3,
+          s"q188: DESC NULLS FIRST must keep every file, scanned ${scanned(odd)}")
+        latest
+      } finally priorTsType match {
+        case Some(v) => s.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => s.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    },
+    Some("""SELECT o_orderkey,
+        epoch_us(TIMESTAMP '2024-01-01 00:00:00') + o_orderkey * 1000000 AS ts_us
+      FROM orders ORDER BY ts_us DESC LIMIT 10"""))
+
+  /** B2 MAP-VALUE STRUCT EVOLUTION (r15): RENAME and DROP of a field
+    * inside a `map<k, struct>` column as metadata-only commits — the
+    * q184 machinery one container over (the reference's fuel entries
+    * keyed by fuel name instead of listed, the map shape of
+    * /root/reference/index.js:132). The PhysKey walk, the positional
+    * read/write casts, and CDC alignment all recurse through map
+    * VALUES; map KEYS refuse loudly (a key is the map's identity).
+    * REQUIRED in-body: both DDL commits touch zero data files; pre-
+    * and post-rename files read under one logical name; time travel
+    * keeps the old value-field name. Values hash against DuckDB
+    * reconstructing the per-fuel aggregate. */
+  private val q189 = Q(
+    "q189_map_value_evolution",
+    (s, dir) => {
+      val root = scratch(s, dir, "mapevo")
+      val log = graft.sources.CommitLog(s, s"$root/t")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("p"))
+      def fuels(priceName: String, withObs: Boolean) = {
+        def entry(pr: org.apache.spark.sql.Column) = {
+          val base = Seq(pr.as(priceName))
+          struct(base ++ (if (withObs) Seq(lit("ok").as("obs")) else Nil): _*)
+        }
+        map(lit("diesel"), entry(col("p")), lit("gas95"), entry(col("p") * 2))
+      }
+      log.append(o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), fuels("preco", withObs = true).as("m")))
+      val files0 = log.snapshot().files.toSet
+      log.renameColumn(Seq("m", "preco"), "price")   // v1
+      require(log.snapshot().files.toSet == files0,
+        "q189: the map-value rename must touch no data file")
+      log.append(o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), fuels("price", withObs = true).as("m")))
+      val files2 = log.snapshot().files.toSet
+      log.dropColumn(Seq("m", "obs"))                // v3
+      require(log.snapshot().files.toSet == files2,
+        "q189: the map-value drop must touch no data file")
+      val vT = log.read().schema("m").dataType
+        .asInstanceOf[org.apache.spark.sql.types.MapType]
+        .valueType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(vT.fieldNames.toSeq == Seq("price"),
+        s"q189: evolved value shape is ${vT.fieldNames.mkString(",")}")
+      // time travel: version 0 still reads the ORIGINAL value fields
+      val v0 = log.readVersion(0L)
+        .select(explode(col("m")).as(Seq("fuel", "e")))
+        .select(col("e.preco"), col("e.obs"))
+      require(v0.filter(col("obs") =!= "ok").isEmpty,
+        "q189: time travel must keep the pre-evolution value fields")
+      log.read()
+        .select(explode(col("m")).as(Seq("fuel", "e")))
+        .groupBy(col("fuel"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("e.price").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("fuel"))
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS p FROM orders),
+      exploded AS (
+        SELECT 'diesel' AS fuel, p AS price FROM base
+        UNION ALL
+        SELECT 'gas95' AS fuel, p * 2 AS price FROM base)
+      SELECT fuel, COUNT(*) AS n,
+        CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM exploded GROUP BY fuel ORDER BY fuel"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
     q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189)
 }

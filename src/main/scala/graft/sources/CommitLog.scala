@@ -429,6 +429,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
                   org.apache.spark.sql.types.ArrayType(p: StructType, _)) =>
               f.copy(dataType = ca.copy(elementType =
                 assignNested(c, p, s"$physPath.${physName(f)}")))
+            case (cm @ org.apache.spark.sql.types.MapType(_, c: StructType, _),
+                  org.apache.spark.sql.types.MapType(_, p: StructType, _)) =>
+              f.copy(dataType = cm.copy(valueType =
+                assignNested(c, p, s"$physPath.${physName(f)}")))
             case _ => f
           }
           case None =>
@@ -456,6 +460,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           case (ca @ org.apache.spark.sql.types.ArrayType(c: StructType, _),
                 org.apache.spark.sql.types.ArrayType(p: StructType, _)) =>
             f.copy(dataType = ca.copy(elementType =
+              assignNested(c, p, physName(f))))
+          case (cm @ org.apache.spark.sql.types.MapType(_, c: StructType, _),
+                org.apache.spark.sql.types.MapType(_, p: StructType, _)) =>
+            f.copy(dataType = cm.copy(valueType =
               assignNested(c, p, physName(f))))
           case _ => f
         }
@@ -1126,6 +1134,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
               || !CommitLog.identityType(fa) =>
           org.apache.spark.sql.functions.transform(c,
             x => alignCol(x, va.elementType, fa.elementType))
+        // r15: same for a MAP-VALUE rename (keys are never mapped —
+        // the path walk refuses them)
+        case (vm: org.apache.spark.sql.types.MapType,
+              fm: org.apache.spark.sql.types.MapType)
+            if vm != fm || !CommitLog.identityType(vm)
+              || !CommitLog.identityType(fm) =>
+          org.apache.spark.sql.functions.transform_values(c,
+            (_, v) => alignCol(v, vm.valueType, fm.valueType))
         case _ => c
       }
     }
@@ -1717,11 +1733,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * struct-interior field (metadata-only commit, zero files touched;
     * the stable physical name keeps every data file, stat key, and
     * the interior parquet column valid forever). Path components may
-    * be plain STRUCT columns or (r15) ARRAYS OF STRUCTS — the
+    * be plain STRUCT columns, (r15) ARRAYS OF STRUCTS — the
     * reference's own `Combustiveis` column is an array<struct>
-    * (/root/reference/index.js:132), and the positional-cast
-    * chokepoints recurse through array elements. MAP interiors stay
-    * refused (no stable positional identity to cast by). */
+    * (/root/reference/index.js:132) — or (r15) MAPS WITH STRUCT
+    * VALUES; the positional-cast chokepoints recurse through array
+    * elements and map values. MAP KEYS stay refused (a key is the
+    * map's identity — nothing to re-present without rebuilding every
+    * entry). */
   def renameColumn(from: Seq[String], to: String): Long = {
     require(to.nonEmpty, s"$tableRoot: RENAME COLUMN needs a non-empty name")
     require(from.nonEmpty, s"$tableRoot: RENAME COLUMN needs a column path")
@@ -1752,12 +1770,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
 
   /** Resolve `path` inside `sch` (ci), apply `edit` to the struct
     * holding the leaf, and rebuild the schema along the path. Every
-    * non-leaf component must be a plain struct column or (r15) an
-    * ARRAY of structs — the element-field mapping is the same
-    * positional-cast problem one level down, and both chokepoints
-    * ([[logicalCol]]'s cast and [[toPhys]]'s inverse) already recurse
-    * through array elements. Map interiors stay refused (loud): a map
-    * value's shape has no stable positional identity to cast by. */
+    * non-leaf component must be a plain struct column, (r15) an ARRAY
+    * of structs, or (r15) a MAP whose VALUE is a struct — the
+    * interior-field mapping is the same positional-cast problem one
+    * level down, and the chokepoints ([[logicalCol]]'s cast and
+    * [[toPhys]]'s inverse) recurse through array elements and map
+    * values alike (Catalyst `Cast` renames struct fields by POSITION
+    * through both containers). Map KEYS stay refused (loud): a key is
+    * the map's identity — there is no addressable "key struct field"
+    * a reader could re-present without rebuilding every entry. */
   private def rewriteStructPath(sch: StructType, path: Seq[String],
       op: String)(edit: (StructType, Int) => StructType): StructType = {
     def walk(st: StructType, p: Seq[String], crumb: String): StructType = {
@@ -1766,14 +1787,34 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       if (p.lengthCompare(1) == 0) edit(st, idx)
       else {
         val f = st.fields(idx)
+        // the interior path may spell the container accessor the way
+        // Spark's SQL field resolution does (`arr.element.a`,
+        // `m.value.a`) or omit it (the library form, `arr.a`) — both
+        // resolve; a field literally NAMED like the accessor wins (the
+        // library's back-compat reading)
+        def inner(rest: Seq[String], accessor: String,
+            target: StructType): Seq[String] =
+          if (target.fields.exists(tf => lc(tf.name) == lc(rest.head))) rest
+          else if (lc(rest.head) == accessor && rest.lengthCompare(1) > 0)
+            rest.tail
+          else rest
         val rebuilt: org.apache.spark.sql.types.DataType = f.dataType match {
           case nested: StructType => walk(nested, p.tail, s"$crumb${p.head}.")
           case a @ org.apache.spark.sql.types.ArrayType(el: StructType, _) =>
-            a.copy(elementType = walk(el, p.tail, s"$crumb${p.head}."))
+            a.copy(elementType =
+              walk(el, inner(p.tail, "element", el), s"$crumb${p.head}."))
+          case m @ org.apache.spark.sql.types.MapType(_, v: StructType, _) =>
+            if (lc(p.tail.head) == "key"
+                && !v.fields.exists(tf => lc(tf.name) == "key"))
+              throw new IllegalArgumentException(
+                s"$tableRoot: $op: '$crumb${p.head}.key' — map key " +
+                  "evolution would be a rewrite, not metadata")
+            m.copy(valueType =
+              walk(v, inner(p.tail, "value", v), s"$crumb${p.head}."))
           case other => throw new IllegalArgumentException(
             s"$tableRoot: $op: '$crumb${p.head}' is ${other.simpleString}, " +
-              "not a struct or array of structs — map value evolution " +
-              "would be a rewrite, not metadata")
+              "not a struct, array of structs, or map with struct " +
+              "values — key evolution would be a rewrite, not metadata")
         }
         StructType(st.fields.updated(idx, f.copy(dataType = rebuilt)))
       }
@@ -1784,20 +1825,31 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   /** The PHYSICAL dotted path of `path` under `sch` — the key the
     * retired-name registry stores for nested drops. */
   private def physPathOf(sch: StructType, path: Seq[String]): String = {
+    def skipAccessor(rest: Seq[String], accessor: String,
+        target: StructType): Seq[String] =
+      if (target.fields.exists(tf => lc(tf.name) == lc(rest.head))) rest
+      else if (lc(rest.head) == accessor && rest.lengthCompare(1) > 0)
+        rest.tail
+      else rest
     def walk(st: StructType, p: Seq[String]): Seq[String] = {
       val f = st.fields.find(f => lc(f.name) == lc(p.head)).getOrElse(
         throw new IllegalArgumentException(
           s"$tableRoot: no column '${path.mkString(".")}'"))
       if (p.lengthCompare(1) == 0) Seq(physName(f))
       else {
-        val inner = f.dataType match {
-          case s: StructType => s
-          case org.apache.spark.sql.types.ArrayType(el: StructType, _) => el
+        // same SQL-accessor tolerance as [[rewriteStructPath]] — the
+        // two walk the SAME caller-supplied path and must agree
+        val (inner, rest) = f.dataType match {
+          case s: StructType => (s, p.tail)
+          case org.apache.spark.sql.types.ArrayType(el: StructType, _) =>
+            (el, skipAccessor(p.tail, "element", el))
+          case org.apache.spark.sql.types.MapType(_, v: StructType, _) =>
+            (v, skipAccessor(p.tail, "value", v))
           case other => throw new IllegalArgumentException(
             s"$tableRoot: '${path.mkString(".")}' walks through " +
               s"${other.simpleString}")
         }
-        physName(f) +: walk(inner, p.tail)
+        physName(f) +: walk(inner, rest)
       }
     }
     walk(sch, path).mkString(".")
@@ -3929,6 +3981,26 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     case (x: Double, y: Double) => math.max(x, y)
     case (x: String, y: String) => if (utf8Compare(x, y) >= 0) x else y
     case _ => a
+  }
+
+  /** Three-way compare of two SAME-REPRESENTATION manifest stat values
+    * under the ordering the footer stats were computed in (the one
+    * Spark sorts by for these types). None for mixed or unknown
+    * representations — callers must treat incomparable as no-evidence.
+    * Doubles compare PRIMITIVELY so -0.0 == 0.0: Spark normalizes
+    * signed zeros before sorting, and a strict footer-order
+    * -0.0 < 0.0 would let top-N file exclusion treat a TIE as strict
+    * domination. NaN is incomparable (never harvested, [[chunkMinMax]]
+    * poisons the chunk). */
+  private[sources] def cmpAny(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (CommitLog.TsUs(x), CommitLog.TsUs(y)) =>
+      Some(java.lang.Long.compare(x, y))
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Double, y: Double) =>
+      if (x < y) Some(-1) else if (x > y) Some(1)
+      else if (x == y) Some(0) else None
+    case (x: String, y: String) => Some(utf8Compare(x, y))
+    case _ => None
   }
 
   private def deleteData(relPath: String): Unit =

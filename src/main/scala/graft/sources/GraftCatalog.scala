@@ -365,7 +365,8 @@ final class GraftCatalog extends TableCatalog
       case rn: RenameColumn =>
         // r13: nested paths supported — the rename stamps the mapping
         // on the struct-interior field (r15: array<struct> elements
-        // too; map interiors refused by the log's path walk)
+        // and map<_,struct> values too; map keys refused by the log's
+        // path walk)
         // structural names (merge.keys/partcol) are TOP-LEVEL columns:
         // only a top-level rename can break them
         if (rn.fieldNames.length == 1)
@@ -816,7 +817,8 @@ private[sources] final class GraftLogScanBuilder(
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
   import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
   import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -1093,9 +1095,13 @@ private[sources] final class GraftLogScanBuilder(
   //    cannot convert exactly — INT96 and NANOS files simply carry no
   //    timestamp stat, so min(ts)/max(ts) over them falls back to a
   //    real scan).
-  //  * Anything else (SUM, AVG, COUNT(col), DISTINCT, GROUP BY,
-  //    pushed filters, row-level scans) refuses — correctness owns
-  //    the boundary, Catalyst owns the fallback.
+  //  * COUNT(DISTINCT key) over an IDENTITY partition key (r15): the
+  //    number of distinct LIVE tag components — tags are non-null by
+  //    the partitioned write's contract, live row counts drop masked-
+  //    away partitions.
+  //  * Anything else (SUM, AVG, other DISTINCTs, non-derivable GROUP
+  //    BYs, value-filtered scans, row-level scans) refuses —
+  //    correctness owns the boundary, Catalyst owns the fallback.
   // `spark.graft.aggPushdown.enabled=false` opts out.
   private var filtersWerePushed = false
   private var aggAnswer: Option[(StructType, Seq[Seq[Any]])] = None
@@ -1381,10 +1387,25 @@ private[sources] final class GraftLogScanBuilder(
     case object FnCount extends Fn
     final case class FnCountCol(f: StructField) extends Fn
     final case class FnExtremum(f: StructField, isMin: Boolean) extends Fn
+    final case class FnDistinctKey(f: StructField, idx: Int) extends Fn
     val resolved: Seq[Fn] = funcs.toSeq.map {
       case _: CountStar => FnCount
       case c: Count if !c.isDistinct =>
         FnCountCol(singleColumn(c.column).getOrElse(return None))
+      case c: Count if c.isDistinct =>
+        // r15: COUNT(DISTINCT key) of an IDENTITY partition key — the
+        // number of distinct LIVE tag components ("how many partitions
+        // does this corpus span", zero files opened). Sound because a
+        // partitioned write refuses null key values (every tag is a
+        // non-null value, matching COUNT DISTINCT's null-skipping) and
+        // live row counts drop fully-masked partitions; global only
+        // (a per-group distinct of a SECOND key needs nothing the tag
+        // grid doesn't hold, but no declared query needs it yet).
+        if (agg.groupByExpressions.nonEmpty) return None
+        val (f, i) = keyOf(singleColumn(c.column)
+          .getOrElse(return None).name).getOrElse(return None)
+        if (spec.get.keys(i).transform != PartSpec.Identity) return None
+        FnDistinctKey(f, i)
       case m: Min =>
         val f = singleColumn(m.column).getOrElse(return None)
         if (!statType(f.dataType)) return None
@@ -1395,6 +1416,11 @@ private[sources] final class GraftLogScanBuilder(
         FnExtremum(f, isMin = false)
       case _ => return None
     }
+    // the distinct-key fold needs every file's tag AND live row count
+    // (a 0-row or fully-masked partition must not count)
+    if (resolved.exists(_.isInstanceOf[FnDistinctKey])
+        && !files.forall(f =>
+          snap.parts.contains(f) && snap.rows.contains(f))) return None
     if (resolved.exists(_.isInstanceOf[FnCountCol])
         && files.exists(snap.dvs.contains)) return None
     // a DV could mask any file's extremal row — min/max never answers
@@ -1412,6 +1438,8 @@ private[sources] final class GraftLogScanBuilder(
         case FnExtremum(f, isMin) =>
           StructField(s"${if (isMin) "min" else "max"}(${f.name})",
             f.dataType, nullable = true)
+        case FnDistinctKey(f, _) =>
+          StructField(s"count(DISTINCT ${f.name})", LongType, nullable = false)
       }
     val rows: Seq[Seq[Any]] = grouped.flatMap { case (comps, fs) =>
       val live: Option[Long] = liveCount(fs)
@@ -1430,6 +1458,13 @@ private[sources] final class GraftLogScanBuilder(
             }
           case FnExtremum(f, isMin) =>
             extremum(fs, f, isMin).getOrElse(return None)
+          case FnDistinctKey(_, i) =>
+            val n = scala.util.Try {
+              fs.groupBy(fl => spec.get.decode(snap.parts(fl))(i))
+                .count { case (_, pf) =>
+                  pf.exists(fl => snap.liveRowCount(fl).exists(_ > 0L)) }
+            }.getOrElse(return None)
+            java.lang.Long.valueOf(n.toLong)
         }
         Some(comps ++ aggVals)
       }
@@ -1470,6 +1505,136 @@ private[sources] final class GraftLogScanBuilder(
   }
 
   override def isPartiallyPushed(): Boolean = true
+
+  // ── r15: MANIFEST-BOUNDED TOP-N PUSHDOWN ───────────────────────────
+  // `ORDER BY ts DESC LIMIT n` — "the latest n rows", the reference's
+  // own hottest read shape (/root/reference/index.js:305-314) — needs
+  // only the files that could hold a top-n row. A file F is provably
+  // irrelevant when ≥ n rows in OTHER files strictly dominate every
+  // row F could emit, judged entirely from manifest evidence:
+  //  * footer min/max bound every row of F (pre-mask stats still bound
+  //    the DV-surviving subset);
+  //  * a dominator G's contribution is a LOWER bound on the non-null
+  //    rows it will actually emit: rows − DVmasked − nulls (a masked
+  //    row might BE a null row — subtracting it from both pools only
+  //    undercounts, never overcounts);
+  //  * domination is STRICT (min_G > max_F for DESC) so sort-key ties
+  //    never decide an exclusion — any Spark-valid top-n of the kept
+  //    files is a Spark-valid top-n of the table;
+  //  * only the SQL-default null placements are judgeable: DESC keeps
+  //    NULLS LAST soundness for free once n non-null dominators exist;
+  //    ASC NULLS FIRST additionally requires an excluded file to have
+  //    a KNOWN zero null count (its nulls would sort into the top-n)
+  //    and credits every file's (nulls − DVmasked) toward the bound.
+  // Exclusion witnesses can never themselves be excluded (the file
+  // with the extremal boundary has no dominators), so computing all
+  // exclusions against the full set is sound. Always partial — Spark
+  // keeps its own TopN above, so the kept superset is re-sorted and
+  // re-limited exactly as an unpruned scan would be. Files missing any
+  // evidence are kept and contribute nothing: truncation happens only
+  // when coverage is PROVEN. O(files·log files) driver work, zero data
+  // files opened to decide. `spark.graft.topNPushdown.enabled=false`
+  // opts out.
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    import org.apache.spark.sql.types._
+    if (groupGranularity || (filtersWerePushed && !filtersExact)
+        || limit <= 0 || orders.isEmpty) return false
+    if (!boolConf("spark.graft.topNPushdown.enabled", default = true)) return false
+    // only the FIRST key decides file exclusion (strict domination on
+    // the head key beats any tiebreak), and it must be a bare column
+    val head = orders(0)
+    val colName = head.expression() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        nr.fieldNames()(0)
+      case _ => return false
+    }
+    val f = logicalSchema.fields.find(x => lcn(x.name) == lcn(colName))
+      .getOrElse(return false)
+    val desc = head.direction() == SortDirection.DESCENDING
+    if (head.nullOrdering() !=
+        (if (desc) NullOrdering.NULLS_LAST else NullOrdering.NULLS_FIRST))
+      return false
+    // a stat value is usable only in the column type's TRUSTED
+    // representation — a pre-r15 manifest's raw-unit timestamp long is
+    // not evidence (same policy as the aggregate fold's `internal`)
+    def statRepr(v: Any): Boolean = (f.dataType, v) match {
+      case (ByteType | ShortType | IntegerType | LongType | DateType,
+            _: Long) => true
+      case (FloatType | DoubleType, d: Double) => !d.isNaN
+      case (StringType, _: String) => true
+      case (TimestampType | TimestampNTZType, CommitLog.TsUs(_)) => true
+      case _ => false
+    }
+    val phys = CommitLog.physNameOf(f)
+    final case class Ev(file: String, mn: Any, mx: Any, hasStat: Boolean,
+        live: Option[Long], nulls: Option[Long], masked: Long)
+    val evs: Seq[Ev] = selectedFiles.map { fl =>
+      val st = snap.stats.get(fl).flatMap(_.get(phys)).filter {
+        case (mn, mx) => statRepr(mn) && statRepr(mx)
+      }
+      Ev(fl, st.map(_._1).orNull, st.map(_._2).orNull, st.isDefined,
+        snap.liveRowCount(fl), snap.nulls.get(fl).flatMap(_.get(phys)),
+        snap.maskedCount(fl))
+    }
+    // lower bound on the non-null rows a file will emit
+    def useful(e: Ev): Long = (e.live, e.nulls) match {
+      case (Some(l), Some(n)) => math.max(0L, l - n)
+      case _ => 0L
+    }
+    // total order within one trusted representation (None impossible
+    // here — reprs are uniform and NaN is filtered; 0 is the safe tie)
+    def cmp(a: Any, b: Any): Int = log.cmpAny(a, b).getOrElse(0)
+    // (boundary stat, useful) per stat-carrying file, sorted ascending:
+    // DESC dominates by its MIN, ASC by its MAX
+    val dom: Array[(Any, Long)] = evs.iterator.filter(_.hasStat)
+      .map(e => ((if (desc) e.mn else e.mx), useful(e))).toArray
+      .sortWith((x, y) => cmp(x._1, y._1) < 0)
+    val sums = new Array[Long](dom.length + 1)
+    if (desc) { // sums(i) = Σ useful over dom(i until end)
+      var i = dom.length - 1
+      while (i >= 0) { sums(i) = sums(i + 1) + dom(i)._2; i -= 1 }
+    } else { // sums(i) = Σ useful over dom(0 until i)
+      var i = 0
+      while (i < dom.length) { sums(i + 1) = sums(i) + dom(i)._2; i += 1 }
+    }
+    def usefulGreater(v: Any): Long = { // Σ useful where boundary > v
+      var lo = 0; var hi = dom.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (cmp(dom(m)._1, v) > 0) hi = m else lo = m + 1
+      }
+      sums(lo)
+    }
+    def usefulLess(v: Any): Long = { // Σ useful where boundary < v
+      var lo = 0; var hi = dom.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (cmp(dom(m)._1, v) < 0) lo = m + 1 else hi = m
+      }
+      sums(lo)
+    }
+    // ASC NULLS FIRST: every known null (minus what a DV might mask)
+    // sorts before any excluded file's rows; null-carrying files can
+    // never be excluded themselves (exclusion requires nulls == 0)
+    val nullsTotal: Long = if (desc) 0L
+      else evs.iterator.map(e =>
+        e.nulls.fold(0L)(n => math.max(0L, n - e.masked))).sum
+    val kept: Seq[String] = evs.filter { e =>
+      if (!e.hasStat) true
+      else if (desc) usefulGreater(e.mx) < limit
+      else !(e.nulls.contains(0L) && nullsTotal + usefulLess(e.mn) >= limit)
+    }.map(_.file)
+    if (kept.size == selectedFiles.size) return false
+    selectedFiles = kept
+    val b = makeInner(selectedFiles)
+    innerOpt = Some(b)
+    prunedSchema.foreach(s =>
+      b.pruneColumns(if (mapped) toPhysSchema(s) else s))
+    true
+  }
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     aggAnswer.foreach { case (sch, vals) =>

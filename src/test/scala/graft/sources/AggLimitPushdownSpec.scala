@@ -227,6 +227,16 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
     assert(manifestAnswered(d), "DISTINCT on the partition key must " +
       "answer from the tags:\n" + d.queryExecution.executedPlan)
     assert(d.collect().map(_.getString(0)).toSet === Set("A", "B"))
+    // COUNT(DISTINCT part) rides the same evidence (r15): the number
+    // of live tag components, masked-away C excluded
+    val cd = spark.sql(s"SELECT count(DISTINCT flag) AS n FROM $cat.t")
+    assert(manifestAnswered(cd), "COUNT(DISTINCT key) must fold from " +
+      "the tags:\n" + cd.queryExecution.executedPlan)
+    assert(cd.collect().head.getLong(0) === 2L)
+    // COUNT(DISTINCT non-key) refuses
+    val cd2 = spark.sql(s"SELECT count(DISTINCT id) AS n FROM $cat.t")
+    assert(!manifestAnswered(cd2))
+    assert(cd2.collect().head.getLong(0) === 200L)
   }
 
   test("grouped pushdown folds a composite spec's sub-partitions") {

@@ -7,9 +7,10 @@ import org.apache.spark.sql.types._
 
 /** r13 DEEP struct evolution: nested column RENAME/DROP as
   * metadata-only commits — the [[CommitLog.PhysKey]] mapping extends
-  * to struct-INTERIOR fields (any depth; array/map interiors stay
-  * refused), closing the r12 gap where only top-level rename/drop and
-  * nested additive ADD were supported. Pins: zero files touched, both
+  * to struct-INTERIOR fields (any depth; r15: through ARRAY elements
+  * and MAP values too; map keys stay refused), closing the r12 gap
+  * where only top-level rename/drop and nested additive ADD were
+  * supported. Pins: zero files touched, both
   * read paths (library cast-rename + V2 recursive schema
   * translation), writes landing under stable physical names, the
   * swap-rename pushdown hazard (a predicate into a mapped interior
@@ -97,6 +98,39 @@ class NestedMappingSpec extends graft.SparkSpecBase {
       "a re-added nested namesake must NOT resurrect dropped bytes")
   }
 
+  test("SQL: container evolution via Spark's accessor paths (element/value)") {
+    // Spark's SQL field resolution spells container interiors with
+    // explicit accessors (`arr.element.a`, `m.value.a`); the library
+    // form omits them (`arr.a`). Both must land on the same field —
+    // and the physPathOf/rewriteStructPath pair must agree, or a drop
+    // would retire a path no re-add ever collides with.
+    val wh = Files.createTempDirectory("gacc-cat").toString
+    spark.conf.set("spark.sql.catalog.gacc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gacc.warehouse", wh)
+    Seq(1L).toDF("id")
+      .withColumn("arr", typedLit(Seq(("x1", 1.0)))
+        .cast("array<struct<a:string,b:double>>"))
+      .withColumn("m", map(lit("k"), struct(lit("y").as("a"), lit(2.0).as("b"))))
+      .writeTo("gacc.t").tableProperty("merge.log", "true").create()
+    spark.sql("ALTER TABLE gacc.t RENAME COLUMN arr.element.a TO alpha")
+    assert(spark.sql("SELECT arr[0].alpha FROM gacc.t")
+      .as[String].collect().toSeq === Seq("x1"))
+    spark.sql("ALTER TABLE gacc.t RENAME COLUMN m.value.a TO alpha")
+    assert(spark.sql("SELECT m['k'].alpha FROM gacc.t")
+      .as[String].collect().toSeq === Seq("y"))
+    // DROP through the accessor retires the same physical path the
+    // library form would
+    spark.sql("ALTER TABLE gacc.t DROP COLUMN arr.element.b")
+    val snap = CommitLog(spark, s"$wh/t").snapshot()
+    assert(snap.physRetired.contains("arr.b"),
+      s"accessor drop must retire 'arr.b', got ${snap.physRetired}")
+    // map KEY evolution refuses through every spelling
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gacc.t RENAME COLUMN m.key TO z"))
+    assert(e.getMessage.contains("key"),
+      s"key rename must refuse, got: ${e.getMessage}")
+  }
+
   test("nested drop retires the physical path; library re-add gets a fresh name") {
     val root = tmpRoot("drop")
     val log = seed(root)
@@ -124,7 +158,7 @@ class NestedMappingSpec extends graft.SparkSpecBase {
     assert(e.getMessage.contains("drop the struct column instead"))
   }
 
-  test("array-element rename/drop are metadata-only; map interiors stay refused (r15)") {
+  test("array-element rename/drop are metadata-only (r15)") {
     val root = tmpRoot("arr")
     val log = CommitLog(spark, root)
     def arr(vals: (String, Double)*) = typedLit(vals).cast(
@@ -171,14 +205,63 @@ class NestedMappingSpec extends graft.SparkSpecBase {
     val eLast = intercept[IllegalArgumentException](
       log.dropColumn(Seq("arr", "alpha")))
     assert(eLast.getMessage.contains("last column"))
-    // MAP value interiors stay refused, loudly
-    val mroot = tmpRoot("map")
-    val mlog = CommitLog(spark, mroot)
-    mlog.append(Seq(1L).toDF("id").withColumn("m",
-      map(lit("k"), struct(lit("x").as("a"), lit(1.0).as("b")))))
+  }
+
+  test("map-value rename/drop are metadata-only; key evolution stays refused (r15)") {
+    val root = tmpRoot("mapval")
+    val log = CommitLog(spark, root)
+    log.append(Seq(1L).toDF("id").withColumn("m",
+      map(lit("k1"), struct(lit("x1").as("a"), lit(1.0).as("b")),
+          lit("k2"), struct(lit("x2").as("a"), lit(2.0).as("b")))))
+    val filesBefore = log.snapshot().files.toSet
+    // RENAME inside the map value: zero files touched
+    log.renameColumn(Seq("m", "a"), "alpha")
+    assert(log.snapshot().files.toSet === filesBefore, "rename touched files")
+    assert(log.read().schema("m").dataType
+      .asInstanceOf[MapType].valueType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("alpha", "b"))
+    assert(log.read().select(expr("m['k1'].alpha")).as[String]
+      .collect().toSeq === Seq("x1"))
+    // a post-rename write lands under the STABLE physical value name
+    log.append(Seq(2L).toDF("id").withColumn("m",
+      map(lit("k3"), struct(lit("x3").as("alpha"), lit(3.0).as("b")))))
+    assert(log.read().select(explode($"m")).select($"value.alpha")
+      .as[String].collect().sorted.toSeq === Seq("x1", "x2", "x3"))
+    val newest = log.snapshot().files.filterNot(filesBefore).head
+    assert(spark.read.parquet(s"$root/$newest").schema("m").dataType
+      .asInstanceOf[MapType].valueType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("a", "b"), "new file must hold the physical name")
+    // time travel reads the pre-rename value name
+    assert(log.readVersion(0L).select(expr("m['k1'].a")).as[String]
+      .collect().toSeq === Seq("x1"))
+    // CDC across the value rename normalizes to feed-final names
+    val ch = log.readChanges(-1L)
+    assert(ch.schema("m").dataType.asInstanceOf[MapType]
+      .valueType.asInstanceOf[StructType].fieldNames.toSeq
+      === Seq("alpha", "b"))
+    assert(ch.filter($"_change_type" === "insert")
+      .select(explode($"m")).select($"value.alpha")
+      .as[String].collect().sorted.toSeq === Seq("x1", "x2", "x3"))
+    // DROP a value field: metadata-only, the survivor still reads
+    val before = log.snapshot().files.toSet
+    log.dropColumn(Seq("m", "b"))
+    assert(log.snapshot().files.toSet === before, "drop touched files")
+    assert(log.read().schema("m").dataType.asInstanceOf[MapType]
+      .valueType.asInstanceOf[StructType].fieldNames.toSeq === Seq("alpha"))
+    assert(log.read().select(explode($"m")).select($"value.alpha")
+      .as[String].collect().sorted.toSeq === Seq("x1", "x2", "x3"))
+    // dropping the LAST value field stays refused
+    val eLast = intercept[IllegalArgumentException](
+      log.dropColumn(Seq("m", "alpha")))
+    assert(eLast.getMessage.contains("last column"))
+    // map KEYS cannot evolve: a map whose VALUE is not a struct has no
+    // addressable interior — the walk refuses, naming the reason
+    val kroot = tmpRoot("mapkey")
+    val klog = CommitLog(spark, kroot)
+    klog.append(Seq(1L).toDF("id").withColumn("m", map(lit("k"), lit(1.0))))
     val e = intercept[IllegalArgumentException](
-      mlog.renameColumn(Seq("m", "a"), "z"))
-    assert(e.getMessage.contains("map value evolution"))
+      klog.renameColumn(Seq("m", "a"), "z"))
+    assert(e.getMessage.contains("key evolution"))
   }
 
   test("CDC across a nested rename normalizes to the feed-final names") {
