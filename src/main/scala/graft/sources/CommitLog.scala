@@ -1248,10 +1248,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * fields merge recursively (r12 — nested additive evolution: a
     * write whose struct column carries new nested fields evolves the
     * schema, and a write missing nested fields the table already has
-    * stays accepted, the gap reading null); every other type must
-    * match exactly — including the element/value types of arrays and
-    * maps, whose insides are NOT evolvable (a per-element null-pad
-    * rewrite is not additive metadata; rewrite the table instead).
+    * stays accepted, the gap reading null); r15: the struct merge
+    * recurses through ARRAY elements and MAP values too (old files
+    * null-fill the new interior field per element; incoming writes
+    * null-pad through [[conformCol]]'s container recursion — no data
+    * rewrite either way). Every other type must match exactly,
+    * including map KEY types (a key is the map's identity).
     * Nullability unions. New fields append at the end, nullable. */
   private def mergeStructs(cur: StructType, incoming: StructType,
       path: String): Array[org.apache.spark.sql.types.StructField] = {
@@ -1266,6 +1268,26 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         val merged = (f.dataType, inF.dataType) match {
           case (c: StructType, i: StructType) =>
             StructType(mergeStructs(c, i, s"$path${f.name}."))
+          // r15: additive evolution INSIDE containers — an
+          // array<struct> element or map<_,struct> value gaining (or
+          // missing) fields merges like any nested struct: old files
+          // null-fill the gap per element, new writes null-pad through
+          // [[conformCol]]'s container recursion. Map KEY types must
+          // still match exactly (a key is the map's identity).
+          case (ca @ org.apache.spark.sql.types.ArrayType(c: StructType, _),
+                org.apache.spark.sql.types.ArrayType(i: StructType, icn)) =>
+            ca.copy(
+              elementType = StructType(mergeStructs(c, i, s"$path${f.name}.")),
+              containsNull = ca.containsNull || icn)
+          case (cm @ org.apache.spark.sql.types.MapType(ck, c: StructType, _),
+                org.apache.spark.sql.types.MapType(ik, i: StructType, ivn)) =>
+            require(CommitLog.stripMeta(ck) == CommitLog.stripMeta(ik),
+              s"$tableRoot: schema evolution cannot change the KEY type " +
+                s"of '$path${f.name}' from ${ck.simpleString} to " +
+                s"${ik.simpleString}")
+            cm.copy(
+              valueType = StructType(mergeStructs(c, i, s"$path${f.name}.")),
+              valueContainsNull = cm.valueContainsNull || ivn)
           case (c, i) =>
             // shape equality is METADATA-INSENSITIVE (r15): an
             // array<struct> element field carrying a PhysKey mapping
@@ -1310,7 +1332,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   private def conformCol(src: org.apache.spark.sql.Column,
       srcT: org.apache.spark.sql.types.DataType,
       tgtT: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{lit, struct, when}
+    import org.apache.spark.sql.functions.{lit, struct, transform, transform_values, when}
     (srcT, tgtT) match {
       case (s: StructType, t: StructType) if s != t =>
         val sBy = s.fields.map(f => lc(f.name) -> f).toMap
@@ -1321,6 +1343,18 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           case None => lit(null).cast(tf.dataType).as(tf.name)
         })
         when(src.isNotNull, struct(parts.toIndexedSeq: _*))
+      // r15: container-interior additive evolution — per-element /
+      // per-value null-padding against the target shape (only reached
+      // when [[mergeStructs]] admitted the container merge)
+      case (sa: org.apache.spark.sql.types.ArrayType,
+            ta: org.apache.spark.sql.types.ArrayType)
+          if sa.elementType != ta.elementType =>
+        transform(src, x => conformCol(x, sa.elementType, ta.elementType))
+      case (sm: org.apache.spark.sql.types.MapType,
+            tm: org.apache.spark.sql.types.MapType)
+          if sm.valueType != tm.valueType =>
+        transform_values(src,
+          (_, v) => conformCol(v, sm.valueType, tm.valueType))
       case _ => src
     }
   }
@@ -1656,18 +1690,20 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   }
 
   /** SQL DDL: `ALTER TABLE … ADD COLUMNS (parent.child TYPE)` — add a
-    * nullable field at the END of an existing STRUCT column, any depth
-    * (r12, VERDICT r11 #7). Metadata-only like top-level ADD COLUMNS:
-    * committed as an empty-`add` version, no file is read or written —
-    * old files simply lack the nested field and read null there (the
-    * parquet by-name contract extends into structs). The parent
+    * nullable field at the END of an existing STRUCT interior, any
+    * depth (r12, VERDICT r11 #7); r15: the parent may also be an
+    * ARRAY of structs or a MAP with struct values (`arr.element` /
+    * `m.value` in the SQL spelling, or just `arr` / `m`). Metadata-
+    * only like top-level ADD COLUMNS: committed as an empty-`add`
+    * version, no file is read or written — old files simply lack the
+    * interior field and read null there per row/element/entry (the
+    * parquet by-name contract extends into nested groups). The parent
     * column's own metadata — its [[CommitLog.PhysKey]] mapping — is
     * preserved, so a nested add on a RENAMED column keeps reading
-    * through the stable physical name. Parents that are not structs
-    * (including structs INSIDE arrays/maps, whose evolution would be a
-    * per-element rewrite, not metadata) are refused loudly. Nested
-    * RENAME/DROP remain refused at the catalog — without per-field
-    * IDs inside nested types a nested rename would orphan data. */
+    * through the stable physical name, and [[assignPhys]]'s nested
+    * walk gives a re-added namesake of a DROPPED interior field a
+    * fresh suffixed physical name (no resurrection). Parents with no
+    * struct interior are refused loudly. */
   def addNestedColumn(parentPath: Seq[String],
       field: org.apache.spark.sql.types.StructField): Long = {
     require(parentPath.nonEmpty,
@@ -1680,20 +1716,43 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       def notStruct(dt: org.apache.spark.sql.types.DataType): Nothing =
         throw new IllegalArgumentException(
           s"$tableRoot: ADD COLUMNS: '$crumb${path.head}' is " +
-            s"${dt.simpleString}, not a struct — nested adds need a " +
-            "struct parent, and structs inside arrays/maps are not " +
-            "evolvable (rewrite the table instead)")
-      val newType = (path.tail, f.dataType) match {
-        case (Seq(), inner: StructType) =>
+            s"${dt.simpleString}, not a struct, array of structs, or " +
+            "map with struct values — nested adds need a struct " +
+            "interior to land in")
+      // the parent may be a struct, or (r15) an array-of-structs / a
+      // map-with-struct-values one container down — old files' rows
+      // read the new interior field as null (explicit-schema parquet
+      // reads null-fill missing nested leaves), new writes null-pad
+      // through [[conformCol]]'s container recursion. SQL paths may
+      // spell the container accessor (`arr.element`, `m.value`).
+      def skipAcc(rest: Seq[String], accessor: String,
+          target: StructType): Seq[String] =
+        if (rest.nonEmpty && lc(rest.head) == accessor
+            && !target.fields.exists(tf => lc(tf.name) == lc(rest.head)))
+          rest.tail
+        else rest
+      val (inner: StructType, rest: Seq[String],
+          rebuild: (StructType => org.apache.spark.sql.types.DataType)) =
+        f.dataType match {
+          case st2: StructType =>
+            (st2, path.tail, (s: StructType) => s)
+          case a @ org.apache.spark.sql.types.ArrayType(el: StructType, _) =>
+            (el, skipAcc(path.tail, "element", el),
+              (s: StructType) => a.copy(elementType = s))
+          case m @ org.apache.spark.sql.types.MapType(_, v: StructType, _) =>
+            (v, skipAcc(path.tail, "value", v),
+              (s: StructType) => m.copy(valueType = s))
+          case other => notStruct(other)
+        }
+      val newInner = rest match {
+        case Seq() =>
           require(!inner.fields.exists(g => lc(g.name) == lc(field.name)),
             s"$tableRoot: ADD COLUMNS: '$crumb${path.head}.${field.name}' " +
               "already exists")
           StructType(inner.fields :+ field.copy(nullable = true))
-        case (rest, inner: StructType) =>
-          addAt(inner, rest, s"$crumb${path.head}.")
-        case (_, other) => notStruct(other)
+        case r => addAt(inner, r, s"$crumb${path.head}.")
       }
-      StructType(st.fields.updated(idx, f.copy(dataType = newType)))
+      StructType(st.fields.updated(idx, f.copy(dataType = rebuild(newInner))))
     }
     var attempts = 0
     while (true) {

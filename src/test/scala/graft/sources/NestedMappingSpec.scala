@@ -131,6 +131,88 @@ class NestedMappingSpec extends graft.SparkSpecBase {
       s"key rename must refuse, got: ${e.getMessage}")
   }
 
+  test("container-interior additive evolution: add a field inside array/map structs (r15)") {
+    val root = tmpRoot("cadd")
+    val log = CommitLog(spark, root)
+    log.append(Seq(1L).toDF("id")
+      .withColumn("arr", typedLit(Seq(("x1", 1.0)))
+        .cast("array<struct<a:string,b:double>>"))
+      .withColumn("m", map(lit("k1"), struct(lit("y1").as("a")))))
+    val files0 = log.snapshot().files.toSet
+    // WRITE-DRIVEN: a batch whose elements carry a new interior field
+    // evolves the schema; the old file's elements read null there
+    log.append(Seq(2L).toDF("id")
+      .withColumn("arr", typedLit(Seq(("x2", 2.0, 7L)))
+        .cast("array<struct<a:string,b:double,c:bigint>>"))
+      .withColumn("m", map(lit("k2"), struct(lit("y2").as("a")))))
+    val got = log.read().select($"id", explode($"arr").as("e"))
+      .select($"id", $"e.a", $"e.c").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    assert(got === Set((1L, "x1", null), (2L, "x2", 7L)))
+    // a write MISSING the evolved interior field stays accepted,
+    // null-padded per element (conformCol container recursion)
+    log.append(Seq(3L).toDF("id")
+      .withColumn("arr", typedLit(Seq(("x3", 3.0)))
+        .cast("array<struct<a:string,b:double>>"))
+      .withColumn("m", map(lit("k3"), struct(lit("y3").as("a")))))
+    assert(log.read().filter($"id" === 3L)
+      .select(explode($"arr").as("e")).select($"e.c")
+      .as[java.lang.Long].collect().toSeq === Seq(null))
+    // METADATA-ONLY library add inside the MAP value struct
+    val filesBefore = log.snapshot().files.toSet
+    log.addNestedColumn(Seq("m"), StructField("score", DoubleType))
+    assert(log.snapshot().files.toSet === filesBefore, "nested add touched files")
+    assert(log.read().select(explode($"m")).select($"value.score")
+      .as[java.lang.Double].collect().forall(_ == null))
+    // a post-add write lands values in the new interior field
+    log.append(Seq(4L).toDF("id")
+      .withColumn("arr", typedLit(Seq(("x4", 4.0, 9L)))
+        .cast("array<struct<a:string,b:double,c:bigint>>"))
+      .withColumn("m", map(lit("k4"),
+        struct(lit("y4").as("a"), lit(0.5).as("score")))))
+    assert(log.read().filter($"id" === 4L)
+      .select(explode($"m")).select($"value.score")
+      .as[Double].collect().toSeq === Seq(0.5))
+    // DROP the interior field, re-ADD the namesake: fresh suffixed
+    // physical name, old bytes never resurrect
+    log.dropColumn(Seq("arr", "c"))
+    log.addNestedColumn(Seq("arr"), StructField("c", LongType))
+    assert(log.snapshot().physRetired.contains("arr.c"))
+    val elT = log.snapshot().schema.get("arr").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    assert(CommitLog.physNameOf(elT("c")) === "c_1",
+      "re-added interior namesake must take a fresh physical name")
+    assert(log.read().select(explode($"arr").as("e")).select($"e.c")
+      .as[java.lang.Long].collect().forall(_ == null),
+      "dropped interior bytes must not resurrect")
+    assert(files0.subsetOf(log.snapshot().files.toSet),
+      "every evolution step was metadata-only for existing files")
+  }
+
+  test("SQL: ADD COLUMNS through container accessors (r15)") {
+    val wh = Files.createTempDirectory("gcadd-cat").toString
+    spark.conf.set("spark.sql.catalog.gcadd", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcadd.warehouse", wh)
+    Seq(1L).toDF("id")
+      .withColumn("arr", typedLit(Seq(("x1", 1.0)))
+        .cast("array<struct<a:string,b:double>>"))
+      .withColumn("m", map(lit("k"), struct(lit("y").as("a"))))
+      .writeTo("gcadd.t").tableProperty("merge.log", "true").create()
+    spark.sql("ALTER TABLE gcadd.t ADD COLUMNS (arr.element.c BIGINT)")
+    assert(spark.sql("SELECT arr[0].c FROM gcadd.t")
+      .as[java.lang.Long].collect().toSeq === Seq(null))
+    spark.sql("ALTER TABLE gcadd.t ADD COLUMNS (m.value.score DOUBLE)")
+    assert(spark.sql("SELECT m['k'].score FROM gcadd.t")
+      .as[java.lang.Double].collect().toSeq === Seq(null))
+    // the evolved interior accepts a full-shape insert
+    spark.sql("INSERT INTO gcadd.t VALUES (2L, " +
+      "array(named_struct('a', 'x2', 'b', 2.0, 'c', 7L)), " +
+      "map('k2', named_struct('a', 'y2', 'score', 0.9)))")
+    assert(spark.sql("SELECT arr[0].c FROM gcadd.t WHERE id = 2")
+      .as[Long].collect().toSeq === Seq(7L))
+  }
+
   test("nested drop retires the physical path; library re-add gets a fresh name") {
     val root = tmpRoot("drop")
     val log = seed(root)
