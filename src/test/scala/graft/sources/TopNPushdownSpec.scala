@@ -219,6 +219,66 @@ class TopNPushdownSpec extends graft.SparkSpecBase {
     } finally spark.conf.unset("spark.graft.topNPushdown.enabled")
   }
 
+  test("property: pruned top-N ≡ opt-out top-N on random layouts, ties, nulls, DVs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // a tiny value range forces heavy TIES across file boundaries (the
+    // strict-domination edge), Option values inject nulls, the sorted
+    // flag produces both dominating and fully-overlapping layouts, and
+    // the delete flag mixes DV-masked files in
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 40)
+      vs <- Gen.listOfN(n, Gen.option(Gen.chooseNum(-3L, 3L)))
+      sorted <- Gen.oneOf(true, false)
+      chunks <- Gen.chooseNum(1, 4)
+      k <- Gen.chooseNum(1, 12)
+      desc <- Gen.oneOf(true, false)
+      del <- Gen.oneOf(false, false, true)
+    } yield (vs, sorted, chunks, k, desc, del)
+    var iter = 0
+    val prop = Prop.forAllNoShrink(caseGen) {
+      case (vs, sorted, chunks, k, desc, del) =>
+        iter += 1
+        val (cat, wh) = freshCat(s"prop$iter")
+        val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        val ordered =
+          if (sorted) rows.sortBy { case (_, v) => v.getOrElse(Long.MinValue) }
+          else rows
+        val parts: Seq[Seq[(Long, Option[Long])]] =
+          if (ordered.isEmpty) Seq(Nil)
+          else ordered.grouped(
+            math.max(1, ordered.size / chunks)).toSeq
+        parts.zipWithIndex.foreach { case (chunk, ci) =>
+          val df = chunk.toDF("id", "v")
+          if (ci == 0) df.coalesce(1).writeTo(s"$cat.t")
+            .tableProperty("merge.log", "true").create()
+          else df.coalesce(1).writeTo(s"$cat.t").append()
+        }
+        if (del && rows.nonEmpty) {
+          spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+          spark.conf.set("spark.graft.dv.maxRatio", "1.0")
+          try CommitLog(spark, s"$wh/t").delete(col("id") % 3 === 0L)
+          finally {
+            spark.conf.unset("spark.graft.dv.minTouchedBytes")
+            spark.conf.unset("spark.graft.dv.maxRatio")
+          }
+        }
+        def run(): Seq[Long] = {
+          val q = spark.table(s"$cat.t")
+            .orderBy(if (desc) $"v".desc else $"v".asc).limit(k)
+          q.collect().map(r =>
+            if (r.isNullAt(1)) -999L else r.getLong(1)).toSeq
+        }
+        val on = run().sorted
+        spark.conf.set("spark.graft.topNPushdown.enabled", "false")
+        val off = try run().sorted
+          finally spark.conf.unset("spark.graft.topNPushdown.enabled")
+        on == off
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("partition-exact filters compose with top-N over the surviving set") {
     val (cat, _) = freshCat("pex")
     val df = (1 to 300).map(i =>
