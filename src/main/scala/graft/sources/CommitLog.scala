@@ -1724,23 +1724,20 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       // read the new interior field as null (explicit-schema parquet
       // reads null-fill missing nested leaves), new writes null-pad
       // through [[conformCol]]'s container recursion. SQL paths may
-      // spell the container accessor (`arr.element`, `m.value`).
-      def skipAcc(rest: Seq[String], accessor: String,
-          target: StructType): Seq[String] =
-        if (rest.nonEmpty && lc(rest.head) == accessor
-            && !target.fields.exists(tf => lc(tf.name) == lc(rest.head)))
-          rest.tail
-        else rest
+      // spell the container accessor (`arr.element`, `m.value`);
+      // allowAtLeaf: the parent path may END on the accessor.
       val (inner: StructType, rest: Seq[String],
           rebuild: (StructType => org.apache.spark.sql.types.DataType)) =
         f.dataType match {
           case st2: StructType =>
             (st2, path.tail, (s: StructType) => s)
           case a @ org.apache.spark.sql.types.ArrayType(el: StructType, _) =>
-            (el, skipAcc(path.tail, "element", el),
+            (el, skipContainerAccessor(path.tail, "element", el,
+                allowAtLeaf = true),
               (s: StructType) => a.copy(elementType = s))
           case m @ org.apache.spark.sql.types.MapType(_, v: StructType, _) =>
-            (v, skipAcc(path.tail, "value", v),
+            (v, skipContainerAccessor(path.tail, "value", v,
+                allowAtLeaf = true),
               (s: StructType) => m.copy(valueType = s))
           case other => notStruct(other)
         }
@@ -1846,34 +1843,26 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       if (p.lengthCompare(1) == 0) edit(st, idx)
       else {
         val f = st.fields(idx)
-        // the interior path may spell the container accessor the way
-        // Spark's SQL field resolution does (`arr.element.a`,
-        // `m.value.a`) or omit it (the library form, `arr.a`) — both
-        // resolve; a field literally NAMED like the accessor wins (the
-        // library's back-compat reading)
-        def inner(rest: Seq[String], accessor: String,
-            target: StructType): Seq[String] =
-          if (target.fields.exists(tf => lc(tf.name) == lc(rest.head))) rest
-          else if (lc(rest.head) == accessor && rest.lengthCompare(1) > 0)
-            rest.tail
-          else rest
         val rebuilt: org.apache.spark.sql.types.DataType = f.dataType match {
           case nested: StructType => walk(nested, p.tail, s"$crumb${p.head}.")
           case a @ org.apache.spark.sql.types.ArrayType(el: StructType, _) =>
-            a.copy(elementType =
-              walk(el, inner(p.tail, "element", el), s"$crumb${p.head}."))
+            a.copy(elementType = walk(el,
+              skipContainerAccessor(p.tail, "element", el,
+                allowAtLeaf = false), s"$crumb${p.head}."))
           case m @ org.apache.spark.sql.types.MapType(_, v: StructType, _) =>
             if (lc(p.tail.head) == "key"
                 && !v.fields.exists(tf => lc(tf.name) == "key"))
               throw new IllegalArgumentException(
                 s"$tableRoot: $op: '$crumb${p.head}.key' — map key " +
                   "evolution would be a rewrite, not metadata")
-            m.copy(valueType =
-              walk(v, inner(p.tail, "value", v), s"$crumb${p.head}."))
+            m.copy(valueType = walk(v,
+              skipContainerAccessor(p.tail, "value", v,
+                allowAtLeaf = false), s"$crumb${p.head}."))
           case other => throw new IllegalArgumentException(
-            s"$tableRoot: $op: '$crumb${p.head}' is ${other.simpleString}, " +
-              "not a struct, array of structs, or map with struct " +
-              "values — key evolution would be a rewrite, not metadata")
+            s"$tableRoot: $op: '$crumb${p.head}' is ${other.simpleString} " +
+              "— interior evolution needs a struct to land in (a " +
+              "struct column, an array of structs, or a map's struct " +
+              "VALUES; map keys never evolve)")
         }
         StructType(st.fields.updated(idx, f.copy(dataType = rebuilt)))
       }
@@ -1884,26 +1873,20 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   /** The PHYSICAL dotted path of `path` under `sch` — the key the
     * retired-name registry stores for nested drops. */
   private def physPathOf(sch: StructType, path: Seq[String]): String = {
-    def skipAccessor(rest: Seq[String], accessor: String,
-        target: StructType): Seq[String] =
-      if (target.fields.exists(tf => lc(tf.name) == lc(rest.head))) rest
-      else if (lc(rest.head) == accessor && rest.lengthCompare(1) > 0)
-        rest.tail
-      else rest
     def walk(st: StructType, p: Seq[String]): Seq[String] = {
       val f = st.fields.find(f => lc(f.name) == lc(p.head)).getOrElse(
         throw new IllegalArgumentException(
           s"$tableRoot: no column '${path.mkString(".")}'"))
       if (p.lengthCompare(1) == 0) Seq(physName(f))
       else {
-        // same SQL-accessor tolerance as [[rewriteStructPath]] — the
-        // two walk the SAME caller-supplied path and must agree
         val (inner, rest) = f.dataType match {
           case s: StructType => (s, p.tail)
           case org.apache.spark.sql.types.ArrayType(el: StructType, _) =>
-            (el, skipAccessor(p.tail, "element", el))
+            (el, skipContainerAccessor(p.tail, "element", el,
+              allowAtLeaf = false))
           case org.apache.spark.sql.types.MapType(_, v: StructType, _) =>
-            (v, skipAccessor(p.tail, "value", v))
+            (v, skipContainerAccessor(p.tail, "value", v,
+              allowAtLeaf = false))
           case other => throw new IllegalArgumentException(
             s"$tableRoot: '${path.mkString(".")}' walks through " +
               s"${other.simpleString}")
@@ -1913,6 +1896,26 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
     walk(sch, path).mkString(".")
   }
+
+  /** SQL container-accessor tolerance, shared by EVERY interior path
+    * walk ([[rewriteStructPath]], [[physPathOf]], [[addNestedColumn]])
+    * — they walk the SAME caller-supplied path and MUST agree, or a
+    * DROP would retire a physical path no later re-add collides with.
+    * A leading `element`/`value` component is dropped as Spark's SQL
+    * accessor spelling (`arr.element.a`, `m.value.a`) unless the
+    * interior struct has a REAL field of that name (namesake wins —
+    * the library form's back-compat reading). `allowAtLeaf`: an
+    * accessor may END the path only where the leaf names a container
+    * interior itself (addNestedColumn's parent can BE `arr.element`);
+    * the rename/drop walks refuse that (their leaf is the edited
+    * field). */
+  private def skipContainerAccessor(rest: Seq[String], accessor: String,
+      target: StructType, allowAtLeaf: Boolean): Seq[String] =
+    if (rest.isEmpty
+        || target.fields.exists(tf => lc(tf.name) == lc(rest.head))) rest
+    else if (lc(rest.head) == accessor
+        && (allowAtLeaf || rest.lengthCompare(1) > 0)) rest.tail
+    else rest
 
   /** SQL DDL: `ALTER TABLE … DROP COLUMN` — METADATA-ONLY like
     * [[renameColumn]]: the field leaves the logical schema and its
@@ -1937,7 +1940,9 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val s = snapshot()
       val cur = s.schema.getOrElse(throw new IllegalStateException(
         s"$tableRoot: DROP COLUMN on a table with no committed schema"))
-      val retiredPath = physPathOf(cur, path)
+      // the walk runs FIRST: its refusals (key evolution, non-struct
+      // interiors) carry the precise diagnostics; physPathOf then
+      // resolves the same path by the shared accessor rules
       val evolved = rewriteStructPath(cur, path, "DROP COLUMN") { (st, idx) =>
         require(st.fields.length > 1,
           s"$tableRoot: DROP COLUMN: cannot drop the last column " +
@@ -1945,6 +1950,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
               " of its struct — drop the struct column instead" else ""))
         StructType(st.fields.patch(idx, Nil, 1))
       }
+      val retiredPath = physPathOf(cur, path)
       val retired = s.physRetired :+ retiredPath
       if (tryCommit(s.version + 1,
           manifestJson(s.version + 1, "add", Nil, evolved, None,

@@ -1405,6 +1405,12 @@ private[sources] final class GraftLogScanBuilder(
         val (f, i) = keyOf(singleColumn(c.column)
           .getOrElse(return None).name).getOrElse(return None)
         if (spec.get.keys(i).transform != PartSpec.Identity) return None
+        // the SPJ round-trip rule, same as the GROUP BY admission:
+        // distinct TAGS only equal distinct VALUES when the type's
+        // string form is injective under Spark's equality (a double
+        // key's "0.0"/"-0.0" tags are two strings but ONE value;
+        // a timestamp tag depends on the writer's session TZ)
+        if (!GraftLogScanBuilder.spjKeyType(f.dataType)) return None
         FnDistinctKey(f, i)
       case m: Min =>
         val f = singleColumn(m.column).getOrElse(return None)

@@ -237,6 +237,16 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
     val cd2 = spark.sql(s"SELECT count(DISTINCT id) AS n FROM $cat.t")
     assert(!manifestAnswered(cd2))
     assert(cd2.collect().head.getLong(0) === 200L)
+    // a non-round-tripping key TYPE refuses: a double key's "0.0" and
+    // "-0.0" tags are two strings but ONE Spark value (review r15)
+    val (cat2, _) = freshCat("dkey")
+    Seq((1L, 0.0), (2L, -0.0), (3L, 1.5)).toDF("id", "d")
+      .writeTo(s"$cat2.t").tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "d").create()
+    val cd3 = spark.sql(s"SELECT count(DISTINCT d) AS n FROM $cat2.t")
+    assert(!manifestAnswered(cd3),
+      "a double identity key must refuse the distinct-count fold")
+    assert(cd3.collect().head.getLong(0) === 2L)
   }
 
   test("grouped pushdown folds a composite spec's sub-partitions") {

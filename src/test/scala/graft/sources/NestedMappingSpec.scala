@@ -336,14 +336,21 @@ class NestedMappingSpec extends graft.SparkSpecBase {
     val eLast = intercept[IllegalArgumentException](
       log.dropColumn(Seq("m", "alpha")))
     assert(eLast.getMessage.contains("last column"))
-    // map KEYS cannot evolve: a map whose VALUE is not a struct has no
-    // addressable interior — the walk refuses, naming the reason
+    // a map whose VALUE is not a struct has no addressable interior —
+    // the walk refuses, naming what CAN evolve
     val kroot = tmpRoot("mapkey")
     val klog = CommitLog(spark, kroot)
     klog.append(Seq(1L).toDF("id").withColumn("m", map(lit("k"), lit(1.0))))
     val e = intercept[IllegalArgumentException](
       klog.renameColumn(Seq("m", "a"), "z"))
-    assert(e.getMessage.contains("key evolution"))
+    assert(e.getMessage.contains("map keys never evolve"))
+    // the key accessor itself refuses with the dedicated message, on
+    // BOTH DDL verbs (drop runs the same walk first)
+    val e2 = intercept[IllegalArgumentException](
+      log.renameColumn(Seq("m", "key"), "z"))
+    assert(e2.getMessage.contains("key evolution"))
+    val e3 = intercept[IllegalArgumentException](log.dropColumn(Seq("m", "key")))
+    assert(e3.getMessage.contains("key evolution"))
   }
 
   test("CDC across a nested rename normalizes to the feed-final names") {
