@@ -2706,8 +2706,91 @@ object IndexQueries {
         CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM exploded GROUP BY fuel ORDER BY fuel"""))
 
+  /** B2/B6 TIME-SCOPED PARTITION-EXACT PUSHDOWN (r15): `WHERE
+    * CAST(ts AS DATE) = d` over a `days(ts)`-partitioned table is
+    * PROVABLY satisfied by every row of the day's files (the tag IS
+    * the UTC epoch-day), so the day-scoped COUNT/MIN/MAX folds from
+    * the manifest with zero files opened — the reference's own
+    * per-day read (`Data = :d` on the DynamoDB key,
+    * /root/reference/index.js:305-314) at 100 TB. The cast predicate
+    * also folds to a ts-micros bound for file pruning, so the scan
+    * (when one IS needed) touches only the day's files. REQUIRED
+    * in-body: the day-scoped aggregate plans as LocalTableScan; the
+    * plain day filter scans only that day's files; equality on the
+    * RAW ts refuses exactness (lossy tag). Values hash against
+    * DuckDB. */
+  private val q190 = Q(
+    "q190_dayscoped_pushdown",
+    (s, dir) => {
+      val cat = "g190_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "dayscope-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_totalprice").cast("double").as("price"),
+        expr("timestamp'2024-03-01 06:30:00' " +
+          "+ make_interval(0, 0, 0, CAST(o_orderkey % 7 AS INT), 0, 0, 0)")
+          .as("ts"))
+      val priorTsType = s.conf.getOption("spark.sql.parquet.outputTimestampType")
+      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      try {
+        o.writeTo(s"$cat.t").tableProperty("merge.log", "true")
+          .tableProperty("merge.partcol", "days(ts)").create()
+        def planOf(df: DataFrame): String =
+          df.queryExecution.executedPlan.toString
+        def scanned(df: DataFrame): Int =
+          df.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+              graft.sources.GraftScans.unwrapFileScan(r.scan)
+                .fileIndex.inputFiles.length
+          }.sum
+        val day = lit("2024-03-04").cast("date")
+        val dayAgg = s.table(s"$cat.t")
+          .filter(col("ts").cast("date") === day)
+          .agg(count(lit(1)).as("n_day"),
+            min(col("o_orderkey")).as("mn_ok"), max(col("price")).as("mx_p"))
+        require(planOf(dayAgg).contains("LocalTableScan")
+            && !planOf(dayAgg).contains("BatchScan"),
+          s"q190: the day-scoped aggregate must fold from the manifest:\n" +
+            planOf(dayAgg))
+        val dayAggRow = dayAgg.collect()
+        // the plain day filter prunes to the one day partition's files
+        val snap = graft.sources.CommitLog(s, s"$root/t").snapshot()
+        val dayFiles = snap.parts.values.count(_ == "19786") // 2024-03-04
+        val plain = s.table(s"$cat.t").filter(col("ts").cast("date") === day)
+        require(scanned(plain) == dayFiles && dayFiles >= 1,
+          s"q190: the day filter must scan the day's $dayFiles file(s), " +
+            s"scanned ${scanned(plain)}")
+        // equality on the RAW ts is lossy against a day tag: refuses
+        val raw = s.table(s"$cat.t")
+          .filter(col("ts") === lit("2024-03-04 06:30:00").cast("timestamp"))
+          .agg(count(lit(1)).as("n"))
+        require(planOf(raw).contains("BatchScan"),
+          s"q190: raw-ts equality must refuse the manifest fold:\n${planOf(raw)}")
+        val nRaw = raw.collect()(0).getLong(0)
+        import s.implicits._
+        Seq((dayAggRow(0).getLong(0), dayAggRow(0).getLong(1),
+            dayAggRow(0).getDouble(2), nRaw))
+          .toDF("n_day", "mn_ok", "mx_p", "n_raw")
+      } finally priorTsType match {
+        case Some(v) => s.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => s.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+          TIMESTAMP '2024-03-01 06:30:00'
+            + to_days(CAST(o_orderkey % 7 AS INT)) AS ts
+        FROM orders)
+      SELECT
+        (SELECT COUNT(*) FROM base WHERE CAST(ts AS DATE) = DATE '2024-03-04') AS n_day,
+        (SELECT MIN(o_orderkey) FROM base WHERE CAST(ts AS DATE) = DATE '2024-03-04') AS mn_ok,
+        (SELECT MAX(price) FROM base WHERE CAST(ts AS DATE) = DATE '2024-03-04') AS mx_p,
+        (SELECT COUNT(*) FROM base
+          WHERE ts = TIMESTAMP '2024-03-04 06:30:00') AS n_raw"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
     q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
 }

@@ -3097,9 +3097,69 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       case l: java.lang.Long => CommitLog.TsUs(l)
       case x => x
     }
-    val bounds = bounds0.map { case (c, lo, hi) =>
+    val bounds1 = bounds0.map { case (c, lo, hi) =>
       if (tsTyped(c)) (c, lo.map(wrapTs), hi.map(wrapTs)) else (c, lo, hi)
     }
+    // r15: `CAST(tsCol AS DATE) <op> dateLiteral` folds to a ts-micros
+    // bound — the time-scoped read (`WHERE day = X`) prunes files
+    // without the caller spelling a ts range. SQL predicates arrive
+    // here already cast-unwrapped (Catalyst rewrites them to raw ts
+    // ranges before pushdown), so this branch serves the LIBRARY DML
+    // paths — delete/update/merge conditions pass through verbatim
+    // (`touchedFiles`). UTC sessions only (the cast is
+    // session-TZ-local; stats are epoch-micros): day d covers
+    // [d·86400e6, (d+1)·86400e6). Bounds wrap in TsUs like every ts
+    // bound; overflow on an extreme date skips the bound (no pruning,
+    // conservative).
+    val utcSess = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+    def dateCastCol(e: Expression): Option[String] = e match {
+      case c: Cast if c.dataType == org.apache.spark.sql.types.DateType
+          && utcSess =>
+        c.child match {
+          case a: Attribute if tsTyped(a.name) => Some(a.name)
+          case _ => None
+        }
+      case _ => None
+    }
+    def dayLit(e: Expression): Option[Long] =
+      if (!e.foldable || e.exists(_.isInstanceOf[Attribute])) None
+      else e.eval(null) match {
+        case i: java.lang.Integer => Some(i.longValue)
+        case _ => None
+      }
+    val microsPerDay = 86400L * 1000000L
+    def dayMicros(d: Long): Option[Long] =
+      scala.util.Try(Math.multiplyExact(d, microsPerDay)).toOption
+    def dayRange(op: String, d: Long): Option[(Option[Long], Option[Long])] =
+      op match {
+        // date(ts) = d  ⟺  ts ∈ [d·day, (d+1)·day)
+        case "=" => for (lo <- dayMicros(d); hi <- dayMicros(d + 1))
+          yield (Some(lo), Some(hi - 1))
+        case ">=" => dayMicros(d).map(lo => (Some(lo), None))
+        case ">"  => dayMicros(d + 1).map(lo => (Some(lo), None))
+        case "<=" => dayMicros(d + 1).map(hi => (None, Some(hi - 1)))
+        case "<"  => dayMicros(d).map(hi => (None, Some(hi - 1)))
+        case _ => None
+      }
+    def flip(op: String): String = op match {
+      case ">" => "<"; case ">=" => "<="
+      case "<" => ">"; case "<=" => ">="
+      case x => x
+    }
+    val castBounds: Seq[(String, Option[Any], Option[Any])] = cs.flatMap {
+      case Cmp(op, a, v) if dateCastCol(a).isDefined =>
+        for {
+          n <- dateCastCol(a); d <- dayLit(v); r <- dayRange(op, d)
+        } yield (n, r._1.map(x => CommitLog.TsUs(x): Any),
+          r._2.map(x => CommitLog.TsUs(x): Any))
+      case Cmp(op, v, a) if dateCastCol(a).isDefined =>
+        for {
+          n <- dateCastCol(a); d <- dayLit(v); r <- dayRange(flip(op), d)
+        } yield (n, r._1.map(x => CommitLog.TsUs(x): Any),
+          r._2.map(x => CommitLog.TsUs(x): Any))
+      case _ => None
+    }
+    val bounds = bounds1 ++ castBounds
     // top-level equality conjuncts additionally probe the per-file
     // Bloom filters (when indexed) — the value stringifies THROUGH the
     // already-inserted cast, matching [[bloomsFor]]'s hashing exactly;

@@ -1019,14 +1019,29 @@ private[sources] final class GraftLogScanBuilder(
   private var filtersExact = false
 
   /** Provably-all-rows-true check: the table is fully tagged, and each
-    * conjunct is either IsNotNull on a partition key column (the
-    * partitioned write refuses null partition values, so every tagged
-    * row has one) or an equality between an IDENTITY partition key and
-    * a literal whose tag component equals every selected file's
-    * component for that key. Anything else — other columns, ranges,
-    * transform keys — is not judgeable here and refuses. */
+    * conjunct is one of
+    *  - IsNotNull on a partition key column (the partitioned write
+    *    refuses null partition values, so every tagged row has one);
+    *  - an equality between a LOSSLESS partition key and a literal
+    *    whose tag component equals every selected file's component —
+    *    an IDENTITY key, or the DATE source column of a days(date)
+    *    key (the tag IS the value's own epoch-day, bijective);
+    *  - (r15) a ts RANGE conjunct over a days(ts)/hours(ts) key whose
+    *    bound every selected file's WHOLE tag unit provably satisfies
+    *    (tag unit [tag·u, (tag+1)·u) inside the bound) — the
+    *    time-scoped count, the reference's own per-day read shape:
+    *    `WHERE CAST(ts AS DATE) = d` reaches pushdown as exactly this
+    *    range pair (Catalyst unwraps the cast), and explicit
+    *    month/week ranges fold the same way. Pure micros arithmetic —
+    *    no session-TZ dependence (the unwrap already baked the TZ
+    *    into the literal bounds).
+    * Anything else — other columns, equality on a lossy transform
+    * key, non-unit-aligned evidence — is not judgeable here and
+    * refuses (the bound check itself refuses a bound cutting through
+    * a selected file's unit). */
   private def exactOnSelected(filters: Seq[Expression]): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, IsNotNull, Literal}
+    import org.apache.spark.sql.types.{DateType, TimestampType}
     val sp = partCol.map(_.trim).filter(_.nonEmpty)
       .flatMap(p => scala.util.Try(PartSpec.parse(p)).toOption)
       .getOrElse(return false)
@@ -1046,14 +1061,58 @@ private[sources] final class GraftLogScanBuilder(
       case _ => None
     }
     def eqExact(a: Attribute, v: Expression): Boolean = (for {
-      i <- keyIdx(a) if sp.keys(i).transform == PartSpec.Identity
+      i <- keyIdx(a)
+      if sp.keys(i).transform == PartSpec.Identity ||
+        (sp.keys(i).transform == PartSpec.Days && a.dataType == DateType)
       l <- litOf(v)
       c <- sp.componentOfLiteral(i, l)
     } yield decoded.forall(_.apply(i) == c)).getOrElse(false)
+    // a ts-range bound every selected file's WHOLE tag unit satisfies:
+    // rows of a days/hours-tagged file all lie in [tag·u, (tag+1)·u)
+    def unitOf(t: PartSpec.Transform): Option[Long] = t match {
+      case PartSpec.Days => Some(86400L * 1000000L)
+      case PartSpec.Hours => Some(3600L * 1000000L)
+      case _ => None
+    }
+    def rangeExact(a: Attribute, op: String, v: Expression): Boolean = (for {
+      i <- keyIdx(a)
+      if a.dataType.isInstanceOf[TimestampType]
+      u <- unitOf(sp.keys(i).transform)
+      l <- litOf(v)
+      if l.dataType.isInstanceOf[TimestampType] && l.value != null
+    } yield {
+      val m = l.value.asInstanceOf[Long]
+      decoded.forall { d =>
+        scala.util.Try {
+          val lo = Math.multiplyExact(d(i).toLong, u)      // row min (incl)
+          val hi = Math.addExact(lo, u)                    // row max (excl)
+          op match {
+            case ">=" => lo >= m
+            case ">"  => lo > m
+            case "<"  => hi <= m
+            case "<=" => hi - 1 <= m
+            case _ => false
+          }
+        }.getOrElse(false)
+      }
+    }).getOrElse(false)
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    def flip(op: String): String = op match {
+      case ">" => "<"; case ">=" => "<="
+      case "<" => ">"; case "<=" => ">="; case x => x
+    }
     filters.flatMap(conjuncts).forall {
       case IsNotNull(a: Attribute) => keyIdx(a).isDefined
       case EqualTo(a: Attribute, v) => eqExact(a, v)
       case EqualTo(v, a: Attribute) => eqExact(a, v)
+      case GreaterThanOrEqual(a: Attribute, v) => rangeExact(a, ">=", v)
+      case GreaterThan(a: Attribute, v) => rangeExact(a, ">", v)
+      case LessThan(a: Attribute, v) => rangeExact(a, "<", v)
+      case LessThanOrEqual(a: Attribute, v) => rangeExact(a, "<=", v)
+      case GreaterThanOrEqual(v, a: Attribute) => rangeExact(a, flip(">="), v)
+      case GreaterThan(v, a: Attribute) => rangeExact(a, flip(">"), v)
+      case LessThan(v, a: Attribute) => rangeExact(a, flip("<"), v)
+      case LessThanOrEqual(v, a: Attribute) => rangeExact(a, flip("<="), v)
       case _ => false
     }
   }

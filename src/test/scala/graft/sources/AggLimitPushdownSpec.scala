@@ -332,6 +332,67 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
       .agg(count(lit(1))).collect().head.getLong(0) === 60L)
   }
 
+  test("day-scoped filters are partition-exact over days/hours layouts (r15)") {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      val df = (0 until 240).map { i =>
+        (i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-05-${1 + i % 5}%02d ${i % 24}%02d:15:00"))
+      }.toDF("id", "ts")
+      val day = lit("2024-05-03").cast("date")
+      // days(ts): the day tag proves the cast predicate on every row
+      val (cat, _) = freshCat("dayd")
+      df.writeTo(s"$cat.t").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "days(ts)").create()
+      val q = spark.table(s"$cat.t").filter($"ts".cast("date") === day)
+        .agg(count(lit(1)).as("n"), min($"id").as("mn"))
+      assert(manifestAnswered(q),
+        "day-scoped agg over days(ts) must fold:\n" + q.queryExecution.executedPlan)
+      assert(q.collect().head.getLong(0) === 48L)
+      // the cast bound also prunes the plain scan to the day's files
+      val plain = spark.table(s"$cat.t").filter($"ts".cast("date") === day)
+      assert(scannedFiles(plain) === 1, "one day = one partition file")
+      // hours(ts): 24 hour tags fold into the one day
+      val (cat2, _) = freshCat("dayh")
+      df.writeTo(s"$cat2.t").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "hours(ts)").create()
+      val q2 = spark.table(s"$cat2.t").filter($"ts".cast("date") === day)
+        .agg(count(lit(1)).as("n"))
+      assert(manifestAnswered(q2),
+        "day-scoped agg over hours(ts) must fold:\n" + q2.queryExecution.executedPlan)
+      assert(q2.collect().head.getLong(0) === 48L)
+      // an explicit multi-day range folds the same way (no cast needed)
+      val range = spark.table(s"$cat.t")
+        .filter($"ts" >= lit("2024-05-02 00:00:00").cast("timestamp")
+          && $"ts" < lit("2024-05-04 00:00:00").cast("timestamp"))
+        .agg(count(lit(1)).as("n"))
+      assert(manifestAnswered(range),
+        "a unit-aligned ts range must fold:\n" + range.queryExecution.executedPlan)
+      assert(range.collect().head.getLong(0) === 96L)
+      // a bound cutting THROUGH a selected file's day refuses
+      val cut = spark.table(s"$cat.t")
+        .filter($"ts" >= lit("2024-05-02 12:00:00").cast("timestamp"))
+        .agg(count(lit(1)).as("n"))
+      assert(!manifestAnswered(cut))
+      // equality on the RAW ts is lossy against the tag: refuses
+      val raw = spark.table(s"$cat.t")
+        .filter($"ts" === lit("2024-05-03 02:15:00").cast("timestamp"))
+        .agg(count(lit(1)).as("n"))
+      assert(!manifestAnswered(raw))
+      // days(DATE) key: equality on the date column itself is lossless
+      val (cat3, _) = freshCat("dayl")
+      df.select($"id", $"ts".cast("date").as("d"))
+        .writeTo(s"$cat3.t").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "days(d)").create()
+      val q3 = spark.table(s"$cat3.t").filter($"d" === day)
+        .agg(count(lit(1)).as("n"), max($"id").as("mx"))
+      assert(manifestAnswered(q3),
+        "date-key equality over days(date) must fold:\n" +
+          q3.queryExecution.executedPlan)
+      assert(q3.collect().head.getLong(0) === 48L)
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+  }
+
   test("calendar EXTRACT rollups fold from days/hours/months/years tags (r15)") {
     // GROUP BY year()/month() is derivable from any partition tag AT or
     // BELOW that granularity — the year/month report over a
