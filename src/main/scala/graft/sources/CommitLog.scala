@@ -3160,6 +3160,27 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       case _ => None
     }
     val bounds = bounds1 ++ castBounds
+    // r15: IN-list conjuncts — a file survives when ANY listed value
+    // could hold a row (stats overlap). Partitioned files pin their
+    // key to min==max, so for `key IN (...)` this is exact file-level
+    // partition pruning. Null list values match no row (IN's UNKNOWN)
+    // and drop from the keep-decision; any UNCONVERTIBLE value makes
+    // the whole conjunct unusable (it could match anything).
+    def inValues(e: Expression): Option[(String, Seq[Any])] = e match {
+      case In(a: Attribute, list) if list.nonEmpty
+          && list.forall(v => v.foldable && !v.exists(_.isInstanceOf[Attribute])) =>
+        val nonNull = list.flatMap(v => Option(v.eval(null)))
+        val vs = nonNull.flatMap(v => litVal(Literal(v, a.dataType)))
+        if (vs.length == nonNull.length) Some(a.name -> vs) else None
+      case InSet(a: Attribute, hset) if hset.nonEmpty =>
+        val nonNull = hset.toSeq.filter(_ != null)
+        val vs = nonNull.flatMap(v => litVal(Literal(v, a.dataType)))
+        if (vs.length == nonNull.length) Some(a.name -> vs) else None
+      case _ => None
+    }
+    val inLists: Seq[(String, Seq[Any])] = cs.flatMap(inValues).map {
+      case (c, vs) => if (tsTyped(c)) (c, vs.map(wrapTs)) else (c, vs)
+    }
     // top-level equality conjuncts additionally probe the per-file
     // Bloom filters (when indexed) — the value stringifies THROUGH the
     // already-inserted cast, matching [[bloomsFor]]'s hashing exactly;
@@ -3185,6 +3206,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           // absent endpoints fall back to the file's own stat, which
           // makes that side of the overlap check trivially true
           case Some((mn, mx)) => overlaps(mn, mx, lo.getOrElse(mn), hi.getOrElse(mx))
+          case None => true // no stats → cannot rule the file out
+        }
+      } && inLists.forall { case (c, vs) =>
+        s.stats.get(f).flatMap(_.get(physOf(s.schema, c))) match {
+          case Some((mn, mx)) => vs.exists(v => overlaps(mn, mx, v, v))
           case None => true // no stats → cannot rule the file out
         }
       } && probes.forall { case (c, v) =>

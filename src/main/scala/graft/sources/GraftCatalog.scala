@@ -1022,10 +1022,11 @@ private[sources] final class GraftLogScanBuilder(
     * conjunct is one of
     *  - IsNotNull on a partition key column (the partitioned write
     *    refuses null partition values, so every tagged row has one);
-    *  - an equality between a LOSSLESS partition key and a literal
-    *    whose tag component equals every selected file's component —
-    *    an IDENTITY key, or the DATE source column of a days(date)
-    *    key (the tag IS the value's own epoch-day, bijective);
+    *  - an equality (or r15 IN-list) between a LOSSLESS partition key
+    *    and literals whose tag components cover every selected file's
+    *    component — an IDENTITY key, or the DATE source column of a
+    *    days(date) key (the tag IS the value's own epoch-day,
+    *    bijective);
     *  - (r15) a ts RANGE conjunct over a days(ts)/hours(ts) key whose
     *    bound every selected file's WHOLE tag unit provably satisfies
     *    (tag unit [tag·u, (tag+1)·u) inside the bound) — the
@@ -1060,13 +1061,28 @@ private[sources] final class GraftLogScanBuilder(
         scala.util.Try(Literal.create(e.eval(null), e.dataType)).toOption
       case _ => None
     }
-    def eqExact(a: Attribute, v: Expression): Boolean = (for {
-      i <- keyIdx(a)
-      if sp.keys(i).transform == PartSpec.Identity ||
+    // lossless keys only: IDENTITY, or the DATE column of days(date)
+    def losslessKey(a: Attribute): Option[Int] = keyIdx(a).filter { i =>
+      sp.keys(i).transform == PartSpec.Identity ||
         (sp.keys(i).transform == PartSpec.Days && a.dataType == DateType)
+    }
+    def eqExact(a: Attribute, v: Expression): Boolean = (for {
+      i <- losslessKey(a)
       l <- litOf(v)
       c <- sp.componentOfLiteral(i, l)
     } yield decoded.forall(_.apply(i) == c)).getOrElse(false)
+    // key IN (...): every selected file's tag must name a listed
+    // value. Null list values never make a row TRUE and drop out; an
+    // unresolvable value refuses the conjunct.
+    def inExact(a: Attribute, lits: Seq[Literal]): Boolean = (for {
+      i <- losslessKey(a)
+      nonNull = lits.filter(_.value != null)
+      comps = nonNull.flatMap(l => sp.componentOfLiteral(i, l))
+      if comps.length == nonNull.length
+    } yield {
+      val set = comps.toSet
+      decoded.forall(d => set.contains(d(i)))
+    }).getOrElse(false)
     // a ts-range bound every selected file's WHOLE tag unit satisfies:
     // rows of a days/hours-tagged file all lie in [tag·u, (tag+1)·u)
     def unitOf(t: PartSpec.Transform): Option[Long] = t match {
@@ -1096,7 +1112,7 @@ private[sources] final class GraftLogScanBuilder(
         }.getOrElse(false)
       }
     }).getOrElse(false)
-    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual}
     def flip(op: String): String = op match {
       case ">" => "<"; case ">=" => "<="
       case "<" => ">"; case "<=" => ">="; case x => x
@@ -1105,6 +1121,10 @@ private[sources] final class GraftLogScanBuilder(
       case IsNotNull(a: Attribute) => keyIdx(a).isDefined
       case EqualTo(a: Attribute, v) => eqExact(a, v)
       case EqualTo(v, a: Attribute) => eqExact(a, v)
+      case In(a: Attribute, list) if list.forall(v => litOf(v).isDefined) =>
+        inExact(a, list.map(v => litOf(v).get))
+      case InSet(a: Attribute, hs) =>
+        inExact(a, hs.toSeq.map(v => Literal(v, a.dataType)))
       case GreaterThanOrEqual(a: Attribute, v) => rangeExact(a, ">=", v)
       case GreaterThan(a: Attribute, v) => rangeExact(a, ">", v)
       case LessThan(a: Attribute, v) => rangeExact(a, "<", v)

@@ -332,6 +332,43 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
       .agg(count(lit(1))).collect().head.getLong(0) === 60L)
   }
 
+  test("IN-list partition filters prune files and stay exact (r15)") {
+    val (cat, _) = freshCat("inl")
+    val df = (1 to 300).map(i => (i.toLong, Seq("A", "B", "C")(i % 3)))
+      .toDF("id", "flag")
+    df.writeTo(s"$cat.t").tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "flag").create()
+    val total = spark.table(s"$cat.t")
+    assert(scannedFiles(total) === 3, "one file per partition expected")
+    // the IN filter prunes to the named partitions' files AND the
+    // aggregate under it folds from the manifest
+    val q = spark.table(s"$cat.t").filter($"flag".isin("A", "C"))
+      .agg(count(lit(1)).as("n"), min($"id").as("mn"))
+    assert(manifestAnswered(q),
+      "IN over the partition key must fold:\n" + q.queryExecution.executedPlan)
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).head === ((200L, 2L)))
+    val plain = spark.table(s"$cat.t").filter($"flag".isin("A", "C"))
+    assert(scannedFiles(plain) === 2, "IN must prune to the listed partitions")
+    // a large list rides the optimizer's InSet conversion
+    val many = ("A" +: (1 to 15).map(i => s"zz$i")).map(lit(_))
+    val big = spark.table(s"$cat.t").filter($"flag".isin(many: _*))
+      .agg(count(lit(1)).as("n"))
+    assert(manifestAnswered(big),
+      "InSet over the partition key must fold:\n" + big.queryExecution.executedPlan)
+    assert(big.collect().head.getLong(0) === 100L)
+    assert(scannedFiles(spark.table(s"$cat.t")
+      .filter($"flag".isin(many: _*))) === 1)
+    // a null in the list never makes a row TRUE: fold stays sound
+    val withNull = spark.table(s"$cat.t")
+      .filter($"flag".isin("B", null)).agg(count(lit(1)).as("n"))
+    assert(withNull.collect().head.getLong(0) === 100L)
+    // IN over a NON-key column refuses the fold (rows could drop)
+    val nonKey = spark.table(s"$cat.t").filter($"id".isin(1L, 2L))
+      .agg(count(lit(1)).as("n"))
+    assert(!manifestAnswered(nonKey))
+    assert(nonKey.collect().head.getLong(0) === 2L)
+  }
+
   test("day-scoped filters are partition-exact over days/hours layouts (r15)") {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try {
