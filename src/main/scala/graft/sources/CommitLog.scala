@@ -3066,23 +3066,41 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       case x => Seq(x)
     }
     val cs = conjunctsIn.flatMap(conjuncts)
+    // strict bounds tighten by one in INTEGRAL stat domains (Long —
+    // integrals, dates as epoch-days, timestamps as micros): x < m ⟺
+    // x ≤ m−1, exact, so a boundary file (min == m, e.g. the
+    // next-day file of a cast-unwrapped day range) prunes instead of
+    // surviving an inclusive check. Non-integral domains stay
+    // inclusive (conservative).
+    def decr(x: Any): Any = x match {
+      case l: Long if l != Long.MinValue => l - 1
+      case other => other
+    }
+    def incr(x: Any): Any = x match {
+      case l: Long if l != Long.MaxValue => l + 1
+      case other => other
+    }
     // (col, requiredLo, requiredHi): a TRUE row needs col in [lo, hi]
     val bounds0: Seq[(String, Option[Any], Option[Any])] =
       cs.flatMap {
         case Cmp(op, a, v) if attr(a).isDefined =>
           attr(a).flatMap(n => litVal(v).map { x =>
             op match {
-              case ">" | ">=" => (n, Some(x): Option[Any], None: Option[Any])
-              case "<" | "<=" => (n, None: Option[Any], Some(x): Option[Any])
-              case _          => (n, Some(x): Option[Any], Some(x): Option[Any])
+              case ">"  => (n, Some(incr(x)): Option[Any], None: Option[Any])
+              case ">=" => (n, Some(x): Option[Any], None: Option[Any])
+              case "<"  => (n, None: Option[Any], Some(decr(x)): Option[Any])
+              case "<=" => (n, None: Option[Any], Some(x): Option[Any])
+              case _    => (n, Some(x): Option[Any], Some(x): Option[Any])
             }
           })
         case Cmp(op, v, a) if attr(a).isDefined => // literal-first: flip
           attr(a).flatMap(n => litVal(v).map { x =>
             op match {
-              case ">" | ">=" => (n, None: Option[Any], Some(x): Option[Any])
-              case "<" | "<=" => (n, Some(x): Option[Any], None: Option[Any])
-              case _          => (n, Some(x): Option[Any], Some(x): Option[Any])
+              case ">"  => (n, None: Option[Any], Some(decr(x)): Option[Any])
+              case ">=" => (n, None: Option[Any], Some(x): Option[Any])
+              case "<"  => (n, Some(incr(x)): Option[Any], None: Option[Any])
+              case "<=" => (n, Some(x): Option[Any], None: Option[Any])
+              case _    => (n, Some(x): Option[Any], Some(x): Option[Any])
             }
           })
         case _ => None
@@ -3106,15 +3124,20 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // here already cast-unwrapped (Catalyst rewrites them to raw ts
     // ranges before pushdown), so this branch serves the LIBRARY DML
     // paths — delete/update/merge conditions pass through verbatim
-    // (`touchedFiles`). UTC sessions only (the cast is
-    // session-TZ-local; stats are epoch-micros): day d covers
-    // [d·86400e6, (d+1)·86400e6). Bounds wrap in TsUs like every ts
-    // bound; overflow on an extreme date skips the bound (no pruning,
+    // (`touchedFiles`). UTC-cast only, judged by the Cast's OWN
+    // baked-in timeZoneId, not the live session conf — an analyzed
+    // predicate keeps the TZ it resolved under, and a session-conf
+    // change between analysis and pruning must not shift the day
+    // window (review r15): day d covers [d·86400e6, (d+1)·86400e6).
+    // An unresolved cast (no TZ baked yet — the library builds its
+    // conditions in-session) falls back to the session conf it will
+    // resolve under. Bounds wrap in TsUs like every ts bound;
+    // overflow on an extreme date skips the bound (no pruning,
     // conservative).
-    val utcSess = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+    lazy val utcSess = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
     def dateCastCol(e: Expression): Option[String] = e match {
       case c: Cast if c.dataType == org.apache.spark.sql.types.DateType
-          && utcSess =>
+          && c.timeZoneId.map(_ == "UTC").getOrElse(utcSess) =>
         c.child match {
           case a: Attribute if tsTyped(a.name) => Some(a.name)
           case _ => None
@@ -3127,9 +3150,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         case i: java.lang.Integer => Some(i.longValue)
         case _ => None
       }
-    val microsPerDay = 86400L * 1000000L
     def dayMicros(d: Long): Option[Long] =
-      scala.util.Try(Math.multiplyExact(d, microsPerDay)).toOption
+      scala.util.Try(Math.multiplyExact(d, PartSpec.MicrosPerDay)).toOption
     def dayRange(op: String, d: Long): Option[(Option[Long], Option[Long])] =
       op match {
         // date(ts) = d  ⟺  ts ∈ [d·day, (d+1)·day)
@@ -3141,11 +3163,6 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         case "<"  => dayMicros(d).map(hi => (None, Some(hi - 1)))
         case _ => None
       }
-    def flip(op: String): String = op match {
-      case ">" => "<"; case ">=" => "<="
-      case "<" => ">"; case "<=" => ">="
-      case x => x
-    }
     val castBounds: Seq[(String, Option[Any], Option[Any])] = cs.flatMap {
       case Cmp(op, a, v) if dateCastCol(a).isDefined =>
         for {
@@ -3154,7 +3171,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           r._2.map(x => CommitLog.TsUs(x): Any))
       case Cmp(op, v, a) if dateCastCol(a).isDefined =>
         for {
-          n <- dateCastCol(a); d <- dayLit(v); r <- dayRange(flip(op), d)
+          n <- dateCastCol(a); d <- dayLit(v)
+          r <- dayRange(PartSpec.flipOp(op), d)
         } yield (n, r._1.map(x => CommitLog.TsUs(x): Any),
           r._2.map(x => CommitLog.TsUs(x): Any))
       case _ => None

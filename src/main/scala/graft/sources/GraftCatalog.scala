@@ -1083,56 +1083,60 @@ private[sources] final class GraftLogScanBuilder(
       val set = comps.toSet
       decoded.forall(d => set.contains(d(i)))
     }).getOrElse(false)
-    // a ts-range bound every selected file's WHOLE tag unit satisfies:
+    // a range bound every selected file's WHOLE tag unit satisfies:
     // rows of a days/hours-tagged file all lie in [tag·u, (tag+1)·u)
-    def unitOf(t: PartSpec.Transform): Option[Long] = t match {
-      case PartSpec.Days => Some(86400L * 1000000L)
-      case PartSpec.Hours => Some(3600L * 1000000L)
-      case _ => None
-    }
+    // of the key's value domain — epoch-MICROS for a ts column
+    // (units from PartSpec, the tag writer's own constants), and
+    // epoch-DAYS (unit 1) for the DATE column of a days(date) key
+    def domainOf(a: Attribute, i: Int, l: Literal): Option[(Long, Long)] =
+      (sp.keys(i).transform, a.dataType, l.dataType, l.value) match {
+        case (PartSpec.Days, _: TimestampType, _: TimestampType, m: java.lang.Long) =>
+          Some((PartSpec.MicrosPerDay, m.longValue))
+        case (PartSpec.Hours, _: TimestampType, _: TimestampType, m: java.lang.Long) =>
+          Some((PartSpec.MicrosPerHour, m.longValue))
+        case (PartSpec.Days, DateType, DateType, d: java.lang.Integer) =>
+          Some((1L, d.longValue))
+        case _ => None
+      }
     def rangeExact(a: Attribute, op: String, v: Expression): Boolean = (for {
       i <- keyIdx(a)
-      if a.dataType.isInstanceOf[TimestampType]
-      u <- unitOf(sp.keys(i).transform)
-      l <- litOf(v)
-      if l.dataType.isInstanceOf[TimestampType] && l.value != null
-    } yield {
-      val m = l.value.asInstanceOf[Long]
-      decoded.forall { d =>
-        scala.util.Try {
-          val lo = Math.multiplyExact(d(i).toLong, u)      // row min (incl)
-          val hi = Math.addExact(lo, u)                    // row max (excl)
-          op match {
-            case ">=" => lo >= m
-            case ">"  => lo > m
-            case "<"  => hi <= m
-            case "<=" => hi - 1 <= m
-            case _ => false
-          }
-        }.getOrElse(false)
-      }
+      l <- litOf(v) if l.value != null
+      (u, m) <- domainOf(a, i, l)
+    } yield decoded.forall { d =>
+      scala.util.Try {
+        val lo = Math.multiplyExact(d(i).toLong, u)      // row min (incl)
+        val hi = Math.addExact(lo, u)                    // row max (excl)
+        op match {
+          case ">=" => lo >= m
+          case ">"  => lo > m
+          case "<"  => hi <= m
+          case "<=" => hi - 1 <= m
+          case _ => false
+        }
+      }.getOrElse(false)
     }).getOrElse(false)
     import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual}
-    def flip(op: String): String = op match {
-      case ">" => "<"; case ">=" => "<="
-      case "<" => ">"; case "<=" => ">="; case x => x
+    def inListExact(a: Attribute, list: Seq[Expression]): Boolean = {
+      val lits = list.map(litOf)
+      lits.forall(_.isDefined) && inExact(a, lits.flatten)
     }
     filters.flatMap(conjuncts).forall {
       case IsNotNull(a: Attribute) => keyIdx(a).isDefined
       case EqualTo(a: Attribute, v) => eqExact(a, v)
       case EqualTo(v, a: Attribute) => eqExact(a, v)
-      case In(a: Attribute, list) if list.forall(v => litOf(v).isDefined) =>
-        inExact(a, list.map(v => litOf(v).get))
+      case In(a: Attribute, list) => inListExact(a, list)
       case InSet(a: Attribute, hs) =>
         inExact(a, hs.toSeq.map(v => Literal(v, a.dataType)))
       case GreaterThanOrEqual(a: Attribute, v) => rangeExact(a, ">=", v)
       case GreaterThan(a: Attribute, v) => rangeExact(a, ">", v)
       case LessThan(a: Attribute, v) => rangeExact(a, "<", v)
       case LessThanOrEqual(a: Attribute, v) => rangeExact(a, "<=", v)
-      case GreaterThanOrEqual(v, a: Attribute) => rangeExact(a, flip(">="), v)
-      case GreaterThan(v, a: Attribute) => rangeExact(a, flip(">"), v)
-      case LessThan(v, a: Attribute) => rangeExact(a, flip("<"), v)
-      case LessThanOrEqual(v, a: Attribute) => rangeExact(a, flip("<="), v)
+      case GreaterThanOrEqual(v, a: Attribute) =>
+        rangeExact(a, PartSpec.flipOp(">="), v)
+      case GreaterThan(v, a: Attribute) => rangeExact(a, PartSpec.flipOp(">"), v)
+      case LessThan(v, a: Attribute) => rangeExact(a, PartSpec.flipOp("<"), v)
+      case LessThanOrEqual(v, a: Attribute) =>
+        rangeExact(a, PartSpec.flipOp("<="), v)
       case _ => false
     }
   }

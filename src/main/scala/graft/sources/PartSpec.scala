@@ -168,6 +168,15 @@ private[graft] object PartSpec {
   private[sources] val MicrosPerDay = 86400000000L
   private[sources] val MicrosPerHour = 3600000000L
 
+  /** Mirror a comparison operator across `literal OP column` →
+    * `column OP' literal` — shared by every range judge so the op
+    * encoding has one home. */
+  private[sources] def flipOp(op: String): String = op match {
+    case ">" => "<"; case ">=" => "<="
+    case "<" => ">"; case "<=" => ">="
+    case x => x
+  }
+
   private def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
   private def quoted(name: String) = s"`${name.replace("`", "``")}`"
 

@@ -370,6 +370,7 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
   }
 
   test("day-scoped filters are partition-exact over days/hours layouts (r15)") {
+    val priorTsType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try {
       val df = (0 until 240).map { i =>
@@ -427,7 +428,19 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
         "date-key equality over days(date) must fold:\n" +
           q3.queryExecution.executedPlan)
       assert(q3.collect().head.getLong(0) === 48L)
-    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      // a date RANGE over the days(date) key folds too (review r15:
+      // the epoch-day domain rides the same unit-interval judge)
+      val q4 = spark.table(s"$cat3.t")
+        .filter($"d" >= lit("2024-05-02").cast("date")
+          && $"d" < lit("2024-05-04").cast("date"))
+        .agg(count(lit(1)).as("n"))
+      assert(manifestAnswered(q4),
+        "date-range over days(date) must fold:\n" + q4.queryExecution.executedPlan)
+      assert(q4.collect().head.getLong(0) === 96L)
+    } finally priorTsType match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
   }
 
   test("calendar EXTRACT rollups fold from days/hours/months/years tags (r15)") {

@@ -169,6 +169,7 @@ class TopNPushdownSpec extends graft.SparkSpecBase {
 
   test("timestamp sort keys ride unit-normalized TsUs stats") {
     val (cat, _) = freshCat("ts")
+    val prior = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try {
       val df = (1 to 300).map { i =>
@@ -180,11 +181,15 @@ class TopNPushdownSpec extends graft.SparkSpecBase {
       val q = spark.table(s"$cat.t").orderBy($"ts".desc).limit(3)
       assert(scannedFiles(q) === 1)
       assert(q.collect().map(_.getLong(0)).toSeq === Seq(300L, 299L, 298L))
-    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
   }
 
   test("INT96 timestamp stats are untrusted: top-N keeps every file") {
     val (cat, _) = freshCat("i96")
+    val prior = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
     try {
       val df = (1 to 200).map { i =>
@@ -196,7 +201,10 @@ class TopNPushdownSpec extends graft.SparkSpecBase {
       val q = spark.table(s"$cat.t").orderBy($"ts".desc).limit(3)
       assert(scannedFiles(q) === 2, "INT96 files carry no trusted ts stat")
       assert(q.collect().map(_.getLong(0)).toSeq === Seq(200L, 199L, 198L))
-    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
   }
 
   test("refusal edges: non-default null order, expression keys, opt-out") {
