@@ -443,6 +443,69 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
     }
   }
 
+  test("property: partition-exact pushdown ≡ plain evaluation on random filters") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // the exactness judge DROPS residual filters (pushFilters returns
+    // Seq.empty) — the one place a wrong admission silently leaks
+    // rows. Random small tables over both layout families, filters
+    // drawn from every admission family plus its refusal neighbors,
+    // results compared against the same predicate evaluated on the
+    // in-memory frame (no graft pushdown anywhere in that path).
+    val priorTsType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      val caseGen = for {
+        n <- Gen.chooseNum(1, 60)
+        rows <- Gen.listOfN(n, for {
+          flag <- Gen.oneOf("A", "B", "C", "D")
+          day <- Gen.chooseNum(0, 3)
+          sec <- Gen.chooseNum(0L, 86399L)
+          id <- Gen.chooseNum(0L, 1000L)
+        } yield (id, flag, day, sec))
+        part <- Gen.oneOf("flag", "days(ts)")
+        fsel <- Gen.chooseNum(0, 5)
+      } yield (rows, part, fsel)
+      var iter = 0
+      val prop = Prop.forAllNoShrink(caseGen) { case (rows, part, fsel) =>
+        iter += 1
+        val (cat, _) = freshCat(s"pex$iter")
+        def frame(df: org.apache.spark.sql.DataFrame) = df.select(
+          $"id", $"flag",
+          expr("timestamp'2024-05-01 00:00:00' " +
+            "+ make_interval(0, 0, 0, day, 0, 0, sec)").as("ts"))
+        val base = frame(rows.toDF("id", "flag", "day", "sec"))
+        base.writeTo(s"$cat.t").tableProperty("merge.log", "true")
+          .tableProperty("merge.partcol", part).create()
+        def f(df: org.apache.spark.sql.DataFrame) = fsel match {
+          case 0 => df.filter($"flag" === "B")
+          case 1 => df.filter($"flag".isin("A", "C"))
+          case 2 => df.filter($"ts".cast("date") ===
+            lit("2024-05-02").cast("date"))
+          case 3 => df.filter(
+            $"ts" >= lit("2024-05-02 00:00:00").cast("timestamp")
+              && $"ts" < lit("2024-05-04 00:00:00").cast("timestamp"))
+          case 4 => df.filter( // cuts through a day: must stay residual
+            $"ts" >= lit("2024-05-01 12:00:00").cast("timestamp"))
+          case _ => df.filter($"flag" === "B" && $"id" > 500L)
+        }
+        def shape(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long)] =
+          f(df).select($"id", $"flag", unix_micros($"ts"))
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            .toSeq.sorted
+        val aggOf = (df: org.apache.spark.sql.DataFrame) =>
+          f(df).agg(count(lit(1)), min($"id"), max($"id")).collect()(0).toSeq
+        shape(spark.table(s"$cat.t")) == shape(base) &&
+          aggOf(spark.table(s"$cat.t")) == aggOf(base)
+      }
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+      assert(res.passed, res.status.toString)
+    } finally priorTsType match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
   test("calendar EXTRACT rollups fold from days/hours/months/years tags (r15)") {
     // GROUP BY year()/month() is derivable from any partition tag AT or
     // BELOW that granularity — the year/month report over a
