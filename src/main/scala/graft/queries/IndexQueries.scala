@@ -2789,8 +2789,105 @@ object IndexQueries {
         (SELECT COUNT(*) FROM base
           WHERE ts = TIMESTAMP '2024-03-04 06:30:00') AS n_raw"""))
 
+  /** B2/B6 DECIMAL MANIFEST STATS (r16): money columns — the
+    * reference's own domain (fuel prices are DECIMAL(10,3),
+    * /root/reference/index.js:129-138) — now carry footer min/max in
+    * the manifest as (unscaled long, scale) typed values
+    * ([[graft.sources.CommitLog.DecV]], the TsUs pattern: a pre-r16
+    * manifest reads as stat-less, never misread), unlocking the whole
+    * pushdown family over the commonest filter/agg target: MIN/MAX
+    * folds answer from the manifest with zero files opened, price-
+    * range predicates (incl. cross-scale literals through the
+    * DecimalPrecision cast) prune to the band's files, and a
+    * price-ordered top-N excludes dominated files. REQUIRED in-body:
+    * the global min/max/count folds to LocalTableScan; the mid-band
+    * range scans 1 of 3 files; the cross-scale strict bound scans 1;
+    * the top-5 read scans 1. Values hash against DuckDB replaying the
+    * same exact decimal arithmetic. */
+  private val q191 = Q(
+    "q191_decimal_stats_pushdown",
+    (s, dir) => {
+      val cat = "g191_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "dec-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        expr("CAST(o_orderkey * 7 AS DECIMAL(14,2)) + CAST(0.25 AS DECIMAL(3,2))")
+          .cast("decimal(14,2)").as("p"))
+      val mx = o.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      val (k1, k2) = (mx / 3, 2 * mx / 3)
+      o.filter(col("o_orderkey") < k1).coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+      o.filter(col("o_orderkey") >= k1 && col("o_orderkey") < k2).coalesce(1)
+        .writeTo(s"$cat.t").append()
+      o.filter(col("o_orderkey") >= k2).coalesce(1).writeTo(s"$cat.t").append()
+      def planOf(df: DataFrame): String =
+        df.queryExecution.executedPlan.toString
+      def scanned(df: DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            graft.sources.GraftScans.unwrapFileScan(r.scan)
+              .fileIndex.inputFiles.length
+        }.sum
+      // 1) global fold: zero data files opened
+      val fold = s.table(s"$cat.t").agg(count(lit(1)).as("n_all"),
+        min(col("p")).as("mn"), max(col("p")).as("mx"))
+      require(planOf(fold).contains("LocalTableScan")
+          && !planOf(fold).contains("BatchScan"),
+        s"q191: decimal min/max must fold from the manifest:\n${planOf(fold)}")
+      val foldRow = fold.collect()(0)
+      // 2) mid-band range: 1 of 3 files
+      def bd(l: Long, frac: String) = new java.math.BigDecimal(l * 7)
+        .add(new java.math.BigDecimal(frac))
+      val mid = s.table(s"$cat.t")
+        .filter(col("p") >= lit(bd(k1, "0.00")) && col("p") < lit(bd(k2, "0.00")))
+      require(scanned(mid) == 1,
+        s"q191: the mid price band must scan 1 file, scanned ${scanned(mid)}")
+      val midRow = mid.agg(count(lit(1)).as("n_mid"),
+        sum(col("p")).as("s_mid")).collect()(0)
+      // 3) cross-scale strict bound (scale-4 literal over a scale-2
+      //    column — DecimalPrecision casts the column up): still 1 file
+      val cross = s.table(s"$cat.t")
+        .filter(col("p") > lit(bd(k1, "0.2505")) && col("p") < lit(bd(k2, "0.00")))
+      require(scanned(cross) == 1,
+        s"q191: cross-scale decimal bounds must prune, scanned ${scanned(cross)}")
+      val nCross = cross.count()
+      // 4) price-ordered top-5: the top band dominates
+      val top = s.table(s"$cat.t").orderBy(col("p").desc).limit(5)
+      require(scanned(top) == 1,
+        s"q191: the top-5 price read must scan 1 file, scanned ${scanned(top)}")
+      val topSum = top.agg(sum(col("p")).as("s")).collect()(0).getDecimal(0)
+      import s.implicits._
+      Seq((foldRow.getLong(0), foldRow.getDecimal(1).doubleValue,
+          foldRow.getDecimal(2).doubleValue, midRow.getLong(0),
+          midRow.getDecimal(1).doubleValue, nCross, topSum.doubleValue))
+        .toDF("n_all", "mn_p", "mx_p", "n_mid", "s_mid", "n_cross", "top5")
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey,
+          CAST(o_orderkey * 7 AS DECIMAL(14,2)) + CAST(0.25 AS DECIMAL(3,2)) AS p
+        FROM orders),
+      ks AS (SELECT MAX(o_orderkey) // 3 AS k1, 2 * MAX(o_orderkey) // 3 AS k2
+        FROM orders)
+      SELECT
+        (SELECT COUNT(*) FROM base) AS n_all,
+        (SELECT CAST(MIN(p) AS DOUBLE) FROM base) AS mn_p,
+        (SELECT CAST(MAX(p) AS DOUBLE) FROM base) AS mx_p,
+        (SELECT COUNT(*) FROM base, ks
+          WHERE p >= CAST(k1 * 7 AS DECIMAL(16,2))
+            AND p < CAST(k2 * 7 AS DECIMAL(16,2))) AS n_mid,
+        (SELECT CAST(SUM(p) AS DOUBLE) FROM base, ks
+          WHERE p >= CAST(k1 * 7 AS DECIMAL(16,2))
+            AND p < CAST(k2 * 7 AS DECIMAL(16,2))) AS s_mid,
+        (SELECT COUNT(*) FROM base, ks
+          WHERE p > CAST(k1 * 7 AS DECIMAL(16,2)) + CAST(0.2505 AS DECIMAL(5,4))
+            AND p < CAST(k2 * 7 AS DECIMAL(16,2))) AS n_cross,
+        (SELECT CAST(SUM(p) AS DOUBLE) FROM
+          (SELECT p FROM base ORDER BY p DESC LIMIT 5)) AS top5"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
     q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191)
 }

@@ -866,9 +866,32 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       case l: java.lang.Long if isTs => CommitLog.TsUs(l)
       case x => x
     }
+    // DECIMAL bounds fold to (unscaled, scale) like every decimal
+    // bound (r16) — the caller's external value (BigDecimal in either
+    // dialect, or an exact integer) compares value-exactly against
+    // harvested DecV stats; anything else stays unwrapped and the
+    // mixed-pair guard keeps the file
+    def wrapDec(v: Any): Any = {
+      def ofBig(bd: java.math.BigDecimal): Any =
+        if (bd.unscaledValue().bitLength() <= 63)
+          CommitLog.DecV(bd.unscaledValue().longValueExact(), bd.scale())
+        else v
+      v match {
+        case bd: java.math.BigDecimal => ofBig(bd)
+        case bd: scala.math.BigDecimal => ofBig(bd.underlying)
+        case d: org.apache.spark.sql.types.Decimal => ofBig(d.toJavaBigDecimal)
+        case i: java.lang.Integer => CommitLog.DecV(i.longValue, 0)
+        case l: java.lang.Long => ofBig(java.math.BigDecimal.valueOf(l))
+        case x => x
+      }
+    }
+    val isDec = s.schema.exists(_.fields.exists(f =>
+      lc(f.name) == lc(colName)
+        && f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]))
+    def wrap(v: Any): Any = if (isDec) wrapDec(v) else wrapTs(v)
     val picked = s.files.filter { f =>
       s.stats.get(f).flatMap(_.get(physCol)) match {
-        case Some((mn, mx)) => overlaps(mn, mx, wrapTs(lo), wrapTs(hi))
+        case Some((mn, mx)) => overlaps(mn, mx, wrap(lo), wrap(hi))
         case None => true // no stats → cannot rule the file out
       }
     }
@@ -927,6 +950,20 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         case l: java.lang.Long => CommitLog.TsUs(l)
         case x => x
       }
+      case Some(_: org.apache.spark.sql.types.DecimalType) =>
+        // r16: decimal probes compare value-exactly against DecV stats
+        val big: Option[java.math.BigDecimal] = value match {
+          case bd: java.math.BigDecimal => Some(bd)
+          case bd: scala.math.BigDecimal => Some(bd.underlying)
+          case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+          case i: java.lang.Integer => Some(java.math.BigDecimal.valueOf(i.longValue))
+          case l: java.lang.Long => Some(java.math.BigDecimal.valueOf(l))
+          case _ => None
+        }
+        big.filter(_.unscaledValue().bitLength() <= 63)
+          .map(bd => CommitLog.DecV(bd.unscaledValue().longValueExact(),
+            bd.scale()): Any)
+          .getOrElse(value)
       case _ => value
     }
     s.files.filter { f =>
@@ -1051,6 +1088,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             CommitLog.TsUs(l), CommitLog.TsUs(h)) =>
         return b >= l && a <= h
       case _ if Seq(mn, mx, lo, hi).exists(_.isInstanceOf[CommitLog.TsUs]) =>
+        return true
+      // decimal stats/bounds compare VALUE-exactly at any scale pair
+      // (r16); a decimal on one side only (e.g. a decimal bound against
+      // a pre-r16 stat-less entry can't reach here, but a widened
+      // column's old integer stats can) keeps the file
+      case (a: CommitLog.DecV, b: CommitLog.DecV,
+            l: CommitLog.DecV, h: CommitLog.DecV) =>
+        return b.toBig.compareTo(l.toBig) >= 0 && a.toBig.compareTo(h.toBig) <= 0
+      case _ if Seq(mn, mx, lo, hi).exists(_.isInstanceOf[CommitLog.DecV]) =>
         return true
       case _ => ()
     }
@@ -3044,10 +3090,41 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         case v: java.lang.Float   => Some(v.doubleValue)
         case v: java.lang.Double  => Some(v)
         case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
-        case _ => None // decimals/binary/null — no bound, conservative
+        case d: org.apache.spark.sql.types.Decimal =>
+          // r16: decimal bounds carry (unscaled, scale) and compare
+          // VALUE-exactly against harvested decimal stats at any scale
+          // pair; an unscaled value beyond Long has no harvested
+          // counterpart anyway (precision > 18 refuses at harvest)
+          val bd = d.toJavaBigDecimal
+          if (bd.unscaledValue().bitLength() <= 63)
+            Some(CommitLog.DecV(bd.unscaledValue().longValueExact(), bd.scale()))
+          else None
+        case _ => None // binary/null — no bound, conservative
       }
     def attr(e: Expression): Option[String] = e match {
       case a: Attribute => Some(a.name)
+      case _ => None
+    }
+    // r16: bound extraction additionally sees THROUGH a value-
+    // preserving decimal widening cast over a bare column — the shape
+    // DecimalPrecision wraps the attribute in for a mixed-scale
+    // comparison (`price > 1.5` casts DECIMAL(10,3) price up to the
+    // comparison type). Such a cast is exact and monotone (scale and
+    // integer-digit capacity both grow), so `CAST(col) ⊛ lit` binds
+    // exactly the rows `col`'s VALUE-compare against the same literal
+    // does — and DecV bounds compare by value. NOT used for bloom
+    // probes: the bloom hashes the column's own cast-to-string, whose
+    // scale differs from the promoted literal's.
+    def battr(e: Expression): Option[String] = e match {
+      case a: Attribute => Some(a.name)
+      case c: Cast => (c.child, c.child.dataType, c.dataType) match {
+        case (a: Attribute, fd: org.apache.spark.sql.types.DecimalType,
+              td: org.apache.spark.sql.types.DecimalType)
+            if td.scale >= fd.scale
+              && td.precision - td.scale >= fd.precision - fd.scale =>
+          Some(a.name)
+        case _ => None
+      }
       case _ => None
     }
     object Cmp {
@@ -3083,8 +3160,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // (col, requiredLo, requiredHi): a TRUE row needs col in [lo, hi]
     val bounds0: Seq[(String, Option[Any], Option[Any])] =
       cs.flatMap {
-        case Cmp(op, a, v) if attr(a).isDefined =>
-          attr(a).flatMap(n => litVal(v).map { x =>
+        case Cmp(op, a, v) if battr(a).isDefined =>
+          battr(a).flatMap(n => litVal(v).map { x =>
             op match {
               case ">"  => (n, Some(incr(x)): Option[Any], None: Option[Any])
               case ">=" => (n, Some(x): Option[Any], None: Option[Any])
@@ -3093,8 +3170,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
               case _    => (n, Some(x): Option[Any], Some(x): Option[Any])
             }
           })
-        case Cmp(op, v, a) if attr(a).isDefined => // literal-first: flip
-          attr(a).flatMap(n => litVal(v).map { x =>
+        case Cmp(op, v, a) if battr(a).isDefined => // literal-first: flip
+          battr(a).flatMap(n => litVal(v).map { x =>
             op match {
               case ">"  => (n, None: Option[Any], Some(decr(x)): Option[Any])
               case ">=" => (n, None: Option[Any], Some(x): Option[Any])
@@ -3276,6 +3353,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       case (_, v: java.lang.Float)   => Some(v.doubleValue)
       case (_, v: java.lang.Double)  => Some(v)
       case (_, u: org.apache.spark.unsafe.types.UTF8String) => Some(u.toString)
+      case (_, d: org.apache.spark.sql.types.Decimal) =>
+        val bd = d.toJavaBigDecimal // r16: value-exact vs DecV stats
+        if (bd.unscaledValue().bitLength() <= 63)
+          Some(CommitLog.DecV(bd.unscaledValue().longValueExact(), bd.scale()))
+        else None
       case _ => None
     }
     // the tag/bloom domain: the value's cast-to-string, evaluated by
@@ -4075,8 +4157,36 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
     val pt = cc.getPrimitiveType
     val logical = pt.getLogicalTypeAnnotation
-    if (logical.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])
-      return ChunkUnknown // stats are unscaled ints — not comparable to user bounds
+    logical match {
+      case dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+        // r16: decimal stats ARE comparable once the scale rides along
+        // — harvest (unscaled, scale) as a typed [[CommitLog.DecV]].
+        // INT32/INT64 physical stats are the unscaled value directly;
+        // BINARY/FIXED_LEN_BYTE_ARRAY stats are big-endian two's-
+        // complement bytes under parquet's signed-integer comparator
+        // (numeric order — the same order our folds use). An unscaled
+        // value that exceeds Long (precision > 18) refuses: the fold
+        // domain is Long-backed by design.
+        def unscaled(v: Any): Option[Long] = v match {
+          case n: java.lang.Integer => Some(n.longValue)
+          case n: java.lang.Long    => Some(n)
+          case b: org.apache.parquet.io.api.Binary =>
+            val bytes = b.getBytes
+            if (bytes.isEmpty) None
+            else {
+              val bi = new java.math.BigInteger(bytes)
+              if (bi.bitLength() <= 63) Some(bi.longValueExact()) else None
+            }
+          case _ => None
+        }
+        return (for {
+          mn <- unscaled(st.genericGetMin)
+          mx <- unscaled(st.genericGetMax)
+        } yield ChunkCovered(CommitLog.DecV(mn, dec.getScale),
+            CommitLog.DecV(mx, dec.getScale)): ChunkStats)
+          .getOrElse(ChunkUnknown)
+      case _ => ()
+    }
     pt.getPrimitiveTypeName match {
       case INT64 if logical.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
         // the stats domain for timestamps is Spark's internal
@@ -4138,18 +4248,27 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
 
   private[sources] def minAny(a: Any, b: Any): Any = (a, b) match {
     case (CommitLog.TsUs(x), CommitLog.TsUs(y)) => CommitLog.TsUs(math.min(x, y))
+    case (x: CommitLog.DecV, y: CommitLog.DecV) =>
+      if (x.scale == y.scale) CommitLog.DecV(math.min(x.unscaled, y.unscaled), x.scale)
+      else if (x.toBig.compareTo(y.toBig) <= 0) x else y // exact cross-scale
     case (x: Long, y: Long) => math.min(x, y)
     case (x: Double, y: Double) => math.min(x, y)
     case (x: String, y: String) => if (utf8Compare(x, y) <= 0) x else y
-    case _ => a
+    // a mixed-representation pair (cross-generation manifest) POISONS
+    // the fold — returning either operand could silently drop the true
+    // extremum (r16; consumers refuse MixedStat as no-evidence)
+    case _ => CommitLog.MixedStat
   }
 
   private[sources] def maxAny(a: Any, b: Any): Any = (a, b) match {
     case (CommitLog.TsUs(x), CommitLog.TsUs(y)) => CommitLog.TsUs(math.max(x, y))
+    case (x: CommitLog.DecV, y: CommitLog.DecV) =>
+      if (x.scale == y.scale) CommitLog.DecV(math.max(x.unscaled, y.unscaled), x.scale)
+      else if (x.toBig.compareTo(y.toBig) >= 0) x else y
     case (x: Long, y: Long) => math.max(x, y)
     case (x: Double, y: Double) => math.max(x, y)
     case (x: String, y: String) => if (utf8Compare(x, y) >= 0) x else y
-    case _ => a
+    case _ => CommitLog.MixedStat
   }
 
   /** Three-way compare of two SAME-REPRESENTATION manifest stat values
@@ -4164,6 +4283,9 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   private[sources] def cmpAny(a: Any, b: Any): Option[Int] = (a, b) match {
     case (CommitLog.TsUs(x), CommitLog.TsUs(y)) =>
       Some(java.lang.Long.compare(x, y))
+    case (x: CommitLog.DecV, y: CommitLog.DecV) =>
+      if (x.scale == y.scale) Some(java.lang.Long.compare(x.unscaled, y.unscaled))
+      else Some(x.toBig.compareTo(y.toBig)) // exact at any scale pair
     case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
     case (x: Double, y: Double) =>
       if (x < y) Some(-1) else if (x > y) Some(1)
@@ -4186,6 +4308,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           (mn, mx) match {
             case (CommitLog.TsUs(a), CommitLog.TsUs(b)) =>
               o.put("t", "ts"); o.put("mn", a); o.put("mx", b)
+            case (a: CommitLog.DecV, b: CommitLog.DecV) if a.scale == b.scale =>
+              // scales are equal within one harvested file (one parquet
+              // type per column); a mismatched pair cannot be restated
+              // under one scale tag, so it falls to the drop-arm below
+              o.put("t", "dec"); o.put("sc", a.scale)
+              o.put("mn", a.unscaled); o.put("mx", b.unscaled)
             case (a: Long, b: Long)     => o.put("t", "l"); o.put("mn", a); o.put("mx", b)
             case (a: Double, b: Double) => o.put("t", "d"); o.put("mn", a); o.put("mx", b)
             case (a: String, b: String) => o.put("t", "s"); o.put("mn", a); o.put("mx", b)
@@ -4203,6 +4331,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           Option(o.get("t")).map(_.asText()) match {
             case Some("ts") => Some((CommitLog.TsUs(o.get("mn").asLong()),
               CommitLog.TsUs(o.get("mx").asLong())))
+            case Some("dec") if o.has("sc") =>
+              val sc = o.get("sc").asInt()
+              Some((CommitLog.DecV(o.get("mn").asLong(), sc),
+                CommitLog.DecV(o.get("mx").asLong(), sc)))
             case Some("l") => Some((o.get("mn").asLong(), o.get("mx").asLong()))
             case Some("d") => Some((o.get("mn").asDouble(), o.get("mx").asDouble()))
             case Some("s") => Some((o.get("mn").asText(), o.get("mx").asText()))
@@ -4480,6 +4612,35 @@ object CommitLog {
     * the file in range pruning — instead of misreading a
     * configured-millis writer's stats as micros (review r15). */
   final case class TsUs(us: Long)
+
+  /** A DECIMAL stat value: the footer's unscaled integer plus the
+    * decimal scale it was written under (r16). Parquet decimal stats
+    * are unscaled ints in the column's OWN scale — carrying the scale
+    * makes them value-comparable (via exact BigDecimal arithmetic) to
+    * bounds and stats of any other scale, so precision-widened columns
+    * and mixed-scale predicate literals compare exactly instead of
+    * refusing. The distinct runtime + serialized type (manifest tag
+    * "dec") is the marker: a pre-r16 manifest simply has no decimal
+    * stats (they were refused at harvest), so every decimal-aware
+    * reader treats absence as no-evidence — keeping files in pruning
+    * and refusing aggregate/top-N pushdown — never misreading.
+    * Unscaled values beyond Long (precision > 18) are refused at
+    * harvest. */
+  final case class DecV(unscaled: Long, scale: Int) {
+    def toBig: java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(unscaled, scale)
+  }
+
+  /** Poison produced by folding two stat values of DIFFERENT
+    * representations ([[CommitLog.minAny]]/[[maxAny]]) — e.g. a
+    * pre-r15 raw-unit timestamp long against a [[TsUs]], possible only
+    * on a manifest written across format generations. Every consumer
+    * ([[cmpAny]], the catalog's `internal`, `statRepr`) treats it as
+    * no-evidence, so a cross-generation fold REFUSES the pushdown
+    * instead of silently answering from whichever operand the fold
+    * happened to keep (r16 hardening; previously `minAny` returned its
+    * left operand on a mixed pair). */
+  case object MixedStat
 
   /** `dt` with every field and container marked nullable, recursively —
     * the cast-target form of a logical type ([[logicalCol]]): values

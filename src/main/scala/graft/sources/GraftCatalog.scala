@@ -1248,6 +1248,7 @@ private[sources] final class GraftLogScanBuilder(
       case ByteType | ShortType | IntegerType | LongType | DateType
            | FloatType | DoubleType | StringType
            | TimestampType | TimestampNTZType => true
+      case _: DecimalType => true // r16: DecV-backed stats
       case _ => false
     }
     // manifest stat value (Long / Double / String) → Spark INTERNAL
@@ -1262,6 +1263,16 @@ private[sources] final class GraftLogScanBuilder(
       // trusted — a pre-r15 manifest's raw-unit long refuses here
       case (TimestampType, CommitLog.TsUs(l))    => Some(java.lang.Long.valueOf(l))
       case (TimestampNTZType, CommitLog.TsUs(l)) => Some(java.lang.Long.valueOf(l))
+      // r16: decimal stats rescale EXACTLY to the column's type or
+      // refuse — setScale throws on any rounding (a stat written at a
+      // finer scale than the column can hold is not a value of the
+      // column), and changePrecision rejects overflow
+      case (dt: DecimalType, dv: CommitLog.DecV) =>
+        scala.util.Try {
+          val bd = dv.toBig.setScale(dt.scale)
+          val d = org.apache.spark.sql.types.Decimal(scala.math.BigDecimal(bd))
+          if (d.changePrecision(dt.precision, dt.scale)) d else null
+        }.toOption.flatMap(Option(_))
       case (FloatType, d: Double) => Some(java.lang.Float.valueOf(d.toFloat))
       case (DoubleType, d: Double) => Some(java.lang.Double.valueOf(d))
       case (StringType, s: String) =>
@@ -1655,6 +1666,9 @@ private[sources] final class GraftLogScanBuilder(
       case (FloatType | DoubleType, d: Double) => !d.isNaN
       case (StringType, _: String) => true
       case (TimestampType | TimestampNTZType, CommitLog.TsUs(_)) => true
+      // r16: DecV at ANY scale — cmpAny compares DecV pairs value-
+      // exactly, so cross-scale evidence still totally orders
+      case (_: DecimalType, _: CommitLog.DecV) => true
       case _ => false
     }
     val phys = CommitLog.physNameOf(f)
