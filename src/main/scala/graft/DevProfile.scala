@@ -13,6 +13,12 @@ object DevProfile {
     val names = args.drop(1) match {
       case Array("upto", last) =>
         SparkEntry.queries.keys.toSeq.sorted.takeWhile(_ <= last)
+      // `upto <last> xN`: run the prefix, then repeat the LAST query
+      // N-1 extra times — distinguishes a one-time first-execution
+      // cost from one the suite state re-pays on every run
+      case Array("upto", last, rep) if rep.matches("x\\d+") =>
+        SparkEntry.queries.keys.toSeq.sorted.takeWhile(_ <= last) ++
+          Seq.fill(rep.drop(1).toInt - 1)(last)
       case other => other.toSeq
     }
     val spark = Sessions.local("dev-profile")

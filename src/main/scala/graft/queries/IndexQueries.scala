@@ -2886,8 +2886,87 @@ object IndexQueries {
         (SELECT CAST(SUM(p) AS DOUBLE) FROM
           (SELECT p FROM base ORDER BY p DESC LIMIT 5)) AS top5"""))
 
+  /** B2 TYPE-WIDENING EVOLUTION (r16): an id column that outgrew int
+    * and a money column that outgrew its decimal precision evolve in
+    * ONE metadata-only commit — old narrow files read through the
+    * widened schema natively (Spark's parquet reader converts
+    * int32→long and decimal precision growth in-scan, zero rewrite),
+    * a later narrower batch upcasts before landing, and row-level DML
+    * operates on the one coherent widened column. The reference's
+    * tables live for years (/root/reference/index.js:305 reads a
+    * rolling daily log) — the first id past 2^31 must not brick the
+    * pipeline. REQUIRED in-body: the widening touches zero existing
+    * files; the pre-widen schema was (int, decimal(10,2)) and the
+    * post-widen schema is (long, decimal(14,2)); an incompatible
+    * (string-over-decimal) write still refuses loudly. Values hash
+    * against DuckDB replaying append + widen + delete. */
+  private val q192 = Q(
+    "q192_type_widening",
+    (s, dir) => {
+      val root = scratch(s, dir, "widen-log")
+      val log = graft.sources.CommitLog(s, s"$root/t")
+      val o = t(s, dir, "orders")
+      val mx = o.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      val k = mx / 2
+      def priced(df: DataFrame, dec: String, wide: Boolean) = df.select(
+        (if (wide) col("o_orderkey") else col("o_orderkey").cast("int")).as("id"),
+        expr(s"CAST(o_orderkey * 3 AS $dec) + CAST(0.50 AS DECIMAL(3,2))")
+          .cast(dec).as("price"))
+      log.append(priced(o.filter(col("o_orderkey") <= k), "DECIMAL(10,2)",
+        wide = false))
+      require(log.read().schema("id").dataType ==
+          org.apache.spark.sql.types.IntegerType
+          && log.read().schema("price").dataType ==
+          org.apache.spark.sql.types.DecimalType(10, 2),
+        "q192: the pre-widen schema must be (int, decimal(10,2))")
+      val files0 = log.snapshot().files.toSet
+      // one wide batch: long ids + decimal(14,2) prices, incl. a row
+      // past both old types' capacity
+      import s.implicits._
+      val wideBatch = priced(o.filter(col("o_orderkey") > k), "DECIMAL(14,2)",
+          wide = true)
+        .unionByName(Seq((5000000000L, "123456789012.25")).toDF("id", "p")
+          .select(col("id"), col("p").cast("decimal(14,2)").as("price")))
+      log.append(wideBatch)
+      require(log.read().schema("id").dataType ==
+          org.apache.spark.sql.types.LongType
+          && log.read().schema("price").dataType ==
+          org.apache.spark.sql.types.DecimalType(14, 2),
+        "q192: the widened schema must be (long, decimal(14,2))")
+      require(files0.subsetOf(log.snapshot().files.toSet),
+        "q192: widening must touch zero existing data files")
+      // an incompatible write still refuses loudly
+      val refused = scala.util.Try(
+        log.append(Seq(("x", "y")).toDF("id", "price")))
+      require(refused.isFailure
+          && refused.failed.get.getMessage.contains("cannot change column"),
+        "q192: a cross-family write must refuse")
+      // post-widen row-level DML on the coherent widened column
+      log.delete(col("id") % 10L === 3L)
+      log.read()
+        .groupBy((col("id") % 7L).as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("s_price"),
+          sum(col("id")).as("id_sum"))
+        .orderBy(col("g"))
+    },
+    Some("""WITH ks AS (SELECT MAX(o_orderkey) // 2 AS k FROM orders),
+      base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS id,
+          CAST(CAST(o_orderkey * 3 AS DECIMAL(16,2))
+            + CAST(0.50 AS DECIMAL(3,2)) AS DECIMAL(16,2)) AS price
+        FROM orders),
+      v AS (SELECT * FROM base
+        UNION ALL
+        SELECT 5000000000, CAST(123456789012.25 AS DECIMAL(16,2))),
+      kept AS (SELECT * FROM v WHERE NOT (id % 10 = 3))
+      SELECT id % 7 AS g, COUNT(*) AS n,
+        CAST(SUM(price) AS DOUBLE) AS s_price,
+        CAST(SUM(id) AS BIGINT) AS id_sum
+      FROM kept GROUP BY 1 ORDER BY 1"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
     q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192)
 }

@@ -926,6 +926,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   def pointCandidateFiles(colName: String, value: Any): Seq[String] =
     pointCandidateFiles(snapshot(), colName, value)
 
+  /** The column's committed type was string-shiftingly widened
+    * ([[CommitLog.strShifted]]) — string-derived evidence (blooms,
+    * runtime tag equality) must not exclude files for it. */
+  private def strShiftedCol(s: Snapshot, colName: String): Boolean =
+    s.schema.exists(_.fields.exists(f =>
+      lc(f.name) == lc(colName) && CommitLog.strShifted(f)))
+
   private def pointCandidateFiles(s: Snapshot, colName: String,
       value: Any): Seq[String] = {
     // The filter bits were set from CAST(col AS STRING), so the probe
@@ -933,8 +940,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // own cast (value.toString diverges for e.g. an Int 5 probing a
     // double column whose rows hashed as "5.0" — a silent FALSE
     // NEGATIVE); an un-castable or unknown-type probe disables bloom
-    // pruning for the lookup rather than risking one.
-    val vs: Option[String] = scala.util.Try {
+    // pruning for the lookup rather than risking one. A string-shifted
+    // column ([[strShiftedCol]]) never probes.
+    val vs: Option[String] = if (strShiftedCol(s, colName)) None
+    else scala.util.Try {
       import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
       val asCol = s.schema.flatMap(_.find(_.name == colName).map(_.dataType))
         .fold(Literal(value): org.apache.spark.sql.catalyst.expressions.Expression)(
@@ -1339,18 +1348,58 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             // array<struct> element field carrying a PhysKey mapping
             // (array-element rename) must still accept writes of the
             // same logical shape; the kept type is CUR's, so the
-            // mapping survives the merge
-            require(CommitLog.stripMeta(c) == CommitLog.stripMeta(i),
-              s"$tableRoot: schema evolution cannot change column " +
-                s"'$path${f.name}' from ${c.simpleString} to ${i.simpleString}")
-            c
+            // mapping survives the merge. r16: a value-preserving
+            // scalar WIDENING is additive — the merged type is the
+            // wider one (old files read through the widened schema
+            // natively; a narrower write upcasts before landing);
+            // any other change keeps refusing loudly.
+            val cs = CommitLog.stripMeta(c); val is0 = CommitLog.stripMeta(i)
+            if (cs == is0) c
+            else CommitLog.widerOf(cs, is0).getOrElse {
+              throw new IllegalArgumentException(
+                s"$tableRoot: schema evolution cannot change column " +
+                  s"'$path${f.name}' from ${c.simpleString} to " +
+                  s"${i.simpleString} (only exact widenings evolve: " +
+                  "byte/short/int->long, float->double, decimal " +
+                  "precision growth at the same scale)")
+            }
         }
-        f.copy(dataType = merged, nullable = f.nullable || inF.nullable)
+        val meta =
+          if (CommitLog.strFormShifts(f.dataType, merged))
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putBoolean(CommitLog.WidenedStrKey, true).build()
+          else f.metadata
+        f.copy(dataType = merged, nullable = f.nullable || inF.nullable,
+          metadata = meta)
       }
     }
     val added = incoming.fields.filter(f => !curNames(lc(f.name)))
       .map(_.copy(nullable = true))
     kept ++ added
+  }
+
+  /** [[conform]] restricted to the columns `df` actually carries: each
+    * present column conforms to its schema type (the r16 widening
+    * upcast, nested null-padding), absent columns stay ABSENT — the
+    * additive-append write shape, where missing columns read null from
+    * the explicit-schema read rather than being materialized. A batch
+    * already at the schema's types returns unchanged. */
+  private def upcastPresent(df: DataFrame, schema: StructType): DataFrame = {
+    val byName = schema.fields.map(f => lc(f.name) -> f).toMap
+    val needs = df.schema.fields.exists(c => byName.get(lc(c.name)).exists(f =>
+      CommitLog.stripMeta(f.dataType) != CommitLog.stripMeta(c.dataType)))
+    if (!needs) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.schema.fields.toIndexedSeq.map { c =>
+        byName.get(lc(c.name)) match {
+          case Some(f) =>
+            conformCol(col(s"`${c.name}`"), c.dataType, f.dataType).as(c.name)
+          case None => col(s"`${c.name}`")
+        }
+      }: _*)
+    }
   }
 
   /** Project `df` onto `schema`: shared column order normalized, absent
@@ -1401,6 +1450,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           if sm.valueType != tm.valueType =>
         transform_values(src,
           (_, v) => conformCol(v, sm.valueType, tm.valueType))
+      // r16 type widening: a narrower source lands through the exact
+      // upcast to the table's widened type (int->long, float->double,
+      // decimal precision growth — value-preserving by [[widerOf]]'s
+      // admission; [[mergeStructs]] refused everything else)
+      case (s, t)
+          if CommitLog.stripMeta(s) != CommitLog.stripMeta(t)
+            && CommitLog.widerOf(CommitLog.stripMeta(s),
+              CommitLog.stripMeta(t)).contains(CommitLog.stripMeta(t)) =>
+        src.cast(CommitLog.relaxNulls(t))
       case _ => src
     }
   }
@@ -1446,7 +1504,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // with another type loses the race loudly, with files vacuumable)
     val sch0 = assignPhys(mergedSchema(s0.schema, df.schema),
       s0.schema, s0.physRetired)
-    val files = writeData(df, sch0)
+    // r16: a write NARROWER than a widened column upcasts before
+    // landing, so data files always match the committed type (blooms
+    // hash, and future readers read, one representation). Columns the
+    // write omits stay omitted — the additive-evolution contract.
+    // Identity-typed batches pass through untouched (no plan change).
+    val files = writeData(upcastPresent(df, sch0), sch0)
     var cur = s0
     var attempts = 0
     // the committed schema is re-merged per attempt: a racing writer may
@@ -3279,7 +3342,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // top-level equality conjuncts additionally probe the per-file
     // Bloom filters (when indexed) — the value stringifies THROUGH the
     // already-inserted cast, matching [[bloomsFor]]'s hashing exactly;
-    // an unevaluable probe just skips bloom pruning for that conjunct
+    // an unevaluable probe just skips bloom pruning for that conjunct.
+    // r16: a [[CommitLog.strShifted]] column (float→double widening)
+    // never probes — pre-widening bits hash the OLD string form and a
+    // probe through the new type would falsely exclude files.
     val probes: Seq[(String, String)] = cs.flatMap {
       case EqualTo(a, v) if attr(a).isDefined && v.foldable
           && !v.exists(_.isInstanceOf[Attribute]) =>
@@ -3292,7 +3358,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           Option(Cast(v, org.apache.spark.sql.types.StringType).eval(null))
             .map(x => n -> x.toString)).toOption.flatten)
       case _ => None
-    }
+    }.filterNot { case (c, _) => strShiftedCol(s, c) }
     // predicates carry LOGICAL attribute names; stats and blooms are
     // keyed by the stable PHYSICAL names — translate at lookup
     s.files.filter { f =>
@@ -3365,10 +3431,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     def strVal(l: Literal): Option[String] = scala.util.Try(
       Option(Cast(l, org.apache.spark.sql.types.StringType).eval(null))
         .map(_.toString)).toOption.flatten
+    // r16: string-derived evidence (tag equality, bloom bits) is void
+    // for a string-shifted column — pre-widening tags/bits hold the
+    // OLD string form of values this column now reads differently
+    val shifted = strShiftedCol(s, logicalCol)
     files.filter { f =>
       // an empty (or all-null) IN-set keeps no file: exists = false
       nonNull.exists { v =>
         val tagOk = partKey match {
+          case _ if shifted => true
           case None => true
           case Some((spec, i)) => s.parts.get(f) match {
             case Some(tag) =>
@@ -3392,8 +3463,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           case None => true
         }
         val bloomOk = s.blooms.get(f).flatMap(_.get(phys)) match {
-          case Some(b) => strVal(v).forall(bloomMayContain(b, _))
-          case None => true
+          case Some(b) if !shifted => strVal(v).forall(bloomMayContain(b, _))
+          case _ => true
         }
         tagOk && statOk && bloomOk
       }
@@ -4630,6 +4701,74 @@ object CommitLog {
     def toBig: java.math.BigDecimal =
       java.math.BigDecimal.valueOf(unscaled, scale)
   }
+
+  /** TYPE-WIDENING evolution (r16): the wider of two scalar types when
+    * one is an EXACT, value-preserving, order-preserving widening of
+    * the other — `Some(wider)` — else `None`. The admitted lattice is
+    * what the parquet read path converts natively (old narrow files
+    * read through the widened schema with no plan-level cast) AND
+    * whose manifest stat representation is unchanged across the
+    * widening, so every pruning/fold surface stays sound:
+    *  - the integral chain byte → short → int → long (stats are Long
+    *    either way; tag/bloom string forms of equal values identical);
+    *  - float → double (stats are Double either way — but the string
+    *    form of a stored float CHANGES once read as double, so the
+    *    widening is stamped [[WidenedStrKey]] and string-derived
+    *    evidence refuses, see [[strShifted]]);
+    *  - decimal precision growth at the SAME scale (DecV stats carry
+    *    the scale; string/tag forms don't pad with precision). Scale
+    *    growth is REFUSED: the value's cast-to-string gains trailing
+    *    zeros, silently breaking bloom bits and partition tags built
+    *    under the old scale.
+    * Anything else — narrowing, cross-family, containers — is not a
+    * widening; [[mergeStructs]] keeps refusing loudly. */
+  private[sources] def widerOf(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    def intRank(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4
+      case _ => 0
+    }
+    (a, b) match {
+      case _ if a == b => Some(a)
+      case _ if intRank(a) > 0 && intRank(b) > 0 =>
+        Some(if (intRank(a) >= intRank(b)) a else b)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+        Some(DoubleType)
+      case (x: DecimalType, y: DecimalType) if x.scale == y.scale =>
+        Some(if (x.precision >= y.precision) x else y)
+      case _ => None
+    }
+  }
+
+  /** Field-metadata marker: this column's committed type was at some
+    * point widened in a way that CHANGES the cast-to-string form of
+    * already-stored values (today: float → double — a stored float
+    * re-read as double stringifies with more digits). Bloom bits and
+    * partition tags derived before the widening used the OLD string
+    * form, so string-derived evidence (bloom probes, runtime tag
+    * equality) must never EXCLUDE a file for a marked column — the
+    * value-domain evidence (footer min/max stats) remains exact and
+    * keeps pruning. The marker is permanent: per-file write-era is not
+    * tracked, so the conservative read is for the table's lifetime.
+    * Exactness judges ([[GraftLogScanBuilder]]'s partition-exact
+    * admission) need no marker — they fail CLOSED on any string
+    * mismatch. */
+  private[sources] val WidenedStrKey = "graft.widenedStr"
+
+  private[sources] def strShifted(f: org.apache.spark.sql.types.StructField)
+      : Boolean =
+    f.metadata.contains(WidenedStrKey) && f.metadata.getBoolean(WidenedStrKey)
+
+  /** True when widening `from` to `to` changes stored values' string
+    * form (see [[WidenedStrKey]]). */
+  private[sources] def strFormShifts(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean =
+    from == org.apache.spark.sql.types.FloatType &&
+      to == org.apache.spark.sql.types.DoubleType
 
   /** Poison produced by folding two stat values of DIFFERENT
     * representations ([[CommitLog.minAny]]/[[maxAny]]) — e.g. a

@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** r16 TYPE-WIDENING schema evolution: an int column that outgrew its
+  * type, a float that needs double precision, a decimal that needs
+  * more integer digits — accepted as ADDITIVE evolution instead of the
+  * pre-r16 loud refusal. The committed schema adopts the wider type in
+  * one metadata-only commit; old narrow files read through the widened
+  * schema natively (Spark's parquet reader converts int32→long,
+  * float→double, decimal precision growth in-scan); a write narrower
+  * than the table upcasts before landing. Pins the soundness
+  * boundaries: stats-based pruning stays exact across the widening
+  * (the manifest stat representation is unchanged for every admitted
+  * pair); a float→double widening voids BLOOM evidence (pre-widening
+  * bits hash the old string form — a probe through the new type would
+  * falsely exclude files) via the [[CommitLog.WidenedStrKey]] marker;
+  * decimal SCALE growth and every cross-family change still refuse
+  * loudly. */
+class WideningSpec extends graft.SparkSpecBase {
+  import spark.implicits._
+
+  private def tmpTable(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  test("int -> long: wider write evolves; old files read; narrow write upcasts") {
+    val t = tmpTable("wid-il")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1, "a"), (2, "b")).toDF("id", "v")) // id: int
+    assert(log.read().schema("id").dataType === IntegerType)
+    // a LONG write widens the committed schema — metadata + new file only
+    val filesBefore = log.snapshot().files.toSet
+    log.append(Seq((3000000000L, "c")).toDF("id", "v"))
+    assert(log.read().schema("id").dataType === LongType)
+    assert(filesBefore.subsetOf(log.snapshot().files.toSet),
+      "widening must not rewrite existing files")
+    assert(log.read().orderBy("id").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (2L, "b"), (3000000000L, "c")))
+    // a narrow (int) write AFTER the widening upcasts and lands
+    log.append(Seq((4, "d")).toDF("id", "v"))
+    assert(log.read().count() === 4L)
+    // post-widen DML sees one coherent long column
+    log.delete(col("id") === 2L)
+    assert(log.read().orderBy("id").as[(Long, String)].collect().map(_._1).toSeq
+      === Seq(1L, 4L, 3000000000L))
+    // time travel: version 0 still reads with the original int schema
+    assert(log.readVersion(0L).schema("id").dataType === IntegerType)
+  }
+
+  test("stats pruning stays exact across an int -> long widening") {
+    val t = tmpTable("wid-stats")
+    val log = CommitLog(spark, t)
+    log.append(spark.range(0L, 100L).select($"id".cast("int").as("id")).coalesce(1))
+    log.append(spark.range(100L, 200L).select($"id".cast("int").as("id")).coalesce(1))
+    log.append(spark.range(200L, 300L).toDF("id").coalesce(1)) // widens to long
+    assert(log.read().schema("id").dataType === LongType)
+    // the old int files' Long-repr stats prune alongside the new long file
+    val mid = log.readRange("id", 120L, 150L)
+    assert(mid.inputFiles.length === 1)
+    assert(mid.count() === 31L)
+    assert(log.readRange("id", 250L, 260L).inputFiles.length === 1)
+  }
+
+  test("float -> double: values survive; blooms stop excluding files") {
+    val t = tmpTable("wid-fd")
+    val log = CommitLog(spark, t).withBloomIndex(Seq("p"))
+    // 0.1f is NOT a double-representable decimal: its bloom bits were
+    // hashed from the FLOAT string form "0.1"
+    log.append(Seq(0.1f, 2.5f).toDF("p").coalesce(1))
+    log.append(Seq(9.5).toDF("p")) // widens to double
+    assert(log.read().schema("p").dataType === DoubleType)
+    assert(CommitLog.strShifted(log.snapshot().schema.get("p")),
+      "float->double must stamp the string-shift marker")
+    // the stored float 0.1f reads as (double)0.1f; a point read of that
+    // exact double must FIND it — the old bloom would stringify the
+    // probe as "0.10000000149011612" and falsely exclude the file
+    val v = 0.1f.toDouble
+    assert(log.readPoint("p", v).count() === 1L,
+      "pre-widening bloom bits must not exclude the file holding the row")
+    // stats still prune: the float file's Double stats are exact
+    assert(log.readRange("p", 9.0, 10.0).inputFiles.length === 1)
+  }
+
+  test("decimal precision growth widens; scale growth refuses loudly") {
+    val t = tmpTable("wid-dec")
+    val log = CommitLog(spark, t)
+    log.append(Seq("1.25", "7.50").toDF("s")
+      .select(expr("CAST(s AS DECIMAL(5,2))").as("d")).coalesce(1))
+    log.append(Seq("123456789012.25").toDF("s")
+      .select(expr("CAST(s AS DECIMAL(14,2))").as("d")))
+    assert(log.read().schema("d").dataType === DecimalType(14, 2))
+    assert(log.read().agg(sum($"d")).collect()(0).getDecimal(0)
+      === new java.math.BigDecimal("123456789021.00"))
+    // decimal stats stay exact across the precision growth (same scale)
+    assert(log.readRange("d", new java.math.BigDecimal("1"),
+      new java.math.BigDecimal("8")).inputFiles.length === 1)
+    // SCALE growth would silently shift tag/bloom string forms: refuse
+    val e = intercept[IllegalArgumentException] {
+      log.append(Seq("5.1234").toDF("s")
+        .select(expr("CAST(s AS DECIMAL(14,4))").as("d")))
+    }
+    assert(e.getMessage.contains("cannot change column"))
+  }
+
+  test("cross-family changes still refuse loudly") {
+    val t = tmpTable("wid-x")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, 1.5f)).toDF("id", "p"))
+    intercept[IllegalArgumentException] {
+      log.append(Seq(("x", 1.5f)).toDF("id", "p")) // string over long
+    }
+    intercept[IllegalArgumentException] {
+      log.append(Seq((1L, 2L)).toDF("id", "p")) // long over float
+    }
+  }
+
+  test("upsert and partitioned append conform across a widening") {
+    val t = tmpTable("wid-up")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1, 10), (2, 20)).toDF("id", "n")) // both int
+    // upsert with long n: schema widens, matched row updates
+    log.upsert(Seq((2L, 5000000000L), (3L, 30L)).toDF("id", "n"),
+      Seq("id"), CommitLog.LastWins)
+    assert(log.read().schema("n").dataType === LongType)
+    assert(log.read().orderBy("id").as[(Long, Long)].collect().toSeq
+      === Seq((1L, 10L), (2L, 5000000000L), (3L, 30L)))
+    // partitioned append on a widened key-adjacent table: int batch
+    val t2 = tmpTable("wid-part")
+    val log2 = CommitLog(spark, t2)
+    log2.appendPartitioned(Seq((1, "a", 1.0)).toDF("id", "tag", "x"), "tag")
+    log2.appendPartitioned(Seq((2L, "b", 2.0)).toDF("id", "tag", "x"), "tag")
+    assert(log2.read().schema("id").dataType === LongType)
+    assert(log2.read().count() === 2L)
+  }
+
+  test("readChanges spans a widening with one coherent feed schema") {
+    val t = tmpTable("wid-cdc")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1, "a")).toDF("id", "v"))
+    log.append(Seq((3000000000L, "b")).toDF("id", "v"))
+    val ch = log.readChanges(-1L)
+    assert(ch.schema("id").dataType === LongType)
+    assert(ch.filter($"_change_type" === "insert")
+      .select($"id").as[Long].collect().sorted.toSeq === Seq(1L, 3000000000L))
+  }
+}
