@@ -2965,8 +2965,93 @@ object IndexQueries {
         CAST(SUM(id) AS BIGINT) AS id_sum
       FROM kept GROUP BY 1 ORDER BY 1"""))
 
+  /** B2 MERGE `WHEN NOT MATCHED BY SOURCE` (r16): q148's clause trio
+    * plus the by-source group — target rows absent from the batch
+    * update ('Z'-flag the 5k-customers) or delete (the 5k+1s) in the
+    * SAME one-commit merge, the sync-table-to-source shape
+    * (generalizing the reference's conditional-put pipeline,
+    * /root/reference/index.js:265-283, to full ANSI MERGE). Clause
+    * order is first-true WITHIN each group. REQUIRED in-body: the
+    * merge-on-read form commits exactly ONE `add_dv` version — no
+    * pre-existing data file retires. Values hash against DuckDB
+    * reconstructing all five clauses. */
+  private val q193 = Q(
+    "q193_merge_by_source",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        col("o_orderstatus"))
+      val root = scratch(s, dir, "mbs-log")
+      val log = graft.sources.CommitLog(s, root)
+      log.append(o.filter(col("o_orderkey") % 3 =!= 0))
+      val v0 = log.snapshot().version
+      val files0 = log.snapshot().files.toSet
+      val src = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("price") * 2).cast("decimal(18,2)").as("price"),
+          lit("M").as("o_orderstatus"))
+      val priorFloor = s.conf.getOption("spark.graft.dv.minTouchedBytes")
+      val priorRatio = s.conf.getOption("spark.graft.dv.maxRatio")
+      s.conf.set("spark.graft.dv.minTouchedBytes", "0")
+      s.conf.set("spark.graft.dv.maxRatio", "1.0")
+      try log.merge(src, Seq("o_orderkey"), Seq(
+        graft.sources.CommitLog.WhenMatchedDelete(
+          Some(col("s.price") > 300000)),
+        graft.sources.CommitLog.WhenMatchedUpdate(
+          Map("price" -> col("s.price"), "o_orderstatus" -> col("s.o_orderstatus"))),
+        graft.sources.CommitLog.WhenNotMatchedInsert(),
+        graft.sources.CommitLog.WhenNotMatchedBySourceUpdate(
+          Map("o_orderstatus" -> lit("Z")), Some(col("o_custkey") % 5 === 0)),
+        graft.sources.CommitLog.WhenNotMatchedBySourceDelete(
+          Some(col("o_custkey") % 5 === 1))))
+      finally {
+        priorFloor.fold(s.conf.unset("spark.graft.dv.minTouchedBytes"))(
+          s.conf.set("spark.graft.dv.minTouchedBytes", _))
+        priorRatio.fold(s.conf.unset("spark.graft.dv.maxRatio"))(
+          s.conf.set("spark.graft.dv.maxRatio", _))
+      }
+      val snap = log.snapshot()
+      require(snap.version == v0 + 1, "q193: the five-clause merge is ONE commit")
+      require(files0.subsetOf(snap.files.toSet),
+        "q193: merge-on-read must retire no pre-existing data file")
+      require(snap.dvs.nonEmpty, "q193: the commit must carry deletion vectors")
+      log.read()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH tgt AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 <> 0),
+      src AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS price,
+          'M' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0),
+      merged AS (
+        SELECT t.o_orderkey, t.o_custkey, s.price, s.o_orderstatus
+        FROM tgt t JOIN src s ON t.o_orderkey = s.o_orderkey
+        WHERE NOT (s.price > 300000)
+        UNION ALL
+        SELECT t.o_orderkey, t.o_custkey, t.price,
+          CASE WHEN t.o_custkey % 5 = 0 THEN 'Z' ELSE t.o_orderstatus END
+        FROM tgt t
+        WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+          AND NOT (t.o_custkey % 5 = 1)
+        UNION ALL
+        SELECT s.o_orderkey, s.o_custkey, s.price, s.o_orderstatus
+        FROM src s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt))
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(price) AS DOUBLE) AS revenue,
+        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
     q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193)
 }

@@ -2429,9 +2429,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   }
 
   /** Full MERGE INTO: apply `clauses` (WHEN MATCHED UPDATE / DELETE,
-    * WHEN NOT MATCHED INSERT — [[CommitLog.MergeClause]]) against
+    * WHEN NOT MATCHED INSERT, and r16's WHEN NOT MATCHED BY SOURCE
+    * UPDATE / DELETE — [[CommitLog.MergeClause]]) against
     * `source`, joined to the table on equality of `keys`, in ONE
-    * commit. This is the general form of the reference's conditional
+    * commit. By-source clauses fire on TARGET rows with no source
+    * match (the sync-table-to-source shape); their FIND leg anti-joins
+    * the source keys, with candidates pruned by the OR of the clause
+    * conditions — a scoped sync (`AND t.day = X`) opens one partition,
+    * an unconditional one is inherently table-scoped. This is the general form of the reference's conditional
     * put-else-update branch (/root/reference/index.js:265-283) done as
     * a lakehouse copy-on-write, and it shares [[delete]]/[[update]]'s
     * three pruning layers — with the FIND phase driven by the SOURCE
@@ -2481,10 +2486,24 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val srcMaterialized = !CommitLog.reExecutionStable(source0)
     val source = if (srcMaterialized) source0.localCheckpoint() else source0
     try {
-    val matchedClauses = clauses.filter(!_.isInstanceOf[CommitLog.WhenNotMatchedInsert])
+    val matchedClauses = clauses.filter(c =>
+      c.isInstanceOf[CommitLog.WhenMatchedUpdate]
+        || c.isInstanceOf[CommitLog.WhenMatchedDelete])
     val insertClauses = clauses.collect { case c: CommitLog.WhenNotMatchedInsert => c }
+    // r16: NOT MATCHED BY SOURCE clauses, in declaration order
+    val bySourceClauses = clauses.filter(c =>
+      c.isInstanceOf[CommitLog.WhenNotMatchedBySourceDelete]
+        || c.isInstanceOf[CommitLog.WhenNotMatchedBySourceUpdate])
     matchedClauses.foreach {
       case CommitLog.WhenMatchedUpdate(set, _) =>
+        require(set.nonEmpty, s"$tableRoot: merge UPDATE clause needs assignments")
+        partCol.foreach(pc => require(!set.keySet.exists(_.equalsIgnoreCase(pc)),
+          s"$tableRoot: cannot update partition column '$pc' in a merge — a " +
+            "cross-partition move is a delete+insert"))
+      case _ => ()
+    }
+    bySourceClauses.foreach {
+      case CommitLog.WhenNotMatchedBySourceUpdate(set, _) =>
         require(set.nonEmpty, s"$tableRoot: merge UPDATE clause needs assignments")
         partCol.foreach(pc => require(!set.keySet.exists(_.equalsIgnoreCase(pc)),
           s"$tableRoot: cannot update partition column '$pc' in a merge — a " +
@@ -2537,7 +2556,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         case _ => ()
       }
       // phases 1+2: candidate pruning by key envelope, then the semi-join FIND
-      val touched: Seq[String] =
+      // (runs for insert-only merges too: a source row matching a live
+      // target row must NOT insert, and the stage join needs that
+      // target row in `base` to see the match)
+      val touchedMatch: Seq[String] =
         if (s.version < 0 || keyEnvelope.isEmpty) Nil
         else {
           val candidates = candidateFiles(s, keyEnvelope.get, sch0)
@@ -2551,6 +2573,51 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
               .map(r => byName(new Path(r.getString(0)).getName)).toSeq.sorted
           }
         }
+      // r16: the BY-SOURCE find leg — files holding a live row with NO
+      // source match that some by-source clause condition admits. The
+      // candidate prune uses the OR of the clause conditions (manifest
+      // stats bound the scoped sync — `AND t.day = X` opens one
+      // partition); an unconditional by-source clause is inherently
+      // table-scoped (every row must be checked against the source) and
+      // keeps all live files candidate. Null-keyed TARGET rows match
+      // nothing, so the anti-join keeps them — SQL's by-source group.
+      val touchedBySource: Seq[String] =
+        if (s.version < 0 || bySourceClauses.isEmpty) Nil
+        else {
+          def condOf(c: CommitLog.MergeClause) = c match {
+            case CommitLog.WhenNotMatchedBySourceDelete(cc) => cc
+            case CommitLog.WhenNotMatchedBySourceUpdate(_, cc) => cc
+            case _ => None
+          }
+          val conds = bySourceClauses.map(condOf)
+          val anyCond: Option[Column] =
+            if (conds.forall(_.isDefined)) Some(conds.flatten.reduce(_ || _))
+            else None // an unconditional clause admits every row
+          val candidates = anyCond match {
+            // a `t.`-aliased condition cannot resolve against the bare
+            // table schema — no pruning for it, never a failure (the
+            // anti-join filter below resolves it under the alias)
+            case Some(c) =>
+              scala.util.Try(candidateFiles(s, c, sch0)).getOrElse(s.files)
+            case None => s.files
+          }
+          if (candidates.isEmpty) Nil
+          else {
+            val byName = candidates.map(f => new Path(f).getName -> f).toMap
+            // the file name projects BELOW the join — input_file_name()
+            // refuses to evaluate above a plan with two sources
+            val anti = readFiles(sch0, candidates, s.dvs)
+              .withColumn("__f", input_file_name()).as("t")
+              .join(source.select(keys.map(col): _*).as("s"),
+                keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+                "left_anti")
+            anyCond.fold(anti)(anti.filter)
+              .select("__f").distinct().collect()
+              .map(r => byName(new Path(r.getString(0)).getName)).toSeq.sorted
+          }
+        }
+      val touched: Seq[String] =
+        (touchedMatch ++ touchedBySource).distinct.sorted
       if (touched.isEmpty && (insertClauses.isEmpty || !sourceHasRows))
         return s.version // nothing to rewrite, nothing to insert
       // merge-on-read attempt first (r14): mask the fired matched rows
@@ -2561,7 +2628,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val mor =
         if (touched.isEmpty) None
         else tryDvMerge(s, sch0, sch, source, keys, matchedClauses,
-          insertClauses, touched, partCol, txn)
+          insertClauses, bySourceClauses, touched, partCol, txn)
       mor match {
         case Some(Some(v)) => return v
         case Some(None) =>
@@ -2573,13 +2640,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           // the survivors
           val base = conform(readFiles(sch0, touched, s.dvs), sch)
           val staged = mergeStage(base, source, keys, sch,
-            matchedClauses, insertClauses, Nil)
-          val dropActs: Seq[Int] = -1 +: matchedClauses.zipWithIndex.collect {
+            matchedClauses, insertClauses, bySourceClauses, Nil)
+          val dropActs: Seq[Int] = (-1 +: matchedClauses.zipWithIndex.collect {
             case (_: CommitLog.WhenMatchedDelete, i) => i + 1
+          }) ++ bySourceClauses.zipWithIndex.collect {
+            case (_: CommitLog.WhenNotMatchedBySourceDelete, k) => 200 + k
           }
           val rewritten = mergeProject(
             staged.filter(!col("__act").isin(dropActs.map(Integer.valueOf): _*)),
-            sch, matchedClauses, insertClauses)
+            sch, matchedClauses, insertClauses, bySourceClauses)
           validateConstraints(rewritten)
           commitRewrite(s, sch, touched, rewritten, partCol, txn) match {
             case Some(v) => return v
@@ -2598,25 +2667,55 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * live rows (`base`, aliased `t`) with the `source` (aliased `s`),
     * resolve each row's first-true clause in declaration order (ANSI),
     * and stage every clause-referenced value. Output columns:
-    * `__t_<col>` (target values), `__u<i>_<col>` / `__i<j>_<col>`
-    * (update / insert clause values, already cast to the table types),
+    * `__t_<col>` (target values), `__u<i>_<col>` / `__i<j>_<col>` /
+    * `__b<k>_<col>` (update / insert / by-source-update clause values,
+    * already cast to the table types),
     * `extraTargetCols` passed through from the target side (the MoR
     * path's `__dv_f`/`__dv_pos` row addresses), and `__act` — 0 = keep
     * the target row; 1..m = matched clause i+1 fired; 100+j = insert
-    * clause j fired; -1 = unmatched source row no insert admits. */
+    * clause j fired; 200+k = by-source clause k fired (r16);
+    * -1 = unmatched source row no insert admits. */
   private def mergeStage(base: DataFrame, source: DataFrame,
       keys: Seq[String], sch: StructType,
       matchedClauses: Seq[CommitLog.MergeClause],
       insertClauses: Seq[CommitLog.WhenNotMatchedInsert],
+      bySourceClauses: Seq[CommitLog.MergeClause],
       extraTargetCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.Column
-    import org.apache.spark.sql.functions.{col, lit, when}
-    val t = base.withColumn("__t", lit(true)).as("t")
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    // r16: by-source conditions and assignment RHS reference the TARGET
+    // row only, so they evaluate on the target side BEFORE the join —
+    // in the joined frame a bare column name would be ambiguous against
+    // the source's same-named columns, and a source-referencing
+    // expression fails loudly here, as ANSI wants. One select over the
+    // `t`-aliased base evaluates them all (bare AND `t.`-qualified
+    // names both resolve). A NULL condition does not fire its clause
+    // (SQL boolean semantics).
+    val bsExtra: Seq[Column] = bySourceClauses.zipWithIndex.flatMap {
+      case (cl, k) =>
+        val (cond, set) = cl match {
+          case CommitLog.WhenNotMatchedBySourceDelete(c) =>
+            (c, Map.empty[String, Column])
+          case CommitLog.WhenNotMatchedBySourceUpdate(st, c) => (c, st)
+          case _ => (None, Map.empty[String, Column])
+        }
+        coalesce(cond.getOrElse(lit(true)), lit(false)).as(s"__bsc$k") +:
+          set.toSeq.flatMap { case (colName, v) =>
+            sch.fields.find(_.name.equalsIgnoreCase(colName)).map(f =>
+              v.cast(f.dataType).as(s"__b${k}_${f.name}"))
+          }
+    }
+    val t0 =
+      if (bsExtra.isEmpty) base.withColumn("__t", lit(true))
+      else base.as("t").select(col("t.*") +: bsExtra: _*)
+        .withColumn("__t", lit(true))
+    val t = t0.as("t")
     val sAliased = source.withColumn("__s", lit(true)).as("s")
     val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val joined = t.join(sAliased, joinCond, "full_outer")
     val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
     val sOnly = col("t.__t").isNull
+    val tOnly = col("t.__t").isNotNull && col("s.__s").isNull
     var chain: Column = null
     def addCase(pred: Column, v: Int): Unit =
       chain = if (chain == null) when(pred, lit(v)) else chain.when(pred, lit(v))
@@ -2631,6 +2730,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     insertClauses.zipWithIndex.foreach { case (cl, j) =>
       addCase(sOnly && cl.condition.getOrElse(lit(true)), 100 + j)
     }
+    // r16: by-source clauses fire on target-only rows; the three clause
+    // groups' predicates are mutually exclusive, so chain order across
+    // groups cannot shadow anything — only within-group order decides
+    bySourceClauses.zipWithIndex.foreach { case (_, k) =>
+      addCase(tOnly && col(s"t.__bsc$k"), 200 + k)
+    }
     val action = chain.otherwise(when(col("t.__t").isNotNull, lit(0)).otherwise(lit(-1)))
     val srcCols = source.columns.map(lc).toSet
     // stage 1: evaluate everything that references the t/s aliases
@@ -2643,12 +2748,18 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             set.find(_._1.equalsIgnoreCase(f.name)).get._2
               .cast(f.dataType).as(s"__u${i}_${f.name}")
         }
+        val bsCols = bySourceClauses.zipWithIndex.collect {
+          case (CommitLog.WhenNotMatchedBySourceUpdate(set, _), k)
+              if set.keys.exists(_.equalsIgnoreCase(f.name)) =>
+            // pre-evaluated on the target side above — pass through
+            col(s"t.__b${k}_${f.name}").as(s"__b${k}_${f.name}")
+        }
         val insCols = insertClauses.zipWithIndex.map { case (cl, j) =>
           val v = cl.values.find(_._1.equalsIgnoreCase(f.name)).map(_._2)
             .getOrElse(if (srcCols(lc(f.name))) col(s"s.${f.name}") else lit(null))
           v.cast(f.dataType).as(s"__i${j}_${f.name}")
         }
-        (tCol +: updCols) ++ insCols
+        (tCol +: updCols) ++ bsCols ++ insCols
       } ++ extraTargetCols.map(c => col(s"t.$c").as(c))) :+ action.as("__act")
     joined.select(stage1Cols: _*)
   }
@@ -2660,21 +2771,30 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * fired updates + inserts for merge-on-read). */
   private def mergeProject(staged: DataFrame, sch: StructType,
       matchedClauses: Seq[CommitLog.MergeClause],
-      insertClauses: Seq[CommitLog.WhenNotMatchedInsert]): DataFrame = {
+      insertClauses: Seq[CommitLog.WhenNotMatchedInsert],
+      bySourceClauses: Seq[CommitLog.MergeClause] = Nil): DataFrame = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{col, when}
     staged.select(sch.fields.toIndexedSeq.map { f =>
       var v: Column = null
+      def pick(act: Int, stagedCol: String): Unit = {
+        val c = when(col("__act") === act, col(stagedCol))
+        v = if (v == null) c else v.when(col("__act") === act, col(stagedCol))
+      }
       matchedClauses.zipWithIndex.foreach {
         case (CommitLog.WhenMatchedUpdate(set, _), i)
             if set.keys.exists(_.equalsIgnoreCase(f.name)) =>
-          val c = when(col("__act") === (i + 1), col(s"__u${i}_${f.name}"))
-          v = if (v == null) c else v.when(col("__act") === (i + 1), col(s"__u${i}_${f.name}"))
+          pick(i + 1, s"__u${i}_${f.name}")
+        case _ => ()
+      }
+      bySourceClauses.zipWithIndex.foreach {
+        case (CommitLog.WhenNotMatchedBySourceUpdate(set, _), k)
+            if set.keys.exists(_.equalsIgnoreCase(f.name)) =>
+          pick(200 + k, s"__b${k}_${f.name}")
         case _ => ()
       }
       insertClauses.zipWithIndex.foreach { case (_, j) =>
-        val c = when(col("__act") === (100 + j), col(s"__i${j}_${f.name}"))
-        v = if (v == null) c else v.when(col("__act") === (100 + j), col(s"__i${j}_${f.name}"))
+        pick(100 + j, s"__i${j}_${f.name}")
       }
       (if (v == null) col(s"__t_${f.name}") else v.otherwise(col(s"__t_${f.name}"))).as(f.name)
     }: _*)
@@ -2695,13 +2815,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       source: DataFrame, keys: Seq[String],
       matchedClauses: Seq[CommitLog.MergeClause],
       insertClauses: Seq[CommitLog.WhenNotMatchedInsert],
+      bySourceClauses: Seq[CommitLog.MergeClause],
       touched: Seq[String], partCol: Option[String],
       txn: Option[(String, Long)]): Option[Option[Long]] = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{LongType, StringType, StructField}
     def conf(k: String, d: String): String =
       spark.conf.getOption(k).getOrElse(d)
-    if (matchedClauses.isEmpty || !dvAdmitted(touched)) return None
+    if ((matchedClauses.isEmpty && bySourceClauses.isEmpty)
+        || !dvAdmitted(touched)) return None
     val maxRows = dvMaxRows(conf)
     val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
     // the target side carries each live row's physical address through
@@ -2711,8 +2833,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       StructField("__dv_f", StringType), StructField("__dv_pos", LongType)))
     val base = conform(readLiveWithPos(s, sch0, touched), extSch)
     val staged = mergeStage(base, source, keys, sch, matchedClauses,
-      insertClauses, Seq("__dv_f", "__dv_pos"))
-    val maskActs = matchedClauses.indices.map(i => Integer.valueOf(i + 1))
+      insertClauses, bySourceClauses, Seq("__dv_f", "__dv_pos"))
+    // every fired matched OR by-source clause consumes its target row
+    // (update masks + re-appends; delete just masks)
+    val maskActs = matchedClauses.indices.map(i => Integer.valueOf(i + 1)) ++
+      bySourceClauses.indices.map(k => Integer.valueOf(200 + k))
     val matched = staged.filter(col("__act").isin(maskActs: _*))
       .select(col("__dv_f"), col("__dv_pos"))
       .limit(maxRows.toInt + 1).collect()
@@ -2721,14 +2846,17 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     if (matched.isEmpty || matched.length > maxRows) return None
     val live = readFiles(sch0, touched, s.dvs).count()
     if (live > 0 && matched.length.toDouble / live > maxRatio) return None
-    val appendActs: Seq[Integer] = matchedClauses.zipWithIndex.collect {
+    val appendActs: Seq[Integer] = (matchedClauses.zipWithIndex.collect {
         case (_: CommitLog.WhenMatchedUpdate, i) => Integer.valueOf(i + 1)
-      } ++ insertClauses.indices.map(j => Integer.valueOf(100 + j))
+      } ++ bySourceClauses.zipWithIndex.collect {
+        case (_: CommitLog.WhenNotMatchedBySourceUpdate, k) =>
+          Integer.valueOf(200 + k)
+      }) ++ insertClauses.indices.map(j => Integer.valueOf(100 + j))
     val appendDf =
       if (appendActs.isEmpty) None
       else Some(mergeProject(
         staged.filter(col("__act").isin(appendActs: _*)),
-        sch, matchedClauses, insertClauses))
+        sch, matchedClauses, insertClauses, bySourceClauses))
     appendDf.foreach(validateConstraints)
     val (newFiles, newTags) = appendDf match {
       case None => (Seq.empty[String], Map.empty[String, String])
@@ -4614,6 +4742,18 @@ object CommitLog {
   final case class WhenNotMatchedInsert(
       condition: Option[org.apache.spark.sql.Column] = None,
       values: Map[String, org.apache.spark.sql.Column] = Map.empty) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE (r16) — target
+    * rows with NO matching source row. The sync-table-to-source shape:
+    * rows absent from the batch leave the table. Condition references
+    * the target row only (`t.` alias or bare column names). */
+  final case class WhenNotMatchedBySourceDelete(
+      condition: Option[org.apache.spark.sql.Column] = None) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET (r16) —
+    * assignments and condition reference the TARGET row only (there is
+    * no source row to address). */
+  final case class WhenNotMatchedBySourceUpdate(
+      set: Map[String, org.apache.spark.sql.Column],
+      condition: Option[org.apache.spark.sql.Column] = None) extends MergeClause
 
   /** One per-file per-column Bloom filter, self-describing (so a
     * reader needs no writer config and mixed-config files coexist). */

@@ -29,8 +29,8 @@ import org.apache.spark.sql.types.StructType
   *
   * Conservative by construction: translation REFUSES anything whose
   * library semantics are not provably identical to Spark's (ambiguous
-  * unqualified references, subqueries in clauses, notMatchedBySource
-  * clauses, schema evolution, duplicate source keys — legal in SQL
+  * unqualified references, subqueries in clauses,
+  * schema evolution, duplicate source keys — legal in SQL
   * when they all land as inserts, refused by the library's ANSI
   * cardinality gate — sources carrying non-target columns when an
   * insert clause exists, partition-column assignment). A refusal runs
@@ -128,7 +128,6 @@ private[sources] object GraftMorMerge
 
   def execute(spark: SparkSession, m: MergeIntoTable): Unit = {
     if (m.withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION")
-    if (m.notMatchedBySourceActions.nonEmpty) refuse("NOT MATCHED BY SOURCE")
 
     // ---- target --------------------------------------------------
     val (tParts, tAliasOpt) = m.targetTable match {
@@ -280,6 +279,46 @@ private[sources] object GraftMorMerge
           cond.map(requalify(_, allowTarget = false)), Map.empty)
       case _ => refuse("unsupported not-matched action")
     }
+    // r16: NOT MATCHED BY SOURCE clauses — target-only by ANSI; a
+    // source reference refuses (the standard path raises the standard
+    // resolution error). Translated refs go to the `t.` namespace the
+    // library's pre-join evaluation resolves.
+    def requalifyTargetOnly(e: Expression): Column = {
+      if (e.exists(_.isInstanceOf[SubqueryExpression])) refuse("subquery in clause")
+      if (e.exists(_.isInstanceOf[UnresolvedStar])) refuse("star in clause expression")
+      val rewritten = e.transformUp {
+        case ua: UnresolvedAttribute =>
+          val parts = ua.nameParts
+          parts match {
+            case head +: tail if tail.nonEmpty && ci(head, tAlias) =>
+              UnresolvedAttribute("t" +: tail)
+            case head +: tail if tail.nonEmpty && ci(head, sAlias) =>
+              refuse("source reference in a NOT MATCHED BY SOURCE clause")
+            case head +: tail => targetField(head) match {
+              case Some(_) => UnresolvedAttribute("t" +: head +: tail)
+              case None => refuse(
+                if (sourceField(head).isDefined)
+                  "source reference in a NOT MATCHED BY SOURCE clause"
+                else s"unknown column $head")
+            }
+          }
+      }
+      Bridge.column(rewritten)
+    }
+    val bySource: Seq[CommitLog.MergeClause] = m.notMatchedBySourceActions.map {
+      case DeleteAction(cond) =>
+        CommitLog.WhenNotMatchedBySourceDelete(cond.map(requalifyTargetOnly))
+      case UpdateAction(cond, assigns, _) =>
+        val set = assigns.map(a => assignTarget(a.key) ->
+          requalifyTargetOnly(a.value)).toMap
+        if (set.size != assigns.size) refuse("duplicate assignment targets")
+        if (partCol.exists(pc => PartSpec.parse(pc).sourceColumns.exists(c =>
+            set.keys.exists(ci(_, c)))))
+          refuse("assignment to the partition column")
+        CommitLog.WhenNotMatchedBySourceUpdate(set,
+          cond.map(requalifyTargetOnly))
+      case _ => refuse("unsupported not-matched-by-source action")
+    }
 
     // ---- source preparation + semantic pre-checks ------------------
     // the library joins t.<key> === s.<key>: expose every key under its
@@ -322,6 +361,13 @@ private[sources] object GraftMorMerge
           values.toSeq.map { case (tc, v) => (v, Some(targetType(tc))) } ++
             c.map(x => (x, None))
         case _ => Nil
+      } ++ bySource.flatMap {
+        case CommitLog.WhenNotMatchedBySourceUpdate(set, c) =>
+          set.toSeq.map { case (tc, v) => (v, Some(targetType(tc))) } ++
+            c.map(x => (x, None))
+        case CommitLog.WhenNotMatchedBySourceDelete(c) =>
+          c.map(x => (x, None)).toSeq
+        case _ => Nil
       }
     if (checks.nonEmpty) {
       val tProbe = spark.createDataFrame(
@@ -363,7 +409,7 @@ private[sources] object GraftMorMerge
       if (hasDup) refuse("duplicate source keys")
 
       // ---- run the library merge (merge-on-read first) ---------------
-      log.merge(srcCk, keys, matched ++ inserts, partCol)
+      log.merge(srcCk, keys, matched ++ inserts ++ bySource, partCol)
     } finally graft.util.Ckpt.release(srcCk)
   }
 }

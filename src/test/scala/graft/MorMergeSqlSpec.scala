@@ -66,16 +66,35 @@ class MorMergeSqlSpec extends SparkSpecBase {
       "the fallback is the rewrite path — no DV")
   }
 
-  test("NOT MATCHED BY SOURCE falls back and still works") {
-    val (cat, _) = freshTable("c")
-    Seq((1L, "keep"), (2L, "stale")).toDF("id", "v")
+  test("NOT MATCHED BY SOURCE rides the library route as one add_dv (r16)") {
+    val (cat, wh) = freshTable("c")
+    Seq((1L, "keep"), (2L, "stale"), (3L, "old")).toDF("id", "v")
       .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
     Seq((1L, "KEPT")).toDF("id", "v").createOrReplaceTempView("mor_src_c")
-    spark.sql(s"""MERGE INTO $cat.t t USING mor_src_c s ON t.id = s.id
+    val log = CommitLog(spark, s"$wh/t")
+    val before = log.snapshot()
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    spark.conf.set("spark.graft.dv.maxRatio", "1.0")
+    try spark.sql(s"""MERGE INTO $cat.t t USING mor_src_c s ON t.id = s.id
       WHEN MATCHED THEN UPDATE SET v = s.v
-      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      WHEN NOT MATCHED BY SOURCE AND t.v = 'stale' THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'aged'""")
+    finally {
+      spark.conf.unset("spark.graft.dv.minTouchedBytes")
+      spark.conf.unset("spark.graft.dv.maxRatio")
+    }
+    val after = log.snapshot()
+    assert(after.version == before.version + 1, "one atomic commit")
+    assert(before.files.forall(after.files.contains), "no data file retired")
+    assert(after.dvs.nonEmpty, "by-source SQL MERGE must take the DV path")
     assert(spark.table(s"$cat.t").as[(Long, String)].collect().toSet
-      === Set((1L, "KEPT")))
+      === Set((1L, "KEPT"), (3L, "aged")))
+    // a source reference inside a by-source clause is illegal ANSI —
+    // translation refuses and the standard path raises the error
+    intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.t t USING mor_src_c s ON t.id = s.id
+        WHEN NOT MATCHED BY SOURCE AND s.v = 'x' THEN DELETE""")
+    }
   }
 
   test("spark.graft.sql.morMerge.enabled=false opts out of interception") {
