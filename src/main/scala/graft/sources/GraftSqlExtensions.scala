@@ -127,7 +127,17 @@ private[sources] object GraftMorMerge
   private def ci(a: String, b: String): Boolean = a.equalsIgnoreCase(b)
 
   def execute(spark: SparkSession, m: MergeIntoTable): Unit = {
-    if (m.withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION")
+    // r16: WITH SCHEMA EVOLUTION translates when its library semantics
+    // are PROVABLY Spark's — the library evolves additively from the
+    // FULL source schema whenever an insert clause exists
+    // (mergedSchema union-by-name), which equals Spark's evolution
+    // exactly when every insert is INSERT * (evolution scope = all
+    // source columns) and no shared column changes type (the library
+    // would widen where Spark's path errors). Anything else falls back.
+    val evolve = m.withSchemaEvolution
+    if (evolve && (m.notMatchedActions.isEmpty
+        || !m.notMatchedActions.forall(_.isInstanceOf[InsertStarAction])))
+      refuse("WITH SCHEMA EVOLUTION without INSERT *")
 
     // ---- target --------------------------------------------------
     val (tParts, tAliasOpt) = m.targetTable match {
@@ -164,6 +174,16 @@ private[sources] object GraftMorMerge
     val srcDf = Bridge.ofRows(spark, m.sourceTable)
     val srcCols = srcDf.schema.fieldNames.toSeq
     def sourceField(name: String): Option[String] = srcCols.find(ci(_, name))
+    if (evolve) srcDf.schema.fields.foreach { c =>
+      targetSchema.fields.find(f => ci(f.name, c.name)).foreach { f =>
+        if (CommitLog.stripMeta(f.dataType) != CommitLog.stripMeta(c.dataType))
+          refuse("schema evolution with a shared-column type change")
+      }
+    }
+    // the source columns Spark's INSERT-*-scoped evolution appends
+    val evolvedNew: Seq[org.apache.spark.sql.types.StructField] =
+      if (!evolve) Nil
+      else srcDf.schema.fields.toSeq.filter(c => targetField(c.name).isEmpty)
 
     // ---- ON condition: pure target-key = source-key conjunction ---
     // classify a reference: Left(target column) / Right(source column)
@@ -243,11 +263,13 @@ private[sources] object GraftMorMerge
       case UpdateStarAction(cond) =>
         // UPDATE SET * = every target column from its same-named source
         // column; SQL errors when one is missing, so refusing → the
-        // standard path raises the standard error
-        val set = targetSchema.fields.map { f =>
+        // standard path raises the standard error. Under evolution the
+        // appended source-only columns update too (they are target
+        // columns of the evolved schema).
+        val set = (targetSchema.fields.map { f =>
           val s = sourceField(f.name).getOrElse(refuse(s"UPDATE * misses ${f.name}"))
           f.name -> col(s"s.$s")
-        }.toMap
+        } ++ evolvedNew.map(f => f.name -> col(s"s.${f.name}"))).toMap
         if (partCol.exists(pc => PartSpec.parse(pc).sourceColumns.exists(c =>
             set.keys.exists(ci(_, c)))))
           refuse("UPDATE * assigns the partition column")
@@ -331,7 +353,7 @@ private[sources] object GraftMorMerge
       }
     }
     val keys = keyPairs.map(_._1)
-    if (inserts.nonEmpty) {
+    if (inserts.nonEmpty && !evolve) {
       // CommitLog.merge evolves the schema additively from the source
       // when inserts exist — SQL (without WITH SCHEMA EVOLUTION) must
       // not, so any non-target source column refuses
@@ -348,7 +370,9 @@ private[sources] object GraftMorMerge
     // OR any analysis failure (unresolvable reference, bad function):
     // the fallback then raises the standard error.
     def targetType(name: String): org.apache.spark.sql.types.DataType =
-      targetSchema.fields.find(f => ci(f.name, name)).get.dataType
+      targetSchema.fields.find(f => ci(f.name, name))
+        .orElse(evolvedNew.find(f => ci(f.name, name))) // evolution appends
+        .getOrElse(refuse(s"unknown assignment target $name")).dataType
     val checks: Seq[(Column, Option[org.apache.spark.sql.types.DataType])] =
       matched.flatMap {
         case CommitLog.WhenMatchedUpdate(set, c) =>

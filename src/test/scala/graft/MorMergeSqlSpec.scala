@@ -97,6 +97,45 @@ class MorMergeSqlSpec extends SparkSpecBase {
     }
   }
 
+  test("WITH SCHEMA EVOLUTION + INSERT * rides the library route (r16)") {
+    val (cat, wh) = freshTable("ev")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    // the source carries a NEW column `w`
+    Seq((2L, "B", 20.0), (9L, "n", 90.0)).toDF("id", "v", "w")
+      .createOrReplaceTempView("mor_src_ev")
+    val log = CommitLog(spark, s"$wh/t")
+    val before = log.snapshot()
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    spark.conf.set("spark.graft.dv.maxRatio", "1.0")
+    try spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t t
+      USING mor_src_ev s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    finally {
+      spark.conf.unset("spark.graft.dv.minTouchedBytes")
+      spark.conf.unset("spark.graft.dv.maxRatio")
+    }
+    val after = log.snapshot()
+    assert(after.version == before.version + 1, "one atomic commit")
+    assert(before.files.forall(after.files.contains),
+      "the evolving merge must take the DV path — no data file retired")
+    assert(after.dvs.nonEmpty)
+    assert(spark.table(s"$cat.t").schema.fieldNames.toSeq === Seq("id", "v", "w"),
+      "the schema must evolve to carry the source's new column")
+    assert(spark.table(s"$cat.t").as[(Long, String, Option[Double])]
+      .collect().toSet === Set((1L, "a", None), (2L, "B", Some(20.0)),
+        (3L, "c", None), (9L, "n", Some(90.0))))
+    // an explicit column-list insert scopes evolution differently from
+    // the library's full-source union — that form must fall back
+    Seq((12L, "x", 1.0)).toDF("id", "v", "w")
+      .createOrReplaceTempView("mor_src_ev2")
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t t
+      USING mor_src_ev2 s ON t.id = s.id
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    assert(spark.table(s"$cat.t").filter($"id" === 12L).count() === 1L)
+  }
+
   test("spark.graft.sql.morMerge.enabled=false opts out of interception") {
     val (cat, wh) = freshTable("d")
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")
