@@ -3109,8 +3109,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * the flip side (Delta documents the same): [[vacuum]] on the
     * SOURCE reclaims files the source log no longer references, and
     * the clone's references do not pin them — a clone that must
-    * outlive the source's retention runs [[optimize]] (any rewrite)
-    * to localize the data it still references.
+    * outlive the source's retention (including a scheduled
+    * [[maintain]] on the source, whose vacuum step has the same
+    * reach) runs [[optimize]] (any rewrite) to localize the data it
+    * still references.
     *
     * The target must not already have a commit log. The clone's log
     * starts at version 0 (its own history; the source's versions are
@@ -3857,24 +3859,69 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * (the checkpoint restates the full state, so they are redundant
     * for any new reader; an in-flight reader that already listed them
     * still reads them — manifests are immutable). No-op without a
-    * checkpoint. Returns the number pruned. */
-  def prune(): Int = {
+    * checkpoint. Returns the number pruned.
+    *
+    * r16, `retainMs > 0`: AGE-SCOPED prune — only manifests whose
+    * commit clock (`ts`) is older than `now − retainMs` are eligible,
+    * so every version committed within the retention window stays
+    * time-travelable. The deleted set is still always a PREFIX ending
+    * at a checkpoint (a retained version folds from a checkpoint at or
+    * below it; deleting a mid-fold manifest would break every version
+    * above it), so the effective boundary is the NEWEST checkpoint
+    * whose entire prefix is older than the cutoff. Manifests with no
+    * `ts` (pre-clock logs) count as infinitely old. Writer clocks are
+    * trusted the way [[readAsOfTime]] trusts them: a skewed
+    * younger-than-cutoff clock merely RETAINS more, never deletes a
+    * young version. */
+  def prune(retainMs: Long = 0L): Int = {
     if (!fs.exists(logDir)) return 0
     val manifests = fs.listStatus(logDir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".json")
         && !s.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
-    val lastCk = manifests.lastIndexWhere { m =>
+    val cutoff =
+      if (retainMs <= 0L) Long.MaxValue
+      else System.currentTimeMillis() - retainMs
+    val metas: Array[(Boolean, Long)] = manifests.map { m =>
       val in = fs.open(m.getPath)
       val raw = try {
         val bytes = new Array[Byte](m.getLen.toInt)
         in.readFully(bytes); new String(bytes, "UTF-8")
       } finally in.close()
-      Option(mapper.readTree(raw).get("checkpoint")).exists(_.asBoolean())
+      val node = mapper.readTree(raw)
+      (Option(node.get("checkpoint")).exists(_.asBoolean()),
+        Option(node.get("ts")).map(_.asLong()).getOrElse(0L))
     }
-    if (lastCk <= 0) return 0
-    manifests.take(lastCk).foreach(m => fs.delete(m.getPath, false))
-    lastCk
+    var best = -1
+    var prefixAllOld = true
+    metas.zipWithIndex.foreach { case ((ck, ts), i) =>
+      if (ck && i > 0 && prefixAllOld) best = i // prefix [0, i) all old
+      if (ts >= cutoff) prefixAllOld = false
+    }
+    if (best <= 0) return 0
+    manifests.take(best).foreach(m => fs.delete(m.getPath, false))
+    best
+  }
+
+  /** ONE scheduled maintenance call for production tables (r16):
+    * checkpoint the current state ([[compact]]), prune history older
+    * than `retainMs` ([[prune]]), and reclaim every byte no retained
+    * manifest references ([[vacuum]]). Versions committed within the
+    * retention window stay time-travelable; older ones fold into the
+    * checkpoint and their exclusive data files reclaim. Run it on a
+    * schedule (e.g. daily with `retainMs` = 7 days) and history is
+    * bounded without any manual compact→prune→vacuum choreography.
+    * Same caveats as its parts: no writer may be mid-commit during the
+    * vacuum, and a shallow clone does not pin the SOURCE's files — see
+    * [[cloneTo]]. */
+  def maintain(retainMs: Long,
+      stagingTtlMs: Long = CommitLog.StagingReclaimTtlMs)
+      : CommitLog.Maintenance = {
+    require(retainMs >= 0L, s"$tableRoot: negative retention")
+    val v = compact()
+    val pruned = prune(retainMs)
+    val vacuumed = vacuum(stagingTtlMs)
+    CommitLog.Maintenance(v, pruned, vacuumed)
   }
 
   /** Delete data files NO RETAINED MANIFEST references — lost-race
@@ -4754,6 +4801,12 @@ object CommitLog {
   final case class WhenNotMatchedBySourceUpdate(
       set: Map[String, org.apache.spark.sql.Column],
       condition: Option[org.apache.spark.sql.Column] = None) extends MergeClause
+
+  /** What one [[CommitLog.maintain]] call did: the checkpoint version
+    * it committed, the manifests its age-scoped prune deleted, and the
+    * data files its vacuum reclaimed. */
+  final case class Maintenance(checkpointVersion: Long,
+      manifestsPruned: Int, filesVacuumed: Int)
 
   /** One per-file per-column Bloom filter, self-describing (so a
     * reader needs no writer config and mixed-config files coexist). */

@@ -167,6 +167,36 @@ class CommitLogSpec extends SparkSpecBase {
     assert(after.append(Seq((7L, "v7")).toDF("id", "v"), txn = Some("w" -> 6L)) === 7L)
   }
 
+  test("maintain(retainMs): aged history prunes, retained versions stay readable") {
+    val t = tmpTable("clog-retain")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a")).toDF("id", "v"))          // v0
+    log.replaceAll(Seq((2L, "b")).toDF("id", "v"))      // v1 — retires v0's file
+    log.compact()                                       // v2 (checkpoint)
+    Thread.sleep(1200)
+    log.append(Seq((3L, "c")).toDF("id", "v"))          // v3 — young
+    val rep = log.maintain(retainMs = 1000L)            // v4 (checkpoint)
+    // the age-scoped prune stops at the OLD checkpoint (v2): v0/v1 are
+    // aged out, v3 is inside the window and must survive — even though
+    // the fresh checkpoint v4 would make it redundant for new readers
+    assert(rep.checkpointVersion === 4L)
+    assert(rep.manifestsPruned === 2)
+    assert(rep.filesVacuumed >= 1, "v0's retired file must reclaim")
+    val log2 = CommitLog(spark, t)
+    assert(log2.readVersion(3L).as[(Long, String)].collect().toSet
+      === Set((2L, "b"), (3L, "c")))
+    assert(log2.readVersion(2L).as[(Long, String)].collect().toSet
+      === Set((2L, "b")))
+    intercept[Exception] { log2.readVersion(0L).collect() }
+    assert(log2.read().as[(Long, String)].collect().toSet
+      === Set((2L, "b"), (3L, "c")))
+    // a second maintain with zero retention folds everything away
+    val rep2 = log2.maintain(retainMs = 0L)
+    assert(rep2.checkpointVersion === 5L)
+    assert(CommitLog(spark, t).read().as[(Long, String)].collect().toSet
+      === Set((2L, "b"), (3L, "c")))
+  }
+
   test("manifest row counts stay exact across the whole DML lifecycle") {
     val t = tmpTable("clog-rowinv")
     val log = CommitLog(spark, t)
