@@ -2013,18 +2013,43 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * A leading `element`/`value` component is dropped as Spark's SQL
     * accessor spelling (`arr.element.a`, `m.value.a`) unless the
     * interior struct has a REAL field of that name (namesake wins —
-    * the library form's back-compat reading). `allowAtLeaf`: an
-    * accessor may END the path only where the leaf names a container
-    * interior itself (addNestedColumn's parent can BE `arr.element`);
-    * the rename/drop walks refuse that (their leaf is the edited
-    * field). */
+    * the library form's back-compat reading). r16 (ADVICE r15): when
+    * BOTH readings resolve — the struct has a real `element`/`value`
+    * field AND the accessor-skipped remainder also names an interior
+    * field — the walk REFUSES loudly instead of silently retargeting
+    * the namesake: a path copied from Spark's own schema output could
+    * otherwise rename/drop/add the wrong field with no warning. The
+    * disambiguation is the library path form (interior fields WITHOUT
+    * the accessor component), or renaming the namesake first.
+    * `allowAtLeaf`: an accessor may END the path only where the leaf
+    * names a container interior itself (addNestedColumn's parent can
+    * BE `arr.element`); the rename/drop walks refuse that (their leaf
+    * is the edited field). */
   private def skipContainerAccessor(rest: Seq[String], accessor: String,
-      target: StructType, allowAtLeaf: Boolean): Seq[String] =
-    if (rest.isEmpty
-        || target.fields.exists(tf => lc(tf.name) == lc(rest.head))) rest
-    else if (lc(rest.head) == accessor
-        && (allowAtLeaf || rest.lengthCompare(1) > 0)) rest.tail
-    else rest
+      target: StructType, allowAtLeaf: Boolean): Seq[String] = {
+    if (rest.isEmpty) return rest
+    val namesake = target.fields.exists(tf => lc(tf.name) == lc(rest.head))
+    val accessorSpelling = lc(rest.head) == accessor &&
+      (allowAtLeaf || rest.lengthCompare(1) > 0)
+    if (!accessorSpelling) rest
+    else if (!namesake) rest.tail
+    else {
+      // both spellings exist; the interior reading is PLAUSIBLE when
+      // the accessor ends the path (allowAtLeaf) or the next component
+      // names a field of this interior struct — then neither reading
+      // can silently win
+      val interiorPlausible = rest.tail.headOption.forall(n =>
+        target.fields.exists(tf => lc(tf.name) == lc(n)))
+      if (interiorPlausible)
+        throw new IllegalArgumentException(
+          s"$tableRoot: ambiguous path component '${rest.head}' — it is " +
+            s"both the container-interior accessor and a real field of " +
+            s"the interior struct, and both readings resolve. Spell the " +
+            s"interior WITHOUT the '$accessor' component (library path " +
+            s"form), or rename the namesake field first")
+      rest // only the namesake reading resolves — it wins, as before
+    }
+  }
 
   /** SQL DDL: `ALTER TABLE … DROP COLUMN` — METADATA-ONLY like
     * [[renameColumn]]: the field leaves the logical schema and its
@@ -3404,12 +3429,19 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // resolve under. Bounds wrap in TsUs like every ts bound;
     // overflow on an extreme date skips the bound (no pruning,
     // conservative).
-    lazy val utcSess = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+    lazy val utcSess =
+      CommitLog.zoneIsUtc(spark.sessionState.conf.sessionLocalTimeZone)
     def dateCastCol(e: Expression): Option[String] = e match {
-      case c: Cast if c.dataType == org.apache.spark.sql.types.DateType
-          && c.timeZoneId.map(_ == "UTC").getOrElse(utcSess) =>
+      case c: Cast if c.dataType == org.apache.spark.sql.types.DateType =>
+        // r16 (ADVICE r15): the TZ judgment normalizes equivalent UTC
+        // spellings (Etc/UTC, Z, +00:00), and an NTZ source column is
+        // TZ-free — its date cast is admissible under ANY session zone
+        val ntzChild = c.child.dataType ==
+          org.apache.spark.sql.types.TimestampNTZType
+        val tzOk = ntzChild ||
+          c.timeZoneId.map(CommitLog.zoneIsUtc).getOrElse(utcSess)
         c.child match {
-          case a: Attribute if tsTyped(a.name) => Some(a.name)
+          case a: Attribute if tzOk && tsTyped(a.name) => Some(a.name)
           case _ => None
         }
       case _ => None
@@ -4801,6 +4833,16 @@ object CommitLog {
   final case class WhenNotMatchedBySourceUpdate(
       set: Map[String, org.apache.spark.sql.Column],
       condition: Option[org.apache.spark.sql.Column] = None) extends MergeClause
+
+  /** True when `tz` denotes UTC under java.time's own equivalence —
+    * "UTC", "Etc/UTC", "Z", "+00:00", "GMT" all normalize to the zero
+    * offset (ADVICE r15: the literal string compare silently dropped
+    * day-level pruning/admission for equivalent spellings). A
+    * malformed id is simply not UTC. */
+  private[sources] def zoneIsUtc(tz: String): Boolean =
+    scala.util.Try(
+      java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+    ).getOrElse(false)
 
   /** What one [[CommitLog.maintain]] call did: the checkpoint version
     * it committed, the manifests its age-scoped prune deleted, and the

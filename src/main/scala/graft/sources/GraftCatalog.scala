@@ -1061,58 +1061,78 @@ private[sources] final class GraftLogScanBuilder(
         scala.util.Try(Literal.create(e.eval(null), e.dataType)).toOption
       case _ => None
     }
-    // lossless keys only: IDENTITY, or the DATE column of days(date)
-    def losslessKey(a: Attribute): Option[Int] = keyIdx(a).filter { i =>
-      sp.keys(i).transform == PartSpec.Identity ||
-        (sp.keys(i).transform == PartSpec.Days && a.dataType == DateType)
+    // ── the ONE transform-admission table (r16, ADVICE r15) ────────
+    // For key i addressed through column `a` compared against literal
+    // `l`, what a file's tag component provably says about the value:
+    //  * `point` — defined exactly when tag ↔ value is a bijection
+    //    (IDENTITY keys; the DATE column of days(date)): the component
+    //    string the literal itself derives. The eq/IN judges compare
+    //    file components against it.
+    //  * `interval` — (unit, m): every row of a file with component c
+    //    has its value in [c·unit, (c+1)·unit), and the literal folds
+    //    to m in the same domain (epoch-MICROS for ts under days/hours
+    //    keys; epoch-DAYS, unit 1, for the date column of days(date)).
+    //    The range judges test bounds against it.
+    // eq/IN and range previously derived their domains independently
+    // and could drift as transforms were added — every judge now reads
+    // from here, so a new transform/type/op lands in exactly one place.
+    final case class KeyEvidence(point: Option[String],
+        interval: Option[(Long, Long)])
+    def keyEvidence(a: Attribute, i: Int, l: Literal): KeyEvidence = {
+      val tr = sp.keys(i).transform
+      val lossless = tr == PartSpec.Identity ||
+        (tr == PartSpec.Days && a.dataType == DateType)
+      val point = if (lossless) sp.componentOfLiteral(i, l) else None
+      val interval: Option[(Long, Long)] =
+        (tr, a.dataType, l.dataType, l.value) match {
+          case (PartSpec.Days, _: TimestampType, _: TimestampType,
+                m: java.lang.Long) =>
+            Some((PartSpec.MicrosPerDay, m.longValue))
+          case (PartSpec.Hours, _: TimestampType, _: TimestampType,
+                m: java.lang.Long) =>
+            Some((PartSpec.MicrosPerHour, m.longValue))
+          case (PartSpec.Days, DateType, DateType, d: java.lang.Integer) =>
+            Some((1L, d.longValue))
+          case _ => None
+        }
+      KeyEvidence(point, interval)
     }
+    // the op application, adjacent to the domain it judges: rows span
+    // [lo, hi) — `<=` needs hi−1 (the greatest value a row can take)
+    def intervalHolds(op: String, lo: Long, hi: Long, m: Long): Boolean =
+      op match {
+        case ">=" => lo >= m
+        case ">"  => lo > m
+        case "<"  => hi <= m
+        case "<=" => hi - 1 <= m
+        case _ => false
+      }
     def eqExact(a: Attribute, v: Expression): Boolean = (for {
-      i <- losslessKey(a)
+      i <- keyIdx(a)
       l <- litOf(v)
-      c <- sp.componentOfLiteral(i, l)
+      c <- keyEvidence(a, i, l).point
     } yield decoded.forall(_.apply(i) == c)).getOrElse(false)
     // key IN (...): every selected file's tag must name a listed
     // value. Null list values never make a row TRUE and drop out; an
     // unresolvable value refuses the conjunct.
     def inExact(a: Attribute, lits: Seq[Literal]): Boolean = (for {
-      i <- losslessKey(a)
+      i <- keyIdx(a)
       nonNull = lits.filter(_.value != null)
-      comps = nonNull.flatMap(l => sp.componentOfLiteral(i, l))
+      comps = nonNull.flatMap(l => keyEvidence(a, i, l).point)
       if comps.length == nonNull.length
     } yield {
       val set = comps.toSet
       decoded.forall(d => set.contains(d(i)))
     }).getOrElse(false)
-    // a range bound every selected file's WHOLE tag unit satisfies:
-    // rows of a days/hours-tagged file all lie in [tag·u, (tag+1)·u)
-    // of the key's value domain — epoch-MICROS for a ts column
-    // (units from PartSpec, the tag writer's own constants), and
-    // epoch-DAYS (unit 1) for the DATE column of a days(date) key
-    def domainOf(a: Attribute, i: Int, l: Literal): Option[(Long, Long)] =
-      (sp.keys(i).transform, a.dataType, l.dataType, l.value) match {
-        case (PartSpec.Days, _: TimestampType, _: TimestampType, m: java.lang.Long) =>
-          Some((PartSpec.MicrosPerDay, m.longValue))
-        case (PartSpec.Hours, _: TimestampType, _: TimestampType, m: java.lang.Long) =>
-          Some((PartSpec.MicrosPerHour, m.longValue))
-        case (PartSpec.Days, DateType, DateType, d: java.lang.Integer) =>
-          Some((1L, d.longValue))
-        case _ => None
-      }
     def rangeExact(a: Attribute, op: String, v: Expression): Boolean = (for {
       i <- keyIdx(a)
       l <- litOf(v) if l.value != null
-      (u, m) <- domainOf(a, i, l)
+      (u, m) <- keyEvidence(a, i, l).interval
     } yield decoded.forall { d =>
       scala.util.Try {
         val lo = Math.multiplyExact(d(i).toLong, u)      // row min (incl)
         val hi = Math.addExact(lo, u)                    // row max (excl)
-        op match {
-          case ">=" => lo >= m
-          case ">"  => lo > m
-          case "<"  => hi <= m
-          case "<=" => hi - 1 <= m
-          case _ => false
-        }
+        intervalHolds(op, lo, hi, m)
       }.getOrElse(false)
     }).getOrElse(false)
     import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual}
@@ -1322,7 +1342,7 @@ private[sources] final class GraftLogScanBuilder(
     case class GKey(name: String, idx: Int, outType: DataType,
         fromTag: String => Any)
     val utcSession =
-      spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+      CommitLog.zoneIsUtc(spark.sessionState.conf.sessionLocalTimeZone)
     def compInternal(c: String, dt: DataType): Any = dt match {
       case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(c)
       case IntegerType => c.toInt

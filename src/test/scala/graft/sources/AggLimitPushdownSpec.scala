@@ -443,6 +443,41 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
     }
   }
 
+  test("an Etc/UTC session keeps day-scoped exactness (zone normalization, r16)") {
+    val priorTsType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    val priorTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // "Etc/UTC" IS UTC under java.time's equivalence; the pre-r16
+    // literal string compare silently dropped both the cast-bound file
+    // pruning and the day-scoped manifest fold for it
+    spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+    try {
+      val df = (0 until 96).map { i =>
+        (i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-05-${1 + i % 4}%02d ${i % 24}%02d:15:00"))
+      }.toDF("id", "ts")
+      val (cat, _) = freshCat("tzn")
+      df.writeTo(s"$cat.t").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "days(ts)").create()
+      val day = lit("2024-05-03").cast("date")
+      val q = spark.table(s"$cat.t").filter($"ts".cast("date") === day)
+        .agg(count(lit(1)).as("n"))
+      assert(manifestAnswered(q),
+        "day-scoped agg must fold under an Etc/UTC session:\n" +
+          q.queryExecution.executedPlan)
+      assert(q.collect().head.getLong(0) === 24L)
+      val plain = spark.table(s"$cat.t").filter($"ts".cast("date") === day)
+      assert(scannedFiles(plain) === 1,
+        "the cast bound must prune to the day's file under Etc/UTC")
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", priorTz)
+      priorTsType match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    }
+  }
+
   test("property: partition-exact pushdown ≡ plain evaluation on random filters") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // the exactness judge DROPS residual filters (pushFilters returns

@@ -131,6 +131,38 @@ class NestedMappingSpec extends graft.SparkSpecBase {
       s"key rename must refuse, got: ${e.getMessage}")
   }
 
+  test("an ambiguous element/value namesake path refuses loudly (r16)") {
+    // the interior struct has a REAL field named `element` — Spark's
+    // accessor spelling `arr.element.a` then has TWO valid readings
+    // (the interior's own `a`, and the namesake field's `a`); the
+    // pre-r16 namesake-wins rule silently retargeted DDL copied from
+    // Spark's schema output. Both-resolve must refuse; a reading only
+    // one side supports still works.
+    val t = Files.createTempDirectory("gamb").toString + "/t"
+    val log = CommitLog(spark, t)
+    log.append(Seq(1L).toDF("id")
+      .withColumn("arr", typedLit(Seq((("ix", 1.0), "ia")))
+        .cast("array<struct<element:struct<a:string,b:double>,a:string>>")))
+    val e = intercept[IllegalArgumentException] {
+      log.renameColumn(Seq("arr", "element", "a"), "alpha")
+    }
+    assert(e.getMessage.contains("ambiguous path component"),
+      s"both-resolve must refuse, got: ${e.getMessage}")
+    // the library form (no accessor component) addresses the interior
+    // unambiguously…
+    log.renameColumn(Seq("arr", "a"), "alpha")
+    // …and the namesake field's OWN interior, where the container
+    // interior has no such field, still resolves to the namesake
+    log.renameColumn(Seq("arr", "element", "b"), "beta")
+    val elT = log.read().schema("arr").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(elT.fieldNames.toSeq === Seq("element", "alpha"))
+    assert(elT("element").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("a", "beta"))
+  }
+
   test("container-interior additive evolution: add a field inside array/map structs (r15)") {
     val root = tmpRoot("cadd")
     val log = CommitLog(spark, root)
