@@ -1318,54 +1318,66 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         s"'$path': ${inDups.values.flatten.map(_.name).mkString(", ")}")
     val inByName = incoming.map(f => lc(f.name) -> f).toMap
     val curNames = cur.map(f => lc(f.name)).toSet
+    // the recursive type merge: structs merge field-wise; r15 container
+    // recursion (array elements, map VALUES — keys are the map's
+    // identity and must match exactly); r16 scalar WIDENING anywhere in
+    // the tree — the merged type is the wider one (old files read
+    // through the widened schema natively; a narrower write upcasts
+    // before landing). Anything else refuses loudly.
+    def mergeTypes(c: org.apache.spark.sql.types.DataType,
+        i: org.apache.spark.sql.types.DataType, at: String)
+        : org.apache.spark.sql.types.DataType = (c, i) match {
+      // shape equality is METADATA-INSENSITIVE (r15): an array<struct>
+      // element field carrying a PhysKey mapping (array-element
+      // rename) must still accept writes of the same logical shape;
+      // the kept type is CUR's, so the mapping survives the merge
+      case _ if CommitLog.stripMeta(c) == CommitLog.stripMeta(i) => c
+      case (cs: StructType, is: StructType) =>
+        StructType(mergeStructs(cs, is, s"$at."))
+      case (ca: org.apache.spark.sql.types.ArrayType,
+            ia: org.apache.spark.sql.types.ArrayType) =>
+        ca.copy(elementType = mergeTypes(ca.elementType, ia.elementType, at),
+          containsNull = ca.containsNull || ia.containsNull)
+      case (cm: org.apache.spark.sql.types.MapType,
+            im: org.apache.spark.sql.types.MapType) =>
+        require(CommitLog.stripMeta(cm.keyType) == CommitLog.stripMeta(im.keyType),
+          s"$tableRoot: schema evolution cannot change the KEY type " +
+            s"of '$at' from ${cm.keyType.simpleString} to " +
+            s"${im.keyType.simpleString}")
+        cm.copy(valueType = mergeTypes(cm.valueType, im.valueType, at),
+          valueContainsNull = cm.valueContainsNull || im.valueContainsNull)
+      case _ =>
+        CommitLog.widerOf(CommitLog.stripMeta(c), CommitLog.stripMeta(i))
+          .getOrElse {
+            throw new IllegalArgumentException(
+              s"$tableRoot: schema evolution cannot change column " +
+                s"'$at' from ${c.simpleString} to " +
+                s"${i.simpleString} (only exact widenings evolve: " +
+                "byte/short/int->long, float->double, decimal " +
+                "precision growth at the same scale)")
+          }
+    }
+    // float→double ANYWHERE in the merged tree shifts stored values'
+    // string form — see [[CommitLog.WidenedStrKey]]
+    def shiftsAnywhere(c: org.apache.spark.sql.types.DataType,
+        m: org.apache.spark.sql.types.DataType): Boolean = (c, m) match {
+      case (cs: StructType, ms: StructType) =>
+        val by = ms.fields.map(f => lc(f.name) -> f).toMap
+        cs.fields.exists(f => by.get(lc(f.name))
+          .exists(mf => shiftsAnywhere(f.dataType, mf.dataType)))
+      case (ca: org.apache.spark.sql.types.ArrayType,
+            ma: org.apache.spark.sql.types.ArrayType) =>
+        shiftsAnywhere(ca.elementType, ma.elementType)
+      case (cm: org.apache.spark.sql.types.MapType,
+            mm: org.apache.spark.sql.types.MapType) =>
+        shiftsAnywhere(cm.valueType, mm.valueType)
+      case _ => CommitLog.strFormShifts(c, m)
+    }
     val kept = cur.fields.map { f =>
       inByName.get(lc(f.name)).fold(f.copy(nullable = true)) { inF =>
-        val merged = (f.dataType, inF.dataType) match {
-          case (c: StructType, i: StructType) =>
-            StructType(mergeStructs(c, i, s"$path${f.name}."))
-          // r15: additive evolution INSIDE containers — an
-          // array<struct> element or map<_,struct> value gaining (or
-          // missing) fields merges like any nested struct: old files
-          // null-fill the gap per element, new writes null-pad through
-          // [[conformCol]]'s container recursion. Map KEY types must
-          // still match exactly (a key is the map's identity).
-          case (ca @ org.apache.spark.sql.types.ArrayType(c: StructType, _),
-                org.apache.spark.sql.types.ArrayType(i: StructType, icn)) =>
-            ca.copy(
-              elementType = StructType(mergeStructs(c, i, s"$path${f.name}.")),
-              containsNull = ca.containsNull || icn)
-          case (cm @ org.apache.spark.sql.types.MapType(ck, c: StructType, _),
-                org.apache.spark.sql.types.MapType(ik, i: StructType, ivn)) =>
-            require(CommitLog.stripMeta(ck) == CommitLog.stripMeta(ik),
-              s"$tableRoot: schema evolution cannot change the KEY type " +
-                s"of '$path${f.name}' from ${ck.simpleString} to " +
-                s"${ik.simpleString}")
-            cm.copy(
-              valueType = StructType(mergeStructs(c, i, s"$path${f.name}.")),
-              valueContainsNull = cm.valueContainsNull || ivn)
-          case (c, i) =>
-            // shape equality is METADATA-INSENSITIVE (r15): an
-            // array<struct> element field carrying a PhysKey mapping
-            // (array-element rename) must still accept writes of the
-            // same logical shape; the kept type is CUR's, so the
-            // mapping survives the merge. r16: a value-preserving
-            // scalar WIDENING is additive — the merged type is the
-            // wider one (old files read through the widened schema
-            // natively; a narrower write upcasts before landing);
-            // any other change keeps refusing loudly.
-            val cs = CommitLog.stripMeta(c); val is0 = CommitLog.stripMeta(i)
-            if (cs == is0) c
-            else CommitLog.widerOf(cs, is0).getOrElse {
-              throw new IllegalArgumentException(
-                s"$tableRoot: schema evolution cannot change column " +
-                  s"'$path${f.name}' from ${c.simpleString} to " +
-                  s"${i.simpleString} (only exact widenings evolve: " +
-                  "byte/short/int->long, float->double, decimal " +
-                  "precision growth at the same scale)")
-            }
-        }
+        val merged = mergeTypes(f.dataType, inF.dataType, s"$path${f.name}")
         val meta =
-          if (CommitLog.strFormShifts(f.dataType, merged))
+          if (shiftsAnywhere(f.dataType, merged))
             new org.apache.spark.sql.types.MetadataBuilder()
               .withMetadata(f.metadata)
               .putBoolean(CommitLog.WidenedStrKey, true).build()

@@ -50,11 +50,16 @@ private[sources] object GraftProcedures {
 
   private val versionResult = StructType(Seq(StructField("version", LongType)))
   private val countResult = StructType(Seq(StructField("n", IntegerType)))
+  private val maintainResult = StructType(Seq(
+    StructField("checkpoint_version", LongType),
+    StructField("manifests_pruned", IntegerType),
+    StructField("files_vacuumed", IntegerType)))
 
   /** All procedures, by name. */
   def names: Seq[String] =
     Seq("optimize", "optimize_partitions", "compact", "prune", "vacuum",
-      "history", "materialize_mapping", "clone", "restore", "detail")
+      "maintain", "history", "materialize_mapping", "clone", "restore",
+      "detail")
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
     def logFor(table: String): CommitLog = {
@@ -96,6 +101,18 @@ private[sources] object GraftProcedures {
       case "vacuum" => proc("vacuum", Seq(p("table", StringType)),
         in => resultScan(countResult, Seq(new GenericInternalRow(
           Array[Any](logFor(in.getUTF8String(0).toString).vacuum())))))
+      // r16: the ONE scheduled maintenance call — checkpoint +
+      // age-scoped prune + vacuum ([[CommitLog.maintain]]); versions
+      // younger than retain_hours stay time-travelable
+      case "maintain" => proc("maintain",
+        Seq(p("table", StringType),
+          pDefault("retain_hours", LongType, "168")), // one week
+        in => {
+          val r = logFor(in.getUTF8String(0).toString)
+            .maintain(math.max(0L, in.getLong(1)) * 3600L * 1000L)
+          resultScan(maintainResult, Seq(new GenericInternalRow(Array[Any](
+            r.checkpointVersion, r.manifestsPruned, r.filesVacuumed))))
+        })
       case "materialize_mapping" => proc("materialize_mapping",
         Seq(p("table", StringType), pDefault("part_col", StringType, "''")),
         in => {

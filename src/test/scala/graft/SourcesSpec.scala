@@ -583,6 +583,18 @@ class SourcesSpec extends SparkSpecBase {
     assert(sp.files.count(f => sp.parts(f) == "d1") === 1)
     assert(sp.files.forall(sp.parts.contains))
 
+    // r16: maintain = compact + age-scoped prune + vacuum in one CALL;
+    // retain_hours 0 folds everything into the fresh checkpoint
+    log.append(Seq((99L, 9.9)).toDF("id", "x"))
+    val m = spark.sql(
+      "CALL gproc.system.maintain(`table` => 't', retain_hours => 0)")
+    assert(m.columns.toSeq === Seq("checkpoint_version",
+      "manifests_pruned", "files_vacuumed"))
+    val mr = m.as[(Long, Int, Int)].head()
+    assert(mr._1 === log.snapshot().version)
+    assert(mr._2 > 0)
+    assert(log.read().as[(Long, Double)].collect().toSet === before + ((99L, 9.9)))
+
     // unknown procedure and missing table fail loudly
     intercept[Exception] { spark.sql("CALL gproc.system.nope(`table` => 't')") }
     intercept[Exception] { spark.sql("CALL gproc.system.vacuum(`table` => 'missing')") }

@@ -184,6 +184,72 @@ class DecimalStatsSpec extends graft.SparkSpecBase {
       === Set(295L, 296L, 297L, 298L, 299L))
   }
 
+  test("property: DecV fold/compare are value-exact at any scale pair") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val log = CommitLog(spark,
+      Files.createTempDirectory("decs-prop").toString + "/t")
+    val dv = for {
+      u <- Gen.chooseNum(-1000000000000000L, 1000000000000000L)
+      s <- Gen.chooseNum(0, 8)
+    } yield CommitLog.DecV(u, s)
+    val prop = Prop.forAllNoShrink(dv, dv, dv, dv) { (a, b, c, d) =>
+      val cmpOk = log.cmpAny(a, b)
+        .contains(a.toBig.compareTo(b.toBig)) ||
+        // cmpAny returns the sign class, not the exact compareTo value
+        log.cmpAny(a, b).exists(x =>
+          Integer.signum(x) == Integer.signum(a.toBig.compareTo(b.toBig)))
+      val mn = log.minAny(a, b)
+      val mx = log.maxAny(a, b)
+      val minOk = mn == (if (a.toBig.compareTo(b.toBig) <= 0) a else b) ||
+        mn.asInstanceOf[CommitLog.DecV].toBig
+          .compareTo((if (a.toBig.compareTo(b.toBig) <= 0) a else b).toBig) == 0
+      val maxOk = mx.asInstanceOf[CommitLog.DecV].toBig
+        .compareTo((if (a.toBig.compareTo(b.toBig) >= 0) a else b).toBig) == 0
+      cmpOk && minOk && maxOk
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: the widening lattice is symmetric and value-preserving") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.types._
+    val scalars: Gen[DataType] = Gen.oneOf(
+      ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
+      DecimalType(5, 2), DecimalType(10, 2), DecimalType(14, 2),
+      DecimalType(10, 4), StringType, DateType)
+    val prop = Prop.forAllNoShrink(scalars, scalars) { (a, b) =>
+      val ab = CommitLog.widerOf(a, b)
+      val ba = CommitLog.widerOf(b, a)
+      val symmetric = ab == ba
+      val identity = CommitLog.widerOf(a, a).contains(a)
+      // an admitted pair's cast narrow→wide must be exact for every
+      // value the narrow type holds (spot: extremes + a fraction)
+      val exact = ab.forall { w =>
+        val n = if (w == a) b else a
+        (n, w) match {
+          case (IntegerType, LongType) =>
+            Seq(Int.MinValue, -1, 0, Int.MaxValue).forall(v =>
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                org.apache.spark.sql.catalyst.expressions.Literal(v), w)
+                .eval(null) == v.toLong)
+          case (FloatType, DoubleType) =>
+            Seq(0.1f, Float.MinValue, Float.MaxValue).forall { v =>
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                org.apache.spark.sql.catalyst.expressions.Literal(v), w)
+                .eval(null) == v.toDouble
+            }
+          case _ => true
+        }
+      }
+      symmetric && identity && exact
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("point reads prune on decimal stats with external bound types") {
     val t = Files.createTempDirectory("decs-pt").toString + "/t"
     val log = CommitLog(spark, t)

@@ -105,6 +105,33 @@ class WideningSpec extends graft.SparkSpecBase {
     assert(e.getMessage.contains("cannot change column"))
   }
 
+  test("widening recurses through containers: array<int> -> array<long>, map values") {
+    val t = tmpTable("wid-cont")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, Seq(1, 2), Map("k" -> 1.5f))).toDF("id", "a", "m"))
+    log.append(Seq((2L, Seq(3000000000L), Map("k" -> 9.5))).toDF("id", "a", "m"))
+    assert(log.read().schema("a").dataType === ArrayType(LongType))
+    assert(log.read().schema("m").dataType
+      === MapType(StringType, DoubleType, valueContainsNull = true))
+    // old narrow files read through the widened interiors natively;
+    // a later narrow batch upcasts per element before landing
+    log.append(Seq((3L, Seq(7), Map("k" -> 2.5f))).toDF("id", "a", "m"))
+    assert(log.read().orderBy("id")
+      .select($"id", $"a", $"m"("k").as("mv"))
+      .as[(Long, Seq[Long], Double)].collect().toSeq
+      === Seq((1L, Seq(1L, 2L), 1.5f.toDouble),
+        (2L, Seq(3000000000L), 9.5), (3L, Seq(7L), 2.5f.toDouble)))
+    // an interior float->double marks the COLUMN string-shifted
+    assert(CommitLog.strShifted(log.snapshot().schema.get("m")))
+    assert(!CommitLog.strShifted(log.snapshot().schema.get("a")))
+    // map KEY widening stays refused (a key is the map's identity)
+    val e = intercept[IllegalArgumentException] {
+      log.append(Seq((4L, Seq(1), Map(1L -> 2.5))).toDF("id", "a", "m"))
+    }
+    assert(e.getMessage.contains("KEY type")
+      || e.getMessage.contains("cannot change column"))
+  }
+
   test("cross-family changes still refuse loudly") {
     val t = tmpTable("wid-x")
     val log = CommitLog(spark, t)
