@@ -3050,8 +3050,89 @@ object IndexQueries {
         CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** B2/B4 PREDICATE-PRUNING COMPLETENESS (r16): three predicate
+    * shapes that previously scanned everything now prune on manifest
+    * evidence — `LIKE 'p%'` as a string range [p, upper(p)) over the
+    * footer string stats (the reference's per-district key prefix
+    * reads, /root/reference/index.js:305); `IS NULL` / `IS NOT NULL`
+    * via the EXACT per-file null counts (a provably all-null or
+    * no-null file never opens); null-safe `<=>` equality like plain
+    * equality for non-null literals. REQUIRED in-body: the 'P-'
+    * prefix read scans 1 of 3 status-banded files; IS NOT NULL skips
+    * the all-null band; IS NULL skips the no-null band; the `<=>`
+    * point read scans 1. Values hash against DuckDB replaying every
+    * filter. */
+  private val q194 = Q(
+    "q194_pruning_completeness",
+    (s, dir) => {
+      val cat = "g194_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "prune-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("tag", concat(col("o_orderstatus"), lit("-"),
+          lpad(col("o_orderkey").cast("string"), 12, "0")))
+        .withColumn("v",
+          when(col("o_orderstatus") === "O", col("o_totalprice"))
+            .when(col("o_orderstatus") === "P",
+              when(col("o_orderkey") % 2 === 0, col("o_totalprice"))))
+      // three status bands: F = v all null, O = v never null, P = mixed
+      o.filter(col("o_orderstatus") === "F").coalesce(1)
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+      o.filter(col("o_orderstatus") === "O").coalesce(1)
+        .writeTo(s"$cat.t").append()
+      o.filter(col("o_orderstatus") === "P").coalesce(1)
+        .writeTo(s"$cat.t").append()
+      def scanned(df: DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            graft.sources.GraftScans.unwrapFileScan(r.scan)
+              .fileIndex.inputFiles.length
+        }.sum
+      val pref = s.table(s"$cat.t").filter(col("tag").startsWith("P-"))
+      require(scanned(pref) == 1,
+        s"q194: the 'P-' prefix must scan 1 file, scanned ${scanned(pref)}")
+      val nn = s.table(s"$cat.t").filter(col("v").isNotNull)
+      require(scanned(nn) == 2,
+        s"q194: IS NOT NULL must skip the all-null band, scanned ${scanned(nn)}")
+      val nl = s.table(s"$cat.t").filter(col("v").isNull)
+      require(scanned(nl) == 2,
+        s"q194: IS NULL must skip the no-null band, scanned ${scanned(nl)}")
+      val kP = o.filter(col("o_orderstatus") === "P")
+        .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      val tagP = "P-" + "%012d".format(kP)
+      val nse = s.table(s"$cat.t").filter(col("tag") <=> tagP)
+      require(scanned(nse) == 1,
+        s"q194: the <=> point read must scan 1 file, scanned ${scanned(nse)}")
+      import s.implicits._
+      Seq((pref.count(), nn.count(),
+          nn.agg(sum(col("v").cast("decimal(18,2)"))).collect()(0)
+            .getDecimal(0).doubleValue,
+          nl.count(), nse.count()))
+        .toDF("n_pref", "n_nn", "s_nn", "n_null", "n_nse")
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+          o_orderstatus || '-' ||
+            lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS tag,
+          CASE WHEN o_orderstatus = 'O' THEN o_totalprice
+               WHEN o_orderstatus = 'P' AND o_orderkey % 2 = 0
+                 THEN o_totalprice END AS v
+        FROM orders),
+      kp AS (SELECT MAX(o_orderkey) AS k FROM base WHERE o_orderstatus = 'P')
+      SELECT
+        (SELECT COUNT(*) FROM base WHERE tag LIKE 'P-%') AS n_pref,
+        (SELECT COUNT(*) FROM base WHERE v IS NOT NULL) AS n_nn,
+        (SELECT CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) FROM base
+          WHERE v IS NOT NULL) AS s_nn,
+        (SELECT COUNT(*) FROM base WHERE v IS NULL) AS n_null,
+        (SELECT COUNT(*) FROM base, kp
+          WHERE tag = 'P-' || lpad(CAST(k AS VARCHAR), 12, '0')) AS n_nse"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
     q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193,
+    q194)
 }

@@ -3365,6 +3365,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           case LessThan(a, b)           => Some(("<", a, b))
           case LessThanOrEqual(a, b)    => Some(("<=", a, b))
           case EqualTo(a, b)            => Some(("=", a, b))
+          // r16: null-safe equality against a NON-NULL literal is plain
+          // equality (litVal yields no bound for a null literal, so
+          // `col <=> NULL` — which selects null rows stats cannot
+          // judge — never prunes)
+          case EqualNullSafe(a, b)      => Some(("=", a, b))
           case _ => None
         }
     }
@@ -3491,7 +3496,35 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           r._2.map(x => CommitLog.TsUs(x): Any))
       case _ => None
     }
-    val bounds = bounds1 ++ castBounds
+    // r16: `col LIKE 'p%'` (StartsWith) is a string RANGE — every
+    // match lies in [p, upper(p)) where upper(p) increments p's last
+    // safely-incrementable char (UTF-8 is code-point-order-preserving,
+    // so the char-level successor bounds the byte-level order exactly;
+    // surrogate-adjacent chars are skipped rather than risk an invalid
+    // string). No upper bound when nothing is incrementable — the
+    // lower bound alone still prunes. The hi bound is used INCLUSIVELY
+    // by [[overlaps]] — a boundary file is kept, conservative.
+    def upperForPrefix(p: String): Option[String] = {
+      var i = p.length - 1
+      while (i >= 0) {
+        val c = p.charAt(i)
+        if (c < 0xD7FF || (c >= 0xE000 && c < 0xFFFD))
+          return Some(p.substring(0, i) + (c + 1).toChar)
+        i -= 1
+      }
+      None
+    }
+    val prefixBounds: Seq[(String, Option[Any], Option[Any])] = cs.flatMap {
+      case StartsWith(a: Attribute, v) if v.foldable
+          && !v.exists(_.isInstanceOf[Attribute]) =>
+        Option(v.eval(null)).collect {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        }.filter(_.nonEmpty).map(pre =>
+          (a.name, Some(pre): Option[Any],
+            upperForPrefix(pre).map(x => x: Any)))
+      case _ => None
+    }
+    val bounds = bounds1 ++ castBounds ++ prefixBounds
     // r15: IN-list conjuncts — a file survives when ANY listed value
     // could hold a row (stats overlap). Partitioned files pin their
     // key to min==max, so for `key IN (...)` this is exact file-level
@@ -3513,6 +3546,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val inLists: Seq[(String, Seq[Any])] = cs.flatMap(inValues).map {
       case (c, vs) => if (tsTyped(c)) (c, vs.map(wrapTs)) else (c, vs)
     }
+    // r16: exact per-file NULL-count evidence — `col IS NOT NULL`
+    // skips a provably ALL-null file, `col IS NULL` skips a provably
+    // no-null file. Counts are pre-mask, but a DV only removes rows:
+    // "every row is null" and "no row is null" both survive masking.
+    // (true = the conjunct needs a null row; false = a non-null row)
+    val nullChecks: Seq[(String, Boolean)] = cs.flatMap {
+      case IsNotNull(a: Attribute) => Some(a.name -> false)
+      case IsNull(a: Attribute) => Some(a.name -> true)
+      case _ => None
+    }
     // top-level equality conjuncts additionally probe the per-file
     // Bloom filters (when indexed) — the value stringifies THROUGH the
     // already-inserted cast, matching [[bloomsFor]]'s hashing exactly;
@@ -3527,6 +3570,18 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           Option(Cast(v, org.apache.spark.sql.types.StringType).eval(null))
             .map(x => n -> x.toString)).toOption.flatten)
       case EqualTo(v, a) if attr(a).isDefined && v.foldable
+          && !v.exists(_.isInstanceOf[Attribute]) =>
+        attr(a).flatMap(n => scala.util.Try(
+          Option(Cast(v, org.apache.spark.sql.types.StringType).eval(null))
+            .map(x => n -> x.toString)).toOption.flatten)
+      // r16: `col <=> v` with a non-null v probes like `col = v`
+      // (blooms never index nulls; the Option drops a null literal)
+      case EqualNullSafe(a, v) if attr(a).isDefined && v.foldable
+          && !v.exists(_.isInstanceOf[Attribute]) =>
+        attr(a).flatMap(n => scala.util.Try(
+          Option(Cast(v, org.apache.spark.sql.types.StringType).eval(null))
+            .map(x => n -> x.toString)).toOption.flatten)
+      case EqualNullSafe(v, a) if attr(a).isDefined && v.foldable
           && !v.exists(_.isInstanceOf[Attribute]) =>
         attr(a).flatMap(n => scala.util.Try(
           Option(Cast(v, org.apache.spark.sql.types.StringType).eval(null))
@@ -3552,6 +3607,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         s.blooms.get(f).flatMap(_.get(physOf(s.schema, c))) match {
           case Some(b) => bloomMayContain(b, v)
           case None => true // no filter for the column → keep the file
+        }
+      } && nullChecks.forall { case (c, needNull) =>
+        (s.nulls.get(f).flatMap(_.get(physOf(s.schema, c))),
+            s.rows.get(f)) match {
+          case (Some(n), Some(r)) => if (needNull) n > 0 else n < r
+          case _ => true // unknown counts → cannot rule the file out
         }
       }
     }
