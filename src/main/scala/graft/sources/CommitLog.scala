@@ -871,20 +871,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // dialect, or an exact integer) compares value-exactly against
     // harvested DecV stats; anything else stays unwrapped and the
     // mixed-pair guard keeps the file
-    def wrapDec(v: Any): Any = {
-      def ofBig(bd: java.math.BigDecimal): Any =
-        if (bd.unscaledValue().bitLength() <= 63)
-          CommitLog.DecV(bd.unscaledValue().longValueExact(), bd.scale())
-        else v
-      v match {
-        case bd: java.math.BigDecimal => ofBig(bd)
-        case bd: scala.math.BigDecimal => ofBig(bd.underlying)
-        case d: org.apache.spark.sql.types.Decimal => ofBig(d.toJavaBigDecimal)
-        case i: java.lang.Integer => CommitLog.DecV(i.longValue, 0)
-        case l: java.lang.Long => ofBig(java.math.BigDecimal.valueOf(l))
-        case x => x
-      }
-    }
+    def wrapDec(v: Any): Any = CommitLog.decVOf(v).getOrElse(v)
     val isDec = s.schema.exists(_.fields.exists(f =>
       lc(f.name) == lc(colName)
         && f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]))
@@ -961,18 +948,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       }
       case Some(_: org.apache.spark.sql.types.DecimalType) =>
         // r16: decimal probes compare value-exactly against DecV stats
-        val big: Option[java.math.BigDecimal] = value match {
-          case bd: java.math.BigDecimal => Some(bd)
-          case bd: scala.math.BigDecimal => Some(bd.underlying)
-          case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
-          case i: java.lang.Integer => Some(java.math.BigDecimal.valueOf(i.longValue))
-          case l: java.lang.Long => Some(java.math.BigDecimal.valueOf(l))
-          case _ => None
-        }
-        big.filter(_.unscaledValue().bitLength() <= 63)
-          .map(bd => CommitLog.DecV(bd.unscaledValue().longValueExact(),
-            bd.scale()): Any)
-          .getOrElse(value)
+        CommitLog.decVOf(value).map(x => x: Any).getOrElse(value)
       case _ => value
     }
     s.files.filter { f =>
@@ -2630,14 +2606,21 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           val anyCond: Option[Column] =
             if (conds.forall(_.isDefined)) Some(conds.flatten.reduce(_ || _))
             else None // an unconditional clause admits every row
-          val candidates = anyCond match {
-            // a `t.`-aliased condition cannot resolve against the bare
-            // table schema — no pruning for it, never a failure (the
-            // anti-join filter below resolves it under the alias)
-            case Some(c) =>
-              scala.util.Try(candidateFiles(s, c, sch0)).getOrElse(s.files)
-            case None => s.files
-          }
+          // candidate files = the UNION of each clause condition's own
+          // candidates (a file is needed iff SOME clause could fire on
+          // it) — candidateFiles only understands AND conjunctions, so
+          // pruning per clause keeps a multi-clause scoped sync
+          // partition-local where the OR of the conditions would prune
+          // nothing. A `t.`-aliased condition cannot resolve against
+          // the bare table schema — no pruning for that clause, never a
+          // failure (the anti-join filter below resolves it under the
+          // alias).
+          val candidates: Seq[String] =
+            if (anyCond.isEmpty) s.files
+            else conds.flatten
+              .map(c => scala.util.Try(candidateFiles(s, c, sch0))
+                .getOrElse(s.files))
+              .reduce((a, b) => (a ++ b).distinct)
           if (candidates.isEmpty) Nil
           else {
             val byName = candidates.map(f => new Path(f).getName -> f).toMap
@@ -3325,10 +3308,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           // VALUE-exactly against harvested decimal stats at any scale
           // pair; an unscaled value beyond Long has no harvested
           // counterpart anyway (precision > 18 refuses at harvest)
-          val bd = d.toJavaBigDecimal
-          if (bd.unscaledValue().bitLength() <= 63)
-            Some(CommitLog.DecV(bd.unscaledValue().longValueExact(), bd.scale()))
-          else None
+          CommitLog.decVOf(d)
         case _ => None // binary/null — no bound, conservative
       }
     def attr(e: Expression): Option[String] = e match {
@@ -3563,26 +3543,25 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // r16: a [[CommitLog.strShifted]] column (float→double widening)
     // never probes — pre-widening bits hash the OLD string form and a
     // probe through the new type would falsely exclude files.
+    // (attribute, literal) of any top-level equality — EqualTo OR
+    // EqualNullSafe (r16: <=> with a non-null literal probes like `=`;
+    // blooms never index nulls, and the Option below drops a null
+    // literal) — in either operand order
+    object EqPair {
+      def unapply(e: Expression): Option[(Expression, Expression)] = {
+        def lit(x: Expression) =
+          x.foldable && !x.exists(_.isInstanceOf[Attribute])
+        e match {
+          case EqualTo(a, v) if attr(a).isDefined && lit(v) => Some((a, v))
+          case EqualTo(v, a) if attr(a).isDefined && lit(v) => Some((a, v))
+          case EqualNullSafe(a, v) if attr(a).isDefined && lit(v) => Some((a, v))
+          case EqualNullSafe(v, a) if attr(a).isDefined && lit(v) => Some((a, v))
+          case _ => None
+        }
+      }
+    }
     val probes: Seq[(String, String)] = cs.flatMap {
-      case EqualTo(a, v) if attr(a).isDefined && v.foldable
-          && !v.exists(_.isInstanceOf[Attribute]) =>
-        attr(a).flatMap(n => scala.util.Try(
-          Option(Cast(v, org.apache.spark.sql.types.StringType).eval(null))
-            .map(x => n -> x.toString)).toOption.flatten)
-      case EqualTo(v, a) if attr(a).isDefined && v.foldable
-          && !v.exists(_.isInstanceOf[Attribute]) =>
-        attr(a).flatMap(n => scala.util.Try(
-          Option(Cast(v, org.apache.spark.sql.types.StringType).eval(null))
-            .map(x => n -> x.toString)).toOption.flatten)
-      // r16: `col <=> v` with a non-null v probes like `col = v`
-      // (blooms never index nulls; the Option drops a null literal)
-      case EqualNullSafe(a, v) if attr(a).isDefined && v.foldable
-          && !v.exists(_.isInstanceOf[Attribute]) =>
-        attr(a).flatMap(n => scala.util.Try(
-          Option(Cast(v, org.apache.spark.sql.types.StringType).eval(null))
-            .map(x => n -> x.toString)).toOption.flatten)
-      case EqualNullSafe(v, a) if attr(a).isDefined && v.foldable
-          && !v.exists(_.isInstanceOf[Attribute]) =>
+      case EqPair(a, v) =>
         attr(a).flatMap(n => scala.util.Try(
           Option(Cast(v, org.apache.spark.sql.types.StringType).eval(null))
             .map(x => n -> x.toString)).toOption.flatten)
@@ -3655,10 +3634,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       case (_, v: java.lang.Double)  => Some(v)
       case (_, u: org.apache.spark.unsafe.types.UTF8String) => Some(u.toString)
       case (_, d: org.apache.spark.sql.types.Decimal) =>
-        val bd = d.toJavaBigDecimal // r16: value-exact vs DecV stats
-        if (bd.unscaledValue().bitLength() <= 63)
-          Some(CommitLog.DecV(bd.unscaledValue().longValueExact(), bd.scale()))
-        else None
+        CommitLog.decVOf(d) // r16: value-exact vs DecV stats
       case _ => None
     }
     // the tag/bloom domain: the value's cast-to-string, evaluated by
@@ -3984,10 +3960,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".json")
         && !s.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
-    val cutoff =
-      if (retainMs <= 0L) Long.MaxValue
-      else System.currentTimeMillis() - retainMs
-    val metas: Array[(Boolean, Long)] = manifests.map { m =>
+    def meta(m: org.apache.hadoop.fs.FileStatus): (Boolean, Long) = {
       val in = fs.open(m.getPath)
       val raw = try {
         val bytes = new Array[Byte](m.getLen.toInt)
@@ -3997,12 +3970,25 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       (Option(node.get("checkpoint")).exists(_.asBoolean()),
         Option(node.get("ts")).map(_.asLong()).getOrElse(0L))
     }
-    var best = -1
-    var prefixAllOld = true
-    metas.zipWithIndex.foreach { case ((ck, ts), i) =>
-      if (ck && i > 0 && prefixAllOld) best = i // prefix [0, i) all old
-      if (ts >= cutoff) prefixAllOld = false
-    }
+    val best =
+      if (retainMs <= 0L) {
+        // no age bound: the boundary is simply the LAST checkpoint —
+        // scan backward and stop at the first one (the common
+        // maintain() call parses ~1 manifest here, not the whole log)
+        manifests.lastIndexWhere(m => meta(m)._1)
+      } else {
+        val cutoff = System.currentTimeMillis() - retainMs
+        var b = -1
+        var prefixAllOld = true
+        var i = 0
+        while (i < manifests.length && prefixAllOld) {
+          val (ck, ts) = meta(manifests(i))
+          if (ck && i > 0) b = i // prefix [0, i) is all old
+          if (ts >= cutoff) prefixAllOld = false
+          i += 1
+        }
+        b
+      }
     if (best <= 0) return 0
     manifests.take(best).foreach(m => fs.delete(m.getPath, false))
     best
@@ -5008,6 +4994,27 @@ object CommitLog {
   final case class DecV(unscaled: Long, scale: Int) {
     def toBig: java.math.BigDecimal =
       java.math.BigDecimal.valueOf(unscaled, scale)
+  }
+
+  /** `v` as a [[DecV]], from any decimal-bearing runtime shape —
+    * Spark's Decimal, either BigDecimal dialect, or an exact integer.
+    * None when the unscaled value exceeds Long (precision-over-18
+    * values — the fold domain is Long-backed by design) or the shape
+    * carries no decimal. THE one conversion every bound/probe site
+    * uses, so the refusal policy lives in exactly one place. */
+  private[sources] def decVOf(v: Any): Option[DecV] = {
+    def ofBig(bd: java.math.BigDecimal): Option[DecV] =
+      if (bd.unscaledValue().bitLength() <= 63)
+        Some(DecV(bd.unscaledValue().longValueExact(), bd.scale()))
+      else None
+    v match {
+      case d: org.apache.spark.sql.types.Decimal => ofBig(d.toJavaBigDecimal)
+      case bd: java.math.BigDecimal => ofBig(bd)
+      case bd: scala.math.BigDecimal => ofBig(bd.underlying)
+      case i: java.lang.Integer => Some(DecV(i.longValue, 0))
+      case l: java.lang.Long => Some(DecV(l, 0))
+      case _ => None
+    }
   }
 
   /** TYPE-WIDENING evolution (r16): the wider of two scalar types when

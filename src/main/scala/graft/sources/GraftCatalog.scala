@@ -1080,8 +1080,16 @@ private[sources] final class GraftLogScanBuilder(
         interval: Option[(Long, Long)])
     def keyEvidence(a: Attribute, i: Int, l: Literal): KeyEvidence = {
       val tr = sp.keys(i).transform
-      val lossless = tr == PartSpec.Identity ||
-        (tr == PartSpec.Days && a.dataType == DateType)
+      // a string-shifted key column (float→double widening, r16) VOIDS
+      // point evidence: a pre-widening tag is the FLOAT value's string,
+      // and the widened literal's equal-looking string names a
+      // DIFFERENT double value — equal strings would falsely certify
+      // exactness (the one case where the fail-closed string compare
+      // isn't closed). Interval evidence is unaffected (ts/date only).
+      val shifted = logicalSchema.fields.exists(f =>
+        lcn(f.name) == lcn(a.name) && CommitLog.strShifted(f))
+      val lossless = !shifted && (tr == PartSpec.Identity ||
+        (tr == PartSpec.Days && a.dataType == DateType))
       val point = if (lossless) sp.componentOfLiteral(i, l) else None
       val interval: Option[(Long, Long)] =
         (tr, a.dataType, l.dataType, l.value) match {

@@ -108,8 +108,13 @@ private[sources] object GraftProcedures {
         Seq(p("table", StringType),
           pDefault("retain_hours", LongType, "168")), // one week
         in => {
+          // clamp before converting: hours × 3.6e6 overflows Long past
+          // ~2.56e12 hours, and a wrapped-to-small value would silently
+          // prune history the caller asked to keep
+          val hours = math.min(math.max(0L, in.getLong(1)),
+            Long.MaxValue / 3600000L)
           val r = logFor(in.getUTF8String(0).toString)
-            .maintain(math.max(0L, in.getLong(1)) * 3600L * 1000L)
+            .maintain(hours * 3600000L)
           resultScan(maintainResult, Seq(new GenericInternalRow(Array[Any](
             r.checkpointVersion, r.manifestsPruned, r.filesVacuumed))))
         })
