@@ -1657,7 +1657,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     if (replayOf(s0, txn)) return s0.version
     val sch0 = assignPhys(mergedSchema(s0.schema, df.schema),
       s0.schema, s0.physRetired)
-    val tagged = writeDataPartitioned(df, partCol, sch0)
+    // r16: same upcast as [[append]] — a batch narrower than a widened
+    // column must land at the committed type, or its blooms would hash
+    // the narrow type's string forms with no marker to void them
+    val tagged = writeDataPartitioned(upcastPresent(df, sch0), partCol, sch0)
     var cur = s0
     var attempts = 0
     try {
@@ -2561,8 +2564,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             s.schema, s.physRetired)
         else s.schema.getOrElse(throw new IllegalStateException(
           s"$tableRoot: merge without an insert clause needs an existing table"))
-      matchedClauses.foreach {
+      (matchedClauses ++ bySourceClauses).foreach {
         case CommitLog.WhenMatchedUpdate(set, _) =>
+          val unknown = set.keySet.filterNot(k => sch.fieldNames.exists(_.equalsIgnoreCase(k)))
+          require(unknown.isEmpty,
+            s"$tableRoot: merge UPDATE assigns unknown column(s) ${unknown.mkString(", ")}")
+        // r16: a typo'd by-source assignment must fail like a matched
+        // one — silently dropping it would still FIRE the clause
+        // (consuming the row and shadowing later by-source clauses)
+        // while applying nothing
+        case CommitLog.WhenNotMatchedBySourceUpdate(set, _) =>
           val unknown = set.keySet.filterNot(k => sch.fieldNames.exists(_.equalsIgnoreCase(k)))
           require(unknown.isEmpty,
             s"$tableRoot: merge UPDATE assigns unknown column(s) ${unknown.mkString(", ")}")
@@ -3270,9 +3281,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   private def candidateFiles(s: Snapshot,
       condition: org.apache.spark.sql.Column, sch: StructType): Seq[String] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    // the probe frame carries the target's "t" alias (r16): by-source
+    // merge conditions — and any user condition spelled `t.col` —
+    // resolve here too, so their manifest pruning works instead of
+    // silently keeping every file; bare names resolve exactly as before
     val analyzed = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-      .filter(condition).queryExecution.analyzed
+      .as("t").filter(condition).queryExecution.analyzed
     val resolvedCond = analyzed.collect { case f: LFilter => f.condition } match {
       case Seq(c) => c
       case _ => return s.files // unexpected plan shape → no pruning
@@ -4306,6 +4321,20 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   private def writeDataPartitioned(df: DataFrame, partCol: String,
       sch: StructType, preserveLayout: Boolean = false): Seq[(String, String)] = {
     import org.apache.spark.sql.functions.{col, concat, hash, lit, pmod, struct}
+    // r16: a string-shifted partition column (float→double widening)
+    // makes tag derivation AMBIGUOUS across eras — pre-widening files
+    // carry the float value's tag string, new writes would derive the
+    // double's, splitting one logical partition into two tags (scoped
+    // upserts would miss the old era's rows and duplicate keys).
+    // Refuse loudly; replaceAllPartitioned/a full rewrite re-tags the
+    // table under one era.
+    sch.fields.find(f => lc(f.name) == lc(partCol)).foreach(f =>
+      require(!CommitLog.strShifted(f),
+        s"$tableRoot: partition column '$partCol' underwent a " +
+          "string-shifting type widening (float->double) — pre-widening " +
+          "partition tags no longer match the column's value strings; " +
+          "rewrite the table (replaceAllPartitioned) before " +
+          "partition-scoped writes"))
     validateConstraints(df)
     val tmp = new Path(rootPath, s".tmp-${UUID.randomUUID()}")
     val partTag = "__graft_part"

@@ -108,6 +108,18 @@ class MergeBySourceSpec extends graft.SparkSpecBase {
     assert(log.read().schema.fieldNames.toSeq === Seq("id", "v"))
   }
 
+  test("a typo'd by-source assignment column fails loudly") {
+    val t = tmpTable("mbs-typo")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "x")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      log.merge(Seq(Tuple1(9L)).toDF("id"), Seq("id"), Seq(
+        CommitLog.WhenNotMatchedBySourceUpdate(Map("vv" -> lit("stale")))))
+    }
+    assert(e.getMessage.contains("unknown column"),
+      s"silently dropping the assignment would still consume the row: ${e.getMessage}")
+  }
+
   test("null-keyed target rows are by-source (they match nothing)") {
     val t = tmpTable("mbs-null")
     val log = CommitLog(spark, t)

@@ -163,6 +163,41 @@ class WideningSpec extends graft.SparkSpecBase {
     assert(log2.read().count() === 2L)
   }
 
+  test("a narrow partitioned append upcasts — blooms keep finding its rows") {
+    val t = tmpTable("wid-pb")
+    val log = CommitLog(spark, t).withBloomIndex(Seq("p"))
+    log.appendPartitioned(Seq(("a", 9.5)).toDF("tag", "p"), "tag") // p: double
+    // a FLOAT batch through the PARTITIONED path: must land as double
+    // (pre-fix it wrote float files whose blooms hashed float strings —
+    // an unmarked silent false-negative for point reads)
+    log.appendPartitioned(Seq(("b", 0.1f)).toDF("tag", "p"), "tag")
+    assert(log.read().schema("p").dataType === DoubleType)
+    assert(log.readPoint("p", 0.1f.toDouble).count() === 1L,
+      "the upcast row must be bloom-findable at its double value")
+  }
+
+  test("a string-shifted PARTITION column refuses partition-scoped writes") {
+    val t = tmpTable("wid-pk")
+    val log = CommitLog(spark, t)
+    log.appendPartitioned(Seq((1L, 0.1f)).toDF("id", "p"), "p") // float key
+    log.append(Seq((2L, 9.5)).toDF("id", "p")) // widens p to double
+    assert(CommitLog.strShifted(log.snapshot().schema.get("p")))
+    // pre-widening tags are float strings; a new partitioned write
+    // would derive double strings — one logical partition, two tags
+    val e = intercept[IllegalArgumentException] {
+      log.appendPartitioned(Seq((3L, 0.5)).toDF("id", "p"), "p")
+    }
+    assert(e.getMessage.contains("string-shifting"),
+      s"partition-scoped writes must refuse, got: ${e.getMessage}")
+    // a widened NON-key column keeps partitioned writes working
+    val t2 = tmpTable("wid-pk2")
+    val log2 = CommitLog(spark, t2)
+    log2.appendPartitioned(Seq(("a", 0.1f)).toDF("tag", "v"), "tag")
+    log2.append(Seq(("b", 9.5)).toDF("tag", "v"))
+    log2.appendPartitioned(Seq(("c", 0.5)).toDF("tag", "v"), "tag")
+    assert(log2.read().count() === 3L)
+  }
+
   test("readChanges spans a widening with one coherent feed schema") {
     val t = tmpTable("wid-cdc")
     val log = CommitLog(spark, t)
