@@ -4016,10 +4016,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * retention window stay time-travelable; older ones fold into the
     * checkpoint and their exclusive data files reclaim. Run it on a
     * schedule (e.g. daily with `retainMs` = 7 days) and history is
-    * bounded without any manual compact→prune→vacuum choreography.
-    * Same caveats as its parts: no writer may be mid-commit during the
-    * vacuum, and a shallow clone does not pin the SOURCE's files — see
-    * [[cloneTo]]. */
+    * bounded without any manual compact→prune→vacuum choreography —
+    * safe beside live writers whose commit latency stays under the
+    * vacuum's fresh-file TTL ([[vacuum]]'s r16 age floor). A shallow
+    * clone does not pin the SOURCE's files — see [[cloneTo]]. */
   def maintain(retainMs: Long,
       stagingTtlMs: Long = CommitLog.StagingReclaimTtlMs)
       : CommitLog.Maintenance = {
@@ -4037,8 +4037,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * [[readVersion]] can reach stays readable after a vacuum (deleting
     * them would break time travel silently while the log still claims
     * the version; retire history first via compact+prune, then vacuum
-    * reclaims it). Only safe when no writer is mid-commit; returns the
-    * count. */
+    * reclaims it). r16: unreferenced DATA files younger than the TTL
+    * are SPARED — a mid-commit writer's files are unreferenced exactly
+    * between its write and its manifest CAS, so the age floor makes a
+    * scheduled [[maintain]] safe beside live writers whose commit
+    * latency stays under the TTL (Delta's vacuum makes the same
+    * trade). Pass `stagingTtlMs = 0` to disable the floor when no
+    * writer can be live. Returns the count. */
   def vacuum(stagingTtlMs: Long = CommitLog.StagingReclaimTtlMs): Int = {
     // reclaim staging left by a crashed writer: `.tmp-*` (partitioned
     // writes) and `.rowlevel-*` (SQL row-level ops) live under the
@@ -4087,8 +4092,19 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         fls ++ dvps
       }
       .toSet
+    // r16: only files OLDER than the staging TTL reclaim — a mid-commit
+    // writer's data files are unreferenced for exactly the window
+    // between its write and its manifest CAS, and age-flooring the
+    // sweep makes a scheduled [[maintain]] safe to run beside live
+    // writers (any commit latency under the TTL; Delta's vacuum makes
+    // the same trade). Lost-race leftovers age past the TTL and then
+    // reclaim as before.
+    // `stagingTtlMs <= 0` disables the floor (the explicit "I know no
+    // writer is live" spelling — and the pre-r16 behavior)
+    val dataCutoff = System.currentTimeMillis() - stagingTtlMs
     val dead = fs.listStatus(dataDir)
-      .filter(s => s.isFile && !referenced(s.getPath.getName))
+      .filter(s => s.isFile && !referenced(s.getPath.getName)
+        && (stagingTtlMs <= 0L || s.getModificationTime < dataCutoff))
     dead.foreach(s => fs.delete(s.getPath, false))
     dead.length
   }

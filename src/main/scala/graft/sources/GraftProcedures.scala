@@ -98,9 +98,17 @@ private[sources] object GraftProcedures {
       case "prune" => proc("prune", Seq(p("table", StringType)),
         in => resultScan(countResult, Seq(new GenericInternalRow(
           Array[Any](logFor(in.getUTF8String(0).toString).prune())))))
-      case "vacuum" => proc("vacuum", Seq(p("table", StringType)),
-        in => resultScan(countResult, Seq(new GenericInternalRow(
-          Array[Any](logFor(in.getUTF8String(0).toString).vacuum())))))
+      case "vacuum" => proc("vacuum",
+        Seq(p("table", StringType),
+          // r16: < 0 = the default TTL; 0 disables the fresh-file
+          // floor (only when no writer can be mid-commit)
+          pDefault("ttl_ms", LongType, "-1")),
+        in => {
+          val ttl = in.getLong(1)
+          val log = logFor(in.getUTF8String(0).toString)
+          val n = if (ttl < 0) log.vacuum() else log.vacuum(ttl)
+          resultScan(countResult, Seq(new GenericInternalRow(Array[Any](n))))
+        })
       // r16: the ONE scheduled maintenance call — checkpoint +
       // age-scoped prune + vacuum ([[CommitLog.maintain]]); versions
       // younger than retain_hours stay time-travelable

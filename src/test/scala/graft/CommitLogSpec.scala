@@ -167,6 +167,29 @@ class CommitLogSpec extends SparkSpecBase {
     assert(after.append(Seq((7L, "v7")).toDF("id", "v"), txn = Some("w" -> 6L)) === 7L)
   }
 
+  test("vacuum's fresh-file floor: aged unreferenced data reclaims, fresh is spared") {
+    val t = tmpTable("clog-vacttl")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "a")).toDF("id", "v"))
+    log.replaceAll(Seq((2L, "b")).toDF("id", "v"))
+    log.compact(); log.prune()
+    // v0's files are unreferenced but FRESH — a concurrent writer's
+    // just-written files look exactly like this, so the default sweep
+    // spares them
+    assert(log.vacuum() === 0)
+    // age them past the TTL: the default sweep now reclaims
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = log.snapshot().files.map(f =>
+      new org.apache.hadoop.fs.Path(s"$t/$f").getName).toSet
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/data"))
+      .filter(st => !live(st.getPath.getName))
+      .foreach(st => fs.setTimes(st.getPath,
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000, -1))
+    assert(log.vacuum() > 0)
+    assert(log.read().as[(Long, String)].collect().toSet === Set((2L, "b")))
+  }
+
   test("maintain(retainMs): aged history prunes, retained versions stay readable") {
     val t = tmpTable("clog-retain")
     val log = CommitLog(spark, t)
@@ -175,7 +198,7 @@ class CommitLogSpec extends SparkSpecBase {
     log.compact()                                       // v2 (checkpoint)
     Thread.sleep(1200)
     log.append(Seq((3L, "c")).toDF("id", "v"))          // v3 — young
-    val rep = log.maintain(retainMs = 1000L)            // v4 (checkpoint)
+    val rep = log.maintain(retainMs = 1000L, stagingTtlMs = 0L)            // v4 (checkpoint)
     // the age-scoped prune stops at the OLD checkpoint (v2): v0/v1 are
     // aged out, v3 is inside the window and must survive — even though
     // the fresh checkpoint v4 would make it redundant for new readers
@@ -191,7 +214,7 @@ class CommitLogSpec extends SparkSpecBase {
     assert(log2.read().as[(Long, String)].collect().toSet
       === Set((2L, "b"), (3L, "c")))
     // a second maintain with zero retention folds everything away
-    val rep2 = log2.maintain(retainMs = 0L)
+    val rep2 = log2.maintain(retainMs = 0L, stagingTtlMs = 0L)
     assert(rep2.checkpointVersion === 5L)
     assert(CommitLog(spark, t).read().as[(Long, String)].collect().toSet
       === Set((2L, "b"), (3L, "c")))
@@ -298,14 +321,18 @@ class CommitLogSpec extends SparkSpecBase {
     log.replaceAll(Seq((2L, "b")).toDF("id", "v"))
     // v0's files are retired from the LIVE set but its manifest is
     // still retained — vacuum must keep them (readVersion(0) works)
-    assert(log.vacuum() === 0)
+    assert(log.vacuum(stagingTtlMs = 0L) === 0)
     assert(log.readVersion(0).as[(Long, String)].collect().toSet === Set((1L, "a")))
-    // once compact+prune retires the v0 manifest, vacuum reclaims
+    // once compact+prune retires the v0 manifest, vacuum reclaims —
+    // ttl 0 disables the fresh-file floor (r16: by default a file
+    // younger than the TTL is spared, so a mid-commit writer's
+    // just-written files survive a concurrent scheduled maintain)
     log.compact()
     assert(log.prune() > 0)
-    assert(log.vacuum() > 0)
+    assert(log.vacuum() === 0, "fresh unreferenced files are spared by default")
+    assert(log.vacuum(stagingTtlMs = 0L) > 0)
     assert(log.read().as[(Long, String)].collect().toSet === Set((2L, "b")))
-    assert(log.vacuum() === 0)
+    assert(log.vacuum(stagingTtlMs = 0L) === 0)
   }
 
   test("catalog merge.log=true: concurrent-writer-safe writeTo path + log read") {

@@ -559,7 +559,7 @@ class SourcesSpec extends SparkSpecBase {
     spark.sql("CALL gproc.system.compact(`table` => 't')")
     assert(spark.sql("CALL gproc.system.prune(`table` => 't')")
       .as[Int].head() > 0)
-    assert(spark.sql("CALL gproc.system.vacuum(`table` => 't')")
+    assert(spark.sql("CALL gproc.system.vacuum(`table` => 't', ttl_ms => 0)")
       .as[Int].head() > 0)
     assert(log.read().as[(Long, Double)].collect().toSet === before)
 
