@@ -3130,9 +3130,94 @@ object IndexQueries {
         (SELECT COUNT(*) FROM base, kp
           WHERE tag = 'P-' || lpad(CAST(k AS VARCHAR), 12, '0')) AS n_nse"""))
 
+  /** B6 SUM/AVG MANIFEST PUSHDOWN (r16): per-file EXACT sums
+    * ([[graft.sources.CommitLog.withSumStats]]) make `SUM(price)` /
+    * `AVG(qty)` — the last common aggregates that still scanned —
+    * answer from the manifest with ZERO data files opened, global and
+    * per-partition (the reference's daily revenue roll
+    * (/root/reference/index.js:305-314) at 100 TB). Only order-
+    * independent-exact types harvest (integrals, decimals); a
+    * deletion vector poisons the fold (a masked row's value is baked
+    * into the pre-mask partial) and the query falls back to a correct
+    * scan. REQUIRED in-body: the global SUM/AVG folds to
+    * LocalTableScan; the per-partition grouped SUM folds; after a DV
+    * delete the fold refuses and the scan answer reflects the masked
+    * row. Values hash against DuckDB. */
+  private val q195 = Q(
+    "q195_sum_pushdown",
+    (s, dir) => {
+      val cat = "g195_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "sums-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus").as("st"),
+        expr("CAST(o_orderkey * 3 AS DECIMAL(16,2)) + CAST(0.25 AS DECIMAL(3,2))")
+          .cast("decimal(16,2)").as("price"),
+        (col("o_orderkey") % 100L).cast("int").as("qty"))
+      o.limit(0).writeTo(s"$cat.t").tableProperty("merge.log", "true")
+        .tableProperty("merge.partcol", "st").create()
+      val log = graft.sources.CommitLog(s, s"$root/t")
+        .withSumStats(Seq("o_orderkey", "price", "qty"))
+      Seq("F", "O", "P").foreach(st =>
+        log.appendPartitioned(o.filter(col("st") === st), "st"))
+      def planOf(df: DataFrame): String =
+        df.queryExecution.executedPlan.toString
+      val fold = s.table(s"$cat.t").agg(
+        sum(col("o_orderkey")).as("s_key"), sum(col("price")).as("s_price"),
+        avg(col("qty")).as("a_qty"), count(lit(1)).as("n"))
+      require(planOf(fold).contains("LocalTableScan")
+          && !planOf(fold).contains("BatchScan"),
+        s"q195: global SUM/AVG must fold from the manifest:\n${planOf(fold)}")
+      val fr = fold.collect()(0)
+      val grouped = s.table(s"$cat.t").groupBy(col("st"))
+        .agg(sum(col("price")).as("s_price")).orderBy(col("st"))
+      require(planOf(grouped).contains("LocalTableScan")
+          && !planOf(grouped).contains("BatchScan"),
+        s"q195: the per-partition SUM must fold:\n${planOf(grouped)}")
+      val gRows = grouped.collect()
+      // a DV delete poisons the fold; the fallback scan stays correct
+      val mx = o.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      val priorFloor = s.conf.getOption("spark.graft.dv.minTouchedBytes")
+      s.conf.set("spark.graft.dv.minTouchedBytes", "0")
+      try log.delete(col("o_orderkey") === mx, partCol = Some("st"))
+      finally priorFloor.fold(s.conf.unset("spark.graft.dv.minTouchedBytes"))(
+        s.conf.set("spark.graft.dv.minTouchedBytes", _))
+      require(log.snapshot().dvs.nonEmpty, "q195: the delete must take the DV path")
+      val after = s.table(s"$cat.t").agg(sum(col("o_orderkey")).as("s"))
+      require(planOf(after).contains("BatchScan"),
+        s"q195: a DV must refuse the sum fold:\n${planOf(after)}")
+      val sAfter = after.collect()(0).getLong(0)
+      import s.implicits._
+      Seq((fr.getLong(0), fr.getDecimal(1).doubleValue, fr.getDouble(2),
+          fr.getLong(3),
+          gRows.map(r => s"${r.getString(0)}:${r.getDecimal(1).toPlainString}")
+            .mkString(","),
+          sAfter))
+        .toDF("s_key", "s_price", "a_qty", "n", "by_status", "s_after")
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey, o_orderstatus AS st,
+          CAST(o_orderkey * 3 AS DECIMAL(16,2)) + CAST(0.25 AS DECIMAL(3,2)) AS price,
+          CAST(o_orderkey % 100 AS INT) AS qty
+        FROM orders),
+      grouped AS (
+        SELECT st, CAST(SUM(price) AS DECIMAL(26,2)) AS sp FROM base
+        GROUP BY st ORDER BY st)
+      SELECT
+        (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM base) AS s_key,
+        (SELECT CAST(SUM(price) AS DOUBLE) FROM base) AS s_price,
+        (SELECT CAST(SUM(qty) AS DOUBLE) / COUNT(*) FROM base) AS a_qty,
+        (SELECT COUNT(*) FROM base) AS n,
+        (SELECT string_agg(st || ':' || CAST(sp AS VARCHAR), ',' ORDER BY st)
+          FROM grouped) AS by_status,
+        (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM base
+          WHERE o_orderkey <> (SELECT MAX(o_orderkey) FROM orders)) AS s_after"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
     q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193,
-    q194)
+    q194, q195)
 }

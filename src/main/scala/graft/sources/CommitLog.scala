@@ -497,6 +497,107 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     this
   }
 
+  /** WRITER-side per-file SUM stats config ([[withSumStats]]). */
+  private var sumCfg: Option[Seq[String]] = None
+
+  /** Enable EXACT per-file SUMS of `cols` for every subsequent write
+    * through this instance (r16) — what lets `SELECT SUM(price)` /
+    * `AVG(price)` answer from the manifest with ZERO data files opened
+    * (the aggregate fold, like COUNT/MIN/MAX). Only exactly-summable
+    * types participate: integrals and decimals (their sums are
+    * order-independent; float/double sums are not and never harvest).
+    * Cost: one extra aggregate scan of each written batch (the bloom
+    * index's cost shape); a per-file partial that overflows the
+    * Long-backed representation is simply absent — the fold refuses to
+    * a real scan, never a wrong answer. Like the bloom index, the
+    * config is sticky: once any live file carries sums, subsequent
+    * writes through ANY instance maintain them for the same columns. */
+  def withSumStats(cols: Seq[String]): CommitLog = {
+    require(cols.nonEmpty, s"$tableRoot: sum stats need at least one column")
+    sumCfg = Some(cols)
+    this
+  }
+
+  /** [[withSumStats]]'s column set, or the one derived from the
+    * snapshot (columns whose live files already carry sum entries,
+    * expressed in LOGICAL names — same rename-safety reasoning as
+    * [[effectiveBloomCfg]]). */
+  private def effectiveSumCfg(): Option[Seq[String]] =
+    sumCfg.orElse {
+      val s = snapshot()
+      val physCols = s.stats.valuesIterator
+        .flatMap(_.keysIterator)
+        .filter(_.startsWith(CommitLog.SumKeyPrefix))
+        .map(_.drop(CommitLog.SumKeyPrefix.length)).toSeq.distinct
+      if (physCols.isEmpty) None
+      else {
+        val logByPhys: Map[String, String] = s.schema
+          .map(_.fields.map(f => lc(physName(f)) -> f.name).toMap)
+          .getOrElse(Map.empty)
+        Some(physCols.map(c => logByPhys.getOrElse(lc(c), c)).distinct.sorted)
+      }
+    }
+
+  /** One aggregate job over the just-written files: each configured
+    * column's EXACT per-file sum, as [[CommitLog.SumKeyPrefix]]-keyed
+    * pseudo stats entries (Long for integrals, [[CommitLog.DecV]] for
+    * decimals — both ride the ordinary stats channel, so restatements,
+    * checkpoints, clones and restores carry them for free). The sums
+    * compute in DECIMAL(38) — exact; a per-file partial that cannot
+    * represent (beyond Long unscaled / 38 digits) or a column of an
+    * order-dependent type is simply OMITTED (the fold's admission
+    * refuses, conservative). ANY failure skips sums for the whole
+    * batch rather than failing the write. */
+  private def sumsFor(relPaths: Seq[String],
+      logicalCols: Seq[String]): Map[String, Map[String, (Any, Any)]] =
+    scala.util.Try {
+      import org.apache.spark.sql.functions.{col, input_file_name, sum}
+      import org.apache.spark.sql.types._
+      if (relPaths.isEmpty || logicalCols.isEmpty) return Map.empty
+      val sch = snapshot().schema
+      val df = spark.read.parquet(relPaths.map(entryPath): _*)
+      val present = df.schema.fields.map(f => lc(f.name) -> f).toMap
+      // logical → physical against the current schema; a brand-new
+      // column's physical IS its logical name
+      val targets: Seq[(String, DataType)] = logicalCols.flatMap { c =>
+        val phys = physOf(sch, c)
+        present.get(lc(phys)).collect {
+          case f if f.dataType.isInstanceOf[DecimalType]
+              || f.dataType == ByteType || f.dataType == ShortType
+              || f.dataType == IntegerType || f.dataType == LongType =>
+            f.name -> f.dataType
+        }
+      }
+      if (targets.isEmpty) return Map.empty
+      val aggs = targets.map { case (c, dt) =>
+        val wide = dt match {
+          case d: DecimalType => DecimalType(38, d.scale)
+          case _ => DecimalType(38, 0)
+        }
+        sum(col(s"`$c`").cast(wide)).as(c)
+      }
+      val byName = relPaths.map(f => new Path(entryPath(f)).getName -> f).toMap
+      df.groupBy(input_file_name().as("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().flatMap { r =>
+          byName.get(new Path(r.getString(0)).getName).map { rel =>
+            val entries = targets.zipWithIndex.flatMap { case ((c, dt), i) =>
+              Option(r.getDecimal(i + 1)).flatMap { bd =>
+                val repr: Option[Any] = dt match {
+                  case _: DecimalType => CommitLog.decVOf(bd)
+                  case _ =>
+                    if (bd.unscaledValue().bitLength() <= 63)
+                      Some(bd.unscaledValue().longValueExact(): java.lang.Long)
+                    else None
+                }
+                repr.map(v => (CommitLog.SumKeyPrefix + c) -> ((v, v): (Any, Any)))
+              }
+            }
+            rel -> entries.toMap
+          }
+        }.toMap.filter(_._2.nonEmpty)
+    }.getOrElse(Map.empty)
+
   /** WRITER-side CHECK constraints: every subsequent write through
     * this instance validates the data it is about to commit and
     * refuses loudly when any row violates. SQL CHECK semantics —
@@ -4459,8 +4560,19 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // concurrently so a 1,000-file commit pays ~max latency, not the
     // sum (the one-job write win would otherwise drain away here)
     val futures = relPaths.map(rel => Future(rel -> statsForOne(rel)))
-    Await.result(Future.sequence(futures), Duration.Inf)
+    val base = Await.result(Future.sequence(futures), Duration.Inf)
       .filter(_._2.nonEmpty).toMap
+    // r16: per-file exact SUMS ride the same stats channel under
+    // reserved [[CommitLog.SumKeyPrefix]] keys when configured
+    effectiveSumCfg() match {
+      case None => base
+      case Some(cols) =>
+        val sums = sumsFor(relPaths, cols)
+        if (sums.isEmpty) base
+        else (base.keySet ++ sums.keySet).iterator.map(f =>
+          f -> (base.getOrElse(f, Map.empty) ++ sums.getOrElse(f, Map.empty)))
+          .toMap
+    }
   }
 
   private def statsForOne(rel: String): Map[String, (Any, Any)] = {
@@ -4871,6 +4983,15 @@ object CommitLog {
     * guarantee and [[CommitLog]] `manifestJson` split as
     * [[RowsKey]]; folded into `Snapshot.nulls`, never `stats`. */
   private[sources] val NullsKeyPrefix: String = "graft.nulls."
+
+  /** Reserved pseudo-key PREFIX for per-file EXACT column sums (r16,
+    * `graft.sum.<physical column>`) — same dotted-key collision
+    * guarantee as [[RowsKey]], but NOT split out of the stats channel:
+    * sum entries ride `fileStats` end-to-end (serialization, snapshot
+    * fold, checkpoint restatement, rewrite carry, clone, restore) with
+    * zero extra plumbing. Values are Long (integral columns) or
+    * [[DecV]] (decimal columns); absence refuses the SUM/AVG fold. */
+  private[sources] val SumKeyPrefix: String = "graft.sum."
 
   /** StructField metadata key carrying a column's stable PHYSICAL
     * (in-file) name — the column-mapping anchor behind

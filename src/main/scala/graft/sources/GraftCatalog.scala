@@ -1260,7 +1260,7 @@ private[sources] final class GraftLogScanBuilder(
   private def answerFromManifest(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[Seq[Any]])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Count, CountStar, Max, Min, Sum}
     import org.apache.spark.sql.types._
     // r15: partition-EXACT filters (every row of every selected file
     // provably matches) keep the fold sound over the selected set —
@@ -1510,6 +1510,21 @@ private[sources] final class GraftLogScanBuilder(
     final case class FnCountCol(f: StructField) extends Fn
     final case class FnExtremum(f: StructField, isMin: Boolean) extends Fn
     final case class FnDistinctKey(f: StructField, idx: Int) extends Fn
+    final case class FnSum(f: StructField) extends Fn
+    final case class FnAvg(f: StructField) extends Fn
+    // r16: SUM/AVG fold from the per-file exact sums [[CommitLog
+    // .withSumStats]] harvests. Only order-independent-exact types
+    // admit (integrals, decimals); AVG additionally only integrals
+    // (Spark's decimal AVG applies its own result scale + rounding).
+    def sumType(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    def intType(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     val resolved: Seq[Fn] = funcs.toSeq.map {
       case _: CountStar => FnCount
       case c: Count if !c.isDistinct =>
@@ -1542,6 +1557,14 @@ private[sources] final class GraftLogScanBuilder(
         val f = singleColumn(m.column).getOrElse(return None)
         if (!statType(f.dataType)) return None
         FnExtremum(f, isMin = false)
+      case su: Sum if !su.isDistinct =>
+        val f = singleColumn(su.column).getOrElse(return None)
+        if (!sumType(f.dataType)) return None
+        FnSum(f)
+      case av: Avg if !av.isDistinct =>
+        val f = singleColumn(av.column).getOrElse(return None)
+        if (!intType(f.dataType)) return None
+        FnAvg(f)
       case _ => return None
     }
     // the distinct-key fold needs every file's tag AND live row count
@@ -1552,9 +1575,73 @@ private[sources] final class GraftLogScanBuilder(
     if (resolved.exists(_.isInstanceOf[FnCountCol])
         && files.exists(snap.dvs.contains)) return None
     // a DV could mask any file's extremal row — min/max never answers
-    // from pre-mask footer stats
-    if (resolved.exists(_.isInstanceOf[FnExtremum])
+    // from pre-mask footer stats; same for sums (a masked row's value
+    // is baked into the pre-mask partial)
+    if (resolved.exists(x => x.isInstanceOf[FnExtremum]
+          || x.isInstanceOf[FnSum] || x.isInstanceOf[FnAvg])
         && files.exists(snap.dvs.contains)) return None
+
+    // r16: Σ per-file exact partials, in BigDecimal (never rounds).
+    // Admissible absence of a file's partial: the file is provably
+    // EMPTY, or the column provably ALL-null there (contributes
+    // nothing to SQL SUM) — anything else refuses.
+    def sumBig(fs: Seq[String], f: StructField)
+        : Option[java.math.BigDecimal] = {
+      val phys = CommitLog.physNameOf(f)
+      val key = CommitLog.SumKeyPrefix + phys
+      var acc = java.math.BigDecimal.ZERO
+      fs.foreach { fl =>
+        snap.stats.get(fl).flatMap(_.get(key)) match {
+          case Some((v, _)) => v match {
+            case l: Long => acc = acc.add(java.math.BigDecimal.valueOf(l))
+            case d: CommitLog.DecV => acc = acc.add(d.toBig)
+            case _ => return None
+          }
+          case None =>
+            val allNull = (snap.rows.get(fl),
+                snap.nulls.get(fl).flatMap(_.get(phys))) match {
+              case (Some(r), Some(n)) => n == r
+              case _ => false
+            }
+            if (!(snap.rows.get(fl).contains(0L) || allNull)) return None
+        }
+      }
+      Some(acc)
+    }
+    // the SUM value in Spark's OWN result type for the column — LongType
+    // for integrals, DecimalType(min(38, p+10), s) for decimals — or
+    // refuse on anything unrepresentable (the fallback scan then
+    // applies Spark's own overflow behavior). SQL: SUM/AVG over zero
+    // non-null values is NULL.
+    def sumValue(fs: Seq[String], f: StructField): Option[Any] = {
+      val cnt = countCol(fs, CommitLog.physNameOf(f)).getOrElse(return None)
+      if (cnt == 0L) return Some(null)
+      val bd = sumBig(fs, f).getOrElse(return None)
+      f.dataType match {
+        case dt: DecimalType =>
+          val rp = DecimalType(math.min(38, dt.precision + 10), dt.scale)
+          scala.util.Try {
+            val d = org.apache.spark.sql.types.Decimal(
+              scala.math.BigDecimal(bd.setScale(rp.scale)))
+            if (d.changePrecision(rp.precision, rp.scale)) d else null
+          }.toOption.flatMap(Option(_)).map(x => x: Any)
+        case _ =>
+          if (bd.unscaledValue().bitLength() <= 63)
+            Some(java.lang.Long.valueOf(bd.longValueExact()))
+          else None
+      }
+    }
+    def avgValue(fs: Seq[String], f: StructField): Option[Any] = {
+      val cnt = countCol(fs, CommitLog.physNameOf(f)).getOrElse(return None)
+      if (cnt == 0L) return Some(null)
+      val bd = sumBig(fs, f).getOrElse(return None)
+      // exact-sum ÷ count in double — bit-equal to any engine's double
+      // division while the exact sum is double-representable; past
+      // 2^53 refuse (a scan's own answer is accumulation-order noise
+      // there, but the fallback keeps us inside Spark's behavior)
+      if (bd.unscaledValue().bitLength() > 53) None
+      else Some(java.lang.Double.valueOf(bd.doubleValue() / cnt))
+    }
 
     val outFields =
       groupKeys.map(gk =>
@@ -1568,6 +1655,15 @@ private[sources] final class GraftLogScanBuilder(
             f.dataType, nullable = true)
         case FnDistinctKey(f, _) =>
           StructField(s"count(DISTINCT ${f.name})", LongType, nullable = false)
+        case FnSum(f) =>
+          val rt = f.dataType match {
+            case dt: DecimalType =>
+              DecimalType(math.min(38, dt.precision + 10), dt.scale)
+            case _ => LongType
+          }
+          StructField(s"sum(${f.name})", rt, nullable = true)
+        case FnAvg(f) =>
+          StructField(s"avg(${f.name})", DoubleType, nullable = true)
       }
     val rows: Seq[Seq[Any]] = grouped.flatMap { case (comps, fs) =>
       val live: Option[Long] = liveCount(fs)
@@ -1593,6 +1689,8 @@ private[sources] final class GraftLogScanBuilder(
                   pf.exists(fl => snap.liveRowCount(fl).exists(_ > 0L)) }
             }.getOrElse(return None)
             java.lang.Long.valueOf(n.toLong)
+          case FnSum(f) => sumValue(fs, f).getOrElse(return None)
+          case FnAvg(f) => avgValue(fs, f).getOrElse(return None)
         }
         Some(comps ++ aggVals)
       }

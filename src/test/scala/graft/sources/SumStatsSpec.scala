@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+/** r16 per-file SUM stats ([[CommitLog.withSumStats]]): exact partial
+  * sums ride the manifest's stats channel under reserved pseudo-keys,
+  * and `SELECT SUM(col)` / `AVG(col)` fold on the driver with zero
+  * data files opened — the last common aggregate that still scanned.
+  * Pins the admission boundary: only order-independent-exact types
+  * harvest (integrals, decimals — never float/double); a file without
+  * a partial refuses the fold unless provably empty or all-null;
+  * deletion vectors poison sums like they poison extrema; the config
+  * is sticky across instances once any live file carries sums; and
+  * checkpoints/rewrites carry the partials for free. */
+class SumStatsSpec extends graft.SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def freshCat(tag: String): (String, String) = {
+    val wh = Files.createTempDirectory(s"sums-$tag").toString
+    val cat = s"sums$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh)
+  }
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+    case q: QueryStageExec => q +: allNodes(q.plan)
+    case other => other +: other.children.flatMap(allNodes)
+  }
+
+  private def manifestAnswered(df: DataFrame): Boolean = {
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    nodes.exists(_.isInstanceOf[LocalTableScanExec]) &&
+      !nodes.exists(_.isInstanceOf[BatchScanExec])
+  }
+
+  test("SUM/AVG fold from the manifest with zero files opened") {
+    val (cat, wh) = freshCat("fold")
+    spark.range(0, 0).toDF("id")
+      .select($"id", lit(0.0d).as("x"),
+        expr("CAST(0 AS DECIMAL(10,2))").as("price"),
+        lit(0).as("n"))
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    val log = CommitLog(spark, s"$wh/t").withSumStats(Seq("id", "price", "n", "x"))
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi).toDF("id")
+      .select($"id", ($"id" * 1.5).as("x"),
+        expr("CAST(id AS DECIMAL(10,2)) + CAST(0.25 AS DECIMAL(3,2))")
+          .cast("decimal(10,2)").as("price"),
+        $"id".cast("int").as("n"))
+      .coalesce(1)
+    log.append(batch(0L, 100L))
+    log.append(batch(100L, 300L))
+    val q = spark.table(s"$cat.t").agg(
+      sum($"id").as("s_id"), sum($"price").as("s_p"),
+      avg($"n").as("a_n"), count(lit(1)).as("cnt"))
+    assert(manifestAnswered(q), "SUM/AVG must fold from the manifest:\n"
+      + q.queryExecution.executedPlan)
+    val r = q.collect().head
+    assert(r.getLong(0) === (0L until 300L).sum)
+    assert(r.getDecimal(1) ===
+      (BigDecimal((0L until 300L).sum) + BigDecimal("0.25") * 300)
+        .underlying.setScale(2))
+    assert(r.getDouble(2) === (0L until 300L).sum.toDouble / 300)
+    assert(r.getLong(3) === 300L)
+    // a DOUBLE column never harvests — SUM(x) refuses the fold
+    val qx = spark.table(s"$cat.t").agg(sum($"x").as("s_x"))
+    assert(!manifestAnswered(qx), "double sums are order-dependent: refuse")
+    assert(math.abs(qx.collect().head.getDouble(0)
+      - (0L until 300L).map(_ * 1.5).sum) < 1e-6)
+    // sums survive a checkpoint (the stats channel carries them)
+    log.compact(); log.prune()
+    val q2 = spark.table(s"$cat.t").agg(sum($"id").as("s_id"))
+    assert(manifestAnswered(q2), "sums must ride the checkpoint restatement")
+    assert(q2.collect().head.getLong(0) === (0L until 300L).sum)
+  }
+
+  test("config is sticky: a fresh instance keeps maintaining sums") {
+    val t = Files.createTempDirectory("sums-stick").toString + "/t"
+    CommitLog(spark, t).withSumStats(Seq("v"))
+      .append(Seq(1L, 2L).toDF("v").coalesce(1))
+    // a config-less instance (a later session) appends: sums maintained
+    CommitLog(spark, t).append(Seq(10L).toDF("v").coalesce(1))
+    val snap = CommitLog(spark, t).snapshot()
+    assert(snap.files.forall(f =>
+      snap.stats(f).contains(CommitLog.SumKeyPrefix + "v")),
+      "every file must carry the sum partial")
+  }
+
+  test("a file without a partial refuses the fold unless empty or all-null") {
+    val (cat, wh) = freshCat("abs")
+    // file 1 committed WITHOUT sum config
+    Seq(1L, 2L).toDF("v").coalesce(1)
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    val log = CommitLog(spark, s"$wh/t").withSumStats(Seq("v"))
+    log.append(Seq(10L).toDF("v").coalesce(1))
+    val q = spark.table(s"$cat.t").agg(sum($"v").as("s"))
+    assert(!manifestAnswered(q), "an uncovered file must refuse the fold")
+    assert(q.collect().head.getLong(0) === 13L)
+    // an ALL-NULL file is coverage-neutral (contributes nothing to SUM)
+    val (cat2, wh2) = freshCat("nul")
+    spark.range(0, 0).toDF("id").select($"id".as("v"))
+      .writeTo(s"$cat2.t").tableProperty("merge.log", "true").create()
+    val log2 = CommitLog(spark, s"$wh2/t").withSumStats(Seq("v"))
+    log2.append(Seq[java.lang.Long](1L, 2L).toDF("v").coalesce(1))
+    log2.append(Seq[java.lang.Long](null, null).toDF("v").coalesce(1))
+    val q2 = spark.table(s"$cat2.t").agg(sum($"v").as("s"))
+    assert(manifestAnswered(q2), "an all-null file must not refuse")
+    assert(q2.collect().head.getLong(0) === 3L)
+  }
+
+  test("deletion vectors poison the sum fold; counts stay exact") {
+    val (cat, wh) = freshCat("dv")
+    spark.range(0, 0).toDF("id").writeTo(s"$cat.t")
+      .tableProperty("merge.log", "true").create()
+    val log = CommitLog(spark, s"$wh/t").withSumStats(Seq("id"))
+    log.append(spark.range(0L, 100L).toDF("id").coalesce(1))
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    try log.delete($"id" === 99L)
+    finally spark.conf.unset("spark.graft.dv.minTouchedBytes")
+    assert(CommitLog(spark, s"$wh/t").snapshot().dvs.nonEmpty,
+      "the delete must have taken the DV path")
+    val q = spark.table(s"$cat.t").agg(sum($"id").as("s"))
+    assert(!manifestAnswered(q), "a masked row's value is baked into the partial")
+    assert(q.collect().head.getLong(0) === (0L until 99L).sum)
+  }
+
+  test("grouped sums fold per partition key") {
+    val (cat, _) = freshCat("grp")
+    val df = spark.range(0L, 120L).toDF("id")
+      .select($"id", (($"id" % 3).cast("string")).as("g"))
+    df.limit(0).writeTo(s"$cat.t")
+      .tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "g").create()
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val log = CommitLog(spark, s"$wh/t").withSumStats(Seq("id"))
+    log.appendPartitioned(df.filter($"g" === "0"), "g")
+    log.appendPartitioned(df.filter($"g" =!= "0"), "g")
+    val dbg = CommitLog(spark, s"$wh/t").snapshot()
+    val q = spark.table(s"$cat.t").groupBy($"g")
+      .agg(sum($"id").as("s"), count(lit(1)).as("n")).orderBy($"g")
+    assert(manifestAnswered(q), "grouped sums must fold:\n"
+      + dbg.files.map(f => s"$f parts=${dbg.parts.get(f)} " +
+        s"keys=${dbg.stats.get(f).map(_.keys.mkString("|"))} " +
+        s"rows=${dbg.rows.get(f)} nulls=${dbg.nulls.get(f)}").mkString("\n")
+      + "\n" + q.queryExecution.executedPlan)
+    val rows = q.collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("0", "1", "2"))
+    assert(rows.map(_.getLong(1)).toSeq ===
+      Seq(0L, 1L, 2L).map(m => (0L until 120L).filter(_ % 3 == m).sum))
+  }
+}
