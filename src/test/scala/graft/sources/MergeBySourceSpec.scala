@@ -108,6 +108,90 @@ class MergeBySourceSpec extends graft.SparkSpecBase {
     assert(log.read().schema.fieldNames.toSeq === Seq("id", "v"))
   }
 
+  test("property: five-clause merges equal a sequential ANSI reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // random target/source key sets and values, random clause-group
+    // orders and inclusion — every run compared against a sequential
+    // reference implementing ANSI MERGE (per-group first-true, groups
+    // independent). CoW and MoR both exercised via the ratio conf.
+    val rowsGen = for {
+      tN <- Gen.chooseNum(0, 12)
+      tRows <- Gen.listOfN(tN, Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 30L)))
+      sN <- Gen.chooseNum(0, 10)
+      sRows <- Gen.listOfN(sN, Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 30L)))
+      mdFirst <- Gen.oneOf(true, false)
+      bsDelFirst <- Gen.oneOf(true, false)
+      withIns <- Gen.oneOf(true, false)
+      mor <- Gen.oneOf(true, false)
+    } yield (tRows.distinctBy(_._1), sRows.distinctBy(_._1),
+        mdFirst, bsDelFirst, withIns, mor)
+    var n = 0
+    val prop = Prop.forAllNoShrink(rowsGen) {
+      case (tRows, sRows, mdFirst, bsDelFirst, withIns, mor) =>
+        n += 1
+        val t = tmpTable(s"mbs-prop$n")
+        val log = CommitLog(spark, t)
+        log.append(tRows.toDF("id", "v"))
+        if (tRows.isEmpty) log.append(Seq.empty[(Long, Long)].toDF("id", "v"))
+        val mu = CommitLog.WhenMatchedUpdate(
+          Map("v" -> (col("t.v") + col("s.v"))))
+        val md = CommitLog.WhenMatchedDelete(Some(col("s.v") % 3 === 0))
+        val ins = CommitLog.WhenNotMatchedInsert(Some(col("s.v") % 2 === 0))
+        val bu = CommitLog.WhenNotMatchedBySourceUpdate(
+          Map("v" -> (col("v") * 2)), Some(col("v") % 2 === 1))
+        val bd = CommitLog.WhenNotMatchedBySourceDelete(Some(col("v") % 5 === 0))
+        val clauses =
+          (if (mdFirst) Seq(md, mu) else Seq(mu, md)) ++
+            (if (withIns) Seq(ins) else Nil) ++
+            (if (bsDelFirst) Seq(bd, bu) else Seq(bu, bd))
+        if (mor) {
+          spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+          spark.conf.set("spark.graft.dv.maxRatio", "1.0")
+        }
+        try log.merge(sRows.toDF("id", "v"), Seq("id"), clauses)
+        finally if (mor) {
+          spark.conf.unset("spark.graft.dv.minTouchedBytes")
+          spark.conf.unset("spark.graft.dv.maxRatio")
+        }
+        val got = log.read().as[(Long, Long)].collect().toSet
+        // sequential ANSI reference
+        val sBy = sRows.toMap
+        val tKeys = tRows.map(_._1).toSet
+        val kept = tRows.flatMap { case (id, v) =>
+          sBy.get(id) match {
+            case Some(sv) => // matched group, declared order: the
+              // unconditional update shadows a LATER delete; an
+              // EARLIER conditional delete fires first when true
+              if (mdFirst && sv % 3 == 0) None
+              else Some(id -> (v + sv))
+            case None => // by-source group, declared order
+              val act =
+                if (bsDelFirst) {
+                  if (v % 5 == 0) "d" else if (v % 2 == 1) "u" else "k"
+                } else {
+                  if (v % 2 == 1) "u" else if (v % 5 == 0) "d" else "k"
+                }
+              act match {
+                case "d" => None
+                case "u" => Some(id -> (v * 2))
+                case _ => Some(id -> v)
+              }
+          }
+        }
+        val inserted =
+          if (!withIns) Nil
+          else sRows.filter { case (id, sv) => !tKeys(id) && sv % 2 == 0 }
+        val want = (kept ++ inserted).toSet
+        if (got != want)
+          println(s"[mbs-prop] t=$tRows s=$sRows mdFirst=$mdFirst " +
+            s"bsDelFirst=$bsDelFirst ins=$withIns mor=$mor\n got=$got\n want=$want")
+        got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("a typo'd by-source assignment column fails loudly") {
     val t = tmpTable("mbs-typo")
     val log = CommitLog(spark, t)
