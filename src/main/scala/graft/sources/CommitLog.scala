@@ -518,25 +518,31 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     this
   }
 
-  /** [[withSumStats]]'s column set, or the one derived from the
-    * snapshot (columns whose live files already carry sum entries,
-    * expressed in LOGICAL names — same rename-safety reasoning as
-    * [[effectiveBloomCfg]]). */
-  private def effectiveSumCfg(): Option[Seq[String]] =
-    sumCfg.orElse {
+  /** The UNION of [[withSumStats]]'s configured columns and the
+    * snapshot-derived set (columns whose live files already carry sum
+    * entries, expressed in LOGICAL names — same rename-safety
+    * reasoning as [[effectiveBloomCfg]]). The union keeps maintenance
+    * alive when a configured name goes stale (a rename: the derived
+    * half tracks the column under its new name) AND when a config-less
+    * instance writes to a sum-carrying table (stickiness). */
+  private def effectiveSumCfg(): Option[Seq[String]] = {
+    val derived: Seq[String] = {
       val s = snapshot()
       val physCols = s.stats.valuesIterator
         .flatMap(_.keysIterator)
         .filter(_.startsWith(CommitLog.SumKeyPrefix))
         .map(_.drop(CommitLog.SumKeyPrefix.length)).toSeq.distinct
-      if (physCols.isEmpty) None
+      if (physCols.isEmpty) Nil
       else {
         val logByPhys: Map[String, String] = s.schema
           .map(_.fields.map(f => lc(physName(f)) -> f.name).toMap)
           .getOrElse(Map.empty)
-        Some(physCols.map(c => logByPhys.getOrElse(lc(c), c)).distinct.sorted)
+        physCols.map(c => logByPhys.getOrElse(lc(c), c))
       }
     }
+    val all = (sumCfg.getOrElse(Nil) ++ derived).distinct.sorted
+    if (all.isEmpty) None else Some(all)
+  }
 
   /** One aggregate job over the just-written files: each configured
     * column's EXACT per-file sum, as [[CommitLog.SumKeyPrefix]]-keyed
@@ -633,6 +639,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         withConstraint(k.stripPrefix(CommitLog.ConstraintPropPrefix),
           org.apache.spark.sql.functions.expr(v))
     }
+    // r16: `merge.sumstats` = comma-separated columns to keep exact
+    // per-file sums for ([[withSumStats]]) — the catalog/SQL spelling
+    // of the library config, applied on every write the catalog
+    // routes. Names are the create-time logical names; a later RENAME
+    // keeps maintenance alive through the snapshot-derived half of
+    // [[effectiveSumCfg]] (the stale name resolves nothing, harmless).
+    props.get("merge.sumstats").map(_.trim).filter(_.nonEmpty).foreach(cs =>
+      withSumStats(cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
     this
   }
 

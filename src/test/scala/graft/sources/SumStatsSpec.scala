@@ -94,6 +94,26 @@ class SumStatsSpec extends graft.SparkSpecBase {
       "every file must carry the sum partial")
   }
 
+  test("merge.sumstats property: pure catalog writes maintain sums; rename survives") {
+    val (cat, wh) = freshCat("prop")
+    Seq(1L, 2L).toDF("v").coalesce(1)
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true")
+      .tableProperty("merge.sumstats", "v").create()
+    Seq(10L).toDF("v").coalesce(1).writeTo(s"$cat.t").append()
+    val q = spark.table(s"$cat.t").agg(sum($"v").as("s"))
+    assert(manifestAnswered(q), "property-configured sums must fold:\n"
+      + q.queryExecution.executedPlan)
+    assert(q.collect().head.getLong(0) === 13L)
+    // a RENAME leaves the property's name stale; the snapshot-derived
+    // config keeps maintenance alive under the new name
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO w")
+    Seq(100L).toDF("w").coalesce(1).writeTo(s"$cat.t").append()
+    val q2 = spark.table(s"$cat.t").agg(sum($"w").as("s"))
+    assert(manifestAnswered(q2), "sums must survive the rename:\n"
+      + q2.queryExecution.executedPlan)
+    assert(q2.collect().head.getLong(0) === 113L)
+  }
+
   test("a file without a partial refuses the fold unless empty or all-null") {
     val (cat, wh) = freshCat("abs")
     // file 1 committed WITHOUT sum config
