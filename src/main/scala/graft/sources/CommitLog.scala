@@ -524,10 +524,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * reasoning as [[effectiveBloomCfg]]). The union keeps maintenance
     * alive when a configured name goes stale (a rename: the derived
     * half tracks the column under its new name) AND when a config-less
-    * instance writes to a sum-carrying table (stickiness). */
-  private def effectiveSumCfg(): Option[Seq[String]] = {
+    * instance writes to a sum-carrying table (stickiness). The
+    * snapshot is supplied lazily by the caller so one fold serves
+    * every consumer in a commit. */
+  private def effectiveSumCfg(snap: () => Snapshot): Option[Seq[String]] = {
     val derived: Seq[String] = {
-      val s = snapshot()
+      val s = snap()
       val physCols = s.stats.valuesIterator
         .flatMap(_.keysIterator)
         .filter(_.startsWith(CommitLog.SumKeyPrefix))
@@ -552,19 +554,22 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * compute in DECIMAL(38) — exact; a per-file partial that cannot
     * represent (beyond Long unscaled / 38 digits) or a column of an
     * order-dependent type is simply OMITTED (the fold's admission
-    * refuses, conservative). ANY failure skips sums for the whole
-    * batch rather than failing the write. */
-  private def sumsFor(relPaths: Seq[String],
-      logicalCols: Seq[String]): Map[String, Map[String, (Any, Any)]] =
+    * refuses, conservative). ANY failure logs and skips sums for the
+    * whole batch rather than failing the write — the repair for files
+    * that missed their partials is any rewrite (OPTIMIZE re-harvests). */
+  private def sumsFor(relPaths: Seq[String], logicalCols: Seq[String],
+      snap: => Snapshot): Map[String, Map[String, (Any, Any)]] =
     scala.util.Try {
       import org.apache.spark.sql.functions.{col, input_file_name, sum}
       import org.apache.spark.sql.types._
       if (relPaths.isEmpty || logicalCols.isEmpty) return Map.empty
-      val sch = snapshot().schema
+      val sch = snap.schema
       val df = spark.read.parquet(relPaths.map(entryPath): _*)
       val present = df.schema.fields.map(f => lc(f.name) -> f).toMap
-      // logical → physical against the current schema; a brand-new
-      // column's physical IS its logical name
+      // logical → physical against the current schema (a brand-new
+      // column's physical IS its logical name), deduped on the
+      // PHYSICAL name — a stale configured name plus the derived
+      // renamed name must not aggregate the same column twice
       val targets: Seq[(String, DataType)] = logicalCols.flatMap { c =>
         val phys = physOf(sch, c)
         present.get(lc(phys)).collect {
@@ -573,7 +578,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
               || f.dataType == IntegerType || f.dataType == LongType =>
             f.name -> f.dataType
         }
-      }
+      }.distinctBy(_._1)
       if (targets.isEmpty) return Map.empty
       val aggs = targets.map { case (c, dt) =>
         val wide = dt match {
@@ -591,10 +596,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
               Option(r.getDecimal(i + 1)).flatMap { bd =>
                 val repr: Option[Any] = dt match {
                   case _: DecimalType => CommitLog.decVOf(bd)
-                  case _ =>
-                    if (bd.unscaledValue().bitLength() <= 63)
-                      Some(bd.unscaledValue().longValueExact(): java.lang.Long)
-                    else None
+                  case _ => // integral: the scale-0 DecV's unscaled IS the sum
+                    CommitLog.decVOf(bd).collect {
+                      case CommitLog.DecV(u, 0) => java.lang.Long.valueOf(u)
+                    }
                 }
                 repr.map(v => (CommitLog.SumKeyPrefix + c) -> ((v, v): (Any, Any)))
               }
@@ -602,7 +607,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             rel -> entries.toMap
           }
         }.toMap.filter(_._2.nonEmpty)
-    }.getOrElse(Map.empty)
+    }.recover { case e =>
+      // a failed harvest must not fail the WRITE — but it must not be
+      // invisible either: these files will refuse the SUM fold forever
+      // (until a rewrite re-harvests), and the operator should know why
+      System.err.println(s"[graft] $tableRoot: sum-stats harvest failed " +
+        s"for ${relPaths.size} file(s) — committing without partials " +
+        s"(a rewrite re-harvests): $e")
+      Map.empty[String, Map[String, (Any, Any)]]
+    }.get
 
   /** WRITER-side CHECK constraints: every subsequent write through
     * this instance validates the data it is about to commit and
@@ -645,8 +658,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // routes. Names are the create-time logical names; a later RENAME
     // keeps maintenance alive through the snapshot-derived half of
     // [[effectiveSumCfg]] (the stale name resolves nothing, harmless).
-    props.get("merge.sumstats").map(_.trim).filter(_.nonEmpty).foreach(cs =>
-      withSumStats(cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+    props.get("merge.sumstats")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // a separators-only value must not brick writes
+      .foreach(withSumStats)
     this
   }
 
@@ -4577,11 +4592,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val base = Await.result(Future.sequence(futures), Duration.Inf)
       .filter(_._2.nonEmpty).toMap
     // r16: per-file exact SUMS ride the same stats channel under
-    // reserved [[CommitLog.SumKeyPrefix]] keys when configured
-    effectiveSumCfg() match {
+    // reserved [[CommitLog.SumKeyPrefix]] keys when configured. ONE
+    // snapshot serves both the config derivation and the harvest's
+    // name translation (review r16: the commit paths already fold the
+    // log a handful of times; this adds at most one more, shared).
+    lazy val snapForSums = snapshot()
+    effectiveSumCfg(() => snapForSums) match {
       case None => base
       case Some(cols) =>
-        val sums = sumsFor(relPaths, cols)
+        val sums = sumsFor(relPaths, cols, snapForSums)
         if (sums.isEmpty) base
         else (base.keySet ++ sums.keySet).iterator.map(f =>
           f -> (base.getOrElse(f, Map.empty) ++ sums.getOrElse(f, Map.empty)))

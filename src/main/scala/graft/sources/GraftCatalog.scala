@@ -1612,7 +1612,12 @@ private[sources] final class GraftLogScanBuilder(
     // for integrals, DecimalType(min(38, p+10), s) for decimals — or
     // refuse on anything unrepresentable (the fallback scan then
     // applies Spark's own overflow behavior). SQL: SUM/AVG over zero
-    // non-null values is NULL.
+    // non-null values is NULL. Documented divergence (review r16): the
+    // fold returns the EXACT sum whenever the FINAL value represents —
+    // an ANSI scan may instead throw on an INTERMEDIATE overflow whose
+    // occurrence is itself accumulation-order-dependent (Spark's own
+    // partial aggregation makes "would the scan throw" nondeterministic
+    // there). The fold's answer is never wrong, only more available.
     def sumValue(fs: Seq[String], f: StructField): Option[Any] = {
       val cnt = countCol(fs, CommitLog.physNameOf(f)).getOrElse(return None)
       if (cnt == 0L) return Some(null)
@@ -1635,10 +1640,12 @@ private[sources] final class GraftLogScanBuilder(
       val cnt = countCol(fs, CommitLog.physNameOf(f)).getOrElse(return None)
       if (cnt == 0L) return Some(null)
       val bd = sumBig(fs, f).getOrElse(return None)
-      // exact-sum ÷ count in double — bit-equal to any engine's double
-      // division while the exact sum is double-representable; past
-      // 2^53 refuse (a scan's own answer is accumulation-order noise
-      // there, but the fallback keeps us inside Spark's behavior)
+      // the correctly-rounded quotient of the EXACT sum — at least as
+      // accurate as a scan's double ACCUMULATION, whose per-value
+      // rounding is partition-order noise (so ulp-level divergence from
+      // a scan is possible even below 2^53; the scan's own answer is
+      // not unique there either — review r16). Past 2^53 the exact sum
+      // itself stops being double-representable: refuse.
       if (bd.unscaledValue().bitLength() > 53) None
       else Some(java.lang.Double.valueOf(bd.doubleValue() / cnt))
     }
