@@ -3160,8 +3160,9 @@ object IndexQueries {
         .tableProperty("merge.partcol", "st").create()
       val log = graft.sources.CommitLog(s, s"$root/t")
         .withSumStats(Seq("o_orderkey", "price", "qty"))
-      Seq("F", "O", "P").foreach(st =>
-        log.appendPartitioned(o.filter(col("st") === st), "st"))
+      // ONE partitioned append: one write job + one sum-harvest job,
+      // landing one file per status partition
+      log.appendPartitioned(o, "st")
       def planOf(df: DataFrame): String =
         df.queryExecution.executedPlan.toString
       val fold = s.table(s"$cat.t").agg(
