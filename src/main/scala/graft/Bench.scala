@@ -78,6 +78,13 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmtD(total, 3)},"unit":"sec"$extra,"queries":$qs,"sf":"$sfDir"}"""
     }
+    // Artifacts resolve against an EXPLICIT base (SPARK_GRAFT_BENCH_DIR,
+    // else the process cwd — the driver launches sbt from the repo
+    // root): a cwd-relative write from some other launch dir would
+    // silently shadow or miss the repo-root copy the driver reads
+    // (ADVICE r16).
+    val outBase = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", ""))
     // Full-name 3-decimal per-query JSON goes to a FILE; the stdout
     // line must survive the driver's 2000-char stdout TAIL capture
     // (minus sbt's "[info] " prefix and its trailing "[success]" line)
@@ -88,7 +95,7 @@ object Bench {
     // 1850-char budget wins — 3- → 2- → 1-decimal with ALL queries,
     // and only as a last resort the slowest 60 plus an "omitted"
     // count. Every candidate is complete, valid JSON on one line.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    java.nio.file.Files.write(outBase.resolve("BENCH_FULL.json"),
       (jsonLine(results.map { case (k, v) => k -> fmtD(v, 3) },
         ""","runs_per_query":3,"stat":"min"""") + "\n").getBytes("UTF-8"))
     val short = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
@@ -109,7 +116,7 @@ object Bench {
     val line = candidates.find(_.length <= budget).getOrElse(candidates.last)
     // belt-and-braces: the same line at a well-known path, for any
     // consumer that prefers a file over a captured stdout tail
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LINE.json"),
+    java.nio.file.Files.write(outBase.resolve("BENCH_LINE.json"),
       (line + "\n").getBytes("UTF-8"))
     println(line)
     spark.stop()
