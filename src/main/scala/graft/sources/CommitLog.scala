@@ -617,6 +617,138 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       Map.empty[String, Map[String, (Any, Any)]]
     }.get
 
+  /** STATS-ONLY SUM BACKFILL (r17, VERDICT r16 #3): give every live
+    * file that LACKS its exact sum partials — files written before
+    * `withSumStats`/`merge.sumstats`, files whose write-time harvest
+    * failed, and DV'd files whose delta accounting is stale — fresh
+    * partials in ONE metadata commit, reading each such file ONCE and
+    * rewriting NOTHING. On a 100 TB table, adopting sum stats is a
+    * scan + stats-restatement commit, not the full rewrite r16
+    * required. DV'd files harvest their LIVE sums (masked rows
+    * subtracted by the read itself) and stamp current accounting, so
+    * even legacy DVs become fold-answerable. `cols` defaults to the
+    * effective sum config (instance + snapshot-derived); only exactly-
+    * summable columns (integrals, decimals) harvest. Files already
+    * covered are untouched — the call is idempotent and cheap to
+    * schedule. A file whose footer counts were never harvested
+    * (pre-r14) gets its row/null/min-max stats refreshed in the same
+    * commit. CAS-retried: a file a racing writer adds mid-backfill is
+    * re-examined on the retry fold, never silently dropped. Returns
+    * (committed version, files harvested) — (current version, 0) when
+    * nothing needed work. */
+  def harvestSums(cols: Seq[String] = Nil): (Long, Int) = {
+    import org.apache.spark.sql.functions.{col, count, sum}
+    import org.apache.spark.sql.types._
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      require(s.version >= 0, s"$tableRoot: nothing to harvest — no commits")
+      val sch = s.schema.getOrElse(throw new IllegalStateException(
+        s"$tableRoot: committed version ${s.version} carries no schema"))
+      val targets: Seq[String] =
+        if (cols.nonEmpty) cols
+        else effectiveSumCfg(() => s).getOrElse(Nil)
+      require(targets.nonEmpty, s"$tableRoot: no sum columns to harvest — " +
+        "pass columns or configure withSumStats / merge.sumstats")
+      val fields = targets.flatMap(c =>
+          sch.fields.find(f => lc(f.name) == lc(c)))
+        .filter(f => f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _: DecimalType => true
+          case _ => false
+        }).distinctBy(f => lc(physName(f)))
+      require(fields.nonEmpty, s"$tableRoot: none of " +
+        s"${targets.mkString(", ")} is exactly summable (integral and " +
+        "decimal columns only — float/double sums are order-dependent)")
+      def dvTot(fl: String): Long =
+        s.dvs.getOrElse(fl, Nil).iterator.map(_.count).sum
+      val needs = s.files.filter { fl =>
+        val st = s.stats.getOrElse(fl, Map.empty)
+        val unaccounted = dvTot(fl) > 0L &&
+          !st.get(CommitLog.SumDvKey).exists {
+            case (n: Long, _) => n == dvTot(fl)
+            case _ => false
+          }
+        val missing = fields.exists { f =>
+          val phys = physName(f)
+          !st.contains(CommitLog.SumKeyPrefix + phys) && {
+            // a provably-empty file (or all-null column) has no
+            // partial to store — already covered, skip forever
+            val zero = s.rows.get(fl).contains(0L) ||
+              ((s.rows.get(fl), s.nulls.get(fl).flatMap(_.get(phys))) match {
+                case (Some(r), Some(n)) => n == r
+                case _ => false
+              })
+            !zero
+          }
+        }
+        unaccounted || missing
+      }
+      if (needs.isEmpty) return (s.version, 0)
+      // ONE masked read over exactly the files needing partials: the
+      // live sums and live non-null counts, grouped per file
+      val narrow = StructType(fields.toArray)
+      val aggs = fields.flatMap(f => Seq(
+        sum(col(s"`${f.name}`").cast(f.dataType match {
+          case d: DecimalType => DecimalType(38, d.scale)
+          case _ => DecimalType(38, 0)
+        })).as(s"__s_${f.name}"),
+        count(col(s"`${f.name}`")).as(s"__c_${f.name}")))
+      val harvested = readLiveWithPos(s, narrow, needs)
+        .groupBy(col("__dv_f"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val restated: Map[String, Map[String, (Any, Any)]] =
+        needs.map { fl =>
+          // pre-r14 files also refresh footer stats (row/null counts —
+          // what the fold's global admission needs) in the same commit
+          val base = if (s.rows.contains(fl)) s.stats.getOrElse(fl, Map.empty)
+            else statsForOne(fl)
+          val row = harvested.get(new Path(fl).getName)
+          var m = base
+          fields.zipWithIndex.foreach { case (f, i) =>
+            val phys = physName(f)
+            // a file with zero live rows, or an all-null-among-live
+            // column, stores a ZERO partial: it contributes nothing to
+            // the fold's exact accumulation (the global NULL-if-no-
+            // values rule rides the live non-null counts, not this)
+            val bd = row.map(r => Option(r.getDecimal(1 + 2 * i))
+              .getOrElse(java.math.BigDecimal.ZERO))
+              .getOrElse(java.math.BigDecimal.ZERO)
+            val repr: Option[Any] = f.dataType match {
+              case _: DecimalType => CommitLog.decVOf(bd).map(x => x: Any)
+              case _ => CommitLog.decVOf(bd).collect {
+                case CommitLog.DecV(u, 0) => java.lang.Long.valueOf(u): Any
+              }
+            }
+            repr match {
+              case Some(v) =>
+                m = m.updated(CommitLog.SumKeyPrefix + phys, (v, v))
+              case None => // unrepresentable → stays absent, fold refuses
+                m = m - (CommitLog.SumKeyPrefix + phys)
+            }
+            if (dvTot(fl) > 0L) {
+              val nn = java.lang.Long.valueOf(
+                row.map(_.getLong(2 + 2 * i)).getOrElse(0L))
+              m = m.updated(CommitLog.SumNPrefix + phys, (nn, nn))
+            }
+          }
+          if (dvTot(fl) > 0L) {
+            val t = java.lang.Long.valueOf(dvTot(fl))
+            m = m.updated(CommitLog.SumDvKey, (t, t))
+          }
+          fl -> m
+        }.toMap
+      if (tryCommit(s.version + 1,
+          manifestJson(s.version + 1, "add", Nil, sch, None,
+            stats = restated)))
+        return (s.version + 1, needs.size)
+      attempts += 1
+      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+    }
+    (-1L, 0) // unreachable
+  }
+
   /** WRITER-side CHECK constraints: every subsequent write through
     * this instance validates the data it is about to commit and
     * refuses loudly when any row violates. SQL CHECK semantics —
@@ -1044,11 +1176,20 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     pointCandidateFiles(snapshot(), colName, value)
 
   /** The column's committed type was string-shiftingly widened
-    * ([[CommitLog.strShifted]]) — string-derived evidence (blooms,
-    * runtime tag equality) must not exclude files for it. */
+    * ([[CommitLog.strShifted]]) — PARTITION-TAG equality must not
+    * exclude files for it (a tag names a whole partition across eras).
+    * Bloom evidence is finer since r17: each filter carries the ERA
+    * its bits were hashed under ([[CommitLog.BloomF.era]]), and a
+    * probe trusts a filter iff its era equals the column's current one
+    * ([[colStrEra]]) — files written after the widen keep pruning. */
   private def strShiftedCol(s: Snapshot, colName: String): Boolean =
     s.schema.exists(_.fields.exists(f =>
       lc(f.name) == lc(colName) && CommitLog.strShifted(f)))
+
+  /** The column's current string-form era (0 = never shifted). */
+  private def colStrEra(s: Snapshot, colName: String): Long =
+    s.schema.flatMap(_.fields.find(f => lc(f.name) == lc(colName)))
+      .map(CommitLog.strEraOf).getOrElse(0L)
 
   private def pointCandidateFiles(s: Snapshot, colName: String,
       value: Any): Seq[String] = {
@@ -1057,10 +1198,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // own cast (value.toString diverges for e.g. an Int 5 probing a
     // double column whose rows hashed as "5.0" — a silent FALSE
     // NEGATIVE); an un-castable or unknown-type probe disables bloom
-    // pruning for the lookup rather than risking one. A string-shifted
-    // column ([[strShiftedCol]]) never probes.
-    val vs: Option[String] = if (strShiftedCol(s, colName)) None
-    else scala.util.Try {
+    // pruning for the lookup rather than risking one. The probe string
+    // is the column's CURRENT-era form, so only same-era filters may
+    // exclude (r17 — a widened column's post-widen files still prune).
+    val era = colStrEra(s, colName)
+    val vs: Option[String] = scala.util.Try {
       import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
       val asCol = s.schema.flatMap(_.find(_.name == colName).map(_.dataType))
         .fold(Literal(value): org.apache.spark.sql.catalyst.expressions.Expression)(
@@ -1087,8 +1229,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         case None => true
       }
       val bloomOk = (s.blooms.get(f).flatMap(_.get(physCol)), vs) match {
-        case (Some(b), Some(v)) => bloomMayContain(b, v)
-        case _ => true // no filter or unprobable value → keep the file
+        case (Some(b), Some(v)) if b.era == era => bloomMayContain(b, v)
+        case _ => true // no filter, wrong era, or unprobable value → keep
       }
       statOk && bloomOk
     }
@@ -1187,8 +1329,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             .getOrElseUpdate(r.getString(3), new Array[Long](bits / 64))
           arr(r.getLong(1).toInt) = r.getLong(2)
         }
+        // r17: stamp each filter with its column's CURRENT string-form
+        // era — the values just hashed stringified through the current
+        // (possibly widened) type, so probes of the same era may trust
+        // these bits even on a column that shifted in the past
+        def eraOf(phys: String): Long = sch.flatMap(_.fields.find(f =>
+          lc(physName(f)) == lc(phys))).map(CommitLog.strEraOf).getOrElse(0L)
         out.map { case (f, m) =>
-          f -> m.map { case (c, w) => c -> CommitLog.BloomF(bits, k, w) }.toMap
+          f -> m.map { case (c, w) =>
+            c -> CommitLog.BloomF(bits, k, w, eraOf(c)) }.toMap
         }.toMap
       case _ => Map.empty
     }
@@ -1486,7 +1635,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           if (shiftsAnywhere(f.dataType, merged))
             new org.apache.spark.sql.types.MetadataBuilder()
               .withMetadata(f.metadata)
-              .putBoolean(CommitLog.WidenedStrKey, true).build()
+              .putBoolean(CommitLog.WidenedStrKey, true)
+              // r17: bump the string-form ERA — filters hashed after
+              // this commit (under the widened type) stamp the new era
+              // and keep excluding; pre-widen filters go void
+              .putLong(CommitLog.StrEraKey, CommitLog.strEraOf(f) + 1)
+              .build()
           else f.metadata
         f.copy(dataType = merged, nullable = f.nullable || inF.nullable,
           metadata = meta)
@@ -1635,7 +1789,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // including stats/bloom harvesting over the new files — must not
     // leak the already-written data files.
     try {
-      val st = statsFor(files)
+      val st = statsFor(files, s0)
       val bl = bloomsFor(files, Some(sch0))
       while (!tryCommit(cur.version + 1,
           manifestJson(cur.version + 1, "add", files,
@@ -1680,7 +1834,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val files = writeData(merged, sch)
       val won = try tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace", files, sch, txn,
-            stats = statsFor(files), blooms = bloomsFor(files, Some(sch))))
+            stats = statsFor(files, s), blooms = bloomsFor(files, Some(sch))))
         catch { case e: Throwable => files.foreach(deleteData); throw e }
       if (won) return s.version + 1
       // lost the race: our rewrite is stale (it merged against an old
@@ -1765,7 +1919,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val won = try tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace_parts", tagged.map(_._1), sch,
             txn, parts = touched, fileParts = tagged.toMap,
-            stats = statsFor(tagged.map(_._1)),
+            stats = statsFor(tagged.map(_._1), s),
             blooms = bloomsFor(tagged.map(_._1), Some(sch))))
         catch { case e: Throwable => tagged.foreach(t => deleteData(t._1)); throw e }
       if (won) return s.version + 1
@@ -1794,7 +1948,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     var cur = s0
     var attempts = 0
     try {
-      val st = statsFor(tagged.map(_._1))
+      val st = statsFor(tagged.map(_._1), s0)
       val bl = bloomsFor(tagged.map(_._1), Some(sch0))
       while (!tryCommit(cur.version + 1,
           manifestJson(cur.version + 1, "add", tagged.map(_._1),
@@ -1848,7 +2002,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val won = try tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace_parts", tagged.map(_._1), sch,
             txn, parts = parts, fileParts = tagged.toMap,
-            stats = statsFor(tagged.map(_._1)),
+            stats = statsFor(tagged.map(_._1), s),
             blooms = bloomsFor(tagged.map(_._1), Some(sch))))
         catch { case e: Throwable => tagged.foreach(t => deleteData(t._1)); throw e }
       if (won) return s.version + 1
@@ -1872,7 +2026,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     var v = s0.version + 1
     var attempts = 0
     try {
-      val st = statsFor(tagged.map(_._1))
+      val st = statsFor(tagged.map(_._1), s0)
       val bl = bloomsFor(tagged.map(_._1), Some(df.schema))
       while (!tryCommit(v, manifestJson(v, "replace", tagged.map(_._1),
           df.schema, txn, fileParts = tagged.toMap, stats = st, blooms = bl))) {
@@ -2217,6 +2371,65 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     -1L // unreachable
   }
 
+  /** SQL DDL: `ALTER TABLE … ALTER COLUMN <path> TYPE <wider>` (r17,
+    * VERDICT r16 #1/#2 list) — the standard lakehouse habit of widening
+    * a column BEFORE the backfill arrives (Delta 3.x `ALTER COLUMN
+    * TYPE`, Iceberg `updateColumn`), routed through the same widening
+    * lattice a wide WRITE uses ([[mergeStructs]]/[[CommitLog.widerOf]]):
+    * ONE metadata-only commit at any table size. Old files read through
+    * the widened schema natively; narrower appends upcast before
+    * landing; stat representations are unchanged so every pruning/fold
+    * surface keeps working. `path` may be nested (struct interiors,
+    * array<struct> elements, map<_,struct> values — the
+    * [[rewriteStructPath]] walk). A string-shifting widen
+    * (float→double) stamps [[CommitLog.WidenedStrKey]] and bumps the
+    * column's string-form era exactly like the write-driven form.
+    * Widening to the CURRENT type is a no-op (no commit); anything
+    * that is not an exact widening refuses with the same loud error as
+    * a narrowing write. */
+  def widenColumnType(path: Seq[String],
+      to: org.apache.spark.sql.types.DataType): Long = {
+    require(path.nonEmpty, s"$tableRoot: ALTER COLUMN TYPE needs a column path")
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      val cur = s.schema.getOrElse(throw new IllegalStateException(
+        s"$tableRoot: ALTER COLUMN TYPE on a table with no committed schema"))
+      var noop = false
+      val evolved = rewriteStructPath(cur, path, "ALTER COLUMN TYPE") { (st, idx) =>
+        val f = st.fields(idx)
+        val curT = CommitLog.stripMeta(f.dataType)
+        val toT = CommitLog.stripMeta(to)
+        if (curT == toT) { noop = true; st }
+        else {
+          require(CommitLog.widerOf(curT, toT).contains(toT),
+            s"$tableRoot: ALTER COLUMN TYPE cannot change " +
+              s"'${path.mkString(".")}' from ${f.dataType.simpleString} to " +
+              s"${to.simpleString} (only exact widenings are metadata-only: " +
+              "byte/short/int->long, float->double, decimal precision " +
+              "growth at the same scale — anything else is a rewrite)")
+          val meta =
+            if (CommitLog.strFormShifts(curT, toT))
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putBoolean(CommitLog.WidenedStrKey, true)
+                .putLong(CommitLog.StrEraKey, CommitLog.strEraOf(f) + 1)
+                .build()
+            else f.metadata
+          StructType(st.fields.updated(idx,
+            f.copy(dataType = toT, metadata = meta)))
+        }
+      }
+      if (noop) return s.version
+      if (tryCommit(s.version + 1,
+          manifestJson(s.version + 1, "add", Nil, evolved, None)))
+        return s.version + 1
+      attempts += 1
+      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+    }
+    -1L // unreachable
+  }
+
   /** MAINTENANCE: rewrite the data files so every column's PHYSICAL
     * name equals its logical name again. A RENAME COLUMN is
     * metadata-only and free, but a mapped table reads through the V1
@@ -2271,7 +2484,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val cfg = effectiveBloomCfg()
       val won = try tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace", files, clean, None,
-            fileParts = tags, stats = statsFor(files),
+            fileParts = tags, stats = statsFor(files, s),
             blooms = bloomsForCfg(files, cfg, Some(clean)),
             physRetired = Some(Nil)))
         catch { case e: Throwable => files.foreach(deleteData); throw e }
@@ -2291,7 +2504,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     var v = s0.version + 1
     var attempts = 0
     try {
-      val st = statsFor(files)
+      val st = statsFor(files, s0)
       val bl = bloomsFor(files, Some(df.schema))
       while (!tryCommit(v, manifestJson(v, "replace", files, df.schema, txn,
           stats = st, blooms = bl))) {
@@ -2414,6 +2627,143 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }.sum >= minBytes
   }
 
+  /** r17 DV SUM-DELTA ACCOUNTING — the columns a DV commit must account
+    * its masked rows against: every physical column with a live
+    * `graft.sum.` partial on any touched file, paired with its CURRENT
+    * logical name (the name the masked-row frame carries). A physical
+    * with no live logical (a dropped column) is excluded — its stale
+    * entries are swept by [[dvSumRestated]]. Empty when the feature is
+    * off (`spark.graft.dv.sumDeltas.enabled=false` — the r16 wire
+    * behavior, and the knob that lets specs pin the legacy refusal). */
+  private def dvSumCols(s: Snapshot, touched: Seq[String])
+      : Seq[(String, String)] = {
+    if (!spark.conf.getOption("spark.graft.dv.sumDeltas.enabled")
+        .forall(_.toBoolean)) return Nil
+    val phys = touched.flatMap(f => s.stats.getOrElse(f, Map.empty).keysIterator
+        .filter(_.startsWith(CommitLog.SumKeyPrefix)))
+      .map(_.drop(CommitLog.SumKeyPrefix.length)).distinct
+    if (phys.isEmpty) return Nil
+    val logByPhys: Map[String, String] = s.schema
+      .map(_.fields.map(f => lc(physName(f)) -> f.name).toMap)
+      .getOrElse(Map.empty)
+    phys.flatMap(p => logByPhys.get(lc(p)).map(l => (p, l))).sorted
+  }
+
+  /** The per-file stats RESTATEMENTS a DV commit publishes beside its
+    * mask so SUM/AVG/COUNT(col) manifest folds survive row-level DML
+    * (r17, VERDICT r16 #1): the masked rows are already materialized
+    * by the DV collect, so each touched file's exact sum partials are
+    * reduced by its masked rows' contributions, a live non-null count
+    * per column lands under [[CommitLog.SumNPrefix]], and
+    * [[CommitLog.SumDvKey]] records the cumulative masked total the
+    * entries now exclude — the fold admits the file's sum evidence iff
+    * that equals its DV cardinality. Honest-refusal preservation:
+    *  - a file with a PRIOR unaccounted DV cannot be accounted (the
+    *    earlier masked values are gone) — no restatement, keeps
+    *    refusing;
+    *  - a column whose live non-null count is underivable (no
+    *    rows/nulls evidence) drops its sum pair — absence refuses;
+    *  - an unrepresentable post-delta sum drops the entry — absence
+    *    refuses;
+    *  - stale sum entries of DROPPED columns are swept.
+    * `masked` rows are (file base name, position, v(col 1), …) in
+    * `sumCols` order. */
+  private def dvSumRestated(s: Snapshot, touched: Seq[String],
+      sumCols: Seq[(String, String)],
+      masked: Iterable[org.apache.spark.sql.Row])
+      : Map[String, Map[String, (Any, Any)]] = {
+    if (sumCols.isEmpty || masked.isEmpty) return Map.empty
+    def toBig(v: Any): java.math.BigDecimal = v match {
+      case bd: java.math.BigDecimal => bd
+      case b: Byte => java.math.BigDecimal.valueOf(b.toLong)
+      case sh: Short => java.math.BigDecimal.valueOf(sh.toLong)
+      case i: Int => java.math.BigDecimal.valueOf(i.toLong)
+      case l: Long => java.math.BigDecimal.valueOf(l)
+      case other => throw new IllegalStateException(
+        s"$tableRoot: non-summable masked value $other")
+    }
+    val relByBase = touched.map(f => new Path(f).getName -> f).toMap
+    val keepPhys = sumCols.map(c => lc(c._1)).toSet
+    masked.groupBy(_.getString(0)).flatMap { case (base, rows) =>
+      relByBase.get(base).flatMap { rel =>
+        val prevDv = s.dvs.getOrElse(rel, Nil).iterator.map(_.count).sum
+        val st = s.stats.getOrElse(rel, Map.empty)
+        val accounted = prevDv == 0L ||
+          st.get(CommitLog.SumDvKey).exists {
+            case (n: Long, _) => n == prevDv
+            case _ => false
+          }
+        if (!accounted) None // a legacy DV: its masked values are gone
+        else {
+          // sweep stale entries of dropped columns (no live logical)
+          var m = st.filterNot { case (k, _) =>
+            (k.startsWith(CommitLog.SumKeyPrefix)
+                && !keepPhys(lc(k.drop(CommitLog.SumKeyPrefix.length)))) ||
+            (k.startsWith(CommitLog.SumNPrefix)
+                && !keepPhys(lc(k.drop(CommitLog.SumNPrefix.length))))
+          }
+          sumCols.zipWithIndex.foreach { case ((phys, _), i) =>
+            val idx = i + 2
+            var dsum = java.math.BigDecimal.ZERO
+            var dnn = 0L
+            rows.foreach { r =>
+              if (!r.isNullAt(idx)) { dnn += 1; dsum = dsum.add(toBig(r.get(idx))) }
+            }
+            val sumKey = CommitLog.SumKeyPrefix + phys
+            m.get(sumKey).foreach { case (pv, _) =>
+              val next: Option[Any] = (pv match {
+                case l: Long => Some(java.math.BigDecimal.valueOf(l))
+                case d: CommitLog.DecV => Some(d.toBig)
+                case _ => None
+              }).map(_.subtract(dsum)).flatMap { nb =>
+                pv match {
+                  case _: Long => CommitLog.decVOf(nb).collect {
+                    case CommitLog.DecV(u, 0) => java.lang.Long.valueOf(u): Any
+                  }
+                  case _: CommitLog.DecV => CommitLog.decVOf(nb).map(x => x: Any)
+                  case _ => None
+                }
+              }
+              m = next match {
+                case Some(v) => m.updated(sumKey, (v, v))
+                case None => m - sumKey // unrepresentable → absence refuses
+              }
+            }
+            val nKey = CommitLog.SumNPrefix + phys
+            val prevNn: Option[Long] = m.get(nKey) match {
+              case Some((n: Long, _)) => Some(n)
+              case _ => (s.rows.get(rel),
+                  s.nulls.get(rel).flatMap(_.get(phys))) match {
+                case (Some(r), Some(nl)) => Some(r - nl)
+                case _ => None
+              }
+            }
+            m = prevNn match {
+              case Some(nn) =>
+                val v = java.lang.Long.valueOf(nn - dnn)
+                m.updated(nKey, (v, v))
+              case None => (m - nKey) - sumKey // can't maintain the pair
+            }
+          }
+          val total = java.lang.Long.valueOf(prevDv + rows.size.toLong)
+          Some(rel -> m.updated(CommitLog.SumDvKey, (total, total)))
+        }
+      }
+    }
+  }
+
+  /** The masked-row SELECT a DV site collects: file, position, and (in
+    * `sumCols` order) each sum-maintained column's value — what
+    * [[dvSumRestated]] aggregates. `nameOf` maps a logical column name
+    * to the frame's spelling (identity for the live-read frames, the
+    * `__t_` prefix inside [[mergeStage]]'s output). */
+  private def dvMaskSelect(sumCols: Seq[(String, String)],
+      nameOf: String => String): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.col
+    Seq(col("__dv_f"), col("__dv_pos")) ++
+      sumCols.map { case (_, logical) => col(s"`${nameOf(logical)}`") }
+  }
+
   private def tryDvDelete(s: Snapshot, sch: StructType,
       condition: org.apache.spark.sql.Column, touched: Seq[String],
       txn: Option[(String, Long)]): Option[Option[Long]] = {
@@ -2422,10 +2772,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     if (!dvAdmitted(touched)) return None
     val maxRows = dvMaxRows(conf)
     val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
-    import org.apache.spark.sql.functions.col
     val withPos = readLiveWithPos(s, sch, touched)
+    // r17: the masked rows' sum-column values ride the SAME collect the
+    // mask needs anyway, so the sum-delta accounting costs no extra job
+    val sumCols = dvSumCols(s, touched)
     val matched = withPos.filter(condition)
-      .select(col("__dv_f"), col("__dv_pos"))
+      .select(dvMaskSelect(sumCols, identity): _*)
       .limit(maxRows.toInt + 1).collect()
     if (matched.length > maxRows) return None
     if (matched.isEmpty) return Some(Some(s.version)) // raced to nothing
@@ -2440,7 +2792,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       relByBase(b) -> Seq(CommitLog.DvRef(dvRel, n))
     }
     val won = try tryCommit(s.version + 1,
-        manifestJson(s.version + 1, "add_dv", Nil, sch, txn, dvs = dvAdd))
+        manifestJson(s.version + 1, "add_dv", Nil, sch, txn,
+          stats = dvSumRestated(s, touched, sumCols, matched), dvs = dvAdd))
       catch { case e: Throwable => deleteData(dvRel); throw e }
     if (won) Some(Some(s.version + 1))
     else { deleteData(dvRel); Some(None) }
@@ -2467,7 +2820,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val maxRows = dvMaxRows(conf)
     val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
     val hits = readLiveWithPos(s, sch, touched).filter(condition)
-    val matched = hits.select(col("__dv_f"), col("__dv_pos"))
+    val sumCols = dvSumCols(s, touched)
+    val matched = hits.select(dvMaskSelect(sumCols, identity): _*)
       .limit(maxRows.toInt + 1).collect()
     if (matched.length > maxRows) return None
     if (matched.isEmpty) return Some(Some(s.version)) // raced to nothing
@@ -2494,7 +2848,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
     val won = try tryCommit(s.version + 1,
         manifestJson(s.version + 1, "add_dv", newFiles, sch, txn,
-          fileParts = newTags, stats = statsFor(newFiles),
+          fileParts = newTags, stats = statsFor(newFiles, s)
+            ++ dvSumRestated(s, touched, sumCols, matched),
           blooms = bloomsFor(newFiles, Some(sch)), dvs = dvAdd))
       catch { case e: Throwable => cleanup(); throw e }
     if (won) Some(Some(s.version + 1))
@@ -2999,8 +3354,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // (update masks + re-appends; delete just masks)
     val maskActs = matchedClauses.indices.map(i => Integer.valueOf(i + 1)) ++
       bySourceClauses.indices.map(k => Integer.valueOf(200 + k))
+    // r17: the masked rows' PRE-merge values ride the stage-1 `__t_`
+    // pass-throughs — the sum-delta accounting reuses the mask collect
+    val sumCols = dvSumCols(s, touched)
     val matched = staged.filter(col("__act").isin(maskActs: _*))
-      .select(col("__dv_f"), col("__dv_pos"))
+      .select(dvMaskSelect(sumCols, n => s"__t_$n"): _*)
       .limit(maxRows.toInt + 1).collect()
     // no fired matched clause: the copy-on-write path still owns the
     // (rare) insert-only outcome on touched files
@@ -3040,7 +3398,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
     val won = try tryCommit(s.version + 1,
         manifestJson(s.version + 1, "add_dv", newFiles, sch, txn,
-          fileParts = newTags, stats = statsFor(newFiles),
+          fileParts = newTags, stats = statsFor(newFiles, s)
+            ++ dvSumRestated(s, touched, sumCols, matched),
           blooms = bloomsFor(newFiles, Some(sch)), dvs = dvAdd))
       catch { case e: Throwable => cleanup(); throw e }
     if (won) Some(Some(s.version + 1))
@@ -3170,9 +3529,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     if (!dvAdmitted(touched)) return None
     val maxRows = dvMaxRows(conf)
     val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
+    val sumCols = dvSumCols(s, touched)
     val matched = readLiveWithPos(s, sch0, touched)
       .join(mk, keys, "left_semi")
-      .select(col("__dv_f"), col("__dv_pos"))
+      .select(dvMaskSelect(sumCols, identity): _*)
       .limit(maxRows.toInt + 1).collect()
     if (matched.length > maxRows || matched.isEmpty) return None
     val live = readFiles(sch0, touched, s.dvs).count()
@@ -3198,7 +3558,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
     val won = try tryCommit(s.version + 1,
         manifestJson(s.version + 1, "add_dv", newFiles, sch, txn,
-          fileParts = newTags, stats = statsFor(newFiles),
+          fileParts = newTags, stats = statsFor(newFiles, s)
+            ++ dvSumRestated(s, touched, sumCols, matched),
           blooms = bloomsFor(newFiles, Some(sch)), dvs = dvAdd))
       catch { case e: Throwable => cleanup(); throw e }
     if (won) Some(Some(s.version + 1))
@@ -3384,7 +3745,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         manifestJson(s.version + 1, "replace", files, sch, txn,
           fileParts = s.parts.filter(kv => untouchedSet(kv._1)) ++ newTags,
           stats = s.stats.filter(kv => untouchedSet(kv._1))
-            ++ statsFor(newFiles),
+            ++ statsFor(newFiles, s),
           blooms = s.blooms.filter(kv => untouchedSet(kv._1))
             ++ bloomsFor(newFiles, Some(sch)),
           // untouched files keep their deletion vectors; the rewrite
@@ -3711,7 +4072,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           Option(Cast(v, org.apache.spark.sql.types.StringType).eval(null))
             .map(x => n -> x.toString)).toOption.flatten)
       case _ => None
-    }.filterNot { case (c, _) => strShiftedCol(s, c) }
+    }
+    // r17: a probe trusts a filter iff the eras match — see [[colStrEra]]
+    val eraByCol: Map[String, Long] =
+      probes.map(_._1).distinct.map(c => c -> colStrEra(s, c)).toMap
     // predicates carry LOGICAL attribute names; stats and blooms are
     // keyed by the stable PHYSICAL names — translate at lookup
     s.files.filter { f =>
@@ -3729,8 +4093,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         }
       } && probes.forall { case (c, v) =>
         s.blooms.get(f).flatMap(_.get(physOf(s.schema, c))) match {
-          case Some(b) => bloomMayContain(b, v)
-          case None => true // no filter for the column → keep the file
+          case Some(b) if b.era == eraByCol(c) => bloomMayContain(b, v)
+          case _ => true // no filter (or a pre-widen era's) → keep
         }
       } && nullChecks.forall { case (c, needNull) =>
         (s.nulls.get(f).flatMap(_.get(physOf(s.schema, c))),
@@ -3787,10 +4151,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     def strVal(l: Literal): Option[String] = scala.util.Try(
       Option(Cast(l, org.apache.spark.sql.types.StringType).eval(null))
         .map(_.toString)).toOption.flatten
-    // r16: string-derived evidence (tag equality, bloom bits) is void
-    // for a string-shifted column — pre-widening tags/bits hold the
-    // OLD string form of values this column now reads differently
+    // r16: TAG equality is void for a string-shifted column —
+    // pre-widening tags hold the OLD string form of values this column
+    // now reads differently (a tag names a whole partition across
+    // eras, so there is no per-file era to trust). Bloom bits are
+    // finer since r17: each filter carries its hash-time era, and
+    // same-era filters (files written after the widen) still exclude.
     val shifted = strShiftedCol(s, logicalCol)
+    val era = colStrEra(s, logicalCol)
     files.filter { f =>
       // an empty (or all-null) IN-set keeps no file: exists = false
       nonNull.exists { v =>
@@ -3819,7 +4187,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           case None => true
         }
         val bloomOk = s.blooms.get(f).flatMap(_.get(phys)) match {
-          case Some(b) if !shifted => strVal(v).forall(bloomMayContain(b, _))
+          case Some(b) if b.era == era => strVal(v).forall(bloomMayContain(b, _))
           case _ => true
         }
         tagOk && statOk && bloomOk
@@ -3864,7 +4232,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val won = try tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace", files,
             s.schema.getOrElse(laid.schema), None,
-            stats = statsFor(files),
+            stats = statsFor(files, s),
             blooms = bloomsForCfg(files, cfg, s.schema)))
         catch { case e: Throwable => files.foreach(deleteData); throw e }
       if (won) return s.version + 1
@@ -3984,7 +4352,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val won = try tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace_parts", tagged.map(_._1), sch,
             None, parts = touchedParts, fileParts = tagged.toMap,
-            stats = statsFor(tagged.map(_._1)),
+            stats = statsFor(tagged.map(_._1), s),
             blooms = bloomsForCfg(tagged.map(_._1), cfg, Some(sch))))
         catch { case e: Throwable => tagged.foreach(t => deleteData(t._1)); throw e }
       if (won) return s.version + 1
@@ -4094,11 +4462,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * at a checkpoint (a retained version folds from a checkpoint at or
     * below it; deleting a mid-fold manifest would break every version
     * above it), so the effective boundary is the NEWEST checkpoint
-    * whose entire prefix is older than the cutoff. Manifests with no
-    * `ts` (pre-clock logs) count as infinitely old. Writer clocks are
-    * trusted the way [[readAsOfTime]] trusts them: a skewed
-    * younger-than-cutoff clock merely RETAINS more, never deletes a
-    * young version. */
+    * whose entire prefix is older than the cutoff. Each manifest's
+    * effective age is FLOORED at the manifest FILE's modification time
+    * (r17, ADVICE r16): a writer whose embedded clock LAGS cannot make
+    * a version committed moments ago (in the storage system's own
+    * clock) look prunable inside its nominal retention window — the
+    * skewed-old direction now only RETAINS more, symmetric with the
+    * skewed-young direction, which always did. Manifests with no `ts`
+    * (pre-clock logs) age by their file modification time alone. */
   def prune(retainMs: Long = 0L): Int = {
     if (!fs.exists(logDir)) return 0
     val manifests = fs.listStatus(logDir)
@@ -4112,8 +4483,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         in.readFully(bytes); new String(bytes, "UTF-8")
       } finally in.close()
       val node = mapper.readTree(raw)
+      // effective age = the YOUNGER of the embedded commit clock and
+      // the file's modification time — a lagging writer clock cannot
+      // prune a wall-clock-recent version (r17, ADVICE r16)
       (Option(node.get("checkpoint")).exists(_.asBoolean()),
-        Option(node.get("ts")).map(_.asLong()).getOrElse(0L))
+        math.max(Option(node.get("ts")).map(_.asLong()).getOrElse(0L),
+          m.getModificationTime))
     }
     val best =
       if (retainMs <= 0L) {
@@ -4167,14 +4542,20 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * [[readVersion]] can reach stays readable after a vacuum (deleting
     * them would break time travel silently while the log still claims
     * the version; retire history first via compact+prune, then vacuum
-    * reclaims it). r16: unreferenced DATA files younger than the TTL
-    * are SPARED — a mid-commit writer's files are unreferenced exactly
-    * between its write and its manifest CAS, so the age floor makes a
-    * scheduled [[maintain]] safe beside live writers whose commit
-    * latency stays under the TTL (Delta's vacuum makes the same
-    * trade). Pass `stagingTtlMs = 0` to disable the floor when no
-    * writer can be live. Returns the count. */
-  def vacuum(stagingTtlMs: Long = CommitLog.StagingReclaimTtlMs): Int = {
+    * reclaims it). r16: unreferenced DATA files younger than a
+    * freshness floor are SPARED — a mid-commit writer's files are
+    * unreferenced exactly between its write and its manifest CAS, so
+    * the age floor makes a scheduled [[maintain]] safe beside live
+    * writers whose commit latency stays under it (Delta's vacuum makes
+    * the same trade). r17 (ADVICE r16): the floor is its OWN parameter
+    * — `dataTtlMs < 0` (the default) follows `stagingTtlMs`, `0`
+    * disables just the data-file floor (full reclamation) WITHOUT also
+    * making a live writer's staging dirs reclaimable, and an explicit
+    * positive value decouples the two ages entirely. Returns the
+    * count of data files deleted. */
+  def vacuum(stagingTtlMs: Long = CommitLog.StagingReclaimTtlMs,
+      dataTtlMs: Long = -1L): Int = {
+    val dataFloorMs = if (dataTtlMs < 0L) stagingTtlMs else dataTtlMs
     // reclaim staging left by a crashed writer: `.tmp-*` (partitioned
     // writes) and `.rowlevel-*` (SQL row-level ops) live under the
     // table root and are deleted by their writers in normal operation.
@@ -4222,19 +4603,19 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         fls ++ dvps
       }
       .toSet
-    // r16: only files OLDER than the staging TTL reclaim — a mid-commit
-    // writer's data files are unreferenced for exactly the window
-    // between its write and its manifest CAS, and age-flooring the
-    // sweep makes a scheduled [[maintain]] safe to run beside live
-    // writers (any commit latency under the TTL; Delta's vacuum makes
-    // the same trade). Lost-race leftovers age past the TTL and then
+    // r16: only files OLDER than the freshness floor reclaim — a
+    // mid-commit writer's data files are unreferenced for exactly the
+    // window between its write and its manifest CAS, and age-flooring
+    // the sweep makes a scheduled [[maintain]] safe to run beside live
+    // writers (any commit latency under the floor; Delta's vacuum makes
+    // the same trade). Lost-race leftovers age past it and then
     // reclaim as before.
-    // `stagingTtlMs <= 0` disables the floor (the explicit "I know no
+    // `dataFloorMs <= 0` disables the floor (the explicit "I know no
     // writer is live" spelling — and the pre-r16 behavior)
-    val dataCutoff = System.currentTimeMillis() - stagingTtlMs
+    val dataCutoff = System.currentTimeMillis() - dataFloorMs
     val dead = fs.listStatus(dataDir)
       .filter(s => s.isFile && !referenced(s.getPath.getName)
-        && (stagingTtlMs <= 0L || s.getModificationTime < dataCutoff))
+        && (dataFloorMs <= 0L || s.getModificationTime < dataCutoff))
     dead.foreach(s => fs.delete(s.getPath, false))
     dead.length
   }
@@ -4325,7 +4706,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         val won = tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace", kept ++ newFiles, sch, None,
             fileParts = s.parts.filter(kv => keptSet(kv._1)) ++ newTags,
-            stats = s.stats.filter(kv => keptSet(kv._1)) ++ statsFor(newFiles),
+            stats = s.stats.filter(kv => keptSet(kv._1)) ++ statsFor(newFiles, s),
             blooms = s.blooms.filter(kv => keptSet(kv._1))
               ++ bloomsFor(newFiles, Some(sch)),
             // kept files carry their deletion vectors through; the
@@ -4393,7 +4774,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       var cur = s0
       var attempts = 0
       try {
-        val st = statsFor(moved)
+        val st = statsFor(moved, s0)
         val bl = bloomsFor(moved, Some(mergedSchema(s0.schema, writeSchema)))
         while (!tryCommit(cur.version + 1,
             manifestJson(cur.version + 1, "add", moved,
@@ -4581,7 +4962,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * binary blobs record nothing and are simply never pruned). The
     * footer read is metadata-sized and happens once per commit, which
     * is what lets [[readRange]] skip files forever after. */
-  private def statsFor(relPaths: Seq[String]): Map[String, Map[String, (Any, Any)]] = {
+  private def statsFor(relPaths: Seq[String], snap: => Snapshot)
+      : Map[String, Map[String, (Any, Any)]] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -4592,11 +4974,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val base = Await.result(Future.sequence(futures), Duration.Inf)
       .filter(_._2.nonEmpty).toMap
     // r16: per-file exact SUMS ride the same stats channel under
-    // reserved [[CommitLog.SumKeyPrefix]] keys when configured. ONE
-    // snapshot serves both the config derivation and the harvest's
-    // name translation (review r16: the commit paths already fold the
-    // log a handful of times; this adds at most one more, shared).
-    lazy val snapForSums = snapshot()
+    // reserved [[CommitLog.SumKeyPrefix]] keys when configured. The
+    // snapshot is THREADED IN by the caller (r17, ADVICE r16): every
+    // commit path already holds its pre-commit fold, so the sum-config
+    // derivation costs zero extra snapshot folds per write.
+    lazy val snapForSums = snap
     effectiveSumCfg(() => snapForSums) match {
       case None => base
       case Some(cols) =>
@@ -4971,6 +5353,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         byCol.foreach { case (c, b) =>
           val o = cn.putObject(c)
           o.put("b", b.bits); o.put("k", b.k)
+          if (b.era != 0L) o.put("e", b.era) // era 0 stays byte-identical
           val w = o.putArray("w"); b.words.foreach(w.add)
         }
       }
@@ -4981,7 +5364,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       e.getKey -> e.getValue.properties().asScala.map { ce =>
         val o = ce.getValue
         ce.getKey -> CommitLog.BloomF(o.get("b").asInt(), o.get("k").asInt(),
-          o.get("w").elements().asScala.map(_.asLong()).toArray)
+          o.get("w").elements().asScala.map(_.asLong()).toArray,
+          Option(o.get("e")).map(_.asLong()).getOrElse(0L))
       }.toMap
     }.toMap).getOrElse(Map.empty)
 
@@ -5025,6 +5409,27 @@ object CommitLog {
     * zero extra plumbing. Values are Long (integral columns) or
     * [[DecV]] (decimal columns); absence refuses the SUM/AVG fold. */
   private[sources] val SumKeyPrefix: String = "graft.sum."
+
+  /** Reserved pseudo-key PREFIX for a DV'd file's LIVE NON-NULL count
+    * of a sum-maintained column (`graft.nn.<physical column>`, Long) —
+    * written only by the DV sum-delta accounting (r17): the file's
+    * pre-mask `fileNulls` channel stays untouched (it means "nulls in
+    * the physical file" everywhere), and this entry carries the
+    * post-mask COUNT(col) the fold needs. Present iff the file's DV
+    * accounting is current ([[SumDvKey]]). NOT a prefix of, or
+    * prefixed by, [[SumKeyPrefix]]/[[NullsKeyPrefix]] — the derived
+    * sum-config scan strips `graft.sum.` and must never see these. */
+  private[sources] val SumNPrefix: String = "graft.nn."
+
+  /** Reserved pseudo-key: the TOTAL masked-row count of this file whose
+    * contributions its `graft.sum.*`/`graft.nn.*` entries already
+    * EXCLUDE (Long, cumulative across DV commits). The fold admits a
+    * DV'd file's sum evidence iff this equals the file's live DV
+    * cardinality — a DV committed by a non-accounting writer (or with
+    * `spark.graft.dv.sumDeltas.enabled=false`) leaves the counts
+    * unequal and the fold refuses to a correct scan, exactly the r16
+    * behavior. */
+  private[sources] val SumDvKey: String = "graft.dvacc"
 
   /** StructField metadata key carrying a column's stable PHYSICAL
     * (in-file) name — the column-mapping anchor behind
@@ -5109,8 +5514,14 @@ object CommitLog {
       manifestsPruned: Int, filesVacuumed: Int)
 
   /** One per-file per-column Bloom filter, self-describing (so a
-    * reader needs no writer config and mixed-config files coexist). */
-  final case class BloomF(bits: Int, k: Int, words: Array[Long])
+    * reader needs no writer config and mixed-config files coexist).
+    * `era` (r17) is the column's string-form era ([[StrEraKey]]) the
+    * bits were hashed under — a probe only trusts the filter when the
+    * eras match, which is what lets post-widen files keep pruning
+    * after a float→double widen while pre-widen files' bits stay
+    * void. 0 = never-shifted (and every pre-r17 filter). */
+  final case class BloomF(bits: Int, k: Int, words: Array[Long],
+      era: Long = 0L)
 
   /** One deletion-vector sidecar reference: `path` is the table-root-
     * relative (or, on a clone, absolute) parquet sidecar holding
@@ -5272,9 +5683,29 @@ object CommitLog {
     * mismatch. */
   private[sources] val WidenedStrKey = "graft.widenedStr"
 
+  /** Field-metadata key counting the column's string-shifting widens —
+    * its STRING-FORM ERA (r17, VERDICT r16 #6). Each per-file bloom
+    * entry records the era its bits were hashed under
+    * ([[BloomF.era]]), so files written AFTER a float→double widen
+    * (whose stored values already stringify in double form) keep
+    * bloom-pruning point reads; only pre-widen files' bits are void.
+    * A legacy boolean-only [[WidenedStrKey]] marker reads as era 1
+    * (its files all carry era-0 blooms → skipped, exactly the r16
+    * conservatism). Partition TAGS stay era-less: a tag names a whole
+    * partition across eras, so tag equality remains void on a shifted
+    * column ([[strShifted]]). */
+  private[sources] val StrEraKey = "graft.strEra"
+
   private[sources] def strShifted(f: org.apache.spark.sql.types.StructField)
       : Boolean =
     f.metadata.contains(WidenedStrKey) && f.metadata.getBoolean(WidenedStrKey)
+
+  /** The column's current string-form era: 0 = never shifted. */
+  private[sources] def strEraOf(f: org.apache.spark.sql.types.StructField)
+      : Long =
+    if (f.metadata.contains(StrEraKey)) f.metadata.getLong(StrEraKey)
+    else if (strShifted(f)) 1L
+    else 0L
 
   /** True when widening `from` to `to` changes stored values' string
     * form (see [[WidenedStrKey]]). */

@@ -392,11 +392,26 @@ final class GraftCatalog extends TableCatalog
         val log = CommitLog(spark, root)
         log.dropColumn(del.fieldNames.toSeq)
         schema = log.snapshot().schema.getOrElse(schema)
+      case ut: UpdateColumnType =>
+        // r17: widen-by-DDL before the backfill arrives (Delta's ALTER
+        // COLUMN TYPE, Iceberg's updateColumn) — one metadata-only
+        // commit through the same lattice a wide write uses; anything
+        // non-widening refuses loudly inside [[CommitLog
+        // .widenColumnType]]
+        val root = dir(ident).toString
+        require(CommitLog.exists(spark, root),
+          s"$ident: ALTER COLUMN TYPE requires merge.log=true — a plain " +
+            "directory table has no version history to carry the " +
+            "widened schema (recreate via a rewrite instead)")
+        val log = CommitLog(spark, root)
+        log.widenColumnType(ut.fieldNames.toSeq, ut.newDataType())
+        schema = log.snapshot().schema.getOrElse(schema)
       case other => throw new UnsupportedOperationException(
         s"$ident: unsupported ALTER TABLE change " +
           s"${other.getClass.getSimpleName} — supported: ADD COLUMNS " +
-          "(top-level, nullable, appended), RENAME/DROP COLUMN " +
-          "(commit-log tables), and SET/UNSET TBLPROPERTIES")
+          "(top-level, nullable, appended), RENAME/DROP COLUMN and " +
+          "ALTER COLUMN TYPE <wider> (commit-log tables), and " +
+          "SET/UNSET TBLPROPERTIES")
     }
     if (added.nonEmpty) {
       def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
@@ -1487,13 +1502,41 @@ private[sources] final class GraftLogScanBuilder(
       else Some(internal(f.dataType, acc).getOrElse(return None))
     }
 
+    // r17: a DV'd file's sum evidence (the restated live partials, the
+    // live non-null counts) is admissible iff its accounting is
+    // CURRENT — the cumulative masked total its entries exclude
+    // ([[CommitLog.SumDvKey]]) equals its live DV cardinality. A DV a
+    // non-accounting writer committed leaves them unequal → refuse.
+    def dvTotal(fl: String): Long =
+      snap.dvs.getOrElse(fl, Nil).iterator.map(_.count).sum
+    def dvAccounted(fl: String): Boolean = {
+      val t = dvTotal(fl)
+      t == 0L || snap.stats.get(fl).flatMap(_.get(CommitLog.SumDvKey)).exists {
+        case (n: Long, _) => n == t
+        case _ => false
+      }
+    }
+
     // COUNT(col) = Σ(rows − nulls(col)) per file; unknown null counts
-    // refuse, provably-empty files contribute zero. DVs refuse (a
-    // masked row's null-ness is not in the manifest).
+    // refuse, provably-empty files contribute zero. A DV'd file (r17)
+    // answers from its accounted live non-null entry instead (the
+    // pre-mask null count can't see which masked rows were null);
+    // pre-mask all-null/empty files still contribute zero either way.
     def countCol(fs: Seq[String], phys: String): Option[Long] = {
       var total = 0L
       fs.foreach { fl =>
-        snap.nulls.get(fl).flatMap(_.get(phys)) match {
+        def preMaskZero: Boolean = snap.rows.get(fl).contains(0L) ||
+          ((snap.rows.get(fl), snap.nulls.get(fl).flatMap(_.get(phys))) match {
+            case (Some(r), Some(n)) => n == r
+            case _ => false
+          })
+        if (dvTotal(fl) > 0L) {
+          if (!dvAccounted(fl)) return None
+          snap.stats.get(fl).flatMap(_.get(CommitLog.SumNPrefix + phys)) match {
+            case Some((n: Long, _)) => total += n
+            case _ => if (!preMaskZero) return None
+          }
+        } else snap.nulls.get(fl).flatMap(_.get(phys)) match {
           case Some(n) => snap.rows.get(fl) match {
             case Some(r) => total += r - n
             case None => return None
@@ -1514,15 +1557,14 @@ private[sources] final class GraftLogScanBuilder(
     final case class FnAvg(f: StructField) extends Fn
     // r16: SUM/AVG fold from the per-file exact sums [[CommitLog
     // .withSumStats]] harvests. Only order-independent-exact types
-    // admit (integrals, decimals); AVG additionally only integrals
-    // (Spark's decimal AVG applies its own result scale + rounding).
+    // admit (integrals, decimals) — r17 extends AVG to decimals too:
+    // Spark's decimal AVG is Divide(sum, count) in the sum-buffer type
+    // cast to DecimalType(p+4, s+4), and the fold REPLAYS exactly that
+    // catalyst expression over the exact manifest sum (rounding,
+    // including the divide-then-cast two-step, is Spark's own).
     def sumType(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _: DecimalType => true
-      case _ => false
-    }
-    def intType(dt: DataType): Boolean = dt match {
-      case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
     val resolved: Seq[Fn] = funcs.toSeq.map {
@@ -1563,7 +1605,7 @@ private[sources] final class GraftLogScanBuilder(
         FnSum(f)
       case av: Avg if !av.isDistinct =>
         val f = singleColumn(av.column).getOrElse(return None)
-        if (!intType(f.dataType)) return None
+        if (!sumType(f.dataType)) return None
         FnAvg(f)
       case _ => return None
     }
@@ -1572,13 +1614,13 @@ private[sources] final class GraftLogScanBuilder(
     if (resolved.exists(_.isInstanceOf[FnDistinctKey])
         && !files.forall(f =>
           snap.parts.contains(f) && snap.rows.contains(f))) return None
-    if (resolved.exists(_.isInstanceOf[FnCountCol])
-        && files.exists(snap.dvs.contains)) return None
     // a DV could mask any file's extremal row — min/max never answers
-    // from pre-mask footer stats; same for sums (a masked row's value
-    // is baked into the pre-mask partial)
-    if (resolved.exists(x => x.isInstanceOf[FnExtremum]
-          || x.isInstanceOf[FnSum] || x.isInstanceOf[FnAvg])
+    // from pre-mask footer stats. SUM/AVG/COUNT(col) stopped refusing
+    // blanketly in r17: their per-file admission checks each DV'd
+    // file's sum-delta accounting ([[dvAccounted]]) instead — current
+    // accounting means the entries ARE the live values; anything else
+    // still refuses to a correct scan.
+    if (resolved.exists(_.isInstanceOf[FnExtremum])
         && files.exists(snap.dvs.contains)) return None
 
     // r16: Σ per-file exact partials, in BigDecimal (never rounds).
@@ -1591,6 +1633,10 @@ private[sources] final class GraftLogScanBuilder(
       val key = CommitLog.SumKeyPrefix + phys
       var acc = java.math.BigDecimal.ZERO
       fs.foreach { fl =>
+        // r17: a DV'd file's partial is its LIVE sum when — and only
+        // when — the DV commit's delta accounting is current; an
+        // unaccounted DV refuses exactly as before
+        if (dvTotal(fl) > 0L && !dvAccounted(fl)) return None
         snap.stats.get(fl).flatMap(_.get(key)) match {
           case Some((v, _)) => v match {
             case l: Long => acc = acc.add(java.math.BigDecimal.valueOf(l))
@@ -1640,14 +1686,42 @@ private[sources] final class GraftLogScanBuilder(
       val cnt = countCol(fs, CommitLog.physNameOf(f)).getOrElse(return None)
       if (cnt == 0L) return Some(null)
       val bd = sumBig(fs, f).getOrElse(return None)
-      // the correctly-rounded quotient of the EXACT sum — at least as
-      // accurate as a scan's double ACCUMULATION, whose per-value
-      // rounding is partition-order noise (so ulp-level divergence from
-      // a scan is possible even below 2^53; the scan's own answer is
-      // not unique there either — review r16). Past 2^53 the exact sum
-      // itself stops being double-representable: refuse.
-      if (bd.unscaledValue().bitLength() > 53) None
-      else Some(java.lang.Double.valueOf(bd.doubleValue() / cnt))
+      f.dataType match {
+        case dt: DecimalType =>
+          // r17: replay Spark's OWN decimal AVG over the exact manifest
+          // sum — Average plans Cast(Divide(sum: Decimal(p+10, s),
+          // count: Decimal(20, 0)), Decimal(p+4, s+4)), so building the
+          // very same catalyst expression reproduces its result bit for
+          // bit, INCLUDING the divide-then-cast two-step rounding (a
+          // hand-rolled single HALF_UP at scale s+4 could differ on
+          // quotients that straddle the intermediate scale's boundary).
+          // A sum the buffer type can't represent refuses (the scan
+          // then applies Spark's own overflow behavior), as does a
+          // cast overflow (legacy null here = ANSI throw on the scan).
+          import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EvalMode, Literal}
+          val sumT = DecimalType(math.min(38, dt.precision + 10), dt.scale)
+          val d = org.apache.spark.sql.types.Decimal(
+            scala.util.Try(scala.math.BigDecimal(bd.setScale(sumT.scale)))
+              .getOrElse(return None))
+          if (!d.changePrecision(sumT.precision, sumT.scale)) return None
+          val resT = DecimalType(math.min(38, dt.precision + 4),
+            math.min(38, dt.scale + 4))
+          scala.util.Try(
+            Cast(Divide(Literal(d, sumT),
+              Literal(org.apache.spark.sql.types.Decimal(cnt),
+                DecimalType(20, 0)), EvalMode.LEGACY), resT).eval(null))
+            .toOption.flatMap(Option(_))
+        case _ =>
+          // the correctly-rounded quotient of the EXACT sum — at least
+          // as accurate as a scan's double ACCUMULATION, whose
+          // per-value rounding is partition-order noise (so ulp-level
+          // divergence from a scan is possible even below 2^53; the
+          // scan's own answer is not unique there either — review
+          // r16). Past 2^53 the exact sum itself stops being
+          // double-representable: refuse.
+          if (bd.unscaledValue().bitLength() > 53) None
+          else Some(java.lang.Double.valueOf(bd.doubleValue() / cnt))
+      }
     }
 
     val outFields =
@@ -1670,7 +1744,12 @@ private[sources] final class GraftLogScanBuilder(
           }
           StructField(s"sum(${f.name})", rt, nullable = true)
         case FnAvg(f) =>
-          StructField(s"avg(${f.name})", DoubleType, nullable = true)
+          val rt = f.dataType match {
+            case dt: DecimalType => DecimalType(
+              math.min(38, dt.precision + 4), math.min(38, dt.scale + 4))
+            case _ => DoubleType
+          }
+          StructField(s"avg(${f.name})", rt, nullable = true)
       }
     val rows: Seq[Seq[Any]] = grouped.flatMap { case (comps, fs) =>
       val live: Option[Long] = liveCount(fs)

@@ -59,7 +59,7 @@ private[sources] object GraftProcedures {
   def names: Seq[String] =
     Seq("optimize", "optimize_partitions", "compact", "prune", "vacuum",
       "maintain", "history", "materialize_mapping", "clone", "restore",
-      "detail")
+      "detail", "harvest_sums")
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
     def logFor(table: String): CommitLog = {
@@ -102,11 +102,18 @@ private[sources] object GraftProcedures {
         Seq(p("table", StringType),
           // r16: < 0 = the default TTL; 0 disables the fresh-file
           // floor (only when no writer can be mid-commit)
-          pDefault("ttl_ms", LongType, "-1")),
+          pDefault("ttl_ms", LongType, "-1"),
+          // r17 (ADVICE r16): the DATA-file freshness floor decoupled
+          // from the staging-reclaim age — < 0 follows ttl_ms, 0
+          // disables just the data floor (full reclamation) without
+          // making a live writer's staging dirs reclaimable
+          pDefault("data_ttl_ms", LongType, "-1")),
         in => {
           val ttl = in.getLong(1)
+          val dataTtl = in.getLong(2)
           val log = logFor(in.getUTF8String(0).toString)
-          val n = if (ttl < 0) log.vacuum() else log.vacuum(ttl)
+          val n = if (ttl < 0) log.vacuum(dataTtlMs = dataTtl)
+            else log.vacuum(ttl, dataTtl)
           resultScan(countResult, Seq(new GenericInternalRow(Array[Any](n))))
         })
       // r16: the ONE scheduled maintenance call — checkpoint +
@@ -179,6 +186,23 @@ private[sources] object GraftProcedures {
           try out.write(mapper.writeValueAsBytes(node)) finally out.close()
           resultScan(versionResult,
             Seq(new GenericInternalRow(Array[Any](0L))))
+        })
+      // r17: stats-only sum backfill — adopt `merge.sumstats` on an
+      // EXISTING table by reading each uncovered live file once and
+      // restating its stats in one commit ([[CommitLog.harvestSums]]);
+      // no rewrite. columns = comma list, empty = the effective config.
+      case "harvest_sums" => proc("harvest_sums",
+        Seq(p("table", StringType), pDefault("columns", StringType, "''")),
+        in => {
+          val cs = in.getUTF8String(1).toString
+          val colSeq = if (cs.isEmpty) Nil
+            else cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val (v, n) = logFor(in.getUTF8String(0).toString)
+            .harvestSums(colSeq)
+          resultScan(StructType(Seq(
+            StructField("version", LongType),
+            StructField("files_harvested", IntegerType))),
+            Seq(new GenericInternalRow(Array[Any](v, n))))
         })
       case "restore" => proc("restore",
         Seq(p("table", StringType), p("version", LongType)),

@@ -136,20 +136,166 @@ class SumStatsSpec extends graft.SparkSpecBase {
     assert(q2.collect().head.getLong(0) === 3L)
   }
 
-  test("deletion vectors poison the sum fold; counts stay exact") {
+  test("a LEGACY deletion vector (accounting off) poisons the sum fold") {
     val (cat, wh) = freshCat("dv")
     spark.range(0, 0).toDF("id").writeTo(s"$cat.t")
       .tableProperty("merge.log", "true").create()
     val log = CommitLog(spark, s"$wh/t").withSumStats(Seq("id"))
     log.append(spark.range(0L, 100L).toDF("id").coalesce(1))
     spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    spark.conf.set("spark.graft.dv.sumDeltas.enabled", "false")
     try log.delete($"id" === 99L)
-    finally spark.conf.unset("spark.graft.dv.minTouchedBytes")
+    finally {
+      spark.conf.unset("spark.graft.dv.minTouchedBytes")
+      spark.conf.unset("spark.graft.dv.sumDeltas.enabled")
+    }
     assert(CommitLog(spark, s"$wh/t").snapshot().dvs.nonEmpty,
       "the delete must have taken the DV path")
     val q = spark.table(s"$cat.t").agg(sum($"id").as("s"))
     assert(!manifestAnswered(q), "a masked row's value is baked into the partial")
     assert(q.collect().head.getLong(0) === (0L until 99L).sum)
+  }
+
+  test("r17: a DV delete commits sum DELTAS — the fold survives row-level DML") {
+    val (cat, wh) = freshCat("dvacc")
+    spark.range(0, 0).toDF("id")
+      .select($"id", expr("CAST(0 AS DECIMAL(10,2))").as("price"),
+        lit(0).cast("int").as("n"))
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    val log = CommitLog(spark, s"$wh/t").withSumStats(Seq("id", "price", "n"))
+    // n is NULL on multiples of 7 — a masked NULL must not disturb the
+    // live non-null count, a masked non-null must decrement it
+    log.append(spark.range(0L, 100L).toDF("id")
+      .select($"id",
+        expr("CAST(id AS DECIMAL(10,2)) + CAST(0.25 AS DECIMAL(3,2))")
+          .cast("decimal(10,2)").as("price"),
+        when($"id" % 7 === 0, lit(null)).otherwise($"id").cast("int").as("n"))
+      .coalesce(1))
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    try {
+      log.delete($"id" === 99L) // masked non-null n
+      log.delete($"id" === 98L) // second DV on the SAME file: accumulation
+      log.delete($"id" === 91L) // masked NULL n (91 = 7 * 13)
+    } finally spark.conf.unset("spark.graft.dv.minTouchedBytes")
+    val snap = CommitLog(spark, s"$wh/t").snapshot()
+    assert(snap.dvs.valuesIterator.flatten.size === 3,
+      "all three deletes must take the DV path")
+    val live = (0L until 98L).filter(_ != 91L)
+    val q = spark.table(s"$cat.t").agg(
+      sum($"id").as("s_id"), sum($"price").as("s_p"),
+      count($"n").as("c_n"), avg($"price").as("a_p"))
+    assert(manifestAnswered(q),
+      "accounted DVs must keep the fold alive:\n"
+        + q.queryExecution.executedPlan)
+    val r = q.collect().head
+    assert(r.getLong(0) === live.sum)
+    assert(r.getDecimal(1) ===
+      (BigDecimal(live.sum) + BigDecimal("0.25") * live.size)
+        .underlying.setScale(2))
+    assert(r.getLong(2) === live.count(_ % 7 != 0))
+    // bit-exact parity with the real scan for the decimal AVG
+    spark.conf.set("spark.graft.aggPushdown.enabled", "false")
+    val scanned = try {
+      val qs = spark.table(s"$cat.t").agg(avg($"price").as("a_p"))
+      assert(!manifestAnswered(qs))
+      qs.collect().head.getDecimal(0)
+    } finally spark.conf.unset("spark.graft.aggPushdown.enabled")
+    assert(r.getDecimal(3) === scanned, "fold AVG must equal the scan bit-for-bit")
+    // a LEGACY DV behind the accounted ones re-poisons the fold
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    spark.conf.set("spark.graft.dv.sumDeltas.enabled", "false")
+    try log.delete($"id" === 5L)
+    finally {
+      spark.conf.unset("spark.graft.dv.minTouchedBytes")
+      spark.conf.unset("spark.graft.dv.sumDeltas.enabled")
+    }
+    val q2 = spark.table(s"$cat.t").agg(sum($"id").as("s_id"))
+    assert(!manifestAnswered(q2),
+      "stale accounting (dv total ≠ accounted total) must refuse")
+    assert(q2.collect().head.getLong(0) === live.sum - 5L)
+  }
+
+  test("r17: a merge-on-read UPDATE keeps sums exact (mask deltas + fresh partials)") {
+    val (cat, wh) = freshCat("dvupd")
+    spark.range(0, 0).toDF("id")
+      .select($"id", expr("CAST(0 AS DECIMAL(10,2))").as("price"))
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    val log = CommitLog(spark, s"$wh/t").withSumStats(Seq("id", "price"))
+    log.append(spark.range(0L, 50L).toDF("id")
+      .select($"id", expr("CAST(id AS DECIMAL(10,2))").as("price"))
+      .coalesce(1))
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    try log.update($"id" >= 48L, Map("price" -> expr("price + 1000")))
+    finally spark.conf.unset("spark.graft.dv.minTouchedBytes")
+    val snap = CommitLog(spark, s"$wh/t").snapshot()
+    assert(snap.dvs.nonEmpty, "the update must take the merge-on-read path")
+    val q = spark.table(s"$cat.t").agg(sum($"price").as("s_p"))
+    assert(manifestAnswered(q),
+      "the masked originals are subtracted, the rewrites carry fresh partials:\n"
+        + q.queryExecution.executedPlan)
+    assert(q.collect().head.getDecimal(0) ===
+      (BigDecimal((0L until 50L).sum) + BigDecimal(2000))
+        .underlying.setScale(2))
+  }
+
+  test("r17: harvest_sums backfills partials with one read, no rewrite") {
+    val (cat, wh) = freshCat("harv")
+    // files 1+2 committed with NO sum config — pre-adoption history
+    Seq(1L, 2L).toDF("v").coalesce(1)
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    Seq(10L, 20L).toDF("v").coalesce(1).writeTo(s"$cat.t").append()
+    val log = CommitLog(spark, s"$wh/t")
+    val q0 = spark.table(s"$cat.t").agg(sum($"v").as("s"))
+    assert(!manifestAnswered(q0), "uncovered files must refuse pre-backfill")
+    val filesBefore = log.snapshot().files.toSet
+    val (v, n) = log.harvestSums(Seq("v"))
+    assert(n === 2, "both uncovered files must harvest")
+    assert(log.snapshot().files.toSet === filesBefore, "no file rewritten")
+    val q = spark.table(s"$cat.t").agg(sum($"v").as("s"))
+    assert(manifestAnswered(q), "the backfilled partials must fold:\n"
+      + q.queryExecution.executedPlan)
+    assert(q.collect().head.getLong(0) === 33L)
+    // idempotent: a second call touches nothing
+    assert(log.harvestSums(Seq("v")) === (v, 0))
+    // SQL surface: the procedure backfills a fresh uncovered file
+    Seq(100L).toDF("v").coalesce(1).writeTo(s"$cat.t").append()
+    // (stickiness: the catalog write maintains sums once files carry
+    // them, so nothing to harvest — prove the procedure reports 0)
+    val r = spark.sql(
+      s"CALL $cat.system.harvest_sums(`table` => 't')").collect()(0)
+    assert(r.getInt(1) === 0, "sticky maintenance left nothing uncovered")
+    assert(spark.table(s"$cat.t").agg(sum($"v")).collect()(0)
+      .getLong(0) === 133L)
+  }
+
+  test("r17: harvest_sums repairs a LEGACY DV — live sums + current accounting") {
+    val (cat, wh) = freshCat("harvdv")
+    spark.range(0, 0).toDF("id").writeTo(s"$cat.t")
+      .tableProperty("merge.log", "true").create()
+    val log = CommitLog(spark, s"$wh/t").withSumStats(Seq("id"))
+    log.append(spark.range(0L, 100L).toDF("id").coalesce(1))
+    // a legacy DV (accounting off) poisons the fold…
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    spark.conf.set("spark.graft.dv.sumDeltas.enabled", "false")
+    try log.delete($"id" >= 97L)
+    finally {
+      spark.conf.unset("spark.graft.dv.minTouchedBytes")
+      spark.conf.unset("spark.graft.dv.sumDeltas.enabled")
+    }
+    val q0 = spark.table(s"$cat.t").agg(sum($"id").as("s"))
+    assert(!manifestAnswered(q0))
+    // …and the backfill repairs it: the masked read yields LIVE sums
+    // and stamps the accounting current
+    val (_, n) = log.harvestSums()
+    assert(n === 1, "the DV'd file must re-harvest")
+    val q = spark.table(s"$cat.t").agg(
+      sum($"id").as("s"), count($"id").as("c"), avg($"id").as("a"))
+    assert(manifestAnswered(q), "post-repair folds must answer:\n"
+      + q.queryExecution.executedPlan)
+    val r = q.collect().head
+    assert(r.getLong(0) === (0L until 97L).sum)
+    assert(r.getLong(1) === 97L)
+    assert(r.getDouble(2) === (0L until 97L).sum.toDouble / 97)
   }
 
   test("grouped sums fold per partition key") {

@@ -208,4 +208,73 @@ class WideningSpec extends graft.SparkSpecBase {
     assert(ch.filter($"_change_type" === "insert")
       .select($"id").as[Long].collect().sorted.toSeq === Seq(1L, 3000000000L))
   }
+
+  test("r17: ALTER COLUMN TYPE widens by DDL — metadata-only, BEFORE the backfill") {
+    val wh = Files.createTempDirectory("wid-ddl").toString
+    spark.conf.set("spark.sql.catalog.widddl", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.widddl.warehouse", wh)
+    Seq((1, "a"), (2, "b")).toDF("id", "v").coalesce(1)
+      .writeTo("widddl.t").tableProperty("merge.log", "true").create()
+    val filesBefore = CommitLog(spark, s"$wh/t").snapshot().files.toSet
+    // the standard lakehouse habit: widen the column BEFORE any wide
+    // value exists — no write has forced the evolution yet
+    spark.sql("ALTER TABLE widddl.t ALTER COLUMN id TYPE BIGINT")
+    assert(spark.table("widddl.t").schema("id").dataType === LongType)
+    assert(filesBefore.subsetOf(
+      CommitLog(spark, s"$wh/t").snapshot().files.toSet),
+      "DDL widening must not rewrite any file")
+    // old files read through the widened schema; a narrow append
+    // upcasts; the backfill's wide values land
+    Seq((3, "c")).toDF("id", "v").writeTo("widddl.t").append()
+    Seq((3000000000L, "d")).toDF("id", "v").writeTo("widddl.t").append()
+    assert(spark.table("widddl.t").orderBy("id").as[(Long, String)]
+      .collect().toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c"), (3000000000L, "d")))
+    // non-widening changes refuse loudly, schema untouched
+    intercept[Exception] {
+      spark.sql("ALTER TABLE widddl.t ALTER COLUMN id TYPE STRING")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE widddl.t ALTER COLUMN id TYPE INT")
+    }
+    assert(spark.table("widddl.t").schema("id").dataType === LongType)
+    // library form: a NESTED struct-interior path widens too
+    val t2 = tmpTable("wid-ddl-nested")
+    val log2 = CommitLog(spark, t2)
+    log2.append(Seq((1, 2)).toDF("a", "b").select(struct($"a", $"b").as("s")))
+    log2.widenColumnType(Seq("s", "a"), LongType)
+    assert(log2.read().schema("s").dataType.asInstanceOf[StructType]("a")
+      .dataType === LongType)
+    assert(log2.read().select($"s.a").as[Long].collect().toSeq === Seq(1L))
+    // widening to the current type is a no-op: no commit burned
+    val v = log2.snapshot().version
+    assert(log2.widenColumnType(Seq("s", "a"), LongType) === v)
+  }
+
+  test("r17: post-widen files' blooms keep excluding; pre-widen bits stay void") {
+    val t = tmpTable("wid-era")
+    val log = CommitLog(spark, t).withBloomIndex(Seq("p"))
+    log.append(Seq(0.1f, 2.5f).toDF("p").coalesce(1)) // file A: era-0 bits
+    log.widenColumnType(Seq("p"), DoubleType)         // era 1, metadata-only
+    assert(log.read().schema("p").dataType === DoubleType)
+    assert(CommitLog.strShifted(log.snapshot().schema.get("p")))
+    val filesA = log.snapshot().files.toSet
+    log.append(Seq(0.7, 2.9).toDF("p").coalesce(1))   // file B: era-1 bits
+    val filesAB = log.snapshot().files.toSet
+    log.append(Seq(0.65, 2.2).toDF("p").coalesce(1))  // file C: era-1 bits
+    val fA = filesA.head
+    val fB = (filesAB -- filesA).head
+    val fC = (log.snapshot().files.toSet -- filesAB).head
+    // probe 0.7: every file's min/max covers it, so only BLOOM evidence
+    // can prune — C's post-widen (same-era) filter excludes it, while
+    // A's pre-widen bits are void and must keep the file
+    val cands = log.pointCandidateFiles("p", 0.7).toSet
+    assert(cands.contains(fA), "pre-widen bloom bits must stay void (keep A)")
+    assert(cands.contains(fB), "the file holding the value must survive")
+    assert(!cands.contains(fC),
+      s"a post-widen file's same-era bloom must exclude; candidates=$cands")
+    // and the r16 correctness pin still holds: the stored float row is
+    // FOUND through the widened type (A's old bits never falsely exclude)
+    assert(log.readPoint("p", 0.1f.toDouble).count() === 1L)
+  }
 }
