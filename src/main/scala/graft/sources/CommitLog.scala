@@ -2396,20 +2396,60 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val cur = s.schema.getOrElse(throw new IllegalStateException(
         s"$tableRoot: ALTER COLUMN TYPE on a table with no committed schema"))
       var noop = false
-      val evolved = rewriteStructPath(cur, path, "ALTER COLUMN TYPE") { (st, idx) =>
-        val f = st.fields(idx)
-        val curT = CommitLog.stripMeta(f.dataType)
-        val toT = CommitLog.stripMeta(to)
-        if (curT == toT) { noop = true; st }
-        else {
-          require(CommitLog.widerOf(curT, toT).contains(toT),
+      // the container-aware widen: scalars through [[CommitLog.widerOf]],
+      // ARRAY elements and MAP values recursively (the same shapes the
+      // write-driven merge admits — `ALTER COLUMN arr TYPE ARRAY<BIGINT>`
+      // parallels a wide array write); struct-typed targets refuse —
+      // address the LEAF by its path instead, which keeps each interior
+      // field's mapping metadata intact
+      def widenTo(c: org.apache.spark.sql.types.DataType,
+          t: org.apache.spark.sql.types.DataType)
+          : org.apache.spark.sql.types.DataType = (c, t) match {
+        case _ if CommitLog.stripMeta(c) == CommitLog.stripMeta(t) => c
+        case (ca: org.apache.spark.sql.types.ArrayType,
+              ta: org.apache.spark.sql.types.ArrayType) =>
+          ca.copy(elementType = widenTo(ca.elementType, ta.elementType),
+            containsNull = ca.containsNull || ta.containsNull)
+        case (cm: org.apache.spark.sql.types.MapType,
+              tm: org.apache.spark.sql.types.MapType)
+            if CommitLog.stripMeta(cm.keyType) == CommitLog.stripMeta(tm.keyType) =>
+          cm.copy(valueType = widenTo(cm.valueType, tm.valueType),
+            valueContainsNull = cm.valueContainsNull || tm.valueContainsNull)
+        case _ =>
+          val w = CommitLog.widerOf(CommitLog.stripMeta(c), CommitLog.stripMeta(t))
+          require(w.contains(CommitLog.stripMeta(t)),
             s"$tableRoot: ALTER COLUMN TYPE cannot change " +
-              s"'${path.mkString(".")}' from ${f.dataType.simpleString} to " +
-              s"${to.simpleString} (only exact widenings are metadata-only: " +
+              s"'${path.mkString(".")}' from ${c.simpleString} to " +
+              s"${t.simpleString} (only exact widenings are metadata-only: " +
               "byte/short/int->long, float->double, decimal precision " +
               "growth at the same scale — anything else is a rewrite)")
+          CommitLog.stripMeta(t)
+      }
+      // float→double anywhere under the target shifts stored values'
+      // string form — same era bump as the write-driven merge
+      def shifts(c: org.apache.spark.sql.types.DataType,
+          m: org.apache.spark.sql.types.DataType): Boolean = (c, m) match {
+        case (ca: org.apache.spark.sql.types.ArrayType,
+              ma: org.apache.spark.sql.types.ArrayType) =>
+          shifts(ca.elementType, ma.elementType)
+        case (cm: org.apache.spark.sql.types.MapType,
+              mm: org.apache.spark.sql.types.MapType) =>
+          shifts(cm.valueType, mm.valueType)
+        case _ => CommitLog.strFormShifts(c, m)
+      }
+      val evolved = rewriteStructPath(cur, path, "ALTER COLUMN TYPE") { (st, idx) =>
+        val f = st.fields(idx)
+        require(!CommitLog.stripMeta(f.dataType).isInstanceOf[StructType]
+            || !CommitLog.stripMeta(to).isInstanceOf[StructType],
+          s"$tableRoot: ALTER COLUMN TYPE of a whole STRUCT is ambiguous " +
+            s"— widen the leaf ('${path.mkString(".")}.<field>') instead")
+        val merged = widenTo(f.dataType, to)
+        if (CommitLog.stripMeta(merged) == CommitLog.stripMeta(f.dataType)
+            && CommitLog.stripMeta(f.dataType) == CommitLog.stripMeta(to)) {
+          noop = true; st
+        } else {
           val meta =
-            if (CommitLog.strFormShifts(curT, toT))
+            if (shifts(f.dataType, merged))
               new org.apache.spark.sql.types.MetadataBuilder()
                 .withMetadata(f.metadata)
                 .putBoolean(CommitLog.WidenedStrKey, true)
@@ -2417,7 +2457,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
                 .build()
             else f.metadata
           StructType(st.fields.updated(idx,
-            f.copy(dataType = toT, metadata = meta)))
+            f.copy(dataType = merged, metadata = meta)))
         }
       }
       if (noop) return s.version

@@ -249,6 +249,22 @@ class WideningSpec extends graft.SparkSpecBase {
     // widening to the current type is a no-op: no commit burned
     val v = log2.snapshot().version
     assert(log2.widenColumnType(Seq("s", "a"), LongType) === v)
+    // container interiors widen by DDL too (ALTER COLUMN xs TYPE
+    // ARRAY<BIGINT> — the shape a wide array write already admits)
+    val t3 = tmpTable("wid-ddl-arr")
+    val log3 = CommitLog(spark, t3)
+    log3.append(Seq(Tuple1(Seq(1, 2))).toDF("xs"))
+    log3.widenColumnType(Seq("xs"), ArrayType(LongType))
+    assert(log3.read().schema("xs").dataType.asInstanceOf[ArrayType]
+      .elementType === LongType)
+    assert(log3.read().select(explode($"xs")).as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+    // a whole-struct retype is ambiguous — loud refusal names the fix
+    val e3 = intercept[IllegalArgumentException] {
+      log2.widenColumnType(Seq("s"),
+        StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    }
+    assert(e3.getMessage.contains("widen the leaf"))
   }
 
   test("r17: post-widen files' blooms keep excluding; pre-widen bits stay void") {
