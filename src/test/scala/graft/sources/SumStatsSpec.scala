@@ -352,5 +352,13 @@ class SumStatsSpec extends graft.SparkSpecBase {
     assert(rows.map(_.getString(0)).toSeq === Seq("0", "1", "2"))
     assert(rows.map(_.getLong(1)).toSeq ===
       Seq(0L, 1L, 2L).map(m => (0L until 120L).filter(_ % 3 == m).sum))
+    // a partition-EXACT filter keeps the fold sound over the selected
+    // files — SUM under WHERE part = x answers from the manifest too
+    val qf = spark.table(s"$cat.t").filter($"g" === "1")
+      .agg(sum($"id").as("s"))
+    assert(manifestAnswered(qf), "partition-exact filtered SUM must fold:\n"
+      + qf.queryExecution.executedPlan)
+    assert(qf.collect().head.getLong(0)
+      === (0L until 120L).filter(_ % 3 == 1).sum)
   }
 }
