@@ -53,6 +53,16 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The Ckpt release discipline (unpersisting released localCheckpoint
+    // blocks, util/Ckpt.scala) makes RDD.unpersist emit one WARN per
+    // released block ("RDD N was locally checkpointed, its lineage has
+    // been truncated…") — expected output of deliberate lifecycle
+    // management, and at bench volume it floods captured output tails,
+    // burying real warnings. Silence exactly that logger (the concrete
+    // RDD class the checkpoint materializes); everything else stays WARN.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     // engine-native functions, available to DataFrame code and SQL alike
     graft.functions.SimHash64.register(spark)
     graft.functions.CosineSim.register(spark)

@@ -560,7 +560,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   private def sumsFor(relPaths: Seq[String], logicalCols: Seq[String],
       snap: => Snapshot): Map[String, Map[String, (Any, Any)]] =
     scala.util.Try {
-      import org.apache.spark.sql.functions.{col, input_file_name, sum}
+      import org.apache.spark.sql.functions.{col, input_file_name, try_sum}
       import org.apache.spark.sql.types._
       if (relPaths.isEmpty || logicalCols.isEmpty) return Map.empty
       val sch = snap.schema
@@ -585,7 +585,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           case d: DecimalType => DecimalType(38, d.scale)
           case _ => DecimalType(38, 0)
         }
-        sum(col(s"`$c`").cast(wide)).as(c)
+        // try_sum: a per-file overflow (ANSI would throw, non-ANSI
+        // nulls) yields NULL for THAT entry only — omitted below, the
+        // fold refuses for that file; other files/columns keep theirs
+        try_sum(col(s"`$c`").cast(wide)).as(c)
       }
       val byName = relPaths.map(f => new Path(entryPath(f)).getName -> f).toMap
       df.groupBy(input_file_name().as("__f"))
@@ -637,7 +640,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * (committed version, files harvested) — (current version, 0) when
     * nothing needed work. */
   def harvestSums(cols: Seq[String] = Nil): (Long, Int) = {
-    import org.apache.spark.sql.functions.{col, count, sum}
+    import org.apache.spark.sql.functions.{col, count, try_sum}
     import org.apache.spark.sql.types._
     var attempts = 0
     while (true) {
@@ -689,7 +692,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       // live sums and live non-null counts, grouped per file
       val narrow = StructType(fields.toArray)
       val aggs = fields.flatMap(f => Seq(
-        sum(col(s"`${f.name}`").cast(f.dataType match {
+        try_sum(col(s"`${f.name}`").cast(f.dataType match {
           case d: DecimalType => DecimalType(38, d.scale)
           case _ => DecimalType(38, 0)
         })).as(s"__s_${f.name}"),
@@ -708,17 +711,28 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           var m = base
           fields.zipWithIndex.foreach { case (f, i) =>
             val phys = physName(f)
+            val liveNn = row.map(_.getLong(2 + 2 * i)).getOrElse(0L)
             // a file with zero live rows, or an all-null-among-live
             // column, stores a ZERO partial: it contributes nothing to
             // the fold's exact accumulation (the global NULL-if-no-
-            // values rule rides the live non-null counts, not this)
-            val bd = row.map(r => Option(r.getDecimal(1 + 2 * i))
-              .getOrElse(java.math.BigDecimal.ZERO))
-              .getOrElse(java.math.BigDecimal.ZERO)
-            val repr: Option[Any] = f.dataType match {
-              case _: DecimalType => CommitLog.decVOf(bd).map(x => x: Any)
-              case _ => CommitLog.decVOf(bd).collect {
-                case CommitLog.DecV(u, 0) => java.lang.Long.valueOf(u): Any
+            // values rule rides the live non-null counts, not this).
+            // A NULL aggregate WITH live values is NOT all-null — it is
+            // the non-ANSI sum's overflow signal (the Decimal(38,s)
+            // accumulator has zero headroom at max precision), so the
+            // entry stays absent and the fold keeps refusing, matching
+            // the write-time harvest's omission (ADVICE r17)
+            val bdOpt: Option[java.math.BigDecimal] =
+              row.flatMap(r => Option(r.getDecimal(1 + 2 * i))) match {
+                case some @ Some(_) => some
+                case None if liveNn == 0L => Some(java.math.BigDecimal.ZERO)
+                case None => None
+              }
+            val repr: Option[Any] = bdOpt.flatMap { bd =>
+              f.dataType match {
+                case _: DecimalType => CommitLog.decVOf(bd).map(x => x: Any)
+                case _ => CommitLog.decVOf(bd).collect {
+                  case CommitLog.DecV(u, 0) => java.lang.Long.valueOf(u): Any
+                }
               }
             }
             repr match {
@@ -728,8 +742,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
                 m = m - (CommitLog.SumKeyPrefix + phys)
             }
             if (dvTot(fl) > 0L) {
-              val nn = java.lang.Long.valueOf(
-                row.map(_.getLong(2 + 2 * i)).getOrElse(0L))
+              val nn = java.lang.Long.valueOf(liveNn)
               m = m.updated(CommitLog.SumNPrefix + phys, (nn, nn))
             }
           }
@@ -739,10 +752,17 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           }
           fl -> m
         }.toMap
+      // a file whose harvest changes nothing (e.g. an overflowed —
+      // unrepresentable — sum that stays absent) must not churn a
+      // version per call: commit only actual restatements
+      val changed = restated.filter { case (fl, m) =>
+        m != s.stats.getOrElse(fl, Map.empty)
+      }
+      if (changed.isEmpty) return (s.version, 0)
       if (tryCommit(s.version + 1,
           manifestJson(s.version + 1, "add", Nil, sch, None,
-            stats = restated)))
-        return (s.version + 1, needs.size)
+            stats = changed)))
+        return (s.version + 1, changed.size)
       attempts += 1
       require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
     }
@@ -2772,11 +2792,19 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             val nKey = CommitLog.SumNPrefix + phys
             val prevNn: Option[Long] = m.get(nKey) match {
               case Some((n: Long, _)) => Some(n)
-              case _ => (s.rows.get(rel),
+              // the rows−nulls fallback is PRE-mask, so it is only the
+              // live count while the file has no accounted prior DV; a
+              // column that gained sum partials AFTER this file's
+              // earlier accounting has no nKey here, and the pre-mask
+              // figure would overcount by the previously-masked
+              // non-null rows — drop the pair, absence refuses
+              // (ADVICE r17)
+              case _ if prevDv == 0L => (s.rows.get(rel),
                   s.nulls.get(rel).flatMap(_.get(phys))) match {
                 case (Some(r), Some(nl)) => Some(r - nl)
                 case _ => None
               }
+              case _ => None
             }
             m = prevNn match {
               case Some(nn) =>

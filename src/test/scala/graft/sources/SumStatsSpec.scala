@@ -298,6 +298,94 @@ class SumStatsSpec extends graft.SparkSpecBase {
     assert(r.getDouble(2) === (0L until 97L).sum.toDouble / 97)
   }
 
+  test("r18: an OVERFLOWED harvest sum stays absent — fold refuses, no zero") {
+    // DECIMAL(38,0) has zero accumulator headroom: two near-max rows
+    // overflow the non-ANSI sum to NULL. A NULL aggregate WITH live
+    // values is the overflow signal, not all-null — the backfill must
+    // OMIT the entry (fold keeps refusing), never store a ZERO partial
+    // (ADVICE r17 #1).
+    val (cat, wh) = freshCat("ovf")
+    val big = "9" * 38 // 10^38 - 1, the DECIMAL(38,0) max
+    spark.sql(
+      s"SELECT CAST('$big' AS DECIMAL(38,0)) AS v UNION ALL " +
+      s"SELECT CAST('$big' AS DECIMAL(38,0))").coalesce(1)
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    val log = CommitLog(spark, s"$wh/t")
+    val (v0, n) = log.harvestSums(Seq("v"))
+    assert(n === 0, "an unrepresentable sum must not commit a restatement")
+    val snap = log.snapshot()
+    assert(snap.files.forall(f => !snap.stats.getOrElse(f, Map.empty)
+        .contains(CommitLog.SumKeyPrefix + "v")),
+      "the overflowed partial must stay ABSENT, not zero")
+    // the refused fold falls back to a real scan — which under ANSI
+    // throws the overflow. A silently-stored ZERO partial would have
+    // folded 0 from the manifest with no error: the throw IS the proof
+    val q = spark.table(s"$cat.t").agg(sum($"v").as("s"))
+    val thrown = intercept[Exception] { q.collect() }
+    assert(thrown.toString.contains("ARITHMETIC_OVERFLOW"),
+      s"the scan must surface the ANSI overflow, got: $thrown")
+    // idempotent refusal: a second call commits nothing either
+    assert(log.harvestSums(Seq("v"))._2 === 0)
+    assert(log.snapshot().version === v0, "no version churn on refusal")
+  }
+
+  test("r18: accounted-DV file refuses COUNT on a LATER-adopted sum column") {
+    // F1 accounts a DV knowing only column `id`; column `b` gains sum
+    // partials afterwards (on F2). A second DV touching both files must
+    // NOT backfill F1's live non-null count for `b` from the PRE-mask
+    // rows−nulls (it would overcount by the previously-masked non-null
+    // rows) — the pair drops and COUNT(b) honestly refuses for F1
+    // (ADVICE r17 #2). harvest_sums is the explicit repair.
+    val (cat, wh) = freshCat("ext")
+    spark.range(0, 0).toDF("id").select($"id", $"id".as("b"))
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi).toDF("id")
+      .select($"id", when($"id" % 5 === 0, lit(null)).otherwise($"id")
+        .cast("long").as("b")).coalesce(1)
+    CommitLog(spark, s"$wh/t").withSumStats(Seq("id")).append(batch(0L, 50L))
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    try {
+      // DV #1 on F1 only — accounts `id` (the only sum column F1 has)
+      CommitLog(spark, s"$wh/t").delete($"id" === 49L)
+      // F2 arrives with sums for BOTH columns
+      CommitLog(spark, s"$wh/t").withSumStats(Seq("id", "b"))
+        .append(batch(50L, 100L))
+      // DV #2 touches both files → sumCols = {id, b}; F1 has a prior
+      // accounted DV and no live count for `b`
+      CommitLog(spark, s"$wh/t").delete($"id" === 48L || $"id" === 99L)
+    } finally spark.conf.unset("spark.graft.dv.minTouchedBytes")
+    val snap = CommitLog(spark, s"$wh/t").snapshot()
+    assert(snap.dvs.size === 2, "both files must carry DVs")
+    val f1 = snap.files.find { f => // the DV'd file without sum(b)
+      val st = snap.stats.getOrElse(f, Map.empty)
+      st.contains(CommitLog.SumKeyPrefix + "id") &&
+        !st.contains(CommitLog.SumKeyPrefix + "b")
+    }.get
+    assert(!snap.stats.getOrElse(f1, Map.empty)
+        .contains(CommitLog.SumNPrefix + "b"),
+      "no live count may be minted from pre-mask rows−nulls")
+    assert(snap.stats.getOrElse(f1, Map.empty)
+        .contains(CommitLog.SumNPrefix + "id"),
+      "the maintained column keeps its live count")
+    val live = (0L until 48L) ++ (50L until 99L)
+    val qb = spark.table(s"$cat.t").agg(count($"b").as("c"))
+    assert(!manifestAnswered(qb), "COUNT(b) must refuse — F1 can't answer")
+    assert(qb.collect().head.getLong(0) === live.count(_ % 5 != 0))
+    val qid = spark.table(s"$cat.t").agg(
+      count($"id").as("c"), sum($"id").as("s"))
+    assert(manifestAnswered(qid), "the fully-maintained column still folds:\n"
+      + qid.queryExecution.executedPlan)
+    val r = qid.collect().head
+    assert(r.getLong(0) === live.size.toLong)
+    assert(r.getLong(1) === live.sum)
+    // the explicit repair: harvest re-reads live rows and closes the gap
+    assert(CommitLog(spark, s"$wh/t").harvestSums(Seq("id", "b"))._2 >= 1)
+    val qb2 = spark.table(s"$cat.t").agg(count($"b").as("c"))
+    assert(manifestAnswered(qb2), "post-repair COUNT(b) must fold:\n"
+      + qb2.queryExecution.executedPlan)
+    assert(qb2.collect().head.getLong(0) === live.count(_ % 5 != 0))
+  }
+
   test("r17: the fold lifecycle — time travel, OPTIMIZE, RESTORE") {
     val (cat, wh) = freshCat("life")
     spark.range(0, 0).toDF("id").writeTo(s"$cat.t")
