@@ -3369,13 +3369,37 @@ object IndexQueries {
       require(planOf(after).contains("BatchScan"),
         s"q196: a legacy DV must refuse the fold:\n${planOf(after)}")
       val sAfter = after.collect()(0).getLong(0)
+      // r18 (VERDICT r17 #2): the accounting is no longer bounded to
+      // the sum set — a SUMS-FREE table's DV delete restates a live
+      // non-null count for EVERY column (packed nullness bitmask on
+      // the same mask collect), so COUNT(nullable_col) keeps folding
+      // from the manifest after row-level DML with no merge.sumstats
+      o.limit(0).writeTo(s"$cat.t2").tableProperty("merge.log", "true")
+        .create()
+      val log2 = graft.sources.CommitLog(s, s"$root/t2")
+      log2.append(o)
+      s.conf.set("spark.graft.dv.minTouchedBytes", "0")
+      try log2.delete(col("o_orderkey") === kmax)
+      finally priorFloor.fold(s.conf.unset("spark.graft.dv.minTouchedBytes"))(
+        s.conf.set("spark.graft.dv.minTouchedBytes", _))
+      require(log2.snapshot().dvs.nonEmpty,
+        "q196: the sums-free delete must take the DV path")
+      val cnt2 = s.table(s"$cat.t2").agg(count(col("qty")).as("n2"))
+      require(planOf(cnt2).contains("LocalTableScan")
+          && !planOf(cnt2).contains("BatchScan"),
+        s"q196: COUNT(col) must fold across a DV without sums:\n${planOf(cnt2)}")
+      val n2 = cnt2.collect()(0).getLong(0)
+      val sum2 = s.table(s"$cat.t2").agg(sum(col("o_orderkey")).as("s"))
+      require(planOf(sum2).contains("BatchScan"),
+        s"q196: no partials were harvested — SUM must refuse:\n${planOf(sum2)}")
       import s.implicits._
       Seq((fr.getLong(0), fr.getDecimal(1).doubleValue,
           fr.getDecimal(2).toPlainString, fr.getLong(3),
           gRows.map(r => s"${r.getString(0)}:${r.getDecimal(1).toPlainString}")
             .mkString(","),
-          sAfter))
-        .toDF("s_key", "s_price", "a_price", "n_qty", "by_status", "s_after")
+          sAfter, n2))
+        .toDF("s_key", "s_price", "a_price", "n_qty", "by_status", "s_after",
+          "n2")
     },
     // a_price replays Spark's decimal AVG (DECIMAL(26,2) sum ÷
     // DECIMAL(20,0) count → adjusted DECIMAL(38,14), HALF_UP, cast to
@@ -3415,7 +3439,9 @@ object IndexQueries {
         (SELECT string_agg(st || ':' || CAST(sp AS VARCHAR), ',' ORDER BY st)
           FROM grouped) AS by_status,
         (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM live, keysel
-          WHERE o_orderkey <> kmin) AS s_after"""))
+          WHERE o_orderkey <> kmin) AS s_after,
+        (SELECT COUNT(qty) FROM base, keysel
+          WHERE o_orderkey <> kmax) AS n2"""))
 
   /** B2 WIDEN-BY-DDL + BLOOM ERA (r17, VERDICT r16 #2/#6): `ALTER
     * TABLE … ALTER COLUMN <c> TYPE <wider>` routes through the r16

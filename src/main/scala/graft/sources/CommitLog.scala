@@ -137,7 +137,26 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       // per-file per-column EXACT null counts (r14) — COUNT(col) =
       // Σ(rows − nulls). Absent when any chunk of the column omitted
       // numNulls (or the manifest predates r14): unknown, never zero.
-      nulls: Map[String, Map[String, Long]] = Map.empty) {
+      nulls: Map[String, Map[String, Long]] = Map.empty,
+      // r18 PARTITION-SPEC EVOLUTION (Iceberg-style, metadata-only):
+      // `specs` is the append-only registry of rendered partition
+      // specs this table has written under (empty until the first
+      // [[evolvePartitionSpec]] — the pre-r18 single-spec world);
+      // `fileSpec` maps a tagged data file to its registry index
+      // (absent = 0, the create-time spec). A file's TAG is only
+      // meaningful under ITS spec — every tag consumer judges
+      // per-file or refuses on a mix.
+      specs: Seq[String] = Nil,
+      fileSpec: Map[String, Int] = Map.empty) {
+    /** Registry index of the CURRENT spec (0 while the registry is
+      * empty — the single-spec world). */
+    def currentSpecId: Int = math.max(0, specs.size - 1)
+    /** The spec id a file's tag was written under. */
+    def specIdOf(f: String): Int = fileSpec.getOrElse(f, 0)
+    /** True when every file in `fs` is tagged under the CURRENT spec —
+      * the admission every whole-table tag interpretation needs. */
+    def allCurrentSpec(fs: Seq[String]): Boolean =
+      specs.isEmpty || fs.forall(f => specIdOf(f) == currentSpecId)
     /** Rows masked out of `f` by its deletion vectors — EXACT: every
       * DV find-scan reads the already-masked view ([[readLiveWithPos]]
       * subtracts prior DVs before computing positions), so sidecar
@@ -900,6 +919,25 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val fileDvTags = parseDvs(node)
     val fileRowTags = parseRows(node)
     val fileNullTags = parseNulls(node)
+    // r18: the spec REGISTRY is a full restatement when present
+    // (evolve_spec and checkpoints write it); absent = carry forward,
+    // so pre-r18 manifests and single-spec commits stay byte-identical
+    var specs = Option(node.get("partSpecs"))
+      .map(_.elements().asScala.map(_.asText()).toVector)
+      .getOrElse(prev.specs)
+    val explicitSpecIds: Map[String, Int] =
+      Option(node.get("fileSpecs")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asInt()).toMap).getOrElse(Map.empty)
+    // a newly tagged file's spec: explicit entry (restore/checkpoint
+    // restatements) > the id it already carried (files riding through
+    // a replace) > the CURRENT spec at this commit (all writes land
+    // under the current spec — [[requireCurrentSpec]] enforces it)
+    val curId = math.max(0, specs.size - 1)
+    def specIdsFor(tagged: Map[String, String],
+        carried: Map[String, Int]): Map[String, Int] =
+      if (specs.isEmpty) Map.empty
+      else tagged.keysIterator.map(f => f -> explicitSpecIds.getOrElse(f,
+        carried.getOrElse(f, curId))).toMap
     var files = prev.files
     var parts = prev.parts
     var stats = prev.stats
@@ -907,11 +945,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     var dvs = prev.dvs
     var rows = prev.rows
     var nulls = prev.nulls
+    var fileSpec = prev.fileSpec
     node.get("action").asText() match {
       case "add"     =>
         files = files ++ fl; parts = parts ++ filePartTags
         stats = stats ++ fileStatTags; blooms = blooms ++ fileBloomTags
         rows = rows ++ fileRowTags; nulls = nulls ++ fileNullTags
+        fileSpec = fileSpec ++ specIdsFor(filePartTags, prev.fileSpec)
         // ordinary appends carry no DVs; a shallow clone's version-0
         // "add" restates the source's, absolute like its files
         fileDvTags.foreach { case (f, refs) =>
@@ -925,12 +965,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         files = files ++ fl; parts = parts ++ filePartTags
         stats = stats ++ fileStatTags; blooms = blooms ++ fileBloomTags
         rows = rows ++ fileRowTags; nulls = nulls ++ fileNullTags
+        fileSpec = fileSpec ++ specIdsFor(filePartTags, prev.fileSpec)
         fileDvTags.foreach { case (f, refs) =>
           dvs = dvs.updated(f, dvs.getOrElse(f, Nil) ++ refs)
         }
       case "replace" =>
         files = fl; parts = filePartTags; stats = fileStatTags
         blooms = fileBloomTags; rows = fileRowTags; nulls = fileNullTags
+        // a file riding through the replace keeps the spec id it had;
+        // fresh files stamp current (explicit entries override both)
+        fileSpec = specIdsFor(filePartTags, prev.fileSpec)
         // restatement (checkpoint/restore/rewrites carrying untouched
         // files' DVs through); absent = no DVs survive the replace
         dvs = fileDvTags
@@ -946,7 +990,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         dvs = dvs.filterNot { case (f, _) => parts.get(f).exists(retired) } ++ fileDvTags
         rows = rows.filterNot { case (f, _) => parts.get(f).exists(retired) } ++ fileRowTags
         nulls = nulls.filterNot { case (f, _) => parts.get(f).exists(retired) } ++ fileNullTags
+        fileSpec = fileSpec.filterNot { case (f, _) => parts.get(f).exists(retired) } ++
+          specIdsFor(filePartTags, prev.fileSpec)
         parts = parts.filterNot { case (f, p) => retired(p) } ++ filePartTags
+      case "evolve_spec" =>
+        // metadata-only: the registry (restated above) grew by one;
+        // no file moves, every existing file keeps its id
+        require(specs.nonEmpty,
+          s"$tableRoot: evolve_spec manifest at version $version carries no partSpecs")
       case other => throw new IllegalStateException(
         s"$tableRoot: unknown log action '$other' at version $version")
     }
@@ -971,7 +1022,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         math.max(e.getValue.asLong(), txns.getOrElse(e.getKey, Long.MinValue)))
     })
     Snapshot(version, files, schema, txns, parts, stats, blooms, physRetired,
-      dvs, rows, nulls)
+      dvs, rows, nulls, specs, fileSpec)
   }
 
   /** Parse a manifest's `fileRows` node: data file → exact physical
@@ -1920,6 +1971,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           s"(e.g. ${untagged.headOption.getOrElse("")}) — a partitioned merge " +
           "would silently miss their rows; use upsert() or rewrite the table " +
           "through upsertPartitioned/appendPartitioned first")
+      requireCurrentSpec(s, partCol)
+      requireSingleSpec(s, "upsertPartitioned")
       val sch = assignPhys(mergedSchema(s.schema, incoming.schema),
         s.schema, s.physRetired)
       val in = conform(incoming, sch)
@@ -1959,6 +2012,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       txn: Option[(String, Long)] = None): Long = {
     val s0 = snapshot()
     if (replayOf(s0, txn)) return s0.version
+    requireCurrentSpec(s0, partCol)
     val sch0 = assignPhys(mergedSchema(s0.schema, df.schema),
       s0.schema, s0.physRetired)
     // r16: same upcast as [[append]] — a batch narrower than a widened
@@ -1992,6 +2046,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * file-level). Untagged files are never returned. */
   def readPartitions(values: Seq[String]): DataFrame = {
     val s = snapshot()
+    requireSingleSpec(s, "readPartitions")
     val want = values.toSet
     val picked = s.files.filter(f => s.parts.get(f).exists(want))
     readFiles(s.schema.getOrElse(new StructType()), picked, s.dvs)
@@ -2015,6 +2070,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         s"$tableRoot: ${untagged.size} live files carry no partition tag — " +
           "a partition-scoped overwrite cannot retire their rows; use " +
           "replaceAll() or rewrite the table through the partitioned path first")
+      requireCurrentSpec(s, partCol)
+      requireSingleSpec(s, "replacePartitions")
       val sch = assignPhys(mergedSchema(s.schema, df.schema),
         s.schema, s.physRetired)
       val tagged = writeDataPartitioned(conform(df, sch), partCol, sch)
@@ -2041,6 +2098,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       txn: Option[(String, Long)] = None): Long = {
     val s0 = snapshot()
     if (replayOf(s0, txn)) return s0.version
+    requireCurrentSpec(s0, partCol)
     mergedSchema(None, df.schema)
     val tagged = writeDataPartitioned(df, partCol, df.schema)
     var v = s0.version + 1
@@ -2061,6 +2119,126 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
     v
   }
+
+  // ── r18: PARTITION-SPEC EVOLUTION (VERDICT r17 #1) ─────────────────
+
+  /** Change the table's partition spec as METADATA — Iceberg's spec
+    * evolution, at any table size one empty commit, zero data files
+    * read or rewritten. The manifest gains (or extends) the append-only
+    * spec REGISTRY ([[Snapshot.specs]]); every existing file keeps its
+    * tag AND the id of the spec that wrote it, new writes must land
+    * under the new spec ([[requireCurrentSpec]]), and every tag
+    * consumer judges each file under ITS OWN spec (scan exactness,
+    * runtime pruning) or refuses crisply on a mixed set (SPJ, grouped
+    * manifest folds, partition-scoped writes — [[migrateSpec]] is the
+    * incremental repair). `from` declares the spec the table's
+    * existing tags were written under — the manifest cannot know it
+    * before its first evolution, so the FIRST call seeds the registry
+    * `[from, to]`; later calls validate `from` against the registry's
+    * current entry. The day-partitioned table that outgrows days into
+    * hours (the reference's prices table shape,
+    * /root/reference/index.js:333-337) evolves in O(metadata), not
+    * O(table). */
+  def evolvePartitionSpec(from: String, to: String): Long = {
+    val fromSpec = PartSpec.parse(from)
+    val toSpec = PartSpec.parse(to)
+    require(fromSpec.render != toSpec.render,
+      s"$tableRoot: the new partition spec '${toSpec.render}' equals the current one")
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      require(s.version >= 0,
+        s"$tableRoot: nothing to evolve — no commits (create the table " +
+          "with the spec instead)")
+      val sch = s.schema.getOrElse(throw new IllegalStateException(
+        s"$tableRoot: committed version ${s.version} carries no schema"))
+      toSpec.sourceColumns.foreach { c =>
+        require(sch.fields.exists(f => lc(f.name) == lc(c)),
+          s"$tableRoot: partition key column '$c' of '${toSpec.render}' " +
+            "is not in the table schema")
+      }
+      if (s.specs.nonEmpty)
+        require(fromSpec.render == s.specs.last,
+          s"$tableRoot: declared current spec '${fromSpec.render}' does " +
+            s"not match the registry's current '${s.specs.last}'")
+      val untagged = s.files.filterNot(s.parts.contains)
+      require(untagged.isEmpty,
+        s"$tableRoot: ${untagged.size} live file(s) carry no partition " +
+          "tag — spec evolution needs a consistently partition-tagged " +
+          "table (rewrite through the partitioned path first)")
+      val registry =
+        if (s.specs.isEmpty) Seq(fromSpec.render, toSpec.render)
+        else s.specs :+ toSpec.render
+      if (tryCommit(s.version + 1,
+          manifestJson(s.version + 1, "evolve_spec", Nil, sch, None,
+            partSpecs = Some(registry))))
+        return s.version + 1
+      attempts += 1
+      require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
+    }
+    -1L // unreachable
+  }
+
+  /** Rewrite exactly the live files still tagged under an OLDER spec
+    * so they land (re-tagged, re-stamped) under the CURRENT one — the
+    * incremental migration that re-enables the partition-SCOPED
+    * operations a mixed-spec table refuses. One masked read of the
+    * stale files, one partitioned write, one `replace` commit; files
+    * already current ride through untouched, their DVs intact (the
+    * stale files' DVs retire with them — the rewrite read them
+    * masked). Returns (version, files migrated); (version, 0) when
+    * nothing is stale. */
+  def migrateSpec(txn: Option[(String, Long)] = None): (Long, Int) = {
+    var attempts = 0
+    while (true) {
+      val s = snapshot()
+      if (replayOf(s, txn)) return (s.version, 0)
+      if (s.specs.isEmpty) return (s.version, 0)
+      val cur = s.currentSpecId
+      val stale = s.files.filter(f =>
+        s.parts.contains(f) && s.specIdOf(f) != cur)
+      if (stale.isEmpty) return (s.version, 0)
+      val sch = s.schema.getOrElse(throw new IllegalStateException(
+        s"$tableRoot: committed version ${s.version} carries no schema"))
+      val rewritten = readFiles(sch, stale, s.dvs)
+      commitRewrite(s, sch, stale, rewritten, Some(s.specs.last), txn) match {
+        case Some(_) => return (s.version + 1, stale.size)
+        case None =>
+          attempts += 1
+          require(attempts <= MaxAttempts,
+            s"$tableRoot: lost $MaxAttempts version races")
+      }
+    }
+    (-1L, 0) // unreachable
+  }
+
+  /** Every partitioned WRITE lands under the current spec: once the
+    * registry exists, a caller-supplied partCol that is not the
+    * registry's current entry refuses loudly (the write would mint
+    * tags no reader could attribute to a spec). */
+  private def requireCurrentSpec(s: Snapshot, partCol: String): Unit =
+    if (s.specs.nonEmpty) {
+      val r = PartSpec.parse(partCol).render
+      require(r == s.specs.last,
+        s"$tableRoot: partition spec '$r' is not the table's current " +
+          s"spec '${s.specs.last}' — writes land under the current spec " +
+          "(evolvePartitionSpec to change it)")
+    }
+
+  /** Partition-SCOPED operations interpret tags as one namespace —
+    * on a mixed-spec table a touched new-spec value can never match an
+    * old-spec file's tag, so rows would silently escape the scope.
+    * Refuse crisply; [[migrateSpec]] is the repair. */
+  private def requireSingleSpec(s: Snapshot, op: String): Unit =
+    if (s.specs.nonEmpty) {
+      val cur = s.currentSpecId
+      val stale = s.files.filter(f =>
+        s.parts.contains(f) && s.specIdOf(f) != cur)
+      require(stale.isEmpty,
+        s"$tableRoot: $op is partition-scoped and ${stale.size} live " +
+          s"file(s) still carry tags under an older partition spec " +
+          s"(e.g. ${stale.head}) — run migrateSpec() first")
+    }
 
   /** SQL DDL surface (`ALTER TABLE … ADD COLUMNS`): commit a
     * METADATA-ONLY version whose schema is the current one plus `cols`
@@ -2709,6 +2887,35 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     phys.flatMap(p => logByPhys.get(lc(p)).map(l => (p, l))).sorted
   }
 
+  /** r18 (VERDICT r17 #2): the columns whose LIVE NON-NULL COUNT a DV
+    * commit maintains BEYOND the sum set — every top-level column of
+    * the current schema. Their masked-row nullness rides the same mask
+    * collect as a packed bitmask (one long per 63 columns,
+    * [[dvMaskSelect]]), so COUNT(col) stays manifest-answerable across
+    * row-level DML without configuring sums — at a constant few bytes
+    * per masked row regardless of column count or type. Same feature
+    * flag as the sum deltas (it IS the same accounting). */
+  private def dvExtraNullCols(s: Snapshot, sumCols: Seq[(String, String)])
+      : Seq[(String, String)] = {
+    if (!spark.conf.getOption("spark.graft.dv.sumDeltas.enabled")
+        .forall(_.toBoolean)) return Nil
+    val sumPhys = sumCols.map(c => lc(c._1)).toSet
+    s.schema.map(_.fields.toSeq.map(f => (physName(f), f.name))
+      .filterNot(c => sumPhys(lc(c._1))).sorted).getOrElse(Nil)
+  }
+
+  /** Both halves of the DV accounting column set: exact sum deltas for
+    * the sum-maintained columns, live non-null counts for the rest. */
+  private final case class DvAcct(sums: Seq[(String, String)],
+      extras: Seq[(String, String)]) {
+    def isEmpty: Boolean = sums.isEmpty && extras.isEmpty
+  }
+
+  private def dvAcct(s: Snapshot, touched: Seq[String]): DvAcct = {
+    val sums = dvSumCols(s, touched)
+    DvAcct(sums, dvExtraNullCols(s, sums))
+  }
+
   /** The per-file stats RESTATEMENTS a DV commit publishes beside its
     * mask so SUM/AVG/COUNT(col) manifest folds survive row-level DML
     * (r17, VERDICT r16 #1): the masked rows are already materialized
@@ -2729,10 +2936,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * `masked` rows are (file base name, position, v(col 1), …) in
     * `sumCols` order. */
   private def dvSumRestated(s: Snapshot, touched: Seq[String],
-      sumCols: Seq[(String, String)],
+      acct: DvAcct,
       masked: Iterable[org.apache.spark.sql.Row])
       : Map[String, Map[String, (Any, Any)]] = {
-    if (sumCols.isEmpty || masked.isEmpty) return Map.empty
+    val sumCols = acct.sums
+    if (acct.isEmpty || masked.isEmpty) return Map.empty
     def toBig(v: Any): java.math.BigDecimal = v match {
       case bd: java.math.BigDecimal => bd
       case b: Byte => java.math.BigDecimal.valueOf(b.toLong)
@@ -2743,7 +2951,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         s"$tableRoot: non-summable masked value $other")
     }
     val relByBase = touched.map(f => new Path(f).getName -> f).toMap
-    val keepPhys = sumCols.map(c => lc(c._1)).toSet
+    val keepSumPhys = sumCols.map(c => lc(c._1)).toSet
+    val keepNnPhys = keepSumPhys ++ acct.extras.map(c => lc(c._1))
     masked.groupBy(_.getString(0)).flatMap { case (base, rows) =>
       relByBase.get(base).flatMap { rel =>
         val prevDv = s.dvs.getOrElse(rel, Nil).iterator.map(_.count).sum
@@ -2758,10 +2967,25 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           // sweep stale entries of dropped columns (no live logical)
           var m = st.filterNot { case (k, _) =>
             (k.startsWith(CommitLog.SumKeyPrefix)
-                && !keepPhys(lc(k.drop(CommitLog.SumKeyPrefix.length)))) ||
+                && !keepSumPhys(lc(k.drop(CommitLog.SumKeyPrefix.length)))) ||
             (k.startsWith(CommitLog.SumNPrefix)
-                && !keepPhys(lc(k.drop(CommitLog.SumNPrefix.length))))
+                && !keepNnPhys(lc(k.drop(CommitLog.SumNPrefix.length))))
           }
+          // the live non-null count's prior value: the maintained entry
+          // if present, else — only while the file has NO accounted
+          // prior DV — the pre-mask rows−nulls (after a prior DV that
+          // figure overcounts by previously-masked non-null rows:
+          // absence refuses, ADVICE r17)
+          def prevNnOf(nKey: String, phys: String): Option[Long] =
+            m.get(nKey) match {
+              case Some((n: Long, _)) => Some(n)
+              case _ if prevDv == 0L => (s.rows.get(rel),
+                  s.nulls.get(rel).flatMap(_.get(phys))) match {
+                case (Some(r), Some(nl)) => Some(r - nl)
+                case _ => None
+              }
+              case _ => None
+            }
           sumCols.zipWithIndex.foreach { case ((phys, _), i) =>
             val idx = i + 2
             var dsum = java.math.BigDecimal.ZERO
@@ -2790,27 +3014,26 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
               }
             }
             val nKey = CommitLog.SumNPrefix + phys
-            val prevNn: Option[Long] = m.get(nKey) match {
-              case Some((n: Long, _)) => Some(n)
-              // the rows−nulls fallback is PRE-mask, so it is only the
-              // live count while the file has no accounted prior DV; a
-              // column that gained sum partials AFTER this file's
-              // earlier accounting has no nKey here, and the pre-mask
-              // figure would overcount by the previously-masked
-              // non-null rows — drop the pair, absence refuses
-              // (ADVICE r17)
-              case _ if prevDv == 0L => (s.rows.get(rel),
-                  s.nulls.get(rel).flatMap(_.get(phys))) match {
-                case (Some(r), Some(nl)) => Some(r - nl)
-                case _ => None
-              }
-              case _ => None
-            }
-            m = prevNn match {
+            m = prevNnOf(nKey, phys) match {
               case Some(nn) =>
                 val v = java.lang.Long.valueOf(nn - dnn)
                 m.updated(nKey, (v, v))
               case None => (m - nKey) - sumKey // can't maintain the pair
+            }
+          }
+          // r18: the non-sum columns' live counts, from the packed
+          // null bitmask chunks riding the collect after the sum values
+          acct.extras.zipWithIndex.foreach { case ((phys, _), j) =>
+            val chunkIdx = 2 + sumCols.size + j / 63
+            val bit = j % 63
+            val dnn = rows.count(r =>
+              ((r.getLong(chunkIdx) >> bit) & 1L) == 0L) // bit set = NULL
+            val nKey = CommitLog.SumNPrefix + phys
+            m = prevNnOf(nKey, phys) match {
+              case Some(nn) =>
+                val v = java.lang.Long.valueOf(nn - dnn)
+                m.updated(nKey, (v, v))
+              case None => m - nKey // underivable → absence refuses
             }
           }
           val total = java.lang.Long.valueOf(prevDv + rows.size.toLong)
@@ -2820,16 +3043,28 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
   }
 
-  /** The masked-row SELECT a DV site collects: file, position, and (in
-    * `sumCols` order) each sum-maintained column's value — what
-    * [[dvSumRestated]] aggregates. `nameOf` maps a logical column name
+  /** The masked-row SELECT a DV site collects: file, position, each
+    * sum-maintained column's VALUE (in `acct.sums` order — exact
+    * deltas need the values), then the remaining columns' NULLNESS
+    * packed 63-to-a-long (`acct.extras` order) — what
+    * [[dvSumRestated]] aggregates. The bitmask keeps the collect width
+    * CONSTANT in the column count (longs, not values), so live
+    * non-null counts for every column cost a few bytes per masked row
+    * at any schema width or type. `nameOf` maps a logical column name
     * to the frame's spelling (identity for the live-read frames, the
     * `__t_` prefix inside [[mergeStage]]'s output). */
-  private def dvMaskSelect(sumCols: Seq[(String, String)],
+  private def dvMaskSelect(acct: DvAcct,
       nameOf: String => String): Seq[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val chunks = acct.extras.grouped(63).zipWithIndex.map { case (chunk, k) =>
+      chunk.zipWithIndex.map { case ((_, logical), bit) =>
+        when(col(s"`${nameOf(logical)}`").isNull, lit(1L << bit))
+          .otherwise(lit(0L))
+      }.reduce(_ + _).as(s"__dv_nb$k")
+    }.toSeq
     Seq(col("__dv_f"), col("__dv_pos")) ++
-      sumCols.map { case (_, logical) => col(s"`${nameOf(logical)}`") }
+      acct.sums.map { case (_, logical) => col(s"`${nameOf(logical)}`") } ++
+      chunks
   }
 
   private def tryDvDelete(s: Snapshot, sch: StructType,
@@ -2843,9 +3078,9 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val withPos = readLiveWithPos(s, sch, touched)
     // r17: the masked rows' sum-column values ride the SAME collect the
     // mask needs anyway, so the sum-delta accounting costs no extra job
-    val sumCols = dvSumCols(s, touched)
+    val acct = dvAcct(s, touched)
     val matched = withPos.filter(condition)
-      .select(dvMaskSelect(sumCols, identity): _*)
+      .select(dvMaskSelect(acct, identity): _*)
       .limit(maxRows.toInt + 1).collect()
     if (matched.length > maxRows) return None
     if (matched.isEmpty) return Some(Some(s.version)) // raced to nothing
@@ -2861,7 +3096,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
     val won = try tryCommit(s.version + 1,
         manifestJson(s.version + 1, "add_dv", Nil, sch, txn,
-          stats = dvSumRestated(s, touched, sumCols, matched), dvs = dvAdd))
+          stats = dvSumRestated(s, touched, acct, matched), dvs = dvAdd))
       catch { case e: Throwable => deleteData(dvRel); throw e }
     if (won) Some(Some(s.version + 1))
     else { deleteData(dvRel); Some(None) }
@@ -2885,11 +3120,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     def conf(k: String, d: String): String =
       spark.conf.getOption(k).getOrElse(d)
     if (!dvAdmitted(touched)) return None
+    partCol.foreach(requireCurrentSpec(s, _)) // r18: appends land under the current spec
     val maxRows = dvMaxRows(conf)
     val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
     val hits = readLiveWithPos(s, sch, touched).filter(condition)
-    val sumCols = dvSumCols(s, touched)
-    val matched = hits.select(dvMaskSelect(sumCols, identity): _*)
+    val acct = dvAcct(s, touched)
+    val matched = hits.select(dvMaskSelect(acct, identity): _*)
       .limit(maxRows.toInt + 1).collect()
     if (matched.length > maxRows) return None
     if (matched.isEmpty) return Some(Some(s.version)) // raced to nothing
@@ -2917,7 +3153,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val won = try tryCommit(s.version + 1,
         manifestJson(s.version + 1, "add_dv", newFiles, sch, txn,
           fileParts = newTags, stats = statsFor(newFiles, s)
-            ++ dvSumRestated(s, touched, sumCols, matched),
+            ++ dvSumRestated(s, touched, acct, matched),
           blooms = bloomsFor(newFiles, Some(sch)), dvs = dvAdd))
       catch { case e: Throwable => cleanup(); throw e }
     if (won) Some(Some(s.version + 1))
@@ -3408,6 +3644,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       spark.conf.getOption(k).getOrElse(d)
     if ((matchedClauses.isEmpty && bySourceClauses.isEmpty)
         || !dvAdmitted(touched)) return None
+    partCol.foreach(requireCurrentSpec(s, _)) // r18: appends land under the current spec
     val maxRows = dvMaxRows(conf)
     val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
     // the target side carries each live row's physical address through
@@ -3424,9 +3661,9 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       bySourceClauses.indices.map(k => Integer.valueOf(200 + k))
     // r17: the masked rows' PRE-merge values ride the stage-1 `__t_`
     // pass-throughs — the sum-delta accounting reuses the mask collect
-    val sumCols = dvSumCols(s, touched)
+    val acct = dvAcct(s, touched)
     val matched = staged.filter(col("__act").isin(maskActs: _*))
-      .select(dvMaskSelect(sumCols, n => s"__t_$n"): _*)
+      .select(dvMaskSelect(acct, n => s"__t_$n"): _*)
       .limit(maxRows.toInt + 1).collect()
     // no fired matched clause: the copy-on-write path still owns the
     // (rare) insert-only outcome on touched files
@@ -3467,7 +3704,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val won = try tryCommit(s.version + 1,
         manifestJson(s.version + 1, "add_dv", newFiles, sch, txn,
           fileParts = newTags, stats = statsFor(newFiles, s)
-            ++ dvSumRestated(s, touched, sumCols, matched),
+            ++ dvSumRestated(s, touched, acct, matched),
           blooms = bloomsFor(newFiles, Some(sch)), dvs = dvAdd))
       catch { case e: Throwable => cleanup(); throw e }
     if (won) Some(Some(s.version + 1))
@@ -3595,12 +3832,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     def conf(k: String, d: String): String =
       spark.conf.getOption(k).getOrElse(d)
     if (!dvAdmitted(touched)) return None
+    partCol.foreach(requireCurrentSpec(s, _)) // r18: appends land under the current spec
     val maxRows = dvMaxRows(conf)
     val maxRatio = conf("spark.graft.dv.maxRatio", "0.3").toDouble
-    val sumCols = dvSumCols(s, touched)
+    val acct = dvAcct(s, touched)
     val matched = readLiveWithPos(s, sch0, touched)
       .join(mk, keys, "left_semi")
-      .select(dvMaskSelect(sumCols, identity): _*)
+      .select(dvMaskSelect(acct, identity): _*)
       .limit(maxRows.toInt + 1).collect()
     if (matched.length > maxRows || matched.isEmpty) return None
     val live = readFiles(sch0, touched, s.dvs).count()
@@ -3627,7 +3865,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val won = try tryCommit(s.version + 1,
         manifestJson(s.version + 1, "add_dv", newFiles, sch, txn,
           fileParts = newTags, stats = statsFor(newFiles, s)
-            ++ dvSumRestated(s, touched, sumCols, matched),
+            ++ dvSumRestated(s, touched, acct, matched),
           blooms = bloomsFor(newFiles, Some(sch)), dvs = dvAdd))
       catch { case e: Throwable => cleanup(); throw e }
     if (won) Some(Some(s.version + 1))
@@ -3670,7 +3908,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       if (tryCommit(s.version + 1,
           manifestJson(s.version + 1, "replace", old.files, sch, txn,
             fileParts = old.parts, stats = old.stats, blooms = old.blooms,
-            dvs = old.dvs, fileRows = old.rows, fileNulls = old.nulls)))
+            dvs = old.dvs, fileRows = old.rows, fileNulls = old.nulls,
+            // restored files keep the spec ids they were written under
+            // (explicit for EVERY tagged file — a pre-evolve version's
+            // files are spec 0 and must not default to current; the
+            // registry itself is append-only and carries forward — a
+            // spec evolution is not undone by a data restore)
+            fileSpecs = if (s.specs.isEmpty) Map.empty
+              else old.parts.keysIterator.map(f => f -> old.specIdOf(f)).toMap)))
         return s.version + 1
       attempts += 1
       require(attempts <= MaxAttempts, s"$tableRoot: lost $MaxAttempts version races")
@@ -3741,7 +3986,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       target.manifestJson(0L, "add", files, sch, txn = None,
         fileParts = parts, stats = stats, blooms = blooms,
         physRetired = Some(s.physRetired), dvs = dvs, fileRows = rows,
-        fileNulls = nulls)),
+        fileNulls = nulls,
+        // an evolved table's clone carries the registry and each
+        // file's spec id verbatim — tags stay interpretable
+        partSpecs = if (s.specs.isEmpty) None else Some(s.specs),
+        fileSpecs = if (s.specs.isEmpty) Map.empty
+          else s.files.flatMap(f =>
+            s.parts.get(f).map(_ => abs(f) -> s.specIdOf(f))).toMap)),
       s"$targetRoot: lost the clone commit race — target is being written")
     0L
   }
@@ -3770,6 +4021,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       require(untagged.isEmpty,
         s"$tableRoot: ${untagged.size} live files carry no partition tag — " +
           "rewrite the table through the partitioned path first")
+      partCol.foreach(requireCurrentSpec(s, _))
     } else require(partCol.isEmpty || s.files.isEmpty,
       s"$tableRoot: partCol given but the table is not partition-tagged")
   }
@@ -4233,19 +4485,33 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         val tagOk = partKey match {
           case _ if shifted => true
           case None => true
-          case Some((spec, i)) => s.parts.get(f) match {
-            case Some(tag) =>
-              // decode the file's tag component for this key and
-              // compare against the component the arriving value
-              // derives (identity: cast-to-string; days: epoch-day) —
-              // either side unjudgeable → conservative keep
-              (scala.util.Try(spec.decode(tag)(i)).toOption,
-                spec.componentOfLiteral(i, v)) match {
-                case (Some(fileC), Some(valC)) => fileC == valC
-                case _ => true
+          case Some((spec, i)) =>
+            // r18: judge THIS file under ITS OWN spec — an evolved
+            // table's older files decode under the spec that wrote
+            // them (the passed key is the CURRENT spec's); a spec not
+            // keying this column keeps the file, conservative
+            val resolved: Option[(PartSpec, Int)] =
+              if (s.specs.isEmpty || s.specIdOf(f) == s.currentSpecId)
+                Some((spec, i))
+              else scala.util.Try(PartSpec.parse(s.specs(s.specIdOf(f))))
+                .toOption.flatMap(sp =>
+                  sp.keyIndexOf(logicalCol).map(j => (sp, j)))
+            resolved match {
+              case Some((sp, j)) => s.parts.get(f) match {
+                case Some(tag) =>
+                  // decode the file's tag component for this key and
+                  // compare against the component the arriving value
+                  // derives (identity: cast-to-string; days: epoch-day)
+                  // — either side unjudgeable → conservative keep
+                  (scala.util.Try(sp.decode(tag)(j)).toOption,
+                    sp.componentOfLiteral(j, v)) match {
+                    case (Some(fileC), Some(valC)) => fileC == valC
+                    case _ => true
+                  }
+                case None => true // untagged file → cannot rule out
               }
-            case None => true // untagged file → cannot rule out
-          }
+              case None => true
+            }
         }
         val statOk = s.stats.get(f).flatMap(_.get(phys)) match {
           case Some((mn, mx)) => statVal(v) match {
@@ -4365,6 +4631,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       require(untagged.isEmpty,
         s"$tableRoot: ${untagged.size} live files carry no partition tag — " +
           "rewrite the table through the partitioned path first")
+      requireCurrentSpec(s, partCol)
+      requireSingleSpec(s, "optimizePartitioned")
       val sch = s.schema.getOrElse(throw new IllegalStateException(
         s"$tableRoot: committed version ${s.version} carries no schema"))
       val byPart: Map[String, Seq[String]] = s.files.groupBy(s.parts(_))
@@ -4459,6 +4727,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         val fp = root.putObject("fileParts")
         s.parts.filter(kv => live(kv._1))
           .foreach { case (f, p) => fp.put(f, p) }
+      }
+      // r18: an evolved table's checkpoint restates the spec registry
+      // and every tagged live file's spec id — the fold stays correct
+      // when pre-checkpoint manifests (incl. the evolve commit) prune
+      if (s.specs.nonEmpty) {
+        val ps = root.putArray("partSpecs")
+        s.specs.foreach(ps.add)
+        val fsN = root.putObject("fileSpecs")
+        s.files.foreach(f =>
+          if (s.parts.contains(f)) fsN.put(f, s.specIdOf(f)))
       }
       putStats(root, s.stats.filter(kv => live(kv._1)))
       putRows(root, s.rows.filter(kv => live(kv._1)))
@@ -5335,7 +5613,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       // their counts ride inside `stats` under [[CommitLog.RowsKey]] /
       // [[CommitLog.NullsKeyPrefix]] and are split out below.
       fileRows: Map[String, Long] = Map.empty,
-      fileNulls: Map[String, Map[String, Long]] = Map.empty): String = {
+      fileNulls: Map[String, Map[String, Long]] = Map.empty,
+      // r18: the partition-spec registry (full restatement — only
+      // evolve_spec and restores/checkpoints of evolved tables write
+      // it) and explicit per-file spec ids (restatements whose files
+      // must NOT default to the current spec). Single-spec tables
+      // write neither — their manifests stay byte-identical to r17.
+      partSpecs: Option[Seq[String]] = None,
+      fileSpecs: Map[String, Int] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("version", v)
     root.put("action", action)
@@ -5348,6 +5633,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     if (fileParts.nonEmpty) {
       val fp = root.putObject("fileParts")
       fileParts.foreach { case (f, p) => fp.put(f, p) }
+    }
+    partSpecs.foreach { ss =>
+      val pa = root.putArray("partSpecs"); ss.foreach(pa.add)
+    }
+    if (fileSpecs.nonEmpty) {
+      val fsN = root.putObject("fileSpecs")
+      fileSpecs.foreach { case (f, i) => fsN.put(f, i) }
     }
     // split the harvest-time pseudo entries ([[CommitLog.RowsKey]],
     // [[CommitLog.NullsKeyPrefix]]) out of the per-column stats: the

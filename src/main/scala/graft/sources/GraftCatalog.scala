@@ -332,7 +332,24 @@ final class GraftCatalog extends TableCatalog
         val f0 = StructField(a.fieldNames.head, a.dataType(), nullable = true)
         added += Option(a.comment()).fold(f0)(f0.withComment)
       case sp: SetProperty =>
-        require(!frozen(sp.property),
+        // r18: merge.partcol is no longer frozen — changing it is
+        // PARTITION-SPEC EVOLUTION, a metadata-only commit routed
+        // through the log (per-file spec ids keep every existing tag
+        // interpretable; zero data files move). merge.log stays frozen.
+        if (sp.property == "merge.partcol") {
+          val from = props.get("merge.partcol").map(_.trim).filter(_.nonEmpty)
+            .getOrElse(throw new IllegalArgumentException(
+              s"$ident: the table has no partition spec to evolve — " +
+                "recreate it partitioned instead"))
+          val to = sp.value.trim
+          require(to.nonEmpty,
+            s"$ident: cannot evolve to an EMPTY partition spec — " +
+              "un-partitioning existing tags is a rewrite, not metadata")
+          val root = dir(ident).toString
+          require(CommitLog.exists(spark, root),
+            s"$ident: merge.partcol evolution requires merge.log=true")
+          CommitLog(spark, root).evolvePartitionSpec(from, to)
+        } else require(!frozen(sp.property),
           s"$ident: '${sp.property}' cannot be altered after creation")
         if (sp.property.startsWith(CommitLog.ConstraintPropPrefix)) {
           // adding a durable CHECK constraint: logged tables only, the
@@ -1063,8 +1080,23 @@ private[sources] final class GraftLogScanBuilder(
       .getOrElse(return false)
     if (selectedFiles.isEmpty || !selectedFiles.forall(snap.parts.contains))
       return false
-    lazy val decoded: Seq[Seq[String]] = scala.util.Try(
-      selectedFiles.map(f => sp.decode(snap.parts(f)))).getOrElse(return false)
+    // r18: each file decodes (and judges) under ITS OWN spec — an
+    // evolved table's older files carry tags of the spec that wrote
+    // them; interpreting a day tag as an hour tag would falsely
+    // certify exactness. Single-spec tables resolve to `sp` for all.
+    val specOfFile: String => Option[PartSpec] =
+      if (snap.specs.isEmpty) (_: String) => Some(sp)
+      else {
+        val parsed: Map[Int, Option[PartSpec]] =
+          snap.specs.indices.map(i => i ->
+            scala.util.Try(PartSpec.parse(snap.specs(i))).toOption).toMap
+        (f: String) => parsed.getOrElse(snap.specIdOf(f), None)
+      }
+    lazy val decoded: Seq[(PartSpec, Seq[String])] = scala.util.Try(
+      selectedFiles.map { f =>
+        val fsp = specOfFile(f).getOrElse(return false)
+        (fsp, fsp.decode(snap.parts(f)))
+      }).getOrElse(return false)
     def keyIdx(a: Attribute): Option[Int] = sp.keyIndexOf(a.name)
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -1093,8 +1125,9 @@ private[sources] final class GraftLogScanBuilder(
     // from here, so a new transform/type/op lands in exactly one place.
     final case class KeyEvidence(point: Option[String],
         interval: Option[(Long, Long)])
-    def keyEvidence(a: Attribute, i: Int, l: Literal): KeyEvidence = {
-      val tr = sp.keys(i).transform
+    def keyEvidence(fsp: PartSpec, a: Attribute, i: Int, l: Literal)
+        : KeyEvidence = {
+      val tr = fsp.keys(i).transform
       // a string-shifted key column (float→double widening, r16) VOIDS
       // point evidence: a pre-widening tag is the FLOAT value's string,
       // and the widened literal's equal-looking string names a
@@ -1105,7 +1138,7 @@ private[sources] final class GraftLogScanBuilder(
         lcn(f.name) == lcn(a.name) && CommitLog.strShifted(f))
       val lossless = !shifted && (tr == PartSpec.Identity ||
         (tr == PartSpec.Days && a.dataType == DateType))
-      val point = if (lossless) sp.componentOfLiteral(i, l) else None
+      val point = if (lossless) fsp.componentOfLiteral(i, l) else None
       val interval: Option[(Long, Long)] =
         (tr, a.dataType, l.dataType, l.value) match {
           case (PartSpec.Days, _: TimestampType, _: TimestampType,
@@ -1130,41 +1163,49 @@ private[sources] final class GraftLogScanBuilder(
         case "<=" => hi - 1 <= m
         case _ => false
       }
-    def eqExact(a: Attribute, v: Expression): Boolean = (for {
-      i <- keyIdx(a)
-      l <- litOf(v)
-      c <- keyEvidence(a, i, l).point
-    } yield decoded.forall(_.apply(i) == c)).getOrElse(false)
+    // every judge quantifies over (file spec, decoded components): a
+    // conjunct is exact iff EVERY selected file, under ITS OWN spec,
+    // provably satisfies it (r18 — specs may differ post-evolution)
+    def eqExact(a: Attribute, v: Expression): Boolean =
+      litOf(v).exists(l => decoded.forall { case (fsp, d) =>
+        (for {
+          i <- fsp.keyIndexOf(a.name)
+          c <- keyEvidence(fsp, a, i, l).point
+        } yield d(i) == c).getOrElse(false)
+      })
     // key IN (...): every selected file's tag must name a listed
     // value. Null list values never make a row TRUE and drop out; an
     // unresolvable value refuses the conjunct.
-    def inExact(a: Attribute, lits: Seq[Literal]): Boolean = (for {
-      i <- keyIdx(a)
-      nonNull = lits.filter(_.value != null)
-      comps = nonNull.flatMap(l => keyEvidence(a, i, l).point)
-      if comps.length == nonNull.length
-    } yield {
-      val set = comps.toSet
-      decoded.forall(d => set.contains(d(i)))
-    }).getOrElse(false)
-    def rangeExact(a: Attribute, op: String, v: Expression): Boolean = (for {
-      i <- keyIdx(a)
-      l <- litOf(v) if l.value != null
-      (u, m) <- keyEvidence(a, i, l).interval
-    } yield decoded.forall { d =>
-      scala.util.Try {
-        val lo = Math.multiplyExact(d(i).toLong, u)      // row min (incl)
-        val hi = Math.addExact(lo, u)                    // row max (excl)
-        intervalHolds(op, lo, hi, m)
-      }.getOrElse(false)
-    }).getOrElse(false)
+    def inExact(a: Attribute, lits: Seq[Literal]): Boolean = {
+      val nonNull = lits.filter(_.value != null)
+      decoded.forall { case (fsp, d) =>
+        fsp.keyIndexOf(a.name).exists { i =>
+          val comps = nonNull.flatMap(l => keyEvidence(fsp, a, i, l).point)
+          comps.length == nonNull.length && comps.toSet.contains(d(i))
+        }
+      }
+    }
+    def rangeExact(a: Attribute, op: String, v: Expression): Boolean =
+      litOf(v).filter(_.value != null).exists(l =>
+        decoded.forall { case (fsp, d) =>
+          (for {
+            i <- fsp.keyIndexOf(a.name)
+            (u, m) <- keyEvidence(fsp, a, i, l).interval
+          } yield scala.util.Try {
+            val lo = Math.multiplyExact(d(i).toLong, u)  // row min (incl)
+            val hi = Math.addExact(lo, u)                // row max (excl)
+            intervalHolds(op, lo, hi, m)
+          }.getOrElse(false)).getOrElse(false)
+        })
     import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual}
     def inListExact(a: Attribute, list: Seq[Expression]): Boolean = {
       val lits = list.map(litOf)
       lits.forall(_.isDefined) && inExact(a, lits.flatten)
     }
     filters.flatMap(conjuncts).forall {
-      case IsNotNull(a: Attribute) => keyIdx(a).isDefined
+      case IsNotNull(a: Attribute) =>
+        keyIdx(a).isDefined &&
+          decoded.forall { case (fsp, _) => fsp.keyIndexOf(a.name).isDefined }
       case EqualTo(a: Attribute, v) => eqExact(a, v)
       case EqualTo(v, a: Attribute) => eqExact(a, v)
       case In(a: Attribute, list) => inListExact(a, list)
@@ -1462,6 +1503,9 @@ private[sources] final class GraftLogScanBuilder(
     }
     val files = selectedFiles
     if (groupKeys.nonEmpty && !files.forall(snap.parts.contains)) return None
+    // r18: tag-derived groups need ONE tag namespace — a mid-evolution
+    // mixed-spec file set refuses the fold (normal scan, correct)
+    if (groupKeys.nonEmpty && !snap.allCurrentSpec(files)) return None
     // (DERIVED group values, the group's files) — grouping must use the
     // derived values, not the raw tag components: a coarser rollup
     // (YEAR over month tags) folds SEVERAL components into one group,
@@ -1612,8 +1656,9 @@ private[sources] final class GraftLogScanBuilder(
     // the distinct-key fold needs every file's tag AND live row count
     // (a 0-row or fully-masked partition must not count)
     if (resolved.exists(_.isInstanceOf[FnDistinctKey])
-        && !files.forall(f =>
-          snap.parts.contains(f) && snap.rows.contains(f))) return None
+        && !(files.forall(f =>
+          snap.parts.contains(f) && snap.rows.contains(f))
+          && snap.allCurrentSpec(files))) return None
     // a DV could mask any file's extremal row — min/max never answers
     // from pre-mask footer stats. SUM/AVG/COUNT(col) stopped refusing
     // blanketly in r17: their per-file admission checks each DV'd
@@ -2042,6 +2087,12 @@ private[sources] final class GraftLogScanBuilder(
         if (resolved.forall(_.isDefined)
             && selectedFiles.nonEmpty
             && selectedFiles.forall(snap.parts.contains)
+            // r18: SPJ reports ONE grouping for the whole scan — on a
+            // mixed-spec (mid-evolution) table the tags are not one
+            // keyspace, so refuse the report (Spark plans the ordinary
+            // Exchange, correct at worst-case cost; migrateSpec restores
+            // the zero-Exchange plan)
+            && snap.allCurrentSpec(selectedFiles)
             && prunedSchema.forall(ps => sp.sourceColumns.forall(c =>
               ps.fields.exists(pf => lcn(pf.name) == lcn(c))))) {
           val keyByName: Map[String, String] = selectedFiles.map { rel =>

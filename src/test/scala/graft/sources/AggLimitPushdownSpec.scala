@@ -168,7 +168,9 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
     val qd = spark.table(s"$cat.t").agg(countDistinct($"s").as("cd"))
     assert(!manifestAnswered(qd))
     assert(qd.collect().head.getLong(0) === 160L)
-    // DVs poison COUNT(col): a masked row's null-ness is unknown
+    // r18: DVs no longer poison COUNT(col) — the mask collect carries
+    // every column's nullness (packed bitmask), so the commit restates
+    // a live non-null count per column and the fold stays alive.
     // modulo isn't a pushable V2 filter (SQL DELETE would fall back to
     // the CoW row-level path) — the library delete masks it
     val log = CommitLog(spark, s"$wh/t")
@@ -177,10 +179,24 @@ class AggLimitPushdownSpec extends graft.SparkSpecBase {
     finally spark.conf.unset("spark.graft.dv.minTouchedBytes")
     assert(log.snapshot().dvs.nonEmpty)
     val q2 = spark.table(s"$cat.t").agg(count($"s").as("c_s"))
-    assert(!manifestAnswered(q2))
+    assert(manifestAnswered(q2),
+      "accounted DVs must keep COUNT(col) alive (r18):\n"
+        + q2.queryExecution.executedPlan)
     // ids ≡1 (mod 10) are never multiples of 5, so all 20 masked rows
     // had non-null s: 160 - 20
     assert(q2.collect().head.getLong(0) === 140L)
+    // the r16 wire behavior stays reproducible: accounting off, a DV
+    // leaves the masked rows' null-ness unknown — COUNT(col) refuses
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    spark.conf.set("spark.graft.dv.sumDeltas.enabled", "false")
+    try log.delete($"id" % 10 === 2)
+    finally {
+      spark.conf.unset("spark.graft.dv.minTouchedBytes")
+      spark.conf.unset("spark.graft.dv.sumDeltas.enabled")
+    }
+    val q3 = spark.table(s"$cat.t").agg(count($"s").as("c_s"))
+    assert(!manifestAnswered(q3), "an unaccounted DV must refuse COUNT(col)")
+    assert(q3.collect().head.getLong(0) === 120L) // ids ≡2 (mod 10): all 20 non-null
   }
 
   test("GROUP BY the identity partition key answers from the manifest") {

@@ -329,61 +329,96 @@ class SumStatsSpec extends graft.SparkSpecBase {
     assert(log.snapshot().version === v0, "no version churn on refusal")
   }
 
-  test("r18: accounted-DV file refuses COUNT on a LATER-adopted sum column") {
-    // F1 accounts a DV knowing only column `id`; column `b` gains sum
-    // partials afterwards (on F2). A second DV touching both files must
-    // NOT backfill F1's live non-null count for `b` from the PRE-mask
-    // rows−nulls (it would overcount by the previously-masked non-null
-    // rows) — the pair drops and COUNT(b) honestly refuses for F1
-    // (ADVICE r17 #2). harvest_sums is the explicit repair.
-    val (cat, wh) = freshCat("ext")
-    spark.range(0, 0).toDF("id").select($"id", $"id".as("b"))
+  test("r18: COUNT(col) survives DVs on a SUMS-FREE table — all columns counted") {
+    // VERDICT r17 #2: the DV accounting's live non-null counts are no
+    // longer bounded to the sum set — the mask collect carries every
+    // column's nullness as a packed bitmask (constant width in the
+    // column count), so COUNT(col) folds after row-level DML without
+    // merge.sumstats. SUM still refuses (no partials were ever
+    // harvested) — counting needs nullness only.
+    val (cat, wh) = freshCat("nnall")
+    spark.range(0, 0).toDF("id")
+      .select($"id", $"id".cast("string").as("txt"), $"id".as("b"))
       .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
-    def batch(lo: Long, hi: Long) = spark.range(lo, hi).toDF("id")
-      .select($"id", when($"id" % 5 === 0, lit(null)).otherwise($"id")
-        .cast("long").as("b")).coalesce(1)
-    CommitLog(spark, s"$wh/t").withSumStats(Seq("id")).append(batch(0L, 50L))
+    CommitLog(spark, s"$wh/t").append(spark.range(0L, 60L).toDF("id")
+      .select($"id",
+        when($"id" % 3 === 0, lit(null)).otherwise($"id".cast("string"))
+          .as("txt"),
+        when($"id" % 5 === 0, lit(null)).otherwise($"id")
+          .cast("long").as("b")).coalesce(1))
     spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
     try {
-      // DV #1 on F1 only — accounts `id` (the only sum column F1 has)
-      CommitLog(spark, s"$wh/t").delete($"id" === 49L)
-      // F2 arrives with sums for BOTH columns
-      CommitLog(spark, s"$wh/t").withSumStats(Seq("id", "b"))
-        .append(batch(50L, 100L))
-      // DV #2 touches both files → sumCols = {id, b}; F1 has a prior
-      // accounted DV and no live count for `b`
-      CommitLog(spark, s"$wh/t").delete($"id" === 48L || $"id" === 99L)
+      CommitLog(spark, s"$wh/t").delete($"id" === 59L) // txt+b non-null
+      CommitLog(spark, s"$wh/t").delete($"id" === 55L) // b NULL (accumulates)
+    } finally spark.conf.unset("spark.graft.dv.minTouchedBytes")
+    val snap = CommitLog(spark, s"$wh/t").snapshot()
+    assert(snap.dvs.valuesIterator.flatten.map(_.count).sum === 2L,
+      "both deletes must take the DV path")
+    val live = (0L until 55L) ++ Seq(56L, 57L, 58L)
+    val q = spark.table(s"$cat.t").agg(
+      count($"txt").as("c_t"), count($"b").as("c_b"), count(lit(1)).as("c"))
+    assert(manifestAnswered(q),
+      "COUNT over every column must fold across DVs without sums:\n"
+        + q.queryExecution.executedPlan)
+    val r = q.collect().head
+    assert(r.getLong(0) === live.count(_ % 3 != 0))
+    assert(r.getLong(1) === live.count(_ % 5 != 0))
+    assert(r.getLong(2) === live.size.toLong)
+    // no sum partials were ever harvested — SUM keeps refusing
+    val qs = spark.table(s"$cat.t").agg(sum($"id").as("s"))
+    assert(!manifestAnswered(qs), "counting nullness must not mint sums")
+    assert(qs.collect().head.getLong(0) === live.sum)
+  }
+
+  test("r18: a column ADDED after a file's DV accounting refuses COUNT until repair") {
+    // F1's DV is accounted before column `b` exists: F1 has neither a
+    // maintained live count nor pre-mask nulls evidence for `b`, and a
+    // later DV must NOT mint one from pre-mask rows−nulls (the prior
+    // masked rows' nullness for `b` is unknowable — ADVICE r17 #2's
+    // refusal branch). COUNT(b) honestly refuses; harvest_sums re-reads
+    // live rows and repairs.
+    val (cat, wh) = freshCat("addc")
+    spark.range(0, 0).toDF("id").writeTo(s"$cat.t")
+      .tableProperty("merge.log", "true").create()
+    CommitLog(spark, s"$wh/t")
+      .append(spark.range(0L, 40L).toDF("id").coalesce(1)) // F1
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    try {
+      CommitLog(spark, s"$wh/t").delete($"id" === 39L) // DV#1: pre-`b`
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMN b BIGINT")
+      CommitLog(spark, s"$wh/t").append( // F2 carries b
+        spark.range(40L, 80L).toDF("id")
+          .select($"id", when($"id" % 5 === 0, lit(null)).otherwise($"id")
+            .cast("long").as("b")).coalesce(1))
+      // DV#2 touches both files; F1 has prevDv>0 and no evidence for b
+      CommitLog(spark, s"$wh/t").delete($"id" === 38L || $"id" === 79L)
     } finally spark.conf.unset("spark.graft.dv.minTouchedBytes")
     val snap = CommitLog(spark, s"$wh/t").snapshot()
     assert(snap.dvs.size === 2, "both files must carry DVs")
-    val f1 = snap.files.find { f => // the DV'd file without sum(b)
-      val st = snap.stats.getOrElse(f, Map.empty)
-      st.contains(CommitLog.SumKeyPrefix + "id") &&
-        !st.contains(CommitLog.SumKeyPrefix + "b")
-    }.get
+    val f1 = snap.files.find(f =>
+      snap.dvs.getOrElse(f, Nil).iterator.map(_.count).sum === 2L).get
     assert(!snap.stats.getOrElse(f1, Map.empty)
         .contains(CommitLog.SumNPrefix + "b"),
-      "no live count may be minted from pre-mask rows−nulls")
+      "no live count may be minted without evidence")
     assert(snap.stats.getOrElse(f1, Map.empty)
         .contains(CommitLog.SumNPrefix + "id"),
-      "the maintained column keeps its live count")
-    val live = (0L until 48L) ++ (50L until 99L)
+      "the evidenced column keeps its live count")
+    val live = (0L until 38L) ++ (40L until 79L)
     val qb = spark.table(s"$cat.t").agg(count($"b").as("c"))
     assert(!manifestAnswered(qb), "COUNT(b) must refuse — F1 can't answer")
-    assert(qb.collect().head.getLong(0) === live.count(_ % 5 != 0))
-    val qid = spark.table(s"$cat.t").agg(
-      count($"id").as("c"), sum($"id").as("s"))
-    assert(manifestAnswered(qid), "the fully-maintained column still folds:\n"
+    assert(qb.collect().head.getLong(0)
+      === (40L until 79L).count(_ % 5 != 0))
+    val qid = spark.table(s"$cat.t").agg(count($"id").as("c"))
+    assert(manifestAnswered(qid), "the evidenced column still folds:\n"
       + qid.queryExecution.executedPlan)
-    val r = qid.collect().head
-    assert(r.getLong(0) === live.size.toLong)
-    assert(r.getLong(1) === live.sum)
-    // the explicit repair: harvest re-reads live rows and closes the gap
-    assert(CommitLog(spark, s"$wh/t").harvestSums(Seq("id", "b"))._2 >= 1)
+    assert(qid.collect().head.getLong(0) === live.size.toLong)
+    // the explicit repair: harvest re-reads live rows, closes the gap
+    assert(CommitLog(spark, s"$wh/t").harvestSums(Seq("b"))._2 >= 1)
     val qb2 = spark.table(s"$cat.t").agg(count($"b").as("c"))
     assert(manifestAnswered(qb2), "post-repair COUNT(b) must fold:\n"
       + qb2.queryExecution.executedPlan)
-    assert(qb2.collect().head.getLong(0) === live.count(_ % 5 != 0))
+    assert(qb2.collect().head.getLong(0)
+      === (40L until 79L).count(_ % 5 != 0))
   }
 
   test("r17: the fold lifecycle — time travel, OPTIMIZE, RESTORE") {
