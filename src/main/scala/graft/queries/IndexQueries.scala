@@ -3533,9 +3533,126 @@ object IndexQueries {
         CAST(1 AS BIGINT) AS found
       FROM merged"""))
 
+  /** B2 PARTITION-SPEC EVOLUTION (r18, VERDICT r17 #1): `ALTER TABLE …
+    * SET TBLPROPERTIES('merge.partcol'='hours(ts)')` on a populated
+    * days(ts) table is ONE metadata commit — Iceberg's spec evolution,
+    * not a rewrite. The manifest keeps an append-only spec registry
+    * and a per-file spec id; old files keep their day tags, new writes
+    * land under hours, and every tag consumer judges each file under
+    * ITS spec. The reference's prices table
+    * (/root/reference/index.js:333-337) is exactly the long-lived
+    * growing table that outgrows a day layout. REQUIRED in-body: the
+    * DDL rewrites ZERO files and seeds the registry; a day-aligned
+    * filtered COUNT over a MIXED day-file + hour-file selection still
+    * folds from the manifest (per-spec exactness); partition-scoped
+    * merge AND optimize refuse on the mix with a pointer to
+    * migrateSpec; migrateSpec rewrites exactly the stale files; the
+    * scoped merge then lands across the boundary. Values hash against
+    * DuckDB replaying the whole lifecycle. */
+  private val q198 = Q(
+    "q198_partition_spec_evolution",
+    (s, dir) => {
+      val cat = "g198_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "psev-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val base = t(s, dir, "events")
+        .filter(expr("CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-06'"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      // the builds need INT64 MICROS ts stats for file pruning (q181's
+      // pattern — Verify runs under an INT96 dump override)
+      val priorTsType = s.conf.get("spark.sql.parquet.outputTimestampType")
+      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      try {
+        base.limit(0).writeTo(s"$cat.t")
+          .tableProperty("merge.log", "true")
+          .tableProperty("merge.partcol", "days(ts)").create()
+        base.filter(expr("CAST(ts AS DATE) <= DATE '2024-01-04'"))
+          .writeTo(s"$cat.t").append() // 2 day-partitioned files
+        val log = graft.sources.CommitLog(s, s"$root/t")
+        val before = log.snapshot()
+        require(before.specs.isEmpty, "q198: no registry before evolution")
+        s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('merge.partcol'='hours(ts)')")
+        val evolved = log.snapshot()
+        require(evolved.files.toSet == before.files.toSet,
+          "q198: spec evolution must rewrite ZERO data files")
+        require(evolved.specs == Seq("days(ts)", "hours(ts)"),
+          s"q198: registry must seed [days, hours], got ${evolved.specs}")
+        // days 5-6 arrive under the NEW spec via the ordinary write
+        base.filter(expr("CAST(ts AS DATE) > DATE '2024-01-04'"))
+          .writeTo(s"$cat.t").append()
+        val mixed = log.snapshot()
+        val dayFiles = mixed.files.filter(f => mixed.specIdOf(f) == 0).toSet
+        require(dayFiles == before.files.toSet
+            && mixed.files.exists(f => mixed.specIdOf(f) == 1),
+          "q198: old files keep spec 0, new files stamp spec 1")
+        // a day-aligned range selects ONE day file + 24 hour files —
+        // judged each under ITS OWN spec, the filter is exact and the
+        // COUNT folds from the manifest across the mix
+        def planOf(df: DataFrame): String =
+          df.queryExecution.executedPlan.toString
+        val foldQ = s.table(s"$cat.t")
+          .filter(expr("CAST(ts AS DATE) BETWEEN DATE '2024-01-04' AND DATE '2024-01-05'"))
+          .agg(count(lit(1)).as("n"))
+        val foldN = foldQ.collect()(0).getLong(0)
+        require(planOf(foldQ).contains("LocalTableScan")
+            && !planOf(foldQ).contains("BatchScan"),
+          s"q198: the mixed-spec day-range COUNT must fold:\n${planOf(foldQ)}")
+        // partition-SCOPED ops refuse on the mix, crisply
+        val updates = base
+          .filter(expr("CAST(ts AS DATE) = DATE '2024-01-03' AND event_id % 7 = 0"))
+          .select(col("event_id"), col("ts"),
+            (col("user_id") + 10000000000L).as("user_id"),
+            col("event_type"), col("value"))
+        val eMerge = scala.util.Try(log.upsertPartitioned(updates,
+          Seq("event_id", "ts"), graft.sources.CommitLog.LastWins, "hours(ts)"))
+        require(eMerge.isFailure
+            && eMerge.failed.get.getMessage.contains("migrateSpec"),
+          "q198: scoped merge must refuse on mixed specs")
+        val eOpt = scala.util.Try(log.optimizePartitions("hours(ts)"))
+        require(eOpt.isFailure
+            && eOpt.failed.get.getMessage.contains("migrateSpec"),
+          "q198: scoped optimize must refuse on mixed specs")
+        // the incremental repair rewrites EXACTLY the stale day files
+        val (_, migrated) = log.migrateSpec()
+        require(migrated == dayFiles.size,
+          s"q198: migrate must rewrite the ${dayFiles.size} stale files, did $migrated")
+        val post = log.snapshot()
+        require(post.files.forall(f => post.specIdOf(f) == 1),
+          "q198: post-migration every file is current-spec")
+        require((post.files.toSet intersect dayFiles).isEmpty
+            && (mixed.files.toSet -- dayFiles).subsetOf(post.files.toSet),
+          "q198: only the stale files moved")
+        // scoped merge and optimize now work across the boundary
+        log.upsertPartitioned(updates, Seq("event_id", "ts"),
+          graft.sources.CommitLog.LastWins, "hours(ts)")
+        log.optimizePartitions("hours(ts)")
+      } finally
+        s.conf.set("spark.sql.parquet.outputTimestampType", priorTsType)
+      val out = s.table(s"$cat.t")
+        .groupBy(expr("CAST(ts AS DATE)").as("d"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s_eid"),
+          sum(col("user_id")).as("s_uid"))
+        .orderBy(col("d"))
+      out
+    },
+    Some("""WITH base AS (
+        SELECT event_id, ts, user_id FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-06'),
+      merged AS (
+        SELECT event_id, ts,
+          CASE WHEN CAST(ts AS DATE) = DATE '2024-01-03' AND event_id % 7 = 0
+               THEN user_id + 10000000000 ELSE user_id END AS user_id
+        FROM base)
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS s_eid,
+        CAST(SUM(user_id) AS BIGINT) AS s_uid
+      FROM merged GROUP BY 1 ORDER BY 1"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
     q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193,
-    q194, q195, q196, q197)
+    q194, q195, q196, q197, q198)
 }

@@ -179,6 +179,56 @@ class PartSpecEvolutionSpec extends graft.SparkSpecBase {
     assert(cs.files.count(f => cs.specIdOf(f) === 1) > 0)
   }
 
+  test("SPJ reporting refuses on a mixed-spec scan, re-admits after migration") {
+    val (cat, wh) = freshCat("spj")
+    val df = spark.range(0L, 40L).toDF("id")
+      .select($"id", ($"id" % 4).cast("string").as("g"), ($"id" % 2)
+        .cast("string").as("h"))
+    df.limit(0).writeTo(s"$cat.t")
+      .tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "g").create()
+    val log = CommitLog(spark, s"$wh/t")
+    log.appendPartitioned(df.filter($"id" < 20), "g")
+    val dim = df.groupBy($"g").agg(count(lit(1)).as("n"))
+    dim.writeTo(s"$cat.d").tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "g").create()
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.graft.spj.preserveDataGrouping", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def joined = spark.table(s"$cat.t").join(spark.table(s"$cat.d"), "g")
+        .groupBy($"g").agg(count(lit(1)).as("c"))
+      def planOf(q: org.apache.spark.sql.DataFrame): String = {
+        q.collect(); q.queryExecution.executedPlan.toString
+      }
+      def exchanges(p: String): Int =
+        p.linesIterator.count(_.contains("Exchange"))
+      val p0 = planOf(joined)
+      assert(p0.contains("graft-spj") && exchanges(p0) == 0,
+        s"single-spec SPJ sanity: zero-Exchange co-partitioned plan:\n$p0")
+      // evolve ONE side: the mixed-spec scan must not report a single
+      // grouping — Spark falls back to the ordinary Exchange plan (the
+      // still-single-spec dim side may keep its report; the JOIN must
+      // shuffle)
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('merge.partcol'='g,h')")
+      df.filter($"id" >= 20).writeTo(s"$cat.t").append()
+      val p1 = planOf(joined)
+      assert(exchanges(p1) > 0,
+        s"mixed specs must refuse the SPJ report (shuffle returns):\n$p1")
+      assert(joined.orderBy($"g").collect().map(_.getLong(1)).toSeq
+        === Seq(10L, 10L, 10L, 10L), "the Exchange fallback stays correct")
+      // migration restores the report under the (composite) current spec
+      CommitLog(spark, s"$wh/t").migrateSpec()
+      val p2 = planOf(joined)
+      assert(p2.contains("graft-spj"),
+        s"post-migration the SPJ report re-admits:\n$p2")
+    } finally {
+      spark.conf.set("spark.graft.spj.preserveDataGrouping", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
+  }
+
   test("tag-derived folds and SPJ refuse on mixed specs, admit after migration") {
     val (cat, wh) = freshCat("fold")
     // identity spec so the grouped fold applies, then evolve to a
