@@ -42,7 +42,10 @@ object MatView {
       txn: Option[(String, Long)] = None): Long = {
     require(keys.nonEmpty, "materialized view needs at least one key column")
     val log = CommitLog(spark, viewRoot)
-    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    // r18: a lineage feed's update pair applies as retract+assert —
+    // postimage adds like an insert, preimage retracts like a delete
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
     val delta = changes
       .groupBy(keys.map(col): _*)
       .agg(sum(sign).as("__dn"),

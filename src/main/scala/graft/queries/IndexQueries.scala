@@ -3650,9 +3650,176 @@ object IndexQueries {
         CAST(SUM(user_id) AS BIGINT) AS s_uid
       FROM merged GROUP BY 1 ORDER BY 1"""))
 
+  /** B14 CDC ROW LINEAGE (r18, VERDICT r17 #4): a merge-on-read SQL
+    * MERGE's updates arrive in `readChanges(lineage = true)` as
+    * `update_preimage`/`update_postimage` pairs linked by a stable
+    * `_row_id` (pre-image file basename # row ordinal, carried through
+    * the replacement files as a hidden physical column) — a consumer
+    * applies updates WITHOUT re-keying. Insert-clause rows stay plain
+    * inserts with no id; the default feed keeps the r17 delete+insert
+    * wire byte-for-byte. REQUIRED in-body: exact per-type counts; the
+    * pre/post id sets are equal and the keyless id-join reproduces the
+    * +100 re-price on every pair; MatView consumes the lineage feed
+    * unchanged — the view IS the query output, so the oracle hash is
+    * the view-vs-direct-aggregate proof (ResampleSync never reads
+    * `_change_type` — type-agnostic by construction). */
+  private val q199 = Q(
+    "q199_cdc_row_lineage",
+    (s, dir) => {
+      val cat = "g199_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "cdclin-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 4 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      o.writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+      val log = graft.sources.CommitLog(s, s"$root/t")
+      val v0 = log.snapshot().version
+      o.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), col("st"),
+          (col("price") + 100).cast("decimal(18,2)").as("price"))
+        .union(o.filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("Z").as("st"),
+            expr("CAST(1.50 AS DECIMAL(18,2))").as("price")))
+        .createOrReplaceTempView("q199_src")
+      val priorFloor = s.conf.getOption("spark.graft.dv.minTouchedBytes")
+      s.conf.set("spark.graft.dv.minTouchedBytes", "0")
+      try s.sql(s"""MERGE INTO $cat.t t USING q199_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET price = s.price
+        WHEN NOT MATCHED THEN INSERT *""")
+      finally priorFloor.fold(s.conf.unset("spark.graft.dv.minTouchedBytes"))(
+        s.conf.set("spark.graft.dv.minTouchedBytes", _))
+      require(log.snapshot().dvs.nonEmpty,
+        "q199: the merge must take the merge-on-read path")
+      val counts = o.agg(
+        sum(when(col("o_orderkey") % 13 === 0, 1L).otherwise(0L)),
+        sum(when(col("o_orderkey") % 17 === 0, 1L).otherwise(0L))).collect()(0)
+      val (nUpd, nIns) = (counts.getLong(0), counts.getLong(1))
+      // the feed drives three probes — materialize it once
+      val feed = log.readChanges(v0, lineage = true).localCheckpoint()
+      try {
+        // one job: per-type counts AND the no-id-on-insert invariant
+        val byType = feed.groupBy(col("_change_type"))
+          .agg(count(lit(1)).as("c"),
+            sum(when(col("_row_id").isNotNull, 1L).otherwise(0L)).as("withId"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        require(byType == Map("update_preimage" -> (nUpd, nUpd),
+            "update_postimage" -> (nUpd, nUpd), "insert" -> (nIns, 0L)),
+          s"q199: expected $nUpd linked pairs + $nIns id-less inserts, got $byType")
+        val pre = feed.filter(col("_change_type") === "update_preimage")
+          .select(col("_row_id"), col("price").as("old_p"))
+        val post = feed.filter(col("_change_type") === "update_postimage")
+          .select(col("_row_id"), col("price").as("new_p"))
+        // NO data key — the id links; one job checks pairing + re-price
+        val lr = pre.join(post, "_row_id").agg(count(lit(1)).as("n"),
+          sum(when(expr("new_p <> CAST(old_p + 100 AS DECIMAL(18,2))"), 1L)
+            .otherwise(0L)).as("bad")).collect()(0)
+        require(lr.getLong(0) == nUpd && lr.getLong(1) == 0L,
+          "q199: the keyless id-join must pair every update and reproduce the re-price")
+      } finally graft.util.Ckpt.release(feed)
+      // the DEFAULT feed keeps the r17 wire: delete+insert, no _row_id
+      val plain = log.readChanges(v0)
+      require(!plain.columns.contains("_row_id")
+          && plain.select(col("_change_type")).distinct().collect()
+            .map(_.getString(0)).toSet == Set("insert", "delete"),
+        "q199: the default feed must stay the delete+insert wire")
+      // MatView consumes the lineage feed unchanged, keyless
+      graft.operators.MatView.applyDelta(s, s"$root/view",
+        log.readChanges(-1L, lineage = true), Seq("st"), Seq("price"))
+      // the VIEW is the query output: the DuckDB oracle replays the
+      // merge directly, so the hash gate IS the view-vs-direct proof
+      graft.sources.CommitLog(s, s"$root/view").read()
+        .select(col("st"), col("n"),
+          col("sum_price").cast("double").as("s_price"))
+        .orderBy(col("st"))
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey, o_orderstatus AS st,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 4 = 1),
+      merged AS (
+        SELECT o_orderkey, st,
+          CASE WHEN o_orderkey % 13 = 0
+               THEN CAST(price + 100 AS DECIMAL(18,2)) ELSE price END AS price
+        FROM base
+        UNION ALL
+        SELECT o_orderkey + 100000000 AS o_orderkey, 'Z' AS st,
+          CAST(1.50 AS DECIMAL(18,2)) AS price
+        FROM base WHERE o_orderkey % 17 = 0)
+      SELECT st, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS s_price
+      FROM merged GROUP BY st ORDER BY st"""))
+
+  /** B12 VARIANT open-shape columns (r18, VERDICT r17 #6 stretch): the
+    * reference's loosely-typed objects (`Morada`, `HorarioPosto` —
+    * /root/reference/index.js:129-131) map to Spark 4's `VariantType`:
+    * `parse_json` at ingest, `variant_get` typed extraction at query,
+    * rows free to carry DIFFERENT shapes (a nested object on one row,
+    * an array on the next) with no schema migration. The variant
+    * column round-trips the commit log (write, read, time travel) like
+    * any other type. Manifest honesty, pinned in-body: a variant
+    * column harvests NO footer stats (there is no shredding yet), so
+    * nothing about `variant_get` can prune or fold — absence refuses,
+    * every file survives, a filtered read scans. Values hash against
+    * DuckDB replaying the extraction semantics over the same rows. */
+  private val q200 = Q(
+    "q200_variant_open_shape",
+    (s, dir) => {
+      val cat = "g200_" + java.lang.Integer.toHexString(dir.hashCode)
+      val root = scratch(s, dir, "variant-wh")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      val base = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      // two SHAPES in one column: clicks/views carry a nested object,
+      // everything else an array — the open-shape case a fixed schema
+      // cannot hold without null-padding both branches
+      val js = when(col("event_type").isin("click", "view"),
+          concat(lit("{\"k\":"), col("k"),
+            lit(",\"nested\":{\"u\":"), col("user_id"), lit("}}")))
+        .otherwise(concat(lit("{\"k\":"), col("k"),
+          lit(",\"arr\":["), col("user_id"), lit(","),
+          col("user_id") * 2, lit("]}")))
+      base.select(col("event_id"), col("event_type"),
+          parse_json(js).as("v"))
+        .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+      val log = graft.sources.CommitLog(s, s"$root/t")
+      val snap = log.snapshot()
+      require(snap.files.nonEmpty && snap.stats.valuesIterator.forall(m =>
+          !m.keysIterator.exists(kk => kk == "v" || kk.startsWith("v."))),
+        "q200: a variant column must harvest NO stats (no shredding " +
+          "— absence refuses, conservative)")
+      // typed extraction: missing paths yield NULL, never an error —
+      // each shape's branch reads its own fields
+      val out = s.table(s"$cat.t").select(col("event_type"),
+          variant_get(col("v"), "$.k", "long").as("kk"),
+          variant_get(col("v"), "$.nested.u", "long").as("nu"),
+          variant_get(col("v"), "$.arr[1]", "long").as("a1"))
+      out.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("kk")).as("s_k"),
+          count(col("nu")).as("n_nested"), sum(col("a1")).as("s_arr"),
+          sum(when(col("kk") >= 50L, 1L).otherwise(0L)).as("n_k50"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH base AS (
+        SELECT event_type,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          CASE WHEN event_type IN ('click', 'view') THEN user_id END AS nu,
+          CASE WHEN event_type NOT IN ('click', 'view') THEN user_id * 2 END AS a1
+        FROM events)
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(k) AS BIGINT) AS s_k,
+        COUNT(nu) AS n_nested,
+        CAST(SUM(a1) AS BIGINT) AS s_arr,
+        CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_k50
+      FROM base GROUP BY event_type ORDER BY event_type"""))
+
   val qs: Seq[Q] = Seq(q133, q134, q135, q136, q137, q138, q141, q143, q144, q145,
     q148, q149, q150, q154, q155, q156, q157, q159, q160, q162, q165, q166, q167,
     q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193,
-    q194, q195, q196, q197, q198)
+    q194, q195, q196, q197, q198, q199, q200)
 }

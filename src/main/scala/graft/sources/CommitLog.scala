@@ -313,12 +313,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * files at the referenced positions — the rows a merge-on-read
     * delete masked, emitted as CDC delete rows. */
   private def selectDvRows(sch: StructType,
-      refs: Map[String, Seq[CommitLog.DvRef]]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, udf}
+      refs: Map[String, Seq[CommitLog.DvRef]],
+      withId: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, element_at, lit, split, udf}
     val files = refs.keys.toSeq
     if (files.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        if (withId) sch.add("_row_id", org.apache.spark.sql.types.StringType)
+        else sch)
     val pos = dvPositions(refs, files)
     val bc = spark.sparkContext.broadcast(pos)
     val hit = udf((fp: String, idx: Long) => {
@@ -328,11 +331,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         case None => false
       }
     })
-    val raw = spark.read.schema(physSchema(sch))
+    val raw0 = spark.read.schema(physSchema(sch))
       .parquet(files.map(entryPath): _*)
       .where(hit(col("_metadata.file_path"), col("_metadata.row_index")))
+    // r18 CDC lineage: the masked row's stable id (basename#ordinal)
+    val raw = if (!withId) raw0 else raw0.withColumn("_row_id",
+      concat(element_at(split(col("_metadata.file_path"), "/"), -1),
+        lit("#"), col("_metadata.row_index")))
     if (identityMapping(sch)) raw
-    else raw.select(sch.fields.toIndexedSeq.map(logicalCol): _*)
+    else raw.select(sch.fields.toIndexedSeq.map(logicalCol)
+      ++ (if (withId) Seq(col("_row_id")) else Nil): _*)
   }
 
   /** The live LOGICAL rows of `files` plus their physical address —
@@ -1470,8 +1478,9 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * carried per side: each piece reads with the schema of the version
     * it belongs to, and the union is by name with missing columns null.
     */
-  def readChanges(fromVersion: Long, toVersion: Long = Long.MaxValue): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+  def readChanges(fromVersion: Long, toVersion: Long = Long.MaxValue,
+      lineage: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val ms = parsedManifests(toVersion).toVector // two passes below
     require(fromVersion == -1L
         || ms.exists(_.get("version").asLong() == fromVersion),
@@ -1538,7 +1547,9 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
                   .as(ff.name)
               case None => col(s"`${f.name}`")
             }
-          } ++ Seq(col("_change_type"), col("_commit_version")): _*)
+          } ++ Seq(col("_change_type"), col("_commit_version"))
+            ++ (if (df.columns.contains("_row_id")) Seq(col("_row_id"))
+                else Nil): _*)
         case _ => df
       }
     var cur = emptySnapshot
@@ -1568,8 +1579,6 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         // masked rows were already emitted as deletes when masked)
         if (removed.nonEmpty)
           pieces += piece(removed, prev.schema, "delete", prev.dvs)
-        if (added.nonEmpty)
-          pieces += piece(added, cur.schema, "insert", Map.empty)
         // merge-on-read deletes: rows newly masked this commit on files
         // that stay live — emitted by reading ONLY the new DV positions
         val dvNew: Map[String, Seq[CommitLog.DvRef]] = cur.dvs.flatMap {
@@ -1578,10 +1587,44 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             if (fresh.isEmpty) None else Some(f -> fresh)
           case _ => None
         }
-        if (dvNew.nonEmpty)
-          pieces += stamp(
-            selectDvRows(cur.schema.getOrElse(new StructType()), dvNew),
-            cur.schema, "delete")
+        // r18 CDC ROW LINEAGE (opt-in): an `add_dv` commit that both
+        // masks rows and appends files is a merge-on-read UPDATE — its
+        // replacement files carry each pre-image's stable row id in the
+        // hidden [[CommitLog.RowLineageCol]]. Emit the masked rows that
+        // have a replacement as `update_preimage` and the replacements
+        // as `update_postimage`, linked by `_row_id`; everything else
+        // (plain inserts, pure deletes, copy-on-write rewrites) keeps
+        // the delete+insert form — the provable-link contract.
+        val provableUpdate = lineage &&
+          node.get("action").asText() == "add_dv" &&
+          added.nonEmpty && dvNew.nonEmpty
+        if (provableUpdate) {
+          val sch = cur.schema.getOrElse(new StructType())
+          val ext = sch.add(CommitLog.RowLineageCol,
+            org.apache.spark.sql.types.StringType)
+          val raw = readFiles(ext, added, Map.empty)
+          pieces += stamp(raw.filter(col(CommitLog.RowLineageCol).isNotNull)
+              .withColumnRenamed(CommitLog.RowLineageCol, "_row_id"),
+            Some(sch), "update_postimage")
+          val ins = raw.filter(col(CommitLog.RowLineageCol).isNull)
+            .drop(CommitLog.RowLineageCol)
+          pieces += stamp(ins, Some(sch), "insert")
+          val srcs = raw.filter(col(CommitLog.RowLineageCol).isNotNull)
+            .select(col(CommitLog.RowLineageCol).as("_row_id")).distinct()
+          val masked = selectDvRows(sch, dvNew, withId = true)
+          pieces += stamp(masked.join(srcs, Seq("_row_id"), "left_semi"),
+            Some(sch), "update_preimage")
+          pieces += stamp(masked.join(srcs, Seq("_row_id"), "left_anti"),
+            Some(sch), "delete")
+        } else {
+          if (added.nonEmpty)
+            pieces += piece(added, cur.schema, "insert", Map.empty)
+          if (dvNew.nonEmpty)
+            pieces += stamp(
+              selectDvRows(cur.schema.getOrElse(new StructType()), dvNew,
+                withId = lineage),
+              cur.schema, "delete")
+        }
       }
     }
     if (pieces.isEmpty) {
@@ -3131,9 +3174,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     if (matched.isEmpty) return Some(Some(s.version)) // raced to nothing
     val live = readFiles(sch, touched, s.dvs).count()
     if (live > 0 && matched.length.toDouble / live > maxRatio) return None
-    // every selected row IS a hit — assignments apply unconditionally
+    // every selected row IS a hit — assignments apply unconditionally.
+    // r18: the replacement rows carry their PRE-image's stable row id
+    // as a hidden physical column ([[CommitLog.RowLineageCol]]) so the
+    // change feed can link the update pair — invisible to normal reads
     val updatedRows = hits.select(sch.fields.map(f =>
-      assigned(f, col(f.name), lit(true))).toIndexedSeq: _*)
+      assigned(f, col(f.name), lit(true))).toIndexedSeq :+
+      org.apache.spark.sql.functions.concat(col("__dv_f"), lit("#"),
+        col("__dv_pos")).as(CommitLog.RowLineageCol): _*)
     val (newFiles, newTags) = partCol match {
       case Some(pc) =>
         val tagged = writeDataPartitioned(updatedRows, pc, sch)
@@ -3592,10 +3640,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   private def mergeProject(staged: DataFrame, sch: StructType,
       matchedClauses: Seq[CommitLog.MergeClause],
       insertClauses: Seq[CommitLog.WhenNotMatchedInsert],
-      bySourceClauses: Seq[CommitLog.MergeClause] = Nil): DataFrame = {
+      bySourceClauses: Seq[CommitLog.MergeClause] = Nil,
+      extraCols: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{col, when}
-    staged.select(sch.fields.toIndexedSeq.map { f =>
+    staged.select(extraCols ++ sch.fields.toIndexedSeq.map { f =>
       var v: Column = null
       def pick(act: Int, stagedCol: String): Unit = {
         val c = when(col("__act") === act, col(stagedCol))
@@ -3680,7 +3729,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       if (appendActs.isEmpty) None
       else Some(mergeProject(
         staged.filter(col("__act").isin(appendActs: _*)),
-        sch, matchedClauses, insertClauses, bySourceClauses))
+        sch, matchedClauses, insertClauses, bySourceClauses,
+        // r18 CDC lineage: an UPDATE-act row's replacement carries its
+        // pre-image's stable id (insert-act rows have no target — null)
+        extraCols = Seq(org.apache.spark.sql.functions.when(
+          col("__dv_f").isNotNull, org.apache.spark.sql.functions.concat(
+            col("__dv_f"), org.apache.spark.sql.functions.lit("#"),
+            col("__dv_pos"))).as(CommitLog.RowLineageCol))))
     appendDf.foreach(validateConstraints)
     val (newFiles, newTags) = appendDf match {
       case None => (Seq.empty[String], Map.empty[String, String])
@@ -5780,6 +5835,16 @@ object CommitLog {
     * prefixed by, [[SumKeyPrefix]]/[[NullsKeyPrefix]] — the derived
     * sum-config scan strips `graft.sum.` and must never see these. */
   private[sources] val SumNPrefix: String = "graft.nn."
+
+  /** r18 CDC ROW LINEAGE: the hidden physical column a merge-on-read
+    * UPDATE writes into its replacement files — the PRE-image row's
+    * stable id (`<data-file basename>#<row ordinal>`). Invisible to
+    * every normal read (explicit-schema reads select only the logical
+    * columns), it lets [[CommitLog.readChanges]] with `lineage = true`
+    * link each masked row to its replacement and emit
+    * `update_preimage`/`update_postimage` pairs instead of an
+    * unlinked delete+insert. */
+  private[sources] val RowLineageCol: String = "__graft_src"
 
   /** Reserved pseudo-key: the TOTAL masked-row count of this file whose
     * contributions its `graft.sum.*`/`graft.nn.*` entries already

@@ -60,8 +60,9 @@ object AnnIndexSync {
     // Precondition: ids are unique within one (version, change_type) —
     // readChanges emits net effects per version, so a remaining tie
     // would mean a malformed feed, not a real ordering choice.
-    val typeRank = when(col("_change_type") === "insert", 1)
-      .when(col("_change_type") === "delete", 0)
+    val typeRank = when(col("_change_type")
+        .isin("insert", "update_postimage"), 1)
+      .when(col("_change_type").isin("delete", "update_preimage"), 0)
       .otherwise(raise_error(concat(
         lit("AnnIndexSync: unknown _change_type "), col("_change_type"))))
     val w = org.apache.spark.sql.expressions.Window
@@ -75,7 +76,8 @@ object AnnIndexSync {
       .localCheckpoint() // touched + live both consume it: one pass
     val touched = last.select(col(cId))
     if (!touched.isEmpty) {
-      val live = last.filter(col("_change_type") === "insert")
+      val live = last.filter(col("_change_type")
+        .isin("insert", "update_postimage"))
         .drop("__rn", "_change_type", "_commit_version")
       // ONE atomic postings commit (r12): stale postings of every
       // touched id retire and the re-encoded rows land together — a

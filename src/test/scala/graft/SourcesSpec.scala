@@ -516,12 +516,20 @@ class SourcesSpec extends SparkSpecBase {
     assert(spark.table("galt.t").columns.contains("name"))
     spark.sql("ALTER TABLE galt.t RENAME COLUMN name TO nome")
     assert(spark.table("galt.t").columns.contains("nome"))
-    // properties: settable, frozen invariants refused (Spark may wrap
-    // the catalog's IllegalArgumentException — assert on the message)
+    // properties: settable; merge.log stays frozen; merge.partcol is
+    // r18 SPEC EVOLUTION — but only ON a partitioned table: setting it
+    // on an unpartitioned one refuses (re-tagging existing untagged
+    // files would be a rewrite, not metadata). Spark may wrap the
+    // catalog's IllegalArgumentException — assert on the message.
     spark.sql("ALTER TABLE galt.t SET TBLPROPERTIES ('note'='hi')")
     val e = intercept[Exception](
       spark.sql("ALTER TABLE galt.t SET TBLPROPERTIES ('merge.partcol'='nome')"))
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(5).exists(t => Option(t.getMessage)
+        .exists(_.contains("no partition spec to evolve"))))
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE galt.t SET TBLPROPERTIES ('merge.log'='false')"))
+    assert(Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
       .take(5).exists(t => Option(t.getMessage).exists(_.contains("cannot be altered"))))
   }
 
