@@ -1597,7 +1597,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         // the delete+insert form — the provable-link contract.
         val provableUpdate = lineage &&
           node.get("action").asText() == "add_dv" &&
-          added.nonEmpty && dvNew.nonEmpty
+          added.nonEmpty && dvNew.nonEmpty &&
+          cur.schema.forall(lineageNameFree)
         if (provableUpdate) {
           val sch = cur.schema.getOrElse(new StructType())
           val ext = sch.add(CommitLog.RowLineageCol,
@@ -2254,6 +2255,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
     (-1L, 0) // unreachable
   }
+
+  /** True when the schema itself claims the reserved lineage column
+    * name — vanishingly unlikely, but a user column named
+    * [[CommitLog.RowLineageCol]] must DISABLE lineage (fall back to
+    * delete+insert) rather than collide with the hidden carrier. */
+  private def lineageNameFree(sch: StructType): Boolean =
+    !sch.fields.exists(f => lc(physName(f)) == CommitLog.RowLineageCol
+      || lc(f.name) == CommitLog.RowLineageCol)
 
   /** Every partitioned WRITE lands under the current spec: once the
     * registry exists, a caller-supplied partCol that is not the
@@ -3179,9 +3188,11 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // as a hidden physical column ([[CommitLog.RowLineageCol]]) so the
     // change feed can link the update pair — invisible to normal reads
     val updatedRows = hits.select(sch.fields.map(f =>
-      assigned(f, col(f.name), lit(true))).toIndexedSeq :+
-      org.apache.spark.sql.functions.concat(col("__dv_f"), lit("#"),
-        col("__dv_pos")).as(CommitLog.RowLineageCol): _*)
+      assigned(f, col(f.name), lit(true))).toIndexedSeq ++
+      (if (lineageNameFree(sch))
+        Seq(org.apache.spark.sql.functions.concat(col("__dv_f"), lit("#"),
+          col("__dv_pos")).as(CommitLog.RowLineageCol))
+      else Nil): _*)
     val (newFiles, newTags) = partCol match {
       case Some(pc) =>
         val tagged = writeDataPartitioned(updatedRows, pc, sch)
@@ -3732,7 +3743,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         sch, matchedClauses, insertClauses, bySourceClauses,
         // r18 CDC lineage: an UPDATE-act row's replacement carries its
         // pre-image's stable id (insert-act rows have no target — null)
-        extraCols = Seq(org.apache.spark.sql.functions.when(
+        extraCols = if (!lineageNameFree(sch)) Nil
+        else Seq(org.apache.spark.sql.functions.when(
           col("__dv_f").isNotNull, org.apache.spark.sql.functions.concat(
             col("__dv_f"), org.apache.spark.sql.functions.lit("#"),
             col("__dv_pos"))).as(CommitLog.RowLineageCol))))

@@ -59,7 +59,7 @@ private[sources] object GraftProcedures {
   def names: Seq[String] =
     Seq("optimize", "optimize_partitions", "compact", "prune", "vacuum",
       "maintain", "history", "materialize_mapping", "clone", "restore",
-      "detail", "harvest_sums")
+      "detail", "harvest_sums", "migrate_spec")
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
     def logFor(table: String): CommitLog = {
@@ -202,6 +202,19 @@ private[sources] object GraftProcedures {
           resultScan(StructType(Seq(
             StructField("version", LongType),
             StructField("files_harvested", IntegerType))),
+            Seq(new GenericInternalRow(Array[Any](v, n))))
+        })
+      // r18: rewrite exactly the files still tagged under an OLDER
+      // partition spec so partition-scoped ops re-admit after an
+      // evolution ([[CommitLog.migrateSpec]]); idempotent, (v, 0) when
+      // nothing is stale or the table never evolved.
+      case "migrate_spec" => proc("migrate_spec",
+        Seq(p("table", StringType)),
+        in => {
+          val (v, n) = logFor(in.getUTF8String(0).toString).migrateSpec()
+          resultScan(StructType(Seq(
+            StructField("version", LongType),
+            StructField("files_migrated", IntegerType))),
             Seq(new GenericInternalRow(Array[Any](v, n))))
         })
       case "restore" => proc("restore",

@@ -108,6 +108,25 @@ class CdcLineageSpec extends graft.SparkSpecBase {
       "a masked delete still carries its stable row id")
   }
 
+  test("a user column claiming the reserved name disables lineage, never collides") {
+    val root = fresh("rsv")
+    val log = CommitLog(spark, root)
+    log.append(spark.range(0L, 20L).toDF("id")
+      .select($"id", ($"id" * 2).as("v"),
+        lit("user-data").as("__graft_src")).coalesce(1))
+    val v0 = log.snapshot().version
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    try log.update($"id" === 19L, Map("v" -> lit(0L)))
+    finally spark.conf.unset("spark.graft.dv.minTouchedBytes")
+    assert(log.snapshot().dvs.nonEmpty)
+    val feed = log.readChanges(v0, lineage = true)
+    val t = types(feed)
+    assert(t.keySet === Set("insert", "delete"),
+      s"the reserved-name table must fall back to delete+insert, got $t")
+    assert(log.read().filter($"__graft_src" =!= "user-data").count() === 0L,
+      "the user's column survives untouched")
+  }
+
   test("MatView applies a lineage feed without re-keying") {
     val root = fresh("mv")
     val viewRoot = Files.createTempDirectory("cdc-lin-view").toString + "/v"

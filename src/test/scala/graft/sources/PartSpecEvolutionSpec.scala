@@ -136,6 +136,33 @@ class PartSpecEvolutionSpec extends graft.SparkSpecBase {
     assert(afterRp.count() === 12L, "only hour 0 was replaced (1 row in, 1 out)")
   }
 
+  test("a SECOND evolution extends the registry; migrate sweeps all older specs") {
+    val (cat, wh) = freshCat("twice")
+    batch(0, 1).limit(0).writeTo(s"$cat.t")
+      .tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "days(ts)").create()
+    val log = CommitLog(spark, s"$wh/t")
+    log.appendPartitioned(batch(0, 1), "days(ts)")
+    log.evolvePartitionSpec("days(ts)", "hours(ts)")
+    log.appendPartitioned(batch(1, 2), "hours(ts)")
+    log.evolvePartitionSpec("hours(ts)", "months(ts)")
+    log.appendPartitioned(batch(2, 3), "months(ts)")
+    val s3 = log.snapshot()
+    assert(s3.specs === Seq("days(ts)", "hours(ts)", "months(ts)"))
+    assert(Set(0, 1, 2).subsetOf(
+      s3.files.map(f => s3.specIdOf(f)).toSet), "three eras live at once")
+    // reads stay correct across all three eras
+    assert(spark.table(s"$cat.t").agg(sum($"v")).collect()(0).getLong(0)
+      === (0 until 12).map(_ * 10L).sum)
+    // ONE migrate sweeps BOTH older eras under the current spec
+    val (_, n) = log.migrateSpec()
+    assert(n === s3.files.count(f => s3.specIdOf(f) != 2))
+    val s4 = log.snapshot()
+    assert(s4.files.forall(f => s4.specIdOf(f) === 2))
+    assert(spark.table(s"$cat.t").agg(sum($"v")).collect()(0).getLong(0)
+      === (0 until 12).map(_ * 10L).sum)
+  }
+
   test("registry survives checkpoint, restore, and clone") {
     val (cat, wh) = freshCat("life")
     batch(0, 1).limit(0).writeTo(s"$cat.t")
@@ -256,7 +283,12 @@ class PartSpecEvolutionSpec extends graft.SparkSpecBase {
     assert(q1.orderBy($"g").collect().map(_.getLong(1)).toSeq
       === Seq(20L, 20L, 20L), "the fallback scan stays correct")
 
-    CommitLog(spark, s"$wh/t").migrateSpec()
+    // the SQL surface: CALL <cat>.system.migrate_spec
+    val r = spark.sql(s"CALL $cat.system.migrate_spec(`table` => 't')")
+      .collect()(0)
+    assert(r.getInt(1) > 0, "the procedure must report migrated files")
+    assert(spark.sql(s"CALL $cat.system.migrate_spec(`table` => 't')")
+      .collect()(0).getInt(1) === 0, "idempotent")
     val q2 = spark.table(s"$cat.t").groupBy($"g").agg(count(lit(1)).as("n"))
     assert(planOf(q2).contains("LocalTableScan"),
       s"post-migration the fold re-admits:\n${planOf(q2)}")
