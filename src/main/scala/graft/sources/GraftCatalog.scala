@@ -871,6 +871,22 @@ private[sources] final class GraftLogScanBuilder(
   private val snapSchema: StructType =
     snap.schema.getOrElse(new StructType())
 
+  // r18: the spec every WHOLE-SCAN tag interpretation must use — the
+  // SNAPSHOT'S OWN current spec, never the live table property. A
+  // time-travel scan pinned after an evolution reads the pinned
+  // registry's last entry (the property may have evolved further); a
+  // pin BEFORE the first evolution has an empty registry even though
+  // the table later evolved — its tags are create-time-spec tags, so
+  // the LATEST registry's FIRST entry interprets them (all files in an
+  // empty-registry snapshot predate the first evolve). Only a
+  // never-evolved table falls back to the declared property.
+  private lazy val effectivePartCol: Option[String] = {
+    val declared = partCol.map(_.trim).filter(_.nonEmpty)
+    if (snap.specs.nonEmpty) Some(snap.specs.last)
+    else if (version.isEmpty && tsMillis.isEmpty) declared // snap IS latest
+    else log.snapshot().specs.headOption.orElse(declared)
+  }
+
   // ── column mapping at the scan boundary (r12) ───────────────────────
   // The inner V2 parquet builder resolves columns BY NAME, and a
   // renamed table's files carry the stable PHYSICAL names — so every
@@ -1075,7 +1091,7 @@ private[sources] final class GraftLogScanBuilder(
   private def exactOnSelected(filters: Seq[Expression]): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, IsNotNull, Literal}
     import org.apache.spark.sql.types.{DateType, TimestampType}
-    val sp = partCol.map(_.trim).filter(_.nonEmpty)
+    val sp = effectivePartCol
       .flatMap(p => scala.util.Try(PartSpec.parse(p)).toOption)
       .getOrElse(return false)
     if (selectedFiles.isEmpty || !selectedFiles.forall(snap.parts.contains))
@@ -1379,7 +1395,7 @@ private[sources] final class GraftLogScanBuilder(
     // tag components. A group whose live rows are all DV-masked does
     // not exist (SQL group semantics), so grouped answers always need
     // the row counts.
-    val spec: Option[PartSpec] = partCol.map(_.trim).filter(_.nonEmpty)
+    val spec: Option[PartSpec] = effectivePartCol
       .flatMap(p => scala.util.Try(PartSpec.parse(p)).toOption)
     def keyOf(name: String): Option[(StructField, Int)] = for {
       sp <- spec
@@ -2060,7 +2076,7 @@ private[sources] final class GraftLogScanBuilder(
     val enabled = boolConf("spark.graft.spj.preserveDataGrouping", default = false) &&
       boolConf("spark.sql.sources.v2.bucketing.enabled", default = true)
     if (!enabled || groupGranularity) return None
-    val spec = partCol.map(_.trim).filter(_.nonEmpty)
+    val spec = effectivePartCol
       .flatMap(s => scala.util.Try(PartSpec.parse(s)).toOption)
     spec match {
       case Some(sp) =>
@@ -2128,7 +2144,7 @@ private[sources] final class GraftLogScanBuilder(
   private def rtInfo: Option[GraftLogScanBuilder.RtInfo] = {
     if (groupGranularity) return None
     if (!boolConf("spark.graft.runtimeFiltering.enabled", default = true)) return None
-    val rtSpec: Option[PartSpec] = partCol.map(_.trim).filter(_.nonEmpty)
+    val rtSpec: Option[PartSpec] = effectivePartCol
       .flatMap(s => scala.util.Try(PartSpec.parse(s)).toOption)
     val statCols: Set[String] = snap.stats.valuesIterator.flatMap(_.keysIterator).toSet
     val bloomCols: Set[String] = snap.blooms.valuesIterator.flatMap(_.keysIterator).toSet

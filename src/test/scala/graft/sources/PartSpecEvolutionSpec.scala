@@ -163,6 +163,42 @@ class PartSpecEvolutionSpec extends graft.SparkSpecBase {
       === (0 until 12).map(_ * 10L).sum)
   }
 
+  test("time travel to a PRE-evolve version judges tags under the create-time spec") {
+    // a pinned pre-evolve snapshot has an EMPTY registry even though
+    // the table later evolved — interpreting its day tags under the
+    // live property (hours) would let a sub-day filter falsely certify
+    // exactness against a whole-day file (tag 0 read as hour 0 ⊆
+    // `ts < 1h` → the COUNT would fold to the file's 4 rows instead of
+    // 1). The scan must resolve the LATEST registry's FIRST entry.
+    val (cat, wh) = freshCat("tt")
+    batch(0, 2).limit(0).writeTo(s"$cat.t")
+      .tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "days(ts)").create()
+    val log = CommitLog(spark, s"$wh/t")
+    log.appendPartitioned(batch(0, 2), "days(ts)")          // v1: 2 day files
+    val vPre = log.snapshot().version
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('merge.partcol'='hours(ts)')")
+    log.appendPartitioned(batch(2, 3), "hours(ts)")
+    // sub-day filter on the PINNED version: must NOT fold (the day
+    // file's unit is a day, not an hour) — and must count 1, not 4
+    val subDay = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.t VERSION AS OF $vPre " +
+      "WHERE ts < timestamp_micros(3600000000)")
+    subDay.collect()
+    val p1 = subDay.queryExecution.executedPlan.toString
+    assert(p1.contains("BatchScan"),
+      s"a sub-day filter must refuse the fold on a day file:\n$p1")
+    assert(subDay.collect()(0).getLong(0) === 1L)
+    // a DAY-aligned filter on the pinned version still certifies and
+    // folds — the create-time spec interprets the tags
+    val aligned = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.t VERSION AS OF $vPre " +
+      "WHERE CAST(ts AS DATE) = DATE '1970-01-01'")
+    aligned.collect()
+    val p2 = aligned.queryExecution.executedPlan.toString
+    assert(p2.contains("LocalTableScan") && !p2.contains("BatchScan"),
+      s"the day-aligned pinned COUNT must fold under the create-time spec:\n$p2")
+    assert(aligned.collect()(0).getLong(0) === 4L)
+  }
+
   test("registry survives checkpoint, restore, and clone") {
     val (cat, wh) = freshCat("life")
     batch(0, 1).limit(0).writeTo(s"$cat.t")
