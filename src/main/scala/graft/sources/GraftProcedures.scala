@@ -244,6 +244,15 @@ private[sources] object GraftProcedures {
             if (s.files.forall(s.rows.contains))
               s.files.iterator.map(f => s.liveRowCount(f).get).sum
             else null
+          // r18: the partition-spec registry ("d0;d1;…" in id order —
+          // last = current) and how many live files still carry tags
+          // under an OLDER spec (0 = nothing for migrate_spec to do)
+          val specReg: Any = if (s.specs.isEmpty) null
+            else org.apache.spark.unsafe.types.UTF8String
+              .fromString(s.specs.mkString(";"))
+          val staleSpecFiles = if (s.specs.isEmpty) 0L
+            else s.files.count(f => s.parts.contains(f)
+              && s.specIdOf(f) != s.currentSpecId).toLong
           resultScan(StructType(Seq(
             StructField("version", LongType),
             StructField("num_files", LongType),
@@ -253,11 +262,14 @@ private[sources] object GraftProcedures {
             StructField("column_mapped", BooleanType),
             StructField("num_retired_physical", LongType),
             StructField("num_deletion_vectors", LongType),
-            StructField("num_masked_rows", LongType))),
+            StructField("num_masked_rows", LongType),
+            StructField("part_spec_registry", StringType),
+            StructField("num_stale_spec_files", LongType))),
             Seq(new GenericInternalRow(Array[Any](
               s.version, s.files.size.toLong, numRows, bytes,
               s.parts.values.toSet.size.toLong, mapped,
-              s.physRetired.size.toLong, dvSidecars.toLong, maskedRows))))
+              s.physRetired.size.toLong, dvSidecars.toLong, maskedRows,
+              specReg, staleSpecFiles))))
         })
       case "history" => proc("history", Seq(p("table", StringType)),
         in => {

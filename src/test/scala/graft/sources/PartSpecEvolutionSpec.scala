@@ -154,6 +154,12 @@ class PartSpecEvolutionSpec extends graft.SparkSpecBase {
     // reads stay correct across all three eras
     assert(spark.table(s"$cat.t").agg(sum($"v")).collect()(0).getLong(0)
       === (0 until 12).map(_ * 10L).sum)
+    // DESCRIBE DETAIL surfaces the registry and the migration debt
+    val d = spark.sql(s"CALL $cat.system.detail(`table` => 't')").head()
+    assert(d.getAs[String]("part_spec_registry")
+      === "days(ts);hours(ts);months(ts)")
+    assert(d.getAs[Long]("num_stale_spec_files")
+      === s3.files.count(f => s3.specIdOf(f) != 2).toLong)
     // ONE migrate sweeps BOTH older eras under the current spec
     val (_, n) = log.migrateSpec()
     assert(n === s3.files.count(f => s3.specIdOf(f) != 2))
