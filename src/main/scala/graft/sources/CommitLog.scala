@@ -663,9 +663,14 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * schedule. A file whose footer counts were never harvested
     * (pre-r14) gets its row/null/min-max stats refreshed in the same
     * commit. CAS-retried: a file a racing writer adds mid-backfill is
-    * re-examined on the retry fold, never silently dropped. Returns
-    * (committed version, files harvested) — (current version, 0) when
-    * nothing needed work. */
+    * re-examined on the retry fold, never silently dropped. r18: the
+    * same read also harvests live non-null COUNTS for every requested
+    * column of ANY type (no request = the whole schema) on DV'd files
+    * — the COUNT(col) repair for columns that can never carry a sum
+    * (strings, doubles, containers); a sums-free table's legacy DV
+    * repairs with a pure count harvest. Returns (committed version,
+    * files harvested) — (current version, 0) when nothing needed
+    * work. */
   def harvestSums(cols: Seq[String] = Nil): (Long, Int) = {
     import org.apache.spark.sql.functions.{col, count, try_sum}
     import org.apache.spark.sql.types._
@@ -678,20 +683,34 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val targets: Seq[String] =
         if (cols.nonEmpty) cols
         else effectiveSumCfg(() => s).getOrElse(Nil)
-      require(targets.nonEmpty, s"$tableRoot: no sum columns to harvest — " +
-        "pass columns or configure withSumStats / merge.sumstats")
-      val fields = targets.flatMap(c =>
+      // SUM half: only the exactly-summable subset harvests partials
+      val sumFields = targets.flatMap(c =>
           sch.fields.find(f => lc(f.name) == lc(c)))
         .filter(f => f.dataType match {
           case ByteType | ShortType | IntegerType | LongType => true
           case _: DecimalType => true
           case _ => false
         }).distinctBy(f => lc(physName(f)))
-      require(fields.nonEmpty, s"$tableRoot: none of " +
-        s"${targets.mkString(", ")} is exactly summable (integral and " +
-        "decimal columns only — float/double sums are order-dependent)")
+      // COUNT half (r18): a live non-null count repairs COUNT(col)
+      // across a legacy DV for EVERY column, whatever its type — the
+      // requested columns, or (no request) the whole schema; counts
+      // ride the same masked read for free
+      val cntFields = (if (cols.nonEmpty) cols else sch.fields.map(_.name).toSeq)
+        .flatMap(c => sch.fields.find(f => lc(f.name) == lc(c)))
+        .distinctBy(f => lc(physName(f)))
+      require(cntFields.nonEmpty, s"$tableRoot: none of " +
+        s"${(if (cols.nonEmpty) cols else targets).mkString(", ")} " +
+        "resolves to a table column")
+      val sumPhys = sumFields.map(f => lc(physName(f))).toSet
+      val cntOnly = cntFields.filterNot(f => sumPhys(lc(physName(f))))
       def dvTot(fl: String): Long =
         s.dvs.getOrElse(fl, Nil).iterator.map(_.count).sum
+      def zeroFor(fl: String, phys: String): Boolean =
+        s.rows.get(fl).contains(0L) ||
+          ((s.rows.get(fl), s.nulls.get(fl).flatMap(_.get(phys))) match {
+            case (Some(r), Some(n)) => n == r
+            case _ => false
+          })
       val needs = s.files.filter { fl =>
         val st = s.stats.getOrElse(fl, Map.empty)
         val unaccounted = dvTot(fl) > 0L &&
@@ -699,31 +718,31 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             case (n: Long, _) => n == dvTot(fl)
             case _ => false
           }
-        val missing = fields.exists { f =>
+        // a provably-empty file (or all-null column) has no partial
+        // to store — already covered, skip forever
+        val missingSum = sumFields.exists { f =>
           val phys = physName(f)
-          !st.contains(CommitLog.SumKeyPrefix + phys) && {
-            // a provably-empty file (or all-null column) has no
-            // partial to store — already covered, skip forever
-            val zero = s.rows.get(fl).contains(0L) ||
-              ((s.rows.get(fl), s.nulls.get(fl).flatMap(_.get(phys))) match {
-                case (Some(r), Some(n)) => n == r
-                case _ => false
-              })
-            !zero
-          }
+          !st.contains(CommitLog.SumKeyPrefix + phys) && !zeroFor(fl, phys)
         }
-        unaccounted || missing
+        // r18: an accounted DV'd file still needs a live count for a
+        // requested column that never got one (legacy accounting, a
+        // column added after it)
+        val missingNn = dvTot(fl) > 0L && cntFields.exists { f =>
+          val phys = physName(f)
+          !st.contains(CommitLog.SumNPrefix + phys) && !zeroFor(fl, phys)
+        }
+        unaccounted || missingSum || missingNn
       }
       if (needs.isEmpty) return (s.version, 0)
       // ONE masked read over exactly the files needing partials: the
       // live sums and live non-null counts, grouped per file
-      val narrow = StructType(fields.toArray)
-      val aggs = fields.flatMap(f => Seq(
+      val narrow = StructType(cntFields.toArray)
+      val aggs = sumFields.map(f =>
         try_sum(col(s"`${f.name}`").cast(f.dataType match {
           case d: DecimalType => DecimalType(38, d.scale)
           case _ => DecimalType(38, 0)
-        })).as(s"__s_${f.name}"),
-        count(col(s"`${f.name}`")).as(s"__c_${f.name}")))
+        })).as(s"__s_${f.name}")) ++
+        cntFields.map(f => count(col(s"`${f.name}`")).as(s"__c_${f.name}"))
       val harvested = readLiveWithPos(s, narrow, needs)
         .groupBy(col("__dv_f"))
         .agg(aggs.head, aggs.tail: _*).collect()
@@ -736,9 +755,12 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             else statsForOne(fl)
           val row = harvested.get(new Path(fl).getName)
           var m = base
-          fields.zipWithIndex.foreach { case (f, i) =>
+          def liveCnt(f: org.apache.spark.sql.types.StructField): Long =
+            row.map(r => r.getLong(r.fieldIndex(s"__c_${f.name}")))
+              .getOrElse(0L)
+          sumFields.foreach { f =>
             val phys = physName(f)
-            val liveNn = row.map(_.getLong(2 + 2 * i)).getOrElse(0L)
+            val liveNn = liveCnt(f)
             // a file with zero live rows, or an all-null-among-live
             // column, stores a ZERO partial: it contributes nothing to
             // the fold's exact accumulation (the global NULL-if-no-
@@ -749,7 +771,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             // entry stays absent and the fold keeps refusing, matching
             // the write-time harvest's omission (ADVICE r17)
             val bdOpt: Option[java.math.BigDecimal] =
-              row.flatMap(r => Option(r.getDecimal(1 + 2 * i))) match {
+              row.flatMap(r =>
+                Option(r.getDecimal(r.fieldIndex(s"__s_${f.name}")))) match {
                 case some @ Some(_) => some
                 case None if liveNn == 0L => Some(java.math.BigDecimal.ZERO)
                 case None => None
@@ -774,6 +797,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             }
           }
           if (dvTot(fl) > 0L) {
+            // r18: count-only columns get their live non-null counts
+            // too — COUNT(col) repairs for every type, not just the
+            // summable set
+            cntOnly.foreach { f =>
+              val nn = java.lang.Long.valueOf(liveCnt(f))
+              m = m.updated(CommitLog.SumNPrefix + physName(f), (nn, nn))
+            }
             val t = java.lang.Long.valueOf(dvTot(fl))
             m = m.updated(CommitLog.SumDvKey, (t, t))
           }

@@ -421,6 +421,43 @@ class SumStatsSpec extends graft.SparkSpecBase {
       === (40L until 79L).count(_ % 5 != 0))
   }
 
+  test("r18: harvest repairs COUNT for NON-summable columns across a legacy DV") {
+    // a string column can never carry a sum partial — but its live
+    // non-null count is harvestable, so COUNT(txt) across a legacy DV
+    // repairs with a pure count harvest (sums-free table, default call)
+    val (cat, wh) = freshCat("cnt")
+    spark.range(0, 0).toDF("id")
+      .select($"id", $"id".cast("string").as("txt"))
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    val log = CommitLog(spark, s"$wh/t")
+    log.append(spark.range(0L, 40L).toDF("id")
+      .select($"id", when($"id" % 4 === 0, lit(null))
+        .otherwise($"id".cast("string")).as("txt")).coalesce(1))
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    spark.conf.set("spark.graft.dv.sumDeltas.enabled", "false")
+    try log.delete($"id" >= 38L) // legacy DV: no accounting at all
+    finally {
+      spark.conf.unset("spark.graft.dv.minTouchedBytes")
+      spark.conf.unset("spark.graft.dv.sumDeltas.enabled")
+    }
+    assert(log.snapshot().dvs.nonEmpty)
+    val q0 = spark.table(s"$cat.t").agg(count($"txt").as("c"))
+    assert(!manifestAnswered(q0), "the legacy DV must refuse COUNT(txt)")
+    val (_, n) = log.harvestSums() // no sum config: pure count repair
+    assert(n === 1, "the DV'd file must re-harvest")
+    val q = spark.table(s"$cat.t").agg(
+      count($"txt").as("c_t"), count($"id").as("c_i"))
+    assert(manifestAnswered(q), "post-repair COUNT must fold: "
+      + q.queryExecution.executedPlan)
+    val r = q.collect().head
+    assert(r.getLong(0) === (0L until 38L).count(_ % 4 != 0))
+    assert(r.getLong(1) === 38L)
+    // no sums were minted — SUM still honestly refuses
+    val qs = spark.table(s"$cat.t").agg(sum($"id").as("s"))
+    assert(!manifestAnswered(qs), "count repair must not mint sums")
+    assert(qs.collect().head.getLong(0) === (0L until 38L).sum)
+  }
+
   test("r17: the fold lifecycle — time travel, OPTIMIZE, RESTORE") {
     val (cat, wh) = freshCat("life")
     spark.range(0, 0).toDF("id").writeTo(s"$cat.t")
