@@ -58,11 +58,27 @@ object Sessions {
     // released block ("RDD N was locally checkpointed, its lineage has
     // been truncated…") — expected output of deliberate lifecycle
     // management, and at bench volume it floods captured output tails,
-    // burying real warnings. Silence exactly that logger (the concrete
-    // RDD class the checkpoint materializes); everything else stays WARN.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // burying real warnings. Deny exactly that MESSAGE on exactly that
+    // logger (the concrete RDD class the checkpoint materializes) — any
+    // other warning the class emits still surfaces.
+    locally {
+      import org.apache.logging.log4j.core.{Filter, LoggerContext}
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[LoggerContext]
+      val conf = ctx.getConfiguration
+      val name = "org.apache.spark.rdd.MapPartitionsRDD"
+      if (conf.getLoggerConfig(name).getName != name) {
+        val lc = new LoggerConfig(name,
+          org.apache.logging.log4j.Level.WARN, true)
+        lc.addFilter(RegexFilter.createFilter(
+          ".*locally checkpointed.*", null, false,
+          Filter.Result.DENY, Filter.Result.NEUTRAL))
+        conf.addLogger(name, lc)
+        ctx.updateLoggers()
+      }
+    }
     // engine-native functions, available to DataFrame code and SQL alike
     graft.functions.SimHash64.register(spark)
     graft.functions.CosineSim.register(spark)

@@ -336,8 +336,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       .where(hit(col("_metadata.file_path"), col("_metadata.row_index")))
     // r18 CDC lineage: the masked row's stable id (basename#ordinal)
     val raw = if (!withId) raw0 else raw0.withColumn("_row_id",
-      concat(element_at(split(col("_metadata.file_path"), "/"), -1),
-        lit("#"), col("_metadata.row_index")))
+      rowIdCol(element_at(split(col("_metadata.file_path"), "/"), -1),
+        col("_metadata.row_index")))
     if (identityMapping(sch)) raw
     else raw.select(sch.fields.toIndexedSeq.map(logicalCol)
       ++ (if (withId) Seq(col("_row_id")) else Nil): _*)
@@ -735,14 +735,20 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       }
       if (needs.isEmpty) return (s.version, 0)
       // ONE masked read over exactly the files needing partials: the
-      // live sums and live non-null counts, grouped per file
-      val narrow = StructType(cntFields.toArray)
+      // live sums and live non-null counts, grouped per file. Live
+      // counts are only STORED for DV'd files — when no needy file
+      // carries a DV (a pure sum backfill), the read stays as narrow
+      // as the sum set instead of scanning the whole schema (review
+      // r18)
+      val dvNeedy = needs.exists(fl => dvTot(fl) > 0L)
+      val readFields = sumFields ++ (if (dvNeedy) cntOnly else Nil)
+      val narrow = StructType(readFields.toArray)
       val aggs = sumFields.map(f =>
         try_sum(col(s"`${f.name}`").cast(f.dataType match {
           case d: DecimalType => DecimalType(38, d.scale)
           case _ => DecimalType(38, 0)
         })).as(s"__s_${f.name}")) ++
-        cntFields.map(f => count(col(s"`${f.name}`")).as(s"__c_${f.name}"))
+        readFields.map(f => count(col(s"`${f.name}`")).as(s"__c_${f.name}"))
       val harvested = readLiveWithPos(s, narrow, needs)
         .groupBy(col("__dv_f"))
         .agg(aggs.head, aggs.tail: _*).collect()
@@ -803,6 +809,29 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             cntOnly.foreach { f =>
               val nn = java.lang.Long.valueOf(liveCnt(f))
               m = m.updated(CommitLog.SumNPrefix + physName(f), (nn, nn))
+            }
+            // stamping SumDvKey certifies the file's WHOLE sum/count
+            // evidence as live-exact. If the file was UNACCOUNTED
+            // before this pass, any entry this pass did NOT re-harvest
+            // (a columns-subset call after a legacy DV) still bakes in
+            // pre-mask values and would silently answer wrong — sweep
+            // them (absence refuses; a later full harvest repairs). A
+            // previously-ACCOUNTED file's other entries are live-exact
+            // and keep (review r18).
+            val priorAccounted = s.stats.getOrElse(fl, Map.empty)
+              .get(CommitLog.SumDvKey).exists {
+                case (n: Long, _) => n == dvTot(fl)
+                case _ => false
+              }
+            if (!priorAccounted) {
+              val sumKeep = sumFields.map(f => lc(physName(f))).toSet
+              val cntKeep = cntFields.map(f => lc(physName(f))).toSet
+              m = m.filterNot { case (k, _) =>
+                (k.startsWith(CommitLog.SumKeyPrefix)
+                    && !sumKeep(lc(k.drop(CommitLog.SumKeyPrefix.length)))) ||
+                (k.startsWith(CommitLog.SumNPrefix)
+                    && !cntKeep(lc(k.drop(CommitLog.SumNPrefix.length))))
+              }
             }
             val t = java.lang.Long.valueOf(dvTot(fl))
             m = m.updated(CommitLog.SumDvKey, (t, t))
@@ -1630,30 +1659,43 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           added.nonEmpty && dvNew.nonEmpty &&
           cur.schema.forall(lineageNameFree)
         if (provableUpdate) {
+          import org.apache.spark.sql.functions.when
           val sch = cur.schema.getOrElse(new StructType())
           val ext = sch.add(CommitLog.RowLineageCol,
             org.apache.spark.sql.types.StringType)
+          // ONE pass over the replacements: the per-row change type
+          // falls out of the carrier's nullness (an update's
+          // postimage vs an insert-clause row) — no second filtered
+          // re-read of the appended parquet (review r18)
           val raw = readFiles(ext, added, Map.empty)
-          pieces += stamp(raw.filter(col(CommitLog.RowLineageCol).isNotNull)
+          pieces += normalize(raw
+              .withColumn("_change_type",
+                when(col(CommitLog.RowLineageCol).isNotNull,
+                  lit("update_postimage")).otherwise(lit("insert")))
+              .withColumn("_commit_version", lit(cur.version))
               .withColumnRenamed(CommitLog.RowLineageCol, "_row_id"),
-            Some(sch), "update_postimage")
-          val ins = raw.filter(col(CommitLog.RowLineageCol).isNull)
-            .drop(CommitLog.RowLineageCol)
-          pieces += stamp(ins, Some(sch), "insert")
+            sch)
+          // ONE pass over the masked rows: a LEFT join against the
+          // replacements' src-id set splits preimages from true
+          // deletes (a merge's DELETE-clause rows) in a single scan
           val srcs = raw.filter(col(CommitLog.RowLineageCol).isNotNull)
-            .select(col(CommitLog.RowLineageCol).as("_row_id")).distinct()
-          val masked = selectDvRows(sch, dvNew, withId = true)
-          pieces += stamp(masked.join(srcs, Seq("_row_id"), "left_semi"),
-            Some(sch), "update_preimage")
-          pieces += stamp(masked.join(srcs, Seq("_row_id"), "left_anti"),
-            Some(sch), "delete")
+            .select(col(CommitLog.RowLineageCol).as("_row_id"),
+              lit(1).as("__linked")).distinct()
+          pieces += normalize(selectDvRows(sch, dvNew, withId = true)
+              .join(srcs, Seq("_row_id"), "left_outer")
+              .withColumn("_change_type",
+                when(col("__linked").isNotNull, lit("update_preimage"))
+                  .otherwise(lit("delete")))
+              .drop("__linked")
+              .withColumn("_commit_version", lit(cur.version)),
+            sch)
         } else {
           if (added.nonEmpty)
             pieces += piece(added, cur.schema, "insert", Map.empty)
           if (dvNew.nonEmpty)
             pieces += stamp(
               selectDvRows(cur.schema.getOrElse(new StructType()), dvNew,
-                withId = lineage),
+                withId = lineage && cur.schema.forall(lineageNameFree)),
               cur.schema, "delete")
         }
       }
@@ -2286,13 +2328,26 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     (-1L, 0) // unreachable
   }
 
-  /** True when the schema itself claims the reserved lineage column
-    * name — vanishingly unlikely, but a user column named
-    * [[CommitLog.RowLineageCol]] must DISABLE lineage (fall back to
-    * delete+insert) rather than collide with the hidden carrier. */
+  /** The stable row id the CDC lineage link is keyed by:
+    * `<data-file basename>#<row ordinal>`. ONE definition — the
+    * pre-image spelling (write-side carrier), the masked-row spelling
+    * (feed side), and the merge carrier must agree byte-for-byte. */
+  private def rowIdCol(file: org.apache.spark.sql.Column,
+      pos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.concat(file,
+      org.apache.spark.sql.functions.lit("#"), pos)
+
+  /** True when the schema claims neither reserved lineage name —
+    * vanishingly unlikely, but a user column named
+    * [[CommitLog.RowLineageCol]] (the hidden carrier) or `_row_id`
+    * (the feed's output column) must DISABLE lineage (fall back to
+    * delete+insert) rather than collide. */
   private def lineageNameFree(sch: StructType): Boolean =
-    !sch.fields.exists(f => lc(physName(f)) == CommitLog.RowLineageCol
-      || lc(f.name) == CommitLog.RowLineageCol)
+    !sch.fields.exists { f =>
+      val p = lc(physName(f)); val l = lc(f.name)
+      p == CommitLog.RowLineageCol || l == CommitLog.RowLineageCol ||
+      p == "_row_id" || l == "_row_id"
+    }
 
   /** Every partitioned WRITE lands under the current spec: once the
     * registry exists, a caller-supplied partCol that is not the
@@ -3220,8 +3275,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     val updatedRows = hits.select(sch.fields.map(f =>
       assigned(f, col(f.name), lit(true))).toIndexedSeq ++
       (if (lineageNameFree(sch))
-        Seq(org.apache.spark.sql.functions.concat(col("__dv_f"), lit("#"),
-          col("__dv_pos")).as(CommitLog.RowLineageCol))
+        Seq(rowIdCol(col("__dv_f"), col("__dv_pos"))
+          .as(CommitLog.RowLineageCol))
       else Nil): _*)
     val (newFiles, newTags) = partCol match {
       case Some(pc) =>
@@ -3775,9 +3830,9 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         // pre-image's stable id (insert-act rows have no target — null)
         extraCols = if (!lineageNameFree(sch)) Nil
         else Seq(org.apache.spark.sql.functions.when(
-          col("__dv_f").isNotNull, org.apache.spark.sql.functions.concat(
-            col("__dv_f"), org.apache.spark.sql.functions.lit("#"),
-            col("__dv_pos"))).as(CommitLog.RowLineageCol))))
+          col("__dv_f").isNotNull,
+          rowIdCol(col("__dv_f"), col("__dv_pos")))
+          .as(CommitLog.RowLineageCol))))
     appendDf.foreach(validateConstraints)
     val (newFiles, newTags) = appendDf match {
       case None => (Seq.empty[String], Map.empty[String, String])
@@ -5457,7 +5512,10 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         rowCount += block.getRowCount
         block.getColumns.asScala.foreach { cc =>
           val name = cc.getPath.toDotString
-          if (!name.contains('.')) {
+          // the hidden CDC lineage carrier never harvests — its stats
+          // would ride every snapshot fold and checkpoint for the
+          // file's lifetime with no reader able to use them
+          if (!name.contains('.') && name != CommitLog.RowLineageCol) {
             if (!dead.contains(name)) {
               chunkMinMax(cc) match {
                 case ChunkCovered(mn, mx) =>

@@ -337,10 +337,6 @@ final class GraftCatalog extends TableCatalog
         // through the log (per-file spec ids keep every existing tag
         // interpretable; zero data files move). merge.log stays frozen.
         if (sp.property == "merge.partcol") {
-          val from = props.get("merge.partcol").map(_.trim).filter(_.nonEmpty)
-            .getOrElse(throw new IllegalArgumentException(
-              s"$ident: the table has no partition spec to evolve — " +
-                "recreate it partitioned instead"))
           val to = sp.value.trim
           require(to.nonEmpty,
             s"$ident: cannot evolve to an EMPTY partition spec — " +
@@ -348,7 +344,24 @@ final class GraftCatalog extends TableCatalog
           val root = dir(ident).toString
           require(CommitLog.exists(spark, root),
             s"$ident: merge.partcol evolution requires merge.log=true")
-          CommitLog(spark, root).evolvePartitionSpec(from, to)
+          val log = CommitLog(spark, root)
+          // the REGISTRY is authoritative when it exists — a table
+          // evolved through the library leaves the property stale, and
+          // this ALTER must be able to resync it: `to` == the
+          // registry's current spec is a property-only no-op, anything
+          // else evolves FROM the registry's current (never the stale
+          // property). Only a never-evolved table trusts the property.
+          val registry = log.snapshot().specs
+          val from =
+            if (registry.nonEmpty) registry.last
+            else props.get("merge.partcol").map(_.trim).filter(_.nonEmpty)
+              .getOrElse(throw new IllegalArgumentException(
+                s"$ident: the table has no partition spec to evolve — " +
+                  "recreate it partitioned instead"))
+          val resyncOnly = registry.nonEmpty &&
+            scala.util.Try(PartSpec.parse(to).render).toOption
+              .contains(registry.last)
+          if (!resyncOnly) log.evolvePartitionSpec(from, to)
         } else require(!frozen(sp.property),
           s"$ident: '${sp.property}' cannot be altered after creation")
         if (sp.property.startsWith(CommitLog.ConstraintPropPrefix)) {
@@ -884,6 +897,11 @@ private[sources] final class GraftLogScanBuilder(
     val declared = partCol.map(_.trim).filter(_.nonEmpty)
     if (snap.specs.nonEmpty) Some(snap.specs.last)
     else if (version.isEmpty && tsMillis.isEmpty) declared // snap IS latest
+    // a pinned pre-evolve snapshot: one extra (checkpoint-hinted)
+    // latest fold resolves the create-time spec. Only partitioned
+    // catalog tables pay it — with no declared spec the tag machinery
+    // was inactive anyway, and staying inactive is conservative.
+    else if (declared.isEmpty) None
     else log.snapshot().specs.headOption.orElse(declared)
   }
 

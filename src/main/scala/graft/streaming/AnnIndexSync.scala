@@ -78,7 +78,7 @@ object AnnIndexSync {
     if (!touched.isEmpty) {
       val live = last.filter(col("_change_type")
         .isin("insert", "update_postimage"))
-        .drop("__rn", "_change_type", "_commit_version")
+        .drop("__rn", "_change_type", "_commit_version", "_row_id")
       // ONE atomic postings commit (r12): stale postings of every
       // touched id retire and the re-encoded rows land together — a
       // concurrent searcher never sees the touched ids missing (the

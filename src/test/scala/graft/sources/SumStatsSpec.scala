@@ -458,6 +458,48 @@ class SumStatsSpec extends graft.SparkSpecBase {
     assert(qs.collect().head.getLong(0) === (0L until 38L).sum)
   }
 
+  test("r18: a columns-SUBSET harvest after a legacy DV sweeps stale entries") {
+    // F is accounted for a and b, then a LEGACY DV masks more rows
+    // (nothing restated). harvest_sums(Seq("b")) re-harvests ONLY b —
+    // stamping the accounting current with a's stale (pre-mask)
+    // entries in place would silently certify them: SUM(a) must keep
+    // refusing (swept), SUM(b) answers live-exact (review r18).
+    val (cat, wh) = freshCat("subs")
+    spark.range(0, 0).toDF("id").select($"id".as("a"), ($"id" * 2).as("b"))
+      .writeTo(s"$cat.t").tableProperty("merge.log", "true").create()
+    val log = CommitLog(spark, s"$wh/t").withSumStats(Seq("a", "b"))
+    log.append(spark.range(0L, 50L).toDF("id")
+      .select($"id".as("a"), ($"id" * 2).as("b")).coalesce(1))
+    spark.conf.set("spark.graft.dv.minTouchedBytes", "0")
+    try {
+      log.delete($"a" === 49L) // accounted DV: a+b entries live-exact
+      spark.conf.set("spark.graft.dv.sumDeltas.enabled", "false")
+      log.delete($"a" === 48L) // LEGACY DV: nothing restated
+    } finally {
+      spark.conf.unset("spark.graft.dv.minTouchedBytes")
+      spark.conf.unset("spark.graft.dv.sumDeltas.enabled")
+    }
+    assert(!manifestAnswered(
+      spark.table(s"$cat.t").agg(sum($"a").as("s"))), "legacy DV refuses")
+    assert(CommitLog(spark, s"$wh/t").harvestSums(Seq("b"))._2 === 1)
+    val qb = spark.table(s"$cat.t").agg(sum($"b").as("s"))
+    assert(manifestAnswered(qb), "the harvested column answers live-exact:\n"
+      + qb.queryExecution.executedPlan)
+    assert(qb.collect().head.getLong(0) === (0L until 48L).map(_ * 2).sum)
+    // a's stale pre-mask entries were SWEPT, not certified
+    val qa = spark.table(s"$cat.t").agg(sum($"a").as("s"))
+    assert(!manifestAnswered(qa),
+      "an unharvested column must refuse, never certify stale entries")
+    assert(qa.collect().head.getLong(0) === (0L until 48L).sum)
+    // the complete repair names the swept column (the sweep also
+    // removed it from the snapshot-DERIVED sum config — a default
+    // call would only restore its live count)
+    assert(CommitLog(spark, s"$wh/t").harvestSums(Seq("a", "b"))._2 === 1)
+    val qa2 = spark.table(s"$cat.t").agg(sum($"a").as("s"))
+    assert(manifestAnswered(qa2))
+    assert(qa2.collect().head.getLong(0) === (0L until 48L).sum)
+  }
+
   test("r17: the fold lifecycle — time travel, OPTIMIZE, RESTORE") {
     val (cat, wh) = freshCat("life")
     spark.range(0, 0).toDF("id").writeTo(s"$cat.t")
