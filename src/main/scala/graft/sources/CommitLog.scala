@@ -997,14 +997,19 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         .map(e => e.getKey -> e.getValue.asInt()).toMap).getOrElse(Map.empty)
     // a newly tagged file's spec: explicit entry (restore/checkpoint
     // restatements) > the id it already carried (files riding through
-    // a replace) > the CURRENT spec at this commit (all writes land
-    // under the current spec — [[requireCurrentSpec]] enforces it)
+    // a replace — absent from prev.fileSpec means the CREATE-TIME spec
+    // 0, the same reading specIdOf gives, NOT the current one: a CoW
+    // rewrite on an evolved-but-unmigrated table must not silently
+    // promote stale files it merely carried) > the CURRENT spec for
+    // genuinely new files (all writes land under the current spec —
+    // [[requireCurrentSpec]] enforces it)
     val curId = math.max(0, specs.size - 1)
+    lazy val prevFileSet = prev.files.toSet
     def specIdsFor(tagged: Map[String, String],
         carried: Map[String, Int]): Map[String, Int] =
       if (specs.isEmpty) Map.empty
       else tagged.keysIterator.map(f => f -> explicitSpecIds.getOrElse(f,
-        carried.getOrElse(f, curId))).toMap
+        if (prevFileSet(f)) carried.getOrElse(f, 0) else curId)).toMap
     var files = prev.files
     var parts = prev.parts
     var stats = prev.stats
@@ -2277,6 +2282,20 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         require(fromSpec.render == s.specs.last,
           s"$tableRoot: declared current spec '${fromSpec.render}' does " +
             s"not match the registry's current '${s.specs.last}'")
+      else {
+        // first evolution SEEDS the registry permanently — a wrong
+        // `from` would decode every existing tag under the wrong spec
+        // forever. Sanity-check the declaration against the tags it
+        // claims to describe: an arity mismatch is a certain lie
+        // (same-arity misdeclarations remain the caller's contract,
+        // as documented). ADVICE r18.
+        val sample = s.parts.valuesIterator.take(16).toSeq
+        require(sample.isEmpty || sample.exists(t =>
+            scala.util.Try(fromSpec.decode(t)).isSuccess),
+          s"$tableRoot: no existing partition tag decodes under the " +
+            s"declared current spec '${fromSpec.render}' — declare the " +
+            "spec the existing tags were actually written under")
+      }
       val untagged = s.files.filterNot(s.parts.contains)
       require(untagged.isEmpty,
         s"$tableRoot: ${untagged.size} live file(s) carry no partition " +

@@ -358,9 +358,15 @@ final class GraftCatalog extends TableCatalog
               .getOrElse(throw new IllegalArgumentException(
                 s"$ident: the table has no partition spec to evolve — " +
                   "recreate it partitioned instead"))
-          val resyncOnly = registry.nonEmpty &&
-            scala.util.Try(PartSpec.parse(to).render).toOption
-              .contains(registry.last)
+          // `to` == the current spec is a property-only no-op on BOTH
+          // paths — idempotent DDL scripts must not trip the "new spec
+          // equals the current one" refusal on a never-evolved table
+          // (ADVICE r18)
+          val curRendered =
+            if (registry.nonEmpty) registry.last
+            else scala.util.Try(PartSpec.parse(from).render).getOrElse(from)
+          val resyncOnly = scala.util.Try(PartSpec.parse(to).render).toOption
+            .contains(curRendered)
           if (!resyncOnly) log.evolvePartitionSpec(from, to)
         } else require(!frozen(sp.property),
           s"$ident: '${sp.property}' cannot be altered after creation")
@@ -724,8 +730,29 @@ private[sources] final class GraftMergeTable(ident: String, path: String,
           val sess = SparkSession.active
           try {
             val partCol = props.get("merge.partcol").map(_.trim).filter(_.nonEmpty)
-            def stagedDf: DataFrame =
-              sess.read.schema(info.schema()).parquet(staging)
+            // Read the staged batch back by EXPLICIT file list, not the
+            // directory: the dot-named staging dir trips Spark's
+            // hidden-path check and WARNs "All paths were ignored" on
+            // every read (warning-only — the paths are still used), and
+            // a zero-row staged commit (e.g. limit(0).writeTo(...)
+            // .create()) would additionally run a pointless distributed
+            // scan of an empty dir — synthesize that from the declared
+            // schema instead.
+            def stagedDf: DataFrame = {
+              val sp = new Path(staging)
+              val sfs = sp.getFileSystem(sess.sparkContext.hadoopConfiguration)
+              val dataFiles =
+                if (!sfs.exists(sp)) Nil
+                else sfs.listStatus(sp).toSeq.filter { st =>
+                  val n = st.getPath.getName
+                  st.isFile && !n.startsWith("_") && !n.startsWith(".")
+                }.map(_.getPath.toString)
+              if (dataFiles.nonEmpty)
+                sess.read.schema(info.schema()).parquet(dataFiles: _*)
+              else sess.createDataFrame(
+                java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                info.schema())
+            }
             if (dynamic) {
               CommitLog(sess, path).withConstraintProps(props)
                 .replacePartitions(stagedDf, partCol.get)

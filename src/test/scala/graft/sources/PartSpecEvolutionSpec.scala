@@ -337,4 +337,51 @@ class PartSpecEvolutionSpec extends graft.SparkSpecBase {
     assert(q2.orderBy($"g").collect().map(_.getLong(1)).toSeq
       === Seq(20L, 20L, 20L))
   }
+
+  test("a CoW rewrite on a mixed-spec table must not promote riding stale files") {
+    // ADVICE r18 (high): the fold's "replace" fallback used to default
+    // any riding file ABSENT from prev.fileSpec to the CURRENT spec id
+    // — but pre-evolution files are deliberately absent (absent = spec
+    // 0), so one small copy-on-write rewrite silently promoted every
+    // stale file, scoped ops stopped refusing, and migrateSpec saw 0
+    // stale. Riding files must keep specIdOf's reading (0 when absent).
+    val (cat, wh) = freshCat("cowmix")
+    batch(0, 2).limit(0).writeTo(s"$cat.t")
+      .tableProperty("merge.log", "true")
+      .tableProperty("merge.partcol", "days(ts)").create()
+    val log = CommitLog(spark, s"$wh/t")
+    log.appendPartitioned(batch(0, 2), "days(ts)")
+    // evolve through the DDL so the catalog property tracks the registry
+    // (the SQL DELETE below resolves its partCol from the property)
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('merge.partcol'='hours(ts)')")
+    log.appendPartitioned(batch(2, 3), "hours(ts)")
+    val pre = log.snapshot()
+    val stale = pre.files.filter(f => pre.specIdOf(f) === 0).toSet
+    assert(stale.nonEmpty)
+
+    // ONE-row CoW delete (tiny table, far below the DV byte floor)
+    // through the DSv2 row-level SQL path: the touched day-0 file
+    // rewrites, everything else RIDES the "replace" commit with no
+    // explicit fileSpecs
+    spark.sql(s"DELETE FROM $cat.t WHERE id = 0")
+    val post = log.snapshot()
+    val riding = post.files.toSet intersect stale
+    assert(riding.nonEmpty, "some stale files must ride the rewrite untouched")
+    assert(riding.forall(f => post.specIdOf(f) === 0),
+      "riding stale files must KEEP their create-time spec id")
+    // the replacement file itself is new — it stamps the current spec
+    assert((post.files.toSet -- pre.files.toSet).forall(f =>
+      post.specIdOf(f) === post.currentSpecId))
+
+    // the guards the promotion used to blind: scoped reads still
+    // refuse on the mix, and migrateSpec still sees the stale files
+    val er = intercept[IllegalArgumentException] { log.readPartitions(Seq("48")) }
+    assert(er.getMessage.contains("migrateSpec"))
+    val staleNow = post.files.count(f => post.specIdOf(f) !== post.currentSpecId)
+    val (_, n) = log.migrateSpec()
+    assert(n === staleNow && n > 0,
+      "migrateSpec must still see every un-promoted stale file")
+    assert(spark.table(s"$cat.t").agg(sum($"v")).collect()(0).getLong(0)
+      === (1 until 12).map(_ * 10L).sum, "the delete itself stays correct")
+  }
 }
