@@ -47,8 +47,58 @@ object DevProfile {
           println(f"[profile]   stage ${si.stageId} (${si.numTasks} tasks): $dt%.2f s  ${si.name.take(80)}")
       }
     })
+    // per-query job/task accounting: jobs counted and their wall summed
+    // (jobs can overlap — the sum is an upper bound on job-covered
+    // wall); the remainder of a query's wall is driver-side work
+    // (planning, manifest folds, footer reads, commit IO)
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobWallNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val taskWallMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        t0.put(js.jobId, System.nanoTime()); jobCount.incrementAndGet()
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobWallNs.addAndGet(System.nanoTime() -
+          t0.getOrDefault(je.jobId, System.nanoTime()))
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) taskWallMs.addAndGet(te.taskInfo.duration)
+    })
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // driver-thread sampler (SPARK_GRAFT_PROFILE_DRIVER=1): samples the
+    // MAIN thread every 20 ms while a query runs and prints the top
+    // aggregated frames — attributes the off-job wall (manifest folds,
+    // stats harvest, planning, commit IO) to code
+    val sampleDriver = sys.env.get("SPARK_GRAFT_PROFILE_DRIVER").contains("1")
+    val mainThread = Thread.currentThread()
+    val samples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var sampling = false
+    if (sampleDriver) {
+      val t = new Thread(() => {
+        while (true) {
+          if (sampling) {
+            val st = mainThread.getStackTrace
+            // key = the innermost graft/spark frame run, topmost graft
+            // frame if any, else the top 2 frames
+            val frames = st.filterNot(f =>
+              f.getClassName.startsWith("java.") || f.getClassName.startsWith("jdk.") ||
+              f.getClassName.startsWith("scala.collection") ||
+              f.getClassName.startsWith("scala.runtime"))
+            val graft = frames.find(_.getClassName.startsWith("graft"))
+            val key = (frames.headOption.map(f =>
+                s"${f.getClassName.split('.').last}.${f.getMethodName}").getOrElse("?")) +
+              graft.map(g => s"  <=  ${g.getClassName.split('.').last}.${g.getMethodName}:${g.getLineNumber}").getOrElse("")
+            samples.merge(key, 1, (a, b) => a + b)
+          }
+          Thread.sleep(20)
+        }
+      })
+      t.setDaemon(true); t.start()
+    }
     for (name <- names) {
+      jobCount.set(0); jobWallNs.set(0L); taskWallMs.set(0L)
+      samples.clear(); sampling = true
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (name == names.last) {
@@ -64,7 +114,17 @@ object DevProfile {
         dumper.start()
       }
       df.write.format("noop").mode("overwrite").save()
-      println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      sampling = false
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] $name: $wall%.2f s  jobs=${jobCount.get} " +
+        f"jobWall=${jobWallNs.get / 1e9}%.2f s taskSum=${taskWallMs.get / 1e3}%.2f s " +
+        f"offJob>=${math.max(0.0, wall - jobWallNs.get / 1e9)}%.2f s")
+      if (sampleDriver) {
+        import scala.jdk.CollectionConverters._
+        samples.asScala.toSeq.sortBy(-_._2).take(18).foreach { case (k, n) =>
+          println(f"[driver] ${n * 0.02}%6.2f s  $k")
+        }
+      }
     }
     spark.stop()
   }

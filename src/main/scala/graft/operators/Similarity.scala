@@ -45,10 +45,32 @@ object Similarity {
 
   /** Per-row L2 norm with the exact element fold of [[cosine]]'s norm
     * accumulators (cast-to-double, ascending index, sequential adds) —
-    * computed ONCE per row so the O(pairs) scorers pay only the dot. */
+    * computed ONCE per row so the O(pairs) scorers pay only the dot.
+    * Production form is the fused native [[graft.functions.VecNormNative]]
+    * (bit-identical to [[normDHof]], parity-tested — HOFs are
+    * CodegenFallback and interpret per element, r19). */
   private def normD(v: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(graft.functions.VecNormNative(
+      org.apache.spark.sql.graft.Bridge.expression(v)))
+
+  /** HOF reference formulation of [[normD]] — the readable spec the
+    * native expression is parity-tested against. */
+  private[graft] def normDHof(v: Column): Column =
     sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
+
+  /** Cast-to-double-first dot product (the int8 rerank fold) as the
+    * fused native [[graft.functions.DotProdNative]] — bit-identical to
+    * [[dotDHof]], parity-tested (r19). */
+  private[graft] def dotD(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(graft.functions.DotProdNative(
+      org.apache.spark.sql.graft.Bridge.expression(a),
+      org.apache.spark.sql.graft.Bridge.expression(b)))
+
+  /** HOF reference formulation of [[dotD]]. */
+  private[graft] def dotDHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, q) => x.cast("double") * q.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
 
   /** (q_id, __qv, __qn) / (c_id, __cv, __cn) projections shared by the
     * top-k searchers. */
@@ -98,16 +120,12 @@ object Similarity {
         Quantize.int8Scale(col(vecCol)).as("__s"))
       .select(col("c_id"),
         Quantize.int8Codes(col("__v0"), col("__s")).as("__cc"))
-      .withColumn("__cn",
-        sqrt(aggregate(col("__cc"), lit(0.0),
-          (a, q) => a + (q * q).cast("double"))))
+      .withColumn("__cn", normD(col("__cc"))) // native: long codes square exactly
       .filter(col("__cn") > 0)
     val scored = cq.crossJoin(broadcast(qSide(queries, qId, vecCol)))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("approx_cosine",
-        aggregate(zip_with(col("__qv"), col("__cc"),
-            (x, q) => x.cast("double") * q.cast("double")),
-          lit(0.0), (a, x) => a + x) / (col("__qn") * col("__cn")))
+        dotD(col("__qv"), col("__cc")) / (col("__qn") * col("__cn")))
     Dedup.topKPerGroup(scored, Seq("q_id"),
         Seq(col("approx_cosine").desc, col("c_id")), k, "rank")
       .select(col("q_id"), col("rank"), col("c_id"), col("approx_cosine"))
@@ -194,13 +212,10 @@ object Similarity {
     * row; whole-null vectors are dropped either way). */
   def cosineNearDupPairsJoin(df: DataFrame, id: String, vecCol: String,
       tau: Double, hintBroadcast: Boolean = false): DataFrame = {
-    def norm(v: Column): Column =
-      sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, x) => acc + x))
     val a = df.select(col(id).as("a_id"), col(vecCol).as("__av"),
-      norm(col(vecCol)).as("__an"))
+      normD(col(vecCol)).as("__an"))
     val b0 = df.select(col(id).as("b_id"), col(vecCol).as("__bv"),
-      norm(col(vecCol)).as("__bn"))
+      normD(col(vecCol)).as("__bn"))
     val b = if (hintBroadcast) broadcast(b0) else b0
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("cosine",
@@ -287,8 +302,17 @@ object Similarity {
   /** Squared L2 as the same deterministic sequential fold on both
     * engines (cast-to-double, ascending index, sequential adds) —
     * shared by every coarse-quantizer assignment/probe so the oracle
-    * can replay cell boundaries bit-exactly. */
+    * can replay cell boundaries bit-exactly. Production form is the
+    * fused native [[graft.functions.SqDistNative]] (bit-identical to
+    * [[sqDistHof]], parity-tested, r19). */
   private def sqDist(v: Column, w: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(graft.functions.SqDistNative(
+      org.apache.spark.sql.graft.Bridge.expression(v),
+      org.apache.spark.sql.graft.Bridge.expression(w)))
+
+  /** HOF reference formulation of [[sqDist]] — the readable spec the
+    * native expression is parity-tested against. */
+  private[graft] def sqDistHof(v: Column, w: Column): Column =
     aggregate(zip_with(toDouble(v), toDouble(w), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
@@ -450,17 +474,13 @@ object Similarity {
       .withColumn("__s", Quantize.int8Scale(col("__cv")))
       .select(col("c_id"), col("cell"),
         Quantize.int8Codes(col("__cv"), col("__s")).as("__cc"))
-      .withColumn("__cn8",
-        sqrt(aggregate(col("__cc"), lit(0.0),
-          (a, q) => a + (q * q).cast("double"))))
+      .withColumn("__cn8", normD(col("__cc"))) // native: long codes square exactly
       .filter(col("__cn8") > 0)
     val qProbes = probeCells(qSide(queries, qId, vecCol), "__qv", cb, nprobe)
     val scored = cAssigned.join(broadcast(qProbes), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("approx_cosine",
-        aggregate(zip_with(col("__qv"), col("__cc"),
-            (x, q) => x.cast("double") * q.cast("double")),
-          lit(0.0), (a, x) => a + x) / (col("__qn") * col("__cn8")))
+        dotD(col("__qv"), col("__cc")) / (col("__qn") * col("__cn8")))
     Dedup.topKPerGroup(scored, Seq("q_id"),
         Seq(col("approx_cosine").desc, col("c_id")), k, "rank")
       .select(col("q_id"), col("rank"), col("c_id"), col("approx_cosine"))
@@ -786,10 +806,16 @@ object Similarity {
     * __codes, __qtab. */
   private def adcTopK(pairs: DataFrame, m: Int, ksub: Int, k: Int): DataFrame = {
     val scored = pairs.filter(col("q_id") =!= col("c_id"))
+      // native ADC fold ([[graft.functions.AdcSumNative]]), bit-identical
+      // to the HOF spec `aggregate(zip_with(sequence(0, m-1), __codes,
+      // (j, code) => element_at(__qtab, j*ksub+code+1)), 0.0, +)` —
+      // this runs per (query, candidate) PAIR, the hottest row count
+      // of the PQ family (r19)
       .withColumn("approx_d2",
-        aggregate(zip_with(sequence(lit(0), lit(m - 1)), col("__codes"),
-            (j, code) => element_at(col("__qtab"), j * ksub + code + 1)),
-          lit(0.0), (a, x) => a + x))
+        org.apache.spark.sql.graft.Bridge.column(graft.functions.AdcSumNative(
+          org.apache.spark.sql.graft.Bridge.expression(col("__codes")),
+          org.apache.spark.sql.graft.Bridge.expression(col("__qtab")),
+          m, ksub)))
     Dedup.topKPerGroup(scored, Seq("q_id"),
         Seq(col("approx_d2"), col("c_id")), k, "rank")
       .select(col("q_id"), col("rank"), col("c_id"), col("approx_d2"))

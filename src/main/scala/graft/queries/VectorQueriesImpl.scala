@@ -412,7 +412,10 @@ object VectorQueries {
         .select($"vec_id",
           zip_with($"embedding", $"__m", (x, m) => x.cast("double") - m).as("cvec"))
       val proj = centered.select($"vec_id",
-        array(matR.map(row => Similarity.dot($"cvec", typedlit(row.toSeq))): _*).as("pvec"))
+        // native dot (r19): 16 interpreted HOF folds per row → 16 fused
+        // loops; cvec and the literal rows are double arrays, so the
+        // cast-first native fold is bit-identical to Similarity.dot
+        array(matR.map(row => Similarity.dotD($"cvec", typedlit(row.toSeq))): _*).as("pvec"))
       val topk = Similarity.bruteForceTopK(proj.filter($"vec_id" < 8), proj,
         "vec_id", "vec_id", "pvec", 5)
       topk.join(centered.select($"vec_id".as("q_id"), $"cvec".as("__qe")), "q_id")

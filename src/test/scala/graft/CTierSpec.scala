@@ -304,6 +304,54 @@ class CTierSpec extends SparkSpecBase {
     pairs.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("native sq_dist/vec_norm/dot_prod are bit-identical to their HOF specs") {
+    // r19: the IVF/PQ hot paths moved from interpreted HOF folds to
+    // fused codegen'd expressions — same sequential double folds, so
+    // every value must be BIT-identical (the oracle replays the folds)
+    val emb = Tables(spark, sfDir, "embeddings")
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.{AdcSumNative, SqDistNative, VecNormNative}
+    def nrm(c: org.apache.spark.sql.Column) =
+      Bridge.column(VecNormNative(Bridge.expression(c)))
+    def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Bridge.column(SqDistNative(Bridge.expression(a), Bridge.expression(b)))
+    val pairs = emb.as("a").join(emb.as("b"),
+        $"a.vec_id" < $"b.vec_id" && $"b.vec_id" < 40)
+      .select(
+        sqd($"a.embedding", $"b.embedding").as("sq_fast"),
+        Similarity.sqDistHof($"a.embedding", $"b.embedding").as("sq_ref"),
+        nrm($"a.embedding").as("n_fast"),
+        Similarity.normDHof($"a.embedding").as("n_ref"),
+        Similarity.dotD($"a.embedding", $"b.embedding").as("d_fast"),
+        Similarity.dotDHof($"a.embedding", $"b.embedding").as("d_ref"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(2) === r.getDouble(3))
+      assert(r.getDouble(4) === r.getDouble(5))
+    }
+    // long-code norm: square in the integral domain, then cast — the
+    // int8 rerank fold
+    val codes = Seq((1L, Seq(-127L, 5L, 0L, 126L))).toDF("id", "q")
+    val got = codes.select(nrm($"q"),
+      sqrt(aggregate($"q", lit(0.0), (a, q) => a + (q * q).cast("double"))))
+      .head
+    assert(got.getDouble(0) === got.getDouble(1))
+    // ADC fold vs the element_at HOF spec, including the null-code case
+    val m = 4; val ksub = 3
+    val tab = (1 to m * ksub).map(i => i * 1.5)
+    val adc = Seq((Seq(2, 0, 1, 2), tab)).toDF("__codes", "__qtab")
+      .select(
+        Bridge.column(AdcSumNative(Bridge.expression($"__codes"),
+          Bridge.expression($"__qtab"), m, ksub)).as("fast"),
+        aggregate(zip_with(sequence(lit(0), lit(m - 1)), $"__codes",
+            (j, code) => element_at($"__qtab", j * ksub + code + 1)),
+          lit(0.0), (a, x) => a + x).as("ref"))
+      .head
+    assert(adc.getDouble(0) === adc.getDouble(1))
+  }
+
   test("multimodal blob features: real schema, deterministic stub decode") {
     val blobs = Multimodal.withBlob(docs.limit(10), "doc_id", "text")
     assert(blobs.schema("blob").dataType ===
