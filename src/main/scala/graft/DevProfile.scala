@@ -54,6 +54,7 @@ object DevProfile {
     val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
     val jobWallNs = new java.util.concurrent.atomic.AtomicLong(0L)
     val taskWallMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val taskCount = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -63,8 +64,27 @@ object DevProfile {
         jobWallNs.addAndGet(System.nanoTime() -
           t0.getOrDefault(je.jobId, System.nanoTime()))
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskInfo != null) taskWallMs.addAndGet(te.taskInfo.duration)
+        if (te.taskInfo != null) {
+          taskWallMs.addAndGet(te.taskInfo.duration)
+          taskCount.incrementAndGet()
+        }
     })
+    // per-stage task-time aggregation (SPARK_GRAFT_PROFILE_STAGES=1):
+    // stage callsite -> (stages, tasks, task-ms) since the last reset —
+    // finds breadth cost (many sub-threshold stages) the >0.3s stage
+    // print above cannot see
+    val stageAgg = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Long)]()
+    if (sys.env.get("SPARK_GRAFT_PROFILE_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = si.taskMetrics.executorRunTime +
+            si.taskMetrics.executorDeserializeTime
+          stageAgg.merge(si.name.take(90), (1, si.numTasks, ms),
+            (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+        }
+      })
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     // driver-thread sampler (SPARK_GRAFT_PROFILE_DRIVER=1): samples the
     // MAIN thread every 20 ms while a query runs and prints the top
@@ -97,7 +117,7 @@ object DevProfile {
       t.setDaemon(true); t.start()
     }
     for (name <- names) {
-      jobCount.set(0); jobWallNs.set(0L); taskWallMs.set(0L)
+      jobCount.set(0); jobWallNs.set(0L); taskWallMs.set(0L); taskCount.set(0)
       samples.clear(); sampling = true
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -118,12 +138,20 @@ object DevProfile {
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"[profile] $name: $wall%.2f s  jobs=${jobCount.get} " +
         f"jobWall=${jobWallNs.get / 1e9}%.2f s taskSum=${taskWallMs.get / 1e3}%.2f s " +
+        f"tasks=${taskCount.get} " +
         f"offJob>=${math.max(0.0, wall - jobWallNs.get / 1e9)}%.2f s")
       if (sampleDriver) {
         import scala.jdk.CollectionConverters._
         samples.asScala.toSeq.sortBy(-_._2).take(18).foreach { case (k, n) =>
           println(f"[driver] ${n * 0.02}%6.2f s  $k")
         }
+      }
+      if (!stageAgg.isEmpty) {
+        stageAgg.asScala.toSeq.sortBy(-_._2._3).take(14).foreach {
+          case (nm, (st, tk, ms)) =>
+            println(f"[stages] ${ms / 1e3}%7.2f s  $st%3d stages $tk%5d tasks  $nm")
+        }
+        stageAgg.clear()
       }
     }
     spark.stop()

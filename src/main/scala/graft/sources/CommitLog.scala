@@ -950,11 +950,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * a long-uncompacted log must not put every tree on the driver at
     * once — callers that need two passes materialize explicitly). */
   private def parsedManifests(asOf: Long, from: Long = Long.MinValue)
-      : Iterator[JsonNode] = {
-    if (!fs.exists(logDir)) return Iterator.empty
+      : Iterator[JsonNode] =
+    manifestStatuses(asOf, from).iterator.map(parseManifest)
+
+  /** The published manifest files in [from, asOf], version order.
+    * Dot-prefixed names are IN-FLIGHT tmp manifests (mid-write); only
+    * the atomically-published versioned files are the log. */
+  private def manifestStatuses(asOf: Long, from: Long = Long.MinValue)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    if (!fs.exists(logDir)) return Nil
     fs.listStatus(logDir)
-      // dot-prefixed names are IN-FLIGHT tmp manifests (mid-write);
-      // only the atomically-published versioned files are the log
       .filter { s =>
         val n = s.getPath.getName
         s.isFile && n.endsWith(".json") && !n.startsWith(".") && {
@@ -962,16 +967,19 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           v <= asOf && v >= from
         }
       }
-      .sortBy(_.getPath.getName)
-      .iterator
-      .map { m =>
-        val in = fs.open(m.getPath)
-        val raw = try {
-          val bytes = new Array[Byte](m.getLen.toInt)
-          in.readFully(bytes); new String(bytes, "UTF-8")
-        } finally in.close()
-        mapper.readTree(raw)
-      }.iterator
+      .sortBy(_.getPath.getName).toSeq
+  }
+
+  private def manifestVersionOf(st: org.apache.hadoop.fs.FileStatus): Long =
+    st.getPath.getName.takeWhile(_ != '.').toLong
+
+  private def parseManifest(m: org.apache.hadoop.fs.FileStatus): JsonNode = {
+    val in = fs.open(m.getPath)
+    val raw = try {
+      val bytes = new Array[Byte](m.getLen.toInt)
+      in.readFully(bytes); new String(bytes, "UTF-8")
+    } finally in.close()
+    mapper.readTree(raw)
   }
 
   /** Apply one manifest to a folded state. */
@@ -1125,9 +1133,42 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * fold then starts at that checkpoint); data files of retired
     * versions survive until [[vacuum]], which is what makes old
     * snapshots readable at all. */
-  def snapshotAt(asOf: Long): Snapshot =
-    parsedManifests(asOf, checkpointFoldStart(asOf))
-      .foldLeft(emptySnapshot)(foldOne)
+  def snapshotAt(asOf: Long): Snapshot = {
+    // r19 incremental fold ([[CommitLog.snapCache]]): list once (the
+    // listing decides the head — unchanged multi-writer semantics),
+    // seed from the newest cached fold whose last-folded manifest is
+    // STILL the same file (version + mtime + length — the recreate
+    // guard), and parse only the manifests after it. Cold path folds
+    // from the last checkpoint exactly as before.
+    val statuses = manifestStatuses(asOf)
+    if (statuses.isEmpty) {
+      if (!fs.exists(logDir)) CommitLog.snapCache.remove(tableRoot)
+      return emptySnapshot
+    }
+    val cached = CommitLog.snapCache.get(tableRoot)
+    val seedEntry = Option(cached).filter { e =>
+      e.snap.version >= 0 && e.snap.version <= asOf &&
+        statuses.exists(st => manifestVersionOf(st) == e.snap.version &&
+          st.getModificationTime == e.mtime && st.getLen == e.len)
+    }
+    if (cached != null && seedEntry.isEmpty && asOf == Long.MaxValue)
+      CommitLog.snapCache.remove(tableRoot, cached) // recreated table
+    val toFold = seedEntry match {
+      case Some(e) => statuses.filter(st => manifestVersionOf(st) > e.snap.version)
+      case None =>
+        val from = checkpointFoldStart(asOf)
+        statuses.filter(st => manifestVersionOf(st) >= from)
+    }
+    val seed = seedEntry.map(_.snap.asInstanceOf[Snapshot]).getOrElse(emptySnapshot)
+    if (toFold.isEmpty) return seed
+    val folded = toFold.iterator.map(parseManifest).foldLeft(seed)(foldOne)
+    if (CommitLog.snapCache.size > 512) CommitLog.snapCache.clear() // crude bound
+    val entry = CommitLog.SnapEntry(
+      toFold.last.getModificationTime, toFold.last.getLen, folded)
+    CommitLog.snapCache.merge(tableRoot, entry, (old, nw) =>
+      if (nw.snap.version >= old.snap.version) nw else old)
+    folded
+  }
 
   /** Where the snapshot fold may START: the `_last_checkpoint` HINT's
     * version when it points at a retained checkpoint manifest ≤
@@ -4728,7 +4769,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       val laid =
         if (zorderBy.isEmpty) df.repartition(targetFiles)
         else graft.operators.Layout.zOrderFrame(df, zorderBy, targetFiles)
-      val files = writeData(laid, s.schema.getOrElse(laid.schema))
+      val files = writeData(laid, s.schema.getOrElse(laid.schema),
+        preserveLayout = true)
       // keep an existing bloom index ALIVE even when this instance was
       // constructed without the writer config: derive (cols, bits, k)
       // from the snapshot's own self-describing filters — a layout
@@ -5326,9 +5368,27 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * the commit's logical schema — columns are renamed to their
     * PHYSICAL names just before the parquet write (the write-side
     * column-mapping chokepoint; identity for never-renamed tables). */
-  private def writeData(df: DataFrame, sch: StructType): Seq[String] = {
+  private def writeData(df: DataFrame, sch: StructType,
+      preserveLayout: Boolean = false): Seq[String] = {
     validateConstraints(df)
     val tmp = new Path(rootPath, s".tmp-${UUID.randomUUID()}")
+    // r19 (guide §6 "coalesce on write"): REBALANCE before the write so
+    // file count follows the batch's BYTES (AQE reads the exact shuffle
+    // sizes), not whatever partitioning the plan happened to end with —
+    // a merge output otherwise lands one sliver per shuffle partition
+    // (observed 32 tiny files per tiny commit; every later snapshot
+    // fold, footer harvest and scan pays per file). At scale the same
+    // rebalance is the standard optimized-write trade (one extra
+    // exchange buys advisory-sized files and skew-split write tasks);
+    // spark.graft.write.rebalance=false restores the shuffle-free
+    // write for pipelines that pre-shape their batches.
+    // preserveLayout: the caller ([[optimize]]) already repartitioned/
+    // sorted the frame into its target file layout — rebalancing would
+    // undo exactly that compaction
+    val shaped =
+      if (!preserveLayout && spark.conf.getOption("spark.graft.write.rebalance")
+          .forall(_.toBoolean)) df.hint("rebalance")
+      else df
     // Footer min/max must be EXACT values from the data, never bounds:
     // a session-configured parquet.statistics.truncate.length would
     // truncate binary stats (PARQUET-1685 — min a prefix, max
@@ -5336,7 +5396,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // answer, and undetectable at read time). Pin the writer to
     // no-truncation so every stat [[statsFor]] harvests is exact
     // (ADVICE r14).
-    toPhys(df, sch).write
+    toPhys(shaped, sch).write
       .option("parquet.statistics.truncate.length", Int.MaxValue.toString)
       .mode("overwrite").parquet(tmp.toString)
     fs.mkdirs(dataDir)
@@ -5364,7 +5424,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     * Returns (table-root-relative path, partition value) pairs. */
   private def writeDataPartitioned(df: DataFrame, partCol: String,
       sch: StructType, preserveLayout: Boolean = false): Seq[(String, String)] = {
-    import org.apache.spark.sql.functions.{col, concat, hash, lit, pmod, struct}
+    import org.apache.spark.sql.functions.{concat, lit}
     // r16: a string-shifted partition column (float→double widening)
     // makes tag derivation AMBIGUOUS across eras — pre-widening files
     // carry the float value's tag string, new writes would derive the
@@ -5382,48 +5442,39 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     validateConstraints(df)
     val tmp = new Path(rootPath, s".tmp-${UUID.randomUUID()}")
     val partTag = "__graft_part"
-    val saltTag = "__graft_salt"
-    require(!df.columns.exists(c => c == partTag || c == saltTag),
-      s"$tableRoot: column name $partTag/$saltTag is reserved by the " +
+    require(!df.columns.contains(partTag),
+      s"$tableRoot: column name $partTag is reserved by the " +
         "partitioned write path — rename it upstream")
     try {
-      // repartition BY (partition value, salt) first: without the
-      // partition key every upstream task writes its own sliver into
-      // every partition dir (tasks × partitions tiny files); without
-      // the salt a HOT partition funnels through ONE task (a 500 GB
-      // day = one multi-hour straggler at 100 TB). The salt is a
-      // DETERMINISTIC row hash (retry/speculation-safe) so a hot
-      // partition spreads over up to shuffle-partitions tasks; the
-      // dir-listing commit below tolerates several files per dir, and
-      // [[compact]] re-tightens the layout later. The "v" prefix on
-      // the partition tag keeps the EMPTY STRING a legal value —
-      // Spark's layout maps both null and "" to
-      // __HIVE_DEFAULT_PARTITION__, so only genuine nulls (null
-      // concat → null tag) land there and are refused.
-      val spread = math.max(1, spark.sessionState.conf.numShufflePartitions)
-      // hash() rejects MapType (SPARK-27619) — salt from the hashable
-      // columns only; a row with none left salts constant (no spread,
-      // still correct)
-      def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-        case _: org.apache.spark.sql.types.MapType => false
-        case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
-        case st: StructType => st.forall(f => hashable(f.dataType))
-        case _ => true
-      }
-      val saltCols = df.schema.fields.filter(f => hashable(f.dataType))
-        .map(f => col(f.name))
-      val salt = if (saltCols.isEmpty) lit(0)
-        else pmod(hash(struct(saltCols.toIndexedSeq: _*)), lit(spread))
+      // REBALANCE by the partition value before the write (r19, was a
+      // blind (tag, 32-way deterministic salt) repartition): without
+      // clustering by the partition key every upstream task writes its
+      // own sliver into every partition dir (tasks × partitions tiny
+      // files); without a spread a HOT partition funnels through ONE
+      // task (a 500 GB day = one multi-hour straggler at 100 TB). The
+      // rebalance hint keeps the clustering and makes the spread
+      // SIZE-DRIVEN at runtime: AQE coalesces byte-small partitions
+      // together (a tiny batch writes ONE file per touched dir instead
+      // of up to shuffle-partitions slivers — every downstream
+      // snapshot fold, footer harvest, and scan pays per file forever)
+      // and SPLITS an oversized partition into advisory-sized pieces
+      // (spark.sql.adaptive.optimizeSkewsInRebalancePartitions, the
+      // salt's straggler story but driven by exact shuffle sizes
+      // instead of a fixed 32-way scatter; the dir-listing commit
+      // below tolerates several files per dir, and [[compact]]
+      // re-tightens the layout later). The "v" prefix on the partition
+      // tag keeps the EMPTY STRING a legal value — Spark's layout maps
+      // both null and "" to __HIVE_DEFAULT_PARTITION__, so only
+      // genuine nulls (null concat → null tag) land there and are
+      // refused.
       val taggedDf = df.withColumn(partTag,
         concat(lit("v"), PartSpec.parse(partCol).tagExpr(df)))
       // preserveLayout: the caller ([[optimizePartitions]]) already
       // repartitioned/sorted the frame into its target file layout —
-      // the salt spread here would undo exactly that compaction
+      // a rebalance here would undo exactly that compaction
       val prepared =
         if (preserveLayout) taggedDf
-        else taggedDf.withColumn(saltTag, salt)
-          .repartition(col(partTag), col(saltTag))
-          .drop(saltTag)
+        else taggedDf.hint("rebalance", partTag)
       // logical → physical names at the write boundary; the directory
       // tag is not a schema column and passes through untouched
       toPhys(prepared, sch)
@@ -6078,6 +6129,29 @@ object CommitLog {
     * delete writes a NEW sidecar), so entries never invalidate. */
   private[sources] val dvCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Array[Long]]]()
+
+  /** One cached snapshot fold: the folded state plus the identity
+    * (mtime, length) of the NEWEST manifest it folded — the validity
+    * witness against a table DELETED AND RECREATED at the same root
+    * (version numbers restart, so "the manifest file for my version
+    * exists" alone would accept a different table's log). */
+  private[sources] final case class SnapEntry(
+      mtime: Long, len: Long, snap: CommitLog#Snapshot)
+
+  /** Process-wide INCREMENTAL snapshot-fold cache (r19): versioned
+    * manifests are publish-once ([[LogStore.putIfAbsent]] — never
+    * rewritten in place), so a Snapshot folded to version v is
+    * immutable truth and a later [[CommitLog.snapshotAt]] need only
+    * fold the manifests AFTER v onto it. Before this cache every
+    * snapshot() re-read and re-parsed the WHOLE log — a k-commit
+    * lifecycle statement sequence paid O(k²) manifest parses plus as
+    * many filesystem round trips, which profiling showed as the bulk
+    * of multi-commit queries' driver-side (off-job) wall. Concurrent
+    * writers stay correct because the LISTING still decides the head
+    * every time — the cache only replaces re-parsing of the already-
+    * folded prefix. */
+  private[sources] val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SnapEntry]()
 
   /** True when `dt` carries no interior name mapping — struct fields
     * (at any depth, incl. inside arrays/maps) all physical == logical. */

@@ -38,6 +38,35 @@ class CommitLogSpec extends SparkSpecBase {
     assert(empty.schema.fieldNames.toSeq === Seq("id", "v"))
   }
 
+  test("snapshot fold cache: recreated table at the same root is never served stale") {
+    // r19: snapshotAt seeds from a process-wide incremental fold cache;
+    // the validity witness is the last-folded manifest's (version,
+    // mtime, length). A table DELETED AND RECREATED at the same root
+    // restarts version numbering, so the cache must detect the swap —
+    // including the nastiest shape, a recreate that reaches the SAME
+    // version count with different content.
+    val t = tmpTable("clog-recreate")
+    val log = CommitLog(spark, t)
+    log.append(Seq((1L, "old"), (2L, "old")).toDF("id", "v"))
+    log.upsert(Seq((2L, "old2")).toDF("id", "v"), Seq("id"), CommitLog.LastWins)
+    assert(log.snapshot().version === 1L)
+    // destroy and rebuild to the same version with other rows
+    val p = new org.apache.hadoop.fs.Path(t)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val log2 = CommitLog(spark, t)
+    log2.append(Seq((7L, "new")).toDF("id", "v"))
+    log2.upsert(Seq((8L, "new")).toDF("id", "v"), Seq("id"), CommitLog.LastWins)
+    assert(log2.snapshot().version === 1L)
+    assert(log2.read().as[(Long, String)].collect().toSet
+      === Set((7L, "new"), (8L, "new")))
+    // and the ORIGINAL instance (its cache key is the same root) too
+    assert(log.read().as[(Long, String)].collect().toSet
+      === Set((7L, "new"), (8L, "new")))
+    // destroyed entirely: empty snapshot, not the cached one
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    assert(CommitLog(spark, t).snapshot().version === -1L)
+  }
+
   test("upsert merges per mode and recomputes against the committed table") {
     val t = tmpTable("clog-merge")
     val log = CommitLog(spark, t)
