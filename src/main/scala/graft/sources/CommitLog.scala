@@ -5384,10 +5384,16 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     // write for pipelines that pre-shape their batches.
     // preserveLayout: the caller ([[optimize]]) already repartitioned/
     // sorted the frame into its target file layout — rebalancing would
-    // undo exactly that compaction
+    // undo exactly that compaction. The same respect extends to
+    // CALLER-shaped batches ([[CommitLog.userShapedPlan]]): a frame
+    // whose plan root is an explicit repartition / partition-local
+    // sort (e.g. [[graft.operators.Layout.zOrderFrame]]'s range
+    // partition + Morton sort) encodes a deliberate file layout the
+    // rebalance would silently destroy.
     val shaped =
-      if (!preserveLayout && spark.conf.getOption("spark.graft.write.rebalance")
-          .forall(_.toBoolean)) df.hint("rebalance")
+      if (!preserveLayout && !CommitLog.userShapedPlan(df) &&
+          spark.conf.getOption("spark.graft.write.rebalance")
+            .forall(_.toBoolean)) df.hint("rebalance")
       else df
     // Footer min/max must be EXACT values from the data, never bounds:
     // a session-configured parquet.statistics.truncate.length would
@@ -6152,6 +6158,27 @@ object CommitLog {
     * folded prefix. */
   private[sources] val snapCache =
     new java.util.concurrent.ConcurrentHashMap[String, SnapEntry]()
+
+  /** True when the frame's plan root — looking through projections and
+    * partition-local sorts — is an explicit repartition/rebalance: the
+    * caller deliberately shaped the batch's physical layout (e.g.
+    * [[graft.operators.Layout.zOrderFrame]]'s range partition + Morton
+    * sort, or a pipeline's own clustering), and the write-side
+    * rebalance must not undo it. Engine-built merge plans (unions,
+    * joins, filters) never end in a repartition, so they still get the
+    * size-driven file shaping. */
+  private[sources] def userShapedPlan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    @annotation.tailrec
+    def strip(p: LogicalPlan): Boolean = p match {
+      case Project(_, c) => strip(c)
+      case s: Sort if !s.global => strip(s.child)
+      case _: RepartitionOperation => true
+      case _: RebalancePartitions => true
+      case _ => false
+    }
+    strip(df.queryExecution.analyzed)
+  }
 
   /** True when `dt` carries no interior name mapping — struct fields
     * (at any depth, incl. inside arrays/maps) all physical == logical. */

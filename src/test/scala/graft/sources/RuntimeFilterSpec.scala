@@ -147,8 +147,11 @@ class RuntimeFilterSpec extends graft.SparkSpecBase {
     val root = Files.createTempDirectory("graft-rt-cons").toString + "/t"
     val log = CommitLog(spark, root)
     log.append(Seq((1L, "a")).toDF("id", "v").coalesce(1))           // no `extra`
-    log.upsert(Seq((100L, "b", 5.0)).toDF("id", "v", "extra"),
-      Seq("id"), CommitLog.LastWins)
+    // evolve by APPEND (never rewrites the first file) so the pre-
+    // evolution file deterministically lacks `extra` stats — an upsert
+    // rewrite's file split is a layout accident the write-side
+    // rebalance (r19) is free to change
+    log.append(Seq((100L, "b", 5.0)).toDF("id", "v", "extra").coalesce(1))
     val s = log.snapshot()
     val old = s.files.find(f => !s.stats(f).contains("extra")).get
     val young = s.files.find(f => s.stats(f).contains("extra")).get
