@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object DevFuzzy {
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: DevFuzzy <sfDir>")
+    require(args.length >= 1, "usage: DevFuzzy <sfDir> [q]")
     val spark = Sessions.local("dev-fuzzy")
-    val maxDist = 8; val q = 3
+    val maxDist = 8
+    val q = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    println(s"[fuzzy] q=$q maxDist=$maxDist")
     val prefixLen = maxDist * q + 1
     val gramMin = q * (maxDist + 1)
     val df = spark.read.parquet(s"${args(0)}/documents.parquet")
@@ -70,6 +72,21 @@ object DevFuzzy {
       .filter(col("dist") >= 0)
     timed("verify (banded levenshtein over candidates)") {
       println(s"[fuzzy]   survivors=${verified.count()}")
+    }
+    // L1 char-histogram bound selectivity: ED >= L1/2, so L1 > 2d is a
+    // sound kill. Histogram = counts per (codepoint % 64) bucket.
+    val histReal = df.select(col("doc_id"),
+      transform(sequence(lit(0), lit(63)), b =>
+        size(filter(split(col("text"), ""),
+          ch => pmod(ascii(ch), lit(64)) === b)) ).as("__h"))
+    val withH = cands
+      .join(histReal.select(col("doc_id").as("a_id"), col("__h").as("__ha")), "a_id")
+      .join(histReal.select(col("doc_id").as("b_id"), col("__h").as("__hb")), "b_id")
+      .withColumn("__l1", aggregate(zip_with(col("__ha"), col("__hb"),
+        (x, y) => abs(x - y)), lit(0), (acc, v) => acc + v))
+    timed("hist L1 filter selectivity") {
+      val passed = withH.filter(col("__l1") <= 2 * maxDist).count()
+      println(s"[fuzzy]   histogram-passed=$passed of ${cands.count()}")
     }
     spark.stop()
   }

@@ -105,6 +105,50 @@ class CorpusOps2Spec extends SparkSpecBase {
 
   // ---- FuzzyJoin ----
 
+  test("char-histogram L1 natives: exact counts, unicode, and the 2·ED soundness bound") {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.{CharHistNative, HistL1Native}
+    def hist(c: org.apache.spark.sql.Column) =
+      Bridge.column(CharHistNative(Bridge.expression(c)))
+    def l1(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Bridge.column(HistL1Native(Bridge.expression(a), Bridge.expression(b)))
+    // exact bucket counts: 'a'=97 → bucket 33, surrogate pair counts ONCE
+    val h = Seq(("aab😀", "aba"))
+      .toDF("x", "y")
+      .select(hist($"x").as("hx"), hist($"y").as("hy"),
+        l1(hist($"x"), hist($"y")).as("d"))
+      .head()
+    val hx = h.getSeq[Int](0)
+    assert(hx.sum === 4) // 3 ascii chars + ONE code point for the emoji
+    assert(hx('a' & 63) === 2 && hx('b' & 63) === 1)
+    assert(h.getInt(2) === 1) // histograms differ only by the emoji bucket
+    // null propagates like the HOF spec
+    val n = Seq((Option.empty[String], Option("x"))).toDF("x", "y")
+      .select(hist($"x").isNull, l1(hist($"x"), hist($"y")).isNull)
+      .as[(Boolean, Boolean)].head()
+    assert(n === ((true, true)))
+    // soundness bound L1 <= 2·ED on random small-alphabet strings — the
+    // invariant that makes the pre-verify filter drop-safe
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(7)
+    val words = Seq.fill(40)(
+      (1 to rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    val pairsDf = (for (a <- words; b <- words) yield (a, b))
+      .toDF("a", "b")
+      .select($"a", $"b", l1(hist($"a"), hist($"b")).as("d")).collect()
+    pairsDf.foreach { r =>
+      assert(r.getInt(2) <= 2 * lev(r.getString(0), r.getString(1)),
+        s"L1 bound violated for (${r.getString(0)}, ${r.getString(1)})")
+    }
+  }
+
   test("fuzzy join d=1: substitution, insertion, deletion pairs; no false dismissals") {
     val words = Seq((1L, "cat"), (2L, "cart"), (3L, "hat"), (4L, "dog"),
       (5L, "at"), (6L, "cat")).toDF("id", "s")
