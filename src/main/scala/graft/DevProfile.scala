@@ -22,13 +22,28 @@ object DevProfile {
       case other => other.toSeq
     }
     val spark = Sessions.local("dev-profile")
+    val stageExec = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      private val jobExec = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          val frame = Option(s.description).toSeq.flatMap(_.linesIterator)
+            .find(l => l.contains("graft") && !l.contains("DevProfile"))
+            .getOrElse(Option(s.description).map(_.linesIterator.next()).getOrElse(""))
+          println(s"[profile]  sqlExec ${s.executionId}: ${frame.trim.take(100)}")
+        case _ =>
+      }
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         t0.put(js.jobId, System.nanoTime())
+        Option(js.properties.getProperty("spark.sql.execution.id")).foreach { id =>
+          jobExec.put(js.jobId, id)
+          js.stageIds.foreach(sid => stageExec.put(sid, id))
+        }
+      }
       override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         val dt = (System.nanoTime() - t0.getOrDefault(je.jobId, System.nanoTime())) / 1e9
-        if (dt > 0.3) println(f"[profile]   job ${je.jobId}: $dt%.2f s")
+        if (dt > 0.3) println(f"[profile]   job ${je.jobId} (exec ${jobExec.get(je.jobId)}): $dt%.2f s")
       }
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val ti = te.taskInfo
@@ -43,8 +58,12 @@ object DevProfile {
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dt = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
-        if (dt > 0.3)
-          println(f"[profile]   stage ${si.stageId} (${si.numTasks} tasks): $dt%.2f s  ${si.name.take(80)}")
+        if (dt > 0.3) {
+          val graftFrame = si.details.linesIterator
+            .find(l => l.contains("graft") && !l.contains("DevProfile"))
+            .getOrElse("").trim.take(90)
+          println(f"[profile]   stage ${si.stageId} (${si.numTasks} tasks, exec ${stageExec.get(si.stageId)}): $dt%.2f s  ${si.name.take(60)}  @ $graftFrame")
+        }
       }
     })
     // per-query job/task accounting: jobs counted and their wall summed
@@ -116,25 +135,68 @@ object DevProfile {
       })
       t.setDaemon(true); t.start()
     }
+    // executor-thread sampler (SPARK_GRAFT_PROFILE_EXEC=1): samples every
+    // RUNNABLE "Executor task launch" thread at 10 ms and aggregates the
+    // innermost meaningful frame — attributes uniform per-task run time
+    // the stage/task prints can't explain
+    val sampleExec = sys.env.get("SPARK_GRAFT_PROFILE_EXEC").contains("1")
+    val execSamples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var execSampling = false
+    if (sampleExec) {
+      val t = new Thread(() => {
+        while (true) {
+          if (execSampling) {
+            for ((th, st) <- Thread.getAllStackTraces.asScala
+                 if st.nonEmpty && th.getName.startsWith("Executor task launch")) {
+              val frames = st.filterNot(f =>
+                f.getClassName.startsWith("scala.collection") ||
+                f.getClassName.startsWith("scala.runtime"))
+              val top = s"[${th.getState}] " + frames.take(4).map(f =>
+                s"${f.getClassName.split('.').last}.${f.getMethodName}").mkString("<")
+              val anchor = frames.find(f =>
+                  f.getClassName.startsWith("graft") ||
+                  f.getClassName.contains("ShuffleWriter") ||
+                  f.getClassName.contains("FileFormat") ||
+                  f.getClassName.contains("parquet"))
+                .map(g => s"  <=  ${g.getClassName.split('.').last}.${g.getMethodName}")
+                .getOrElse("")
+              execSamples.merge(top + anchor, 1, (a, b) => a + b)
+            }
+          }
+          Thread.sleep(10)
+        }
+      })
+      t.setDaemon(true); t.start()
+    }
     for (name <- names) {
       jobCount.set(0); jobWallNs.set(0L); taskWallMs.set(0L); taskCount.set(0)
       samples.clear(); sampling = true
+      execSamples.clear(); execSampling = true
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (name == names.last) {
         val dumper = new Thread(() => {
-          Thread.sleep(3000)
-          for ((t, st) <- Thread.getAllStackTraces.asScala
-               if st.nonEmpty && t.getName.startsWith("Executor task launch")) {
-            println(s"[stack] === ${t.getName} state=${t.getState}")
-            st.take(25).foreach(f => println(s"[stack]   $f"))
+          var dumps = 0
+          while (dumps < 4) {
+            Thread.sleep(800)
+            val live = Thread.getAllStackTraces.asScala.filter { case (t, st) =>
+              st.nonEmpty && t.getName.startsWith("Executor task launch") &&
+                t.getState == Thread.State.RUNNABLE
+            }
+            if (live.nonEmpty) {
+              dumps += 1
+              for ((t, st) <- live.take(3)) {
+                println(s"[stack] === ${t.getName} state=${t.getState}")
+                st.take(22).foreach(f => println(s"[stack]   $f"))
+              }
+            }
           }
         })
         dumper.setDaemon(true)
         dumper.start()
       }
       df.write.format("noop").mode("overwrite").save()
-      sampling = false
+      sampling = false; execSampling = false
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"[profile] $name: $wall%.2f s  jobs=${jobCount.get} " +
         f"jobWall=${jobWallNs.get / 1e9}%.2f s taskSum=${taskWallMs.get / 1e3}%.2f s " +
@@ -144,6 +206,12 @@ object DevProfile {
         import scala.jdk.CollectionConverters._
         samples.asScala.toSeq.sortBy(-_._2).take(18).foreach { case (k, n) =>
           println(f"[driver] ${n * 0.02}%6.2f s  $k")
+        }
+      }
+      if (sampleExec) {
+        import scala.jdk.CollectionConverters._
+        execSamples.asScala.toSeq.sortBy(-_._2).take(25).foreach { case (k, n) =>
+          println(f"[exec] ${n * 0.01}%7.2f thread-s  $k")
         }
       }
       if (!stageAgg.isEmpty) {

@@ -51,6 +51,13 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // Local-FS hygiene for the harness box: the default checksummed
+      // LocalFileSystem doubles every create with a .crc sidecar, and
+      // without libhadoop every create/mkdir forks a chmod process.
+      // FastLocalFs (see its scaladoc) is the raw local FS minus the
+      // permission fork — `file:` scheme only, never active on a
+      // cluster filesystem.
+      .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The Ckpt release discipline (unpersisting released localCheckpoint
