@@ -223,14 +223,30 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
     if (identityMapping(sch))
-      subtractDvs(spark.read.schema(sch).parquet(files.map(entryPath): _*),
-        dvs, files)
+      subtractDvs(pqRead(sch, files.map(entryPath)), dvs, files)
     else {
-      subtractDvs(
-        spark.read.schema(physSchema(sch)).parquet(files.map(entryPath): _*),
-        dvs, files)
+      subtractDvs(pqRead(physSchema(sch), files.map(entryPath)), dvs, files)
         .select(sch.fields.toIndexedSeq.map(logicalCol): _*)
     }
+  }
+
+  /** `spark.read.schema(sch).parquet(paths)`, minus the file-index
+    * construction cost (r19, guide §6): the default path existence-
+    * checks every file on the driver and, past 32 paths, launches a
+    * distributed LISTING JOB — for files the manifest already knows
+    * byte-for-byte. This builds the same V1 parquet relation over a
+    * pre-seeded index ([[CommitLog.seededIndex]]): zero filesystem
+    * metadata calls for statuses this process cached at commit time,
+    * a concurrent driver-side fetch otherwise. */
+  private def pqRead(sch: StructType, absPaths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    // file reads mark every field nullable (spark.read did the same —
+    // a parquet file can always omit a value), at every nesting depth
+    val relaxed = CommitLog.relaxNulls(sch).asInstanceOf[StructType]
+    val index = CommitLog.seededIndex(spark, fs, absPaths, Some(relaxed))
+    spark.baseRelationToDataFrame(HadoopFsRelation(index, new StructType(),
+      relaxed, None, new ParquetFileFormat, Map.empty)(spark))
   }
 
   /** The physical column of `f` presented under its LOGICAL shape: a
@@ -331,8 +347,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
         case None => false
       }
     })
-    val raw0 = spark.read.schema(physSchema(sch))
-      .parquet(files.map(entryPath): _*)
+    val raw0 = pqRead(physSchema(sch), files.map(entryPath))
       .where(hit(col("_metadata.file_path"), col("_metadata.row_index")))
     // r18 CDC lineage: the masked row's stable id (basename#ordinal)
     val raw = if (!withId) raw0 else raw0.withColumn("_row_id",
@@ -349,8 +364,7 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
   private def readLiveWithPos(s: Snapshot, sch: StructType,
       files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, reverse, split}
-    val raw = spark.read.schema(physSchema(sch))
-      .parquet(files.map(entryPath): _*)
+    val raw = pqRead(physSchema(sch), files.map(entryPath))
     subtractDvs(raw, s.dvs, files)
       .withColumn("__dv_f",
         element_at(reverse(split(col("_metadata.file_path"), "/")), 1))
@@ -3519,17 +3533,28 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
             "cross-partition move is a delete+insert"))
       case _ => ()
     }
-    // ANSI cardinality: at most one source row per target row. Null
-    // keys never match, so only non-null key tuples must be unique.
+    // ONE probe job for the three source facts every merge needs
+    // (r19, guide §1.2 step 1 — each was its own job, and a
+    // multi-commit lifecycle pays the ~100 ms job+planning overhead
+    // per probe per statement): group once by the key tuple, then fold
+    // the groups into (a) the ANSI-cardinality verdict — at most one
+    // source row per non-null key tuple (null keys never match, so
+    // null-keyed groups are exempt), (b) the per-key min/max envelope
+    // for manifest-stats pruning (min/max over distinct key tuples ==
+    // min/max over rows; both ignore nulls), and (c) row presence.
     val nonNullKeys = keys.map(k => col(k).isNotNull).reduce(_ && _)
-    val dup = source.filter(nonNullKeys).groupBy(keys.map(col): _*)
-      .count().filter(col("count") > 1).limit(1).count() > 0
+    val probeAggs = keys.flatMap(k =>
+        Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))) ++ Seq(
+      org.apache.spark.sql.functions.sum(col("__cnt")).as("__rows"),
+      max(when(nonNullKeys, col("__cnt")).otherwise(lit(0L))).as("__dupmax"))
+    val mmRow = source.groupBy(keys.map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__cnt"))
+      .agg(probeAggs.head, probeAggs.tail: _*).head()
+    val dup = !mmRow.isNullAt(2 * keys.size + 1) &&
+      mmRow.getLong(2 * keys.size + 1) > 1
     require(!dup,
       s"$tableRoot: merge source has duplicate keys (${keys.mkString(", ")}) — " +
         "a target row may match at most one source row; dedupe the batch first")
-    // source key envelope for manifest-stats pruning (phase 1)
-    val mmAggs = keys.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
-    val mmRow = source.agg(mmAggs.head, mmAggs.tail: _*).head()
     val keyEnvelope: Option[Column] = {
       val bounds = keys.zipWithIndex.flatMap { case (k, i) =>
         val (mn, mx) = (mmRow.get(2 * i), mmRow.get(2 * i + 1))
@@ -3538,7 +3563,8 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
       }
       if (bounds.size == keys.size) Some(bounds.reduce(_ && _)) else None
     }
-    val sourceHasRows = keyEnvelope.isDefined || source.limit(1).count() > 0
+    val sourceHasRows = keyEnvelope.isDefined ||
+      (!mmRow.isNullAt(2 * keys.size) && mmRow.getLong(2 * keys.size) > 0)
     var attempts = 0
     while (true) {
       val s = snapshot()
@@ -5411,8 +5437,15 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
     }
     val moved = parts.map { p =>
       val name = s"${UUID.randomUUID()}-${p.getPath.getName}"
-      if (!fs.rename(p.getPath, new Path(dataDir, name)))
+      val dest = new Path(dataDir, name)
+      if (!fs.rename(p.getPath, dest))
         throw new java.io.IOException(s"move ${p.getPath} -> data/$name failed")
+      // seed the process-wide status cache from the pre-rename status
+      // (rename preserves length/mtime) — readers of this commit then
+      // build their file index with zero filesystem metadata calls
+      CommitLog.cacheFileStatus(new org.apache.hadoop.fs.FileStatus(
+        p.getLen, false, p.getReplication, p.getBlockSize,
+        p.getModificationTime, fs.makeQualified(dest)))
       s"data/$name"
     }.toSeq
     fs.delete(tmp, true)
@@ -5503,8 +5536,13 @@ final class CommitLog private (spark: SparkSession, tableRoot: String) {
           .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
           .map { f =>
             val name = s"${UUID.randomUUID()}-${f.getPath.getName}"
-            if (!fs.rename(f.getPath, new Path(dataDir, name)))
+            val dest = new Path(dataDir, name)
+            if (!fs.rename(f.getPath, dest))
               throw new java.io.IOException(s"move ${f.getPath} -> data/$name failed")
+            // seed the status cache — see [[writeData]]
+            CommitLog.cacheFileStatus(new org.apache.hadoop.fs.FileStatus(
+              f.getLen, false, f.getReplication, f.getBlockSize,
+              f.getModificationTime, fs.makeQualified(dest)))
             s"data/$name" -> p
           }
       }.toSeq
@@ -6158,6 +6196,72 @@ object CommitLog {
     * folded prefix. */
   private[sources] val snapCache =
     new java.util.concurrent.ConcurrentHashMap[String, SnapEntry]()
+
+  /** Process-wide FileStatus cache for committed data files (r19,
+    * guide §6 "manifest metadata avoids directory listing"): every
+    * committed file is immutable and uniquely named (UUID prefix;
+    * rewrites land NEW names), so a status fetched or recorded once is
+    * valid for the path's lifetime. Write paths seed it at rename time
+    * — a scan of a table this process wrote performs ZERO filesystem
+    * metadata calls. Keyed by the fs-qualified path string. */
+  private[sources] val statusCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.hadoop.fs.FileStatus]()
+
+  private[sources] def cacheFileStatus(st: org.apache.hadoop.fs.FileStatus): Unit = {
+    if (statusCache.size > 262144) statusCache.clear() // crude bound; re-warms
+    statusCache.put(st.getPath.toString, st)
+  }
+
+  /** Statuses for `absPaths`, cache-first; misses are independent
+    * metadata round-trips fetched concurrently (the [[statsFor]]
+    * discipline — ~max latency, not the sum, on remote stores). */
+  private[sources] def statusesFor(fs: org.apache.hadoop.fs.FileSystem,
+      absPaths: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val qualified = absPaths.map(p => fs.makeQualified(new Path(p)))
+    val futures = qualified.map { q =>
+      val hit = statusCache.get(q.toString)
+      if (hit != null) Future.successful(hit)
+      else Future {
+        val st = fs.getFileStatus(q)
+        cacheFileStatus(st); st
+      }
+    }
+    Await.result(Future.sequence(futures), Duration.Inf)
+  }
+
+  /** A [[org.apache.spark.sql.execution.datasources.FileStatusCache]]
+    * pre-seeded with every root path's status: the
+    * `InMemoryFileIndex` built on it performs NO listing — in
+    * particular not the distributed listing JOB Spark launches for
+    * ≥ `spark.sql.sources.parallelPartitionDiscovery.threshold` (32)
+    * paths, which profiling showed as a 96-task stage per scan build
+    * of a well-populated partitioned table. The manifest already
+    * knows the exact file set; statuses come from [[statusesFor]]. */
+  private[sources] final class SeededStatusCache(
+      statuses: Seq[org.apache.hadoop.fs.FileStatus])
+      extends org.apache.spark.sql.execution.datasources.FileStatusCache {
+    private val byPath = statuses.map(st => st.getPath -> Array(st)).toMap
+    override def getLeafFiles(path: Path)
+        : Option[Array[org.apache.hadoop.fs.FileStatus]] = byPath.get(path)
+    override def putLeafFiles(path: Path,
+        files: Array[org.apache.hadoop.fs.FileStatus]): Unit = ()
+    override def invalidateAll(): Unit = ()
+  }
+
+  /** An `InMemoryFileIndex` over manifest-known files that never lists
+    * or stats anything ([[SeededStatusCache]]). */
+  private[sources] def seededIndex(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, absPaths: Seq[String],
+      userSchema: Option[StructType])
+      : org.apache.spark.sql.execution.datasources.InMemoryFileIndex = {
+    val statuses = statusesFor(fs, absPaths)
+    new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      spark, statuses.map(_.getPath), Map.empty, userSchema,
+      new SeededStatusCache(statuses))
+  }
 
   /** True when the frame's plan root — looking through projections and
     * partition-local sorts — is an explicit repartition/rebalance: the

@@ -1031,13 +1031,27 @@ private[sources] final class GraftLogScanBuilder(
     * conflict check to it. */
   private[sources] def snapshotVersion: Long = snap.version
 
-  private def makeInner(files: Seq[String]): FileScanBuilder =
-    ParquetTable(s"graft-log $tableRoot", spark, options,
-        files.map(f =>
-          if (CommitLog.isExternalEntry(f)) f else s"$tableRoot/$f").toList,
-        Some(if (mapped) toPhysSchema(logicalSchema) else snapSchema),
-        classOf[ParquetFileFormat])
-      .newScanBuilder(options).asInstanceOf[FileScanBuilder]
+  private def makeInner(files: Seq[String]): FileScanBuilder = {
+    val absPaths = files.map(f =>
+      if (CommitLog.isExternalEntry(f)) f else s"$tableRoot/$f").toList
+    val userSchema = Some(if (mapped) toPhysSchema(logicalSchema) else snapSchema)
+    // r19 (guide §6): the default FileTable.fileIndex existence-checks
+    // every path on the driver and, past 32 paths, launches a
+    // distributed LISTING JOB per scan build (a 96-task stage on a
+    // well-populated partitioned table, re-paid on every pushFilters
+    // rebuild). The manifest already knows the file set — override the
+    // index with one built from cached/concurrently-fetched statuses
+    // ([[CommitLog.seededIndex]]): zero metadata calls, no job.
+    new ParquetTable(s"graft-log $tableRoot", spark, options, absPaths,
+        userSchema, classOf[ParquetFileFormat]) {
+      override lazy val fileIndex
+          : org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =
+        CommitLog.seededIndex(spark,
+          new Path(tableRoot).getFileSystem(
+            spark.sparkContext.hadoopConfiguration),
+          absPaths, userSchema)
+    }.newScanBuilder(options).asInstanceOf[FileScanBuilder]
+  }
 
   private var selectedFiles: Seq[String] = snap.files
   private var innerOpt: Option[FileScanBuilder] = None
